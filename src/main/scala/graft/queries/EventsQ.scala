@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** CDC/stream-shaped queries over the `events` table, expressing the
+  * reference's ingest semantics as batch-checkable operators:
+  * op classification (P1, reference `event_handler.py:102-124`),
+  * current-state latest-per-key view (W1/J4), stale-event branch (T4,
+  * `spec.md:211,302-305`), tumbling windows (T5) and JSON prop
+  * extraction (S2-style decode).
+  *
+  * `events.ts` is nanosecond parquet; Spark truncates to microseconds on
+  * read, so every oracle casts ts to microsecond TIMESTAMP up front to
+  * see identical values.
+  */
+object EventsQ {
+
+  /** Map event_type onto the reference's CDC op classes (c/r→insert,
+    * u→update, d→delete — here simulated over event_type). */
+  private def opClass = // P1 classifier shape
+    when(col("event_type").isin("signup", "purchase"), "insert")
+      .when(col("event_type").isin("click", "view"), "update")
+      .when(col("event_type") === "error", "delete")
+      .otherwise(null)
+
+  private val opClassSql =
+    """CASE WHEN event_type IN ('signup','purchase') THEN 'insert'
+      |     WHEN event_type IN ('click','view') THEN 'update'
+      |     WHEN event_type = 'error' THEN 'delete'
+      |     ELSE NULL END""".stripMargin
+
+  /** q18 — tumbling 1-hour windows (T5): per (hour, event_type) counts.
+    * At scale: map-side partial agg, single shuffle on (hour,type). */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumD("value").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q18Sql: String =
+    s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+       |    AS window_start,
+       |  event_type, COUNT(*) AS n_events, ${oSumD("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** q19 — latest event per user (W1 latest-per-key; the CDC
+    * current-state view). Single shuffle on user_id; at 100 TB this is
+    * the standard dedup-to-current-state pattern over the change log. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q19Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q20 — CDC op classification + drop-unknown filter (P1 + P7). */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("cdc_operation", opClass)
+      .filter(col("cdc_operation").isNotNull)
+      .groupBy(col("cdc_operation"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cdc_operation"))
+
+  val q20Sql: String =
+    s"""SELECT $opClassSql AS cdc_operation,
+       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+       |FROM events
+       |WHERE $opClassSql IS NOT NULL
+       |GROUP BY 1 ORDER BY cdc_operation""".stripMargin
+
+  /** q21 — CDC current state with soft-delete semantics (J4 + W1):
+    * classify ops, take latest per key, drop keys whose latest op is a
+    * delete (reference appends delete-tagged rows; the current-state
+    * view must filter them — SURVEY.md §7.4). */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(s, dir, "events")
+      .withColumn("cdc_operation", opClass)
+      .filter(col("cdc_operation").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= "delete")
+      .select(col("user_id"), col("event_id"), col("cdc_operation"),
+        col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q21Sql: String =
+    s"""SELECT user_id, event_id, cdc_operation, value FROM (
+       |  SELECT user_id, event_id, value, $opClassSql AS cdc_operation,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+       |  FROM events WHERE $opClassSql IS NOT NULL) t
+       |WHERE rn = 1 AND cdc_operation <> 'delete'
+       |ORDER BY user_id""".stripMargin
+
+  /** q22 — stale-event branch (T4): events older than 7 days before the
+    * stream's max timestamp are DLQ-routed; report them per type. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val cutoff = ev.agg(max(col("ts")).as("max_ts"))
+      .select((col("max_ts") - expr("INTERVAL 7 DAYS")).as("cutoff"))
+    ev.crossJoin(broadcast(cutoff))
+      .filter(col("ts") < col("cutoff"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_stale"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy(col("event_type"))
+  }
+
+  val q22Sql: String =
+    """SELECT event_type, COUNT(*) AS n_stale,
+      |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) <
+      |  (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+      |    - INTERVAL 7 DAY
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q23 — JSON property extraction (S2 envelope-decode shape): pull
+    * props.k out of the JSON string column and aggregate. */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+
+  val q23Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+      |  COUNT(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS n_with_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q24 — sessionization via gaps-and-islands (T5 session windows,
+    * batch formulation): a session breaks after 30 min of inactivity.
+    * Same window-function algorithm on both engines. */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        sumD("value").as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q24Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |      OR (CAST(floor(epoch(ts)) AS BIGINT)
+       |          - CAST(floor(epoch(prev_ts)) AS BIGINT)) > 1800
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS prev_ts FROM e) t),
+       |sessions AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(event_id) AS first_event, ${oSumD("value")} AS session_value
+       |FROM sessions GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q18_hourly_windows", q18, Some(q18Sql)),
+    QueryDef("q19_latest_per_user", q19, Some(q19Sql)),
+    QueryDef("q20_cdc_classify", q20, Some(q20Sql)),
+    QueryDef("q21_cdc_current_state", q21, Some(q21Sql)),
+    QueryDef("q22_stale_events", q22, Some(q22Sql)),
+    QueryDef("q23_json_extract", q23, Some(q23Sql)),
+    QueryDef("q24_sessionize", q24, Some(q24Sql)))
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One gradable query: a Spark implementation plus (optionally) the
+  * equivalent ANSI SQL the driver runs in DuckDB as the correctness oracle.
+  *
+  * Conventions that make the hash-compare robust across engines:
+  *   - every output column is explicitly aliased, lowercase, identical on
+  *     both sides;
+  *   - every query ends with a total ORDER BY on a unique key so row order
+  *     is deterministic;
+  *   - floating-point aggregates are computed exactly: the input double is
+  *     cast to DECIMAL, summed (exact, order-independent), and the result
+  *     cast back to DOUBLE — bit-identical in Spark and DuckDB regardless
+  *     of partial-aggregation order. Per-row double arithmetic (a*b) is
+  *     IEEE-deterministic and safe to do before the decimal cast.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Exact sum of a double expression via fixed-point: each per-row
+    * double value (IEEE-deterministic in both engines) is rounded at
+    * `scale` decimals with an explicit ROUND — identical half-away
+    * rounding in Spark and DuckDB, unlike double→DECIMAL casts — then
+    * summed exactly as BIGINT and scaled back to double. */
+  def sumD(e: String, prec: Int = 28, scale: Int = 4): Column =
+    expr(oSumD(e, prec, scale))
+
+  /** Exact average of a double expression (exact sum / count). */
+  def avgD(e: String, prec: Int = 28, scale: Int = 4): Column =
+    expr(oAvgD(e, prec, scale))
+
+  /** Same text runs in both Spark SQL and DuckDB. */
+  def oSumD(e: String, prec: Int = 28, scale: Int = 4): String =
+    s"CAST(SUM(CAST(ROUND(($e) * 1e$scale) AS BIGINT)) AS DOUBLE) / 1e$scale"
+  def oAvgD(e: String, prec: Int = 28, scale: Int = 4): String =
+    s"${oSumD(e, prec, scale)} / COUNT(*)"
+}

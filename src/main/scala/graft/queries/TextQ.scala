@@ -1,0 +1,313 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** Text-analysis / dedup operators over the `documents` table — the
+  * training-data-pipeline surface (SURVEY.md §2 north star): token
+  * statistics, quality scoring, language-ID heuristic, exact dedup,
+  * fingerprinting, n-gram Jaccard near-dup, MinHash+LSH and SimHash.
+  *
+  * Everything is expressed with codegen-friendly built-ins (split /
+  * transform / aggregate / array_min / md5 …) — no UDFs — so the whole
+  * per-document pipeline stays inside WholeStageCodegen and scales
+  * linearly with the corpus: at 100 TB each document is processed
+  * exactly once in the scan stage, and only the tiny candidate-pair
+  * streams are shuffled.
+  *
+  * Hashes are made engine-portable by deriving integer token ids from
+  * md5 hex (identical in Spark and DuckDB) instead of xxhash64 (which
+  * is not portable across engines).
+  */
+object TextQ {
+
+  /** Tokens of the document, Spark-side. */
+  private val toksE = "split(trim(text), '\\\\s+')"
+  private val toksD = "string_split_regex(trim(text), '\\s+')"
+
+  /** Distinct 3-token shingles (word 3-grams), Spark (0-based arrays). */
+  private val shinglesE =
+    s"""CASE WHEN size($toksE) >= 3 THEN array_distinct(
+       |  transform(sequence(0, size($toksE) - 3),
+       |    i -> concat($toksE[i], ' ', $toksE[i+1], ' ', $toksE[i+2])))
+       |ELSE array() END""".stripMargin
+  /** Same in DuckDB (1-based arrays; range end-exclusive). */
+  private val shinglesD =
+    s"""list_distinct(list_transform(range(1, greatest(len($toksD) - 1, 1)),
+       |  i -> $toksD[i] || ' ' || $toksD[i+1] || ' ' || $toksD[i+2]))""".stripMargin
+
+  /** Portable 28-bit token id from md5 hex. */
+  private def tokE(t: String) =
+    s"CAST(conv(substring(md5($t), 1, 7), 16, 10) AS BIGINT)"
+  private def tokD(t: String) =
+    s"CAST(('0x' || substr(md5($t), 1, 7)) AS BIGINT)"
+
+  /** Occurrences of word w in text (padded, non-overlapping replace
+    * trick — identical semantics in both engines). */
+  private def hits(w: String) = {
+    val n = w.length + 2
+    s"CAST((length(' ' || text || ' ') - " +
+      s"length(replace(' ' || text || ' ', ' $w ', ''))) / $n AS BIGINT)"
+  }
+
+  /** q28 — token counting (whitespace tokenizer) + char stats. */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"size($toksE)").as("n_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        expr(s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / size($toksE)")
+          .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  val q28Sql: String =
+    s"""SELECT doc_id, len($toksD) AS n_tokens,
+       |  length(text) AS n_chars_actual,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($toksD)
+       |    AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q29 — quality scoring: stopword density as the quality proxy
+    * (length/punct/stopword-ratio class of heuristics). */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val stopHits =
+      s"${hits("the")} + ${hits("and")} + ${hits("of")} + ${hits("to")}"
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr(s"size($toksE)").as("n_tokens"),
+        expr(stopHits).as("stop_hits"),
+        expr(s"CAST($stopHits AS DOUBLE) / size($toksE)").as("quality_score"))
+      .withColumn("quality_bucket",
+        when(col("quality_score") >= 0.05, "high").otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Sql: String = {
+    val stopHits =
+      s"${hits("the")} + ${hits("and")} + ${hits("of")} + ${hits("to")}"
+    s"""SELECT doc_id, lang, len($toksD) AS n_tokens,
+       |  $stopHits AS stop_hits,
+       |  CAST($stopHits AS DOUBLE) / len($toksD) AS quality_score,
+       |  CASE WHEN CAST($stopHits AS DOUBLE) / len($toksD) >= 0.05
+       |    THEN 'high' ELSE 'low' END AS quality_bucket
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q30 — language-ID heuristic: stopword-marker scoring per language
+    * with a deterministic priority tie-break. */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val en = s"${hits("the")} + ${hits("and")}"
+    val es = s"${hits("el")} + ${hits("la")}"
+    val de = s"${hits("der")} + ${hits("und")}"
+    val fr = s"${hits("le")} + ${hits("et")}"
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr(en).as("en_score"), expr(es).as("es_score"),
+        expr(de).as("de_score"), expr(fr).as("fr_score"))
+      .withColumn("predicted_lang",
+        when(col("en_score") >= col("es_score") &&
+          col("en_score") >= col("de_score") &&
+          col("en_score") >= col("fr_score") && col("en_score") > 0, "en")
+          .when(col("es_score") >= col("de_score") &&
+            col("es_score") >= col("fr_score") && col("es_score") > 0, "es")
+          .when(col("de_score") >= col("fr_score") &&
+            col("de_score") > 0, "de")
+          .when(col("fr_score") > 0, "fr")
+          .otherwise("und"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q30Sql: String = {
+    val en = s"${hits("the")} + ${hits("and")}"
+    val es = s"${hits("el")} + ${hits("la")}"
+    val de = s"${hits("der")} + ${hits("und")}"
+    val fr = s"${hits("le")} + ${hits("et")}"
+    s"""WITH scored AS (SELECT doc_id, lang,
+       |  $en AS en_score, $es AS es_score,
+       |  $de AS de_score, $fr AS fr_score FROM documents)
+       |SELECT doc_id, lang, en_score, es_score, de_score, fr_score,
+       |  CASE
+       |    WHEN en_score >= es_score AND en_score >= de_score
+       |      AND en_score >= fr_score AND en_score > 0 THEN 'en'
+       |    WHEN es_score >= de_score AND es_score >= fr_score
+       |      AND es_score > 0 THEN 'es'
+       |    WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+       |    WHEN fr_score > 0 THEN 'fr'
+       |    ELSE 'und' END AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** q31 — exact dedup by hash-groupBy: one representative (min doc_id)
+    * per group key; the canonical map-side-combinable dedup shape. */
+  def q31(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  val q31Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS keep_doc_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** q32 — document fingerprinting: md5 content hash of the normalized
+    * text plus a 60-bit numeric fingerprint (portable hex→int). Full
+    * exact-dedup over content: group by fingerprint would find byte
+    * duplicates; corpus has none, so we emit the fingerprint table. */
+  def q32(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("md5(lower(trim(text)))").as("fingerprint"),
+        expr("CAST(conv(substring(md5(lower(trim(text))), 1, 15), 16, 10)" +
+          " AS BIGINT)").as("fingerprint60"))
+      .orderBy(col("doc_id"))
+
+  val q32Sql: String =
+    """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+      |  CAST(('0x' || substr(md5(lower(trim(text))), 1, 15)) AS BIGINT)
+      |    AS fingerprint60
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q33 — n-gram Jaccard near-dup detection, blocked by source:
+    * explode distinct shingles, self-join within block, count
+    * intersections, Jaccard = |∩| / (|A|+|B|-|∩|). At 100 TB the
+    * blocking column bounds the pair space; the shingle join is a
+    * single shuffle keyed on (block, shingle). */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(shinglesE).as("shs"))
+      .withColumn("m", size(col("shs")))
+    val ex = docs.select(col("doc_id"), col("source"), col("m"),
+      explode(col("shs")).as("sh"))
+    val a = ex.select(col("doc_id").as("a_id"), col("source"),
+      col("m").as("ma"), col("sh"))
+    val b = ex.select(col("doc_id").as("b_id"), col("source").as("bsrc"),
+      col("m").as("mb"), col("sh").as("bsh"))
+    a.join(b, col("sh") === col("bsh") && col("source") === col("bsrc") &&
+        col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("ma"), col("mb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_size", col("ma") + col("mb") - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("union_size"))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("inter"), col("union_size"),
+        col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q33Sql: String =
+    s"""WITH d AS (SELECT doc_id, source, $shinglesD AS shs FROM documents),
+       |dm AS (SELECT doc_id, source, shs, len(shs) AS m FROM d),
+       |e AS (SELECT doc_id, source, m, unnest(shs) AS sh FROM dm),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.m AS ma, b.m AS mb, COUNT(*) AS inter
+       |  FROM e a JOIN e b ON a.sh = b.sh AND a.source = b.source
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT a_id, b_id, inter, ma + mb - inter AS union_size,
+       |  CAST(inter AS DOUBLE) / (ma + mb - inter) AS jaccard
+       |FROM p
+       |WHERE CAST(inter AS DOUBLE) / (ma + mb - inter) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q34 — MinHash + LSH banding: 16 portable minhashes per document
+    * (min over shingles of (a_k·x + b_k) mod p), banded 4×4; candidate
+    * pairs share at least one band bucket. The LSH index IS the
+    * blocking: no O(n²) pair space, one shuffle keyed on band key. */
+  private val minhashSigE =
+    s"""transform(sequence(0, 15), k -> array_min(transform($shinglesE,
+       |  t -> ((1103515245 + 12345 * k) * ${tokE("t")} + 748191 * k)
+       |       % 1000000007)))""".stripMargin
+  private val minhashSigD =
+    s"""list_transform(range(0, 16), k -> list_aggregate(
+       |  list_transform($shinglesD,
+       |    t -> ((1103515245 + 12345 * k) * ${tokD("t")} + 748191 * k)
+       |         % 1000000007), 'min'))""".stripMargin
+
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr(minhashSigE).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+        explode(expr("sequence(0, 3)")).as("band"), col("sig"))
+      .select(col("doc_id"),
+        expr("concat_ws(':', band, sig[4*band], sig[4*band+1], " +
+          "sig[4*band+2], sig[4*band+3])").as("band_key"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band_key"))
+    val b = bands.select(col("doc_id").as("b_id"),
+      col("band_key").as("bkey"))
+    a.join(b, col("band_key") === col("bkey") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q34Sql: String =
+    s"""WITH sigs AS (SELECT doc_id, $minhashSigD AS sig FROM documents),
+       |bands AS (SELECT doc_id,
+       |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
+       |      sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  COUNT(*) AS n_shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+
+  /** q35 — SimHash (16-bit) per document + near-dup pairs within the
+    * same source at Hamming distance ≤ 3. */
+  private val simhashE =
+    s"""aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
+       |  IF(aggregate(array_distinct($toksE), 0L,
+       |       (a2, t) -> a2 + (shiftright(${tokE("t")}, CAST(j AS INT)) % 2)
+       |         * 2 - 1) > 0,
+       |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin
+  private val simhashD =
+    s"""CAST(list_sum(list_transform(range(0, 16), j ->
+       |  CASE WHEN list_sum(list_transform(list_distinct($toksD),
+       |      t -> ((${tokD("t")} >> j) & 1) * 2 - 1)) > 0
+       |  THEN 1 << j ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), expr(simhashE).as("simhash"))
+    val a = sh.select(col("doc_id").as("a_id"), col("source"),
+      col("simhash").as("sim_a"))
+    val b = sh.select(col("doc_id").as("b_id"), col("source").as("bsrc"),
+      col("simhash").as("sim_b"))
+    a.join(b, col("source") === col("bsrc") && col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        expr("bit_count(sim_a ^ sim_b)").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("sim_a"), col("sim_b"),
+        col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q35Sql: String =
+    s"""WITH sh AS (SELECT doc_id, source, $simhashD AS simhash
+       |  FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  a.simhash AS sim_a, b.simhash AS sim_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q28_token_stats", q28, Some(q28Sql)),
+    QueryDef("q29_quality_score", q29, Some(q29Sql)),
+    QueryDef("q30_langid", q30, Some(q30Sql)),
+    QueryDef("q31_exact_dedup", q31, Some(q31Sql)),
+    QueryDef("q32_fingerprint", q32, Some(q32Sql)),
+    QueryDef("q33_ngram_jaccard", q33, Some(q33Sql)),
+    QueryDef("q34_minhash_lsh", q34, Some(q34Sql)),
+    QueryDef("q35_simhash", q35, Some(q35Sql)))
+}
