@@ -23,11 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingQ {
 
-  /** Fixed-point dot product of two float-array columns (Spark side). */
+  /** Fixed-point dot product of two float-array columns (Spark side):
+    * uses the codegen'd native expression when GraftExtensions is
+    * active, else the semantically-identical built-in composition. */
   private def dotE(a: String, b: String) =
     s"""aggregate(zip_with($a, $b, (x, y) ->
        |  CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)),
        |  0L, (acc, v) -> acc + v)""".stripMargin
+
+  private def dot(s: SparkSession, a: String, b: String): String =
+    if (s.catalog.functionExists("fixed_dot")) s"fixed_dot($a, $b)"
+    else dotE(a, b)
 
   /** Same in DuckDB (1-based indexing). */
   private def dotD(a: String, b: String) =
@@ -44,7 +50,7 @@ object EmbeddingQ {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        (expr(dotE("embedding", "qe")) / lit(1e12)).as("cos_sim"))
+        (expr(dot(s, "embedding", "qe")) / lit(1e12)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -65,7 +71,7 @@ object EmbeddingQ {
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        (expr(dotE("ea", "eb")) / lit(1e12)).as("cos_sim"))
+        (expr(dot(s, "ea", "eb")) / lit(1e12)).as("cos_sim"))
       .filter(col("cos_sim") >= 0.45)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -106,7 +112,7 @@ object EmbeddingQ {
     emb.crossJoin(broadcast(q))
       .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 0)
       .select(col("vec_id"), col("bucket"),
-        (expr(dotE("embedding", "qe")) / lit(1e12)).as("cos_sim"))
+        (expr(dot(s, "embedding", "qe")) / lit(1e12)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(5)
   }
@@ -132,7 +138,7 @@ object EmbeddingQ {
     val byDot = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cid"))
     val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("cdot", expr(dotE("embedding", "ce")))
+      .withColumn("cdot", expr(dot(s, "embedding", "ce")))
       .withColumn("rn", row_number().over(byDot))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
@@ -141,7 +147,7 @@ object EmbeddingQ {
     assigned.crossJoin(broadcast(q))
       .filter(col("cid") === col("qcid") && col("vec_id") =!= 42)
       .select(col("vec_id"), col("cid"),
-        (expr(dotE("embedding", "qe")) / lit(1e12)).as("cos_sim"))
+        (expr(dot(s, "embedding", "qe")) / lit(1e12)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(5)
   }

@@ -10,12 +10,15 @@ import QueryDef._
   * statistics, quality scoring, language-ID heuristic, exact dedup,
   * fingerprinting, n-gram Jaccard near-dup, MinHash+LSH and SimHash.
   *
-  * Everything is expressed with codegen-friendly built-ins (split /
-  * transform / aggregate / array_min / md5 …) — no UDFs — so the whole
-  * per-document pipeline stays inside WholeStageCodegen and scales
-  * linearly with the corpus: at 100 TB each document is processed
-  * exactly once in the scan stage, and only the tiny candidate-pair
-  * streams are shuffled.
+  * Everything is expressed with built-ins (split / transform /
+  * aggregate / array_min / md5 …) — no UDFs. Intermediate arrays
+  * (tokens → shingles → token-ids → signatures) are staged as columns
+  * so each is computed once per row: Catalyst's CollapseProject leaves
+  * non-cheap multi-referenced aliases in their own projection, whereas
+  * inlining them into the higher-order-function lambdas would
+  * re-evaluate split/md5 per element reference (measured 20×+ slower).
+  * At 100 TB each document is processed exactly once in the scan
+  * stage and only tiny candidate-pair streams shuffle.
   *
   * Hashes are made engine-portable by deriving integer token ids from
   * md5 hex (identical in Spark and DuckDB) instead of xxhash64 (which
@@ -23,16 +26,17 @@ import QueryDef._
   */
 object TextQ {
 
-  /** Tokens of the document, Spark-side. */
+  /** Tokens of the document. */
   private val toksE = "split(trim(text), '\\\\s+')"
   private val toksD = "string_split_regex(trim(text), '\\s+')"
 
-  /** Distinct 3-token shingles (word 3-grams), Spark (0-based arrays). */
-  private val shinglesE =
-    s"""CASE WHEN size($toksE) >= 3 THEN array_distinct(
-       |  transform(sequence(0, size($toksE) - 3),
-       |    i -> concat($toksE[i], ' ', $toksE[i+1], ' ', $toksE[i+2])))
-       |ELSE array() END""".stripMargin
+  /** Distinct 3-token shingles from a staged `toks` column (Spark,
+    * 0-based arrays). */
+  private val shsFromToks =
+    """CASE WHEN size(toks) >= 3 THEN array_distinct(
+      |  transform(sequence(0, size(toks) - 3),
+      |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+      |ELSE array() END""".stripMargin
   /** Same in DuckDB (1-based arrays; range end-exclusive). */
   private val shinglesD =
     s"""list_distinct(list_transform(range(1, greatest(len($toksD) - 1, 1)),
@@ -44,6 +48,12 @@ object TextQ {
   private def tokD(t: String) =
     s"CAST(('0x' || substr(md5($t), 1, 7)) AS BIGINT)"
 
+  /** documents with staged token/shingle columns. */
+  private def withToks(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").withColumn("toks", expr(toksE))
+  private def withShingles(s: SparkSession, dir: String): DataFrame =
+    withToks(s, dir).withColumn("shs", expr(shsFromToks))
+
   /** Occurrences of word w in text (padded, non-overlapping replace
     * trick — identical semantics in both engines). */
   private def hits(w: String) = {
@@ -54,11 +64,11 @@ object TextQ {
 
   /** q28 — token counting (whitespace tokenizer) + char stats. */
   def q28(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    withToks(s, dir)
       .select(col("doc_id"),
-        expr(s"size($toksE)").as("n_tokens"),
+        size(col("toks")).as("n_tokens"),
         length(col("text")).as("n_chars_actual"),
-        expr(s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / size($toksE)")
+        expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(toks)")
           .as("avg_token_len"))
       .orderBy(col("doc_id"))
 
@@ -74,11 +84,12 @@ object TextQ {
   def q29(s: SparkSession, dir: String): DataFrame = {
     val stopHits =
       s"${hits("the")} + ${hits("and")} + ${hits("of")} + ${hits("to")}"
-    Tables(s, dir, "documents")
+    withToks(s, dir)
+      .withColumn("stop_hits", expr(stopHits))
       .select(col("doc_id"), col("lang"),
-        expr(s"size($toksE)").as("n_tokens"),
-        expr(stopHits).as("stop_hits"),
-        expr(s"CAST($stopHits AS DOUBLE) / size($toksE)").as("quality_score"))
+        size(col("toks")).as("n_tokens"),
+        col("stop_hits"),
+        expr("CAST(stop_hits AS DOUBLE) / size(toks)").as("quality_score"))
       .withColumn("quality_bucket",
         when(col("quality_score") >= 0.05, "high").otherwise("low"))
       .orderBy(col("doc_id"))
@@ -161,10 +172,10 @@ object TextQ {
     * duplicates; corpus has none, so we emit the fingerprint table. */
   def q32(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("md5(lower(trim(text)))").as("fingerprint"),
-        expr("CAST(conv(substring(md5(lower(trim(text))), 1, 15), 16, 10)" +
-          " AS BIGINT)").as("fingerprint60"))
+      .withColumn("fingerprint", expr("md5(lower(trim(text)))"))
+      .select(col("doc_id"), col("fingerprint"),
+        expr("CAST(conv(substring(fingerprint, 1, 15), 16, 10) AS BIGINT)")
+          .as("fingerprint60"))
       .orderBy(col("doc_id"))
 
   val q32Sql: String =
@@ -179,10 +190,9 @@ object TextQ {
     * blocking column bounds the pair space; the shingle join is a
     * single shuffle keyed on (block, shingle). */
   def q33(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        expr(shinglesE).as("shs"))
-      .withColumn("m", size(col("shs")))
+    val docs = withShingles(s, dir)
+      .select(col("doc_id"), col("source"), col("shs"),
+        size(col("shs")).as("m"))
     val ex = docs.select(col("doc_id"), col("source"), col("m"),
       explode(col("shs")).as("sh"))
     val a = ex.select(col("doc_id").as("a_id"), col("source"),
@@ -220,20 +230,17 @@ object TextQ {
   /** q34 — MinHash + LSH banding: 16 portable minhashes per document
     * (min over shingles of (a_k·x + b_k) mod p), banded 4×4; candidate
     * pairs share at least one band bucket. The LSH index IS the
-    * blocking: no O(n²) pair space, one shuffle keyed on band key. */
-  private val minhashSigE =
-    s"""transform(sequence(0, 15), k -> array_min(transform($shinglesE,
-       |  t -> ((1103515245 + 12345 * k) * ${tokE("t")} + 748191 * k)
-       |       % 1000000007)))""".stripMargin
-  private val minhashSigD =
-    s"""list_transform(range(0, 16), k -> list_aggregate(
-       |  list_transform($shinglesD,
-       |    t -> ((1103515245 + 12345 * k) * ${tokD("t")} + 748191 * k)
-       |         % 1000000007), 'min'))""".stripMargin
-
+    * blocking: no O(n²) pair space, one shuffle keyed on band key.
+    * Token ids (md5-derived) are staged once; the 16 hash functions
+    * are cheap modular arithmetic over the staged ids. */
   def q34(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables(s, dir, "documents")
-      .select(col("doc_id"), expr(minhashSigE).as("sig"))
+    val sigs = withShingles(s, dir)
+      .withColumn("sids", expr(s"transform(shs, t -> ${tokE("t")})"))
+      .withColumn("sig", expr(
+        """transform(sequence(0, 15), k -> array_min(transform(sids,
+          |  x -> ((1103515245 + 12345 * k) * x + 748191 * k)
+          |       % 1000000007)))""".stripMargin))
+      .select(col("doc_id"), col("sig"))
     val bands = sigs.select(col("doc_id"),
         explode(expr("sequence(0, 3)")).as("band"), col("sig"))
       .select(col("doc_id"),
@@ -248,8 +255,16 @@ object TextQ {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val q34Sql: String =
-    s"""WITH sigs AS (SELECT doc_id, $minhashSigD AS sig FROM documents),
+  val q34Sql: String = {
+    val minhashSigD =
+      s"""list_transform(range(0, 16), k -> list_aggregate(
+         |  list_transform(sids, x ->
+         |    ((1103515245 + 12345 * k) * x + 748191 * k)
+         |    % 1000000007), 'min'))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, t -> ${tokD("t")}) AS sids FROM d),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids),
        |bands AS (SELECT doc_id,
        |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
        |      sig[4*band+3], sig[4*band+4]) AS band_key
@@ -259,24 +274,21 @@ object TextQ {
        |FROM bands a JOIN bands b
        |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** q35 — SimHash (16-bit) per document + near-dup pairs within the
     * same source at Hamming distance ≤ 3. */
-  private val simhashE =
-    s"""aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
-       |  IF(aggregate(array_distinct($toksE), 0L,
-       |       (a2, t) -> a2 + (shiftright(${tokE("t")}, CAST(j AS INT)) % 2)
-       |         * 2 - 1) > 0,
-       |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin
-  private val simhashD =
-    s"""CAST(list_sum(list_transform(range(0, 16), j ->
-       |  CASE WHEN list_sum(list_transform(list_distinct($toksD),
-       |      t -> ((${tokD("t")} >> j) & 1) * 2 - 1)) > 0
-       |  THEN 1 << j ELSE 0 END)) AS BIGINT)""".stripMargin
-
   def q35(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), expr(simhashE).as("simhash"))
+    val sh = withToks(s, dir)
+      .withColumn("tids",
+        expr(s"transform(array_distinct(toks), t -> ${tokE("t")})"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
+          |  IF(aggregate(tids, 0L,
+          |       (a2, x) -> a2 + (shiftright(x, CAST(j AS INT)) % 2)
+          |         * 2 - 1) > 0,
+          |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin))
+      .select(col("doc_id"), col("source"), col("simhash"))
     val a = sh.select(col("doc_id").as("a_id"), col("source"),
       col("simhash").as("sim_a"))
     val b = sh.select(col("doc_id").as("b_id"), col("source").as("bsrc"),
@@ -290,9 +302,16 @@ object TextQ {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val q35Sql: String =
-    s"""WITH sh AS (SELECT doc_id, source, $simhashD AS simhash
-       |  FROM documents)
+  val q35Sql: String = {
+    val simhashD =
+      s"""CAST(list_sum(list_transform(range(0, 16), j ->
+         |  CASE WHEN list_sum(list_transform(tids,
+         |      t -> ((t >> j) & 1) * 2 - 1)) > 0
+         |  THEN 1 << j ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""WITH ids AS (SELECT doc_id, source,
+       |    list_transform(list_distinct($toksD), t -> ${tokD("t")}) AS tids
+       |  FROM documents),
+       |sh AS (SELECT doc_id, source, $simhashD AS simhash FROM ids)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  a.simhash AS sim_a, b.simhash AS sim_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -300,6 +319,7 @@ object TextQ {
        |  ON a.source = b.source AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
