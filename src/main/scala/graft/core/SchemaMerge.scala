@@ -1,0 +1,152 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Schema widening lattice + modal merge, mirroring the reference's
+  * type system (see SURVEY.md §1.3; reference
+  * `delta-writer/src/transformers/bson_to_delta.py:196-263` and
+  * `transformers/type_resolver.py:15-147,312-420`,
+  * `transformers/schema_inferrer.py:127-330`):
+  *
+  *   - numeric hierarchy byte < short < int < long < float < double,
+  *     wider wins;
+  *   - null + T → T;
+  *   - array<A> + array<B> → array<merge(A,B)>;
+  *   - struct + struct → field union, overlapping fields merged
+  *     recursively, everything nullable ("MongoDB is schemaless");
+  *   - decimal + decimal → widened precision/scale;
+  *   - timestamp precision unified (Spark has a single µs timestamp);
+  *   - incompatible pair → StringType fallback (AUTO/PERMISSIVE) or
+  *     SchemaConflictException (STRICT).
+  *
+  * This is deliberately plain Scala over `StructType` — no Catalyst
+  * extension is needed (SURVEY.md §4): the merged schema drives a
+  * `castTo` projection on the incoming batch before the sink append,
+  * which is how the engine implements int32→int64→double evolution
+  * that parquet/Delta `mergeSchema` alone rejects.
+  */
+object SchemaMerge {
+
+  sealed trait MergeMode
+  /** Widen on conflict; fall back to string when incompatible. */
+  case object Auto extends MergeMode
+  /** New fields OK; any type change raises. */
+  case object Strict extends MergeMode
+  /** Widen when possible, always fall back to string, never raise. */
+  case object Permissive extends MergeMode
+
+  final case class SchemaConflictException(field: String, a: DataType,
+      b: DataType) extends RuntimeException(
+    s"schema conflict at '$field': ${a.sql} vs ${b.sql}")
+
+  private val numericOrder: Map[DataType, Int] = Map(
+    ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
+    FloatType -> 4, DoubleType -> 5)
+
+  /** Merge two types; `path` is for error reporting. */
+  def mergeTypes(a: DataType, b: DataType, mode: MergeMode = Auto,
+      path: String = ""): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, t) => t
+    case (t, NullType) => t
+    case (x, y) if numericOrder.contains(x) && numericOrder.contains(y) =>
+      mode match {
+        case Strict => throw SchemaConflictException(path, x, y)
+        case _ => if (numericOrder(x) >= numericOrder(y)) x else y
+      }
+    case (x: DecimalType, y: DecimalType) =>
+      mode match {
+        case Strict => throw SchemaConflictException(path, x, y)
+        case _ =>
+          val scale = math.max(x.scale, y.scale)
+          val intDigits = math.max(x.precision - x.scale,
+            y.precision - y.scale)
+          val p = math.min(intDigits + scale, DecimalType.MAX_PRECISION)
+          DecimalType(p, math.min(scale, p))
+      }
+    case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+      ArrayType(mergeTypes(ea, eb, mode, s"$path[]"), na || nb)
+    case (sa: StructType, sb: StructType) => mergeStructs(sa, sb, mode, path)
+    case (x, y) => mode match {
+      case Strict => throw SchemaConflictException(path, x, y)
+      case _ => StringType // incompatible → string fallback
+    }
+  }
+
+  private def mergeStructs(a: StructType, b: StructType, mode: MergeMode,
+      path: String): StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case Some(fb) =>
+          StructField(fa.name,
+            mergeTypes(fa.dataType, fb.dataType, mode,
+              if (path.isEmpty) fa.name else s"$path.${fa.name}"),
+            nullable = true)
+        case None => fa.copy(nullable = true)
+      }
+    }
+    val aNames = a.fieldNames.toSet
+    val added = b.fields.filterNot(f => aNames(f.name))
+      .map(_.copy(nullable = true))
+    StructType(merged ++ added)
+  }
+
+  /** Merge two schemas under a mode (Strict still allows NEW fields —
+    * only type CHANGES raise, per reference schema_inferrer.py:218-262). */
+  def merge(a: StructType, b: StructType, mode: MergeMode = Auto): StructType =
+    mergeStructs(a, b, mode, "")
+
+  /** True when every value of `from` is representable in `to` without
+    * loss (reference type_resolver.py:368-420 safe-widening check). */
+  def isSafeWidening(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (x, y) if x == y => true
+    case (NullType, _) => true
+    case (x, y) if numericOrder.contains(x) && numericOrder.contains(y) =>
+      // int→float and long→float/double lose precision for large values,
+      // but the reference's lattice treats order as widening-safe.
+      numericOrder(x) <= numericOrder(y)
+    case (x: DecimalType, y: DecimalType) =>
+      y.scale >= x.scale &&
+        (y.precision - y.scale) >= (x.precision - x.scale)
+    case (ArrayType(ea, _), ArrayType(eb, _)) => isSafeWidening(ea, eb)
+    case (sa: StructType, sb: StructType) =>
+      sa.fields.forall { fa =>
+        sb.fields.find(_.name == fa.name)
+          .exists(fb => isSafeWidening(fa.dataType, fb.dataType))
+      }
+    case (_, StringType) => true // stringify never "loses" bytes
+    case _ => false
+  }
+
+  final case class SchemaDiff(added: Seq[String], removed: Seq[String],
+      changed: Seq[(String, DataType, DataType)]) {
+    def isEmpty: Boolean = added.isEmpty && removed.isEmpty && changed.isEmpty
+  }
+
+  /** Field-level diff (reference schema_inferrer.py:598-640). */
+  def diff(a: StructType, b: StructType): SchemaDiff = {
+    val aM = a.fields.map(f => f.name -> f.dataType).toMap
+    val bM = b.fields.map(f => f.name -> f.dataType).toMap
+    SchemaDiff(
+      added = b.fieldNames.filterNot(aM.contains).toSeq,
+      removed = a.fieldNames.filterNot(bM.contains).toSeq,
+      changed = a.fieldNames.filter(n => bM.get(n).exists(_ != aM(n)))
+        .map(n => (n, aM(n), bM(n))).toSeq)
+  }
+
+  /** Project `df` onto `target`: cast overlapping columns, null-fill
+    * missing ones. The generated projection is plain `cast` exprs, so
+    * it stays inside whole-stage codegen. */
+  def castTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    val cols = target.fields.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+        .as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}

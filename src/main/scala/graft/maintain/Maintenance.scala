@@ -1,0 +1,97 @@
+package graft.maintain
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table maintenance: compaction, vacuum and snapshot versioning —
+  * the engine's equivalents of the reference's OPTIMIZE / VACUUM /
+  * time-travel surface (SURVEY.md §2.2 K3/K4 and §2.1 S7;
+  * reference `writer/delta_writer.py:234-282`,
+  * `specs/001-mongodb-cdc-delta/research.md:604-615`) without Delta:
+  * snapshots are versioned directories `v=N` plus an atomically-swapped
+  * `_latest` pointer, giving read-committed version/"as-of" reads over
+  * plain parquet.
+  */
+object Maintenance {
+
+  /** Rewrite `<dir>/data` into ~`targetFileMB`-sized files (small-file
+    * compaction; reference delta_writer.py:234-266). Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+      targetFileMB: Int = 128): (Long, Long) = {
+    val dataDir = Paths.get(dir, "data")
+    def parquetFiles = Files.walk(dataDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toVector
+    val before = parquetFiles
+    val totalBytes = before.map(Files.size).sum
+    val nFiles = math.max(1,
+      (totalBytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+    val df = spark.read.parquet(dataDir.toString)
+    val tmp = Paths.get(dir, "data_compact_tmp")
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    // swap: data -> trash, tmp -> data (single-writer maintenance job)
+    val trash = Paths.get(dir, s"data_old_${System.nanoTime()}")
+    Files.move(dataDir, trash)
+    Files.move(tmp, dataDir)
+    deleteRecursively(trash)
+    (before.size.toLong, parquetFiles.size.toLong)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toVector.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshot store: poor-man's time travel over parquet
+  // ------------------------------------------------------------------
+
+  private def latestPath(dir: String) = Paths.get(dir, "_latest")
+
+  def latestVersion(dir: String): Option[Long] = {
+    val p = latestPath(dir)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.toLong)
+    else None
+  }
+
+  /** Write a new snapshot version; readers only see it after the
+    * `_latest` pointer swaps (atomic move). Returns the new version. */
+  def writeSnapshot(df: DataFrame, dir: String): Long = {
+    val v = latestVersion(dir).getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(s"$dir/v=$v")
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, "._latest.tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, latestPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Read the latest snapshot, or `versionAsOf` (time travel). */
+  def readSnapshot(spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val v = versionAsOf.orElse(latestVersion(dir)).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Drop snapshot versions older than the newest `keep` (vacuum;
+    * reference delta_writer.py:268-282, default retention semantics).
+    * Returns removed versions. */
+  def vacuum(dir: String, keep: Int = 2): Seq[Long] = {
+    val latest = latestVersion(dir).getOrElse(return Nil)
+    val versions = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+      .toVector.sorted
+    val toDrop = versions.filter(_ <= latest).dropRight(keep)
+    toDrop.foreach(v => deleteRecursively(Paths.get(dir, s"v=$v")))
+    toDrop
+  }
+}

@@ -1,0 +1,88 @@
+package graft.reconcile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Source↔target reconciliation (SURVEY.md §2.5 J2/J3; reference
+  * algorithm `specs/001-mongodb-cdc-delta/research.md:659-858` —
+  * specified there, implemented here as distributed joins).
+  *
+  * Two-phase at scale: (1) `bucketDigests` hashes every row once into
+  * `nBuckets` partitions with an order-insensitive SUM digest — a
+  * single narrow aggregation per side, comparing 100 TB with one
+  * small-result shuffle; (2) `diff` drills into rows (anti + inner
+  * joins) — run it on everything at small scale, or filter both sides
+  * to the mismatched buckets first at large scale. The reference's
+  * thread-pooled range batches become shuffle partitions; its
+  * driver-side `_id` ranges become hash buckets, so no coordinator
+  * bottleneck exists.
+  */
+object Reconciler {
+
+  final case class Report(missingInTarget: DataFrame,
+      extraInTarget: DataFrame, mismatched: DataFrame,
+      counts: (Long, Long))
+
+  /** Row digest over `cols`: stable hash of the canonical struct.
+    * xxhash64 is fine engine-internally (both sides computed by us). */
+  def rowDigest(cols: Seq[String]): Column =
+    xxhash64(cols.map(col): _*)
+
+  /** Per-bucket counts + order-insensitive digests for one side. */
+  def bucketDigests(df: DataFrame, keyCol: String, nBuckets: Int,
+      compareCols: Seq[String]): DataFrame =
+    df.groupBy(pmod(xxhash64(col(keyCol)), lit(nBuckets)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(rowDigest(keyCol +: compareCols)).as("digest"))
+
+  /** Compare two sides' bucket digests; rows where anything differs
+    * are the buckets needing row-level drill-down. */
+  def compareBuckets(src: DataFrame, tgt: DataFrame, keyCol: String,
+      nBuckets: Int, compareCols: Seq[String]): DataFrame = {
+    val a = bucketDigests(src, keyCol, nBuckets, compareCols)
+      .withColumnRenamed("cnt", "src_cnt")
+      .withColumnRenamed("digest", "src_digest")
+    val b = bucketDigests(tgt, keyCol, nBuckets, compareCols)
+      .withColumnRenamed("cnt", "tgt_cnt")
+      .withColumnRenamed("digest", "tgt_digest")
+    a.join(b, Seq("bucket"), "full_outer")
+      .withColumn("is_match",
+        col("src_cnt") <=> col("tgt_cnt") &&
+          col("src_digest") <=> col("tgt_digest"))
+  }
+
+  /** Row-level diff: missing / extra / field-mismatched records
+    * (reference research.md:732-768 compare_records). */
+  def diff(src: DataFrame, tgt: DataFrame, keyCol: String,
+      compareCols: Seq[String]): Report = {
+    val missing = src.join(tgt, Seq(keyCol), "left_anti")
+    val extra = tgt.join(src, Seq(keyCol), "left_anti")
+    val s = src.select((keyCol +: compareCols).map(col): _*)
+      .withColumn("_src_digest", rowDigest(compareCols))
+    val t = tgt.select((keyCol +: compareCols).map(c =>
+        col(c).as(s"tgt_$c")): _*)
+      .withColumnRenamed(s"tgt_$keyCol", keyCol)
+      .withColumn("_tgt_digest",
+        xxhash64(compareCols.map(c => col(s"tgt_$c")): _*))
+    val mismatched = s.join(t, Seq(keyCol))
+      .filter(col("_src_digest") =!= col("_tgt_digest"))
+      .drop("_src_digest", "_tgt_digest")
+    Report(missing, extra, mismatched, (src.count(), tgt.count()))
+  }
+
+  /** Repair plan (reference FR-021 "sync source→target"): rows to
+    * upsert into target (missing + mismatched, source wins) and keys
+    * to delete (extra). Applying it to a parquet table = append +
+    * current-state compaction; to a Delta table = MERGE. */
+  final case class RepairPlan(upserts: DataFrame, deletes: DataFrame)
+
+  def repairPlan(src: DataFrame, tgt: DataFrame, keyCol: String,
+      compareCols: Seq[String]): RepairPlan = {
+    val r = diff(src, tgt, keyCol, compareCols)
+    val mismKeys = r.mismatched.select(col(keyCol))
+    RepairPlan(
+      upserts = r.missingInTarget
+        .unionByName(src.join(mismKeys, Seq(keyCol), "left_semi")),
+      deletes = r.extraInTarget.select(col(keyCol)))
+  }
+}

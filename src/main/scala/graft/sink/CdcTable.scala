@@ -1,0 +1,117 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import graft.core.SchemaMerge
+import graft.core.SchemaMerge.MergeMode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A parquet-backed CDC table with schema evolution: the engine's
+  * stand-in for the reference's Delta sink (`writer/delta_writer.py:
+  * 55-201`) in this Delta-less environment — same contract:
+  * append-only event log, partitioned by `_ingestion_date`, schema
+  * merged (widened) on every batch, version counter bumped on change.
+  *
+  * Layout (schema generations):
+  *
+  *   <dir>/data/sv=N/...          parquet written under schema vN
+  *                                (partitioned by `_ingestion_date`)
+  *   <dir>/_graft_schema_vN.json  schema of generation N
+  *   <dir>/_graft_version         current generation (atomic swap)
+  *
+  * Every incoming batch is cast to the merged schema BEFORE the write
+  * (SchemaMerge.castTo), so each generation directory is internally
+  * consistent; widening changes (int64→double …) open a NEW generation
+  * instead of mixing parquet physical types in one directory — Spark's
+  * parquet reader refuses cross-type reads, and this is also how the
+  * read path stays scan-only at 100 TB: each generation is scanned
+  * under its own schema and unioned with a cast projection, no file
+  * rewrite ever happens on schema change (zero-downtime evolution,
+  * reference SC-007 `spec.md:336`).
+  */
+object CdcTable {
+
+  private def versionPath(dir: String) = Paths.get(dir, "_graft_version")
+  private def schemaPath(dir: String, v: Long) =
+    Paths.get(dir, s"_graft_schema_v$v.json")
+
+  def currentVersion(dir: String): Long = {
+    val p = versionPath(dir)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  def schemaOf(dir: String, v: Long): Option[StructType] = {
+    val p = schemaPath(dir, v)
+    if (Files.exists(p))
+      Some(DataType.fromJson(new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8)).asInstanceOf[StructType])
+    else None
+  }
+
+  def currentSchema(dir: String): Option[StructType] = {
+    val v = currentVersion(dir)
+    if (v == 0) None else schemaOf(dir, v)
+  }
+
+  /** Append a batch, merging schemas under `mode`. A schema change
+    * opens a new generation. Returns the schema version after the
+    * write. Single-writer semantics (the streaming sink is the only
+    * writer, as in the reference). */
+  def append(batch: DataFrame, dir: String, mode: MergeMode = SchemaMerge.Auto,
+      partitionBy: Seq[String] = Seq("_ingestion_date")): Long = {
+    val existing = currentSchema(dir)
+    val merged = existing match {
+      case Some(e) => SchemaMerge.merge(e, batch.schema, mode)
+      case None => batch.schema
+    }
+    val v = if (existing.contains(merged)) currentVersion(dir)
+      else {
+        val nv = currentVersion(dir) + 1
+        Files.createDirectories(Paths.get(dir))
+        val tmp = Paths.get(dir, s"._graft_schema_v$nv.json.tmp")
+        Files.write(tmp, merged.json.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, schemaPath(dir, nv), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        nv
+      }
+    val out = SchemaMerge.castTo(batch, merged)
+    val writer = out.write.mode("append")
+    val partCols = partitionBy.filter(merged.fieldNames.contains)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(s"$dir/data/sv=$v")
+    if (v != currentVersion(dir)) {
+      val tv = Paths.get(dir, "._graft_version.tmp")
+      Files.write(tv, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tv, versionPath(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    v
+  }
+
+  /** Read the table under its current merged schema: one scan per
+    * schema generation, each cast to the current schema and unioned.
+    * Older generations are typically few (schema churn is rare), so
+    * this stays a handful of parallel scans. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no CdcTable at $dir")
+    val target = schemaOf(dir, cur).get
+    val gens = (1L to cur).flatMap { v =>
+      val p = Paths.get(dir, "data", s"sv=$v")
+      schemaOf(dir, v).filter(_ => Files.exists(p)).map { s =>
+        SchemaMerge.castTo(spark.read.schema(s).parquet(p.toString), target)
+      }
+    }
+    gens.reduce(_ unionByName _)
+  }
+
+  /** All generation schemas (history — reference schema_manager
+    * version tracking `writer/schema_manager.py:106-148`). */
+  def schemaHistory(dir: String): Seq[(Long, StructType)] =
+    (1L to currentVersion(dir)).flatMap(v => schemaOf(dir, v).map(v -> _))
+}

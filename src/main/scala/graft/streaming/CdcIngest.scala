@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.core.SchemaMerge
+import graft.core.SchemaMerge.MergeMode
+import graft.ingest.{CdcNormalize, Envelope}
+import graft.sink.CdcTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming CDC ingest: the whole reference delta-writer
+  * hot path (`main.py:46-92` → `event_consumer.py` →
+  * `delta_writer.py`, SURVEY.md §3.1) as one declarative pipeline:
+  *
+  *   source (kafka | any streaming DF) → envelope decode → normalize
+  *   (classify/extract/enrich) → foreachBatch { per-collection schema
+  *   merge + parquet append, DLQ table for rejects }.
+  *
+  * The reference's hand-rolled machinery collapses into built-ins:
+  * micro-batching → Trigger.ProcessingTime; checkpoint/resume →
+  * checkpointLocation; retries/backpressure → Spark task retries +
+  * maxOffsetsPerTrigger; graceful shutdown → query.stop(). Per-event
+  * Python loops become one codegen'd projection.
+  *
+  * Scale: normalize is shuffle-free; the only wide operation is the
+  * optional per-collection demux, which lists distinct collection keys
+  * per micro-batch (bounded by collection count, not row count) and
+  * writes each group with a partition-pruned filter.
+  */
+object CdcIngest {
+
+  final case class Config(
+      baseDir: String,
+      checkpointDir: String,
+      triggerMillis: Long = 5000L, // reference batch timeout 5 s
+      mergeMode: MergeMode = SchemaMerge.Auto,
+      staleDays: Int = 7,
+      inferDocSchema: Boolean = true)
+
+  /** Kafka source matching the reference consumer config
+    * (`consumer/event_consumer.py:58-67`): pattern subscription,
+    * read_committed isolation, bounded poll. Requires the
+    * spark-sql-kafka connector on the classpath at runtime. */
+  def kafkaSource(spark: SparkSession, bootstrap: String,
+      pattern: String = "mongodb.*",
+      maxOffsetsPerTrigger: Long = 2000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribePattern", pattern)
+      .option("kafka.isolation.level", "read_committed")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** Process one (micro-)batch of raw envelope JSON: decode, normalize,
+    * demux per collection, append each to its table + the DLQ table.
+    * Also the batch-mode entry (the same code path serves backfill). */
+  def processBatch(batch: DataFrame, cfg: Config): Unit = {
+    val spark = batch.sparkSession
+    val normalized = CdcNormalize(Envelope.decode(batch), cfg.staleDays)
+
+    // DLQ: original value + reason + source coords
+    // (reference dlq_writer.py:24-57)
+    val dlq = normalized.dlq.select(
+      col("value").cast("string").as("original_value"),
+      col("_dlq_reason").as("reason"),
+      col("_kafka_topic"), col("_kafka_partition"), col("_kafka_offset"),
+      col("_ingestion_timestamp"), col("_ingestion_date"))
+    if (!dlq.isEmpty)
+      CdcTable.append(dlq, s"${cfg.baseDir}/_dlq", cfg.mergeMode)
+
+    val valid = normalized.valid
+    if (valid.isEmpty) return
+    // Distinct collection keys: bounded by the number of collections,
+    // not rows — the one intentionally driver-visible list.
+    val keys = valid.select(col("_collection_key")).distinct()
+      .collect().map(_.getString(0))
+    keys.foreach { key =>
+      val rows = valid.filter(col("_collection_key") === key)
+      val table = rows.select(
+        col("_envelope.payload._id").as("_id"),
+        col("_doc"),
+        col("_cdc_timestamp"), col("_cdc_operation"),
+        col("_ingestion_timestamp"), col("_kafka_offset"),
+        col("_kafka_partition"), col("_kafka_topic"),
+        col("_ingestion_date"), col("_source_database"),
+        col("_source_collection"))
+      val out =
+        if (cfg.inferDocSchema) expandDoc(spark, table) else table
+      CdcTable.append(out, s"${cfg.baseDir}/${CdcNormalize.tableName(key)}",
+        cfg.mergeMode)
+    }
+  }
+
+  /** Expand the raw `_doc` JSON into typed columns: per-batch schema
+    * inference (reference `schema_inferrer.py:93-125` — there per-doc
+    * Python; here one distributed `schema_of_json`-style pass via the
+    * JSON datasource inference, then a single from_json projection). */
+  private[graft] def expandDoc(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val docSchema = spark.read.json(
+      df.select("_doc").as[String]).schema
+    if (docSchema.isEmpty) df.drop("_doc")
+    else {
+      val clean = StructType(docSchema.fields.filterNot(
+        _.name == "_corrupt_record"))
+      // Document fields win on name collision (the converted document
+      // IS the record; the envelope-level _id is only its routing copy)
+      val docNames = clean.fieldNames.toSet
+      df.withColumn("_parsed", from_json(col("_doc"), clean))
+        .select((clean.fieldNames.map(n =>
+          col(s"_parsed.`$n`").as(n)) ++
+          df.columns.filter(c => c != "_doc" && !docNames(c)).map(col))
+          .toIndexedSeq: _*)
+    }
+  }
+
+  /** Start the streaming ingest from a streaming DataFrame with a raw
+    * `value` column (kafka or memory/file source in tests). */
+  def start(source: DataFrame, cfg: Config): StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, cfg)
+      }
+      .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
+      .option("checkpointLocation", cfg.checkpointDir)
+      .start()
+}

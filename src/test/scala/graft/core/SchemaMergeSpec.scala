@@ -1,0 +1,118 @@
+package graft.core
+
+import graft.core.SchemaMerge._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Properties of the widening lattice — mirrors the reference's unit
+  * expectations (tests/unit/test_bson_to_delta.py:32-39 int widening,
+  * :134-140 mixed arrays; test_type_resolver.py) plus algebraic laws
+  * the reference never states but its matrix implies. */
+class SchemaMergeSpec extends AnyFunSuite {
+
+  /** Deterministic property driver over ScalaCheck generators. */
+  private def forAll[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(
+      f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  private val numerics: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+  private val scalars: Gen[DataType] = Gen.oneOf(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    StringType, BooleanType, TimestampType, NullType)
+  private val types: Gen[DataType] = Gen.frequency(
+    8 -> scalars,
+    2 -> scalars.map(ArrayType(_, containsNull = true)),
+    1 -> scalars.map(t => StructType(Seq(StructField("a", t)))))
+
+  test("numeric widening: wider wins (int32+int64→int64, int+double→double)") {
+    assert(mergeTypes(IntegerType, LongType) == LongType)
+    assert(mergeTypes(LongType, IntegerType) == LongType)
+    assert(mergeTypes(IntegerType, DoubleType) == DoubleType)
+    assert(mergeTypes(FloatType, LongType) == FloatType)
+  }
+
+  test("null resolves to the other type") {
+    assert(mergeTypes(NullType, IntegerType) == IntegerType)
+    assert(mergeTypes(StringType, NullType) == StringType)
+  }
+
+  test("incompatible pair falls back to string in Auto, raises in Strict") {
+    assert(mergeTypes(BooleanType, IntegerType) == StringType)
+    assert(mergeTypes(TimestampType, LongType) == StringType)
+    assertThrows[SchemaConflictException](
+      mergeTypes(BooleanType, IntegerType, Strict))
+  }
+
+  test("arrays merge element types recursively") {
+    assert(mergeTypes(ArrayType(IntegerType), ArrayType(DoubleType)) ==
+      ArrayType(DoubleType, containsNull = true))
+  }
+
+  test("structs union fields and merge overlaps recursively") {
+    val a = StructType(Seq(StructField("x", IntegerType, nullable = false),
+      StructField("y", StringType)))
+    val b = StructType(Seq(StructField("x", LongType),
+      StructField("z", BooleanType)))
+    val m = merge(a, b)
+    assert(m.fieldNames.toSeq == Seq("x", "y", "z"))
+    assert(m("x").dataType == LongType)
+    assert(m.fields.forall(_.nullable), "all merged fields nullable")
+  }
+
+  test("decimal widening keeps max integral digits and scale") {
+    assert(mergeTypes(DecimalType(10, 2), DecimalType(5, 4)) ==
+      DecimalType(12, 4))
+  }
+
+  test("Strict allows new fields but rejects type changes") {
+    val a = StructType(Seq(StructField("x", IntegerType)))
+    val plusField = StructType(Seq(StructField("x", IntegerType),
+      StructField("y", StringType)))
+    assert(merge(a, plusField, Strict).fieldNames.length == 2)
+    val changed = StructType(Seq(StructField("x", DoubleType)))
+    assertThrows[SchemaConflictException](merge(a, changed, Strict))
+  }
+
+  test("merge is commutative on the resulting type (property)") {
+    forAll(types, types) { (a, b) =>
+      assert(mergeTypes(a, b) == mergeTypes(b, a))
+    }
+  }
+
+  test("merge is idempotent (property)") {
+    forAll(types) { a => assert(mergeTypes(a, a) == a) }
+  }
+
+  test("merge is associative (property)") {
+    forAll(types, types, types) { (a, b, c) =>
+      assert(mergeTypes(mergeTypes(a, b), c) ==
+        mergeTypes(a, mergeTypes(b, c)))
+    }
+  }
+
+  test("merged type is a safe widening target of both inputs (numerics)") {
+    forAll(numerics, numerics) { (a, b) =>
+      val m = mergeTypes(a, b)
+      assert(isSafeWidening(a, m) && isSafeWidening(b, m))
+    }
+  }
+
+  test("diff reports added/removed/changed") {
+    val a = StructType(Seq(StructField("x", IntegerType),
+      StructField("y", StringType)))
+    val b = StructType(Seq(StructField("x", LongType),
+      StructField("z", BooleanType)))
+    val d = diff(a, b)
+    assert(d.added == Seq("z") && d.removed == Seq("y"))
+    assert(d.changed == Seq(("x", IntegerType, LongType)))
+  }
+}

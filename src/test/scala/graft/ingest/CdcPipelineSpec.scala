@@ -1,0 +1,118 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.sink.CdcTable
+import graft.streaming.CdcIngest
+import graft.query.CurrentState
+import org.apache.spark.sql.functions._
+
+/** End-to-end CDC batch path: canonical Debezium envelopes (reference
+  * contract fixtures, FIXTURES.md §1) → decode → normalize → per-
+  * collection table append → current-state view. */
+class CdcPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(op: String, id: String, after: String, before: String,
+      ts: Long, db: String = "testdb", coll: String = "users"): String = {
+    val a = if (after == null) "null" else after
+    val b = if (before == null) "null" else before
+    s"""{"payload":{"_id":"$id","before":$b,"after":$a,"op":"$op",
+       |"ts_ms":$ts,"source":{"version":"2.5.0.Final","connector":"mongodb",
+       |"name":"mongodb","ts_ms":$ts,"snapshot":"false","db":"$db",
+       |"rs":"rs0","collection":"$coll","ord":1}}}""".stripMargin
+      .replace("\n", "")
+  }
+
+  private val t0 = System.currentTimeMillis() - 1000
+
+  test("decode + classify + extract + metadata enrichment") {
+    val raw = Seq(
+      env("c", "a1", "\"{\\\"_id\\\":\\\"a1\\\",\\\"x\\\":1}\"", null, t0),
+      env("u", "a1", "\"{\\\"_id\\\":\\\"a1\\\",\\\"x\\\":2}\"", null, t0 + 1),
+      env("d", "a1", null, "\"{\\\"_id\\\":\\\"a1\\\"}\"", t0 + 2),
+      "not json at all",
+      env("zz", "a2", "\"{}\"", null, t0)
+    ).toDF("value")
+    val n = CdcNormalize(Envelope.decode(raw))
+    val valid = n.valid.collect()
+    assert(valid.length == 3)
+    val ops = n.valid.select("_cdc_operation").as[String].collect().sorted
+    assert(ops.toSeq == Seq("delete", "insert", "update"))
+    val dlqReasons = n.dlq.select("_dlq_reason").as[String].collect().toSet
+    assert(dlqReasons == Set(CdcNormalize.DlqReason.Corrupted,
+      CdcNormalize.DlqReason.UnknownOp))
+    // all 9 metadata columns present
+    val meta = Seq("_cdc_timestamp", "_cdc_operation",
+      "_ingestion_timestamp", "_kafka_offset", "_kafka_partition",
+      "_kafka_topic", "_ingestion_date", "_source_database",
+      "_source_collection")
+    assert(meta.forall(n.valid.columns.contains))
+  }
+
+  test("stale events route to DLQ with stale_event reason") {
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    val raw = Seq(
+      env("c", "s1", "\"{\\\"_id\\\":\\\"s1\\\"}\"", null, old),
+      env("c", "s2", "\"{\\\"_id\\\":\\\"s2\\\"}\"", null, t0)
+    ).toDF("value")
+    val n = CdcNormalize(Envelope.decode(raw), staleDays = 7)
+    assert(n.valid.count() == 1)
+    assert(n.dlq.select("_dlq_reason").as[String].collect().toSeq ==
+      Seq(CdcNormalize.DlqReason.Stale))
+  }
+
+  test("batch ingest: per-collection demux, doc expansion, current state") {
+    val base = tmpDir("cdc")
+    def doc(id: String, x: Int, name: String) =
+      s"""\"{\\\"_id\\\":\\\"$id\\\",\\\"x\\\":$x,\\\"name\\\":\\\"$name\\\"}\""""
+    val raw = Seq(
+      env("c", "u1", doc("u1", 1, "ann"), null, t0),
+      env("c", "u2", doc("u2", 2, "bob"), null, t0),
+      env("u", "u1", doc("u1", 10, "ann2"), null, t0 + 5),
+      env("d", "u2", null, "\"{\\\"_id\\\":\\\"u2\\\"}\"", t0 + 6),
+      // delete with NO before doc: must fall back to a key-only doc
+      env("d", "u3", null, null, t0 + 7),
+      env("c", "o1", doc("o1", 7, "ord"), null, t0, coll = "orders")
+    ).toDF("value")
+    CdcIngest.processBatch(raw,
+      CdcIngest.Config(base, checkpointDir = tmpDir("ckpt")))
+
+    val users = CdcTable.read(spark, s"$base/testdb_users")
+    assert(users.count() == 5) // append-only event log
+    // the before-less delete still carries its key
+    assert(users.filter($"_cdc_operation" === "delete" && $"_id" === "u3")
+      .count() == 1)
+    assert(Seq("x", "name", "_cdc_operation", "_ingestion_date")
+      .forall(users.columns.contains))
+
+    val orders = CdcTable.read(spark, s"$base/testdb_orders")
+    assert(orders.count() == 1)
+
+    // current state: u1 latest (x=10), u2 soft-deleted
+    val cur = CurrentState(users, idCol = "_id",
+      tieBreakers = Seq("_kafka_offset"))
+    val rows = cur.select("_id", "x").as[(String, Long)].collect().toMap
+    assert(rows == Map("u1" -> 10L))
+  }
+
+  test("schema evolution across batches: new field + int->double widening") {
+    val base = tmpDir("cdcevo")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckpt2"))
+    val b1 = Seq(env("c", "e1",
+      "\"{\\\"_id\\\":\\\"e1\\\",\\\"v\\\":1}\"", null, t0)).toDF("value")
+    CdcIngest.processBatch(b1, cfg)
+    val v1 = CdcTable.currentVersion(s"$base/testdb_users")
+    val b2 = Seq(env("c", "e2",
+      "\"{\\\"_id\\\":\\\"e2\\\",\\\"v\\\":2.5,\\\"tag\\\":\\\"n\\\"}\"",
+      null, t0 + 1)).toDF("value")
+    CdcIngest.processBatch(b2, cfg)
+    val t = CdcTable.read(spark, s"$base/testdb_users")
+    assert(t.schema("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(t.columns.contains("tag"))
+    assert(t.count() == 2)
+    val vs = t.select("v").as[Double].collect().sorted
+    assert(vs.toSeq == Seq(1.0, 2.5))
+    assert(CdcTable.currentVersion(s"$base/testdb_users") > v1)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics: memory-stream in, memory sink out (replacing
+  * the reference's Testcontainers e2e per SURVEY.md §5). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window aggregation over a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "k", "v")
+    val agg = StreamOps.tumbling(df, "ts", "10 minutes", "1 hour",
+      Seq(count(lit(1)).as("n"), sum($"v").as("sv")), Seq($"k"))
+    val q = agg.writeStream.format("memory").queryName("tumb")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:01:00"), "a", 1.0),
+        (ts("2024-01-01 00:05:00"), "a", 2.0),
+        (ts("2024-01-01 00:11:00"), "a", 4.0),
+        (ts("2024-01-01 00:02:00"), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT k, n, sv FROM tumb ORDER BY k, n").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq == Seq(("a", 1L, 4.0), ("a", 2L, 3.0), ("b", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF.toDF("ts", "user")
+    val sess = StreamOps.sessions(df, "ts", "30 minutes", "2 hours",
+      Seq($"user"), Seq(count(lit(1)).as("n")))
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), "u1"),
+        (ts("2024-01-01 00:10:00"), "u1"),  // same session
+        (ts("2024-01-01 01:00:00"), "u1"))  // gap > 30min → new session
+      q.processAllAvailable()
+      val n = spark.sql("SELECT COUNT(*) FROM sess").collect()(0).getLong(0)
+      assert(n == 2, "two sessions for u1")
+    } finally q.stop()
+  }
+
+  test("streaming CDC ingest end-to-end via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val base = tmpDir("scdc")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("sckpt"),
+      triggerMillis = 100L)
+    val q = CdcIngest.start(mem.toDF.toDF("value"), cfg)
+    val now = System.currentTimeMillis()
+    def env(op: String, id: String, x: Int, ts: Long) =
+      s"""{"payload":{"_id":"$id","before":null,"after":
+         |"{\\"_id\\":\\"$id\\",\\"x\\":$x}","op":"$op","ts_ms":$ts,
+         |"source":{"version":"2.5","connector":"mongodb","name":"m",
+         |"ts_ms":$ts,"snapshot":"false","db":"sdb","rs":"rs0",
+         |"collection":"items","ord":1}}}""".stripMargin.replace("\n", "")
+    try {
+      mem.addData(env("c", "i1", 1, now), env("c", "i2", 2, now))
+      q.processAllAvailable()
+      mem.addData(env("u", "i1", 9, now + 5000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = graft.sink.CdcTable.read(spark, s"$base/sdb_items")
+    assert(t.count() == 3)
+    val cur = graft.query.CurrentState(t)
+    assert(cur.filter($"_id" === "i1").select("x").as[Long].collect()
+      .toSeq == Seq(9L))
+  }
+}
