@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.FixedDot
+import graft.functions._
 
 /** Session extension registering graft's native Catalyst expressions.
   * Activate with .config("spark.sql.extensions", "graft.GraftExtensions");
@@ -11,10 +11,15 @@ import graft.functions.FixedDot
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("fixed_dot"),
-      new ExpressionInfo(classOf[FixedDot].getName, "fixed_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FixedDot(exprs(0), exprs(1))))
+    def inject(name: String, clazz: Class[_],
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    inject("fixed_dot", classOf[FixedDot], e => FixedDot(e(0), e(1)))
+    inject("token_ids", classOf[TokenIds], e => TokenIds(e.head))
+    inject("shingle_ids", classOf[ShingleIds], e => ShingleIds(e.head))
+    inject("minhash_sig", classOf[MinHashSig], e => MinHashSig(e.head))
+    inject("simhash16", classOf[SimHash16], e => SimHash16(e.head))
   }
 }

@@ -1,0 +1,176 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing expressions for the dedup/fingerprint pipeline.
+  *
+  * Each computes, in ONE pass of JVM code per row, what the portable
+  * SQL formulation (split → transform → md5 → conv → array_min …)
+  * computes through interpreted higher-order-function lambdas — with
+  * identical results (token ids are the first 7 hex chars of the md5 of
+  * the UTF-8 token, minhash/simhash use the same modular-arithmetic
+  * hash family as the DuckDB oracle). The lambda forms re-evaluate the
+  * split per element reference and get re-inlined into pushed-down
+  * filters by the optimizer (InferFiltersFromGenerate + PushDownPredicates
+  * substitute aliases regardless of cost), which turned a 5k-document
+  * shingle join into ~50 s; these expressions make recomputation free.
+  *
+  * Semantics shared by all: tokens = trim(text) split on \s+; distinct
+  * keeps FIRST occurrences of the token/shingle STRING (hash duplicates
+  * from 28-bit collisions are kept, mirroring
+  * `list_transform(list_distinct(...), md5prefix)`).
+  */
+object TextHashes {
+  private val ws = Pattern.compile("\\s+")
+
+  def tokens(text: UTF8String): Array[String] =
+    ws.split(text.toString.trim, -1)
+
+  /** First 7 md5 hex chars as a long (28-bit id) — identical to
+    * CAST(conv(substring(md5(t),1,7),16,10) AS BIGINT). */
+  def md5Prefix7(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    // 7 hex chars = 3.5 bytes
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+  }
+
+  def distinctHashes(parts: Iterator[String]): Array[Long] = {
+    val seen = new java.util.LinkedHashSet[String]()
+    parts.foreach(seen.add)
+    val out = new Array[Long](seen.size)
+    var i = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(i) = md5Prefix7(it.next()); i += 1 }
+    out
+  }
+
+  val MinHashK = 16
+  val MinHashP = 1000000007L
+
+  def minhash(ids: Array[Long]): Array[java.lang.Long] = {
+    val out = new Array[java.lang.Long](MinHashK)
+    var k = 0
+    while (k < MinHashK) {
+      val a = 1103515245L + 12345L * k
+      val b = 748191L * k
+      var min = Long.MaxValue
+      var i = 0
+      while (i < ids.length) {
+        val h = (a * ids(i) + b) % MinHashP
+        if (h < min) min = h
+        i += 1
+      }
+      out(k) = if (ids.isEmpty) null else java.lang.Long.valueOf(min)
+      k += 1
+    }
+    out
+  }
+
+  def simhash16(ids: Array[Long]): Long = {
+    var hash = 0L
+    var j = 0
+    while (j < 16) {
+      var s = 0L
+      var i = 0
+      while (i < ids.length) {
+        s += ((ids(i) >> j) & 1L) * 2 - 1
+        i += 1
+      }
+      if (s > 0) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  private[functions] def checkString(e: Expression,
+      name: String): TypeCheckResult =
+    if (e.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires a string argument, got ${e.dataType.sql}")
+
+  private[functions] def checkLongArray(e: Expression,
+      name: String): TypeCheckResult = e.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<bigint>, got ${t.sql}")
+  }
+}
+
+/** token_ids(text): 28-bit md5 ids of the distinct whitespace tokens. */
+case class TokenIds(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  import TextHashes._
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkString(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ids"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      distinctHashes(tokens(v.asInstanceOf[UTF8String]).iterator))
+  override protected def withNewChildInternal(c: Expression): TokenIds =
+    copy(child = c)
+}
+
+/** shingle_ids(text): 28-bit md5 ids of the distinct word 3-grams
+  * (space-joined), matching the staged SQL shingle construction. */
+case class ShingleIds(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  import TextHashes._
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkString(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_ids"
+  override def nullSafeEval(v: Any): Any = {
+    val t = tokens(v.asInstanceOf[UTF8String])
+    val shingles =
+      if (t.length < 3) Iterator.empty
+      else (0 to t.length - 3).iterator.map(i =>
+        s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+    new GenericArrayData(distinctHashes(shingles))
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleIds =
+    copy(child = c)
+}
+
+/** minhash_sig(ids): 16 minima of (a_k·x + b_k) mod p over the ids. */
+case class MinHashSig(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  import TextHashes._
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkLongArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toLongArray()
+    new GenericArrayData(minhash(arr).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** simhash16(ids): 16-bit simhash of the id multiset. */
+case class SimHash16(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  import TextHashes._
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkLongArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      simhash16(v.asInstanceOf[ArrayData].toLongArray()))
+  override protected def withNewChildInternal(c: Expression): SimHash16 =
+    copy(child = c)
+}

@@ -54,6 +54,28 @@ object TextQ {
   private def withShingles(s: SparkSession, dir: String): DataFrame =
     withToks(s, dir).withColumn("shs", expr(shsFromToks))
 
+  /** documents with the md5-prefix shingle-id array: native expression
+    * when GraftExtensions is active (one pass per row, cheap under
+    * optimizer re-inlining), else the staged built-in composition. */
+  private def withShingleIds(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("shingle_ids"))
+      Tables(s, dir, "documents")
+        .withColumn("sids", expr("shingle_ids(text)"))
+    else
+      withShingles(s, dir)
+        .withColumn("sids", expr(s"transform(shs, t -> ${tokE("t")})"))
+        .drop("toks", "shs")
+
+  private def withTokenIds(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists("token_ids"))
+      Tables(s, dir, "documents")
+        .withColumn("tids", expr("token_ids(text)"))
+    else
+      withToks(s, dir)
+        .withColumn("tids",
+          expr(s"transform(array_distinct(toks), t -> ${tokE("t")})"))
+        .drop("toks")
+
   /** Occurrences of word w in text (padded, non-overlapping replace
     * trick — identical semantics in both engines). */
   private def hits(w: String) = {
@@ -190,11 +212,11 @@ object TextQ {
     * blocking column bounds the pair space; the shingle join is a
     * single shuffle keyed on (block, shingle). */
   def q33(s: SparkSession, dir: String): DataFrame = {
-    val docs = withShingles(s, dir)
-      .select(col("doc_id"), col("source"), col("shs"),
-        size(col("shs")).as("m"))
+    val docs = withShingleIds(s, dir)
+      .select(col("doc_id"), col("source"), col("sids"),
+        size(col("sids")).as("m"))
     val ex = docs.select(col("doc_id"), col("source"), col("m"),
-      explode(col("shs")).as("sh"))
+      explode(col("sids")).as("sh"))
     val a = ex.select(col("doc_id").as("a_id"), col("source"),
       col("m").as("ma"), col("sh"))
     val b = ex.select(col("doc_id").as("b_id"), col("source").as("bsrc"),
@@ -213,7 +235,9 @@ object TextQ {
   }
 
   val q33Sql: String =
-    s"""WITH d AS (SELECT doc_id, source, $shinglesD AS shs FROM documents),
+    s"""WITH d AS (SELECT doc_id, source,
+       |    list_transform($shinglesD, t -> ${tokD("t")}) AS shs
+       |  FROM documents),
        |dm AS (SELECT doc_id, source, shs, len(shs) AS m FROM d),
        |e AS (SELECT doc_id, source, m, unnest(shs) AS sh FROM dm),
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -234,12 +258,14 @@ object TextQ {
     * Token ids (md5-derived) are staged once; the 16 hash functions
     * are cheap modular arithmetic over the staged ids. */
   def q34(s: SparkSession, dir: String): DataFrame = {
-    val sigs = withShingles(s, dir)
-      .withColumn("sids", expr(s"transform(shs, t -> ${tokE("t")})"))
-      .withColumn("sig", expr(
+    val sigExpr =
+      if (s.catalog.functionExists("minhash_sig")) "minhash_sig(sids)"
+      else
         """transform(sequence(0, 15), k -> array_min(transform(sids,
           |  x -> ((1103515245 + 12345 * k) * x + 748191 * k)
-          |       % 1000000007)))""".stripMargin))
+          |       % 1000000007)))""".stripMargin
+    val sigs = withShingleIds(s, dir)
+      .withColumn("sig", expr(sigExpr))
       .select(col("doc_id"), col("sig"))
     val bands = sigs.select(col("doc_id"),
         explode(expr("sequence(0, 3)")).as("band"), col("sig"))
@@ -279,15 +305,16 @@ object TextQ {
   /** q35 — SimHash (16-bit) per document + near-dup pairs within the
     * same source at Hamming distance ≤ 3. */
   def q35(s: SparkSession, dir: String): DataFrame = {
-    val sh = withToks(s, dir)
-      .withColumn("tids",
-        expr(s"transform(array_distinct(toks), t -> ${tokE("t")})"))
-      .withColumn("simhash", expr(
+    val simExpr =
+      if (s.catalog.functionExists("simhash16")) "simhash16(tids)"
+      else
         """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
           |  IF(aggregate(tids, 0L,
           |       (a2, x) -> a2 + (shiftright(x, CAST(j AS INT)) % 2)
           |         * 2 - 1) > 0,
-          |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin))
+          |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin
+    val sh = withTokenIds(s, dir)
+      .withColumn("simhash", expr(simExpr))
       .select(col("doc_id"), col("source"), col("simhash"))
     val a = sh.select(col("doc_id").as("a_id"), col("source"),
       col("simhash").as("sim_a"))

@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native text-hash expressions must equal the portable built-in
+  * compositions exactly (the DuckDB oracle computes the latter). */
+class TextHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tok = "CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)"
+  private def docs = Seq(
+    "the fast key order sort table scan merge",
+    "one two",
+    "",
+    "a a a b b c",
+    "spark group query row data slow small filter"
+  ).toDF("text")
+
+  test("token_ids equals distinct-token md5-prefix composition") {
+    val both = docs.select(
+      expr("token_ids(text)").as("native"),
+      expr(s"transform(array_distinct(split(trim(text), '\\\\s+')), " +
+        s"t -> $tok)").as("composed"))
+    assert(both.filter(not($"native" <=> $"composed")).count() == 0)
+  }
+
+  test("shingle_ids equals distinct-3gram md5-prefix composition") {
+    val shs =
+      """CASE WHEN size(split(trim(text), '\\s+')) >= 3
+        |THEN array_distinct(transform(
+        |  sequence(0, size(split(trim(text), '\\s+')) - 3),
+        |  i -> concat(split(trim(text), '\\s+')[i], ' ',
+        |    split(trim(text), '\\s+')[i+1], ' ',
+        |    split(trim(text), '\\s+')[i+2])))
+        |ELSE array() END""".stripMargin
+    val both = docs.select(
+      expr("shingle_ids(text)").as("native"),
+      expr(s"transform($shs, t -> $tok)").as("composed"))
+    assert(both.filter(not($"native" <=> $"composed")).count() == 0)
+  }
+
+  test("minhash_sig and simhash16 equal their lambda forms") {
+    val ids = docs.select(expr("shingle_ids(text)").as("sids"),
+      expr("token_ids(text)").as("tids"))
+    val both = ids.select(
+      expr("minhash_sig(sids)").as("mh_native"),
+      expr("""transform(sequence(0, 15), k -> array_min(transform(sids,
+        x -> ((1103515245 + 12345 * k) * x + 748191 * k)
+        % 1000000007)))""").as("mh_composed"),
+      expr("simhash16(tids)").as("sh_native"),
+      expr("""aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
+        IF(aggregate(tids, 0L, (a2, x) ->
+          a2 + (shiftright(x, CAST(j AS INT)) % 2) * 2 - 1) > 0,
+        shiftleft(1L, CAST(j AS INT)), 0L))""").as("sh_composed"))
+    assert(both.filter(not($"mh_native" <=> $"mh_composed")).count() == 0)
+    assert(both.filter(not($"sh_native" <=> $"sh_composed")).count() == 0)
+  }
+}
