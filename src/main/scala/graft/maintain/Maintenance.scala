@@ -46,6 +46,19 @@ object Maintenance {
     Files.deleteIfExists(p)
   }
 
+  /** Storage statistics for a table directory (SURVEY.md §2.6 A5;
+    * reference `storage/minio_client.py:254-290` object stats and
+    * Delta `DESCRIBE DETAIL`): parquet file count + total bytes. */
+  final case class TableStats(numFiles: Long, totalBytes: Long)
+
+  def tableStats(dir: String): TableStats = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return TableStats(0, 0)
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toVector
+    TableStats(files.size.toLong, files.map(Files.size).sum)
+  }
+
   // ------------------------------------------------------------------
   // Snapshot store: poor-man's time travel over parquet
   // ------------------------------------------------------------------

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** Remaining operator-surface queries: multimodal binary metadata,
+  * array higher-order functions, PII masking / transformation rules
+  * (reference spec.md:264 FR-059), dirty-data validation policies
+  * (spec.md:261-295 FR-056..058), CUBE grouping sets, merge-upsert
+  * semantics (the reference's declared-but-unimplemented `upsert`
+  * write mode, config.py:47), and sliding windows. */
+object OpsQ {
+
+  /** q40 — multimodal binary metadata: text→binary payload, byte
+    * sizes, frame-count estimation, deterministic sampling (the
+    * Multimodal module's query-surface face). */
+  def q40(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("content", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        octet_length(col("content")).cast("long").as("byte_size"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"),
+        (floor(octet_length(col("content")) / 256.0) + 1)
+          .cast("long").as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  val q40Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+      |  ascii(substring(text, 1, 1)) AS first_byte,
+      |  CAST(floor(octet_length(encode(text)) / 256.0) + 1 AS BIGINT)
+      |    AS n_frames
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
+  /** q41 — array higher-order functions over embeddings: size, filter,
+    * element access, max (the §2.8 array surface). */
+  def q41(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_positive"),
+        expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("first_val"),
+        expr("CAST(array_max(embedding) AS DOUBLE)").as("max_val"))
+      .orderBy(col("vec_id"))
+
+  val q41Sql: String =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_positive,
+      |  CAST(embedding[1] AS DOUBLE) AS first_val,
+      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val
+      |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+
+  /** q42 — transformation rules (FR-059): PII hash-masking, pattern
+    * masking, field rename, timestamp→unix conversion. */
+  def q42(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey").as("customer_id"), // rename rule
+        sha2(col("c_name"), 256).as("name_hash"), // PII hash
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        col("c_mktsegment"),
+        (col("c_acctbal") > 0).as("in_credit"))
+      .orderBy(col("customer_id"))
+
+  val q42Sql: String =
+    """SELECT c_custkey AS customer_id,
+      |  sha256(c_name) AS name_hash,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+      |  c_mktsegment, c_acctbal > 0 AS in_credit
+      |FROM customer WHERE c_custkey < 200 ORDER BY customer_id""".stripMargin
+
+  /** q43 — dirty-data validation policies (FR-056..058): classify every
+    * event against the rule chain, count per outcome. */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val outcome =
+      when(col("user_id").isNull, "missing_user")
+        .when(col("value").isNull || col("value") < 0, "invalid_value")
+        .when(length(col("props")) > 1000, "oversized")
+        .when(!col("event_type").isin("signup", "purchase", "click",
+          "view", "error", "delete"), "unknown_type")
+        .otherwise("ok")
+    Tables(s, dir, "events")
+      .withColumn("validation", outcome)
+      .groupBy(col("validation"))
+      .agg(count(lit(1)).as("n_events"),
+        sumD("coalesce(value, 0)").as("sum_value"))
+      .orderBy(col("validation"))
+  }
+
+  val q43Sql: String =
+    s"""SELECT CASE
+       |    WHEN user_id IS NULL THEN 'missing_user'
+       |    WHEN value IS NULL OR value < 0 THEN 'invalid_value'
+       |    WHEN length(props) > 1000 THEN 'oversized'
+       |    WHEN event_type NOT IN ('signup','purchase','click','view',
+       |      'error','delete') THEN 'unknown_type'
+       |    ELSE 'ok' END AS validation,
+       |  COUNT(*) AS n_events, ${oSumD("coalesce(value, 0)")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY validation""".stripMargin
+
+  /** q44 — CUBE grouping sets over lineitem flags. */
+  def q44(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sumD("l_quantity").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  val q44Sql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       |  ${oSumD("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** q45 — merge-upsert semantics (J4 / the reference's `upsert` write
+    * mode): a source batch of changed rows merged into a target table —
+    * matched rows take the source version, unmatched source rows
+    * insert, everything else persists. Expressed as full-outer
+    * coalesce, aggregated per status for a bounded result. */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val source = Tables(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"),
+        col("o_orderstatus"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"))
+    val merged = target.as("t")
+      .join(source.as("s"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("s.o_orderstatus"), col("t.o_orderstatus"))
+          .as("status"),
+        coalesce(col("s.o_totalprice"), col("t.o_totalprice"))
+          .as("price"))
+    merged.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sumD("price").as("total_price"))
+      .orderBy(col("status"))
+  }
+
+  val q45Sql: String =
+    s"""WITH target AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_orderkey % 3 <> 0),
+       |source AS (SELECT o_orderkey, o_orderstatus,
+       |    o_totalprice + 100.0 AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |merged AS (SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       |    COALESCE(s.o_orderstatus, t.o_orderstatus) AS status,
+       |    COALESCE(s.o_totalprice, t.o_totalprice) AS price
+       |  FROM target t FULL OUTER JOIN source s
+       |    ON t.o_orderkey = s.o_orderkey)
+       |SELECT status, COUNT(*) AS n_rows,
+       |  ${oSumD("price")} AS total_price
+       |FROM merged GROUP BY status ORDER BY status""".stripMargin
+
+  /** q46 — sliding windows (2 h wide, 1 h slide): each event lands in
+    * two windows, expressed as an explode over the two window starts —
+    * the same expansion Spark's streaming sliding window performs. */
+  def q46(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("window_start",
+        explode(array(col("h") - expr("INTERVAL 1 HOUR"), col("h"))))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("window_start").cast("timestamp_ntz").as("window_start"))
+      .agg(count(lit(1)).as("n_purchases"), sumD("value").as("sum_value"))
+      .orderBy(col("window_start"))
+
+  val q46Sql: String =
+    s"""WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+       |    event_type, value FROM events),
+       |x AS (SELECT unnest([h - INTERVAL 1 HOUR, h]) AS window_start,
+       |    event_type, value FROM e)
+       |SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       |  COUNT(*) AS n_purchases, ${oSumD("value")} AS sum_value
+       |FROM x WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_multimodal_meta", q40, Some(q40Sql)),
+    QueryDef("q41_array_funcs", q41, Some(q41Sql)),
+    QueryDef("q42_pii_masking", q42, Some(q42Sql)),
+    QueryDef("q43_validation", q43, Some(q43Sql)),
+    QueryDef("q44_cube", q44, Some(q44Sql)),
+    QueryDef("q45_merge_upsert", q45, Some(q45Sql)),
+    QueryDef("q46_sliding_windows", q46, Some(q46Sql)))
+}

@@ -57,6 +57,16 @@ object CdcIngest {
     * demux per collection, append each to its table + the DLQ table.
     * Also the batch-mode entry (the same code path serves backfill). */
   def processBatch(batch: DataFrame, cfg: Config): Unit = {
+    // Several actions run against this one micro-batch (DLQ check,
+    // collection listing, per-table writes, doc-schema inference);
+    // without persisting, EACH action re-reads the streaming source —
+    // at scale that is N re-polls of Kafka per batch.
+    val cached = batch.persist()
+    try processCached(cached, cfg)
+    finally { cached.unpersist(); () }
+  }
+
+  private def processCached(batch: DataFrame, cfg: Config): Unit = {
     val spark = batch.sparkSession
     val normalized = CdcNormalize(Envelope.decode(batch), cfg.staleDays)
 

@@ -9,9 +9,12 @@ class MaintenanceSpec extends SparkSpec {
     val dir = tmpDir("compact")
     val df = (1 to 1000).toDF("n")
     df.repartition(20).write.parquet(s"$dir/data")
+    val statsBefore = Maintenance.tableStats(dir)
+    assert(statsBefore.numFiles >= 20 && statsBefore.totalBytes > 0)
     val (before, after) = Maintenance.compact(spark, dir, targetFileMB = 128)
     assert(before >= 20 && after < before)
     assert(spark.read.parquet(s"$dir/data").count() == 1000)
+    assert(Maintenance.tableStats(dir).numFiles < statsBefore.numFiles)
   }
 
   test("snapshot versions + time travel + vacuum") {

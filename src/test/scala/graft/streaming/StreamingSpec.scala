@@ -55,6 +55,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming CDC ingest end-to-end via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
+    val metrics = IngestMetrics.attach(spark)
     val mem = MemoryStream[String]
     val base = tmpDir("scdc")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("sckpt"),
@@ -78,5 +79,12 @@ class StreamingSpec extends SparkSpec {
     val cur = graft.query.CurrentState(t)
     assert(cur.filter($"_id" === "i1").select("x").as[Long].collect()
       .toSeq == Seq(9L))
+    // listener observed this query's micro-batches (A4 batch stats);
+    // listener-bus delivery is async, so poll briefly
+    val deadline = System.currentTimeMillis() + 5000
+    while (metrics.totalRows(q.id) < 3 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(metrics.totalRows(q.id) == 3)
+    spark.streams.removeListener(metrics)
   }
 }
