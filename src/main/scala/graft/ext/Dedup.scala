@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication pipeline (the north-star training-data op):
+  *
+  *   exact:  md5 content fingerprint → hash-groupBy keep-min;
+  *   near:   shingle MinHash → LSH band buckets → candidate pairs →
+  *           n-gram Jaccard verification → connected components →
+  *           one survivor per duplicate cluster.
+  *
+  * Scale design: every stage is a scan or a key-local shuffle — the
+  * LSH bands bound the candidate space (never O(n²)); verification
+  * joins only candidate pairs back to their shingle sets; the
+  * connected-components iteration is min-label propagation over the
+  * (tiny) duplicate-edge graph, converging in O(log n) rounds of
+  * self-joins — the standard large-star/small-star shape for Spark.
+  * Requires GraftExtensions (shingle_ids / minhash_sig natives).
+  */
+object Dedup {
+
+  /** Exact dedup: normalized-content fingerprint, keep min id per
+    * group. Adds `fingerprint`, `keep_id`, `is_duplicate`. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = df.withColumn("fingerprint",
+      md5(lower(trim(col(textCol)))))
+    val keep = fp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"))
+    fp.join(keep, Seq("fingerprint"))
+      .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+  }
+
+  final case class NearDupResult(
+      pairs: DataFrame,      // (a_id, b_id, jaccard) verified pairs
+      components: DataFrame, // (id, component) for every duplicate doc
+      decisions: DataFrame)  // (id, keep_id, is_duplicate) whole corpus
+
+  /** Near-dup detection + cluster resolution. */
+  def near(df: DataFrame, textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.8, bands: Int = 4): NearDupResult = {
+    val spark = df.sparkSession
+    require(spark.catalog.functionExists("minhash_sig"),
+      "Dedup.near requires GraftExtensions (spark.sql.extensions)")
+    val rowsPerBand = 16 / bands
+
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sids", expr("shingle_ids(text)"))
+      .withColumn("m", size(col("sids")))
+      .withColumn("sig", expr("minhash_sig(sids)"))
+
+    // LSH banding: same band vector → candidate bucket
+    val bandKeys = base.select(col("id"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
+      .select(col("id"), concat_ws(":", col("band") +:
+        (0 until rowsPerBand).map(r =>
+          expr(s"sig[$rowsPerBand * band + $r]")): _*).as("band_key"))
+    val cand = bandKeys.as("x").join(bandKeys.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+
+    // verify candidates with true Jaccard over the shingle-id sets
+    val sets = base.select(col("id"), col("sids"), col("m"))
+    val verified = cand
+      .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),
+        col("m").as("ma")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("sids").as("sb"),
+        col("m").as("mb")), Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("ma") + col("mb") - col("inter")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+
+    val components = connectedComponents(spark, verified)
+    val decisions = df.select(col(idCol).as("id"))
+      .join(components, Seq("id"), "left")
+      .withColumn("keep_id", coalesce(col("component"), col("id")))
+      .withColumn("is_duplicate", col("id") =!= col("keep_id"))
+      .select(col("id"), col("keep_id"), col("is_duplicate"))
+    NearDupResult(verified, components, decisions)
+  }
+
+  /** Min-label propagation over an undirected edge list until
+    * fixpoint: component = min id reachable. Converges in O(log n)
+    * rounds; each round is one shuffle keyed on id. */
+  private[ext] def connectedComponents(spark: SparkSession,
+      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"),
+        col("a_id").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "ncomp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("ncomp"))
+      val updated = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+      updated.persist()
+      val changes = updated.as("u")
+        .join(labels.as("l"), Seq("id"))
+        .filter(col("u.component") =!= col("l.component")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+}

@@ -46,6 +46,46 @@ object Maintenance {
     Files.deleteIfExists(p)
   }
 
+  /** Z-ORDER clustering rewrite (reference `research.md:208`
+    * recommendation; Delta `OPTIMIZE … ZORDER BY`): sort the data by
+    * the interleaved bits of the (rank-normalized) cluster columns and
+    * rewrite — range-partitioned on the z-value so parquet min/max
+    * stats become selective on EVERY clustered column, enabling file
+    * skipping at scale. Rank normalization (ntile over each column)
+    * makes interleaving robust to skewed value distributions. */
+  def zorderBy(spark: SparkSession, dir: String, cols: Seq[String],
+      targetFileMB: Int = 128, numFiles: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size <= 4, "1..4 z-order columns")
+    val dataDir = Paths.get(dir, "data")
+    val df = spark.read.parquet(dataDir.toString)
+    val bits = 16
+    // per-column rank buckets (0 .. 2^bits-1)
+    val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"_rank$i",
+        (ntile(1 << bits).over(Window.orderBy(col(c))) - 1)
+          .cast("long"))
+    }
+    // interleave bits: z = Σ_b Σ_i rank_i[b] << (b*n + i)
+    val n = cols.size
+    val zExpr = (0 until bits).flatMap(b => cols.indices.map(i =>
+      s"(((_rank$i >> $b) & 1) << ${b * n + i})")).mkString(" + ")
+    val total = tableStats(dir).totalBytes
+    val nFiles = numFiles.getOrElse(math.max(1,
+      (total / (targetFileMB.toLong * 1024 * 1024)).toInt))
+    val tmp = Paths.get(dir, "data_zorder_tmp")
+    ranked.withColumn("_z", expr(zExpr))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop((cols.indices.map(i => s"_rank$i") :+ "_z"): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val trash = Paths.get(dir, s"data_old_${System.nanoTime()}")
+    Files.move(dataDir, trash)
+    Files.move(tmp, dataDir)
+    deleteRecursively(trash)
+  }
+
   /** Storage statistics for a table directory (SURVEY.md §2.6 A5;
     * reference `storage/minio_client.py:254-290` object stats and
     * Delta `DESCRIBE DETAIL`): parquet file count + total bytes. */

@@ -36,7 +36,10 @@ object CdcIngest {
       triggerMillis: Long = 5000L, // reference batch timeout 5 s
       mergeMode: MergeMode = SchemaMerge.Auto,
       staleDays: Int = 7,
-      inferDocSchema: Boolean = true)
+      inferDocSchema: Boolean = true,
+      /** Rewrite Mongo extended-JSON wrappers ($oid/$date/$number*)
+        * into plain scalars before inference (ExtJson). */
+      normalizeExtJson: Boolean = true)
 
   /** Kafka source matching the reference consumer config
     * (`consumer/event_consumer.py:58-67`): pattern subscription,
@@ -90,7 +93,9 @@ object CdcIngest {
       val rows = valid.filter(col("_collection_key") === key)
       val table = rows.select(
         col("_envelope.payload._id").as("_id"),
-        col("_doc"),
+        (if (cfg.normalizeExtJson)
+          graft.ingest.ExtJson.normalize(col("_doc"))
+        else col("_doc")).as("_doc"),
         col("_cdc_timestamp"), col("_cdc_operation"),
         col("_ingestion_timestamp"), col("_kafka_offset"),
         col("_kafka_partition"), col("_kafka_topic"),

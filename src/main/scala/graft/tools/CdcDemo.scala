@@ -34,7 +34,9 @@ object CdcDemo {
     val cfg = CdcIngest.Config(base, checkpointDir = s"$base/_ckpt")
     println(s"== ingesting batch 1 (3 inserts) into $base")
     CdcIngest.processBatch(Seq(
-      env("c", "o1", """{"_id":"o1","amount":10,"status":"pending"}""", now),
+      env("c", "o1",
+        """{"_id":{"$oid":"507f1f77bcf86cd799439011"},"amount":10,""" +
+          """"status":"pending","created":{"$date":1700000000000}}""", now),
       env("c", "o2", """{"_id":"o2","amount":20,"status":"pending"}""", now),
       env("c", "o3", """{"_id":"o3","amount":30,"status":"pending"}""", now)
     ).toDF("value"), cfg)

@@ -1,0 +1,52 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per identical normalized content") {
+    val df = Seq(
+      (1L, "Hello World"), (2L, "  hello world  "), (3L, "unique doc"),
+      (4L, "hello world")).toDF("id", "text")
+    val r = Dedup.exact(df, "text", "id")
+    assert(r.filter($"is_duplicate").select("id").as[Long].collect()
+      .sorted.toSeq == Seq(2L, 4L))
+    assert(r.filter($"id" === 2L).select("keep_id").as[Long]
+      .collect().head == 1L)
+  }
+
+  test("near dedup: LSH candidates, jaccard verify, clusters, decisions") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest tonight while stars shine bright"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " extra"),                       // near-dup of 10
+      (12L, base.replace("quick", "rapid")),        // near-dup of 10
+      (13L, "completely different words describing graphs and engines " +
+        "spark catalyst tungsten shuffle partitions exchange operators"),
+      (14L, "yet another unrelated document about streaming watermarks " +
+        "checkpoints state stores and session windows for processing")
+    ).toDF("id", "text")
+    val r = Dedup.near(docs, "text", "id", jaccardThreshold = 0.5)
+    val pairs = r.pairs.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSet
+    assert(pairs.contains((10L, 11L)) && pairs.contains((10L, 12L)))
+    // 10,11,12 form one component with min id 10
+    val dec = r.decisions.as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(dec(10L) == ((10L, false)))
+    assert(dec(11L) == ((10L, true)))
+    assert(dec(12L) == ((10L, true)))
+    assert(dec(13L) == ((13L, false)))
+    assert(dec(14L) == ((14L, false)))
+  }
+
+  test("connected components merges transitive chains") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(7L) == 7L && cc(9L) == 7L)
+  }
+}

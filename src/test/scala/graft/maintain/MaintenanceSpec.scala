@@ -17,6 +17,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.tableStats(dir).numFiles < statsBefore.numFiles)
   }
 
+  test("zorder rewrite preserves rows and clusters both columns") {
+    val dir = tmpDir("zorder")
+    val df = spark.range(0, 4096).toDF("a")
+      .withColumn("b", ($"a" * 2654435761L) % 4096)
+    df.repartition(8).write.parquet(s"$dir/data")
+    Maintenance.zorderBy(spark, dir, Seq("a", "b"), numFiles = Some(16))
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 4096)
+    assert(back.columns.sorted.toSeq == Seq("a", "b"))
+    // clustering: per-file ranges of BOTH columns should be narrow —
+    // each file's (max-min) span for column a far below the global span
+    import org.apache.spark.sql.functions._
+    val spans = back
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max($"a") - min($"a")).as("span_a"),
+        (max($"b") - min($"b")).as("span_b"))
+      .agg(avg($"span_a"), avg($"span_b")).collect()(0)
+    assert(spans.getDouble(0) < 3000 && spans.getDouble(1) < 3000,
+      s"z-order should bound per-file spans, got $spans")
+  }
+
   test("snapshot versions + time travel + vacuum") {
     val dir = tmpDir("snap")
     assert(Maintenance.writeSnapshot((1 to 3).toDF("n"), dir) == 0L)

@@ -87,4 +87,43 @@ class StreamingSpec extends SparkSpec {
     assert(metrics.totalRows(q.id) == 3)
     spark.streams.removeListener(metrics)
   }
+
+  test("crash recovery: restart from checkpoint neither loses nor " +
+    "duplicates (T2/S6; reference test_crash_recovery.py)") {
+    val srcDir = tmpDir("crashsrc")
+    val base = tmpDir("crashbase")
+    val ckpt = tmpDir("crashckpt")
+    val now = System.currentTimeMillis()
+    def env(id: String, x: Int) =
+      s"""{"payload":{"_id":"$id","before":null,"after":
+         |"{\\"_id\\":\\"$id\\",\\"x\\":$x}","op":"c","ts_ms":$now,
+         |"source":{"version":"2.5","connector":"mongodb","name":"m",
+         |"ts_ms":$now,"snapshot":"false","db":"rdb","rs":"rs0",
+         |"collection":"recov","ord":1}}}""".stripMargin.replace("\n", "")
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    val cfg = CdcIngest.Config(base, checkpointDir = ckpt,
+      triggerMillis = 100L)
+    def source = spark.readStream.format("text")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .load(srcDir)
+
+    writeFile("a.json", Seq(env("r1", 1), env("r2", 2)))
+    val q1 = CdcIngest.start(source, cfg)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // "crash": new data arrives while stopped; restart from checkpoint
+    writeFile("b.json", Seq(env("r3", 3)))
+    val q2 = CdcIngest.start(source, cfg)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val t = graft.sink.CdcTable.read(spark, s"$base/rdb_recov")
+    val ids = t.select("_id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("r1", "r2", "r3"), "exactly-once across restart")
+  }
 }
