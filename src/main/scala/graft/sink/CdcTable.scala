@@ -153,4 +153,45 @@ object CdcTable {
     * version tracking `writer/schema_manager.py:106-148`). */
   def schemaHistory(dir: String): Seq[(Long, StructType)] =
     (1L to currentVersion(dir)).flatMap(v => schemaOf(dir, v).map(v -> _))
+
+  /** Upsert-mode compaction (the reference's declared `upsert` write
+    * mode, `config.py:47`, which it never implements; SURVEY.md §7
+    * step 5): collapse the append-only event log to its current state
+    * — latest event per key wins, soft deletes drop out — and rewrite
+    * as a single fresh generation under the current schema. Run
+    * periodically (like OPTIMIZE); readers see merge-on-read current
+    * state via [[graft.query.CurrentState]] between compactions. */
+  def compactToCurrentState(spark: SparkSession, dir: String,
+      idCol: String = "_id"): Long = {
+    import java.nio.file.StandardCopyOption
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no CdcTable at $dir")
+    val state = graft.query.CurrentState(read(spark, dir), idCol)
+    val tmp = Paths.get(dir, "data_upsert_tmp")
+    state.write.mode("overwrite").parquet(tmp.toString)
+    val nv = cur + 1
+    val ts = Paths.get(dir, s"._graft_schema_v$nv.json.tmp")
+    Files.write(ts, schemaOf(dir, cur).get.json
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(ts, schemaPath(dir, nv), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // swap: all old generations out, compacted state in as sv=nv
+    val dataDir = Paths.get(dir, "data")
+    val trash = Paths.get(dir, s"data_old_${System.nanoTime()}")
+    Files.move(dataDir, trash)
+    Files.createDirectories(dataDir)
+    Files.move(tmp, dataDir.resolve(s"sv=$nv"))
+    val tv = Paths.get(dir, "._graft_version.tmp")
+    Files.write(tv, nv.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tv, versionPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(trash)
+    nv
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toVector.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 }

@@ -59,6 +59,11 @@ object CdcDemo {
     println("== current state (latest per _id, deletes dropped)")
     CurrentState(log).select("_id", "amount", "status").orderBy("_id")
       .show(false)
+    println("== upsert compaction (log -> current state, new generation)")
+    val nv = CdcTable.compactToCurrentState(spark, dir)
+    val compacted = CdcTable.read(spark, dir)
+    println(s"  generation v$nv, ${compacted.count()} rows")
+    compacted.select("_id", "amount", "status").orderBy("_id").show(false)
     spark.stop()
   }
 }

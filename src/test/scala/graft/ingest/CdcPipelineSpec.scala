@@ -95,6 +95,31 @@ class CdcPipelineSpec extends SparkSpec {
     assert(rows == Map("u1" -> 10L))
   }
 
+  test("upsert compaction collapses the log to current state") {
+    val base = tmpDir("cdcup")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptup"))
+    def d(id: String, x: Int) =
+      s"""\"{\\\"_id\\\":\\\"$id\\\",\\\"x\\\":$x}\""""
+    CdcIngest.processBatch(Seq(
+      env("c", "p1", d("p1", 1), null, t0),
+      env("c", "p2", d("p2", 2), null, t0),
+      env("u", "p1", d("p1", 5), null, t0 + 1),
+      env("d", "p2", null, "\"{\\\"_id\\\":\\\"p2\\\"}\"", t0 + 2)
+    ).toDF("value"), cfg)
+    val dir = s"$base/testdb_users"
+    assert(CdcTable.read(spark, dir).count() == 4)
+    val v = CdcTable.compactToCurrentState(spark, dir)
+    val after = CdcTable.read(spark, dir)
+    assert(after.count() == 1)
+    assert(after.select("_id", "x").as[(String, Long)].collect().toSeq ==
+      Seq(("p1", 5L)))
+    assert(CdcTable.currentVersion(dir) == v)
+    // log keeps working: appends continue on the compacted table
+    CdcIngest.processBatch(Seq(
+      env("c", "p3", d("p3", 9), null, t0 + 3)).toDF("value"), cfg)
+    assert(CdcTable.read(spark, dir).count() == 2)
+  }
+
   test("batch replay with same txn id is idempotent (T2)") {
     val base = tmpDir("cdctxn")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckpttxn"))
