@@ -1,0 +1,64 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat and the dog of the house"),
+    (2L, "el gato y la casa el perro la"),
+    (3L, "x y z w")).toDF("id", "text")
+
+  test("token count, word hits, quality score") {
+    val r = docs.select($"id",
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.wordHits($"text", "the").as("the_hits"),
+      TextAnalysis.qualityScore($"text").as("q"))
+      .as[(Long, Int, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 8 && r(1L)._3 == 3L)
+    assert(r(1L)._4 > 0.4 && r(3L)._4 == 0.0)
+  }
+
+  test("language id picks marker-dominant language") {
+    val r = docs.select($"id",
+      TextAnalysis.languageId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "en" && r(2L) == "es" && r(3L) == "und")
+  }
+
+  test("fingerprints and rolling hash are deterministic and order-sensitive") {
+    val a = Seq(("w1 w2 w3", "w3 w2 w1")).toDF("t1", "t2")
+      .select(TextAnalysis.rollingHash(col("t1")).as("h1"),
+        TextAnalysis.rollingHash(col("t2")).as("h2"),
+        TextAnalysis.fingerprint60(col("t1")).as("f1"))
+      .collect()(0)
+    assert(a.getLong(0) != a.getLong(1), "order matters")
+    assert(a.getLong(2) > 0)
+  }
+
+  test("GraftSession registers tables + current views and answers SQL") {
+    val base = tmpDir("gsess")
+    val cfg = graft.streaming.CdcIngest.Config(base,
+      checkpointDir = tmpDir("gsessck"))
+    val now = System.currentTimeMillis()
+    def env(op: String, id: String, x: Int, ts: Long) =
+      s"""{"payload":{"_id":"$id","before":null,"after":
+         |"{\\"_id\\":\\"$id\\",\\"x\\":$x}","op":"$op","ts_ms":$ts,
+         |"source":{"version":"2.5","connector":"mongodb","name":"m",
+         |"ts_ms":$ts,"snapshot":"false","db":"g","rs":"rs0",
+         |"collection":"t","ord":1}}}""".stripMargin.replace("\n", "")
+    graft.streaming.CdcIngest.processBatch(Seq(
+      env("c", "a", 1, now), env("u", "a", 2, now + 1),
+      env("c", "b", 3, now)).toDF("value"), cfg)
+    val views = graft.query.GraftSession.register(spark, base)
+    assert(views.contains("g_t") && views.contains("g_t_current"))
+    val cur = graft.query.GraftSession.sql(spark, base,
+      "SELECT _id, x FROM g_t_current ORDER BY _id")
+      .as[(String, Long)].collect().toSeq
+    assert(cur == Seq(("a", 2L), ("b", 3L)))
+    assert(graft.query.GraftSession.sql(spark, base,
+      "SELECT COUNT(*) FROM g_t").collect()(0).getLong(0) == 3L)
+  }
+}
