@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** Temporal join operators beyond the reference's surface (SURVEY.md
+  * §2.5 north star): as-of join via the union+window merge pattern
+  * (no range cross-product — one shuffle on the key) and a banded
+  * range join (equi key + time-band predicate). */
+object TemporalQ {
+
+  /** q47 — as-of join: for every purchase event, the latest click of
+    * the same user at-or-before the purchase. Union+window: right rows
+    * (clicks) sort before left rows (purchases) at equal timestamps,
+    * `last(ignoreNulls)` carries the click forward. */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        when(col("event_type") === "click", col("event_id"))
+          .as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("prev_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val q47Sql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS click_id
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT user_id, event_id, prev_click_id FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    LAST_VALUE(click_id IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS prev_click_id
+      |  FROM ev) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  /** q48 — banded range join: lineitems shipped within 60 days of
+    * their order's date (equi key + range band). Catalyst keeps the
+    * equi part as the join key; the band is a post-join filter — at
+    * scale the shuffle is still keyed, never a cross product. */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        col("l_extendedprice"))
+    orders.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") +
+          expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_items"),
+        sumD("l_extendedprice").as("fast_revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q48Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_fast_items,
+       |  ${oSumD("l_extendedprice")} AS fast_revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  AND l_shipdate >= o_orderdate
+       |  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q47_asof_join", q47, Some(q47Sql)),
+    QueryDef("q48_range_band_join", q48, Some(q48Sql)))
+}
