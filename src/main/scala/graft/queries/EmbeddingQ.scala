@@ -67,7 +67,11 @@ object EmbeddingQ {
     * bucket (q38) bounds the pair space first. */
   def q37(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
+    // the table is one small parquet file → 1 input partition, and the
+    // broadcast nested-loop pair join parallelizes over LEFT partitions
+    // — spread the left side across the cores first
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .repartition(s.sparkContext.defaultParallelism)
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
