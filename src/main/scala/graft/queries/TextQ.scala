@@ -57,10 +57,16 @@ object TextQ {
   /** documents with the md5-prefix shingle-id array: native expression
     * when GraftExtensions is active (one pass per row, cheap under
     * optimizer re-inlining), else the staged built-in composition. */
+  /** documents spread across cores: the test parquet is one row group
+    * (unsplittable scan), so per-row md5 hashing must be repartitioned
+    * off the single scan task before the heavy expression runs. */
+  private def spreadDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+
   private def withShingleIds(s: SparkSession, dir: String): DataFrame =
     if (s.catalog.functionExists("shingle_ids"))
-      Tables(s, dir, "documents")
-        .withColumn("sids", expr("shingle_ids(text)"))
+      spreadDocs(s, dir).withColumn("sids", expr("shingle_ids(text)"))
     else
       withShingles(s, dir)
         .withColumn("sids", expr(s"transform(shs, t -> ${tokE("t")})"))
@@ -68,8 +74,7 @@ object TextQ {
 
   private def withTokenIds(s: SparkSession, dir: String): DataFrame =
     if (s.catalog.functionExists("token_ids"))
-      Tables(s, dir, "documents")
-        .withColumn("tids", expr("token_ids(text)"))
+      spreadDocs(s, dir).withColumn("tids", expr("token_ids(text)"))
     else
       withToks(s, dir)
         .withColumn("tids",
