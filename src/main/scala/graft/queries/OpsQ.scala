@@ -76,6 +76,20 @@ object OpsQ {
   /** q43 — dirty-data validation policies (FR-056..058): classify every
     * event against the rule chain, count per outcome. */
   def q43(s: SparkSession, dir: String): DataFrame = {
+    // Deterministic dirtying (the generated data is clean): events with
+    // event_id ≡ 0 (mod 97) lose their user, ≡ 1 (mod 89) get a
+    // negative value, ≡ 2 (mod 83) an unknown type — so every policy
+    // branch materializes and is oracle-checked.
+    val dirty = Tables(s, dir, "events")
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(97)) === 0,
+          lit(null).cast("long")).otherwise(col("user_id")))
+      .withColumn("value",
+        when(pmod(col("event_id"), lit(89)) === 1, -col("value"))
+          .otherwise(col("value")))
+      .withColumn("event_type",
+        when(pmod(col("event_id"), lit(83)) === 2, lit("???"))
+          .otherwise(col("event_type")))
     val outcome =
       when(col("user_id").isNull, "missing_user")
         .when(col("value").isNull || col("value") < 0, "invalid_value")
@@ -83,8 +97,7 @@ object OpsQ {
         .when(!col("event_type").isin("signup", "purchase", "click",
           "view", "error", "delete"), "unknown_type")
         .otherwise("ok")
-    Tables(s, dir, "events")
-      .withColumn("validation", outcome)
+    dirty.withColumn("validation", outcome)
       .groupBy(col("validation"))
       .agg(count(lit(1)).as("n_events"),
         sumD("coalesce(value, 0)").as("sum_value"))
@@ -92,7 +105,15 @@ object OpsQ {
   }
 
   val q43Sql: String =
-    s"""SELECT CASE
+    s"""WITH dirty AS (SELECT
+       |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END
+       |      AS user_id,
+       |    CASE WHEN event_id % 89 = 1 THEN -value ELSE value END
+       |      AS value,
+       |    CASE WHEN event_id % 83 = 2 THEN '???' ELSE event_type END
+       |      AS event_type,
+       |    props FROM events)
+       |SELECT CASE
        |    WHEN user_id IS NULL THEN 'missing_user'
        |    WHEN value IS NULL OR value < 0 THEN 'invalid_value'
        |    WHEN length(props) > 1000 THEN 'oversized'
@@ -100,7 +121,7 @@ object OpsQ {
        |      'error','delete') THEN 'unknown_type'
        |    ELSE 'ok' END AS validation,
        |  COUNT(*) AS n_events, ${oSumD("coalesce(value, 0)")} AS sum_value
-       |FROM events GROUP BY 1 ORDER BY validation""".stripMargin
+       |FROM dirty GROUP BY 1 ORDER BY validation""".stripMargin
 
   /** q44 — CUBE grouping sets over lineitem flags. */
   def q44(s: SparkSession, dir: String): DataFrame =

@@ -35,6 +35,19 @@ class IngestMetrics extends StreamingQueryListener {
 }
 
 object IngestMetrics {
+  /** Prometheus-style snapshot mirroring the reference's counter names
+    * (`shared/metrics/prometheus_metrics.py:28-95`) — the SURVEY.md
+    * §7.5 observability-hook equivalent. */
+  def prometheusSnapshot(m: IngestMetrics): Map[String, Double] = {
+    val s = m.snapshot
+    Map(
+      "cdc_events_processed_total" -> s.map(_.numInputRows).sum.toDouble,
+      "cdc_batches_processed_total" -> s.size.toDouble,
+      "cdc_batch_duration_ms_sum" -> s.map(_.durationMs).sum.toDouble,
+      "cdc_events_per_second_last" ->
+        s.lastOption.map(_.processedRowsPerSecond).getOrElse(0.0))
+  }
+
   /** Attach a fresh listener to the session; caller keeps the handle. */
   def attach(spark: SparkSession): IngestMetrics = {
     val m = new IngestMetrics

@@ -31,7 +31,12 @@ class SchemaMergeSpec extends AnyFunSuite {
   private val types: Gen[DataType] = Gen.frequency(
     8 -> scalars,
     2 -> scalars.map(ArrayType(_, containsNull = true)),
-    1 -> scalars.map(t => StructType(Seq(StructField("a", t)))))
+    // nested: struct{a: T}, struct{a: array<T>}, array<struct{a: T}>
+    1 -> scalars.map(t => StructType(Seq(StructField("a", t)))),
+    1 -> scalars.map(t => StructType(Seq(StructField("a",
+      ArrayType(t, containsNull = true))))),
+    1 -> scalars.map(t => ArrayType(
+      StructType(Seq(StructField("a", t))), containsNull = true)))
 
   test("numeric widening: wider wins (int32+int64→int64, int+double→double)") {
     assert(mergeTypes(IntegerType, LongType) == LongType)
