@@ -76,7 +76,26 @@ object TemporalQ {
        |  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q49 — exact percentiles (median + IQR): Spark `percentile` and
+    * DuckDB `quantile_cont` both linearly interpolate on the sorted
+    * values (identical double formula on identical inputs). */
+  def q49(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q49Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q47_asof_join", q47, Some(q47Sql)),
-    QueryDef("q48_range_band_join", q48, Some(q48Sql)))
+    QueryDef("q48_range_band_join", q48, Some(q48Sql)),
+    QueryDef("q49_percentiles", q49, Some(q49Sql)))
 }

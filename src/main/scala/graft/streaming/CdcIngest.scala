@@ -110,8 +110,13 @@ object CdcIngest {
         col("_source_collection"))
       val out =
         if (cfg.inferDocSchema) expandDoc(spark, table) else table
-      CdcTable.append(out, s"${cfg.baseDir}/${CdcNormalize.tableName(key)}",
-        cfg.mergeMode, txn = batchId.flatMap(txnOf))
+      // transient IO failures retry with backoff (T9); schema
+      // conflicts are deterministic and fail fast
+      Retry.withBackoff() {
+        CdcTable.append(out,
+          s"${cfg.baseDir}/${CdcNormalize.tableName(key)}",
+          cfg.mergeMode, txn = batchId.flatMap(txnOf))
+      }
     }
   }
 
