@@ -15,6 +15,12 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Defensive: events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
+    // refuses outright unless this legacy conf is set. Verify/Bench set
+    // it in the builder; set it here too so queries survive a foreign
+    // session (runtime-settable SQLConf).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // `events.ts` is nanosecond-precision parquet, which Spark 4 only
     // reads with spark.sql.legacy.parquet.nanosAsLong=true (as epoch

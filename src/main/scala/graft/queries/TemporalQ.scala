@@ -94,8 +94,44 @@ object TemporalQ {
       |  quantile_cont(l_extendedprice, 0.75) AS p75_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q50 — fuzzy string matching via edit distance (dedup class):
+    * near-identical part names within a blocking key (last name token)
+    * at Levenshtein distance ≤ 2. Identical DP algorithm in both
+    * engines; the blocking bounds the pair space like LSH does for
+    * documents. */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(s, dir, "part")
+      .filter(col("p_partkey") < 1000)
+      .select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("blk"))
+    val a = parts.select(col("p_partkey").as("a_key"),
+      col("p_name").as("a_name"), col("blk"))
+    val b = parts.select(col("p_partkey").as("b_key"),
+      col("p_name").as("b_name"), col("blk").as("bblk"))
+    a.join(b, col("blk") === col("bblk") && col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 2 && col("a_name") =!= col("b_name"))
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+        col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  val q50Sql: String =
+    """WITH p AS (SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[-1] AS blk
+      |  FROM part WHERE p_partkey < 1000)
+      |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+      |  a.p_name AS a_name, b.p_name AS b_name,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM p a JOIN p b
+      |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |  AND a.p_name <> b.p_name
+      |ORDER BY a_key, b_key""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q47_asof_join", q47, Some(q47Sql)),
     QueryDef("q48_range_band_join", q48, Some(q48Sql)),
-    QueryDef("q49_percentiles", q49, Some(q49Sql)))
+    QueryDef("q49_percentiles", q49, Some(q49Sql)),
+    QueryDef("q50_edit_distance", q50, Some(q50Sql)))
 }
