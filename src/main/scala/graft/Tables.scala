@@ -15,17 +15,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Defensive: events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
-    // refuses outright unless this legacy conf is set. Verify/Bench set
-    // it in the builder; set it here too so queries survive a foreign
-    // session (runtime-settable SQLConf).
-    if (name == "events")
+    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+    // unless spark.sql.legacy.parquet.nanosAsLong=true (then the column
+    // reads as epoch-nanos LongType). Verify/Bench set the conf in
+    // their builders; for foreign sessions we set it here — scoped to
+    // the events load and only when not already true, since it leaks
+    // session-wide (any later NANOS parquet read in the same session
+    // will also get longs instead of a fail-fast error). The long is
+    // normalized back to a µs TimestampType immediately so queries see
+    // the same values DuckDB sees after CAST(ts AS TIMESTAMP).
+    if (name == "events" &&
+      !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // `events.ts` is nanosecond-precision parquet, which Spark 4 only
-    // reads with spark.sql.legacy.parquet.nanosAsLong=true (as epoch
-    // nanos). Normalize to a microsecond TimestampType here so every
-    // query sees the same values DuckDB sees after CAST(ts AS TIMESTAMP).
     if (name == "events" &&
       df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",

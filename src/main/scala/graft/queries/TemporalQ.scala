@@ -110,7 +110,7 @@ object TemporalQ {
       col("p_name").as("b_name"), col("blk").as("bblk"))
     a.join(b, col("blk") === col("bblk") && col("a_key") < col("b_key"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= 2 && col("a_name") =!= col("b_name"))
+      .filter(col("dist").between(1, 2)) // 0 ⇔ identical names
       .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
         col("dist"))
       .orderBy(col("a_key"), col("b_key"))
@@ -125,8 +125,7 @@ object TemporalQ {
       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
       |FROM p a JOIN p b
       |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 2
-      |  AND a.p_name <> b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
       |ORDER BY a_key, b_key""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
