@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming analytics helpers (SURVEY.md §2.9 T4/T5): watermarked
   * tumbling / sliding / session windows over an event-time column.
@@ -40,5 +41,35 @@ object StreamOps {
       : (DataFrame, DataFrame) = {
     val isStale = col(tsCol) < current_timestamp() - expr(s"INTERVAL $maxAge")
     (df.filter(!isStale), df.filter(isStale))
+  }
+
+  final case class KeyCount(key: String, events: Long, sum: Double)
+
+  /** Custom arbitrary state via mapGroupsWithState (T6): a per-key
+    * running count + sum that survives micro-batches — the
+    * KeyValueGroupedDataset state pattern for semantics no built-in
+    * aggregation covers (here deliberately simple so the state
+    * plumbing, not the arithmetic, is what's exercised). NoTimeout:
+    * a processing-time timeout makes the no-trigger engine re-fire
+    * timer-check batches continuously (processAllAvailable never
+    * settles); bound state instead by key cardinality or use an
+    * event-time timeout with a watermark. */
+  def runningPerKeyState(df: DataFrame, keyCol: String, valCol: String)
+      : Dataset[KeyCount] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(valCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KeyCount, KeyCount](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[KeyCount]) =>
+          val prev = state.getOption.getOrElse(KeyCount(key, 0L, 0.0))
+          var n = prev.events
+          var s = prev.sum
+          rows.foreach { r => n += 1; s += r._2 }
+          val updated = KeyCount(key, n, s)
+          state.update(updated)
+          updated
+      }
   }
 }
