@@ -89,11 +89,18 @@ object TextQ {
       s"length(replace(' ' || text || ' ', ' $w ', ''))) / $n AS BIGINT)"
   }
 
-  /** q28 — token counting (whitespace tokenizer) + char stats. */
+  /** BPE-style pre-tokenizer regex (GPT-2-ish: letter runs, digit
+    * runs, punctuation runs, each with optional leading space). Both
+    * engines count non-overlapping matches left to right. */
+  private val bpeRe = """ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"""
+
+  /** q28 — token counting: whitespace tokenizer + BPE-ish regex
+    * pre-tokenizer + char stats. */
   def q28(s: SparkSession, dir: String): DataFrame =
     withToks(s, dir)
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
+        expr(s"regexp_count(text, '$bpeRe')").as("n_bpe_tokens"),
         length(col("text")).as("n_chars_actual"),
         expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(toks)")
           .as("avg_token_len"))
@@ -101,6 +108,8 @@ object TextQ {
 
   val q28Sql: String =
     s"""SELECT doc_id, len($toksD) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '$bpeRe')) AS BIGINT)
+       |    AS n_bpe_tokens,
        |  length(text) AS n_chars_actual,
        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($toksD)
        |    AS avg_token_len
