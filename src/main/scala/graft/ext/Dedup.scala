@@ -32,7 +32,7 @@ object Dedup {
   }
 
   final case class NearDupResult(
-      pairs: DataFrame,      // (a_id, b_id, jaccard) verified pairs
+      pairs: DataFrame,      // (a_id, b_id, <score>) verified pairs
       components: DataFrame, // (id, component) for every duplicate doc
       decisions: DataFrame)  // (id, keep_id, is_duplicate) whole corpus
 
@@ -82,6 +82,21 @@ object Dedup {
       .withColumn("is_duplicate", col("id") =!= col("keep_id"))
       .select(col("id"), col("keep_id"), col("is_duplicate"))
     NearDupResult(verified, components, decisions)
+  }
+
+  /** Embedding-space near-dup dedup: cosine pairs above threshold
+    * (exact here; LSH-bucket first at scale), clustered to survivors
+    * exactly like the text path. */
+  def nearByEmbedding(df: DataFrame, idCol: String, threshold: Double,
+      embCol: String = "embedding"): NearDupResult = {
+    val pairs = Similarity.nearDupPairs(df, idCol, threshold, embCol)
+    val components = connectedComponents(df.sparkSession, pairs)
+    val decisions = df.select(col(idCol).as("id"))
+      .join(components, Seq("id"), "left")
+      .withColumn("keep_id", coalesce(col("component"), col("id")))
+      .withColumn("is_duplicate", col("id") =!= col("keep_id"))
+      .select(col("id"), col("keep_id"), col("is_duplicate"))
+    NearDupResult(pairs, components, decisions)
   }
 
   /** Min-label propagation over an undirected edge list until

@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(dec(14L) == ((14L, false)))
   }
 
+  test("embedding near-dup clusters survivors by cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)), // pair
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.97f, 0.24f))                           // chains to 2
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.nearByEmbedding(vecs, "vec_id", 0.98)
+    val dec = r.decisions.as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(dec(1L) == 1L && dec(2L) == 1L && dec(4L) == 1L,
+      s"1,2,4 chain into one cluster: $dec")
+    assert(dec(3L) == 3L)
+  }
+
   test("connected components merges transitive chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(spark, edges)
