@@ -29,11 +29,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // failed queries record -1.0, not a fake elapsed time
     val results = SparkEntry.allDefs.map { d =>
       val t0 = System.nanoTime()
-      try { d.fn(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { d.fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      d.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     } :+ ingestBench(spark)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -52,24 +53,31 @@ object Bench {
     val n = 100000L
     val base = java.nio.file.Files
       .createTempDirectory("graft_ingest_bench").toString
+    // event-times anchored at NOW so events are NOT stale-routed to the
+    // DLQ — otherwise this would time the wrong (reject) path
+    val t0ms = System.currentTimeMillis() - n
     val envelopes = spark.range(n).select(concat(
       lit("""{"payload":{"_id":"id"""), col("id"),
       lit("""","before":null,"after":"{\"_id\":\"id"""), col("id"),
       lit("""\",\"x\":"""), col("id") % 1000,
       lit(""",\"name\":\"user"""), col("id") % 997,
       lit("""\"}","op":"c","ts_ms":"""),
-      lit(1700000000000L) + col("id"),
+      lit(t0ms) + col("id"),
       lit(""","source":{"version":"2.5","connector":"mongodb","name":"m","ts_ms":"""),
-      lit(1700000000000L) + col("id"),
+      lit(t0ms) + col("id"),
       lit(""","snapshot":"false","db":"bench","rs":"rs0","collection":"c"""),
       col("id") % 4,
       lit("""","ord":1}}}""")).as("value"))
     val cfg = graft.streaming.CdcIngest.Config(
       base, checkpointDir = s"$base/_ckpt")
     val t0 = System.nanoTime()
-    try graft.streaming.CdcIngest.processBatch(envelopes, cfg)
-    catch { case _: Throwable => () }
-    val sec = (System.nanoTime() - t0) / 1e9
-    "ingest_100k_events" -> sec
+    val ok = try {
+      graft.streaming.CdcIngest.processBatch(envelopes, cfg)
+      // the run only counts if the VALID path actually wrote the rows
+      (0 until 4).map(i => graft.sink.CdcTable
+        .read(spark, s"$base/bench_c$i").count()).sum == n
+    } catch { case _: Throwable => false }
+    "ingest_100k_events" ->
+      (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
   }
 }

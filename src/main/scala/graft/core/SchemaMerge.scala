@@ -60,11 +60,15 @@ object SchemaMerge {
       mode match {
         case Strict => throw SchemaConflictException(path, x, y)
         case _ =>
-          val scale = math.max(x.scale, y.scale)
+          // Integer digits are preserved first: losing scale rounds,
+          // losing integer digits overflows to null on castTo. Same
+          // priority as Spark's own DecimalPrecision widening.
           val intDigits = math.max(x.precision - x.scale,
             y.precision - y.scale)
-          val p = math.min(intDigits + scale, DecimalType.MAX_PRECISION)
-          DecimalType(p, math.min(scale, p))
+          val scale = math.min(math.max(x.scale, y.scale),
+            DecimalType.MAX_PRECISION - intDigits) // intDigits ≤ 38
+          DecimalType(
+            math.min(intDigits + scale, DecimalType.MAX_PRECISION), scale)
       }
     case (ArrayType(ea, na), ArrayType(eb, nb)) =>
       ArrayType(mergeTypes(ea, eb, mode, s"$path[]"), na || nb)

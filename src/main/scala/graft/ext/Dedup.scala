@@ -100,10 +100,14 @@ object Dedup {
   }
 
   /** Min-label propagation over an undirected edge list until
-    * fixpoint: component = min id reachable. Converges in O(log n)
-    * rounds; each round is one shuffle keyed on id. */
+    * fixpoint: component = min id reachable. One-hop propagation needs
+    * up to `diameter` rounds (each one shuffle keyed on id) — fine for
+    * duplicate clusters, whose diameters are small; a graph that has
+    * not converged within maxIter raises instead of silently returning
+    * split components. (For genuinely large-diameter graphs swap in
+    * large-star/small-star, which contracts in O(log n).) */
   private[ext] def connectedComponents(spark: SparkSession,
-      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+      edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"),
         col("a_id").as("dst")))
@@ -130,6 +134,10 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter too large for one-hop propagation")
     labels
   }
 }

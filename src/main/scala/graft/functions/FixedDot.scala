@@ -41,7 +41,10 @@ case class FixedDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // match the zip_with fallback exactly: unequal lengths pad with
+    // null, null poisons the sum → null result
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -59,15 +62,21 @@ case class FixedDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += graft.functions.FixedDot.roundAway(
-         |    ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e12);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += graft.functions.FixedDot.roundAway(
+         |      ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e12);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): FixedDot = copy(left = newLeft, right = newRight)

@@ -30,7 +30,14 @@ object CdcNormalize {
     val MaxRetries = "max_retries_exceeded"
   }
 
-  final case class Normalized(valid: DataFrame, dlq: DataFrame)
+  /** `all` is the single flagged stream (with `_dlq_reason`); valid and
+    * dlq are filters over it, so persisting `all` caches one plan and
+    * one source read for both branches. */
+  final case class Normalized(all: DataFrame) {
+    def valid: DataFrame =
+      all.filter(col("_dlq_reason").isNull).drop("_dlq_reason")
+    def dlq: DataFrame = all.filter(col("_dlq_reason").isNotNull)
+  }
 
   /** Max serialized document size (MongoDB's 16 MB limit; reference
     * spec.md FR-056 oversized policy). */
@@ -86,17 +93,13 @@ object CdcNormalize {
         .when(col("_doc").isNull, DlqReason.MissingDocument)
         .when(col("_source_collection").isNull ||
           col("_source_collection") === "", DlqReason.MissingCollection)
-        .when(length(col("_doc")) > MaxDocBytes, DlqReason.Oversized)
+        .when(octet_length(col("_doc")) > MaxDocBytes, DlqReason.Oversized)
         .when(col("_cdc_timestamp") <
           current_timestamp() - expr(s"INTERVAL $staleDays DAYS"),
           DlqReason.Stale)
         .otherwise(lit(null).cast("string"))
 
-    val flagged = enriched.withColumn("_dlq_reason", reason)
-    Normalized(
-      valid = flagged.filter(col("_dlq_reason").isNull)
-        .drop("_dlq_reason"),
-      dlq = flagged.filter(col("_dlq_reason").isNotNull))
+    Normalized(enriched.withColumn("_dlq_reason", reason))
   }
 
   /** Sanitize `db.collection` into a table name `{db}_{collection}`

@@ -23,8 +23,12 @@ object Maintenance {
   def compact(spark: SparkSession, dir: String,
       targetFileMB: Int = 128): (Long, Long) = {
     val dataDir = Paths.get(dir, "data")
-    def parquetFiles = Files.walk(dataDir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet")).toVector
+    def parquetFiles = {
+      val st = Files.walk(dataDir)
+      try st.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).toVector
+      finally st.close()
+    }
     val before = parquetFiles
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1,
@@ -41,31 +45,43 @@ object Maintenance {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toVector.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      val children = try st.iterator().asScala.toVector finally st.close()
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 
   /** Z-ORDER clustering rewrite (reference `research.md:208`
     * recommendation; Delta `OPTIMIZE … ZORDER BY`): sort the data by
-    * the interleaved bits of the (rank-normalized) cluster columns and
+    * the interleaved bits of the quantile-bucketed cluster columns and
     * rewrite — range-partitioned on the z-value so parquet min/max
     * stats become selective on EVERY clustered column, enabling file
-    * skipping at scale. Rank normalization (ntile over each column)
-    * makes interleaving robust to skewed value distributions. */
+    * skipping at scale. Quantile bucketing (approxQuantile boundaries,
+    * computed distributively — NOT a global-window rank, which would
+    * funnel the table through one task) makes interleaving robust to
+    * skewed value distributions. */
   def zorderBy(spark: SparkSession, dir: String, cols: Seq[String],
       targetFileMB: Int = 128, numFiles: Option[Int] = None): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size <= 4, "1..4 z-order columns")
     val dataDir = Paths.get(dir, "data")
     val df = spark.read.parquet(dataDir.toString)
-    val bits = 16
-    // per-column rank buckets (0 .. 2^bits-1)
+    val bits = 5 // 32 quantile buckets per column
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    // distributed quantile sketch per column → bucket boundaries
     val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      d.withColumn(s"_rank$i",
-        (ntile(1 << bits).over(Window.orderBy(col(c))) - 1)
-          .cast("long"))
+      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+      val boundsArr = bounds.map(b => s"CAST($b AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      // bucket = #boundaries ≤ value (linear scan over 31 boundaries).
+      // Lambda variable name must not collide with any data column —
+      // lambda vars shadow columns even when the column is backticked.
+      d.withColumn(s"_rank$i", expr(
+        s"aggregate($boundsArr, 0L, (__zacc, __zb) -> " +
+          s"__zacc + IF(CAST(`$c` AS DOUBLE) >= __zb, 1L, 0L))"))
     }
     // interleave bits: z = Σ_b Σ_i rank_i[b] << (b*n + i)
     val n = cols.size
@@ -94,8 +110,10 @@ object Maintenance {
   def tableStats(dir: String): TableStats = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return TableStats(0, 0)
-    val files = Files.walk(root).iterator().asScala
+    val st = Files.walk(root)
+    val files = try st.iterator().asScala
       .filter(p => p.toString.endsWith(".parquet")).toVector
+      finally st.close()
     TableStats(files.size.toLong, files.map(Files.size).sum)
   }
 
@@ -139,10 +157,12 @@ object Maintenance {
     * Returns removed versions. */
   def vacuum(dir: String, keep: Int = 2): Seq[Long] = {
     val latest = latestVersion(dir).getOrElse(return Nil)
-    val versions = Files.list(Paths.get(dir)).iterator().asScala
+    val st = Files.list(Paths.get(dir))
+    val versions = try st.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
       .toVector.sorted
+      finally st.close()
     val toDrop = versions.filter(_ <= latest).dropRight(keep)
     toDrop.foreach(v => deleteRecursively(Paths.get(dir, s"v=$v")))
     toDrop

@@ -28,16 +28,16 @@ object QueryDef {
     * `scale` decimals with an explicit ROUND — identical half-away
     * rounding in Spark and DuckDB, unlike double→DECIMAL casts — then
     * summed exactly as BIGINT and scaled back to double. */
-  def sumD(e: String, prec: Int = 28, scale: Int = 4): Column =
-    expr(oSumD(e, prec, scale))
+  def sumD(e: String, scale: Int = 4): Column =
+    expr(oSumD(e, scale))
 
   /** Exact average of a double expression (exact sum / count). */
-  def avgD(e: String, prec: Int = 28, scale: Int = 4): Column =
-    expr(oAvgD(e, prec, scale))
+  def avgD(e: String, scale: Int = 4): Column =
+    expr(oAvgD(e, scale))
 
   /** Same text runs in both Spark SQL and DuckDB. */
-  def oSumD(e: String, prec: Int = 28, scale: Int = 4): String =
+  def oSumD(e: String, scale: Int = 4): String =
     s"CAST(SUM(CAST(ROUND(($e) * 1e$scale) AS BIGINT)) AS DOUBLE) / 1e$scale"
-  def oAvgD(e: String, prec: Int = 28, scale: Int = 4): String =
-    s"${oSumD(e, prec, scale)} / COUNT(*)"
+  def oAvgD(e: String, scale: Int = 4): String =
+    s"${oSumD(e, scale)} / COUNT(*)"
 }

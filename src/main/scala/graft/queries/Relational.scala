@@ -31,11 +31,11 @@ object Relational {
       .agg(
         sumD("l_quantity").as("sum_qty"),
         sumD("l_extendedprice").as("sum_base_price"),
-        sumD("l_extendedprice * (1 - l_discount)", 28, 8).as("sum_disc_price"),
-        sumD("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 28, 8)
+        sumD("l_extendedprice * (1 - l_discount)", 8).as("sum_disc_price"),
+        sumD("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 8)
           .as("sum_charge"),
         avgD("l_quantity").as("avg_qty"),
-        avgD("l_discount", 28, 8).as("avg_disc"),
+        avgD("l_discount", 8).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -43,10 +43,10 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${oSumD("l_quantity")} AS sum_qty,
        |  ${oSumD("l_extendedprice")} AS sum_base_price,
-       |  ${oSumD("l_extendedprice * (1 - l_discount)", 28, 8)} AS sum_disc_price,
-       |  ${oSumD("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 28, 8)} AS sum_charge,
+       |  ${oSumD("l_extendedprice * (1 - l_discount)", 8)} AS sum_disc_price,
+       |  ${oSumD("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 8)} AS sum_charge,
        |  ${oAvgD("l_quantity")} AS avg_qty,
-       |  ${oAvgD("l_discount", 28, 8)} AS avg_disc,
+       |  ${oAvgD("l_discount", 8)} AS avg_disc,
        |  COUNT(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
@@ -76,11 +76,11 @@ object Relational {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount").between(0.02, 0.09) &&
         col("l_quantity") < 24)
-      .agg(sumD("l_extendedprice * l_discount", 28, 8).as("revenue"),
+      .agg(sumD("l_extendedprice * l_discount", 8).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   val q03Sql: String =
-    s"""SELECT ${oSumD("l_extendedprice * l_discount", 28, 8)} AS revenue,
+    s"""SELECT ${oSumD("l_extendedprice * l_discount", 8)} AS revenue,
        |  COUNT(*) AS n_rows
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -346,13 +346,13 @@ object Relational {
     orders.join(li, orders("o_orderkey") === li("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        sumD("l_extendedprice * (1 - l_discount)", 28, 8).as("revenue"))
+        sumD("l_extendedprice * (1 - l_discount)", 8).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
   val q17Sql: String =
     s"""SELECT o_orderpriority, COUNT(*) AS n_items,
-       |  ${oSumD("l_extendedprice * (1 - l_discount)", 28, 8)} AS revenue
+       |  ${oSumD("l_extendedprice * (1 - l_discount)", 8)} AS revenue
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |WHERE o_orderstatus <> 'O'
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

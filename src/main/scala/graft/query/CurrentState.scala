@@ -19,8 +19,15 @@ object CurrentState {
       tsCol: String = "_cdc_timestamp",
       opCol: String = "_cdc_operation",
       tieBreakers: Seq[String] = Seq("_kafka_offset")): DataFrame = {
-    val order = col(tsCol).desc +:
-      tieBreakers.filter(log.columns.contains).map(col(_).desc)
+    // Final tiebreak: a deterministic content hash. Kafka offsets are
+    // null for batch/backfill/file sources, and ts_ms is millisecond
+    // granularity — without this, same-millisecond events for one key
+    // resolve to an arbitrary (run-dependent) winner.
+    val contentHash = xxhash64(to_json(struct(log.columns.map(col)
+      .toIndexedSeq: _*)))
+    val order = (col(tsCol).desc +:
+      tieBreakers.filter(log.columns.contains).map(col(_).desc)) :+
+      contentHash.desc
     val w = Window.partitionBy(col(idCol)).orderBy(order: _*)
     log.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col(opCol) =!= "delete")

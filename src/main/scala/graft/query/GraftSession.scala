@@ -16,9 +16,15 @@ object GraftSession {
   def register(spark: SparkSession, baseDir: String): Seq[String] = {
     val base = java.nio.file.Paths.get(baseDir)
     if (!java.nio.file.Files.isDirectory(base)) return Nil
-    val names = java.nio.file.Files.list(base).iterator()
+    val st = java.nio.file.Files.list(base)
+    val names = try {
+      val it = st.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      it.forEachRemaining(p => { buf += p; () })
+      buf.toVector
+    } finally st.close()
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    names.forEachRemaining { p =>
+    names.foreach { p =>
       val name = p.getFileName.toString
       if (java.nio.file.Files.isDirectory(p) &&
         CdcTable.currentVersion(p.toString) > 0) {

@@ -190,8 +190,11 @@ object CdcTable {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toVector.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      val children = try st.iterator().asScala.toVector finally st.close()
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }

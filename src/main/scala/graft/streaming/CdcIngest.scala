@@ -62,26 +62,28 @@ object CdcIngest {
   def processBatch(batch: DataFrame, cfg: Config,
       batchId: Option[Long] = None): Unit = {
     // Several actions run against this one micro-batch (DLQ check,
-    // collection listing, per-table writes, doc-schema inference);
-    // without persisting, EACH action re-reads the streaming source —
-    // at scale that is N re-polls of Kafka per batch.
-    val cached = batch.persist()
-    try processCached(cached, cfg, batchId)
-    finally { cached.unpersist(); () }
+    // collection listing, per-table writes, doc-schema inference).
+    // Persist the single NORMALIZED stream (valid + dlq are filters
+    // over it): caching the raw batch instead would re-run the
+    // envelope from_json decode on every action, and persisting the
+    // two branches separately would read the source twice per batch.
+    val normalized = CdcNormalize(Envelope.decode(batch), cfg.staleDays)
+    val all = normalized.all.persist()
+    try processNormalized(normalized.valid, normalized.dlq, cfg, batchId)
+    finally { all.unpersist(); () }
   }
 
-  private def processCached(batch: DataFrame, cfg: Config,
-      batchId: Option[Long]): Unit = {
+  private def processNormalized(valid: DataFrame, dlqAll: DataFrame,
+      cfg: Config, batchId: Option[Long]): Unit = {
     // appId scoped to the checkpoint: replays of a committed batchId
     // become idempotent no-ops per table (T2 exactly-once).
     val txnOf: Long => Option[(String, Long)] =
       v => Some((cfg.checkpointDir, v))
-    val spark = batch.sparkSession
-    val normalized = CdcNormalize(Envelope.decode(batch), cfg.staleDays)
+    val spark = valid.sparkSession
 
     // DLQ: original value + reason + source coords
     // (reference dlq_writer.py:24-57)
-    val dlq = normalized.dlq.select(
+    val dlq = dlqAll.select(
       col("value").cast("string").as("original_value"),
       col("_dlq_reason").as("reason"),
       col("_kafka_topic"), col("_kafka_partition"), col("_kafka_offset"),
@@ -90,7 +92,6 @@ object CdcIngest {
       CdcTable.append(dlq, s"${cfg.baseDir}/_dlq", cfg.mergeMode,
         txn = batchId.flatMap(txnOf))
 
-    val valid = normalized.valid
     if (valid.isEmpty) return
     // Distinct collection keys: bounded by the number of collections,
     // not rows — the one intentionally driver-visible list.
