@@ -94,10 +94,17 @@ object CdcIngest {
 
     if (valid.isEmpty) return
     // Distinct collection keys: bounded by the number of collections,
-    // not rows — the one intentionally driver-visible list.
+    // not rows — the one intentionally driver-visible list. Per-table
+    // writes run concurrently (SURVEY.md §7.4: a sequential loop
+    // serializes N independent Spark jobs); each writes its own
+    // directory, so there is no write conflict.
     val keys = valid.select(col("_collection_key")).distinct()
       .collect().map(_.getString(0))
-    keys.foreach { key =>
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(math.max(keys.length, 1), 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = keys.toSeq.map { key => scala.concurrent.Future {
       val rows = valid.filter(col("_collection_key") === key)
       val table = rows.select(
         col("_envelope.payload._id").as("_id"),
@@ -118,7 +125,13 @@ object CdcIngest {
           s"${cfg.baseDir}/${CdcNormalize.tableName(key)}",
           cfg.mergeMode, txn = batchId.flatMap(txnOf))
       }
-    }
+    }}
+    try {
+      import scala.concurrent.duration.Duration
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures), Duration.Inf)
+      ()
+    } finally pool.shutdown()
   }
 
   /** Expand the raw `_doc` JSON into typed columns: per-batch schema
