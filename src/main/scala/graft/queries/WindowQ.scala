@@ -86,8 +86,38 @@ object WindowQ {
       |  WHERE o_orderstatus = 'F') t
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q54 — generator/UDTF surface: positional explode of the embedding
+    * vector (posexplode ≡ unnest over the index range in DuckDB). */
+  def q54(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        col("col").cast("double").as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+
+  val q54Sql: String =
+    """SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      |FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+      |WHERE vec_id < 3 ORDER BY vec_id, pos""".stripMargin
+
+  /** q55 — approximate distinct via HLL sketch (Spark 4 datasketches
+    * surface). No DuckDB oracle: HLL implementations differ between
+    * engines, so the driver records the weaker rows-only check — the
+    * estimate itself is asserted engine-side in the spec suite. */
+  def q55(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
+          .as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_moving_window", q51, Some(q51Sql)),
     QueryDef("q52_string_agg", q52, Some(q52Sql)),
-    QueryDef("q53_except_all", q53, Some(q53Sql)))
+    QueryDef("q53_except_all", q53, Some(q53Sql)),
+    QueryDef("q54_posexplode", q54, Some(q54Sql)),
+    QueryDef("q55_approx_distinct", q55, None))
 }

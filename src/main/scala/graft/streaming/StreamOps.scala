@@ -43,6 +43,15 @@ object StreamOps {
     (df.filter(!isStale), df.filter(isStale))
   }
 
+  /** Streaming exact dedup on key columns with watermark-bounded
+    * state (the streaming face of exact dedup: late duplicates beyond
+    * the watermark age out of the state store instead of growing it
+    * unboundedly — the 100 TB-stream requirement). */
+  def dedupeStream(df: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
   final case class KeyCount(key: String, events: Long, sum: Double)
 
   /** Custom arbitrary state via mapGroupsWithState (T6): a per-key

@@ -6,6 +6,39 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 class StatefulSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming dedup drops exact duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val out = StreamOps.dedupeStream(mem.toDF.toDF("ts", "k"),
+      "ts", "1 hour", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((t, "a"), (t, "a"), (t, "b"))
+      q.processAllAvailable()
+      mem.addData((t, "a")) // cross-batch duplicate
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM dedup")
+        .collect()(0).getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("hll sketch estimates are close to exact distincts") {
+    val r = graft.queries.WindowQ.q55(spark, "/root/testdata/sf0.001")
+      .collect()
+    val exact = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct($"l_partkey"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { row =>
+      val est = row.getLong(1).toDouble
+      val ex = exact(row.getString(0)).toDouble
+      assert(math.abs(est - ex) / ex < 0.1,
+        s"HLL estimate $est vs exact $ex")
+    }
+  }
+
   test("mapGroupsWithState carries per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
