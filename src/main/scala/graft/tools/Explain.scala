@@ -22,7 +22,8 @@ object Explain {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
     val defs = SparkEntry.allDefs.filter(d =>
       names.isEmpty || names.contains(d.name))
     defs.foreach { d =>
