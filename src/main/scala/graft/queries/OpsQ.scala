@@ -202,7 +202,52 @@ object OpsQ {
        |FROM x WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  /** q56 — binary↔base64 (P3 BSON Binary mapping, §2.8): encode the
+    * payload, verify the round trip, emit a prefix. */
+  def q56(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      // Spark's base64 MIME-chunks with CRLF every 76 chars (legacy
+      // behavior this build keeps); DuckDB's to_base64 does not —
+      // strip the line breaks for the canonical form
+      .withColumn("b64", regexp_replace(
+        base64(encode(col("text"), "UTF-8")), "[\\r\\n]", ""))
+      .select(col("doc_id"),
+        substring(col("b64"), 1, 24).as("b64_prefix"),
+        length(col("b64")).as("b64_len"),
+        (decode(unbase64(col("b64")), "UTF-8") === col("text"))
+          .as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+
+  val q56Sql: String =
+    """SELECT doc_id,
+      |  substring(to_base64(encode(text)), 1, 24) AS b64_prefix,
+      |  length(to_base64(encode(text))) AS b64_len,
+      |  decode(from_base64(to_base64(encode(text)))) = text
+      |    AS roundtrip_ok
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+
+  /** q57 — timestamp conversions (FR-059 ISO8601↔Unix + date parts). */
+  def q57(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .filter(col("event_id") < 500)
+      .select(col("event_id"),
+        unix_timestamp(col("ts")).as("unix_sec"),
+        year(col("ts")).as("y"), month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"))
+      .orderBy(col("event_id"))
+
+  val q57Sql: String =
+    """SELECT event_id,
+      |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS unix_sec,
+      |  year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+      |  hour(ts) AS h, minute(ts) AS mi
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_base64_roundtrip", q56, Some(q56Sql)),
+    QueryDef("q57_time_convert", q57, Some(q57Sql)),
     QueryDef("q40_multimodal_meta", q40, Some(q40Sql)),
     QueryDef("q41_array_funcs", q41, Some(q41Sql)),
     QueryDef("q42_pii_masking", q42, Some(q42Sql)),
