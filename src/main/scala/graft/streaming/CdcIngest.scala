@@ -100,10 +100,7 @@ object CdcIngest {
     // directory, so there is no write conflict.
     val keys = valid.select(col("_collection_key")).distinct()
       .collect().map(_.getString(0))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(math.max(keys.length, 1), 8))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    implicit val ec: scala.concurrent.ExecutionContext = writeEc
     val futures = keys.toSeq.map { key => scala.concurrent.Future {
       val rows = valid.filter(col("_collection_key") === key)
       val table = rows.select(
@@ -126,13 +123,28 @@ object CdcIngest {
           cfg.mergeMode, txn = batchId.flatMap(txnOf))
       }
     }}
-    try {
-      import scala.concurrent.duration.Duration
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures), Duration.Inf)
-      ()
-    } finally pool.shutdown()
+    // Await EVERY write's outcome before returning (a fail-fast
+    // Future.sequence would rethrow while sibling writes were still
+    // in flight — a replay of the batch could then race them on the
+    // non-atomic version/schema/txn files), then surface the first
+    // failure so the stream restarts and replays the batch.
+    import scala.concurrent.duration.Duration
+    val outcomes = futures.map(f =>
+      scala.concurrent.Await.ready(f, Duration.Inf).value.get)
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
   }
+
+  /** Shared bounded pool for per-table writes (daemon threads; reused
+    * across micro-batches instead of churning a pool per batch). */
+  private lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-cdc-write")
+          t.setDaemon(true)
+          t
+        }))
 
   /** Expand the raw `_doc` JSON into typed columns: per-batch schema
     * inference (reference `schema_inferrer.py:93-125` — there per-doc

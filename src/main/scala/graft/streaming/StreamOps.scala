@@ -44,13 +44,14 @@ object StreamOps {
   }
 
   /** Streaming exact dedup on key columns with watermark-bounded
-    * state (the streaming face of exact dedup: late duplicates beyond
-    * the watermark age out of the state store instead of growing it
-    * unboundedly — the 100 TB-stream requirement). */
+    * state: duplicates of the same key are dropped even when the
+    * producer re-stamped the event time, as long as they arrive within
+    * the watermark; state for old keys ages out instead of growing
+    * unboundedly (the 100 TB-stream requirement). */
   def dedupeStream(df: DataFrame, tsCol: String, watermark: String,
       keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   final case class KeyCount(key: String, events: Long, sum: Double)
 

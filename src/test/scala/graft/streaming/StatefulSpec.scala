@@ -17,7 +17,10 @@ class StatefulSpec extends SparkSpec {
     try {
       mem.addData((t, "a"), (t, "a"), (t, "b"))
       q.processAllAvailable()
-      mem.addData((t, "a")) // cross-batch duplicate
+      // cross-batch duplicate with a RE-STAMPED event time: still the
+      // same key within the watermark → dropped
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+      mem.addData((t2, "a"))
       q.processAllAvailable()
       assert(spark.sql("SELECT COUNT(*) FROM dedup")
         .collect()(0).getLong(0) == 2)
