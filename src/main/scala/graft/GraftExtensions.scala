@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("shingle_ids", classOf[ShingleIds], e => ShingleIds(e.head))
     inject("minhash_sig", classOf[MinHashSig], e => MinHashSig(e.head))
     inject("simhash16", classOf[SimHash16], e => SimHash16(e.head))
+    inject("multiset_digest", classOf[MultisetDigest],
+      e => MultisetDigest(e.head))
   }
 }

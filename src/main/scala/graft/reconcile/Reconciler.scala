@@ -28,12 +28,21 @@ object Reconciler {
   def rowDigest(cols: Seq[String]): Column =
     xxhash64(cols.map(col): _*)
 
-  /** Per-bucket counts + order-insensitive digests for one side. */
+  /** Per-bucket counts + order-insensitive digests for one side. Uses
+    * the native multiset_digest aggregate (count/sum/xor of
+    * avalanche-mixed row hashes — collision-resistant and commutative,
+    * so partial aggregation order is irrelevant) when GraftExtensions
+    * is active; falls back to a plain SUM digest otherwise. */
   def bucketDigests(df: DataFrame, keyCol: String, nBuckets: Int,
-      compareCols: Seq[String]): DataFrame =
+      compareCols: Seq[String]): DataFrame = {
+    val digest =
+      if (df.sparkSession.catalog.functionExists("multiset_digest"))
+        expr(s"multiset_digest(xxhash64(" +
+          (keyCol +: compareCols).map(c => s"`$c`").mkString(", ") + "))")
+      else sum(rowDigest(keyCol +: compareCols))
     df.groupBy(pmod(xxhash64(col(keyCol)), lit(nBuckets)).as("bucket"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(rowDigest(keyCol +: compareCols)).as("digest"))
+      .agg(count(lit(1)).as("cnt"), digest.as("digest"))
+  }
 
   /** Compare two sides' bucket digests; rows where anything differs
     * are the buckets needing row-level drill-down. */
