@@ -28,6 +28,28 @@ class MultisetDigestSpec extends SparkSpec {
     assert(digestOf(Seq(0L, 3L), 1) != digestOf(Seq(1L, 2L), 1))
   }
 
+  test("MinHashAggregator over exploded tokens equals the row expression") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark catalyst tungsten shuffle exchange"))
+      .toDF("doc_id", "text")
+    // row-level signature via the native expression over token ids
+    val viaExpr = docs
+      .select($"doc_id", expr("minhash_sig(token_ids(text))").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // grouped signature via the typed Aggregator over exploded ids
+    val exploded = docs
+      .select($"doc_id", explode(expr("token_ids(text)")).as("id"))
+      .as[(Long, Long)]
+    val viaAgg = exploded.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(MinHashAggregator.toColumn)
+      .collect().toMap.map { case (k, v) => k -> v.toSeq }
+    assert(viaExpr.keySet == viaAgg.keySet)
+    viaExpr.keys.foreach(k => assert(viaExpr(k) == viaAgg(k),
+      s"doc $k signatures differ"))
+  }
+
   test("reconciler bucket compare uses the digest and detects drift") {
     val src = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
     val tgt = (1L to 1000L).map(i =>
