@@ -95,6 +95,26 @@ class CdcPipelineSpec extends SparkSpec {
     assert(rows == Map("u1" -> 10L))
   }
 
+  test("castTo after merge preserves values across the widening lattice") {
+    import org.apache.spark.sql.types._
+    import graft.core.SchemaMerge
+    val a = Seq((1, 10L, 1.5f)).toDF("i", "l", "f")
+    val b = Seq((2.0, 20.0, 2.5)).toDF("i", "l", "f") // all doubles
+    val merged = SchemaMerge.merge(a.schema, b.schema)
+    assert(merged.fields.map(_.dataType).toSeq ==
+      Seq(DoubleType, DoubleType, DoubleType))
+    val aCast = SchemaMerge.castTo(a, merged)
+      .as[(Double, Double, Double)].collect().head
+    val bCast = SchemaMerge.castTo(b, merged)
+      .as[(Double, Double, Double)].collect().head
+    assert(aCast == ((1.0, 10.0, 1.5)) && bCast == ((2.0, 20.0, 2.5)))
+    // missing columns null-fill, extra columns drop
+    val c = SchemaMerge.castTo(Seq((7, "x")).toDF("i", "extra"), merged)
+    assert(c.columns.toSeq == Seq("i", "l", "f"))
+    val row = c.collect().head
+    assert(row.getDouble(0) == 7.0 && row.isNullAt(1) && row.isNullAt(2))
+  }
+
   test("upsert compaction collapses the log to current state") {
     val base = tmpDir("cdcup")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptup"))
