@@ -42,6 +42,12 @@ object Dedup {
     val spark = df.sparkSession
     require(spark.catalog.functionExists("minhash_sig"),
       "Dedup.near requires GraftExtensions (spark.sql.extensions)")
+    // bands must tile the 16-row signature exactly: bands > 16 would
+    // make rowsPerBand 0 (band_key = band index → every doc pairs with
+    // every other, O(n²)); a non-divisor would silently ignore the
+    // trailing signature rows, inflating collision probability.
+    require(bands >= 1 && 16 % bands == 0,
+      s"bands must divide the 16-row MinHash signature, got $bands")
     val rowsPerBand = 16 / bands
 
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -49,8 +55,14 @@ object Dedup {
       .withColumn("m", size(col("sids")))
       .withColumn("sig", expr("minhash_sig(sids)"))
 
+    // Docs too short to shingle (<3 tokens) have empty signatures —
+    // concat_ws drops the nulls, so they would all collapse into one
+    // shared bucket and explode the candidate space on short-doc
+    // corpora. They cannot be near-dup candidates; skip banding them.
+    val bandable = base.filter(size(col("sids")) > 0)
+
     // LSH banding: same band vector → candidate bucket
-    val bandKeys = base.select(col("id"),
+    val bandKeys = bandable.select(col("id"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
       .select(col("id"), concat_ws(":", col("band") +:
         (0 until rowsPerBand).map(r =>

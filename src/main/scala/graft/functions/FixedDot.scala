@@ -42,12 +42,13 @@ case class FixedDot(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     // match the zip_with fallback exactly: unequal lengths pad with
-    // null, null poisons the sum → null result
+    // null, and a null ELEMENT poisons the sum → null result
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += FixedDot.roundAway(
         x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e12)
       i += 1
@@ -68,10 +69,13 @@ case class FixedDot(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    $acc += graft.functions.FixedDot.roundAway(
          |      ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e12);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

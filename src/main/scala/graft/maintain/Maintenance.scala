@@ -22,6 +22,7 @@ object Maintenance {
     * (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
       targetFileMB: Int = 128): (Long, Long) = {
+    requireNotCdcTable(dir, "compact")
     val dataDir = Paths.get(dir, "data")
     def parquetFiles = {
       val st = Files.walk(dataDir)
@@ -43,6 +44,17 @@ object Maintenance {
     deleteRecursively(trash)
     (before.size.toLong, parquetFiles.size.toLong)
   }
+
+  /** compact/zorderBy rewrite `<dir>/data` flat — applied to a
+    * CdcTable that would flatten the `data/sv=N` schema generations
+    * while `_graft_version` still points at them, breaking every later
+    * CdcTable.read (and potentially mixing parquet physical types in
+    * one directory). Those tables compact via
+    * [[graft.sink.CdcTable.compactToCurrentState]] instead. */
+  private def requireNotCdcTable(dir: String, op: String): Unit =
+    require(!Files.exists(Paths.get(dir, "_graft_version")),
+      s"$op: $dir is a CdcTable (schema generations under data/sv=N); " +
+        "use CdcTable.compactToCurrentState instead")
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
@@ -66,6 +78,7 @@ object Maintenance {
       targetFileMB: Int = 128, numFiles: Option[Int] = None): Unit = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size <= 4, "1..4 z-order columns")
+    requireNotCdcTable(dir, "zorderBy")
     val dataDir = Paths.get(dir, "data")
     val df = spark.read.parquet(dataDir.toString)
     val bits = 5 // 32 quantile buckets per column

@@ -158,12 +158,22 @@ object CdcIngest {
     else {
       val clean = StructType(docSchema.fields.filterNot(
         _.name == "_corrupt_record"))
-      // Document fields win on name collision (the converted document
-      // IS the record; the envelope-level _id is only its routing copy)
-      val docNames = clean.fieldNames.toSet
+      // Name collisions: the document wins ONLY for `_id` (the
+      // converted document IS the record; the envelope `_id` is just
+      // its routing copy). For the reserved CDC metadata columns the
+      // envelope-derived values must win — the reference assigns
+      // metadata AFTER document conversion (`event_handler.py`
+      // _add_cdc_metadata), so a doc field named `_cdc_operation` or
+      // `_ingestion_date` must not shadow ordering / soft-delete /
+      // partition semantics. Colliding doc fields are kept, renamed
+      // with a `doc_` prefix, so no payload data is lost.
+      val reserved = df.columns.toSet - "_doc" - "_id"
+      val outName: String => String =
+        n => if (reserved(n)) s"doc_$n" else n
+      val docNames = clean.fieldNames.map(outName).toSet
       df.withColumn("_parsed", from_json(col("_doc"), clean))
         .select((clean.fieldNames.map(n =>
-          col(s"_parsed.`$n`").as(n)) ++
+          col(s"_parsed.`$n`").as(outName(n))) ++
           df.columns.filter(c => c != "_doc" && !docNames(c)).map(col))
           .toIndexedSeq: _*)
     }

@@ -56,6 +56,23 @@ class DedupSpec extends SparkSpec {
     assert(dec(3L) == 3L)
   }
 
+  test("near rejects band counts that don't tile the 16-row signature") {
+    val df = Seq((1L, "some words here")).toDF("id", "text")
+    intercept[IllegalArgumentException](Dedup.near(df, "text", "id", bands = 5))
+    intercept[IllegalArgumentException](Dedup.near(df, "text", "id", bands = 0))
+    intercept[IllegalArgumentException](Dedup.near(df, "text", "id", bands = 32))
+  }
+
+  test("short docs with no shingles never become near-dup candidates") {
+    // every doc < 3 tokens → empty shingle set; they must not collapse
+    // into one shared all-null band bucket
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c d"), (4L, "e f"))
+      .toDF("id", "text")
+    val r = Dedup.near(df, "text", "id")
+    assert(r.pairs.count() == 0)
+    assert(r.decisions.filter($"is_duplicate").count() == 0)
+  }
+
   test("connected components merges transitive chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(spark, edges)

@@ -33,6 +33,18 @@ class FixedDotSpec extends SparkSpec {
     assert(out(1).isEmpty && out(2).isEmpty)
   }
 
+  test("null array element nulls the result, matching zip_with") {
+    val df = spark.sql(
+      """SELECT array(cast(1.0 as float), cast(null as float)) AS a,
+        |       array(cast(2.0 as float), cast(3.0 as float)) AS b""".stripMargin)
+    val r = df.select(
+      expr("fixed_dot(a, b)").as("native"),
+      expr("""aggregate(zip_with(a, b, (x, y) ->
+        CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)),
+        0L, (acc, v) -> acc + v)""").as("composed")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("rounding is half away from zero on both signs") {
     assert(FixedDot.roundAway(2.5) == 3L)
     assert(FixedDot.roundAway(-2.5) == -3L)

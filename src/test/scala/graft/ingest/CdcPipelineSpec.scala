@@ -95,6 +95,26 @@ class CdcPipelineSpec extends SparkSpec {
     assert(rows == Map("u1" -> 10L))
   }
 
+  test("doc fields cannot shadow CDC metadata columns (doc wins only _id)") {
+    val base = tmpDir("cdcshadow")
+    // document carries fields colliding with reserved metadata columns
+    val doc = "\"{\\\"_id\\\":\\\"m1\\\"," +
+      "\\\"_cdc_operation\\\":\\\"evil\\\"," +
+      "\\\"_ingestion_date\\\":\\\"not-a-date\\\",\\\"x\\\":1}\""
+    CdcIngest.processBatch(Seq(env("c", "m1", doc, null, t0)).toDF("value"),
+      CdcIngest.Config(base, checkpointDir = tmpDir("ckptshadow")))
+    val t = CdcTable.read(spark, s"$base/testdb_users")
+    val row = t.collect().head
+    // envelope-derived metadata wins; doc copies survive under doc_ prefix
+    assert(t.select("_cdc_operation").as[String].collect().head == "insert")
+    assert(t.select("doc__cdc_operation").as[String].collect().head == "evil")
+    assert(t.select("doc__ingestion_date").as[String].collect().head ==
+      "not-a-date")
+    assert(row.getAs[String]("_ingestion_date") != "not-a-date")
+    // doc _id still wins over the envelope routing copy
+    assert(t.select("_id").as[String].collect().head == "m1")
+  }
+
   test("castTo after merge preserves values across the widening lattice") {
     import org.apache.spark.sql.types._
     import graft.core.SchemaMerge

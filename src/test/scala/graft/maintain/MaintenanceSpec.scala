@@ -39,6 +39,17 @@ class MaintenanceSpec extends SparkSpec {
       s"z-order should bound per-file spans, got $spans")
   }
 
+  test("compact and zorder refuse to run on a CdcTable directory") {
+    val dir = tmpDir("guard")
+    // simulate a CdcTable layout: version pointer + sv=N generation
+    (1 to 10).toDF("n").write.parquet(s"$dir/data/sv=1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_version"), "1".getBytes)
+    intercept[IllegalArgumentException](Maintenance.compact(spark, dir))
+    intercept[IllegalArgumentException](
+      Maintenance.zorderBy(spark, dir, Seq("n")))
+  }
+
   test("snapshot versions + time travel + vacuum") {
     val dir = tmpDir("snap")
     assert(Maintenance.writeSnapshot((1 to 3).toDF("n"), dir) == 0L)
