@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash16", classOf[SimHash16], e => SimHash16(e.head))
     inject("multiset_digest", classOf[MultisetDigest],
       e => MultisetDigest(e.head))
+    inject("lsh_bucket", classOf[LshBucket], LshBucket.fromArgs)
   }
 }

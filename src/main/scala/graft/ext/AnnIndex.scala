@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-time ANN index: the deterministic LSH bucket materialized as
+  * a PARTITION column at write time, so the 100 TB probe path is
+  *
+  *   static partition pruning (literal bucket id computed driver-side)
+  *   → one bucket scan → codegen'd fixed-point re-rank → TakeOrdered.
+  *
+  * This is the scale shape the read-time q38 only simulates: there the
+  * bucket is recomputed per row per read; here it is paid once at
+  * write time and every probe touches 1/2^planes of the files. The
+  * probe plan shows the bucket in `PartitionFilters` (asserted by
+  * AnnIndexSpec) — no data files outside the query's bucket are read.
+  */
+object AnnIndex {
+
+  /** Materialize the bucket column and write partitioned by it. */
+  def writeBucketed(df: DataFrame, dir: String,
+      embCol: String = "embedding", planes: Int = 4): Unit =
+    df.withColumn("bucket", Similarity.lshBucket(embCol, planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Top-k cosine probe for `queryVec`: scans ONLY the query's bucket
+    * partition. The bucket id is computed driver-side so the filter is
+    * a literal — Spark prunes partitions at planning time, not run
+    * time. */
+  def probe(spark: SparkSession, dir: String, queryVec: Array[Float],
+      k: Int, idCol: String = "vec_id", embCol: String = "embedding",
+      planes: Int = 4): DataFrame = {
+    val qb = Similarity.bucketOf(queryVec, planes)
+    val qe = Similarity.litFloatArraySql(queryVec)
+    spark.read.parquet(dir)
+      .filter(col("bucket") === lit(qb))
+      .select(col(idCol), col("bucket"),
+        (expr(Similarity.dotSql(spark, embCol, qe)) / lit(1e12))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,29 +1,44 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search library over an `Array[Float]` embedding column —
   * the reusable faces of the oracle-checked q36–q39: exact cosine
   * top-k, near-dup pairs, hyperplane-LSH bucketing and IVF
-  * assignment/search. Uses the codegen'd `fixed_dot` expression when
-  * GraftExtensions is active, else the built-in composition.
+  * assignment/search. Uses the codegen'd `fixed_dot` / `lsh_bucket`
+  * expressions when GraftExtensions is active, else the built-in
+  * compositions.
   *
-  * Scale: top-k is a broadcast + single scan (TakeOrdered); LSH/IVF
+  * Scale: top-k is a broadcast + single scan (TakeOrdered); the
+  * default near-dup pair path is LSH-band-blocked (candidates share at
+  * least one band bucket — never the all-pairs cross product); LSH/IVF
   * assignment are scan-only and their bucket/cluster ids are meant to
-  * become write-time partition columns, so the 100 TB search path is
-  * partition pruning + one bucket scan.
+  * become write-time partition columns ([[AnnIndex]]), so the 100 TB
+  * search path is partition pruning + one bucket scan.
   */
 object Similarity {
 
-  private def dotExpr(df: DataFrame, a: String, b: String): Column =
-    if (df.sparkSession.catalog.functionExists("fixed_dot"))
-      expr(s"fixed_dot($a, $b)")
-    else expr(
+  /** Fixed-point dot SQL over two array-typed SQL fragments (column
+    * names or literals): native codegen'd expression when
+    * GraftExtensions is active, else the bit-identical composition. */
+  private[graft] def dotSql(spark: org.apache.spark.sql.SparkSession,
+      a: String, b: String): String =
+    if (spark.catalog.functionExists("fixed_dot")) s"fixed_dot($a, $b)"
+    else
       s"""aggregate(zip_with($a, $b, (x, y) ->
          |  CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12)
-         |    AS BIGINT)), 0L, (acc, v) -> acc + v)""".stripMargin)
+         |    AS BIGINT)), 0L, (acc, v) -> acc + v)""".stripMargin
+
+  private def dotExpr(df: DataFrame, a: String, b: String): Column =
+    expr(dotSql(df.sparkSession, a, b))
+
+  /** SQL literal for a float array. String-cast per element: Java's
+    * shortest-repr Float.toString round-trips exactly through
+    * Float.parseFloat, so the literal reconstructs the identical
+    * floats on the executor. */
+  private[graft] def litFloatArraySql(a: Array[Float]): String =
+    a.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ", ", ")")
 
   /** Cosine of the embedding column against one broadcast query row
     * (`queryDf` must have a single row with column `qe`). */
@@ -43,9 +58,114 @@ object Similarity {
       .drop("qe")
   }
 
-  /** All pairs with cosine ≥ threshold (exact; parallelized pair join).
-    * At scale run [[lshBucket]] first and join within buckets. */
+  /** Deterministic hyperplane-LSH bucket id over `planes` integer
+    * hyperplanes starting at plane family `offset` (2^planes buckets).
+    * Codegen'd native expression under GraftExtensions; interpreted
+    * HOF composition otherwise (bit-identical results). Bands of
+    * independent planes come from the same function:
+    * band b of width w = `lshBucket(emb, w, b*w)`. */
+  def lshBucket(embCol: String = "embedding", planes: Int = 4,
+      offset: Int = 0): Column = {
+    val native = org.apache.spark.sql.SparkSession.active
+      .catalog.functionExists("lsh_bucket")
+    expr(lshBucketSql(embCol, planes, offset, native))
+  }
+
+  /** Driver-side mirror of [[lshBucket]] for probe-time literal
+    * bucket ids (static partition pruning needs a literal, not a
+    * joined column). Bit-identical to the expression by construction. */
+  def bucketOf(vec: Array[Float], planes: Int = 4, offset: Int = 0): Long = {
+    val fixed = vec.map(x =>
+      graft.functions.FixedDot.roundAway(x.toDouble * 1e7))
+    (0 until planes).foldLeft(0L) { (bucket, j) =>
+      var s = 0L
+      var i = 0
+      while (i < fixed.length) {
+        s += fixed(i) * (((i * 31 + (j + offset) * 17) % 13) - 6)
+        i += 1
+      }
+      if (s > 0) bucket | (1L << j) else bucket
+    }
+  }
+
+  private[graft] def lshBucketSql(embCol: String, planes: Int,
+      offset: Int, native: Boolean): String =
+    if (native) s"lsh_bucket($embCol, $planes, $offset)"
+    else
+      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc +
+         |  IF(aggregate(zip_with($embCol,
+         |       sequence(0, size($embCol) - 1),
+         |       (x, i) -> CAST(ROUND(CAST(x AS DOUBLE) * 1e7) AS BIGINT)
+         |         * (pmod(i * 31 + (j + $offset) * 17, 13) - 6)),
+         |       0L, (a2, v) -> a2 + v) > 0,
+         |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin
+
+  private def bucketFor(df: DataFrame, embCol: String, planes: Int,
+      offset: Int): Column =
+    expr(lshBucketSql(embCol, planes, offset,
+      native = df.sparkSession.catalog.functionExists("lsh_bucket")))
+
+  /** Near-dup pairs with cosine ≥ threshold — LSH-bucket-blocked (the
+    * default, scale-safe path): rows hash into 2^`planes` buckets and
+    * only same-bucket pairs are candidates (one equi-join keyed on the
+    * bucket — never the O(n²) cross product), then the exact
+    * fixed-point cosine verifies the threshold. With `bands` > 1 the
+    * candidate test ORs over `bands` independent bucket families
+    * (recall 1 − (1 − (1 − θ/π)^planes)^bands at angle θ — trade
+    * candidate volume for recall; true near-dups at cos ≥ 0.99 are
+    * found with ≥ 97% probability by a single 4-plane bucket). For a
+    * guaranteed-exhaustive small input use [[nearDupPairsExact]]. */
   def nearDupPairs(df: DataFrame, idCol: String, threshold: Double,
+      embCol: String = "embedding", planes: Int = 4,
+      bands: Int = 1): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), col(embCol).as("e"))
+    val verified =
+      if (bands == 1) {
+        // single bucket family: each pair appears at most once
+        val bk = hashed.withColumn("bval", bucketFor(hashed, "e", planes, 0))
+        val a = bk.select(col("id").as("a_id"), col("e").as("ea"),
+          col("bval"))
+        val b = bk.select(col("id").as("b_id"), col("e").as("eb"),
+          col("bval").as("bbval"))
+        a.join(b, col("bval") === col("bbval") && col("a_id") < col("b_id"))
+          .withColumn("cos_sim", dotExpr(df, "ea", "eb") / lit(1e12))
+          .filter(col("cos_sim") >= threshold)
+      } else {
+        // OR over bands: explode the band index, join on (band, bval),
+        // dedupe AFTER the cheap threshold filter (on scalar columns,
+        // not the embedding arrays)
+        val banded = hashed
+          .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
+          .withColumn("bval", bucketsByBand(hashed, "e", bands, planes))
+        val a = banded.select(col("id").as("a_id"), col("e").as("ea"),
+          col("band"), col("bval"))
+        val b = banded.select(col("id").as("b_id"), col("e").as("eb"),
+          col("band").as("bband"), col("bval").as("bbval"))
+        a.join(b, col("band") === col("bband") &&
+            col("bval") === col("bbval") && col("a_id") < col("b_id"))
+          .withColumn("cos_sim", dotExpr(df, "ea", "eb") / lit(1e12))
+          .filter(col("cos_sim") >= threshold)
+          .select(col("a_id"), col("b_id"), col("cos_sim"))
+          .distinct() // a pair may collide in several bands
+      }
+    verified.select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
+
+  private def bucketsByBand(df: DataFrame, embCol: String, bands: Int,
+      rowsPerBand: Int): Column = {
+    val native = df.sparkSession.catalog.functionExists("lsh_bucket")
+    // band is a column, so fold the per-band expressions into a CASE
+    val cases = (0 until bands).map { b =>
+      s"WHEN band = $b THEN (${
+        lshBucketSql(embCol, rowsPerBand, b * rowsPerBand, native)})"
+    }.mkString(" ")
+    expr(s"CASE $cases END")
+  }
+
+  /** All pairs with cosine ≥ threshold — exact exhaustive O(n²) pair
+    * join. Correctness baseline / small inputs only; the default
+    * [[nearDupPairs]] band-blocks first. */
+  def nearDupPairsExact(df: DataFrame, idCol: String, threshold: Double,
       embCol: String = "embedding"): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("a_id"), col(embCol).as("ea"))
@@ -57,28 +177,20 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
 
-  /** Deterministic hyperplane-LSH bucket id (2^planes buckets). */
-  def lshBucket(embCol: String = "embedding", planes: Int = 4): Column =
-    expr(
-      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) -> acc +
-         |  IF(aggregate(zip_with($embCol,
-         |       sequence(0, size($embCol) - 1),
-         |       (x, i) -> CAST(ROUND(CAST(x AS DOUBLE) * 1e7) AS BIGINT)
-         |         * (pmod(i * 31 + j * 17, 13) - 6)),
-         |       0L, (a2, v) -> a2 + v) > 0,
-         |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin)
-
   /** Assign every row to its max-dot centroid (IVF coarse quantizer).
-    * `centroids` must have (cid, ce) columns; it is broadcast. */
+    * `centroids` must have (cid, ce) columns; it is broadcast. The
+    * argmax is a map-side-combinable `max_by` aggregation (partial agg
+    * collapses the centroid fan-out before the single shuffle — no
+    * global window sort). Ties break to the smallest cid. */
   def ivfAssign(df: DataFrame, centroids: DataFrame,
       embCol: String = "embedding"): DataFrame = {
-    val byDot = Window.partitionBy(col("__rid"))
-      .orderBy(col("cdot").desc, col("cid"))
     df.withColumn("__rid", monotonically_increasing_id())
       .crossJoin(broadcast(centroids))
       .withColumn("cdot", dotExpr(df, embCol, "ce"))
-      .withColumn("__rn", row_number().over(byDot))
-      .filter(col("__rn") === 1)
-      .drop("__rid", "__rn", "cdot", "ce")
+      .groupBy(col("__rid"))
+      .agg(max_by(
+        struct(df.columns.map(col).toIndexedSeq :+ col("cid"): _*),
+        struct(col("cdot"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("best.*"))
   }
 }

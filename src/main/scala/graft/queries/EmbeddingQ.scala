@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
+import graft.ext.{AnnIndex, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (64-dim L2-normalized
@@ -16,24 +16,17 @@ import org.apache.spark.sql.functions._
   * the vectors are unit-norm the dot product IS the cosine.
   *
   * Scale design: brute-force is one broadcast of the query vector and a
-  * single codegen'd scan (no shuffle); LSH/IVF prune the candidate set
-  * by bucketing so the 100 TB case only scans one bucket/cluster —
-  * the bucket id is computable at write time and becomes a partition
-  * column for partition pruning.
+  * single codegen'd scan (no shuffle); the pair query (q37) is
+  * LSH-band-blocked — candidates share at least one hyperplane band,
+  * never the O(n²) cross product; LSH/IVF prune the candidate set by
+  * bucketing, and q58 demonstrates the real 100 TB shape: the bucket
+  * as a WRITE-TIME partition column probed with a literal filter
+  * (static partition pruning, see [[graft.ext.AnnIndex]]).
   */
 object EmbeddingQ {
 
-  /** Fixed-point dot product of two float-array columns (Spark side):
-    * uses the codegen'd native expression when GraftExtensions is
-    * active, else the semantically-identical built-in composition. */
-  private def dotE(a: String, b: String) =
-    s"""aggregate(zip_with($a, $b, (x, y) ->
-       |  CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)),
-       |  0L, (acc, v) -> acc + v)""".stripMargin
-
   private def dot(s: SparkSession, a: String, b: String): String =
-    if (s.catalog.functionExists("fixed_dot")) s"fixed_dot($a, $b)"
-    else dotE(a, b)
+    Similarity.dotSql(s, a, b)
 
   /** Same in DuckDB (1-based indexing). */
   private def dotD(a: String, b: String) =
@@ -62,55 +55,48 @@ object EmbeddingQ {
        |FROM embeddings, q WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
-  /** q37 — embedding-cosine near-dup pairs (dedup by similarity): all
-    * pairs with cos ≥ 0.45. Brute self-join here; at scale the LSH
-    * bucket (q38) bounds the pair space first. */
-  def q37(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
-    // the table is one small parquet file → 1 input partition, and the
-    // broadcast nested-loop pair join parallelizes over LEFT partitions
-    // — spread the left side across the cores first
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      .repartition(s.sparkContext.defaultParallelism)
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (expr(dot(s, "ea", "eb")) / lit(1e12)).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.45)
+  /** q37 — embedding-cosine near-dup pairs (dedup by similarity) via
+    * the DEFAULT LSH-bucket-blocked path (`Similarity.nearDupPairs`):
+    * rows hash into 16 deterministic hyperplane buckets, only
+    * same-bucket pairs are candidates (one equi-join keyed on the
+    * bucket — never the all-pairs product), then the exact fixed-point
+    * cosine verifies ≥ 0.45. The oracle mirrors the bucketing
+    * bit-exactly, so both engines compute the identical deterministic
+    * candidate set. */
+  def q37(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables(s, dir, "embeddings"), "vec_id", 0.45)
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   val q37Sql: String =
-    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketD AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
        |    AS cos_sim
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
        |  >= 0.45
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** Random-hyperplane LSH bucket (4 deterministic integer hyperplanes
-    * h(i,j) = ((i*31 + j*17) mod 13) - 6 over 0-based dim i): 4 sign
-    * bits → 16 buckets. Fully integer ⇒ engine-portable. */
-  private val bucketE =
-    s"""aggregate(sequence(0, 3), 0L, (acc, j) -> acc +
-       |  IF(aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-       |       (x, i) -> CAST(ROUND(CAST(x AS DOUBLE) * 1e7) AS BIGINT)
-       |         * (pmod(i * 31 + j * 17, 13) - 6)),
-       |       0L, (a2, v) -> a2 + v) > 0,
-       |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin
-  private val bucketD =
+  /** Read-time LSH bucket (4 hyperplanes → 16 buckets): codegen'd
+    * native `lsh_bucket` under GraftExtensions, portable HOF
+    * composition otherwise. */
+  private def bucketE(s: SparkSession): String =
+    Similarity.lshBucketSql("embedding", 4, 0,
+      native = s.catalog.functionExists("lsh_bucket"))
+  private def bucketD =
     s"""CAST(list_sum(list_transform(range(0, 4), j ->
        |  CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
        |    i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)
        |      * ((((i - 1) * 31 + j * 17) % 13) - 6))) > 0
        |  THEN 1 << j ELSE 0 END)) AS BIGINT)""".stripMargin
 
-  /** q38 — LSH-bucketed ANN: only the query's bucket is scanned, then
-    * exact cosine re-ranks the candidates (top-5). */
+  /** q38 — LSH-bucketed ANN, read-time bucket: only the query's bucket
+    * survives the filter, then exact cosine re-ranks (top-5). The
+    * write-time variant of the same search is q58. */
   def q38(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-      .withColumn("bucket", expr(bucketE))
+      .withColumn("bucket", expr(bucketE(s)))
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     emb.crossJoin(broadcast(q))
@@ -131,20 +117,29 @@ object EmbeddingQ {
        |FROM e, q WHERE bucket = qbucket AND vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
-  /** q39 — IVF search: vectors of id 0..7 act as centroids; every
-    * vector is assigned to its max-dot centroid (one broadcast join +
-    * window argmax); the query probes only its own cluster. At scale
-    * the assignment is a write-time partition column. */
+  /** q39 — IVF search: vectors 0..7 act as centroids. The 8 centroid
+    * vectors are collected driver-side (bounded — they are the
+    * broadcast side by construction) and inlined as literals, so the
+    * assignment is ONE codegen'd projection per row — 8 native dots +
+    * a `greatest(struct(dot, -cid))` argmax — with NO centroid
+    * fan-out join and NO shuffle (BENCH_r01's 5.9 s window argmax
+    * eliminated). The query probes only its own cluster. At scale the
+    * assignment is a write-time partition column (same pattern as
+    * q58). Ties break to the smallest cid, matching the oracle's
+    * ORDER BY cdot DESC, cid. */
   def q39(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-    val cent = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val byDot = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cid"))
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("cdot", expr(dot(s, "embedding", "ce")))
-      .withColumn("rn", row_number().over(byDot))
-      .filter(col("rn") === 1)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val best = greatest(cents.map { case (cid, vec) =>
+      struct(
+        expr(dot(s, "embedding", Similarity.litFloatArraySql(vec))).as("d"),
+        lit(-cid).as("nc"))
+    }.toIndexedSeq: _*)
+    val assigned = emb
+      .withColumn("cid", -best.getField("nc"))
       .select(col("vec_id"), col("embedding"), col("cid"))
     val q = assigned.filter(col("vec_id") === 42)
       .select(col("embedding").as("qe"), col("cid").as("qcid"))
@@ -172,9 +167,52 @@ object EmbeddingQ {
        |FROM assigned, q WHERE cid = qcid AND vec_id <> 42
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q58 — write-time bucket partitioning (the real 100 TB ANN shape)
+  // ------------------------------------------------------------------
+
+  private def indexDir(sfDir: String): String = {
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    s"${sys.props("java.io.tmpdir")}/graft_ann_idx_$key"
+  }
+
+  /** Build the bucket-partitioned index once per sf dir (idempotent;
+    * Bench calls this during warmup so the timed probe measures the
+    * probe, not the one-off write). */
+  def ensureIndex(s: SparkSession, sfDir: String): String = {
+    val dir = indexDir(sfDir)
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      AnnIndex.writeBucketed(Tables(s, sfDir, "embeddings"), dir)
+    dir
+  }
+
+  /** q58 — same search as q38 but against the bucket-PARTITIONED
+    * index: the query's bucket id is computed driver-side and pushed
+    * as a literal partition filter, so the scan reads exactly one of
+    * the 16 bucket partitions (`PartitionFilters` in the plan —
+    * asserted by AnnIndexSpec). Identical results to q38. */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(s, dir)
+    val qvec = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val qb = Similarity.bucketOf(qvec)
+    val qe = Similarity.litFloatArraySql(qvec)
+    s.read.parquet(idx)
+      .filter(col("bucket") === lit(qb) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        (expr(dot(s, "embedding", qe)) / lit(1e12)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** q58 computes exactly what q38 computes (bucket + rerank), just
+    * from the partitioned layout — one oracle serves both. */
+  val q58Sql: String = q38Sql
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),
     QueryDef("q37_cosine_pairs", q37, Some(q37Sql)),
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),
-    QueryDef("q39_ivf_search", q39, Some(q39Sql)))
+    QueryDef("q39_ivf_search", q39, Some(q39Sql)),
+    QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)))
 }

@@ -317,7 +317,15 @@ object TextQ {
   }
 
   /** q35 — SimHash (16-bit) per document + near-dup pairs within the
-    * same source at Hamming distance ≤ 3. */
+    * same source at Hamming distance ≤ 3.
+    *
+    * Band-blocked candidate generation: the 16-bit hash splits into 4
+    * bands of 4 bits; with ≤ 3 differing bits, the pigeonhole
+    * principle guarantees at least one band matches EXACTLY, so
+    * joining on (source, band, band_bits) is recall-LOSSLESS for the
+    * hamming ≤ 3 predicate while bounding the pair space by band-
+    * bucket occupancy — a single large `source` no longer degenerates
+    * to the O(n²) all-pairs join the exhaustive oracle spells out. */
   def q35(s: SparkSession, dir: String): DataFrame = {
     val simExpr =
       if (s.catalog.functionExists("simhash16")) "simhash16(tids)"
@@ -330,16 +338,22 @@ object TextQ {
     val sh = withTokenIds(s, dir)
       .withColumn("simhash", expr(simExpr))
       .select(col("doc_id"), col("source"), col("simhash"))
-    val a = sh.select(col("doc_id").as("a_id"), col("source"),
-      col("simhash").as("sim_a"))
-    val b = sh.select(col("doc_id").as("b_id"), col("source").as("bsrc"),
-      col("simhash").as("sim_b"))
-    a.join(b, col("source") === col("bsrc") && col("a_id") < col("b_id"))
+    val banded = sh.select(col("doc_id"), col("source"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bits", expr("shiftright(simhash, band * 4) & 15"))
+    val a = banded.select(col("doc_id").as("a_id"), col("source"),
+      col("simhash").as("sim_a"), col("band"), col("bits"))
+    val b = banded.select(col("doc_id").as("b_id"),
+      col("source").as("bsrc"), col("simhash").as("sim_b"),
+      col("band").as("bband"), col("bits").as("bbits"))
+    a.join(b, col("source") === col("bsrc") &&
+        col("band") === col("bband") && col("bits") === col("bbits") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sim_a"), col("sim_b"))
+      .distinct() // a pair may agree in several bands
       .withColumn("hamming",
         expr("bit_count(sim_a ^ sim_b)").cast("int"))
       .filter(col("hamming") <= 3)
-      .select(col("a_id"), col("b_id"), col("sim_a"), col("sim_b"),
-        col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
 

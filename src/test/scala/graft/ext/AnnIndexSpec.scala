@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random unit-ish vectors
+  private def corpus = {
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)((r.nextFloat() - 0.5f) * 2f)
+    }
+    (0L until 200L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  }
+
+  test("probe scans only the query bucket via static partition pruning") {
+    val dir = tmpDir("annidx")
+    AnnIndex.writeBucketed(corpus, dir)
+    val qvec = corpus.filter($"vec_id" === 7L)
+      .select("embedding").as[Array[Float]].collect().head
+    val probe = AnnIndex.probe(spark, dir, qvec, k = 5)
+    // the literal bucket filter must land in PartitionFilters (planning-
+    // time pruning), not PushedFilters/post-scan predicates
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket"),
+      s"bucket filter missing from PartitionFilters: $scanLine")
+    // and the probe's candidates are exactly the bucket's members,
+    // re-ranked by the same fixed-point cosine as the exact path
+    val qb = Similarity.bucketOf(qvec)
+    val bucketed = corpus
+      .withColumn("bucket", Similarity.lshBucket("embedding"))
+      .filter($"bucket" === qb)
+    val expect = Similarity
+      .withCosine(bucketed,
+        Seq(Tuple1(qvec)).toDF("qe"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    val got = probe.select("vec_id").as[Long].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("banded nearDupPairs: full recall on planted near-dups, equi-join plan") {
+    // planted pairs: tiny perturbations of a base vector (cos ≈ 1)
+    val base = Array(0.6f, -0.3f, 0.5f, 0.2f, -0.4f, 0.1f, 0.3f, -0.2f)
+    def jitter(eps: Float) = base.zipWithIndex.map {
+      case (x, i) => x + (if (i == 0) eps else 0f) }
+    val df = (Seq(
+      (100L, base), (101L, jitter(0.01f)), (102L, jitter(0.02f))) ++
+      (0L until 50L).map { i =>
+        val r = new scala.util.Random(i + 7)
+        (i, Array.fill(8)((r.nextFloat() - 0.5f) * 2f))
+      }).toDF("vec_id", "embedding")
+    val banded = Similarity.nearDupPairs(df, "vec_id", 0.999)
+    val pairs = banded.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSet
+    assert(Set((100L, 101L), (100L, 102L), (101L, 102L)).subsetOf(pairs),
+      s"planted near-dups must survive banding: $pairs")
+    // scale-shape assertion: the candidate join is an equi-join on the
+    // band keys, never a cartesian/broadcast-nested-loop product
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
+
+  test("nearDupPairsExact remains the exhaustive baseline") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.04f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairsExact(vecs, "vec_id", 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact == Set((0L, 1L)))
+  }
+}
