@@ -1,0 +1,122 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem access for table metadata — everything goes through the
+  * Hadoop [[FileSystem]] API so the sink/maintenance layer runs
+  * unchanged on file://, hdfs:// and s3a:// (the reference targets
+  * MinIO/S3, `storage/minio_client.py`; `java.nio.file` would silently
+  * bind the engine to the driver's local disk).
+  *
+  * Commit files are created with create-exclusive (`overwrite=false`),
+  * the standard object-store-safe commit primitive: on HDFS and local
+  * FS the create is atomic; on S3A it requires the usual external
+  * coordination for MULTIPLE concurrent writers, which the engine does
+  * not need — the streaming sink is the single writer per table (as in
+  * the reference), and create-exclusive still turns a torn write into
+  * a retryable error instead of corruption.
+  */
+object Fs {
+
+  def conf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def apply(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf()), p)
+  }
+
+  def exists(path: String): Boolean = {
+    val (fs, p) = apply(path)
+    fs.exists(p)
+  }
+
+  def readString(path: String): Option[String] = {
+    val (fs, p) = apply(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Create-exclusive write: atomically fails if the file exists.
+    * Returns false on FileAlreadyExists (commit races / replays). */
+  def createExclusive(path: String, content: String): Boolean = {
+    val (fs, p) = apply(path)
+    fs.mkdirs(p.getParent)
+    try {
+      val out = fs.create(p, /* overwrite = */ false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) => false
+    }
+  }
+
+  /** Overwrite via temp-file + rename (atomic on HDFS/local; on S3A a
+    * copy — acceptable for non-commit scratch files only). */
+  def writeString(path: String, content: String): Unit = {
+    val (fs, p) = apply(path)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
+  }
+
+  /** Names of the direct children of `dir` (empty if absent). */
+  def list(dir: String): Seq[String] = {
+    val (fs, p) = apply(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+  }
+
+  /** All file paths under `dir`, recursively, with their sizes. */
+  def walkFiles(dir: String): Seq[(Path, Long)] = {
+    val (fs, p) = apply(dir)
+    if (!fs.exists(p)) Nil
+    else {
+      val it = fs.listFiles(p, /* recursive = */ true)
+      val buf = Vector.newBuilder[(Path, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        buf += ((st.getPath, st.getLen))
+      }
+      buf.result()
+    }
+  }
+
+  def delete(path: String, recursive: Boolean = false): Boolean = {
+    val (fs, p) = apply(path)
+    fs.delete(p, recursive)
+  }
+
+  def rename(src: String, dst: String): Boolean = {
+    val (fs, s) = apply(src)
+    fs.rename(s, new Path(dst))
+  }
+
+  def mkdirs(path: String): Unit = {
+    val (fs, p) = apply(path)
+    fs.mkdirs(p)
+    ()
+  }
+}

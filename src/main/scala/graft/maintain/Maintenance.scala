@@ -1,9 +1,6 @@
 package graft.maintain
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
+import graft.core.Fs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table maintenance: compaction, vacuum and snapshot versioning —
@@ -11,9 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * time-travel surface (SURVEY.md §2.2 K3/K4 and §2.1 S7;
   * reference `writer/delta_writer.py:234-282`,
   * `specs/001-mongodb-cdc-delta/research.md:604-615`) without Delta:
-  * snapshots are versioned directories `v=N` plus an atomically-swapped
-  * `_latest` pointer, giving read-committed version/"as-of" reads over
-  * plain parquet.
+  * snapshots are versioned directories `v=N` plus an append-only
+  * `_snaplog` of (version, commit-timestamp) entries, giving
+  * read-committed version AND timestamp "as-of" reads over plain
+  * parquet. All metadata IO goes through the Hadoop FileSystem API
+  * ([[graft.core.Fs]]) so maintenance runs on file://, hdfs:// and
+  * s3a:// — no local-disk assumptions.
   */
 object Maintenance {
 
@@ -23,46 +23,22 @@ object Maintenance {
   def compact(spark: SparkSession, dir: String,
       targetFileMB: Int = 128): (Long, Long) = {
     requireNotCdcTable(dir, "compact")
-    val dataDir = Paths.get(dir, "data")
-    def parquetFiles = {
-      val st = Files.walk(dataDir)
-      try st.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet")).toVector
-      finally st.close()
-    }
+    val dataDir = s"$dir/data"
+    def parquetFiles = Fs.walkFiles(dataDir)
+      .filter(_._1.getName.endsWith(".parquet"))
     val before = parquetFiles
-    val totalBytes = before.map(Files.size).sum
+    val totalBytes = before.map(_._2).sum
     val nFiles = math.max(1,
       (totalBytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
-    val df = spark.read.parquet(dataDir.toString)
-    val tmp = Paths.get(dir, "data_compact_tmp")
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    val df = spark.read.parquet(dataDir)
+    val tmp = s"$dir/data_compact_tmp"
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
     // swap: data -> trash, tmp -> data (single-writer maintenance job)
-    val trash = Paths.get(dir, s"data_old_${System.nanoTime()}")
-    Files.move(dataDir, trash)
-    Files.move(tmp, dataDir)
-    deleteRecursively(trash)
+    val trash = s"$dir/data_old_${System.nanoTime()}"
+    Fs.rename(dataDir, trash)
+    Fs.rename(tmp, dataDir)
+    Fs.delete(trash, recursive = true)
     (before.size.toLong, parquetFiles.size.toLong)
-  }
-
-  /** compact/zorderBy rewrite `<dir>/data` flat — applied to a
-    * CdcTable that would flatten the `data/sv=N` schema generations
-    * while `_graft_version` still points at them, breaking every later
-    * CdcTable.read (and potentially mixing parquet physical types in
-    * one directory). Those tables compact via
-    * [[graft.sink.CdcTable.compactToCurrentState]] instead. */
-  private def requireNotCdcTable(dir: String, op: String): Unit =
-    require(!Files.exists(Paths.get(dir, "_graft_version")),
-      s"$op: $dir is a CdcTable (schema generations under data/sv=N); " +
-        "use CdcTable.compactToCurrentState instead")
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val st = Files.list(p)
-      val children = try st.iterator().asScala.toVector finally st.close()
-      children.foreach(deleteRecursively)
-    }
-    Files.deleteIfExists(p)
   }
 
   /** Z-ORDER clustering rewrite (reference `research.md:208`
@@ -79,8 +55,8 @@ object Maintenance {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size <= 4, "1..4 z-order columns")
     requireNotCdcTable(dir, "zorderBy")
-    val dataDir = Paths.get(dir, "data")
-    val df = spark.read.parquet(dataDir.toString)
+    val dataDir = s"$dir/data"
+    val df = spark.read.parquet(dataDir)
     val bits = 5 // 32 quantile buckets per column
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
@@ -103,17 +79,29 @@ object Maintenance {
     val total = tableStats(dir).totalBytes
     val nFiles = numFiles.getOrElse(math.max(1,
       (total / (targetFileMB.toLong * 1024 * 1024)).toInt))
-    val tmp = Paths.get(dir, "data_zorder_tmp")
+    val tmp = s"$dir/data_zorder_tmp"
     ranked.withColumn("_z", expr(zExpr))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop((cols.indices.map(i => s"_rank$i") :+ "_z"): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val trash = Paths.get(dir, s"data_old_${System.nanoTime()}")
-    Files.move(dataDir, trash)
-    Files.move(tmp, dataDir)
-    deleteRecursively(trash)
+      .write.mode("overwrite").parquet(tmp)
+    val trash = s"$dir/data_old_${System.nanoTime()}"
+    Fs.rename(dataDir, trash)
+    Fs.rename(tmp, dataDir)
+    Fs.delete(trash, recursive = true)
+    ()
   }
+
+  /** compact/zorderBy rewrite `<dir>/data` flat — applied to a
+    * CdcTable that would orphan every manifest-referenced file while
+    * the commit log still points at them, breaking every later
+    * CdcTable.read. Those tables compact via
+    * [[graft.sink.CdcTable.compactToCurrentState]] instead. */
+  private def requireNotCdcTable(dir: String, op: String): Unit =
+    require(!Fs.exists(s"$dir/_graft_log") &&
+        !Fs.exists(s"$dir/_graft_version"),
+      s"$op: $dir is a CdcTable (manifest-committed data files); " +
+        "use CdcTable.compactToCurrentState instead")
 
   /** Storage statistics for a table directory (SURVEY.md §2.6 A5;
     * reference `storage/minio_client.py:254-290` object stats and
@@ -121,47 +109,64 @@ object Maintenance {
   final case class TableStats(numFiles: Long, totalBytes: Long)
 
   def tableStats(dir: String): TableStats = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) return TableStats(0, 0)
-    val st = Files.walk(root)
-    val files = try st.iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet")).toVector
-      finally st.close()
-    TableStats(files.size.toLong, files.map(Files.size).sum)
+    val files = Fs.walkFiles(dir)
+      .filter(_._1.getName.endsWith(".parquet"))
+    TableStats(files.size.toLong, files.map(_._2).sum)
   }
 
   // ------------------------------------------------------------------
-  // Snapshot store: poor-man's time travel over parquet
+  // Snapshot store: time travel over parquet (version + timestamp)
   // ------------------------------------------------------------------
 
-  private def latestPath(dir: String) = Paths.get(dir, "_latest")
+  private def snapLogDir(dir: String) = s"$dir/_snaplog"
+  private def snapPath(dir: String, v: Long) =
+    f"${snapLogDir(dir)}/$v%020d.snap"
 
-  def latestVersion(dir: String): Option[Long] = {
-    val p = latestPath(dir)
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .trim.toLong)
-    else None
-  }
+  /** (version, commitTs) entries in version order. */
+  def snapshotLog(dir: String): Seq[(Long, Long)] =
+    Fs.list(snapLogDir(dir))
+      .filter(_.endsWith(".snap")).sorted
+      .flatMap { n =>
+        val v = n.stripSuffix(".snap").toLong
+        Fs.readString(s"${snapLogDir(dir)}/$n")
+          .map(c => v -> c.trim.stripPrefix("ts=").toLong)
+      }
 
-  /** Write a new snapshot version; readers only see it after the
-    * `_latest` pointer swaps (atomic move). Returns the new version. */
-  def writeSnapshot(df: DataFrame, dir: String): Long = {
+  def latestVersion(dir: String): Option[Long] =
+    snapshotLog(dir).lastOption.map(_._1)
+
+  /** Write a new snapshot version; readers only see it after its
+    * `_snaplog` entry commits (atomic create-exclusive — the data dir
+    * alone is invisible). Returns the new version. `tsMillis`
+    * overrides the recorded commit timestamp (tests / backfills). */
+  def writeSnapshot(df: DataFrame, dir: String,
+      tsMillis: Option[Long] = None): Long = {
     val v = latestVersion(dir).getOrElse(-1L) + 1
     df.write.mode("overwrite").parquet(s"$dir/v=$v")
-    Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, "._latest.tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, latestPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val ts = tsMillis.getOrElse(System.currentTimeMillis())
+    require(Fs.createExclusive(snapPath(dir, v), s"ts=$ts"),
+      s"snapshot $v already committed at $dir — concurrent writers?")
     v
   }
 
-  /** Read the latest snapshot, or `versionAsOf` (time travel). */
+  /** Read the latest snapshot, `versionAsOf`, or `timestampAsOf` (the
+    * newest version whose commit timestamp is ≤ the given millis —
+    * reference research.md:604-615 specifies both travel modes). */
   def readSnapshot(spark: SparkSession, dir: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val v = versionAsOf.orElse(latestVersion(dir)).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $dir"))
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    val v = versionAsOf
+      .orElse(timestampAsOf.map { ts =>
+        val log = snapshotLog(dir)
+        log.filter(_._2 <= ts).lastOption.map(_._1).getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot at or before ts=$ts in $dir " +
+              s"(earliest is ${log.headOption.map(_._2)})"))
+      })
+      .orElse(latestVersion(dir))
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $dir"))
     spark.read.parquet(s"$dir/v=$v")
   }
 
@@ -169,15 +174,12 @@ object Maintenance {
     * reference delta_writer.py:268-282, default retention semantics).
     * Returns removed versions. */
   def vacuum(dir: String, keep: Int = 2): Seq[Long] = {
-    val latest = latestVersion(dir).getOrElse(return Nil)
-    val st = Files.list(Paths.get(dir))
-    val versions = try st.iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
-      .toVector.sorted
-      finally st.close()
-    val toDrop = versions.filter(_ <= latest).dropRight(keep)
-    toDrop.foreach(v => deleteRecursively(Paths.get(dir, s"v=$v")))
+    val versions = snapshotLog(dir).map(_._1)
+    val toDrop = versions.dropRight(keep)
+    toDrop.foreach { v =>
+      Fs.delete(s"$dir/v=$v", recursive = true)
+      Fs.delete(snapPath(dir, v))
+    }
     toDrop
   }
 }

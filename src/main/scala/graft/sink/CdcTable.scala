@@ -1,82 +1,151 @@
 package graft.sink
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.util.UUID
 
-import graft.core.SchemaMerge
+import graft.core.{Fs, SchemaMerge}
 import graft.core.SchemaMerge.MergeMode
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** A parquet-backed CDC table with schema evolution: the engine's
-  * stand-in for the reference's Delta sink (`writer/delta_writer.py:
-  * 55-201`) in this Delta-less environment — same contract:
-  * append-only event log, partitioned by `_ingestion_date`, schema
-  * merged (widened) on every batch, version counter bumped on change.
+/** A parquet-backed CDC table with schema evolution and ATOMIC commits:
+  * the engine's stand-in for the reference's Delta sink
+  * (`writer/delta_writer.py:55-201`, ACID via the Delta log
+  * `delta_writer.py:129-140`) in this Delta-less environment — same
+  * contract: append-only event log, partitioned by `_ingestion_date`,
+  * schema merged (widened) on every batch, version bumped on change.
   *
-  * Layout (schema generations):
+  * Layout (manifest commit log):
   *
-  *   <dir>/data/sv=N/...          parquet written under schema vN
-  *                                (partitioned by `_ingestion_date`)
-  *   <dir>/_graft_schema_vN.json  schema of generation N
-  *   <dir>/_graft_version         current generation (atomic swap)
+  *   <dir>/data/batch-<uuid>/...   parquet files of one committed batch
+  *                                 (partitioned by `_ingestion_date`)
+  *   <dir>/_graft_log/<n>.commit   one atomically-created manifest per
+  *                                 commit: schema + the exact file list
+  *                                 + txn coords + timestamp
   *
-  * Every incoming batch is cast to the merged schema BEFORE the write
-  * (SchemaMerge.castTo), so each generation directory is internally
-  * consistent; widening changes (int64→double …) open a NEW generation
-  * instead of mixing parquet physical types in one directory — Spark's
-  * parquet reader refuses cross-type reads, and this is also how the
-  * read path stays scan-only at 100 TB: each generation is scanned
-  * under its own schema and unioned with a cast projection, no file
-  * rewrite ever happens on schema change (zero-downtime evolution,
-  * reference SC-007 `spec.md:336`).
+  * A batch is VISIBLE only once its manifest commits — data files are
+  * staged first under a fresh `batch-<uuid>` directory and referenced
+  * by the manifest, so a crash anywhere before the manifest leaves
+  * only unreferenced orphans (cleaned by [[vacuumOrphans]]) and a
+  * replay cannot duplicate rows: the manifest IS the txn marker
+  * (single atomic create-exclusive file, no data-then-marker window).
+  * All metadata IO goes through the Hadoop FileSystem API
+  * ([[graft.core.Fs]]) so the sink runs on file://, hdfs:// and s3a://.
+  *
+  * Schema generations: every commit records its full schema and a
+  * schema version `sv`; widening changes (int64→double …) bump `sv`
+  * instead of mixing parquet physical types in one scan — Spark's
+  * parquet reader refuses cross-type reads — and the read path stays
+  * scan-only at 100 TB: each generation is scanned under its own
+  * schema and unioned with a cast projection, no file rewrite ever
+  * happens on schema change (zero-downtime evolution, reference SC-007
+  * `spec.md:336`).
   */
 object CdcTable {
 
-  private def versionPath(dir: String) = Paths.get(dir, "_graft_version")
-  private def schemaPath(dir: String, v: Long) =
-    Paths.get(dir, s"_graft_schema_v$v.json")
+  /** One committed manifest. `files` are dir-relative. */
+  final case class Commit(
+      commit: Long,
+      schemaVersion: Long,
+      action: String, // "append" | "replace"
+      ts: Long,
+      txn: Option[(String, Long)],
+      schema: StructType,
+      files: Seq[String])
 
-  def currentVersion(dir: String): Long = {
-    val p = versionPath(dir)
-    if (Files.exists(p))
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    else 0L
+  private def logDir(dir: String) = s"$dir/_graft_log"
+  private def commitPath(dir: String, n: Long) =
+    f"${logDir(dir)}/$n%020d.commit"
+
+  private def render(c: Commit): String = {
+    val head = Seq(
+      s"commit=${c.commit}", s"sv=${c.schemaVersion}",
+      s"action=${c.action}", s"ts=${c.ts}") ++
+      c.txn.toSeq.flatMap { case (a, v) =>
+        Seq(s"txnApp=$a", s"txnVer=$v") } ++
+      Seq(s"schema=${c.schema.json}") ++
+      c.files.map(f => s"file=$f")
+    head.mkString("\n")
   }
 
-  def schemaOf(dir: String, v: Long): Option[StructType] = {
-    val p = schemaPath(dir, v)
-    if (Files.exists(p))
-      Some(DataType.fromJson(new String(Files.readAllBytes(p),
-        StandardCharsets.UTF_8)).asInstanceOf[StructType])
-    else None
+  private def parse(content: String): Commit = {
+    val kv = content.linesIterator.toSeq.flatMap { line =>
+      val i = line.indexOf('=')
+      if (i < 0) None else Some(line.substring(0, i) -> line.substring(i + 1))
+    }
+    def one(k: String) = kv.collectFirst { case (`k`, v) => v }
+    Commit(
+      commit = one("commit").get.toLong,
+      schemaVersion = one("sv").get.toLong,
+      action = one("action").getOrElse("append"),
+      ts = one("ts").map(_.toLong).getOrElse(0L),
+      txn = for (a <- one("txnApp"); v <- one("txnVer"))
+        yield (a, v.toLong),
+      schema = DataType.fromJson(one("schema").get)
+        .asInstanceOf[StructType],
+      files = kv.collect { case ("file", f) => f })
   }
 
-  def currentSchema(dir: String): Option[StructType] = {
-    val v = currentVersion(dir)
-    if (v == 0) None else schemaOf(dir, v)
+  /** The committed log, in commit order. */
+  def log(dir: String): Seq[Commit] =
+    Fs.list(logDir(dir))
+      .filter(_.endsWith(".commit")).sorted
+      .flatMap(n => Fs.readString(s"${logDir(dir)}/$n").map(parse))
+
+  /** Commits contributing to the current state: everything from the
+    * last `replace` (compaction rewrites the whole table) onward. */
+  private def effective(commits: Seq[Commit]): Seq[Commit] = {
+    val i = commits.lastIndexWhere(_.action == "replace")
+    if (i < 0) commits else commits.drop(i)
   }
 
-  private def txnPath(dir: String) = Paths.get(dir, "_graft_txn")
+  /** Current schema-generation version (0 = no table yet). */
+  def currentVersion(dir: String): Long =
+    log(dir).lastOption.map(_.schemaVersion).getOrElse(0L)
+
+  def currentSchema(dir: String): Option[StructType] =
+    log(dir).lastOption.map(_.schema)
+
+  /** Schema of generation `v` (as of its last commit). */
+  def schemaOf(dir: String, v: Long): Option[StructType] =
+    log(dir).filter(_.schemaVersion == v).lastOption.map(_.schema)
 
   /** Last committed (appId, version) for idempotent replays. */
-  def lastTxn(dir: String): Option[(String, Long)] = {
-    val p = txnPath(dir)
-    if (!Files.exists(p)) None
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .trim.split(':') match {
-      case Array(app, v) => Some((app, v.toLong))
-      case _ => None
+  def lastTxn(dir: String): Option[(String, Long)] =
+    log(dir).flatMap(_.txn).lastOption
+
+  /** All generation schemas in order (history — reference
+    * schema_manager version tracking `schema_manager.py:106-148`). */
+  def schemaHistory(dir: String): Seq[(Long, StructType)] =
+    log(dir).map(c => c.schemaVersion -> c.schema)
+      .foldLeft(Vector.empty[(Long, StructType)]) { (acc, p) =>
+        if (acc.exists(_._1 == p._1)) acc else acc :+ p
+      }
+
+  /** Atomically add a manifest; retries the commit id on a lost race
+    * (single-writer by contract, but a replayed batch after a crash
+    * can observe its own half-finished predecessor). */
+  private def commit(dir: String, mk: Long => Commit): Commit = {
+    var attempts = 0
+    while (attempts < 5) {
+      val next = log(dir).lastOption.map(_.commit + 1).getOrElse(1L)
+      val c = mk(next)
+      if (Fs.createExclusive(commitPath(dir, next), render(c))) return c
+      attempts += 1
     }
+    throw new IllegalStateException(
+      s"could not commit to $dir after 5 attempts — concurrent writers?")
   }
 
-  private def commitTxn(dir: String, appId: String, version: Long): Unit = {
-    val tmp = Paths.get(dir, "._graft_txn.tmp")
-    Files.write(tmp, s"$appId:$version".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, txnPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Enumerate the parquet files of a staged batch, dir-relative. */
+  private def stagedFiles(dir: String, batchDir: String): Seq[String] =
+    Fs.walkFiles(batchDir)
+      .map(_._1.toString)
+      .filter(_.endsWith(".parquet"))
+      .map { abs =>
+        val marker = abs.indexOf("/data/batch-")
+        require(marker >= 0, s"staged file outside data dir: $abs")
+        abs.substring(marker + 1)
+      }
 
   /** Append a batch, merging schemas under `mode`. A schema change
     * opens a new generation. Returns the schema version after the
@@ -87,114 +156,122 @@ object CdcTable {
     * foreachBatch exactly-once pattern (Delta's txnAppId/txnVersion;
     * the reference tracks `_kafka_offset` for the same purpose,
     * `schema_inferrer.py:488`): a batch whose version was already
-    * committed for this appId is skipped. The txn marker is written
-    * after the data, so the guarantee is idempotent-replay (retries of
-    * an uncommitted batch may duplicate if the process dies between
-    * data write and marker — parquet has no atomic multi-file txn;
-    * Delta closes that gap with its log). */
+    * committed for this appId is skipped, and because the manifest IS
+    * the commit point, a crash between the data write and the
+    * manifest leaves only invisible orphan files — the replay appends
+    * exactly once (no duplicate window, matching the Delta guarantee). */
   def append(batch: DataFrame, dir: String, mode: MergeMode = SchemaMerge.Auto,
       partitionBy: Seq[String] = Seq("_ingestion_date"),
       txn: Option[(String, Long)] = None): Long = {
+    val commits = log(dir)
     txn.foreach { case (app, v) =>
-      lastTxn(dir) match {
-        case Some((lastApp, lastV)) if lastApp == app && lastV >= v =>
-          return currentVersion(dir) // replayed batch — skip
-        case _ => ()
-      }
+      val committed = commits.flatMap(_.txn)
+        .filter(_._1 == app).map(_._2)
+      if (committed.nonEmpty && committed.max >= v)
+        return commits.last.schemaVersion // replayed batch — skip
     }
-    val existing = currentSchema(dir)
+    val existing = commits.lastOption.map(_.schema)
     val merged = existing match {
       case Some(e) => SchemaMerge.merge(e, batch.schema, mode)
       case None => batch.schema
     }
-    val v = if (existing.contains(merged)) currentVersion(dir)
-      else {
-        val nv = currentVersion(dir) + 1
-        Files.createDirectories(Paths.get(dir))
-        val tmp = Paths.get(dir, s"._graft_schema_v$nv.json.tmp")
-        Files.write(tmp, merged.json.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, schemaPath(dir, nv), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        nv
-      }
+    val sv =
+      if (existing.contains(merged)) commits.last.schemaVersion
+      else commits.lastOption.map(_.schemaVersion + 1).getOrElse(1L)
     val out = SchemaMerge.castTo(batch, merged)
-    val writer = out.write.mode("append")
+    val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
+    val writer = out.write.mode("overwrite")
     val partCols = partitionBy.filter(merged.fieldNames.contains)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(s"$dir/data/sv=$v")
-    if (v != currentVersion(dir)) {
-      val tv = Paths.get(dir, "._graft_version.tmp")
-      Files.write(tv, v.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tv, versionPath(dir), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    txn.foreach { case (app, ver) => commitTxn(dir, app, ver) }
-    v
+      .parquet(batchDir)
+    commit(dir, n => Commit(n, sv, "append",
+      System.currentTimeMillis(), txn, merged, stagedFiles(dir, batchDir)))
+    sv
   }
 
   /** Read the table under its current merged schema: one scan per
-    * schema generation, each cast to the current schema and unioned.
-    * Older generations are typically few (schema churn is rare), so
-    * this stays a handful of parallel scans. */
+    * schema generation over exactly the committed file lists, each
+    * cast to the current schema and unioned. Older generations are
+    * typically few (schema churn is rare), so this stays a handful of
+    * parallel scans. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val cur = currentVersion(dir)
-    require(cur > 0, s"no CdcTable at $dir")
-    val target = schemaOf(dir, cur).get
-    val gens = (1L to cur).flatMap { v =>
-      val p = Paths.get(dir, "data", s"sv=$v")
-      schemaOf(dir, v).filter(_ => Files.exists(p)).map { s =>
-        SchemaMerge.castTo(spark.read.schema(s).parquet(p.toString), target)
+    val commits = effective(log(dir))
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val target = commits.last.schema
+    val basePath = s"$dir/data"
+    val gens = commits.groupBy(_.schemaVersion).toSeq.sortBy(_._1)
+      .flatMap { case (sv, cs) =>
+        val files = cs.flatMap(_.files).map(f => s"$dir/$f")
+        if (files.isEmpty) None
+        else Some(SchemaMerge.castTo(
+          spark.read.option("basePath", basePath)
+            .schema(cs.last.schema) // one schema per generation
+            .parquet(files: _*),
+          target))
       }
-    }
-    gens.reduce(_ unionByName _)
+    if (gens.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        target)
+    else gens.reduce(_ unionByName _)
   }
-
-  /** All generation schemas (history — reference schema_manager
-    * version tracking `writer/schema_manager.py:106-148`). */
-  def schemaHistory(dir: String): Seq[(Long, StructType)] =
-    (1L to currentVersion(dir)).flatMap(v => schemaOf(dir, v).map(v -> _))
 
   /** Upsert-mode compaction (the reference's declared `upsert` write
     * mode, `config.py:47`, which it never implements; SURVEY.md §7
     * step 5): collapse the append-only event log to its current state
-    * — latest event per key wins, soft deletes drop out — and rewrite
-    * as a single fresh generation under the current schema. Run
-    * periodically (like OPTIMIZE); readers see merge-on-read current
-    * state via [[graft.query.CurrentState]] between compactions. */
+    * — latest event per key wins, soft deletes drop out — and commit
+    * it as a `replace` manifest (a new generation superseding all
+    * prior commits; their files become vacuumable orphans). Readers
+    * see merge-on-read current state via [[graft.query.CurrentState]]
+    * between compactions. */
   def compactToCurrentState(spark: SparkSession, dir: String,
       idCol: String = "_id"): Long = {
-    import java.nio.file.StandardCopyOption
-    val cur = currentVersion(dir)
-    require(cur > 0, s"no CdcTable at $dir")
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val cur = commits.last.schemaVersion
+    val schema = commits.last.schema
     val state = graft.query.CurrentState(read(spark, dir), idCol)
-    val tmp = Paths.get(dir, "data_upsert_tmp")
-    state.write.mode("overwrite").parquet(tmp.toString)
+    val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
+    SchemaMerge.castTo(state, schema).write.mode("overwrite")
+      .parquet(batchDir)
     val nv = cur + 1
-    val ts = Paths.get(dir, s"._graft_schema_v$nv.json.tmp")
-    Files.write(ts, schemaOf(dir, cur).get.json
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(ts, schemaPath(dir, nv), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // swap: all old generations out, compacted state in as sv=nv
-    val dataDir = Paths.get(dir, "data")
-    val trash = Paths.get(dir, s"data_old_${System.nanoTime()}")
-    Files.move(dataDir, trash)
-    Files.createDirectories(dataDir)
-    Files.move(tmp, dataDir.resolve(s"sv=$nv"))
-    val tv = Paths.get(dir, "._graft_version.tmp")
-    Files.write(tv, nv.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tv, versionPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    deleteRecursively(trash)
+    commit(dir, n => Commit(n, nv, "replace",
+      System.currentTimeMillis(), None, schema,
+      stagedFiles(dir, batchDir)))
     nv
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val st = Files.list(p)
-      val children = try st.iterator().asScala.toVector finally st.close()
-      children.foreach(deleteRecursively)
+  /** Delete data files no manifest references — crash leftovers and
+    * pre-compaction generations — once older than `retainMillis`
+    * (grace period for in-flight readers of a superseded snapshot,
+    * Delta VACUUM semantics, reference delta_writer.py:268-282).
+    * Returns the deleted paths. */
+  def vacuumOrphans(dir: String, retainMillis: Long = 7L * 24 * 3600 * 1000)
+      : Seq[String] = {
+    val commits = log(dir)
+    if (commits.isEmpty) return Nil
+    val referenced = effective(commits).flatMap(_.files)
+      .map(f => s"$dir/$f").toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val (fs, dataP) = Fs(s"$dir/data")
+    if (!fs.exists(dataP)) return Nil
+    val it = fs.listFiles(dataP, true)
+    val deleted = Vector.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      val matches = referenced.contains(p) ||
+        referenced.contains(st.getPath.toString)
+      if (!matches && st.getModificationTime < cutoff &&
+          (p.endsWith(".parquet") || st.getPath.getName.startsWith("_"))) {
+        fs.delete(st.getPath, false)
+        deleted += p
+      }
     }
-    Files.deleteIfExists(p)
+    // drop batch dirs left empty
+    fs.listStatus(dataP).foreach { d =>
+      if (d.isDirectory && fs.listStatus(d.getPath).isEmpty)
+        fs.delete(d.getPath, false)
+    }
+    deleted.result()
   }
 }

@@ -172,6 +172,51 @@ class CdcPipelineSpec extends SparkSpec {
     assert(CdcTable.read(spark, s"$base/testdb_users").count() == 2)
   }
 
+  test("crash between data write and manifest commit cannot duplicate") {
+    val base = tmpDir("cdccrash")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptcrash"))
+    val b = Seq(env("c", "c1", "\"{\\\"_id\\\":\\\"c1\\\",\\\"x\\\":1}\"",
+      null, t0)).toDF("value")
+    CdcIngest.processBatch(b, cfg, batchId = Some(0L))
+    val dir = s"$base/testdb_users"
+    assert(CdcTable.read(spark, dir).count() == 1)
+    // simulate a writer that died AFTER staging data files but BEFORE
+    // the manifest commit: files exist, no manifest references them
+    spark.range(5).toDF("x").write
+      .parquet(s"$dir/data/batch-simulated-crash")
+    assert(CdcTable.read(spark, dir).count() == 1,
+      "unreferenced staged files must be invisible")
+    // the stream replays the same batch after the crash: exactly once
+    CdcIngest.processBatch(b, cfg, batchId = Some(0L))
+    assert(CdcTable.read(spark, dir).count() == 1)
+    // orphan cleanup removes the dead files, never committed ones
+    val removed = CdcTable.vacuumOrphans(dir, retainMillis = 0L)
+    assert(removed.exists(_.contains("batch-simulated-crash")))
+    assert(CdcTable.read(spark, dir).count() == 1)
+    // genuine next batch still appends
+    CdcIngest.processBatch(Seq(env("c", "c2",
+      "\"{\\\"_id\\\":\\\"c2\\\",\\\"x\\\":2}\"", null, t0 + 1))
+      .toDF("value"), cfg, batchId = Some(1L))
+    assert(CdcTable.read(spark, dir).count() == 2)
+  }
+
+  test("compaction makes prior generations vacuumable orphans") {
+    val base = tmpDir("cdcvac")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptvac"))
+    def d(id: String, x: Int) =
+      s"""\"{\\\"_id\\\":\\\"$id\\\",\\\"x\\\":$x}\""""
+    CdcIngest.processBatch(Seq(
+      env("c", "v1", d("v1", 1), null, t0),
+      env("u", "v1", d("v1", 2), null, t0 + 1)).toDF("value"), cfg)
+    val dir = s"$base/testdb_users"
+    CdcTable.compactToCurrentState(spark, dir)
+    val removed = CdcTable.vacuumOrphans(dir, retainMillis = 0L)
+    assert(removed.nonEmpty, "pre-compaction files become orphans")
+    val after = CdcTable.read(spark, dir)
+    assert(after.count() == 1)
+    assert(after.select("x").as[Long].collect().head == 2L)
+  }
+
   test("schema evolution across batches: new field + int->double widening") {
     val base = tmpDir("cdcevo")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckpt2"))

@@ -50,6 +50,27 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.zorderBy(spark, dir, Seq("n")))
   }
 
+  test("timestamp time travel resolves the newest version <= ts") {
+    val dir = tmpDir("snapts")
+    assert(Maintenance.writeSnapshot((1 to 3).toDF("n"), dir,
+      tsMillis = Some(1000L)) == 0L)
+    assert(Maintenance.writeSnapshot((1 to 5).toDF("n"), dir,
+      tsMillis = Some(2000L)) == 1L)
+    assert(Maintenance.writeSnapshot((1 to 7).toDF("n"), dir,
+      tsMillis = Some(3000L)) == 2L)
+    def at(ts: Long) = Maintenance.readSnapshot(spark, dir,
+      timestampAsOf = Some(ts)).count()
+    assert(at(1000L) == 3 && at(2500L) == 5 && at(3000L) == 7
+      && at(9999L) == 7)
+    intercept[IllegalArgumentException] {
+      Maintenance.readSnapshot(spark, dir, timestampAsOf = Some(999L))
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.readSnapshot(spark, dir, versionAsOf = Some(1L),
+        timestampAsOf = Some(2000L))
+    }
+  }
+
   test("snapshot versions + time travel + vacuum") {
     val dir = tmpDir("snap")
     assert(Maintenance.writeSnapshot((1 to 3).toDF("n"), dir) == 0L)
