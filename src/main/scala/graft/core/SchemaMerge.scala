@@ -36,6 +36,13 @@ object SchemaMerge {
   case object Strict extends MergeMode
   /** Widen when possible, always fall back to string, never raise. */
   case object Permissive extends MergeMode
+  /** Like Auto, but when the EXISTING side is typed (date/timestamp/
+    * numeric/boolean) and the incoming side is string, KEEP the typed
+    * column and attempt per-VALUE conversion of the incoming strings —
+    * rows that fail convert go to the DLQ instead of degrading the
+    * whole column to string (the reference's third conflict policy,
+    * spec.md:297-300). Value-level split is [[coerceSplit]]. */
+  case object Coercion extends MergeMode
 
   final case class SchemaConflictException(field: String, a: DataType,
       b: DataType) extends RuntimeException(
@@ -73,10 +80,49 @@ object SchemaMerge {
     case (ArrayType(ea, na), ArrayType(eb, nb)) =>
       ArrayType(mergeTypes(ea, eb, mode, s"$path[]"), na || nb)
     case (sa: StructType, sb: StructType) => mergeStructs(sa, sb, mode, path)
+    // Coercion: typed existing column + string incoming → keep the
+    // typed column; incoming values convert (or DLQ) per row. The
+    // mirrored (string existing, typed incoming) stays string — data
+    // already on disk cannot be retyped without a rewrite.
+    case (x, StringType) if mode == Coercion && isCoercionTarget(x) => x
     case (x, y) => mode match {
       case Strict => throw SchemaConflictException(path, x, y)
       case _ => StringType // incompatible → string fallback
     }
+  }
+
+  /** Types worth attempting a string→T value conversion for. */
+  private def isCoercionTarget(t: DataType): Boolean = t match {
+    case DateType | TimestampType | TimestampNTZType | BooleanType => true
+    case _: DecimalType => true
+    case n if numericOrder.contains(n) => true
+    case _ => false
+  }
+
+  /** Value-level split for [[Coercion]] mode: rows of `df` whose
+    * string values all convert to `target`'s typed columns (cast
+    * applied), and the rows where at least one NON-NULL string fails
+    * to convert (kept under the ORIGINAL schema for DLQ routing).
+    * Conversion uses `try_cast`, so it never raises under ANSI. */
+  def coerceSplit(df: DataFrame, target: StructType)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val source = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val coerced = target.fields.filter { f =>
+      source.get(f.name).contains(StringType) && f.dataType != StringType }
+    if (coerced.isEmpty) return (castTo(df, target), df.limit(0))
+    val bad = coerced.map(f =>
+        col(f.name).isNotNull &&
+          expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").isNull)
+      .reduce(_ || _)
+    val good = df.filter(!bad)
+    val cols = target.fields.map { f =>
+      if (coerced.exists(_.name == f.name))
+        expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)
+      else if (source.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    (good.select(cols.toIndexedSeq: _*), df.filter(bad))
   }
 
   private def mergeStructs(a: StructType, b: StructType, mode: MergeMode,

@@ -126,14 +126,14 @@ object CdcTable {
     * can observe its own half-finished predecessor). */
   private def commit(dir: String, mk: Long => Commit): Commit = {
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < 20) {
       val next = log(dir).lastOption.map(_.commit + 1).getOrElse(1L)
       val c = mk(next)
       if (Fs.createExclusive(commitPath(dir, next), render(c))) return c
-      attempts += 1
+      attempts += 1 // lost a commit race (e.g. parallel DLQ appends)
     }
     throw new IllegalStateException(
-      s"could not commit to $dir after 5 attempts — concurrent writers?")
+      s"could not commit to $dir after 20 attempts — concurrent writers?")
   }
 
   /** Enumerate the parquet files of a staged batch, dir-relative. */
@@ -224,16 +224,21 @@ object CdcTable {
     * see merge-on-read current state via [[graft.query.CurrentState]]
     * between compactions. */
   def compactToCurrentState(spark: SparkSession, dir: String,
-      idCol: String = "_id"): Long = {
+      idCol: String = "_id"): Long =
+    replaceWith(spark, dir, graft.query.CurrentState(read(spark, dir), idCol))
+
+  /** Atomically rewrite the table's whole content as one `replace`
+    * manifest under the current schema (superseded files become
+    * vacuumable orphans). The rewrite primitive behind upsert
+    * compaction and DLQ replay resolution. */
+  def replaceWith(spark: SparkSession, dir: String, df: DataFrame): Long = {
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
-    val cur = commits.last.schemaVersion
     val schema = commits.last.schema
-    val state = graft.query.CurrentState(read(spark, dir), idCol)
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
-    SchemaMerge.castTo(state, schema).write.mode("overwrite")
+    SchemaMerge.castTo(df, schema).write.mode("overwrite")
       .parquet(batchDir)
-    val nv = cur + 1
+    val nv = commits.last.schemaVersion + 1
     commit(dir, n => Commit(n, nv, "replace",
       System.currentTimeMillis(), None, schema,
       stagedFiles(dir, batchDir)))

@@ -73,26 +73,65 @@ object CdcIngest {
     finally { all.unpersist(); () }
   }
 
+  /** Standard DLQ row shape (reference `dlq_writer.py:24-57`):
+    * original event + reason + per-reason error detail + retry_count +
+    * a stable `dlq_id` for replay resolution + source coords. */
+  private def dlqProjection(flagged: DataFrame): DataFrame = {
+    import graft.ingest.CdcNormalize.DlqReason
+    val original = col("value").cast("string")
+    flagged.select(
+      original.as("original_value"),
+      col("_dlq_reason").as("reason"),
+      when(col("_dlq_reason") === DlqReason.UnknownOp,
+        col("_envelope.payload.op"))
+        .when(col("_dlq_reason") === DlqReason.Oversized,
+          octet_length(col("_doc")).cast("string"))
+        .when(col("_dlq_reason") === DlqReason.Stale,
+          col("_cdc_timestamp").cast("string"))
+        .as("error_detail"),
+      coalesce(col("retry_count"), lit(0)).as("retry_count"),
+      coalesce(col("dlq_id"), md5(concat_ws("|",
+        coalesce(original, lit("")),
+        coalesce(col("_kafka_topic"), lit("")),
+        coalesce(col("_kafka_partition").cast("string"), lit("")),
+        coalesce(col("_kafka_offset").cast("string"), lit("")),
+        col("_dlq_reason")))).as("dlq_id"),
+      col("_kafka_topic"), col("_kafka_partition"), col("_kafka_offset"),
+      col("_ingestion_timestamp"), col("_ingestion_date"))
+  }
+
+  /** Null passenger columns for frames that don't carry replay state. */
+  private def withReplayCols(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    val d = if (cols("dlq_id")) df
+      else df.withColumn("dlq_id", lit(null).cast("string"))
+    if (cols("retry_count")) d
+    else d.withColumn("retry_count", lit(null).cast("int"))
+  }
+
   private def processNormalized(valid: DataFrame, dlqAll: DataFrame,
       cfg: Config, batchId: Option[Long]): Unit = {
     // appId scoped to the checkpoint: replays of a committed batchId
     // become idempotent no-ops per table (T2 exactly-once).
     val txnOf: Long => Option[(String, Long)] =
       v => Some((cfg.checkpointDir, v))
-    val spark = valid.sparkSession
 
-    // DLQ: original value + reason + source coords
-    // (reference dlq_writer.py:24-57)
-    val dlq = dlqAll.select(
-      col("value").cast("string").as("original_value"),
-      col("_dlq_reason").as("reason"),
-      col("_kafka_topic"), col("_kafka_partition"), col("_kafka_offset"),
-      col("_ingestion_timestamp"), col("_ingestion_date"))
+    val dlq = dlqProjection(withReplayCols(dlqAll))
     if (!dlq.isEmpty)
       CdcTable.append(dlq, s"${cfg.baseDir}/_dlq", cfg.mergeMode,
         txn = batchId.flatMap(txnOf))
 
     if (valid.isEmpty) return
+    writeCollections(valid, cfg,
+      tableTxn = _ => batchId.flatMap(txnOf),
+      coerceTxn = key => batchId.map(v =>
+        (s"${cfg.checkpointDir}#coerce:$key", v)))
+  }
+
+  private def writeCollections(valid: DataFrame, cfg: Config,
+      tableTxn: String => Option[(String, Long)],
+      coerceTxn: String => Option[(String, Long)]): Unit = {
+    val spark = valid.sparkSession
     // Distinct collection keys: bounded by the number of collections,
     // not rows — the one intentionally driver-visible list. Per-table
     // writes run concurrently (SURVEY.md §7.4: a sequential loop
@@ -115,12 +154,49 @@ object CdcIngest {
         col("_source_collection"))
       val out =
         if (cfg.inferDocSchema) expandDoc(spark, table) else table
+      val tableDir = s"${cfg.baseDir}/${CdcNormalize.tableName(key)}"
+      // Coercion mode: keep the table's typed columns and convert
+      // incoming strings per VALUE; rows that fail conversion go to
+      // the DLQ (schema_validation_error) instead of degrading the
+      // whole column to string (SchemaMerge.Coercion; reference
+      // spec.md:297-300 third conflict policy).
+      val (toWrite, rejects) =
+        if (cfg.mergeMode == SchemaMerge.Coercion)
+          CdcTable.currentSchema(tableDir) match {
+            case Some(e) =>
+              SchemaMerge.coerceSplit(out,
+                SchemaMerge.merge(e, out.schema, SchemaMerge.Coercion))
+            case None => (out, out.limit(0))
+          }
+        else (out, out.limit(0))
       // transient IO failures retry with backoff (T9); schema
       // conflicts are deterministic and fail fast
       Retry.withBackoff() {
-        CdcTable.append(out,
-          s"${cfg.baseDir}/${CdcNormalize.tableName(key)}",
-          cfg.mergeMode, txn = batchId.flatMap(txnOf))
+        CdcTable.append(toWrite, tableDir, cfg.mergeMode,
+          txn = tableTxn(key))
+      }
+      if (!rejects.isEmpty) {
+        // coercion rejects lost the raw envelope in the demux select;
+        // serialize the typed row back to JSON as the original_value
+        // and fill the envelope/doc passengers dlqProjection expects
+        var dlqRows = rejects
+          .withColumn("value",
+            to_json(struct(rejects.columns.map(col).toIndexedSeq: _*)))
+          .withColumn("_dlq_reason",
+            lit(CdcNormalize.DlqReason.SchemaValidation))
+        if (!dlqRows.columns.contains("_envelope"))
+          dlqRows = dlqRows.withColumn("_envelope", lit(null).cast(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("payload",
+                graft.ingest.Envelope.payloadSchema)))))
+        if (!dlqRows.columns.contains("_doc"))
+          dlqRows = dlqRows.withColumn("_doc", lit(null).cast("string"))
+        Retry.withBackoff() {
+          // distinct txn appId per table: the batch-level DLQ append
+          // already committed this batchId under the checkpoint appId
+          CdcTable.append(dlqProjection(withReplayCols(dlqRows)),
+            s"${cfg.baseDir}/_dlq", cfg.mergeMode, txn = coerceTxn(key))
+        }
       }
     }}
     // Await EVERY write's outcome before returning (a fail-fast
@@ -133,6 +209,60 @@ object CdcIngest {
       scala.concurrent.Await.ready(f, Duration.Inf).value.get)
     outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     ()
+  }
+
+  /** Replay dead-lettered events (reference `dlq_writer.py:37-57`
+    * retry metadata + replay surface): re-normalize each DLQ row's
+    * original event — optionally repaired via `fixes` (dlq_id,
+    * original_value) — and append the now-valid ones to their tables;
+    * still-failing events stay queued with `retry_count` + 1, flipping
+    * to `max_retries_exceeded` at the cap; resolved ones leave the
+    * queue via one atomic `replace` rewrite (so a crashed replay never
+    * loses or duplicates dead letters). Returns (resolved, stillDead). */
+  def replayDlq(spark: SparkSession, cfg: Config,
+      fixes: Option[DataFrame] = None, maxRetries: Int = 3): (Long, Long) = {
+    import graft.ingest.CdcNormalize.DlqReason
+    val dlqDir = s"${cfg.baseDir}/_dlq"
+    if (CdcTable.currentVersion(dlqDir) == 0) return (0L, 0L)
+    val all = CdcTable.read(spark, dlqDir)
+    val patched = fixes match {
+      case Some(fx) =>
+        all.join(fx.select(col("dlq_id"),
+            col("original_value").as("__fixed")), Seq("dlq_id"), "left")
+          .withColumn("original_value",
+            coalesce(col("__fixed"), col("original_value")))
+          .drop("__fixed")
+      case None => all
+    }
+    val replayable = patched.filter(col("retry_count") < maxRetries &&
+      col("reason") =!= DlqReason.MaxRetries)
+    if (replayable.isEmpty) return (0L, patched.count())
+    val raw = replayable.select(col("dlq_id"),
+      col("original_value").as("value"))
+    val normalized = CdcNormalize(Envelope.decode(raw), cfg.staleDays)
+    val persisted = normalized.all.persist()
+    try {
+      val valid = normalized.valid
+      if (!valid.isEmpty)
+        writeCollections(valid, cfg, _ => None, _ => None)
+      val okIds = valid.select(col("dlq_id"))
+      val failedIds = normalized.dlq.select(col("dlq_id"),
+        col("_dlq_reason").as("__new_reason"))
+      val remaining = patched
+        .join(okIds, Seq("dlq_id"), "left_anti")
+        .join(failedIds, Seq("dlq_id"), "left")
+        .withColumn("retry_count",
+          when(col("__new_reason").isNotNull, col("retry_count") + 1)
+            .otherwise(col("retry_count")))
+        .withColumn("reason",
+          when(col("retry_count") >= maxRetries,
+            lit(DlqReason.MaxRetries))
+            .otherwise(coalesce(col("__new_reason"), col("reason"))))
+        .drop("__new_reason")
+      val stillDead = remaining.count()
+      CdcTable.replaceWith(spark, dlqDir, remaining)
+      (patched.count() - stillDead, stillDead)
+    } finally { persisted.unpersist(); () }
   }
 
   /** Shared bounded pool for per-table writes (daemon threads; reused

@@ -111,6 +111,29 @@ class SchemaMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("coercion keeps the typed side only when existing is typed") {
+    // existing typed + incoming string → typed (values coerce per row)
+    for (t <- Seq(DateType, TimestampType, IntegerType, LongType,
+        DoubleType, BooleanType, DecimalType(10, 2)))
+      assert(mergeTypes(t, StringType, Coercion) == t, t.sql)
+    // mirrored: existing string stays string (disk can't be retyped)
+    assert(mergeTypes(StringType, DateType, Coercion) == StringType)
+    assert(mergeTypes(StringType, LongType, Coercion) == StringType)
+    // non-coercible conflicts still degrade like Auto
+    assert(mergeTypes(ArrayType(LongType), StringType, Coercion)
+      == StringType)
+    // numerics still widen normally under Coercion
+    assert(mergeTypes(IntegerType, DoubleType, Coercion) == DoubleType)
+  }
+
+  test("coercion merge stays idempotent and safe (property)") {
+    forAll(types) { a => assert(mergeTypes(a, a, Coercion) == a) }
+    forAll(numerics, numerics) { (a, b) =>
+      val m = mergeTypes(a, b, Coercion)
+      assert(isSafeWidening(a, m) && isSafeWidening(b, m))
+    }
+  }
+
   test("diff reports added/removed/changed") {
     val a = StructType(Seq(StructField("x", IntegerType),
       StructField("y", StringType)))

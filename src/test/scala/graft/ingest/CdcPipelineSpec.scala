@@ -172,6 +172,33 @@ class CdcPipelineSpec extends SparkSpec {
     assert(CdcTable.read(spark, s"$base/testdb_users").count() == 2)
   }
 
+  test("coercion mode: string values convert to the typed column or DLQ") {
+    import graft.core.SchemaMerge
+    val base = tmpDir("cdccoerce")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptcoerce"),
+      mergeMode = SchemaMerge.Coercion)
+    // batch 1: v arrives as a JSON number → long column
+    CdcIngest.processBatch(Seq(env("c", "r1",
+      "\"{\\\"_id\\\":\\\"r1\\\",\\\"v\\\":1}\"", null, t0))
+      .toDF("value"), cfg, batchId = Some(0L))
+    // batch 2: v arrives as strings — "2" coerces, "oops" cannot
+    CdcIngest.processBatch(Seq(
+      env("c", "r2", "\"{\\\"_id\\\":\\\"r2\\\",\\\"v\\\":\\\"2\\\"}\"",
+        null, t0 + 1),
+      env("c", "r3", "\"{\\\"_id\\\":\\\"r3\\\",\\\"v\\\":\\\"oops\\\"}\"",
+        null, t0 + 2)).toDF("value"), cfg, batchId = Some(1L))
+    val t = CdcTable.read(spark, s"$base/testdb_users")
+    assert(t.schema("v").dataType == org.apache.spark.sql.types.LongType,
+      "column keeps its type instead of degrading to string")
+    assert(t.select("_id", "v").as[(String, Long)].collect().toSet ==
+      Set(("r1", 1L), ("r2", 2L)))
+    val dlq = CdcTable.read(spark, s"$base/_dlq")
+      .filter($"reason" === CdcNormalize.DlqReason.SchemaValidation)
+    assert(dlq.count() == 1)
+    assert(dlq.select("original_value").as[String].collect()
+      .head.contains("oops"))
+  }
+
   test("crash between data write and manifest commit cannot duplicate") {
     val base = tmpDir("cdccrash")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptcrash"))
@@ -215,6 +242,56 @@ class CdcPipelineSpec extends SparkSpec {
     val after = CdcTable.read(spark, dir)
     assert(after.count() == 1)
     assert(after.select("x").as[Long].collect().head == 2L)
+  }
+
+  test("DLQ replay: corrupted -> fixed -> replayed lands exactly once") {
+    val base = tmpDir("cdcreplay")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptreplay"))
+    CdcIngest.processBatch(Seq(
+      env("c", "g1", "\"{\\\"_id\\\":\\\"g1\\\",\\\"x\\\":1}\"", null, t0),
+      "totally broken, not json").toDF("value"), cfg, batchId = Some(0L))
+    val usersDir = s"$base/testdb_users"
+    val dlqDir = s"$base/_dlq"
+    assert(CdcTable.read(spark, usersDir).count() == 1)
+    val dlq0 = CdcTable.read(spark, dlqDir)
+    assert(dlq0.count() == 1)
+    assert(dlq0.select("retry_count").as[Int].collect().head == 0)
+    val dlqId = dlq0.select("dlq_id").as[String].collect().head
+
+    // replay without a fix: still corrupted, retry_count bumps
+    val (ok0, dead0) = CdcIngest.replayDlq(spark, cfg)
+    assert(ok0 == 0 && dead0 == 1)
+    assert(CdcTable.read(spark, dlqDir)
+      .select("retry_count").as[Int].collect().head == 1)
+
+    // repair the original event, replay: lands in its table once and
+    // leaves the queue
+    val fixes = Seq((dlqId,
+      env("c", "g2", "\"{\\\"_id\\\":\\\"g2\\\",\\\"x\\\":7}\"", null,
+        t0 + 5))).toDF("dlq_id", "original_value")
+    val (ok1, dead1) = CdcIngest.replayDlq(spark, cfg, Some(fixes))
+    assert(ok1 == 1 && dead1 == 0)
+    val users = CdcTable.read(spark, usersDir)
+    assert(users.count() == 2)
+    assert(users.filter($"_id" === "g2").count() == 1)
+    assert(CdcTable.read(spark, dlqDir).count() == 0)
+
+    // idempotent: nothing left to replay
+    assert(CdcIngest.replayDlq(spark, cfg, Some(fixes)) == ((0L, 0L)))
+  }
+
+  test("DLQ replay caps retries with max_retries_exceeded") {
+    val base = tmpDir("cdcretry")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptretry"))
+    CdcIngest.processBatch(Seq("still not json").toDF("value"), cfg,
+      batchId = Some(0L))
+    val dlqDir = s"$base/_dlq"
+    assert(CdcIngest.replayDlq(spark, cfg, maxRetries = 1) == ((0L, 1L)))
+    val row = CdcTable.read(spark, dlqDir)
+      .select("reason", "retry_count").as[(String, Int)].collect().head
+    assert(row == ((CdcNormalize.DlqReason.MaxRetries, 1)))
+    // capped rows are skipped on later replays
+    assert(CdcIngest.replayDlq(spark, cfg, maxRetries = 1) == ((0L, 1L)))
   }
 
   test("schema evolution across batches: new field + int->double widening") {
