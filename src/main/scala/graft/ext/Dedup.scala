@@ -111,45 +111,67 @@ object Dedup {
     NearDupResult(pairs, components, decisions)
   }
 
-  /** Min-label propagation over an undirected edge list until
-    * fixpoint: component = min id reachable. One-hop propagation needs
-    * up to `diameter` rounds (each one shuffle keyed on id) — fine for
-    * duplicate clusters, whose diameters are small; a graph that has
-    * not converged within maxIter raises instead of silently returning
-    * split components. (For genuinely large-diameter graphs swap in
-    * large-star/small-star, which contracts in O(log n).) */
+  /** Connected components via the alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): component = min id reachable. Each pass rewires
+    * every node toward its neighborhood minimum, CONTRACTING the graph
+    * — convergence in O(log² n) passes regardless of diameter (the
+    * previous one-hop min-label propagation needed `diameter` rounds,
+    * so a 10⁶-long chain would never finish). Each pass is two
+    * key-local shuffles; `localCheckpoint` truncates the plan every
+    * round so lineage stays O(1) instead of growing with iterations. */
   private[ext] def connectedComponents(spark: SparkSession,
-      edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(edges.select(col("b_id").as("src"),
-        col("a_id").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+      edges: DataFrame, maxIter: Int = 30): DataFrame = {
+
+    // large-star: for every node u, point each LARGER neighbor at
+    // m = min(N(u) ∪ {u}); small-star: same for the ≤-neighbors over
+    // the (big→small)-oriented arcs. Both emit (node > target) arcs.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var e = edges
+      .select(col("a_id").as("x"), col("b_id").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint()
     var iter = 0
-    var converged = false
+    var converged = e.isEmpty
     while (iter < maxIter && !converged) {
-      val viaNeighbor = sym
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("component", "ncomp"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("ncomp")).as("ncomp"))
-      val updated = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
-      updated.persist()
-      val changes = updated.as("u")
-        .join(labels.as("l"), Seq("id"))
-        .filter(col("u.component") =!= col("l.component")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changes == 0
+      // arcs stay (u > v)-oriented after each pass, so smallStar can
+      // consume largeStar's output directly
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == e.count() &&
+        next.except(e).limit(1).isEmpty
+      e = next
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "graph diameter too large for one-hop propagation")
-    labels
+        s"connectedComponents did not converge in $maxIter star rounds")
+    // fixpoint is a star forest: every arc is (member, root)
+    e.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
   }
 }

@@ -4,10 +4,9 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -94,6 +93,29 @@ object TextHashes {
     hash
   }
 
+  // Whole-row entry points, callable as STATIC Java methods from
+  // generated code (an object without a companion class compiles with
+  // static forwarders) — each expression's doGenCode is a single
+  // static call, so the expressions participate in whole-stage codegen
+  // instead of forcing the interpreted CodegenFallback path.
+
+  def tokenIds(text: UTF8String): ArrayData =
+    new GenericArrayData(distinctHashes(tokens(text).iterator))
+
+  def shingleIdsOf(text: UTF8String): ArrayData = {
+    val t = tokens(text)
+    val shingles =
+      if (t.length < 3) Iterator.empty
+      else (0 to t.length - 3).iterator.map(i =>
+        s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+    new GenericArrayData(distinctHashes(shingles))
+  }
+
+  def minhashSig(ids: ArrayData): ArrayData =
+    new GenericArrayData(minhash(ids.toLongArray()).asInstanceOf[Array[Any]])
+
+  def simhashOf(ids: ArrayData): Long = simhash16(ids.toLongArray())
+
   private[functions] def checkString(e: Expression,
       name: String): TypeCheckResult =
     if (e.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -109,60 +131,58 @@ object TextHashes {
 }
 
 /** token_ids(text): 28-bit md5 ids of the distinct whitespace tokens. */
-case class TokenIds(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class TokenIds(child: Expression) extends UnaryExpression {
   import TextHashes._
   override def checkInputDataTypes(): TypeCheckResult =
     checkString(child, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_ids"
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(
-      distinctHashes(tokens(v.asInstanceOf[UTF8String]).iterator))
+    tokenIds(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.tokenIds($c)")
   override protected def withNewChildInternal(c: Expression): TokenIds =
     copy(child = c)
 }
 
 /** shingle_ids(text): 28-bit md5 ids of the distinct word 3-grams
   * (space-joined), matching the staged SQL shingle construction. */
-case class ShingleIds(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class ShingleIds(child: Expression) extends UnaryExpression {
   import TextHashes._
   override def checkInputDataTypes(): TypeCheckResult =
     checkString(child, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_ids"
-  override def nullSafeEval(v: Any): Any = {
-    val t = tokens(v.asInstanceOf[UTF8String])
-    val shingles =
-      if (t.length < 3) Iterator.empty
-      else (0 to t.length - 3).iterator.map(i =>
-        s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
-    new GenericArrayData(distinctHashes(shingles))
-  }
+  override def nullSafeEval(v: Any): Any =
+    shingleIdsOf(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.shingleIdsOf($c)")
   override protected def withNewChildInternal(c: Expression): ShingleIds =
     copy(child = c)
 }
 
 /** minhash_sig(ids): 16 minima of (a_k·x + b_k) mod p over the ids. */
-case class MinHashSig(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class MinHashSig(child: Expression) extends UnaryExpression {
   import TextHashes._
   override def checkInputDataTypes(): TypeCheckResult =
     checkLongArray(child, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData].toLongArray()
-    new GenericArrayData(minhash(arr).asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(v: Any): Any =
+    minhashSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.minhashSig($c)")
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
 
 /** simhash16(ids): 16-bit simhash of the id multiset. */
-case class SimHash16(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHash16(child: Expression) extends UnaryExpression {
   import TextHashes._
   override def checkInputDataTypes(): TypeCheckResult =
     checkLongArray(child, prettyName)
@@ -170,7 +190,11 @@ case class SimHash16(child: Expression) extends UnaryExpression
   override def prettyName: String = "simhash16"
   override def nullSafeEval(v: Any): Any =
     java.lang.Long.valueOf(
-      simhash16(v.asInstanceOf[ArrayData].toLongArray()))
+      simhashOf(v.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.simhashOf($c)")
   override protected def withNewChildInternal(c: Expression): SimHash16 =
     copy(child = c)
 }

@@ -73,6 +73,16 @@ class DedupSpec extends SparkSpec {
     assert(r.decisions.filter($"is_duplicate").count() == 0)
   }
 
+  test("connected components converges on long chains (diameter >> rounds)") {
+    // a 120-hop chain defeats one-hop label propagation (needs
+    // `diameter` rounds); star contraction converges in O(log² n)
+    val edges = (1L until 120L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 120)
+    assert(cc.values.forall(_ == 1L), "every node labels to the chain min")
+  }
+
   test("connected components merges transitive chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(spark, edges)
