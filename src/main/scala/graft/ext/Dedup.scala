@@ -96,6 +96,64 @@ object Dedup {
     NearDupResult(verified, components, decisions)
   }
 
+  /** N-gram (word-3-gram) Jaccard near-dup pairs, optionally blocked
+    * by `blockCol`: explode distinct shingles, equi-join on
+    * (block, shingle) — one shuffle — then verify the EXACT Jaccard on
+    * the full shingle sets.
+    *
+    * `maxShingleDocFreq` is the hot-key guard at scale: a stopword
+    * shingle shared by k documents alone creates k² candidate pairs
+    * (the q33 skew hazard), so shingles whose within-block document
+    * frequency exceeds the cap are dropped from CANDIDATE GENERATION
+    * only. Verification still uses the complete sets, so every
+    * surviving pair carries its exact Jaccard — a pair is missed only
+    * if ALL its shared shingles are ubiquitous, which is precisely the
+    * non-discriminative case the cap exists to prune. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, blockCol: Option[String] = None,
+      maxShingleDocFreq: Option[Long] = Some(1000L)): DataFrame = {
+    require(df.sparkSession.catalog.functionExists("shingle_ids"),
+      "ngramJaccardPairs requires GraftExtensions (spark.sql.extensions)")
+    val block = blockCol.map(col).getOrElse(lit(0))
+    val base = df.select(col(idCol).as("id"), block.as("blk"),
+        expr(s"shingle_ids(`$textCol`)").as("sids"))
+      .withColumn("m", size(col("sids")))
+      .filter(col("m") > 0)
+    val ex = base.select(col("id"), col("blk"),
+      explode(col("sids")).as("sh"))
+    val kept = maxShingleDocFreq match {
+      case Some(cap) =>
+        // the hot list is tiny (only ubiquitous shingles) → broadcast
+        // anti join, no extra wide shuffle on the big side
+        val hot = ex.groupBy(col("blk"), col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("blk"), col("sh"))
+        ex.join(broadcast(hot), Seq("blk", "sh"), "left_anti")
+      case None => ex
+    }
+    val a = kept.select(col("id").as("a_id"), col("blk"), col("sh"))
+    val b = kept.select(col("id").as("b_id"), col("blk").as("bblk"),
+      col("sh").as("bsh"))
+    val cand = a.join(b, col("sh") === col("bsh") &&
+        col("blk") === col("bblk") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sets = base.select(col("id"), col("sids"), col("m"))
+    cand
+      .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),
+        col("m").as("ma")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("sids").as("sb"),
+        col("m").as("mb")), Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union_size", col("ma") + col("mb") - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("union_size"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("union_size"), col("jaccard"))
+  }
+
   /** Embedding-space near-dup dedup: cosine pairs above threshold
     * (exact here; LSH-bucket first at scale), clustered to survivors
     * exactly like the text path. */

@@ -85,11 +85,46 @@ object CdcTable {
       files = kv.collect { case ("file", f) => f })
   }
 
-  /** The committed log, in commit order. */
-  def log(dir: String): Seq[Commit] =
-    Fs.list(logDir(dir))
-      .filter(_.endsWith(".commit")).sorted
+  /** Write a consolidated checkpoint every this many commits so log
+    * reads stay O(interval) file reads instead of O(total commits) —
+    * the Delta checkpoint pattern: at one commit per micro-batch the
+    * raw log is thousands of files within days, and every append would
+    * otherwise re-read all of them (an S3 GET storm at 100 TB scale). */
+  private val CheckpointInterval = 10L
+  private val CheckpointSep = "\n===\n"
+
+  /** One checkpoint file replays as the full log up to its commit id.
+    * Superseded commits (before the last `replace`) are kept as stubs
+    * without file lists — their schemas and txn high-water marks still
+    * matter, their files are vacuumable orphans. */
+  private def writeCheckpoint(dir: String, commits: Seq[Commit]): Unit = {
+    val eIdx = commits.lastIndexWhere(_.action == "replace")
+    val condensed = commits.zipWithIndex.map { case (c, i) =>
+      if (eIdx >= 0 && i < eIdx) c.copy(files = Nil) else c
+    }
+    Fs.writeString(
+      f"${logDir(dir)}/${commits.last.commit}%020d.checkpoint",
+      condensed.map(render).mkString(CheckpointSep))
+  }
+
+  /** The committed log, in commit order: latest readable checkpoint +
+    * only the commit files after it. */
+  def log(dir: String): Seq[Commit] = {
+    val names = Fs.list(logDir(dir))
+    val base = names.filter(_.endsWith(".checkpoint")).sorted.reverse
+      .iterator
+      .map(n => scala.util.Try {
+        Fs.readString(s"${logDir(dir)}/$n").get
+          .split(java.util.regex.Pattern.quote(CheckpointSep))
+          .toIndexedSeq.map(parse)
+      })
+      .collectFirst { case scala.util.Success(cs) => cs } // torn → older
+      .getOrElse(Vector.empty)
+    val after = base.lastOption.map(_.commit).getOrElse(0L)
+    base ++ names.filter(_.endsWith(".commit")).sorted
+      .filter(_.stripSuffix(".commit").toLong > after)
       .flatMap(n => Fs.readString(s"${logDir(dir)}/$n").map(parse))
+  }
 
   /** Commits contributing to the current state: everything from the
     * last `replace` (compaction rewrites the whole table) onward. */
@@ -127,9 +162,15 @@ object CdcTable {
   private def commit(dir: String, mk: Long => Commit): Commit = {
     var attempts = 0
     while (attempts < 20) {
-      val next = log(dir).lastOption.map(_.commit + 1).getOrElse(1L)
+      val current = log(dir)
+      val next = current.lastOption.map(_.commit + 1).getOrElse(1L)
       val c = mk(next)
-      if (Fs.createExclusive(commitPath(dir, next), render(c))) return c
+      if (Fs.createExclusive(commitPath(dir, next), render(c))) {
+        // derived + idempotent, so a plain overwrite write is fine
+        if (next % CheckpointInterval == 0)
+          writeCheckpoint(dir, current :+ c)
+        return c
+      }
       attempts += 1 // lost a commit race (e.g. parallel DLQ appends)
     }
     throw new IllegalStateException(
@@ -277,6 +318,26 @@ object CdcTable {
       if (d.isDirectory && fs.listStatus(d.getPath).isEmpty)
         fs.delete(d.getPath, false)
     }
+    // prune log files a checkpoint supersedes (same retention grace:
+    // a reader that listed the log before the checkpoint may still be
+    // reading the raw commit files)
+    val names = Fs.list(logDir(dir))
+    names.filter(_.endsWith(".checkpoint")).sorted.lastOption
+      .foreach { latest =>
+        val ckptId = latest.stripSuffix(".checkpoint").toLong
+        val stale = names.filter { n =>
+          (n.endsWith(".commit") &&
+            n.stripSuffix(".commit").toLong <= ckptId) ||
+            (n.endsWith(".checkpoint") && n != latest)
+        }
+        stale.foreach { n =>
+          val p = new org.apache.hadoop.fs.Path(s"${logDir(dir)}/$n")
+          if (fs.getFileStatus(p).getModificationTime < cutoff) {
+            fs.delete(p, false)
+            deleted += p.toUri.getPath
+          }
+        }
+      }
     deleted.result()
   }
 }

@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
     assert(r.decisions.filter($"is_duplicate").count() == 0)
   }
 
+  test("ngram jaccard pairs: hot-shingle cap prunes stopword blowup") {
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near2 = near1 + " lambda" // near-dup of near1
+    // 20 unrelated docs that all share ONE ubiquitous 3-gram — without
+    // the DF cap that single shingle makes 190 candidate pairs
+    val noise = (0 until 20).map(i =>
+      (100L + i, s"unique${i}a unique${i}b of the corpus unique${i}c"))
+    val df = (Seq((1L, near1), (2L, near2)) ++ noise).toDF("id", "text")
+
+    val capped = Dedup.ngramJaccardPairs(df, "text", "id",
+      threshold = 0.5, maxShingleDocFreq = Some(5L))
+    val pairs = capped.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the planted near-dup survives: $pairs")
+    // verification used the FULL sets: jaccard is exact (8 shared of 9)
+    val j = capped.select("jaccard").as[Double].collect().head
+    assert(math.abs(j - 8.0 / 9.0) < 1e-9, s"jaccard $j")
+
+    // sanity: uncapped finds the same planted pair too
+    val uncapped = Dedup.ngramJaccardPairs(df, "text", "id",
+      threshold = 0.5, maxShingleDocFreq = None)
+    assert(uncapped.filter($"a_id" === 1L && $"b_id" === 2L).count() == 1)
+  }
+
   test("connected components converges on long chains (diameter >> rounds)") {
     // a 120-hop chain defeats one-hop label propagation (needs
     // `diameter` rounds); star contraction converges in O(log² n)

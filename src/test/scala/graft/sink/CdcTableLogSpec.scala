@@ -1,0 +1,67 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.core.Fs
+
+/** Manifest-log scale behavior: checkpoints bound metadata reads to
+  * O(interval) files (Delta checkpoint pattern) and raw commit files
+  * become prunable once a checkpoint covers them. */
+class CdcTableLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("log checkpoints consolidate commits and survive pruning") {
+    val dir = tmpDir("cdclog")
+    (1 to 12).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"r$i")).toDF("x", "_id"), dir,
+        txn = Some(("app", i.toLong)))
+    }
+    // the 10th commit wrote a checkpoint
+    assert(Fs.list(s"$dir/_graft_log").exists(_.endsWith(".checkpoint")))
+    val commits = CdcTable.log(dir)
+    assert(commits.map(_.commit) == (1L to 12L))
+    assert(CdcTable.read(spark, dir).count() == 12)
+
+    // txn high-water mark survives checkpoint consolidation:
+    // replaying an old batch version is still a no-op
+    CdcTable.append(Seq((99L, "dup")).toDF("x", "_id"), dir,
+      txn = Some(("app", 5L)))
+    assert(CdcTable.read(spark, dir).count() == 12)
+
+    // prune the raw commit files the checkpoint supersedes; the log
+    // replays identically from checkpoint + tail
+    val removed = CdcTable.vacuumOrphans(dir, retainMillis = 0L)
+    assert(removed.exists(_.endsWith(".commit")),
+      s"expected pruned commit files, got $removed")
+    assert(CdcTable.log(dir).map(_.commit) == (1L to 12L))
+    assert(CdcTable.read(spark, dir).count() == 12)
+    assert(CdcTable.schemaHistory(dir).nonEmpty)
+    assert(CdcTable.lastTxn(dir).contains(("app", 12L)))
+
+    // appends continue normally after pruning
+    CdcTable.append(Seq((13L, "r13")).toDF("x", "_id"), dir,
+      txn = Some(("app", 13L)))
+    assert(CdcTable.read(spark, dir).count() == 13)
+  }
+
+  test("checkpoint stubs keep superseded generations' schemas only") {
+    val dir = tmpDir("cdclog2")
+    import org.apache.spark.sql.functions.col
+    (1 to 9).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"r$i")).toDF("x", "_id"), dir)
+    }
+    // replace at commit 10 triggers the checkpoint too
+    CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir))
+    val commits = CdcTable.log(dir)
+    assert(commits.size == 10 && commits.last.action == "replace")
+    // checkpoint written at the replace: superseded commits are stubs
+    CdcTable.vacuumOrphans(dir, retainMillis = 0L)
+    val replayed = CdcTable.log(dir)
+    assert(replayed.size == 10)
+    assert(replayed.init.forall(_.files.isEmpty),
+      "superseded commits keep no file lists")
+    assert(replayed.last.files.nonEmpty)
+    val t = CdcTable.read(spark, dir)
+    assert(t.count() == 9)
+    assert(t.filter(col("_id") === "r5").count() == 1)
+  }
+}
