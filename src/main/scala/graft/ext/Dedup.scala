@@ -115,8 +115,18 @@ object Dedup {
     require(df.sparkSession.catalog.functionExists("shingle_ids"),
       "ngramJaccardPairs requires GraftExtensions (spark.sql.extensions)")
     val block = blockCol.map(col).getOrElse(lit(0))
-    val base = df.select(col(idCol).as("id"), block.as("blk"),
-        expr(s"shingle_ids(`$textCol`)").as("sids"))
+    ngramJaccardPairsFromSids(
+      df.select(col(idCol).as("id"), block.as("blk"),
+        expr(s"shingle_ids(`$textCol`)").as("sids")),
+      threshold, maxShingleDocFreq)
+  }
+
+  /** Same, over a pre-staged (id, blk, sids) frame — lets callers
+    * supply their own shingle pipeline (native expression or built-in
+    * composition). */
+  def ngramJaccardPairsFromSids(staged: DataFrame, threshold: Double,
+      maxShingleDocFreq: Option[Long]): DataFrame = {
+    val base = staged.select(col("id"), col("blk"), col("sids"))
       .withColumn("m", size(col("sids")))
       .filter(col("m") > 0)
     val ex = base.select(col("id"), col("blk"),

@@ -376,6 +376,51 @@ object TextQ {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** q59 — n-gram Jaccard with the hot-shingle document-frequency cap
+    * (the 100 TB skew guard over q33): shingles shared by more than 25
+    * documents within a source are dropped from CANDIDATE generation
+    * (a k-doc stopword shingle otherwise creates k² pairs), then the
+    * exact Jaccard over the FULL sets verifies the 0.3 threshold. The
+    * oracle mirrors both stages, so the capped candidate set is
+    * bit-identical across engines. */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val staged = withShingleIds(s, dir).select(col("doc_id").as("id"),
+      col("source").as("blk"), col("sids"))
+    graft.ext.Dedup
+      .ngramJaccardPairsFromSids(staged, threshold = 0.3,
+        maxShingleDocFreq = Some(25L))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q59Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    list_transform($shinglesD, t -> ${tokD("t")}) AS sids
+       |  FROM documents),
+       |dm AS (SELECT doc_id, source, sids, len(sids) AS m FROM d
+       |  WHERE len(sids) > 0),
+       |e AS (SELECT doc_id, source, sh
+       |  FROM (SELECT doc_id, source, unnest(sids) AS sh FROM dm)),
+       |hot AS (SELECT source, sh FROM e
+       |  GROUP BY source, sh HAVING COUNT(*) > 25),
+       |kept AS (SELECT e.* FROM e
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot
+       |    WHERE hot.source = e.source AND hot.sh = e.sh)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept a JOIN kept b
+       |    ON a.sh = b.sh AND a.source = b.source
+       |      AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.a_id, c.b_id, da.m AS ma, db.m AS mb,
+       |    len(list_intersect(da.sids, db.sids)) AS inter
+       |  FROM cand c
+       |  JOIN dm da ON da.doc_id = c.a_id
+       |  JOIN dm db ON db.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       |  CAST(ma + mb - inter AS BIGINT) AS union_size,
+       |  CAST(inter AS DOUBLE) / (ma + mb - inter) AS jaccard
+       |FROM v
+       |WHERE CAST(inter AS DOUBLE) / (ma + mb - inter) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -384,5 +429,6 @@ object TextQ {
     QueryDef("q32_fingerprint", q32, Some(q32Sql)),
     QueryDef("q33_ngram_jaccard", q33, Some(q33Sql)),
     QueryDef("q34_minhash_lsh", q34, Some(q34Sql)),
-    QueryDef("q35_simhash", q35, Some(q35Sql)))
+    QueryDef("q35_simhash", q35, Some(q35Sql)),
+    QueryDef("q59_ngram_jaccard_capped", q59, Some(q59Sql)))
 }

@@ -236,12 +236,42 @@ object CdcTable {
     * typically few (schema churn is rare), so this stays a handful of
     * parallel scans. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val commits = effective(log(dir))
+    val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
+    readCommits(spark, dir, effective(commits))
+  }
+
+  /** Time travel over the manifest log (the commit records its own
+    * timestamp, Delta-style): the table as of commit `commitAsOf`, or
+    * as of the newest commit with ts ≤ `timestampAsOf` millis. Works
+    * as long as the superseded files haven't been vacuumed
+    * ([[vacuumOrphans]] retention is the travel horizon) and log
+    * checkpoints retain superseded commits only as fileless stubs —
+    * so travel BEFORE the last `replace` needs the raw commit files
+    * (kept until vacuum, like Delta). */
+  def readAsOf(spark: SparkSession, dir: String,
+      commitAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
+    require(commitAsOf.isEmpty || timestampAsOf.isEmpty,
+      "specify at most one of commitAsOf / timestampAsOf")
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val upTo = (commitAsOf, timestampAsOf) match {
+      case (Some(n), _) => commits.takeWhile(_.commit <= n)
+      case (_, Some(ts)) => commits.takeWhile(_.ts <= ts)
+      case _ => commits
+    }
+    require(upTo.nonEmpty, s"no commit at or before the requested point " +
+      s"(earliest: commit=${commits.head.commit} ts=${commits.head.ts})")
+    readCommits(spark, dir, effective(upTo))
+  }
+
+  private def readCommits(spark: SparkSession, dir: String,
+      commits: Seq[Commit]): DataFrame = {
     val target = commits.last.schema
     val basePath = s"$dir/data"
     val gens = commits.groupBy(_.schemaVersion).toSeq.sortBy(_._1)
-      .flatMap { case (sv, cs) =>
+      .flatMap { case (_, cs) =>
         val files = cs.flatMap(_.files).map(f => s"$dir/$f")
         if (files.isEmpty) None
         else Some(SchemaMerge.castTo(

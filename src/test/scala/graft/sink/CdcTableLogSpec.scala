@@ -43,6 +43,31 @@ class CdcTableLogSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 13)
   }
 
+  test("time travel over the manifest log by commit and by timestamp") {
+    val dir = tmpDir("cdctravel")
+    (1 to 3).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"t$i")).toDF("x", "_id"), dir)
+    }
+    val commits = CdcTable.log(dir)
+    assert(CdcTable.readAsOf(spark, dir).count() == 3)
+    assert(CdcTable.readAsOf(spark, dir,
+      commitAsOf = Some(commits(1).commit)).count() == 2)
+    assert(CdcTable.readAsOf(spark, dir,
+      commitAsOf = Some(commits.head.commit)).count() == 1)
+    // timestamp travel: appends can share a millisecond, so expect
+    // exactly the rows of the commits at or before that ts
+    val ts0 = commits.head.ts
+    assert(CdcTable.readAsOf(spark, dir, timestampAsOf = Some(ts0))
+      .count() == commits.count(_.ts <= ts0))
+    intercept[IllegalArgumentException] {
+      CdcTable.readAsOf(spark, dir, timestampAsOf = Some(ts0 - 60000))
+    }
+    intercept[IllegalArgumentException] {
+      CdcTable.readAsOf(spark, dir, commitAsOf = Some(1L),
+        timestampAsOf = Some(ts0))
+    }
+  }
+
   test("checkpoint stubs keep superseded generations' schemas only") {
     val dir = tmpDir("cdclog2")
     import org.apache.spark.sql.functions.col
