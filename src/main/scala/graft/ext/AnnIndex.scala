@@ -40,4 +40,30 @@ object AnnIndex {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF variant: the centroid ASSIGNMENT as the write-time partition
+    * column (q39's read-time assignment paid once at write). One
+    * codegen'd argmax projection, then a partitioned write. */
+  def writeIvf(df: DataFrame, dir: String,
+      centroids: Seq[(Long, Array[Float])],
+      embCol: String = "embedding"): Unit =
+    df.withColumn("cid",
+        Similarity.ivfAssignLit(df.sparkSession, embCol, centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+
+  /** Top-k probe of the query's own cluster only (literal cluster id →
+    * static partition pruning, exact rerank inside the cluster). */
+  def probeIvf(spark: SparkSession, dir: String, queryVec: Array[Float],
+      centroids: Seq[(Long, Array[Float])], k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qcid = Similarity.assignOf(queryVec, centroids)
+    val qe = Similarity.litFloatArraySql(queryVec)
+    spark.read.parquet(dir)
+      .filter(col("cid") === lit(qcid))
+      .select(col(idCol), col("cid"),
+        (expr(Similarity.dotSql(spark, embCol, qe)) / lit(1e12))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

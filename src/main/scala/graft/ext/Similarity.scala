@@ -177,6 +177,39 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
 
+  /** Codegen'd argmax-centroid column: the centroid vectors are
+    * inlined as literals (they are the broadcast side by construction)
+    * and the argmax is `greatest(struct(dot, -cid))` — one projection
+    * per row, no centroid fan-out join, no shuffle. Ties break to the
+    * smallest cid. */
+  def ivfAssignLit(spark: org.apache.spark.sql.SparkSession,
+      embCol: String, cents: Seq[(Long, Array[Float])]): Column = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val best = greatest(cents.map { case (cid, vec) =>
+      struct(expr(dotSql(spark, embCol, litFloatArraySql(vec))).as("d"),
+        lit(-cid).as("nc"))
+    }.toIndexedSeq: _*)
+    -best.getField("nc")
+  }
+
+  /** Driver-side fixed-point dot (mirror of `fixed_dot`). */
+  def dotFixedOf(a: Array[Float], b: Array[Float]): Long = {
+    require(a.length == b.length, "length mismatch")
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc += graft.functions.FixedDot.roundAway(
+        a(i).toDouble * b(i).toDouble * 1e12)
+      i += 1
+    }
+    acc
+  }
+
+  /** Driver-side mirror of [[ivfAssignLit]] for probe-time literal
+    * cluster ids (static partition pruning needs a literal). */
+  def assignOf(vec: Array[Float], cents: Seq[(Long, Array[Float])]): Long =
+    cents.map { case (cid, c) => (dotFixedOf(vec, c), -cid) }.max._2 * -1
+
   /** Assign every row to its max-dot centroid (IVF coarse quantizer).
     * `centroids` must have (cid, ce) columns; it is broadcast. The
     * argmax is a map-side-combinable `max_by` aggregation (partial agg

@@ -132,14 +132,9 @@ object EmbeddingQ {
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    val best = greatest(cents.map { case (cid, vec) =>
-      struct(
-        expr(dot(s, "embedding", Similarity.litFloatArraySql(vec))).as("d"),
-        lit(-cid).as("nc"))
-    }.toIndexedSeq: _*)
+      .sortBy(_._1).toIndexedSeq
     val assigned = emb
-      .withColumn("cid", -best.getField("nc"))
+      .withColumn("cid", Similarity.ivfAssignLit(s, "embedding", cents))
       .select(col("vec_id"), col("embedding"), col("cid"))
     val q = assigned.filter(col("vec_id") === 42)
       .select(col("embedding").as("qe"), col("cid").as("qcid"))

@@ -44,6 +44,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("IVF index probes only the query's cluster partition") {
+    val dir = tmpDir("ivfidx")
+    val all = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val cents = all.filter(_._1 < 4).sortBy(_._1).toIndexedSeq
+    AnnIndex.writeIvf(corpus, dir, cents)
+    val qvec = all.find(_._1 == 9L).get._2
+    val probe = AnnIndex.probeIvf(spark, dir, qvec, cents, k = 5)
+    val scanLine = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cid"),
+      s"cluster filter missing from PartitionFilters: $scanLine")
+    // driver-side mirror validates the codegen'd assignment + rerank
+    val qcid = Similarity.assignOf(qvec, cents)
+    val expect = all
+      .filter { case (_, v) => Similarity.assignOf(v, cents) == qcid }
+      .map { case (id, v) => (id, Similarity.dotFixedOf(v, qvec) / 1e12) }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(5).map(_._1).toSeq
+    val got = probe.select("vec_id").as[Long].collect().toSeq
+    assert(got == expect)
+  }
+
   test("banded nearDupPairs: full recall on planted near-dups, equi-join plan") {
     // planted pairs: tiny perturbations of a base vector (cos ≈ 1)
     val base = Array(0.6f, -0.3f, 0.5f, 0.2f, -0.4f, 0.1f, 0.3f, -0.2f)
