@@ -11,35 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
-  /** Register all CdcTables under `baseDir` as temp views. Returns the
-    * registered view names. */
-  def register(spark: SparkSession, baseDir: String): Seq[String] = {
-    val base = java.nio.file.Paths.get(baseDir)
-    if (!java.nio.file.Files.isDirectory(base)) return Nil
-    val st = java.nio.file.Files.list(base)
-    val names = try {
-      val it = st.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-      it.forEachRemaining(p => { buf += p; () })
-      buf.toVector
-    } finally st.close()
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    names.foreach { p =>
-      val name = p.getFileName.toString
-      if (java.nio.file.Files.isDirectory(p) &&
-        CdcTable.currentVersion(p.toString) > 0) {
-        val df = CdcTable.read(spark, p.toString)
+  /** Register all CdcTables under `baseDir` as temp views (listed via
+    * the Hadoop FileSystem API, so the base dir can live on s3a/HDFS
+    * like the tables themselves). Returns the registered view names. */
+  def register(spark: SparkSession, baseDir: String): Seq[String] =
+    graft.core.Fs.list(baseDir).flatMap { name =>
+      val dir = s"$baseDir/$name"
+      if (CdcTable.currentVersion(dir) > 0) {
+        val df = CdcTable.read(spark, dir)
         val viewName = name.stripPrefix("_")
         df.createOrReplaceTempView(viewName)
-        out += viewName
         if (df.columns.contains("_cdc_operation")) {
           CurrentState(df).createOrReplaceTempView(s"${viewName}_current")
-          out += s"${viewName}_current"
-        }
-      }
+          Seq(viewName, s"${viewName}_current")
+        } else Seq(viewName)
+      } else Nil
     }
-    out.toSeq
-  }
 
   /** Register + run one SQL statement. */
   def sql(spark: SparkSession, baseDir: String, query: String): DataFrame = {
