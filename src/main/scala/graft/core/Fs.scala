@@ -53,19 +53,38 @@ object Fs {
   }
 
   /** Create-exclusive write: atomically fails if the file exists.
-    * Returns false on FileAlreadyExists (commit races / replays). */
+    * Returns false on FileAlreadyExists (commit races / replays).
+    *
+    * On HDFS the namenode makes `create(overwrite=false)` atomic; on
+    * LOCAL paths Hadoop's RawLocalFileSystem implements it as a
+    * non-atomic exists()-then-create, so two racing writers could both
+    * "win" and one would silently overwrite the other's commit — local
+    * paths therefore go through O_EXCL (`CREATE_NEW`) directly. */
   def createExclusive(path: String, content: String): Boolean = {
     val (fs, p) = apply(path)
     fs.mkdirs(p.getParent)
-    try {
-      val out = fs.create(p, /* overwrite = */ false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException if fs.exists(p) => false
-    }
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          content.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else
+      try {
+        val out = fs.create(p, /* overwrite = */ false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs.exists(p) => false
+      }
   }
 
   /** Overwrite via temp-file + rename (atomic on HDFS/local; on S3A a

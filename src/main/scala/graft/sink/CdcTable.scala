@@ -121,9 +121,16 @@ object CdcTable {
       .collectFirst { case scala.util.Success(cs) => cs } // torn → older
       .getOrElse(Vector.empty)
     val after = base.lastOption.map(_.commit).getOrElse(0L)
+    // A commit file becomes visible at create time but its content
+    // lands a moment later (create-exclusive, then write) — a racing
+    // reader may catch it empty/torn. Taking the longest PARSEABLE
+    // prefix keeps every reader on a consistent snapshot: an in-flight
+    // trailing commit is simply not visible yet.
     base ++ names.filter(_.endsWith(".commit")).sorted
       .filter(_.stripSuffix(".commit").toLong > after)
-      .flatMap(n => Fs.readString(s"${logDir(dir)}/$n").map(parse))
+      .map(n => scala.util.Try(
+        Fs.readString(s"${logDir(dir)}/$n").map(parse)).toOption.flatten)
+      .takeWhile(_.isDefined).flatten
   }
 
   /** Commits contributing to the current state: everything from the
@@ -160,8 +167,11 @@ object CdcTable {
     * (single-writer by contract, but a replayed batch after a crash
     * can observe its own half-finished predecessor). */
   private def commit(dir: String, mk: Long => Commit): Commit = {
+    // Each lost race burns one attempt, and with k concurrent writers
+    // a single commit can lose up to (k-1) races per competitor batch —
+    // size the bound well above the per-table writer fan-out.
     var attempts = 0
-    while (attempts < 20) {
+    while (attempts < 50) {
       val current = log(dir)
       val next = current.lastOption.map(_.commit + 1).getOrElse(1L)
       val c = mk(next)
@@ -172,9 +182,22 @@ object CdcTable {
         return c
       }
       attempts += 1 // lost a commit race (e.g. parallel DLQ appends)
+      // the id holder is either a racing writer whose content lands in
+      // a moment (wait it out) or a dead writer's torn file (created
+      // but never written) — reclaim the id once it is clearly stale
+      val p = commitPath(dir, next)
+      val parseable = Fs.readString(p)
+        .exists(s => scala.util.Try(parse(s)).isSuccess)
+      if (!parseable) {
+        val (fsys, hp) = Fs(p)
+        if (fsys.exists(hp) && System.currentTimeMillis() -
+            fsys.getFileStatus(hp).getModificationTime > 60000L)
+          fsys.delete(hp, false)
+        else Thread.sleep(10L)
+      }
     }
     throw new IllegalStateException(
-      s"could not commit to $dir after 20 attempts — concurrent writers?")
+      s"could not commit to $dir after 50 attempts — concurrent writers?")
   }
 
   /** Enumerate the parquet files of a staged batch, dir-relative. */

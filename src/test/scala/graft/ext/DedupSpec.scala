@@ -108,6 +108,31 @@ class DedupSpec extends SparkSpec {
     assert(cc.values.forall(_ == 1L), "every node labels to the chain min")
   }
 
+  test("connected components matches a union-find oracle on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300
+      val edges = (1 to 400).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // driver-side union-find with min-id roots as the oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo }
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = touched.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(spark,
+          edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("connected components merges transitive chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(spark, edges)

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards: the scale properties that make these
+  * queries viable at 100 TB, asserted against the actual physical
+  * plans so a refactor can't silently reintroduce a scan without
+  * pushdown, a shuffled dimension join, or an all-pairs product. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 scan gets the date filter pushed down + partial aggregation") {
+    val p = plan(Relational.q01(spark, dir))
+    val scan = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse("")
+    assert(scan.contains("l_shipdate"),
+      s"filter must reach the parquet reader: $scan")
+    assert(p.contains("HashAggregate"),
+      "aggregation must be hash-based (map-side combinable)")
+  }
+
+  test("q04 joins the dimensions via broadcast, not shuffle") {
+    val p = plan(Relational.q04(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("q36 brute-force ANN is broadcast + scan, no cartesian product") {
+    val p = plan(EmbeddingQ.q36(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+  }
+
+  test("q35/q37 pair joins are key-blocked, never all-pairs") {
+    for (q <- Seq(TextQ.q35(spark, dir), EmbeddingQ.q37(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(400))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    }
+  }
+
+  test("q31 exact dedup aggregates without any join") {
+    val p = plan(TextQ.q31(spark, dir))
+    assert(!p.contains("Join"), "hash-groupBy dedup needs no join")
+    assert(p.contains("HashAggregate"))
+  }
+}

@@ -68,6 +68,30 @@ class CdcTableLogSpec extends SparkSpec {
     }
   }
 
+  test("concurrent appenders to one table all commit, none lost") {
+    // the coercion-reject path appends to the shared _dlq table from
+    // parallel per-collection futures — races on the commit id must
+    // resolve by retry, losing no batch
+    val dir = tmpDir("cdcrace")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (1 to 6).map { t =>
+      Future {
+        (1 to 2).foreach { i =>
+          CdcTable.append(
+            Seq((t * 100L + i, s"w$t-$i")).toDF("x", "_id"), dir)
+        }
+      }
+    }
+    futures.foreach(f => Await.result(f, Duration.Inf))
+    val commits = CdcTable.log(dir)
+    assert(commits.map(_.commit) == (1L to 12L),
+      s"every append holds a distinct commit id: ${commits.map(_.commit)}")
+    assert(CdcTable.read(spark, dir).count() == 12)
+  }
+
   test("checkpoint stubs keep superseded generations' schemas only") {
     val dir = tmpDir("cdclog2")
     import org.apache.spark.sql.functions.col
