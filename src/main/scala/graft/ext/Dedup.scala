@@ -123,12 +123,16 @@ object Dedup {
 
   /** Same, over a pre-staged (id, blk, sids) frame — lets callers
     * supply their own shingle pipeline (native expression or built-in
-    * composition). */
+    * composition). The staged frame feeds THREE plan branches (the
+    * candidate explode and both sides of the verification join), so it
+    * is persisted spill-to-disk — recomputing the shingle hashing per
+    * branch costs more than materializing the id arrays. */
   def ngramJaccardPairsFromSids(staged: DataFrame, threshold: Double,
       maxShingleDocFreq: Option[Long]): DataFrame = {
     val base = staged.select(col("id"), col("blk"), col("sids"))
       .withColumn("m", size(col("sids")))
       .filter(col("m") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base.select(col("id"), col("blk"),
       explode(col("sids")).as("sh"))
     val kept = maxShingleDocFreq match {
