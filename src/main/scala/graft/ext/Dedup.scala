@@ -50,10 +50,13 @@ object Dedup {
       s"bands must divide the 16-row MinHash signature, got $bands")
     val rowsPerBand = 16 / bands
 
+    // the staged frame feeds banding AND both verification join sides;
+    // persist spill-to-disk instead of re-hashing shingles per branch
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sids", expr("shingle_ids(text)"))
       .withColumn("m", size(col("sids")))
       .withColumn("sig", expr("minhash_sig(sids)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Docs too short to shingle (<3 tokens) have empty signatures —
     // concat_ws drops the nulls, so they would all collapse into one

@@ -244,6 +244,30 @@ class CdcPipelineSpec extends SparkSpec {
     assert(after.select("x").as[Long].collect().head == 2L)
   }
 
+  test("coerceSplit converts values per row and preserves rejects intact") {
+    import graft.core.SchemaMerge
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      ("a", "2024-03-01", "10"), ("b", "2024-13-99", "11"),
+      ("c", null, "12"), ("d", "2024-03-04", "x"))
+      .toDF("k", "day", "n")
+    val target = StructType(Seq(StructField("k", StringType),
+      StructField("day", DateType), StructField("n", LongType)))
+    val (good, bad) = SchemaMerge.coerceSplit(df, target)
+    // nulls pass (nothing to convert); both typed columns must convert
+    assert(good.select("k").as[String].collect().sorted.toSeq ==
+      Seq("a", "c"))
+    assert(good.schema("day").dataType == DateType)
+    assert(good.filter($"k" === "a").select("n").as[Long]
+      .collect().head == 10L)
+    // rejects keep the ORIGINAL schema and values for DLQ routing
+    assert(bad.select("k").as[String].collect().sorted.toSeq ==
+      Seq("b", "d"))
+    assert(bad.schema("day").dataType == StringType)
+    assert(bad.filter($"k" === "d").select("n").as[String]
+      .collect().head == "x")
+  }
+
   test("DLQ replay: corrupted -> fixed -> replayed lands exactly once") {
     val base = tmpDir("cdcreplay")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptreplay"))
