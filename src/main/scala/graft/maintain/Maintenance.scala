@@ -52,11 +52,31 @@ object Maintenance {
     * skewed value distributions. */
   def zorderBy(spark: SparkSession, dir: String, cols: Seq[String],
       targetFileMB: Int = 128, numFiles: Option[Int] = None): Unit = {
-    import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size <= 4, "1..4 z-order columns")
     requireNotCdcTable(dir, "zorderBy")
     val dataDir = s"$dir/data"
     val df = spark.read.parquet(dataDir)
+    val total = tableStats(dir).totalBytes
+    val nFiles = numFiles.getOrElse(math.max(1,
+      (total / (targetFileMB.toLong * 1024 * 1024)).toInt))
+    val tmp = s"$dir/data_zorder_tmp"
+    zorderFrame(df, cols, nFiles).write.mode("overwrite").parquet(tmp)
+    val trash = s"$dir/data_old_${System.nanoTime()}"
+    Fs.rename(dataDir, trash)
+    Fs.rename(tmp, dataDir)
+    Fs.delete(trash, recursive = true)
+    ()
+  }
+
+  /** The reusable z-order clustering transform: returns `df`
+    * range-partitioned and sorted on the interleaved z-value of the
+    * quantile-bucketed `cols` (writers decide where it lands — the
+    * plain-dir swap above, or a CdcTable `replace` manifest via
+    * [[graft.sink.CdcTable.compactToCurrentState]]). */
+  private[graft] def zorderFrame(df: DataFrame, cols: Seq[String],
+      nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size <= 4, "1..4 z-order columns")
     val bits = 5 // 32 quantile buckets per column
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
@@ -76,20 +96,10 @@ object Maintenance {
     val n = cols.size
     val zExpr = (0 until bits).flatMap(b => cols.indices.map(i =>
       s"(((_rank$i >> $b) & 1) << ${b * n + i})")).mkString(" + ")
-    val total = tableStats(dir).totalBytes
-    val nFiles = numFiles.getOrElse(math.max(1,
-      (total / (targetFileMB.toLong * 1024 * 1024)).toInt))
-    val tmp = s"$dir/data_zorder_tmp"
     ranked.withColumn("_z", expr(zExpr))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop((cols.indices.map(i => s"_rank$i") :+ "_z"): _*)
-      .write.mode("overwrite").parquet(tmp)
-    val trash = s"$dir/data_old_${System.nanoTime()}"
-    Fs.rename(dataDir, trash)
-    Fs.rename(tmp, dataDir)
-    Fs.delete(trash, recursive = true)
-    ()
   }
 
   /** compact/zorderBy rewrite `<dir>/data` flat — applied to a

@@ -318,8 +318,16 @@ object CdcTable {
     * see merge-on-read current state via [[graft.query.CurrentState]]
     * between compactions. */
   def compactToCurrentState(spark: SparkSession, dir: String,
-      idCol: String = "_id"): Long =
-    replaceWith(spark, dir, graft.query.CurrentState(read(spark, dir), idCol))
+      idCol: String = "_id", zorderCols: Seq[String] = Nil,
+      numFiles: Int = 0): Long = {
+    val state = graft.query.CurrentState(read(spark, dir), idCol)
+    val clustered =
+      if (zorderCols.isEmpty) state
+      else graft.maintain.Maintenance.zorderFrame(state, zorderCols,
+        if (numFiles > 0) numFiles
+        else math.max(1, spark.sparkContext.defaultParallelism / 2))
+    replaceWith(spark, dir, clustered)
+  }
 
   /** Atomically rewrite the table's whole content as one `replace`
     * manifest under the current schema (superseded files become

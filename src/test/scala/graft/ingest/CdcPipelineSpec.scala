@@ -160,6 +160,28 @@ class CdcPipelineSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 2)
   }
 
+  test("upsert compaction can z-order the current state (CdcTable OPTIMIZE)") {
+    val base = tmpDir("cdczorder")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptz"))
+    def d(id: Int, a: Int, b: Long) =
+      s"""\"{\\\"_id\\\":\\\"z$id\\\",\\\"a\\\":$a,\\\"b\\\":$b}\""""
+    val events = (0 until 1024).map(i =>
+      env("c", s"z$i", d(i, i, (i * 2654435761L) % 1024), null, t0 + i))
+    CdcIngest.processBatch(events.toDF("value"), cfg)
+    val dir = s"$base/testdb_users"
+    CdcTable.compactToCurrentState(spark, dir,
+      zorderCols = Seq("a", "b"), numFiles = 8)
+    val back = CdcTable.read(spark, dir)
+    assert(back.count() == 1024)
+    // clustering: per-file spans of BOTH columns far below global span
+    val spans = back.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+      .agg(avg($"sa"), avg($"sb")).collect()(0)
+    assert(spans.getDouble(0) < 700 && spans.getDouble(1) < 700,
+      s"z-ordered current state should bound per-file spans: $spans")
+  }
+
   test("batch replay with same txn id is idempotent (T2)") {
     val base = tmpDir("cdctxn")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckpttxn"))
