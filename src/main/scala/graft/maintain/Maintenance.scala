@@ -22,6 +22,7 @@ object Maintenance {
     * (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
       targetFileMB: Int = 128): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
     requireNotCdcTable(dir, "compact")
     val dataDir = s"$dir/data"
     def parquetFiles = Fs.walkFiles(dataDir)
@@ -31,8 +32,15 @@ object Maintenance {
     val nFiles = math.max(1,
       (totalBytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
     val df = spark.read.parquet(dataDir)
+    val parts = partitionColsOf(dataDir)
     val tmp = s"$dir/data_compact_tmp"
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    // a Hive-partitioned layout survives the rewrite: co-locate each
+    // partition's rows, then write back partitioned
+    val writer = (if (parts.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles, parts.map(col): _*))
+      .write.mode("overwrite")
+    (if (parts.isEmpty) writer else writer.partitionBy(parts: _*))
+      .parquet(tmp)
     // swap: data -> trash, tmp -> data (single-writer maintenance job)
     val trash = s"$dir/data_old_${System.nanoTime()}"
     Fs.rename(dataDir, trash)
@@ -40,6 +48,14 @@ object Maintenance {
     Fs.delete(trash, recursive = true)
     (before.size.toLong, parquetFiles.size.toLong)
   }
+
+  /** Top-level Hive partition columns of a data dir (`key=value`
+    * children), in directory order. */
+  private def partitionColsOf(dataDir: String): Seq[String] =
+    Fs.list(dataDir)
+      .filter(n => n.contains("=") && !n.startsWith("_") &&
+        !n.startsWith("."))
+      .map(_.split("=", 2)(0)).distinct
 
   /** Z-ORDER clustering rewrite (reference `research.md:208`
     * recommendation; Delta `OPTIMIZE … ZORDER BY`): sort the data by
@@ -59,8 +75,15 @@ object Maintenance {
     val total = tableStats(dir).totalBytes
     val nFiles = numFiles.getOrElse(math.max(1,
       (total / (targetFileMB.toLong * 1024 * 1024)).toInt))
+    val parts = partitionColsOf(dataDir)
     val tmp = s"$dir/data_zorder_tmp"
-    zorderFrame(df, cols, nFiles).write.mode("overwrite").parquet(tmp)
+    // Hive partitioning survives: cluster WITHIN partitions (Delta's
+    // OPTIMIZE ZORDER semantics) by ranging on (partCols, z) so each
+    // task holds one partition range in z order before partitionBy
+    val clustered = zorderFrame(df, cols, nFiles, leading = parts)
+    (if (parts.isEmpty) clustered.write.mode("overwrite")
+     else clustered.write.mode("overwrite").partitionBy(parts: _*))
+      .parquet(tmp)
     val trash = s"$dir/data_old_${System.nanoTime()}"
     Fs.rename(dataDir, trash)
     Fs.rename(tmp, dataDir)
@@ -74,7 +97,7 @@ object Maintenance {
     * plain-dir swap above, or a CdcTable `replace` manifest via
     * [[graft.sink.CdcTable.compactToCurrentState]]). */
   private[graft] def zorderFrame(df: DataFrame, cols: Seq[String],
-      nFiles: Int): DataFrame = {
+      nFiles: Int, leading: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size <= 4, "1..4 z-order columns")
     val bits = 5 // 32 quantile buckets per column
@@ -96,9 +119,10 @@ object Maintenance {
     val n = cols.size
     val zExpr = (0 until bits).flatMap(b => cols.indices.map(i =>
       s"(((_rank$i >> $b) & 1) << ${b * n + i})")).mkString(" + ")
+    val order = leading.map(col) :+ col("_z")
     ranked.withColumn("_z", expr(zExpr))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
+      .repartitionByRange(nFiles, order: _*)
+      .sortWithinPartitions(order: _*)
       .drop((cols.indices.map(i => s"_rank$i") :+ "_z"): _*)
   }
 

@@ -39,6 +39,22 @@ class MaintenanceSpec extends SparkSpec {
       s"z-order should bound per-file spans, got $spans")
   }
 
+  test("compact preserves a Hive-partitioned layout") {
+    val dir = tmpDir("compactpart")
+    val df = (1 to 600).toDF("n")
+      .withColumn("p", $"n" % 3)
+    df.repartition(12).write.partitionBy("p").parquet(s"$dir/data")
+    val (before, after) = Maintenance.compact(spark, dir, targetFileMB = 128)
+    assert(after < before)
+    // partition dirs survive the rewrite
+    val children = graft.core.Fs.list(s"$dir/data")
+      .filter(_.startsWith("p=")).sorted
+    assert(children == Seq("p=0", "p=1", "p=2"), children.toString)
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 600)
+    assert(back.filter($"p" === 1).count() == 200)
+  }
+
   test("compact and zorder refuse to run on a CdcTable directory") {
     val dir = tmpDir("guard")
     // simulate a CdcTable layout: version pointer + sv=N generation
