@@ -237,7 +237,10 @@ object CdcTable {
     val existing = commits.lastOption.map(_.schema)
     val merged = existing match {
       case Some(e) => SchemaMerge.merge(e, batch.schema, mode)
-      case None => batch.schema
+      // self-merge normalizes the first schema (all-nullable, like
+      // every later merge) so a second identical append doesn't open
+      // a spurious generation over a nullability-only difference
+      case None => SchemaMerge.merge(batch.schema, batch.schema, mode)
     }
     val sv =
       if (existing.contains(merged)) commits.last.schemaVersion
@@ -289,19 +292,49 @@ object CdcTable {
     readCommits(spark, dir, effective(upTo))
   }
 
+  /** Hive `key=value` partition segments of a staged file path, in
+    * path order — derived from the MANIFEST alone, no FS listing. */
+  private def partColsFromPath(rel: String): Seq[String] =
+    rel.split('/').toIndexedSeq
+      .filter(seg => seg.contains('=') && !seg.startsWith("."))
+      .map(_.split("=", 2)(0)).distinct
+
+  /** One scan per (generation, partition-layout): data columns are
+    * read flat from the exact committed file list and the partition
+    * columns are re-derived from the file PATH (the manifests know the
+    * full staged paths, so this works across any mix of partitioned
+    * appends and differently-laid-out replace commits — Spark's
+    * directory-based partition discovery cannot, because the
+    * `batch-<uuid>` level between data/ and the partition dirs is not
+    * key=value). Scan legs stay bounded: generations are few and each
+    * has at most a couple of layouts. */
   private def readCommits(spark: SparkSession, dir: String,
       commits: Seq[Commit]): DataFrame = {
+    import org.apache.spark.sql.functions._
     val target = commits.last.schema
-    val basePath = s"$dir/data"
-    val gens = commits.groupBy(_.schemaVersion).toSeq.sortBy(_._1)
-      .flatMap { case (_, cs) =>
-        val files = cs.flatMap(_.files).map(f => s"$dir/$f")
+    val gens = commits
+      .groupBy(c => (c.schemaVersion,
+        c.files.headOption.map(partColsFromPath).getOrElse(Nil)))
+      .toSeq.sortBy(_._1._1)
+      .flatMap { case ((_, partCols), cs) =>
+        val files = cs.flatMap(_.files)
         if (files.isEmpty) None
-        else Some(SchemaMerge.castTo(
-          spark.read.option("basePath", basePath)
-            .schema(cs.last.schema) // one schema per generation
-            .parquet(files: _*),
-          target))
+        else {
+          val schema = cs.last.schema // one schema per generation
+          val dataSchema = StructType(
+            schema.fields.filterNot(f => partCols.contains(f.name)))
+          var df = spark.read.schema(dataSchema)
+            .parquet(files.map(f => s"$dir/$f"): _*)
+          partCols.filter(schema.fieldNames.contains).foreach { p =>
+            val raw = regexp_extract(input_file_name(),
+              java.util.regex.Pattern.quote(p) + "=([^/]+)", 1)
+            df = df.withColumn(p,
+              when(raw === "__HIVE_DEFAULT_PARTITION__",
+                lit(null).cast("string"))
+                .otherwise(url_decode(raw)))
+          }
+          Some(SchemaMerge.castTo(df, target))
+        }
       }
     if (gens.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -319,32 +352,74 @@ object CdcTable {
     * between compactions. */
   def compactToCurrentState(spark: SparkSession, dir: String,
       idCol: String = "_id", zorderCols: Seq[String] = Nil,
-      numFiles: Int = 0): Long = {
+      numFiles: Int = 0,
+      partitionBy: Seq[String] = Seq("_ingestion_date")): Long = {
     val state = graft.query.CurrentState(read(spark, dir), idCol)
+    val partCols = partitionBy.filter(state.columns.contains)
     val clustered =
       if (zorderCols.isEmpty) state
+      // cluster WITHIN partitions so the partitioned write keeps files
+      // contiguous in z within each partition (OPTIMIZE ZORDER shape)
       else graft.maintain.Maintenance.zorderFrame(state, zorderCols,
         if (numFiles > 0) numFiles
-        else math.max(1, spark.sparkContext.defaultParallelism / 2))
-    replaceWith(spark, dir, clustered)
+        else math.max(1, spark.sparkContext.defaultParallelism / 2),
+        leading = partCols)
+    replaceWith(spark, dir, clustered, partitionBy)
   }
 
   /** Atomically rewrite the table's whole content as one `replace`
     * manifest under the current schema (superseded files become
     * vacuumable orphans). The rewrite primitive behind upsert
-    * compaction and DLQ replay resolution. */
-  def replaceWith(spark: SparkSession, dir: String, df: DataFrame): Long = {
+    * compaction and DLQ replay resolution. Keeps the table's partition
+    * layout: a generation must be layout-uniform or the unioned
+    * per-generation scan would mix partitioned and flat files. */
+  def replaceWith(spark: SparkSession, dir: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq("_ingestion_date")): Long = {
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
     val schema = commits.last.schema
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
-    SchemaMerge.castTo(df, schema).write.mode("overwrite")
+    val writer = SchemaMerge.castTo(df, schema).write.mode("overwrite")
+    val partCols = partitionBy.filter(schema.fieldNames.contains)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(batchDir)
     val nv = commits.last.schemaVersion + 1
     commit(dir, n => Commit(n, nv, "replace",
       System.currentTimeMillis(), None, schema,
       stagedFiles(dir, batchDir)))
     nv
+  }
+
+  /** Table detail from the manifest log alone — no file-system walk
+    * (Delta `DESCRIBE DETAIL` / reference storage stats surface): live
+    * file count/bytes come from the effective commits' manifests, so
+    * this is O(log) metadata reads even on a 100 TB table. */
+  final case class TableDetail(
+      commits: Long,
+      schemaVersion: Long,
+      generations: Long,
+      liveFiles: Long,
+      liveBytes: Long,
+      lastCommitTs: Long,
+      lastTxn: Option[(String, Long)])
+
+  def detail(dir: String): TableDetail = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val eff = effective(commits)
+    val files = eff.flatMap(_.files)
+    val bytes = files.map { f =>
+      val (fs, p) = Fs(s"$dir/$f")
+      if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+    }.sum
+    TableDetail(
+      commits = commits.last.commit,
+      schemaVersion = commits.last.schemaVersion,
+      generations = eff.map(_.schemaVersion).distinct.size.toLong,
+      liveFiles = files.size.toLong,
+      liveBytes = bytes,
+      lastCommitTs = commits.last.ts,
+      lastTxn = commits.flatMap(_.txn).lastOption)
   }
 
   /** Delete data files no manifest references — crash leftovers and

@@ -43,6 +43,22 @@ class CdcTableLogSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 13)
   }
 
+  test("detail reports live state from manifests alone") {
+    val dir = tmpDir("cdcdetail")
+    (1 to 3).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"d$i")).toDF("x", "_id"), dir,
+        txn = Some(("app", i.toLong)))
+    }
+    val d = CdcTable.detail(dir)
+    assert(d.commits == 3 && d.schemaVersion == 1 && d.generations == 1)
+    assert(d.liveFiles >= 3 && d.liveBytes > 0)
+    assert(d.lastTxn.contains(("app", 3L)))
+    // replace supersedes: live files shrink to the compacted set
+    CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir).coalesce(1))
+    val d2 = CdcTable.detail(dir)
+    assert(d2.commits == 4 && d2.liveFiles == 1)
+  }
+
   test("time travel over the manifest log by commit and by timestamp") {
     val dir = tmpDir("cdctravel")
     (1 to 3).foreach { i =>
