@@ -267,6 +267,27 @@ object CdcTable {
     readCommits(spark, dir, effective(commits))
   }
 
+  /** Read with MANIFEST-level partition pruning: the predicate runs
+    * over each committed file's (partitionColumn, value) pairs parsed
+    * from its staged path, and files that fail are never handed to
+    * Spark at all — log-based file skipping (the Delta/Iceberg scale
+    * pattern): no directory listing, no scan-time filtering, the
+    * planned scan contains exactly the surviving files. Files without
+    * a value for a predicated column (e.g. pre-partitioning layouts)
+    * are kept — pruning must never drop data it cannot judge. */
+  def readPruned(spark: SparkSession, dir: String,
+      partitionPredicate: (String, String) => Boolean): DataFrame = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    def keep(rel: String): Boolean =
+      rel.split('/').toIndexedSeq
+        .filter(seg => seg.contains('=') && !seg.startsWith("."))
+        .map(_.split("=", 2))
+        .forall(kv => partitionPredicate(kv(0), kv(1)))
+    readCommits(spark, dir,
+      effective(commits).map(c => c.copy(files = c.files.filter(keep))))
+  }
+
   /** Time travel over the manifest log (the commit records its own
     * timestamp, Delta-style): the table as of commit `commitAsOf`, or
     * as of the newest commit with ts ≤ `timestampAsOf` millis. Works

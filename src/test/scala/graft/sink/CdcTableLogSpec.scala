@@ -59,6 +59,32 @@ class CdcTableLogSpec extends SparkSpec {
     assert(d2.commits == 4 && d2.liveFiles == 1)
   }
 
+  test("readPruned skips files straight from the manifest") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val dir = tmpDir("cdcprune")
+    // one batch spanning two ingestion dates → two partition dirs
+    CdcTable.append(Seq(
+      (1L, "a", "2026-08-10"), (2L, "b", "2026-08-10"),
+      (3L, "c", "2026-08-11"), (4L, "d", "2026-08-11"))
+      .toDF("x", "_id", "_ingestion_date"), dir)
+    val pruned = CdcTable.readPruned(spark, dir,
+      (k, v) => k != "_ingestion_date" || v == "2026-08-11")
+    assert(pruned.count() == 2)
+    assert(pruned.select("_ingestion_date").distinct()
+      .as[String].collect().toSeq == Seq("2026-08-11"))
+    // the pruning happened at planning: only that partition's files
+    // appear in the scan at all
+    val scannedFiles = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(scannedFiles.nonEmpty &&
+      scannedFiles.forall(_.contains("_ingestion_date=2026-08-11")),
+      scannedFiles.mkString(", "))
+    // full read still sees everything
+    assert(CdcTable.read(spark, dir).count() == 4)
+    assert(CdcTable.read(spark, dir)
+      .filter(col("_ingestion_date") === "2026-08-10").count() == 2)
+  }
+
   test("time travel over the manifest log by commit and by timestamp") {
     val dir = tmpDir("cdctravel")
     (1 to 3).foreach { i =>
