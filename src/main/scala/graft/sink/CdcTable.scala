@@ -411,10 +411,10 @@ object CdcTable {
     nv
   }
 
-  /** Table detail from the manifest log alone — no file-system walk
-    * (Delta `DESCRIBE DETAIL` / reference storage stats surface): live
-    * file count/bytes come from the effective commits' manifests, so
-    * this is O(log) metadata reads even on a 100 TB table. */
+  /** Table detail (Delta `DESCRIBE DETAIL` / reference storage stats
+    * surface): counts and structure come from the manifest log alone;
+    * live bytes are one file-status call per LIVE file (no recursive
+    * directory walk over orphans/superseded data). */
   final case class TableDetail(
       commits: Long,
       schemaVersion: Long,
