@@ -168,7 +168,10 @@ object EmbeddingQ {
 
   private def indexDir(sfDir: String): String = {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_ann_idx_$key"
+    // the suffix versions the BUCKETING algorithm (4 hyperplanes,
+    // h(i,j) family) — bump it if lshBucket semantics ever change, or
+    // a stale index from a previous build would silently mis-bucket
+    s"${sys.props("java.io.tmpdir")}/graft_ann_idx_${key}_p4v1"
   }
 
   /** Build the bucket-partitioned index once per sf dir (idempotent;
