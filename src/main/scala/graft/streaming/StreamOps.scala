@@ -53,6 +53,24 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: rows pair when keys match AND the
+    * right event time falls within [left + lower, left + upper]. Both
+    * sides carry watermarks, and the time-range condition bounds the
+    * join STATE on both sides (without it a stream-stream inner join
+    * buffers forever — the state-retention requirement of Spark's
+    * stream-stream joins). Works identically on batch frames. Column
+    * sets must be disjoint apart from the key. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermark: String,
+      lower: String, upper: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lower") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upper"))
+      .drop(r(key))
+  }
+
   final case class KeyCount(key: String, events: Long, sum: Double)
 
   /** Custom arbitrary state via mapGroupsWithState (T6): a per-key

@@ -53,6 +53,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs within the time band only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String)]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF.toDF("click_ts", "user"),
+      buys.toDF.toDF("buy_ts", "user"),
+      key = "user", leftTs = "click_ts", rightTs = "buy_ts",
+      watermark = "1 hour", lower = "0 minutes", upper = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (ts("2024-01-01 10:00:00"), "u1"),
+        (ts("2024-01-01 10:00:00"), "u2"))
+      buys.addData(
+        (ts("2024-01-01 10:10:00"), "u1"),  // within 30 min → joins
+        (ts("2024-01-01 11:30:00"), "u2"),  // outside the band → no
+        (ts("2024-01-01 09:50:00"), "u1"))  // before the click → no
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user, click_ts, buy_ts FROM ivj")
+        .collect()
+      assert(rows.length == 1)
+      assert(rows(0).getString(0) == "u1" &&
+        rows(0).getTimestamp(2) == ts("2024-01-01 10:10:00"))
+    } finally q.stop()
+  }
+
   test("streaming CDC ingest end-to-end via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val metrics = IngestMetrics.attach(spark)
