@@ -477,24 +477,30 @@ object CdcTable {
     }
     // prune log files a checkpoint supersedes (same retention grace:
     // a reader that listed the log before the checkpoint may still be
-    // reading the raw commit files)
+    // reading the raw commit files). The SECOND-newest checkpoint is
+    // retained too: checkpoint writes are temp+rename, which on s3a is
+    // a non-atomic copy — if the newest were torn AND its predecessor
+    // already pruned, log() would have nothing to fall back to. Raw
+    // commits prune only up to that retained predecessor.
     val names = Fs.list(logDir(dir))
-    names.filter(_.endsWith(".checkpoint")).sorted.lastOption
-      .foreach { latest =>
-        val ckptId = latest.stripSuffix(".checkpoint").toLong
-        val stale = names.filter { n =>
-          (n.endsWith(".commit") &&
-            n.stripSuffix(".commit").toLong <= ckptId) ||
-            (n.endsWith(".checkpoint") && n != latest)
-        }
-        stale.foreach { n =>
-          val p = new org.apache.hadoop.fs.Path(s"${logDir(dir)}/$n")
-          if (fs.getFileStatus(p).getModificationTime < cutoff) {
-            fs.delete(p, false)
-            deleted += p.toUri.getPath
-          }
+    val ckpts = names.filter(_.endsWith(".checkpoint")).sorted
+    if (ckpts.nonEmpty) {
+      val keepCkpts = ckpts.takeRight(2).toSet
+      val pruneUpTo = ckpts.takeRight(2).head
+        .stripSuffix(".checkpoint").toLong
+      val stale = names.filter { n =>
+        (n.endsWith(".commit") &&
+          n.stripSuffix(".commit").toLong <= pruneUpTo) ||
+          (n.endsWith(".checkpoint") && !keepCkpts(n))
+      }
+      stale.foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(s"${logDir(dir)}/$n")
+        if (fs.getFileStatus(p).getModificationTime < cutoff) {
+          fs.delete(p, false)
+          deleted += p.toUri.getPath
         }
       }
+    }
     deleted.result()
   }
 }
