@@ -134,6 +134,25 @@ class CdcTableLogSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 12)
   }
 
+  test("time travel horizon ends at orphan vacuum") {
+    val dir = tmpDir("cdchorizon")
+    (1 to 3).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"h$i")).toDF("x", "_id"), dir)
+    }
+    CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir))
+    // pre-replace travel works while the superseded files are retained
+    assert(CdcTable.readAsOf(spark, dir, commitAsOf = Some(2L))
+      .count() == 2)
+    CdcTable.vacuumOrphans(dir, retainMillis = 0L)
+    // after vacuum the superseded files are gone: pre-replace travel
+    // fails loudly instead of returning partial data
+    intercept[Exception] {
+      CdcTable.readAsOf(spark, dir, commitAsOf = Some(2L)).count()
+    }
+    // the current state is unaffected
+    assert(CdcTable.read(spark, dir).count() == 3)
+  }
+
   test("checkpoint stubs keep superseded generations' schemas only") {
     val dir = tmpDir("cdclog2")
     import org.apache.spark.sql.functions.col
