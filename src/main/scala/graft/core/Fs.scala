@@ -14,11 +14,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Commit files are created with create-exclusive (`overwrite=false`),
   * the standard object-store-safe commit primitive: on HDFS and local
-  * FS the create is atomic; on S3A it requires the usual external
-  * coordination for MULTIPLE concurrent writers, which the engine does
-  * not need — the streaming sink is the single writer per table (as in
-  * the reference), and create-exclusive still turns a torn write into
-  * a retryable error instead of corruption.
+  * FS the create is atomic; on S3A it is check-then-act, so atomicity
+  * for concurrent creates needs a writer-side guarantee. The engine's
+  * is two-layered: all of one table's IN-PROCESS writers (including
+  * the parallel per-collection futures that share the `_dlq` table)
+  * serialize through CdcTable's per-table JVM lock, and CROSS-process
+  * the deployment contract is one writer JVM per table (the streaming
+  * driver, as in the reference). Under that contract create-exclusive
+  * still turns a torn write into a retryable error, never corruption.
   */
 object Fs {
 

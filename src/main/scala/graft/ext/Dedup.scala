@@ -78,7 +78,7 @@ object Dedup {
 
     // verify candidates with true Jaccard over the shingle-id sets
     val sets = base.select(col("id"), col("sids"), col("m"))
-    val verified = cand
+    val verifiedPlan = cand
       .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),
         col("m").as("ma")), Seq("a_id"))
       .join(sets.select(col("id").as("b_id"), col("sids").as("sb"),
@@ -89,6 +89,13 @@ object Dedup {
         (col("ma") + col("mb") - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // Materialize the (small) verified-pair set eagerly so the staged
+    // frame unpersists HERE: a lazily returned plan over `base` would
+    // pin the cache entry forever (the CacheManager holds it — cached
+    // frames are not GC'd), leaking storage across repeated calls.
+    val verified =
+      try verifiedPlan.localCheckpoint()
+      finally { base.unpersist(); () }
 
     val components = connectedComponents(spark, verified)
     val decisions = df.select(col(idCol).as("id"))
@@ -156,7 +163,7 @@ object Dedup {
         col("blk") === col("bblk") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
     val sets = base.select(col("id"), col("sids"), col("m"))
-    cand
+    val result = cand
       .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),
         col("m").as("ma")), Seq("a_id"))
       .join(sets.select(col("id").as("b_id"), col("sids").as("sb"),
@@ -169,6 +176,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter"),
         col("union_size"), col("jaccard"))
+    // eager materialization so the staged cache is released before
+    // returning (see Dedup.near) — repeated calls must not accumulate
+    // CacheManager entries
+    try result.localCheckpoint()
+    finally { base.unpersist(); () }
   }
 
   /** Embedding-space near-dup dedup: cosine pairs above threshold

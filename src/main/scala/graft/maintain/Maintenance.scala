@@ -156,15 +156,39 @@ object Maintenance {
   private def snapPath(dir: String, v: Long) =
     f"${snapLogDir(dir)}/$v%020d.snap"
 
-  /** (version, commitTs) entries in version order. */
-  def snapshotLog(dir: String): Seq[(Long, Long)] =
-    Fs.list(snapLogDir(dir))
+  /** Versions of a LEGACY (pre-`_snaplog`) snapshot store: the old
+    * layout committed versions via a `_latest` pointer file. Without
+    * this, such a dir would read as "no snapshot" and the next
+    * [[writeSnapshot]] would compute v=0 and silently OVERWRITE the
+    * existing v=0 data. Entry timestamps fall back to each version
+    * dir's modification time. Only consulted when `_latest` exists —
+    * a bare v=N dir without either marker is an in-flight
+    * (uncommitted) write and must stay invisible. */
+  private def legacyVersions(dir: String): Seq[(Long, Long)] =
+    if (!Fs.exists(s"$dir/_latest")) Nil
+    else Fs.list(dir)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+      .sorted
+      .map { v =>
+        val (fs, p) = Fs(s"$dir/v=$v")
+        v -> fs.getFileStatus(p).getModificationTime
+      }
+
+  /** (version, commitTs) entries in version order — `_snaplog` entries
+    * plus any legacy-layout versions they don't already cover. */
+  def snapshotLog(dir: String): Seq[(Long, Long)] = {
+    val persisted = Fs.list(snapLogDir(dir))
       .filter(_.endsWith(".snap")).sorted
       .flatMap { n =>
         val v = n.stripSuffix(".snap").toLong
         Fs.readString(s"${snapLogDir(dir)}/$n")
           .map(c => v -> c.trim.stripPrefix("ts=").toLong)
       }
+    val known = persisted.map(_._1).toSet
+    (legacyVersions(dir).filterNot(e => known(e._1)) ++ persisted)
+      .sortBy(_._1)
+  }
 
   def latestVersion(dir: String): Option[Long] =
     snapshotLog(dir).lastOption.map(_._1)

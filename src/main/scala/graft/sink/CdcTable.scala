@@ -42,7 +42,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object CdcTable {
 
-  /** One committed manifest. `files` are dir-relative. */
+  /** One committed manifest. `files` are dir-relative. `stub` marks a
+    * checkpoint-condensed superseded commit whose file list was
+    * dropped (the raw commit file, if not yet vacuumed, still has it —
+    * [[readAsOf]] hydrates from there). */
   final case class Commit(
       commit: Long,
       schemaVersion: Long,
@@ -50,7 +53,8 @@ object CdcTable {
       ts: Long,
       txn: Option[(String, Long)],
       schema: StructType,
-      files: Seq[String])
+      files: Seq[String],
+      stub: Boolean = false)
 
   private def logDir(dir: String) = s"$dir/_graft_log"
   private def commitPath(dir: String, n: Long) =
@@ -60,6 +64,7 @@ object CdcTable {
     val head = Seq(
       s"commit=${c.commit}", s"sv=${c.schemaVersion}",
       s"action=${c.action}", s"ts=${c.ts}") ++
+      (if (c.stub) Seq("stub=1") else Nil) ++
       c.txn.toSeq.flatMap { case (a, v) =>
         Seq(s"txnApp=$a", s"txnVer=$v") } ++
       Seq(s"schema=${c.schema.json}") ++
@@ -82,7 +87,8 @@ object CdcTable {
         yield (a, v.toLong),
       schema = DataType.fromJson(one("schema").get)
         .asInstanceOf[StructType],
-      files = kv.collect { case ("file", f) => f })
+      files = kv.collect { case ("file", f) => f },
+      stub = one("stub").contains("1"))
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -100,7 +106,7 @@ object CdcTable {
   private def writeCheckpoint(dir: String, commits: Seq[Commit]): Unit = {
     val eIdx = commits.lastIndexWhere(_.action == "replace")
     val condensed = commits.zipWithIndex.map { case (c, i) =>
-      if (eIdx >= 0 && i < eIdx) c.copy(files = Nil) else c
+      if (eIdx >= 0 && i < eIdx) c.copy(files = Nil, stub = true) else c
     }
     Fs.writeString(
       f"${logDir(dir)}/${commits.last.commit}%020d.checkpoint",
@@ -163,10 +169,28 @@ object CdcTable {
         if (acc.exists(_._1 == p._1)) acc else acc :+ p
       }
 
+  /** Serializes IN-PROCESS commits per table: the ingest appends to
+    * the shared `_dlq` table from parallel per-collection futures, and
+    * on s3a `create(overwrite=false)` is not atomic — two racing
+    * creates of the same `N.commit` could both "succeed" and one
+    * manifest would be silently lost. With all of one table's writers
+    * living in the single streaming-driver JVM (the deployment
+    * contract, as in the reference), this lock is what makes the
+    * commit race-free on object stores; the create-exclusive retry
+    * loop below still guards the local/HDFS cross-process case. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Atomically add a manifest; retries the commit id on a lost race
     * (single-writer by contract, but a replayed batch after a crash
     * can observe its own half-finished predecessor). */
   private def commit(dir: String, mk: Long => Commit): Commit = {
+    val lock = tableLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(dir).toString, _ => new Object)
+    lock.synchronized(commitLocked(dir, mk))
+  }
+
+  private def commitLocked(dir: String, mk: Long => Commit): Commit = {
     // Each lost race burns one attempt, and with k concurrent writers
     // a single commit can lose up to (k-1) races per competitor batch —
     // size the bound well above the per-table writer fan-out.
@@ -310,7 +334,23 @@ object CdcTable {
     }
     require(upTo.nonEmpty, s"no commit at or before the requested point " +
       s"(earliest: commit=${commits.head.commit} ts=${commits.head.ts})")
-    readCommits(spark, dir, effective(upTo))
+    // The log may have come from a checkpoint that condensed superseded
+    // commits to fileless stubs. Their RAW commit files keep the file
+    // lists until vacuumOrphans prunes them (the same retention window
+    // that keeps the superseded data files), so travel before the last
+    // `replace` hydrates from the raw log — and fails loudly, not
+    // empty-silently, once vacuum has truncated the history.
+    val hydrated = effective(upTo).map { c =>
+      if (!c.stub) c
+      else Fs.readString(commitPath(dir, c.commit)).map(parse).getOrElse(
+        throw new IllegalStateException(
+          s"time travel to commit ${c.commit} at $dir: history " +
+            "truncated — the log checkpoint keeps this superseded " +
+            "commit only as a fileless stub and vacuumOrphans has " +
+            "pruned its raw commit file (vacuum retention is the " +
+            "travel horizon)"))
+    }
+    readCommits(spark, dir, hydrated)
   }
 
   /** Hive `key=value` partition segments of a staged file path, in

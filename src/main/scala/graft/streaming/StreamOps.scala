@@ -54,9 +54,12 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Stream-stream interval join: rows pair when keys match AND the
-    * right event time falls within [left + lower, left + upper]. Both
-    * sides carry watermarks, and the time-range condition bounds the
-    * join STATE on both sides (without it a stream-stream inner join
+    * right event time falls within [left + lower, left + upper] —
+    * both bounds are OFFSETS from the left event time, so a window
+    * reaching backward passes a negative `lower` (Flink interval-join
+    * style: lower = "-10 minutes", upper = "5 minutes"). Both sides
+    * carry watermarks, and the time-range condition bounds the join
+    * STATE on both sides (without it a stream-stream inner join
     * buffers forever — the state-retention requirement of Spark's
     * stream-stream joins). Works identically on batch frames. Column
     * sets must be disjoint apart from the key. */
@@ -66,7 +69,7 @@ object StreamOps {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r, l(key) === r(key) &&
-        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lower") &&
+        r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lower") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upper"))
       .drop(r(key))
   }

@@ -99,4 +99,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.readSnapshot(spark, dir).count() == 7)
     assert(Maintenance.readSnapshot(spark, dir, Some(1)).count() == 5)
   }
+
+  test("legacy _latest-pointer snapshot dirs are visible, not overwritten") {
+    val dir = tmpDir("snaplegacy")
+    // pre-_snaplog layout: v=N dirs committed via a _latest pointer
+    (1 to 3).toDF("n").write.parquet(s"$dir/v=0")
+    (1 to 5).toDF("n").write.parquet(s"$dir/v=1")
+    graft.core.Fs.writeString(s"$dir/_latest", "1")
+    assert(Maintenance.latestVersion(dir).contains(1L))
+    assert(Maintenance.readSnapshot(spark, dir).count() == 5)
+    assert(Maintenance.readSnapshot(spark, dir, Some(0)).count() == 3)
+    // the next write APPENDS v=2 instead of recomputing v=0 and
+    // silently overwriting the oldest legacy version
+    assert(Maintenance.writeSnapshot((1 to 7).toDF("n"), dir) == 2L)
+    assert(Maintenance.readSnapshot(spark, dir).count() == 7)
+    assert(Maintenance.readSnapshot(spark, dir, Some(0)).count() == 3)
+    // an UNCOMMITTED v=N dir (no _latest, no .snap) stays invisible
+    val dir2 = tmpDir("snapinflight")
+    (1 to 3).toDF("n").write.parquet(s"$dir2/v=0")
+    assert(Maintenance.latestVersion(dir2).isEmpty)
+  }
 }

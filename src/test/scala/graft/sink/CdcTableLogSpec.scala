@@ -153,6 +153,29 @@ class CdcTableLogSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 3)
   }
 
+  test("time travel across checkpoint stubs hydrates the raw commits") {
+    val dir = tmpDir("cdcstubtravel")
+    (1 to 9).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"s$i")).toDF("x", "_id"), dir)
+    }
+    // replace at commit 10 = checkpoint boundary: commits 1-9 are
+    // condensed to fileless stubs in the checkpoint the log prefers
+    CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir))
+    assert(CdcTable.log(dir).init.forall(_.stub))
+    // pre-replace travel must read the superseded data (raw commit
+    // files keep the file lists until vacuum), not silently 0 rows
+    assert(CdcTable.readAsOf(spark, dir, commitAsOf = Some(5L))
+      .count() == 5)
+    // once vacuum prunes the raw commits, travel fails loudly
+    CdcTable.vacuumOrphans(dir, retainMillis = 0L)
+    val e = intercept[IllegalStateException] {
+      CdcTable.readAsOf(spark, dir, commitAsOf = Some(5L))
+    }
+    assert(e.getMessage.contains("history truncated"))
+    // current state is unaffected
+    assert(CdcTable.read(spark, dir).count() == 9)
+  }
+
   test("checkpoint stubs keep superseded generations' schemas only") {
     val dir = tmpDir("cdclog2")
     import org.apache.spark.sql.functions.col

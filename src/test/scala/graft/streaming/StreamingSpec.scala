@@ -81,6 +81,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join lower bound is an offset from the left time") {
+    // batch frames — the plan is identical to the streaming one
+    val clicks = Seq((ts("2024-01-01 10:00:00"), "u1"))
+      .toDF("click_ts", "user")
+    val buys = Seq(
+      (ts("2024-01-01 10:05:00"), "u1"),  // before left+10min → no
+      (ts("2024-01-01 10:15:00"), "u1"),  // inside [10, 30] → joins
+      (ts("2024-01-01 09:55:00"), "u1"))  // before the click → no
+      .toDF("buy_ts", "user")
+    val fwd = StreamOps.intervalJoin(clicks, buys, "user",
+      "click_ts", "buy_ts", "1 hour",
+      lower = "10 minutes", upper = "30 minutes")
+    assert(fwd.select("buy_ts").as[Timestamp].collect().toSeq ==
+      Seq(ts("2024-01-01 10:15:00")))
+    // a negative lower reaches BACKWARD from the left event
+    val back = StreamOps.intervalJoin(clicks, buys, "user",
+      "click_ts", "buy_ts", "1 hour",
+      lower = "-10 minutes", upper = "0 minutes")
+    assert(back.select("buy_ts").as[Timestamp].collect().toSeq ==
+      Seq(ts("2024-01-01 09:55:00")))
+  }
+
   test("streaming CDC ingest end-to-end via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val metrics = IngestMetrics.attach(spark)
