@@ -300,16 +300,25 @@ object CdcTable {
     * a value for a predicated column (e.g. pre-partitioning layouts)
     * are kept — pruning must never drop data it cannot judge. */
   def readPruned(spark: SparkSession, dir: String,
-      partitionPredicate: (String, String) => Boolean): DataFrame = {
-    val commits = log(dir)
-    require(commits.nonEmpty, s"no CdcTable at $dir")
+      partitionPredicate: (String, String) => Boolean): DataFrame =
+    readFiltered(spark, dir, partitionPredicate)
+
+  /** [[readPruned]] + [[readAsOf]] combined: manifest-level file
+    * skipping over the table as of a commit / timestamp — the scan
+    * primitive behind the `graft` DataSource format
+    * ([[graft.sources.GraftSource]]). */
+  def readFiltered(spark: SparkSession, dir: String,
+      partitionPredicate: (String, String) => Boolean,
+      commitAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
     def keep(rel: String): Boolean =
       rel.split('/').toIndexedSeq
         .filter(seg => seg.contains('=') && !seg.startsWith("."))
         .map(_.split("=", 2))
         .forall(kv => partitionPredicate(kv(0), kv(1)))
     readCommits(spark, dir,
-      effective(commits).map(c => c.copy(files = c.files.filter(keep))))
+      commitsAsOf(dir, commitAsOf, timestampAsOf)
+        .map(c => c.copy(files = c.files.filter(keep))))
   }
 
   /** Time travel over the manifest log (the commit records its own
@@ -322,7 +331,15 @@ object CdcTable {
     * (kept until vacuum, like Delta). */
   def readAsOf(spark: SparkSession, dir: String,
       commitAsOf: Option[Long] = None,
-      timestampAsOf: Option[Long] = None): DataFrame = {
+      timestampAsOf: Option[Long] = None): DataFrame =
+    readCommits(spark, dir, commitsAsOf(dir, commitAsOf, timestampAsOf))
+
+  /** The effective (post-`replace`), stub-hydrated commits as of the
+    * requested point — the shared resolution behind [[readAsOf]],
+    * [[readFiltered]] and the `graft` DataSource's schema lookup. */
+  private[graft] def commitsAsOf(dir: String,
+      commitAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): Seq[Commit] = {
     require(commitAsOf.isEmpty || timestampAsOf.isEmpty,
       "specify at most one of commitAsOf / timestampAsOf")
     val commits = log(dir)
@@ -334,23 +351,65 @@ object CdcTable {
     }
     require(upTo.nonEmpty, s"no commit at or before the requested point " +
       s"(earliest: commit=${commits.head.commit} ts=${commits.head.ts})")
-    // The log may have come from a checkpoint that condensed superseded
-    // commits to fileless stubs. Their RAW commit files keep the file
-    // lists until vacuumOrphans prunes them (the same retention window
-    // that keeps the superseded data files), so travel before the last
-    // `replace` hydrates from the raw log — and fails loudly, not
-    // empty-silently, once vacuum has truncated the history.
-    val hydrated = effective(upTo).map { c =>
-      if (!c.stub) c
-      else Fs.readString(commitPath(dir, c.commit)).map(parse).getOrElse(
-        throw new IllegalStateException(
-          s"time travel to commit ${c.commit} at $dir: history " +
-            "truncated — the log checkpoint keeps this superseded " +
-            "commit only as a fileless stub and vacuumOrphans has " +
-            "pruned its raw commit file (vacuum retention is the " +
-            "travel horizon)"))
+    effective(upTo).map(hydrate(dir, _))
+  }
+
+  /** The log may have come from a checkpoint that condensed superseded
+    * commits to fileless stubs. Their RAW commit files keep the file
+    * lists until vacuumOrphans prunes them (the same retention window
+    * that keeps the superseded data files), so travel before the last
+    * `replace` hydrates from the raw log — and fails loudly, not
+    * empty-silently, once vacuum has truncated the history. */
+  private def hydrate(dir: String, c: Commit): Commit =
+    if (!c.stub) c
+    else Fs.readString(commitPath(dir, c.commit)).map(parse).getOrElse(
+      throw new IllegalStateException(
+        s"time travel to commit ${c.commit} at $dir: history " +
+          "truncated — the log checkpoint keeps this superseded " +
+          "commit only as a fileless stub and vacuumOrphans has " +
+          "pruned its raw commit file (vacuum retention is the " +
+          "travel horizon)"))
+
+  /** Change feed (the Delta CDF read shape; the reference's CDC event
+    * log IS its change stream): the rows APPENDED in commits
+    * (`afterCommit`, `upToCommit`], each tagged with `_commit`,
+    * `_commit_ts` and `_change_type` = 'insert'. `replace` commits are
+    * physical rewrites (compaction / DLQ resolution) that change no
+    * logical rows and are skipped; consumers that need replace
+    * awareness diff [[readAsOf]] snapshots instead. Commits already
+    * condensed to checkpoint stubs hydrate from the raw log (loud
+    * failure past the vacuum horizon, like [[readAsOf]]) — tail the
+    * feed within the retention window. */
+  def readChanges(spark: SparkSession, dir: String, afterCommit: Long,
+      upToCommit: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val commits = CdcTable.log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val hi = upToCommit.getOrElse(commits.last.commit)
+    val range = commits
+      .filter(c => c.commit > afterCommit && c.commit <= hi)
+      .map(hydrate(dir, _))
+    val appends = range.filter(_.action == "append")
+    val target = range.lastOption.map(_.schema)
+      .getOrElse(commits.last.schema)
+    val meta = StructType(Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_ts",
+        org.apache.spark.sql.types.LongType)))
+    val withMeta = StructType(target.fields ++ meta.fields)
+    val legs = appends.filter(_.files.nonEmpty).map { c =>
+      SchemaMerge.castTo(readCommits(spark, dir, Seq(c)), target)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit", lit(c.commit))
+        .withColumn("_commit_ts", lit(c.ts))
     }
-    readCommits(spark, dir, hydrated)
+    if (legs.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), withMeta)
+    else legs.reduce(_ unionByName _)
   }
 
   /** Hive `key=value` partition segments of a staged file path, in

@@ -1,0 +1,171 @@
+package graft.sources
+
+import graft.core.Fs
+import graft.sink.CdcTable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The `graft` DataSource: the SQL-facing surface of the CdcTable
+  * manifest log, registered through the stable `sources` API (v1) +
+  * `DataSourceRegister` (META-INF/services), so the table works from
+  * pure SQL exactly like Delta's `USING delta` surface (reference
+  * research.md:604-615 time travel; `delta_writer.py` table reads):
+  *
+  *   spark.read.format("graft").load(dir)                 — current state
+  *     .option("commitAsOf", 3) / .option("timestampAsOf", ms)
+  *   CREATE TABLE t USING graft OPTIONS (path '...'); INSERT INTO t ...
+  *   df.write.format("graft").mode("append"|"overwrite").save(dir)
+  *
+  * (`SELECT * FROM graft.`/path``-style direct file queries are a
+  * FileFormat-only Spark feature; the named-table route above is the
+  * SQL entry point.)
+  *
+  * Scan shape: schema comes from the manifest log alone (no file
+  * listing); pushed-down filters on partition-path columns prune FILES
+  * at the manifest level before Spark ever plans the scan (the
+  * Delta/Iceberg log-based file-skipping pattern — see
+  * [[GraftRelation.keeps]]); remaining filters and the column
+  * projection are applied inside the delegated DataFrame plan, so they
+  * reach the underlying parquet reader as PushedFilters/ReadSchema.
+  * The v1 exchange hands Spark `RDD[Row]` (one row-conversion on the
+  * boundary) — fine for the SQL convenience surface; throughput-
+  * critical pipelines use the programmatic [[CdcTable]] API, which is
+  * plan-native end to end.
+  */
+class GraftSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("paths")).getOrElse(
+      throw new IllegalArgumentException(
+        "the graft format needs a path: .load(dir) or OPTIONS (path '…')"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext, pathOf(parameters),
+      parameters.get("commitAsOf").map(_.toLong),
+      parameters.get("timestampAsOf").map(_.toLong))
+
+  /** Batch write surface. Append = CdcTable.append (schema merged,
+    * atomic manifest commit); Overwrite = atomic `replace` under the
+    * table's current merged schema (schema evolution happens through
+    * appends, never through a rewrite). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val dir = pathOf(parameters)
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("_ingestion_date"))
+    val exists = Fs.exists(s"$dir/_graft_log")
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft table already exists at $dir (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite if exists =>
+        CdcTable.replaceWith(data.sparkSession, dir, data, partitionBy)
+        ()
+      case _ =>
+        CdcTable.append(data, dir, partitionBy = partitionBy)
+        ()
+    }
+    GraftRelation(sqlContext, dir, None, None)
+  }
+}
+
+final case class GraftRelation(sqlContext: SQLContext, dir: String,
+    commitAsOf: Option[Long], timestampAsOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** Schema from the manifest log alone — no file listing, no footer
+    * reads (at 100 TB a schema lookup must not touch data files). */
+  override val schema: StructType =
+    CdcTable.commitsAsOf(dir, commitAsOf, timestampAsOf).last.schema
+
+  /** All filters are re-applied by Spark above this scan: manifest
+    * pruning and the delegated-plan filters below can only SKIP work,
+    * never change results. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pruned = CdcTable.readFiltered(sqlContext.sparkSession, dir,
+      (k, v) => filters.forall(keeps(_, k,
+        java.net.URLDecoder.decode(v, "UTF-8"))),
+      commitAsOf, timestampAsOf)
+    // hand the remaining predicates to the delegated plan too, so they
+    // push into its parquet scan (PushedFilters) instead of filtering
+    // post-conversion rows
+    val filtered = filters.flatMap(toColumn)
+      .reduceOption(_ && _).map(pruned.filter).getOrElse(pruned)
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(
+        requiredColumns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  /** INSERT INTO (SQL) — append or overwrite through the same atomic
+    * manifest commits as the programmatic API. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite)
+      CdcTable.replaceWith(data.sparkSession, dir, data)
+    else CdcTable.append(data, dir)
+    ()
+  }
+
+  /** Does `filter` allow a file whose partition path carries (k, v)?
+    * Sound by construction: anything not understood keeps the file
+    * (true), and files without a value for the filtered column never
+    * reach this predicate (readFiltered keeps them). String
+    * comparisons prune lexicographically — correct for the engine's
+    * fixed-width ISO `_ingestion_date` values. */
+  private def keeps(filter: Filter, k: String, v: String): Boolean =
+    filter match {
+      case EqualTo(a, x) if a == k => v == String.valueOf(x)
+      case EqualNullSafe(a, x) if a == k && x != null =>
+        v == String.valueOf(x)
+      case In(a, xs) if a == k =>
+        xs.exists(x => v == String.valueOf(x))
+      case GreaterThan(a, x: String) if a == k => v > x
+      case GreaterThanOrEqual(a, x: String) if a == k => v >= x
+      case LessThan(a, x: String) if a == k => v < x
+      case LessThanOrEqual(a, x: String) if a == k => v <= x
+      case IsNull(a) if a == k => v == "__HIVE_DEFAULT_PARTITION__"
+      case IsNotNull(a) if a == k => v != "__HIVE_DEFAULT_PARTITION__"
+      case StringStartsWith(a, p) if a == k => v.startsWith(p)
+      case And(l, r) => keeps(l, k, v) && keeps(r, k, v)
+      case Or(l, r) => keeps(l, k, v) || keeps(r, k, v)
+      case Not(EqualTo(a, x)) if a == k => v != String.valueOf(x)
+      case _ => true
+    }
+
+  /** Best-effort translation of a pushed filter back to a Column for
+    * the delegated plan; None for shapes not worth translating (Spark
+    * re-applies everything anyway). */
+  private def toColumn(filter: Filter): Option[Column] = filter match {
+    case EqualTo(a, x) => Some(col(s"`$a`") === lit(x))
+    case GreaterThan(a, x) => Some(col(s"`$a`") > lit(x))
+    case GreaterThanOrEqual(a, x) => Some(col(s"`$a`") >= lit(x))
+    case LessThan(a, x) => Some(col(s"`$a`") < lit(x))
+    case LessThanOrEqual(a, x) => Some(col(s"`$a`") <= lit(x))
+    case In(a, xs) => Some(col(s"`$a`").isin(xs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(s"`$a`").isNull)
+    case IsNotNull(a) => Some(col(s"`$a`").isNotNull)
+    case StringStartsWith(a, p) => Some(col(s"`$a`").startsWith(p))
+    case StringEndsWith(a, p) => Some(col(s"`$a`").endsWith(p))
+    case StringContains(a, p) => Some(col(s"`$a`").contains(p))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r))
+      yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r))
+      yield lc || rc
+    case Not(f) => toColumn(f).map(!_)
+    case _ => None
+  }
+}

@@ -153,6 +153,39 @@ class CdcTableLogSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 3)
   }
 
+  test("change feed returns appended rows tagged per commit") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("cdcfeed")
+    (1 to 3).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"c$i")).toDF("x", "_id"), dir)
+    }
+    val all = CdcTable.readChanges(spark, dir, afterCommit = 0L)
+    assert(all.count() == 3)
+    assert(all.select("_change_type").distinct()
+      .as[String].collect().toSeq == Seq("insert"))
+    assert(all.select("_commit").distinct().count() == 3)
+    // incremental tail: only the commits after the consumer's cursor
+    val tail = CdcTable.readChanges(spark, dir, afterCommit = 2L)
+    assert(tail.count() == 1 &&
+      tail.select("_id").as[String].head() == "c3")
+    // bounded range
+    assert(CdcTable.readChanges(spark, dir, 1L, upToCommit = Some(2L))
+      .select("_id").as[String].collect().toSeq == Seq("c2"))
+    // a replace (compaction) is a physical rewrite, not a change
+    CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir))
+    val afterReplace = CdcTable.readChanges(spark, dir, afterCommit = 3L)
+    assert(afterReplace.count() == 0)
+    assert(afterReplace.columns.contains("_commit_ts"))
+    // pre-replace changes still readable until vacuum
+    assert(CdcTable.readChanges(spark, dir, 0L).count() == 3)
+    // schema evolution inside the range: rows cast to the newest schema
+    CdcTable.append(Seq((9L, "c9", 1.5)).toDF("x", "_id", "w"), dir)
+    val evolved = CdcTable.readChanges(spark, dir, afterCommit = 0L)
+    assert(evolved.columns.contains("w"))
+    assert(evolved.filter(col("_id") === "c1")
+      .select("w").as[Option[Double]].head().isEmpty)
+  }
+
   test("time travel across checkpoint stubs hydrates the raw commits") {
     val dir = tmpDir("cdcstubtravel")
     (1 to 9).foreach { i =>

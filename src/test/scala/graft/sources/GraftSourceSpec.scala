@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sink.CdcTable
+import org.apache.spark.sql.functions.{col, input_file_name}
+
+/** The `graft` DataSource format: SQL/DataFrameReader surface over the
+  * CdcTable manifest log — reads, time travel options, manifest-level
+  * partition pruning from pushed filters, and the write/INSERT path. */
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(dir: String): Unit =
+    CdcTable.append(Seq(
+      (1L, "a", "2026-08-10"), (2L, "b", "2026-08-10"),
+      (3L, "c", "2026-08-11"), (4L, "d", "2026-08-11"))
+      .toDF("x", "_id", "_ingestion_date"), dir)
+
+  test("format('graft') reads the current state and time travels") {
+    val dir = tmpDir("gsrc")
+    seed(dir)
+    CdcTable.append(Seq((5L, "e", "2026-08-12"))
+      .toDF("x", "_id", "_ingestion_date"), dir)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() == 5)
+    assert(df.schema.fieldNames.toSet ==
+      Set("x", "_id", "_ingestion_date"))
+    assert(spark.read.format("graft").option("commitAsOf", "1")
+      .load(dir).count() == 4)
+    // appends can share a millisecond: expect the rows of exactly the
+    // commits at or before the first commit's ts
+    val log = CdcTable.log(dir)
+    val ts1 = log.head.ts
+    val expected = if (log.last.ts <= ts1) 5L else 4L
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", ts1.toString).load(dir)
+      .count() == expected)
+  }
+
+  test("pushed partition filters prune files at the manifest") {
+    val dir = tmpDir("gsrcprune")
+    seed(dir)
+    val pruned = spark.read.format("graft").load(dir)
+      .filter(col("_ingestion_date") === "2026-08-11")
+    assert(pruned.count() == 2)
+    // pruning happened at planning: only that partition's files are
+    // in the scan at all
+    val scanned = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(scanned.nonEmpty &&
+      scanned.forall(_.contains("_ingestion_date=2026-08-11")),
+      scanned.mkString(", "))
+    // range prune on the ISO date string
+    val ranged = spark.read.format("graft").load(dir)
+      .filter(col("_ingestion_date") >= "2026-08-11")
+    assert(ranged.count() == 2)
+  }
+
+  test("SQL surface: CREATE TABLE USING graft, INSERT INTO") {
+    val dir = tmpDir("gsrcsql")
+    seed(dir)
+    spark.sql("DROP TABLE IF EXISTS gsrc_t")
+    spark.sql(s"CREATE TABLE gsrc_t USING graft OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM gsrc_t").head().getLong(0)
+        == 4)
+      spark.sql("INSERT INTO gsrc_t VALUES " +
+        "(9, 'z', '2026-08-12')")
+      assert(spark.sql("SELECT count(*) FROM gsrc_t").head().getLong(0)
+        == 5)
+      assert(CdcTable.read(spark, dir).count() == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS gsrc_t")
+  }
+
+  test("write surface: append / overwrite / errorIfExists modes") {
+    val dir = tmpDir("gsrcwrite")
+    val df = Seq((1L, "a", "2026-08-10"))
+      .toDF("x", "_id", "_ingestion_date")
+    df.write.format("graft").mode("append").save(dir)
+    df.write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 2)
+    intercept[Exception] {
+      df.write.format("graft").mode("errorifexists").save(dir)
+    }
+    // overwrite = atomic replace manifest; history stays travelable
+    Seq((7L, "q", "2026-08-12")).toDF("x", "_id", "_ingestion_date")
+      .write.format("graft").mode("overwrite").save(dir)
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 1 &&
+      after.select("x").as[Long].head() == 7L)
+    assert(spark.read.format("graft").option("commitAsOf", "2")
+      .load(dir).count() == 2)
+  }
+}
