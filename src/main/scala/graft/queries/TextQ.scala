@@ -421,6 +421,66 @@ object TextQ {
        |WHERE CAST(inter AS DOUBLE) / (ma + mb - inter) >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q60 — deterministic train/val/test split
+    * ([[graft.ext.Sampling.hashSplit]]): a stable md5-prefix bucket of
+    * the document key, never rand() — the assignment survives corpus
+    * growth, re-runs and engine changes. Scan-speed per-row
+    * projection + one grouped summary. */
+  def q60(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.hashSplit(
+      Tables(s, dir, "documents"), "doc_id", trainPct = 80, valPct = 10)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+
+  val q60Sql: String =
+    s"""WITH s AS (SELECT doc_id, n_chars,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS first_doc
+       |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** q61 — sequence packing ([[graft.ext.Sampling.sequencePack]]):
+    * documents concatenated per source in doc_id order and chunked
+    * every 2048 whitespace tokens; each document's pack is where it
+    * starts. One window aggregation keyed by source, then a grouped
+    * per-pack summary. */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val docs = withToks(s, dir)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    graft.ext.Sampling
+      .sequencePack(docs, "source", "doc_id", "n_tokens", budget = 2048)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val q61Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len($toksD) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT source,
+       |  CAST(FLOOR(CAST(cum_before AS DOUBLE) / 2048) AS BIGINT)
+       |    AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT)
+       |    AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY source, pack_id
+       |ORDER BY source, pack_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -430,5 +490,7 @@ object TextQ {
     QueryDef("q33_ngram_jaccard", q33, Some(q33Sql)),
     QueryDef("q34_minhash_lsh", q34, Some(q34Sql)),
     QueryDef("q35_simhash", q35, Some(q35Sql)),
-    QueryDef("q59_ngram_jaccard_capped", q59, Some(q59Sql)))
+    QueryDef("q59_ngram_jaccard_capped", q59, Some(q59Sql)),
+    QueryDef("q60_hash_split", q60, Some(q60Sql)),
+    QueryDef("q61_seq_packing", q61, Some(q61Sql)))
 }

@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic splitting / packing properties that the oracle query
+  * can't express: stability across runs and partitionings, boundary
+  * semantics of the pack assignment. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is stable across runs and partitionings") {
+    val docs = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "t")
+    val a = Sampling.hashSplit(docs, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(docs.repartition(7), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "assignment is a pure function of the key")
+    // all three splits populated, roughly 80/10/10
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 300 && counts("val") < 120 &&
+      counts("test") < 120, counts.toString)
+    // growing the corpus never reassigns an existing document
+    val grown = Sampling.hashSplit(
+      (1L to 900L).map(i => (i, s"doc$i")).toDF("id", "t"), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "id", trainPct = 95, valPct = 10)
+    }
+  }
+
+  test("sequencePack assigns each doc to the pack where it starts") {
+    val docs = Seq(
+      ("s1", 1L, 600L), ("s1", 2L, 600L), ("s1", 3L, 600L), // 0,600,1200
+      ("s1", 4L, 600L),                                     // 1800 → pack 1
+      ("s2", 1L, 2500L), ("s2", 2L, 100L))                  // 0 → 0; 2500 → 1
+      .toDF("source", "doc_id", "n_tokens")
+    val packed = Sampling
+      .sequencePack(docs, "source", "doc_id", "n_tokens", budget = 2048)
+      .select("source", "doc_id", "pack_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(packed == Set(
+      ("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 0L), ("s1", 4L, 0L),
+      ("s2", 1L, 0L), ("s2", 2L, 1L)))
+    // tighter budget splits s1: starts at 0,600,1200,1800 / 1024
+    val tight = Sampling
+      .sequencePack(docs, "source", "doc_id", "n_tokens", budget = 1024)
+      .filter(col("source") === "s1")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toSet
+    assert(tight == Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+}
