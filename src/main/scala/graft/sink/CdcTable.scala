@@ -380,6 +380,23 @@ object CdcTable {
     * condensed to checkpoint stubs hydrate from the raw log (loud
     * failure past the vacuum horizon, like [[readAsOf]]) — tail the
     * feed within the retention window. */
+  /** The metadata columns every change-feed row carries. */
+  val changeMetaSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_commit",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_commit_ts",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Schema of [[readChanges]] over the CURRENT table schema — what a
+    * change-feed stream ([[graft.sources.GraftStreamSource]]) declares. */
+  def changesSchema(dir: String): StructType = {
+    val base = currentSchema(dir).getOrElse(throw
+      new IllegalArgumentException(s"no CdcTable at $dir"))
+    StructType(base.fields ++ changeMetaSchema.fields)
+  }
+
   def readChanges(spark: SparkSession, dir: String, afterCommit: Long,
       upToCommit: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -392,14 +409,7 @@ object CdcTable {
     val appends = range.filter(_.action == "append")
     val target = range.lastOption.map(_.schema)
       .getOrElse(commits.last.schema)
-    val meta = StructType(Seq(
-      org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_commit",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("_commit_ts",
-        org.apache.spark.sql.types.LongType)))
-    val withMeta = StructType(target.fields ++ meta.fields)
+    val withMeta = StructType(target.fields ++ changeMetaSchema.fields)
     val legs = appends.filter(_.files.nonEmpty).map { c =>
       SchemaMerge.castTo(readCommits(spark, dir, Seq(c)), target)
         .withColumn("_change_type", lit("insert"))

@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.StructType
   * plan-native end to end.
   */
 class GraftSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -76,6 +77,19 @@ class GraftSource extends RelationProvider
     }
     GraftRelation(sqlContext, dir, None, None)
   }
+
+  /** readStream surface: the table's change feed as a micro-batch
+    * stream — see [[GraftStreamSource]]. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), CdcTable.changesSchema(pathOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters.getOrElse("startingCommit", "0"))
 }
 
 final case class GraftRelation(sqlContext: SQLContext, dir: String,

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.core.SchemaMerge
+import graft.sink.CdcTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming CHANGE-FEED source over a CdcTable: tails the manifest
+  * log (the Delta streaming-source pattern — a table is a stream of
+  * its commits), so a table written by the CDC ingest can feed
+  * downstream incremental pipelines with plain Structured Streaming:
+  *
+  *   spark.readStream.format("graft")
+  *     .option("startingCommit", "0" | "latest")   // default: 0 (all)
+  *     .load(dir) … .writeStream…
+  *
+  * Offsets are COMMIT IDS — exactly-once across restarts for free:
+  * the streaming checkpoint records the last processed commit and the
+  * next batch resumes at (start, end] of the log. Reading a commit
+  * range is [[CdcTable.readChanges]] (manifest-listed files only, no
+  * directory scans), which makes each micro-batch's work proportional
+  * to the NEW data, never the table size — the property that keeps a
+  * 100 TB table tailable. Rows carry `_change_type` / `_commit` /
+  * `_commit_ts`; `replace` rewrites (compaction) produce no rows, so
+  * maintenance never re-emits the table into the stream.
+  *
+  * The stream's schema is fixed at start (the current merged table
+  * schema + change metadata, like Delta); batches cast to it, so a
+  * mid-stream schema evolution surfaces new columns only after a
+  * restart. V1-source note: getBatch results must be streaming-tagged
+  * plans, which is what `internalCreateDataFrame(_, _, isStreaming =
+  * true)` is for (the same construction Spark's own file source uses).
+  */
+class GraftStreamSource(spark: SparkSession, dir: String,
+    startingCommit: String) extends Source {
+
+  override val schema: StructType = CdcTable.changesSchema(dir)
+
+  /** The commit AFTER which the stream begins when no checkpointed
+    * offset exists: 0 replays all history, "latest" only new commits. */
+  private val initialAfter: Long = startingCommit match {
+    case "latest" => CdcTable.log(dir).lastOption.map(_.commit)
+      .getOrElse(0L)
+    case s => s.toLong
+  }
+
+  private def commitId(o: Offset): Long = o match {
+    case LongOffset(n) => n
+    case so: SerializedOffset => LongOffset(so).offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    CdcTable.log(dir).lastOption.map(c => LongOffset(c.commit))
+      .filter(_.offset > initialAfter)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val after = start.map(commitId).getOrElse(initialAfter)
+    val changes = SchemaMerge.castTo(
+      CdcTable.readChanges(spark, dir, after, Some(commitId(end))),
+      schema)
+    org.apache.spark.sql.graftshim.StreamingShim.streamingDataFrame(
+      spark, changes.queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The single `private[sql]` surface the graft streaming source needs:
+  * a V1 `Source.getBatch` result must be a streaming-tagged plan, and
+  * the only constructor for one is
+  * `SparkSession.internalCreateDataFrame(_, _, isStreaming = true)` —
+  * the same call Spark's own file and socket sources use. Isolated in
+  * this shim package (the standard pattern for out-of-tree sources)
+  * so the rest of the library stays on public API only.
+  */
+object StreamingShim {
+  def streamingDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}
