@@ -48,6 +48,34 @@ object Sampling {
     * under a composite group key (e.g. source, shard) to keep groups
     * bounded. The division goes through an exact double (token totals
     * ≪ 2^53), identical in every engine. */
+  /** Weighted dataset mixing (the pretraining "mixture weights" op):
+    * a deterministic interleave position per document such that
+    * reading the corpus in `mix_pos` order consumes sources
+    * proportionally to their weights (weight 4 source appears 4× as
+    * often as weight 1 in every prefix until it exhausts) — stream
+    * interleaving without RNG: the k-th document of a source sits at
+    * position (k - 0.5) / weight, the standard deterministic
+    * low-discrepancy schedule.
+    *
+    * Scale shape: one per-group window (rank within source) — no
+    * global window; consuming "the first N of the mix" is a
+    * distributed ORDER BY mix_pos LIMIT N (TakeOrdered), never a
+    * global row_number. */
+  def mixOrder(df: DataFrame, groupCol: String, orderCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0)
+      : DataFrame = {
+    require(defaultWeight > 0 && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val weight = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit(v))
+        .otherwise(acc)
+    }
+    df.withColumn("mix_pos",
+      (row_number().over(w).cast("double") - 0.5) / weight)
+  }
+
   def sequencePack(df: DataFrame, groupCol: String, orderCol: String,
       tokensCol: String, budget: Int): DataFrame = {
     require(budget > 0, "budget must be positive")

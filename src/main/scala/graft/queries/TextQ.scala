@@ -481,6 +481,34 @@ object TextQ {
        |FROM c GROUP BY source, pack_id
        |ORDER BY source, pack_id""".stripMargin
 
+  /** q62 — weighted dataset mixing ([[graft.ext.Sampling.mixOrder]]):
+    * src0 at 4×, src1 at 2×, rest at 1×; the first 200 documents of
+    * the deterministic interleave, summarized per source. The prefix
+    * read is ORDER BY mix_pos LIMIT n — a distributed TakeOrdered,
+    * no global row_number. */
+  def q62(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.mixOrder(Tables(s, dir, "documents"),
+      "source", "doc_id", Map("src0" -> 4.0, "src1" -> 2.0))
+      .orderBy(col("mix_pos"), col("source"), col("doc_id"))
+      .limit(200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+
+  val q62Sql: String =
+    s"""WITH r AS (SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS rn
+       |  FROM documents),
+       |p AS (SELECT source, doc_id, (rn - 0.5) /
+       |    CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+       |      ELSE 1.0 END AS mix_pos
+       |  FROM r),
+       |top AS (SELECT source, doc_id FROM p
+       |  ORDER BY mix_pos, source, doc_id LIMIT 200)
+       |SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM top GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -492,5 +520,6 @@ object TextQ {
     QueryDef("q35_simhash", q35, Some(q35Sql)),
     QueryDef("q59_ngram_jaccard_capped", q59, Some(q59Sql)),
     QueryDef("q60_hash_split", q60, Some(q60Sql)),
-    QueryDef("q61_seq_packing", q61, Some(q61Sql)))
+    QueryDef("q61_seq_packing", q61, Some(q61Sql)),
+    QueryDef("q62_dataset_mix", q62, Some(q62Sql)))
 }

@@ -31,6 +31,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixOrder interleaves sources proportionally to weights") {
+    val docs = (("A" -> 10) :: ("B" -> 10) :: Nil)
+      .flatMap { case (s, n) => (1 to n).map(i => (s, i.toLong)) }
+      .toDF("source", "doc_id")
+    val mixed = Sampling.mixOrder(docs, "source", "doc_id",
+      Map("A" -> 2.0))
+    // every prefix consumes 2 A per 1 B until A exhausts
+    val first9 = mixed.orderBy(col("mix_pos"), col("source"),
+        col("doc_id")).limit(9)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(first9 == Map("A" -> 6L, "B" -> 3L))
+    // deterministic: same schedule on a different partitioning
+    val again = Sampling.mixOrder(docs.repartition(5), "source",
+        "doc_id", Map("A" -> 2.0))
+      .orderBy(col("mix_pos"), col("source"), col("doc_id")).limit(9)
+      .select("source", "doc_id").as[(String, Long)].collect().toSeq
+    val first = mixed.orderBy(col("mix_pos"), col("source"),
+        col("doc_id")).limit(9)
+      .select("source", "doc_id").as[(String, Long)].collect().toSeq
+    assert(again == first)
+    intercept[IllegalArgumentException] {
+      Sampling.mixOrder(docs, "source", "doc_id", Map("A" -> 0.0))
+    }
+  }
+
   test("sequencePack assigns each doc to the pack where it starts") {
     val docs = Seq(
       ("s1", 1L, 600L), ("s1", 2L, 600L), ("s1", 3L, 600L), // 0,600,1200
