@@ -481,6 +481,74 @@ object TextQ {
        |FROM c GROUP BY source, pack_id
        |ORDER BY source, pack_id""".stripMargin
 
+  /** q63 — benchmark decontamination: flag corpus documents sharing
+    * ≥ 3 distinct 3-gram shingles with the eval set (src0 stands in
+    * for the benchmark). The eval shingle set is tiny next to the
+    * corpus → BROADCAST semi-side (no shuffle of the corpus side
+    * beyond the per-doc aggregation); the corpus side is the staged
+    * shingle explode every dedup op already uses. */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val staged = withShingleIds(s, dir)
+      .select(col("doc_id"), col("source"), col("sids"))
+    val ev = staged.filter(col("source") === "src0")
+      .select(explode(col("sids")).as("sh")).distinct()
+    staged.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("sids")).as("sh"))
+      .join(broadcast(ev), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q63Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    list_transform($shinglesD, t -> ${tokD("t")}) AS sids
+       |  FROM documents),
+       |dm AS (SELECT doc_id, source, sids FROM d WHERE len(sids) > 0),
+       |ev AS (SELECT DISTINCT unnest(sids) AS sh FROM dm
+       |  WHERE source = 'src0'),
+       |c AS (SELECT doc_id, unnest(sids) AS sh FROM dm
+       |  WHERE source <> 'src0')
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM c JOIN ev USING (sh)
+       |GROUP BY doc_id HAVING COUNT(*) >= 3
+       |ORDER BY doc_id""".stripMargin
+
+  /** q64 — repetition scoring (the Gopher/MassiveText repeated-n-gram
+    * quality rule): fraction of a document's 3-gram positions whose
+    * shingle already occurred — pure per-row expressions, scan-speed. */
+  def q64(s: SparkSession, dir: String): DataFrame =
+    withShingles(s, dir)
+      .withColumn("n_total",
+        greatest(size(col("toks")) - 2, lit(0)).cast("long"))
+      .select(col("doc_id"), col("n_total"),
+        size(col("shs")).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_total") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive", col("rep_ratio") > 0.2)
+      .orderBy(col("doc_id"))
+
+  val q64Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_total,
+       |    CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+       |      list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+       |      ELSE 0 END AS BIGINT) AS n_distinct
+       |  FROM t)
+       |SELECT doc_id, n_total, n_distinct,
+       |  CASE WHEN n_total > 0
+       |    THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_total
+       |    ELSE 0.0 END AS rep_ratio,
+       |  CASE WHEN n_total > 0
+       |    THEN (1.0 - CAST(n_distinct AS DOUBLE) / n_total) > 0.2
+       |    ELSE FALSE END AS repetitive
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** q62 — weighted dataset mixing ([[graft.ext.Sampling.mixOrder]]):
     * src0 at 4×, src1 at 2×, rest at 1×; the first 200 documents of
     * the deterministic interleave, summarized per source. The prefix
@@ -521,5 +589,7 @@ object TextQ {
     QueryDef("q59_ngram_jaccard_capped", q59, Some(q59Sql)),
     QueryDef("q60_hash_split", q60, Some(q60Sql)),
     QueryDef("q61_seq_packing", q61, Some(q61Sql)),
-    QueryDef("q62_dataset_mix", q62, Some(q62Sql)))
+    QueryDef("q62_dataset_mix", q62, Some(q62Sql)),
+    QueryDef("q63_decontaminate", q63, Some(q63Sql)),
+    QueryDef("q64_repetition", q64, Some(q64Sql)))
 }
