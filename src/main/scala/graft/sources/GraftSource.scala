@@ -37,7 +37,7 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -45,6 +45,23 @@ class GraftSource extends RelationProvider
     parameters.get("path").orElse(parameters.get("paths")).getOrElse(
       throw new IllegalArgumentException(
         "the graft format needs a path: .load(dir) or OPTIONS (path '…')"))
+
+  private def mergeModeOf(parameters: Map[String, String])
+      : graft.core.SchemaMerge.MergeMode =
+    parameters.getOrElse("mergeMode", "auto").toLowerCase match {
+      case "auto" => graft.core.SchemaMerge.Auto
+      case "strict" => graft.core.SchemaMerge.Strict
+      case "permissive" => graft.core.SchemaMerge.Permissive
+      case "coercion" => graft.core.SchemaMerge.Coercion
+      case other => throw new IllegalArgumentException(
+        s"unknown mergeMode '$other' (auto|strict|permissive|coercion)")
+    }
+
+  private def partitionByOf(parameters: Map[String, String])
+      : Seq[String] =
+    parameters.get("partitionBy")
+      .map(_.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("_ingestion_date"))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
@@ -59,9 +76,7 @@ class GraftSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val dir = pathOf(parameters)
-    val partitionBy = parameters.get("partitionBy")
-      .map(_.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq("_ingestion_date"))
+    val partitionBy = partitionByOf(parameters)
     val exists = Fs.exists(s"$dir/_graft_log")
     mode match {
       case SaveMode.ErrorIfExists if exists =>
@@ -72,10 +87,32 @@ class GraftSource extends RelationProvider
         CdcTable.replaceWith(data.sparkSession, dir, data, partitionBy)
         ()
       case _ =>
-        CdcTable.append(data, dir, partitionBy = partitionBy)
+        CdcTable.append(data, dir, mergeModeOf(parameters),
+          partitionBy = partitionBy)
         ()
     }
     GraftRelation(sqlContext, dir, None, None)
+  }
+
+  /** writeStream surface: every micro-batch appends through one atomic
+    * manifest commit, and the (checkpointLocation, batchId) txn makes
+    * replayed batches idempotent no-ops — end-to-end exactly-once with
+    * no foreachBatch boilerplate. Append output mode only (the table
+    * is an event log; updates arrive as new CDC events, as in the
+    * reference). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the graft sink is append-only (got $outputMode)")
+    val dir = pathOf(parameters)
+    new GraftStreamSink(dir,
+      if (partitionColumns.nonEmpty) partitionColumns
+      else partitionByOf(parameters),
+      mergeModeOf(parameters),
+      txnAppId = parameters.getOrElse("checkpointLocation",
+        s"graft-sink:$dir"))
   }
 
   /** readStream surface: the table's change feed as a micro-batch

@@ -18,4 +18,13 @@ object StreamingShim {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse direction, for a V1 `Sink.addBatch`: the micro-batch
+    * Dataset arrives streaming-tagged, so batch writers (df.write)
+    * refuse it — rewrap its executed RDD as a batch frame (what
+    * Delta's V1 sink does before writeFiles). */
+  def batchDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -56,6 +56,46 @@ class GraftStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("writeStream.format('graft') appends micro-batches exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val dir = tmpDir("gsink")
+    val q = mem.toDF.toDF("x", "_id").writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("gsinkck")).start(dir)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(CdcTable.read(spark, dir).count() == 2)
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(CdcTable.read(spark, dir).count() == 3)
+      // each micro-batch committed a txn: batchId replays are no-ops
+      assert(CdcTable.lastTxn(dir).exists(_._2 == 1L))
+    } finally q.stop()
+  }
+
+  test("table-to-table streaming: graft source into graft sink") {
+    import org.apache.spark.sql.functions.col
+    val src = tmpDir("gpipesrc")
+    val dst = tmpDir("gpipedst")
+    CdcTable.append(Seq((1L, "a"), (5L, "b")).toDF("x", "_id"), src)
+    val q = spark.readStream.format("graft").load(src)
+      .filter(col("x") > 1)
+      .select(col("x"), col("_id"), col("_commit"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("gpipeck")).start(dst)
+    try {
+      q.processAllAvailable()
+      assert(CdcTable.read(spark, dst).select("_id").as[String]
+        .collect().toSeq == Seq("b"))
+      CdcTable.append(Seq((9L, "c")).toDF("x", "_id"), src)
+      q.processAllAvailable()
+      assert(CdcTable.read(spark, dst).orderBy("x")
+        .select("_id").as[String].collect().toSeq == Seq("b", "c"))
+    } finally q.stop()
+  }
+
   test("startingCommit=latest skips history") {
     val dir = tmpDir("gstreamlatest")
     CdcTable.append(Seq((1L, "old")).toDF("x", "_id"), dir)
