@@ -48,4 +48,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), "hash-groupBy dedup needs no join")
     assert(p.contains("HashAggregate"))
   }
+
+  test("q60 hash split is a joinless scan-speed projection") {
+    val p = plan(TextQ.q60(spark, dir))
+    assert(!p.contains("Join"), "split assignment must not join")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q62 mix prefix is TakeOrdered, not a global sort or window") {
+    val p = plan(TextQ.q62(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "prefix read must be TakeOrdered")
+    // the only window is the per-source rank; a global row_number
+    // would show as a Window over an empty partition spec (single
+    // task at scale)
+    val windows = p.linesIterator.filter(_.contains("Window"))
+      .mkString("\n")
+    assert(!windows.contains("partitionspec=[]") &&
+      windows.contains("source"), windows)
+  }
+
+  test("q63 decontamination broadcasts the eval set") {
+    val p = plan(TextQ.q63(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast: ${p.take(400)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
