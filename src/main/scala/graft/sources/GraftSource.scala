@@ -67,7 +67,9 @@ class GraftSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation =
     GraftRelation(sqlContext, pathOf(parameters),
       parameters.get("commitAsOf").map(_.toLong),
-      parameters.get("timestampAsOf").map(_.toLong))
+      parameters.get("timestampAsOf").map(_.toLong),
+      stateView = parameters.get("stateView").exists(_.toBoolean),
+      idCol = parameters.getOrElse("idCol", "_id"))
 
   /** Batch write surface. Append = CdcTable.append (schema merged,
     * atomic manifest commit); Overwrite = atomic `replace` under the
@@ -129,8 +131,18 @@ class GraftSource extends RelationProvider
       parameters.getOrElse("startingCommit", "0"))
 }
 
+/** `stateView = true` serves the merge-on-read CURRENT STATE (latest
+  * event per `idCol` wins, soft deletes drop out — the reference's
+  * consumer pattern, [[graft.query.CurrentState]]) instead of the raw
+  * event log, straight from SQL:
+  * `CREATE TABLE t USING graft OPTIONS (path '…', stateView 'true')`.
+  * In this mode NO filter reaches below the per-key resolution — a
+  * pre-resolution filter could drop the winning event and resurrect a
+  * superseded one — so the scan reads the full log, resolves, and
+  * leaves every predicate to Spark above (unhandledFilters). */
 final case class GraftRelation(sqlContext: SQLContext, dir: String,
-    commitAsOf: Option[Long], timestampAsOf: Option[Long])
+    commitAsOf: Option[Long], timestampAsOf: Option[Long],
+    stateView: Boolean = false, idCol: String = "_id")
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   /** Schema from the manifest log alone — no file listing, no footer
@@ -146,15 +158,24 @@ final case class GraftRelation(sqlContext: SQLContext, dir: String,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val pruned = CdcTable.readFiltered(sqlContext.sparkSession, dir,
-      (k, v) => filters.forall(keeps(_, k,
-        java.net.URLDecoder.decode(v, "UTF-8"))),
-      commitAsOf, timestampAsOf)
-    // hand the remaining predicates to the delegated plan too, so they
-    // push into its parquet scan (PushedFilters) instead of filtering
-    // post-conversion rows
-    val filtered = filters.flatMap(toColumn)
-      .reduceOption(_ && _).map(pruned.filter).getOrElse(pruned)
+    val filtered = if (stateView) {
+      // resolution must see EVERY event of a key: no file pruning, no
+      // pre-resolution row filters (either could drop the winning
+      // event and resurrect a superseded one)
+      graft.query.CurrentState(
+        CdcTable.readAsOf(sqlContext.sparkSession, dir,
+          commitAsOf, timestampAsOf), idCol)
+    } else {
+      val pruned = CdcTable.readFiltered(sqlContext.sparkSession, dir,
+        (k, v) => filters.forall(keeps(_, k,
+          java.net.URLDecoder.decode(v, "UTF-8"))),
+        commitAsOf, timestampAsOf)
+      // hand the remaining predicates to the delegated plan too, so
+      // they push into its parquet scan (PushedFilters) instead of
+      // filtering post-conversion rows
+      filters.flatMap(toColumn)
+        .reduceOption(_ && _).map(pruned.filter).getOrElse(pruned)
+    }
     val projected =
       if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(

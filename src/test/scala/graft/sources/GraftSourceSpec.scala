@@ -72,6 +72,29 @@ class GraftSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gsrc_t")
   }
 
+  test("stateView resolves latest-per-key AFTER which filters apply") {
+    val dir = tmpDir("gsrcstate")
+    // CDC event log: i1 created then updated; i2 created then deleted
+    CdcTable.append(Seq(
+      ("i1", 1L, "c", java.sql.Timestamp.valueOf("2026-08-10 00:00:00")),
+      ("i2", 5L, "c", java.sql.Timestamp.valueOf("2026-08-10 00:00:01")))
+      .toDF("_id", "x", "_cdc_operation", "_cdc_timestamp"), dir)
+    CdcTable.append(Seq(
+      ("i1", 9L, "u", java.sql.Timestamp.valueOf("2026-08-11 00:00:00")),
+      ("i2", 5L, "delete",
+        java.sql.Timestamp.valueOf("2026-08-11 00:00:01")))
+      .toDF("_id", "x", "_cdc_operation", "_cdc_timestamp"), dir)
+    val state = spark.read.format("graft")
+      .option("stateView", "true").load(dir)
+    assert(state.select("_id", "x").as[(String, Long)].collect()
+      .toSeq == Seq(("i1", 9L)))
+    // a filter matching only the SUPERSEDED event must return nothing
+    // (filters apply above the resolution, never below it)
+    assert(state.filter(col("x") === 1L).count() == 0)
+    // raw log view unchanged
+    assert(spark.read.format("graft").load(dir).count() == 4)
+  }
+
   test("write surface: append / overwrite / errorIfExists modes") {
     val dir = tmpDir("gsrcwrite")
     val df = Seq((1L, "a", "2026-08-10"))
