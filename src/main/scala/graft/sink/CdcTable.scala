@@ -183,20 +183,27 @@ object CdcTable {
 
   /** Atomically add a manifest; retries the commit id on a lost race
     * (single-writer by contract, but a replayed batch after a crash
-    * can observe its own half-finished predecessor). */
-  private def commit(dir: String, mk: Long => Commit): Commit = {
+    * can observe its own half-finished predecessor). `validate` runs
+    * against the CURRENT log before every attempt — the optimistic-
+    * concurrency hook `replace` commits use to detect writes that
+    * landed after their snapshot (a compaction superseding an unseen
+    * append would silently lose it). */
+  private def commit(dir: String, mk: Long => Commit,
+      validate: Seq[Commit] => Unit = _ => ()): Commit = {
     val lock = tableLocks.computeIfAbsent(
       new org.apache.hadoop.fs.Path(dir).toString, _ => new Object)
-    lock.synchronized(commitLocked(dir, mk))
+    lock.synchronized(commitLocked(dir, mk, validate))
   }
 
-  private def commitLocked(dir: String, mk: Long => Commit): Commit = {
+  private def commitLocked(dir: String, mk: Long => Commit,
+      validate: Seq[Commit] => Unit): Commit = {
     // Each lost race burns one attempt, and with k concurrent writers
     // a single commit can lose up to (k-1) races per competitor batch —
     // size the bound well above the per-table writer fan-out.
     var attempts = 0
     while (attempts < 50) {
       val current = log(dir)
+      validate(current)
       val next = current.lastOption.map(_.commit + 1).getOrElse(1L)
       val c = mk(next)
       if (Fs.createExclusive(commitPath(dir, next), render(c))) {
@@ -484,7 +491,14 @@ object CdcTable {
       idCol: String = "_id", zorderCols: Seq[String] = Nil,
       numFiles: Int = 0,
       partitionBy: Seq[String] = Seq("_ingestion_date")): Long = {
-    val state = graft.query.CurrentState(read(spark, dir), idCol)
+    // one log snapshot: the state is computed from it AND the replace
+    // validates against it, so an append landing mid-compaction fails
+    // the commit (ConcurrentModificationException) instead of being
+    // silently superseded — retry the compaction to pick it up
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val state = graft.query.CurrentState(
+      readCommits(spark, dir, effective(commits)), idCol)
     val partCols = partitionBy.filter(state.columns.contains)
     val clustered =
       if (zorderCols.isEmpty) state
@@ -494,7 +508,8 @@ object CdcTable {
         if (numFiles > 0) numFiles
         else math.max(1, spark.sparkContext.defaultParallelism / 2),
         leading = partCols)
-    replaceWith(spark, dir, clustered, partitionBy)
+    replaceWith(spark, dir, clustered, partitionBy,
+      expectedLastCommit = Some(commits.last.commit))
   }
 
   /** Atomically rewrite the table's whole content as one `replace`
@@ -504,9 +519,11 @@ object CdcTable {
     * layout: a generation must be layout-uniform or the unioned
     * per-generation scan would mix partitioned and flat files. */
   def replaceWith(spark: SparkSession, dir: String, df: DataFrame,
-      partitionBy: Seq[String] = Seq("_ingestion_date")): Long = {
+      partitionBy: Seq[String] = Seq("_ingestion_date"),
+      expectedLastCommit: Option[Long] = None): Long = {
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
+    val base = expectedLastCommit.getOrElse(commits.last.commit)
     val schema = commits.last.schema
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = SchemaMerge.castTo(df, schema).write.mode("overwrite")
@@ -516,7 +533,13 @@ object CdcTable {
     val nv = commits.last.schemaVersion + 1
     commit(dir, n => Commit(n, nv, "replace",
       System.currentTimeMillis(), None, schema,
-      stagedFiles(dir, batchDir)))
+      stagedFiles(dir, batchDir)),
+      validate = cur => if (cur.lastOption.map(_.commit) != Some(base))
+        throw new java.util.ConcurrentModificationException(
+          s"replace at $dir built from commit $base but the log is " +
+            s"now at ${cur.lastOption.map(_.commit).getOrElse(0L)} — " +
+            "a write landed mid-rewrite; rerun the compaction over " +
+            "the new snapshot (nothing was lost)"))
     nv
   }
 

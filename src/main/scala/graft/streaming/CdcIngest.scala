@@ -234,6 +234,10 @@ object CdcIngest {
     import graft.ingest.CdcNormalize.DlqReason
     val dlqDir = s"${cfg.baseDir}/_dlq"
     if (CdcTable.currentVersion(dlqDir) == 0) return (0L, 0L)
+    // snapshot base BEFORE reading: the final queue rewrite validates
+    // against it, so a DLQ append landing mid-replay aborts the
+    // replace instead of being silently dropped from the queue
+    val baseCommit = CdcTable.log(dlqDir).last.commit
     val all = CdcTable.read(spark, dlqDir)
     val patched = fixes match {
       case Some(fx) =>
@@ -270,7 +274,8 @@ object CdcIngest {
             .otherwise(coalesce(col("__new_reason"), col("reason"))))
         .drop("__new_reason")
       val stillDead = remaining.count()
-      CdcTable.replaceWith(spark, dlqDir, remaining)
+      CdcTable.replaceWith(spark, dlqDir, remaining,
+        expectedLastCommit = Some(baseCommit))
       (patched.count() - stillDead, stillDead)
     } finally { persisted.unpersist(); () }
   }

@@ -153,6 +153,26 @@ class CdcTableLogSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 3)
   }
 
+  test("replace detects commits that landed after its snapshot") {
+    val dir = tmpDir("cdcconflict")
+    (1 to 3).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"k$i")).toDF("x", "_id"), dir)
+    }
+    val base = CdcTable.log(dir).last.commit
+    val compacted = CdcTable.read(spark, dir).coalesce(1)
+    // an append lands between the compaction's snapshot and its commit
+    CdcTable.append(Seq((99L, "late")).toDF("x", "_id"), dir)
+    intercept[java.util.ConcurrentModificationException] {
+      CdcTable.replaceWith(spark, dir, compacted,
+        expectedLastCommit = Some(base))
+    }
+    // nothing lost: the late append is still visible
+    assert(CdcTable.read(spark, dir).count() == 4)
+    // retrying over the new snapshot succeeds
+    CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir).coalesce(1))
+    assert(CdcTable.read(spark, dir).count() == 4)
+  }
+
   test("change feed returns appended rows tagged per commit") {
     import org.apache.spark.sql.functions.col
     val dir = tmpDir("cdcfeed")
