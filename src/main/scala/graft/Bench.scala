@@ -36,22 +36,24 @@ object Bench {
     // failed queries record -1.0, not a fake elapsed time. Each query
     // runs twice and reports the min: the box this runs on shows ±40%
     // load noise between runs, and min-of-2 recovers the steady-state
-    // cost (the thing that scales) at ~2× bench wall time.
-    val results = SparkEntry.allDefs.map { d =>
-      def once(): Double = {
+    // cost (the thing that scales) at ~2× bench wall time. The two
+    // timings come from two INTERLEAVED full passes, not back-to-back
+    // runs: a multi-second CPU-steal spike then lands on different
+    // queries in each pass and the per-query min discards it, whereas
+    // back-to-back runs let one spike poison both samples of a query.
+    def pass(): Map[String, Double] =
+      (SparkEntry.allDefs.map { d =>
         val t0 = System.nanoTime()
-        try { d.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        d.name -> (
+          try { d.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 })
+      } :+ ingestBench(spark)).toMap
+    val (p1, p2) = (pass(), pass())
+    val results = (SparkEntry.allDefs.map(_.name) :+ "ingest_100k_events")
+      .map { n =>
+        val (a, b) = (p1(n), p2(n))
+        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }
-      val (a, b) = (once(), once())
-      d.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    } :+ {
-      // same min-of-2 for the ingest headline (each run writes its own
-      // fresh temp tables, so the second run measures the same work)
-      val (n, a) = ingestBench(spark)
-      val (_, b) = ingestBench(spark)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

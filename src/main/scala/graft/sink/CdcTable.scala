@@ -406,27 +406,43 @@ object CdcTable {
 
   def readChanges(spark: SparkSession, dir: String, afterCommit: Long,
       upToCommit: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
+      lit, regexp_extract, url_decode}
+    import spark.implicits._
     val commits = CdcTable.log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
     val hi = upToCommit.getOrElse(commits.last.commit)
     val range = commits
       .filter(c => c.commit > afterCommit && c.commit <= hi)
       .map(hydrate(dir, _))
-    val appends = range.filter(_.action == "append")
+    val appends = range.filter(c => c.action == "append" &&
+      c.files.nonEmpty)
     val target = range.lastOption.map(_.schema)
       .getOrElse(commits.last.schema)
     val withMeta = StructType(target.fields ++ changeMetaSchema.fields)
-    val legs = appends.filter(_.files.nonEmpty).map { c =>
-      SchemaMerge.castTo(readCommits(spark, dir, Seq(c)), target)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit", lit(c.commit))
-        .withColumn("_commit_ts", lit(c.ts))
-    }
-    if (legs.isEmpty)
+    if (appends.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), withMeta)
-    else legs.reduce(_ unionByName _)
+    else {
+      // ONE scan per schema generation over the whole range (a feed
+      // spanning thousands of commits must not become thousands of
+      // union legs); each row finds its commit through a BROADCAST
+      // (file → commit) map — the manifest knows every file's commit,
+      // and the range's file count bounds the map. input_file_name is
+      // a URI (percent-encoded once over the on-disk name), so decode
+      // it back before matching the manifest's raw relative paths.
+      val fileMeta = appends
+        .flatMap(c => c.files.map(f => (f, c.commit, c.ts)))
+        .toDF("_graft_file", "_commit", "_commit_ts")
+      SchemaMerge.castTo(readCommits(spark, dir, appends), target)
+        .withColumn("_graft_file",
+          url_decode(regexp_extract(input_file_name(),
+            "(data/batch-.*)$", 1)))
+        .join(broadcast(fileMeta), Seq("_graft_file"))
+        .drop("_graft_file")
+        .withColumn("_change_type", lit("insert"))
+        .select(withMeta.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    }
   }
 
   /** Hive `key=value` partition segments of a staged file path, in
