@@ -62,4 +62,19 @@ object TextAnalysis {
       transform(split(trim(text), "\\s+"), t => tokenId(t)),
       lit(0L),
       (acc, x) => pmod(acc * lit(1000003L) + x, lit(1000000007L)))
+
+  /** Overlapping fixed-size token windows (the RAG/pretraining
+    * chunker): window i covers tokens [i·step, i·step + width), so
+    * consecutive chunks overlap by width − step tokens and every token
+    * appears in at least one chunk. Returns an array of token-array
+    * chunks to explode — a per-row expression (scan-speed), with the
+    * explode fan-out ≈ n/step rows per document. */
+  def tokenChunks(text: Column, width: Int, step: Int): Column = {
+    require(width > 0 && step > 0 && step <= width,
+      s"need 0 < step <= width, got width=$width step=$step")
+    val toks = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(0), floor((size(toks) - 1) / step).cast("int")),
+      i => slice(toks, i * step + 1, lit(width)))
+  }
 }

@@ -549,6 +549,36 @@ object TextQ {
        |    ELSE FALSE END AS repetitive
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** q65 — document chunking ([[graft.ext.TextAnalysis.tokenChunks]]):
+    * overlapping 64-token windows every 48 tokens (16-token overlap) —
+    * the RAG/pretraining chunker. Per-row expression + posexplode;
+    * chunk content surfaces as an md5 so the result stays narrow. */
+  def q65(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.ext.TextAnalysis
+          .tokenChunks(col("text"), width = 64, step = 48))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q65Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |x AS (SELECT doc_id, toks,
+       |    unnest(range(0, CAST(floor((len(toks) - 1) / 48.0)
+       |      AS BIGINT) + 1)) AS chunk_idx
+       |  FROM t),
+       |c AS (SELECT doc_id, chunk_idx,
+       |    toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+       |  FROM x)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** q62 — weighted dataset mixing ([[graft.ext.Sampling.mixOrder]]):
     * src0 at 4×, src1 at 2×, rest at 1×; the first 200 documents of
     * the deterministic interleave, summarized per source. The prefix
@@ -591,5 +621,6 @@ object TextQ {
     QueryDef("q61_seq_packing", q61, Some(q61Sql)),
     QueryDef("q62_dataset_mix", q62, Some(q62Sql)),
     QueryDef("q63_decontaminate", q63, Some(q63Sql)),
-    QueryDef("q64_repetition", q64, Some(q64Sql)))
+    QueryDef("q64_repetition", q64, Some(q64Sql)),
+    QueryDef("q65_chunking", q65, Some(q65Sql)))
 }
