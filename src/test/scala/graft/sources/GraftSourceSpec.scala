@@ -72,6 +72,19 @@ class GraftSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS gsrc_t")
   }
 
+  test("format read spans schema generations under the merged schema") {
+    val dir = tmpDir("gsrcgen")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    // widened batch opens generation 2; the format read union-casts
+    CdcTable.append(Seq((2L, "b", 1.5)).toDF("x", "_id", "w"), dir)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.columns.toSet == Set("x", "_id", "w"))
+    assert(df.count() == 2)
+    assert(df.filter(col("_id") === "a")
+      .select("w").as[Option[Double]].head().isEmpty)
+    assert(df.filter(col("w") === 1.5).count() == 1)
+  }
+
   test("stateView resolves latest-per-key AFTER which filters apply") {
     val dir = tmpDir("gsrcstate")
     // CDC event log: i1 created then updated; i2 created then deleted
