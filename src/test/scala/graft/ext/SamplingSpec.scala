@@ -56,6 +56,20 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("dedup pair helpers leave no cached plans behind") {
+    // regression for the round-3 advisor finding: staged frames were
+    // persisted and never released, accumulating CacheManager entries
+    // (and storage memory) across repeated calls
+    val docs = (1L to 40L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta token$i end"))
+      .toDF("id", "text")
+    val r = Dedup.near(docs, "text", "id")
+    r.pairs.count(); r.decisions.count()
+    Dedup.ngramJaccardPairs(docs, "text", "id", threshold = 0.5).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "every staged persist must be released before returning")
+  }
+
   test("sequencePack assigns each doc to the pack where it starts") {
     val docs = Seq(
       ("s1", 1L, 600L), ("s1", 2L, 600L), ("s1", 3L, 600L), // 0,600,1200
