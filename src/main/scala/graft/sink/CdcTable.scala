@@ -54,7 +54,10 @@ object CdcTable {
       txn: Option[(String, Long)],
       schema: StructType,
       files: Seq[String],
-      stub: Boolean = false)
+      stub: Boolean = false,
+      /** Per-file column min/max/hasNull for manifest-level data
+        * skipping ([[FileStats]]); keys are the rel paths in `files`. */
+      stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty)
 
   private def logDir(dir: String) = s"$dir/_graft_log"
   private def commitPath(dir: String, n: Long) =
@@ -68,7 +71,11 @@ object CdcTable {
       c.txn.toSeq.flatMap { case (a, v) =>
         Seq(s"txnApp=$a", s"txnVer=$v") } ++
       Seq(s"schema=${c.schema.json}") ++
-      c.files.map(f => s"file=$f")
+      c.files.map(f => s"file=$f") ++
+      c.stats.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (col, cs) =>
+          s"stat=${FileStats.render(rel, col, cs)}" }
+      }
     head.mkString("\n")
   }
 
@@ -88,7 +95,12 @@ object CdcTable {
       schema = DataType.fromJson(one("schema").get)
         .asInstanceOf[StructType],
       files = kv.collect { case ("file", f) => f },
-      stub = one("stub").contains("1"))
+      stub = one("stub").contains("1"),
+      stats = kv.collect { case ("stat", payload) => payload }
+        .flatMap(FileStats.parse)
+        .groupBy(_._1)
+        .map { case (rel, entries) =>
+          rel -> entries.map(e => e._2 -> e._3).toMap })
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -106,7 +118,9 @@ object CdcTable {
   private def writeCheckpoint(dir: String, commits: Seq[Commit]): Unit = {
     val eIdx = commits.lastIndexWhere(_.action == "replace")
     val condensed = commits.zipWithIndex.map { case (c, i) =>
-      if (eIdx >= 0 && i < eIdx) c.copy(files = Nil, stub = true) else c
+      if (eIdx >= 0 && i < eIdx)
+        c.copy(files = Nil, stub = true, stats = Map.empty)
+      else c
     }
     Fs.writeString(
       f"${logDir(dir)}/${commits.last.commit}%020d.checkpoint",
@@ -282,8 +296,10 @@ object CdcTable {
     val partCols = partitionBy.filter(merged.fieldNames.contains)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(batchDir)
+    val files = stagedFiles(dir, batchDir)
     commit(dir, n => Commit(n, sv, "append",
-      System.currentTimeMillis(), txn, merged, stagedFiles(dir, batchDir)))
+      System.currentTimeMillis(), txn, merged, files,
+      stats = FileStats.collect(dir, files)))
     sv
   }
 
@@ -313,11 +329,15 @@ object CdcTable {
   /** [[readPruned]] + [[readAsOf]] combined: manifest-level file
     * skipping over the table as of a commit / timestamp — the scan
     * primitive behind the `graft` DataSource format
-    * ([[graft.sources.GraftSource]]). */
+    * ([[graft.sources.GraftSource]]). `statsPredicate` additionally
+    * judges each file by its recorded column stats ([[FileStats]] —
+    * min/max/hasNull data skipping); files without stats always pass. */
   def readFiltered(spark: SparkSession, dir: String,
       partitionPredicate: (String, String) => Boolean,
       commitAsOf: Option[Long] = None,
-      timestampAsOf: Option[Long] = None): DataFrame = {
+      timestampAsOf: Option[Long] = None,
+      statsPredicate: Map[String, FileStats.ColStats] => Boolean =
+        _ => true): DataFrame = {
     def keep(rel: String): Boolean =
       rel.split('/').toIndexedSeq
         .filter(seg => seg.contains('=') && !seg.startsWith("."))
@@ -325,7 +345,8 @@ object CdcTable {
         .forall(kv => partitionPredicate(kv(0), kv(1)))
     readCommits(spark, dir,
       commitsAsOf(dir, commitAsOf, timestampAsOf)
-        .map(c => c.copy(files = c.files.filter(keep))))
+        .map(c => c.copy(files = c.files.filter(f =>
+          keep(f) && statsPredicate(c.stats.getOrElse(f, Map.empty))))))
   }
 
   /** Time travel over the manifest log (the commit records its own
@@ -547,9 +568,10 @@ object CdcTable {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(batchDir)
     val nv = commits.last.schemaVersion + 1
+    val files = stagedFiles(dir, batchDir)
     commit(dir, n => Commit(n, nv, "replace",
-      System.currentTimeMillis(), None, schema,
-      stagedFiles(dir, batchDir)),
+      System.currentTimeMillis(), None, schema, files,
+      stats = FileStats.collect(dir, files)),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(base))
         throw new java.util.ConcurrentModificationException(
           s"replace at $dir built from commit $base but the log is " +

@@ -166,10 +166,15 @@ final case class GraftRelation(sqlContext: SQLContext, dir: String,
         CdcTable.readAsOf(sqlContext.sparkSession, dir,
           commitAsOf, timestampAsOf), idCol)
     } else {
+      // two manifest-level pruning passes, both conservative (Spark
+      // re-applies every filter above): partition-path values, then
+      // per-file column min/max/hasNull stats (data skipping)
       val pruned = CdcTable.readFiltered(sqlContext.sparkSession, dir,
         (k, v) => filters.forall(keeps(_, k,
           java.net.URLDecoder.decode(v, "UTF-8"))),
-        commitAsOf, timestampAsOf)
+        commitAsOf, timestampAsOf,
+        statsPredicate =
+          stats => filters.forall(graft.sink.FileStats.allows(stats, _)))
       // hand the remaining predicates to the delegated plan too, so
       // they push into its parquet scan (PushedFilters) instead of
       // filtering post-conversion rows

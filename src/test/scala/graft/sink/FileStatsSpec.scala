@@ -1,0 +1,75 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.sink.FileStats.ColStats
+import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.sources._
+
+/** Manifest-level data skipping: column min/max/hasNull harvested from
+  * parquet footers at commit time, files pruned from the plan when
+  * their range PROVES no row can match — and never otherwise. */
+class FileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commits record footer stats and survive the log round trip") {
+    val dir = tmpDir("fstats")
+    CdcTable.append(Seq(
+      (1L, "a", 0.5, "2026-08-10"), (9L, "b", 2.5, "2026-08-10"))
+      .toDF("x", "_id", "score", "day").coalesce(1), dir,
+      partitionBy = Nil)
+    val c = CdcTable.log(dir).last
+    assert(c.files.size == 1 && c.stats.nonEmpty)
+    val stats = c.stats(c.files.head)
+    assert(stats("x") == ColStats('n', Some("1"), Some("9"), false))
+    assert(stats("score").min.contains("0.5") &&
+      stats("score").max.contains("2.5"))
+    assert(stats("_id") == ColStats('s', Some("a"), Some("b"), false))
+    assert(stats("day").min.contains("2026-08-10"))
+  }
+
+  test("allows() prunes only provably-impossible files") {
+    val s = Map(
+      "x" -> ColStats('n', Some("10"), Some("20"), hasNull = false),
+      "name" -> ColStats('s', Some("bb"), Some("dd"), hasNull = true),
+      "allnull" -> ColStats('s', None, None, hasNull = true))
+    def ok(f: Filter) = FileStats.allows(s, f)
+    assert(!ok(EqualTo("x", 9L)) && ok(EqualTo("x", 10L)) &&
+      ok(EqualTo("x", 15)) && !ok(EqualTo("x", 21.0)))
+    assert(!ok(GreaterThan("x", 20L)) && ok(GreaterThanOrEqual("x", 20L)))
+    assert(!ok(LessThan("x", 10L)) && ok(LessThanOrEqual("x", 10L)))
+    assert(ok(In("x", Array(1L, 15L))) && !ok(In("x", Array(1L, 2L))))
+    assert(!ok(EqualTo("name", "aa")) && ok(EqualTo("name", "cc")))
+    assert(ok(IsNull("name")) && ok(IsNotNull("name")))
+    assert(ok(IsNull("allnull")) && !ok(IsNotNull("allnull")))
+    assert(!ok(EqualTo("allnull", "v")), "all-null file can't equal a value")
+    // unknown column / un-judgeable shapes keep the file
+    assert(ok(EqualTo("other", 1)) && ok(StringStartsWith("name", "c")))
+    assert(ok(Not(EqualTo("x", 15))))
+    // boolean composition
+    assert(!ok(And(EqualTo("x", 15), EqualTo("name", "aa"))))
+    assert(ok(Or(EqualTo("x", 15), EqualTo("name", "aa"))))
+    assert(!ok(Or(EqualTo("x", 9), EqualTo("name", "aa"))))
+  }
+
+  test("format reads skip files by manifest stats, not just partitions") {
+    val dir = tmpDir("fstatsprune")
+    // three appends → three files with disjoint x ranges, same partition
+    Seq(Seq((1L, "a"), (5L, "b")), Seq((10L, "c"), (15L, "d")),
+      Seq((20L, "e"), (25L, "f")))
+      .foreach(rows => CdcTable.append(
+        rows.toDF("x", "_id").coalesce(1), dir, partitionBy = Nil))
+    val q = spark.read.format("graft").load(dir)
+      .filter(col("x") >= 10L && col("x") < 20L)
+    assert(q.select("_id").as[String].collect().sorted.toSeq ==
+      Seq("c", "d"))
+    // only the middle file is in the planned scan at all
+    val scanned = q.select(input_file_name()).distinct().as[String]
+      .collect()
+    val midFile = CdcTable.log(dir)(1).files.head
+      .split('/').last
+    assert(scanned.length == 1 && scanned.head.contains(midFile),
+      s"expected only $midFile, scanned: ${scanned.mkString(", ")}")
+    // an unfiltered read still sees every file
+    assert(spark.read.format("graft").load(dir).count() == 6)
+  }
+}
