@@ -51,6 +51,31 @@ class FileStatsSpec extends SparkSpec {
     assert(!ok(Or(EqualTo("x", 9), EqualTo("name", "aa"))))
   }
 
+  test("z-ordered replace tightens ranges so stats skipping bites") {
+    val dir = tmpDir("fstatszorder")
+    // interleaved x values: raw append files have overlapping ranges
+    (0 until 3).foreach { i =>
+      CdcTable.append((0 until 30).map(j => (i + 3L * j, s"r$i-$j"))
+        .toDF("x", "_id").coalesce(1), dir, partitionBy = Nil)
+    }
+    // every raw file spans nearly the whole x range → no skipping
+    val rawScanned = spark.read.format("graft").load(dir)
+      .filter(col("x") < 10L)
+      .select(input_file_name()).distinct().count()
+    assert(rawScanned == 3, s"overlapping ranges can't skip: $rawScanned")
+    // OPTIMIZE-style rewrite clustered on x → disjoint per-file ranges
+    CdcTable.replaceWith(spark, dir,
+      graft.maintain.Maintenance.zorderFrame(
+        CdcTable.read(spark, dir), Seq("x"), nFiles = 3),
+      partitionBy = Nil)
+    val zScanned = spark.read.format("graft").load(dir)
+      .filter(col("x") < 10L)
+      .select(input_file_name()).distinct().count()
+    assert(zScanned == 1,
+      s"clustered ranges must confine the scan: $zScanned of 3 files")
+    assert(spark.read.format("graft").load(dir).count() == 90)
+  }
+
   test("format reads skip files by manifest stats, not just partitions") {
     val dir = tmpDir("fstatsprune")
     // three appends → three files with disjoint x ranges, same partition
