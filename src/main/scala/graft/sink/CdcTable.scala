@@ -457,13 +457,26 @@ object CdcTable {
         .toDF("_graft_file", "_commit", "_commit_ts")
       SchemaMerge.castTo(readCommits(spark, dir, appends), target)
         .withColumn("_graft_file",
-          url_decode(regexp_extract(input_file_name(),
+          pctDecode(regexp_extract(input_file_name(),
             "(data/batch-.*)$", 1)))
         .join(broadcast(fileMeta), Seq("_graft_file"))
         .drop("_graft_file")
         .withColumn("_change_type", lit("insert"))
         .select(withMeta.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
     }
+  }
+
+  /** Percent-decode ONLY `%XX` escapes of a URI path component.
+    * `url_decode` alone is form-decoding: it also turns '+' into a
+    * space, but '+' is not in Hive's path-escape set, so an on-disk
+    * name containing a literal '+' would stop matching the manifest's
+    * raw relative path (or yield the wrong partition value) and rows
+    * would silently vanish. Protecting '+' as %2B first makes
+    * url_decode a pure %XX decoder. */
+  private def pctDecode(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{regexp_replace, url_decode}
+    url_decode(regexp_replace(c, "\\+", "%2B"))
   }
 
   /** Hive `key=value` partition segments of a staged file path, in
@@ -505,7 +518,7 @@ object CdcTable {
             df = df.withColumn(p,
               when(raw === "__HIVE_DEFAULT_PARTITION__",
                 lit(null).cast("string"))
-                .otherwise(url_decode(raw)))
+                .otherwise(pctDecode(raw)))
           }
           Some(SchemaMerge.castTo(df, target))
         }

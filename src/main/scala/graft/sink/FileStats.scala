@@ -21,11 +21,14 @@ import org.apache.spark.sql.sources._
   * the file, and Spark re-applies every predicate above the scan.
   *
   * Values are stored engine-portably: numerics as BigDecimal strings
-  * (`typ='n'`), strings and dates as UTF-8 (`typ='s'`, ISO dates —
-  * lexicographic = chronological). Parquet writers may truncate long
-  * binary min/max; truncation widens the range (min rounded down, max
-  * up), so pruning on truncated stats stays sound. Timestamps are
-  * skipped (engine-specific physical encodings).
+  * (`typ='n'`, int-backed decimals rescaled to their logical value),
+  * strings and dates as text (`typ='s'`, ISO dates — lexicographic =
+  * chronological). String stats are recorded only when both bounds
+  * are pure ASCII, where `String.compareTo` and parquet's unsigned
+  * UTF-8 byte order provably agree (see chunkStats); parquet may
+  * truncate long binary min/max, which for ASCII only widens the
+  * range (min rounded down, max up), so pruning stays sound.
+  * Timestamps are skipped (engine-specific physical encodings).
   */
 object FileStats {
 
@@ -105,39 +108,52 @@ object FileStats {
       else None
     val prim = cc.getPrimitiveType
     val logical = prim.getLogicalTypeAnnotation
-    def n(v: Any) = Some(('n', new java.math.BigDecimal(v.toString)
-      .toPlainString))
-    val converted: Option[(Char, String)] = prim.getPrimitiveTypeName match {
-      case PrimitiveTypeName.INT32 => logical match {
-        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
-          None.orElse(Some(('s', java.time.LocalDate.ofEpochDay(
-            st.genericGetMin.asInstanceOf[Number].longValue()).toString)))
-        case _ => n(st.genericGetMin)
-      }
-      case PrimitiveTypeName.INT64 => logical match {
-        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          None
-        case _ => n(st.genericGetMin)
-      }
-      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
-        n(st.genericGetMin)
-      case PrimitiveTypeName.BINARY => logical match {
-        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
-          Some(('s', st.minAsString))
+    def lv(x: Any) = x.asInstanceOf[Number].longValue()
+    def big(x: Any) = new java.math.BigDecimal(x.toString).toPlainString
+    // Strings are recorded ONLY when both bounds are pure ASCII:
+    // parquet orders binary stats by unsigned UTF-8 byte, which
+    // disagrees with String.compareTo (UTF-16 code units) for
+    // supplementary code points, and truncated stats decoded through
+    // minAsString can yield U+FFFD replacement chars that break the
+    // recorded ordering. Against pure-ASCII bounds the two orders
+    // agree for ANY query value (a non-ASCII char sorts above every
+    // ASCII char in both encodings), and ASCII survives parquet's
+    // truncate-down / increment-up byte surgery intact.
+    def ascii(s: String) = s.forall(_ < 0x80)
+    val converted: Option[(Char, String, String)] =
+      prim.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+          logical match {
+            case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation |
+                 _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation =>
+              None
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+              Some(('s',
+                java.time.LocalDate.ofEpochDay(lv(st.genericGetMin)).toString,
+                java.time.LocalDate.ofEpochDay(lv(st.genericGetMax)).toString))
+            case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              // int-backed decimals store the UNSCALED integer; the
+              // stat must carry the scaled value or pruning compares
+              // 1234 against a pushed-down '12.34'
+              Some(('n',
+                java.math.BigDecimal.valueOf(lv(st.genericGetMin),
+                  dec.getScale).toPlainString,
+                java.math.BigDecimal.valueOf(lv(st.genericGetMax),
+                  dec.getScale).toPlainString))
+            case _ =>
+              Some(('n', big(st.genericGetMin), big(st.genericGetMax)))
+          }
+        case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+          Some(('n', big(st.genericGetMin), big(st.genericGetMax)))
+        case PrimitiveTypeName.BINARY => logical match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation
+              if ascii(st.minAsString) && ascii(st.maxAsString) =>
+            Some(('s', st.minAsString, st.maxAsString))
+          case _ => None
+        }
         case _ => None
       }
-      case _ => None
-    }
-    converted.map { case (typ, minStr) =>
-      val maxStr = prim.getPrimitiveTypeName match {
-        case PrimitiveTypeName.INT32
-          if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
-          java.time.LocalDate.ofEpochDay(
-            st.genericGetMax.asInstanceOf[Number].longValue()).toString
-        case PrimitiveTypeName.BINARY => st.maxAsString
-        case _ => new java.math.BigDecimal(st.genericGetMax.toString)
-          .toPlainString
-      }
+    converted.map { case (typ, minStr, maxStr) =>
       ColStats(typ, Some(minStr), Some(maxStr), hasNull)
     }
   }
@@ -173,6 +189,10 @@ object FileStats {
   // Pruning (read time)
   // ----------------------------------------------------------------
 
+  /** For `'s'` this is String.compareTo — sound because recorded
+    * string bounds are pure ASCII by construction (chunkStats), and
+    * against an ASCII bound UTF-16 and unsigned-UTF-8 order agree for
+    * any comparand. */
   private def compare(a: String, b: String, typ: Char): Int =
     if (typ == 'n')
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))

@@ -109,12 +109,23 @@ class GraftSource extends RelationProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"the graft sink is append-only (got $outputMode)")
     val dir = pathOf(parameters)
+    // The txn id must be unique PER QUERY: two queries sharing one id
+    // dedup against each other's batch ids and silently drop data. A
+    // per-table fallback would do exactly that, and a session-level
+    // spark.sql.streaming.checkpointLocation is resolved per-query by
+    // Spark after this hook — not visible here. So: fail loudly.
+    val txnAppId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft sink needs .option(\"checkpointLocation\", dir) (or " +
+          "an explicit .option(\"txnAppId\", id) unique to this query): " +
+          "the exactly-once batch txn is keyed by it, and a shared or " +
+          "implicit id would let two queries skip each other's batches"))
     new GraftStreamSink(dir,
       if (partitionColumns.nonEmpty) partitionColumns
       else partitionByOf(parameters),
       mergeModeOf(parameters),
-      txnAppId = parameters.getOrElse("checkpointLocation",
-        s"graft-sink:$dir"))
+      txnAppId = txnAppId)
   }
 
   /** readStream surface: the table's change feed as a micro-batch

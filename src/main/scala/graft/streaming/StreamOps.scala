@@ -62,7 +62,15 @@ object StreamOps {
     * STATE on both sides (without it a stream-stream inner join
     * buffers forever — the state-retention requirement of Spark's
     * stream-stream joins). Works identically on batch frames. Column
-    * sets must be disjoint apart from the key. */
+    * sets must be disjoint apart from the key.
+    *
+    * @note MIGRATION (round 3): `lower` changed meaning from "reach
+    *       back by" (window `[leftTs - lower, leftTs + upper]`) to a
+    *       SIGNED offset (window `[leftTs + lower, leftTs + upper]`).
+    *       A caller that previously passed a positive `lower` to look
+    *       backward must now negate it — e.g. `lower = "10 minutes"`
+    *       becomes `lower = "-10 minutes"`; the old call now selects a
+    *       forward-only window with no error. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, watermark: String,
       lower: String, upper: String): DataFrame = {

@@ -206,6 +206,22 @@ class CdcTableLogSpec extends SparkSpec {
       .select("w").as[Option[Double]].head().isEmpty)
   }
 
+  test("literal '+' in partition paths doesn't lose rows or values") {
+    val dir = tmpDir("pluspaths")
+    // '+' is NOT in Hive's path-escape set (stays literal on disk)
+    // while a space percent-encodes in the file URI — the value below
+    // exercises both: form-decoding ('+' → ' ') would both corrupt
+    // the re-derived partition value and unmatch the manifest path
+    CdcTable.append(Seq(("a", "x+y z"), ("b", "plain"))
+      .toDF("_id", "grp").coalesce(1), dir, partitionBy = Seq("grp"))
+    val feed = CdcTable.readChanges(spark, dir, afterCommit = 0L)
+    assert(feed.count() == 2, "rows in a '+' path must not vanish")
+    assert(feed.filter($"_id" === "a").select("grp").as[String]
+      .collect().toSeq == Seq("x+y z"))
+    assert(CdcTable.read(spark, dir).filter($"_id" === "a")
+      .select("grp").as[String].collect().toSeq == Seq("x+y z"))
+  }
+
   test("time travel across checkpoint stubs hydrates the raw commits") {
     val dir = tmpDir("cdcstubtravel")
     (1 to 9).foreach { i =>

@@ -51,6 +51,44 @@ class FileStatsSpec extends SparkSpec {
     assert(!ok(Or(EqualTo("x", 9), EqualTo("name", "aa"))))
   }
 
+  test("int-backed decimal stats carry the scaled value") {
+    val dir = tmpDir("fstatsdec")
+    // precision 10 → INT64-backed: parquet stores the UNSCALED int
+    val df = Seq(("a", "12.34"), ("b", "56.78")).toDF("_id", "s")
+      .select($"_id", $"s".cast("decimal(10,2)").as("d"))
+    CdcTable.append(df.coalesce(1), dir, partitionBy = Nil)
+    val c = CdcTable.log(dir).last
+    val stats = c.stats(c.files.head)
+    assert(stats("d") == ColStats('n', Some("12.34"), Some("56.78"),
+      hasNull = false), s"scaled bounds expected, got ${stats("d")}")
+    // the exact shape that mis-pruned pre-fix: scaled filter value vs
+    // (previously) unscaled recorded bound
+    assert(FileStats.allows(stats,
+      EqualTo("d", new java.math.BigDecimal("12.34"))))
+    assert(!FileStats.allows(stats,
+      EqualTo("d", new java.math.BigDecimal("11.00"))))
+    val r = spark.read.format("graft").load(dir)
+      .filter(col("d") === new java.math.BigDecimal("12.34"))
+    assert(r.select("_id").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("non-ASCII string bounds are dropped, never mis-pruned") {
+    val dir = tmpDir("fstatsuni")
+    // U+FFFF sorts above U+10000 in UTF-16 but below it in UTF-8
+    // bytes — bounds over these can't be ordered portably, so the
+    // column records no stats and its files are never pruned
+    CdcTable.append(Seq(("\uffff", 1L), ("\ud800\udc00", 2L))
+      .toDF("_id", "x").coalesce(1), dir, partitionBy = Nil)
+    val c = CdcTable.log(dir).last
+    val stats = c.stats(c.files.head)
+    assert(!stats.contains("_id"),
+      s"non-ASCII bounds must not be recorded: ${stats.get("_id")}")
+    assert(stats("x") == ColStats('n', Some("1"), Some("2"),
+      hasNull = false))
+    assert(spark.read.format("graft").load(dir)
+      .filter($"_id" === "\uffff").count() == 1)
+  }
+
   test("z-ordered replace tightens ranges so stats skipping bites") {
     val dir = tmpDir("fstatszorder")
     // interleaved x values: raw append files have overlapping ranges

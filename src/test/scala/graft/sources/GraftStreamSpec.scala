@@ -56,6 +56,23 @@ class GraftStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("graft sink refuses to start without a query-unique txn id") {
+    val dir = tmpDir("gsinknockpt")
+    // a per-table fallback id would let two queries dedup against
+    // each other's batch ids — silent data loss, so: fail loudly
+    val e = intercept[IllegalArgumentException] {
+      new GraftSource().createSink(spark.sqlContext,
+        Map("path" -> dir), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(e.getMessage.contains("checkpointLocation"))
+    // an explicit txnAppId is accepted as the query-unique key
+    new GraftSource().createSink(spark.sqlContext,
+      Map("path" -> dir, "txnAppId" -> "q1"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    ()
+  }
+
   test("writeStream.format('graft') appends micro-batches exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
