@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("multiset_digest", classOf[MultisetDigest],
       e => MultisetDigest(e.head))
     inject("lsh_bucket", classOf[LshBucket], LshBucket.fromArgs)
+    inject("nfc_normalize", classOf[NfcNormalize],
+      e => NfcNormalize(e.head))
   }
 }

@@ -35,6 +35,24 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Deterministic stratified sampling: keep `pct(stratum)` percent of
+    * each stratum (language, source, domain …), selected by the same
+    * stable md5 bucket as [[hashSplit]] — re-runs, engine changes and
+    * corpus growth never change a kept document's fate, and the rates
+    * rebalance a skewed corpus (the "downsample over-represented
+    * sources" mixing op). Per-row projection + filter: scan-speed, no
+    * shuffle, no RNG. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      pct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((pct.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      s"sampling percentages must be in [0,100]: $pct default=$defaultPct")
+    val rate = pct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", stableBucket(keyCol, 100))
+      .filter(col("bucket") < rate)
+  }
+
   /** Concatenation-order sequence packing (the pretraining "pack
     * documents into fixed token windows" op): documents are laid out
     * per `groupCol` in `orderCol` order and chunked every `budget`

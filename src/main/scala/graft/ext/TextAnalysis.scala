@@ -77,4 +77,57 @@ object TextAnalysis {
       sequence(lit(0), floor((size(toks) - 1) / step).cast("int")),
       i => slice(toks, i * step + 1, lit(width)))
   }
+
+  /** Unicode NFC normalization — [[graft.functions.NfcNormalize]], a
+    * native codegen'd expression (Spark has no built-in normalizer).
+    * Needs no function registration: the Column wraps the expression
+    * directly. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text)))
+
+  /** The full text-cleaning pass a corpus gets before hashing/dedup:
+    * whitespace collapse, trim, lowercase, NFC composition — so that
+    * byte-level fingerprints see visually-identical text identically.
+    * Pure per-row expressions: scan-speed. */
+  def normalizeText(text: Column): Column =
+    nfcNormalize(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Document-frequency boilerplate pruning (the C4/RefinedWeb "drop
+    * content shared by many documents" family, at token granularity):
+    * tokens present in at least `num/den` of all documents are removed
+    * from every document, order otherwise preserved. Returns the frame
+    * with `toks`, `kept` (filtered token array) and `cleaned` (re-built
+    * text).
+    *
+    * Scale shape: ONE explode→distinct→count aggregation finds the
+    * common set (shuffle keyed by token, map-side combinable, output
+    * bounded by vocabulary not corpus size); the common set — tiny by
+    * construction (df ≥ a large corpus fraction) — broadcasts back as
+    * a single-row array column, and each document filters in place
+    * with a codegen'd higher-order function. The corpus itself never
+    * shuffles: rewritten in one scan pass. */
+  def dfPrune(df: org.apache.spark.sql.DataFrame, textCol: String,
+      num: Int, den: Int): org.apache.spark.sql.DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"df threshold must be a fraction in (0,1]: $num/$den")
+    val staged = df.withColumn("toks", split(trim(col(textCol)), "\\s+"))
+    // document frequency per distinct (doc, token); integer-exact
+    // threshold (df * den >= total * num) — no float boundary to
+    // disagree across engines at any corpus size
+    val totals = staged.agg(count(lit(1)).as("n_docs"))
+    val common = staged
+      .select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(totals)
+      .filter(col("df") * den >= col("n_docs") * num)
+      .agg(coalesce(collect_list(col("tok")),
+        array().cast("array<string>")).as("ws"))
+    staged.crossJoin(broadcast(common))
+      .withColumn("kept",
+        expr("filter(toks, t -> NOT array_contains(ws, t))"))
+      .withColumn("cleaned", array_join(col("kept"), " "))
+      .drop("ws")
+  }
 }

@@ -207,10 +207,43 @@ object EmbeddingQ {
     * from the partitioned layout — one oracle serves both. */
   val q58Sql: String = q38Sql
 
+  /** q69 — int8 embedding quantization quality
+    * ([[graft.ext.Similarity.int8QuantStats]]): the 4×-compression /
+    * recall trade measured per vector — symmetric scale (max|x|/127)
+    * and mean absolute reconstruction error, all in portable
+    * fixed-point arithmetic (per-element rounds, exact BIGINT sums).
+    * Pure per-row expressions: scan-speed, shuffle-free. */
+  def q69(s: SparkSession, dir: String): DataFrame =
+    Similarity.int8QuantStats(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("label"),
+        expr("CAST(ROUND(q_scale * 1e6) AS BIGINT)").as("scale_fp"),
+        expr("CAST(ROUND(q_err * 1e9) AS BIGINT)").as("err_fp"))
+      .orderBy(col("vec_id"))
+
+  val q69Sql: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, label, qv,
+       |    list_max(list_transform(qv, x -> abs(x))) / 127.0 AS q_scale
+       |  FROM e),
+       |q AS (SELECT vec_id, label, q_scale,
+       |    CASE WHEN q_scale = 0 THEN 0 ELSE
+       |      CAST(CAST(list_sum(list_transform(qv, x ->
+       |        CAST(ROUND(abs(x - ROUND(x / q_scale) * q_scale) * 1e7)
+       |          AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e7 / len(qv)
+       |    END AS q_err
+       |  FROM s)
+       |SELECT vec_id, label,
+       |  CAST(ROUND(q_scale * 1e6) AS BIGINT) AS scale_fp,
+       |  CAST(ROUND(q_err * 1e9) AS BIGINT) AS err_fp
+       |FROM q ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),
     QueryDef("q37_cosine_pairs", q37, Some(q37Sql)),
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),
     QueryDef("q39_ivf_search", q39, Some(q39Sql)),
-    QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)))
+    QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
+    QueryDef("q69_vec_quantize", q69, Some(q69Sql)))
 }

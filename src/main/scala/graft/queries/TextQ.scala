@@ -607,6 +607,93 @@ object TextQ {
        |SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
        |FROM top GROUP BY source ORDER BY source""".stripMargin
 
+  /** q66 — deterministic stratified sampling
+    * ([[graft.ext.Sampling.stratifiedSample]]): rebalance the corpus by
+    * language — keep all English, half the German/French, a quarter of
+    * the rest — via the stable md5 bucket, never RNG, so the kept set
+    * survives re-runs and corpus growth. Scan-speed per-row filter +
+    * one grouped summary. */
+  def q66(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.stratifiedSample(Tables(s, dir, "documents"),
+      "lang", "doc_id", Map("en" -> 100, "de" -> 50, "fr" -> 50),
+      defaultPct = 25)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+
+  val q66Sql: String =
+    s"""WITH s AS (SELECT lang, doc_id, n_chars,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 100 AS bucket
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS first_doc
+       |FROM s
+       |WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+       |  WHEN 'fr' THEN 50 ELSE 25 END
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q67 — document-frequency boilerplate pruning
+    * ([[graft.ext.TextAnalysis.dfPrune]]): tokens present in ≥ 4/5 of
+    * all documents are boilerplate and get removed from every document
+    * in place, order preserved. One vocabulary-bounded aggregation
+    * finds the common set, which broadcasts back as an array column —
+    * the corpus never shuffles. Integer-exact threshold (df·5 ≥ n·4)
+    * so no float boundary can disagree across engines. */
+  def q67(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.dfPrune(
+      Tables(s, dir, "documents"), "text", num = 4, den = 5)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        col("cleaned"))
+      .orderBy(col("doc_id"))
+
+  val q67Sql: String =
+    s"""WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+       |w AS (SELECT DISTINCT doc_id, unnest($toksD) AS tok
+       |  FROM documents),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM w GROUP BY tok),
+       |common AS (SELECT coalesce(list(tok), []) AS ws
+       |  FROM dfreq, tot WHERE df * 5 >= n * 4),
+       |c AS (SELECT d.doc_id, $toksD AS toks,
+       |    list_filter($toksD, t -> NOT list_contains(cw.ws, t)) AS kept
+       |  FROM documents d CROSS JOIN common cw)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+       |  CAST(len(kept) AS BIGINT) AS n_after,
+       |  array_to_string(kept, ' ') AS cleaned
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q68 — unicode text normalization
+    * ([[graft.ext.TextAnalysis.normalizeText]] over the native
+    * [[graft.functions.NfcNormalize]] expression — Spark has no
+    * built-in normalizer): whitespace collapse → trim → lowercase →
+    * NFC composition. A decomposed prefix ("Cafe" + COMBINING ACUTE +
+    * two spaces) is grafted onto each document so both the composition
+    * (é arrives as two codepoints, leaves as one) and the whitespace
+    * collapse provably fire under the oracle. Scan-speed per-row. */
+  def q68(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("norm", graft.ext.TextAnalysis.normalizeText(
+        concat(lit("Cafe\u0301  "), col("text"))))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_norm_chars"),
+        substring(col("norm"), 1, 40).as("prefix"),
+        md5(col("norm")).as("norm_hash"))
+      .orderBy(col("doc_id"))
+
+  val q68Sql: String =
+    s"""SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm_chars,
+       |  substr(norm, 1, 40) AS prefix, md5(norm) AS norm_hash
+       |FROM (SELECT doc_id, nfc_normalize(lower(trim(regexp_replace(
+       |    'Cafe' || chr(769) || '  ' || text, '\\s+', ' ', 'g'))))
+       |    AS norm
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -622,5 +709,8 @@ object TextQ {
     QueryDef("q62_dataset_mix", q62, Some(q62Sql)),
     QueryDef("q63_decontaminate", q63, Some(q63Sql)),
     QueryDef("q64_repetition", q64, Some(q64Sql)),
-    QueryDef("q65_chunking", q65, Some(q65Sql)))
+    QueryDef("q65_chunking", q65, Some(q65Sql)),
+    QueryDef("q66_stratified_sample", q66, Some(q66Sql)),
+    QueryDef("q67_df_prune", q67, Some(q67Sql)),
+    QueryDef("q68_normalize", q68, Some(q68Sql)))
 }

@@ -28,3 +28,17 @@ object StreamingShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
+
+/** Column ⇄ Expression bridge: `ExpressionUtils` is `private[sql]`
+  * at the Scala level, so out-of-tree code that wants to wrap a
+  * custom Catalyst expression into a Column WITHOUT registering a
+  * session function goes through this shim (same pattern as
+  * [[StreamingShim]]). */
+object ColumnShim {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}

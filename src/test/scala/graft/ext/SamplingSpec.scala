@@ -31,6 +31,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample keeps stable per-stratum fractions") {
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(docs, "lang", "id",
+      Map("en" -> 100), defaultPct = 20)
+      .select("id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") == 500, "100% stratum keeps everything")
+    assert(byLang("zh") > 50 && byLang("zh") < 150,
+      s"20% stratum keeps ~100 of 500: ${byLang("zh")}")
+    // deterministic: same kept set on re-run over a repartitioned frame
+    val again = Sampling.stratifiedSample(docs.repartition(7), "lang",
+      "id", Map("en" -> 100), defaultPct = 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.map(_._1).sorted.toSeq)
+    // a kept document stays kept when the corpus grows
+    val grown = Sampling.stratifiedSample(
+      (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+        .toDF("id", "lang"), "lang", "id",
+      Map("en" -> 100), defaultPct = 20)
+      .select("id").as[Long].collect().toSet
+    assert(kept.map(_._1).forall(grown.contains))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs, "lang", "id", Map("en" -> 101))
+    }
+  }
+
   test("mixOrder interleaves sources proportionally to weights") {
     val docs = (("A" -> 10) :: ("B" -> 10) :: Nil)
       .flatMap { case (s, n) => (1 to n).map(i => (s, i.toLong)) }

@@ -40,6 +40,32 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned(0L) == 0L && assigned(1L) == 0L && assigned(2L) == 1L)
   }
 
+  test("int8QuantStats: exact scale, bounded reconstruction error") {
+    val df = Seq(
+      (0L, Array(1.27f, -0.64f, 0.0f)),    // scale ≈ 0.01, all multiples
+      (1L, Array(0.0f, 0.0f, 0.0f))        // degenerate all-zero
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8QuantStats(df)
+      .select("vec_id", "q_scale", "q_err")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // 1.27f is the float NEAREST 1.27, so the scale is ~0.01 to float
+    // precision, not exactly 0.01
+    assert(math.abs(out(0L)._1 - 0.01) < 1e-8, s"scale ${out(0L)._1}")
+    // every element of vec 0 quantizes exactly (multiples of scale)
+    assert(out(0L)._2 < 1e-6, s"err ${out(0L)._2}")
+    assert(out(1L) == (0.0, 0.0), "zero vector: zero scale, zero err")
+    // error is bounded by half a quantization step
+    val rnd = (2L to 50L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 17) % 101 / 50.0 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.int8QuantStats(rnd)
+      .select("q_scale", "q_err").as[(Double, Double)].collect()
+      .foreach { case (s, e) =>
+        assert(e <= s / 2 + 1e-7, s"err $e exceeds half-step ${s / 2}")
+      }
+  }
+
   test("retry: transient errors recover, schema conflicts fail fast") {
     var calls = 0
     val r = graft.streaming.Retry.withBackoff(maxAttempts = 3,

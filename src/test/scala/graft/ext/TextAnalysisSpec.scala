@@ -38,6 +38,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.getLong(2) > 0)
   }
 
+  test("dfPrune removes boilerplate tokens, preserves order") {
+    // 'boiler' is in 4/5 docs (≥ 3/4 threshold); every other token is rare
+    val docs = Seq(
+      (1L, "alpha boiler beta"), (2L, "boiler gamma"),
+      (3L, "delta epsilon boiler"), (4L, "boiler"),
+      (5L, "zeta eta")).toDF("doc_id", "text")
+    val out = TextAnalysis.dfPrune(docs, "text", num = 3, den = 4)
+      .select("doc_id", "cleaned").as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha beta", "order preserved, boiler gone")
+    assert(out(2L) == "gamma" && out(3L) == "delta epsilon")
+    assert(out(4L) == "", "all-boilerplate doc empties")
+    assert(out(5L) == "zeta eta", "untouched doc unchanged")
+    // below-threshold corpus: nothing removed
+    val none = TextAnalysis.dfPrune(docs, "text", num = 99, den = 100)
+      .select("doc_id", "cleaned").as[(Long, String)].collect().toMap
+    assert(none(2L) == "boiler gamma")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dfPrune(docs, "text", num = 5, den = 4)
+    }
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
