@@ -139,7 +139,8 @@ class GraftSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      parameters.getOrElse("startingCommit", "0"))
+      parameters.getOrElse("startingCommit", "0"),
+      parameters.get("maxCommitsPerTrigger").map(_.toLong))
 }
 
 /** `stateView = true` serves the merge-on-read CURRENT STATE (latest

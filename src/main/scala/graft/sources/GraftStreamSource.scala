@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.StructType
   *
   *   spark.readStream.format("graft")
   *     .option("startingCommit", "0" | "latest")   // default: 0 (all)
+  *     .option("maxCommitsPerTrigger", "10")       // backpressure (T7)
   *     .load(dir) … .writeStream…
   *
   * Offsets are COMMIT IDS — exactly-once across restarts for free:
@@ -34,7 +35,11 @@ import org.apache.spark.sql.types.StructType
   * true)` is for (the same construction Spark's own file source uses).
   */
 class GraftStreamSource(spark: SparkSession, dir: String,
-    startingCommit: String) extends Source {
+    startingCommit: String, maxCommitsPerTrigger: Option[Long] = None)
+    extends Source {
+
+  require(maxCommitsPerTrigger.forall(_ > 0),
+    s"maxCommitsPerTrigger must be positive: $maxCommitsPerTrigger")
 
   override val schema: StructType = CdcTable.changesSchema(dir)
 
@@ -46,20 +51,37 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     case s => s.toLong
   }
 
+  /** Backpressure position (T7, the reference's maxOffsetsPerTrigger):
+    * the last commit id this source has handed out — the base the next
+    * capped trigger advances from. Restart-safe: Spark re-calls
+    * getBatch with the checkpointed offsets before asking for new ones,
+    * which re-seats the cursor past history; it only ever moves
+    * forward, so a capped getOffset can never fall behind a
+    * checkpointed position and re-emit commits. */
+  @volatile private var cursor: Long = initialAfter
+
   private def commitId(o: Offset): Long = o match {
     case LongOffset(n) => n
     case so: SerializedOffset => LongOffset(so).offset
     case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] =
-    CdcTable.log(dir).lastOption.map(c => LongOffset(c.commit))
-      .filter(_.offset > initialAfter)
+  override def getOffset: Option[Offset] = {
+    val latest = CdcTable.log(dir).lastOption.map(_.commit)
+      .getOrElse(0L)
+    // one capped step past the cursor, never backward (re-reporting
+    // the furthest offset already handed out is a no-op trigger)
+    val target = math.max(cursor, maxCommitsPerTrigger
+      .map(m => math.min(latest, cursor + m)).getOrElse(latest))
+    if (target > initialAfter) Some(LongOffset(target)) else None
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val after = start.map(commitId).getOrElse(initialAfter)
+    val upTo = commitId(end)
+    cursor = math.max(cursor, upTo)
     val changes = SchemaMerge.castTo(
-      CdcTable.readChanges(spark, dir, after, Some(commitId(end))),
+      CdcTable.readChanges(spark, dir, after, Some(upTo)),
       schema)
     org.apache.spark.sql.graftshim.StreamingShim.streamingDataFrame(
       spark, changes.queryExecution.toRdd, schema)

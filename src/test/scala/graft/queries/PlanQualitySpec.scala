@@ -68,6 +68,34 @@ class PlanQualitySpec extends SparkSpec {
       windows.contains("source"), windows)
   }
 
+  test("q66 stratified sample is a joinless scan-speed filter") {
+    val p = plan(TextQ.q66(spark, dir))
+    assert(!p.contains("Join"), "per-row bucket filter must not join")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q67 df-prune broadcasts the common set; corpus never shuffles") {
+    val p = plan(TextQ.q67(spark, dir))
+    // the only join is the 1-row common-set broadcast back onto the
+    // corpus — a shuffled join here would move the whole corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shuffle join is the 100TB failure mode")
+  }
+
+  test("q68/q69 per-row ops are shuffle-free scans") {
+    for (q <- Seq(TextQ.q68(spark, dir), EmbeddingQ.q69(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("Join"), p.take(400))
+      // one final global sort for the deterministic output order is
+      // fine; no aggregation/window shuffle beyond it
+      assert(!p.contains("Window") && !p.contains("HashAggregate"),
+        p.take(400))
+    }
+  }
+
   test("q63 decontamination broadcasts the eval set") {
     val p = plan(TextQ.q63(spark, dir))
     assert(p.contains("BroadcastHashJoin"),

@@ -56,6 +56,46 @@ class GraftStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxCommitsPerTrigger paces the backlog without loss or replay") {
+    val dir = tmpDir("gpaced")
+    val ckpt = tmpDir("gpacedck")
+    (1 to 5).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"r$i")).toDF("x", "_id"), dir)
+    }
+    // (batchId → commit ids) per micro-batch
+    val batches =
+      scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    def start() = spark.readStream.format("graft")
+      .option("maxCommitsPerTrigger", "2").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val cs = b.select("_commit").as[Long].collect().toSeq
+        batches.synchronized { batches += ((id, cs)); () }
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val seen = batches.flatMap(_._2).sorted.toSeq
+      assert(seen == (1L to 5L), s"every commit exactly once: $seen")
+      assert(batches.forall(_._2.distinct.size <= 2),
+        s"no batch may exceed the cap: $batches")
+      assert(batches.count(_._2.nonEmpty) >= 3,
+        s"a 5-commit backlog at cap 2 needs >= 3 batches: $batches")
+    } finally q.stop()
+    // restart with new commits: pacing resumes past the checkpoint —
+    // the cursor must re-seat forward, never re-emit history
+    (6 to 9).foreach { i =>
+      CdcTable.append(Seq((i.toLong, s"r$i")).toDF("x", "_id"), dir)
+    }
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val seen = batches.flatMap(_._2).sorted.toSeq
+      assert(seen == (1L to 9L), s"no replay, no loss: $seen")
+      assert(batches.forall(_._2.distinct.size <= 2), batches.toString)
+    } finally q2.stop()
+  }
+
   test("graft sink refuses to start without a query-unique txn id") {
     val dir = tmpDir("gsinknockpt")
     // a per-table fallback id would let two queries dedup against
