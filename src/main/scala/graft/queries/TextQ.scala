@@ -694,6 +694,68 @@ object TextQ {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** q70 — Gopher/MassiveText-style quality filter rules: token-count
+    * bounds, mean-word-length bounds, mandatory stopword presence —
+    * each a pure per-row expression (scan-speed), composed into one
+    * keep decision. The raw mean word length feeds the comparisons
+    * (bit-identical doubles in both engines); only the OUTPUT value is
+    * fixed-point rounded. */
+  def q70(s: SparkSession, dir: String): DataFrame =
+    withToks(s, dir)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("mwl",
+        expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(toks)"))
+      .withColumn("the_hits", expr(hits("the")))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(ROUND(mwl * 1e4) AS BIGINT)").as("mwl_fp"),
+        (col("n_tokens") >= 30 && col("n_tokens") <= 80).as("len_ok"),
+        (col("mwl") >= 3.8 && col("mwl") <= 4.6).as("mwl_ok"),
+        (col("the_hits") >= 1).as("stop_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("mwl_ok") && col("stop_ok"))
+      .orderBy(col("doc_id"))
+
+  val q70Sql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    CAST(len($toksD) AS BIGINT) AS n_tokens,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($toksD)
+       |      AS mwl,
+       |    ${hits("the")} AS the_hits
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  CAST(ROUND(mwl * 1e4) AS BIGINT) AS mwl_fp,
+       |  n_tokens BETWEEN 30 AND 80 AS len_ok,
+       |  mwl >= 3.8 AND mwl <= 4.6 AS mwl_ok,
+       |  the_hits >= 1 AS stop_ok,
+       |  (n_tokens BETWEEN 30 AND 80) AND mwl >= 3.8 AND mwl <= 4.6
+       |    AND the_hits >= 1 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q71 — corpus head-of-distribution via the Misra–Gries sketch
+    * ([[graft.functions.HeavyHitters]], §2.10 TypedImperativeAggregate):
+    * top-10 tokens by frequency WITHOUT a full `GROUP BY token` — each
+    * partition builds a 256-counter summary, k rows per partition
+    * shuffle, merges are the mergeable-summaries rule. Counts are
+    * exact whenever the vocabulary fits the capacity (31 ≤ 256 here),
+    * which is what the exact-count oracle checks; at 100 TB the same
+    * plan sketches a billion-token vocabulary in bounded memory.
+    * Falls back to the exact aggregation without the extension. */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val toks = withToks(s, dir).select(explode(col("toks")).as("tok"))
+    val counted =
+      if (s.catalog.functionExists("heavy_hitters"))
+        toks.agg(expr("heavy_hitters(tok, 256)").as("hh"))
+          .select(explode(col("hh")).as("h"))
+          .select(col("h.tok").as("tok"), col("h.cnt").as("cnt"))
+      else toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    counted.orderBy(col("cnt").desc, col("tok")).limit(10)
+  }
+
+  val q71Sql: String =
+    s"""WITH w AS (SELECT unnest($toksD) AS tok FROM documents)
+       |SELECT tok, COUNT(*) AS cnt FROM w GROUP BY tok
+       |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -712,5 +774,7 @@ object TextQ {
     QueryDef("q65_chunking", q65, Some(q65Sql)),
     QueryDef("q66_stratified_sample", q66, Some(q66Sql)),
     QueryDef("q67_df_prune", q67, Some(q67Sql)),
-    QueryDef("q68_normalize", q68, Some(q68Sql)))
+    QueryDef("q68_normalize", q68, Some(q68Sql)),
+    QueryDef("q70_quality_rules", q70, Some(q70Sql)),
+    QueryDef("q71_heavy_hitters", q71, Some(q71Sql)))
 }
