@@ -82,6 +82,66 @@ object StreamOps {
       .drop(r(key))
   }
 
+  final case class SessionOut(key: String, start_ms: Long, end_ms: Long,
+      n_events: Long)
+  /** Open-session state for [[closedSessions]]. */
+  final case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Session windows via `flatMapGroupsWithState` + EVENT-TIME timeout
+    * (T5/T6): unlike the built-in `session_window` aggregation this
+    * emits each CLOSED session exactly once, as soon as the watermark
+    * passes its gap — the shape alerting/billing pipelines need (act
+    * on a finished session, never see it twice). A key's open session
+    * lives in bounded per-key state; the timeout fires when the
+    * watermark crosses `end + gap`, so idle keys age out instead of
+    * accumulating (the 100 TB-stream requirement). Within a batch,
+    * events are folded in time order and gaps > `gapMs` close
+    * intermediate sessions immediately.
+    *
+    * Append-mode output; works only on streaming frames (the batch
+    * equivalent is the `session_window` aggregation, q24/T5). */
+  def closedSessions(df: DataFrame, keyCol: String, tsCol: String,
+      gapMs: Long, watermark: String): Dataset[SessionOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // project/cast BEFORE the watermark: a cast above it would mint a
+    // fresh attribute without the watermark tag
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermark)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, _, state) if state.hasTimedOut =>
+          // watermark passed end + gap: the open session is final
+          val s = state.get
+          state.remove()
+          Iterator(SessionOut(key, s.start, s.end, s.n))
+        case (key, events, state) =>
+          val times = events.map(_._2.getTime).toArray.sorted
+          val first = state.getOption.toSeq
+            .map(s => OpenSession(s.start, s.end, s.n))
+          val (closed, open) = times.foldLeft(
+            (Vector.empty[OpenSession], first.headOption)) {
+            case ((done, None), t) =>
+              (done, Some(OpenSession(t, t, 1)))
+            case ((done, Some(s)), t) if t <= s.end + gapMs =>
+              (done, Some(s.copy(end = math.max(s.end, t), n = s.n + 1)))
+            case ((done, Some(s)), t) =>
+              (done :+ s, Some(OpenSession(t, t, 1)))
+          }
+          open match {
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            case None => state.remove()
+          }
+          closed.iterator.map(s =>
+            SessionOut(key, s.start, s.end, s.n))
+      }
+  }
+
   final case class KeyCount(key: String, events: Long, sum: Double)
 
   /** Custom arbitrary state via mapGroupsWithState (T6): a per-key

@@ -27,6 +27,40 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val out = StreamOps.closedSessions(mem.toDF.toDF("k", "ts"),
+      "k", "ts", gapMs = 60_000L, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // two bursts of key a separated by > gap INSIDE one batch: the
+      // first session closes immediately; the second stays open
+      mem.addData(("a", t("00:00:00")), ("a", t("00:00:30")),
+        ("a", t("00:05:00")), ("b", t("00:05:10")))
+      q.processAllAvailable()
+      val afterB1 = spark.sql(
+        "SELECT key, start_ms, end_ms, n_events FROM sess")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(afterB1 == Seq(
+        ("a", t("00:00:00").getTime, t("00:00:30").getTime, 2L)),
+        s"only the gap-closed session may emit: $afterB1")
+      // advancing the watermark far past end+gap times the rest out
+      mem.addData(("c", t("01:00:00")))
+      q.processAllAvailable()
+      mem.addData(("c", t("02:00:00"))) // extra batch: timeout fires
+      q.processAllAvailable()
+      val all = spark.sql(
+        "SELECT key, n_events FROM sess ORDER BY key, n_events")
+        .as[(String, Long)].collect().toSeq
+      assert(all.contains(("a", 1L)) && all.contains(("b", 1L)),
+        s"open sessions must close via event-time timeout: $all")
+      assert(all.count(_._1 == "a") == 2, s"no double emission: $all")
+    } finally q.stop()
+  }
+
   test("hll sketch estimates are close to exact distincts") {
     val r = graft.queries.WindowQ.q55(spark, "/root/testdata/sf0.001")
       .collect()
