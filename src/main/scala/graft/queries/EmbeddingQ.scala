@@ -239,11 +239,50 @@ object EmbeddingQ {
        |  CAST(ROUND(q_err * 1e9) AS BIGINT) AS err_fp
        |FROM q ORDER BY vec_id""".stripMargin
 
+  /** q72 — semantic decontamination (the SemDeDup/embedding-space
+    * variant of q63): corpus vectors whose cosine against ANY eval-set
+    * vector reaches 0.35 are contamination suspects. The eval side is
+    * tiny by construction → BROADCAST nested-loop against the corpus
+    * scan (the corpus never shuffles; per-row work is |eval| codegen'd
+    * fixed-point dots), then one map-side-combinable max/count
+    * aggregation per corpus vector. At 100 TB the same plan streams
+    * the corpus once; the 1e12 fixed-point dot keeps Spark and DuckDB
+    * bit-identical. */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val ev = emb.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("e_id"), col("embedding").as("ee"))
+    val thr = 350000000000L // 0.35 in 1e12 fixed point
+    emb.filter(col("vec_id") >= 25)
+      .crossJoin(broadcast(ev))
+      .withColumn("dfx", expr(dot(s, "embedding", "ee")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("dfx")).as("max_dot_fx"),
+        count(when(col("dfx") >= thr, 1)).as("n_close"))
+      .filter(col("max_dot_fx") >= thr)
+      .orderBy(col("vec_id"))
+  }
+
+  val q72Sql: String = {
+    val d = dotD("a.embedding", "b.embedding")
+    s"""WITH m AS (
+       |  SELECT a.vec_id, max($d) AS max_dot_fx,
+       |    CAST(COUNT(*) FILTER ($d >= 350000000000) AS BIGINT)
+       |      AS n_close
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id >= 25 AND b.vec_id < 25
+       |  GROUP BY a.vec_id)
+       |SELECT vec_id, max_dot_fx, n_close FROM m
+       |WHERE max_dot_fx >= 350000000000
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),
     QueryDef("q37_cosine_pairs", q37, Some(q37Sql)),
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),
     QueryDef("q39_ivf_search", q39, Some(q39Sql)),
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
-    QueryDef("q69_vec_quantize", q69, Some(q69Sql)))
+    QueryDef("q69_vec_quantize", q69, Some(q69Sql)),
+    QueryDef("q72_semantic_decon", q72, Some(q72Sql)))
 }

@@ -96,6 +96,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q72 semantic decontamination broadcasts the eval vectors") {
+    val p = plan(EmbeddingQ.q72(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast: ${p.take(400)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"),
+      "per-vector max must partial-aggregate before the shuffle")
+  }
+
   test("q63 decontamination broadcasts the eval set") {
     val p = plan(TextQ.q63(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
