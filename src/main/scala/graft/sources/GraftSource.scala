@@ -65,11 +65,16 @@ class GraftSource extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
-    GraftRelation(sqlContext, pathOf(parameters),
-      parameters.get("commitAsOf").map(_.toLong),
-      parameters.get("timestampAsOf").map(_.toLong),
-      stateView = parameters.get("stateView").exists(_.toBoolean),
-      idCol = parameters.getOrElse("idCol", "_id"))
+    parameters.get("metaTable") match {
+      case Some(which) =>
+        GraftMetaRelation(sqlContext, pathOf(parameters), which)
+      case None =>
+        GraftRelation(sqlContext, pathOf(parameters),
+          parameters.get("commitAsOf").map(_.toLong),
+          parameters.get("timestampAsOf").map(_.toLong),
+          stateView = parameters.get("stateView").exists(_.toBoolean),
+          idCol = parameters.getOrElse("idCol", "_id"))
+    }
 
   /** Batch write surface. Append = CdcTable.append (schema merged,
     * atomic manifest commit); Overwrite = atomic `replace` under the
@@ -141,6 +146,60 @@ class GraftSource extends RelationProvider
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       parameters.getOrElse("startingCommit", "0"),
       parameters.get("maxCommitsPerTrigger").map(_.toLong))
+}
+
+/** Metadata tables (the Iceberg `.history` / `.files` pattern,
+  * Delta's `DESCRIBE HISTORY`): the table's own commit log and file
+  * inventory as queryable DataFrames, straight from the manifest —
+  * no data files are opened, so these answer instantly at any table
+  * size:
+  *
+  *   spark.read.format("graft").option("metaTable", "history").load(dir)
+  *     → (commit, commit_ts, action, schema_version, n_files, is_stub)
+  *   … .option("metaTable", "files").load(dir)
+  *     → (file, commit, commit_ts, schema_version, n_stats_cols)
+  *       one row per LIVE file (files superseded by a replace drop out)
+  */
+final case class GraftMetaRelation(sqlContext: SQLContext, dir: String,
+    which: String) extends BaseRelation with TableScan {
+  import org.apache.spark.sql.types._
+
+  private def commits = CdcTable.log(dir)
+
+  override val schema: StructType = which match {
+    case "history" => StructType(Seq(
+      StructField("commit", LongType, nullable = false),
+      StructField("commit_ts", LongType, nullable = false),
+      StructField("action", StringType, nullable = false),
+      StructField("schema_version", LongType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("is_stub", BooleanType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("commit", LongType, nullable = false),
+      StructField("commit_ts", LongType, nullable = false),
+      StructField("schema_version", LongType, nullable = false),
+      StructField("n_stats_cols", IntegerType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"unknown metaTable '$other' (history|files)")
+  }
+
+  override def buildScan(): RDD[Row] = {
+    val rows: Seq[Row] = which match {
+      case "history" => commits.map(c => Row(
+        c.commit, c.ts, c.action, c.schemaVersion, c.files.size, c.stub))
+      case "files" =>
+        // live view: a replace supersedes everything before it
+        val live = commits.lastIndexWhere(_.action == "replace") match {
+          case -1 => commits
+          case i => commits.drop(i)
+        }
+        live.flatMap(c => c.files.map(f => Row(
+          f, c.commit, c.ts, c.schemaVersion,
+          c.stats.get(f).map(_.size).getOrElse(0))))
+    }
+    sqlContext.sparkContext.parallelize(rows, 1)
+  }
 }
 
 /** `stateView = true` serves the merge-on-read CURRENT STATE (latest

@@ -108,6 +108,41 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == 4)
   }
 
+  test("metaTable=history/files expose the manifest as DataFrames") {
+    val dir = tmpDir("gmeta")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id").coalesce(1), dir)
+    CdcTable.append(Seq((2L, "b")).toDF("x", "_id").coalesce(1), dir)
+    val hist = spark.read.format("graft")
+      .option("metaTable", "history").load(dir)
+    assert(hist.columns.toSeq == Seq("commit", "commit_ts", "action",
+      "schema_version", "n_files", "is_stub"))
+    assert(hist.count() == 2)
+    assert(hist.select("action").distinct().as[String].head() == "append")
+    val files = spark.read.format("graft")
+      .option("metaTable", "files").load(dir)
+    assert(files.count() == 2, "one live file per append")
+    assert(files.select("n_stats_cols").as[Int].collect()
+      .forall(_ > 0), "footer stats recorded per file")
+    // a replace supersedes earlier files in the live view
+    CdcTable.replaceWith(spark, dir,
+      CdcTable.read(spark, dir).coalesce(1))
+    val after = spark.read.format("graft")
+      .option("metaTable", "files").load(dir)
+    assert(after.count() == 1, "only the replace's file is live")
+    assert(spark.read.format("graft").option("metaTable", "history")
+      .load(dir).count() == 3)
+    // SQL route works too
+    spark.sql(s"CREATE TABLE gmeta_h USING graft " +
+      s"OPTIONS (path '$dir', metaTable 'history')")
+    try assert(spark.sql("SELECT COUNT(*) FROM gmeta_h")
+      .collect()(0).getLong(0) == 3)
+    finally spark.sql("DROP TABLE gmeta_h")
+    intercept[Exception] {
+      spark.read.format("graft").option("metaTable", "nope")
+        .load(dir).collect()
+    }
+  }
+
   test("write surface: append / overwrite / errorIfExists modes") {
     val dir = tmpDir("gsrcwrite")
     val df = Seq((1L, "a", "2026-08-10"))
