@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => NfcNormalize(e.head))
     inject("heavy_hitters", classOf[HeavyHitters],
       e => HeavyHitters(e(0), e(1)))
+    // SQL maintenance commands (GRAFT OPTIMIZE / VACUUM / HISTORY);
+    // everything else delegates to Spark's parser untouched
+    ext.injectParser((_, delegate) =>
+      new graft.sqlext.GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,143 @@
+package graft.sqlext
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import graft.sink.CdcTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** SQL maintenance commands for graft tables — the Delta-parity DDL
+  * surface, wired through `SparkSessionExtensions.injectParser` (the
+  * standard out-of-tree pattern, e.g. Delta's own SQL parser): a tiny
+  * recognizer intercepts the three graft statements and every other
+  * string delegates untouched to Spark's parser.
+  *
+  *   GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2, …)] [FILES n]
+  *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS]
+  *   GRAFT HISTORY '<path>'
+  *
+  * OPTIMIZE rewrites the current state as ONE atomic `replace` commit
+  * (clustered when ZORDER BY is given — disjoint per-file ranges make
+  * the manifest column stats prune, see FileStats); VACUUM deletes
+  * unreferenced data files older than the retention; HISTORY returns
+  * the commit log. All three answer from / commit through the
+  * manifest, so they run unchanged on object stores.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    recognize(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+
+  private val optimizeRe = Pattern.compile(
+    """\s*GRAFT\s+OPTIMIZE\s+'([^']+)'""" +
+      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+FILES\s+(\d+))?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val vacuumRe = Pattern.compile(
+    """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val historyRe = Pattern.compile(
+    """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+
+  private[sqlext] def recognize(sqlText: String): Option[LogicalPlan] = {
+    if (!sqlText.toUpperCase(Locale.ROOT).contains("GRAFT")) return None
+    val om = optimizeRe.matcher(sqlText)
+    if (om.matches()) {
+      val cols = Option(om.group(2)).toSeq.flatMap(
+        _.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      return Some(OptimizeGraftTable(om.group(1), cols,
+        Option(om.group(3)).map(_.toInt)))
+    }
+    val vm = vacuumRe.matcher(sqlText)
+    if (vm.matches())
+      return Some(VacuumGraftTable(vm.group(1),
+        Option(vm.group(2)).map(_.toLong)))
+    val hm = historyRe.matcher(sqlText)
+    if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
+    None
+  }
+
+  private[sqlext] def attr(name: String, t: DataType): Attribute =
+    AttributeReference(name, t, nullable = false)()
+}
+
+/** `GRAFT OPTIMIZE '<path>' [ZORDER BY (…)] [FILES n]` — rewrite the
+  * current state as one atomic replace commit, optionally clustered. */
+case class OptimizeGraftTable(dir: String, zorderCols: Seq[String],
+    nFiles: Option[Int]) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("files_before", IntegerType), attr("files_after", IntegerType),
+    attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = CdcTable.log(dir).flatMap(_.files).size
+    val df0 = CdcTable.read(spark, dir)
+    val target = nFiles.getOrElse(spark.sparkContext.defaultParallelism)
+    val df =
+      if (zorderCols.nonEmpty)
+        graft.maintain.Maintenance.zorderFrame(df0, zorderCols, target)
+      else df0.coalesce(target)
+    CdcTable.replaceWith(spark, dir, df)
+    val last = CdcTable.log(dir).last
+    Seq(Row(before, last.files.size, last.commit))
+  }
+}
+
+/** `GRAFT VACUUM '<path>' [RETAIN n HOURS]` — delete unreferenced
+  * data files older than the retention (default 7 days). */
+case class VacuumGraftTable(dir: String, retainHours: Option[Long])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("files_deleted", IntegerType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val retain = retainHours.map(_ * 3600 * 1000L)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    Seq(Row(CdcTable.vacuumOrphans(dir, retain).size))
+  }
+}
+
+/** `GRAFT HISTORY '<path>'` — the commit log as rows. */
+case class HistoryGraftTable(dir: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("commit", LongType), attr("commit_ts", LongType),
+    attr("action", StringType), attr("schema_version", LongType),
+    attr("n_files", IntegerType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    CdcTable.log(dir).map(c =>
+      Row(c.commit, c.ts, c.action, c.schemaVersion, c.files.size))
+}

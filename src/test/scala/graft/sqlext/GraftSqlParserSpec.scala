@@ -1,0 +1,57 @@
+package graft.sqlext
+
+import graft.SparkSpec
+import graft.sink.CdcTable
+import org.apache.spark.sql.functions.col
+
+/** The injected SQL surface: GRAFT OPTIMIZE / VACUUM / HISTORY parse
+  * and run; everything else still reaches Spark's parser untouched. */
+class GraftSqlParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GRAFT OPTIMIZE rewrites as one clustered replace commit") {
+    val dir = tmpDir("sqlopt")
+    (0 until 3).foreach { i =>
+      CdcTable.append((0 until 30).map(j => (i + 3L * j, s"r$i-$j"))
+        .toDF("x", "_id").coalesce(1), dir, partitionBy = Nil)
+    }
+    val res = spark.sql(
+      s"GRAFT OPTIMIZE '$dir' ZORDER BY (x) FILES 3")
+      .as[(Int, Int, Long)].head()
+    assert(res._1 == 3 && res._2 == 3 && res._3 == 4, res.toString)
+    assert(CdcTable.read(spark, dir).count() == 90)
+    // clustering bites: a range read scans one of the three files
+    val scanned = spark.read.format("graft").load(dir)
+      .filter(col("x") < 10L)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(scanned == 1, s"z-ordered ranges must confine the scan: $scanned")
+  }
+
+  test("GRAFT HISTORY and VACUUM run from SQL") {
+    val dir = tmpDir("sqlhist")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    CdcTable.append(Seq((2L, "b")).toDF("x", "_id"), dir)
+    val hist = spark.sql(s"GRAFT HISTORY '$dir'")
+    assert(hist.columns.toSeq == Seq("commit", "commit_ts", "action",
+      "schema_version", "n_files"))
+    assert(hist.count() == 2)
+    // nothing is old enough to vacuum with the default retention
+    assert(spark.sql(s"GRAFT VACUUM '$dir'")
+      .as[Int].head() == 0)
+    // a replace orphans the old files; RETAIN 0 HOURS reclaims them
+    CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir).coalesce(1))
+    val deleted = spark.sql(s"GRAFT VACUUM '$dir' RETAIN 0 HOURS")
+      .as[Int].head()
+    assert(deleted >= 2, s"superseded files must be reclaimed: $deleted")
+    assert(CdcTable.read(spark, dir).count() == 2)
+  }
+
+  test("non-graft SQL still parses through Spark") {
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
+    // a query merely MENTIONING graft is not intercepted
+    assert(spark.sql("SELECT 'GRAFT OPTIMIZE' AS s").as[String]
+      .head() == "GRAFT OPTIMIZE")
+    intercept[Exception] { spark.sql("GRAFT FROBNICATE 'x'") }
+  }
+}
