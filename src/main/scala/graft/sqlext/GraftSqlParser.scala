@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
   * string delegates untouched to Spark's parser.
   *
   *   GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2, …)] [FILES n]
+  *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS]
   *   GRAFT HISTORY '<path>'
   *
@@ -59,6 +60,10 @@ object GraftSqlParser {
     """\s*GRAFT\s+OPTIMIZE\s+'([^']+)'""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+FILES\s+(\d+))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  private val compactRe = Pattern.compile(
+    """\s*GRAFT\s+COMPACT\s+'([^']+)'(?:\s+ID\s+(\w+))?""" +
+      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
   private val vacuumRe = Pattern.compile(
     """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
@@ -74,6 +79,13 @@ object GraftSqlParser {
         _.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       return Some(OptimizeGraftTable(om.group(1), cols,
         Option(om.group(3)).map(_.toInt)))
+    }
+    val cm = compactRe.matcher(sqlText)
+    if (cm.matches()) {
+      val cols = Option(cm.group(3)).toSeq.flatMap(
+        _.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      return Some(CompactGraftTable(cm.group(1),
+        Option(cm.group(2)).getOrElse("_id"), cols))
     }
     val vm = vacuumRe.matcher(sqlText)
     if (vm.matches())
@@ -109,6 +121,26 @@ case class OptimizeGraftTable(dir: String, zorderCols: Seq[String],
     CdcTable.replaceWith(spark, dir, df)
     val last = CdcTable.log(dir).last
     Seq(Row(before, last.files.size, last.commit))
+  }
+}
+
+/** `GRAFT COMPACT '<path>' [ID col] [ZORDER BY (…)]` — upsert-mode
+  * compaction: collapse the event log to its current state (latest
+  * event per key wins, soft deletes drop) as one atomic replace
+  * commit, optionally z-order-clustered. An append landing
+  * mid-compaction fails the commit (optimistic concurrency) instead
+  * of being silently superseded. */
+case class CompactGraftTable(dir: String, idCol: String,
+    zorderCols: Seq[String]) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("rows_current", LongType), attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    CdcTable.compactToCurrentState(spark, dir, idCol, zorderCols)
+    val last = CdcTable.log(dir).last
+    Seq(Row(CdcTable.read(spark, dir).count(), last.commit))
   }
 }
 

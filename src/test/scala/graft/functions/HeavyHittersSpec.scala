@@ -44,6 +44,51 @@ class HeavyHittersSpec extends SparkSpec {
     assert(topVia(withNulls, 64).toMap.apply("hot") == 500L)
   }
 
+  test("property: MG invariants hold on random streams and splits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val streamGen = for {
+      nItems <- Gen.choose(1, 30)
+      len <- Gen.choose(1, 400)
+      toks <- Gen.listOfN(len, Gen.choose(0, nItems - 1).map(i => s"w$i"))
+      cap <- Gen.choose(2, 40)
+      splits <- Gen.choose(1, 6)
+    } yield (toks, cap, splits)
+    (0 until 60).foreach { seed =>
+      streamGen(Gen.Parameters.default, Seed(seed.toLong)).foreach {
+        case (toks, cap, splits) =>
+          // driver-side MG over arbitrary partition splits, merged in
+          // order — the same code the aggregate runs on executors
+          val parts = toks.grouped(
+            math.max(1, toks.size / splits)).toSeq
+          val bufs = parts.map { p =>
+            val b = new HeavyHitters.Buf(cap)
+            p.foreach(b.add(_, 1L))
+            b
+          }
+          val merged = bufs.reduce { (a, b) => a.mergeIn(b); a }
+          val est = merged.sortedEntries.toMap
+          val exact = toks.groupBy(identity).view
+            .mapValues(_.size.toLong).toMap
+          val n = toks.size
+          assert(est.size <= cap)
+          est.foreach { case (t, c) =>
+            val tr = exact(t)
+            assert(c <= tr, s"never overestimate: $t $c > $tr")
+            assert(c >= tr - n / (cap + 1),
+              s"error bound: $t $c < $tr - ${n / (cap + 1)}")
+          }
+          // guaranteed presence of true heavy hitters
+          exact.foreach { case (t, tr) =>
+            if (tr > n / (cap + 1))
+              assert(est.contains(t), s"heavy $t ($tr of $n) missing")
+          }
+          // exactness when the vocabulary fits
+          if (exact.size <= cap) assert(est == exact)
+      }
+    }
+  }
+
   test("q71 sketch path matches the exact aggregation") {
     val dir = "/root/testdata/sf0.001"
     val sketch = graft.queries.TextQ.q71(spark, dir)

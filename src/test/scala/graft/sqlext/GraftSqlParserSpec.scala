@@ -47,6 +47,25 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 2)
   }
 
+  test("GRAFT COMPACT collapses the log to current state from SQL") {
+    val dir = tmpDir("sqlcompact")
+    // CDC-shaped events: same _id twice, the later ts wins
+    def ev(id: String, x: Long, ts: Long, op: String = "insert") =
+      (id, x, ts, op)
+    CdcTable.append(Seq(ev("a", 1L, 100L), ev("b", 2L, 100L))
+      .toDF("_id", "x", "_cdc_timestamp", "_cdc_operation"), dir)
+    CdcTable.append(Seq(ev("a", 9L, 200L, "update"))
+      .toDF("_id", "x", "_cdc_timestamp", "_cdc_operation"), dir)
+    val res = spark.sql(s"GRAFT COMPACT '$dir'")
+      .as[(Long, Long)].head()
+    assert(res._1 == 2L, s"two live keys after compaction: $res")
+    val state = CdcTable.read(spark, dir)
+      .select("_id", "x").as[(String, Long)].collect().toMap
+    assert(state == Map("a" -> 9L, "b" -> 2L),
+      "latest event per key wins")
+    assert(CdcTable.log(dir).last.action == "replace")
+  }
+
   test("non-graft SQL still parses through Spark") {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
     // a query merely MENTIONING graft is not intercepted
