@@ -111,7 +111,14 @@ case class OptimizeGraftTable(dir: String, zorderCols: Seq[String],
     attr("commit", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val before = CdcTable.log(dir).flatMap(_.files).size
+    // live files only (what this rewrite replaces) — a previous
+    // replace's superseded files are already orphans
+    val commits = CdcTable.log(dir)
+    val live = commits.lastIndexWhere(_.action == "replace") match {
+      case -1 => commits
+      case i => commits.drop(i)
+    }
+    val before = live.flatMap(_.files).size
     val df0 = CdcTable.read(spark, dir)
     val target = nFiles.getOrElse(spark.sparkContext.defaultParallelism)
     val df =
