@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.sink.CdcTable
+import org.apache.spark.sql.functions._
+
+/** The ops compose: one end-to-end training-data pipeline over the
+  * real documents table — normalize → boilerplate-prune → exact dedup
+  * → quality filter → stratified split → sequence packing → graft
+  * table — asserting determinism (two runs, identical result) and
+  * sane cardinality at each stage. This is the workflow the operator
+  * inventory exists to serve; the spec catches cross-op contract
+  * drift (column names, staged-alias collisions, schema surprises)
+  * that per-op specs can't. */
+class PipelineE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def runPipeline(): org.apache.spark.sql.DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+    // 1. normalize text (ws-collapse, lower, NFC)
+    val normed = docs.withColumn("text",
+      TextAnalysis.normalizeText(col("text")))
+    // 2. document-frequency boilerplate pruning
+    val pruned = TextAnalysis.dfPrune(normed, "text", num = 4, den = 5)
+      .withColumn("text", col("cleaned"))
+      .drop("toks", "kept", "cleaned")
+    // 3. exact dedup on the normalized fingerprint
+    val deduped = pruned
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("_rk") === 1).drop("_rk")
+    // 4. quality filter: enough tokens survived pruning
+    val kept = deduped
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 10)
+    // 5. deterministic stratified split by language
+    val split = Sampling.hashSplit(kept, "doc_id")
+    // 6. pack the train split into 512-token sequences per source
+    Sampling.sequencePack(split.filter(col("split") === "train"),
+      "source", "doc_id", "n_tokens", budget = 512)
+      .select("doc_id", "text", "lang", "source", "n_tokens",
+        "split", "pack_id")
+  }
+
+  test("normalize→prune→dedup→filter→split→pack composes and is stable") {
+    val a = runPipeline().orderBy("doc_id").collect()
+    val b = runPipeline().orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq, "pipeline must be run-deterministic")
+    assert(a.length > 20, s"pipeline kept ${a.length} docs")
+    val total = graft.Tables(spark, dir, "documents").count()
+    assert(a.length < total, "some documents must be filtered")
+    // every kept doc has a pack assignment and positive token count
+    assert(a.forall(r => r.getLong(r.fieldIndex("pack_id")) >= 0))
+    assert(a.forall(r => r.getInt(r.fieldIndex("n_tokens")) >= 10))
+  }
+
+  test("the pipeline result lands in a graft table with stats") {
+    val out = tmpDir("pipe_out")
+    CdcTable.append(
+      runPipeline().withColumn("_id", col("doc_id").cast("string")),
+      out, partitionBy = Seq("split"))
+    val table = spark.read.format("graft").load(out)
+    assert(table.count() == runPipeline().count())
+    // manifest stats exist for the numeric columns → skipping works
+    val c = CdcTable.log(out).last
+    assert(c.stats.nonEmpty &&
+      c.stats.values.exists(_.contains("n_tokens")))
+    // split is a partition column: a split filter prunes at the manifest
+    assert(table.filter(col("split") === "train").count() ==
+      table.count(), "only train rows were packed and written")
+  }
+}
