@@ -22,6 +22,7 @@ import org.apache.spark.sql.types._
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS]
   *   GRAFT HISTORY '<path>'
+  *   GRAFT DETAIL '<path>'
   *
   * OPTIMIZE rewrites the current state as ONE atomic `replace` commit
   * (clustered when ZORDER BY is given — disjoint per-file ranges make
@@ -70,6 +71,9 @@ object GraftSqlParser {
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  private val detailRe = Pattern.compile(
+    """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
 
   private[sqlext] def recognize(sqlText: String): Option[LogicalPlan] = {
     if (!sqlText.toUpperCase(Locale.ROOT).contains("GRAFT")) return None
@@ -93,6 +97,8 @@ object GraftSqlParser {
         Option(vm.group(2)).map(_.toLong)))
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
+    val dm = detailRe.matcher(sqlText)
+    if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     None
   }
 
@@ -164,6 +170,23 @@ case class VacuumGraftTable(dir: String, retainHours: Option[Long])
     val retain = retainHours.map(_ * 3600 * 1000L)
       .getOrElse(7L * 24 * 3600 * 1000)
     Seq(Row(CdcTable.vacuumOrphans(dir, retain).size))
+  }
+}
+
+/** `GRAFT DETAIL '<path>'` — Delta `DESCRIBE DETAIL` parity: one row
+  * of table structure + live storage footprint from the manifest. */
+case class DetailGraftTable(dir: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("commits", LongType), attr("schema_version", LongType),
+    attr("generations", LongType), attr("live_files", LongType),
+    attr("live_bytes", LongType), attr("last_commit_ts", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val d = CdcTable.detail(dir)
+    Seq(Row(d.commits, d.schemaVersion, d.generations, d.liveFiles,
+      d.liveBytes, d.lastCommitTs))
   }
 }
 

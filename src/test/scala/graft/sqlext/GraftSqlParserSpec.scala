@@ -39,6 +39,11 @@ class GraftSqlParserSpec extends SparkSpec {
     // nothing is old enough to vacuum with the default retention
     assert(spark.sql(s"GRAFT VACUUM '$dir'")
       .as[Int].head() == 0)
+    // DESCRIBE DETAIL parity: structure + live footprint in one row
+    val det = spark.sql(s"GRAFT DETAIL '$dir'")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(det._1 == 2 && det._4 >= 1 && det._5 > 0,
+      s"commits/live_files/live_bytes: $det")
     // a replace orphans the old files; RETAIN 0 HOURS reclaims them
     CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir).coalesce(1))
     val deleted = spark.sql(s"GRAFT VACUUM '$dir' RETAIN 0 HOURS")
