@@ -120,7 +120,7 @@ object TextAnalysis {
     val common = staged
       .select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .crossJoin(totals)
+      .crossJoin(broadcast(totals))
       .filter(col("df") * den >= col("n_docs") * num)
       .agg(coalesce(collect_list(col("tok")),
         array().cast("array<string>")).as("ws"))
