@@ -94,6 +94,16 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     nfcNormalize(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Misra–Gries heavy-hitters aggregate as a Column (usable in
+    * `.agg(...)` without session-function registration) — see
+    * [[graft.functions.HeavyHitters]] for semantics and bounds. */
+  def heavyHitters(tok: Column, capacity: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.HeavyHitters(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(tok),
+        org.apache.spark.sql.catalyst.expressions.Literal(capacity))
+        .toAggregateExpression())
+
   /** Document-frequency boilerplate pruning (the C4/RefinedWeb "drop
     * content shared by many documents" family, at token granularity):
     * tokens present in at least `num/den` of all documents are removed

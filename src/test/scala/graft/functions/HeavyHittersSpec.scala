@@ -44,6 +44,15 @@ class HeavyHittersSpec extends SparkSpec {
     assert(topVia(withNulls, 64).toMap.apply("hot") == 500L)
   }
 
+  test("Column-API helper matches the registered function") {
+    val df = (Seq.fill(9)("x") ++ Seq.fill(4)("y")).toDF("tok")
+    val viaCol = df.agg(graft.ext.TextAnalysis
+        .heavyHitters($"tok", 8).as("hh"))
+      .select(explode($"hh").as("h"))
+      .select($"h.tok", $"h.cnt").as[(String, Long)].collect().toSeq
+    assert(viaCol == Seq(("x", 9L), ("y", 4L)))
+  }
+
   test("property: MG invariants hold on random streams and splits") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
