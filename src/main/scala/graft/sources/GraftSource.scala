@@ -125,7 +125,12 @@ class GraftSource extends RelationProvider
         "the graft sink needs .option(\"checkpointLocation\", dir) (or " +
           "an explicit .option(\"txnAppId\", id) unique to this query): " +
           "the exactly-once batch txn is keyed by it, and a shared or " +
-          "implicit id would let two queries skip each other's batches"))
+          "implicit id would let two queries skip each other's batches. " +
+          "Note: a session-level spark.sql.streaming.checkpointLocation " +
+          "conf does NOT satisfy this — Spark resolves it per query " +
+          "AFTER this hook, so it is not visible here; if you rely on " +
+          "the conf, also pass the resolved per-query location (or any " +
+          "query-unique id) as an explicit writer option"))
     new GraftStreamSink(dir,
       if (partitionColumns.nonEmpty) partitionColumns
       else partitionByOf(parameters),

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   *
   *   GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2, …)] [FILES n]
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
-  *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS]
+  *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
   *   GRAFT DETAIL '<path>'
   *
@@ -66,7 +66,8 @@ object GraftSqlParser {
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val vacuumRe = Pattern.compile(
-    """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""",
+    """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
+      """(?:\s+(FORCE))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
@@ -94,7 +95,7 @@ object GraftSqlParser {
     val vm = vacuumRe.matcher(sqlText)
     if (vm.matches())
       return Some(VacuumGraftTable(vm.group(1),
-        Option(vm.group(2)).map(_.toLong)))
+        Option(vm.group(2)).map(_.toLong), force = vm.group(3) != null))
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
     val dm = detailRe.matcher(sqlText)
@@ -117,21 +118,29 @@ case class OptimizeGraftTable(dir: String, zorderCols: Seq[String],
     attr("commit", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // ONE log snapshot drives the whole rewrite: the frame is read AS
+    // OF its last commit and the replace validates against that same
+    // commit, so an append landing mid-rewrite fails the commit
+    // (ConcurrentModificationException — rerun OPTIMIZE) instead of
+    // passing validation while its rows are absent from the rewritten
+    // state. A fresh CdcTable.read here would silently lose it.
+    val commits = CdcTable.log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val snap = commits.last.commit
     // live files only (what this rewrite replaces) — a previous
     // replace's superseded files are already orphans
-    val commits = CdcTable.log(dir)
     val live = commits.lastIndexWhere(_.action == "replace") match {
       case -1 => commits
       case i => commits.drop(i)
     }
     val before = live.flatMap(_.files).size
-    val df0 = CdcTable.read(spark, dir)
+    val df0 = CdcTable.readAsOf(spark, dir, commitAsOf = Some(snap))
     val target = nFiles.getOrElse(spark.sparkContext.defaultParallelism)
     val df =
       if (zorderCols.nonEmpty)
         graft.maintain.Maintenance.zorderFrame(df0, zorderCols, target)
       else df0.coalesce(target)
-    CdcTable.replaceWith(spark, dir, df)
+    CdcTable.replaceWith(spark, dir, df, expectedLastCommit = Some(snap))
     val last = CdcTable.log(dir).last
     Seq(Row(before, last.files.size, last.commit))
   }
@@ -157,16 +166,34 @@ case class CompactGraftTable(dir: String, idCol: String,
   }
 }
 
-/** `GRAFT VACUUM '<path>' [RETAIN n HOURS]` — delete unreferenced
-  * data files older than the retention (default 7 days). */
-case class VacuumGraftTable(dir: String, retainHours: Option[Long])
-    extends LeafRunnableCommand {
+/** `GRAFT VACUUM '<path>' [RETAIN n HOURS] [FORCE]` — delete
+  * unreferenced data files older than the retention (default 7 days).
+  * A retention below the 7-day floor is refused without `FORCE`: the
+  * retention window is what protects in-flight readers of a
+  * superseded snapshot, `commitAsOf`/`timestampAsOf` time-travel
+  * readers, and a restarting stream's `getBatch` re-execution — a
+  * 0-hour vacuum would delete files they still need (Delta guards
+  * the same way with its retention-duration check). */
+case class VacuumGraftTable(dir: String, retainHours: Option[Long],
+    force: Boolean = false) extends LeafRunnableCommand {
   import GraftSqlParser.attr
+
+  /** Minimum retention without FORCE — Delta's default, 7 days. */
+  private val floorHours = 7L * 24
 
   override val output: Seq[Attribute] = Seq(
     attr("files_deleted", IntegerType))
 
   override def run(spark: SparkSession): Seq[Row] = {
+    retainHours.filter(h => h < floorHours && !force).foreach { h =>
+      throw new IllegalArgumentException(
+        s"GRAFT VACUUM RETAIN $h HOURS is below the $floorHours-hour " +
+          "safety floor: files older than the retention but still " +
+          "referenced by in-flight queries, time-travel readers " +
+          "(commitAsOf/timestampAsOf) or a restarting stream's batch " +
+          "re-execution would be deleted. Append FORCE to override " +
+          "(e.g. after quiescing all readers).")
+    }
     val retain = retainHours.map(_ * 3600 * 1000L)
       .getOrElse(7L * 24 * 3600 * 1000)
     Seq(Row(CdcTable.vacuumOrphans(dir, retain).size))

@@ -84,19 +84,28 @@ object StreamOps {
 
   final case class SessionOut(key: String, start_ms: Long, end_ms: Long,
       n_events: Long)
-  /** Open-session state for [[closedSessions]]. */
+  /** A session interval held in [[closedSessions]] state. */
   final case class OpenSession(start: Long, end: Long, n: Long)
+  /** Per-key state for [[closedSessions]]: every session — whether its
+    * intra-batch gap has lapsed or not — stays here until the
+    * WATERMARK passes `end + gap`, because until then an out-of-order
+    * (but above-watermark) event can still extend or bridge it. */
+  final case class SessionState(sessions: List[OpenSession])
 
   /** Session windows via `flatMapGroupsWithState` + EVENT-TIME timeout
     * (T5/T6): unlike the built-in `session_window` aggregation this
-    * emits each CLOSED session exactly once, as soon as the watermark
-    * passes its gap — the shape alerting/billing pipelines need (act
-    * on a finished session, never see it twice). A key's open session
-    * lives in bounded per-key state; the timeout fires when the
-    * watermark crosses `end + gap`, so idle keys age out instead of
-    * accumulating (the 100 TB-stream requirement). Within a batch,
-    * events are folded in time order and gaps > `gapMs` close
-    * intermediate sessions immediately.
+    * emits each CLOSED session exactly once, when the watermark passes
+    * its gap — the shape alerting/billing pipelines need (act on a
+    * finished session, never see it twice). A key's sessions live in
+    * bounded per-key state: a session whose intra-batch gap has lapsed
+    * is NOT emitted right away (a cross-batch out-of-order event above
+    * the watermark could still fall inside its gap and extend it —
+    * early emission would split one true session into two rows); it is
+    * held until the watermark crosses `end + gap`, after which the
+    * stateful operator drops any later event that could touch it, so
+    * emission is final. The event-time timeout fires on the earliest
+    * held deadline, so idle keys age out instead of accumulating (the
+    * 100 TB-stream requirement).
     *
     * Append-mode output; works only on streaming frames (the batch
     * equivalent is the `session_window` aggregation, q24/T5). */
@@ -104,6 +113,35 @@ object StreamOps {
       gapMs: Long, watermark: String): Dataset[SessionOut] = {
     val spark = df.sparkSession
     import spark.implicits._
+
+    // Merge sorted session intervals: two sessions fuse when the gap
+    // between them is < gapMs (half-open gap, matching session_window:
+    // an event at exactly end+gap starts a NEW session).
+    def merge(ss: Seq[OpenSession]): List[OpenSession] =
+      ss.sortBy(s => (s.start, s.end))
+        .foldLeft(List.empty[OpenSession]) {
+          case (acc :+ p, s) if s.start < p.end + gapMs =>
+            acc :+ OpenSession(p.start, math.max(p.end, s.end), p.n + s.n)
+          case (acc, s) => acc :+ s
+        }
+
+    // Emit sessions the watermark has sealed (wm >= end + gap: no
+    // surviving event can extend them), keep the rest in state with a
+    // timeout on the earliest remaining deadline.
+    def release(key: String, sessions: List[OpenSession], wm: Long,
+        state: org.apache.spark.sql.streaming.GroupState[SessionState])
+        : Iterator[SessionOut] = {
+      val (sealed, held) = sessions.partition(_.end + gapMs <= wm)
+      if (held.isEmpty) state.remove()
+      else {
+        state.update(SessionState(held))
+        // the registered timestamp must sit above the current watermark
+        state.setTimeoutTimestamp(
+          math.max(held.map(_.end + gapMs).min, wm + 1))
+      }
+      sealed.iterator.map(s => SessionOut(key, s.start, s.end, s.n))
+    }
+
     // project/cast BEFORE the watermark: a cast above it would mint a
     // fresh attribute without the watermark tag
     df.select(col(keyCol).cast("string").as("__k"),
@@ -111,34 +149,17 @@ object StreamOps {
       .withWatermark("__ts", watermark)
       .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, SessionOut](
+      .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, _, state) if state.hasTimedOut =>
-          // watermark passed end + gap: the open session is final
-          val s = state.get
-          state.remove()
-          Iterator(SessionOut(key, s.start, s.end, s.n))
+          release(key, state.get.sessions,
+            state.getCurrentWatermarkMs(), state)
         case (key, events, state) =>
-          val times = events.map(_._2.getTime).toArray.sorted
-          val first = state.getOption.toSeq
-            .map(s => OpenSession(s.start, s.end, s.n))
-          val (closed, open) = times.foldLeft(
-            (Vector.empty[OpenSession], first.headOption)) {
-            case ((done, None), t) =>
-              (done, Some(OpenSession(t, t, 1)))
-            case ((done, Some(s)), t) if t <= s.end + gapMs =>
-              (done, Some(s.copy(end = math.max(s.end, t), n = s.n + 1)))
-            case ((done, Some(s)), t) =>
-              (done :+ s, Some(OpenSession(t, t, 1)))
-          }
-          open match {
-            case Some(s) =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            case None => state.remove()
-          }
-          closed.iterator.map(s =>
-            SessionOut(key, s.start, s.end, s.n))
+          val prev = state.getOption.map(_.sessions).getOrElse(Nil)
+          val fresh = events.map(e =>
+            OpenSession(e._2.getTime, e._2.getTime, 1)).toSeq
+          release(key, merge(prev ++ fresh),
+            state.getCurrentWatermarkMs(), state)
       }
   }
 
