@@ -108,7 +108,13 @@ object StreamOps {
     * 100 TB-stream requirement).
     *
     * Append-mode output; works only on streaming frames (the batch
-    * equivalent is the `session_window` aggregation, q24/T5). */
+    * equivalent is the `session_window` aggregation, q24/T5).
+    *
+    * @note MIGRATION (round 5): the state type changed from
+    *       `OpenSession` to `SessionState(List[OpenSession])`, which
+    *       changes the state-store encoder schema — a query restarting
+    *       from a pre-round-5 checkpoint cannot deserialize its state.
+    *       Restart such queries from a fresh checkpoint location. */
   def closedSessions(df: DataFrame, keyCol: String, tsCol: String,
       gapMs: Long, watermark: String): Dataset[SessionOut] = {
     val spark = df.sparkSession
@@ -120,10 +126,11 @@ object StreamOps {
     def merge(ss: Seq[OpenSession]): List[OpenSession] =
       ss.sortBy(s => (s.start, s.end))
         .foldLeft(List.empty[OpenSession]) {
-          case (acc :+ p, s) if s.start < p.end + gapMs =>
-            acc :+ OpenSession(p.start, math.max(p.end, s.end), p.n + s.n)
-          case (acc, s) => acc :+ s
+          case (p :: rest, s) if s.start < p.end + gapMs =>
+            OpenSession(p.start, math.max(p.end, s.end), p.n + s.n) :: rest
+          case (acc, s) => s :: acc
         }
+        .reverse
 
     // Emit sessions the watermark has sealed (wm >= end + gap: no
     // surviving event can extend them), keep the rest in state with a
@@ -131,7 +138,7 @@ object StreamOps {
     def release(key: String, sessions: List[OpenSession], wm: Long,
         state: org.apache.spark.sql.streaming.GroupState[SessionState])
         : Iterator[SessionOut] = {
-      val (sealed, held) = sessions.partition(_.end + gapMs <= wm)
+      val (ripe, held) = sessions.partition(_.end + gapMs <= wm)
       if (held.isEmpty) state.remove()
       else {
         state.update(SessionState(held))
@@ -139,7 +146,7 @@ object StreamOps {
         state.setTimeoutTimestamp(
           math.max(held.map(_.end + gapMs).min, wm + 1))
       }
-      sealed.iterator.map(s => SessionOut(key, s.start, s.end, s.n))
+      ripe.iterator.map(s => SessionOut(key, s.start, s.end, s.n))
     }
 
     // project/cast BEFORE the watermark: a cast above it would mint a

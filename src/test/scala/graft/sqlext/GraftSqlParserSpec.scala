@@ -44,9 +44,12 @@ class GraftSqlParserSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(det._1 == 2 && det._4 >= 1 && det._5 > 0,
       s"commits/live_files/live_bytes: $det")
-    // a replace orphans the old files; RETAIN 0 HOURS reclaims them
+    // a replace orphans the old files; sub-floor retention needs FORCE
     CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir).coalesce(1))
-    val deleted = spark.sql(s"GRAFT VACUUM '$dir' RETAIN 0 HOURS")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT VACUUM '$dir' RETAIN 0 HOURS").collect()
+    }
+    val deleted = spark.sql(s"GRAFT VACUUM '$dir' RETAIN 0 HOURS FORCE")
       .as[Int].head()
     assert(deleted >= 2, s"superseded files must be reclaimed: $deleted")
     assert(CdcTable.read(spark, dir).count() == 2)

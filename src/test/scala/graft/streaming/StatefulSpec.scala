@@ -37,7 +37,10 @@ class StatefulSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       // two bursts of key a separated by > gap INSIDE one batch: the
-      // first session closes immediately; the second stays open
+      // first session is held until the watermark passes end+gap and
+      // is emitted by the no-data micro-batch that follows batch 1
+      // (relies on spark.sql.streaming.noDataMicroBatches.enabled,
+      // default true); the second session stays open
       mem.addData(("a", t("00:00:00")), ("a", t("00:00:30")),
         ("a", t("00:05:00")), ("b", t("00:05:10")))
       q.processAllAvailable()
