@@ -183,6 +183,59 @@ object Dedup {
     finally { base.unpersist(); () }
   }
 
+  /** Span-level boilerplate dedup stats — the CCNet/RefinedWeb
+    * repeated-line rule adapted to whitespace corpora: the document is
+    * cut into NON-overlapping `width`-token spans, and a span occurring
+    * in ≥ `minDocs` distinct documents is boilerplate (navigation
+    * chrome, license headers, templated footers). Returns one row per
+    * document: (id, n_segments, n_boiler, keep_ratio) — the fraction a
+    * span-dedup pass would keep.
+    *
+    * Scale shape: spans shuffle as 56-bit md5-prefix ids, never
+    * strings — the explode happens in the scan stage, the
+    * document-frequency count is one hash shuffle on the span id
+    * (map-side combinable after the per-doc `distinct`), and the
+    * boilerplate set flows back through a span-id-keyed LEFT SEMI join
+    * (df-capped small in real corpora — AQE broadcasts it). The corpus
+    * itself is never re-shuffled; a 100 TB corpus pays one narrow
+    * (id, sid) exchange. */
+  def spanStats(df: DataFrame, textCol: String, idCol: String,
+      width: Int = 3, minDocs: Int = 3): DataFrame = {
+    require(width >= 1 && minDocs >= 2,
+      s"need width >= 1 and minDocs >= 2, got $width/$minDocs")
+    // 56-bit span id from the md5 hex prefix: engine-portable (the
+    // DuckDB oracle derives the identical id) and narrow on the wire
+    val segsE =
+      s"""CASE WHEN size(toks) >= $width THEN transform(
+         |  sequence(0, CAST(floor(size(toks) / $width) AS INT) - 1),
+         |  i -> CAST(conv(substring(md5(concat_ws(' ',
+         |         slice(toks, i * $width + 1, $width))), 1, 14), 16, 10)
+         |       AS BIGINT))
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    val base = df
+      .select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), expr(segsE).as("sids"))
+      .withColumn("n_segments", size(col("sids")).cast("long"))
+    val ex = base.select(col("id"), explode(col("sids")).as("sid"))
+    // document frequency per span; within-doc repeats count once
+    val boiler = ex.distinct()
+      .groupBy(col("sid")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("sid"))
+    // every span POSITION whose span is boilerplate is removed, so the
+    // per-doc count joins the raw (repeats kept) explode
+    val perDoc = ex.join(boiler, Seq("sid"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_boiler"))
+    base.select(col("id"), col("n_segments"))
+      .join(perDoc, Seq("id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("keep_ratio",
+        when(col("n_segments") > 0, lit(1.0) -
+          col("n_boiler").cast("double") / col("n_segments"))
+          .otherwise(lit(1.0)))
+  }
+
   /** Embedding-space near-dup dedup: cosine pairs above threshold
     * (exact here; LSH-bucket first at scale), clustered to survivors
     * exactly like the text path. */

@@ -756,6 +756,42 @@ object TextQ {
        |SELECT tok, COUNT(*) AS cnt FROM w GROUP BY tok
        |ORDER BY cnt DESC, tok LIMIT 10""".stripMargin
 
+  /** q73 — span-level boilerplate dedup ([[graft.ext.Dedup.spanStats]]):
+    * non-overlapping 3-token spans occurring in ≥ 3 distinct documents
+    * are boilerplate; per-document keep ratio after removing them —
+    * the CCNet/RefinedWeb repeated-line rule. Spans travel as 56-bit
+    * md5-prefix ids (narrow shuffle), the boilerplate set joins back
+    * LEFT SEMI (AQE-broadcast at this df-capped size). */
+  def q73(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup
+      .spanStats(Tables(s, dir, "documents"), "text", "doc_id",
+        width = 3, minDocs = 3)
+      .select(col("id").as("doc_id"), col("n_segments"),
+        col("n_boiler"), col("keep_ratio"))
+      .orderBy(col("doc_id"))
+
+  val q73Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(CASE WHEN len(toks) >= 3 THEN floor(len(toks) / 3)
+       |      ELSE 0 END AS BIGINT) AS nseg, toks
+       |  FROM t),
+       |sg AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(array_to_string(
+       |      toks[(i-1)*3+1 : (i-1)*3+3], ' ')), 1, 14)) AS BIGINT)
+       |      AS sid
+       |  FROM m, UNNEST(range(1, nseg + 1)) AS u(i) WHERE nseg > 0),
+       |bl AS (SELECT sid FROM (SELECT sid, COUNT(DISTINCT doc_id) AS nd
+       |    FROM sg GROUP BY sid) WHERE nd >= 3),
+       |bc AS (SELECT doc_id, COUNT(*) AS n_boiler FROM sg
+       |  JOIN bl USING (sid) GROUP BY doc_id)
+       |SELECT m.doc_id, nseg AS n_segments,
+       |  CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  CASE WHEN nseg > 0
+       |    THEN 1.0 - CAST(COALESCE(n_boiler, 0) AS DOUBLE) / nseg
+       |    ELSE 1.0 END AS keep_ratio
+       |FROM m LEFT JOIN bc USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -776,5 +812,6 @@ object TextQ {
     QueryDef("q67_df_prune", q67, Some(q67Sql)),
     QueryDef("q68_normalize", q68, Some(q68Sql)),
     QueryDef("q70_quality_rules", q70, Some(q70Sql)),
-    QueryDef("q71_heavy_hitters", q71, Some(q71Sql)))
+    QueryDef("q71_heavy_hitters", q71, Some(q71Sql)),
+    QueryDef("q73_span_dedup", q73, Some(q73Sql)))
 }

@@ -140,4 +140,32 @@ class DedupSpec extends SparkSpec {
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
     assert(cc(7L) == 7L && cc(9L) == 7L)
   }
+
+  test("span stats flag planted boilerplate spans, leave unique text") {
+    // 4-token footer after 6 unique tokens: tokens 6-8 form the span
+    // "subscribe to our", identical across docs 1-3; "newsletter"
+    // (token 9) falls off the last full span
+    val footer = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $footer"),
+      (2L, s"one two three four five six $footer"),
+      (3L, s"red green blue cyan magenta yellow $footer"),
+      (4L, "totally unique words nothing shared here at all"),
+      (5L, "hi") // < width tokens → 0 segments, keep_ratio 1.0
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanStats(docs, "text", "doc_id",
+        width = 3, minDocs = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // 10-token docs → 3 spans each; the third span is the shared
+    // "subscribe to our" in all three docs → boilerplate
+    (1L to 3L).foreach { id =>
+      val (nseg, nboil, ratio) = r(id)
+      assert(nseg == 3, s"doc $id nseg=$nseg")
+      assert(nboil == 1, s"doc $id nboil=$nboil")
+      assert(math.abs(ratio - 2.0 / 3) < 1e-12, s"doc $id ratio=$ratio")
+    }
+    assert(r(4L) == ((2L, 0L, 1.0)))
+    assert(r(5L) == ((0L, 0L, 1.0)))
+  }
 }
