@@ -28,6 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => NfcNormalize(e.head))
     inject("heavy_hitters", classOf[HeavyHitters],
       e => HeavyHitters(e(0), e(1)))
+    // Spark's own runtime-filter probe expression (codegen'd), exposed
+    // as a SQL function so scan-stage Bloom prefilters can be written
+    // declaratively (ext/Decontaminate): might_contain(<serialized
+    // bloom binary>, <long value>). The same expression/bloom pairing
+    // InjectRuntimeFilter uses internally, so semantics match Spark's
+    // shuffle-pruning filters exactly.
+    inject("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain],
+      e => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(e(0), e(1)))
     // SQL maintenance commands (GRAFT OPTIMIZE / VACUUM / HISTORY);
     // everything else delegates to Spark's parser untouched
     ext.injectParser((_, delegate) =>

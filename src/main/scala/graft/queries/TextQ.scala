@@ -792,6 +792,38 @@ object TextQ {
        |    ELSE 1.0 END AS keep_ratio
        |FROM m LEFT JOIN bc USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q74 — Bloom-prefiltered decontamination
+    * ([[graft.ext.Decontaminate.contaminated]]): corpus documents
+    * sharing ≥ 1 verbatim word-4-gram with the eval set (src0). The
+    * eval set's n-gram ids pack into a serialized Bloom filter probed
+    * at scan speed by Spark's codegen'd `BloomFilterMightContain`
+    * (the InjectRuntimeFilter machinery); only ~fpp survivors reach
+    * the broadcast exact-verify join, so the result is EXACT and the
+    * oracle hash-matches. (Real pipelines use 13-grams — GPT-3 rule —
+    * `n` is a parameter; the synthetic corpus needs 4 to share any.) */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    graft.ext.Decontaminate.contaminated(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 4)
+      .select(col("id").as("doc_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q74Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, $toksD AS toks FROM documents),
+       |g AS (SELECT doc_id, source, unnest(list_distinct(
+       |    list_transform(range(1, greatest(len(toks) - 2, 1)),
+       |      i -> CAST(('0x' || substr(md5(array_to_string(
+       |        toks[i : i+3], ' ')), 1, 14)) AS BIGINT)))) AS sid
+       |  FROM t),
+       |ev AS (SELECT DISTINCT sid FROM g WHERE source = 'src0')
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM g JOIN ev USING (sid)
+       |WHERE source <> 'src0'
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -813,5 +845,6 @@ object TextQ {
     QueryDef("q68_normalize", q68, Some(q68Sql)),
     QueryDef("q70_quality_rules", q70, Some(q70Sql)),
     QueryDef("q71_heavy_hitters", q71, Some(q71Sql)),
-    QueryDef("q73_span_dedup", q73, Some(q73Sql)))
+    QueryDef("q73_span_dedup", q73, Some(q73Sql)),
+    QueryDef("q74_bloom_decontaminate", q74, Some(q74Sql)))
 }
