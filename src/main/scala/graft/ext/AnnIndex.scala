@@ -51,6 +51,18 @@ object AnnIndex {
         Similarity.ivfAssignLit(df.sparkSession, embCol, centroids))
       .write.mode("overwrite").partitionBy("cid").parquet(dir)
 
+  /** Train-then-write IVF: Lloyd's k-means ([[Similarity.kmeansFit]])
+    * learns the centroids from the data, then the assignment becomes
+    * the write-time partition column. Returns the trained centroids
+    * (feed them to [[probeIvf]]). */
+  def writeIvfTrained(df: DataFrame, dir: String, k: Int,
+      iters: Int = 5, idCol: String = "vec_id",
+      embCol: String = "embedding"): Seq[(Long, Array[Float])] = {
+    val cents = Similarity.kmeansFit(df, idCol, embCol, k, iters)
+    writeIvf(df, dir, cents, embCol)
+    cents
+  }
+
   /** Top-k probe of the query's own cluster only (literal cluster id →
     * static partition pruning, exact rerank inside the cluster). */
   def probeIvf(spark: SparkSession, dir: String, queryVec: Array[Float],

@@ -192,6 +192,64 @@ object Similarity {
     -best.getField("nc")
   }
 
+  /** Distributed Lloyd's k-means over an embedding column — the IVF
+    * centroid TRAINER ([[AnnIndex.writeIvf]] consumes the result).
+    *
+    * Scale shape per iteration: the assignment is ONE codegen'd
+    * projection (centroid literals ride into the scan via
+    * [[ivfAssignLit]] — no fan-out join, no shuffle of the corpus);
+    * the recompute is posexplode → groupBy(cid, dim) with MAP-SIDE
+    * partial aggregation, so each partition emits ≤ k·d narrow rows
+    * and only those shuffle. Driver traffic is k·d sums per iteration
+    * (centroids must reach the driver anyway to become next-round
+    * literals).
+    *
+    * Deterministic by construction: seeding takes the k smallest
+    * `idCol` vectors (no RNG — reruns and re-partitioned inputs give
+    * identical models) and the per-dimension sums are exact
+    * fixed-point BIGINTs (order-independent regardless of partial-agg
+    * order), so every run yields bit-identical centroids. Empty
+    * clusters keep their previous centroid. */
+  def kmeansFit(df: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int = 5): Seq[(Long, Array[Float])] = {
+    require(k >= 1 && iters >= 1, s"need k/iters >= 1, got $k/$iters")
+    val spark = df.sparkSession
+    var cents: Seq[(Long, Array[Float])] = df
+      .select(col(idCol), col(embCol))
+      .orderBy(col(idCol)).limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i.toLong -> r.getSeq[Float](1).toArray }
+      .toSeq
+    val dims = cents.head._2.length
+    for (_ <- 0 until iters) {
+      val sums = df
+        .withColumn("cid", ivfAssignLit(spark, embCol, cents))
+        .select(col("cid"), posexplode(col(embCol)).as(Seq("dim", "v")))
+        // exact fixed-point sum: order-independent across partial
+        // aggregation, so the fit is deterministic run-to-run
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(expr("CAST(ROUND(v * 1e6) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCid = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val next = new Array[Float](dims)
+            rows.foreach { r =>
+              next(r.getInt(1)) =
+                (r.getLong(2).toDouble / r.getLong(3) / 1e6).toFloat
+            }
+            cid -> next
+          case None => cid -> prev // empty cluster: keep centroid
+        }
+      }
+    }
+    cents
+  }
+
   /** Driver-side fixed-point dot (mirror of `fixed_dot`). */
   def dotFixedOf(a: Array[Float], b: Array[Float]): Long = {
     require(a.length == b.length, "length mismatch")

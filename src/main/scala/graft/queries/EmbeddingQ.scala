@@ -277,12 +277,34 @@ object EmbeddingQ {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q75 — IVF centroid training ([[Similarity.kmeansFit]]): 3
+    * Lloyd's iterations at k = 8 over the embeddings, then the final
+    * assignment's cluster sizes. Each iteration is one codegen'd
+    * argmax projection (no join/shuffle of the corpus) plus one
+    * map-side-combinable (cid, dim) aggregation; fixed-point sums and
+    * id-ordered seeding make the fit bit-deterministic, so the output
+    * is stable run to run. No SQL oracle (iterative training isn't
+    * reasonably SQL-expressible) — semantics are spec-asserted on
+    * planted clusters (SimilaritySpec), the driver records the
+    * rows-only check. */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cents = graft.ext.Similarity
+      .kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    emb.withColumn("cid",
+        graft.ext.Similarity.ivfAssignLit(s, "embedding", cents))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cid"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),
     QueryDef("q37_cosine_pairs", q37, Some(q37Sql)),
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),
     QueryDef("q39_ivf_search", q39, Some(q39Sql)),
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
+    QueryDef("q75_kmeans_train", q75, None),
     QueryDef("q69_vec_quantize", q69, Some(q69Sql)),
     QueryDef("q72_semantic_decon", q72, Some(q72Sql)))
 }

@@ -67,6 +67,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("trained IVF index: learned centroids partition and probe correctly") {
+    val dir = tmpDir("ivftrained")
+    val cents = AnnIndex.writeIvfTrained(corpus, dir, k = 4, iters = 3)
+    assert(cents.size == 4)
+    val all = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val qvec = all.find(_._1 == 9L).get._2
+    val probe = AnnIndex.probeIvf(spark, dir, qvec, cents, k = 5)
+    val scanLine = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cid"),
+      s"cluster filter missing from PartitionFilters: $scanLine")
+    // the probe against trained centroids matches the driver mirror
+    val qcid = Similarity.assignOf(qvec, cents)
+    val expect = all
+      .filter { case (_, v) => Similarity.assignOf(v, cents) == qcid }
+      .map { case (id, v) => (id, Similarity.dotFixedOf(v, qvec) / 1e12) }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(5).map(_._1).toSeq
+    assert(probe.select("vec_id").as[Long].collect().toSeq == expect)
+  }
+
   test("banded nearDupPairs: full recall on planted near-dups, equi-join plan") {
     // planted pairs: tiny perturbations of a base vector (cos ≈ 1)
     val base = Array(0.6f, -0.3f, 0.5f, 0.2f, -0.4f, 0.1f, 0.3f, -0.2f)

@@ -40,6 +40,40 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned(0L) == 0L && assigned(1L) == 0L && assigned(2L) == 1L)
   }
 
+  test("kmeansFit converges onto planted clusters deterministically") {
+    // 3 tight blobs around orthogonal axes, ids interleaved so the
+    // id-ordered seeding starts from mixed blobs
+    val pts = (0 until 30).map { i =>
+      val blob = i % 3
+      val d = 0.01f * (i / 3)
+      val v = blob match {
+        case 0 => Array(1.0f + d, d, 0.0f)
+        case 1 => Array(d, 1.0f + d, 0.0f)
+        case 2 => Array(0.0f, d, 1.0f + d)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(pts, "vec_id", "embedding",
+      k = 3, iters = 5)
+    assert(cents.size == 3)
+    // every point lands with its blob-mates; 3 non-empty clusters
+    val assigned = pts.withColumn("cid",
+        Similarity.ivfAssignLit(spark, "embedding", cents))
+      .select("vec_id", "cid").as[(Long, Long)].collect()
+    val byBlob = assigned.groupBy(_._1 % 3).view.mapValues(
+      _.map(_._2).toSet).toMap
+    byBlob.foreach { case (blob, cids) =>
+      assert(cids.size == 1, s"blob $blob split across clusters: $cids")
+    }
+    assert(byBlob.values.flatten.toSet.size == 3,
+      "blobs must map to 3 distinct clusters")
+    // determinism: a second fit over a differently-partitioned input
+    // yields bit-identical centroids (fixed-point sums + stable seed)
+    val cents2 = Similarity.kmeansFit(pts.repartition(7), "vec_id",
+      "embedding", k = 3, iters = 5)
+    assert(cents.map(_._2.toSeq) == cents2.map(_._2.toSeq))
+  }
+
   test("int8QuantStats: exact scale, bounded reconstruction error") {
     val df = Seq(
       (0L, Array(1.27f, -0.64f, 0.0f)),    // scale ≈ 0.01, all multiples
