@@ -47,10 +47,18 @@ object FileStats {
   def collect(dir: String, relFiles: Seq[String])
       : Map[String, Map[String, ColStats]] = {
     val conf = Fs.conf()
-    relFiles.flatMap { rel =>
-      scala.util.Try(ofFile(s"$dir/$rel", conf)).toOption
-        .filter(_.nonEmpty).map(rel -> _)
-    }.toMap
+    // footer reads are independent metadata IO (one open per file) —
+    // read them concurrently instead of serially on the driver; a
+    // 32-file batch costs one round-trip latency, not 32
+    import scala.jdk.CollectionConverters._
+    relFiles.asJava.parallelStream()
+      .map[Option[(String, Map[String, ColStats])]] { rel =>
+        scala.util.Try(ofFile(s"$dir/$rel", conf)).toOption
+          .filter(_.nonEmpty).map(rel -> _)
+      }
+      .collect(java.util.stream.Collectors.toList[
+        Option[(String, Map[String, ColStats])]])
+      .asScala.flatten.toMap
   }
 
   private def ofFile(path: String,

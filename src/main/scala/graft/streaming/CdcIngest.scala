@@ -79,8 +79,17 @@ object CdcIngest {
     // two branches separately would read the source twice per batch.
     val normalized = CdcNormalize(Envelope.decode(batch), cfg.staleDays)
     val all = normalized.all.persist()
-    try processNormalized(normalized.valid, normalized.dlq, cfg, batchId)
-    finally { all.unpersist(); () }
+    try {
+      // ONE summary job over the cached batch replaces three separate
+      // driver actions (dlq.isEmpty + valid.isEmpty + distinct-keys
+      // collect): per-batch fixed cost matters at streaming cadence
+      val s = all.agg(
+        count(when(col("_dlq_reason").isNotNull, 1)).as("n_dlq"),
+        collect_set(when(col("_dlq_reason").isNull,
+          col("_collection_key"))).as("keys")).collect()(0)
+      processNormalized(normalized.valid, normalized.dlq, cfg, batchId,
+        hasDlq = s.getLong(0) > 0, keys = s.getSeq[String](1))
+    } finally { all.unpersist(); () }
   }
 
   /** Standard DLQ row shape (reference `dlq_writer.py:24-57`):
@@ -120,35 +129,36 @@ object CdcIngest {
   }
 
   private def processNormalized(valid: DataFrame, dlqAll: DataFrame,
-      cfg: Config, batchId: Option[Long]): Unit = {
+      cfg: Config, batchId: Option[Long], hasDlq: Boolean,
+      keys: Seq[String]): Unit = {
     // appId scoped to the checkpoint: replays of a committed batchId
     // become idempotent no-ops per table (T2 exactly-once).
     val txnOf: Long => Option[(String, Long)] =
       v => Some((cfg.checkpointDir, v))
 
-    val dlq = dlqProjection(withReplayCols(dlqAll))
-    if (!dlq.isEmpty)
-      CdcTable.append(dlq, s"${cfg.baseDir}/_dlq", cfg.mergeMode,
+    if (hasDlq)
+      CdcTable.append(dlqProjection(withReplayCols(dlqAll)),
+        s"${cfg.baseDir}/_dlq", cfg.mergeMode,
         txn = batchId.flatMap(txnOf))
 
-    if (valid.isEmpty) return
-    writeCollections(valid, cfg,
+    if (keys.isEmpty) return
+    writeCollections(valid, cfg, keys,
       tableTxn = _ => batchId.flatMap(txnOf),
       coerceTxn = key => batchId.map(v =>
         (s"${cfg.checkpointDir}#coerce:$key", v)))
   }
 
+  /** `keys` is the batch's distinct collection list — bounded by the
+    * number of collections, not rows; callers derive it from their
+    * batch-summary aggregation (the one intentionally driver-visible
+    * list). Per-table writes run concurrently (SURVEY.md §7.4: a
+    * sequential loop serializes N independent Spark jobs); each
+    * writes its own directory, so there is no write conflict. */
   private def writeCollections(valid: DataFrame, cfg: Config,
+      keys: Seq[String],
       tableTxn: String => Option[(String, Long)],
       coerceTxn: String => Option[(String, Long)]): Unit = {
     val spark = valid.sparkSession
-    // Distinct collection keys: bounded by the number of collections,
-    // not rows — the one intentionally driver-visible list. Per-table
-    // writes run concurrently (SURVEY.md §7.4: a sequential loop
-    // serializes N independent Spark jobs); each writes its own
-    // directory, so there is no write conflict.
-    val keys = valid.select(col("_collection_key")).distinct()
-      .collect().map(_.getString(0))
     implicit val ec: scala.concurrent.ExecutionContext = writeEc
     val futures = keys.toSeq.map { key => scala.concurrent.Future {
       val rows = valid.filter(col("_collection_key") === key)
@@ -257,8 +267,10 @@ object CdcIngest {
     val persisted = normalized.all.persist()
     try {
       val valid = normalized.valid
-      if (!valid.isEmpty)
-        writeCollections(valid, cfg, _ => None, _ => None)
+      val replayKeys = valid.select(col("_collection_key")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (replayKeys.nonEmpty)
+        writeCollections(valid, cfg, replayKeys, _ => None, _ => None)
       val okIds = valid.select(col("dlq_id"))
       val failedIds = normalized.dlq.select(col("dlq_id"),
         col("_dlq_reason").as("__new_reason"))
