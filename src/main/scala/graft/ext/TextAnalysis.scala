@@ -118,6 +118,50 @@ object TextAnalysis {
     * a single-row array column, and each document filters in place
     * with a codegen'd higher-order function. The corpus itself never
     * shuffles: rewritten in one scan pass. */
+  /** TF-IDF top-`k` terms per document. Scale shape: term frequency is
+    * one (id, tok)-keyed aggregation; document frequency derives from
+    * it with a second map-side-combinable, vocabulary-bounded
+    * aggregation; the corpus total rides in as a broadcast 1-row
+    * frame; the per-doc top-k is one window partitioned by document.
+    * The idf surrogate is the exact ratio n_docs/df (monotone in the
+    * classic log idf, with no libm `ln` whose bits could differ across
+    * engines — the score stays oracle-hashable). */
+  def tfIdfTop(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+    val totals = staged.agg(count(lit(1)).as("n_docs"))
+    val tf = staged.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rn").cast("long").as("rn"))
+  }
+
+  /** One BPE-training round over the corpus: frequencies of ADJACENT
+    * token pairs (the merge-candidate statistic). Pure scan-stage
+    * explode + one map-side-combinable aggregation — the shape that
+    * lets a tokenizer trainer iterate over a 100 TB corpus (each
+    * round shuffles only per-partition partial counts, vocabulary²-
+    * bounded, not the corpus). */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(toks[i], ' ', toks[i+1]))""".stripMargin))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+
   def dfPrune(df: org.apache.spark.sql.DataFrame, textCol: String,
       num: Int, den: Int): org.apache.spark.sql.DataFrame = {
     require(num > 0 && den > 0 && num <= den,

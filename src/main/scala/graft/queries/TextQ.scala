@@ -824,6 +824,50 @@ object TextQ {
        |WHERE source <> 'src0'
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q76 — BPE merge-candidate statistics
+    * ([[graft.ext.TextAnalysis.bpePairCounts]]): the 20 most frequent
+    * adjacent token pairs — one tokenizer-training round. Scan-stage
+    * explode + one map-side-combinable aggregation + TakeOrdered. */
+  def q76(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis
+      .bpePairCounts(Tables(s, dir, "documents"), "text")
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+
+  val q76Sql: String =
+    s"""WITH t AS (SELECT $toksD AS toks FROM documents),
+       |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS pair
+       |  FROM t WHERE len(toks) >= 2)
+       |SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** q77 — TF-IDF top terms ([[graft.ext.TextAnalysis.tfIdfTop]]):
+    * the 3 highest-scoring terms per document under the exact
+    * n_docs/df idf surrogate (no libm log — bit-stable across
+    * engines). One (doc, tok) aggregation, one vocabulary-bounded df
+    * aggregation, a broadcast 1-row total, one per-doc window. */
+  def q77(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis
+      .tfIdfTop(Tables(s, dir, "documents"), "text", "doc_id", k = 3)
+      .select(col("id").as("doc_id"), col("tok"), col("tf"),
+        col("df"), col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+
+  val q77Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |  GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |tot AS (SELECT COUNT(*) AS n_docs FROM t),
+       |s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+       |    CAST(tf.tf AS DOUBLE) * tot.n_docs / dfreq.df AS score
+       |  FROM tf JOIN dfreq USING (tok) CROSS JOIN tot),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, tok) AS rn FROM s)
+       |SELECT doc_id, tok, tf, df, score, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -846,5 +890,7 @@ object TextQ {
     QueryDef("q70_quality_rules", q70, Some(q70Sql)),
     QueryDef("q71_heavy_hitters", q71, Some(q71Sql)),
     QueryDef("q73_span_dedup", q73, Some(q73Sql)),
-    QueryDef("q74_bloom_decontaminate", q74, Some(q74Sql)))
+    QueryDef("q74_bloom_decontaminate", q74, Some(q74Sql)),
+    QueryDef("q76_bpe_pairs", q76, Some(q76Sql)),
+    QueryDef("q77_tfidf", q77, Some(q77Sql)))
 }

@@ -59,6 +59,38 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tfIdfTop ranks rare-but-frequent terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "apple apple apple the the"),
+      (2L, "banana the cherry the mango"),
+      (3L, "the cherry cherry kiwi plum")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdfTop(docs, "text", "doc_id", k = 2)
+      .select("id", "tok", "rn").as[(Long, String, Long)]
+      .collect().groupBy(_._1)
+      .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // "apple": tf=3, df=1 → score 9; "the": tf=2, df=3 → score 2
+    assert(r(1L) == Seq("apple", "the"))
+    // doc 2 singletons: banana/mango (df=1, score 3) beat cherry
+    // (df=2, score 1.5) and "the" (df=3); alphabetical tie-break
+    assert(r(2L) == Seq("banana", "mango"))
+    // doc 3: cherry tf=2 df=2 → 3; kiwi/plum df=1 → 3; tie broken
+    // alphabetically: cherry, kiwi
+    assert(r(3L) == Seq("cherry", "kiwi"))
+  }
+
+  test("bpePairCounts counts adjacent pairs with multiplicity") {
+    val docs = Seq(
+      (1L, "a b a b c"), // pairs: "a b" ×2, "b a", "b c"
+      (2L, "a b"),       // "a b"
+      (3L, "solo")       // no pairs
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bpePairCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(r("a b") == 3L && r("b a") == 1L && r("b c") == 1L)
+    assert(r.size == 3)
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
