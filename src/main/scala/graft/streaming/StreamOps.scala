@@ -10,7 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * DataFrames, which is how the specs test them (memory stream in,
   * memory sink out) and how batch backfill reuses the same code.
   */
-object StreamOps {
+// Serializable: closures shipped to executors (closedSessions /
+// SessionProcessor) call mergeSessions through the module reference
+object StreamOps extends Serializable {
 
   /** Tumbling window aggregation with a watermark bounding state. */
   def tumbling(df: DataFrame, tsCol: String, width: String,
@@ -120,17 +122,8 @@ object StreamOps {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // Merge sorted session intervals: two sessions fuse when the gap
-    // between them is < gapMs (half-open gap, matching session_window:
-    // an event at exactly end+gap starts a NEW session).
     def merge(ss: Seq[OpenSession]): List[OpenSession] =
-      ss.sortBy(s => (s.start, s.end))
-        .foldLeft(List.empty[OpenSession]) {
-          case (p :: rest, s) if s.start < p.end + gapMs =>
-            OpenSession(p.start, math.max(p.end, s.end), p.n + s.n) :: rest
-          case (acc, s) => s :: acc
-        }
-        .reverse
+      mergeSessions(ss, gapMs)
 
     // Emit sessions the watermark has sealed (wm >= end + gap: no
     // surviving event can extend them), keep the rest in state with a
@@ -168,6 +161,96 @@ object StreamOps {
           release(key, merge(prev ++ fresh),
             state.getCurrentWatermarkMs(), state)
       }
+  }
+
+  /** Merge sorted session intervals: two sessions fuse when the gap
+    * between them is < gapMs (half-open gap, matching session_window:
+    * an event at exactly end+gap starts a NEW session). Linear fold
+    * (prepend + one reverse). */
+  private[streaming] def mergeSessions(ss: Seq[OpenSession],
+      gapMs: Long): List[OpenSession] =
+    ss.sortBy(s => (s.start, s.end))
+      .foldLeft(List.empty[OpenSession]) {
+        case (p :: rest, s) if s.start < p.end + gapMs =>
+          OpenSession(p.start, math.max(p.end, s.end), p.n + s.n) :: rest
+        case (acc, s) => s :: acc
+      }
+      .reverse
+
+  /** Session windows via the Spark 4 `transformWithState` arbitrary-
+    * state API — semantics identical to [[closedSessions]] (each
+    * closed session emitted exactly once when the watermark passes its
+    * gap), re-expressed on the modern processor model: named
+    * `ListState` for the per-key open sessions (evolvable
+    * independently of other state vars, unlike the single fused
+    * case-class state of flatMapGroupsWithState) and explicit
+    * event-time TIMERS re-pointed at the earliest held deadline each
+    * batch. Requires the RocksDB state store provider (Spark 4
+    * restricts transformWithState to it); [[closedSessions]] remains
+    * the provider-agnostic fallback. */
+  def closedSessionsTws(df: DataFrame, keyCol: String, tsCol: String,
+      gapMs: Long, watermark: String): Dataset[SessionOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("__k"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermark)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[closedSessionsTws]] processor: one ListState of open
+    * sessions per key, one event-time timer at the earliest
+    * `end + gap` deadline. */
+  final class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp), SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig}
+
+    @transient private var sessions:
+      org.apache.spark.sql.streaming.ListState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[OpenSession]("sessions",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val fresh = rows
+        .map(r => OpenSession(r._2.getTime, r._2.getTime, 1L)).toSeq
+      release(key,
+        mergeSessions(sessions.get().toSeq ++ fresh, gapMs),
+        timers.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      release(key, sessions.get().toSeq,
+        timers.getCurrentWatermarkInMs())
+
+    private def release(key: String, all: Seq[OpenSession],
+        wm: Long): Iterator[SessionOut] = {
+      val (ripe, held) = all.partition(_.end + gapMs <= wm)
+      // single-timer discipline: re-point at the earliest held
+      // deadline (a stale earlier timer would fire into empty state —
+      // harmless but wasteful; a stale LATER one would delay emission)
+      getHandle.listTimers()
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (held.isEmpty) sessions.clear()
+      else {
+        sessions.put(held.toArray)
+        getHandle.registerTimer(
+          math.max(held.map(_.end + gapMs).min, wm + 1))
+      }
+      ripe.iterator.map(s => SessionOut(key, s.start, s.end, s.n))
+    }
   }
 
   final case class KeyCount(key: String, events: Long, sum: Double)

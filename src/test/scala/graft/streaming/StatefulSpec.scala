@@ -64,6 +64,51 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessions: same once-only semantics, timers") {
+    implicit val sqlCtx = spark.sqlContext
+    // Spark 4 restricts transformWithState to the RocksDB provider;
+    // scope it to this query and restore the session default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, java.sql.Timestamp)]
+      def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+      val out = StreamOps.closedSessionsTws(mem.toDF.toDF("k", "ts"),
+        "k", "ts", gapMs = 60_000L, watermark = "0 seconds")
+      val q = out.writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      try {
+        mem.addData(("a", t("00:00:00")), ("a", t("00:00:30")),
+          ("a", t("00:05:00")), ("b", t("00:05:10")))
+        q.processAllAvailable()
+        val afterB1 = spark.sql(
+          "SELECT key, start_ms, end_ms, n_events FROM sess_tws")
+          .as[(String, Long, Long, Long)].collect().toSeq
+        assert(afterB1 == Seq(
+          ("a", t("00:00:00").getTime, t("00:00:30").getTime, 2L)),
+          s"only the watermark-sealed session may emit: $afterB1")
+        // advancing the watermark fires the event-time timers
+        mem.addData(("c", t("01:00:00")))
+        q.processAllAvailable()
+        mem.addData(("c", t("02:00:00")))
+        q.processAllAvailable()
+        val all = spark.sql(
+          "SELECT key, n_events FROM sess_tws ORDER BY key, n_events")
+          .as[(String, Long)].collect().toSeq
+        assert(all.contains(("a", 1L)) && all.contains(("b", 1L)),
+          s"open sessions must close via timers: $all")
+        assert(all.count(_._1 == "a") == 2, s"no double emission: $all")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("hll sketch estimates are close to exact distincts") {
     val r = graft.queries.WindowQ.q55(spark, "/root/testdata/sf0.001")
       .collect()
