@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("fixed_dot", classOf[FixedDot], e => FixedDot(e(0), e(1)))
     inject("token_ids", classOf[TokenIds], e => TokenIds(e.head))
     inject("shingle_ids", classOf[ShingleIds], e => ShingleIds(e.head))
+    inject("ngram_sids", classOf[NgramSids], NgramSids.fromArgs)
     inject("minhash_sig", classOf[MinHashSig], e => MinHashSig(e.head))
     inject("simhash16", classOf[SimHash16], e => SimHash16(e.head))
     inject("multiset_digest", classOf[MultisetDigest],

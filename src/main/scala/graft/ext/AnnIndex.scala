@@ -63,6 +63,19 @@ object AnnIndex {
     cents
   }
 
+  /** Incremental IVF maintenance: assign NEW vectors to the EXISTING
+    * centroids and append them into the partitioned index — no
+    * retrain, no rewrite of resident data (the standard
+    * grow-online / retrain-offline cadence of a production vector
+    * store). Appended files land inside their cluster's partition
+    * directory, so probes keep pruning to one cluster. */
+  def appendIvf(df: DataFrame, dir: String,
+      centroids: Seq[(Long, Array[Float])],
+      embCol: String = "embedding"): Unit =
+    df.withColumn("cid",
+        Similarity.ivfAssignLit(df.sparkSession, embCol, centroids))
+      .write.mode("append").partitionBy("cid").parquet(dir)
+
   /** Top-k probe of the query's own cluster only (literal cluster id →
     * static partition pruning, exact rerank inside the cluster). */
   def probeIvf(spark: SparkSession, dir: String, queryVec: Array[Float],

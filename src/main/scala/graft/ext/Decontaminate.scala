@@ -24,50 +24,76 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Decontaminate {
 
-  /** Distinct word-`n`-gram 56-bit md5-prefix ids of `textCol` —
-    * engine-portable (DuckDB derives identical ids), narrow on the
-    * wire. */
-  def ngramSids(textCol: String, n: Int): Column = {
+  /** df + a `sids` column of DISTINCT word-`n`-gram 56-bit md5-prefix
+    * ids (engine-portable — DuckDB derives identical ids; narrow on
+    * the wire). Computed by the native codegen'd `ngram_sids`
+    * expression — ONE pass of JVM code per row; the equivalent
+    * built-in HOF composition ([[ngramSidsBuiltin]]) interprets a
+    * slice + concat + md5 + conv lambda per n-gram position (measured
+    * ~6 s vs sub-second on the sf0.1 corpus explode) and is kept only
+    * as the bit-equality reference the spec checks. */
+  def withNgramSids(df: DataFrame, textCol: String, n: Int,
+      out: String = "sids"): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    expr(
-      s"""CASE WHEN size(split(trim(`$textCol`), '\\\\s+')) >= $n THEN
+    import org.apache.spark.sql.graftshim.ColumnShim
+    df.withColumn(out, ColumnShim.column(
+      graft.functions.NgramSids(
+        ColumnShim.expression(col(textCol)), n)))
+  }
+
+  /** The portable built-in composition of [[withNgramSids]]'s id
+    * derivation (what the DuckDB oracle mirrors) — spec reference
+    * only; the interpreted per-position lambda is ~10× the native
+    * expression's cost. */
+  private[graft] def ngramSidsBuiltin(df: DataFrame, textCol: String,
+      n: Int, out: String = "sids"): DataFrame = {
+    val sidsE =
+      s"""CASE WHEN size(__toks) >= $n THEN
          |  array_distinct(transform(
-         |    sequence(0, size(split(trim(`$textCol`), '\\\\s+')) - $n),
+         |    sequence(0, size(__toks) - $n),
          |    i -> CAST(conv(substring(md5(concat_ws(' ',
-         |           slice(split(trim(`$textCol`), '\\\\s+'), i + 1, $n))),
+         |           slice(__toks, i + 1, $n))),
          |         1, 14), 16, 10) AS BIGINT)))
-         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn(out, expr(sidsE))
+      .drop("__toks")
   }
 
   /** Per-document contamination counts: (id, n_shared) for every
     * corpus document sharing ≥ 1 distinct n-gram with the eval set.
-    *
-    * Requires GraftExtensions for the `might_contain` prefilter; falls
-    * back to the plain broadcast join without it (same result, no
-    * scan-stage pruning). */
+    * The Bloom prefilter is built as a Catalyst expression directly
+    * (no session-extension dependency); `might_contain` remains
+    * registered for SQL users. */
   def contaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 13, fpp: Double = 0.01): DataFrame = {
-    val spark = corpus.sparkSession
     // distinct eval n-gram ids: driver-bounded by eval-set size
-    val evalSids = eval
-      .select(explode(ngramSids(textCol, n)).as("sid")).distinct()
+    val evalSids = withNgramSids(eval, textCol, n)
+      .select(explode(col("sids")).as("sid")).distinct()
     val evalIds = evalSids.as(org.apache.spark.sql.Encoders.scalaLong)
       .collect()
 
-    val exploded = corpus
-      .select(col(idCol).as("id"), explode(ngramSids(textCol, n)).as("sid"))
+    val exploded = withNgramSids(corpus, textCol, n)
+      .select(col(idCol).as("id"), explode(col("sids")).as("sid"))
     val prefiltered =
-      if (evalIds.nonEmpty &&
-          spark.catalog.functionExists("might_contain")) {
+      if (evalIds.nonEmpty) {
         val bloom = BloomFilter.create(math.max(evalIds.length, 64L), fpp)
         evalIds.foreach(bloom.putLong)
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos)
-        // the serialized sketch rides into the scan as a binary
-        // literal (X'…'), exactly how InjectRuntimeFilter plants its
-        // runtime filters; the probe is codegen'd
-        val hex = bos.toByteArray.map(b => f"$b%02X").mkString
-        exploded.filter(expr(s"might_contain(X'$hex', sid)"))
+        // the serialized sketch rides into the scan as a BINARY
+        // LITERAL, exactly how InjectRuntimeFilter plants its runtime
+        // filters; built as an expression directly — routing the
+        // multi-hundred-KB sketch through the SQL parser as an X'…'
+        // hex literal costs seconds of lexing per call
+        exploded.filter(org.apache.spark.sql.graftshim.ColumnShim
+          .column(org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(
+              org.apache.spark.sql.catalyst.expressions.Literal
+                .create(bos.toByteArray,
+                  org.apache.spark.sql.types.BinaryType),
+              org.apache.spark.sql.graftshim.ColumnShim
+                .expression(col("sid")))))
       } else exploded
     // exact verify kills Bloom false positives: broadcast the
     // eval-sized id set; result is exact

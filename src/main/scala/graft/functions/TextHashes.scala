@@ -111,6 +111,38 @@ object TextHashes {
     new GenericArrayData(distinctHashes(shingles))
   }
 
+  /** First 14 md5 hex chars as a long (56-bit id) — identical to
+    * CAST(conv(substring(md5(t),1,14),16,10) AS BIGINT). */
+  def md5Prefix14(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
+      ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+      ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+  }
+
+  /** Distinct word-n-gram 56-bit ids in one pass (the generalized
+    * [[shingleIdsOf]]; n-gram strings are space-joined, first
+    * occurrence kept). */
+  def ngramIdsOf(text: UTF8String, n: Int): ArrayData = {
+    val t = tokens(text)
+    if (t.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= t.length - n) {
+      val sb = new java.lang.StringBuilder(t(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(t(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = md5Prefix14(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(ids: ArrayData): ArrayData =
     new GenericArrayData(minhash(ids.toLongArray()).asInstanceOf[Array[Any]])
 
@@ -162,6 +194,49 @@ case class ShingleIds(child: Expression) extends UnaryExpression {
       c => s"graft.functions.TextHashes.shingleIdsOf($c)")
   override protected def withNewChildInternal(c: Expression): ShingleIds =
     copy(child = c)
+}
+
+/** ngram_sids(text, n): 56-bit md5-prefix ids of the distinct word
+  * n-grams — the generalized shingle_ids (decontamination wants the
+  * 13-gram rule, span dedup wants parameterized spans, and 56 bits
+  * keeps billion-scale n-gram spaces collision-sparse where 28 bits
+  * would saturate). `n` must be a foldable integer literal — it
+  * shapes the generated code. */
+case class NgramSids(child: Expression, n: Int) extends UnaryExpression {
+  import TextHashes._
+  require(n >= 1, s"ngram_sids: n must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkString(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_sids"
+  override def nullSafeEval(v: Any): Any =
+    ngramIdsOf(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.ngramIdsOf($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramSids =
+    copy(child = c)
+}
+
+object NgramSids {
+  /** Registry builder: the second argument must fold to an int. */
+  def fromArgs(e: Seq[Expression]): NgramSids = {
+    require(e.length == 2, s"ngram_sids(text, n) takes 2 args, got ${e.length}")
+    val n = e(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other if other.foldable =>
+        other.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case v => throw new IllegalArgumentException(
+            s"ngram_sids: n must be an integer literal, got $v")
+        }
+      case _ => throw new IllegalArgumentException(
+        "ngram_sids: n must be a foldable integer literal")
+    }
+    NgramSids(e.head, n)
+  }
 }
 
 /** minhash_sig(ids): 16 minima of (a_k·x + b_k) mod p over the ids. */

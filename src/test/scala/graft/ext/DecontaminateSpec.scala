@@ -42,12 +42,11 @@ class DecontaminateSpec extends SparkSpec {
       s"bloom probe missing from plan:\n$plan")
     // fallback (no prefilter) must produce the identical result: the
     // bloom is a pure prefilter, false positives die in the verify join
-    val evalSids = evalDocs
-      .select(explode(Decontaminate.ngramSids("text", 4)).as("sid"))
+    val evalSids = Decontaminate.withNgramSids(evalDocs, "text", 4)
+      .select(explode(col("sids")).as("sid"))
       .distinct()
-    val exact = corpus
-      .select(col("doc_id").as("id"),
-        explode(Decontaminate.ngramSids("text", 4)).as("sid"))
+    val exact = Decontaminate.withNgramSids(corpus, "text", 4)
+      .select(col("doc_id").as("id"), explode(col("sids")).as("sid"))
       .join(evalSids, Seq("sid"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
       .as[(Long, Long)].collect().toMap

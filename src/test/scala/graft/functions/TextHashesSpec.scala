@@ -40,6 +40,21 @@ class TextHashesSpec extends SparkSpec {
     assert(both.filter(not($"native" <=> $"composed")).count() == 0)
   }
 
+  test("ngram_sids equals the built-in composition for several n") {
+    Seq(1, 2, 4, 13).foreach { n =>
+      val native = graft.ext.Decontaminate
+        .withNgramSids(docs, "text", n, out = "native")
+      val both = graft.ext.Decontaminate
+        .ngramSidsBuiltin(native, "text", n, out = "composed")
+      assert(both.filter(not($"native" <=> $"composed")).count() == 0,
+        s"n=$n mismatch")
+    }
+    // and the registered SQL function resolves with a literal n
+    val viaSql = docs.selectExpr("ngram_sids(text, 2) AS s")
+      .filter(size($"s") > 0).count()
+    assert(viaSql > 0)
+  }
+
   test("minhash_sig and simhash16 equal their lambda forms") {
     val ids = docs.select(expr("shingle_ids(text)").as("sids"),
       expr("token_ids(text)").as("tids"))
