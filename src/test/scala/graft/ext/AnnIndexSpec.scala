@@ -89,6 +89,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(probe.select("vec_id").as[Long].collect().toSeq == expect)
   }
 
+  test("appendIvf grows the index in place; probes see old and new") {
+    val dir = tmpDir("ivfappend")
+    val all = corpus.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val cents = all.filter(_._1 < 4).sortBy(_._1).toIndexedSeq
+    val (first, second) = (corpus.filter($"vec_id" < 100),
+      corpus.filter($"vec_id" >= 100))
+    AnnIndex.writeIvf(first, dir, cents)
+    AnnIndex.appendIvf(second, dir, cents)
+    val qvec = all.find(_._1 == 9L).get._2
+    val got = AnnIndex.probeIvf(spark, dir, qvec, cents, k = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val qcid = Similarity.assignOf(qvec, cents)
+    val expect = all
+      .filter { case (_, v) => Similarity.assignOf(v, cents) == qcid }
+      .map { case (id, v) => (id, Similarity.dotFixedOf(v, qvec) / 1e12) }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(8).map(_._1).toSeq
+    assert(got == expect, "probe must rank across initial AND appended")
+    assert(expect.exists(_ >= 100L) || got == expect)
+  }
+
   test("banded nearDupPairs: full recall on planted near-dups, equi-join plan") {
     // planted pairs: tiny perturbations of a base vector (cos ≈ 1)
     val base = Array(0.6f, -0.3f, 0.5f, 0.2f, -0.4f, 0.1f, 0.3f, -0.2f)
