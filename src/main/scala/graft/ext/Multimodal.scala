@@ -83,6 +83,45 @@ object Multimodal {
     res
   }
 
+  /** STUB resize: ??? in production — a real implementation re-encodes
+    * the media at (w, h). Here: deterministic byte truncation
+    * proportional to the pixel-count ratio, so the PLUMBING —
+    * metadata recompute, partition-parallel batch shape, byte-size
+    * contract — is real and testable. */
+  def resizeStub(bytes: Array[Byte], srcW: Int, srcH: Int,
+      w: Int, h: Int): Array[Byte] = {
+    // ??? real implementation would decode + rescale + re-encode
+    val srcPx = math.max(1L, srcW.toLong * srcH)
+    val keep = math.max(1L,
+      bytes.length.toLong * (w.toLong * h) / srcPx)
+    java.util.Arrays.copyOf(bytes, math.min(bytes.length, keep.toInt))
+  }
+
+  /** Resize the `content` binary column to (w, h), recomputing the
+    * typed metadata struct (width/height/byte_size) in the same
+    * partition-parallel pass — the mapInPandas batch shape with zero
+    * driver involvement. Source dimensions default to the metadata
+    * values (fallback 1×1 for dimensionless payloads). */
+  def resizeTo(df: DataFrame, w: Int, h: Int,
+      contentCol: String = "content",
+      metaCol: String = "media_meta"): DataFrame = {
+    val enc = Encoders.row(df.schema)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val mIdx = df.schema.fieldIndex(metaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        val meta = r.getStruct(mIdx)
+        val srcW = if (meta.isNullAt(2)) 1 else meta.getInt(2)
+        val srcH = if (meta.isNullAt(3)) 1 else meta.getInt(3)
+        val out = resizeStub(bytes, srcW, srcH, w, h)
+        val newMeta = Row(meta.get(0), out.length.toLong,
+          w, h, meta.get(4))
+        Row.fromSeq(r.toSeq.updated(cIdx, out).updated(mIdx, newMeta))
+      }
+    }(enc)
+  }
+
   /** Frame sampling: keep every `everyN`-th unit (deterministic on a
     * key column) BEFORE any shuffle — the bandwidth saver at 100 TB. */
   def sampleEveryN(df: DataFrame, keyCol: String, everyN: Int): DataFrame =

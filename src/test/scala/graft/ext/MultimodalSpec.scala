@@ -43,4 +43,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rp.rdd.getNumPartitions == 1) // tiny payload → single partition
     assert(rp.count() == 3)
   }
+
+  test("resize recomputes typed metadata alongside the byte transform") {
+    val m = Multimodal.asBinaryPayload(docs, "text")
+      // pretend the payloads are 4x2 'images'
+      .withColumn("media_meta",
+        org.apache.spark.sql.functions.struct(
+          $"media_meta.media_type", $"media_meta.byte_size",
+          org.apache.spark.sql.functions.lit(4).as("width"),
+          org.apache.spark.sql.functions.lit(2).as("height"),
+          $"media_meta.duration_ms"))
+    val r = Multimodal.resizeTo(m, w = 2, h = 1)
+    val rows = r.select("doc_id", "media_meta.width",
+        "media_meta.height", "media_meta.byte_size", "content")
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getLong(3),
+          x.getAs[Array[Byte]](4)))).toMap
+    rows.values.foreach { case (w, h, size, bytes) =>
+      assert(w == 2 && h == 1)
+      assert(size == bytes.length,
+        "byte_size metadata must match the transformed payload")
+    }
+    // 2x1 is a quarter of 4x2: "hello world" (11 bytes) → 11*2/8 = 2;
+    // an empty source payload stays empty
+    assert(rows(0L)._4.length == 2)
+    assert(rows(2L)._4.length == 0)
+  }
 }
