@@ -109,6 +109,57 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessions survive a restart (state + timers)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val srcDir = tmpDir("twssrc")
+    val outDir = tmpDir("twsout")
+    val ckpt = tmpDir("twsckpt")
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def start() = {
+      val src = spark.readStream.format("text")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+        .load(srcDir)
+        .selectExpr("split(value, ',')[0] AS k",
+          "CAST(split(value, ',')[1] AS TIMESTAMP) AS ts")
+      StreamOps.closedSessionsTws(src, "k", "ts",
+          gapMs = 60_000L, watermark = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    try {
+      // batch 1: an open session for a, then c advances the watermark
+      // far past a's gap → a seals via the timer before the stop
+      writeFile("a.txt", Seq("a,2024-01-01 00:00:00",
+        "a,2024-01-01 00:00:30", "c,2024-01-01 01:00:00"))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // restart: d advances the watermark past c's gap — c's session
+      // (held in RocksDB state with its timer) must emit exactly once
+      writeFile("b.txt", Seq("d,2024-01-01 02:00:00"))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val out = spark.read.parquet(outDir)
+        .select("key", "n_events").as[(String, Long)]
+        .collect().toSeq.sorted
+      assert(out == Seq(("a", 2L), ("c", 1L)),
+        s"state/timers must survive restart, once-only: $out")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("hll sketch estimates are close to exact distincts") {
     val r = graft.queries.WindowQ.q55(spark, "/root/testdata/sf0.001")
       .collect()
