@@ -298,6 +298,46 @@ object EmbeddingQ {
       .orderBy(col("cid"))
   }
 
+  /** q78 — cluster-balanced sampling (the diversity-sampling curation
+    * op): assign every vector to its nearest centroid (vec_id < 8
+    * as fixed centroids so the assignment is SQL-expressible, same as
+    * q39), keep a deterministic 25% per cluster via the stable md5
+    * bucket (never RNG — the kept set survives re-runs and growth),
+    * and summarize per cluster. The assignment is one codegen'd
+    * argmax projection, the sample a scan-speed filter, the summary
+    * one map-side-combinable aggregation. */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    emb
+      .withColumn("cid", Similarity.ivfAssignLit(s, "embedding", cents))
+      .filter(expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), " +
+        "1, 7), 16, 10) AS BIGINT) % 100 < 25"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("vec_id")).as("first_vec"),
+        max(col("vec_id")).as("last_vec"))
+      .orderBy(col("cid"))
+  }
+
+  val q78Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+       |kept AS (SELECT vec_id, cid FROM assigned
+       |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))
+       |    AS BIGINT) % 100 < 25)
+       |SELECT cid, COUNT(*) AS n_kept, MIN(vec_id) AS first_vec,
+       |  MAX(vec_id) AS last_vec
+       |FROM kept GROUP BY cid ORDER BY cid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),
     QueryDef("q37_cosine_pairs", q37, Some(q37Sql)),
@@ -305,6 +345,7 @@ object EmbeddingQ {
     QueryDef("q39_ivf_search", q39, Some(q39Sql)),
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
     QueryDef("q75_kmeans_train", q75, None),
+    QueryDef("q78_cluster_sample", q78, Some(q78Sql)),
     QueryDef("q69_vec_quantize", q69, Some(q69Sql)),
     QueryDef("q72_semantic_decon", q72, Some(q72Sql)))
 }

@@ -55,6 +55,35 @@ class TextHashesSpec extends SparkSpec {
     assert(viaSql > 0)
   }
 
+  test("ngram_sids equals the composition on random unicode corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // words over a unicode-diverse alphabet (ascii, accents, CJK,
+    // an astral-plane char) — md5 prefixes must agree byte-for-byte
+    val word = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ß', '中', '文', '\uD83D'.toChar)))
+      .map(_.mkString.replaceAll("[\\uD800-\\uDFFF]", "x"))
+    val doc = Gen.chooseNum(0, 12).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    val docsGen = Gen.listOfN(30, doc)
+    val params = Gen.Parameters.default
+    (1 to 5).foreach { i =>
+      val texts = docsGen(params, Seed(i.toLong)).get
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("id", "text")
+      Seq(2, 5).foreach { n =>
+        val native = graft.ext.Decontaminate
+          .withNgramSids(df, "text", n, out = "native")
+        val both = graft.ext.Decontaminate
+          .ngramSidsBuiltin(native, "text", n, out = "composed")
+        val bad = both.filter(not($"native" <=> $"composed"))
+        assert(bad.count() == 0,
+          s"seed=$i n=$n: ${bad.select("text").as[String].collect()
+            .take(3).mkString(" | ")}")
+      }
+    }
+  }
+
   test("minhash_sig and simhash16 equal their lambda forms") {
     val ids = docs.select(expr("shingle_ids(text)").as("sids"),
       expr("token_ids(text)").as("tids"))
