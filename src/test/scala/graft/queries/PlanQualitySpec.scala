@@ -111,4 +111,37 @@ class PlanQualitySpec extends SparkSpec {
       s"eval shingles must broadcast: ${p.take(400)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q74 bloom prefilter sits in the scan stage before the join") {
+    val p = plan(TextQ.q74(spark, dir))
+    assert(p.contains("might_contain"),
+      s"bloom probe must be planted: ${p.take(400)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "exact verify must broadcast the eval ids")
+    assert(!p.contains("CartesianProduct"))
+    // the probe must filter BEFORE the exchange: no bloom reference
+    // may appear above the first shuffle boundary
+    val firstExchange = p.indexOf("Exchange")
+    val probeAt = p.indexOf("might_contain")
+    assert(firstExchange == -1 || probeAt > firstExchange,
+      "bloom filter must run scan-side (plans print top-down, so the " +
+        s"probe should appear BELOW the topmost exchange): $probeAt vs " +
+        s"$firstExchange")
+  }
+
+  test("q76 BPE pair counting aggregates without any join") {
+    val p = plan(TextQ.q76(spark, dir))
+    assert(!p.contains("Join"), "pair counting must not join")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "pair counts must partial-aggregate map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort")
+  }
+
+  test("q78 cluster sampling is projection + filter + aggregation") {
+    val p = plan(EmbeddingQ.q78(spark, dir))
+    assert(!p.contains("Join"),
+      "centroid assignment must be a literal projection, not a join")
+    assert(p.contains("HashAggregate"))
+  }
 }
