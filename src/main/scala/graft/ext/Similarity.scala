@@ -192,6 +192,19 @@ object Similarity {
     -best.getField("nc")
   }
 
+  /** [[ivfAssignLit]]'s companion: the fixed-point dot product TO the
+    * assigned (nearest) centroid — same single codegen'd projection;
+    * callers needing both columns pay the argmax once per column (the
+    * optimizer CSEs the shared struct list within one projection). */
+  def ivfAssignDotLit(spark: org.apache.spark.sql.SparkSession,
+      embCol: String, cents: Seq[(Long, Array[Float])]): Column = {
+    require(cents.nonEmpty, "need at least one centroid")
+    greatest(cents.map { case (cid, vec) =>
+      struct(expr(dotSql(spark, embCol, litFloatArraySql(vec))).as("d"),
+        lit(-cid).as("nc"))
+    }.toIndexedSeq: _*).getField("d")
+  }
+
   /** Distributed Lloyd's k-means over an embedding column — the IVF
     * centroid TRAINER ([[AnnIndex.writeIvf]] consumes the result).
     *

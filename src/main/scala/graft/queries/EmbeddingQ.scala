@@ -338,6 +338,53 @@ object EmbeddingQ {
        |  MAX(vec_id) AS last_vec
        |FROM kept GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** q79 — embedding outlier detection (curation op: drop vectors far
+    * from their cluster's center — mislabeled/noise candidates):
+    * assign each vector to its nearest fixed centroid (vec_id < 8,
+    * q39's SQL-expressible assignment), compute the per-cluster EXACT
+    * mean centroid-similarity (BIGINT fixed-point sums — no float
+    * aggregation order to disagree on), and flag vectors whose
+    * similarity falls below 80% of their cluster mean. The 8-row
+    * cluster-stats frame broadcasts back; the corpus pays one argmax
+    * projection + one combinable aggregation.
+    *
+    * Integer-exactness bound: dot_fx·10·n stays within Long for
+    * clusters up to ~9e5 rows at unit-norm dots; at larger scale
+    * rescale the fixed point (1e9) or compare in DECIMAL. */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    val assigned = emb.select(col("vec_id"),
+      Similarity.ivfAssignLit(s, "embedding", cents).as("cid"),
+      Similarity.ivfAssignDotLit(s, "embedding", cents).as("dot_fx"))
+    val stats = assigned.groupBy(col("cid"))
+      .agg(sum(col("dot_fx")).as("s"), count(lit(1)).as("n"))
+    assigned.join(broadcast(stats), Seq("cid"))
+      .filter(col("dot_fx") * 10 * col("n") < col("s") * 8)
+      .select(col("vec_id"), col("cid"), col("dot_fx"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q79Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (SELECT e.vec_id, c.cid,
+       |    ${dotD("e.embedding", "c.ce")} AS dot_fx,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id, cid, dot_fx FROM scored WHERE rn = 1),
+       |stats AS (SELECT cid, CAST(SUM(dot_fx) AS BIGINT) AS s,
+       |    COUNT(*) AS n
+       |  FROM assigned GROUP BY cid)
+       |SELECT a.vec_id, a.cid, a.dot_fx
+       |FROM assigned a JOIN stats USING (cid)
+       |WHERE a.dot_fx * 10 * n < s * 8
+       |ORDER BY a.vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),
     QueryDef("q37_cosine_pairs", q37, Some(q37Sql)),
@@ -346,6 +393,7 @@ object EmbeddingQ {
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
     QueryDef("q75_kmeans_train", q75, None),
     QueryDef("q78_cluster_sample", q78, Some(q78Sql)),
+    QueryDef("q79_embedding_outliers", q79, Some(q79Sql)),
     QueryDef("q69_vec_quantize", q69, Some(q69Sql)),
     QueryDef("q72_semantic_decon", q72, Some(q72Sql)))
 }
