@@ -58,6 +58,37 @@ class PipelineE2ESpec extends SparkSpec {
     assert(a.forall(r => r.getInt(r.fieldIndex("n_tokens")) >= 10))
   }
 
+  test("curation ops compose: decontaminate → span-filter → sample") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val eval = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    def run() = {
+      // 1. drop docs sharing any verbatim 4-gram with the eval set
+      val flagged = Decontaminate
+        .contaminated(corpus, eval, "text", "doc_id", n = 4)
+        .select(col("id").as("doc_id"))
+      val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+      // 2. drop docs dominated by cross-doc boilerplate spans
+      val keep = Dedup.spanStats(clean, "text", "doc_id")
+        .filter(col("keep_ratio") >= 0.9)
+        .select(col("id").as("doc_id"))
+      val spanClean = clean.join(keep, Seq("doc_id"), "left_semi")
+      // 3. deterministic stratified sample of the survivors
+      Sampling.stratifiedSample(spanClean, "lang", "doc_id",
+        Map("en" -> 100), defaultPct = 50)
+    }
+    val a = run().select("doc_id").as[Long].collect().sorted.toSeq
+    val b = run().select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "curation chain must be run-deterministic")
+    assert(a.nonEmpty && a.length < corpus.count(),
+      s"chain kept ${a.length} docs")
+    // flagged docs can never survive the chain
+    val flaggedIds = Decontaminate
+      .contaminated(corpus, eval, "text", "doc_id", n = 4)
+      .select(col("id")).as[Long].collect().toSet
+    assert(a.forall(id => !flaggedIds.contains(id)))
+  }
+
   test("the pipeline result lands in a graft table with stats") {
     val out = tmpDir("pipe_out")
     CdcTable.append(
