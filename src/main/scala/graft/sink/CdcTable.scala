@@ -568,6 +568,86 @@ object CdcTable {
     * compaction and DLQ replay resolution. Keeps the table's partition
     * layout: a generation must be layout-uniform or the unioned
     * per-generation scan would mix partitioned and flat files. */
+  final case class DeleteResult(
+      rowsDeleted: Long,
+      filesRewritten: Long,
+      filesCarried: Long,
+      commit: Long)
+
+  /** Targeted row deletion (Delta-parity DML — the corpus-removal /
+    * right-to-be-forgotten operation a training-data store needs).
+    *
+    * One pushed-down scan with `input_file_name` finds the EXACT set
+    * of files containing matching rows (parquet row-group stats skip
+    * the rest, so the scan is cheap relative to any rewrite, and a
+    * file that merely MIGHT match never rewrites). Only those files
+    * re-write without their matching rows; every other live file is
+    * republished by REFERENCE in one optimistic-concurrency replace
+    * commit — stats carried forward, zero data movement for the
+    * untouched bulk. Readers see the pre-delete snapshot until the
+    * single manifest commit lands (MVCC), and time travel to an
+    * earlier commit still shows the deleted rows until vacuum.
+    *
+    * Files from older schema GENERATIONS or with a different
+    * partition LAYOUT than `partitionBy` also rewrite (touched or
+    * not): a replace commit carries one schema and one layout, so
+    * carrying them by reference would misread them — the delete
+    * doubles as generation/layout compaction on such tables. */
+  def delete(spark: SparkSession, dir: String, predicate: String,
+      partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, count, expr,
+      input_file_name, lit, regexp_extract}
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val snap = commits.last.commit
+    val schema = commits.last.schema
+    val currentSv = commits.last.schemaVersion
+    val live = effective(commits)
+    val pred = expr(predicate)
+
+    val touchedRows = readCommits(spark, dir, live)
+      .withColumn("__graft_file", pctDecode(
+        regexp_extract(input_file_name(), "(data/batch-.*)$", 1)))
+      .filter(pred)
+      .groupBy(col("__graft_file")).agg(count(lit(1)).as("n"))
+      .collect()
+    val touched = touchedRows.map(_.getString(0)).toSet
+    val rowsDeleted = touchedRows.map(_.getLong(1)).sum
+    if (touched.isEmpty)
+      return DeleteResult(0L, 0L, live.flatMap(_.files).size, snap)
+
+    val targetLayout = partitionBy.filter(schema.fieldNames.contains)
+    def mustRewrite(c: Commit, f: String): Boolean =
+      touched(f) || c.schemaVersion != currentSv ||
+        partColsFromPath(f) != targetLayout
+    val rewriteCommits = live
+      .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
+      .filter(_.files.nonEmpty)
+    val carried = live.flatMap(c =>
+      c.files.filterNot(f => mustRewrite(c, f)))
+    val carriedStats = live.flatMap(_.stats.view
+      .filterKeys(f => !touched(f) && carried.contains(f))).toMap
+
+    val keepRows = readCommits(spark, dir, rewriteCommits).filter(!pred)
+    val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
+    val writer = SchemaMerge.castTo(keepRows, schema)
+      .write.mode("overwrite")
+    (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
+     else writer).parquet(batchDir)
+    val fresh = stagedFiles(dir, batchDir)
+
+    val c = commit(dir, n => Commit(n, currentSv, "replace",
+      System.currentTimeMillis(), None, schema, carried ++ fresh,
+      stats = carriedStats ++ FileStats.collect(dir, fresh)),
+      validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
+        throw new java.util.ConcurrentModificationException(
+          s"delete at $dir built from commit $snap but the log is now " +
+            s"at ${cur.lastOption.map(_.commit).getOrElse(0L)} — a " +
+            "write landed mid-delete; rerun over the new snapshot " +
+            "(nothing was lost)"))
+    DeleteResult(rowsDeleted, fresh.size, carried.size, c.commit)
+  }
+
   def replaceWith(spark: SparkSession, dir: String, df: DataFrame,
       partitionBy: Seq[String] = Seq("_ingestion_date"),
       expectedLastCommit: Option[Long] = None): Long = {

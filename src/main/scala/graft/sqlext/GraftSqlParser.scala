@@ -69,6 +69,9 @@ object GraftSqlParser {
     """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
       """(?:\s+(FORCE))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  private val deleteRe = Pattern.compile(
+    """\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
@@ -96,6 +99,9 @@ object GraftSqlParser {
     if (vm.matches())
       return Some(VacuumGraftTable(vm.group(1),
         Option(vm.group(2)).map(_.toLong), force = vm.group(3) != null))
+    val delm = deleteRe.matcher(sqlText)
+    if (delm.matches())
+      return Some(DeleteFromGraftTable(delm.group(1), delm.group(2)))
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
     val dm = detailRe.matcher(sqlText)
@@ -197,6 +203,24 @@ case class VacuumGraftTable(dir: String, retainHours: Option[Long],
     val retain = retainHours.map(_ * 3600 * 1000L)
       .getOrElse(7L * 24 * 3600 * 1000)
     Seq(Row(CdcTable.vacuumOrphans(dir, retain).size))
+  }
+}
+
+/** `GRAFT DELETE FROM '<path>' WHERE <predicate>` — Delta-parity
+  * targeted row deletion ([[CdcTable.delete]]): only files actually
+  * containing matching rows rewrite; everything else republishes by
+  * reference in one atomic optimistic-concurrency commit. */
+case class DeleteFromGraftTable(dir: String, predicate: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("rows_deleted", LongType), attr("files_rewritten", LongType),
+    attr("files_carried", LongType), attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = CdcTable.delete(spark, dir, predicate)
+    Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
   }
 }
 

@@ -1,0 +1,97 @@
+package graft.sink
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("delete rewrites only files containing matches, carries the rest") {
+    val dir = tmpDir("del")
+    // three appends → three file sets; only the middle one matches
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
+    CdcTable.append(Seq((10L, "c"), (11L, "d")).toDF("x", "_id"), dir)
+    CdcTable.append(Seq((20L, "e")).toDF("x", "_id"), dir)
+    val before = CdcTable.log(dir).flatMap(_.files).toSet
+
+    val r = CdcTable.delete(spark, dir, "x = 10")
+    assert(r.rowsDeleted == 1L)
+    assert(r.filesRewritten >= 1L)
+    // files from the two untouched appends are carried BY REFERENCE
+    val after = CdcTable.log(dir).last.files.toSet
+    val carriedOver = before.intersect(after)
+    assert(carriedOver.nonEmpty, "untouched files must not rewrite")
+    assert(r.filesCarried == carriedOver.size)
+
+    val rows = CdcTable.read(spark, dir)
+      .select("x").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L, 11L, 20L))
+    // carried files keep their stats (data skipping stays effective)
+    val stats = CdcTable.log(dir).last.stats
+    assert(carriedOver.exists(f => stats.contains(f)),
+      "carried files must keep their manifest stats")
+  }
+
+  test("no-match delete is a no-op commit-wise") {
+    val dir = tmpDir("delnoop")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    val last = CdcTable.log(dir).last.commit
+    val r = CdcTable.delete(spark, dir, "x = 999")
+    assert(r.rowsDeleted == 0L && r.filesRewritten == 0L)
+    assert(CdcTable.log(dir).last.commit == last,
+      "no manifest should be written when nothing matches")
+  }
+
+  test("time travel before the delete still shows the rows") {
+    val dir = tmpDir("deltravel")
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
+    val snap = CdcTable.log(dir).last.commit
+    CdcTable.delete(spark, dir, "x = 1")
+    assert(CdcTable.read(spark, dir).count() == 1)
+    val old = CdcTable.readAsOf(spark, dir, commitAsOf = Some(snap))
+    assert(old.count() == 2, "MVCC: pre-delete snapshot intact")
+  }
+
+  test("delete across schema generations rewrites the old generation") {
+    val dir = tmpDir("delgen")
+    CdcTable.append(Seq((1, "a")).toDF("x", "_id"), dir) // int gen
+    CdcTable.append(Seq((5L, "b"), (6L, "c")).toDF("x", "_id"), dir) // long
+    assert(CdcTable.log(dir).last.schemaVersion == 2)
+    val r = CdcTable.delete(spark, dir, "x = 5")
+    assert(r.rowsDeleted == 1L)
+    val rows = CdcTable.read(spark, dir)
+      .select("x").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 6L), s"got $rows")
+    // the old int generation could not be carried under the long
+    // schema — it must have been rewritten
+    assert(CdcTable.log(dir).last.files.forall(f =>
+      !CdcTable.log(dir).head.files.contains(f)))
+  }
+
+  test("GRAFT DELETE FROM ... WHERE runs from SQL") {
+    val dir = tmpDir("delsql")
+    CdcTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("x", "_id"), dir)
+    val out = spark.sql(
+      s"GRAFT DELETE FROM '$dir' WHERE x >= 2 AND _id <> 'c'")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 == 1L, s"one row (x=2) matches: $out")
+    assert(CdcTable.read(spark, dir).select("x").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("appends before a delete survive it; deletes compose") {
+    val dir = tmpDir("delseq")
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
+    CdcTable.append(Seq((9L, "z")).toDF("x", "_id"), dir)
+    val r1 = CdcTable.delete(spark, dir, "x = 1")
+    assert(r1.rowsDeleted == 1L)
+    assert(CdcTable.read(spark, dir).select("x").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 9L))
+    // a second delete over the post-delete state composes cleanly
+    val r2 = CdcTable.delete(spark, dir, "x = 9")
+    assert(r2.rowsDeleted == 1L)
+    assert(CdcTable.read(spark, dir).select("x").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+}
