@@ -594,7 +594,46 @@ object CdcTable {
     * carrying them by reference would misread them — the delete
     * doubles as generation/layout compaction on such tables. */
   def delete(spark: SparkSession, dir: String, predicate: String,
+      partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult =
+    rewriteMatching(spark, dir, predicate, "delete", partitionBy) {
+      (rows, pred) => rows.filter(!pred)
+    }
+
+  /** Targeted row update (`UPDATE … SET … WHERE …`): same
+    * touched-file machinery as [[delete]] — only files containing
+    * matching rows rewrite, with the assignments applied to matching
+    * rows and everything else byte-identical; untouched files carry by
+    * reference. Assignment values are SQL expressions over the row;
+    * types coerce through the table schema (castTo), never widen it. */
+  def update(spark: SparkSession, dir: String, predicate: String,
+      assignments: Seq[(String, String)],
       partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    // validate SET columns before any scan — a no-match update must
+    // still reject a typo'd column rather than silently succeed
+    currentSchema(dir).foreach { s =>
+      assignments.foreach { case (k, _) =>
+        require(s.fieldNames.contains(k),
+          s"UPDATE SET references unknown column $k")
+      }
+    }
+    rewriteMatching(spark, dir, predicate, "update", partitionBy) {
+      (rows, pred) =>
+        import org.apache.spark.sql.functions.{col, expr, when}
+        assignments.foldLeft(rows) { case (df, (k, v)) =>
+          df.withColumn(k, when(pred, expr(v)).otherwise(col(s"`$k`")))
+        }
+    }
+  }
+
+  /** Shared DML engine: find the exact touched-file set with one
+    * pushed-down scan, rewrite ONLY those files through
+    * `transform(rows, pred)`, republish the rest by reference in one
+    * optimistic-concurrency replace commit (stats carried). */
+  private def rewriteMatching(spark: SparkSession, dir: String,
+      predicate: String, op: String, partitionBy: Seq[String])(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
+      : DeleteResult = {
     import org.apache.spark.sql.functions.{col, count, expr,
       input_file_name, lit, regexp_extract}
     val commits = log(dir)
@@ -612,7 +651,7 @@ object CdcTable {
       .groupBy(col("__graft_file")).agg(count(lit(1)).as("n"))
       .collect()
     val touched = touchedRows.map(_.getString(0)).toSet
-    val rowsDeleted = touchedRows.map(_.getLong(1)).sum
+    val rowsMatched = touchedRows.map(_.getLong(1)).sum
     if (touched.isEmpty)
       return DeleteResult(0L, 0L, live.flatMap(_.files).size, snap)
 
@@ -628,9 +667,9 @@ object CdcTable {
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(f => !touched(f) && carried.contains(f))).toMap
 
-    val keepRows = readCommits(spark, dir, rewriteCommits).filter(!pred)
+    val outRows = transform(readCommits(spark, dir, rewriteCommits), pred)
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
-    val writer = SchemaMerge.castTo(keepRows, schema)
+    val writer = SchemaMerge.castTo(outRows, schema)
       .write.mode("overwrite")
     (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
      else writer).parquet(batchDir)
@@ -641,11 +680,11 @@ object CdcTable {
       stats = carriedStats ++ FileStats.collect(dir, fresh)),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
-          s"delete at $dir built from commit $snap but the log is now " +
+          s"$op at $dir built from commit $snap but the log is now " +
             s"at ${cur.lastOption.map(_.commit).getOrElse(0L)} — a " +
-            "write landed mid-delete; rerun over the new snapshot " +
+            s"write landed mid-$op; rerun over the new snapshot " +
             "(nothing was lost)"))
-    DeleteResult(rowsDeleted, fresh.size, carried.size, c.commit)
+    DeleteResult(rowsMatched, fresh.size, carried.size, c.commit)
   }
 
   def replaceWith(spark: SparkSession, dir: String, df: DataFrame,

@@ -72,6 +72,9 @@ object GraftSqlParser {
   private val deleteRe = Pattern.compile(
     """\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val updateRe = Pattern.compile(
+    """\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
@@ -102,6 +105,27 @@ object GraftSqlParser {
     val delm = deleteRe.matcher(sqlText)
     if (delm.matches())
       return Some(DeleteFromGraftTable(delm.group(1), delm.group(2)))
+    val um = updateRe.matcher(sqlText)
+    if (um.matches()) {
+      // split assignments on top-level commas (no paren tracking
+      // needed for the common `col = expr` list; nested commas inside
+      // function calls are handled by balancing parens)
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      var depth = 0; val sb = new StringBuilder
+      um.group(2).foreach {
+        case ',' if depth == 0 => parts += sb.toString; sb.clear()
+        case ch =>
+          if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+          sb.append(ch)
+      }
+      parts += sb.toString
+      val assigns = parts.toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"malformed SET assignment: $a")
+        (a.take(i).trim, a.drop(i + 1).trim)
+      }
+      return Some(UpdateGraftTable(um.group(1), assigns, um.group(3)))
+    }
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
     val dm = detailRe.matcher(sqlText)
@@ -220,6 +244,24 @@ case class DeleteFromGraftTable(dir: String, predicate: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val r = CdcTable.delete(spark, dir, predicate)
+    Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
+  }
+}
+
+/** `GRAFT UPDATE '<path>' SET c1 = e1[, …] WHERE <predicate>` —
+  * Delta-parity targeted update ([[CdcTable.update]]): same
+  * touched-file-only rewrite machinery as DELETE. */
+case class UpdateGraftTable(dir: String,
+    assignments: Seq[(String, String)], predicate: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("rows_updated", LongType), attr("files_rewritten", LongType),
+    attr("files_carried", LongType), attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = CdcTable.update(spark, dir, predicate, assignments)
     Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
   }
 }

@@ -80,6 +80,42 @@ class DeleteSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("update rewrites matching rows in place, carries clean files") {
+    val dir = tmpDir("upd")
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
+    CdcTable.append(Seq((10L, "c")).toDF("x", "_id"), dir)
+    val before = CdcTable.log(dir).flatMap(_.files).toSet
+    val r = CdcTable.update(spark, dir, "x = 2",
+      Seq("x" -> "x * 100"))
+    assert(r.rowsDeleted == 1L) // rows matched
+    val after = CdcTable.log(dir).last.files.toSet
+    assert(before.intersect(after).nonEmpty,
+      "the untouched append must carry by reference")
+    assert(CdcTable.read(spark, dir).select("x").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 10L, 200L))
+  }
+
+  test("GRAFT UPDATE ... SET ... WHERE runs from SQL") {
+    val dir = tmpDir("updsql")
+    CdcTable.append(Seq((1L, "a", "x"), (2L, "b", "y"))
+      .toDF("x", "_id", "tag"), dir)
+    val out = spark.sql(s"GRAFT UPDATE '$dir' " +
+      "SET x = x + 1, tag = concat(tag, '!') WHERE _id = 'b'")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 == 1L, s"one row matches: $out")
+    val rows = CdcTable.read(spark, dir)
+      .select("x", "tag").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "x"), (3L, "y!")), s"got $rows")
+  }
+
+  test("update refuses unknown SET columns (schema never widens)") {
+    val dir = tmpDir("updbad")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    intercept[IllegalArgumentException] {
+      CdcTable.update(spark, dir, "x = 1", Seq("nope" -> "1"))
+    }
+  }
+
   test("appends before a delete survive it; deletes compose") {
     val dir = tmpDir("delseq")
     CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
