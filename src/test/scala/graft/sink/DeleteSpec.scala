@@ -116,6 +116,35 @@ class DeleteSpec extends SparkSpec {
     }
   }
 
+  test("delete racing appends never loses a row (optimistic concurrency)") {
+    val dir = tmpDir("dmlrace")
+    CdcTable.append(Seq((0L, "seed")).toDF("x", "_id"), dir)
+    val n = 12
+    val appender = new Thread(() =>
+      (1 to n).foreach { i =>
+        CdcTable.append(Seq((i.toLong, s"r$i")).toDF("x", "_id"), dir)
+      })
+    appender.start()
+    // deletes race the appends: each either commits against the
+    // snapshot it read, or detects the moved log and retries — rows
+    // appended meanwhile must NEVER vanish
+    var cmeSeen = false
+    while (appender.isAlive) {
+      try { CdcTable.delete(spark, dir, "x % 2 = 0 AND x > 0"); () }
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          cmeSeen = true
+      }
+    }
+    appender.join()
+    CdcTable.delete(spark, dir, "x % 2 = 0 AND x > 0") // final sweep
+    val rows = CdcTable.read(spark, dir)
+      .select("x").as[Long].collect().sorted.toSeq
+    assert(rows == (0L +: (1 to n).filter(_ % 2 == 1).map(_.toLong)),
+      s"odd rows + seed must all survive, evens all deleted: $rows " +
+        s"(CME seen during race: $cmeSeen)")
+  }
+
   test("appends before a delete survive it; deletes compose") {
     val dir = tmpDir("delseq")
     CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
