@@ -626,6 +626,76 @@ object CdcTable {
     }
   }
 
+  /** Keyed MERGE (Delta `whenMatched update-all / whenNotMatched
+    * insert-all`, the upsert workhorse): source rows REPLACE same-key
+    * target rows, new keys insert — in one commit. The touched-file
+    * discovery is a key join instead of a predicate (the source key
+    * set is not a literal), then the same carry-by-reference rewrite:
+    * only files holding matched keys rewrite (their unmatched rows
+    * survive, matched rows drop via LEFT ANTI), the whole source
+    * lands as fresh files, everything else republishes by reference.
+    * Source keys must be unique per key tuple (duplicates would all
+    * insert). */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String],
+      partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name,
+      lit, regexp_extract}
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val snap = commits.last.commit
+    val schema = commits.last.schema
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"MERGE key $k not in the table schema"))
+    val currentSv = commits.last.schemaVersion
+    val live = effective(commits)
+    val srcKeys = source
+      .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
+
+    val touchedRows = readCommits(spark, dir, live)
+      .withColumn("__graft_file", pctDecode(
+        regexp_extract(input_file_name(), "(data/batch-.*)$", 1)))
+      .join(srcKeys, keys)
+      .groupBy(col("__graft_file")).agg(count(lit(1)).as("n"))
+      .collect()
+    val touched = touchedRows.map(_.getString(0)).toSet
+    val rowsMatched = touchedRows.map(_.getLong(1)).sum
+
+    val targetLayout = partitionBy.filter(schema.fieldNames.contains)
+    def mustRewrite(c: Commit, f: String): Boolean =
+      touched(f) || c.schemaVersion != currentSv ||
+        partColsFromPath(f) != targetLayout
+    val rewriteCommits = live
+      .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
+      .filter(_.files.nonEmpty)
+    val carried = live.flatMap(c =>
+      c.files.filterNot(f => mustRewrite(c, f)))
+    val carriedStats = live.flatMap(_.stats.view
+      .filterKeys(f => !touched(f) && carried.contains(f))).toMap
+
+    val survivors = SchemaMerge.castTo(
+      readCommits(spark, dir, rewriteCommits)
+        .join(srcKeys, keys.toSeq, "left_anti"), schema)
+    val outRows = survivors.unionByName(SchemaMerge.castTo(source, schema))
+    val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
+    val writer = outRows.write.mode("overwrite")
+    (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
+     else writer).parquet(batchDir)
+    val fresh = stagedFiles(dir, batchDir)
+
+    val c = commit(dir, n => Commit(n, currentSv, "replace",
+      System.currentTimeMillis(), None, schema, carried ++ fresh,
+      stats = carriedStats ++ FileStats.collect(dir, fresh)),
+      validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
+        throw new java.util.ConcurrentModificationException(
+          s"merge at $dir built from commit $snap but the log is now " +
+            s"at ${cur.lastOption.map(_.commit).getOrElse(0L)} — a " +
+            "write landed mid-merge; rerun over the new snapshot " +
+            "(nothing was lost)"))
+    DeleteResult(rowsMatched, fresh.size, carried.size, c.commit)
+  }
+
   /** Shared DML engine: find the exact touched-file set with one
     * pushed-down scan, rewrite ONLY those files through
     * `transform(rows, pred)`, republish the rest by reference in one

@@ -116,6 +116,27 @@ class DeleteSpec extends SparkSpec {
     }
   }
 
+  test("merge upserts: matched keys replace, new keys insert, rest carries") {
+    val dir = tmpDir("merge")
+    CdcTable.append(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("_id2", "_id", "v").withColumnRenamed("_id2", "k"), dir)
+    CdcTable.append(Seq((5L, "e", 50L))
+      .toDF("k", "_id", "v"), dir)
+    val before = CdcTable.log(dir).flatMap(_.files).toSet
+    // source updates k=2 and inserts k=9; file holding k=5 untouched
+    val source = Seq((2L, "b", 999L), (9L, "i", 90L))
+      .toDF("k", "_id", "v")
+    val r = CdcTable.merge(spark, dir, source, keys = Seq("k"))
+    assert(r.rowsDeleted == 1L, s"one key matched: $r") // rows matched
+    val after = CdcTable.log(dir).last.files.toSet
+    assert(before.intersect(after).nonEmpty,
+      "the untouched file must carry by reference")
+    val rows = CdcTable.read(spark, dir)
+      .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 999L), (5L, 50L), (9L, 90L)),
+      s"got $rows")
+  }
+
   test("delete racing appends never loses a row (optimistic concurrency)") {
     val dir = tmpDir("dmlrace")
     CdcTable.append(Seq((0L, "seed")).toDF("x", "_id"), dir)
