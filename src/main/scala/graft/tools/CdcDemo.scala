@@ -64,6 +64,13 @@ object CdcDemo {
     val compacted = CdcTable.read(spark, dir)
     println(s"  generation v$nv, ${compacted.count()} rows")
     compacted.select("_id", "amount", "status").orderBy("_id").show(false)
+    println("== targeted DML: GRAFT DELETE (right-to-be-forgotten)")
+    val del = spark.sql(
+      s"GRAFT DELETE FROM '$dir' WHERE _id = 'o1'").collect()(0)
+    println(s"  rows_deleted=${del.getLong(0)} " +
+      s"files_rewritten=${del.getLong(1)} carried=${del.getLong(2)}")
+    CdcTable.read(spark, dir).select("_id", "amount", "status")
+      .orderBy("_id").show(false)
     spark.stop()
   }
 }
