@@ -235,6 +235,10 @@ object Similarity {
       .map { case (r, i) =>
         i.toLong -> r.getSeq[Float](1).toArray }
       .toSeq
+    // fewer rows than k: every point is its own centroid, no iteration
+    // can move anything — return the seeds (also guards empty input)
+    require(cents.nonEmpty, "kmeansFit: input has no rows")
+    if (cents.size < k) return cents
     val dims = cents.head._2.length
     for (_ <- 0 until iters) {
       val sums = df

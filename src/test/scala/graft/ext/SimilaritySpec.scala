@@ -74,6 +74,18 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(_._2.toSeq) == cents2.map(_._2.toSeq))
   }
 
+  test("kmeansFit edge cases: k > n returns seeds; empty input rejects") {
+    val two = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(two, "vec_id", "embedding",
+      k = 5, iters = 3)
+    assert(cents.size == 2, "k > n degenerates to one centroid per point")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(two.filter(lit(false)), "vec_id",
+        "embedding", k = 2)
+    }
+  }
+
   test("int8QuantStats: exact scale, bounded reconstruction error") {
     val df = Seq(
       (0L, Array(1.27f, -0.64f, 0.0f)),    // scale ≈ 0.01, all multiples
