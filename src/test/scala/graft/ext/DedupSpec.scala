@@ -141,6 +141,46 @@ class DedupSpec extends SparkSpec {
     assert(cc(7L) == 7L && cc(9L) == 7L)
   }
 
+  test("spanStats matches a brute-force oracle on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocabulary forces genuine cross-doc span collisions
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.chooseNum(0, 14).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(20, doc)
+    (1 to 4).foreach { seed =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.spanStats(df, "text", "doc_id",
+          width = 3, minDocs = 3)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      // brute force: non-overlapping width-3 spans per doc (split
+      // semantics mirror Spark: split(trim, \s+))
+      val spansByDoc = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.trim.split("\\s+", -1).toSeq
+        val spans =
+          if (toks.length < 3) Seq.empty[String]
+          else toks.take(toks.length / 3 * 3).grouped(3)
+            .map(_.mkString(" ")).toSeq
+        i.toLong -> spans
+      }.toMap
+      val df3 = spansByDoc.toSeq
+        .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val boiler = df3.filter(_._2 >= 3).keySet
+      spansByDoc.foreach { case (id, spans) =>
+        val expect = (spans.size.toLong,
+          spans.count(boiler).toLong)
+        assert(got(id) == expect,
+          s"seed=$seed doc=$id got=${got(id)} expect=$expect " +
+            s"spans=$spans")
+      }
+    }
+  }
+
   test("span stats flag planted boilerplate spans, leave unique text") {
     // 4-token footer after 6 unique tokens: tokens 6-8 form the span
     // "subscribe to our", identical across docs 1-3; "newsletter"
