@@ -67,11 +67,16 @@ object Decontaminate {
     * registered for SQL users. */
   def contaminated(corpus: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, n: Int = 13, fpp: Double = 0.01): DataFrame = {
-    // distinct eval n-gram ids: driver-bounded by eval-set size
-    val evalSids = withNgramSids(eval, textCol, n)
+    // distinct eval n-gram ids: driver-bounded by eval-set size.
+    // Collected ONCE; the verify-join broadcast side is rebuilt from
+    // the collected array instead of re-running the eval explode.
+    val spark = corpus.sparkSession
+    val evalIds = withNgramSids(eval, textCol, n)
       .select(explode(col("sids")).as("sid")).distinct()
-    val evalIds = evalSids.as(org.apache.spark.sql.Encoders.scalaLong)
+      .as(org.apache.spark.sql.Encoders.scalaLong)
       .collect()
+    val evalSids = spark.createDataset(evalIds.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("sid")
 
     val exploded = withNgramSids(corpus, textCol, n)
       .select(col(idCol).as("id"), explode(col("sids")).as("sid"))

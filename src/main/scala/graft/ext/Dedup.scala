@@ -212,11 +212,16 @@ object Dedup {
          |         slice(toks, i * $width + 1, $width))), 1, 14), 16, 10)
          |       AS BIGINT))
          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    // three plan branches read the hashed spans (df count, per-doc
+    // count, final join) — persist so tokenize+md5 runs once, and
+    // materialize the (narrow, one-row-per-doc) result eagerly so the
+    // cache releases before returning (the Dedup.near pattern)
     val base = df
       .select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("toks"))
       .select(col("id"), expr(segsE).as("sids"))
       .withColumn("n_segments", size(col("sids")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base.select(col("id"), explode(col("sids")).as("sid"))
     // document frequency per span; within-doc repeats count once
     val boiler = ex.distinct()
@@ -227,13 +232,15 @@ object Dedup {
     // per-doc count joins the raw (repeats kept) explode
     val perDoc = ex.join(boiler, Seq("sid"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("n_boiler"))
-    base.select(col("id"), col("n_segments"))
+    val result = base.select(col("id"), col("n_segments"))
       .join(perDoc, Seq("id"), "left")
       .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
       .withColumn("keep_ratio",
         when(col("n_segments") > 0, lit(1.0) -
           col("n_boiler").cast("double") / col("n_segments"))
           .otherwise(lit(1.0)))
+    try result.localCheckpoint()
+    finally { base.unpersist(); () }
   }
 
   /** Embedding-space near-dup dedup: cosine pairs above threshold

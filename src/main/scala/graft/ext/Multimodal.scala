@@ -94,7 +94,11 @@ object Multimodal {
     val srcPx = math.max(1L, srcW.toLong * srcH)
     val keep = math.max(1L,
       bytes.length.toLong * (w.toLong * h) / srcPx)
-    java.util.Arrays.copyOf(bytes, math.min(bytes.length, keep.toInt))
+    // clamp in LONG before narrowing: an upscale can push `keep` past
+    // Int.MaxValue, and keep.toInt would wrap to 0/negative (empty
+    // payload or NegativeArraySizeException)
+    java.util.Arrays.copyOf(bytes,
+      math.min(bytes.length.toLong, keep).toInt)
   }
 
   /** Resize the `content` binary column to (w, h), recomputing the

@@ -104,20 +104,6 @@ object TextAnalysis {
         org.apache.spark.sql.catalyst.expressions.Literal(capacity))
         .toAggregateExpression())
 
-  /** Document-frequency boilerplate pruning (the C4/RefinedWeb "drop
-    * content shared by many documents" family, at token granularity):
-    * tokens present in at least `num/den` of all documents are removed
-    * from every document, order otherwise preserved. Returns the frame
-    * with `toks`, `kept` (filtered token array) and `cleaned` (re-built
-    * text).
-    *
-    * Scale shape: ONE explode→distinct→count aggregation finds the
-    * common set (shuffle keyed by token, map-side combinable, output
-    * bounded by vocabulary not corpus size); the common set — tiny by
-    * construction (df ≥ a large corpus fraction) — broadcasts back as
-    * a single-row array column, and each document filters in place
-    * with a codegen'd higher-order function. The corpus itself never
-    * shuffles: rewritten in one scan pass. */
   /** TF-IDF top-`k` terms per document. Scale shape: term frequency is
     * one (id, tok)-keyed aggregation; document frequency derives from
     * it with a second map-side-combinable, vocabulary-bounded
@@ -162,6 +148,20 @@ object TextAnalysis {
         .as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
 
+  /** Document-frequency boilerplate pruning (the C4/RefinedWeb "drop
+    * content shared by many documents" family, at token granularity):
+    * tokens present in at least `num/den` of all documents are removed
+    * from every document, order otherwise preserved. Returns the frame
+    * with `toks`, `kept` (filtered token array) and `cleaned` (re-built
+    * text).
+    *
+    * Scale shape: ONE explode→distinct→count aggregation finds the
+    * common set (shuffle keyed by token, map-side combinable, output
+    * bounded by vocabulary not corpus size); the common set — tiny by
+    * construction (df ≥ a large corpus fraction) — broadcasts back as
+    * a single-row array column, and each document filters in place
+    * with a codegen'd higher-order function. The corpus itself never
+    * shuffles: rewritten in one scan pass. */
   def dfPrune(df: org.apache.spark.sql.DataFrame, textCol: String,
       num: Int, den: Int): org.apache.spark.sql.DataFrame = {
     require(num > 0 && den > 0 && num <= den,

@@ -596,7 +596,12 @@ object CdcTable {
   def delete(spark: SparkSession, dir: String, predicate: String,
       partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult =
     rewriteMatching(spark, dir, predicate, "delete", partitionBy) {
-      (rows, pred) => rows.filter(!pred)
+      (rows, pred) =>
+        // SQL delete semantics: a NULL predicate means "not matched" —
+        // the row must SURVIVE (bare !pred is NULL for it and the
+        // filter would silently drop it alongside the true matches)
+        import org.apache.spark.sql.functions.{coalesce, lit}
+        rows.filter(!coalesce(pred, lit(false)))
     }
 
   /** Targeted row update (`UPDATE … SET … WHERE …`): same
@@ -620,9 +625,14 @@ object CdcTable {
     rewriteMatching(spark, dir, predicate, "update", partitionBy) {
       (rows, pred) =>
         import org.apache.spark.sql.functions.{col, expr, when}
-        assignments.foldLeft(rows) { case (df, (k, v)) =>
-          df.withColumn(k, when(pred, expr(v)).otherwise(col(s"`$k`")))
-        }
+        // ONE projection: every predicate and RHS evaluates against
+        // the PRE-update row (standard SQL UPDATE semantics) — a
+        // sequential withColumn fold would feed later assignments the
+        // already-updated columns (SET a = b, b = a would not swap,
+        // and SET x = 0 ... WHERE x = 2 would unmatch mid-row)
+        rows.withColumns(assignments.map { case (k, v) =>
+          k -> when(pred, expr(v)).otherwise(col(s"`$k`"))
+        }.toMap)
     }
   }
 
@@ -650,7 +660,13 @@ object CdcTable {
       s"MERGE key $k not in the table schema"))
     val currentSv = commits.last.schemaVersion
     val live = effective(commits)
-    val srcKeys = source
+    // pin the source: it is evaluated for touch-detection, the
+    // anti-join, AND the final write — a non-deterministic source
+    // (sampling, a concurrently-written location) re-evaluated per
+    // branch could delete a key it then fails to re-insert (Delta
+    // materializes the merge source for the same reason)
+    val src = source.localCheckpoint()
+    val srcKeys = src
       .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
 
     val touchedRows = readCommits(spark, dir, live)
@@ -677,7 +693,7 @@ object CdcTable {
     val survivors = SchemaMerge.castTo(
       readCommits(spark, dir, rewriteCommits)
         .join(srcKeys, keys.toSeq, "left_anti"), schema)
-    val outRows = survivors.unionByName(SchemaMerge.castTo(source, schema))
+    val outRows = survivors.unionByName(SchemaMerge.castTo(src, schema))
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = outRows.write.mode("overwrite")
     (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)

@@ -73,7 +73,7 @@ object GraftSqlParser {
     """\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val updateRe = Pattern.compile(
-    """\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""",
+    """\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
@@ -107,24 +107,19 @@ object GraftSqlParser {
       return Some(DeleteFromGraftTable(delm.group(1), delm.group(2)))
     val um = updateRe.matcher(sqlText)
     if (um.matches()) {
-      // split assignments on top-level commas (no paren tracking
-      // needed for the common `col = expr` list; nested commas inside
-      // function calls are handled by balancing parens)
-      val parts = scala.collection.mutable.ListBuffer.empty[String]
-      var depth = 0; val sb = new StringBuilder
-      um.group(2).foreach {
-        case ',' if depth == 0 => parts += sb.toString; sb.clear()
-        case ch =>
-          if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
-          sb.append(ch)
-      }
-      parts += sb.toString
-      val assigns = parts.toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
-        val i = a.indexOf('=')
-        require(i > 0, s"malformed SET assignment: $a")
-        (a.take(i).trim, a.drop(i + 1).trim)
-      }
-      return Some(UpdateGraftTable(um.group(1), assigns, um.group(3)))
+      // SET/WHERE and assignment splitting must respect quoted string
+      // literals ('a,b', 'see where', 'don''t') and nested parens —
+      // a naive regex/comma split corrupts them
+      val (setPart, wherePart) = splitAtKeyword(um.group(2), "WHERE")
+        .getOrElse(throw new IllegalArgumentException(
+          "GRAFT UPDATE requires a WHERE clause"))
+      val assigns = splitTopLevel(setPart, ',')
+        .map(_.trim).filter(_.nonEmpty).map { a =>
+          val i = topLevelIndexOf(a, '=')
+          require(i > 0, s"malformed SET assignment: $a")
+          (a.take(i).trim, a.drop(i + 1).trim)
+        }
+      return Some(UpdateGraftTable(um.group(1), assigns, wherePart))
     }
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
@@ -135,6 +130,63 @@ object GraftSqlParser {
 
   private[sqlext] def attr(name: String, t: DataType): Attribute =
     AttributeReference(name, t, nullable = false)()
+
+  /** Walk `s` tracking single-quoted literals ('' is the escaped
+    * quote) and paren depth, invoking `f(i, ch)` only at TOP level;
+    * `f` returns true to stop the walk at position i. */
+  private def walkTopLevel(s: String)(f: (Int, Char) => Boolean): Int = {
+    var depth = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          i += 1 // skip the literal, honoring '' escapes
+          while (i < s.length && (s.charAt(i) != '\'' ||
+              (i + 1 < s.length && s.charAt(i + 1) == '\'' && {
+                i += 1; true }))) i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ch if depth == 0 => if (f(i, ch)) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split `s` at the first top-level, unquoted, word-boundary
+    * occurrence of `kw` (case-insensitive). */
+  private def splitAtKeyword(s: String, kw: String)
+      : Option[(String, String)] = {
+    val at = walkTopLevel(s) { (i, _) =>
+      s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || s.charAt(i - 1).isWhitespace) &&
+        (i + kw.length >= s.length ||
+          s.charAt(i + kw.length).isWhitespace)
+    }
+    if (at < 0) None
+    else Some((s.take(at).trim, s.drop(at + kw.length).trim))
+  }
+
+  /** Split `s` on top-level, unquoted occurrences of `sep`. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    var start = 0
+    var from = 0
+    while (from <= s.length) {
+      val at = walkTopLevel(s.substring(from))(
+        (_, ch) => ch == sep) match {
+        case -1 => -1
+        case i => from + i
+      }
+      if (at < 0) { parts += s.substring(start); from = s.length + 1 }
+      else { parts += s.substring(start, at); start = at + 1; from = at + 1 }
+    }
+    parts.toSeq
+  }
+
+  /** Index of the first top-level, unquoted `ch`, or -1. */
+  private def topLevelIndexOf(s: String, ch: Char): Int =
+    walkTopLevel(s)((_, c) => c == ch)
 }
 
 /** `GRAFT OPTIMIZE '<path>' [ZORDER BY (…)] [FILES n]` — rewrite the

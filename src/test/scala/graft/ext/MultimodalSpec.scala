@@ -70,4 +70,15 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0L)._4.length == 2)
     assert(rows(2L)._4.length == 0)
   }
+
+  test("resize upscale never overflows: payload is clamped, not wrapped") {
+    // dimensionless payload (1x1 fallback) upscaled to 2048x2048:
+    // keep = len * 2^22 overflows Int if narrowed before the clamp
+    val m = Multimodal.asBinaryPayload(docs.filter($"doc_id" === 0L),
+      "text")
+    val r = Multimodal.resizeTo(m, w = 2048, h = 2048)
+    val bytes = r.select("content").collect()(0).getAs[Array[Byte]](0)
+    assert(bytes.length == "hello world".length,
+      s"upscale keeps the full payload, got ${bytes.length}")
+  }
 }

@@ -116,6 +116,48 @@ class DeleteSpec extends SparkSpec {
     }
   }
 
+  test("delete keeps rows whose predicate is NULL (SQL semantics)") {
+    val dir = tmpDir("delnull")
+    CdcTable.append(Seq((Some(10L), "a"), (None, "b"), (Some(7L), "c"))
+      .toDF("x", "_id"), dir)
+    val r = CdcTable.delete(spark, dir, "x = 10")
+    assert(r.rowsDeleted == 1L)
+    val ids = CdcTable.read(spark, dir)
+      .select("_id").as[String].collect().sorted.toSeq
+    assert(ids == Seq("b", "c"),
+      s"the NULL-x row must survive a non-matching delete: $ids")
+  }
+
+  test("update evaluates all assignments against the pre-update row") {
+    val dir = tmpDir("updswap")
+    CdcTable.append(Seq((1L, 2L, "a"), (5L, 6L, "b"))
+      .toDF("x", "y", "_id"), dir)
+    // swap x and y where x = 1: both RHS must see the OLD values, and
+    // the predicate must not unmatch mid-row after x is assigned
+    val r = CdcTable.update(spark, dir, "x = 1",
+      Seq("x" -> "y", "y" -> "x"))
+    assert(r.rowsDeleted == 1L)
+    val rows = CdcTable.read(spark, dir)
+      .select("_id", "x", "y").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(("a", 2L, 1L), ("b", 5L, 6L)), s"got $rows")
+  }
+
+  test("GRAFT UPDATE honors quoted literals with commas and WHERE") {
+    val dir = tmpDir("updquote")
+    CdcTable.append(Seq((1L, "a", "old"), (2L, "b", "old"))
+      .toDF("x", "_id", "note"), dir)
+    val out = spark.sql(s"GRAFT UPDATE '$dir' " +
+      "SET note = 'a,b where (x) = ''1''', x = x + 10 WHERE _id = 'a'")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 == 1L, s"one row matches: $out")
+    val rows = CdcTable.read(spark, dir)
+      .select("_id", "x", "note").as[(String, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(("a", 11L, "a,b where (x) = '1'"),
+      ("b", 2L, "old")), s"got $rows")
+  }
+
   test("merge upserts: matched keys replace, new keys insert, rest carries") {
     val dir = tmpDir("merge")
     CdcTable.append(Seq((1L, "a", 10L), (2L, "b", 20L))
