@@ -75,6 +75,10 @@ object GraftSqlParser {
   private val updateRe = Pattern.compile(
     """\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val mergeRe = Pattern.compile(
+    """\s*GRAFT\s+MERGE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+ON\s+([\w\s,`]+?)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
@@ -120,6 +124,12 @@ object GraftSqlParser {
           (a.take(i).trim, a.drop(i + 1).trim)
         }
       return Some(UpdateGraftTable(um.group(1), assigns, wherePart))
+    }
+    val mm = mergeRe.matcher(sqlText)
+    if (mm.matches()) {
+      val ks = mm.group(3).split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      return Some(MergeGraftTable(mm.group(1), mm.group(2), ks))
     }
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
@@ -314,6 +324,27 @@ case class UpdateGraftTable(dir: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val r = CdcTable.update(spark, dir, predicate, assignments)
+    Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
+  }
+}
+
+/** `GRAFT MERGE '<target>' FROM '<source>' ON k1[, k2 …]` — keyed
+  * upsert ([[CdcTable.merge]]): the source is a graft table when
+  * `<source>` has a commit log, else a parquet directory. */
+case class MergeGraftTable(dir: String, sourceDir: String,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("rows_matched", LongType), attr("files_rewritten", LongType),
+    attr("files_carried", LongType), attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val source =
+      if (CdcTable.log(sourceDir).nonEmpty)
+        CdcTable.read(spark, sourceDir)
+      else spark.read.parquet(sourceDir)
+    val r = CdcTable.merge(spark, dir, source, keys)
     Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
   }
 }

@@ -179,6 +179,21 @@ class DeleteSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("GRAFT MERGE FROM a parquet source runs from SQL") {
+    val dir = tmpDir("mergesql")
+    val srcDir = tmpDir("mergesrc")
+    CdcTable.append(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "_id", "v"), dir)
+    Seq((2L, "b", 999L), (9L, "i", 90L)).toDF("k", "_id", "v")
+      .write.mode("overwrite").parquet(srcDir)
+    val out = spark.sql(s"GRAFT MERGE '$dir' FROM '$srcDir' ON k")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 == 1L, s"one key matched: $out")
+    val rows = CdcTable.read(spark, dir)
+      .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 999L), (9L, 90L)), s"got $rows")
+  }
+
   test("delete racing appends never loses a row (optimistic concurrency)") {
     val dir = tmpDir("dmlrace")
     CdcTable.append(Seq((0L, "seed")).toDF("x", "_id"), dir)
