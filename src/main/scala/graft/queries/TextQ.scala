@@ -868,6 +868,37 @@ object TextQ {
        |SELECT doc_id, tok, tf, df, score, CAST(rn AS BIGINT) AS rn
        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  /** q80 — cross-source duplication matrix (the curation diagnostic
+    * "how much of source A is copied in source B"): documents sharing
+    * a PREFIX fingerprint (md5 of the first 8 tokens — catches the
+    * truncation/extension copies exact whole-document hashing misses)
+    * across different sources, counted per ordered source pair. One
+    * per-(source, fp) distinct, then the equi-join explodes only
+    * within tiny same-fingerprint groups — the corpus never
+    * self-joins at large. */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val fp = withToks(s, dir)
+      .select(col("source"),
+        md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("fp"))
+    val bySrc = fp.distinct() // one row per (source, fp)
+    bySrc.as("a").join(bySrc.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_prefixes"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q80Sql: String =
+    s"""WITH f AS (SELECT DISTINCT source,
+       |    md5(array_to_string($toksD[1:8], ' ')) AS fp
+       |  FROM documents)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  COUNT(*) AS n_shared_prefixes
+       |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY src_a, src_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -892,5 +923,6 @@ object TextQ {
     QueryDef("q73_span_dedup", q73, Some(q73Sql)),
     QueryDef("q74_bloom_decontaminate", q74, Some(q74Sql)),
     QueryDef("q76_bpe_pairs", q76, Some(q76Sql)),
-    QueryDef("q77_tfidf", q77, Some(q77Sql)))
+    QueryDef("q77_tfidf", q77, Some(q77Sql)),
+    QueryDef("q80_dup_matrix", q80, Some(q80Sql)))
 }
