@@ -690,9 +690,16 @@ object CdcTable {
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(f => !touched(f) && carried.contains(f))).toMap
 
-    val survivors = SchemaMerge.castTo(
-      readCommits(spark, dir, rewriteCommits)
-        .join(srcKeys, keys.toSeq, "left_anti"), schema)
+    // an insert-only merge (no keys matched, single generation,
+    // matching layout) rewrites nothing — readCommits cannot take an
+    // empty commit list, so survivors degenerate to an empty frame
+    val survivors =
+      if (rewriteCommits.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else SchemaMerge.castTo(
+        readCommits(spark, dir, rewriteCommits)
+          .join(srcKeys, keys.toSeq, "left_anti"), schema)
     val outRows = survivors.unionByName(SchemaMerge.castTo(src, schema))
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = outRows.write.mode("overwrite")
