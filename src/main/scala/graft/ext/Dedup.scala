@@ -134,15 +134,25 @@ object Dedup {
   /** Same, over a pre-staged (id, blk, sids) frame — lets callers
     * supply their own shingle pipeline (native expression or built-in
     * composition). The staged frame feeds THREE plan branches (the
-    * candidate explode and both sides of the verification join), so it
-    * is persisted spill-to-disk — recomputing the shingle hashing per
-    * branch costs more than materializing the id arrays. */
+    * candidate explode and both sides of the verification join).
+    *
+    * `materialize = true` (default) persists the staged frame and
+    * eagerly checkpoints the result so the cache releases before
+    * returning. Measured at sf0.1: the persist EARNS its cost even
+    * with the cheap native shingle expression (2.2 s vs 2.9 s without
+    * — three branches re-scan the staged frame), so the default stays
+    * on; `false` exists for memory-constrained callers that prefer
+    * recompute over cache pressure. */
   def ngramJaccardPairsFromSids(staged: DataFrame, threshold: Double,
-      maxShingleDocFreq: Option[Long]): DataFrame = {
-    val base = staged.select(col("id"), col("blk"), col("sids"))
+      maxShingleDocFreq: Option[Long],
+      materialize: Boolean = true): DataFrame = {
+    val plain = staged.select(col("id"), col("blk"), col("sids"))
       .withColumn("m", size(col("sids")))
       .filter(col("m") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base =
+      if (materialize)
+        plain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else plain
     val ex = base.select(col("id"), col("blk"),
       explode(col("sids")).as("sh"))
     val kept = maxShingleDocFreq match {
@@ -179,8 +189,10 @@ object Dedup {
     // eager materialization so the staged cache is released before
     // returning (see Dedup.near) — repeated calls must not accumulate
     // CacheManager entries
-    try result.localCheckpoint()
-    finally { base.unpersist(); () }
+    if (!materialize) result
+    else
+      try result.localCheckpoint()
+      finally { base.unpersist(); () }
   }
 
   /** Span-level boilerplate dedup stats — the CCNet/RefinedWeb
