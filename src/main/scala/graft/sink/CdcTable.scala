@@ -592,7 +592,15 @@ object CdcTable {
     * partition LAYOUT than `partitionBy` also rewrite (touched or
     * not): a replace commit carries one schema and one layout, so
     * carrying them by reference would misread them — the delete
-    * doubles as generation/layout compaction on such tables. */
+    * doubles as generation/layout compaction on such tables.
+    *
+    * @note CHANGE FEED: DML lands as a `replace` commit, and the
+    *       commit-tail change feed ([[readChanges]], the streaming
+    *       source) intentionally emits no rows for replaces — so
+    *       downstream consumers do NOT see delete/update events
+    *       (Delta behaves the same without Change Data Feed).
+    *       Pipelines needing DML visibility should consume the CDC
+    *       event log (soft-delete events) instead of DML'd tables. */
   def delete(spark: SparkSession, dir: String, predicate: String,
       partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult =
     rewriteMatching(spark, dir, predicate, "delete", partitionBy) {
