@@ -22,6 +22,8 @@ class DmlFuzzSpec extends SparkSpec {
   private case class Delete(xThr: Long) extends Op // delete where x < thr
   private case class Update(xThr: Long, add: Long) extends Op
   private case class Merge(rows: Seq[(Long, Option[Long])]) extends Op
+  private case object Optimize extends Op // content-preserving rewrite
+  private case object Vacuum extends Op   // reclaim superseded files
 
   private val genRow: Gen[(Long, Option[Long])] = for {
     k <- Gen.chooseNum(0L, 40L)
@@ -35,7 +37,9 @@ class DmlFuzzSpec extends SparkSpec {
     2 -> Gen.zip(Gen.chooseNum(-40L, 40L), Gen.chooseNum(1L, 9L))
       .map { case (t, a) => Update(t, a) },
     2 -> Gen.chooseNum(1, 3).flatMap(n =>
-      Gen.listOfN(n, genRow).map(rs => Merge(dedupeKeys(rs)))))
+      Gen.listOfN(n, genRow).map(rs => Merge(dedupeKeys(rs)))),
+    1 -> Gen.const(Optimize),
+    1 -> Gen.const(Vacuum))
 
   /** appends/merges use key-unique batches so the model stays a map */
   private def dedupeKeys(rs: Seq[(Long, Option[Long])])
@@ -81,6 +85,14 @@ class DmlFuzzSpec extends SparkSpec {
           case Merge(rows) =>
             CdcTable.merge(spark, dir, toDf(rows), keys = Seq("k"))
             model ++= rows.toMap
+          case Optimize =>
+            // content-preserving compaction interleaved with DML:
+            // the model must be unaffected
+            CdcTable.replaceWith(spark, dir,
+              CdcTable.read(spark, dir).coalesce(1))
+          case Vacuum =>
+            // reclaiming superseded files must never touch live data
+            CdcTable.vacuumOrphans(dir, retainMillis = 0L)
         }
         val got = CdcTable.read(spark, dir)
           .select("k", "x").as[(Long, Option[Long])]
