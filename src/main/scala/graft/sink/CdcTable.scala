@@ -656,17 +656,38 @@ object CdcTable {
     * insert). */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String],
-      partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult = {
+      partitionBy: Seq[String] = Seq("_ingestion_date"),
+      evolveSchema: Boolean = false): DeleteResult = {
     import org.apache.spark.sql.functions.{col, count, input_file_name,
       lit, regexp_extract}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
     val snap = commits.last.commit
-    val schema = commits.last.schema
+    val tableSchema = commits.last.schema
+    // schema evolution (Delta withSchemaEvolution parity): widen the
+    // table schema by the source's columns. A WIDENED replace commit
+    // must carry every row under the new schema, so evolution forces
+    // a FULL rewrite (carry-by-reference would leave files the new
+    // schema misreads) — the documented cost of widening through a
+    // replace-based DML; same-schema merges keep the cheap path.
+    val schema =
+      if (evolveSchema)
+        SchemaMerge.merge(tableSchema, source.schema, SchemaMerge.Auto)
+      else tableSchema
+    val widened = schema != tableSchema
+    if (!evolveSchema) {
+      val extra = source.schema.fieldNames
+        .filterNot(tableSchema.fieldNames.contains)
+      require(extra.isEmpty,
+        s"MERGE source has columns absent from the table " +
+          s"(${extra.mkString(", ")}); pass evolveSchema = true to widen")
+    }
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"MERGE key $k not in the table schema"))
-    val currentSv = commits.last.schemaVersion
+    val currentSv =
+      if (widened) commits.last.schemaVersion + 1
+      else commits.last.schemaVersion
     val live = effective(commits)
     // pin the source: it is evaluated for touch-detection, the
     // anti-join, AND the final write — a non-deterministic source
@@ -688,7 +709,7 @@ object CdcTable {
 
     val targetLayout = partitionBy.filter(schema.fieldNames.contains)
     def mustRewrite(c: Commit, f: String): Boolean =
-      touched(f) || c.schemaVersion != currentSv ||
+      widened || touched(f) || c.schemaVersion != currentSv ||
         partColsFromPath(f) != targetLayout
     val rewriteCommits = live
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))

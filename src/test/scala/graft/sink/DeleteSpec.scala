@@ -179,6 +179,29 @@ class DeleteSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("merge with schema evolution widens the table; without it rejects") {
+    val dir = tmpDir("mergeevolve")
+    CdcTable.append(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "_id", "v"), dir)
+    val source = Seq((2L, "b", 999L, "hot"), (9L, "i", 90L, "cold"))
+      .toDF("k", "_id", "v", "tag")
+    // default: a new source column is an error, not silent data loss
+    intercept[IllegalArgumentException] {
+      CdcTable.merge(spark, dir, source, keys = Seq("k"))
+    }
+    val sv0 = CdcTable.log(dir).last.schemaVersion
+    val r = CdcTable.merge(spark, dir, source, keys = Seq("k"),
+      evolveSchema = true)
+    assert(r.rowsDeleted == 1L)
+    assert(CdcTable.log(dir).last.schemaVersion == sv0 + 1,
+      "widening opens a new schema generation")
+    val rows = CdcTable.read(spark, dir)
+      .select("k", "v", "tag").as[(Long, Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 10L, None), (2L, 999L, Some("hot")),
+      (9L, 90L, Some("cold"))), s"got $rows")
+  }
+
   test("GRAFT MERGE FROM a parquet source runs from SQL") {
     val dir = tmpDir("mergesql")
     val srcDir = tmpDir("mergesrc")
