@@ -77,7 +77,7 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val mergeRe = Pattern.compile(
     """\s*GRAFT\s+MERGE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
-      """\s+ON\s+([\w\s,`]+?)\s*;?\s*""",
+      """\s+ON\s+([\w\s,`]+?)(?:\s+(EVOLVE))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
@@ -129,7 +129,8 @@ object GraftSqlParser {
     if (mm.matches()) {
       val ks = mm.group(3).split(",").toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      return Some(MergeGraftTable(mm.group(1), mm.group(2), ks))
+      return Some(MergeGraftTable(mm.group(1), mm.group(2), ks,
+        evolve = mm.group(4) != null))
     }
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
@@ -328,11 +329,13 @@ case class UpdateGraftTable(dir: String,
   }
 }
 
-/** `GRAFT MERGE '<target>' FROM '<source>' ON k1[, k2 …]` — keyed
-  * upsert ([[CdcTable.merge]]): the source is a graft table when
-  * `<source>` has a commit log, else a parquet directory. */
+/** `GRAFT MERGE '<target>' FROM '<source>' ON k1[, k2 …] [EVOLVE]` —
+  * keyed upsert ([[CdcTable.merge]]): the source is a graft table when
+  * `<source>` has a commit log, else a parquet directory; `EVOLVE`
+  * widens the table schema by new source columns (full rewrite). */
 case class MergeGraftTable(dir: String, sourceDir: String,
-    keys: Seq[String]) extends LeafRunnableCommand {
+    keys: Seq[String], evolve: Boolean = false)
+    extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
   override val output: Seq[Attribute] = Seq(
@@ -344,7 +347,8 @@ case class MergeGraftTable(dir: String, sourceDir: String,
       if (CdcTable.log(sourceDir).nonEmpty)
         CdcTable.read(spark, sourceDir)
       else spark.read.parquet(sourceDir)
-    val r = CdcTable.merge(spark, dir, source, keys)
+    val r = CdcTable.merge(spark, dir, source, keys,
+      evolveSchema = evolve)
     Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
   }
 }

@@ -215,6 +215,11 @@ class DeleteSpec extends SparkSpec {
     val rows = CdcTable.read(spark, dir)
       .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(rows == Seq((1L, 10L), (2L, 999L), (9L, 90L)), s"got $rows")
+    // EVOLVE widens via SQL too
+    Seq((7L, "g", 70L, "new")).toDF("k", "_id", "v", "extra")
+      .write.mode("overwrite").parquet(srcDir)
+    spark.sql(s"GRAFT MERGE '$dir' FROM '$srcDir' ON k EVOLVE").collect()
+    assert(CdcTable.read(spark, dir).columns.contains("extra"))
   }
 
   test("delete racing appends never loses a row (optimistic concurrency)") {
