@@ -44,6 +44,12 @@ class GraftStreamSpec extends SparkSpec {
         CdcTable.read(spark, dir).coalesce(1))
       q.processAllAvailable()
       assert(received.size == 3)
+      // DML lands as a replace too: no delete event is emitted
+      // (Delta-without-CDF semantics) and the cursor advances past it
+      CdcTable.delete(spark, dir, "x = 2")
+      q.processAllAvailable()
+      assert(received.size == 3,
+        "a DML replace must not emit rows into the change feed")
     } finally q.stop()
 
     // restart from the checkpoint: resumes at the cursor, no replays
@@ -52,7 +58,7 @@ class GraftStreamSpec extends SparkSpec {
     try {
       q2.processAllAvailable()
       assert(received.sorted.toSeq == Seq(
-        ("a", 1L), ("b", 2L), ("c", 3L), ("d", 5L)))
+        ("a", 1L), ("b", 2L), ("c", 3L), ("d", 6L)))
     } finally q2.stop()
   }
 
