@@ -251,6 +251,26 @@ class DeleteSpec extends SparkSpec {
         s"(CME seen during race: $cmeSeen)")
   }
 
+  test("vacuum after delete reclaims superseded files; stale travel raises") {
+    val dir = tmpDir("delvac")
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
+    val preDelete = CdcTable.log(dir).last.commit
+    CdcTable.delete(spark, dir, "x = 1")
+    // pre-delete snapshot is still travelable before vacuum
+    assert(CdcTable.readAsOf(spark, dir,
+      commitAsOf = Some(preDelete)).count() == 2)
+    val reclaimed = CdcTable.vacuumOrphans(dir, retainMillis = 0L)
+    assert(reclaimed.nonEmpty,
+      "the delete's rewritten-away file must become reclaimable")
+    // current state unaffected; stale travel must fail LOUDLY rather
+    // than silently returning partial data
+    assert(CdcTable.read(spark, dir).count() == 1)
+    intercept[Exception] {
+      CdcTable.readAsOf(spark, dir,
+        commitAsOf = Some(preDelete)).count()
+    }
+  }
+
   test("appends before a delete survive it; deletes compose") {
     val dir = tmpDir("delseq")
     CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
