@@ -623,13 +623,30 @@ object CdcTable {
       partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     // validate SET columns before any scan — a no-match update must
-    // still reject a typo'd column rather than silently succeed
-    currentSchema(dir).foreach { s =>
-      assignments.foreach { case (k, _) =>
-        require(s.fieldNames.contains(k),
-          s"UPDATE SET references unknown column $k")
+    // still reject a typo'd column rather than silently succeed.
+    // Resolution follows the session's resolver (case-insensitive by
+    // default, matching how Spark resolves the same name in the
+    // predicate), and the key is canonicalized to the table's spelling
+    // so the projection replaces the column instead of adding one.
+    val resolver = spark.sessionState.analyzer.resolver
+    val canonical = currentSchema(dir).fold(assignments) { s =>
+      assignments.map { case (k, v) =>
+        s.fieldNames.filter(resolver(_, k)) match {
+          case Array(one) => (one, v)
+          case Array() => throw new IllegalArgumentException(
+            s"UPDATE SET references unknown column $k")
+          case many => throw new IllegalArgumentException(
+            s"UPDATE SET column $k is ambiguous under the session " +
+              s"resolver (matches ${many.mkString(", ")})")
+        }
       }
     }
+    // duplicate assignments to one column must error (SQL semantics),
+    // not silently last-write-win through the projection map
+    val dupCols = canonical.groupBy(_._1).collect {
+      case (k, as) if as.size > 1 => k }
+    require(dupCols.isEmpty,
+      s"duplicate UPDATE SET assignments for: ${dupCols.mkString(", ")}")
     rewriteMatching(spark, dir, predicate, "update", partitionBy) {
       (rows, pred) =>
         import org.apache.spark.sql.functions.{col, expr, when}
@@ -638,7 +655,7 @@ object CdcTable {
         // sequential withColumn fold would feed later assignments the
         // already-updated columns (SET a = b, b = a would not swap,
         // and SET x = 0 ... WHERE x = 2 would unmatch mid-row)
-        rows.withColumns(assignments.map { case (k, v) =>
+        rows.withColumns(canonical.map { case (k, v) =>
           k -> when(pred, expr(v)).otherwise(col(s"`$k`"))
         }.toMap)
     }
@@ -726,9 +743,11 @@ object CdcTable {
       if (rewriteCommits.isEmpty)
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else SchemaMerge.castTo(
-        readCommits(spark, dir, rewriteCommits)
-          .join(srcKeys, keys.toSeq, "left_anti"), schema)
+      // cast BEFORE the key join: the rewrite subset's own last commit
+      // may predate a key column added by evolution, and the anti-join
+      // must resolve keys against the current table schema
+      else SchemaMerge.castTo(readCommits(spark, dir, rewriteCommits),
+        schema).join(srcKeys, keys.toSeq, "left_anti")
     val outRows = survivors.unionByName(SchemaMerge.castTo(src, schema))
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = outRows.write.mode("overwrite")
@@ -789,7 +808,15 @@ object CdcTable {
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(f => !touched(f) && carried.contains(f))).toMap
 
-    val outRows = transform(readCommits(spark, dir, rewriteCommits), pred)
+    // cast the rewrite set to the CURRENT table schema before the
+    // predicate/transform runs: readCommits targets the subset's own
+    // last commit, and when only older-generation files need rewriting
+    // (e.g. DELETE WHERE newcol IS NULL matching only pre-evolution
+    // files) a predicate referencing a newer-generation column would
+    // otherwise fail to resolve on a legitimate operation
+    val outRows = transform(
+      SchemaMerge.castTo(readCommits(spark, dir, rewriteCommits), schema),
+      pred)
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = SchemaMerge.castTo(outRows, schema)
       .write.mode("overwrite")

@@ -142,20 +142,30 @@ object GraftSqlParser {
   private[sqlext] def attr(name: String, t: DataType): Attribute =
     AttributeReference(name, t, nullable = false)()
 
-  /** Walk `s` tracking single-quoted literals ('' is the escaped
-    * quote) and paren depth, invoking `f(i, ch)` only at TOP level;
-    * `f` returns true to stop the walk at position i. */
+  /** Walk `s` tracking single-quoted literals ('' AND backslash
+    * escapes — Spark SQL accepts both 'don''t' and 'don\'t') and paren
+    * depth, invoking `f(i, ch)` only at TOP level; `f` returns true to
+    * stop the walk at position i. An unbalanced ')' clamps to depth 0
+    * rather than going negative (which would silently disable
+    * top-level detection for the rest of the string). */
   private def walkTopLevel(s: String)(f: (Int, Char) => Boolean): Int = {
     var depth = 0; var i = 0
     while (i < s.length) {
       s.charAt(i) match {
         case '\'' =>
-          i += 1 // skip the literal, honoring '' escapes
-          while (i < s.length && (s.charAt(i) != '\'' ||
-              (i + 1 < s.length && s.charAt(i + 1) == '\'' && {
-                i += 1; true }))) i += 1
+          i += 1 // skip the literal body up to its closing quote
+          var closed = false
+          while (i < s.length && !closed) {
+            s.charAt(i) match {
+              case '\\' => i += 2 // \' or \\ — skip the escaped char
+              case '\'' if i + 1 < s.length &&
+                  s.charAt(i + 1) == '\'' => i += 2 // '' escape
+              case '\'' => closed = true // outer i += 1 steps past it
+              case _ => i += 1
+            }
+          }
         case '(' => depth += 1
-        case ')' => depth -= 1
+        case ')' => if (depth > 0) depth -= 1
         case ch if depth == 0 => if (f(i, ch)) return i
         case _ =>
       }

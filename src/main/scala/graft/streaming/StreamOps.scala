@@ -240,9 +240,10 @@ object StreamOps extends Serializable {
       val (ripe, held) = all.partition(_.end + gapMs <= wm)
       // single-timer discipline: re-point at the earliest held
       // deadline (a stale earlier timer would fire into empty state —
-      // harmless but wasteful; a stale LATER one would delay emission)
-      getHandle.listTimers()
-        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // harmless but wasteful; a stale LATER one would delay emission).
+      // Materialize before deleting: removing entries while walking the
+      // live state-store iterator is mutation-during-iteration.
+      getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
       if (held.isEmpty) sessions.clear()
       else {
         sessions.put(held.toArray)

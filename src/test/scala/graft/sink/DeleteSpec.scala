@@ -285,4 +285,77 @@ class DeleteSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).select("x").as[Long]
       .collect().toSeq == Seq(2L))
   }
+
+  test("DELETE on an evolution-added column matching only old-gen files") {
+    val dir = tmpDir("delnewcol")
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
+    CdcTable.append(Seq((3L, "c", 30L)).toDF("x", "_id", "y"), dir)
+    // only gen-1 rows match, so the rewrite set is the gen-1 commit
+    // alone — whose own schema lacks y. The predicate must resolve
+    // against the CURRENT table schema, not the subset's.
+    val r = CdcTable.delete(spark, dir, "y IS NULL AND x = 1")
+    assert(r.rowsDeleted == 1L)
+    val rows = CdcTable.read(spark, dir)
+      .select("x").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(2L, 3L), s"got $rows")
+  }
+
+  test("UPDATE assigning an evolution-added column over old-gen rows") {
+    val dir = tmpDir("updnewcol")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    CdcTable.append(Seq((2L, "b", 20L)).toDF("x", "_id", "y"), dir)
+    val r = CdcTable.update(spark, dir, "y IS NULL", Seq("y" -> "0"))
+    assert(r.rowsDeleted == 1L)
+    val rows = CdcTable.read(spark, dir)
+      .select("x", "y").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 0L), (2L, 20L)), s"got $rows")
+  }
+
+  test("merge keyed on an evolution-added column, old generation untouched by keys") {
+    val dir = tmpDir("mergenewkey")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    CdcTable.append(Seq((2L, "b", 10L)).toDF("x", "_id", "k"), dir)
+    // insert-only source: no gen-2 file holds a matched key, but the
+    // gen-1 file still rewrites (generation compaction) and the key
+    // anti-join must resolve k on it via the current schema
+    val src = Seq((9L, "i", 99L)).toDF("x", "_id", "k")
+    val r = CdcTable.merge(spark, dir, src, keys = Seq("k"))
+    assert(r.rowsDeleted == 0L, s"insert-only: $r")
+    val rows = CdcTable.read(spark, dir)
+      .select("x", "k").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None), (2L, Some(10L)), (9L, Some(99L))),
+      s"got $rows")
+  }
+
+  test("UPDATE SET resolves names case-insensitively, rejects duplicates") {
+    val dir = tmpDir("updcase")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    val r = CdcTable.update(spark, dir, "x = 1", Seq("X" -> "41 + 1"))
+    assert(r.rowsDeleted == 1L)
+    assert(CdcTable.read(spark, dir).select("x").as[Long].head() == 42L)
+    assert(CdcTable.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("x", "_id"), "canonical spelling kept — no extra X column")
+    intercept[IllegalArgumentException] {
+      CdcTable.update(spark, dir, "x = 42",
+        Seq("x" -> "1", "X" -> "2"))
+    }
+  }
+
+  test("GRAFT UPDATE honors backslash-escaped quotes in literals") {
+    val dir = tmpDir("updbs")
+    CdcTable.append(Seq((1L, "a", "old"), (2L, "b", "old"))
+      .toDF("x", "_id", "note"), dir)
+    // the literal holds \', a comma, and an unbalanced '(' — none may
+    // split the assignment list or leak into WHERE detection
+    val out = spark.sql(s"GRAFT UPDATE '$dir' " +
+      "SET note = 'don\\'t, split (here', x = x + 1 WHERE _id = 'a'")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 == 1L, s"one row matches: $out")
+    val rows = CdcTable.read(spark, dir)
+      .select("_id", "x", "note").as[(String, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(("a", 2L, "don't, split (here"),
+      ("b", 2L, "old")), s"got $rows")
+  }
 }
