@@ -10,17 +10,19 @@ import org.apache.spark.sql.types._
   * via mapPartitions (the JVM analogue of mapInPandas — same batch
   * shape, same schema contract).
   *
-  * The actual codec call is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives a deterministic fake feature
-  * vector from the bytes. The Spark-side plumbing — schema, binary
-  * transport, per-partition batching, output contract — is real and
-  * tested; swapping the stub for a JNI/ONNX decoder changes one
-  * function.
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK (PNG,
+  * JPEG, BMP, GIF, WBMP readers — zero external jars), so
+  * [[decodeImage]]/[[imageInfo]]/[[resizeBytes]] do actual pixel work.
+  * Payloads no JDK reader recognizes (audio, video, arbitrary bytes)
+  * fall back to the deterministic stub path (`decodeStub`/
+  * `resizeStub`), keeping the pipeline total over any input; swapping
+  * the fallback for a JNI/ONNX codec changes one function.
   *
   * Scale notes: binary payloads make rows wide, so the pipeline keeps
   * them in their own column (never inside structs that defeat column
-  * pruning), samples frames BEFORE shuffling, and repartitions by
-  * byte-budget not row count.
+  * pruning), samples frames BEFORE shuffling, repartitions by
+  * byte-budget not row count, and [[imageInfo]] reads ONLY the header
+  * (no full pixel decode) for metadata probes.
   */
 object Multimodal {
 
@@ -46,12 +48,87 @@ object Multimodal {
 
   val featureDim = 8
 
-  /** STUB decode: ??? in production — replace with the real codec.
-    * Here: deterministic fake features (byte histogram moments) so the
-    * pipeline is testable end-to-end. Runs per-partition over the
-    * binary column with zero driver involvement. */
+  final case class ImageInfo(format: String, width: Int, height: Int,
+      channels: Int)
+
+  /** Header-only image probe (no pixel decode — the metadata path must
+    * stay cheap at 100 TB): format name, dimensions, and band count
+    * via the matching JDK ImageReader. None for anything the JDK
+    * cannot read. */
+  def imageInfo(bytes: Array[Byte]): Option[ImageInfo] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val ch = {
+              val it = r.getImageTypes(0)
+              if (it.hasNext) it.next().getNumBands else 3
+            }
+            Some(ImageInfo(r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              r.getWidth(0), r.getHeight(0), ch))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Full pixel decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP).
+    * None for unsupported or corrupt payloads — callers fall back to
+    * the stub path so the pipeline stays total. */
+  def decodeImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic 8-dim feature vector from ACTUAL pixels: channel
+    * means (R, G, B, alpha), luma mean + spread, aspect, log-scale
+    * size. One getRGB bulk grab per image, no per-pixel boxing. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+    var sl = 0.0; var sl2 = 0.0
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val a = (p >>> 24) & 0xFF
+      val r = (p >>> 16) & 0xFF
+      val g = (p >>> 8) & 0xFF
+      val b = p & 0xFF
+      sr += r; sg += g; sb += b; sa += a
+      val l = 0.299 * r + 0.587 * g + 0.114 * b
+      sl += l; sl2 += l * l
+      i += 1
+    }
+    val n = math.max(1, px.length).toDouble
+    val meanL = sl / n
+    val varL = math.max(0.0, sl2 / n - meanL * meanL)
+    Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+      (sb / n / 255.0).toFloat, (meanL / 255.0).toFloat,
+      (math.sqrt(varL) / 255.0).toFloat,
+      (w.toDouble / (w + h)).toFloat,
+      (math.log1p(w.toDouble * h) / 20.0).toFloat,
+      (sa / n / 255.0).toFloat)
+  }
+
+  /** FALLBACK decode for payloads no JDK reader handles (audio/video/
+    * opaque bytes — a real deployment would plug a JNI/ONNX codec in
+    * here): deterministic byte-histogram moments so the pipeline is
+    * testable end-to-end. Runs per-partition over the binary column
+    * with zero driver involvement. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    // ??? real implementation would decode the media container here
     val out = new Array[Float](featureDim)
     var i = 0
     while (i < bytes.length) {
@@ -67,7 +144,9 @@ object Multimodal {
 
   /** Feature-extract the `content` binary column into a
     * `features: array<float>` column via partition-parallel batches
-    * (mapPartitions ≈ mapInPandas batch shape). */
+    * (mapPartitions ≈ mapInPandas batch shape). Decodable images take
+    * the REAL pixel path ([[imageFeatures]]); everything else the
+    * deterministic stub. */
   def extractFeatures(df: DataFrame,
       contentCol: String = "content"): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -77,20 +156,45 @@ object Multimodal {
     val res: Dataset[Row] = df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ decodeStub(bytes).toSeq)
+        val feats = decodeImage(bytes).map(imageFeatures)
+          .getOrElse(decodeStub(bytes))
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)
     res
   }
 
-  /** STUB resize: ??? in production — a real implementation re-encodes
-    * the media at (w, h). Here: deterministic byte truncation
-    * proportional to the pixel-count ratio, so the PLUMBING —
-    * metadata recompute, partition-parallel batch shape, byte-size
-    * contract — is real and testable. */
+  /** REAL image resize: decode via ImageIO, bilinear-rescale through
+    * Graphics2D, re-encode as PNG (lossless, format-stable output).
+    * None when the payload is not a decodable image. */
+  def resizeBytes(bytes: Array[Byte], w: Int, h: Int)
+      : Option[Array[Byte]] =
+    decodeImage(bytes).flatMap { src =>
+      try {
+        val t = if (src.getColorModel.hasAlpha)
+          java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB
+        val dst = new java.awt.image.BufferedImage(w, h, t)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(dst, "png", out))
+          Some(out.toByteArray) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** FALLBACK resize for non-image payloads (a real deployment would
+    * re-encode the media container here): deterministic byte
+    * truncation proportional to the pixel-count ratio, so the
+    * PLUMBING — metadata recompute, partition-parallel batch shape,
+    * byte-size contract — stays total over any input. */
   def resizeStub(bytes: Array[Byte], srcW: Int, srcH: Int,
       w: Int, h: Int): Array[Byte] = {
-    // ??? real implementation would decode + rescale + re-encode
     val srcPx = math.max(1L, srcW.toLong * srcH)
     val keep = math.max(1L,
       bytes.length.toLong * (w.toLong * h) / srcPx)
@@ -102,10 +206,12 @@ object Multimodal {
   }
 
   /** Resize the `content` binary column to (w, h), recomputing the
-    * typed metadata struct (width/height/byte_size) in the same
+    * typed metadata struct (width/height/byte_size, and media_type →
+    * image/png on the real re-encode path) in the same
     * partition-parallel pass — the mapInPandas batch shape with zero
-    * driver involvement. Source dimensions default to the metadata
-    * values (fallback 1×1 for dimensionless payloads). */
+    * driver involvement. Decodable images rescale for REAL
+    * ([[resizeBytes]]); other payloads stub-truncate with source
+    * dimensions from the metadata (fallback 1×1). */
   def resizeTo(df: DataFrame, w: Int, h: Int,
       contentCol: String = "content",
       metaCol: String = "media_meta"): DataFrame = {
@@ -116,12 +222,40 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
         val meta = r.getStruct(mIdx)
-        val srcW = if (meta.isNullAt(2)) 1 else meta.getInt(2)
-        val srcH = if (meta.isNullAt(3)) 1 else meta.getInt(3)
-        val out = resizeStub(bytes, srcW, srcH, w, h)
-        val newMeta = Row(meta.get(0), out.length.toLong,
+        val (out, mediaType) = resizeBytes(bytes, w, h) match {
+          case Some(png) => (png, "image/png")
+          case None =>
+            val srcW = if (meta.isNullAt(2)) 1 else meta.getInt(2)
+            val srcH = if (meta.isNullAt(3)) 1 else meta.getInt(3)
+            (resizeStub(bytes, srcW, srcH, w, h), meta.getString(0))
+        }
+        val newMeta = Row(mediaType, out.length.toLong,
           w, h, meta.get(4))
         Row.fromSeq(r.toSeq.updated(cIdx, out).updated(mIdx, newMeta))
+      }
+    }(enc)
+  }
+
+  /** Fill the metadata struct from the payload's ACTUAL header
+    * (format → media_type, real width/height) wherever a JDK reader
+    * recognizes it; non-image rows keep their declared metadata.
+    * Header-only — no pixel decode. */
+  def probeMeta(df: DataFrame, contentCol: String = "content",
+      metaCol: String = "media_meta"): DataFrame = {
+    val enc = Encoders.row(df.schema)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    val mIdx = df.schema.fieldIndex(metaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](cIdx)
+        imageInfo(bytes) match {
+          case Some(info) =>
+            val meta = r.getStruct(mIdx)
+            val newMeta = Row(s"image/${info.format}",
+              bytes.length.toLong, info.width, info.height, meta.get(4))
+            Row.fromSeq(r.toSeq.updated(mIdx, newMeta))
+          case None => r
+        }
       }
     }(enc)
   }

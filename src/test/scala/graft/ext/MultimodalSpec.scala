@@ -71,6 +71,103 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L)._4.length == 0)
   }
 
+  private def solidImage(w: Int, h: Int, rgb: Int, fmt: String)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("doc_id", "content").withColumn("media_meta", struct(
+      lit("application/octet-stream").as("media_type"),
+      octet_length($"content").cast("long").as("byte_size"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"))
+      .cast(Multimodal.metadataSchema))
+
+  test("imageInfo reads real headers; decodeImage decodes real pixels") {
+    val png = solidImage(31, 17, 0xFF0000, "png")
+    val info = Multimodal.imageInfo(png)
+    assert(info == Some(Multimodal.ImageInfo("png", 31, 17, 3)),
+      s"got $info")
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == 31 && img.getHeight == 17)
+    assert((img.getRGB(15, 8) & 0xFFFFFF) == 0xFF0000,
+      "decoded pixel must be the painted red")
+    // non-images are None, not an exception
+    assert(Multimodal.imageInfo("not an image".getBytes) == None)
+    assert(Multimodal.decodeImage("not an image".getBytes) == None)
+    assert(Multimodal.imageInfo(Array.emptyByteArray) == None)
+  }
+
+  test("feature extraction uses ACTUAL pixels for decodable images") {
+    val red = solidImage(8, 8, 0xFF0000, "png")
+    val blue = solidImage(8, 8, 0x0000FF, "png")
+    val m = mediaDf(Seq((0L, red), (1L, blue),
+      (2L, "plain bytes".getBytes("UTF-8")))).repartition(3)
+    val feats = Multimodal.extractFeatures(m)
+      .select($"doc_id", $"features").as[(Long, Seq[Float])]
+      .collect().toMap
+    // solid red: meanR = 1, meanG = meanB = 0, luma = 0.299, spread 0
+    assert(math.abs(feats(0L)(0) - 1.0f) < 1e-3, s"${feats(0L)}")
+    assert(feats(0L)(1) < 1e-3 && feats(0L)(2) < 1e-3)
+    assert(math.abs(feats(0L)(3) - 0.299f) < 1e-3)
+    assert(feats(0L)(4) < 1e-3)
+    // solid blue: meanB = 1, luma = 0.114
+    assert(math.abs(feats(1L)(2) - 1.0f) < 1e-3, s"${feats(1L)}")
+    assert(math.abs(feats(1L)(3) - 0.114f) < 1e-3)
+    // non-image rows fall back to the deterministic stub
+    assert(feats(2L) ==
+      Multimodal.decodeStub("plain bytes".getBytes("UTF-8")).toSeq)
+  }
+
+  test("resize rescales real images and re-encodes as PNG") {
+    val png = solidImage(16, 8, 0x00FF00, "png")
+    val jpg = solidImage(16, 8, 0x808080, "jpg")
+    val m = mediaDf(Seq((0L, png), (1L, jpg)))
+    val r = Multimodal.resizeTo(m, w = 4, h = 2)
+    val rows = r.select("doc_id", "media_meta.media_type",
+        "media_meta.width", "media_meta.height",
+        "media_meta.byte_size", "content").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2),
+        x.getInt(3), x.getLong(4), x.getAs[Array[Byte]](5)))).toMap
+    rows.foreach { case (id, (mt, w, h, size, bytes)) =>
+      assert(mt == "image/png", s"doc $id re-encodes as png, got $mt")
+      assert(w == 4 && h == 2)
+      assert(size == bytes.length)
+      // the output must decode for real, at the requested dimensions
+      val back = Multimodal.decodeImage(bytes).get
+      assert(back.getWidth == 4 && back.getHeight == 2, s"doc $id")
+    }
+    // a solid green source stays solid green through bilinear resize
+    val backPx = Multimodal.decodeImage(rows(0L)._5).get.getRGB(1, 1)
+    assert((backPx & 0xFFFFFF) == 0x00FF00, f"got ${backPx & 0xFFFFFF}%06x")
+  }
+
+  test("probeMeta fills width/height/media_type from real headers only") {
+    val png = solidImage(12, 5, 0x123456, "png")
+    val m = mediaDf(Seq((0L, png), (1L, "opaque".getBytes("UTF-8"))))
+    val probed = Multimodal.probeMeta(m)
+      .select("doc_id", "media_meta.media_type", "media_meta.width",
+        "media_meta.height").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1),
+        Option(x.get(2)), Option(x.get(3))))).toMap
+    assert(probed(0L) == (("image/png", Some(12), Some(5))))
+    assert(probed(1L) ==
+      (("application/octet-stream", None, None)),
+      "non-image rows keep their declared metadata")
+  }
+
   test("resize upscale never overflows: payload is clamped, not wrapped") {
     // dimensionless payload (1x1 fallback) upscaled to 2048x2048:
     // keep = len * 2^22 overflows Int if narrowed before the clamp
