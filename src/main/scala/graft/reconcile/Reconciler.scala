@@ -94,4 +94,38 @@ object Reconciler {
         .unionByName(src.join(mismKeys, Seq(keyCol), "left_semi")),
       deletes = r.extraInTarget.select(col(keyCol)))
   }
+
+  final case class RepairResult(upserted: graft.sink.CdcTable.DeleteResult,
+      deleted: graft.sink.CdcTable.DeleteResult)
+
+  /** Apply a repair plan to a graft table end to end (reference FR-021
+    * "sync source→target", `spec.md:208`): one keyed MERGE lands the
+    * upserts (missing + mismatched, source wins), one keyed DELETE
+    * drops the extra keys — two replace commits, both carrying
+    * untouched files by reference, both key sets staying distributed
+    * (no driver-side IN-lists). After this, `diff(src, read(target))`
+    * is empty by construction. */
+  def applyRepair(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, plan: RepairPlan, keyCol: String,
+      partitionBy: Seq[String] = Seq("_ingestion_date")): RepairResult = {
+    val up = graft.sink.CdcTable.merge(spark, targetDir, plan.upserts,
+      keys = Seq(keyCol), partitionBy = partitionBy)
+    // plan.deletes was derived from the PRE-merge target snapshot —
+    // still valid: the merge only writes source-keyed rows, and the
+    // diff's extra keys are disjoint from source keys by definition
+    val del = graft.sink.CdcTable.deleteKeys(spark, targetDir,
+      plan.deletes, keyCols = Seq(keyCol), partitionBy = partitionBy)
+    RepairResult(up, del)
+  }
+
+  /** One-call reconcile-and-repair: diff `src` against the graft table
+    * at `targetDir`, apply the repair, return the applied stats. */
+  def reconcileAndRepair(spark: org.apache.spark.sql.SparkSession,
+      src: DataFrame, targetDir: String, keyCol: String,
+      compareCols: Seq[String],
+      partitionBy: Seq[String] = Seq("_ingestion_date")): RepairResult = {
+    val tgt = graft.sink.CdcTable.read(spark, targetDir)
+    applyRepair(spark, targetDir,
+      repairPlan(src, tgt, keyCol, compareCols), keyCol, partitionBy)
+  }
 }

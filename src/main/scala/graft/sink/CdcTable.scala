@@ -674,10 +674,31 @@ object CdcTable {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String],
       partitionBy: Seq[String] = Seq("_ingestion_date"),
-      evolveSchema: Boolean = false): DeleteResult = {
+      evolveSchema: Boolean = false): DeleteResult =
+    keyedRewrite(spark, dir, source, keys, partitionBy, evolveSchema,
+      insert = true, op = "merge")
+
+  /** Keyed DELETE: drop every target row whose key tuple appears in
+    * `keys` — the repair-plan / right-to-be-forgotten path where the
+    * key set is a FRAME, not a literal predicate (so it never
+    * round-trips through the driver as an IN-list). Same touched-file
+    * machinery as MERGE minus the insert: only files holding matched
+    * keys rewrite, everything else carries by reference. */
+  def deleteKeys(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCols: Seq[String],
+      partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult =
+    keyedRewrite(spark, dir,
+      keys.select(keyCols.map(k =>
+        org.apache.spark.sql.functions.col(s"`$k`")).toIndexedSeq: _*),
+      keyCols, partitionBy, evolveSchema = false,
+      insert = false, op = "deleteKeys")
+
+  private def keyedRewrite(spark: SparkSession, dir: String,
+      source: DataFrame, keys: Seq[String], partitionBy: Seq[String],
+      evolveSchema: Boolean, insert: Boolean, op: String): DeleteResult = {
     import org.apache.spark.sql.functions.{col, count, input_file_name,
       lit, regexp_extract}
-    require(keys.nonEmpty, "MERGE needs at least one key column")
+    require(keys.nonEmpty, s"$op needs at least one key column")
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
     val snap = commits.last.commit
@@ -697,11 +718,11 @@ object CdcTable {
       val extra = source.schema.fieldNames
         .filterNot(tableSchema.fieldNames.contains)
       require(extra.isEmpty,
-        s"MERGE source has columns absent from the table " +
+        s"$op source has columns absent from the table " +
           s"(${extra.mkString(", ")}); pass evolveSchema = true to widen")
     }
     keys.foreach(k => require(schema.fieldNames.contains(k),
-      s"MERGE key $k not in the table schema"))
+      s"$op key $k not in the table schema"))
     val currentSv =
       if (widened) commits.last.schemaVersion + 1
       else commits.last.schemaVersion
@@ -736,6 +757,11 @@ object CdcTable {
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(f => !touched(f) && carried.contains(f))).toMap
 
+    // a keyed delete matching nothing (and needing no generation or
+    // layout compaction) must be a no-op commit-wise, like delete()
+    if (!insert && rewriteCommits.isEmpty)
+      return DeleteResult(0L, 0L, carried.size, snap)
+
     // an insert-only merge (no keys matched, single generation,
     // matching layout) rewrites nothing — readCommits cannot take an
     // empty commit list, so survivors degenerate to an empty frame
@@ -748,7 +774,9 @@ object CdcTable {
       // must resolve keys against the current table schema
       else SchemaMerge.castTo(readCommits(spark, dir, rewriteCommits),
         schema).join(srcKeys, keys.toSeq, "left_anti")
-    val outRows = survivors.unionByName(SchemaMerge.castTo(src, schema))
+    val outRows =
+      if (insert) survivors.unionByName(SchemaMerge.castTo(src, schema))
+      else survivors
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = outRows.write.mode("overwrite")
     (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
@@ -760,9 +788,9 @@ object CdcTable {
       stats = carriedStats ++ FileStats.collect(dir, fresh)),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
-          s"merge at $dir built from commit $snap but the log is now " +
+          s"$op at $dir built from commit $snap but the log is now " +
             s"at ${cur.lastOption.map(_.commit).getOrElse(0L)} — a " +
-            "write landed mid-merge; rerun over the new snapshot " +
+            s"write landed mid-$op; rerun over the new snapshot " +
             "(nothing was lost)"))
     DeleteResult(rowsMatched, fresh.size, carried.size, c.commit)
   }

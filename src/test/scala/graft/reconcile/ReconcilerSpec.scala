@@ -43,4 +43,60 @@ class ReconcilerSpec extends SparkSpec {
     assert(r2.missingInTarget.count() == 0 && r2.extraInTarget.count() == 0
       && r2.mismatched.count() == 0)
   }
+
+  test("applyRepair converges a corrupted graft table to the source") {
+    import graft.sink.CdcTable
+    val dir = tmpDir("repair")
+    // target table: one clean file (ids 1,4) that must carry by
+    // reference, one corrupt/extra file (ids 2 mismatched, 5 extra)
+    CdcTable.append(Seq((1L, "a", 10.0), (4L, "d", 40.0))
+      .toDF("id", "name", "amount").withColumn("_id", $"id".cast("string")),
+      dir)
+    CdcTable.append(Seq((2L, "b", 99.0), (5L, "e", 50.0))
+      .toDF("id", "name", "amount").withColumn("_id", $"id".cast("string")),
+      dir)
+    val before = CdcTable.log(dir).flatMap(_.files).toSet
+
+    val srcDf = src.withColumn("_id", $"id".cast("string"))
+    val plan = Reconciler.repairPlan(srcDf,
+      CdcTable.read(spark, dir), "id", Seq("name", "amount"))
+    val res = Reconciler.applyRepair(spark, dir, plan, "id")
+    assert(res.upserted.rowsDeleted == 1L, s"one key (2) matched: $res")
+    assert(res.deleted.rowsDeleted == 1L, s"one key (5) deleted: $res")
+
+    // convergence: re-diff shows zero missing/extra/mismatched (FR-021)
+    val r2 = Reconciler.diff(srcDf, CdcTable.read(spark, dir), "id",
+      Seq("name", "amount"))
+    assert(r2.missingInTarget.count() == 0)
+    assert(r2.extraInTarget.count() == 0)
+    assert(r2.mismatched.count() == 0)
+    assert(CdcTable.read(spark, dir).select("id", "amount")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    // the clean file carried by reference through BOTH commits
+    assert(CdcTable.log(dir).last.files.toSet.intersect(before).nonEmpty,
+      "untouched file must survive merge + deleteKeys unrewritten")
+    // and the bucket digests now agree end to end
+    val cmp = Reconciler.compareBuckets(srcDf,
+      CdcTable.read(spark, dir), "id", 8, Seq("name", "amount"))
+    assert(cmp.filter(!$"is_match").count() == 0)
+  }
+
+  test("deleteKeys: no-op on no match, distributed key-frame delete") {
+    import graft.sink.CdcTable
+    val dir = tmpDir("delkeys")
+    CdcTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "_id"), dir)
+    val last = CdcTable.log(dir).last.commit
+    val none = CdcTable.deleteKeys(spark, dir,
+      Seq(99L).toDF("k"), Seq("k"))
+    assert(none.rowsDeleted == 0L &&
+      CdcTable.log(dir).last.commit == last,
+      "no-match keyed delete must not commit")
+    val r = CdcTable.deleteKeys(spark, dir,
+      Seq(1L, 3L).toDF("k"), Seq("k"))
+    assert(r.rowsDeleted == 2L)
+    assert(CdcTable.read(spark, dir).select("k").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
 }
