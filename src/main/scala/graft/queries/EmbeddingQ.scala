@@ -278,25 +278,69 @@ object EmbeddingQ {
   }
 
   /** q75 — IVF centroid training ([[Similarity.kmeansFit]]): 3
-    * Lloyd's iterations at k = 8 over the embeddings, then the final
-    * assignment's cluster sizes. Each iteration is one codegen'd
-    * argmax projection (no join/shuffle of the corpus) plus one
-    * map-side-combinable (cid, dim) aggregation; fixed-point sums and
-    * id-ordered seeding make the fit bit-deterministic, so the output
-    * is stable run to run. No SQL oracle (iterative training isn't
-    * reasonably SQL-expressible) — semantics are spec-asserted on
-    * planted clusters (SimilaritySpec), the driver records the
-    * rows-only check. */
+    * Lloyd's iterations at k = 8 over the embeddings. Each iteration
+    * is one codegen'd argmax projection (no join/shuffle of the
+    * corpus) plus one map-side-combinable (cid, dim) aggregation;
+    * fixed-point sums and id-ordered seeding make the fit
+    * bit-deterministic.
+    *
+    * Iterative training itself is not SQL-expressible, so the query
+    * emits ORACLE-CHECKABLE INVARIANTS of the fit, folded to values
+    * DuckDB can state from the raw table: row counts survive the
+    * assignment join, every cluster is non-empty, two INDEPENDENT
+    * assignment implementations (centroid-literal `greatest` argmax
+    * vs broadcast-join `max_by` argmax) agree on every point's
+    * centroid, and every trained centroid lies inside the data's
+    * per-dimension convex-hull box (an invariant of mean updates:
+    * seeds are data points and every recompute is a mean, so a
+    * centroid outside [min, max] of any dimension means broken
+    * sum/count arithmetic). Any training/assignment bug flips a flag
+    * and fails the hash; detailed semantics stay spec-asserted on
+    * planted clusters (SimilaritySpec). */
   def q75(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Similarity
     val emb = Tables(s, dir, "embeddings")
-    val cents = graft.ext.Similarity
+    val cents = Similarity
       .kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
-    emb.withColumn("cid",
-        graft.ext.Similarity.ivfAssignLit(s, "embedding", cents))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_vectors"))
-      .orderBy(col("cid"))
+    // per-dimension data bounds (64 rows — metadata-scale collect);
+    // 1e-5 slack absorbs the 1e-6 fixed-point rounding of the mean
+    val bounds = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getFloat(1), r.getFloat(2)))).toMap
+    val inHull = cents.forall { case (_, vec) =>
+      vec.zipWithIndex.forall { case (x, d) =>
+        val (lo, hi) = bounds(d)
+        x >= lo - 1e-5f && x <= hi + 1e-5f
+      }
+    }
+    val centDf = s.createDataFrame(
+      cents.map { case (cid, v) => (cid, v.toSeq) }).toDF("cid", "ce")
+    val assigned = emb.select(col("vec_id"),
+      Similarity.ivfAssignLit(s, "embedding", cents).as("cid"))
+    val alt = Similarity
+      .ivfAssign(emb.select(col("vec_id"), col("embedding")), centDf)
+      .select(col("vec_id"), col("cid").as("alt_cid"))
+    assigned.join(alt, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("cid")).as("ncl"),
+        max(when(col("cid") =!= col("alt_cid"), 1)
+          .otherwise(0)).as("mismatch"))
+      .select(
+        lit(8).as("k"),
+        col("n_points"),
+        (col("ncl") === 8).as("clusters_nonempty"),
+        (col("mismatch") === 0).as("argmax_agree"),
+        lit(inHull).as("centroids_in_hull"))
   }
+
+  val q75Sql: String =
+    """SELECT 8 AS k, COUNT(*) AS n_points,
+      |  TRUE AS clusters_nonempty, TRUE AS argmax_agree,
+      |  TRUE AS centroids_in_hull
+      |FROM embeddings""".stripMargin
 
   /** q78 — cluster-balanced sampling (the diversity-sampling curation
     * op): assign every vector to its nearest centroid (vec_id < 8
@@ -391,7 +435,7 @@ object EmbeddingQ {
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),
     QueryDef("q39_ivf_search", q39, Some(q39Sql)),
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
-    QueryDef("q75_kmeans_train", q75, None),
+    QueryDef("q75_kmeans_train", q75, Some(q75Sql)),
     QueryDef("q78_cluster_sample", q78, Some(q78Sql)),
     QueryDef("q79_embedding_outliers", q79, Some(q79Sql)),
     QueryDef("q69_vec_quantize", q69, Some(q69Sql)),

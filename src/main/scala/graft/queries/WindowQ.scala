@@ -102,22 +102,43 @@ object WindowQ {
       |WHERE vec_id < 3 ORDER BY vec_id, pos""".stripMargin
 
   /** q55 — approximate distinct via HLL sketch (Spark 4 datasketches
-    * surface). No DuckDB oracle: HLL implementations differ between
-    * engines, so the driver records the weaker rows-only check — the
-    * estimate itself is asserted engine-side in the spec suite. */
+    * surface) + approx_count_distinct, made fully oracle-checkable:
+    * raw HLL estimates differ between engines, so the query emits the
+    * EXACT distinct counts (hash-compared against DuckDB) alongside a
+    * relative-error BOUND on each estimator folded into a boolean the
+    * oracle states as TRUE — a drifting/broken sketch flips the flag
+    * and fails the hash. At 100 TB users run ONLY the sketch columns
+    * (that is their point — one pass, bounded memory); the exact
+    * columns here exist to gate the estimators against the oracle. */
   def q55(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
         expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
-          .as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+          .as("hll_parts"),
+        approx_count_distinct(col("l_suppkey")).as("acd_supps"))
+      .select(col("l_returnflag"),
+        col("exact_parts"), col("exact_supps"),
+        (abs(col("hll_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("hll_within_5pct"),
+        (abs(col("acd_supps") - col("exact_supps")) <=
+          col("exact_supps") * 0.05).as("acd_within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  val q55Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+      |  TRUE AS hll_within_5pct,
+      |  TRUE AS acd_within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_moving_window", q51, Some(q51Sql)),
     QueryDef("q52_string_agg", q52, Some(q52Sql)),
     QueryDef("q53_except_all", q53, Some(q53Sql)),
     QueryDef("q54_posexplode", q54, Some(q54Sql)),
-    QueryDef("q55_approx_distinct", q55, None))
+    QueryDef("q55_approx_distinct", q55, Some(q55Sql)))
 }

@@ -161,17 +161,16 @@ class StatefulSpec extends SparkSpec {
   }
 
   test("hll sketch estimates are close to exact distincts") {
+    // q55 folds the estimator bound into boolean columns (so the
+    // DuckDB oracle can hash-check them); assert they hold here too
     val r = graft.queries.WindowQ.q55(spark, "/root/testdata/sf0.001")
       .collect()
-    val exact = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(org.apache.spark.sql.functions.countDistinct($"l_partkey"))
-      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.length == 3)
     r.foreach { row =>
-      val est = row.getLong(1).toDouble
-      val ex = exact(row.getString(0)).toDouble
-      assert(math.abs(est - ex) / ex < 0.1,
-        s"HLL estimate $est vs exact $ex")
+      assert(row.getLong(1) > 0 && row.getLong(2) > 0,
+        s"exact distincts must be positive: $row")
+      assert(row.getBoolean(3), s"HLL estimate out of 5% bound: $row")
+      assert(row.getBoolean(4), s"ACD estimate out of 5% bound: $row")
     }
   }
 
