@@ -302,6 +302,28 @@ object Similarity {
       .select(col("best.*"))
   }
 
+  /** Rows whose `dotCol` falls below (num/den) of their cluster's
+    * mean — the outlier filter behind q79. The cross-multiplied
+    * comparison `dot·den·n < s·num` runs in DECIMAL(38,0) END TO END
+    * (the sum too): BIGINT fixed-point sums overflow at ~9e5 rows per
+    * cluster at unit-norm 1e12-scale dots, and a 100 TB corpus blows
+    * past that trivially. DECIMAL(38,0) keeps the comparison exact to
+    * 38 digits (≈1e26 rows/cluster) with zero float rounding, so the
+    * result still hash-matches an engine computing in int128. The
+    * 8-ish-row stats frame broadcasts back; the corpus pays one
+    * combinable aggregation. */
+  def clusterMeanOutliers(assigned: DataFrame, num: Int = 8,
+      den: Int = 10, dotCol: String = "dot_fx",
+      cidCol: String = "cid"): DataFrame = {
+    val stats = assigned.groupBy(col(cidCol))
+      .agg(sum(col(dotCol).cast("decimal(38,0)")).as("__s"),
+        count(lit(1)).as("__n"))
+    assigned.join(broadcast(stats), Seq(cidCol))
+      .filter(col(dotCol).cast("decimal(38,0)") * den * col("__n") <
+        col("__s") * num)
+      .drop("__s", "__n")
+  }
+
   /** Per-vector int8 symmetric quantization quality: adds `q_scale`
     * (= max|x| / 127, the dequantization step) and `q_err` (mean
     * absolute reconstruction error of round-to-int8-and-back). The

@@ -392,9 +392,11 @@ object EmbeddingQ {
     * cluster-stats frame broadcasts back; the corpus pays one argmax
     * projection + one combinable aggregation.
     *
-    * Integer-exactness bound: dot_fx·10·n stays within Long for
-    * clusters up to ~9e5 rows at unit-norm dots; at larger scale
-    * rescale the fixed point (1e9) or compare in DECIMAL. */
+    * The mean comparison runs in DECIMAL(38,0) end to end
+    * ([[Similarity.clusterMeanOutliers]]): exact at any cluster size
+    * a 100 TB corpus produces (BIGINT fixed-point would overflow at
+    * ~9e5 rows/cluster), and still bit-agreeing with DuckDB's
+    * int128 arithmetic. */
   def q79(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
@@ -404,10 +406,7 @@ object EmbeddingQ {
     val assigned = emb.select(col("vec_id"),
       Similarity.ivfAssignLit(s, "embedding", cents).as("cid"),
       Similarity.ivfAssignDotLit(s, "embedding", cents).as("dot_fx"))
-    val stats = assigned.groupBy(col("cid"))
-      .agg(sum(col("dot_fx")).as("s"), count(lit(1)).as("n"))
-    assigned.join(broadcast(stats), Seq("cid"))
-      .filter(col("dot_fx") * 10 * col("n") < col("s") * 8)
+    Similarity.clusterMeanOutliers(assigned)
       .select(col("vec_id"), col("cid"), col("dot_fx"))
       .orderBy(col("vec_id"))
   }

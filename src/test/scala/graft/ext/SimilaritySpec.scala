@@ -112,6 +112,40 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("clusterMeanOutliers is exact past the BIGINT fixed-point bound") {
+    import spark.implicits._
+    // dot_fx values at the magnitude a ~1e6-row cluster of unit-norm
+    // 1e12-scale dots produces: dot·den·n here is ~1.5e19 > Long.Max,
+    // so 64-bit cross-multiplication would wrap negative and flag the
+    // WRONG rows — the DECIMAL(38,0) path must stay exact
+    val big = 5e17.toLong // 500_000_000_000_000_000
+    val assigned = Seq(
+      (0L, 0L, big), (1L, 0L, big), (2L, 0L, big / 2), // below 80% mean
+      (3L, 1L, big), (4L, 1L, big + 2), (5L, 1L, big + 4))
+      .toDF("vec_id", "cid", "dot_fx")
+    val out = Similarity.clusterMeanOutliers(assigned)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(2L),
+      s"only the half-similarity vector is an outlier, got $out")
+    // sanity: a 64-bit evaluation of the same comparison genuinely
+    // overflows (under ANSI it throws ARITHMETIC_OVERFLOW; non-ANSI
+    // would wrap and misclassify) — otherwise this test is vacuous
+    val thrown = intercept[Exception] {
+      assigned
+        .groupBy($"cid").agg(
+          org.apache.spark.sql.functions.sum($"dot_fx").as("s"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .join(assigned, Seq("cid"))
+        .filter($"dot_fx" * 10 * $"n" < $"s" * 8)
+        .count()
+    }
+    val msgs = Iterator.iterate(thrown: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("ARITHMETIC_OVERFLOW") ||
+      msgs.contains("long overflow"), s"unexpected failure: $msgs")
+  }
+
   test("retry: transient errors recover, schema conflicts fail fast") {
     var calls = 0
     val r = graft.streaming.Retry.withBackoff(maxAttempts = 3,
