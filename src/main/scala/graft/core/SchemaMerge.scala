@@ -52,9 +52,17 @@ object SchemaMerge {
     ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
     FloatType -> 4, DoubleType -> 5)
 
-  /** Merge two types; `path` is for error reporting. */
+  /** Merge two types; `path` is for error reporting. `maxStructFields`
+    * caps NESTED struct width (SURVEY §1.2 optional MapType overflow):
+    * a merged nested struct exceeding it collapses to
+    * `map<string, V>` — V the Auto-merge of all field types — so a
+    * corpus with unbounded key sets (per-user attribute bags, sparse
+    * feature dicts) keeps a BOUNDED table schema instead of widening
+    * by one column per novel key. The top-level row struct never
+    * collapses. */
   def mergeTypes(a: DataType, b: DataType, mode: MergeMode = Auto,
-      path: String = ""): DataType = (a, b) match {
+      path: String = "",
+      maxStructFields: Int = Int.MaxValue): DataType = (a, b) match {
     case (x, y) if x == y => x
     case (NullType, t) => t
     case (t, NullType) => t
@@ -78,8 +86,22 @@ object SchemaMerge {
             math.min(intDigits + scale, DecimalType.MAX_PRECISION), scale)
       }
     case (ArrayType(ea, na), ArrayType(eb, nb)) =>
-      ArrayType(mergeTypes(ea, eb, mode, s"$path[]"), na || nb)
-    case (sa: StructType, sb: StructType) => mergeStructs(sa, sb, mode, path)
+      ArrayType(mergeTypes(ea, eb, mode, s"$path[]", maxStructFields),
+        na || nb)
+    case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+      MapType(mergeTypes(ka, kb, mode, s"$path<key>", maxStructFields),
+        mergeTypes(va, vb, mode, s"$path<val>", maxStructFields), na || nb)
+    // an already-spilled map absorbs later struct batches: every
+    // field folds into the value type, the schema stays one column
+    case (m: MapType, s: StructType) if maxStructFields < Int.MaxValue =>
+      structIntoMap(s, m, mode, path, maxStructFields)
+    case (s: StructType, m: MapType) if maxStructFields < Int.MaxValue =>
+      structIntoMap(s, m, mode, path, maxStructFields)
+    case (sa: StructType, sb: StructType) =>
+      val m = mergeStructs(sa, sb, mode, path, maxStructFields)
+      if (path.nonEmpty && m.size > maxStructFields)
+        collapseToMap(m, mode, path, maxStructFields)
+      else m
     // Coercion: typed existing column + string incoming → keep the
     // typed column; incoming values convert (or DLQ) per row. The
     // mirrored (string existing, typed incoming) stays string — data
@@ -90,6 +112,46 @@ object SchemaMerge {
       case _ => StringType // incompatible → string fallback
     }
   }
+
+  /** Spill a too-wide struct to `map<string, V>`; values merge under
+    * Auto (never Strict — the spill itself is a lossy-by-design
+    * widening, so heterogeneous values fall back to string rather
+    * than raise). */
+  private def collapseToMap(s: StructType, mode: MergeMode,
+      path: String, maxStructFields: Int): MapType = {
+    val vmode = if (mode == Strict) Auto else mode
+    val vt = s.fields.map(_.dataType).reduceLeft((x, y) =>
+      mergeTypes(x, y, vmode, s"$path<val>", maxStructFields))
+    MapType(StringType, vt, valueContainsNull = true)
+  }
+
+  private def structIntoMap(s: StructType, m: MapType, mode: MergeMode,
+      path: String, maxStructFields: Int): MapType = {
+    val vmode = if (mode == Strict) Auto else mode
+    val vt = s.fields.map(_.dataType).foldLeft(m.valueType)((acc, t) =>
+      mergeTypes(acc, t, vmode, s"$path<val>", maxStructFields))
+    MapType(m.keyType, vt, valueContainsNull = true)
+  }
+
+  /** Apply the spill cap to a type arriving WHOLE (an added field —
+    * it never passes through a two-sided merge, so the struct-struct
+    * cap in [[mergeTypes]] would not see it). */
+  private def capType(t: DataType, mode: MergeMode, path: String,
+      maxStructFields: Int): DataType =
+    if (maxStructFields == Int.MaxValue) t
+    else t match {
+      case s: StructType =>
+        val capped = StructType(s.fields.map(f => f.copy(dataType =
+          capType(f.dataType, mode, s"$path.${f.name}", maxStructFields))))
+        if (path.nonEmpty && capped.size > maxStructFields)
+          collapseToMap(capped, mode, path, maxStructFields)
+        else capped
+      case ArrayType(e, n) =>
+        ArrayType(capType(e, mode, s"$path[]", maxStructFields), n)
+      case MapType(k, v, n) =>
+        MapType(k, capType(v, mode, s"$path<val>", maxStructFields), n)
+      case other => other
+    }
 
   /** Types worth attempting a string→T value conversion for. */
   private def isCoercionTarget(t: DataType): Boolean = t match {
@@ -126,28 +188,34 @@ object SchemaMerge {
   }
 
   private def mergeStructs(a: StructType, b: StructType, mode: MergeMode,
-      path: String): StructType = {
+      path: String, maxStructFields: Int = Int.MaxValue): StructType = {
     val bByName = b.fields.map(f => f.name -> f).toMap
     val merged = a.fields.map { fa =>
       bByName.get(fa.name) match {
         case Some(fb) =>
           StructField(fa.name,
             mergeTypes(fa.dataType, fb.dataType, mode,
-              if (path.isEmpty) fa.name else s"$path.${fa.name}"),
+              if (path.isEmpty) fa.name else s"$path.${fa.name}",
+              maxStructFields),
             nullable = true)
         case None => fa.copy(nullable = true)
       }
     }
     val aNames = a.fieldNames.toSet
     val added = b.fields.filterNot(f => aNames(f.name))
-      .map(_.copy(nullable = true))
+      .map(f => f.copy(nullable = true, dataType = capType(f.dataType,
+        mode, if (path.isEmpty) f.name else s"$path.${f.name}",
+        maxStructFields)))
     StructType(merged ++ added)
   }
 
   /** Merge two schemas under a mode (Strict still allows NEW fields —
-    * only type CHANGES raise, per reference schema_inferrer.py:218-262). */
-  def merge(a: StructType, b: StructType, mode: MergeMode = Auto): StructType =
-    mergeStructs(a, b, mode, "")
+    * only type CHANGES raise, per reference schema_inferrer.py:218-262).
+    * `maxStructFields` enables the nested-struct → MapType overflow
+    * spill (see [[mergeTypes]]). */
+  def merge(a: StructType, b: StructType, mode: MergeMode = Auto,
+      maxStructFields: Int = Int.MaxValue): StructType =
+    mergeStructs(a, b, mode, "", maxStructFields)
 
   /** True when every value of `from` is representable in `to` without
     * loss (reference type_resolver.py:368-420 safe-widening check). */
@@ -162,6 +230,12 @@ object SchemaMerge {
       y.scale >= x.scale &&
         (y.precision - y.scale) >= (x.precision - x.scale)
     case (ArrayType(ea, _), ArrayType(eb, _)) => isSafeWidening(ea, eb)
+    // the MapType overflow spill: every field value must fit the map's
+    // value type (keys stringify losslessly)
+    case (sa: StructType, m: MapType) =>
+      sa.fields.forall(f => isSafeWidening(f.dataType, m.valueType))
+    case (ma: MapType, mb: MapType) =>
+      isSafeWidening(ma.valueType, mb.valueType)
     case (sa: StructType, sb: StructType) =>
       sa.fields.forall { fa =>
         sb.fields.find(_.name == fa.name)
@@ -188,15 +262,71 @@ object SchemaMerge {
   }
 
   /** Project `df` onto `target`: cast overlapping columns, null-fill
-    * missing ones. The generated projection is plain `cast` exprs, so
-    * it stays inside whole-stage codegen. */
+    * missing ones. Plain `cast` exprs wherever possible (stays inside
+    * whole-stage codegen); structurally-incompatible pairs Spark's
+    * Cast cannot express — struct→map (the MapType overflow spill)
+    * and by-NAME struct widening — build an explicit conversion
+    * column instead. */
   def castTo(df: DataFrame, target: StructType): DataFrame = {
-    val have = df.schema.fieldNames.toSet
+    val srcType = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = target.fields.map { f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
-        .as(f.name)
+      srcType.get(f.name) match {
+        case Some(ft) => convert(col(f.name), ft, f.dataType).as(f.name)
+        case None => org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** True when `cast` alone cannot (or cannot SAFELY, i.e. by name)
+    * produce `to` from `from` and an explicit conversion is needed. */
+  private def needsDeepConvert(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (_: StructType, _: MapType) => true
+      case (sa: StructType, st: StructType) =>
+        // Spark casts structs POSITIONALLY; any name-set/order drift
+        // (field union appends, spilled inner maps) needs by-name
+        sa.fieldNames.toSeq != st.fieldNames.toSeq ||
+          sa.fields.zip(st.fields).exists { case (x, y) =>
+            needsDeepConvert(x.dataType, y.dataType) }
+      case (ArrayType(ea, _), ArrayType(eb, _)) => needsDeepConvert(ea, eb)
+      case (MapType(_, va, _), MapType(_, vb, _)) => needsDeepConvert(va, vb)
+      case _ => false
+    }
+
+  private def convert(c: org.apache.spark.sql.Column, from: DataType,
+      to: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, lit, map_filter,
+      map_from_arrays, struct, transform, transform_values, when}
+    if (from == to) c
+    else if (!needsDeepConvert(from, to)) c.cast(to)
+    else (from, to) match {
+      // the spill path: struct fields become map entries; null fields
+      // DROP (an absent document key is absent, not null-valued)
+      case (sa: StructType, mt: MapType) =>
+        val keys = array(sa.fields.map(f => lit(f.name)).toIndexedSeq: _*)
+        val vals = array(sa.fields.map(f =>
+          convert(c.getField(f.name), f.dataType, mt.valueType))
+          .toIndexedSeq: _*)
+        when(c.isNull, lit(null).cast(mt)).otherwise(
+          map_filter(map_from_arrays(keys, vals), (_, v) => v.isNotNull)
+            .cast(mt))
+      case (sa: StructType, st: StructType) =>
+        val srcF = sa.fields.map(f => f.name -> f.dataType).toMap
+        val rebuilt = struct(st.fields.map { tf =>
+          (srcF.get(tf.name) match {
+            case Some(ft) => convert(c.getField(tf.name), ft, tf.dataType)
+            case None => lit(null).cast(tf.dataType)
+          }).as(tf.name)
+        }.toIndexedSeq: _*)
+        when(c.isNull, lit(null).cast(st)).otherwise(rebuilt)
+      case (ArrayType(ea, _), ArrayType(eb, _)) =>
+        transform(c, x => convert(x, ea, eb)).cast(to)
+      case (MapType(_, va, _), MapType(_, vb, _)) =>
+        transform_values(c, (_, v) => convert(v, va, vb)).cast(to)
+      case _ => c.cast(to)
+    }
   }
 }

@@ -1,0 +1,103 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The MapType overflow spill end to end over DataFrames: a
+  * high-cardinality-key corpus (every batch brings novel nested keys)
+  * must keep a BOUNDED table schema, and castTo must project struct
+  * batches into the spilled map faithfully (absent keys drop, present
+  * values widen). */
+class MapSpillSpec extends SparkSpec {
+
+  private def batch(keys: Seq[(String, Any)], id: Long) = {
+    val attrT = StructType(keys.map { case (k, v) =>
+      StructField(k, v match {
+        case _: Long => LongType
+        case _: String => StringType
+      })
+    })
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("attrs", attrT)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(id, Row(keys.map(_._2): _*))), schema)
+  }
+
+  test("castTo projects a struct batch into the spilled map column") {
+    val b1 = batch(Seq("k1" -> 1L, "k2" -> 2L), 1L)
+    val b2 = batch(Seq("k3" -> 3L, "k4" -> 4L, "k5" -> 5L), 2L)
+    val merged = SchemaMerge.merge(b1.schema, b2.schema,
+      SchemaMerge.Auto, maxStructFields = 4)
+    assert(merged("attrs").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+
+    val out = SchemaMerge.castTo(b1, merged)
+      .unionByName(SchemaMerge.castTo(b2, merged))
+    val rows = out.select(col("id"), col("attrs"))
+      .collect().map(r => r.getLong(0) -> r.getMap[String, Long](1).toMap)
+      .toMap
+    assert(rows(1L) == Map("k1" -> 1L, "k2" -> 2L), s"got ${rows(1L)}")
+    assert(rows(2L) == Map("k3" -> 3L, "k4" -> 4L, "k5" -> 5L))
+  }
+
+  test("100 novel keys stay one bounded map column, values queryable") {
+    // simulate 100 batches each bringing a fresh key: the merged
+    // schema must stay 2 columns (id + one map), not 101
+    var schema = batch(Seq("k0" -> 0L), 0L).schema
+    (1 until 100).foreach { i =>
+      schema = SchemaMerge.merge(schema,
+        batch(Seq(s"k$i" -> i.toLong), i.toLong).schema,
+        SchemaMerge.Auto, maxStructFields = 16)
+    }
+    assert(schema.size == 2, s"schema must stay bounded: $schema")
+    assert(schema("attrs").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    // every batch still projects and its key/value survives
+    val all = (0 until 100).map(i =>
+      SchemaMerge.castTo(batch(Seq(s"k$i" -> i.toLong), i.toLong), schema))
+      .reduce(_ unionByName _)
+    assert(all.count() == 100)
+    val probed = all.select(col("id"),
+        element_at(col("attrs"), concat(lit("k"), col("id"))).as("v"))
+      .filter(col("v") === col("id"))
+    assert(probed.count() == 100,
+      "every row's own key must be present with its value")
+  }
+
+  test("spill with heterogeneous value types stringifies, nulls drop") {
+    val b1 = batch(Seq("k1" -> 1L, "k2" -> 2L, "k3" -> 3L), 1L)
+    val b2 = batch(Seq("k4" -> "x", "k5" -> 5L), 2L)
+    val merged = SchemaMerge.merge(b1.schema, b2.schema,
+      SchemaMerge.Auto, maxStructFields = 4)
+    assert(merged("attrs").dataType ==
+      MapType(StringType, StringType, valueContainsNull = true))
+    val rows = SchemaMerge.castTo(b1, merged)
+      .unionByName(SchemaMerge.castTo(b2, merged))
+      .collect().map(r => r.getLong(0) -> r.getMap[String, String](1).toMap)
+      .toMap
+    assert(rows(1L) == Map("k1" -> "1", "k2" -> "2", "k3" -> "3"))
+    // b2's absent keys (k1..k3 were never in its struct) must DROP
+    // from its map, not appear as nulls
+    assert(rows(2L) == Map("k4" -> "x", "k5" -> "5"), s"got ${rows(2L)}")
+  }
+
+  test("null struct rows stay null through the spill projection") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("attrs", StructType(Seq(
+        StructField("k1", LongType), StructField("k2", LongType))))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Row(7L, null)), Row(2L, null)),
+      schema)
+    val target = StructType(Seq(StructField("id", LongType),
+      StructField("attrs",
+        MapType(StringType, LongType, valueContainsNull = true))))
+    val rows = SchemaMerge.castTo(df, target).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getMap[String, Long](1)).map(_.toMap)).toMap
+    assert(rows(1L) == Some(Map("k1" -> 7L)),
+      s"null-valued field drops: ${rows(1L)}")
+    assert(rows(2L) == None, "a null struct row must stay null")
+  }
+}

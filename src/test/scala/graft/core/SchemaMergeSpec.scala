@@ -134,6 +134,44 @@ class SchemaMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("nested struct past maxStructFields spills to map<string,V>") {
+    def struct(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, t) => StructField(n, t) })
+    val a = StructType(Seq(StructField("id", LongType),
+      StructField("attrs", struct("k1" -> LongType, "k2" -> LongType))))
+    val b = StructType(Seq(StructField("id", LongType),
+      StructField("attrs", struct("k3" -> LongType, "k4" -> LongType,
+        "k5" -> LongType))))
+    // under the cap: attrs (5 merged keys > 4) spills, values stay long
+    val m = merge(a, b, Auto, maxStructFields = 4)
+    assert(m("attrs").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true), s"$m")
+    // heterogeneous values fall back to string inside the map
+    val c = StructType(Seq(StructField("attrs",
+      struct("k1" -> LongType, "k2" -> BooleanType, "k3" -> StringType,
+        "k4" -> LongType, "k5" -> LongType))))
+    val mc = merge(StructType(Nil), c, Auto, maxStructFields = 4)
+    assert(mc("attrs").dataType ==
+      MapType(StringType, StringType, valueContainsNull = true))
+    // an already-spilled map absorbs later struct batches (and widens)
+    val next = merge(m,
+      StructType(Seq(StructField("attrs",
+        struct("k9" -> DoubleType)))), Auto, maxStructFields = 4)
+    assert(next("attrs").dataType ==
+      MapType(StringType, DoubleType, valueContainsNull = true), s"$next")
+    // under the cap the spilled type is still a safe widening target
+    assert(isSafeWidening(a("attrs").dataType, m("attrs").dataType))
+    assert(isSafeWidening(b("attrs").dataType, m("attrs").dataType))
+    // without the cap: plain field union, no map anywhere
+    val un = merge(a, b, Auto)
+    assert(un("attrs").dataType.isInstanceOf[StructType])
+    // the TOP-level row struct never collapses, however wide
+    val wide = StructType((1 to 50).map(i => StructField(s"c$i", LongType)))
+    assert(merge(wide, wide, Auto, maxStructFields = 4)
+      .isInstanceOf[StructType])
+    assert(merge(wide, wide, Auto, maxStructFields = 4).size == 50)
+  }
+
   test("diff reports added/removed/changed") {
     val a = StructType(Seq(StructField("x", IntegerType),
       StructField("y", StringType)))
