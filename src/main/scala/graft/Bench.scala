@@ -57,8 +57,43 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",${sf1Section(spark, sfDir)}}""")
     spark.stop()
+  }
+
+  /** Data-bound section: the 80-query loop above is dominated by
+    * fixed per-query overhead at sf0.1, so the headline queries also
+    * run against a deterministic 10× scale-up (generated once into
+    * /tmp and cached — see [[tools.ScaleData]]). Opt out with
+    * SPARK_GRAFT_SF1=0. Failures degrade to an error note, never the
+    * whole bench. */
+  private def sf1Section(spark: SparkSession, sfDir: String): String = {
+    if (sys.env.get("SPARK_GRAFT_SF1").contains("0"))
+      return "\"sf1\":{\"skipped\":true}"
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
+      val genSec = tools.ScaleData.ensure(spark, sfDir, out, factor = 10)
+      val headline = Set("q01_pricing_summary", "q04_join_region_revenue",
+        "q17_fact_join", "q33_ngram_jaccard", "q59_ngram_jaccard_capped",
+        "q74_bloom_decontaminate", "q75_kmeans_train")
+      val defs = SparkEntry.allDefs.filter(d => headline(d.name))
+      def pass(): Map[String, Double] = defs.map { d =>
+        val t0 = System.nanoTime()
+        d.name -> (
+          try { d.fn(spark, out).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 })
+      }.toMap
+      val (p1, p2) = (pass(), pass())
+      val qs = defs.map { d =>
+        val (a, b) = (p1(d.name), p2(d.name))
+        "\"" + d.name +
+          f"""\":${if (a < 0 || b < 0) -1.0 else math.min(a, b)}%.3f"""
+      }.mkString("{", ",", "}")
+      f""""sf1":{"factor":10,"gen_sec":$genSec%.1f,"queries":$qs}"""
+    } catch {
+      case t: Throwable =>
+        s""""sf1":{"error":"${t.getClass.getSimpleName}"}"""
+    }
   }
 
   /** CDC ingest throughput: 100k synthetic Debezium envelopes through

@@ -289,7 +289,16 @@ object Similarity {
     * `centroids` must have (cid, ce) columns; it is broadcast. The
     * argmax is a map-side-combinable `max_by` aggregation (partial agg
     * collapses the centroid fan-out before the single shuffle — no
-    * global window sort). Ties break to the smallest cid. */
+    * global window sort). Ties break to the smallest cid.
+    *
+    * AT SCALE PREFER [[ivfAssignLit]]: when the centroids fit the
+    * driver (they almost always do — k·d floats), inlining them as
+    * literals turns the k-way row fan-out + shuffle here into ONE
+    * codegen'd projection with no exchange at all, and composes with
+    * write-time bucket partitioning ([[AnnIndex.writeIvf]]) for
+    * partition-pruned probes. Use THIS variant only when the centroid
+    * set is itself a big/lazily-computed frame that must not collect
+    * (e.g. mid-pipeline centroids at large k). */
   def ivfAssign(df: DataFrame, centroids: DataFrame,
       embCol: String = "embedding"): DataFrame = {
     df.withColumn("__rid", monotonically_increasing_id())

@@ -271,7 +271,8 @@ object CdcTable {
     * exactly once (no duplicate window, matching the Delta guarantee). */
   def append(batch: DataFrame, dir: String, mode: MergeMode = SchemaMerge.Auto,
       partitionBy: Seq[String] = Seq("_ingestion_date"),
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      maxStructFields: Int = Int.MaxValue): Long = {
     val commits = log(dir)
     txn.foreach { case (app, v) =>
       val committed = commits.flatMap(_.txn)
@@ -281,11 +282,13 @@ object CdcTable {
     }
     val existing = commits.lastOption.map(_.schema)
     val merged = existing match {
-      case Some(e) => SchemaMerge.merge(e, batch.schema, mode)
+      case Some(e) => SchemaMerge.merge(e, batch.schema, mode,
+        maxStructFields)
       // self-merge normalizes the first schema (all-nullable, like
       // every later merge) so a second identical append doesn't open
       // a spurious generation over a nullability-only difference
-      case None => SchemaMerge.merge(batch.schema, batch.schema, mode)
+      case None => SchemaMerge.merge(batch.schema, batch.schema, mode,
+        maxStructFields)
     }
     val sv =
       if (existing.contains(merged)) commits.last.schemaVersion

@@ -39,7 +39,13 @@ object CdcIngest {
       inferDocSchema: Boolean = true,
       /** Rewrite Mongo extended-JSON wrappers ($oid/$date/$number*)
         * into plain scalars before inference (ExtJson). */
-      normalizeExtJson: Boolean = true)
+      normalizeExtJson: Boolean = true,
+      /** Nested-struct width cap (SURVEY §1.2 MapType overflow): a
+        * merged NESTED struct exceeding this many fields spills to
+        * map<string,V>, so documents with unbounded key sets (per-user
+        * attribute bags) keep the table schema bounded instead of
+        * widening by one column per novel key. Int.MaxValue = off. */
+      maxStructFields: Int = Int.MaxValue)
 
   /** Kafka source options matching the reference consumer config
     * (`consumer/event_consumer.py:58-67`): pattern subscription,
@@ -185,7 +191,8 @@ object CdcIngest {
           CdcTable.currentSchema(tableDir) match {
             case Some(e) =>
               SchemaMerge.coerceSplit(out,
-                SchemaMerge.merge(e, out.schema, SchemaMerge.Coercion))
+                SchemaMerge.merge(e, out.schema, SchemaMerge.Coercion,
+                  cfg.maxStructFields))
             case None => (out, out.limit(0))
           }
         else (out, out.limit(0))
@@ -193,7 +200,7 @@ object CdcIngest {
       // conflicts are deterministic and fail fast
       Retry.withBackoff() {
         CdcTable.append(toWrite, tableDir, cfg.mergeMode,
-          txn = tableTxn(key))
+          txn = tableTxn(key), maxStructFields = cfg.maxStructFields)
       }
       if (!rejects.isEmpty) {
         // coercion rejects lost the raw envelope in the demux select;

@@ -83,6 +83,30 @@ class MapSpillSpec extends SparkSpec {
     assert(rows(2L) == Map("k4" -> "x", "k5" -> "5"), s"got ${rows(2L)}")
   }
 
+  test("CdcTable.append with the cap keeps the table schema bounded") {
+    import graft.sink.CdcTable
+    val dir = java.nio.file.Files.createTempDirectory("spill").toString
+    CdcTable.append(batch(Seq("k1" -> 1L, "k2" -> 2L, "k3" -> 3L), 1L),
+      dir, maxStructFields = 4)
+    // still under the cap: attrs stays a struct
+    assert(CdcTable.currentSchema(dir).get("attrs")
+      .dataType.isInstanceOf[StructType])
+    CdcTable.append(batch(Seq("k4" -> 4L, "k5" -> 5L), 2L),
+      dir, maxStructFields = 4)
+    // merged width 5 > 4: the column spills, schema stays 2 columns
+    val schema = CdcTable.currentSchema(dir).get
+    assert(schema.size == 2, s"$schema")
+    assert(schema("attrs").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    // both generations read back through the spilled schema
+    val rows = CdcTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        r.getMap[String, Long](r.fieldIndex("attrs")).toMap).toMap
+    assert(rows(1L) == Map("k1" -> 1L, "k2" -> 2L, "k3" -> 3L),
+      s"old-generation struct rows project into the map: ${rows(1L)}")
+    assert(rows(2L) == Map("k4" -> 4L, "k5" -> 5L))
+  }
+
   test("null struct rows stay null through the spill projection") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("attrs", StructType(Seq(
