@@ -79,6 +79,31 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  final case class AudioInfo(format: String, channels: Int,
+      sampleRateHz: Int, durationMs: Long)
+
+  /** Header-only audio probe via the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU parse with zero external codecs — the audio twin of
+    * [[imageInfo]]): container format, channel count, sample rate,
+    * and REAL duration from the frame count. None for payloads no JDK
+    * reader recognizes. */
+  def audioInfo(bytes: Array[Byte]): Option[AudioInfo] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength
+      val dur =
+        if (frames > 0 && fmt.getFrameRate > 0)
+          math.round(frames * 1000.0 / fmt.getFrameRate)
+        else -1L
+      Some(AudioInfo(
+        aff.getType.getExtension.toLowerCase(java.util.Locale.ROOT),
+        fmt.getChannels, math.round(fmt.getSampleRate), dur))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Full pixel decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP).
     * None for unsupported or corrupt payloads — callers fall back to
     * the stub path so the pipeline stays total. */
@@ -237,9 +262,9 @@ object Multimodal {
   }
 
   /** Fill the metadata struct from the payload's ACTUAL header
-    * (format → media_type, real width/height) wherever a JDK reader
-    * recognizes it; non-image rows keep their declared metadata.
-    * Header-only — no pixel decode. */
+    * (image → media_type/width/height; audio → media_type/duration_ms)
+    * wherever a JDK reader recognizes it; unrecognized rows keep
+    * their declared metadata. Header-only — no pixel/sample decode. */
   def probeMeta(df: DataFrame, contentCol: String = "content",
       metaCol: String = "media_meta"): DataFrame = {
     val enc = Encoders.row(df.schema)
@@ -248,13 +273,18 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
+        val meta = r.getStruct(mIdx)
         imageInfo(bytes) match {
           case Some(info) =>
-            val meta = r.getStruct(mIdx)
-            val newMeta = Row(s"image/${info.format}",
-              bytes.length.toLong, info.width, info.height, meta.get(4))
-            Row.fromSeq(r.toSeq.updated(mIdx, newMeta))
-          case None => r
+            Row.fromSeq(r.toSeq.updated(mIdx, Row(s"image/${info.format}",
+              bytes.length.toLong, info.width, info.height, meta.get(4))))
+          case None => audioInfo(bytes) match {
+            case Some(a) =>
+              Row.fromSeq(r.toSeq.updated(mIdx, Row(s"audio/${a.format}",
+                bytes.length.toLong, meta.get(2), meta.get(3),
+                if (a.durationMs >= 0) a.durationMs else meta.get(4))))
+            case None => r
+          }
         }
       }
     }(enc)

@@ -318,15 +318,16 @@ object EmbeddingQ {
     }
     val centDf = s.createDataFrame(
       cents.map { case (cid, v) => (cid, v.toSeq) }).toDF("cid", "ce")
-    val assigned = emb.select(col("vec_id"),
-      Similarity.ivfAssignLit(s, "embedding", cents).as("cid"))
+    // the broadcast-join argmax keeps every input column, so the
+    // literal-path assignment rides the SAME frame — the two
+    // implementations compare per row with no corpus self-join
     val alt = Similarity
       .ivfAssign(emb.select(col("vec_id"), col("embedding")), centDf)
-      .select(col("vec_id"), col("cid").as("alt_cid"))
-    assigned.join(alt, Seq("vec_id"))
-      .agg(count(lit(1)).as("n_points"),
-        countDistinct(col("cid")).as("ncl"),
-        max(when(col("cid") =!= col("alt_cid"), 1)
+      .withColumn("lit_cid",
+        Similarity.ivfAssignLit(s, "embedding", cents))
+    alt.agg(count(lit(1)).as("n_points"),
+        countDistinct(col("lit_cid")).as("ncl"),
+        max(when(col("cid") =!= col("lit_cid"), 1)
           .otherwise(0)).as("mismatch"))
       .select(
         lit(8).as("k"),

@@ -168,6 +168,43 @@ class MultimodalSpec extends SparkSpec {
       "non-image rows keep their declared metadata")
   }
 
+  private def wavBytes(sampleRate: Float, channels: Int, nFrames: Int)
+      : Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioInfo reads real WAV headers; probeMeta fills duration") {
+    // 8000 Hz stereo, 4000 frames = exactly 500 ms
+    val wav = wavBytes(8000f, 2, 4000)
+    val info = Multimodal.audioInfo(wav)
+    assert(info == Some(Multimodal.AudioInfo("wav", 2, 8000, 500L)),
+      s"got $info")
+    assert(Multimodal.audioInfo("not audio".getBytes) == None)
+    // an image payload is NOT misdetected as audio and vice versa
+    val png = solidImage(4, 4, 0xFFFFFF, "png")
+    assert(Multimodal.audioInfo(png) == None)
+    assert(Multimodal.imageInfo(wav) == None)
+    // probeMeta routes each payload to its real header: image rows get
+    // w/h, audio rows get duration_ms, opaque rows keep declared meta
+    val m = mediaDf(Seq((0L, wav), (1L, png),
+      (2L, "opaque".getBytes("UTF-8"))))
+    val probed = Multimodal.probeMeta(m)
+      .select("doc_id", "media_meta.media_type", "media_meta.width",
+        "media_meta.duration_ms").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), Option(x.get(2)),
+        Option(x.get(3))))).toMap
+    assert(probed(0L) == (("audio/wav", None, Some(500L))), s"$probed")
+    assert(probed(1L)._1 == "image/png" && probed(1L)._2 == Some(4))
+    assert(probed(2L) == (("application/octet-stream", None, None)))
+  }
+
   test("resize upscale never overflows: payload is clamped, not wrapped") {
     // dimensionless payload (1x1 fallback) upscaled to 2048x2048:
     // keep = len * 2^22 overflows Int if narrowed before the clamp
