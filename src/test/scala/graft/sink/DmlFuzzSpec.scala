@@ -22,6 +22,7 @@ class DmlFuzzSpec extends SparkSpec {
   private case class Delete(xThr: Long) extends Op // delete where x < thr
   private case class Update(xThr: Long, add: Long) extends Op
   private case class Merge(rows: Seq[(Long, Option[Long])]) extends Op
+  private case class DeleteKeys(ks: Seq[Long]) extends Op
   private case object Optimize extends Op // content-preserving rewrite
   private case object Vacuum extends Op   // reclaim superseded files
 
@@ -38,6 +39,8 @@ class DmlFuzzSpec extends SparkSpec {
       .map { case (t, a) => Update(t, a) },
     2 -> Gen.chooseNum(1, 3).flatMap(n =>
       Gen.listOfN(n, genRow).map(rs => Merge(dedupeKeys(rs)))),
+    2 -> Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 45L)).map(DeleteKeys)),
     1 -> Gen.const(Optimize),
     1 -> Gen.const(Vacuum))
 
@@ -85,6 +88,9 @@ class DmlFuzzSpec extends SparkSpec {
           case Merge(rows) =>
             CdcTable.merge(spark, dir, toDf(rows), keys = Seq("k"))
             model ++= rows.toMap
+          case DeleteKeys(ks) =>
+            CdcTable.deleteKeys(spark, dir, ks.toDF("k"), Seq("k"))
+            model --= ks
           case Optimize =>
             // content-preserving compaction interleaved with DML:
             // the model must be unaffected
