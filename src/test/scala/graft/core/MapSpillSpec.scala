@@ -107,6 +107,28 @@ class MapSpillSpec extends SparkSpec {
     assert(rows(2L) == Map("k4" -> 4L, "k5" -> 5L))
   }
 
+  test("nested struct field-union evolution reads by NAME, not position") {
+    import graft.sink.CdcTable
+    val dir = java.nio.file.Files.createTempDirectory("nestevo").toString
+    val s1 = StructType(Seq(StructField("id", LongType),
+      StructField("s", StructType(Seq(StructField("a", LongType))))))
+    val s2 = StructType(Seq(StructField("id", LongType),
+      StructField("s", StructType(Seq(
+        // b FIRST: a positional struct cast would map b's value onto a
+        StructField("b", LongType), StructField("a", LongType))))))
+    CdcTable.append(spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Row(10L))), s1), dir)
+    CdcTable.append(spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, Row(99L, 20L))), s2), dir)
+    val rows = CdcTable.read(spark, dir).select("id", "s.a", "s.b")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(rows(1L) == ((Some(10L), None)),
+      s"old-gen a keeps its value, b null-fills: ${rows(1L)}")
+    assert(rows(2L) == ((Some(20L), Some(99L))),
+      s"field values must follow NAMES across generations: ${rows(2L)}")
+  }
+
   test("null struct rows stay null through the spill projection") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("attrs", StructType(Seq(
