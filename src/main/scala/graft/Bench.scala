@@ -41,19 +41,25 @@ object Bench {
     // runs: a multi-second CPU-steal spike then lands on different
     // queries in each pass and the per-query min discards it, whereas
     // back-to-back runs let one spike poison both samples of a query.
+    // dev loop: SPARK_GRAFT_SF1_ONLY=1 skips the 80-query pass and
+    // times only the data-bound sf1 section (the driver never sets it)
+    val sf1Only = sys.env.get("SPARK_GRAFT_SF1_ONLY").contains("1")
     def pass(): Map[String, Double] =
-      (SparkEntry.allDefs.map { d =>
+      if (sf1Only) Map.empty
+      else (SparkEntry.allDefs.map { d =>
         val t0 = System.nanoTime()
         d.name -> (
           try { d.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 })
       } :+ ingestBench(spark)).toMap
     val (p1, p2) = (pass(), pass())
-    val results = (SparkEntry.allDefs.map(_.name) :+ "ingest_100k_events")
-      .map { n =>
-        val (a, b) = (p1(n), p2(n))
-        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-      }
+    val results =
+      if (sf1Only) Seq.empty[(String, Double)]
+      else (SparkEntry.allDefs.map(_.name) :+ "ingest_100k_events")
+        .map { n =>
+          val (a, b) = (p1(n), p2(n))
+          n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
