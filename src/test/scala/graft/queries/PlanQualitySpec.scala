@@ -129,6 +129,27 @@ class PlanQualitySpec extends SparkSpec {
         s"$firstExchange")
   }
 
+  test("q75 invariant check: no corpus self-join, centroids broadcast") {
+    val p = plan(EmbeddingQ.q75(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNested"),
+      s"the 8-row centroid frame must broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the agreement check must ride the assignment frame, " +
+        "never a corpus-to-corpus shuffle join")
+  }
+
+  test("q79 outlier filter broadcasts cluster stats; sums are decimal") {
+    val q = EmbeddingQ.q79(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 8-row stats frame must broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must never shuffle against the stats frame")
+    // the overflow-proof arithmetic must actually be decimal in the plan
+    assert(p.toLowerCase.contains("decimal(38,0)"),
+      "cluster-mean comparison must run in DECIMAL(38,0)")
+  }
+
   test("q76 BPE pair counting aggregates without any join") {
     val p = plan(TextQ.q76(spark, dir))
     assert(!p.contains("Join"), "pair counting must not join")
