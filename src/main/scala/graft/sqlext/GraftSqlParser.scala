@@ -23,6 +23,10 @@ import org.apache.spark.sql.types._
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
   *   GRAFT DETAIL '<path>'
+  *   GRAFT DELETE FROM '<path>' WHERE <predicate>
+  *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
+  *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE]
+  *   GRAFT RECONCILE '<target>' FROM '<source>' ON k [COMPARE c, …] [REPAIR]
   *
   * OPTIMIZE rewrites the current state as ONE atomic `replace` commit
   * (clustered when ZORDER BY is given — disjoint per-file ranges make
@@ -85,6 +89,11 @@ object GraftSqlParser {
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  private val reconcileRe = Pattern.compile(
+    """\s*GRAFT\s+RECONCILE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+ON\s+(`[^`]+`|\w+)(?:\s+COMPARE\s+([\w\s,`]+?))?""" +
+      """(?:\s+(REPAIR))?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
 
   private[sqlext] def recognize(sqlText: String): Option[LogicalPlan] = {
     if (!sqlText.toUpperCase(Locale.ROOT).contains("GRAFT")) return None
@@ -136,6 +145,14 @@ object GraftSqlParser {
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
+    val rm = reconcileRe.matcher(sqlText)
+    if (rm.matches()) {
+      val cols = Option(rm.group(4)).toSeq.flatMap(_.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      return Some(ReconcileGraftTable(rm.group(1), rm.group(2),
+        rm.group(3).stripPrefix("`").stripSuffix("`"), cols,
+        repair = rm.group(5) != null))
+    }
     None
   }
 
@@ -360,6 +377,50 @@ case class MergeGraftTable(dir: String, sourceDir: String,
     val r = CdcTable.merge(spark, dir, source, keys,
       evolveSchema = evolve)
     Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
+  }
+}
+
+/** `GRAFT RECONCILE '<target>' FROM '<source>' ON key
+  * [COMPARE c1, c2, …] [REPAIR]` — source↔target reconciliation from
+  * pure SQL (reference FR-021): counts missing / extra / mismatched
+  * rows via [[graft.reconcile.Reconciler.diff]]; with `REPAIR`, the
+  * repair plan is APPLIED (keyed MERGE upserts + keyed DELETE of
+  * extras, both carry-by-reference commits) and the post-repair state
+  * converges to the source. `<source>` is a graft table when it has a
+  * commit log, else a parquet directory. COMPARE defaults to every
+  * shared non-key column. Report-only runs emit -1 for the repair
+  * columns. */
+case class ReconcileGraftTable(dir: String, sourceDir: String,
+    key: String, compareCols: Seq[String], repair: Boolean)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("missing_in_target", LongType), attr("extra_in_target", LongType),
+    attr("mismatched", LongType), attr("repaired_upserts", LongType),
+    attr("repaired_deletes", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.reconcile.Reconciler
+    val source =
+      if (CdcTable.log(sourceDir).nonEmpty) CdcTable.read(spark, sourceDir)
+      else spark.read.parquet(sourceDir)
+    val tgt = CdcTable.read(spark, dir)
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else source.columns.filter(tgt.columns.contains)
+        .filterNot(_ == key).toSeq
+    require(cols.nonEmpty,
+      s"no shared non-key columns to compare between $sourceDir and $dir")
+    val d = Reconciler.diff(source, tgt, key, cols)
+    val (miss, extra, mism) = (d.missingInTarget.count(),
+      d.extraInTarget.count(), d.mismatched.count())
+    if (repair) {
+      val res = Reconciler.applyRepair(spark, dir,
+        Reconciler.repairPlan(source, tgt, key, cols), key)
+      Seq(Row(miss, extra, mism,
+        miss + mism, res.deleted.rowsDeleted))
+    } else Seq(Row(miss, extra, mism, -1L, -1L))
   }
 }
 

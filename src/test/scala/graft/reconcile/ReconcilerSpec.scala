@@ -82,6 +82,34 @@ class ReconcilerSpec extends SparkSpec {
     assert(cmp.filter(!$"is_match").count() == 0)
   }
 
+  test("GRAFT RECONCILE reports from SQL; REPAIR converges the table") {
+    import graft.sink.CdcTable
+    val dir = tmpDir("sqlrecon")
+    CdcTable.append(Seq((1L, "a", 10.0), (2L, "b", 99.0), (5L, "e", 50.0))
+      .toDF("id", "name", "amount")
+      .withColumn("_id", $"id".cast("string")), dir)
+    val srcDir = tmpDir("sqlreconsrc")
+    src.withColumn("_id", $"id".cast("string"))
+      .write.mode("overwrite").parquet(srcDir)
+
+    // report-only: 1 missing (3), 1 extra (5), 1 mismatched (2)
+    val rep = spark.sql(
+      s"GRAFT RECONCILE '$dir' FROM '$srcDir' ON id COMPARE name, amount")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rep == ((2L, 1L, 1L, -1L, -1L)), s"got $rep")
+
+    // with REPAIR: applied and converged
+    val fix = spark.sql(s"GRAFT RECONCILE '$dir' FROM '$srcDir' " +
+      "ON id COMPARE name, amount REPAIR")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(fix._4 == 3L && fix._5 == 1L, s"upserts/deletes: $fix")
+    val after = spark.sql(
+      s"GRAFT RECONCILE '$dir' FROM '$srcDir' ON id COMPARE name, amount")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(after == ((0L, 0L, 0L, -1L, -1L)),
+      s"post-repair re-reconcile must be clean: $after")
+  }
+
   test("deleteKeys: no-op on no match, distributed key-frame delete") {
     import graft.sink.CdcTable
     val dir = tmpDir("delkeys")
