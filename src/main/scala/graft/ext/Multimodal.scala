@@ -104,6 +104,64 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Full sample decode via the JDK's sound stack: any container
+    * `AudioSystem` reads (WAV/AIFF/AU) converts to signed 16-bit PCM
+    * and normalizes to [-1, 1) floats (interleaved channels). None
+    * for unsupported payloads. */
+  def decodeAudio(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Float])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      import javax.sound.sampled._
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val target = new AudioFormat(src.getSampleRate, 16,
+        src.getChannels, true, false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      val raw = pcm.readAllBytes()
+      val n = raw.length / 2
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val lo = raw(2 * i) & 0xFF
+        val hi = raw(2 * i + 1).toInt
+        out(i) = ((hi << 8) | lo) / 32768.0f
+        i += 1
+      }
+      Some((target, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic 8-dim feature vector from ACTUAL samples: RMS,
+    * mean |x|, zero-crossing rate, peak, log-duration, channel and
+    * rate normalizers, DC offset — the audio twin of
+    * [[imageFeatures]]. */
+  def audioFeatures(fmt: javax.sound.sampled.AudioFormat,
+      samples: Array[Float]): Array[Float] = {
+    var sumAbs = 0.0; var sumSq = 0.0; var sum = 0.0
+    var peak = 0.0f; var crossings = 0L
+    var i = 0
+    while (i < samples.length) {
+      val x = samples(i)
+      sumAbs += math.abs(x); sumSq += x * x; sum += x
+      if (math.abs(x) > peak) peak = math.abs(x)
+      if (i > 0 && (samples(i - 1) >= 0) != (x >= 0)) crossings += 1
+      i += 1
+    }
+    val n = math.max(1, samples.length).toDouble
+    val durationSec =
+      samples.length / math.max(1.0,
+        fmt.getSampleRate.toDouble * fmt.getChannels)
+    Array(
+      math.sqrt(sumSq / n).toFloat, (sumAbs / n).toFloat,
+      (crossings / n).toFloat, peak,
+      (math.log1p(durationSec) / 10.0).toFloat,
+      fmt.getChannels / 8.0f,
+      fmt.getSampleRate / 48000.0f,
+      (sum / n).toFloat)
+  }
+
   /** Full pixel decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP).
     * None for unsupported or corrupt payloads — callers fall back to
     * the stub path so the pipeline stays total. */
@@ -170,7 +228,8 @@ object Multimodal {
   /** Feature-extract the `content` binary column into a
     * `features: array<float>` column via partition-parallel batches
     * (mapPartitions ≈ mapInPandas batch shape). Decodable images take
-    * the REAL pixel path ([[imageFeatures]]); everything else the
+    * the REAL pixel path ([[imageFeatures]]), decodable audio the
+    * REAL sample path ([[audioFeatures]]); everything else the
     * deterministic stub. */
   def extractFeatures(df: DataFrame,
       contentCol: String = "content"): DataFrame = {
@@ -182,6 +241,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         val feats = decodeImage(bytes).map(imageFeatures)
+          .orElse(decodeAudio(bytes).map {
+            case (fmt, samples) => audioFeatures(fmt, samples) })
           .getOrElse(decodeStub(bytes))
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }

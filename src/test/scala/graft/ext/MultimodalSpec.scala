@@ -205,6 +205,40 @@ class MultimodalSpec extends SparkSpec {
     assert(probed(2L) == (("application/octet-stream", None, None)))
   }
 
+  test("audio features come from ACTUAL samples: sine RMS and ZCR") {
+    import javax.sound.sampled._
+    // 0.5 s of a 400 Hz sine at 8 kHz mono, amplitude 0.5
+    val rate = 8000f; val n = 4000; val freq = 400.0; val amp = 0.5
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = math.round(amp * math.sin(2 * math.Pi * freq * i / rate)
+        * 32767).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+
+    val m = mediaDf(Seq((0L, wav), (1L, "plain".getBytes("UTF-8"))))
+    val feats = Multimodal.extractFeatures(m)
+      .select($"doc_id", $"features").as[(Long, Seq[Float])]
+      .collect().toMap
+    val f = feats(0L)
+    // sine RMS = amp/sqrt(2) ≈ 0.3536; mean|x| = 2·amp/π ≈ 0.3183;
+    // zero crossings = 2 per cycle → 2·400/8000 = 0.1 per sample
+    assert(math.abs(f(0) - 0.3536f) < 0.01, s"rms: $f")
+    assert(math.abs(f(1) - 0.3183f) < 0.01, s"mean|x|: $f")
+    assert(math.abs(f(2) - 0.1f) < 0.005, s"zcr: $f")
+    assert(math.abs(f(3) - 0.5f) < 0.01, s"peak: $f")
+    assert(math.abs(f(7)) < 0.01, s"dc offset ~0: $f")
+    // non-audio falls back to the stub
+    assert(feats(1L) == Multimodal.decodeStub("plain".getBytes).toSeq)
+  }
+
   test("resize upscale never overflows: payload is clamped, not wrapped") {
     // dimensionless payload (1x1 fallback) upscaled to 2048x2048:
     // keep = len * 2^22 overflows Int if narrowed before the clamp
