@@ -78,7 +78,11 @@ object Bench {
       return "\"sf1\":{\"skipped\":true}"
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
-      val genSec = tools.ScaleData.ensure(spark, sfDir, out, factor = 10)
+      // default 10×; SPARK_GRAFT_SF1_FACTOR lifts it for one-off
+      // scale probes (e.g. 100× ≈ sf10 — the driver never sets it)
+      val factor = sys.env.get("SPARK_GRAFT_SF1_FACTOR")
+        .map(_.toInt).getOrElse(10)
+      val genSec = tools.ScaleData.ensure(spark, sfDir, out, factor)
       val headline = Set("q01_pricing_summary", "q04_join_region_revenue",
         "q17_fact_join", "q33_ngram_jaccard", "q59_ngram_jaccard_capped",
         "q74_bloom_decontaminate", "q75_kmeans_train")
@@ -95,7 +99,7 @@ object Bench {
         "\"" + d.name +
           f"""\":${if (a < 0 || b < 0) -1.0 else math.min(a, b)}%.3f"""
       }.mkString("{", ",", "}")
-      f""""sf1":{"factor":10,"gen_sec":$genSec%.1f,"queries":$qs}"""
+      f""""sf1":{"factor":$factor,"gen_sec":$genSec%.1f,"queries":$qs}"""
     } catch {
       case t: Throwable =>
         s""""sf1":{"error":"${t.getClass.getSimpleName}"}"""
