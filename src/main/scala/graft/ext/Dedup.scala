@@ -166,12 +166,32 @@ object Dedup {
         ex.join(broadcast(hot), Seq("blk", "sh"), "left_anti")
       case None => ex
     }
-    val a = kept.select(col("id").as("a_id"), col("blk"), col("sh"))
-    val b = kept.select(col("id").as("b_id"), col("blk").as("bblk"),
-      col("sh").as("bsh"))
-    val cand = a.join(b, col("sh") === col("bsh") &&
-        col("blk") === col("bblk") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    val cand = maxShingleDocFreq match {
+      case Some(_) =>
+        // capped path: every surviving (blk, sh) group holds ≤ cap
+        // ids, so candidate pairs expand GROUP-LOCALLY after ONE
+        // shuffle of the exploded frame (collect_set is memory-safe
+        // under the cap) — replacing a self-join that shuffled the
+        // same 50M-row frame twice. ≤ cap² bounded work per group.
+        kept.groupBy(col("blk"), col("sh"))
+          .agg(sort_array(collect_set(col("id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(ids) - 1), i ->
+              |  transform(slice(ids, i + 1, size(ids) - i), y ->
+              |    named_struct('a_id', element_at(ids, i),
+              |                 'b_id', y))))""".stripMargin)).as("p"))
+          .select(col("p.a_id"), col("p.b_id")).distinct()
+      case None =>
+        // uncapped: a shingle's posting list is unbounded, so pairs
+        // must come from a streaming join, never a collected group
+        val a = kept.select(col("id").as("a_id"), col("blk"), col("sh"))
+        val b = kept.select(col("id").as("b_id"),
+          col("blk").as("bblk"), col("sh").as("bsh"))
+        a.join(b, col("sh") === col("bsh") &&
+            col("blk") === col("bblk") && col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+    }
     val sets = base.select(col("id"), col("sids"), col("m"))
     val result = cand
       .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),
