@@ -167,7 +167,10 @@ object Dedup {
       case None => ex
     }
     val cand = maxShingleDocFreq match {
-      case Some(_) =>
+      // group-local expansion materializes up to cap²/2 pair structs
+      // per group before exploding (~8 MB at cap 1000); past 4096 the
+      // per-task arrays stop being safe and the streaming join wins
+      case Some(cap) if cap <= 4096 =>
         // capped path: every surviving (blk, sh) group holds ≤ cap
         // ids, so candidate pairs expand GROUP-LOCALLY after ONE
         // shuffle of the exploded frame (collect_set is memory-safe
@@ -182,9 +185,10 @@ object Dedup {
               |    named_struct('a_id', element_at(ids, i),
               |                 'b_id', y))))""".stripMargin)).as("p"))
           .select(col("p.a_id"), col("p.b_id")).distinct()
-      case None =>
-        // uncapped: a shingle's posting list is unbounded, so pairs
-        // must come from a streaming join, never a collected group
+      case _ =>
+        // uncapped (or cap too large to collect): a shingle's posting
+        // list is unbounded, so pairs must come from a streaming
+        // join, never a collected group
         val a = kept.select(col("id").as("a_id"), col("blk"), col("sh"))
         val b = kept.select(col("id").as("b_id"),
           col("blk").as("bblk"), col("sh").as("bsh"))
