@@ -104,6 +104,68 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  final case class VideoInfo(brand: String, durationMs: Long,
+      width: Int, height: Int)
+
+  /** Header-only MP4/ISO-BMFF probe — hand-parsed from the public
+    * ISO 14496-12 box structure (`ftyp` major brand, `moov/mvhd`
+    * timescale+duration, `moov/trak/tkhd` presentation size), since
+    * the JDK ships no video stack. No sample decode, no codec: the
+    * metadata path stays cheap and dependency-free; actual frame
+    * decode remains the documented stub (the one true codec gap).
+    * None for payloads that are not ISO-BMFF. */
+  def videoInfo(bytes: Array[Byte]): Option[VideoInfo] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def tag(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // top level must start with an ftyp box
+    if (tag(4) != "ftyp") return None
+    val brand = tag(8)
+    var durationMs = -1L
+    var w = 0; var h = 0
+    // walk boxes at one level, recursing only into moov/trak
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var o = start
+      while (o + 8 <= end && depth < 4) {
+        val sz = u32(o)
+        val t = tag(o + 4)
+        if (sz < 8 || o + sz > end) return // malformed/64-bit size: stop
+        val body = o + 8
+        t match {
+          case "moov" => walk(body, o + sz.toInt, depth + 1)
+          case "trak" => walk(body, o + sz.toInt, depth + 1)
+          case "mvhd" =>
+            val ver = bytes(body) & 0xFF
+            // v0: 32-bit ctime/mtime/timescale/duration; v1: 64-bit times
+            val (ts, dur) =
+              if (ver == 0) (u32(body + 12), u32(body + 16))
+              else (u32(body + 20),
+                (u32(body + 24) << 32) | u32(body + 28))
+            if (ts > 0 && dur >= 0)
+              durationMs = math.round(dur * 1000.0 / ts)
+          case "tkhd" if w == 0 =>
+            val ver = bytes(body) & 0xFF
+            // width/height: last 8 bytes of the box, 16.16 fixed point
+            val wh = o + sz.toInt - 8
+            if (ver <= 1 && wh > body) {
+              w = (u32(wh) >> 16).toInt
+              h = (u32(wh + 4) >> 16).toInt
+            }
+          case _ =>
+        }
+        o += sz.toInt
+      }
+    }
+    walk(0, bytes.length, 0)
+    if (durationMs < 0 && w == 0) None
+    else Some(VideoInfo(brand.trim, durationMs, w, h))
+  }
+
   /** Full sample decode via the JDK's sound stack: any container
     * `AudioSystem` reads (WAV/AIFF/AU) converts to signed 16-bit PCM
     * and normalizes to [-1, 1) floats (interleaved channels). None
@@ -323,9 +385,10 @@ object Multimodal {
   }
 
   /** Fill the metadata struct from the payload's ACTUAL header
-    * (image → media_type/width/height; audio → media_type/duration_ms)
-    * wherever a JDK reader recognizes it; unrecognized rows keep
-    * their declared metadata. Header-only — no pixel/sample decode. */
+    * (image → media_type/width/height; audio → media_type/duration_ms;
+    * ISO-BMFF video → media_type/width/height/duration_ms) wherever a
+    * header parser recognizes it; unrecognized rows keep their
+    * declared metadata. Header-only — no pixel/sample decode. */
   def probeMeta(df: DataFrame, contentCol: String = "content",
       metaCol: String = "media_meta"): DataFrame = {
     val enc = Encoders.row(df.schema)
@@ -344,7 +407,15 @@ object Multimodal {
               Row.fromSeq(r.toSeq.updated(mIdx, Row(s"audio/${a.format}",
                 bytes.length.toLong, meta.get(2), meta.get(3),
                 if (a.durationMs >= 0) a.durationMs else meta.get(4))))
-            case None => r
+            case None => videoInfo(bytes) match {
+              case Some(v) =>
+                Row.fromSeq(r.toSeq.updated(mIdx, Row("video/mp4",
+                  bytes.length.toLong,
+                  if (v.width > 0) v.width else meta.get(2),
+                  if (v.height > 0) v.height else meta.get(3),
+                  if (v.durationMs >= 0) v.durationMs else meta.get(4))))
+              case None => r
+            }
           }
         }
       }

@@ -239,6 +239,33 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L) == Multimodal.decodeStub("plain".getBytes).toSeq)
   }
 
+  test("videoInfo parses real ISO-BMFF boxes: brand, duration, size") {
+    def u32(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .putInt(v.toInt).array()
+    def b(t: String, body: Array[Byte]): Array[Byte] =
+      u32(body.length + 8L) ++ t.getBytes("US-ASCII") ++ body
+    val ftyp = b("ftyp", "isom".getBytes("US-ASCII") ++ u32(1))
+    // mvhd v0: ver/flags + ctime + mtime + timescale=1000 + dur=5500
+    val mvhd = b("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(5500))
+    // tkhd: ver/flags + filler, 16.16 fixed-point 640x360 at the tail
+    val tkhd = b("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(640L << 16) ++ u32(360L << 16))
+    val mp4 = ftyp ++ b("moov", mvhd ++ b("trak", tkhd))
+
+    assert(Multimodal.videoInfo(mp4) ==
+      Some(Multimodal.VideoInfo("isom", 5500L, 640, 360)))
+    assert(Multimodal.videoInfo("not video".getBytes) == None)
+    assert(Multimodal.videoInfo(solidImage(4, 4, 0, "png")) == None)
+    // probeMeta routes it: video/mp4 with real width/height/duration
+    val probed = Multimodal.probeMeta(mediaDf(Seq((0L, mp4))))
+      .select("media_meta.media_type", "media_meta.width",
+        "media_meta.height", "media_meta.duration_ms").head()
+    assert(probed.getString(0) == "video/mp4" && probed.getInt(1) == 640
+      && probed.getInt(2) == 360 && probed.getLong(3) == 5500L,
+      s"got $probed")
+  }
+
   test("resize upscale never overflows: payload is clamped, not wrapped") {
     // dimensionless payload (1x1 fallback) upscaled to 2048x2048:
     // keep = len * 2^22 overflows Int if narrowed before the clamp
