@@ -92,10 +92,14 @@ object SchemaMerge {
       MapType(mergeTypes(ka, kb, mode, s"$path<key>", maxStructFields),
         mergeTypes(va, vb, mode, s"$path<val>", maxStructFields), na || nb)
     // an already-spilled map absorbs later struct batches: every
-    // field folds into the value type, the schema stays one column
-    case (m: MapType, s: StructType) if maxStructFields < Int.MaxValue =>
+    // field folds into the value type, the schema stays one column.
+    // UNCONDITIONAL — the spill is recorded in the existing schema,
+    // so merge paths that don't pass a cap (plain appends, MERGE
+    // EVOLVE) must still respect it rather than degrading the column
+    // to string via the incompatible-pair fallback
+    case (m: MapType, s: StructType) =>
       structIntoMap(s, m, mode, path, maxStructFields)
-    case (s: StructType, m: MapType) if maxStructFields < Int.MaxValue =>
+    case (s: StructType, m: MapType) =>
       structIntoMap(s, m, mode, path, maxStructFields)
     case (sa: StructType, sb: StructType) =>
       val m = mergeStructs(sa, sb, mode, path, maxStructFields)
@@ -212,10 +216,14 @@ object SchemaMerge {
   /** Merge two schemas under a mode (Strict still allows NEW fields —
     * only type CHANGES raise, per reference schema_inferrer.py:218-262).
     * `maxStructFields` enables the nested-struct → MapType overflow
-    * spill (see [[mergeTypes]]). */
+    * spill (see [[mergeTypes]]). The cap re-applies to the FINAL
+    * result: identical-type short-circuits inside the merge (x == y,
+    * including the first append's self-merge) must not smuggle an
+    * over-cap struct past the spill. */
   def merge(a: StructType, b: StructType, mode: MergeMode = Auto,
       maxStructFields: Int = Int.MaxValue): StructType =
-    mergeStructs(a, b, mode, "", maxStructFields)
+    capType(mergeStructs(a, b, mode, "", maxStructFields), mode, "",
+      maxStructFields).asInstanceOf[StructType]
 
   /** True when every value of `from` is representable in `to` without
     * loss (reference type_resolver.py:368-420 safe-widening check). */

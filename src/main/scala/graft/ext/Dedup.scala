@@ -168,9 +168,11 @@ object Dedup {
     }
     val cand = maxShingleDocFreq match {
       // group-local expansion materializes up to cap²/2 pair structs
-      // per group before exploding (~8 MB at cap 1000); past 4096 the
-      // per-task arrays stop being safe and the streaming join wins
-      case Some(cap) if cap <= 4096 =>
+      // per group before exploding (~8 MB at cap 1024); above that
+      // the single-row nested array grows quadratically (4096 would
+      // already be ~8.4M structs, hundreds of MB in one task) and the
+      // streaming join wins
+      case Some(cap) if cap <= 1024 =>
         // capped path: every surviving (blk, sh) group holds ≤ cap
         // ids, so candidate pairs expand GROUP-LOCALLY after ONE
         // shuffle of the exploded frame (collect_set is memory-safe

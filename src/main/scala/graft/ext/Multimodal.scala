@@ -139,16 +139,19 @@ object Multimodal {
         t match {
           case "moov" => walk(body, o + sz.toInt, depth + 1)
           case "trak" => walk(body, o + sz.toInt, depth + 1)
-          case "mvhd" =>
+          case "mvhd" if body < bytes.length =>
             val ver = bytes(body) & 0xFF
             // v0: 32-bit ctime/mtime/timescale/duration; v1: 64-bit times
             val (ts, dur) =
               if (ver == 0) (u32(body + 12), u32(body + 16))
               else (u32(body + 20),
                 (u32(body + 24) << 32) | u32(body + 28))
-            if (ts > 0 && dur >= 0)
+            // all-ones duration is the spec's "unknown" sentinel (as
+            // is u32's -1 for a truncated read) — leave durationMs -1
+            if (ts > 0 && dur >= 0 &&
+                dur != 0xFFFFFFFFL && dur != -1L)
               durationMs = math.round(dur * 1000.0 / ts)
-          case "tkhd" if w == 0 =>
+          case "tkhd" if w == 0 && body < bytes.length =>
             val ver = bytes(body) & 0xFF
             // width/height: last 8 bytes of the box, 16.16 fixed point
             val wh = o + sz.toInt - 8
@@ -161,9 +164,13 @@ object Multimodal {
         o += sz.toInt
       }
     }
-    walk(0, bytes.length, 0)
-    if (durationMs < 0 && w == 0) None
-    else Some(VideoInfo(brand.trim, durationMs, w, h))
+    // malformed containers must yield None, never a task-killing
+    // exception — the probe is documented total over any input
+    try {
+      walk(0, bytes.length, 0)
+      if (durationMs < 0 && w == 0) None
+      else Some(VideoInfo(brand.trim, durationMs, w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Full sample decode via the JDK's sound stack: any container
@@ -274,6 +281,7 @@ object Multimodal {
     * testable end-to-end. Runs per-partition over the binary column
     * with zero driver involvement. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null) return new Array[Float](featureDim)
     val out = new Array[Float](featureDim)
     var i = 0
     while (i < bytes.length) {
@@ -370,6 +378,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
         val meta = r.getStruct(mIdx)
+        if (bytes == null) r // nothing to resize; row passes through
+        else {
         val (out, mediaType) = resizeBytes(bytes, w, h) match {
           case Some(png) => (png, "image/png")
           case None =>
@@ -380,6 +390,7 @@ object Multimodal {
         val newMeta = Row(mediaType, out.length.toLong,
           w, h, meta.get(4))
         Row.fromSeq(r.toSeq.updated(cIdx, out).updated(mIdx, newMeta))
+        }
       }
     }(enc)
   }

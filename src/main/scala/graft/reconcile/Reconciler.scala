@@ -86,8 +86,13 @@ object Reconciler {
   final case class RepairPlan(upserts: DataFrame, deletes: DataFrame)
 
   def repairPlan(src: DataFrame, tgt: DataFrame, keyCol: String,
-      compareCols: Seq[String]): RepairPlan = {
-    val r = diff(src, tgt, keyCol, compareCols)
+      compareCols: Seq[String]): RepairPlan =
+    repairPlanFrom(diff(src, tgt, keyCol, compareCols), src, keyCol)
+
+  /** Build the plan from an ALREADY-computed diff — callers that also
+    * report the diff counts must not pay the three joins twice. */
+  def repairPlanFrom(r: Report, src: DataFrame, keyCol: String)
+      : RepairPlan = {
     val mismKeys = r.mismatched.select(col(keyCol))
     RepairPlan(
       upserts = r.missingInTarget
@@ -108,7 +113,15 @@ object Reconciler {
   def applyRepair(spark: org.apache.spark.sql.SparkSession,
       targetDir: String, plan: RepairPlan, keyCol: String,
       partitionBy: Seq[String] = Seq("_ingestion_date")): RepairResult = {
-    val up = graft.sink.CdcTable.merge(spark, targetDir, plan.upserts,
+    // project the upserts onto the TABLE schema: a source carrying
+    // extra columns (compare cols are the shared subset by
+    // construction) must still repair, not trip merge's
+    // unknown-column guard — repair never widens the target
+    val upserts = graft.sink.CdcTable.currentSchema(targetDir) match {
+      case Some(s) => graft.core.SchemaMerge.castTo(plan.upserts, s)
+      case None => plan.upserts
+    }
+    val up = graft.sink.CdcTable.merge(spark, targetDir, upserts,
       keys = Seq(keyCol), partitionBy = partitionBy)
     // plan.deletes was derived from the PRE-merge target snapshot —
     // still valid: the merge only writes source-keyed rows, and the

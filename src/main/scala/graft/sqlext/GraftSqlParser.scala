@@ -89,10 +89,14 @@ object GraftSqlParser {
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  // the REPAIR flag must not swallow a trailing COMPARE column that
+  // happens to be named "repair": the (?<!,) lookbehind rejects a
+  // token still inside the comma list (back-tick it to force the
+  // column reading in the unambiguous ON-only form)
   private val reconcileRe = Pattern.compile(
     """\s*GRAFT\s+RECONCILE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
       """\s+ON\s+(`[^`]+`|\w+)(?:\s+COMPARE\s+([\w\s,`]+?))?""" +
-      """(?:\s+(REPAIR))?\s*;?\s*""",
+      """(?:(?<!,)\s+(REPAIR))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
 
   private[sqlext] def recognize(sqlText: String): Option[LogicalPlan] = {
@@ -416,8 +420,10 @@ case class ReconcileGraftTable(dir: String, sourceDir: String,
     val (miss, extra, mism) = (d.missingInTarget.count(),
       d.extraInTarget.count(), d.mismatched.count())
     if (repair) {
+      // reuse the diff already computed for the report — repairPlan
+      // would otherwise pay the three joins a second time
       val res = Reconciler.applyRepair(spark, dir,
-        Reconciler.repairPlan(source, tgt, key, cols), key)
+        Reconciler.repairPlanFrom(d, source, key), key)
       Seq(Row(miss, extra, mism,
         miss + mism, res.deleted.rowsDeleted))
     } else Seq(Row(miss, extra, mism, -1L, -1L))

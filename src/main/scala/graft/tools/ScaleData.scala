@@ -32,7 +32,7 @@ object ScaleData {
       factor: Int): Double = {
     val marker = new java.io.File(s"$outDir/_SCALE_OK")
     if (marker.exists() &&
-        scala.io.Source.fromFile(marker).mkString.trim ==
+        java.nio.file.Files.readString(marker.toPath).trim ==
           s"$factor from $baseDir")
       return 0.0
     val t0 = System.nanoTime()

@@ -129,6 +129,40 @@ class MapSpillSpec extends SparkSpec {
       s"field values must follow NAMES across generations: ${rows(2L)}")
   }
 
+  test("a spilled map survives later merges that pass NO cap") {
+    import graft.sink.CdcTable
+    val dir = java.nio.file.Files.createTempDirectory("spillstick").toString
+    CdcTable.append(batch(Seq("k1" -> 1L, "k2" -> 2L, "k3" -> 3L), 1L),
+      dir, maxStructFields = 2)
+    assert(CdcTable.currentSchema(dir).get("attrs").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    // plain append (no cap argument): the recorded spill must absorb
+    // the struct batch, NOT degrade the column to string
+    CdcTable.append(batch(Seq("k9" -> 9L), 2L), dir)
+    val schema = CdcTable.currentSchema(dir).get
+    assert(schema("attrs").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true),
+      s"cap-less merge must respect the spilled map: $schema")
+    val rows = CdcTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        r.getMap[String, Long](r.fieldIndex("attrs")).toMap).toMap
+    assert(rows(2L) == Map("k9" -> 9L), s"got ${rows(2L)}")
+  }
+
+  test("a FIRST batch already past the cap spills immediately") {
+    import graft.sink.CdcTable
+    val dir = java.nio.file.Files.createTempDirectory("spillfirst").toString
+    // 5 keys > cap 4 on a fresh table: the self-merge's x == y
+    // short-circuit must not smuggle the over-cap struct through
+    CdcTable.append(batch(
+      Seq("k1" -> 1L, "k2" -> 2L, "k3" -> 3L, "k4" -> 4L, "k5" -> 5L),
+      1L), dir, maxStructFields = 4)
+    assert(CdcTable.currentSchema(dir).get("attrs").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    assert(CdcTable.read(spark, dir)
+      .selectExpr("attrs['k5']").head().getLong(0) == 5L)
+  }
+
   test("null struct rows stay null through the spill projection") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("attrs", StructType(Seq(

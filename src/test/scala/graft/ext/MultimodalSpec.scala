@@ -129,6 +129,17 @@ class MultimodalSpec extends SparkSpec {
     // non-image rows fall back to the deterministic stub
     assert(feats(2L) ==
       Multimodal.decodeStub("plain bytes".getBytes("UTF-8")).toSeq)
+    // a NULL payload must not kill the task anywhere in the chain
+    assert(Multimodal.decodeStub(null).toSeq ==
+      Seq.fill(Multimodal.featureDim)(0.0f))
+    val withNull = mediaDf(Seq((0L, red)))
+      .unionByName(mediaDf(Seq((1L, null))))
+    val nf = Multimodal.extractFeatures(withNull)
+      .select($"doc_id", $"features").as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(nf(1L) == Seq.fill(Multimodal.featureDim)(0.0f))
+    assert(Multimodal.resizeTo(withNull, 2, 2).count() == 2,
+      "null rows pass through resize untouched")
   }
 
   test("resize rescales real images and re-encodes as PNG") {
@@ -257,6 +268,17 @@ class MultimodalSpec extends SparkSpec {
       Some(Multimodal.VideoInfo("isom", 5500L, 640, 360)))
     assert(Multimodal.videoInfo("not video".getBytes) == None)
     assert(Multimodal.videoInfo(solidImage(4, 4, 0, "png")) == None)
+    // truncated/header-only boxes must yield None, never throw
+    assert(Multimodal.videoInfo(ftyp ++ u32(8) ++
+      "mvhd".getBytes("US-ASCII")) == None)
+    assert(Multimodal.videoInfo(mp4.take(mp4.length - 6).toArray) !=
+      null) // partial tail: parses what it can or None, no exception
+    // the spec's unknown-duration sentinel must not become ~49 days
+    val mvhdUnk = b("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(0xFFFFFFFFL))
+    assert(Multimodal.videoInfo(
+      ftyp ++ b("moov", mvhdUnk ++ b("trak", tkhd))) ==
+      Some(Multimodal.VideoInfo("isom", -1L, 640, 360)))
     // probeMeta routes it: video/mp4 with real width/height/duration
     val probed = Multimodal.probeMeta(mediaDf(Seq((0L, mp4))))
       .select("media_meta.media_type", "media_meta.width",

@@ -110,6 +110,46 @@ class ReconcilerSpec extends SparkSpec {
       s"post-repair re-reconcile must be clean: $after")
   }
 
+  test("repair with a schema-superset source projects onto the table") {
+    import graft.sink.CdcTable
+    val dir = tmpDir("repairsuper")
+    CdcTable.append(Seq((1L, "a", 10.0), (2L, "b", 99.0))
+      .toDF("id", "name", "amount")
+      .withColumn("_id", $"id".cast("string")), dir)
+    // source carries an EXTRA column the table lacks — repair must
+    // still converge on the shared columns, never widen or reject
+    val srcPlus = src.withColumn("_id", $"id".cast("string"))
+      .withColumn("extra_col", $"id" * 100)
+    val res = Reconciler.reconcileAndRepair(spark, srcPlus, dir, "id",
+      Seq("name", "amount"))
+    assert(res.upserted.rowsDeleted == 1L && res.deleted.rowsDeleted == 0L)
+    val r2 = Reconciler.diff(srcPlus, CdcTable.read(spark, dir), "id",
+      Seq("name", "amount"))
+    assert(r2.missingInTarget.count() == 0 && r2.mismatched.count() == 0)
+    assert(!CdcTable.currentSchema(dir).get.fieldNames.contains("extra_col"),
+      "repair must not widen the target schema")
+  }
+
+  test("COMPARE column literally named repair stays report-only") {
+    import graft.sink.CdcTable
+    val dir = tmpDir("reconrepaircol")
+    CdcTable.append(Seq((1L, "x", 5L), (2L, "y", 6L))
+      .toDF("id", "name", "repair")
+      .withColumn("_id", $"id".cast("string")), dir)
+    val srcDir = tmpDir("reconrepaircolsrc")
+    Seq((1L, "x", 5L), (3L, "z", 7L)).toDF("id", "name", "repair")
+      .withColumn("_id", $"id".cast("string"))
+      .write.mode("overwrite").parquet(srcDir)
+    val last = CdcTable.log(dir).last.commit
+    val out = spark.sql(s"GRAFT RECONCILE '$dir' FROM '$srcDir' " +
+      "ON id COMPARE name, repair")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((1L, 1L, 0L, -1L, -1L)),
+      s"trailing 'repair' is a COMPARE column, not the flag: $out")
+    assert(CdcTable.log(dir).last.commit == last,
+      "report-only reconcile must not commit anything")
+  }
+
   test("deleteKeys: no-op on no match, distributed key-frame delete") {
     import graft.sink.CdcTable
     val dir = tmpDir("delkeys")
