@@ -172,6 +172,34 @@ class SchemaMergeSpec extends AnyFunSuite {
     assert(merge(wide, wide, Auto, maxStructFields = 4).size == 50)
   }
 
+  test("capped merge never yields an over-cap nested struct (property)") {
+    val nestedStruct: Gen[StructType] = for {
+      n <- Gen.chooseNum(0, 5)
+      fields <- Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b", "c", "d", "e", "f"), scalars))
+    } yield StructType(fields.distinctBy(_._1)
+      .map { case (nm, t) => StructField(nm, t) })
+    val rowSchema: Gen[StructType] = nestedStruct.map(s =>
+      StructType(Seq(StructField("id", LongType),
+        StructField("nested", s))))
+    def assertCapped(t: DataType, top: Boolean): Unit = t match {
+      case s: StructType =>
+        if (!top) assert(s.size <= 3, s"over-cap struct survived: $s")
+        s.fields.foreach(f => assertCapped(f.dataType, top = false))
+      case ArrayType(e, _) => assertCapped(e, top = false)
+      case MapType(_, v, _) => assertCapped(v, top = false)
+      case _ =>
+    }
+    forAll(rowSchema, rowSchema) { (a, b) =>
+      val m = merge(a, b, Auto, maxStructFields = 3)
+      assertCapped(m, top = true)
+      // idempotent: re-merging the result changes nothing
+      assert(merge(m, m, Auto, maxStructFields = 3) == m)
+      // absorbing either input again keeps the cap invariant
+      assertCapped(merge(m, b, Auto, maxStructFields = 3), top = true)
+    }
+  }
+
   test("diff reports added/removed/changed") {
     val a = StructType(Seq(StructField("x", IntegerType),
       StructField("y", StringType)))
