@@ -70,11 +70,7 @@ object Dedup {
       .select(col("id"), concat_ws(":", col("band") +:
         (0 until rowsPerBand).map(r =>
           expr(s"sig[$rowsPerBand * band + $r]")): _*).as("band_key"))
-    val cand = bandKeys.as("x").join(bandKeys.as("y"),
-        col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
+    val cand = bucketPairs(bandKeys, Seq("band_key"))
 
     // verify candidates with true Jaccard over the shingle-id sets
     val sets = base.select(col("id"), col("sids"), col("m"))
@@ -119,6 +115,42 @@ object Dedup {
     * surviving pair carries its exact Jaccard — a pair is missed only
     * if ALL its shared shingles are ubiquitous, which is precisely the
     * non-discriminative case the cap exists to prune. */
+  /** EXACT candidate pairs (a_id < b_id) over ids sharing a bucket
+    * key (`df` must carry an `id` column plus `keyCols`). Buckets at
+    * or below `localExpandMax` members expand GROUP-LOCALLY from ONE
+    * collect_set shuffle (replacing a self-join that shuffles the
+    * same frame twice — the q59 2.5× win at 100×); larger buckets
+    * (mass-duplicate pathologies whose posting lists must never
+    * collect into a single task) stream through a self-join
+    * restricted to exactly those keys, found by a cheap combinable
+    * count + broadcast. The union is the exact pair set either way. */
+  private[graft] def bucketPairs(df: DataFrame, keyCols: Seq[String],
+      localExpandMax: Int = 1024): DataFrame = {
+    val keys = keyCols.map(col)
+    val big = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > localExpandMax)
+      .select(keys: _*)
+    val smallPairs = df.join(broadcast(big), keyCols, "left_anti")
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), y ->
+          |    named_struct('a_id', element_at(ids, i),
+          |                 'b_id', y))))""".stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+    val bigRows = df.join(broadcast(big), keyCols, "left_semi")
+    val a = bigRows.select(keys :+ col("id").as("a_id"): _*)
+    val b = bigRows.select(
+      keyCols.map(k => col(k).as(s"__b_$k")) :+ col("id").as("b_id"): _*)
+    val bigPairs = a.join(b,
+        keyCols.map(k => col(k) === col(s"__b_$k")).reduce(_ && _) &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    smallPairs.unionByName(bigPairs).distinct()
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, blockCol: Option[String] = None,
       maxShingleDocFreq: Option[Long] = Some(1000L)): DataFrame = {
@@ -166,38 +198,7 @@ object Dedup {
         ex.join(broadcast(hot), Seq("blk", "sh"), "left_anti")
       case None => ex
     }
-    val cand = maxShingleDocFreq match {
-      // group-local expansion materializes up to cap²/2 pair structs
-      // per group before exploding (~8 MB at cap 1024); above that
-      // the single-row nested array grows quadratically (4096 would
-      // already be ~8.4M structs, hundreds of MB in one task) and the
-      // streaming join wins
-      case Some(cap) if cap <= 1024 =>
-        // capped path: every surviving (blk, sh) group holds ≤ cap
-        // ids, so candidate pairs expand GROUP-LOCALLY after ONE
-        // shuffle of the exploded frame (collect_set is memory-safe
-        // under the cap) — replacing a self-join that shuffled the
-        // same 50M-row frame twice. ≤ cap² bounded work per group.
-        kept.groupBy(col("blk"), col("sh"))
-          .agg(sort_array(collect_set(col("id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
-          .select(explode(expr(
-            """flatten(transform(sequence(1, size(ids) - 1), i ->
-              |  transform(slice(ids, i + 1, size(ids) - i), y ->
-              |    named_struct('a_id', element_at(ids, i),
-              |                 'b_id', y))))""".stripMargin)).as("p"))
-          .select(col("p.a_id"), col("p.b_id")).distinct()
-      case _ =>
-        // uncapped (or cap too large to collect): a shingle's posting
-        // list is unbounded, so pairs must come from a streaming
-        // join, never a collected group
-        val a = kept.select(col("id").as("a_id"), col("blk"), col("sh"))
-        val b = kept.select(col("id").as("b_id"),
-          col("blk").as("bblk"), col("sh").as("bsh"))
-        a.join(b, col("sh") === col("bsh") &&
-            col("blk") === col("bblk") && col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id")).distinct()
-    }
+    val cand = bucketPairs(kept, Seq("blk", "sh"))
     val sets = base.select(col("id"), col("sids"), col("m"))
     val result = cand
       .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),

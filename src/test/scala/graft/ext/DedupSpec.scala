@@ -98,6 +98,24 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.filter($"a_id" === 1L && $"b_id" === 2L).count() == 1)
   }
 
+  test("bucketPairs: group-local and big-bucket join paths agree exactly") {
+    import spark.implicits._
+    // bucket A: 5 members (local path at max=1024, join path at
+    // max=3); bucket B: 2 members; singleton bucket C contributes none
+    val rows = ((1L to 5L).map(i => (i, "A")) ++
+      Seq((10L, "B"), (11L, "B"), (20L, "C"))).toDF("id", "blk")
+    def pairsAt(max: Int): Set[(Long, Long)] =
+      Dedup.bucketPairs(rows, Seq("blk"), localExpandMax = max)
+        .as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 1L to 5L; b <- 1L to 5L if a < b
+    } yield (a, b)).toSet + ((10L, 11L))
+    val local = pairsAt(1024) // everything group-local
+    val split = pairsAt(3)    // bucket A through the streaming join
+    assert(local == expected, s"local: $local")
+    assert(split == expected, s"split must be the SAME exact set: $split")
+  }
+
   test("connected components converges on long chains (diameter >> rounds)") {
     // a 120-hop chain defeats one-hop label propagation (needs
     // `diameter` rounds); star contraction converges in O(log² n)
