@@ -123,14 +123,18 @@ object Dedup {
     * (mass-duplicate pathologies whose posting lists must never
     * collect into a single task) stream through a self-join
     * restricted to exactly those keys, found by a cheap combinable
-    * count + broadcast. The union is the exact pair set either way. */
+    * count + broadcast. The union is the exact pair set either way.
+    *
+    * `knownBounded = true` asserts the CALLER already bounds bucket
+    * size at or below `localExpandMax` (e.g. the jaccard df cap has
+    * pruned hot shingles) — the big-bucket detection pass and its
+    * join legs are skipped entirely, leaving the pure single-shuffle
+    * group-local plan. */
   private[graft] def bucketPairs(df: DataFrame, keyCols: Seq[String],
-      localExpandMax: Int = 1024): DataFrame = {
+      localExpandMax: Int = 1024,
+      knownBounded: Boolean = false): DataFrame = {
     val keys = keyCols.map(col)
-    val big = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") > localExpandMax)
-      .select(keys: _*)
-    val smallPairs = df.join(broadcast(big), keyCols, "left_anti")
+    def localPairs(in: DataFrame): DataFrame = in
       .groupBy(keys: _*)
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
@@ -140,6 +144,11 @@ object Dedup {
           |    named_struct('a_id', element_at(ids, i),
           |                 'b_id', y))))""".stripMargin)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
+    if (knownBounded) return localPairs(df).distinct()
+    val big = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > localExpandMax)
+      .select(keys: _*)
+    val smallPairs = localPairs(df.join(broadcast(big), keyCols, "left_anti"))
     val bigRows = df.join(broadcast(big), keyCols, "left_semi")
     val a = bigRows.select(keys :+ col("id").as("a_id"): _*)
     val b = bigRows.select(
@@ -198,7 +207,10 @@ object Dedup {
         ex.join(broadcast(hot), Seq("blk", "sh"), "left_anti")
       case None => ex
     }
-    val cand = bucketPairs(kept, Seq("blk", "sh"))
+    // the df cap already bounds every surviving bucket, so the
+    // big-bucket split pass is provably dead weight when cap ≤ 1024
+    val cand = bucketPairs(kept, Seq("blk", "sh"),
+      knownBounded = maxShingleDocFreq.exists(_ <= 1024))
     val sets = base.select(col("id"), col("sids"), col("m"))
     val result = cand
       .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),
