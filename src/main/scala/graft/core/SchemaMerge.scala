@@ -93,13 +93,19 @@ object SchemaMerge {
         mergeTypes(va, vb, mode, s"$path<val>", maxStructFields), na || nb)
     // an already-spilled map absorbs later struct batches: every
     // field folds into the value type, the schema stays one column.
-    // UNCONDITIONAL — the spill is recorded in the existing schema,
-    // so merge paths that don't pass a cap (plain appends, MERGE
-    // EVOLVE) must still respect it rather than degrading the column
-    // to string via the incompatible-pair fallback
-    case (m: MapType, s: StructType) =>
+    // Applies in ALL cap modes — the spill is recorded in the
+    // existing schema, so merge paths that don't pass a cap (plain
+    // appends, MERGE EVOLVE) must still respect it rather than
+    // degrading the column to string — but ONLY for string-keyed
+    // maps (the spill's own shape: struct field names stringify;
+    // castTo cannot key a map<int,_> from field names), and under
+    // Strict ONLY when a cap is passed (Strict without the spill
+    // feature keeps its "any type change raises" promise)
+    case (m: MapType, s: StructType) if m.keyType == StringType &&
+        (mode != Strict || maxStructFields < Int.MaxValue) =>
       structIntoMap(s, m, mode, path, maxStructFields)
-    case (s: StructType, m: MapType) =>
+    case (s: StructType, m: MapType) if m.keyType == StringType &&
+        (mode != Strict || maxStructFields < Int.MaxValue) =>
       structIntoMap(s, m, mode, path, maxStructFields)
     case (sa: StructType, sb: StructType) =>
       val m = mergeStructs(sa, sb, mode, path, maxStructFields)

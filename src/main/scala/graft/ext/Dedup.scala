@@ -147,14 +147,21 @@ object Dedup {
     if (knownBounded) return localPairs(df).distinct()
     val big = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > localExpandMax)
-      .select(keys: _*)
-    val smallPairs = localPairs(df.join(broadcast(big), keyCols, "left_anti"))
-    val bigRows = df.join(broadcast(big), keyCols, "left_semi")
+      .select(keyCols.map(k => col(k).as(s"__big_$k")): _*)
+    // NULL-SAFE split: groupBy treats a null key as a bucket, so the
+    // detection sees it — but a plain column-name join would never
+    // match it and a huge null-keyed bucket would slip into the
+    // collect leg; <=> keeps both legs consistent on nulls
+    val splitCond = keyCols
+      .map(k => col(k) <=> col(s"__big_$k")).reduce(_ && _)
+    val smallPairs =
+      localPairs(df.join(broadcast(big), splitCond, "left_anti"))
+    val bigRows = df.join(broadcast(big), splitCond, "left_semi")
     val a = bigRows.select(keys :+ col("id").as("a_id"): _*)
     val b = bigRows.select(
       keyCols.map(k => col(k).as(s"__b_$k")) :+ col("id").as("b_id"): _*)
     val bigPairs = a.join(b,
-        keyCols.map(k => col(k) === col(s"__b_$k")).reduce(_ && _) &&
+        keyCols.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _) &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
     smallPairs.unionByName(bigPairs).distinct()
@@ -199,18 +206,28 @@ object Dedup {
     val kept = maxShingleDocFreq match {
       case Some(cap) =>
         // the hot list is tiny (only ubiquitous shingles) → broadcast
-        // anti join, no extra wide shuffle on the big side
+        // anti join, no extra wide shuffle on the big side. NULL-SAFE
+        // on the block key: a null block is a real block (unblocked
+        // callers pass lit(0), but a null-bearing blockCol must not
+        // let its hot shingles dodge the cap — that would void the
+        // bounded-bucket guarantee bucketPairs relies on)
         val hot = ex.groupBy(col("blk"), col("sh"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
-          .select(col("blk"), col("sh"))
-        ex.join(broadcast(hot), Seq("blk", "sh"), "left_anti")
+          .select(col("blk").as("__hot_blk"), col("sh").as("__hot_sh"))
+        ex.join(broadcast(hot),
+          col("blk") <=> col("__hot_blk") &&
+            col("sh") <=> col("__hot_sh"), "left_anti")
       case None => ex
     }
     // the df cap already bounds every surviving bucket, so the
-    // big-bucket split pass is provably dead weight when cap ≤ 1024
+    // big-bucket split pass is provably dead weight when the cap is
+    // within the local-expansion bound (same constant on both sides
+    // so the invariant cannot drift)
+    val localMax = 1024
     val cand = bucketPairs(kept, Seq("blk", "sh"),
-      knownBounded = maxShingleDocFreq.exists(_ <= 1024))
+      localExpandMax = localMax,
+      knownBounded = maxShingleDocFreq.exists(_ <= localMax))
     val sets = base.select(col("id"), col("sids"), col("m"))
     val result = cand
       .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),

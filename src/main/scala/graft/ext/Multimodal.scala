@@ -146,10 +146,14 @@ object Multimodal {
               if (ver == 0) (u32(body + 12), u32(body + 16))
               else (u32(body + 20),
                 (u32(body + 24) << 32) | u32(body + 28))
-            // all-ones duration is the spec's "unknown" sentinel (as
-            // is u32's -1 for a truncated read) — leave durationMs -1
-            if (ts > 0 && dur >= 0 &&
-                dur != 0xFFFFFFFFL && dur != -1L)
+            // all-ones duration is the spec's "unknown" sentinel —
+            // 32-bit all-ones for v0, 64-bit all-ones (= -1 here) for
+            // v1, where 0xFFFFFFFF is a legitimate long duration; a
+            // negative dur also covers u32's -1 truncated-read signal
+            val unknown =
+              if (ver == 0) dur == 0xFFFFFFFFL || dur < 0
+              else dur < 0
+            if (ts > 0 && !unknown)
               durationMs = math.round(dur * 1000.0 / ts)
           case "tkhd" if w == 0 && body < bytes.length =>
             val ver = bytes(body) & 0xFF

@@ -89,15 +89,39 @@ object GraftSqlParser {
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
-  // the REPAIR flag must not swallow a trailing COMPARE column that
-  // happens to be named "repair": the (?<!,) lookbehind rejects a
-  // token still inside the comma list (back-tick it to force the
-  // column reading in the unambiguous ON-only form)
+  // the tail after ON <key> is parsed token-wise in code (see
+  // parseReconcileTail): regex-level REPAIR detection cannot reliably
+  // distinguish the flag from a trailing COMPARE column named
+  // "repair" across whitespace variants
   private val reconcileRe = Pattern.compile(
     """\s*GRAFT\s+RECONCILE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
-      """\s+ON\s+(`[^`]+`|\w+)(?:\s+COMPARE\s+([\w\s,`]+?))?""" +
-      """(?:(?<!,)\s+(REPAIR))?\s*;?\s*""",
-    Pattern.CASE_INSENSITIVE)
+      """\s+ON\s+(`[^`]+`|\w+)(.*?)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  /** Parse the reconcile tail (`[COMPARE c1, c2, …] [REPAIR]`):
+    * REPAIR is the flag ONLY when it stands outside the comma list —
+    * a comma segment that is exactly the word `repair` is a COLUMN;
+    * a multi-token final segment (`…, b REPAIR`) carries the flag.
+    * Returns None for an unrecognizable tail (statement rejected). */
+  private[sqlext] def parseReconcileTail(tail: String)
+      : Option[(Seq[String], Boolean)] = {
+    val t = tail.trim
+    if (t.isEmpty) return Some((Nil, false))
+    if (t.equalsIgnoreCase("REPAIR")) return Some((Nil, true))
+    val m = Pattern.compile("""(?is)\s*COMPARE\s+(.+)""").matcher(t)
+    if (!m.matches()) return None
+    val segs = m.group(1).split(",").toSeq.map(_.trim)
+    if (segs.exists(_.isEmpty)) return None
+    val lastToks = segs.last.split("\\s+").toSeq
+    val repair = lastToks.length >= 2 &&
+      lastToks.last.equalsIgnoreCase("REPAIR")
+    val cols = (if (repair)
+      segs.init :+ lastToks.init.mkString(" ") else segs)
+      .map(_.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+    // a multi-word segment that is not `col REPAIR` is malformed
+    if (cols.exists(_.exists(_.isWhitespace))) None
+    else Some((cols, repair))
+  }
 
   private[sqlext] def recognize(sqlText: String): Option[LogicalPlan] = {
     if (!sqlText.toUpperCase(Locale.ROOT).contains("GRAFT")) return None
@@ -151,11 +175,10 @@ object GraftSqlParser {
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val rm = reconcileRe.matcher(sqlText)
     if (rm.matches()) {
-      val cols = Option(rm.group(4)).toSeq.flatMap(_.split(",").toSeq
-        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-      return Some(ReconcileGraftTable(rm.group(1), rm.group(2),
-        rm.group(3).stripPrefix("`").stripSuffix("`"), cols,
-        repair = rm.group(5) != null))
+      parseReconcileTail(rm.group(4)).foreach { case (cols, repair) =>
+        return Some(ReconcileGraftTable(rm.group(1), rm.group(2),
+          rm.group(3).stripPrefix("`").stripSuffix("`"), cols, repair))
+      }
     }
     None
   }

@@ -172,6 +172,27 @@ class SchemaMergeSpec extends AnyFunSuite {
     assert(merge(wide, wide, Auto, maxStructFields = 4).size == 50)
   }
 
+  test("map/struct absorb: Strict-without-cap raises, non-string keys fall back") {
+    val mapT = MapType(StringType, LongType, valueContainsNull = true)
+    val structT = StructType(Seq(StructField("k", LongType)))
+    // Strict WITHOUT the spill feature keeps its type-change promise
+    intercept[SchemaConflictException] {
+      mergeTypes(mapT, structT, Strict, "attrs")
+    }
+    // Strict WITH a cap: the spill is table-recorded shape, absorb
+    assert(mergeTypes(mapT, structT, Strict, "attrs",
+      maxStructFields = 4) == mapT)
+    // Auto absorbs with or without the cap (the r7 regression)
+    assert(mergeTypes(mapT, structT, Auto, "attrs") == mapT)
+    assert(mergeTypes(structT, mapT, Auto, "attrs") == mapT)
+    // a non-string-keyed map is NOT a spill shape — castTo cannot key
+    // it from field names, so the pair falls back to string
+    val intMap = MapType(IntegerType, LongType, valueContainsNull = true)
+    assert(mergeTypes(intMap, structT, Auto, "attrs") == StringType)
+    assert(mergeTypes(intMap, structT, Auto, "attrs",
+      maxStructFields = 4) == StringType)
+  }
+
   test("capped merge never yields an over-cap nested struct (property)") {
     val nestedStruct: Gen[StructType] = for {
       n <- Gen.chooseNum(0, 5)

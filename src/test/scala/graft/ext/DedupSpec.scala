@@ -114,6 +114,23 @@ class DedupSpec extends SparkSpec {
     val split = pairsAt(3)    // bucket A through the streaming join
     assert(local == expected, s"local: $local")
     assert(split == expected, s"split must be the SAME exact set: $split")
+
+    // a NULL bucket key is a real bucket: the split must route it by
+    // SIZE like any other (a name-equality join would never match it
+    // and a huge null bucket would slip into the collect leg)
+    val withNull = (Seq((1L, Some("A")), (2L, Some("A"))) ++
+      (10L to 14L).map(i => (i, Option.empty[String])))
+      .toDF("id", "blk")
+    val nullExpected = (for {
+      a <- 10L to 14L; b <- 10L to 14L if a < b
+    } yield (a, b)).toSet + ((1L, 2L))
+    val nLocal = Dedup.bucketPairs(withNull, Seq("blk"), 1024)
+      .as[(Long, Long)].collect().toSet
+    val nSplit = Dedup.bucketPairs(withNull, Seq("blk"), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(nLocal == nullExpected, s"null-bucket local: $nLocal")
+    assert(nSplit == nullExpected,
+      s"null bucket must take the join leg when big: $nSplit")
   }
 
   test("connected components converges on long chains (diameter >> rounds)") {

@@ -279,6 +279,13 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoInfo(
       ftyp ++ b("moov", mvhdUnk ++ b("trak", tkhd))) ==
       Some(Multimodal.VideoInfo("isom", -1L, 640, 360)))
+    // ...but in a VERSION-1 mvhd, 0xFFFFFFFF is a legitimate 64-bit
+    // duration (~49.7 days), not the sentinel (which is all-ones 64)
+    val mvhdV1 = b("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](16)(0) ++ u32(1000) ++ u32(0) ++ u32(0xFFFFFFFFL))
+    assert(Multimodal.videoInfo(
+      ftyp ++ b("moov", mvhdV1 ++ b("trak", tkhd))) ==
+      Some(Multimodal.VideoInfo("isom", 4294967295L, 640, 360)))
     // probeMeta routes it: video/mp4 with real width/height/duration
     val probed = Multimodal.probeMeta(mediaDf(Seq((0L, mp4))))
       .select("media_meta.media_type", "media_meta.width",

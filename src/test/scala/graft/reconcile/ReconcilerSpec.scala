@@ -141,13 +141,23 @@ class ReconcilerSpec extends SparkSpec {
       .withColumn("_id", $"id".cast("string"))
       .write.mode("overwrite").parquet(srcDir)
     val last = CdcTable.log(dir).last.commit
-    val out = spark.sql(s"GRAFT RECONCILE '$dir' FROM '$srcDir' " +
-      "ON id COMPARE name, repair")
+    // whitespace variants must all read 'repair' as a COLUMN
+    Seq("ON id COMPARE name, repair",
+      "ON id COMPARE name,  repair", // double space broke the regex fix
+      "ON id COMPARE name,\n  repair").foreach { tail =>
+      val out = spark.sql(s"GRAFT RECONCILE '$dir' FROM '$srcDir' $tail")
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(out == ((1L, 1L, 0L, -1L, -1L)),
+        s"'$tail': trailing 'repair' is a COMPARE column, not the flag: $out")
+      assert(CdcTable.log(dir).last.commit == last,
+        s"'$tail': report-only reconcile must not commit anything")
+    }
+    // ...while a genuine flag after a column list still repairs
+    val fixed = spark.sql(s"GRAFT RECONCILE '$dir' FROM '$srcDir' " +
+      "ON id COMPARE name, repair REPAIR")
       .as[(Long, Long, Long, Long, Long)].head()
-    assert(out == ((1L, 1L, 0L, -1L, -1L)),
-      s"trailing 'repair' is a COMPARE column, not the flag: $out")
-    assert(CdcTable.log(dir).last.commit == last,
-      "report-only reconcile must not commit anything")
+    assert(fixed._4 >= 0 && fixed._5 >= 0, s"flagged run repairs: $fixed")
+    assert(CdcTable.log(dir).last.commit != last)
   }
 
   test("deleteKeys: no-op on no match, distributed key-frame delete") {
