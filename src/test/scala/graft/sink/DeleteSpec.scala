@@ -251,6 +251,36 @@ class DeleteSpec extends SparkSpec {
         s"(CME seen during race: $cmeSeen)")
   }
 
+  test("deleteKeys racing appends never loses a row") {
+    val dir = tmpDir("delkeysrace")
+    CdcTable.append(Seq((0L, "seed")).toDF("x", "_id"), dir)
+    val n = 12
+    val appender = new Thread(() =>
+      (1 to n).foreach { i =>
+        CdcTable.append(Seq((i.toLong, s"r$i")).toDF("x", "_id"), dir)
+      })
+    appender.start()
+    // keyed deletes race the appends: same optimistic-concurrency
+    // contract as the predicate delete — commit against the snapshot
+    // read, or detect the moved log and give the caller the retry
+    val evens = (2 to n by 2).map(_.toLong)
+    var cmeSeen = false
+    while (appender.isAlive) {
+      try { CdcTable.deleteKeys(spark, dir, evens.toDF("x"), Seq("x")); () }
+      catch {
+        case _: java.util.ConcurrentModificationException =>
+          cmeSeen = true
+      }
+    }
+    appender.join()
+    CdcTable.deleteKeys(spark, dir, evens.toDF("x"), Seq("x"))
+    val rows = CdcTable.read(spark, dir)
+      .select("x").as[Long].collect().sorted.toSeq
+    assert(rows == (0L +: (1 to n).filter(_ % 2 == 1).map(_.toLong)),
+      s"odd rows + seed survive, even keys all deleted: $rows " +
+        s"(CME seen during race: $cmeSeen)")
+  }
+
   test("vacuum after delete reclaims superseded files; stale travel raises") {
     val dir = tmpDir("delvac")
     CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
