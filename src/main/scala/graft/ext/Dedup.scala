@@ -31,6 +31,58 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
   }
 
+  /** INCREMENTAL exact dedup — the streaming-ingest shape: a new
+    * batch dedups against the fingerprints of everything already
+    * ingested, without re-reading the historical corpus text. The
+    * index is a graft table of (fingerprint, keep_id) rows, so it
+    * gets atomic commits, time travel, and compaction for free.
+    *
+    * Per batch: one scan of the BATCH (fingerprint + in-batch
+    * min-id), one key join against the index (at 100 TB the index is
+    * fingerprint-bucketed parquet a fraction of the corpus size —
+    * text never travels), one append of the batch's novel
+    * fingerprints. Returns the batch annotated with
+    * (keep_id, is_duplicate) where keep_id may reference a HISTORICAL
+    * document. Exactly-once across replays via the txn marker.
+    *
+    * Call [[graft.sink.CdcTable.compactToCurrentState]] (idCol =
+    * "fingerprint") periodically to fold index generations. */
+  def exactIncremental(batch: DataFrame, textCol: String, idCol: String,
+      indexDir: String, txn: Option[(String, Long)] = None): DataFrame = {
+    import graft.sink.CdcTable
+    val spark = batch.sparkSession
+    val fp = batch.withColumn("fingerprint",
+      md5(lower(trim(col(textCol)))))
+    // in-batch winner per fingerprint (same min-id rule as [[exact]])
+    val batchKeep = fp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("batch_keep"))
+    val hist =
+      if (CdcTable.log(indexDir).nonEmpty)
+        CdcTable.read(spark, indexDir)
+          .select(col("fingerprint"), col("keep_id").as("hist_keep"))
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fingerprint",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("hist_keep",
+            batch.schema(idCol).dataType))))
+    val resolved = batchKeep.join(hist, Seq("fingerprint"), "left")
+      .withColumn("keep_id",
+        coalesce(col("hist_keep"), col("batch_keep")))
+      .localCheckpoint() // pin: the index append below must not shift
+                         // what the annotation join reads
+    // novel fingerprints (no historical entry) enter the index with
+    // the batch's winner; known ones are already represented
+    CdcTable.append(
+      resolved.filter(col("hist_keep").isNull)
+        .select(col("fingerprint"), col("keep_id")),
+      indexDir, txn = txn)
+    fp.join(resolved.select(col("fingerprint"), col("keep_id")),
+        Seq("fingerprint"))
+      .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+  }
+
   final case class NearDupResult(
       pairs: DataFrame,      // (a_id, b_id, <score>) verified pairs
       components: DataFrame, // (id, component) for every duplicate doc

@@ -889,6 +889,41 @@ object TextQ {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q81 — INCREMENTAL exact dedup ([[graft.ext.Dedup.exactIncremental]],
+    * the streaming-ingest dedup shape): the corpus arrives as two
+    * batches (doc_id split at 50% of the table); batch 2 dedups
+    * against a fingerprint INDEX built from batch 1 — the historical
+    * text is never re-read, and a duplicate's keep_id points at the
+    * batch-1 winner. Output is batch 2's annotation. The index is a
+    * graft table (atomic commits, replay-safe txn markers) created
+    * fresh per run so the query stays deterministic. */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_q81_idx").toString
+    graft.ext.Dedup.exactIncremental(
+      docs.filter(col("doc_id") < cut), "text", "doc_id", idx).count()
+    graft.ext.Dedup.exactIncremental(
+      docs.filter(col("doc_id") >= cut), "text", "doc_id", idx)
+      .select(col("doc_id"), col("keep_id"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q81Sql: String =
+    """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp
+      |  FROM documents),
+      |cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS c
+      |  FROM documents),
+      |b1 AS (SELECT fp, MIN(doc_id) AS k FROM d, cut
+      |  WHERE doc_id < c GROUP BY fp),
+      |b2 AS (SELECT fp, MIN(doc_id) AS k FROM d, cut
+      |  WHERE doc_id >= c GROUP BY fp)
+      |SELECT d.doc_id, COALESCE(b1.k, b2.k) AS keep_id,
+      |  d.doc_id <> COALESCE(b1.k, b2.k) AS is_duplicate
+      |FROM d LEFT JOIN b1 USING (fp) LEFT JOIN b2 USING (fp), cut
+      |WHERE d.doc_id >= c ORDER BY d.doc_id""".stripMargin
+
   val q80Sql: String =
     s"""WITH f AS (SELECT DISTINCT source,
        |    md5(array_to_string($toksD[1:8], ' ')) AS fp
@@ -924,5 +959,6 @@ object TextQ {
     QueryDef("q74_bloom_decontaminate", q74, Some(q74Sql)),
     QueryDef("q76_bpe_pairs", q76, Some(q76Sql)),
     QueryDef("q77_tfidf", q77, Some(q77Sql)),
-    QueryDef("q80_dup_matrix", q80, Some(q80Sql)))
+    QueryDef("q80_dup_matrix", q80, Some(q80Sql)),
+    QueryDef("q81_incremental_dedup", q81, Some(q81Sql)))
 }

@@ -98,6 +98,44 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.filter($"a_id" === 1L && $"b_id" === 2L).count() == 1)
   }
 
+  test("exactIncremental dedups new batches against the historical index") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    // batch 1: two distinct docs + one in-batch duplicate
+    val b1 = Seq((1L, "the quick fox"), (2L, "lazy dog"),
+      (3L, "The Quick Fox  ")).toDF("doc_id", "text")
+    val r1 = Dedup.exactIncremental(b1, "text", "doc_id", idx)
+      .select("doc_id", "keep_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, v, d) => k -> ((v, d)) }.toMap
+    assert(r1 == Map(1L -> ((1L, false)), 2L -> ((2L, false)),
+      3L -> ((1L, true))), s"got $r1")
+    // batch 2: one historical duplicate (keep_id points at batch 1's
+    // winner), one novel doc
+    val b2 = Seq((10L, "lazy dog"), (11L, "brand new")).toDF("doc_id", "text")
+    val r2 = Dedup.exactIncremental(b2, "text", "doc_id", idx)
+      .select("doc_id", "keep_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, v, d) => k -> ((v, d)) }.toMap
+    assert(r2 == Map(10L -> ((2L, true)), 11L -> ((11L, false))),
+      s"historical winner must carry across batches: $r2")
+    // batch 3 replay-safety: the txn marker makes the index append
+    // idempotent, so a replayed batch annotates identically
+    val b3 = Seq((20L, "brand new")).toDF("doc_id", "text")
+    val r3a = Dedup.exactIncremental(b3, "text", "doc_id", idx,
+      txn = Some(("dedup-stream", 3L)))
+      .select("keep_id").as[Long].head()
+    val r3b = Dedup.exactIncremental(b3, "text", "doc_id", idx,
+      txn = Some(("dedup-stream", 3L)))
+      .select("keep_id").as[Long].head()
+    assert(r3a == 11L && r3b == 11L)
+    // index holds exactly one row per distinct fingerprint
+    val n = graft.sink.CdcTable.read(spark, idx)
+      .select("fingerprint").distinct().count()
+    assert(graft.sink.CdcTable.read(spark, idx).count() == n,
+      "no duplicate fingerprints in the index")
+  }
+
   test("bucketPairs: group-local and big-bucket join paths agree exactly") {
     import spark.implicits._
     // bucket A: 5 members (local path at max=1024, join path at
