@@ -58,8 +58,14 @@ object Dedup {
       .agg(min(col(idCol)).as("batch_keep"))
     val hist =
       if (CdcTable.log(indexDir).nonEmpty)
+        // min-per-fingerprint, not a raw read: appends are commutative
+        // under optimistic concurrency, so two concurrent batches can
+        // both land the same novel fingerprint — the min-id rule (the
+        // same winner rule [[exact]] uses) keeps the annotation join
+        // 1:1 and deterministic no matter the interleaving
         CdcTable.read(spark, indexDir)
-          .select(col("fingerprint"), col("keep_id").as("hist_keep"))
+          .groupBy(col("fingerprint"))
+          .agg(min(col("keep_id")).as("hist_keep"))
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
@@ -81,6 +87,116 @@ object Dedup {
     fp.join(resolved.select(col("fingerprint"), col("keep_id")),
         Seq("fingerprint"))
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+  }
+
+  /** Streaming corpus-scale exact dedup: every micro-batch dedups
+    * against the fingerprint index of EVERYTHING already ingested —
+    * unbounded lookback with ZERO stream state (contrast
+    * [[graft.streaming.StreamOps.dedupeStream]], whose state-store
+    * dedup window is watermark-bounded). The index lives on disk as a
+    * graft table, so 100 TB of history costs one key join per batch,
+    * never executor state. Novel docs append to `outDir` (also a
+    * graft table); duplicates are dropped.
+    *
+    * Exactly-once across restarts: the index append (inside
+    * [[exactIncremental]]) and the output append carry the SAME
+    * batch-id txn marker under per-role app ids, so a batch replayed
+    * from the checkpoint re-annotates identically (its fingerprints
+    * are already in the index with the same winners — see the
+    * [[exactIncremental]] replay analysis) and both appends no-op. */
+  def dedupStreamToTable(stream: DataFrame, textCol: String,
+      idCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, appId: String = "graft-dedup")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val annotated = exactIncremental(batch, textCol, idCol,
+          indexDir, txn = Some((s"$appId-idx", id)))
+        graft.sink.CdcTable.append(
+          annotated.filter(!col("is_duplicate"))
+            .drop("fingerprint", "keep_id", "is_duplicate"),
+          outDir, txn = Some((s"$appId-out", id)))
+        ()
+      }
+      .start()
+
+  /** INCREMENTAL near-dup — MinHash+LSH against a SIGNATURE index of
+    * everything already ingested, the near-dup analog of
+    * [[exactIncremental]]. The index (a graft table) carries `bands`
+    * band rows per doc, each with the 16-row signature (~0.5 KB/doc)
+    * — the historical TEXT is never stored or re-read, which is the
+    * point at 100 TB. Candidates are blocked by shared band buckets
+    * exactly as [[near]]; verification is the SIGNATURE-ESTIMATED
+    * Jaccard (matching fraction of the 16 minhash rows — the standard
+    * streaming tradeoff vs [[near]]'s exact shingle-set Jaccard,
+    * unbiased with stderr ≈ sqrt(J(1−J)/16)).
+    *
+    * Returns pairs (a_id < b_id, n_shared_bands, est_jaccard) where
+    * at least one side is in `batch`. Replay-safe via `txn`: a
+    * replayed batch's own index rows are already present, and the
+    * (a, b, band_key)-distinct collapse makes the annotation
+    * identical; the re-append no-ops on the txn marker. */
+  def nearIncremental(batch: DataFrame, textCol: String, idCol: String,
+      indexDir: String, bands: Int = 4,
+      txn: Option[(String, Long)] = None): DataFrame = {
+    import graft.sink.CdcTable
+    val spark = batch.sparkSession
+    require(spark.catalog.functionExists("minhash_sig"),
+      "Dedup.nearIncremental requires GraftExtensions")
+    require(bands >= 1 && 16 % bands == 0,
+      s"bands must divide the 16-row MinHash signature, got $bands")
+    val rowsPerBand = 16 / bands
+    // short docs (<3 tokens → empty signature) are not bandable; same
+    // rule as [[near]], and the index never sees them
+    val batchBands = batch
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("sids", expr("shingle_ids(text)"))
+      .filter(size(col("sids")) > 0)
+      .withColumn("sig", expr("minhash_sig(sids)"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"),
+        col("sig"))
+      .select(col("doc_id"), concat_ws(":", col("band") +:
+        (0 until rowsPerBand).map(r =>
+          expr(s"sig[$rowsPerBand * band + $r]")): _*).as("band_key"),
+        col("sig"))
+      .localCheckpoint() // pin: feeds the candidate join AND the
+                         // index append; must not recompute after it
+    // CdcTable.read snapshots the log NOW — the append below cannot
+    // leak this batch into its own "historical" side on first run
+    val hist =
+      if (CdcTable.log(indexDir).nonEmpty)
+        CdcTable.read(spark, indexDir)
+          .select(col("doc_id"), col("band_key"), col("sig"))
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        batchBands.schema)
+    CdcTable.append(batchBands, indexDir, txn = txn)
+    val all = hist.unionByName(batchBands)
+    val cand = batchBands.select(col("doc_id").as("l_id"), col("band_key"))
+      .join(all.select(col("doc_id").as("r_id"), col("band_key")),
+        Seq("band_key"))
+      .filter(col("l_id") =!= col("r_id"))
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"), col("band_key"))
+      .distinct() // collapses the two orientations of batch-batch
+                  // pairs and any replayed index rows
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val sigs = all.select(col("doc_id"), col("sig"))
+      .dropDuplicates("doc_id") // bands copies carry identical sigs
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")),
+        Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
+        Seq("b_id"))
+      .withColumn("est_jaccard", expr(
+        "cast(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) " +
+          "as double) / 16"))
+      .select(col("a_id"), col("b_id"), col("n_shared_bands"),
+        col("est_jaccard"))
   }
 
   final case class NearDupResult(

@@ -295,12 +295,15 @@ object TextQ {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** DuckDB-side portable 16-row MinHash signature (matches the
+    * `minhash_sig` native bit-for-bit; proven by q34/q82 hashes). */
+  private val minhashSigD =
+    s"""list_transform(range(0, 16), k -> list_aggregate(
+       |  list_transform(sids, x ->
+       |    ((1103515245 + 12345 * k) * x + 748191 * k)
+       |    % 1000000007), 'min'))""".stripMargin
+
   val q34Sql: String = {
-    val minhashSigD =
-      s"""list_transform(range(0, 16), k -> list_aggregate(
-         |  list_transform(sids, x ->
-         |    ((1103515245 + 12345 * k) * x + 748191 * k)
-         |    % 1000000007), 'min'))""".stripMargin
     s"""WITH d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
        |ids AS (SELECT doc_id,
        |    list_transform(shs, t -> ${tokD("t")}) AS sids FROM d),
@@ -924,6 +927,52 @@ object TextQ {
       |FROM d LEFT JOIN b1 USING (fp) LEFT JOIN b2 USING (fp), cut
       |WHERE d.doc_id >= c ORDER BY d.doc_id""".stripMargin
 
+  /** q82 — INCREMENTAL near-dup ([[graft.ext.Dedup.nearIncremental]]):
+    * batch 2 (doc_id ≥ cut) LSH-matches against the SIGNATURE index
+    * built from batch 1 — the historical text is gone; only band keys
+    * and 16-row signatures remain on disk. Pairs carry the shared-band
+    * count and the signature-ESTIMATED jaccard (the streaming
+    * verification tradeoff). Oracle: batch-global q34-style banding
+    * restricted to pairs whose higher id is in batch 2 — incremental
+    * banding over an id-split corpus discovers exactly those pairs. */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_q82_idx").toString
+    graft.ext.Dedup.nearIncremental(
+      docs.filter(col("doc_id") < cut), "text", "doc_id", idx).count()
+    graft.ext.Dedup.nearIncremental(
+      docs.filter(col("doc_id") >= cut), "text", "doc_id", idx)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q82Sql: String =
+    s"""WITH d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, t -> ${tokD("t")}) AS sids
+       |  FROM d WHERE len(shs) > 0),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids),
+       |cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS c
+       |  FROM documents),
+       |bands AS (SELECT doc_id,
+       |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
+       |      sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    COUNT(*) AS n_shared_bands
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id, cut
+       |  WHERE b.doc_id >= c GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared_bands,
+       |  CAST(len(list_filter(list_transform(range(0, 16),
+       |    k -> sa.sig[k+1] = sb.sig[k+1]), v -> v)) AS DOUBLE) / 16
+       |    AS est_jaccard
+       |FROM p JOIN sigs sa ON sa.doc_id = p.a_id
+       |  JOIN sigs sb ON sb.doc_id = p.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   val q80Sql: String =
     s"""WITH f AS (SELECT DISTINCT source,
        |    md5(array_to_string($toksD[1:8], ' ')) AS fp
@@ -960,5 +1009,6 @@ object TextQ {
     QueryDef("q76_bpe_pairs", q76, Some(q76Sql)),
     QueryDef("q77_tfidf", q77, Some(q77Sql)),
     QueryDef("q80_dup_matrix", q80, Some(q80Sql)),
-    QueryDef("q81_incremental_dedup", q81, Some(q81Sql)))
+    QueryDef("q81_incremental_dedup", q81, Some(q81Sql)),
+    QueryDef("q82_incremental_neardup", q82, Some(q82Sql)))
 }

@@ -136,6 +136,94 @@ class DedupSpec extends SparkSpec {
       "no duplicate fingerprints in the index")
   }
 
+  test("exactIncremental survives duplicate index rows from racing appenders") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    Dedup.exactIncremental(
+      Seq((5L, "shared doc")).toDF("doc_id", "text"), "text", "doc_id", idx)
+      .count()
+    // simulate the commutative-append race: a second appender lands the
+    // SAME fingerprint with its own (later) winner before reading ours
+    val fp = graft.sink.CdcTable.read(spark, idx)
+      .select("fingerprint").as[String].head()
+    graft.sink.CdcTable.append(
+      Seq((fp, 9L)).toDF("fingerprint", "keep_id"), idx)
+    // annotation must stay 1:1 (no join fan-out) and pick the min id
+    val out = Dedup.exactIncremental(
+      Seq((30L, "shared doc"), (31L, "other")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+      .select("doc_id", "keep_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 2, s"fan-out: ${out.toSeq}")
+    assert(out.map(t => t._1 -> t._2).toMap.apply(30L) == 5L,
+      "min-id winner rule must resolve racing index entries")
+  }
+
+  test("nearIncremental: cross-batch near-dups from the signature index") {
+    val idx = java.nio.file.Files.createTempDirectory("nearidx").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest tonight while stars shine bright"
+    // batch 1: the base doc + an unrelated one (same corpus as the
+    // batch-global `near` test, whose banding collisions are known)
+    val b1 = Seq((10L, base),
+      (13L, "completely different words describing graphs and engines " +
+        "spark catalyst tungsten shuffle partitions exchange operators"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearIncremental(b1, "text", "doc_id", idx,
+      txn = Some(("near-stream", 1L))).count() == 0,
+      "no pairs within batch 1")
+    // batch 2: near-dups of the HISTORICAL doc 10 — text gone, only
+    // its signature remains in the index
+    val b2 = Seq((21L, base + " extra"), (22L, base.replace("quick", "rapid")))
+      .toDF("doc_id", "text")
+    val r = Dedup.nearIncremental(b2, "text", "doc_id", idx,
+        txn = Some(("near-stream", 2L)))
+      .select("a_id", "b_id", "n_shared_bands", "est_jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(r.contains((10L, 21L)) && r.contains((10L, 22L)),
+      s"cross-batch pairs vs the index: ${r.keySet}")
+    assert(r((10L, 21L))._2 >= 0.5 && r((10L, 22L))._2 >= 0.5,
+      s"estimated jaccard should be high for near-dups: $r")
+    // replay of batch 2 (same txn): identical pairs, index un-grown
+    val n = graft.sink.CdcTable.read(spark, idx).count()
+    val r2 = Dedup.nearIncremental(b2, "text", "doc_id", idx,
+        txn = Some(("near-stream", 2L)))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(r2 == r.keySet, s"replay must annotate identically: $r2")
+    assert(graft.sink.CdcTable.read(spark, idx).count() == n,
+      "replayed append must no-op on the txn marker")
+  }
+
+  test("dedupStreamToTable: unbounded-lookback dedup, exactly-once restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("sdidx").toString
+    val out = java.nio.file.Files.createTempDirectory("sdout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sdckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF.toDF("doc_id", "text")
+    val q1 = Dedup.dedupStreamToTable(df, "text", "doc_id", idx, out, ckpt)
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"), (3L, "Alpha "))
+      q1.processAllAvailable() // in-batch dup: 3 normalizes to 1's text
+      mem.addData((10L, "beta"), (11L, "gamma"))
+      q1.processAllAvailable() // historical dup + novel
+    } finally q1.stop()
+    // restart from the checkpoint: lookback must cover ALL history
+    val q2 = Dedup.dedupStreamToTable(df, "text", "doc_id", idx, out, ckpt)
+    try {
+      mem.addData((20L, "gamma"), (21L, "delta"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = graft.sink.CdcTable.read(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 11L, 21L),
+      s"unique docs only, across batches and a restart: $ids")
+    assert(graft.sink.CdcTable.read(spark, out).columns.toSeq ==
+      Seq("doc_id", "text"), "annotation columns must not leak")
+  }
+
   test("bucketPairs: group-local and big-bucket join paths agree exactly") {
     import spark.implicits._
     // bucket A: 5 members (local path at max=1024, join path at
