@@ -122,6 +122,42 @@ object Dedup {
       }
       .start()
 
+  /** Streaming NEAR-dup-to-table: the fuzzy analog of
+    * [[dedupStreamToTable]] — every micro-batch LSH-matches against
+    * the signature index of everything already ingested
+    * ([[nearIncremental]]); batch docs whose signature-estimated
+    * jaccard against ANY earlier doc (historical, or a lower-id doc
+    * in the same batch) reaches `threshold` are dropped, the rest
+    * append to `outDir`. Exactly-once across restarts via per-role
+    * txn markers.
+    *
+    * Assumes ids are non-decreasing across batches (the natural
+    * ingest-sequence property): a pair's higher id loses, so the kept
+    * doc is always the FIRST-seen one — the same winner rule
+    * [[near]]'s connected-components resolution applies per cluster.
+    * Dropped docs still enter the signature index, so later copies of
+    * a dropped near-dup are still caught. */
+  def nearDedupStreamToTable(stream: DataFrame, textCol: String,
+      idCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, threshold: Double = 0.8, bands: Int = 4,
+      appId: String = "graft-neardedup")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pairs = nearIncremental(batch, textCol, idCol, indexDir,
+          bands, txn = Some((s"$appId-idx", id)))
+        val dupIds = pairs.filter(col("est_jaccard") >= threshold)
+          .select(col("b_id").as("__dup_id")).distinct()
+        graft.sink.CdcTable.append(
+          batch.join(dupIds, batch(idCol) === col("__dup_id"),
+            "left_anti"),
+          outDir, txn = Some((s"$appId-out", id)))
+        ()
+      }
+      .start()
+
   /** INCREMENTAL near-dup — MinHash+LSH against a SIGNATURE index of
     * everything already ingested, the near-dup analog of
     * [[exactIncremental]]. The index (a graft table) carries `bands`

@@ -905,8 +905,11 @@ object TextQ {
     val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
     val idx = java.nio.file.Files
       .createTempDirectory("graft_q81_idx").toString
+    // the index append inside exactIncremental is EAGER (CdcTable
+    // .append is an action); the returned annotation frame is lazy
+    // and unread for batch 1 — don't force it
     graft.ext.Dedup.exactIncremental(
-      docs.filter(col("doc_id") < cut), "text", "doc_id", idx).count()
+      docs.filter(col("doc_id") < cut), "text", "doc_id", idx)
     graft.ext.Dedup.exactIncremental(
       docs.filter(col("doc_id") >= cut), "text", "doc_id", idx)
       .select(col("doc_id"), col("keep_id"), col("is_duplicate"))
@@ -941,8 +944,10 @@ object TextQ {
     val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
     val idx = java.nio.file.Files
       .createTempDirectory("graft_q82_idx").toString
+    // index append is eager inside nearIncremental; batch 1's pair
+    // frame is lazy and unread — don't force it
     graft.ext.Dedup.nearIncremental(
-      docs.filter(col("doc_id") < cut), "text", "doc_id", idx).count()
+      docs.filter(col("doc_id") < cut), "text", "doc_id", idx)
     graft.ext.Dedup.nearIncremental(
       docs.filter(col("doc_id") >= cut), "text", "doc_id", idx)
       .orderBy(col("a_id"), col("b_id"))

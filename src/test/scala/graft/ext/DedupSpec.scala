@@ -195,6 +195,38 @@ class DedupSpec extends SparkSpec {
       "replayed append must no-op on the txn marker")
   }
 
+  test("nearDedupStreamToTable drops fuzzy copies of historical docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("nsidx").toString
+    val out = java.nio.file.Files.createTempDirectory("nsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("nsckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest tonight while stars shine bright"
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.nearDedupStreamToTable(mem.toDF.toDF("doc_id", "text"),
+      "text", "doc_id", idx, out, ckpt, threshold = 0.5)
+    try {
+      mem.addData((10L, base),
+        (13L, "completely different words describing graphs and engines " +
+          "spark catalyst tungsten shuffle partitions exchange operators"))
+      q.processAllAvailable()
+      // 21 fuzzy-copies historical 10 → dropped; 25 is novel → kept
+      mem.addData((21L, base + " extra"),
+        (25L, "yet another unrelated document about streaming watermarks " +
+          "checkpoints state stores and session windows for processing"))
+      q.processAllAvailable()
+      // a copy of the DROPPED doc 21 must still be caught (dropped
+      // docs enter the signature index)
+      mem.addData((30L, base + " extra"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = graft.sink.CdcTable.read(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(10L, 13L, 25L),
+      s"near-dups dropped, novel docs kept: $ids")
+  }
+
   test("dedupStreamToTable: unbounded-lookback dedup, exactly-once restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
