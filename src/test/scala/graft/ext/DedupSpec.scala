@@ -159,6 +159,31 @@ class DedupSpec extends SparkSpec {
       "min-id winner rule must resolve racing index entries")
   }
 
+  test("exactIncremental over ordered batches equals batch-global exact") {
+    // the q81 oracle proves one 2-way split on real data; this drives
+    // a seeded heavy-duplicate corpus through FOUR splits and checks
+    // the full annotation (keep_id per doc) against [[Dedup.exact]] —
+    // valid because ids are ordered across batches, so the earliest
+    // batch containing a fingerprint also holds its global min id
+    val rnd = new scala.util.Random(42)
+    val pool = Vector("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa", "lambda mu")
+    val docs = (1L to 60L).map(i => (i, pool(rnd.nextInt(pool.size))))
+    val idx = java.nio.file.Files.createTempDirectory("propidx").toString
+    val incr = Seq(0L, 15L, 30L, 45L, 61L).sliding(2).flatMap {
+      case Seq(lo, hi) =>
+        Dedup.exactIncremental(
+          docs.filter(d => d._1 >= lo && d._1 < hi).toDF("doc_id", "text"),
+          "text", "doc_id", idx)
+          .select("doc_id", "keep_id").as[(Long, Long)].collect()
+      case _ => Nil
+    }.toMap
+    val global = Dedup.exact(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    assert(incr == global,
+      s"divergence: ${(incr.toSet diff global.toSet).take(5)}")
+  }
+
   test("nearIncremental: cross-batch near-dups from the signature index") {
     val idx = java.nio.file.Files.createTempDirectory("nearidx").toString
     val base = "the quick brown fox jumps over the lazy dog and runs far " +
