@@ -310,11 +310,29 @@ object SchemaMerge {
       case _ => false
     }
 
+  /** Type equality modulo nullability flags at every nesting level.
+    * A frame written from non-null in-memory data records e.g.
+    * `array<float>` with containsNull=false in the manifest, while
+    * the parquet relation reads it back containsNull=true; Spark 4
+    * REFUSES a nullable→non-null element cast outright, so castTo
+    * must recognize the types as already-equal instead of casting. */
+  private def sameIgnoringNull(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (ArrayType(ea, _), ArrayType(eb, _)) => sameIgnoringNull(ea, eb)
+      case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+        sameIgnoringNull(ka, kb) && sameIgnoringNull(va, vb)
+      case (sa: StructType, sb: StructType) =>
+        sa.length == sb.length &&
+          sa.fields.zip(sb.fields).forall { case (x, y) =>
+            x.name == y.name && sameIgnoringNull(x.dataType, y.dataType) }
+      case _ => a == b
+    }
+
   private def convert(c: org.apache.spark.sql.Column, from: DataType,
       to: DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{array, lit, map_filter,
       map_from_arrays, struct, transform, transform_values, when}
-    if (from == to) c
+    if (sameIgnoringNull(from, to)) c
     else if (!needsDeepConvert(from, to)) c.cast(to)
     else (from, to) match {
       // the spill path: struct fields become map entries; null fields

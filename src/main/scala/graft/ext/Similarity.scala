@@ -162,6 +162,48 @@ object Similarity {
     expr(s"CASE $cases END")
   }
 
+  /** INCREMENTAL embedding near-dup — the vector analog of
+    * [[graft.ext.Dedup.nearIncremental]]: each batch LSH-matches
+    * against a bucket index (a graft table) of every vector already
+    * ingested. Embeddings are compact enough to live IN the index
+    * (unlike document text), so verification is the EXACT fixed-point
+    * cosine, not an estimate. One bucket equi-join + one append per
+    * batch; the history is never re-hashed. Returns pairs
+    * (a_id < b_id, cos_sim ≥ threshold) with at least one side in
+    * `batch`; replay-safe via `txn` (re-appends no-op on the marker,
+    * the (a,b)-distinct collapses re-seen index rows). */
+  def nearDupIncremental(batch: DataFrame, idCol: String,
+      threshold: Double, indexDir: String, embCol: String = "embedding",
+      planes: Int = 4, txn: Option[(String, Long)] = None): DataFrame = {
+    import graft.sink.CdcTable
+    val spark = batch.sparkSession
+    val hashed = batch.select(col(idCol).as("id"), col(embCol).as("e"))
+    val batchRows = hashed
+      .withColumn("bval", bucketFor(hashed, "e", planes, 0))
+      .localCheckpoint() // pin: feeds the join AND the index append
+    // snapshot the log BEFORE the append: first-run history must not
+    // include this batch
+    val hist =
+      if (CdcTable.log(indexDir).nonEmpty)
+        CdcTable.read(spark, indexDir)
+          .select(col("id"), col("e"), col("bval"))
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        batchRows.schema)
+    CdcTable.append(batchRows, indexDir, txn = txn)
+    batchRows.select(col("id").as("l_id"), col("e").as("le"), col("bval"))
+      .join(hist.unionByName(batchRows)
+        .select(col("id").as("r_id"), col("e").as("re"), col("bval")),
+        Seq("bval"))
+      .filter(col("l_id") =!= col("r_id"))
+      .withColumn("cos_sim", dotExpr(batch, "le", "re") / lit(1e12))
+      .filter(col("cos_sim") >= threshold)
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"), col("cos_sim"))
+      .distinct() // both orientations of batch-batch pairs (the dot
+                  // is bit-identical either way) and replayed rows
+  }
+
   /** All pairs with cosine ≥ threshold — exact exhaustive O(n²) pair
     * join. Correctness baseline / small inputs only; the default
     * [[nearDupPairs]] band-blocks first. */

@@ -429,7 +429,43 @@ object EmbeddingQ {
        |WHERE a.dot_fx * 10 * n < s * 8
        |ORDER BY a.vec_id""".stripMargin
 
+  /** q83 — INCREMENTAL embedding near-dup
+    * ([[Similarity.nearDupIncremental]]): batch 2 (vec_id ≥ cut)
+    * LSH-matches against the bucket index built from batch 1, with
+    * EXACT fixed-point cosine verification (vectors live in the
+    * index). Oracle: the q37 batch-global bucket-blocked pair set
+    * restricted to pairs whose higher id is in batch 2 — identical to
+    * the incremental discovery over an id-split corpus. */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(s, dir, "embeddings")
+    val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_q83_idx").toString
+    // index append is eager; batch 1's pair frame is lazy and unread
+    Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, idx)
+    Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, idx)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q83Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketD AS bucket
+       |  FROM embeddings),
+       |cut AS (SELECT CAST(FLOOR(MAX(vec_id) / 2) AS BIGINT) AS c
+       |  FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
+       |    AS cos_sim
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+       |  cut
+       |WHERE b.vec_id >= c
+       |  AND CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
+       |    >= 0.45
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),
     QueryDef("q37_cosine_pairs", q37, Some(q37Sql)),
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),

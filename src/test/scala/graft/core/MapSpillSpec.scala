@@ -180,4 +180,35 @@ class MapSpillSpec extends SparkSpec {
       s"null-valued field drops: ${rows(1L)}")
     assert(rows(2L) == None, "a null struct row must stay null")
   }
+
+  test("castTo treats types differing only in nullability as equal") {
+    // a frame written from non-null in-memory data records
+    // array<float> containsNull=false; the parquet relation reads it
+    // back containsNull=true — Spark 4 refuses that element cast, so
+    // castTo must pass the column through untouched (regression for
+    // the first array<float> payload through CdcTable: the vector
+    // near-dup index)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(1.0f, 2.0f), Map("a" -> 1L), Row(7L))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("e", ArrayType(FloatType, containsNull = true)),
+        StructField("m",
+          MapType(StringType, LongType, valueContainsNull = true)),
+        StructField("s", StructType(Seq(StructField("x", LongType)))))))
+    val target = StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType, containsNull = false)),
+      StructField("m",
+        MapType(StringType, LongType, valueContainsNull = false)),
+      StructField("s", StructType(Seq(StructField("x", LongType))))))
+    val out = SchemaMerge.castTo(df, target)
+    // no Cast survives in the plan for these columns…
+    assert(!out.queryExecution.analyzed.toString.toLowerCase
+      .contains("cast(e"), out.queryExecution.analyzed.toString)
+    // …and the data round-trips
+    val r = out.collect().head
+    assert(r.getSeq[Float](1) == Seq(1.0f, 2.0f))
+    assert(r.getMap[String, Long](2).toMap == Map("a" -> 1L))
+    assert(r.getStruct(3).getLong(0) == 7L)
+  }
 }

@@ -28,6 +28,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 >= p._2), "ordered pairs only")
   }
 
+  test("nearDupIncremental matches new batches against the vector index") {
+    val idx = java.nio.file.Files.createTempDirectory("vecidx").toString
+    // batch 1: vectors 0..2 — no pairs at 0.85 within the batch except
+    // (0,1), which IS in-batch
+    val b1 = vecs.filter($"vec_id" <= 2L)
+    val r1 = Similarity.nearDupIncremental(b1, "vec_id", 0.85, idx,
+        txn = Some(("vec-stream", 1L)))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(r1 == Set((0L, 1L)), s"in-batch pair: $r1")
+    // batch 2: vector 10 near-dups HISTORICAL vector 0 (text gone from
+    // nowhere — the index holds the embedding, verify is exact)
+    val b2 = Seq((10L, Array(0.95f, 0.05f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r2 = Similarity.nearDupIncremental(b2, "vec_id", 0.85, idx,
+        txn = Some(("vec-stream", 2L)))
+      .select("a_id", "b_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val keys = r2.map(t => (t._1, t._2)).toSet
+    assert(keys.contains((0L, 10L)) && keys.contains((1L, 10L)),
+      s"cross-batch pairs vs the index: $keys")
+    assert(!keys.exists(p => p._2 == 11L), "orthogonal vector pairs nothing")
+    assert(r2.forall(_._3 >= 0.85), "exact cosine verified")
+    // replay: same txn → same pairs, index un-grown
+    val n = graft.sink.CdcTable.read(spark, idx).count()
+    val r3 = Similarity.nearDupIncremental(b2, "vec_id", 0.85, idx,
+        txn = Some(("vec-stream", 2L)))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(r3 == keys, s"replay must annotate identically: $r3")
+    assert(graft.sink.CdcTable.read(spark, idx).count() == n)
+  }
+
   test("lshBucket separates opposite vectors; ivfAssign picks nearest centroid") {
     val b = vecs.withColumn("bucket", Similarity.lshBucket())
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
