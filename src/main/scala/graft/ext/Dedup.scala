@@ -20,11 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** NULL-safe content fingerprint: a NULL text md5s to NULL, and a
+    * NULL key silently falls out of every equi-join downstream — the
+    * row would VANISH from the annotation (not "kept", not "dropped").
+    * Coalescing to "" instead groups NULL-text docs with empty /
+    * whitespace-only ones: all contentless docs dedup together, and
+    * no row can be lost. Oracles mirror the same COALESCE. */
+  private def fingerprintOf(textCol: String) =
+    md5(coalesce(lower(trim(col(textCol))), lit("")))
+
   /** Exact dedup: normalized-content fingerprint, keep min id per
     * group. Adds `fingerprint`, `keep_id`, `is_duplicate`. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = df.withColumn("fingerprint",
-      md5(lower(trim(col(textCol)))))
+    val fp = df.withColumn("fingerprint", fingerprintOf(textCol))
     val keep = fp.groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"))
     fp.join(keep, Seq("fingerprint"))
@@ -51,8 +59,19 @@ object Dedup {
       indexDir: String, txn: Option[(String, Long)] = None): DataFrame = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
-    val fp = batch.withColumn("fingerprint",
-      md5(lower(trim(col(textCol)))))
+    require(!Seq("fingerprint", "keep_id", "is_duplicate")
+        .exists(batch.columns.map(_.toLowerCase).contains),
+      "batch already carries a fingerprint/keep_id/is_duplicate " +
+        "column — the annotation would silently overwrite it (rename " +
+        "the input column first)")
+    // pin the fingerprinted batch: it feeds the winner resolution
+    // (whose outcome lands in the INDEX) and the final annotation
+    // join — a non-deterministic source re-evaluated per branch could
+    // annotate under fingerprints the index never saw (the same
+    // hazard CdcTable.merge pins its source against); also halves
+    // the batch scans
+    val fp = batch.withColumn("fingerprint", fingerprintOf(textCol))
+      .localCheckpoint()
     // in-batch winner per fingerprint (same min-id rule as [[exact]])
     val batchKeep = fp.groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("batch_keep"))
@@ -135,8 +154,15 @@ object Dedup {
     * ingest-sequence property): a pair's higher id loses, so the kept
     * doc is always the FIRST-seen one — the same winner rule
     * [[near]]'s connected-components resolution applies per cluster.
-    * Dropped docs still enter the signature index, so later copies of
-    * a dropped near-dup are still caught. */
+    *
+    * Only KEPT docs enter the signature index, so the index is
+    * bounded by the DEDUPED corpus size, not the raw stream: a
+    * boilerplate page duplicated millions of times costs one index
+    * entry, and each new copy joins one band bucket — the mass-dup
+    * k² blowup cannot happen. (Tradeoff: a doc similar only to a
+    * DROPPED near-dup, not to its kept survivor, is missed — chain
+    * transitivity degrades one hop, exactly as [[near]]'s per-cluster
+    * single-survivor resolution.) */
   def nearDedupStreamToTable(stream: DataFrame, textCol: String,
       idCol: String, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.8, bands: Int = 4,
@@ -146,10 +172,16 @@ object Dedup {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val pairs = nearIncremental(batch, textCol, idCol, indexDir,
-          bands, txn = Some((s"$appId-idx", id)))
-        val dupIds = pairs.filter(col("est_jaccard") >= threshold)
+        val r = nearIncrementalCore(batch, textCol, idCol, indexDir,
+          bands, maxBandDocFreq = None)
+        // one evaluation: feeds the index filter AND the out anti-join
+        val dupIds = r.pairs.filter(col("est_jaccard") >= threshold)
           .select(col("b_id").as("__dup_id")).distinct()
+          .localCheckpoint()
+        graft.sink.CdcTable.append(
+          r.batchBands.join(dupIds,
+            col("doc_id") === col("__dup_id"), "left_anti"),
+          indexDir, txn = Some((s"$appId-idx", id)))
         graft.sink.CdcTable.append(
           batch.join(dupIds, batch(idCol) === col("__dup_id"),
             "left_anti"),
@@ -173,35 +205,55 @@ object Dedup {
     * at least one side is in `batch`. Replay-safe via `txn`: a
     * replayed batch's own index rows are already present, and the
     * (a, b, band_key)-distinct collapse makes the annotation
-    * identical; the re-append no-ops on the txn marker. */
+    * identical; the re-append no-ops on the txn marker.
+    *
+    * `maxBandDocFreq`: the hot-bucket guard at scale (the q59-style
+    * df cap). A band bucket shared by k docs yields k candidate rows
+    * PER NEW COPY; mass-duplicated boilerplate makes k explode. With
+    * the cap set, buckets whose total occupancy (index + batch)
+    * exceeds it are excluded from candidate generation — a pair is
+    * missed only if ALL its shared bands are ubiquitous. For the
+    * dedup-at-ingest use case prefer [[nearDedupStreamToTable]],
+    * whose kept-only indexing bounds bucket occupancy structurally. */
   def nearIncremental(batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, bands: Int = 4,
-      txn: Option[(String, Long)] = None): DataFrame = {
+      txn: Option[(String, Long)] = None,
+      maxBandDocFreq: Option[Int] = None): DataFrame = {
+    val r = nearIncrementalCore(batch, textCol, idCol, indexDir, bands,
+      maxBandDocFreq)
+    graft.sink.CdcTable.append(r.batchBands, indexDir, txn = txn)
+    r.pairs
+  }
+
+  private final case class NearIncr(pairs: DataFrame,
+      batchBands: DataFrame)
+
+  /** Pair computation WITHOUT the index append — the caller decides
+    * what enters the index (everything for [[nearIncremental]], kept
+    * docs only for [[nearDedupStreamToTable]]). `pairs` is pinned to
+    * the pre-call index snapshot, so appends after the call cannot
+    * shift it. */
+  private def nearIncrementalCore(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, bands: Int,
+      maxBandDocFreq: Option[Int]): NearIncr = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
     require(spark.catalog.functionExists("minhash_sig"),
       "Dedup.nearIncremental requires GraftExtensions")
     require(bands >= 1 && 16 % bands == 0,
       s"bands must divide the 16-row MinHash signature, got $bands")
-    val rowsPerBand = 16 / bands
     // short docs (<3 tokens → empty signature) are not bandable; same
     // rule as [[near]], and the index never sees them
-    val batchBands = batch
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("sids", expr("shingle_ids(text)"))
-      .filter(size(col("sids")) > 0)
-      .withColumn("sig", expr("minhash_sig(sids)"))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("band"),
-        col("sig"))
-      .select(col("doc_id"), concat_ws(":", col("band") +:
-        (0 until rowsPerBand).map(r =>
-          expr(s"sig[$rowsPerBand * band + $r]")): _*).as("band_key"),
-        col("sig"))
+    val batchBands = bandRows(
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("sids", expr("shingle_ids(text)"))
+        .filter(size(col("sids")) > 0)
+        .withColumn("sig", expr("minhash_sig(sids)")),
+      "doc_id", bands, carrySig = true)
       .localCheckpoint() // pin: feeds the candidate join AND the
                          // index append; must not recompute after it
-    // CdcTable.read snapshots the log NOW — the append below cannot
-    // leak this batch into its own "historical" side on first run
+    // CdcTable.read snapshots the log NOW — a later append cannot
+    // leak this batch into its own "historical" side
     val hist =
       if (CdcTable.log(indexDir).nonEmpty)
         CdcTable.read(spark, indexDir)
@@ -209,10 +261,20 @@ object Dedup {
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         batchBands.schema)
-    CdcTable.append(batchBands, indexDir, txn = txn)
     val all = hist.unionByName(batchBands)
-    val cand = batchBands.select(col("doc_id").as("l_id"), col("band_key"))
-      .join(all.select(col("doc_id").as("r_id"), col("band_key")),
+    // hot-bucket exclusion: combinable count, tiny broadcast anti-join
+    // on both join legs (candidate generation only — sigs unaffected)
+    val (lSide, rSide) = maxBandDocFreq match {
+      case Some(cap) =>
+        val hot = all.groupBy(col("band_key"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col("band_key"))
+        (batchBands.join(broadcast(hot), Seq("band_key"), "left_anti"),
+          all.join(broadcast(hot), Seq("band_key"), "left_anti"))
+      case None => (batchBands, all)
+    }
+    val cand = lSide.select(col("doc_id").as("l_id"), col("band_key"))
+      .join(rSide.select(col("doc_id").as("r_id"), col("band_key")),
         Seq("band_key"))
       .filter(col("l_id") =!= col("r_id"))
       .select(least(col("l_id"), col("r_id")).as("a_id"),
@@ -223,7 +285,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
     val sigs = all.select(col("doc_id"), col("sig"))
       .dropDuplicates("doc_id") // bands copies carry identical sigs
-    cand
+    val pairs = cand
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")),
         Seq("a_id"))
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
@@ -233,6 +295,27 @@ object Dedup {
           "as double) / 16"))
       .select(col("a_id"), col("b_id"), col("n_shared_bands"),
         col("est_jaccard"))
+    NearIncr(pairs, batchBands)
+  }
+
+  /** ONE row per (doc, band) with the band's signature slice folded
+    * into a string key — the single source of truth for the banding
+    * layout, shared by the batch-global [[near]] and the incremental
+    * [[nearIncremental]] (whose DuckDB oracle mirrors it; diverging
+    * layouts would silently block different pairs). `df` must carry
+    * `idCol` + `sig`. */
+  private def bandRows(df: DataFrame, idCol: String, bands: Int,
+      carrySig: Boolean): DataFrame = {
+    val rowsPerBand = 16 / bands
+    val keyed = df
+      .select(col(idCol),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"),
+        col("sig"))
+      .select(col(idCol), concat_ws(":", col("band") +:
+        (0 until rowsPerBand).map(r =>
+          expr(s"sig[$rowsPerBand * band + $r]")): _*).as("band_key"),
+        col("sig"))
+    if (carrySig) keyed else keyed.drop("sig")
   }
 
   final case class NearDupResult(
@@ -252,8 +335,6 @@ object Dedup {
     // trailing signature rows, inflating collision probability.
     require(bands >= 1 && 16 % bands == 0,
       s"bands must divide the 16-row MinHash signature, got $bands")
-    val rowsPerBand = 16 / bands
-
     // the staged frame feeds banding AND both verification join sides;
     // persist spill-to-disk instead of re-hashing shingles per branch
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -269,12 +350,8 @@ object Dedup {
     val bandable = base.filter(size(col("sids")) > 0)
 
     // LSH banding: same band vector → candidate bucket
-    val bandKeys = bandable.select(col("id"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
-      .select(col("id"), concat_ws(":", col("band") +:
-        (0 until rowsPerBand).map(r =>
-          expr(s"sig[$rowsPerBand * band + $r]")): _*).as("band_key"))
-    val cand = bucketPairs(bandKeys, Seq("band_key"))
+    val cand = bucketPairs(
+      bandRows(bandable, "id", bands, carrySig = false), Seq("band_key"))
 
     // verify candidates with true Jaccard over the shingle-id sets
     val sets = base.select(col("id"), col("sids"), col("m"))

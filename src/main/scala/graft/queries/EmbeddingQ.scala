@@ -439,8 +439,7 @@ object EmbeddingQ {
   def q83(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables(s, dir, "embeddings")
     val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_q83_idx").toString
+    val idx = QueryDef.scratchDir("graft_q83_idx")
     // index append is eager; batch 1's pair frame is lazy and unread
     Similarity.nearDupIncremental(
       vecs.filter(col("vec_id") < cut), "vec_id", 0.45, idx)

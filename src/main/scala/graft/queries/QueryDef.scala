@@ -23,6 +23,22 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
+  /** Temp dir for a query-scoped scratch index (q81/q82/q83), deleted
+    * recursively at JVM exit — long-running mains (Bench's repeated
+    * passes) would otherwise abandon a half-corpus index per call
+    * under /tmp. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      catch { case _: Throwable => () } // best effort at exit
+    }))
+    p.toString
+  }
+
   /** Exact sum of a double expression via fixed-point: each per-row
     * double value (IEEE-deterministic in both engines) is rounded at
     * `scale` decimals with an explicit ROUND — identical half-away

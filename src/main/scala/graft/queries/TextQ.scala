@@ -903,8 +903,7 @@ object TextQ {
   def q81(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_q81_idx").toString
+    val idx = QueryDef.scratchDir("graft_q81_idx")
     // the index append inside exactIncremental is EAGER (CdcTable
     // .append is an action); the returned annotation frame is lazy
     // and unread for batch 1 — don't force it
@@ -917,7 +916,7 @@ object TextQ {
   }
 
   val q81Sql: String =
-    """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp
+    """WITH d AS (SELECT doc_id, md5(COALESCE(lower(trim(text)), '')) AS fp
       |  FROM documents),
       |cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS c
       |  FROM documents),
@@ -942,8 +941,7 @@ object TextQ {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
     val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_q82_idx").toString
+    val idx = QueryDef.scratchDir("graft_q82_idx")
     // index append is eager inside nearIncremental; batch 1's pair
     // frame is lazy and unread — don't force it
     graft.ext.Dedup.nearIncremental(

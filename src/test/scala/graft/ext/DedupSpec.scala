@@ -241,8 +241,9 @@ class DedupSpec extends SparkSpec {
         (25L, "yet another unrelated document about streaming watermarks " +
           "checkpoints state stores and session windows for processing"))
       q.processAllAvailable()
-      // a copy of the DROPPED doc 21 must still be caught (dropped
-      // docs enter the signature index)
+      // a copy of the DROPPED doc 21 must still be caught — not via
+      // 21 (kept-only indexing: dropped docs never index), but via
+      // the kept survivor 10 it is equally similar to
       mem.addData((30L, base + " extra"))
       q.processAllAvailable()
     } finally q.stop()
@@ -250,6 +251,52 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(10L, 13L, 25L),
       s"near-dups dropped, novel docs kept: $ids")
+    // the index is bounded by the DEDUPED corpus: 3 kept docs ×
+    // 4 bands — dropped docs (21, 30) never entered it
+    assert(graft.sink.CdcTable.read(spark, idx).count() == 12,
+      "kept-only indexing must bound the index")
+  }
+
+  test("NULL text rows are never lost; they dedup as contentless docs") {
+    // md5(NULL) is NULL and NULL keys fall out of every equi-join —
+    // without the COALESCE a NULL-text row would VANISH from the
+    // annotation (neither kept nor dropped)
+    val df = Seq((1L, "real content"), (2L, null: String), (3L, "  "),
+      (4L, null: String)).toDF("id", "text")
+    val r = Dedup.exact(df, "text", "id")
+    assert(r.count() == 4, "no row may vanish")
+    val dec = r.select("id", "keep_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(dec(2L) == ((2L, false)) && dec(3L) == ((2L, true)) &&
+      dec(4L) == ((2L, true)),
+      s"NULL and whitespace-only dedup together: $dec")
+    // incremental: the contentless group carries across batches too
+    val idx = java.nio.file.Files.createTempDirectory("nullidx").toString
+    Dedup.exactIncremental(
+      Seq((10L, null: String)).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    val r2 = Dedup.exactIncremental(
+      Seq((20L, ""), (21L, "actual text")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+      .select("doc_id", "keep_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r2 == Map(20L -> ((10L, true)), 21L -> ((21L, false))),
+      s"batch-2 contentless doc must match the batch-1 one: $r2")
+  }
+
+  test("nearIncremental maxBandDocFreq caps mass-duplicate buckets") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest tonight while stars shine bright"
+    val dup8 = (1L to 8L).map(i => (i, base)).toDF("doc_id", "text")
+    val i1 = java.nio.file.Files.createTempDirectory("capidx1").toString
+    val i2 = java.nio.file.Files.createTempDirectory("capidx2").toString
+    assert(Dedup.nearIncremental(dup8, "text", "doc_id", i1).count() == 28,
+      "uncapped: all C(8,2) identical-doc pairs")
+    assert(Dedup.nearIncremental(dup8, "text", "doc_id", i2,
+      maxBandDocFreq = Some(5)).count() == 0,
+      "every band of an 8-copy boilerplate exceeds the cap")
   }
 
   test("dedupStreamToTable: unbounded-lookback dedup, exactly-once restart") {

@@ -166,14 +166,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
-  test("q81/q82 incremental dedup joins are key-blocked, never all-pairs") {
-    // calling the query fns builds their temp fingerprint/signature
-    // indexes eagerly; the returned batch-2 frame is what we audit
-    for (q <- Seq(TextQ.q81(spark, dir), TextQ.q82(spark, dir))) {
+  test("q81/q82/q83 incremental dedup joins are key-blocked, never all-pairs") {
+    // calling the query fns builds their temp fingerprint/signature/
+    // vector indexes eagerly; the returned batch-2 frame is what we
+    // audit
+    for (q <- Seq(TextQ.q81(spark, dir), TextQ.q82(spark, dir),
+        EmbeddingQ.q83(spark, dir))) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p.take(400))
       assert(!p.contains("BroadcastNestedLoopJoin"),
-        "index lookups must be equi-joins on fingerprint/band_key")
+        "index lookups must be equi-joins on fingerprint/band_key/bval")
     }
   }
 }
