@@ -54,7 +54,14 @@ object Dedup {
     * document. Exactly-once across replays via the txn marker.
     *
     * Call [[graft.sink.CdcTable.compactToCurrentState]] (idCol =
-    * "fingerprint") periodically to fold index generations. */
+    * "fingerprint") periodically to fold index generations. NB when
+    * past RACING appenders left duplicate fingerprint rows,
+    * compaction keeps the latest row per fingerprint while reads
+    * resolve by min keep_id — the winner for FUTURE batches may
+    * switch from one kept doc to another kept doc across the
+    * compaction. Annotations stay valid either way (both candidates
+    * were kept as non-duplicates by the racing batches); only the
+    * choice among them changes. */
   def exactIncremental(batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, txn: Option[(String, Long)] = None): DataFrame = {
     import graft.sink.CdcTable

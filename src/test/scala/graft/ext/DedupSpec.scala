@@ -257,6 +257,46 @@ class DedupSpec extends SparkSpec {
       "kept-only indexing must bound the index")
   }
 
+  test("exactIncremental: 4 RACING appenders, no loss, deterministic after") {
+    // true-concurrency version of the simulated racing-appender test:
+    // four threads each run a batch (with texts overlapping across
+    // threads) against ONE index — appends are commutative under
+    // optimistic concurrency, so every interleaving must (a) lose no
+    // rows, (b) annotate each batch 1:1, and (c) leave an index a
+    // follow-up batch resolves deterministically by the min-id rule
+    val idx = java.nio.file.Files.createTempDirectory("raceidx").toString
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (0 until 4).map { t =>
+      scala.concurrent.Future {
+        val batch = Seq(
+          (t * 100L + 1L, s"private doc of thread $t"),
+          (t * 100L + 2L, "shared doc alpha"),
+          (t * 100L + 3L, "shared doc beta")).toDF("doc_id", "text")
+        Dedup.exactIncremental(batch, "text", "doc_id", idx)
+          .select("doc_id", "keep_id").as[(Long, Long)].collect()
+      }
+    }
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(120, "s"))
+    results.zipWithIndex.foreach { case (r, t) =>
+      assert(r.length == 3, s"thread $t lost rows: ${r.toSeq}")
+      // every keep_id must reference a doc that genuinely carries the
+      // same fingerprint (its id mod 100 identifies the text)
+      r.foreach { case (id, keep) =>
+        assert(id % 100 == keep % 100,
+          s"thread $t: keep_id $keep is not a copy of doc $id") }
+    }
+    // follow-up batch: the min-id rule resolves any racing duplicates
+    val after = Dedup.exactIncremental(
+      Seq((900L, "shared doc alpha")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+      .select("keep_id").as[Long].collect()
+    assert(after.length == 1, "1:1 annotation despite racing index rows")
+    assert(after.head == 2L, s"min-id winner across all threads: $after")
+  }
+
   test("NULL text rows are never lost; they dedup as contentless docs") {
     // md5(NULL) is NULL and NULL keys fall out of every equi-join —
     // without the COALESCE a NULL-text row would VANISH from the
