@@ -247,13 +247,23 @@ class DedupSpec extends SparkSpec {
       mem.addData((30L, base + " extra"))
       q.processAllAvailable()
     } finally q.stop()
+    // restart from the checkpoint: the index lookback must still
+    // cover everything kept before the restart
+    val q2 = Dedup.nearDedupStreamToTable(mem.toDF.toDF("doc_id", "text"),
+      "text", "doc_id", idx, out, ckpt, threshold = 0.5)
+    try {
+      mem.addData((40L, base.replace("quick", "rapid")), // ~kept 10
+        (41L, "a wholly novel final document mentioning parquet " +
+          "manifests commits snapshots and vacuum retention"))
+      q2.processAllAvailable()
+    } finally q2.stop()
     val ids = graft.sink.CdcTable.read(spark, out)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(ids == Seq(10L, 13L, 25L),
-      s"near-dups dropped, novel docs kept: $ids")
-    // the index is bounded by the DEDUPED corpus: 3 kept docs ×
-    // 4 bands — dropped docs (21, 30) never entered it
-    assert(graft.sink.CdcTable.read(spark, idx).count() == 12,
+    assert(ids == Seq(10L, 13L, 25L, 41L),
+      s"near-dups dropped across the restart, novel docs kept: $ids")
+    // the index is bounded by the DEDUPED corpus: 4 kept docs ×
+    // 4 bands — dropped docs (21, 30, 40) never entered it
+    assert(graft.sink.CdcTable.read(spark, idx).count() == 16,
       "kept-only indexing must bound the index")
   }
 
