@@ -175,14 +175,32 @@ object Similarity {
   def nearDupIncremental(batch: DataFrame, idCol: String,
       threshold: Double, indexDir: String, embCol: String = "embedding",
       planes: Int = 4, txn: Option[(String, Long)] = None): DataFrame = {
+    val r = nearDupIncrementalCore(batch, idCol, threshold, indexDir,
+      embCol, planes)
+    graft.sink.CdcTable.append(r.batchRows, indexDir, txn = txn)
+    r.pairs
+  }
+
+  private final case class VecIncr(pairs: DataFrame, batchRows: DataFrame)
+
+  /** Pair computation WITHOUT the index append — the caller decides
+    * what enters the index ([[nearDupIncremental]] appends all,
+    * [[vecDedupStreamToTable]] kept docs only). `pairs` pins the
+    * pre-call index snapshot. */
+  private def nearDupIncrementalCore(batch: DataFrame, idCol: String,
+      threshold: Double, indexDir: String, embCol: String,
+      planes: Int): VecIncr = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
-    val hashed = batch.select(col(idCol).as("id"), col(embCol).as("e"))
+    // NULL embeddings cannot hash or pair; keep them out of the index
+    // (a NULL bval key would fall out of the bucket join anyway)
+    val hashed = batch.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
     val batchRows = hashed
       .withColumn("bval", bucketFor(hashed, "e", planes, 0))
       .localCheckpoint() // pin: feeds the join AND the index append
-    // snapshot the log BEFORE the append: first-run history must not
-    // include this batch
+    // snapshot the log NOW: a later append must not leak this batch
+    // into its own "historical" side
     val hist =
       if (CdcTable.log(indexDir).nonEmpty)
         CdcTable.read(spark, indexDir)
@@ -190,8 +208,8 @@ object Similarity {
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         batchRows.schema)
-    CdcTable.append(batchRows, indexDir, txn = txn)
-    batchRows.select(col("id").as("l_id"), col("e").as("le"), col("bval"))
+    val pairs = batchRows
+      .select(col("id").as("l_id"), col("e").as("le"), col("bval"))
       .join(hist.unionByName(batchRows)
         .select(col("id").as("r_id"), col("e").as("re"), col("bval")),
         Seq("bval"))
@@ -202,7 +220,43 @@ object Similarity {
         greatest(col("l_id"), col("r_id")).as("b_id"), col("cos_sim"))
       .distinct() // both orientations of batch-batch pairs (the dot
                   // is bit-identical either way) and replayed rows
+    VecIncr(pairs, batchRows)
   }
+
+  /** Streaming vector dedup-to-table: the embedding analog of
+    * [[graft.ext.Dedup.nearDedupStreamToTable]] — every micro-batch
+    * LSH-matches against the vector index, batch vectors whose EXACT
+    * cosine against any earlier vector (historical, or a lower-id
+    * vector in the same batch) reaches `threshold` are dropped, the
+    * rest append to `outDir`. Only KEPT vectors enter the index
+    * (bounded by the deduped corpus; copies are caught via the kept
+    * survivor). Assumes non-decreasing ids across batches; exactly-
+    * once across restarts via per-role txn markers. */
+  def vecDedupStreamToTable(stream: DataFrame, idCol: String,
+      indexDir: String, outDir: String, checkpointDir: String,
+      threshold: Double = 0.98, embCol: String = "embedding",
+      planes: Int = 4, appId: String = "graft-vecdedup")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val r = nearDupIncrementalCore(batch, idCol, threshold,
+          indexDir, embCol, planes)
+        // one evaluation feeds the index filter AND the out anti-join
+        val dupIds = r.pairs.select(col("b_id").as("__dup_id"))
+          .distinct().localCheckpoint()
+        graft.sink.CdcTable.append(
+          r.batchRows.join(dupIds,
+            col("id") === col("__dup_id"), "left_anti"),
+          indexDir, txn = Some((s"$appId-idx", id)))
+        graft.sink.CdcTable.append(
+          batch.join(dupIds, batch(idCol) === col("__dup_id"),
+            "left_anti"),
+          outDir, txn = Some((s"$appId-out", id)))
+        ()
+      }
+      .start()
 
   /** All pairs with cosine ≥ threshold — exact exhaustive O(n²) pair
     * join. Correctness baseline / small inputs only; the default

@@ -59,6 +59,40 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.sink.CdcTable.read(spark, idx).count() == n)
   }
 
+  test("vecDedupStreamToTable drops near-copies, keeps the index bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("vsidx").toString
+    val out = java.nio.file.Files.createTempDirectory("vsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vsckpt").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.vecDedupStreamToTable(
+      mem.toDF.toDF("vec_id", "embedding"), "vec_id", idx, out, ckpt,
+      threshold = 0.85)
+    try {
+      mem.addData((0L, Array(1.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f)))
+      q.processAllAvailable() // orthogonal: both kept
+      mem.addData((10L, Array(0.95f, 0.05f, 0.0f)), // ~copy of 0 → drop
+        (11L, Array(0.0f, 0.0f, 1.0f)))             // novel → keep
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart: lookback still covers pre-restart history
+    val q2 = Similarity.vecDedupStreamToTable(
+      mem.toDF.toDF("vec_id", "embedding"), "vec_id", idx, out, ckpt,
+      threshold = 0.85)
+    try {
+      mem.addData((20L, Array(0.9f, 0.1f, 0.0f))) // ~copy of 0 → drop
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = graft.sink.CdcTable.read(spark, out)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 2L, 11L),
+      s"near-copies dropped across the restart: $ids")
+    assert(graft.sink.CdcTable.read(spark, idx).count() == 3,
+      "kept-only indexing: one index row per kept vector")
+  }
+
   test("lshBucket separates opposite vectors; ivfAssign picks nearest centroid") {
     val b = vecs.withColumn("bucket", Similarity.lshBucket())
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
