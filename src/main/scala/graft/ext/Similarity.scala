@@ -171,7 +171,16 @@ object Similarity {
     * batch; the history is never re-hashed. Returns pairs
     * (a_id < b_id, cos_sim ≥ threshold) with at least one side in
     * `batch`; replay-safe via `txn` (re-appends no-op on the marker,
-    * the (a,b)-distinct collapses re-seen index rows). */
+    * the (a,b)-distinct collapses re-seen index rows).
+    *
+    * SCALE `planes` WITH THE CORPUS: candidate volume per batch is
+    * Σ_buckets |bucket∩batch|·|bucket|, so bucket count (2^planes)
+    * must grow with index size — planes ≈ log2(n / targetBucketSize).
+    * Measured on the 100× scale corpus (200k vectors, ~7.5M true
+    * pairs): planes=4 → 388 s, planes=10 → 45 s at ~96% recall
+    * (`tools.VecProbe` reproduces). For dedup-at-ingest prefer
+    * [[vecDedupStreamToTable]], whose kept-only index prevents
+    * near-copy density from accumulating in buckets at all. */
   def nearDupIncremental(batch: DataFrame, idCol: String,
       threshold: Double, indexDir: String, embCol: String = "embedding",
       planes: Int = 4, txn: Option[(String, Long)] = None): DataFrame = {

@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.ext.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off probe: nearDupIncremental candidate cost vs plane count. */
+object VecProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-sf10")
+    val planes = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val vecs = graft.Tables(spark, dir, "embeddings")
+    val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = java.nio.file.Files.createTempDirectory("vecprobe").toString
+    val t0 = System.nanoTime()
+    Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, idx,
+      planes = planes)
+    val n = Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, idx,
+      planes = planes).count()
+    println(f"planes=$planes pairs=$n time=${(System.nanoTime()-t0)/1e9}%.1fs")
+    spark.stop()
+  }
+}
