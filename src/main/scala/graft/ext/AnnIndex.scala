@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** Materialize the bucket column and write partitioned by it. */
+  /** Materialize the bucket column and write partitioned by it.
+    * Scale `planes` with the corpus — probe cost is one bucket's
+    * size, so planes ≈ log2(n / targetBucketSize); see the measured
+    * curve in [[Similarity.nearDupIncremental]]'s scaladoc. */
   def writeBucketed(df: DataFrame, dir: String,
       embCol: String = "embedding", planes: Int = 4): Unit =
     df.withColumn("bucket", Similarity.lshBucket(embCol, planes))

@@ -114,7 +114,10 @@ object Similarity {
     * (recall 1 − (1 − (1 − θ/π)^planes)^bands at angle θ — trade
     * candidate volume for recall; true near-dups at cos ≥ 0.99 are
     * found with ≥ 97% probability by a single 4-plane bucket). For a
-    * guaranteed-exhaustive small input use [[nearDupPairsExact]]. */
+    * guaranteed-exhaustive small input use [[nearDupPairsExact]].
+    * Scale `planes` with the corpus (planes ≈ log2(n /
+    * targetBucketSize)); measured curve in [[nearDupIncremental]]'s
+    * scaladoc. */
   def nearDupPairs(df: DataFrame, idCol: String, threshold: Double,
       embCol: String = "embedding", planes: Int = 4,
       bands: Int = 1): DataFrame = {
