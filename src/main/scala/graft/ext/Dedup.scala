@@ -251,21 +251,35 @@ object Dedup {
       s"bands must divide the 16-row MinHash signature, got $bands")
     // short docs (<3 tokens → empty signature) are not bandable; same
     // rule as [[near]], and the index never sees them
+    // `bands` travels WITH every index row: band_key layout is only
+    // meaningful under the band count that built it — a caller
+    // re-banding an existing index would silently block near-nothing
+    // (same hazard as the vector index's planes marker)
     val batchBands = bandRows(
       batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("sids", expr("shingle_ids(text)"))
         .filter(size(col("sids")) > 0)
         .withColumn("sig", expr("minhash_sig(sids)")),
       "doc_id", bands, carrySig = true)
+      .withColumn("bands", lit(bands))
       .localCheckpoint() // pin: feeds the candidate join AND the
                          // index append; must not recompute after it
     // CdcTable.read snapshots the log NOW — a later append cannot
     // leak this batch into its own "historical" side
     val hist =
-      if (CdcTable.log(indexDir).nonEmpty)
-        CdcTable.read(spark, indexDir)
-          .select(col("doc_id"), col("band_key"), col("sig"))
-      else spark.createDataFrame(
+      if (CdcTable.log(indexDir).nonEmpty) {
+        val h = CdcTable.read(spark, indexDir)
+          .select(col("doc_id"), col("band_key"), col("sig"),
+            col("bands"))
+        h.select(col("bands")).limit(1).collect().headOption.foreach { r =>
+          require(r.getInt(0) == bands,
+            s"index at $indexDir was built with bands=${r.getInt(0)} " +
+              s"but this call uses bands=$bands — stored band keys " +
+              "would never match; rebuild the index or pass the " +
+              "original band count")
+        }
+        h
+      } else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         batchBands.schema)
     val all = hist.unionByName(batchBands)

@@ -208,16 +208,32 @@ object Similarity {
     // (a NULL bval key would fall out of the bucket join anyway)
     val hashed = batch.filter(col(embCol).isNotNull)
       .select(col(idCol).as("id"), col(embCol).as("e"))
+    // `planes` travels WITH every index row: stored bvals are only
+    // meaningful under the plane count that computed them, and a
+    // caller following the scale-planes-with-corpus guidance against
+    // an existing index would otherwise get a SILENT total-recall
+    // collapse (old bvals in [0,2^4), new in [0,2^10) — near-copies
+    // of history classified novel). Mismatches must fail loudly.
     val batchRows = hashed
       .withColumn("bval", bucketFor(hashed, "e", planes, 0))
+      .withColumn("planes", lit(planes))
       .localCheckpoint() // pin: feeds the join AND the index append
     // snapshot the log NOW: a later append must not leak this batch
     // into its own "historical" side
     val hist =
-      if (CdcTable.log(indexDir).nonEmpty)
-        CdcTable.read(spark, indexDir)
-          .select(col("id"), col("e"), col("bval"))
-      else spark.createDataFrame(
+      if (CdcTable.log(indexDir).nonEmpty) {
+        val h = CdcTable.read(spark, indexDir)
+          .select(col("id"), col("e"), col("bval"), col("planes"))
+        h.select(col("planes")).limit(1).collect().headOption
+          .foreach { r =>
+            require(r.getInt(0) == planes,
+              s"index at $indexDir was built with planes=${r.getInt(0)} " +
+                s"but this call uses planes=$planes — stored buckets " +
+                "would never match; rebuild the index or pass the " +
+                "original plane count")
+          }
+        h
+      } else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         batchRows.schema)
     val pairs = batchRows
@@ -243,7 +259,14 @@ object Similarity {
     * rest append to `outDir`. Only KEPT vectors enter the index
     * (bounded by the deduped corpus; copies are caught via the kept
     * survivor). Assumes non-decreasing ids across batches; exactly-
-    * once across restarts via per-role txn markers. */
+    * once across restarts via per-role txn markers.
+    *
+    * NULL-embedding rows cannot hash or compare: they pass through to
+    * `outDir` unexamined and never enter the index — so identical
+    * NULL-embedding rows are NOT deduplicated (unlike the text path,
+    * where NULL text dedups as contentless), and outDir may hold more
+    * rows than the index covers. Filter them upstream if that is not
+    * the intent. */
   def vecDedupStreamToTable(stream: DataFrame, idCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       threshold: Double = 0.98, embCol: String = "embedding",

@@ -18,7 +18,7 @@ object VecProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val vecs = graft.Tables(spark, dir, "embeddings")
     val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
-    val idx = java.nio.file.Files.createTempDirectory("vecprobe").toString
+    val idx = graft.queries.QueryDef.scratchDir("vecprobe")
     val t0 = System.nanoTime()
     Similarity.nearDupIncremental(
       vecs.filter(col("vec_id") < cut), "vec_id", 0.45, idx,

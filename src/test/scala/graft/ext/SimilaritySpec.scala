@@ -90,7 +90,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ids == Seq(0L, 2L, 11L),
       s"near-copies dropped across the restart: $ids")
     assert(graft.sink.CdcTable.read(spark, idx).count() == 3,
-      "kept-only indexing: one index row per kept vector")
+      "kept-only indexing: one index row per kept hashable vector")
+  }
+
+  test("nearDupIncremental rejects a plane-count mismatch with the index") {
+    val idx = java.nio.file.Files.createTempDirectory("pmidx").toString
+    Similarity.nearDupIncremental(vecs, "vec_id", 0.85, idx) // planes=4
+    // re-banding an existing index would silently match nothing —
+    // must fail loudly instead
+    val e = intercept[IllegalArgumentException](
+      Similarity.nearDupIncremental(vecs, "vec_id", 0.85, idx,
+        planes = 8))
+    assert(e.getMessage.contains("planes=4"), e.getMessage)
   }
 
   test("lshBucket separates opposite vectors; ivfAssign picks nearest centroid") {
