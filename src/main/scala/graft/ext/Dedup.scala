@@ -84,12 +84,19 @@ object Dedup {
       .agg(min(col(idCol)).as("batch_keep"))
     val hist =
       if (CdcTable.log(indexDir).nonEmpty)
-        // min-per-fingerprint, not a raw read: appends are commutative
-        // under optimistic concurrency, so two concurrent batches can
-        // both land the same novel fingerprint — the min-id rule (the
-        // same winner rule [[exact]] uses) keeps the annotation join
-        // 1:1 and deterministic no matter the interleaving
+        // THE INDEX NEVER SHUFFLES: the batch's (small, bounded)
+        // fingerprint set broadcasts and the index streams through a
+        // scan + hash probe — a groupBy over the raw index would
+        // exchange the ENTIRE index every batch, the cost that grows
+        // with the corpus instead of the batch. The min-per-
+        // fingerprint after the probe keeps the annotation 1:1 under
+        // racing appenders (commutative appends can land the same
+        // novel fingerprint twice; the min-id rule — the same winner
+        // rule [[exact]] uses — resolves deterministically), and
+        // min-over-matched-rows equals min-before-join exactly.
         CdcTable.read(spark, indexDir)
+          .join(broadcast(batchKeep.select(col("fingerprint"))),
+            Seq("fingerprint"))
           .groupBy(col("fingerprint"))
           .agg(min(col("keep_id")).as("hist_keep"))
       else spark.createDataFrame(
@@ -278,7 +285,17 @@ object Dedup {
               "would never match; rebuild the index or pass the " +
               "original band count")
         }
-        h
+        // THE INDEX NEVER SHUFFLES: only rows in buckets the batch
+        // touches survive (the batch's distinct band keys broadcast;
+        // the index streams through a scan + semi-join probe). The
+        // semi-join keeps EVERY index row of a touched bucket, so
+        // downstream candidate generation, the maxBandDocFreq
+        // occupancy counts, and the sig lookups (every pair member
+        // shares a bucket with the batch by construction) are all
+        // complete — and all become bounded by touched-bucket volume
+        // instead of index size.
+        h.join(broadcast(batchBands.select(col("band_key")).distinct()),
+          Seq("band_key"), "left_semi")
       } else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         batchBands.schema)

@@ -232,7 +232,12 @@ object Similarity {
                 "would never match; rebuild the index or pass the " +
                 "original plane count")
           }
-        h
+        // THE INDEX NEVER SHUFFLES: only touched buckets survive the
+        // scan (the batch's ≤2^planes distinct bvals broadcast; the
+        // index streams through a semi-join probe), so the candidate
+        // join is bounded by touched-bucket volume, not index size
+        h.join(broadcast(batchRows.select(col("bval")).distinct()),
+          Seq("bval"), "left_semi")
       } else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         batchRows.schema)
