@@ -53,6 +53,10 @@ object Dedup {
     * (keep_id, is_duplicate) where keep_id may reference a HISTORICAL
     * document. Exactly-once across replays via the txn marker.
     *
+    * Assumes BOUNDED batches (micro-batches): the batch's distinct
+    * fingerprint set broadcasts so the index never shuffles. For a
+    * corpus-sized one-off "batch" use [[exact]] instead.
+    *
     * Call [[graft.sink.CdcTable.compactToCurrentState]] (idCol =
     * "fingerprint") periodically to fold index generations. NB when
     * past RACING appenders left duplicate fingerprint rows,
@@ -220,6 +224,10 @@ object Dedup {
     * replayed batch's own index rows are already present, and the
     * (a, b, band_key)-distinct collapse makes the annotation
     * identical; the re-append no-ops on the txn marker.
+    *
+    * Assumes BOUNDED batches: the batch's distinct band keys
+    * broadcast so the index never shuffles ([[near]] is the
+    * corpus-sized batch-global alternative).
     *
     * `maxBandDocFreq`: the hot-bucket guard at scale (the q59-style
     * df cap). A band bucket shared by k docs yields k candidate rows
