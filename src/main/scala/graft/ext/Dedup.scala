@@ -54,8 +54,10 @@ object Dedup {
     * document. Exactly-once across replays via the txn marker.
     *
     * Assumes BOUNDED batches (micro-batches): the batch's distinct
-    * fingerprint set broadcasts so the index never shuffles. For a
-    * corpus-sized one-off "batch" use [[exact]] instead.
+    * fingerprint set broadcasts so the index never shuffles. The
+    * assumption is ENFORCED — a batch over `maxBatchRows` (default
+    * [[Similarity.MaxIncrementalBatchRows]]) fails loudly before any
+    * broadcast; for a corpus-sized one-off "batch" use [[exact]].
     *
     * Call [[graft.sink.CdcTable.compactToCurrentState]] (idCol =
     * "fingerprint") periodically to fold index generations. NB when
@@ -67,7 +69,9 @@ object Dedup {
     * were kept as non-duplicates by the racing batches); only the
     * choice among them changes. */
   def exactIncremental(batch: DataFrame, textCol: String, idCol: String,
-      indexDir: String, txn: Option[(String, Long)] = None): DataFrame = {
+      indexDir: String, txn: Option[(String, Long)] = None,
+      maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
+      : DataFrame = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
     require(!Seq("fingerprint", "keep_id", "is_duplicate")
@@ -83,6 +87,15 @@ object Dedup {
     // the batch scans
     val fp = batch.withColumn("fingerprint", fingerprintOf(textCol))
       .localCheckpoint()
+    // counting the pinned batch is free; a corpus-sized "batch" must
+    // fail loudly BEFORE its fingerprint set broadcasts
+    val nBatch = fp.count()
+    require(nBatch <= maxBatchRows,
+      s"incremental batch has $nBatch rows (> maxBatchRows=" +
+        s"$maxBatchRows): this API broadcasts the batch's fingerprint " +
+        "set and assumes bounded micro-batches — use Dedup.exact for " +
+        "a corpus-sized input, or raise maxBatchRows if the broadcast " +
+        "genuinely fits")
     // in-batch winner per fingerprint (same min-id rule as [[exact]])
     val batchKeep = fp.groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("batch_keep"))
@@ -191,7 +204,8 @@ object Dedup {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val r = nearIncrementalCore(batch, textCol, idCol, indexDir,
-          bands, maxBandDocFreq = None)
+          bands, maxBandDocFreq = None,
+          maxBatchRows = Similarity.MaxIncrementalBatchRows)
         // one evaluation: feeds the index filter AND the out anti-join
         val dupIds = r.pairs.filter(col("est_jaccard") >= threshold)
           .select(col("b_id").as("__dup_id")).distinct()
@@ -227,7 +241,8 @@ object Dedup {
     *
     * Assumes BOUNDED batches: the batch's distinct band keys
     * broadcast so the index never shuffles ([[near]] is the
-    * corpus-sized batch-global alternative).
+    * corpus-sized batch-global alternative). Enforced — a batch over
+    * `maxBatchRows` documents fails loudly before any broadcast.
     *
     * `maxBandDocFreq`: the hot-bucket guard at scale (the q59-style
     * df cap). A band bucket shared by k docs yields k candidate rows
@@ -240,9 +255,11 @@ object Dedup {
   def nearIncremental(batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, bands: Int = 4,
       txn: Option[(String, Long)] = None,
-      maxBandDocFreq: Option[Int] = None): DataFrame = {
+      maxBandDocFreq: Option[Int] = None,
+      maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
+      : DataFrame = {
     val r = nearIncrementalCore(batch, textCol, idCol, indexDir, bands,
-      maxBandDocFreq)
+      maxBandDocFreq, maxBatchRows)
     graft.sink.CdcTable.append(r.batchBands, indexDir, txn = txn)
     r.pairs
   }
@@ -257,19 +274,36 @@ object Dedup {
     * shift it. */
   private def nearIncrementalCore(batch: DataFrame, textCol: String,
       idCol: String, indexDir: String, bands: Int,
-      maxBandDocFreq: Option[Int]): NearIncr = {
+      maxBandDocFreq: Option[Int], maxBatchRows: Long): NearIncr = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
     require(spark.catalog.functionExists("minhash_sig"),
       "Dedup.nearIncremental requires GraftExtensions")
     require(bands >= 1 && 16 % bands == 0,
       s"bands must divide the 16-row MinHash signature, got $bands")
+    // band_key layout is only meaningful under the band count that
+    // built it — a caller re-banding an existing index would silently
+    // block near-nothing. The race-free sidecar pins the layout at
+    // creation (two racing first writers cannot seed different band
+    // counts); the `bands` column on each row stays for observability
+    // and pre-sidecar index adoption.
+    val storedBands = IndexMeta.ensureInt(indexDir, "bands", bands,
+      legacy = () =>
+        if (CdcTable.log(indexDir).isEmpty) None
+        else {
+          val vs = CdcTable.read(spark, indexDir)
+            .select(col("bands")).distinct().collect().map(_.getInt(0))
+          require(vs.length == 1,
+            s"index at $indexDir stores mixed band counts " +
+              s"(${vs.sorted.mkString(", ")}) — rebuild it")
+          Some(vs.head)
+        })
+    require(storedBands == bands,
+      s"index at $indexDir was built with bands=$storedBands but this " +
+        s"call uses bands=$bands — stored band keys would never " +
+        "match; rebuild the index or pass the original band count")
     // short docs (<3 tokens → empty signature) are not bandable; same
     // rule as [[near]], and the index never sees them
-    // `bands` travels WITH every index row: band_key layout is only
-    // meaningful under the band count that built it — a caller
-    // re-banding an existing index would silently block near-nothing
-    // (same hazard as the vector index's planes marker)
     val batchBands = bandRows(
       batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("sids", expr("shingle_ids(text)"))
@@ -279,6 +313,16 @@ object Dedup {
       .withColumn("bands", lit(bands))
       .localCheckpoint() // pin: feeds the candidate join AND the
                          // index append; must not recompute after it
+    // each bandable doc emits exactly `bands` rows, so the pinned
+    // frame counts the batch for free; a corpus-sized "batch" must
+    // fail loudly BEFORE its band keys broadcast
+    val nDocs = batchBands.count() / bands
+    require(nDocs <= maxBatchRows,
+      s"incremental batch has $nDocs bandable documents (> " +
+        s"maxBatchRows=$maxBatchRows): this API broadcasts the " +
+        "batch's band keys and assumes bounded micro-batches — use " +
+        "Dedup.near for a corpus-sized input, or raise maxBatchRows " +
+        "if the broadcast genuinely fits")
     // CdcTable.read snapshots the log NOW — a later append cannot
     // leak this batch into its own "historical" side
     val hist =
@@ -286,13 +330,6 @@ object Dedup {
         val h = CdcTable.read(spark, indexDir)
           .select(col("doc_id"), col("band_key"), col("sig"),
             col("bands"))
-        h.select(col("bands")).limit(1).collect().headOption.foreach { r =>
-          require(r.getInt(0) == bands,
-            s"index at $indexDir was built with bands=${r.getInt(0)} " +
-              s"but this call uses bands=$bands — stored band keys " +
-              "would never match; rebuild the index or pass the " +
-              "original band count")
-        }
         // THE INDEX NEVER SHUFFLES: only rows in buckets the batch
         // touches survive (the batch's distinct band keys broadcast;
         // the index streams through a scan + semi-join probe). The

@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.core.Fs
+
+/** Race-free per-index configuration sidecar for the incremental
+  * dedup/similarity indexes: one `_graft_index_meta` file inside the
+  * index directory, written exactly once with a create-exclusive (the
+  * same atomic primitive the commit log rides on), holding the layout
+  * parameters stored rows are only meaningful under (LSH band count,
+  * bucket bit width).
+  *
+  * Why a sidecar and not a row sample: the previous guard read ONE
+  * arbitrary index row (`limit(1).collect()`), so two racing FIRST
+  * writers could each see an empty index and seed it with different
+  * layouts — after which the check passed or failed nondeterministically
+  * and mismatched rows silently never matched. With create-exclusive
+  * there is exactly one winning config; the losing racer validates
+  * against it BEFORE appending any row and fails loudly on a mismatch.
+  *
+  * Legacy indexes (created before the sidecar existed) are adopted on
+  * first touch: the caller supplies the value recovered from the
+  * existing rows and it becomes the sidecar — a one-time migration
+  * with no creation race left to lose (rows already pin the layout).
+  */
+private[graft] object IndexMeta {
+
+  private def path(indexDir: String) = s"$indexDir/_graft_index_meta"
+
+  /** The stored value of `key`, creating the sidecar with `proposed`
+    * if this is the first writer. `legacy` recovers the value from
+    * pre-sidecar index rows (None = index empty / fresh). Returns the
+    * WINNING value — the caller decides whether a mismatch against
+    * its own parameters is adoptable or an error. */
+  def ensureInt(indexDir: String, key: String, proposed: Int,
+      legacy: () => Option[Int]): Int = {
+    def read(): Option[Int] = Fs.readString(path(indexDir)).map { s =>
+      val kv = s.linesIterator.flatMap { line =>
+        val i = line.indexOf('=')
+        if (i < 0) None
+        else Some(line.substring(0, i) -> line.substring(i + 1))
+      }.toMap
+      kv.getOrElse(key, sys.error(
+        s"index meta at ${path(indexDir)} has no key '$key' " +
+          s"(found: ${kv.keys.mkString(", ")})")).toInt
+    }
+    read().getOrElse {
+      val v = legacy().getOrElse(proposed)
+      if (Fs.createExclusive(path(indexDir), s"$key=$v")) v
+      // lost the creation race — the winner's value is authoritative
+      else read().getOrElse(sys.error(
+        s"index meta at ${path(indexDir)} vanished mid-read"))
+    }
+  }
+}

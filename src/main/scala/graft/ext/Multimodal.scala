@@ -382,17 +382,23 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
         val meta = r.getStruct(mIdx)
+        // a null metadata STRUCT must not fail the task ("total over
+        // any input"): every declared field degrades to its absence
+        def mGet(i: Int): Any = if (meta == null) null else meta.get(i)
         if (bytes == null) r // nothing to resize; row passes through
         else {
         val (out, mediaType) = resizeBytes(bytes, w, h) match {
           case Some(png) => (png, "image/png")
           case None =>
-            val srcW = if (meta.isNullAt(2)) 1 else meta.getInt(2)
-            val srcH = if (meta.isNullAt(3)) 1 else meta.getInt(3)
-            (resizeStub(bytes, srcW, srcH, w, h), meta.getString(0))
+            val srcW =
+              if (meta == null || meta.isNullAt(2)) 1 else meta.getInt(2)
+            val srcH =
+              if (meta == null || meta.isNullAt(3)) 1 else meta.getInt(3)
+            (resizeStub(bytes, srcW, srcH, w, h),
+              mGet(0).asInstanceOf[String])
         }
         val newMeta = Row(mediaType, out.length.toLong,
-          w, h, meta.get(4))
+          w, h, mGet(4))
         Row.fromSeq(r.toSeq.updated(cIdx, out).updated(mIdx, newMeta))
         }
       }
@@ -413,22 +419,26 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](cIdx)
         val meta = r.getStruct(mIdx)
+        // a recognizable payload under a NULL metadata struct must
+        // still probe ("total over any input") — fields the header
+        // cannot supply synthesize to null, not to an NPE
+        def mGet(i: Int): Any = if (meta == null) null else meta.get(i)
         imageInfo(bytes) match {
           case Some(info) =>
             Row.fromSeq(r.toSeq.updated(mIdx, Row(s"image/${info.format}",
-              bytes.length.toLong, info.width, info.height, meta.get(4))))
+              bytes.length.toLong, info.width, info.height, mGet(4))))
           case None => audioInfo(bytes) match {
             case Some(a) =>
               Row.fromSeq(r.toSeq.updated(mIdx, Row(s"audio/${a.format}",
-                bytes.length.toLong, meta.get(2), meta.get(3),
-                if (a.durationMs >= 0) a.durationMs else meta.get(4))))
+                bytes.length.toLong, mGet(2), mGet(3),
+                if (a.durationMs >= 0) a.durationMs else mGet(4))))
             case None => videoInfo(bytes) match {
               case Some(v) =>
                 Row.fromSeq(r.toSeq.updated(mIdx, Row("video/mp4",
                   bytes.length.toLong,
-                  if (v.width > 0) v.width else meta.get(2),
-                  if (v.height > 0) v.height else meta.get(3),
-                  if (v.durationMs >= 0) v.durationMs else meta.get(4))))
+                  if (v.width > 0) v.width else mGet(2),
+                  if (v.height > 0) v.height else mGet(3),
+                  if (v.durationMs >= 0) v.durationMs else mGet(4))))
               case None => r
             }
           }

@@ -81,7 +81,9 @@ object Similarity {
       var s = 0L
       var i = 0
       while (i < fixed.length) {
-        s += fixed(i) * (((i * 31 + (j + offset) * 17) % 13) - 6)
+        s += fixed(i) * (((i * 31 + (j + offset) * 17) %
+          graft.functions.LshBucket.PlaneMod) -
+          graft.functions.LshBucket.PlaneMod / 2)
         i += 1
       }
       if (s > 0) bucket | (1L << j) else bucket
@@ -96,7 +98,9 @@ object Similarity {
          |  IF(aggregate(zip_with($embCol,
          |       sequence(0, size($embCol) - 1),
          |       (x, i) -> CAST(ROUND(CAST(x AS DOUBLE) * 1e7) AS BIGINT)
-         |         * (pmod(i * 31 + (j + $offset) * 17, 13) - 6)),
+         |         * (pmod(i * 31 + (j + $offset) * 17,
+         |              ${graft.functions.LshBucket.PlaneMod}) -
+         |            ${graft.functions.LshBucket.PlaneMod / 2})),
          |       0L, (a2, v) -> a2 + v) > 0,
          |     shiftleft(1L, CAST(j AS INT)), 0L))""".stripMargin
 
@@ -165,6 +169,32 @@ object Similarity {
     expr(s"CASE $cases END")
   }
 
+  /** Bit width at which incremental-index bucket values are STORED.
+    * Bit j of an LSH bucket is an independent hyperplane sign, so the
+    * low p bits of a 20-plane bucket ARE the p-plane bucket — storing
+    * 20 bits lets every probe choose its own effective width by
+    * masking, and the width can GROW as the index grows without ever
+    * rewriting a stored value. */
+  private[graft] val StoredPlanes = 20
+
+  /** Auto-width target: effective buckets sized so the expected
+    * occupancy is ~this many rows. */
+  private[graft] val TargetBucketRows = 200L
+
+  /** Effective probe width for an index of `n` rows:
+    * `clamp(ceil(log2(n / 200)), 4, 20)` — the scaladoc formula
+    * (planes ≈ log2(n / targetBucketSize)) made executable. The q83
+    * oracle mirrors this expression in SQL, so keep the two in sync. */
+  private[graft] def autoPlanes(n: Long): Int =
+    math.min(StoredPlanes, math.max(4, math.ceil(
+      math.log(math.max(n, 1L) / TargetBucketRows.toDouble) /
+        math.log(2.0)).toInt))
+
+  /** Ceiling on incremental-batch rows: the batch's distinct bucket
+    * keys broadcast, so a corpus-sized "batch" would OOM the driver
+    * instead of degrading — fail loudly before that. */
+  private[graft] val MaxIncrementalBatchRows = 4L * 1000 * 1000
+
   /** INCREMENTAL embedding near-dup — the vector analog of
     * [[graft.ext.Dedup.nearIncremental]]: each batch LSH-matches
     * against a bucket index (a graft table) of every vector already
@@ -174,21 +204,34 @@ object Similarity {
     * batch; the history is never re-hashed. Returns pairs
     * (a_id < b_id, cos_sim ≥ threshold) with at least one side in
     * `batch`; replay-safe via `txn` (re-appends no-op on the marker,
-    * the (a,b)-distinct collapses re-seen index rows).
+    * the (a,b)-distinct collapses re-seen index rows, and the probe
+    * width derivation excludes this txn's own commit so a replay
+    * sizes against the same pre-batch count).
     *
-    * SCALE `planes` WITH THE CORPUS: candidate volume per batch is
-    * Σ_buckets |bucket∩batch|·|bucket|, so bucket count (2^planes)
-    * must grow with index size — planes ≈ log2(n / targetBucketSize).
-    * Measured on the 100× scale corpus (200k vectors, ~7.5M true
-    * pairs): planes=4 → 388 s, planes=10 → 45 s at ~96% recall
-    * (`tools.VecProbe` reproduces). For dedup-at-ingest prefer
-    * [[vecDedupStreamToTable]], whose kept-only index prevents
-    * near-copy density from accumulating in buckets at all. */
+    * PROBE WIDTH AUTO-SCALES WITH THE INDEX (`planes = 0`, the
+    * default): candidate volume per batch is
+    * Σ_buckets |bucket∩batch|·|bucket|, so bucket count must grow
+    * with index size. Buckets are STORED at [[StoredPlanes]] bits
+    * (bit j = hyperplane j's sign, so any prefix is a valid coarser
+    * bucket) and each probe masks down to
+    * `clamp(ceil(log2(n / 200)), 4, 20)` bits, n = manifest row count
+    * + batch — rows indexed at yesterday's size still match under
+    * today's width. Measured on the 100× scale corpus (200k vectors,
+    * ~7.5M true pairs): the fixed 4-bit probe took 388 s; 10 bits
+    * (what auto derives at that n) 45 s at ~96% recall
+    * (`tools.VecProbe` reproduces). Recall per TRUE near-dup pair at
+    * angle θ is (1 − θ/π)^p — wider probes trade recall for
+    * candidate volume, so recall-critical callers can pin an explicit
+    * `planes` (it becomes the probe width; storage is unaffected).
+    * For dedup-at-ingest prefer [[vecDedupStreamToTable]], whose
+    * kept-only index prevents near-copy density from accumulating in
+    * buckets at all. */
   def nearDupIncremental(batch: DataFrame, idCol: String,
       threshold: Double, indexDir: String, embCol: String = "embedding",
-      planes: Int = 4, txn: Option[(String, Long)] = None): DataFrame = {
+      planes: Int = 0, txn: Option[(String, Long)] = None,
+      maxBatchRows: Long = MaxIncrementalBatchRows): DataFrame = {
     val r = nearDupIncrementalCore(batch, idCol, threshold, indexDir,
-      embCol, planes)
+      embCol, planes, txn, maxBatchRows)
     graft.sink.CdcTable.append(r.batchRows, indexDir, txn = txn)
     r.pairs
   }
@@ -201,51 +244,80 @@ object Similarity {
     * pre-call index snapshot. */
   private def nearDupIncrementalCore(batch: DataFrame, idCol: String,
       threshold: Double, indexDir: String, embCol: String,
-      planes: Int): VecIncr = {
+      planes: Int, txn: Option[(String, Long)],
+      maxBatchRows: Long): VecIncr = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
+    require(planes >= 0 && planes <= StoredPlanes,
+      s"planes must be in [0 (auto), $StoredPlanes], got $planes")
     // NULL embeddings cannot hash or pair; keep them out of the index
     // (a NULL bval key would fall out of the bucket join anyway)
     val hashed = batch.filter(col(embCol).isNotNull)
       .select(col(idCol).as("id"), col(embCol).as("e"))
-    // `planes` travels WITH every index row: stored bvals are only
-    // meaningful under the plane count that computed them, and a
-    // caller following the scale-planes-with-corpus guidance against
-    // an existing index would otherwise get a SILENT total-recall
-    // collapse (old bvals in [0,2^4), new in [0,2^10) — near-copies
-    // of history classified novel). Mismatches must fail loudly.
+    // bvals are stored at full width; `planes` records that width per
+    // row (observability + legacy-index adoption below)
     val batchRows = hashed
-      .withColumn("bval", bucketFor(hashed, "e", planes, 0))
-      .withColumn("planes", lit(planes))
+      .withColumn("bval", bucketFor(hashed, "e", StoredPlanes, 0))
+      .withColumn("planes", lit(StoredPlanes))
       .localCheckpoint() // pin: feeds the join AND the index append
+    // the checkpointed batch counts for free; a corpus-sized "batch"
+    // must fail loudly BEFORE its bucket keys broadcast
+    val nBatch = batchRows.count()
+    require(nBatch <= maxBatchRows,
+      s"incremental batch has $nBatch rows (> maxBatchRows=" +
+        s"$maxBatchRows): this API broadcasts the batch's bucket keys " +
+        "and assumes bounded micro-batches — use nearDupPairs for a " +
+        "corpus-sized input, or raise maxBatchRows if the broadcast " +
+        "genuinely fits")
+    // stored bucket width is pinned by the race-free sidecar; indexes
+    // from before the sidecar stored narrower bvals — adopt their
+    // width (the probe clamps to it; prefixes stay valid)
+    val storedBits = IndexMeta.ensureInt(indexDir, "bvalBits",
+      StoredPlanes, legacy = () =>
+        if (CdcTable.log(indexDir).isEmpty) None
+        else {
+          val vs = CdcTable.read(spark, indexDir)
+            .select(col("planes")).distinct().collect().map(_.getInt(0))
+          require(vs.length == 1,
+            s"index at $indexDir stores mixed plane widths " +
+              s"(${vs.sorted.mkString(", ")}) — rebuild it")
+          Some(vs.head)
+        })
+    // effective probe width: explicit, or derived from the index size
+    // (manifest row counts — zero data IO; this txn's own commit is
+    // excluded so a crash-replay derives the identical width)
+    val p = math.min(storedBits,
+      if (planes > 0) planes
+      else autoPlanes(CdcTable.rowCountEstimate(indexDir, txn) + nBatch))
+    val mask = (1L << p) - 1
+    val probe = batchRows
+      .withColumn("bkey", col("bval").bitwiseAND(lit(mask)))
     // snapshot the log NOW: a later append must not leak this batch
     // into its own "historical" side
     val hist =
       if (CdcTable.log(indexDir).nonEmpty) {
         val h = CdcTable.read(spark, indexDir)
-          .select(col("id"), col("e"), col("bval"), col("planes"))
-        h.select(col("planes")).limit(1).collect().headOption
-          .foreach { r =>
-            require(r.getInt(0) == planes,
-              s"index at $indexDir was built with planes=${r.getInt(0)} " +
-                s"but this call uses planes=$planes — stored buckets " +
-                "would never match; rebuild the index or pass the " +
-                "original plane count")
-          }
+          .select(col("id"), col("e"), col("bval"))
+          .withColumn("bkey", col("bval").bitwiseAND(lit(mask)))
         // THE INDEX NEVER SHUFFLES: only touched buckets survive the
-        // scan (the batch's ≤2^planes distinct bvals broadcast; the
+        // scan (the batch's ≤2^p distinct masked keys broadcast; the
         // index streams through a semi-join probe), so the candidate
         // join is bounded by touched-bucket volume, not index size
-        h.join(broadcast(batchRows.select(col("bval")).distinct()),
-          Seq("bval"), "left_semi")
-      } else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        batchRows.schema)
-    val pairs = batchRows
-      .select(col("id").as("l_id"), col("e").as("le"), col("bval"))
-      .join(hist.unionByName(batchRows)
-        .select(col("id").as("r_id"), col("e").as("re"), col("bval")),
-        Seq("bval"))
+        h.join(broadcast(probe.select(col("bkey")).distinct()),
+            Seq("bkey"), "left_semi")
+          .select(col("id"), col("e"), col("bkey"))
+      } else {
+        val empty = probe.select(col("id"), col("e"), col("bkey"))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          empty.schema)
+      }
+    val pairs = probe
+      .select(col("id").as("l_id"), col("e").as("le"), col("bkey"))
+      .join(hist
+        .unionByName(probe.select(col("id"), col("e"), col("bkey")))
+        .select(col("id").as("r_id"), col("e").as("re"), col("bkey")),
+        Seq("bkey"))
       .filter(col("l_id") =!= col("r_id"))
       .withColumn("cos_sim", dotExpr(batch, "le", "re") / lit(1e12))
       .filter(col("cos_sim") >= threshold)
@@ -275,14 +347,15 @@ object Similarity {
   def vecDedupStreamToTable(stream: DataFrame, idCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       threshold: Double = 0.98, embCol: String = "embedding",
-      planes: Int = 4, appId: String = "graft-vecdedup")
+      planes: Int = 0, appId: String = "graft-vecdedup")
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val r = nearDupIncrementalCore(batch, idCol, threshold,
-          indexDir, embCol, planes)
+          indexDir, embCol, planes, txn = Some((s"$appId-idx", id)),
+          maxBatchRows = MaxIncrementalBatchRows)
         // one evaluation feeds the index filter AND the out anti-join
         val dupIds = r.pairs.select(col("b_id").as("__dup_id"))
           .distinct().localCheckpoint()

@@ -8,7 +8,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Deterministic random-hyperplane LSH bucket of a float vector:
   * bit j (j = 0..planes-1) is set iff
-  *   Σ_i round(x_i·1e7) · (((i·31 + (j+offset)·17) mod 13) − 6) > 0.
+  *   Σ_i round(x_i·1e7) · (((i·31 + (j+offset)·17) mod 61) − 30) > 0.
+  *
+  * The plane family repeats with period [[LshBucket.PlaneMod]] (61) in
+  * `j + offset`: that bounds how many DISTINCT hyperplanes exist, so
+  * `planes` (and every band's `offset + width`) must stay below it —
+  * the previous mod-13 family silently duplicated planes 13+, which
+  * capped the usable bucket count at 2^13 and correlated wide band
+  * layouts. 61 covers the 20-bit stored resolution of the incremental
+  * vector index ([[graft.ext.Similarity.StoredPlanes]]) plus every
+  * band offset in use, with margin.
   *
   * Integer hyperplanes + fixed-point inputs make the bucket id
   * engine-portable (the DuckDB oracle reproduces it bit-exactly) and
@@ -32,10 +41,15 @@ case class LshBucket(child: Expression, planes: Int, offset: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) if planes >= 1 && planes <= 16 =>
+    case ArrayType(FloatType, _)
+        if planes >= 1 && offset >= 0 &&
+          planes + offset <= LshBucket.PlaneMod - 1 =>
       TypeCheckResult.TypeCheckSuccess
     case ArrayType(FloatType, _) =>
-      TypeCheckResult.TypeCheckFailure(s"planes must be 1..16, got $planes")
+      TypeCheckResult.TypeCheckFailure(
+        s"need planes >= 1, offset >= 0, planes + offset <= " +
+          s"${LshBucket.PlaneMod - 1} (the plane family repeats mod " +
+          s"${LshBucket.PlaneMod}), got planes=$planes offset=$offset")
     case other => TypeCheckResult.TypeCheckFailure(
       s"lsh_bucket requires array<float>, got ${other.sql}")
   }
@@ -62,7 +76,7 @@ case class LshBucket(child: Expression, planes: Int, offset: Int)
       var s = 0L
       i = 0
       while (i < n) {
-        s += fixed(i) * (((i * 31 + (j + offset) * 17) % 13) - 6)
+        s += fixed(i) * (((i * 31 + (j + offset) * 17) % 61) - 30)
         i += 1
       }
       if (s > 0) bucket |= 1L << j
@@ -96,7 +110,7 @@ case class LshBucket(child: Expression, planes: Int, offset: Int)
          |    long $s = 0L;
          |    for (int $i = 0; $i < $n; $i++) {
          |      $s += $fixed[$i] *
-         |        ((($i * 31 + ($j + $offset) * 17) % 13) - 6);
+         |        ((($i * 31 + ($j + $offset) * 17) % 61) - 30);
          |    }
          |    if ($s > 0) $bucket |= 1L << $j;
          |  }
@@ -110,6 +124,13 @@ case class LshBucket(child: Expression, planes: Int, offset: Int)
 }
 
 object LshBucket {
+  /** Period of the integer hyperplane family in `j + offset` — the
+    * number of distinct hyperplanes that exist. Prime, and chosen so
+    * stored-resolution probes (20 bits) plus band offsets fit with
+    * margin. Every mirror (the HOF composition, the driver-side
+    * `bucketOf`, the DuckDB oracle fragments) must use the same value. */
+  val PlaneMod = 61
+
   /** SQL-builder helper: planes/offset must be foldable int literals. */
   def fromArgs(e: Seq[Expression]): LshBucket = {
     def intArg(x: Expression, what: String): Int = x.eval() match {

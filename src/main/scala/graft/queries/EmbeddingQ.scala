@@ -84,12 +84,18 @@ object EmbeddingQ {
   private def bucketE(s: SparkSession): String =
     Similarity.lshBucketSql("embedding", 4, 0,
       native = s.catalog.functionExists("lsh_bucket"))
-  private def bucketD =
-    s"""CAST(list_sum(list_transform(range(0, 4), j ->
+  private def bucketD = bucketDN("4")
+
+  /** Same with a parametric plane count (a SQL expression — q83 feeds
+    * the auto-derived probe width). */
+  private def bucketDN(p: String) = {
+    val m = graft.functions.LshBucket.PlaneMod
+    s"""CAST(list_sum(list_transform(range(0, $p), j ->
        |  CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
        |    i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)
-       |      * ((((i - 1) * 31 + j * 17) % 13) - 6))) > 0
+       |      * ((((i - 1) * 31 + j * 17) % $m) - ${m / 2}))) > 0
        |  THEN 1 << j ELSE 0 END)) AS BIGINT)""".stripMargin
+  }
 
   /** q38 — LSH-bucketed ANN, read-time bucket: only the query's bucket
     * survives the filter, then exact cosine re-ranks (top-5). The
@@ -171,7 +177,8 @@ object EmbeddingQ {
     // the suffix versions the BUCKETING algorithm (4 hyperplanes,
     // h(i,j) family) — bump it if lshBucket semantics ever change, or
     // a stale index from a previous build would silently mis-bucket
-    s"${sys.props("java.io.tmpdir")}/graft_ann_idx_${key}_p4v1"
+    // (v2: plane family modulus 13 → 61, round 8)
+    s"${sys.props("java.io.tmpdir")}/graft_ann_idx_${key}_p4v2"
   }
 
   /** Build the bucket-partitioned index once per sf dir (idempotent;
@@ -433,9 +440,12 @@ object EmbeddingQ {
     * ([[Similarity.nearDupIncremental]]): batch 2 (vec_id ≥ cut)
     * LSH-matches against the bucket index built from batch 1, with
     * EXACT fixed-point cosine verification (vectors live in the
-    * index). Oracle: the q37 batch-global bucket-blocked pair set
-    * restricted to pairs whose higher id is in batch 2 — identical to
-    * the incremental discovery over an id-split corpus. */
+    * index) and the AUTO-DERIVED probe width (planes =
+    * clamp(ceil(log2(n/200)), 4, 20) over the index+batch row count —
+    * no explicit plane count anywhere). Oracle: the batch-global
+    * bucket-blocked pair set at the same derived width, restricted to
+    * pairs whose higher id is in batch 2 — identical to the
+    * incremental discovery over an id-split corpus. */
   def q83(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables(s, dir, "embeddings")
     val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
@@ -449,8 +459,11 @@ object EmbeddingQ {
   }
 
   val q83Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $bucketD AS bucket
-       |  FROM embeddings),
+    s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
+       |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS (SELECT vec_id, embedding, ${bucketDN("pl")} AS bucket
+       |  FROM embeddings, p),
        |cut AS (SELECT CAST(FLOOR(MAX(vec_id) / 2) AS BIGINT) AS c
        |  FROM embeddings)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

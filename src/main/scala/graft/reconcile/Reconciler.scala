@@ -109,7 +109,17 @@ object Reconciler {
     * drops the extra keys — two replace commits, both carrying
     * untouched files by reference, both key sets staying distributed
     * (no driver-side IN-lists). After this, `diff(src, read(target))`
-    * is empty by construction. */
+    * is empty by construction.
+    *
+    * Columns the TARGET has but the source frame lacks (e.g.
+    * `_ingestion_date` when the source is a plain parquet dir) are
+    * PRESERVED from the existing target row: MERGE replaces whole
+    * rows, so a bare schema projection would null-fill them on every
+    * mismatched key — silently relocating repaired rows to the null
+    * partition while the post-repair diff (which only sees the shared
+    * columns) reads clean. Keys missing from the target have no row
+    * to preserve; their target-only columns are null, the one honest
+    * value. */
   def applyRepair(spark: org.apache.spark.sql.SparkSession,
       targetDir: String, plan: RepairPlan, keyCol: String,
       partitionBy: Seq[String] = Seq("_ingestion_date")): RepairResult = {
@@ -118,7 +128,27 @@ object Reconciler {
     // construction) must still repair, not trip merge's
     // unknown-column guard — repair never widens the target
     val upserts = graft.sink.CdcTable.currentSchema(targetDir) match {
-      case Some(s) => graft.core.SchemaMerge.castTo(plan.upserts, s)
+      case Some(s) =>
+        val srcCols = plan.upserts.columns.map(_.toLowerCase).toSet
+        val preserved = s.fieldNames.filterNot(f =>
+          srcCols.contains(f.toLowerCase)).toSeq
+        val enriched =
+          if (preserved.isEmpty) plan.upserts
+          // one keyed equi-join against the pre-merge target: the
+          // upsert side is diff-sized, the target scans once — no
+          // driver-side state, AQE free to broadcast the small side.
+          // The per-column max collapses a key that (illegitimately,
+          // for merge semantics) holds several target rows to ONE
+          // deterministic preserved tuple — the join must never fan
+          // the upserts out
+          else plan.upserts.join(
+            graft.sink.CdcTable.read(spark, targetDir)
+              .groupBy(col(s"`$keyCol`"))
+              .agg(max(col(s"`${preserved.head}`")).as(preserved.head),
+                preserved.tail.map(c =>
+                  max(col(s"`$c`")).as(c)): _*),
+            Seq(keyCol), "left")
+        graft.core.SchemaMerge.castTo(enriched, s)
       case None => plan.upserts
     }
     val up = graft.sink.CdcTable.merge(spark, targetDir, upserts,

@@ -57,7 +57,11 @@ object CdcTable {
       stub: Boolean = false,
       /** Per-file column min/max/hasNull for manifest-level data
         * skipping ([[FileStats]]); keys are the rel paths in `files`. */
-      stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty)
+      stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty,
+      /** Per-file row counts (footer-derived at commit time) — lets
+        * [[rowCountEstimate]] size the table without touching data.
+        * Files committed before this field existed are simply absent. */
+      fileRows: Map[String, Long] = Map.empty)
 
   private def logDir(dir: String) = s"$dir/_graft_log"
   private def commitPath(dir: String, n: Long) =
@@ -75,7 +79,9 @@ object CdcTable {
       c.stats.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
         cols.toSeq.sortBy(_._1).map { case (col, cs) =>
           s"stat=${FileStats.render(rel, col, cs)}" }
-      }
+      } ++
+      c.fileRows.toSeq.sortBy(_._1).map { case (rel, n) =>
+        s"frows=${FileStats.renderRows(rel, n)}" }
     head.mkString("\n")
   }
 
@@ -100,7 +106,9 @@ object CdcTable {
         .flatMap(FileStats.parse)
         .groupBy(_._1)
         .map { case (rel, entries) =>
-          rel -> entries.map(e => e._2 -> e._3).toMap })
+          rel -> entries.map(e => e._2 -> e._3).toMap },
+      fileRows = kv.collect { case ("frows", payload) => payload }
+        .flatMap(FileStats.parseRows).toMap)
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -119,7 +127,8 @@ object CdcTable {
     val eIdx = commits.lastIndexWhere(_.action == "replace")
     val condensed = commits.zipWithIndex.map { case (c, i) =>
       if (eIdx >= 0 && i < eIdx)
-        c.copy(files = Nil, stub = true, stats = Map.empty)
+        c.copy(files = Nil, stub = true, stats = Map.empty,
+          fileRows = Map.empty)
       else c
     }
     Fs.writeString(
@@ -300,11 +309,26 @@ object CdcTable {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(batchDir)
     val files = stagedFiles(dir, batchDir)
+    val (stats, frows) = FileStats.collectInfo(dir, files)
     commit(dir, n => Commit(n, sv, "append",
       System.currentTimeMillis(), txn, merged, files,
-      stats = FileStats.collect(dir, files)))
+      stats = stats, fileRows = frows))
     sv
   }
+
+  /** Current row count from the manifest alone — zero data IO (the
+    * per-file footer counts are harvested at commit time). Files
+    * committed before `frows` existed contribute 0, so this is a
+    * LOWER BOUND; use it for sizing decisions (e.g. LSH plane
+    * derivation) where an underestimate degrades performance, never
+    * correctness. `excludeTxn` drops commits carrying exactly that
+    * txn marker — a replayed streaming batch can thereby size against
+    * the same pre-batch count its original run saw. */
+  def rowCountEstimate(dir: String,
+      excludeTxn: Option[(String, Long)] = None): Long =
+    effective(log(dir))
+      .filterNot(c => excludeTxn.exists(c.txn.contains))
+      .flatMap(_.fileRows.values).sum
 
   /** Read the table under its current merged schema: one scan per
     * schema generation over exactly the committed file lists, each
@@ -759,6 +783,8 @@ object CdcTable {
       c.files.filterNot(f => mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(f => !touched(f) && carried.contains(f))).toMap
+    val carriedRows = live.flatMap(_.fileRows.view
+      .filterKeys(f => !touched(f) && carried.contains(f))).toMap
 
     // a keyed delete matching nothing (and needing no generation or
     // layout compaction) must be a no-op commit-wise, like delete()
@@ -785,10 +811,12 @@ object CdcTable {
     (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
      else writer).parquet(batchDir)
     val fresh = stagedFiles(dir, batchDir)
+    val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
 
     val c = commit(dir, n => Commit(n, currentSv, "replace",
       System.currentTimeMillis(), None, schema, carried ++ fresh,
-      stats = carriedStats ++ FileStats.collect(dir, fresh)),
+      stats = carriedStats ++ freshStats,
+      fileRows = carriedRows ++ freshRows),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
           s"$op at $dir built from commit $snap but the log is now " +
@@ -838,6 +866,8 @@ object CdcTable {
       c.files.filterNot(f => mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(f => !touched(f) && carried.contains(f))).toMap
+    val carriedRows = live.flatMap(_.fileRows.view
+      .filterKeys(f => !touched(f) && carried.contains(f))).toMap
 
     // cast the rewrite set to the CURRENT table schema before the
     // predicate/transform runs: readCommits targets the subset's own
@@ -854,10 +884,12 @@ object CdcTable {
     (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
      else writer).parquet(batchDir)
     val fresh = stagedFiles(dir, batchDir)
+    val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
 
     val c = commit(dir, n => Commit(n, currentSv, "replace",
       System.currentTimeMillis(), None, schema, carried ++ fresh,
-      stats = carriedStats ++ FileStats.collect(dir, fresh)),
+      stats = carriedStats ++ freshStats,
+      fileRows = carriedRows ++ freshRows),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
           s"$op at $dir built from commit $snap but the log is now " +
@@ -881,9 +913,10 @@ object CdcTable {
       .parquet(batchDir)
     val nv = commits.last.schemaVersion + 1
     val files = stagedFiles(dir, batchDir)
+    val (stats, frows) = FileStats.collectInfo(dir, files)
     commit(dir, n => Commit(n, nv, "replace",
       System.currentTimeMillis(), None, schema, files,
-      stats = FileStats.collect(dir, files)),
+      stats = stats, fileRows = frows),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(base))
         throw new java.util.ConcurrentModificationException(
           s"replace at $dir built from commit $base but the log is " +

@@ -45,30 +45,41 @@ object FileStats {
     * Any per-file failure degrades to "no stats" — never fails the
     * commit over an optimization. */
   def collect(dir: String, relFiles: Seq[String])
-      : Map[String, Map[String, ColStats]] = {
+      : Map[String, Map[String, ColStats]] = collectInfo(dir, relFiles)._1
+
+  /** Stats PLUS per-file row counts, from the same single footer pass
+    * (row counts feed the manifest's `frows=` lines — the zero-scan
+    * table-size estimate [[CdcTable.rowCountEstimate]] reads). A file
+    * whose footer fails to read is absent from both maps. */
+  def collectInfo(dir: String, relFiles: Seq[String])
+      : (Map[String, Map[String, ColStats]], Map[String, Long]) = {
     val conf = Fs.conf()
     // footer reads are independent metadata IO (one open per file) —
     // read them concurrently instead of serially on the driver; a
     // 32-file batch costs one round-trip latency, not 32
     import scala.jdk.CollectionConverters._
-    relFiles.asJava.parallelStream()
-      .map[Option[(String, Map[String, ColStats])]] { rel =>
+    val infos = relFiles.asJava.parallelStream()
+      .map[Option[(String, (Map[String, ColStats], Long))]] { rel =>
         scala.util.Try(ofFile(s"$dir/$rel", conf)).toOption
-          .filter(_.nonEmpty).map(rel -> _)
+          .map(rel -> _)
       }
       .collect(java.util.stream.Collectors.toList[
-        Option[(String, Map[String, ColStats])]])
+        Option[(String, (Map[String, ColStats], Long))]])
       .asScala.flatten.toMap
+    (infos.collect { case (rel, (st, _)) if st.nonEmpty => rel -> st },
+      infos.map { case (rel, (_, n)) => rel -> n })
   }
 
   private def ofFile(path: String,
       conf: org.apache.hadoop.conf.Configuration)
-      : Map[String, ColStats] = {
+      : (Map[String, ColStats], Long) = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path), conf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks
+      var rows = 0L
+      blocks.forEach(b => rows += b.getRowCount)
       // merge row-group chunk stats per top-level column; a column
       // drops out entirely if ANY chunk lacks usable stats
       val perCol = scala.collection.mutable.Map[String, ColStats]()
@@ -87,7 +98,7 @@ object FileStats {
           }
         }
       }
-      perCol.toMap
+      (perCol.toMap, rows)
     } finally reader.close()
   }
 
@@ -190,6 +201,15 @@ object FileStats {
           if (mn == "-") None else Some(unb64(mn)),
           if (mx == "-") None else Some(unb64(mx)),
           nul == "1")))
+      case _ => None
+    }
+
+  /** `frows=` line payload: b64(rel) TAB rowCount. */
+  def renderRows(rel: String, n: Long): String = s"${b64(rel)}\t$n"
+
+  def parseRows(payload: String): Option[(String, Long)] =
+    payload.split('\t') match {
+      case Array(rel, n) => scala.util.Try(unb64(rel) -> n.toLong).toOption
       case _ => None
     }
 

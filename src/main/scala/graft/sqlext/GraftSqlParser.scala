@@ -415,8 +415,11 @@ case class MergeGraftTable(dir: String, sourceDir: String,
   * extras, both carry-by-reference commits) and the post-repair state
   * converges to the source. `<source>` is a graft table when it has a
   * commit log, else a parquet directory. COMPARE defaults to every
-  * shared non-key column. Report-only runs emit -1 for the repair
-  * columns. */
+  * shared non-key column. Columns the target has but the source lacks
+  * (e.g. `_ingestion_date` over a plain parquet source) are preserved
+  * from the existing target row on repaired keys, never null-filled
+  * ([[graft.reconcile.Reconciler.applyRepair]]). Report-only runs
+  * emit -1 for the repair columns. */
 case class ReconcileGraftTable(dir: String, sourceDir: String,
     key: String, compareCols: Seq[String], repair: Boolean)
     extends LeafRunnableCommand {

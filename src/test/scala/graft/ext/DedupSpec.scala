@@ -43,10 +43,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embedding near-dup clusters survivors by cosine") {
+    // planted chain along a rotation: 1 at 0°, 2 at 9°, 4 at 18° of a
+    // direction with wide margin on every default LSH plane (all three
+    // share bucket 3 under the mod-61 family), so cos(1,2) = cos(2,4)
+    // = cos 9° ≈ 0.9877 ≥ 0.98 but cos(1,4) = cos 18° ≈ 0.951 < 0.98
+    // — 4 reaches 1 only through the chain
     val vecs = Seq(
-      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)), // pair
-      (3L, Array(0.0f, 1.0f)),
-      (4L, Array(0.97f, 0.24f))                           // chains to 2
+      (1L, Array(-0.7071f, 0.7071f, 0.0f)),
+      (2L, Array(-0.6984f, 0.6984f, 0.1564f)), // pair with 1
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(-0.6725f, 0.6725f, 0.3090f))  // chains to 2
     ).toDF("vec_id", "embedding")
     val r = Dedup.nearByEmbedding(vecs, "vec_id", 0.98)
     val dec = r.decisions.as[(Long, Long, Boolean)].collect()

@@ -142,6 +142,32 @@ class MultimodalSpec extends SparkSpec {
       "null rows pass through resize untouched")
   }
 
+  test("null media_meta struct: probeMeta and resizeTo stay total") {
+    val png = solidImage(5, 3, 0x00FF00, "png")
+    // recognizable payload under a NULL metadata STRUCT — the probe
+    // must synthesize the row from the header, not NPE the task
+    val m = Seq((0L, png), (1L, "plain bytes".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+      .withColumn("media_meta",
+        lit(null).cast(Multimodal.metadataSchema))
+    val probed = Multimodal.probeMeta(m)
+      .select($"doc_id", $"media_meta.media_type",
+        $"media_meta.width", $"media_meta.height")
+      .as[(Long, String, Option[Int], Option[Int])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(probed(0L) == (("image/png", Some(5), Some(3))),
+      s"header-synthesized metadata: $probed")
+    // unrecognized payload keeps its (null) metadata untouched
+    assert(probed(1L) == ((null, None, None)))
+    // resize over the same null-meta frame: decodable rescales for
+    // real, the stub path survives the missing struct too
+    val r = Multimodal.resizeTo(m, 2, 2)
+      .select($"doc_id", $"media_meta.width", $"media_meta.height")
+      .as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(0L) == ((2, 2)) && r(1L) == ((2, 2)), s"resized: $r")
+  }
+
   test("resize rescales real images and re-encodes as PNG") {
     val png = solidImage(16, 8, 0x00FF00, "png")
     val jpg = solidImage(16, 8, 0x808080, "jpg")

@@ -93,15 +93,73 @@ class SimilaritySpec extends SparkSpec {
       "kept-only indexing: one index row per kept hashable vector")
   }
 
-  test("nearDupIncremental rejects a plane-count mismatch with the index") {
+  test("probe widths interoperate on one index (stored bits are a prefix)") {
     val idx = java.nio.file.Files.createTempDirectory("pmidx").toString
-    Similarity.nearDupIncremental(vecs, "vec_id", 0.85, idx) // planes=4
-    // re-banding an existing index would silently match nothing —
-    // must fail loudly instead
+    // bvals are stored at full width, so a later probe may use ANY
+    // width ≤ stored — no rebuild, no mismatch error (the old design
+    // froze the plane count into the rows)
+    Similarity.nearDupIncremental(vecs, "vec_id", 0.85, idx) // auto
+    val b2 = Seq((10L, Array(0.95f, 0.05f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.nearDupIncremental(b2, "vec_id", 0.85, idx,
+        planes = 8) // explicit width against an auto-built index
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(r.contains((0L, 10L)), s"explicit-width probe still matches: $r")
+    // the sidecar pinned the stored width race-free at creation
+    assert(graft.core.Fs.readString(s"$idx/_graft_index_meta")
+      .contains(s"bvalBits=${Similarity.StoredPlanes}"))
+  }
+
+  test("legacy 4-bit index is adopted; probes clamp to its stored width") {
+    val idx = java.nio.file.Files.createTempDirectory("legidx").toString
+    // simulate a pre-sidecar index: rows hashed at 4 bits, planes=4
+    // column, no meta file
+    val legacyRows = vecs.filter($"vec_id" <= 2L)
+      .select($"vec_id".as("id"), $"embedding".as("e"))
+      .withColumn("bval", Similarity.lshBucket("e", planes = 4))
+      .withColumn("planes", lit(4))
+    graft.sink.CdcTable.append(legacyRows, idx)
+    val b2 = Seq((10L, Array(0.95f, 0.05f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.nearDupIncremental(b2, "vec_id", 0.85, idx)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(r.contains((0L, 10L)),
+      s"probe against legacy rows must clamp to 4 bits and match: $r")
+    assert(graft.core.Fs.readString(s"$idx/_graft_index_meta")
+      .contains("bvalBits=4"), "adopted width persisted")
+  }
+
+  test("corpus-sized batches fail loudly before any broadcast") {
+    val idx = java.nio.file.Files.createTempDirectory("bbidx").toString
     val e = intercept[IllegalArgumentException](
       Similarity.nearDupIncremental(vecs, "vec_id", 0.85, idx,
-        planes = 8))
-    assert(e.getMessage.contains("planes=4"), e.getMessage)
+        maxBatchRows = 2))
+    assert(e.getMessage.contains("maxBatchRows") &&
+      e.getMessage.contains("nearDupPairs"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.exactIncremental(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text"),
+        "text", "doc_id", idx + "-x", maxBatchRows = 2))
+    assert(e2.getMessage.contains("Dedup.exact"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.nearIncremental(
+        Seq((1L, "one two three four"), (2L, "five six seven eight"),
+          (3L, "nine ten eleven twelve")).toDF("doc_id", "text"),
+        "text", "doc_id", idx + "-y", maxBatchRows = 2))
+    assert(e3.getMessage.contains("Dedup.near"), e3.getMessage)
+  }
+
+  test("auto probe width follows the index size curve") {
+    assert(Similarity.autoPlanes(0) == 4, "empty index floors at 4")
+    assert(Similarity.autoPlanes(3200) == 4) // 16 buckets x 200
+    assert(Similarity.autoPlanes(3201) == 5)
+    assert(Similarity.autoPlanes(200L * 1024) == 10) // the VecProbe point
+    assert(Similarity.autoPlanes(Long.MaxValue) == Similarity.StoredPlanes)
+    // monotone, never exceeds stored resolution
+    val widths = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(Similarity.autoPlanes)
+    assert(widths == widths.sorted)
+    assert(widths.forall(p => p >= 4 && p <= Similarity.StoredPlanes))
   }
 
   test("lshBucket separates opposite vectors; ivfAssign picks nearest centroid") {

@@ -110,6 +110,43 @@ class ReconcilerSpec extends SparkSpec {
       s"post-repair re-reconcile must be clean: $after")
   }
 
+  test("repair preserves target-only columns on mismatched keys") {
+    import graft.sink.CdcTable
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val dir = tmpDir("repairpreserve")
+    // target carries columns the source never had: _id and the
+    // _ingestion_date partition column — a whole-row MERGE must not
+    // null them out on repaired keys (that would silently relocate
+    // rows to the null partition while the shared-column re-diff
+    // reads clean)
+    CdcTable.append(Seq((1L, "a", 10.0), (2L, "b", 99.0), (5L, "e", 50.0))
+      .toDF("id", "name", "amount")
+      .withColumn("_id", $"id".cast("string"))
+      .withColumn("_ingestion_date", to_date(lit("2026-01-15"))), dir)
+    // plain source: only the business columns
+    val plan = Reconciler.repairPlan(src,
+      CdcTable.read(spark, dir), "id", Seq("name", "amount"))
+    Reconciler.applyRepair(spark, dir, plan, "id")
+    val rows = CdcTable.read(spark, dir)
+      .select($"id", $"name", $"amount", $"_id",
+        col("_ingestion_date").cast("string").as("d"))
+      .as[(Long, String, Double, String, String)]
+      .collect().sortBy(_._1).toSeq
+    // key 2 (mismatched): business cols from source, target-only cols
+    // preserved from its pre-repair row
+    assert(rows.find(_._1 == 2L).contains(
+      (2L, "b", 20.0, "2", "2026-01-15")), s"mismatched key: $rows")
+    // untouched key 1 unchanged
+    assert(rows.find(_._1 == 1L).contains(
+      (1L, "a", 10.0, "1", "2026-01-15")))
+    // keys 3 and 4 (missing from target): nothing to preserve →
+    // honest nulls
+    assert(rows.find(_._1 == 3L).contains((3L, "c", 30.0, null, null)),
+      s"missing key gets nulls: $rows")
+    // only the truly-new keys live in the null partition
+    assert(rows.count(_._5 == null) == 2, s"null-partition rows: $rows")
+  }
+
   test("repair with a schema-superset source projects onto the table") {
     import graft.sink.CdcTable
     val dir = tmpDir("repairsuper")
