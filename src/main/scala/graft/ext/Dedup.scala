@@ -59,15 +59,12 @@ object Dedup {
     * [[Similarity.MaxIncrementalBatchRows]]) fails loudly before any
     * broadcast; for a corpus-sized one-off "batch" use [[exact]].
     *
-    * Call [[graft.sink.CdcTable.compactToCurrentState]] (idCol =
-    * "fingerprint") periodically to fold index generations. NB when
-    * past RACING appenders left duplicate fingerprint rows,
-    * compaction keeps the latest row per fingerprint while reads
-    * resolve by min keep_id — the winner for FUTURE batches may
-    * switch from one kept doc to another kept doc across the
-    * compaction. Annotations stay valid either way (both candidates
-    * were kept as non-duplicates by the racing batches); only the
-    * choice among them changes. */
+    * Call [[compactIndex]] periodically to fold index generations
+    * into one file set: it collapses each fingerprint to its MIN
+    * keep_id — the same resolution rule every read applies — so
+    * annotations before and after a compaction are IDENTICAL, even
+    * when past racing appenders left duplicate fingerprint rows
+    * (spec'd in DedupSpec). */
   def exactIncremental(batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, txn: Option[(String, Long)] = None,
       maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
@@ -137,6 +134,45 @@ object Dedup {
     fp.join(resolved.select(col("fingerprint"), col("keep_id")),
         Seq("fingerprint"))
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+  }
+
+  /** Fold an incremental dedup index's accumulated append generations
+    * into one compact file set (per-micro-batch appends leave one
+    * small commit each; at one batch per second the log is 86k
+    * commits/day and every probe scans 86k small files — compaction
+    * is the index's OPTIMIZE). The fold preserves probe semantics
+    * EXACTLY:
+    *
+    *   - exact index (fingerprint, keep_id): one row per fingerprint
+    *     at its MIN keep_id — the very rule every read resolves by,
+    *     so the winner a future batch sees never switches across the
+    *     compaction, even over duplicate rows from racing appenders;
+    *   - near index (doc_id, band_key, sig, bands): duplicate rows
+    *     (replays, races) collapse via DISTINCT — the candidate and
+    *     signature sets are set-semantics downstream anyway.
+    *
+    * One replace commit with optimistic concurrency: a batch landing
+    * mid-compaction wins (the compaction retries); superseded files
+    * become vacuumable orphans ([[graft.sink.CdcTable.vacuumOrphans]]).
+    * The index kind is introspected from the stored schema. */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    import graft.sink.CdcTable
+    val commits = CdcTable.log(indexDir)
+    require(commits.nonEmpty, s"no index at $indexDir")
+    val snap = commits.last.commit
+    val cols = commits.last.schema.fieldNames.toSet
+    val folded =
+      if (cols.contains("fingerprint"))
+        CdcTable.read(spark, indexDir)
+          .groupBy(col("fingerprint"))
+          .agg(min(col("keep_id")).as("keep_id"))
+      else if (cols.contains("band_key"))
+        CdcTable.read(spark, indexDir).distinct()
+      else sys.error(
+        s"$indexDir is not a dedup index (columns: ${cols.mkString(", ")})")
+    CdcTable.replaceWith(spark, indexDir, folded,
+      expectedLastCommit = Some(snap))
+    ()
   }
 
   /** Streaming corpus-scale exact dedup: every micro-batch dedups

@@ -371,6 +371,25 @@ object Similarity {
       }
       .start()
 
+  /** Fold the incremental vector index's per-batch append commits
+    * into one compact file set — the vector analog of
+    * [[graft.ext.Dedup.compactIndex]]. Duplicate rows (replays,
+    * racing appenders re-indexing the same id) collapse via DISTINCT;
+    * every surviving (id, e, bval) tuple is preserved bit-identically,
+    * so probe results before and after the fold are equal (pairs are
+    * set-semantics downstream). One replace commit, optimistic
+    * concurrency; superseded files become vacuumable orphans. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    import graft.sink.CdcTable
+    val commits = CdcTable.log(indexDir)
+    require(commits.nonEmpty, s"no index at $indexDir")
+    CdcTable.replaceWith(spark, indexDir,
+      CdcTable.read(spark, indexDir).distinct(),
+      expectedLastCommit = Some(commits.last.commit))
+    ()
+  }
+
   /** All pairs with cosine ≥ threshold — exact exhaustive O(n²) pair
     * join. Correctness baseline / small inputs only; the default
     * [[nearDupPairs]] band-blocks first. */

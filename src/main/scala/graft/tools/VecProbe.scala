@@ -4,11 +4,12 @@ import graft.ext.Similarity
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off probe: nearDupIncremental candidate cost vs plane count. */
+/** One-off probe: nearDupIncremental candidate cost vs plane count
+  * (second arg; 0 or absent = the auto-derived width). */
 object VecProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft-sf10")
-    val planes = args.lift(1).map(_.toInt).getOrElse(8)
+    val planes = args.lift(1).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")

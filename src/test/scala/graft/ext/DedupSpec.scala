@@ -318,6 +318,114 @@ class DedupSpec extends SparkSpec {
       s"winner must be one of the racing alpha copies: $after")
   }
 
+  test("compactIndex: exact fold preserves every future annotation") {
+    import graft.sink.CdcTable
+    // two identical indexes fed the same batches; only A compacts —
+    // a follow-up batch must annotate IDENTICALLY against both
+    val a = java.nio.file.Files.createTempDirectory("cidxa").toString
+    val b = java.nio.file.Files.createTempDirectory("cidxb").toString
+    val b1 = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, "alpha beta"), (11L, "delta"))
+      .toDF("doc_id", "text")
+    for (idx <- Seq(a, b)) {
+      Dedup.exactIncremental(b1, "text", "doc_id", idx)
+      Dedup.exactIncremental(b2, "text", "doc_id", idx)
+      // simulate a racing appender's leftover: a DUPLICATE fingerprint
+      // row with a higher keep_id — reads resolve min(11, 999) = 11,
+      // and the fold must keep that winner (NOT "latest row wins")
+      import org.apache.spark.sql.functions.{lit, lower, md5, trim}
+      val deltaFp = Seq("delta").toDF("text")
+        .select(md5(lower(trim($"text"))).as("fingerprint"),
+          lit(999L).as("keep_id"))
+      CdcTable.append(deltaFp, idx)
+    }
+    Dedup.compactIndex(spark, a)
+    // folded: one row per fingerprint (alpha-beta, gamma, delta)
+    assert(CdcTable.read(spark, a).count() == 3, "one row per fingerprint")
+    val b3 = Seq((20L, "gamma"), (21L, "delta"), (22L, "epsilon"))
+      .toDF("doc_id", "text")
+    def annotate(idx: String) =
+      Dedup.exactIncremental(b3, "text", "doc_id", idx)
+        .select("doc_id", "keep_id", "is_duplicate")
+        .as[(Long, Long, Boolean)].collect().toSet
+    val ra = annotate(a)
+    val rb = annotate(b)
+    assert(ra == rb, s"compaction changed annotations: $ra vs $rb")
+    assert(ra.contains((21L, 11L, true)),
+      "the min-id winner survives the fold, not the latest row")
+  }
+
+  test("compactIndex: near fold leaves pair sets unchanged") {
+    import graft.sink.CdcTable
+    val a = java.nio.file.Files.createTempDirectory("cnidxa").toString
+    val b = java.nio.file.Files.createTempDirectory("cnidxb").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val b1 = Seq((1L, base), (2L, "completely different words entirely"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, base + " ok"), (11L, "unrelated content here too"))
+      .toDF("doc_id", "text")
+    for (idx <- Seq(a, b)) {
+      Dedup.nearIncremental(b1, "text", "doc_id", idx)
+      Dedup.nearIncremental(b2, "text", "doc_id", idx)
+      // a replayed append's duplicate rows must fold away
+      Dedup.nearIncremental(b2, "text", "doc_id", idx,
+        txn = Some(("cn-replay", 1L)))
+    }
+    Dedup.compactIndex(spark, a)
+    val distinctRows = CdcTable.read(spark, a).distinct().count()
+    assert(CdcTable.read(spark, a).count() == distinctRows,
+      "fold collapses duplicate band rows")
+    val b3 = Seq((20L, base + " yes"), (21L, "novel text of its own"))
+      .toDF("doc_id", "text")
+    def pairs(idx: String) =
+      Dedup.nearIncremental(b3, "text", "doc_id", idx)
+        .select("a_id", "b_id", "n_shared_bands", "est_jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val pa = pairs(a)
+    val pb = pairs(b)
+    assert(pa == pb, s"compaction changed pairs: $pa vs $pb")
+    assert(pa.exists(p => p._1 == 1L && p._2 == 20L),
+      "cross-generation near-dup still found after the fold")
+  }
+
+  test("nearIncremental: 4 RACING appenders, commutative index, full recall after") {
+    // the near/vector multi-writer contract (VERDICT r7 #5): appends
+    // commute — no row lost, no row duplicated, each batch's pairs
+    // cover at least its own snapshot, and a FOLLOW-UP batch sees
+    // every racing batch's rows (any pair a racing interleaving
+    // missed is recoverable one batch later)
+    val idx = java.nio.file.Files.createTempDirectory("racenidx").toString
+    val shared = "many shared tokens forming one long repeated passage of text"
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (0 until 4).map { t =>
+      scala.concurrent.Future {
+        Dedup.nearIncremental(Seq(
+          (t * 100L + 1L, s"private words of thread number $t only here"),
+          (t * 100L + 2L, shared)).toDF("doc_id", "text"),
+          "text", "doc_id", idx)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(120, "s"))
+    // commutative appends: every doc indexed exactly once (4 bands per
+    // bandable doc, 8 docs)
+    val rows = graft.sink.CdcTable.read(spark, idx)
+    assert(rows.count() == 32, s"lost/duplicated index rows: ${rows.count()}")
+    assert(rows.distinct().count() == 32)
+    // follow-up: a new copy of the shared text pairs with ALL four
+    // racing copies — whatever the interleaving hid is visible now
+    val after = Dedup.nearIncremental(
+      Seq((900L, shared)).toDF("doc_id", "text"), "text", "doc_id", idx)
+      .filter($"est_jaccard" >= 0.99)
+      .select("a_id").as[Long].collect().toSet
+    assert(after == Set(2L, 102L, 202L, 302L),
+      s"follow-up batch must see every racing copy: $after")
+  }
+
   test("NULL text rows are never lost; they dedup as contentless docs") {
     // md5(NULL) is NULL and NULL keys fall out of every equi-join —
     // without the COALESCE a NULL-text row would VANISH from the

@@ -149,6 +149,72 @@ class SimilaritySpec extends SparkSpec {
     assert(e3.getMessage.contains("Dedup.near"), e3.getMessage)
   }
 
+  test("compactIndex: vector fold leaves probe results unchanged") {
+    import graft.sink.CdcTable
+    val a = java.nio.file.Files.createTempDirectory("cvidxa").toString
+    val b = java.nio.file.Files.createTempDirectory("cvidxb").toString
+    val b1 = vecs.filter($"vec_id" <= 2L)
+    val b2 = Seq((10L, Array(0.95f, 0.05f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    for (idx <- Seq(a, b)) {
+      Similarity.nearDupIncremental(b1, "vec_id", 0.85, idx)
+      Similarity.nearDupIncremental(b2, "vec_id", 0.85, idx)
+      // duplicate rows from a non-replay re-append must fold away
+      Similarity.nearDupIncremental(b2, "vec_id", 0.85, idx)
+    }
+    val pre = CdcTable.read(spark, a).count()
+    Similarity.compactIndex(spark, a)
+    val post = CdcTable.read(spark, a).count()
+    assert(post < pre && post == 4,
+      s"fold collapses duplicate vector rows: $pre -> $post")
+    val b3 = Seq((20L, Array(0.97f, 0.03f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def pairs(idx: String) =
+      Similarity.nearDupIncremental(b3, "vec_id", 0.85, idx)
+        .select("a_id", "b_id", "cos_sim")
+        .as[(Long, Long, Double)].collect().toSet
+    val pa = pairs(a)
+    val pb = pairs(b)
+    assert(pa == pb, s"compaction changed pairs: $pa vs $pb")
+    assert(pa.exists(p => p._1 == 0L && p._2 == 20L),
+      "historical pair still found after the fold")
+  }
+
+  test("vector index: 4 RACING appenders commute; full recall one batch later") {
+    val idx = java.nio.file.Files.createTempDirectory("racevidx").toString
+    val shared = Array(0.5f, 0.5f, 0.5f, 0.5f) // unit-norm: dot == cos
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = (0 until 4).map { t =>
+      scala.concurrent.Future {
+        val priv = Array.tabulate(4)(i => if (i == t) 1.0f else 0.0f)
+        Similarity.nearDupIncremental(Seq(
+          (t * 100L + 1L, priv), (t * 100L + 2L, shared))
+          .toDF("vec_id", "embedding"), "vec_id", 0.95, idx)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(120, "s"))
+    // commutative appends: every vector indexed exactly once, and the
+    // racing FIRST writers agreed on one sidecar config
+    val rows = graft.sink.CdcTable.read(spark, idx)
+    assert(rows.count() == 8 && rows.distinct().count() == 8,
+      s"lost/duplicated index rows: ${rows.count()}")
+    assert(graft.core.Fs.readString(s"$idx/_graft_index_meta")
+      .contains(s"bvalBits=${Similarity.StoredPlanes}"))
+    // follow-up: a new copy of the shared vector pairs with ALL four
+    // racing copies (exact cosine 1.0) — nothing an interleaving hid
+    // stays hidden past one batch
+    val after = Similarity.nearDupIncremental(
+      Seq((900L, shared)).toDF("vec_id", "embedding"),
+      "vec_id", 0.9999, idx)
+      .select("a_id").as[Long].collect().toSet
+    assert(after == Set(2L, 102L, 202L, 302L),
+      s"follow-up batch must see every racing copy: $after")
+  }
+
   test("auto probe width follows the index size curve") {
     assert(Similarity.autoPlanes(0) == 4, "empty index floors at 4")
     assert(Similarity.autoPlanes(3200) == 4) // 16 buckets x 200
@@ -160,6 +226,19 @@ class SimilaritySpec extends SparkSpec {
       .map(Similarity.autoPlanes)
     assert(widths == widths.sorted)
     assert(widths.forall(p => p >= 4 && p <= Similarity.StoredPlanes))
+    // the scale property the derivation exists for: EXPECTED bucket
+    // occupancy (n / 2^p) stays at or below the target for every index
+    // size the stored resolution can cover (200·2^20 ≈ 200M rows) —
+    // the candidate join is then bounded by batch-touched volume, not
+    // index growth (the 388 s → 45 s VecProbe curve)
+    val gen = new scala.util.Random(7)
+    (0 until 1000).foreach { _ =>
+      val n = math.abs(gen.nextLong()) %
+        (Similarity.TargetBucketRows << Similarity.StoredPlanes)
+      val p = Similarity.autoPlanes(n)
+      assert(n.toDouble / (1L << p) <= Similarity.TargetBucketRows,
+        s"occupancy bound violated at n=$n p=$p")
+    }
   }
 
   test("lshBucket separates opposite vectors; ivfAssign picks nearest centroid") {
