@@ -26,14 +26,31 @@ object ScaleData {
 
   private val STRIDE = 1000000000L
 
+  /** Content fingerprint of the base corpus: every file's relative
+    * path, size and mtime, hashed. A regenerated base corpus at the
+    * same path must invalidate the cached scale-up — matching on
+    * "factor from path" alone would silently benchmark stale data. */
+  private def baseFingerprint(baseDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(baseDir)
+    val lines = walk(root).map { f =>
+      s"${root.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Generate (or reuse) a `factor`× corpus at `outDir` from
     * `baseDir`. Returns generation seconds (0.0 on cache hit). */
   def ensure(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Double = {
     val marker = new java.io.File(s"$outDir/_SCALE_OK")
+    val stamp = s"$factor from $baseDir @${baseFingerprint(baseDir)}"
     if (marker.exists() &&
-        java.nio.file.Files.readString(marker.toPath).trim ==
-          s"$factor from $baseDir")
+        java.nio.file.Files.readString(marker.toPath).trim == stamp)
       return 0.0
     val t0 = System.nanoTime()
     val dir = new java.io.File(outDir)
@@ -91,7 +108,7 @@ object ScaleData {
     })
 
     val w = new java.io.PrintWriter(marker)
-    try w.print(s"$factor from $baseDir") finally w.close()
+    try w.print(stamp) finally w.close()
     (System.nanoTime() - t0) / 1e9
   }
 }
