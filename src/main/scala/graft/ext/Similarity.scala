@@ -110,26 +110,42 @@ object Similarity {
       native = df.sparkSession.catalog.functionExists("lsh_bucket")))
 
   /** Near-dup pairs with cosine ≥ threshold — LSH-bucket-blocked (the
-    * default, scale-safe path): rows hash into 2^`planes` buckets and
+    * default, scale-safe path): rows hash into 2^planes buckets and
     * only same-bucket pairs are candidates (one equi-join keyed on the
     * bucket — never the O(n²) cross product), then the exact
-    * fixed-point cosine verifies the threshold. With `bands` > 1 the
-    * candidate test ORs over `bands` independent bucket families
-    * (recall 1 − (1 − (1 − θ/π)^planes)^bands at angle θ — trade
-    * candidate volume for recall; true near-dups at cos ≥ 0.99 are
-    * found with ≥ 97% probability by a single 4-plane bucket). For a
-    * guaranteed-exhaustive small input use [[nearDupPairsExact]].
-    * Scale `planes` with the corpus (planes ≈ log2(n /
-    * targetBucketSize)); measured curve in [[nearDupIncremental]]'s
-    * scaladoc. */
+    * fixed-point cosine verifies the threshold. With `planes = 0`
+    * (default) the width derives from the corpus size — the same
+    * `clamp(ceil(log2(n/200)), 4, 20)` rule as [[nearDupIncremental]],
+    * paid for with one count of the non-null rows — so candidate
+    * volume per row stays bounded as the corpus grows. With
+    * `bands` > 1 the candidate test ORs over `bands` independent
+    * bucket families (recall 1 − (1 − (1 − θ/π)^planes)^bands at
+    * angle θ — trade candidate volume for recall; true near-dups at
+    * cos ≥ 0.99 are found with ≥ 97% probability by a single 4-plane
+    * bucket), and the auto width additionally clamps so every band's
+    * plane family stays distinct. For a guaranteed-exhaustive small
+    * input use [[nearDupPairsExact]]. */
   def nearDupPairs(df: DataFrame, idCol: String, threshold: Double,
-      embCol: String = "embedding", planes: Int = 4,
+      embCol: String = "embedding", planes: Int = 0,
       bands: Int = 1): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), col(embCol).as("e"))
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val hashed = df.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+    // the plane family has LshBucket.PlaneMod distinct members; every
+    // band offset must stay inside it or bands silently correlate
+    val familyCap = (graft.functions.LshBucket.PlaneMod - 1) / bands
+    val p =
+      if (planes > 0) {
+        require(planes * bands <= graft.functions.LshBucket.PlaneMod - 1,
+          s"bands * planes must be <= " +
+            s"${graft.functions.LshBucket.PlaneMod - 1}, got " +
+            s"$bands * $planes")
+        planes
+      } else math.min(familyCap, autoPlanes(hashed.count()))
     val verified =
       if (bands == 1) {
         // single bucket family: each pair appears at most once
-        val bk = hashed.withColumn("bval", bucketFor(hashed, "e", planes, 0))
+        val bk = hashed.withColumn("bval", bucketFor(hashed, "e", p, 0))
         val a = bk.select(col("id").as("a_id"), col("e").as("ea"),
           col("bval"))
         val b = bk.select(col("id").as("b_id"), col("e").as("eb"),
@@ -143,7 +159,7 @@ object Similarity {
         // not the embedding arrays)
         val banded = hashed
           .withColumn("band", explode(expr(s"sequence(0, ${bands - 1})")))
-          .withColumn("bval", bucketsByBand(hashed, "e", bands, planes))
+          .withColumn("bval", bucketsByBand(hashed, "e", bands, p))
         val a = banded.select(col("id").as("a_id"), col("e").as("ea"),
           col("band"), col("bval"))
         val b = banded.select(col("id").as("b_id"), col("e").as("eb"),

@@ -57,19 +57,24 @@ object EmbeddingQ {
 
   /** q37 — embedding-cosine near-dup pairs (dedup by similarity) via
     * the DEFAULT LSH-bucket-blocked path (`Similarity.nearDupPairs`):
-    * rows hash into 16 deterministic hyperplane buckets, only
+    * rows hash into deterministic hyperplane buckets at the
+    * AUTO-DERIVED width (clamp(ceil(log2(n/200)), 4, 20) — candidate
+    * volume per row stays bounded as the corpus grows), only
     * same-bucket pairs are candidates (one equi-join keyed on the
     * bucket — never the all-pairs product), then the exact fixed-point
-    * cosine verifies ≥ 0.45. The oracle mirrors the bucketing
-    * bit-exactly, so both engines compute the identical deterministic
-    * candidate set. */
+    * cosine verifies ≥ 0.45. The oracle mirrors the derivation AND the
+    * bucketing bit-exactly, so both engines compute the identical
+    * deterministic candidate set. */
   def q37(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables(s, dir, "embeddings"), "vec_id", 0.45)
       .orderBy(col("a_id"), col("b_id"))
 
   val q37Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $bucketD AS bucket
-       |  FROM embeddings)
+    s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
+       |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS (SELECT vec_id, embedding, ${bucketDN("pl")} AS bucket
+       |  FROM embeddings, p)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
        |    AS cos_sim
