@@ -170,12 +170,24 @@ class PlanQualitySpec extends SparkSpec {
     // calling the query fns builds their temp fingerprint/signature/
     // vector indexes eagerly; the returned batch-2 frame is what we
     // audit
-    for (q <- Seq(TextQ.q81(spark, dir), TextQ.q82(spark, dir),
-        EmbeddingQ.q83(spark, dir))) {
+    // (query, does the index probe use a LeftSemi? q81's exact probe
+    // is an inner broadcast join on the fingerprint; q82/q83 semi-join
+    // their band/bucket indexes)
+    for ((q, semi) <- Seq(TextQ.q81(spark, dir) -> false,
+        TextQ.q82(spark, dir) -> true,
+        EmbeddingQ.q83(spark, dir) -> true)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p.take(400))
       assert(!p.contains("BroadcastNestedLoopJoin"),
         "index lookups must be equi-joins on fingerprint/band_key/bval")
+      // THE INDEX NEVER SHUFFLES: the batch's (bounded) key set
+      // broadcasts and the index streams through a hash-probe join — a
+      // regression to exchanging the index would plan a SortMergeJoin
+      // probe instead of a broadcast one
+      assert(p.contains("BroadcastHashJoin"),
+        "index probe must be a broadcast hash join: " + p.take(600))
+      if (semi) assert(p.contains("LeftSemi"),
+        "band/bucket index probe must be a semi-join: " + p.take(600))
     }
   }
 }
