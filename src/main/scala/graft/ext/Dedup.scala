@@ -154,7 +154,10 @@ object Dedup {
     * One replace commit with optimistic concurrency: a batch landing
     * mid-compaction wins (the compaction retries); superseded files
     * become vacuumable orphans ([[graft.sink.CdcTable.vacuumOrphans]]).
-    * The index kind is introspected from the stored schema. */
+    * The index kind is introspected from the stored schema; a VECTOR
+    * index (`bval` column) routes to [[Similarity.compactIndex]], so
+    * this is the single entry point for every incremental index
+    * (`GRAFT COMPACT INDEX` calls it). */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
     import graft.sink.CdcTable
     val commits = CdcTable.log(indexDir)
@@ -168,6 +171,8 @@ object Dedup {
           .agg(min(col("keep_id")).as("keep_id"))
       else if (cols.contains("band_key"))
         CdcTable.read(spark, indexDir).distinct()
+      else if (cols.contains("bval"))
+        return Similarity.compactIndex(spark, indexDir)
       else sys.error(
         s"$indexDir is not a dedup index (columns: ${cols.mkString(", ")})")
     CdcTable.replaceWith(spark, indexDir, folded,
@@ -192,14 +197,16 @@ object Dedup {
     * [[exactIncremental]] replay analysis) and both appends no-op. */
   def dedupStreamToTable(stream: DataFrame, textCol: String,
       idCol: String, indexDir: String, outDir: String,
-      checkpointDir: String, appId: String = "graft-dedup")
+      checkpointDir: String, appId: String = "graft-dedup",
+      maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val annotated = exactIncremental(batch, textCol, idCol,
-          indexDir, txn = Some((s"$appId-idx", id)))
+          indexDir, txn = Some((s"$appId-idx", id)),
+          maxBatchRows = maxBatchRows)
         graft.sink.CdcTable.append(
           annotated.filter(!col("is_duplicate"))
             .drop("fingerprint", "keep_id", "is_duplicate"),
@@ -233,15 +240,15 @@ object Dedup {
   def nearDedupStreamToTable(stream: DataFrame, textCol: String,
       idCol: String, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.8, bands: Int = 4,
-      appId: String = "graft-neardedup")
+      appId: String = "graft-neardedup",
+      maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val r = nearIncrementalCore(batch, textCol, idCol, indexDir,
-          bands, maxBandDocFreq = None,
-          maxBatchRows = Similarity.MaxIncrementalBatchRows)
+          bands, maxBandDocFreq = None, maxBatchRows = maxBatchRows)
         // one evaluation: feeds the index filter AND the out anti-join
         val dupIds = r.pairs.filter(col("est_jaccard") >= threshold)
           .select(col("b_id").as("__dup_id")).distinct()

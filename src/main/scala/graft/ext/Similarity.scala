@@ -363,7 +363,8 @@ object Similarity {
   def vecDedupStreamToTable(stream: DataFrame, idCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       threshold: Double = 0.98, embCol: String = "embedding",
-      planes: Int = 0, appId: String = "graft-vecdedup")
+      planes: Int = 0, appId: String = "graft-vecdedup",
+      maxBatchRows: Long = MaxIncrementalBatchRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -371,7 +372,7 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val r = nearDupIncrementalCore(batch, idCol, threshold,
           indexDir, embCol, planes, txn = Some((s"$appId-idx", id)),
-          maxBatchRows = MaxIncrementalBatchRows)
+          maxBatchRows = maxBatchRows)
         // one evaluation feeds the index filter AND the out anti-join
         val dupIds = r.pairs.select(col("b_id").as("__dup_id"))
           .distinct().localCheckpoint()

@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
   *
   *   GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2, …)] [FILES n]
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
+  *   GRAFT COMPACT INDEX '<path>'
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
   *   GRAFT DETAIL '<path>'
@@ -68,6 +69,9 @@ object GraftSqlParser {
   private val compactRe = Pattern.compile(
     """\s*GRAFT\s+COMPACT\s+'([^']+)'(?:\s+ID\s+(\w+))?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val compactIndexRe = Pattern.compile(
+    """\s*GRAFT\s+COMPACT\s+INDEX\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val vacuumRe = Pattern.compile(
     """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
@@ -132,6 +136,9 @@ object GraftSqlParser {
       return Some(OptimizeGraftTable(om.group(1), cols,
         Option(om.group(3)).map(_.toInt)))
     }
+    val cim = compactIndexRe.matcher(sqlText)
+    if (cim.matches())
+      return Some(CompactGraftIndex(cim.group(1)))
     val cm = compactRe.matcher(sqlText)
     if (cm.matches()) {
       val cols = Option(cm.group(3)).toSeq.flatMap(
@@ -310,6 +317,27 @@ case class CompactGraftTable(dir: String, idCol: String,
     CdcTable.compactToCurrentState(spark, dir, idCol, zorderCols)
     val last = CdcTable.log(dir).last
     Seq(Row(CdcTable.read(spark, dir).count(), last.commit))
+  }
+}
+
+/** `GRAFT COMPACT INDEX '<path>'` — fold an incremental dedup index's
+  * per-batch append commits into one compact file set
+  * ([[graft.ext.Dedup.compactIndex]]; the index kind — exact
+  * fingerprint, MinHash band, vector bucket — is introspected from
+  * the stored schema). Probe semantics are preserved exactly: the
+  * exact index folds by the same min-keep_id rule reads resolve by,
+  * band/vector indexes fold by DISTINCT. Returns the commit count
+  * folded away and the index's manifest row count. */
+case class CompactGraftIndex(dir: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("commits_folded", LongType), attr("rows", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = CdcTable.log(dir).length
+    graft.ext.Dedup.compactIndex(spark, dir)
+    Seq(Row(before.toLong, CdcTable.rowCountEstimate(dir)))
   }
 }
 

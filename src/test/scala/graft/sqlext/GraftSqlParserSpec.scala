@@ -74,6 +74,30 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(CdcTable.log(dir).last.action == "replace")
   }
 
+  test("GRAFT COMPACT INDEX folds a dedup index from SQL") {
+    val idx = tmpDir("sqlcidx")
+    // three incremental batches → three append commits
+    for (b <- Seq(Seq((1L, "alpha beta")), Seq((2L, "alpha beta")),
+        Seq((3L, "gamma delta")))) {
+      graft.ext.Dedup.exactIncremental(
+        b.toDF("doc_id", "text"), "text", "doc_id", idx)
+    }
+    assert(CdcTable.log(idx).length == 3)
+    val res = spark.sql(s"GRAFT COMPACT INDEX '$idx'")
+      .as[(Long, Long)].head()
+    assert(res == ((3L, 2L)),
+      s"3 commits folded to one row per fingerprint: $res")
+    assert(CdcTable.log(idx).last.action == "replace")
+    // annotations still resolve against the folded index
+    val r = graft.ext.Dedup.exactIncremental(
+      Seq((9L, "alpha beta")).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+      .select("keep_id").as[Long].head()
+    assert(r == 1L, "historical winner survives the SQL fold")
+    // the plain-table verb still works (INDEX is not shadowed)
+    intercept[Exception] { spark.sql("GRAFT COMPACT INDEX") }
+  }
+
   test("non-graft SQL still parses through Spark") {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
     // a query merely MENTIONING graft is not intercepted
