@@ -152,32 +152,37 @@ object Dedup {
     *     signature sets are set-semantics downstream anyway.
     *
     * One replace commit with optimistic concurrency: a batch landing
-    * mid-compaction wins (the compaction retries); superseded files
-    * become vacuumable orphans ([[graft.sink.CdcTable.vacuumOrphans]]).
-    * The index kind is introspected from the stored schema; a VECTOR
-    * index (`bval` column) routes to [[Similarity.compactIndex]], so
-    * this is the single entry point for every incremental index
+    * mid-compaction WINS — the fold re-reads the new snapshot and
+    * retries (bounded), so running maintenance concurrently with a
+    * live ingest stream is safe and never loses an append; superseded
+    * files become vacuumable orphans
+    * ([[graft.sink.CdcTable.vacuumOrphans]]). The index kind is
+    * introspected from the stored schema; a VECTOR index (`bval`
+    * column) routes to [[Similarity.compactIndex]], so this is the
+    * single entry point for every incremental index
     * (`GRAFT COMPACT INDEX` calls it). */
-  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+  def compactIndex(spark: SparkSession, indexDir: String,
+      retries: Int = 5): Unit = {
     import graft.sink.CdcTable
-    val commits = CdcTable.log(indexDir)
-    require(commits.nonEmpty, s"no index at $indexDir")
-    val snap = commits.last.commit
-    val cols = commits.last.schema.fieldNames.toSet
-    val folded =
-      if (cols.contains("fingerprint"))
-        CdcTable.read(spark, indexDir)
-          .groupBy(col("fingerprint"))
-          .agg(min(col("keep_id")).as("keep_id"))
-      else if (cols.contains("band_key"))
-        CdcTable.read(spark, indexDir).distinct()
-      else if (cols.contains("bval"))
-        return Similarity.compactIndex(spark, indexDir)
-      else sys.error(
-        s"$indexDir is not a dedup index (columns: ${cols.mkString(", ")})")
-    CdcTable.replaceWith(spark, indexDir, folded,
-      expectedLastCommit = Some(snap))
-    ()
+    val commits0 = CdcTable.log(indexDir)
+    require(commits0.nonEmpty, s"no index at $indexDir")
+    val cols = commits0.last.schema.fieldNames.toSet
+    if (cols.contains("bval")) // vector index: embedding-side fold
+      return Similarity.compactIndex(spark, indexDir, retries)
+    require(cols.contains("fingerprint") || cols.contains("band_key"),
+      s"$indexDir is not a dedup index (columns: ${cols.mkString(", ")})")
+    IndexMeta.foldWithRetry(retries) { () =>
+      val commits = CdcTable.log(indexDir)
+      val folded =
+        if (cols.contains("fingerprint"))
+          CdcTable.read(spark, indexDir)
+            .groupBy(col("fingerprint"))
+            .agg(min(col("keep_id")).as("keep_id"))
+        else CdcTable.read(spark, indexDir).distinct()
+      CdcTable.replaceWith(spark, indexDir, folded,
+        expectedLastCommit = Some(commits.last.commit))
+      ()
+    }
   }
 
   /** Streaming corpus-scale exact dedup: every micro-batch dedups

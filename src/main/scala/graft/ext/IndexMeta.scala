@@ -51,4 +51,20 @@ private[graft] object IndexMeta {
         s"index meta at ${path(indexDir)} vanished mid-read"))
     }
   }
+
+  /** Run an optimistic-concurrency index fold, retrying when a racing
+    * append supersedes its snapshot (the append always wins — a fold
+    * must never cost a live stream a commit). The fold closure
+    * re-reads the log on every attempt. */
+  def foldWithRetry(retries: Int)(fold: () => Unit): Unit = {
+    var attempt = 0
+    while (true) {
+      try { fold(); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > retries) throw e
+      }
+    }
+  }
 }

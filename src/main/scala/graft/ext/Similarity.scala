@@ -395,16 +395,19 @@ object Similarity {
     * every surviving (id, e, bval) tuple is preserved bit-identically,
     * so probe results before and after the fold are equal (pairs are
     * set-semantics downstream). One replace commit, optimistic
-    * concurrency; superseded files become vacuumable orphans. */
+    * concurrency — an append landing mid-fold wins and the fold
+    * retries over the new snapshot; superseded files become vacuumable
+    * orphans. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String, retries: Int = 5): Unit = {
     import graft.sink.CdcTable
-    val commits = CdcTable.log(indexDir)
-    require(commits.nonEmpty, s"no index at $indexDir")
-    CdcTable.replaceWith(spark, indexDir,
-      CdcTable.read(spark, indexDir).distinct(),
-      expectedLastCommit = Some(commits.last.commit))
-    ()
+    require(CdcTable.log(indexDir).nonEmpty, s"no index at $indexDir")
+    IndexMeta.foldWithRetry(retries) { () =>
+      CdcTable.replaceWith(spark, indexDir,
+        CdcTable.read(spark, indexDir).distinct(),
+        expectedLastCommit = Some(CdcTable.log(indexDir).last.commit))
+      ()
+    }
   }
 
   /** All pairs with cosine ≥ threshold — exact exhaustive O(n²) pair

@@ -389,6 +389,42 @@ class DedupSpec extends SparkSpec {
       "cross-generation near-dup still found after the fold")
   }
 
+  test("compactIndex retries against racing appenders; appends always win") {
+    import graft.sink.CdcTable
+    val idx = java.nio.file.Files.createTempDirectory("craceidx").toString
+    (1 to 6).foreach { i =>
+      Dedup.exactIncremental(
+        Seq((i.toLong, s"document number $i")).toDF("doc_id", "text"),
+        "text", "doc_id", idx)
+    }
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // appenders keep landing batches while the fold runs: the fold's
+    // optimistic snapshot is repeatedly superseded and must retry —
+    // and no append may be lost to the replace
+    val appender = scala.concurrent.Future {
+      (10 to 15).foreach { i =>
+        Dedup.exactIncremental(
+          Seq((i.toLong, s"document number $i")).toDF("doc_id", "text"),
+          "text", "doc_id", idx)
+      }
+    }
+    val folder = scala.concurrent.Future {
+      Dedup.compactIndex(spark, idx, retries = 50)
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(appender, folder)),
+      scala.concurrent.duration.Duration(120, "s"))
+    // every fingerprint survived whichever interleaving happened
+    val fps = CdcTable.read(spark, idx)
+      .select("keep_id").as[Long].collect().toSet
+    assert(fps == ((1 to 6) ++ (10 to 15)).map(_.toLong).toSet,
+      s"no append lost to the fold: $fps")
+    // and a fold over the quiescent index leaves one row per fp
+    Dedup.compactIndex(spark, idx)
+    assert(CdcTable.read(spark, idx).count() == 12)
+  }
+
   test("nearIncremental: 4 RACING appenders, commutative index, full recall after") {
     // the near/vector multi-writer contract (VERDICT r7 #5): appends
     // commute — no row lost, no row duplicated, each batch's pairs
