@@ -222,6 +222,34 @@ class CdcTableLogSpec extends SparkSpec {
       .select("grp").as[String].collect().toSeq == Seq("x+y z"))
   }
 
+  test("rowCountEstimate tracks the manifest through every write path") {
+    val dir = tmpDir("rowest")
+    assert(CdcTable.rowCountEstimate(dir) == 0L, "no table yet")
+    CdcTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("x", "_id"), dir)
+    assert(CdcTable.rowCountEstimate(dir) == 3L)
+    CdcTable.append(Seq((4L, "d")).toDF("x", "_id"), dir,
+      txn = Some(("est-app", 7L)))
+    assert(CdcTable.rowCountEstimate(dir) == 4L)
+    // a replay sizing itself must see the PRE-batch count
+    assert(CdcTable.rowCountEstimate(dir,
+      excludeTxn = Some(("est-app", 7L))) == 3L)
+    // keyed delete: a replace commit with carried + rewritten files —
+    // the estimate follows the surviving rows
+    CdcTable.deleteKeys(spark, dir,
+      Seq("b").toDF("_id"), keyCols = Seq("_id"))
+    assert(CdcTable.rowCountEstimate(dir) == 3L)
+    // compaction: one fresh file set, counted from its own footers
+    CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir))
+    assert(CdcTable.rowCountEstimate(dir) == 3L)
+    // appends after the replace accumulate again
+    CdcTable.append(Seq((9L, "z")).toDF("x", "_id"), dir)
+    assert(CdcTable.rowCountEstimate(dir) == 4L)
+    // the estimate never touched data files: it must agree with the
+    // real count anyway on this all-frows table
+    assert(CdcTable.read(spark, dir).count() == 4L)
+  }
+
   test("time travel across checkpoint stubs hydrates the raw commits") {
     val dir = tmpDir("cdcstubtravel")
     (1 to 9).foreach { i =>
