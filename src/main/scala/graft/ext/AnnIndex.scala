@@ -19,8 +19,15 @@ object AnnIndex {
 
   /** Materialize the bucket column and write partitioned by it.
     * Scale `planes` with the corpus — probe cost is one bucket's
-    * size, so planes ≈ log2(n / targetBucketSize); see the measured
-    * curve in [[Similarity.nearDupIncremental]]'s scaladoc. */
+    * size, so planes ≈ log2(n / targetBucketSize)
+    * ([[Similarity.autoPlanes]] computes exactly this; pass
+    * `planes = Similarity.autoPlanes(df.count())` to size from data).
+    * Unlike the incremental index (which stores full-width bvals and
+    * masks at probe time), the bucket is a WRITE-TIME Hive partition
+    * here, so the width is fixed at write: pick it for the corpus you
+    * are writing, and keep directory-count sanity in mind (2^planes
+    * partitions — ≤ ~2^12 is comfortable on object stores; beyond
+    * that prefer the incremental index layout). */
   def writeBucketed(df: DataFrame, dir: String,
       embCol: String = "embedding", planes: Int = 4): Unit =
     df.withColumn("bucket", Similarity.lshBucket(embCol, planes))
