@@ -26,31 +26,45 @@ private[graft] object IndexMeta {
 
   private def path(indexDir: String) = s"$indexDir/_graft_index_meta"
 
-  /** The stored value of `key`, creating the sidecar with `proposed`
-    * if this is the first writer. `legacy` recovers the value from
+  /** The stored config map, creating the sidecar with `proposed` if
+    * this is the first writer. `legacy` recovers the config from
     * pre-sidecar index rows (None = index empty / fresh). Returns the
-    * WINNING value — the caller decides whether a mismatch against
-    * its own parameters is adoptable or an error. */
-  def ensureInt(indexDir: String, key: String, proposed: Int,
-      legacy: () => Option[Int]): Int = {
-    def read(): Option[Int] = Fs.readString(path(indexDir)).map { s =>
-      val kv = s.linesIterator.flatMap { line =>
-        val i = line.indexOf('=')
-        if (i < 0) None
-        else Some(line.substring(0, i) -> line.substring(i + 1))
-      }.toMap
-      kv.getOrElse(key, sys.error(
-        s"index meta at ${path(indexDir)} has no key '$key' " +
-          s"(found: ${kv.keys.mkString(", ")})")).toInt
-    }
+    * WINNING map — the caller decides whether a mismatch against its
+    * own parameters is adoptable or an error. Keys added to the
+    * format AFTER an index was created are simply absent from its
+    * map; callers supply their backward-compatible default via
+    * `getOrElse`. */
+  def ensure(indexDir: String, proposed: Map[String, Int],
+      legacy: () => Option[Map[String, Int]]): Map[String, Int] = {
+    def read(): Option[Map[String, Int]] =
+      Fs.readString(path(indexDir)).map { s =>
+        s.linesIterator.flatMap { line =>
+          val i = line.indexOf('=')
+          if (i < 0) None
+          else Some(line.substring(0, i) ->
+            line.substring(i + 1).trim.toInt)
+        }.toMap
+      }
     read().getOrElse {
       val v = legacy().getOrElse(proposed)
-      if (Fs.createExclusive(path(indexDir), s"$key=$v")) v
-      // lost the creation race — the winner's value is authoritative
+      val content = v.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"$k=$x" }.mkString("\n")
+      if (Fs.createExclusive(path(indexDir), content)) v
+      // lost the creation race — the winner's config is authoritative
       else read().getOrElse(sys.error(
         s"index meta at ${path(indexDir)} vanished mid-read"))
     }
   }
+
+  /** Single-key convenience over [[ensure]]; errors if the stored
+    * sidecar predates `key` entirely (the single-key indexes always
+    * wrote their one key at creation). */
+  def ensureInt(indexDir: String, key: String, proposed: Int,
+      legacy: () => Option[Int]): Int =
+    ensure(indexDir, Map(key -> proposed),
+      () => legacy().map(v => Map(key -> v)))
+      .getOrElse(key, sys.error(
+        s"index meta at ${path(indexDir)} has no key '$key'"))
 
   /** Run an optimistic-concurrency index fold, retrying when a racing
     * append supersedes its snapshot (the append always wins — a fold

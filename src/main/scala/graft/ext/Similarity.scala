@@ -193,6 +193,19 @@ object Similarity {
     * rewriting a stored value. */
   private[graft] val StoredPlanes = 20
 
+  /** Plane-family offsets of the stored band columns (`bval`,
+    * `bval1`, `bval2`): three DISJOINT 20-plane families inside the
+    * mod-61 family ([[graft.functions.LshBucket.PlaneMod]]). Like the
+    * width, the BAND COUNT is a probe-time choice: every row stores
+    * all three buckets (two extra longs — noise next to the
+    * embedding), and a probe ORs over its first `bands` families for
+    * recall 1 − (1 − r^p)^bands at per-plane agreement r — the lever
+    * that keeps recall up while the auto-width keeps candidate volume
+    * down as the index grows. */
+  private[graft] val BandOffsets: Seq[Int] = Seq(0, 20, 40)
+  private[graft] def bandCol(i: Int): String =
+    if (i == 0) "bval" else s"bval$i"
+
   /** Auto-width target: effective buckets sized so the expected
     * occupancy is ~this many rows. */
   private[graft] val TargetBucketRows = 200L
@@ -236,18 +249,21 @@ object Similarity {
     * ~7.5M true pairs): the fixed 4-bit probe took 388 s; 10 bits
     * (what auto derives at that n) 45 s at ~96% recall
     * (`tools.VecProbe` reproduces). Recall per TRUE near-dup pair at
-    * angle θ is (1 − θ/π)^p — wider probes trade recall for
-    * candidate volume, so recall-critical callers can pin an explicit
-    * `planes` (it becomes the probe width; storage is unaffected).
-    * For dedup-at-ingest prefer [[vecDedupStreamToTable]], whose
+    * angle θ is 1 − (1 − (1 − θ/π)^p)^bands — wider probes trade
+    * recall for candidate volume, and `bands` (1–3, probe-time like
+    * the width: every row stores all three disjoint 20-plane
+    * families) buys it back at `bands`× candidate cost; an explicit
+    * `planes` pins the width (storage is unaffected). For
+    * dedup-at-ingest prefer [[vecDedupStreamToTable]], whose
     * kept-only index prevents near-copy density from accumulating in
     * buckets at all. */
   def nearDupIncremental(batch: DataFrame, idCol: String,
       threshold: Double, indexDir: String, embCol: String = "embedding",
       planes: Int = 0, txn: Option[(String, Long)] = None,
-      maxBatchRows: Long = MaxIncrementalBatchRows): DataFrame = {
+      maxBatchRows: Long = MaxIncrementalBatchRows,
+      bands: Int = 1): DataFrame = {
     val r = nearDupIncrementalCore(batch, idCol, threshold, indexDir,
-      embCol, planes, txn, maxBatchRows)
+      embCol, planes, txn, maxBatchRows, bands)
     graft.sink.CdcTable.append(r.batchRows, indexDir, txn = txn)
     r.pairs
   }
@@ -261,19 +277,24 @@ object Similarity {
   private def nearDupIncrementalCore(batch: DataFrame, idCol: String,
       threshold: Double, indexDir: String, embCol: String,
       planes: Int, txn: Option[(String, Long)],
-      maxBatchRows: Long): VecIncr = {
+      maxBatchRows: Long, bands: Int): VecIncr = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
     require(planes >= 0 && planes <= StoredPlanes,
       s"planes must be in [0 (auto), $StoredPlanes], got $planes")
+    require(bands >= 1 && bands <= BandOffsets.length,
+      s"bands must be in [1, ${BandOffsets.length}], got $bands")
     // NULL embeddings cannot hash or pair; keep them out of the index
     // (a NULL bval key would fall out of the bucket join anyway)
     val hashed = batch.filter(col(embCol).isNotNull)
       .select(col(idCol).as("id"), col(embCol).as("e"))
-    // bvals are stored at full width; `planes` records that width per
-    // row (observability + legacy-index adoption below)
-    val batchRows = hashed
-      .withColumn("bval", bucketFor(hashed, "e", StoredPlanes, 0))
+    // every band family's bucket is stored at full width; `planes`
+    // records that width per row (observability + legacy adoption)
+    val batchRows = BandOffsets.zipWithIndex
+      .foldLeft(hashed) { case (df, (off, i)) =>
+        df.withColumn(bandCol(i), bucketFor(hashed, "e",
+          StoredPlanes, off))
+      }
       .withColumn("planes", lit(StoredPlanes))
       .localCheckpoint() // pin: feeds the join AND the index append
     // the checkpointed batch counts for free; a corpus-sized "batch"
@@ -285,11 +306,13 @@ object Similarity {
         "and assumes bounded micro-batches — use nearDupPairs for a " +
         "corpus-sized input, or raise maxBatchRows if the broadcast " +
         "genuinely fits")
-    // stored bucket width is pinned by the race-free sidecar; indexes
-    // from before the sidecar stored narrower bvals — adopt their
-    // width (the probe clamps to it; prefixes stay valid)
-    val storedBits = IndexMeta.ensureInt(indexDir, "bvalBits",
-      StoredPlanes, legacy = () =>
+    // stored layout is pinned by the race-free sidecar; indexes from
+    // before the sidecar stored one narrower bval — adopt their width
+    // (the probe clamps to it; prefixes stay valid) and band count 1
+    val meta = IndexMeta.ensure(indexDir,
+      Map("bvalBits" -> StoredPlanes,
+        "bvalBands" -> BandOffsets.length),
+      legacy = () =>
         if (CdcTable.log(indexDir).isEmpty) None
         else {
           val vs = CdcTable.read(spark, indexDir)
@@ -297,8 +320,18 @@ object Similarity {
           require(vs.length == 1,
             s"index at $indexDir stores mixed plane widths " +
               s"(${vs.sorted.mkString(", ")}) — rebuild it")
-          Some(vs.head)
+          Some(Map("bvalBits" -> vs.head, "bvalBands" -> 1))
         })
+    val storedBits = meta.getOrElse("bvalBits", StoredPlanes)
+    // sidecars written before banding existed carry no bvalBands key:
+    // those indexes stored exactly one bucket column
+    val storedBands = meta.getOrElse("bvalBands", 1)
+    require(bands <= storedBands,
+      s"index at $indexDir stores $storedBands band " +
+        s"famil${if (storedBands == 1) "y" else "ies"} but this probe " +
+        s"asks for $bands — historical rows have no bucket for the " +
+        "extra bands (their keys would be NULL and silently match " +
+        "nothing); rebuild the index or probe with fewer bands")
     // effective probe width: explicit, or derived from the index size
     // (manifest row counts — zero data IO; this txn's own commit is
     // excluded so a crash-replay derives the identical width)
@@ -306,41 +339,47 @@ object Similarity {
       if (planes > 0) planes
       else autoPlanes(CdcTable.rowCountEstimate(indexDir, txn) + nBatch))
     val mask = (1L << p) - 1
-    val probe = batchRows
-      .withColumn("bkey", col("bval").bitwiseAND(lit(mask)))
+    // one row per (vector, probed band): key = (band, masked bucket)
+    def banded(df: DataFrame): DataFrame =
+      (0 until bands).map { i =>
+        df.select(col("id"), col("e"), lit(i).as("band"),
+          col(bandCol(i)).bitwiseAND(lit(mask)).as("bkey"))
+      }.reduce(_ unionByName _)
+    val probe = banded(batchRows)
     // snapshot the log NOW: a later append must not leak this batch
     // into its own "historical" side
     val hist =
       if (CdcTable.log(indexDir).nonEmpty) {
-        val h = CdcTable.read(spark, indexDir)
-          .select(col("id"), col("e"), col("bval"))
-          .withColumn("bkey", col("bval").bitwiseAND(lit(mask)))
+        val h = banded(CdcTable.read(spark, indexDir)
+          .select(col("id") +: col("e") +:
+            (0 until bands).map(i => col(bandCol(i))): _*))
         // THE INDEX NEVER SHUFFLES: only touched buckets survive the
-        // scan (the batch's ≤2^p distinct masked keys broadcast; the
-        // index streams through a semi-join probe), so the candidate
-        // join is bounded by touched-bucket volume, not index size
-        h.join(broadcast(probe.select(col("bkey")).distinct()),
-            Seq("bkey"), "left_semi")
-          .select(col("id"), col("e"), col("bkey"))
-      } else {
-        val empty = probe.select(col("id"), col("e"), col("bkey"))
+        // scan (the batch's ≤ bands·2^p distinct (band, key) pairs
+        // broadcast; the index streams through a semi-join probe), so
+        // the candidate join is bounded by touched-bucket volume, not
+        // index size
+        h.join(broadcast(probe.select(col("band"), col("bkey"))
+            .distinct()),
+          Seq("band", "bkey"), "left_semi")
+      } else
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          empty.schema)
-      }
+          probe.schema)
     val pairs = probe
-      .select(col("id").as("l_id"), col("e").as("le"), col("bkey"))
-      .join(hist
-        .unionByName(probe.select(col("id"), col("e"), col("bkey")))
-        .select(col("id").as("r_id"), col("e").as("re"), col("bkey")),
-        Seq("bkey"))
+      .select(col("id").as("l_id"), col("e").as("le"), col("band"),
+        col("bkey"))
+      .join(hist.unionByName(probe)
+        .select(col("id").as("r_id"), col("e").as("re"), col("band"),
+          col("bkey")),
+        Seq("band", "bkey"))
       .filter(col("l_id") =!= col("r_id"))
       .withColumn("cos_sim", dotExpr(batch, "le", "re") / lit(1e12))
       .filter(col("cos_sim") >= threshold)
       .select(least(col("l_id"), col("r_id")).as("a_id"),
         greatest(col("l_id"), col("r_id")).as("b_id"), col("cos_sim"))
       .distinct() // both orientations of batch-batch pairs (the dot
-                  // is bit-identical either way) and replayed rows
+                  // is bit-identical either way), replayed rows, and
+                  // pairs colliding in several bands
     VecIncr(pairs, batchRows)
   }
 
@@ -364,7 +403,8 @@ object Similarity {
       indexDir: String, outDir: String, checkpointDir: String,
       threshold: Double = 0.98, embCol: String = "embedding",
       planes: Int = 0, appId: String = "graft-vecdedup",
-      maxBatchRows: Long = MaxIncrementalBatchRows)
+      maxBatchRows: Long = MaxIncrementalBatchRows,
+      bands: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -372,7 +412,7 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val r = nearDupIncrementalCore(batch, idCol, threshold,
           indexDir, embCol, planes, txn = Some((s"$appId-idx", id)),
-          maxBatchRows = maxBatchRows)
+          maxBatchRows = maxBatchRows, bands = bands)
         // one evaluation feeds the index filter AND the out anti-join
         val dupIds = r.pairs.select(col("b_id").as("__dup_id"))
           .distinct().localCheckpoint()

@@ -107,7 +107,7 @@ class SimilaritySpec extends SparkSpec {
     assert(r.contains((0L, 10L)), s"explicit-width probe still matches: $r")
     // the sidecar pinned the stored width race-free at creation
     assert(graft.core.Fs.readString(s"$idx/_graft_index_meta")
-      .contains(s"bvalBits=${Similarity.StoredPlanes}"))
+      .exists(_.contains(s"bvalBits=${Similarity.StoredPlanes}")))
   }
 
   test("legacy 4-bit index is adopted; probes clamp to its stored width") {
@@ -126,7 +126,7 @@ class SimilaritySpec extends SparkSpec {
     assert(r.contains((0L, 10L)),
       s"probe against legacy rows must clamp to 4 bits and match: $r")
     assert(graft.core.Fs.readString(s"$idx/_graft_index_meta")
-      .contains("bvalBits=4"), "adopted width persisted")
+      .exists(_.contains("bvalBits=4")), "adopted width persisted")
   }
 
   test("corpus-sized batches fail loudly before any broadcast") {
@@ -203,7 +203,7 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.count() == 8 && rows.distinct().count() == 8,
       s"lost/duplicated index rows: ${rows.count()}")
     assert(graft.core.Fs.readString(s"$idx/_graft_index_meta")
-      .contains(s"bvalBits=${Similarity.StoredPlanes}"))
+      .exists(_.contains(s"bvalBits=${Similarity.StoredPlanes}")))
     // follow-up: a new copy of the shared vector pairs with ALL four
     // racing copies (exact cosine 1.0) — nothing an interleaving hid
     // stays hidden past one batch
@@ -213,6 +213,45 @@ class SimilaritySpec extends SparkSpec {
       .select("a_id").as[Long].collect().toSet
     assert(after == Set(2L, 102L, 202L, 302L),
       s"follow-up batch must see every racing copy: $after")
+  }
+
+  test("banded probe recovers pairs the single band family misses") {
+    // rotations of a fixed 2-plane inside R^8: v(θ) = cosθ·w1 + sinθ·w2
+    def v(thetaDeg: Double): Array[Float] = {
+      val w1 = Array.fill(8)(1.0 / math.sqrt(8))
+      val w2 = Array.tabulate(8)(i =>
+        (if (i % 2 == 0) 1.0 else -1.0) / math.sqrt(8))
+      val t = math.toRadians(thetaDeg)
+      Array.tabulate(8)(i =>
+        (math.cos(t) * w1(i) + math.sin(t) * w2(i)).toFloat)
+    }
+    val p = 4
+    // deterministic search: a pair at 9° (cos ≈ 0.9877) whose band-0
+    // buckets DIFFER at width p but some later band family agrees —
+    // exactly the pair a single-family probe loses and banding saves
+    val cand = (0 until 40).map(k => (k * 3.0, k * 3.0 + 9.0)).find {
+      case (a, b) =>
+        Similarity.bucketOf(v(a), p, 0) != Similarity.bucketOf(v(b), p, 0) &&
+          (1 until 3).exists(i => Similarity.bucketOf(v(a), p, 20 * i) ==
+            Similarity.bucketOf(v(b), p, 20 * i))
+    }
+    assert(cand.nonEmpty, "rotation sweep must contain a band-saved pair")
+    val (ta, tb) = cand.get
+    def run(bands: Int): Set[(Long, Long)] = {
+      val idx = java.nio.file.Files.createTempDirectory(s"bnd$bands")
+        .toString
+      Similarity.nearDupIncremental(
+        Seq((1L, v(ta))).toDF("vec_id", "embedding"), "vec_id", 0.98,
+        idx, planes = p)
+      Similarity.nearDupIncremental(
+        Seq((2L, v(tb))).toDF("vec_id", "embedding"), "vec_id", 0.98,
+        idx, planes = p, bands = bands)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    }
+    assert(run(1) == Set.empty,
+      "band 0 alone must miss the planted pair (that is the point)")
+    assert(run(3) == Set((1L, 2L)),
+      "OR over the stored band families recovers it, exact-verified")
   }
 
   test("auto probe width follows the index size curve") {
