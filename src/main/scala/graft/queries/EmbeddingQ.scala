@@ -93,12 +93,16 @@ object EmbeddingQ {
 
   /** Same with a parametric plane count (a SQL expression — q83 feeds
     * the auto-derived probe width). */
-  private def bucketDN(p: String) = {
+  private def bucketDN(p: String) = bucketDNO(p, 0)
+
+  /** Same with a plane-family offset (band b of stored width w uses
+    * offset b·w — mirrors `lsh_bucket(e, p, off)`). */
+  private def bucketDNO(p: String, off: Int) = {
     val m = graft.functions.LshBucket.PlaneMod
     s"""CAST(list_sum(list_transform(range(0, $p), j ->
        |  CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
        |    i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)
-       |      * ((((i - 1) * 31 + j * 17) % $m) - ${m / 2}))) > 0
+       |      * ((((i - 1) * 31 + (j + $off) * 17) % $m) - ${m / 2}))) > 0
        |  THEN 1 << j ELSE 0 END)) AS BIGINT)""".stripMargin
   }
 
@@ -481,8 +485,48 @@ object EmbeddingQ {
        |    >= 0.45
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q84 — BANDED incremental embedding near-dup: q83's id-split
+    * incremental discovery probed with ALL THREE stored band families
+    * (`bands = 3` — offsets 0/20/40 of the mod-61 plane family) at
+    * the same auto-derived width. Banding is the recall lever: a pair
+    * is a candidate when ANY family agrees
+    * (recall 1 − (1 − r^p)^3 vs r^p single-family), every candidate
+    * still exact-cosine-verified. The oracle mirrors the OR over the
+    * three families bit-exactly, so the banded candidate set itself
+    * is oracle-pinned — q84 ⊇ q83 by construction. */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables(s, dir, "embeddings")
+    val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = QueryDef.scratchDir("graft_q84_idx")
+    Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, idx)
+    Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, idx, bands = 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q84Sql: String =
+    s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
+       |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS (SELECT vec_id, embedding, ${bucketDNO("pl", 0)} AS b0,
+       |  ${bucketDNO("pl", 20)} AS b1, ${bucketDNO("pl", 40)} AS b2
+       |  FROM embeddings, p),
+       |cut AS (SELECT CAST(FLOOR(MAX(vec_id) / 2) AS BIGINT) AS c
+       |  FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
+       |    AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2), cut
+       |WHERE b.vec_id >= c
+       |  AND CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
+       |    >= 0.45
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
+    QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),
     QueryDef("q37_cosine_pairs", q37, Some(q37Sql)),
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),

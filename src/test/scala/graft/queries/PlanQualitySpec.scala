@@ -175,7 +175,8 @@ class PlanQualitySpec extends SparkSpec {
     // their band/bucket indexes)
     for ((q, semi) <- Seq(TextQ.q81(spark, dir) -> false,
         TextQ.q82(spark, dir) -> true,
-        EmbeddingQ.q83(spark, dir) -> true)) {
+        EmbeddingQ.q83(spark, dir) -> true,
+        EmbeddingQ.q84(spark, dir) -> true)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p.take(400))
       assert(!p.contains("BroadcastNestedLoopJoin"),
