@@ -115,9 +115,11 @@ object Similarity {
     * bucket — never the O(n²) cross product), then the exact
     * fixed-point cosine verifies the threshold. With `planes = 0`
     * (default) the width derives from the corpus size — the same
-    * `clamp(ceil(log2(n/200)), 4, 20)` rule as [[nearDupIncremental]],
-    * paid for with one count of the non-null rows — so candidate
-    * volume per row stays bounded as the corpus grows. With
+    * `clamp(ceil(log2(n/200)), 4, 20)` rule as [[nearDupIncremental]]
+    * — so candidate volume per row stays bounded as the corpus grows.
+    * The sizing count is UNFILTERED (metadata-cheap on parquet; a
+    * NULL-heavy frame merely overestimates n, widening the probe by
+    * at most a plane — never a correctness concern). With
     * `bands` > 1 the candidate test ORs over `bands` independent
     * bucket families (recall 1 − (1 − (1 − θ/π)^planes)^bands at
     * angle θ — trade candidate volume for recall; true near-dups at
@@ -141,7 +143,7 @@ object Similarity {
             s"${graft.functions.LshBucket.PlaneMod - 1}, got " +
             s"$bands * $planes")
         planes
-      } else math.min(familyCap, autoPlanes(hashed.count()))
+      } else math.min(familyCap, autoPlanes(df.count()))
     val verified =
       if (bands == 1) {
         // single bucket family: each pair appears at most once

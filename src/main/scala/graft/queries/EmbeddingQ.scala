@@ -72,7 +72,7 @@ object EmbeddingQ {
   val q37Sql: String =
     s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
        |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
-       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |  FROM embeddings),
        |e AS (SELECT vec_id, embedding, ${bucketDN("pl")} AS bucket
        |  FROM embeddings, p)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
