@@ -937,7 +937,11 @@ object CdcTable {
       liveFiles: Long,
       liveBytes: Long,
       lastCommitTs: Long,
-      lastTxn: Option[(String, Long)])
+      lastTxn: Option[(String, Long)],
+      /** Manifest-derived live row count ([[rowCountEstimate]]) — a
+        * lower bound (files committed before `frows` existed
+        * contribute 0), answered with zero data IO. */
+      rowsEstimate: Long = 0L)
 
   def detail(dir: String): TableDetail = {
     val commits = log(dir)
@@ -955,7 +959,8 @@ object CdcTable {
       liveFiles = files.size.toLong,
       liveBytes = bytes,
       lastCommitTs = commits.last.ts,
-      lastTxn = commits.flatMap(_.txn).lastOption)
+      lastTxn = commits.flatMap(_.txn).lastOption,
+      rowsEstimate = eff.flatMap(_.fileRows.values).sum)
   }
 
   /** Delete data files no manifest references — crash leftovers and

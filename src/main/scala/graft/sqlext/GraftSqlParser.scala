@@ -492,12 +492,13 @@ case class DetailGraftTable(dir: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     attr("commits", LongType), attr("schema_version", LongType),
     attr("generations", LongType), attr("live_files", LongType),
-    attr("live_bytes", LongType), attr("last_commit_ts", LongType))
+    attr("live_bytes", LongType), attr("live_rows_est", LongType),
+    attr("last_commit_ts", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
     val d = CdcTable.detail(dir)
     Seq(Row(d.commits, d.schemaVersion, d.generations, d.liveFiles,
-      d.liveBytes, d.lastCommitTs))
+      d.liveBytes, d.rowsEstimate, d.lastCommitTs))
   }
 }
 

@@ -52,6 +52,7 @@ class CdcTableLogSpec extends SparkSpec {
     val d = CdcTable.detail(dir)
     assert(d.commits == 3 && d.schemaVersion == 1 && d.generations == 1)
     assert(d.liveFiles >= 3 && d.liveBytes > 0)
+    assert(d.rowsEstimate == 3L, s"manifest row estimate: $d")
     assert(d.lastTxn.contains(("app", 3L)))
     // replace supersedes: live files shrink to the compacted set
     CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir).coalesce(1))

@@ -41,9 +41,9 @@ class GraftSqlParserSpec extends SparkSpec {
       .as[Int].head() == 0)
     // DESCRIBE DETAIL parity: structure + live footprint in one row
     val det = spark.sql(s"GRAFT DETAIL '$dir'")
-      .as[(Long, Long, Long, Long, Long, Long)].head()
-    assert(det._1 == 2 && det._4 >= 1 && det._5 > 0,
-      s"commits/live_files/live_bytes: $det")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(det._1 == 2 && det._4 >= 1 && det._5 > 0 && det._6 >= 1,
+      s"commits/live_files/live_bytes/live_rows_est: $det")
     // a replace orphans the old files; sub-floor retention needs FORCE
     CdcTable.replaceWith(spark, dir, CdcTable.read(spark, dir).coalesce(1))
     intercept[IllegalArgumentException] {
