@@ -125,7 +125,8 @@ object Bench {
       val headline = Set("q01_pricing_summary", "q04_join_region_revenue",
         "q17_fact_join", "q33_ngram_jaccard", "q59_ngram_jaccard_capped",
         "q74_bloom_decontaminate", "q75_kmeans_train",
-        "q82_incremental_neardup", "q83_incremental_vec_neardup")
+        "q82_incremental_neardup", "q83_incremental_vec_neardup",
+        "q84_banded_vec_neardup")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()
