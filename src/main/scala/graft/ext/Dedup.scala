@@ -185,6 +185,41 @@ object Dedup {
     }
   }
 
+  /** OFFLINE re-band migration for the near-dup signature index: the
+    * band layout (`band_key` strings) is frozen at creation, but the
+    * full 16-row MinHash signature is stored per row — so an index
+    * can be migrated to a different band count by recomputing the
+    * band rows from the signatures, without ever touching document
+    * text. One pass: fold to one signature per doc, re-band, replace
+    * the index atomically, update the sidecar.
+    *
+    * SINGLE-WRITER MAINTENANCE: quiesce incremental writers first. An
+    * appender that read the OLD band count mid-migration would append
+    * old-layout rows after the replace (its sidecar check happened at
+    * its call start); the optimistic-concurrency replace catches
+    * appends landing BEFORE it, not after. Same operational class as
+    * any offline index rebuild. */
+  def rebandIndex(spark: SparkSession, indexDir: String,
+      newBands: Int): Unit = {
+    import graft.sink.CdcTable
+    require(newBands >= 1 && 16 % newBands == 0,
+      s"bands must divide the 16-row MinHash signature, got $newBands")
+    val commits = CdcTable.log(indexDir)
+    require(commits.nonEmpty, s"no index at $indexDir")
+    require(commits.last.schema.fieldNames.contains("band_key"),
+      s"$indexDir is not a near-dup signature index")
+    val snap = commits.last.commit
+    // one signature per doc (band copies carry identical sigs)
+    val sigs = CdcTable.read(spark, indexDir)
+      .select(col("doc_id"), col("sig"))
+      .dropDuplicates("doc_id")
+    val rebanded = bandRows(sigs, "doc_id", newBands, carrySig = true)
+      .withColumn("bands", lit(newBands))
+    CdcTable.replaceWith(spark, indexDir, rebanded,
+      expectedLastCommit = Some(snap))
+    IndexMeta.overwrite(indexDir, Map("bands" -> newBands))
+  }
+
   /** Streaming corpus-scale exact dedup: every micro-batch dedups
     * against the fingerprint index of EVERYTHING already ingested —
     * unbounded lookback with ZERO stream state (contrast

@@ -66,6 +66,15 @@ private[graft] object IndexMeta {
       .getOrElse(key, sys.error(
         s"index meta at ${path(indexDir)} has no key '$key'"))
 
+  /** Rewrite the sidecar unconditionally — for OFFLINE migrations
+    * that change the stored layout (e.g. [[Dedup.rebandIndex]]).
+    * Plain overwrite, no create-exclusive: migrations are
+    * single-writer maintenance by contract (quiesce appenders first),
+    * so there is no creation race to lose. */
+  def overwrite(indexDir: String, values: Map[String, Int]): Unit =
+    Fs.writeString(path(indexDir), values.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n"))
+
   /** Run an optimistic-concurrency index fold, retrying when a racing
     * append supersedes its snapshot (the append always wins — a fold
     * must never cost a live stream a commit). The fold closure

@@ -389,6 +389,33 @@ class DedupSpec extends SparkSpec {
       "cross-generation near-dup still found after the fold")
   }
 
+  test("rebandIndex migrates the stored band layout from the signatures") {
+    import graft.sink.CdcTable
+    val idx = java.nio.file.Files.createTempDirectory("rebidx").toString
+    val base = "a long enough passage of repeated text to shingle well"
+    Dedup.nearIncremental(
+      Seq((1L, base), (2L, "something else entirely different here"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx) // bands = 4
+    // migrate 4 -> 8 bands using only the stored signatures
+    Dedup.rebandIndex(spark, idx, 8)
+    assert(graft.core.Fs.readString(s"$idx/_graft_index_meta")
+      .exists(_.contains("bands=8")), "sidecar follows the migration")
+    // 8 band rows per doc now, one sig each
+    assert(CdcTable.read(spark, idx).count() == 16)
+    // the old band count is rejected loudly; the new one probes fine
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearIncremental(
+        Seq((9L, base)).toDF("doc_id", "text"), "text", "doc_id", idx))
+    assert(e.getMessage.contains("bands=8"), e.getMessage)
+    val pairs = Dedup.nearIncremental(
+      Seq((10L, base)).toDF("doc_id", "text"), "text", "doc_id", idx,
+      bands = 8)
+      .filter($"est_jaccard" >= 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L)),
+      s"history still matches through the re-banded layout: $pairs")
+  }
+
   test("compactIndex retries against racing appenders; appends always win") {
     import graft.sink.CdcTable
     val idx = java.nio.file.Files.createTempDirectory("craceidx").toString
