@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
   *   GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2, …)] [FILES n]
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
   *   GRAFT COMPACT INDEX '<path>'
+  *   GRAFT REBAND INDEX '<path>' BANDS n
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
   *   GRAFT DETAIL '<path>'
@@ -72,6 +73,9 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val compactIndexRe = Pattern.compile(
     """\s*GRAFT\s+COMPACT\s+INDEX\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val rebandIndexRe = Pattern.compile(
+    """\s*GRAFT\s+REBAND\s+INDEX\s+'([^']+)'\s+BANDS\s+(\d+)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val vacuumRe = Pattern.compile(
     """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
@@ -139,6 +143,9 @@ object GraftSqlParser {
     val cim = compactIndexRe.matcher(sqlText)
     if (cim.matches())
       return Some(CompactGraftIndex(cim.group(1)))
+    val rbm = rebandIndexRe.matcher(sqlText)
+    if (rbm.matches())
+      return Some(RebandGraftIndex(rbm.group(1), rbm.group(2).toInt))
     val cm = compactRe.matcher(sqlText)
     if (cm.matches()) {
       val cols = Option(cm.group(3)).toSeq.flatMap(
@@ -338,6 +345,25 @@ case class CompactGraftIndex(dir: String) extends LeafRunnableCommand {
     val before = CdcTable.log(dir).length
     graft.ext.Dedup.compactIndex(spark, dir)
     Seq(Row(before.toLong, CdcTable.rowCountEstimate(dir)))
+  }
+}
+
+/** `GRAFT REBAND INDEX '<path>' BANDS n` — offline band-layout
+  * migration of a near-dup signature index
+  * ([[graft.ext.Dedup.rebandIndex]]: re-bands from the stored 16-row
+  * signatures, one atomic replace; quiesce incremental writers
+  * first). Returns the migrated doc and row counts. */
+case class RebandGraftIndex(dir: String, bands: Int)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("docs", LongType), attr("rows", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.ext.Dedup.rebandIndex(spark, dir, bands)
+    val rows = CdcTable.rowCountEstimate(dir)
+    Seq(Row(rows / bands, rows))
   }
 }
 

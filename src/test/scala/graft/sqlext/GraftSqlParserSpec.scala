@@ -98,6 +98,23 @@ class GraftSqlParserSpec extends SparkSpec {
     intercept[Exception] { spark.sql("GRAFT COMPACT INDEX") }
   }
 
+  test("GRAFT REBAND INDEX migrates the band layout from SQL") {
+    val idx = tmpDir("sqlreband")
+    graft.ext.Dedup.nearIncremental(
+      Seq((1L, "plenty of words to shingle across this text"),
+        (2L, "unrelated other content forming its own doc"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx) // bands = 4
+    val res = spark.sql(s"GRAFT REBAND INDEX '$idx' BANDS 2")
+      .as[(Long, Long)].head()
+    assert(res == ((2L, 4L)), s"2 docs x 2 bands after migration: $res")
+    assert(graft.core.Fs.readString(s"$idx/_graft_index_meta")
+      .exists(_.contains("bands=2")))
+    // a non-divisor band count is rejected before touching anything
+    intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT REBAND INDEX '$idx' BANDS 3").collect()
+    }
+  }
+
   test("non-graft SQL still parses through Spark") {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
     // a query merely MENTIONING graft is not intercepted
