@@ -31,10 +31,17 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    err_path = os.path.join(out_dir, "_errors.json")
+    verify_errors = {}
+    if os.path.exists(err_path):
+        verify_errors = json.load(open(err_path))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        if name in verify_errors:
+            print(f"FAIL {name}: verify error: {verify_errors[name][:300]}")
+            n_fail += 1; continue
         pq_dir = os.path.join(out_dir, name)
         if not os.path.isdir(pq_dir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -15,25 +16,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    // unless spark.sql.legacy.parquet.nanosAsLong=true (then the column
-    // reads as epoch-nanos LongType). Verify/Bench set the conf in
-    // their builders; for foreign sessions we set it here — scoped to
-    // the events load and only when not already true, since it leaks
-    // session-wide (any later NANOS parquet read in the same session
-    // will also get longs instead of a fail-fast error). The long is
-    // normalized back to a µs TimestampType immediately so queries see
-    // the same values DuckDB sees after CAST(ts AS TIMESTAMP).
-    if (name == "events" &&
-      !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    // `events.ts` is TIMESTAMP(NANOS) parquet. Spark 4.1.2 reads it as
+    // TimestampNTZType, truncating to µs — exactly the naive-timestamp
+    // value DuckDB sees after CAST(ts AS TIMESTAMP), so NTZ is the
+    // canonical type every query (and every oracle) is written against.
+    // Older engines needed spark.sql.legacy.parquet.nanosAsLong=true and
+    // surfaced epoch-nanos LongType instead; that path is normalized to
+    // the same NTZ µs values. Anything else is a new engine behavior and
+    // must fail HERE, not as a wrong-answer row in the oracle gate
+    // (TablesSpec pins this contract).
+    if (name == "events") {
+      val normalized = df.schema("ts").dataType match {
+        case TimestampNTZType => df
+        case LongType => df.withColumn("ts",
+          org.apache.spark.sql.functions
+            .expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+        case other => throw new IllegalStateException(
+          s"events.ts read as unexpected type $other (engine behavior " +
+            "changed); extend Tables.apply's normalization to NTZ µs")
+      }
+      normalized
+    } else df
   }
 
   /** Register every table as a temp view named after itself (for spark.sql). */

@@ -162,7 +162,8 @@ object EventsQ {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+          1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
