@@ -288,7 +288,8 @@ object Dedup {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val r = nearIncrementalCore(batch, textCol, idCol, indexDir,
-          bands, maxBandDocFreq = None, maxBatchRows = maxBatchRows)
+          bands, maxBandDocFreq = None, maxBatchRows = maxBatchRows,
+          txn = Some((s"$appId-idx", id)))
         // one evaluation: feeds the index filter AND the out anti-join
         val dupIds = r.pairs.filter(col("est_jaccard") >= threshold)
           .select(col("b_id").as("__dup_id")).distinct()
@@ -329,10 +330,18 @@ object Dedup {
     *
     * `maxBandDocFreq`: the hot-bucket guard at scale (the q59-style
     * df cap). A band bucket shared by k docs yields k candidate rows
-    * PER NEW COPY; mass-duplicated boilerplate makes k explode. With
-    * the cap set, buckets whose total occupancy (index + batch)
-    * exceeds it are excluded from candidate generation — a pair is
-    * missed only if ALL its shared bands are ubiquitous. For the
+    * PER NEW COPY; mass-duplicated boilerplate makes k explode.
+    * Buckets whose total occupancy (index + batch) exceeds the cap
+    * are excluded from candidate generation — a pair is missed only
+    * if ALL its shared bands are ubiquitous. `None` (the default)
+    * DERIVES the cap from the index's manifest row counts —
+    * [[autoBandDocFreq]], `max(64, ceil(sqrt(nDocs)))`, the same
+    * zero-data-IO, replay-stable derivation the vector index uses
+    * for its probe width (this txn's own commit is excluded, so a
+    * crash-replay derives the identical cap): any cluster smaller
+    * than √n stays fully paired while per-bucket candidate volume is
+    * bounded at O(√n) per new copy. Pass `Some(cap)` to pin it, or
+    * `Some(Int.MaxValue)` for the uncapped pre-r9 behavior. For the
     * dedup-at-ingest use case prefer [[nearDedupStreamToTable]],
     * whose kept-only indexing bounds bucket occupancy structurally. */
   def nearIncremental(batch: DataFrame, textCol: String, idCol: String,
@@ -342,9 +351,24 @@ object Dedup {
       maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
       : DataFrame = {
     val r = nearIncrementalCore(batch, textCol, idCol, indexDir, bands,
-      maxBandDocFreq, maxBatchRows)
+      maxBandDocFreq, maxBatchRows, txn)
     graft.sink.CdcTable.append(r.batchBands, indexDir, txn = txn)
     r.pairs
+  }
+
+  /** Auto hot-bucket cap for an index of `nDocs` bandable documents:
+    * `max(64, ceil(sqrt(nDocs)))`. The √n shape bounds worst-case
+    * candidate volume per new copy at O(√n) (so a whole batch stays
+    * subquadratic in the corpus) while the exclusion threshold GROWS
+    * with the corpus — a duplicate cluster is only suppressed once it
+    * is larger than √n, at which point it is boilerplate with
+    * near-certainty, not signal. The 64 floor keeps small corpora
+    * (where everything fits comfortably) entirely uncapped. Mirrored
+    * by the q82 oracle in SQL — keep the two in sync. */
+  private[graft] def autoBandDocFreq(nDocs: Long): Int = {
+    val cap = math.max(64L,
+      math.ceil(math.sqrt(math.max(nDocs, 0L).toDouble)).toLong)
+    math.min(cap, Int.MaxValue.toLong).toInt
   }
 
   private final case class NearIncr(pairs: DataFrame,
@@ -357,7 +381,8 @@ object Dedup {
     * shift it. */
   private def nearIncrementalCore(batch: DataFrame, textCol: String,
       idCol: String, indexDir: String, bands: Int,
-      maxBandDocFreq: Option[Int], maxBatchRows: Long): NearIncr = {
+      maxBandDocFreq: Option[Int], maxBatchRows: Long,
+      txn: Option[(String, Long)] = None): NearIncr = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
     require(spark.catalog.functionExists("minhash_sig"),
@@ -429,16 +454,24 @@ object Dedup {
         batchBands.schema)
     val all = hist.unionByName(batchBands)
     // hot-bucket exclusion: combinable count, tiny broadcast anti-join
-    // on both join legs (candidate generation only — sigs unaffected)
-    val (lSide, rSide) = maxBandDocFreq match {
-      case Some(cap) =>
+    // on both join legs (candidate generation only — sigs unaffected).
+    // The cap is explicit or manifest-derived (autoBandDocFreq over
+    // indexed docs + this batch — frows metadata, zero data IO; the
+    // occupancy itself is EXACT, computed over the touched buckets the
+    // probe already holds). Occupancy counts band ROWS per bucket =
+    // docs per bucket (one row per doc per band).
+    val cap = maxBandDocFreq.getOrElse(autoBandDocFreq(
+      graft.sink.CdcTable.rowCountEstimate(indexDir, txn) / bands
+        + nDocs))
+    val (lSide, rSide) =
+      if (cap == Int.MaxValue) (batchBands, all)
+      else {
         val hot = all.groupBy(col("band_key"))
           .agg(count(lit(1)).as("n")).filter(col("n") > cap)
           .select(col("band_key"))
         (batchBands.join(broadcast(hot), Seq("band_key"), "left_anti"),
           all.join(broadcast(hot), Seq("band_key"), "left_anti"))
-      case None => (batchBands, all)
-    }
+      }
     val cand = lSide.select(col("doc_id").as("l_id"), col("band_key"))
       .join(rSide.select(col("doc_id").as("r_id"), col("band_key")),
         Seq("band_key"))

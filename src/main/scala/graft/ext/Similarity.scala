@@ -208,6 +208,54 @@ object Similarity {
   private[graft] def bandCol(i: Int): String =
     if (i == 0) "bval" else s"bval$i"
 
+  // ----------------------------------------------------------------
+  // Banded-probe recall arithmetic. `planes` and `bands` are free
+  // probe-time parameters now that widths auto-derive; the POLICY
+  // (what recall is worth what candidate volume) stays caller-owned,
+  // but the arithmetic connecting the three shouldn't be — these are
+  // the closed forms the probe's behavior follows (RecallSpec
+  // cross-checks them against the measured banded probe).
+  // ----------------------------------------------------------------
+
+  /** Probability one random hyperplane puts a pair at cosine
+    * similarity `cos` on the same side: r = 1 − θ/π (the
+    * Goemans–Williamson sign-agreement bound made exact for random
+    * projections). */
+  def planeAgreement(cos: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+
+  /** Formula recall of a banded probe for a TRUE pair at cosine
+    * `cos`: a pair is a candidate when ANY of `bands` disjoint
+    * `planes`-bit families agrees on it, so
+    * recall = 1 − (1 − r^planes)^bands. Exact verification means
+    * precision is 1; this is the only loss term. */
+  def bandedRecall(cos: Double, planes: Int, bands: Int): Double = {
+    require(planes >= 1, s"planes must be >= 1, got $planes")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val q = math.pow(planeAgreement(cos), planes)
+    1.0 - math.pow(1.0 - q, bands)
+  }
+
+  /** Smallest band count whose formula recall reaches `targetRecall`
+    * for a pair AT `threshold` — the worst true pair; everything more
+    * similar does better. A result above [[BandOffsets]].length
+    * (currently 3) means the stored families cannot reach the target
+    * at that width: probe narrower (smaller `planes`) or lower the
+    * target. Returns `Int.MaxValue` when no finite band count reaches
+    * it (per-family match probability ~0). */
+  def bandsFor(threshold: Double, planes: Int,
+      targetRecall: Double): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val q = math.pow(planeAgreement(threshold), planes)
+    if (q >= 1.0) 1
+    else if (q <= 0.0) Int.MaxValue
+    else {
+      val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-q))
+      if (b > Int.MaxValue.toDouble) Int.MaxValue else math.max(1, b.toInt)
+    }
+  }
+
   /** Auto-width target: effective buckets sized so the expected
     * occupancy is ~this many rows. */
   private[graft] val TargetBucketRows = 200L

@@ -934,9 +934,13 @@ object TextQ {
     * built from batch 1 — the historical text is gone; only band keys
     * and 16-row signatures remain on disk. Pairs carry the shared-band
     * count and the signature-ESTIMATED jaccard (the streaming
-    * verification tradeoff). Oracle: batch-global q34-style banding
-    * restricted to pairs whose higher id is in batch 2 — incremental
-    * banding over an id-split corpus discovers exactly those pairs. */
+    * verification tradeoff). NO explicit hot-bucket cap anywhere: the
+    * probe derives `max(64, ceil(sqrt(n_docs)))` from the index
+    * manifest ([[graft.ext.Dedup.autoBandDocFreq]]) and the oracle
+    * mirrors the same formula + exclusion in SQL. Oracle: batch-global
+    * q34-style banding restricted to pairs whose higher id is in
+    * batch 2 — incremental banding over an id-split corpus discovers
+    * exactly those pairs. */
   def q82(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -963,11 +967,17 @@ object TextQ {
        |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
        |      sig[4*band+3], sig[4*band+4]) AS band_key
        |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |cap AS (SELECT GREATEST(64, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+       |    AS v FROM ids),
+       |hot AS (SELECT band_key FROM bands GROUP BY band_key
+       |  HAVING COUNT(*) > (SELECT v FROM cap)),
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |    COUNT(*) AS n_shared_bands
        |  FROM bands a JOIN bands b ON a.band_key = b.band_key
        |    AND a.doc_id < b.doc_id, cut
-       |  WHERE b.doc_id >= c GROUP BY 1, 2)
+       |  WHERE b.doc_id >= c
+       |    AND a.band_key NOT IN (SELECT band_key FROM hot)
+       |  GROUP BY 1, 2)
        |SELECT a_id, b_id, n_shared_bands,
        |  CAST(len(list_filter(list_transform(range(0, 16),
        |    k -> sa.sig[k+1] = sb.sig[k+1]), v -> v)) AS DOUBLE) / 16

@@ -715,4 +715,47 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((2L, 0L, 1.0)))
     assert(r(5L) == ((0L, 0L, 1.0)))
   }
+
+  test("autoBandDocFreq: 64 floor, sqrt growth") {
+    assert(Dedup.autoBandDocFreq(0) == 64)
+    assert(Dedup.autoBandDocFreq(1000) == 64)   // sqrt(1000)=32 < floor
+    assert(Dedup.autoBandDocFreq(4096) == 64)   // boundary: sqrt = floor
+    assert(Dedup.autoBandDocFreq(10000) == 100)
+    assert(Dedup.autoBandDocFreq(10001) == 101) // ceil, not round
+    assert(Dedup.autoBandDocFreq(1000000) == 1000)
+    assert(Dedup.autoBandDocFreq(1L << 60) > 1000000000)
+  }
+
+  test("auto cap bounds planted hot-bucket candidate volume, keeps signal") {
+    // A mass-duplicated boilerplate cluster (80 identical docs — over
+    // the 64-doc floor) plus one ordinary near-dup pair. With the
+    // derived cap, the cluster's band buckets are excluded from
+    // candidate generation (its pairs would be quadratic noise), while
+    // the ordinary pair — whose buckets stay cool — is still found.
+    val boiler = "please subscribe to our newsletter for updates and " +
+      "follow us on every social network we list in this footer today"
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away into the deep green forest tonight while stars shine"
+    val cluster = (100L until 180L).map(i => (i, boiler))
+    val signal = Seq((10L, base), (11L, base + " extra"))
+    val docs = (cluster ++ signal).toDF("doc_id", "text")
+
+    val capped = java.nio.file.Files.createTempDirectory("hotcap").toString
+    val auto = Dedup.nearIncremental(docs, "text", "doc_id", capped)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // 82 docs → derived cap = 64; the 80-doc cluster exceeds it in
+    // EVERY band, so none of its 80*79/2 = 3160 pairs survive
+    assert(!auto.exists(p => p._1 >= 100L || p._2 >= 100L),
+      s"hot-bucket pairs leaked: ${auto.filter(_._1 >= 100L).take(5)}")
+    assert(auto.contains((10L, 11L)), s"cool-bucket signal lost: $auto")
+
+    // the cap — not banding luck — is what bounded it: uncapped run
+    // on the same input yields the full quadratic cluster
+    val open = java.nio.file.Files.createTempDirectory("hotopen").toString
+    val uncapped = Dedup.nearIncremental(docs, "text", "doc_id", open,
+        maxBandDocFreq = Some(Int.MaxValue))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) == 80 * 79 / 2)
+    assert(auto.subsetOf(uncapped))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The banded-probe recall arithmetic ([[Similarity.planeAgreement]] /
+  * [[Similarity.bandedRecall]] / [[Similarity.bandsFor]]) — closed-form
+  * properties, and a cross-check of q84's measured sf0.1 recall against
+  * the 1 − (1 − r^p)^b formula (VERDICT r8 #5: `bands` and width are
+  * free probe-time parameters; the arithmetic connecting them to recall
+  * must not live only in scaladoc). */
+class RecallSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.1"
+
+  test("planeAgreement: closed-form anchors") {
+    assert(math.abs(Similarity.planeAgreement(1.0) - 1.0) < 1e-12)
+    assert(math.abs(Similarity.planeAgreement(0.0) - 0.5) < 1e-12)
+    assert(math.abs(Similarity.planeAgreement(-1.0)) < 1e-12)
+    // out-of-range cosines (float dot noise) clamp instead of NaN
+    assert(!Similarity.planeAgreement(1.0000001).isNaN)
+  }
+
+  test("bandedRecall: monotone in bands, antitone in planes") {
+    val cos = 0.45
+    for (p <- 1 to 20; b <- 1 to 2)
+      assert(Similarity.bandedRecall(cos, p, b + 1) >
+        Similarity.bandedRecall(cos, p, b))
+    for (p <- 1 until 20)
+      assert(Similarity.bandedRecall(cos, p + 1, 3) <
+        Similarity.bandedRecall(cos, p, 3))
+  }
+
+  test("bandsFor inverts bandedRecall") {
+    for (t <- Seq(0.3, 0.45, 0.7, 0.9); p <- Seq(4, 8, 12); b <- 1 to 5) {
+      val achieved = Similarity.bandedRecall(t, p, b)
+      // a target just under what b bands achieve needs exactly b bands
+      assert(Similarity.bandsFor(t, p, achieved - 1e-9) == b,
+        s"t=$t p=$p b=$b achieved=$achieved")
+      // a target just above needs more
+      if (achieved < 0.999999)
+        assert(Similarity.bandsFor(t, p, achieved + 1e-9) > b)
+    }
+    // unreachable target at a hopeless width
+    assert(Similarity.bandsFor(0.0, 20, 0.99) > 1000)
+  }
+
+  test("q84's measured sf0.1 recall matches the formula") {
+    // Reproduce q84's probe: id-split incremental, bands = 3, width
+    // auto-derived — then compare its per-pair hit rate on the TRUE
+    // pair set (exact all-pairs cosine) against the formula's
+    // prediction at the same width. The planes are a fixed pseudo-
+    // random family, not fresh draws, so agreement is statistical,
+    // not exact: tolerance covers family determinism + finite pairs.
+    val vecs = Tables(spark, dir, "embeddings")
+    val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = tmpDir("recall-idx")
+    Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, s"$idx/t")
+    val banded = Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, s"$idx/t",
+      bands = 3)
+      .select(col("a_id"), col("b_id")).cache()
+
+    val truth = Similarity.nearDupPairsExact(vecs, "vec_id", 0.45)
+      .filter(col("b_id") >= cut) // q84's discovery restriction
+      .select(col("a_id"), col("b_id"), col("cos_sim")).cache()
+    val nTrue = truth.count()
+    assert(nTrue > 100, s"degenerate ground truth: $nTrue pairs")
+
+    val nFound = truth.join(banded, Seq("a_id", "b_id"), "left_semi")
+      .count()
+    val measured = nFound.toDouble / nTrue
+
+    // the width the probe derived (manifest count + batch, as the
+    // probe computes it — both halves of the corpus)
+    val p = Similarity.autoPlanes(vecs.count())
+    val predicted = truth.select(col("cos_sim")).collect()
+      .map(r => Similarity.bandedRecall(r.getDouble(0), p, 3))
+      .sum / nTrue
+
+    info(f"width=$p measured=$measured%.4f predicted=$predicted%.4f " +
+      f"(n_true=$nTrue)")
+    assert(math.abs(measured - predicted) < 0.10,
+      f"measured $measured%.4f vs formula $predicted%.4f at width $p")
+    // and the single-family probe does worse — bands is a real recall
+    // lever, in the direction the formula says
+    Similarity.nearDupIncremental(
+      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, s"$idx/t1")
+    val foundSingle = truth
+      .join(Similarity.nearDupIncremental(
+          vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, s"$idx/t1"),
+        Seq("a_id", "b_id"), "left_semi").count()
+    assert(foundSingle <= nFound)
+    val predictedSingle = truth.select(col("cos_sim")).collect()
+      .map(r => Similarity.bandedRecall(r.getDouble(0), p, 1))
+      .sum / nTrue
+    info(f"single-family measured=${foundSingle.toDouble / nTrue}%.4f " +
+      f"predicted=$predictedSingle%.4f")
+    assert(math.abs(foundSingle.toDouble / nTrue - predictedSingle) < 0.10)
+  }
+}
