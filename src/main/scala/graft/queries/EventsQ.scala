@@ -194,6 +194,56 @@ object EventsQ {
        |FROM sessions GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** q85 — sessionization through the NATIVE `session_window`
+    * aggregation, the exact operator the streaming path runs
+    * ([[graft.streaming.StreamOps.sessions]]; `withWatermark` is a
+    * no-op in batch, so this is the streaming query's batch replay):
+    * 30-minute-gap sessions per user with count / first-event / value
+    * rollups. q24 computes sessions via gaps-and-islands window
+    * functions; this entry gives T5's session-window formulation its
+    * own oracle row. Two semantic differences from q24, both mirrored
+    * in the oracle: session_window merges over the HALF-OPEN interval
+    * [start, last + gap) — an event exactly `gap` after its
+    * predecessor starts a NEW session — and the comparison runs at
+    * full µs precision, not whole seconds. At scale this is one
+    * shuffle on user_id with AQE-sized partitions — the same shape
+    * the streaming state store partitions by. */
+  def q85(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessions(
+      Tables(s, dir, "events"), "ts", "30 minutes",
+      watermark = "0 seconds", keys = Seq(col("user_id")),
+      aggs = Seq(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        sumD("value").as("session_value")))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz")
+          .as("session_start"),
+        col("session_window.end").cast("timestamp_ntz")
+          .as("session_end"),
+        col("n_events"), col("first_event"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q85Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, value,
+       |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS prev_ts FROM e) t),
+       |sessions AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged)
+       |SELECT user_id, MIN(ts) AS session_start,
+       |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  COUNT(*) AS n_events, MIN(event_id) AS first_event,
+       |  ${oSumD("value")} AS session_value
+       |FROM sessions GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_hourly_windows", q18, Some(q18Sql)),
     QueryDef("q19_latest_per_user", q19, Some(q19Sql)),
@@ -201,5 +251,6 @@ object EventsQ {
     QueryDef("q21_cdc_current_state", q21, Some(q21Sql)),
     QueryDef("q22_stale_events", q22, Some(q22Sql)),
     QueryDef("q23_json_extract", q23, Some(q23Sql)),
-    QueryDef("q24_sessionize", q24, Some(q24Sql)))
+    QueryDef("q24_sessionize", q24, Some(q24Sql)),
+    QueryDef("q85_session_window", q85, Some(q85Sql)))
 }
