@@ -29,9 +29,14 @@ object Tables {
     if (name == "events") {
       val normalized = df.schema("ts").dataType match {
         case TimestampNTZType => df
+        // NTZ built by pure epoch arithmetic — no TIMESTAMP→NTZ cast,
+        // which would route through the session timezone and skew a
+        // non-UTC foreign session relative to the NTZ-read path (r9
+        // advisor, low)
         case LongType => df.withColumn("ts",
-          org.apache.spark.sql.functions
-            .expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+          org.apache.spark.sql.functions.expr(
+            "timestampadd(MICROSECOND, ts div 1000, " +
+              "TIMESTAMP_NTZ'1970-01-01 00:00:00')"))
         case other => throw new IllegalStateException(
           s"events.ts read as unexpected type $other (engine behavior " +
             "changed); extend Tables.apply's normalization to NTZ µs")

@@ -276,7 +276,21 @@ object Dedup {
     * k² blowup cannot happen. (Tradeoff: a doc similar only to a
     * DROPPED near-dup, not to its kept survivor, is missed — chain
     * transitivity degrades one hop, exactly as [[near]]'s per-cluster
-    * single-survivor resolution.) */
+    * single-survivor resolution.)
+    *
+    * This path runs UNCAPPED (`maxBandDocFreq = Some(Int.MaxValue)`):
+    * the auto √n hot-bucket cap exists for [[nearIncremental]], whose
+    * index stores EVERY doc and so can accumulate unbounded bucket
+    * occupancy. Here kept-only indexing bounds occupancy structurally
+    * (one index entry per distinct page), and the cap would be
+    * actively wrong: a micro-batch carrying more copies of one page
+    * than the cap would make all its buckets hot, suppress every
+    * dup pair, KEEP every copy, and append them all to the index —
+    * permanently over-cap, so that page would never dedup again. The
+    * residual quadratic term is within-batch only (k copies in ONE
+    * micro-batch pair k²/bands before the keep-first collapse),
+    * bounded by `maxBatchRows` and paid once — the k copies collapse
+    * to one index entry for every later batch. */
   def nearDedupStreamToTable(stream: DataFrame, textCol: String,
       idCol: String, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.8, bands: Int = 4,
@@ -288,8 +302,8 @@ object Dedup {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val r = nearIncrementalCore(batch, textCol, idCol, indexDir,
-          bands, maxBandDocFreq = None, maxBatchRows = maxBatchRows,
-          txn = Some((s"$appId-idx", id)))
+          bands, maxBandDocFreq = Some(Int.MaxValue),
+          maxBatchRows = maxBatchRows, txn = Some((s"$appId-idx", id)))
         // one evaluation: feeds the index filter AND the out anti-join
         val dupIds = r.pairs.filter(col("est_jaccard") >= threshold)
           .select(col("b_id").as("__dup_id")).distinct()

@@ -60,6 +60,31 @@ class TablesSpec extends SparkSpec {
     assert(got == Seq(1700000000123456L, 1700003600999999L))
   }
 
+  test("legacy LongType normalization is session-timezone independent") {
+    // r9 advisor (low): the old timestamp_micros(...).cast(NTZ) route
+    // went through the session timezone, so a non-UTC foreign session
+    // read shifted naive values. The epoch-arithmetic construction must
+    // give bit-identical NTZ values under any session timezone.
+    val out = tmpDir("tables-nanos-tz")
+    import spark.implicits._
+    Seq((1L, 1700000000123456789L), (2L, 1700003600999999999L))
+      .toDF("event_id", "ts").write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+    def readMicros(): Seq[Long] = Tables(spark, out, "events")
+      .orderBy("event_id")
+      .select(expr("timestampdiff(MICROSECOND, " +
+        "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")) // tz-free readback
+      .as[Long].collect().toSeq
+    val utc = readMicros()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(readMicros() == utc,
+        "NTZ normalization must not route through the session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    assert(utc == Seq(1700000000123456L, 1700003600999999L))
+  }
+
   test("an unrecognized ts type fails fast at load, not in the oracle gate") {
     val out = tmpDir("tables-badts")
     import spark.implicits._

@@ -273,6 +273,42 @@ class DedupSpec extends SparkSpec {
       "kept-only indexing must bound the index")
   }
 
+  test("nearDedupStreamToTable: one batch of mass boilerplate still dedups") {
+    // r9 advisor (high): this path must NOT inherit nearIncremental's
+    // auto √n hot-bucket cap. A single micro-batch with MORE copies of
+    // one page than the cap floor (64) would make all its band buckets
+    // hot under the cap → zero pairs → every copy kept AND indexed,
+    // permanently over-cap, so the page never dedups again. Kept-only
+    // indexing bounds occupancy structurally, so the path runs
+    // uncapped — 80 copies in one batch must collapse to 1.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("bpidx").toString
+    val out = java.nio.file.Files.createTempDirectory("bpout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bpckpt").toString
+    val page = "subscribe to our newsletter for the latest updates and " +
+      "offers terms of service privacy policy all rights reserved contact"
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.nearDedupStreamToTable(mem.toDF.toDF("doc_id", "text"),
+      "text", "doc_id", idx, out, ckpt, threshold = 0.5)
+    try {
+      mem.addData((1L to 80L).map(i => (i, page + s" ref$i")) :+
+        (100L, "an entirely different article about distributed query " +
+          "engines joins aggregations and columnar storage formats"): _*)
+      q.processAllAvailable()
+      // and the NEXT batch's copy must be caught via the kept survivor
+      mem.addData((200L, page + " ref200"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = graft.sink.CdcTable.read(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 100L),
+      s"80 boilerplate copies must collapse to the min-id survivor: $ids")
+    assert(graft.sink.CdcTable.read(spark, idx)
+      .select("doc_id").distinct().count() == 2,
+      "kept-only index holds exactly the two surviving docs")
+  }
+
   test("exactIncremental: 4 RACING appenders, no loss, deterministic after") {
     // true-concurrency version of the simulated racing-appender test:
     // four threads each run a batch (with texts overlapping across

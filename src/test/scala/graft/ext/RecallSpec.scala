@@ -64,6 +64,7 @@ class RecallSpec extends SparkSpec {
     val truth = Similarity.nearDupPairsExact(vecs, "vec_id", 0.45)
       .filter(col("b_id") >= cut) // q84's discovery restriction
       .select(col("a_id"), col("b_id"), col("cos_sim")).cache()
+    try {
     val nTrue = truth.count()
     assert(nTrue > 100, s"degenerate ground truth: $nTrue pairs")
 
@@ -97,5 +98,9 @@ class RecallSpec extends SparkSpec {
     info(f"single-family measured=${foundSingle.toDouble / nTrue}%.4f " +
       f"predicted=$predictedSingle%.4f")
     assert(math.abs(foundSingle.toDouble / nTrue - predictedSingle) < 0.10)
+    } finally {
+      banded.unpersist(blocking = true)
+      truth.unpersist(blocking = true)
+    }
   }
 }
