@@ -256,6 +256,26 @@ object Similarity {
     }
   }
 
+  /** Default recall target the AUTO band count aims for (pairs AT the
+    * threshold — the worst true pair; everything more similar does
+    * better). 0.9 is the conventional "miss at most one in ten
+    * borderline pairs" dedup bar; callers with a different
+    * recall/cost tradeoff pass `bands` explicitly. */
+  val DefaultTargetRecall = 0.9
+
+  /** The band count the default (`bands = 0`) probe derives:
+    * [[bandsFor]] at the effective width, clamped to the stored
+    * families — when even all stored families cannot reach
+    * [[DefaultTargetRecall]] at that width (common for loose
+    * thresholds at wide auto-widths), the probe uses everything it
+    * has rather than failing: recall maxes out at
+    * `bandedRecall(threshold, planes, storedBands)`. Mirrored by the
+    * q84 oracle in SQL — keep the two in sync. */
+  private[graft] def autoBands(threshold: Double, planes: Int,
+      storedBands: Int): Int =
+    math.max(1, math.min(storedBands,
+      bandsFor(threshold, planes, DefaultTargetRecall)))
+
   /** Auto-width target: effective buckets sized so the expected
     * occupancy is ~this many rows. */
   private[graft] val TargetBucketRows = 200L
@@ -300,18 +320,26 @@ object Similarity {
     * (what auto derives at that n) 45 s at ~96% recall
     * (`tools.VecProbe` reproduces). Recall per TRUE near-dup pair at
     * angle θ is 1 − (1 − (1 − θ/π)^p)^bands — wider probes trade
-    * recall for candidate volume, and `bands` (1–3, probe-time like
-    * the width: every row stores all three disjoint 20-plane
-    * families) buys it back at `bands`× candidate cost; an explicit
-    * `planes` pins the width (storage is unaffected). For
-    * dedup-at-ingest prefer [[vecDedupStreamToTable]], whose
-    * kept-only index prevents near-copy density from accumulating in
-    * buckets at all. */
+    * recall for candidate volume, and `bands` (probe-time like the
+    * width: every row stores all three disjoint 20-plane families)
+    * buys it back at `bands`× candidate cost; an explicit `planes`
+    * pins the width (storage is unaffected).
+    *
+    * BANDS AUTO-DERIVE TOO (`bands = 0`, the default):
+    * [[bandsFor]](threshold, effective width,
+    * [[DefaultTargetRecall]]) clamped to the stored families — the
+    * same policy-becomes-default move as the width, so a caller gets
+    * the band count the recall arithmetic says the threshold needs
+    * instead of silently getting single-family recall (materially
+    * worse at loose thresholds: RecallSpec measures ~2× at
+    * θ = 0.45). Pass `bands` in [1, 3] to pin it. For dedup-at-ingest
+    * prefer [[vecDedupStreamToTable]], whose kept-only index prevents
+    * near-copy density from accumulating in buckets at all. */
   def nearDupIncremental(batch: DataFrame, idCol: String,
       threshold: Double, indexDir: String, embCol: String = "embedding",
       planes: Int = 0, txn: Option[(String, Long)] = None,
       maxBatchRows: Long = MaxIncrementalBatchRows,
-      bands: Int = 1): DataFrame = {
+      bands: Int = 0): DataFrame = {
     val r = nearDupIncrementalCore(batch, idCol, threshold, indexDir,
       embCol, planes, txn, maxBatchRows, bands)
     graft.sink.CdcTable.append(r.batchRows, indexDir, txn = txn)
@@ -332,8 +360,8 @@ object Similarity {
     val spark = batch.sparkSession
     require(planes >= 0 && planes <= StoredPlanes,
       s"planes must be in [0 (auto), $StoredPlanes], got $planes")
-    require(bands >= 1 && bands <= BandOffsets.length,
-      s"bands must be in [1, ${BandOffsets.length}], got $bands")
+    require(bands >= 0 && bands <= BandOffsets.length,
+      s"bands must be in [0 (auto), ${BandOffsets.length}], got $bands")
     // NULL embeddings cannot hash or pair; keep them out of the index
     // (a NULL bval key would fall out of the bucket join anyway)
     val hashed = batch.filter(col(embCol).isNotNull)
@@ -388,10 +416,14 @@ object Similarity {
     val p = math.min(storedBits,
       if (planes > 0) planes
       else autoPlanes(CdcTable.rowCountEstimate(indexDir, txn) + nBatch))
+    // effective band count: explicit, or what the recall arithmetic
+    // says the threshold needs at this width ([[autoBands]] — clamped
+    // to the families the index actually stores)
+    val nb = if (bands > 0) bands else autoBands(threshold, p, storedBands)
     val mask = (1L << p) - 1
     // one row per (vector, probed band): key = (band, masked bucket)
     def banded(df: DataFrame): DataFrame =
-      (0 until bands).map { i =>
+      (0 until nb).map { i =>
         df.select(col("id"), col("e"), lit(i).as("band"),
           col(bandCol(i)).bitwiseAND(lit(mask)).as("bkey"))
       }.reduce(_ unionByName _)
@@ -402,7 +434,7 @@ object Similarity {
       if (CdcTable.log(indexDir).nonEmpty) {
         val h = banded(CdcTable.read(spark, indexDir)
           .select(col("id") +: col("e") +:
-            (0 until bands).map(i => col(bandCol(i))): _*))
+            (0 until nb).map(i => col(bandCol(i))): _*))
         // THE INDEX NEVER SHUFFLES: only touched buckets survive the
         // scan (the batch's ≤ bands·2^p distinct (band, key) pairs
         // broadcast; the index streams through a semi-join probe), so
@@ -454,7 +486,7 @@ object Similarity {
       threshold: Double = 0.98, embCol: String = "embedding",
       planes: Int = 0, appId: String = "graft-vecdedup",
       maxBatchRows: Long = MaxIncrementalBatchRows,
-      bands: Int = 1)
+      bands: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)

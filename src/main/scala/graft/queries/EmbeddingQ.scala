@@ -451,19 +451,21 @@ object EmbeddingQ {
     * EXACT fixed-point cosine verification (vectors live in the
     * index) and the AUTO-DERIVED probe width (planes =
     * clamp(ceil(log2(n/200)), 4, 20) over the index+batch row count —
-    * no explicit plane count anywhere). Oracle: the batch-global
-    * bucket-blocked pair set at the same derived width, restricted to
-    * pairs whose higher id is in batch 2 — identical to the
-    * incremental discovery over an id-split corpus. */
+    * no explicit plane count anywhere). `bands = 1` is pinned — q83
+    * is the SINGLE-family baseline the banded default (q84) is
+    * measured against. Oracle: the batch-global bucket-blocked pair
+    * set at the same derived width, restricted to pairs whose higher
+    * id is in batch 2 — identical to the incremental discovery over
+    * an id-split corpus. */
   def q83(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables(s, dir, "embeddings")
     val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
     val idx = QueryDef.scratchDir("graft_q83_idx")
     // index append is eager; batch 1's pair frame is lazy and unread
     Similarity.nearDupIncremental(
-      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, idx)
+      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, idx, bands = 1)
     Similarity.nearDupIncremental(
-      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, idx)
+      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, idx, bands = 1)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -486,14 +488,19 @@ object EmbeddingQ {
        |ORDER BY a_id, b_id""".stripMargin
 
   /** q84 — BANDED incremental embedding near-dup: q83's id-split
-    * incremental discovery probed with ALL THREE stored band families
-    * (`bands = 3` — offsets 0/20/40 of the mod-61 plane family) at
-    * the same auto-derived width. Banding is the recall lever: a pair
-    * is a candidate when ANY family agrees
-    * (recall 1 − (1 − r^p)^3 vs r^p single-family), every candidate
-    * still exact-cosine-verified. The oracle mirrors the OR over the
-    * three families bit-exactly, so the banded candidate set itself
-    * is oracle-pinned — q84 ⊇ q83 by construction. */
+    * incremental discovery probed with the DEFAULT band count — the
+    * recall arithmetic's derivation
+    * `min(3, bandsFor(0.45, width, 0.9))` ([[Similarity.autoBands]];
+    * at θ = 0.45 every realistic width needs far more than the 3
+    * stored families, so the default uses all three — offsets
+    * 0/20/40 of the mod-61 plane family). Banding is the recall
+    * lever: a pair is a candidate when ANY probed family agrees
+    * (recall 1 − (1 − r^p)^b vs r^p single-family), every candidate
+    * still exact-cosine-verified. The oracle computes the SAME
+    * derivation in SQL (ceil(ln(1−0.9)/ln(1−r^pl)) clamped to [1,3],
+    * r = 1 − acos(0.45)/π) and ORs over exactly the derived families,
+    * so the banded candidate set itself is oracle-pinned —
+    * q84 ⊇ q83 by construction. */
   def q84(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables(s, dir, "embeddings")
     val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
@@ -501,7 +508,7 @@ object EmbeddingQ {
     Similarity.nearDupIncremental(
       vecs.filter(col("vec_id") < cut), "vec_id", 0.45, idx)
     Similarity.nearDupIncremental(
-      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, idx, bands = 3)
+      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, idx)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -509,6 +516,9 @@ object EmbeddingQ {
     s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
        |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
        |  FROM embeddings WHERE embedding IS NOT NULL),
+       |bd AS (SELECT LEAST(3, GREATEST(1, CAST(CEIL(
+       |    LN(1 - 0.9) / LN(1 - POW(1 - ACOS(0.45) / PI(), pl)))
+       |    AS INT))) AS nb FROM p),
        |e AS (SELECT vec_id, embedding, ${bucketDNO("pl", 0)} AS b0,
        |  ${bucketDNO("pl", 20)} AS b1, ${bucketDNO("pl", 40)} AS b2
        |  FROM embeddings, p),
@@ -517,9 +527,10 @@ object EmbeddingQ {
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
        |    AS cos_sim
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |  AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2), cut
-       |WHERE b.vec_id >= c
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id, bd, cut
+       |WHERE (a.b0 = b.b0 OR (nb >= 2 AND a.b1 = b.b1)
+       |    OR (nb >= 3 AND a.b2 = b.b2))
+       |  AND b.vec_id >= c
        |  AND CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
        |    >= 0.45
        |ORDER BY a_id, b_id""".stripMargin

@@ -30,6 +30,31 @@ class RecallSpec extends SparkSpec {
         Similarity.bandedRecall(cos, p, 3))
   }
 
+  test("autoBands: the default derivation, closed form") {
+    // the default band count is bandsFor at the effective width,
+    // clamped to the stored families (VERDICT r9 #5: bands must not
+    // be a raw integer the caller silently gets wrong)
+    for (t <- Seq(0.3, 0.45, 0.7, 0.9); p <- Seq(4, 8, 12))
+      assert(Similarity.autoBands(t, p, 3) ==
+        math.max(1, math.min(3, Similarity.bandsFor(t, p,
+          Similarity.DefaultTargetRecall))))
+    // when the target IS reachable within the stored families, the
+    // derived count reaches it...
+    val reachable = for {
+      t <- Seq(0.9, 0.95, 0.99); p <- Seq(4, 6, 8)
+      if Similarity.bandsFor(t, p, Similarity.DefaultTargetRecall) <= 3
+    } yield (t, p)
+    assert(reachable.nonEmpty)
+    reachable.foreach { case (t, p) =>
+      assert(Similarity.bandedRecall(t, p, Similarity.autoBands(t, p, 3))
+        >= Similarity.DefaultTargetRecall) }
+    // ...and loose thresholds clamp to everything stored (recall maxes
+    // out rather than erroring)
+    assert(Similarity.autoBands(0.45, 10, 3) == 3)
+    // a single-family (pre-banding) index derives 1, never over-probes
+    assert(Similarity.autoBands(0.45, 10, 1) == 1)
+  }
+
   test("bandsFor inverts bandedRecall") {
     for (t <- Seq(0.3, 0.45, 0.7, 0.9); p <- Seq(4, 8, 12); b <- 1 to 5) {
       val achieved = Similarity.bandedRecall(t, p, b)
@@ -44,21 +69,22 @@ class RecallSpec extends SparkSpec {
     assert(Similarity.bandsFor(0.0, 20, 0.99) > 1000)
   }
 
-  test("q84's measured sf0.1 recall matches the formula") {
-    // Reproduce q84's probe: id-split incremental, bands = 3, width
-    // auto-derived — then compare its per-pair hit rate on the TRUE
-    // pair set (exact all-pairs cosine) against the formula's
-    // prediction at the same width. The planes are a fixed pseudo-
-    // random family, not fresh draws, so agreement is statistical,
-    // not exact: tolerance covers family determinism + finite pairs.
+  test("q84's measured sf0.1 recall matches the formula (default bands)") {
+    // Reproduce q84's probe: id-split incremental, DEFAULT bands
+    // (auto-derived — at θ = 0.45 the derivation clamps to all 3
+    // stored families), width auto-derived — then compare its
+    // per-pair hit rate on the TRUE pair set (exact all-pairs cosine)
+    // against the formula's prediction at the same width and the
+    // DERIVED band count. The planes are a fixed pseudo-random
+    // family, not fresh draws, so agreement is statistical, not
+    // exact: tolerance covers family determinism + finite pairs.
     val vecs = Tables(spark, dir, "embeddings")
     val cut = vecs.agg(max(col("vec_id"))).head().getLong(0) / 2
     val idx = tmpDir("recall-idx")
     Similarity.nearDupIncremental(
       vecs.filter(col("vec_id") < cut), "vec_id", 0.45, s"$idx/t")
     val banded = Similarity.nearDupIncremental(
-      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, s"$idx/t",
-      bands = 3)
+      vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, s"$idx/t")
       .select(col("a_id"), col("b_id")).cache()
 
     val truth = Similarity.nearDupPairsExact(vecs, "vec_id", 0.45)
@@ -73,23 +99,29 @@ class RecallSpec extends SparkSpec {
     val measured = nFound.toDouble / nTrue
 
     // the width the probe derived (manifest count + batch, as the
-    // probe computes it — both halves of the corpus)
+    // probe computes it — both halves of the corpus) and the band
+    // count the DEFAULT derived from it
     val p = Similarity.autoPlanes(vecs.count())
+    val nb = Similarity.autoBands(0.45, p, 3)
+    assert(nb == 3, s"θ=0.45 must clamp to all 3 stored families, got $nb")
     val predicted = truth.select(col("cos_sim")).collect()
-      .map(r => Similarity.bandedRecall(r.getDouble(0), p, 3))
+      .map(r => Similarity.bandedRecall(r.getDouble(0), p, nb))
       .sum / nTrue
 
     info(f"width=$p measured=$measured%.4f predicted=$predicted%.4f " +
       f"(n_true=$nTrue)")
     assert(math.abs(measured - predicted) < 0.10,
       f"measured $measured%.4f vs formula $predicted%.4f at width $p")
-    // and the single-family probe does worse — bands is a real recall
-    // lever, in the direction the formula says
+    // and a pinned single-family probe does worse — bands is a real
+    // recall lever, in the direction the formula says (this is what a
+    // pre-r10 caller silently got from the old bands = 1 default)
     Similarity.nearDupIncremental(
-      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, s"$idx/t1")
+      vecs.filter(col("vec_id") < cut), "vec_id", 0.45, s"$idx/t1",
+      bands = 1)
     val foundSingle = truth
       .join(Similarity.nearDupIncremental(
-          vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, s"$idx/t1"),
+          vecs.filter(col("vec_id") >= cut), "vec_id", 0.45, s"$idx/t1",
+          bands = 1),
         Seq("a_id", "b_id"), "left_semi").count()
     assert(foundSingle <= nFound)
     val predictedSingle = truth.select(col("cos_sim")).collect()
