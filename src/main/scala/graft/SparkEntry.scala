@@ -14,7 +14,8 @@ object SparkEntry {
   /** All gradable queries, grouped by domain. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ EventsQ.defs ++ ReconQ.defs ++ TextQ.defs ++
-      EmbeddingQ.defs ++ OpsQ.defs ++ TemporalQ.defs ++ WindowQ.defs
+      EmbeddingQ.defs ++ OpsQ.defs ++ TemporalQ.defs ++ WindowQ.defs ++
+      StreamQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
