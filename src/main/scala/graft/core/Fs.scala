@@ -16,12 +16,18 @@ import org.apache.spark.sql.SparkSession
   * the standard object-store-safe commit primitive: on HDFS and local
   * FS the create is atomic; on S3A it is check-then-act, so atomicity
   * for concurrent creates needs a writer-side guarantee. The engine's
-  * is two-layered: all of one table's IN-PROCESS writers (including
+  * is three-layered: all of one table's IN-PROCESS writers (including
   * the parallel per-collection futures that share the `_dlq` table)
-  * serialize through CdcTable's per-table JVM lock, and CROSS-process
-  * the deployment contract is one writer JVM per table (the streaming
-  * driver, as in the reference). Under that contract create-exclusive
-  * still turns a torn write into a retryable error, never corruption.
+  * serialize through CdcTable's per-table JVM lock; CROSS-process the
+  * winner is decided by the [[CommitArbiter]] seam (atomic conditional
+  * create where the scheme proves it, read-back-verified create plus
+  * an injectable external arbiter elsewhere); and deployments that
+  * intend concurrent writer PROCESSES must pass
+  * `CdcTable.requireCrossProcessCommits` — which refuses stores where
+  * neither proof nor arbiter exists — instead of discovering a lost
+  * commit later. Under the default single-writer-process contract,
+  * create-exclusive still turns a torn write into a retryable error,
+  * never corruption.
   */
 object Fs {
 
@@ -53,6 +59,26 @@ object Fs {
         Some(new String(out.toByteArray, StandardCharsets.UTF_8))
       } finally in.close()
     }
+  }
+
+  /** Schemes whose `create(overwrite = false)` is a TRUE atomic
+    * conditional create: local paths go through O_EXCL below, and the
+    * HDFS namenode serializes creates. Everything else (s3a, gs, abfs,
+    * …) is check-then-act at this API and must either be asserted
+    * atomic by the deployment (`-Dgraft.commit.conditionalCreateSchemes`
+    * — only when the connector issues real conditional writes) or
+    * arbitrated externally ([[CommitArbiter]]). */
+  private val AtomicCreateSchemes = Set("file", "hdfs", "viewfs")
+
+  /** Whether create-exclusive on `path`'s scheme is proven atomic for
+    * CROSS-PROCESS racers. Pure URI inspection — never initializes a
+    * FileSystem, so it is safe to probe schemes whose connector jars
+    * are absent. */
+  def provenAtomicCreateExclusive(path: String): Boolean = {
+    val scheme = Option(new Path(path).toUri.getScheme).getOrElse("file")
+    AtomicCreateSchemes.contains(scheme) ||
+      sys.props.getOrElse("graft.commit.conditionalCreateSchemes", "")
+        .split(",").map(_.trim).contains(scheme)
   }
 
   /** Create-exclusive write: atomically fails if the file exists.

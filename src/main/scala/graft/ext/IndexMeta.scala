@@ -49,7 +49,8 @@ private[graft] object IndexMeta {
       val v = legacy().getOrElse(proposed)
       val content = v.toSeq.sortBy(_._1)
         .map { case (k, x) => s"$k=$x" }.mkString("\n")
-      if (Fs.createExclusive(path(indexDir), content)) v
+      if (graft.core.CommitArbiter.current.tryExclusive(
+          path(indexDir), content)) v
       // lost the creation race — the winner's config is authoritative
       else read().getOrElse(sys.error(
         s"index meta at ${path(indexDir)} vanished mid-read"))

@@ -2,7 +2,7 @@ package graft.sink
 
 import java.util.UUID
 
-import graft.core.{Fs, SchemaMerge}
+import graft.core.{CommitArbiter, Fs, SchemaMerge}
 import graft.core.SchemaMerge.MergeMode
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -199,10 +199,39 @@ object CdcTable {
     * manifest would be silently lost. With all of one table's writers
     * living in the single streaming-driver JVM (the deployment
     * contract, as in the reference), this lock is what makes the
-    * commit race-free on object stores; the create-exclusive retry
-    * loop below still guards the local/HDFS cross-process case. */
+    * commit race-free on object stores. CROSS-process arbitration is
+    * the [[graft.core.CommitArbiter]] seam: atomic create-exclusive
+    * on local/HDFS, read-back-verified create elsewhere, injectable
+    * for stores that need external arbitration — deployments that
+    * intend concurrent writer PROCESSES must pass
+    * [[requireCrossProcessCommits]] first. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Fail-loud probe for MULTI-WRITER deployments (more than one
+    * writer PROCESS appending to `dir` concurrently — the in-process
+    * per-table lock already covers any number of threads in one JVM).
+    * Call it once per table before starting such a writer; it throws
+    * unless commit arbitration on `dir`'s filesystem is actually safe
+    * for cross-process racers: an atomic conditional create
+    * ([[graft.core.Fs.provenAtomicCreateExclusive]] — local, HDFS, or
+    * a scheme the deployment asserts via
+    * `-Dgraft.commit.conditionalCreateSchemes`), or an installed
+    * external [[graft.core.CommitArbiter]]. Without either, a bare
+    * object-store `create(overwrite=false)` is check-then-act and two
+    * drivers can claim the same commit id — refusing loudly here is
+    * the difference between a startup error and a silently lost
+    * commit at 100 TB. */
+  def requireCrossProcessCommits(dir: String): Unit =
+    if (!Fs.provenAtomicCreateExclusive(dir) && CommitArbiter.isDefault)
+      throw new IllegalStateException(
+        s"table at $dir sits on a filesystem whose create-exclusive is " +
+          "check-then-act, so concurrent writer PROCESSES could both " +
+          "claim the same commit id (read-back verification shrinks " +
+          "but cannot close that window). Either run one writer " +
+          "process per table, assert the store's conditional-create " +
+          "support with -Dgraft.commit.conditionalCreateSchemes=" +
+          "<scheme>, or install an external graft.core.CommitArbiter")
 
   /** Atomically add a manifest; retries the commit id on a lost race
     * (single-writer by contract, but a replayed batch after a crash
@@ -229,7 +258,8 @@ object CdcTable {
       validate(current)
       val next = current.lastOption.map(_.commit + 1).getOrElse(1L)
       val c = mk(next)
-      if (Fs.createExclusive(commitPath(dir, next), render(c))) {
+      if (CommitArbiter.current.tryExclusive(commitPath(dir, next),
+          render(c))) {
         // derived + idempotent, so a plain overwrite write is fine
         if (next % CheckpointInterval == 0)
           writeCheckpoint(dir, current :+ c)
