@@ -385,7 +385,7 @@ object Dedup {
     math.min(cap, Int.MaxValue.toLong).toInt
   }
 
-  private final case class NearIncr(pairs: DataFrame,
+  private[graft] final case class NearIncr(pairs: DataFrame,
       batchBands: DataFrame)
 
   /** Pair computation WITHOUT the index append — the caller decides
@@ -393,8 +393,8 @@ object Dedup {
     * docs only for [[nearDedupStreamToTable]]). `pairs` is pinned to
     * the pre-call index snapshot, so appends after the call cannot
     * shift it. */
-  private def nearIncrementalCore(batch: DataFrame, textCol: String,
-      idCol: String, indexDir: String, bands: Int,
+  private[graft] def nearIncrementalCore(batch: DataFrame,
+      textCol: String, idCol: String, indexDir: String, bands: Int,
       maxBandDocFreq: Option[Int], maxBatchRows: Long,
       txn: Option[(String, Long)] = None): NearIncr = {
     import graft.sink.CdcTable
