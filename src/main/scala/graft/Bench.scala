@@ -121,11 +121,19 @@ object Bench {
       val factor = sys.env.get("SPARK_GRAFT_SF1_FACTOR")
         .map(_.toInt).getOrElse(10)
       val genSec = tools.ScaleData.ensure(spark, sfDir, out, factor)
+      // ≥15 queries spanning every family whose scaling story matters
+      // (r9 verdict #7): scans/joins/aggs, text + vector dedup, AND
+      // the ACID paths — MERGE, reconciliation, sessionization,
+      // current-state — which were previously asserted sublinear but
+      // never measured at 10×.
       val headline = Set("q01_pricing_summary", "q04_join_region_revenue",
         "q17_fact_join", "q33_ngram_jaccard", "q59_ngram_jaccard_capped",
         "q74_bloom_decontaminate", "q75_kmeans_train",
         "q82_incremental_neardup", "q83_incremental_vec_neardup",
-        "q84_banded_vec_neardup")
+        "q84_banded_vec_neardup",
+        "q21_cdc_current_state", "q25_recon_missing_extra",
+        "q27_recon_bucket_digest", "q45_merge_upsert",
+        "q85_session_window", "q86_stream_agg")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()
