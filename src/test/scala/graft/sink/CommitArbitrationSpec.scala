@@ -58,6 +58,42 @@ class CommitArbitrationSpec extends SparkSpec {
     assert(Fs.readString(s"$dir/1.commit").contains("A"))
   }
 
+  test("blind-PUT store: bare create-exclusive silently loses a commit") {
+    // the hazard requireCrossProcessCommits exists for, demonstrated
+    // on a real FileSystem code path: a store whose
+    // create(overwrite=false) never checks existence lets BOTH
+    // writers "win" and the second PUT replaces the first manifest
+    spark.sparkContext.hadoopConfiguration.set("fs.ncs.impl",
+      classOf[NonConditionalFs].getName)
+    val dir = tmpDir("ncs")
+    assert(Fs.createExclusive(s"ncs:$dir/1.commit", "A"))
+    assert(Fs.createExclusive(s"ncs:$dir/1.commit", "B"),
+      "the blind PUT must also report success — that IS the hazard")
+    assert(Fs.readString(s"ncs:$dir/1.commit").contains("B"),
+      "writer A's commit was silently replaced")
+    assert(!Fs.provenAtomicCreateExclusive(s"ncs:$dir"))
+    intercept[IllegalStateException] {
+      CdcTable.requireCrossProcessCommits(s"ncs:$dir")
+    }
+  }
+
+  test("read-back tier catches a competing PUT landing before the verify") {
+    spark.sparkContext.hadoopConfiguration.set("fs.ncs.impl",
+      classOf[NonConditionalFs].getName)
+    val dir = tmpDir("ncs-rb")
+    // no competitor: the default arbiter wins on the unproven scheme
+    assert(CommitArbiter.current.tryExclusive(s"ncs:$dir/1.commit", "A"))
+    // competitor's PUT lands between our PUT and our read-back: the
+    // arbiter must report a LOST race (ordinary retry) instead of two
+    // winners
+    NonConditionalFs.interloper = Some("RACER")
+    try {
+      assert(!CommitArbiter.current.tryExclusive(s"ncs:$dir/2.commit", "A"),
+        "read-back must detect the overwritten commit")
+      assert(Fs.readString(s"ncs:$dir/2.commit").contains("RACER"))
+    } finally NonConditionalFs.interloper = None
+  }
+
   test("TWO writer JVMs race one table: no lost or duplicated commit") {
     // Separate processes — nothing in-JVM (tableLocks, FS cache) can
     // mask a broken on-disk protocol. Each subprocess boots its own
