@@ -58,6 +58,78 @@ object Similarity {
       .drop("qe")
   }
 
+  // ----------------------------------------------------------------
+  // Batched k-NN retrieval join — the RAG / eval-set / diversity-
+  // sampling shape: MANY query vectors, each finding its top-k corpus
+  // neighbors (q36 is the single-query special case).
+
+  /** Exact brute-force k-NN join: the (bounded) query set broadcasts
+    * to every corpus partition, candidates score with the fixed-point
+    * dot, and `topk_by` reduces them with a k-BOUNDED partial
+    * aggregate — ≤ k entries per partition per query shuffle, never
+    * the |corpus| rows per query a window-rank plan would move. One
+    * corpus scan, one bounded shuffle; cost O(|Q|·|C|) dots, so this
+    * is the correctness baseline and the eval-set shape (|Q| small),
+    * not the 100 TB-to-100 TB path — that is [[knnJoinLsh]].
+    * Output: (q_id, c_id, rnk 1..k, cos_sim), deterministic (ties by
+    * c_id ASC). Falls back to a window rank without GraftExtensions. */
+  def knnJoinBrute(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, k: Int,
+      embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("q_id"),
+      col(embCol).as("qe")))
+    val c = corpus.select(col(cIdCol).cast("long").as("c_id"),
+      col(embCol).as("ce"))
+    topkReduce(c.crossJoin(q).select(col("q_id"), col("c_id"),
+      dotExpr(corpus, "ce", "qe").as("s")), k)
+  }
+
+  /** LSH-blocked k-NN join — the scale path: both sides bucket at
+    * `planes` hyperplanes (auto-derived from |corpus| when 0, same
+    * `clamp(ceil(log2(n/200)), 4, 20)` rule as [[nearDupPairs]]) and
+    * only same-bucket pairs are candidates, an equi-join keyed on the
+    * bucket — candidate volume per query drops by ~2^planes and the
+    * join co-locates by bucket instead of crossing |Q|×|C|. Recall is
+    * the banded arithmetic's single-band case ([[bandedRecall]]):
+    * near-identical vectors (cos ≥ 0.99) share a 4-plane bucket with
+    * ≥ 97% probability; a query may return fewer than k rows when its
+    * bucket is sparse — the documented trade. Top-k reduction is the
+    * same k-bounded `topk_by` aggregate as [[knnJoinBrute]]. */
+  def knnJoinLsh(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, k: Int, planes: Int = 0,
+      embCol: String = "embedding"): DataFrame = {
+    val p = if (planes > 0) planes else autoPlanes(corpus.count())
+    val q0 = queries.select(col(qIdCol).cast("long").as("q_id"),
+      col(embCol).as("qe"))
+    val q = broadcast(q0.withColumn("qb", bucketFor(q0, "qe", p, 0)))
+    val c0 = corpus.select(col(cIdCol).cast("long").as("c_id"),
+      col(embCol).as("ce"))
+    val c = c0.withColumn("cb", bucketFor(c0, "ce", p, 0))
+    topkReduce(c.join(q, col("cb") === col("qb"))
+      .select(col("q_id"), col("c_id"),
+        dotExpr(corpus, "ce", "qe").as("s")), k)
+  }
+
+  /** (q_id, c_id, s fixed-point) → (q_id, c_id, rnk, cos_sim): native
+    * k-bounded `topk_by` aggregate + posexplode when GraftExtensions
+    * is active, else the equivalent (but full-shuffle) window rank. */
+  private def topkReduce(scored: DataFrame, k: Int): DataFrame =
+    if (scored.sparkSession.catalog.functionExists("topk_by"))
+      scored.groupBy("q_id")
+        .agg(expr(s"topk_by(s, c_id, $k)").as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "e")))
+        .select(col("q_id"), col("e.id").as("c_id"),
+          (col("p") + 1).cast("long").as("rnk"),
+          (col("e.score") / lit(1e12)).as("cos_sim"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("s").desc, col("c_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("c_id"), col("rnk"),
+          (col("s") / lit(1e12)).as("cos_sim"))
+    }
+
   /** Deterministic hyperplane-LSH bucket id over `planes` integer
     * hyperplanes starting at plane family `offset` (2^planes buckets).
     * Codegen'd native expression under GraftExtensions; interpreted

@@ -184,4 +184,51 @@ object TextAnalysis {
       .withColumn("cleaned", array_join(col("kept"), " "))
       .drop("ws")
   }
+
+  /** Corpus-supported bigram coverage — a corpus-statistics quality
+    * signal (the CCNet/KenLM "does a language model trained on the
+    * corpus like this text" filter reduced to integer arithmetic, so
+    * it is portable and bit-deterministic): for each document, the
+    * fraction of its word-bigram POSITIONS whose bigram occurs in at
+    * least `minDf` distinct documents. Gibberish, OCR noise and
+    * wrong-language text score low (their bigrams appear nowhere
+    * else); ordinary prose scores high. Returns (id, n_bigrams,
+    * n_covered, coverage) with coverage NULL for docs under 2 tokens.
+    *
+    * Scale shape: bigram document-frequency is one map-side-combined
+    * aggregation keyed on the bigram (state bounded by the bigram
+    * vocabulary, not the corpus), the coverage probe is one shuffle
+    * join on the same key, and the per-doc re-aggregation is keyed on
+    * the doc id — three shuffles total, no driver-side state, nothing
+    * quadratic. All counts are exact BIGINTs; the single double
+    * division at the end is IEEE-correctly-rounded from integer
+    * inputs, so Spark and the DuckDB oracle agree bit-for-bit. */
+  def bigramCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text", minDf: Int = 3)
+  : org.apache.spark.sql.DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    val staged = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col(idCol), expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> concat(toks[i], ' ', toks[i+1]))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+        .as("bgs"))
+    val bg = staged.select(col(idCol), explode(col("bgs")).as("bg"))
+    val frequent = bg.groupBy("bg")
+      .agg(countDistinct(col(idCol)).as("dfd"))
+      .filter(col("dfd") >= minDf)
+      .select("bg")
+    val covered = bg.join(frequent, "bg")
+      .groupBy(idCol).agg(count(lit(1)).as("n_covered"))
+    staged.select(col(idCol), size(col("bgs")).cast("long").as("n_bigrams"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_bigrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("n_bigrams") > 0,
+          coalesce(col("n_covered"), lit(0L)).cast("double") /
+            col("n_bigrams")).as("coverage"))
+  }
 }

@@ -223,6 +223,68 @@ object EmbeddingQ {
     * from the partitioned layout — one oracle serves both. */
   val q58Sql: String = q38Sql
 
+  /** q87 — batched k-NN retrieval JOIN, exact baseline
+    * ([[graft.ext.Similarity.knnJoinBrute]]): every 7th vector is a
+    * query, the rest are the corpus, each query finds its top-5 by
+    * exact fixed-point cosine. The reduction is the native k-bounded
+    * `topk_by` aggregate — ≤ k entries per partition per query
+    * shuffle (map-side discard), never the |corpus| rows per query a
+    * window plan moves; the oracle's ROW_NUMBER computes the same
+    * total order (score DESC, id ASC). */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.knnJoinBrute(
+      emb.filter(col("vec_id") % 7 === 0),
+      emb.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "vec_id", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q87Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+       |    FROM embeddings WHERE vec_id % 7 = 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce
+       |    FROM embeddings WHERE vec_id % 7 <> 0),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s FROM c, q),
+       |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** q88 — the same retrieval join LSH-BLOCKED
+    * ([[graft.ext.Similarity.knnJoinLsh]], the 100 TB shape): both
+    * sides bucket at the auto-derived width (from |corpus|, the q37
+    * rule) and only same-bucket pairs are candidates — an equi-join
+    * keyed on the bucket, candidate volume per query ~2^planes lower
+    * than q87's cross product. The oracle mirrors the width
+    * derivation AND the bucketing bit-exactly, so both engines rank
+    * the identical candidate set. */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.knnJoinLsh(
+      emb.filter(col("vec_id") % 7 === 0),
+      emb.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "vec_id", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q88Sql: String =
+    s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
+       |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
+       |  FROM embeddings WHERE vec_id % 7 <> 0),
+       |e AS (SELECT vec_id, embedding, ${bucketDN("pl")} AS bucket
+       |  FROM embeddings, p),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+       |    FROM e WHERE vec_id % 7 = 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, bucket AS cb
+       |    FROM e WHERE vec_id % 7 <> 0),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |    FROM c JOIN q ON cb = qb),
+       |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   /** q69 — int8 embedding quantization quality
     * ([[graft.ext.Similarity.int8QuantStats]]): the 4×-compression /
     * recall trade measured per vector — symmetric scale (max|x|/127)
@@ -543,6 +605,8 @@ object EmbeddingQ {
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),
     QueryDef("q39_ivf_search", q39, Some(q39Sql)),
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
+    QueryDef("q87_knn_join", q87, Some(q87Sql)),
+    QueryDef("q88_knn_join_lsh", q88, Some(q88Sql)),
     QueryDef("q75_kmeans_train", q75, Some(q75Sql)),
     QueryDef("q78_cluster_sample", q78, Some(q78Sql)),
     QueryDef("q79_embedding_outliers", q79, Some(q79Sql)),

@@ -996,6 +996,35 @@ object TextQ {
        |GROUP BY a.source, b.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** q89 — corpus-supported bigram coverage
+    * ([[graft.ext.TextAnalysis.bigramCoverage]]): the fraction of each
+    * document's bigram positions whose bigram appears in ≥ 3 distinct
+    * documents — the corpus-statistics stand-in for LM-perplexity
+    * quality filtering, in exact integer arithmetic (one IEEE double
+    * division at the end, bit-identical across engines). */
+  def q89(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis
+      .bigramCoverage(Tables(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy(col("doc_id"))
+
+  val q89Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+       |freq AS (SELECT bg FROM (SELECT bg, COUNT(DISTINCT doc_id) AS dfd
+       |    FROM bgx GROUP BY bg) WHERE dfd >= 3),
+       |cov AS (SELECT doc_id, COUNT(*) AS n_covered
+       |    FROM bgx JOIN freq USING (bg) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, GREATEST(len(toks) - 1, 0) AS n_bigrams
+       |    FROM t)
+       |SELECT tot.doc_id AS doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  COALESCE(n_covered, 0) AS n_covered,
+       |  CASE WHEN n_bigrams > 0 THEN
+       |    CAST(COALESCE(n_covered, 0) AS DOUBLE) / n_bigrams
+       |  END AS coverage
+       |FROM tot LEFT JOIN cov ON tot.doc_id = cov.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1023,5 +1052,6 @@ object TextQ {
     QueryDef("q77_tfidf", q77, Some(q77Sql)),
     QueryDef("q80_dup_matrix", q80, Some(q80Sql)),
     QueryDef("q81_incremental_dedup", q81, Some(q81Sql)),
-    QueryDef("q82_incremental_neardup", q82, Some(q82Sql)))
+    QueryDef("q82_incremental_neardup", q82, Some(q82Sql)),
+    QueryDef("q89_bigram_coverage", q89, Some(q89Sql)))
 }

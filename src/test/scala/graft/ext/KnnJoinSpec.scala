@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Batched k-NN join: the brute path against a hand-rolled exact
+  * oracle, the LSH path's candidate-set contract (results share the
+  * query's bucket and rank exactly as the brute ranking restricted to
+  * that candidate set), and the plan shape (aggregate reduction, not a
+  * full-shuffle window). */
+class KnnJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // small deterministic corpus of unit-ish vectors
+  private lazy val emb = {
+    val rnd = new scala.util.Random(7)
+    (0L until 60L).map { id =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id, v.map(_ / n))
+    }.toDF("vec_id", "embedding").repartition(6)
+  }
+
+  private def brute(k: Int) = Similarity.knnJoinBrute(
+    emb.filter($"vec_id" % 5 === 0), emb.filter($"vec_id" % 5 =!= 0),
+    "vec_id", "vec_id", k)
+
+  test("brute top-k matches a driver-side exact ranking") {
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val qs = rows.filter(_._1 % 5 == 0)
+    val cs = rows.filter(_._1 % 5 != 0)
+    val expect = qs.flatMap { case (qid, qe) =>
+      cs.map { case (cid, ce) => (qid, cid, Similarity.dotFixedOf(ce, qe)) }
+        .sortBy { case (_, cid, s) => (-s, cid) }
+        .take(3).zipWithIndex
+        .map { case ((q, c, s), i) => (q, c, (i + 1).toLong, s / 1e12) }
+    }.toSet
+    val got = brute(3).as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("every query returns exactly k rows with ranks 1..k") {
+    val got = brute(4).groupBy("q_id")
+      .agg(count(lit(1)).as("n"), collect_list("rnk").as("rs"))
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(got.length == 12) // 60/5 queries
+    got.foreach { case (_, n, rs) =>
+      assert(n == 4 && rs.sorted == Seq(1L, 2L, 3L, 4L))
+    }
+  }
+
+  test("LSH path returns the brute ranking restricted to same-bucket " +
+      "candidates") {
+    val p = 4
+    val lsh = Similarity.knnJoinLsh(
+      emb.filter($"vec_id" % 5 === 0), emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "vec_id", k = 3, planes = p)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // driver-side mirror: bucket everything, rank within bucket matches
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val bk = rows.map { case (id, v) =>
+      (id, v, Similarity.bucketOf(v, p)) }
+    val qs = bk.filter(_._1 % 5 == 0)
+    val cs = bk.filter(_._1 % 5 != 0)
+    val expect = qs.flatMap { case (qid, qe, qb) =>
+      cs.filter(_._3 == qb)
+        .map { case (cid, ce, _) => (cid, Similarity.dotFixedOf(ce, qe)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(3).zipWithIndex
+        .map { case ((c, s), i) => (qid, c, (i + 1).toLong, s / 1e12) }
+    }.toSet
+    assert(lsh == expect)
+    // and the block really prunes: fewer candidate pairs than brute
+    assert(lsh.size <= 12 * 3)
+  }
+
+  test("plan reduces via aggregate, not a full-shuffle window") {
+    val plan = brute(3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"brute k-NN join should reduce with topk_by, got:\n$plan")
+    assert(plan.contains("topk_by"), plan)
+  }
+}

@@ -91,6 +91,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("bigramCoverage: supported positions over total, NULL under 2 " +
+      "tokens") {
+    // "a b" occurs in docs 1,2,3 (df 3 ≥ minDf) — every other bigram
+    // is rarer, so only "a b" positions count as covered
+    val docs = Seq(
+      (1L, "a b c a b"),  // bigrams: a-b, b-c, c-a, a-b → 2 of 4 covered
+      (2L, "a b x"),      // a-b, b-x → 1 of 2
+      (3L, "a b"),        // a-b → 1 of 1
+      (4L, "q r s"),      // none covered → 0 of 2
+      (5L, "solo")        // < 2 tokens → NULL coverage
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramCoverage(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 4L, 2L, Some(0.5))))
+    assert(r(2L) == ((2L, 2L, 1L, Some(0.5))))
+    assert(r(3L) == ((3L, 1L, 1L, Some(1.0))))
+    assert(r(4L) == ((4L, 2L, 0L, Some(0.0))))
+    assert(r(5L) == ((5L, 0L, 0L, None)))
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
