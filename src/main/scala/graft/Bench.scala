@@ -134,7 +134,8 @@ object Bench {
         "q21_cdc_current_state", "q25_recon_missing_extra",
         "q27_recon_bucket_digest", "q45_merge_upsert",
         "q85_session_window", "q86_stream_agg",
-        "q88_knn_join_lsh", "q89_bigram_coverage")
+        "q88_knn_join_lsh", "q89_bigram_coverage",
+        "q90_knn_join_partitioned")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -51,6 +51,32 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** Batched top-k probe — MANY queries against the bucketed index in
+    * one pass (the multi-query face of [[probe]], and the index-backed
+    * form of [[Similarity.knnJoinLsh]]). `index` is the partitioned
+    * scan (`spark.read.parquet(dir)`, optionally pre-filtered on data
+    * columns); each query joins only its own bucket: the equi-join key
+    * IS the partition column, so Spark's dynamic partition pruning
+    * turns the broadcast query set into a RUNTIME partition filter —
+    * of the 2^planes bucket directories, only those some query hashes
+    * into are read at all (`dynamicpruning` lands in the scan's
+    * PartitionFilters — asserted by AnnIndexSpec). Reduction is the
+    * k-bounded `topk_by` aggregate, so ≤ k rows per partition per
+    * query shuffle. `planes` must match the width the index was
+    * written at. */
+  def knnJoinBucketed(index: DataFrame, queries: DataFrame,
+      qIdCol: String, k: Int, idCol: String = "vec_id",
+      embCol: String = "embedding", planes: Int = 4): DataFrame = {
+    val q0 = queries.select(col(qIdCol).cast("long").as("q_id"),
+      col(embCol).as("qe"))
+    val q = broadcast(q0.withColumn("qb",
+      Similarity.lshBucket("qe", planes)))
+    val scored = index.join(q, col("bucket") === col("qb"))
+      .select(col("q_id"), col(idCol).cast("long").as("c_id"),
+        expr(Similarity.dotSql(index.sparkSession, embCol, "qe")).as("s"))
+    Similarity.topkReduce(scored, k)
+  }
+
   /** IVF variant: the centroid ASSIGNMENT as the write-time partition
     * column (q39's read-time assignment paid once at write). One
     * codegen'd argmax projection, then a partitioned write. */

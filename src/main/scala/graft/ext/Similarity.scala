@@ -110,10 +110,38 @@ object Similarity {
         dotExpr(corpus, "ce", "qe").as("s")), k)
   }
 
+  /** IVF-blocked k-NN join — cluster-partitioned retrieval: both
+    * sides assign to their nearest centroid with the codegen'd
+    * literal-inlined argmax ([[ivfAssignLit]] — no centroid fan-out
+    * join, no shuffle for the assignment) and only same-cluster pairs
+    * are candidates, an equi-join keyed on the cluster id. The IVF
+    * analogue of [[knnJoinLsh]]: recall bounded by single-probe IVF
+    * (a query near a cluster boundary may miss cross-boundary
+    * neighbors — probe more clusters by unioning, or use the LSH
+    * variant); at scale the assignment is a write-time partition
+    * column and this join prunes to touched clusters
+    * ([[AnnIndex.knnJoinBucketed]] shows the pruning machinery). */
+  def knnJoinIvf(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, k: Int,
+      centroids: IndexedSeq[(Long, Array[Float])],
+      embCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    val q0 = queries.select(col(qIdCol).cast("long").as("q_id"),
+      col(embCol).as("qe"))
+    val q = broadcast(q0.withColumn("qc", ivfAssignLit(s, "qe", centroids)))
+    val c0 = corpus.select(col(cIdCol).cast("long").as("c_id"),
+      col(embCol).as("ce"))
+    val c = c0.withColumn("cc", ivfAssignLit(s, "ce", centroids))
+    topkReduce(c.join(q, col("cc") === col("qc"))
+      .select(col("q_id"), col("c_id"),
+        dotExpr(corpus, "ce", "qe").as("s")), k)
+  }
+
   /** (q_id, c_id, s fixed-point) → (q_id, c_id, rnk, cos_sim): native
     * k-bounded `topk_by` aggregate + posexplode when GraftExtensions
-    * is active, else the equivalent (but full-shuffle) window rank. */
-  private def topkReduce(scored: DataFrame, k: Int): DataFrame =
+    * is active, else the equivalent (but full-shuffle) window rank.
+    * (`private[graft]`: [[AnnIndex.knnJoinBucketed]] shares it.) */
+  private[graft] def topkReduce(scored: DataFrame, k: Int): DataFrame =
     if (scored.sparkSession.catalog.functionExists("topk_by"))
       scored.groupBy("q_id")
         .agg(expr(s"topk_by(s, c_id, $k)").as("tk"))

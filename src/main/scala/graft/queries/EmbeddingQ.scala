@@ -285,6 +285,76 @@ object EmbeddingQ {
        |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** q90 — the batched retrieval join against the WRITE-TIME
+    * partitioned index ([[graft.ext.AnnIndex.knnJoinBucketed]]): the
+    * q88 shape, but the bucket is a Hive partition paid once at write,
+    * and the broadcast query set becomes a runtime partition filter
+    * via dynamic partition pruning — only buckets some query hashes
+    * into are read (`dynamicpruning` in PartitionFilters, asserted by
+    * AnnIndexSpec). Fixed width 4 (the index's write width); the
+    * oracle mirrors the bucketing bit-exactly. */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(s, dir)
+    AnnIndex.knnJoinBucketed(
+      s.read.parquet(idx).filter(col("vec_id") % 7 =!= 0),
+      Tables(s, dir, "embeddings").filter(col("vec_id") % 7 === 0),
+      "vec_id", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q90Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketD AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+       |    FROM e WHERE vec_id % 7 = 0),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, bucket AS cb
+       |    FROM e WHERE vec_id % 7 <> 0),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |    FROM c JOIN q ON cb = qb),
+       |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** q91 — the batched retrieval join IVF-BLOCKED
+    * ([[graft.ext.Similarity.knnJoinIvf]]): q39's centroid scheme
+    * (vectors 0..7 as centroids, literal-inlined codegen'd argmax
+    * assignment — no fan-out join) applied to the many-query shape —
+    * every 7th vector retrieves its top-5 among same-cluster corpus
+    * vectors. The oracle mirrors the argmax (ROW_NUMBER over centroid
+    * dots, ties to smallest cid) and the per-query ranking exactly. */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    Similarity.knnJoinIvf(
+      emb.filter(col("vec_id") % 7 === 0),
+      emb.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "vec_id", k = 5, cents)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q91Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, cid AS qc
+       |    FROM assigned WHERE vec_id % 7 = 0),
+       |c2 AS (SELECT vec_id AS c_id, embedding AS ce, cid AS cc
+       |    FROM assigned WHERE vec_id % 7 <> 0),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |    FROM c2 JOIN q ON cc = qc),
+       |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   /** q69 — int8 embedding quantization quality
     * ([[graft.ext.Similarity.int8QuantStats]]): the 4×-compression /
     * recall trade measured per vector — symmetric scale (max|x|/127)
@@ -607,6 +677,8 @@ object EmbeddingQ {
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
     QueryDef("q87_knn_join", q87, Some(q87Sql)),
     QueryDef("q88_knn_join_lsh", q88, Some(q88Sql)),
+    QueryDef("q90_knn_join_partitioned", q90, Some(q90Sql)),
+    QueryDef("q91_knn_join_ivf", q91, Some(q91Sql)),
     QueryDef("q75_kmeans_train", q75, Some(q75Sql)),
     QueryDef("q78_cluster_sample", q78, Some(q78Sql)),
     QueryDef("q79_embedding_outliers", q79, Some(q79Sql)),

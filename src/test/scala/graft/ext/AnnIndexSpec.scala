@@ -142,4 +142,40 @@ class AnnIndexSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(exact == Set((0L, 1L)))
   }
+
+  test("knnJoinBucketed: dynamic partition pruning + per-bucket exact " +
+      "ranking") {
+    val dir = tmpDir("annidx-batch")
+    AnnIndex.writeBucketed(corpus, dir)
+    // query side must be a SOURCE with a surviving selective Filter
+    // node (a LocalRelation's filter constant-folds away and DPP's
+    // hasPartitionPruningFilter never sees it) — as in production,
+    // where queries come from a table
+    val qsrc = tmpDir("annidx-q")
+    corpus.write.mode("overwrite").parquet(qsrc)
+    val queries = spark.read.parquet(qsrc)
+      .filter($"vec_id" % 40 === 0) // 5 queries
+    val join = AnnIndex.knnJoinBucketed(
+      spark.read.parquet(dir).filter($"vec_id" % 40 =!= 0),
+      queries, "vec_id", k = 3)
+    // the broadcast query set must become a RUNTIME partition filter —
+    // only buckets some query hashes into are read
+    val scanLine = join.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("dynamicpruning"),
+      s"dynamic partition pruning missing from the index scan: $scanLine")
+    // results = driver-side mirror: same-bucket candidates ranked by
+    // the exact fixed-point cosine
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    val bk = rows.map { case (id, v) => (id, v, Similarity.bucketOf(v)) }
+    val expect = bk.filter(_._1 % 40 == 0).flatMap { case (qid, qe, qb) =>
+      bk.filter(r => r._1 % 40 != 0 && r._3 == qb)
+        .map { case (cid, ce, _) => (cid, Similarity.dotFixedOf(ce, qe)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(3).zipWithIndex
+        .map { case ((c, s), i) => (qid, c, (i + 1).toLong, s / 1e12) }
+    }.toSet
+    val got = join.as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expect)
+  }
 }

@@ -74,6 +74,27 @@ class KnnJoinSpec extends SparkSpec {
     assert(lsh.size <= 12 * 3)
   }
 
+  test("IVF path matches the driver-side assignment + per-cluster " +
+      "ranking") {
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val cents = rows.filter(_._1 < 4).sortBy(_._1).toIndexedSeq
+    val got = Similarity.knnJoinIvf(
+      emb.filter($"vec_id" % 5 === 0), emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "vec_id", k = 3, cents)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val assigned = rows.map { case (id, v) =>
+      (id, v, Similarity.assignOf(v, cents)) }
+    val expect = assigned.filter(_._1 % 5 == 0).flatMap {
+      case (qid, qe, qc) =>
+        assigned.filter(r => r._1 % 5 != 0 && r._3 == qc)
+          .map { case (cid, ce, _) => (cid, Similarity.dotFixedOf(ce, qe)) }
+          .sortBy { case (cid, s) => (-s, cid) }
+          .take(3).zipWithIndex
+          .map { case ((c, s), i) => (qid, c, (i + 1).toLong, s / 1e12) }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("plan reduces via aggregate, not a full-shuffle window") {
     val plan = brute(3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
