@@ -77,6 +77,32 @@ object AnnIndex {
     Similarity.topkReduce(scored, k)
   }
 
+  /** Streaming retrieval glue: a STREAM of query vectors probed
+    * against the bucketed index, one [[knnJoinBucketed]] per
+    * micro-batch, results landing exactly-once in a graft table
+    * (batch-id-keyed txn — a replayed batch is a no-op, same contract
+    * as the streaming dedup glues). The per-batch cost is the batch's
+    * touched buckets only (dynamic partition pruning), so a steady
+    * query stream against a 100 TB index reads a sliver per trigger.
+    * The index is re-resolved from `indexDir` each batch, so an index
+    * rebuild between triggers is picked up without restarting. */
+  def knnStreamToTable(stream: DataFrame, qIdCol: String,
+      indexDir: String, outDir: String, checkpointDir: String,
+      k: Int = 10, embCol: String = "embedding", planes: Int = 4,
+      appId: String = "graft-knn")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val res = knnJoinBucketed(
+          batch.sparkSession.read.parquet(indexDir), batch, qIdCol, k,
+          embCol = embCol, planes = planes)
+        graft.sink.CdcTable.append(res, outDir, txn = Some((appId, id)))
+        ()
+      }
+      .start()
+
   /** IVF variant: the centroid ASSIGNMENT as the write-time partition
     * column (q39's read-time assignment paid once at write). One
     * codegen'd argmax projection, then a partitioned write. */

@@ -178,4 +178,51 @@ class AnnIndexSpec extends SparkSpec {
     val got = join.as[(Long, Long, Long, Double)].collect().toSet
     assert(got == expect)
   }
+
+  test("knnStreamToTable: per-batch probe lands exactly-once, restart " +
+      "continues") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("annidx-stream")
+    val out = tmpDir("annidx-sout")
+    val ckpt = tmpDir("annidx-sckpt")
+    AnnIndex.writeBucketed(corpus, dir)
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    def vec(id: Long): Array[Float] = rows.find(_._1 == id).get._2
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnIndex.knnStreamToTable(
+      mem.toDF.toDF("q_id", "embedding"), "q_id", dir, out, ckpt, k = 3)
+    try {
+      mem.addData((1000L, vec(5)), (1001L, vec(17)))
+      q.processAllAvailable()
+      mem.addData((1002L, vec(42)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart from the same checkpoint: new batch appends, old ones
+    // are not re-landed
+    val q2 = AnnIndex.knnStreamToTable(
+      mem.toDF.toDF("q_id", "embedding"), "q_id", dir, out, ckpt, k = 3)
+    try {
+      mem.addData((1003L, vec(99)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = graft.sink.CdcTable.read(spark, out)
+      .select("q_id", "c_id", "rnk")
+      .as[(Long, Long, Long)].collect()
+    // each query exactly once, each with exactly k=3 ranked rows
+    // equal to the batch-mode probe of its own bucket
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(1000L, 1001L, 1002L, 1003L))
+    for ((qid, src) <- Seq((1000L, 5L), (1001L, 17L), (1002L, 42L),
+        (1003L, 99L))) {
+      val mine = byQ(qid).sortBy(_._3)
+      assert(mine.map(_._3).toSeq == Seq(1L, 2L, 3L), s"q=$qid")
+      val qb = Similarity.bucketOf(vec(src))
+      val expect = rows.map { case (cid, ce) =>
+        (cid, Similarity.bucketOf(ce), Similarity.dotFixedOf(ce, vec(src)))
+      }.filter(_._2 == qb)
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(3).map(_._1).toSeq
+      assert(mine.map(_._2).toSeq == expect, s"q=$qid")
+    }
+  }
 }
