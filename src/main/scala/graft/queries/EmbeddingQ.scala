@@ -181,13 +181,15 @@ object EmbeddingQ {
   // q58 — write-time bucket partitioning (the real 100 TB ANN shape)
   // ------------------------------------------------------------------
 
-  private def indexDir(sfDir: String): String = {
+  private def indexDir(sfDir: String): String = indexDirP(sfDir, 4)
+
+  private def indexDirP(sfDir: String, planes: Int): String = {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
-    // the suffix versions the BUCKETING algorithm (4 hyperplanes,
-    // h(i,j) family) — bump it if lshBucket semantics ever change, or
+    // the suffix versions the BUCKETING algorithm (h(i,j) family) AND
+    // the write width — bump v if lshBucket semantics ever change, or
     // a stale index from a previous build would silently mis-bucket
     // (v2: plane family modulus 13 → 61, round 8)
-    s"${sys.props("java.io.tmpdir")}/graft_ann_idx_${key}_p4v2"
+    s"${sys.props("java.io.tmpdir")}/graft_ann_idx_${key}_p${planes}v2"
   }
 
   /** Build the bucket-partitioned index once per sf dir (idempotent;
@@ -198,6 +200,23 @@ object EmbeddingQ {
     if (!new java.io.File(s"$dir/_SUCCESS").exists())
       AnnIndex.writeBucketed(Tables(s, sfDir, "embeddings"), dir)
     dir
+  }
+
+  /** Auto-width variant for the batched probe (q90): the write width
+    * derives from the corpus size (`autoPlanes` — the q37/q88 rule),
+    * because a FIXED width stops pruning as the corpus grows: at 100×
+    * (200k vectors) width 4 leaves 12.5k candidates per query where
+    * width 10 leaves ~200. At the graded scales the derivation lands
+    * on 4, so the dir coincides with [[ensureIndex]]'s and the index
+    * is shared. Returns (dir, planes) — probes must use the SAME
+    * width the index was written at. */
+  def ensureIndexAuto(s: SparkSession, sfDir: String): (String, Int) = {
+    val emb = Tables(s, sfDir, "embeddings")
+    val p = Similarity.autoPlanes(emb.count())
+    val dir = indexDirP(sfDir, p)
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      AnnIndex.writeBucketed(emb, dir, planes = p)
+    (dir, p)
   }
 
   /** q58 — same search as q38 but against the bucket-PARTITIONED
@@ -291,20 +310,25 @@ object EmbeddingQ {
     * and the broadcast query set becomes a runtime partition filter
     * via dynamic partition pruning — only buckets some query hashes
     * into are read (`dynamicpruning` in PartitionFilters, asserted by
-    * AnnIndexSpec). Fixed width 4 (the index's write width); the
-    * oracle mirrors the bucketing bit-exactly. */
+    * AnnIndexSpec). The index's write width auto-derives from the
+    * corpus size ([[ensureIndexAuto]] — a fixed width stops pruning
+    * as the corpus grows); the oracle mirrors the derivation AND the
+    * bucketing bit-exactly. */
   def q90(s: SparkSession, dir: String): DataFrame = {
-    val idx = ensureIndex(s, dir)
+    val (idx, p) = ensureIndexAuto(s, dir)
     AnnIndex.knnJoinBucketed(
       s.read.parquet(idx).filter(col("vec_id") % 7 =!= 0),
       Tables(s, dir, "embeddings").filter(col("vec_id") % 7 === 0),
-      "vec_id", k = 5)
+      "vec_id", k = 5, planes = p)
       .orderBy(col("q_id"), col("rnk"))
   }
 
   val q90Sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $bucketD AS bucket
+    s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
+       |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
        |  FROM embeddings),
+       |e AS (SELECT vec_id, embedding, ${bucketDN("pl")} AS bucket
+       |  FROM embeddings, p),
        |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
        |    FROM e WHERE vec_id % 7 = 0),
        |c AS (SELECT vec_id AS c_id, embedding AS ce, bucket AS cb
