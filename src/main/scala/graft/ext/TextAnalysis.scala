@@ -185,6 +185,64 @@ object TextAnalysis {
       .drop("ws")
   }
 
+  /** BM25 full-text retrieval: the top-k documents for a literal query
+    * string under BM25 term weighting — with q77's no-libm move: the
+    * idf factor is the exact rational (N − df + 0.5)/(df + 0.5)
+    * (monotone in df, positive, no `ln` whose last ulp could differ
+    * across engines), the tf saturation is the standard
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), and every per-term
+    * score is fixed-pointed at 1e9 and summed as BIGINT — summation
+    * ORDER cannot perturb the result, so Spark and the DuckDB oracle
+    * rank identically.
+    *
+    * Scale shape: the query's terms broadcast as an IN-list predicate
+    * into the doc-term explode (everything not in the query dies
+    * map-side), df is a ≤|query|-row aggregate joined back broadcast,
+    * the per-doc sum is one keyed aggregation, and the final top-k is
+    * a global TakeOrdered — no full-vocabulary state anywhere, corpus
+    * scanned once. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, query: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75)
+  : org.apache.spark.sql.DataFrame = {
+    val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25TopK needs a non-empty query")
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'")
+      .mkString("(", ", ", ")")
+    val staged = df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val totals = staged.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_len"))
+    val tf = staged
+      .select(col("id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(expr(s"tok IN $inList"))
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df"))),
+        "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_fp", expr(bm25TermFpSql(k1, b)))
+      .groupBy("id").agg(sum(col("term_fp")).as("score_fp"),
+        count(lit(1)).as("n_terms_hit"))
+    scored
+      .select(col("id"), col("n_terms_hit"), col("score_fp"),
+        (col("score_fp") / lit(1e9)).as("score"))
+      .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The per-term BM25 score in fixed point — ONE shared SQL string
+    * (same column names both engines) so the IEEE op tree is identical
+    * by construction. Expects columns tf, df, dl, n_docs, tot_len. */
+  private[graft] def bm25TermFpSql(k1: Double, b: Double): String =
+    s"""CAST(ROUND(1e9 * ((n_docs - df + 0.5) / (df + 0.5)) *
+       |  ((tf * (CAST($k1 AS DOUBLE) + 1)) /
+       |   (tf + CAST($k1 AS DOUBLE) * (1 - CAST($b AS DOUBLE) +
+       |    CAST($b AS DOUBLE) * dl / (CAST(tot_len AS DOUBLE) / n_docs)))))
+       |  AS BIGINT)""".stripMargin
+
   /** Corpus-supported bigram coverage — a corpus-statistics quality
     * signal (the CCNet/KenLM "does a language model trained on the
     * corpus like this text" filter reduced to integer arithmetic, so

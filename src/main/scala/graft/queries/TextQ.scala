@@ -1025,6 +1025,39 @@ object TextQ {
        |FROM tot LEFT JOIN cov ON tot.doc_id = cov.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q92 — BM25 full-text retrieval
+    * ([[graft.ext.TextAnalysis.bm25TopK]]): top-10 documents for the
+    * query "vector hash join merge" under BM25 weighting with the
+    * exact-rational idf surrogate (no libm `ln` — q77's trick) and
+    * 1e9 fixed-point per-term scores summed as BIGINT, so ranking is
+    * bit-stable across engines and summation orders. */
+  def q92(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis
+      .bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+        "vector hash join merge", k = 10)
+      .select(col("id").as("doc_id"), col("n_terms_hit"),
+        col("score_fp"), col("score"))
+
+  val q92Sql: String = {
+    val termFp = graft.ext.TextAnalysis.bm25TermFpSql(1.2, 0.75)
+    s"""WITH st AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+       |sl AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS dl FROM st),
+       |tot AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS tot_len FROM sl),
+       |tfq AS (SELECT id, dl, tok, COUNT(*) AS tf
+       |  FROM (SELECT id, dl, unnest(toks) AS tok FROM sl)
+       |  WHERE tok IN ('vector', 'hash', 'join', 'merge')
+       |  GROUP BY id, dl, tok),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok),
+       |sc AS (SELECT tfq.id, $termFp AS term_fp
+       |  FROM tfq JOIN dfreq USING (tok) CROSS JOIN tot),
+       |agg AS (SELECT id, CAST(SUM(term_fp) AS BIGINT) AS score_fp,
+       |    COUNT(*) AS n_terms_hit FROM sc GROUP BY id)
+       |SELECT id AS doc_id, n_terms_hit, score_fp,
+       |  CAST(score_fp AS DOUBLE) / 1e9 AS score
+       |FROM agg ORDER BY score_fp DESC, id LIMIT 10""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1053,5 +1086,6 @@ object TextQ {
     QueryDef("q80_dup_matrix", q80, Some(q80Sql)),
     QueryDef("q81_incremental_dedup", q81, Some(q81Sql)),
     QueryDef("q82_incremental_neardup", q82, Some(q82Sql)),
-    QueryDef("q89_bigram_coverage", q89, Some(q89Sql)))
+    QueryDef("q89_bigram_coverage", q89, Some(q89Sql)),
+    QueryDef("q92_bm25_retrieval", q92, Some(q92Sql)))
 }

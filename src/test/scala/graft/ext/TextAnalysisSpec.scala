@@ -112,6 +112,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(5L) == ((5L, 0L, 0L, None)))
   }
 
+  test("bm25TopK ranks by term relevance; zero-hit docs are absent") {
+    val docs = Seq(
+      (1L, "spark spark spark join"),      // high tf on a query term
+      (2L, "spark filter"),                // one hit, short doc
+      (3L, "filter scan sort group"),      // no query terms
+      (4L, "spark join " + Seq.fill(60)("pad").mkString(" ")) // hits diluted by length
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(docs, "doc_id", "text", "spark join", 10)
+      .select("id", "n_terms_hit").as[(Long, Long)].collect()
+    // doc 3 has no query terms → absent
+    assert(r.map(_._1).toSet == Set(1L, 2L, 4L))
+    // doc 1 (2 terms, high tf, short) outranks doc 4 (2 terms, long)
+    // which needs dl-normalization to lose despite equal term count
+    assert(r.head._1 == 1L)
+    assert(r.map(_._1).indexOf(4L) > r.map(_._1).indexOf(1L))
+    assert(r.find(_._1 == 1L).get._2 == 2L) // both terms hit
+    // deterministic: rerun bit-identical
+    val r2 = TextAnalysis.bm25TopK(docs, "doc_id", "text", "spark join", 10)
+      .select("id", "score_fp").as[(Long, Long)].collect()
+    val r3 = TextAnalysis.bm25TopK(docs.repartition(5), "doc_id", "text",
+      "spark join", 10)
+      .select("id", "score_fp").as[(Long, Long)].collect()
+    assert(r2.toSeq == r3.toSeq)
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
