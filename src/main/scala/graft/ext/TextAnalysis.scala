@@ -243,6 +243,35 @@ object TextAnalysis {
        |    CAST($b AS DOUBLE) * dl / (CAST(tot_len AS DOUBLE) / n_docs)))))
        |  AS BIGINT)""".stripMargin
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (lexical BM25 + vector ANN, or any N rankers): each ranking
+    * contributes 1/(c + rank) per id and ids order by the summed
+    * contribution. Scores are fixed-pointed (ROUND(1e12/(c+rank)) as
+    * BIGINT — one exact division each, integer sum) so fusion is
+    * bit-deterministic regardless of partitioning or summation order.
+    * Input rankings carry (idCol, rankCol with ranks 1..n); ties in
+    * the fused score break by id ASC. One union + one keyed
+    * aggregation over ≤ Σ|rankings| rows — the inputs are already
+    * top-k-bounded, so this never touches corpus-sized data. */
+  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame],
+      idCol: String = "id", rankCol: String = "rnk", k: Int = 10,
+      c: Int = 60): org.apache.spark.sql.DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings
+      .map(df => df.select(col(idCol).cast("long").as("id"),
+        col(rankCol).cast("long").as("rnk")))
+      .reduce(_ unionByName _)
+    u.withColumn("contrib",
+        expr(s"CAST(ROUND(1e12 / ($c + rnk)) AS BIGINT)"))
+      .groupBy("id")
+      .agg(sum(col("contrib")).as("rrf_fp"),
+        count(lit(1)).as("n_rankers"))
+      .select(col("id"), col("n_rankers"), col("rrf_fp"),
+        (col("rrf_fp") / lit(1e12)).as("rrf"))
+      .orderBy(col("rrf_fp").desc, col("id"))
+      .limit(k)
+  }
+
   /** Corpus-supported bigram coverage — a corpus-statistics quality
     * signal (the CCNet/KenLM "does a language model trained on the
     * corpus like this text" filter reduced to integer arithmetic, so

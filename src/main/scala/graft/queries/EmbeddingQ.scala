@@ -29,7 +29,7 @@ object EmbeddingQ {
     Similarity.dotSql(s, a, b)
 
   /** Same in DuckDB (1-based indexing). */
-  private def dotD(a: String, b: String) =
+  private[queries] def dotD(a: String, b: String) =
     s"""CAST(list_sum(list_transform(range(1, len($a) + 1), i ->
        |  CAST(ROUND(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12)
        |    AS BIGINT))) AS BIGINT)""".stripMargin

@@ -1058,6 +1058,68 @@ object TextQ {
        |FROM agg ORDER BY score_fp DESC, id LIMIT 10""".stripMargin
   }
 
+  /** q93 — HYBRID retrieval via reciprocal-rank fusion
+    * ([[graft.ext.TextAnalysis.rrfFuse]]): the BM25 top-10 (q92's
+    * lexical ranking) fused with the vector top-10 (q36's cosine
+    * ranking, query vector 0) by summed 1/(60 + rank) — fixed-pointed
+    * at 1e12, so fusion is bit-deterministic. Documents and embeddings
+    * share the id space by construction of the test corpus; ids
+    * surfaced by BOTH rankers (n_rankers = 2) rise to the top. */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.ext.TextAnalysis
+      .bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+        "vector hash join merge", k = 10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("id"))))
+    val emb = Tables(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        expr(graft.ext.Similarity.dotSql(s, "embedding", "qe")).as("s"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("s").desc, col("id"))))
+      .filter(col("rnk") <= 10)
+    graft.ext.TextAnalysis.rrfFuse(Seq(lex, vec), "id", "rnk", k = 10)
+      .select(col("id").as("doc_id"), col("n_rankers"), col("rrf_fp"),
+        col("rrf"))
+  }
+
+  val q93Sql: String = {
+    val termFp = graft.ext.TextAnalysis.bm25TermFpSql(1.2, 0.75)
+    s"""WITH st AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+       |sl AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS dl FROM st),
+       |tot AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS tot_len FROM sl),
+       |tfq AS (SELECT id, dl, tok, COUNT(*) AS tf
+       |  FROM (SELECT id, dl, unnest(toks) AS tok FROM sl)
+       |  WHERE tok IN ('vector', 'hash', 'join', 'merge')
+       |  GROUP BY id, dl, tok),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tfq GROUP BY tok),
+       |sc AS (SELECT tfq.id, $termFp AS term_fp
+       |  FROM tfq JOIN dfreq USING (tok) CROSS JOIN tot),
+       |bm AS (SELECT id, CAST(SUM(term_fp) AS BIGINT) AS score_fp
+       |  FROM sc GROUP BY id),
+       |lex AS (SELECT id, ROW_NUMBER() OVER
+       |    (ORDER BY score_fp DESC, id) AS rnk
+       |  FROM bm ORDER BY score_fp DESC, id LIMIT 10),
+       |vq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT vec_id AS id,
+       |    ${graft.queries.EmbeddingQ.dotD("embedding", "qe")} AS s
+       |  FROM embeddings, vq WHERE vec_id <> 0),
+       |vec AS (SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rnk
+       |  FROM vs ORDER BY s DESC, id LIMIT 10),
+       |u AS (SELECT id, rnk FROM lex UNION ALL SELECT id, rnk FROM vec),
+       |f AS (SELECT id,
+       |    CAST(SUM(CAST(ROUND(1e12 / (60 + rnk)) AS BIGINT)) AS BIGINT)
+       |      AS rrf_fp,
+       |    COUNT(*) AS n_rankers FROM u GROUP BY id)
+       |SELECT id AS doc_id, n_rankers, rrf_fp,
+       |  CAST(rrf_fp AS DOUBLE) / 1e12 AS rrf
+       |FROM f ORDER BY rrf_fp DESC, id LIMIT 10""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1087,5 +1149,6 @@ object TextQ {
     QueryDef("q81_incremental_dedup", q81, Some(q81Sql)),
     QueryDef("q82_incremental_neardup", q82, Some(q82Sql)),
     QueryDef("q89_bigram_coverage", q89, Some(q89Sql)),
-    QueryDef("q92_bm25_retrieval", q92, Some(q92Sql)))
+    QueryDef("q92_bm25_retrieval", q92, Some(q92Sql)),
+    QueryDef("q93_hybrid_rrf", q93, Some(q93Sql)))
 }

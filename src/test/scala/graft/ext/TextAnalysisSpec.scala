@@ -137,6 +137,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.toSeq == r3.toSeq)
   }
 
+  test("rrfFuse: both-ranker ids beat single-ranker ids, exact scores") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rnk")
+    val r = TextAnalysis.rrfFuse(Seq(a, b), "id", "rnk", k = 10)
+      .select("id", "n_rankers", "rrf_fp")
+      .as[(Long, Long, Long)].collect()
+    // 20 appears in both rankers (ranks 2 and 1) and must lead
+    assert(r.head._1 == 20L && r.head._2 == 2L)
+    assert(r.head._3 ==
+      math.round(1e12 / 62) + math.round(1e12 / 61))
+    // singles ordered by their own rank: 10 (r1) > 40 (r2) > 30 (r3)
+    assert(r.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
