@@ -596,6 +596,42 @@ object Dedup {
     NearDupResult(verified, components, decisions)
   }
 
+  /** Canonical-representative selection over near-dup clusters: where
+    * [[NearDupResult.decisions]] keeps the LOWEST-id member (the right
+    * default for reproducibility), real curation pipelines keep the
+    * highest-QUALITY member — the longest / cleanest copy of a page,
+    * not whichever crawl happened to get the smallest id. Given the
+    * `components` labeling and any per-doc quality frame, returns one
+    * row per multi-member cluster:
+    * (cluster_id, kept_id, n_members, total_quality), where `kept_id`
+    * maximizes `qualityCol` (ties to the smallest id, so selection is
+    * total and deterministic).
+    *
+    * Scale shape: `components` already carries one row per cluster
+    * member INCLUDING the root ([[connectedComponents]] unions the
+    * star-forest arc heads back in), so membership needs no repair.
+    * One join to the quality frame and one window + aggregation both
+    * keyed on the cluster label (the window's hash partitioning is
+    * reused by the groupBy — one shuffle, not two). Everything is
+    * proportional to the DUPLICATE subset, never the corpus. */
+  def canonicalByQuality(res: NearDupResult, quality: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    val members = res.components.select(col("id"), col("component"))
+    val q = quality.select(col(idCol).as("id"),
+      col(qualityCol).cast("long").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("q").desc, col("id").asc)
+    members.join(q, Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(max(when(col("rn") === 1, col("id"))).as("kept_id"),
+        count(lit(1)).as("n_members"),
+        sum(col("q")).as("total_quality"))
+      .select(col("component").as("cluster_id"), col("kept_id"),
+        col("n_members"), col("total_quality"))
+  }
+
   /** N-gram (word-3-gram) Jaccard near-dup pairs, optionally blocked
     * by `blockCol`: explode distinct shingles, equi-join on
     * (block, shingle) — one shuffle — then verify the EXACT Jaccard on

@@ -318,4 +318,66 @@ object TextAnalysis {
           coalesce(col("n_covered"), lit(0L)).cast("double") /
             col("n_bigrams")).as("coverage"))
   }
+
+  /** DSIR-style hashed-bigram importance scoring (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every raw document by how TARGET-like its
+    * hashed word-bigram features are, so the corpus can be resampled
+    * toward a small high-quality target set. Features are the
+    * document's bigram positions hashed into `buckets` slots
+    * (md5-derived ids, engine-portable). Each feature's weight is its
+    * Laplace-smoothed target fraction in fixed point,
+    * `w = (1e6·(tc+1)) div (tc+bc+2)` — an exact-integer,
+    * per-feature-monotone surrogate for DSIR's log-likelihood ratio
+    * that sums in any order without rounding drift (the same trick as
+    * BM25's rational idf). A document's `score_fp` is the BIGINT sum
+    * of its positions' weights; `importance` is the length-normalized
+    * mean targetness in (0,1): score_fp / max(n_bigrams,1) / 1e6, two
+    * IEEE divisions from exact integers, bit-identical across engines.
+    * Rows where `isTarget` is NULL count as background, matching a
+    * `CASE WHEN … THEN 1 ELSE 0` oracle.
+    *
+    * Returns (id, n_bigrams, score_fp, importance) for EVERY input row
+    * (bigram-less docs score 0).
+    *
+    * Scale shape: the feature table is bounded by `buckets` (default
+    * 2^16) regardless of corpus size — one map-side-combined
+    * aggregation builds it, and it BROADCASTS into the scoring join so
+    * scoring never shuffles the corpus by feature; the only
+    * corpus-sized shuffle is the per-doc sum keyed on the id. Two
+    * scans of the input total, nothing quadratic, no driver-side
+    * state beyond the bounded broadcast. */
+  def importanceScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+      isTarget: Column, textCol: String = "text", buckets: Int = 65536)
+  : org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val bg = df
+      .select(col(idCol).as("id"), isTarget.as("is_target"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), col("is_target"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> concat(toks[i], ' ', toks[i+1]))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("bg"))
+      .withColumn("fid", expr(
+        s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
+          s" % $buckets"))
+    val weights = bg.groupBy("fid")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("bc"))
+      .select(col("fid"),
+        expr("(1000000 * (tc + 1)) div (tc + bc + 2)").as("w"))
+    val scores = bg.join(broadcast(weights), Seq("fid"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score_fp"))
+    df.select(col(idCol).as("id"))
+      .join(scores, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"),
+        (coalesce(col("score_fp"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L))
+            .cast("double") / lit(1e6)).as("importance"))
+  }
 }

@@ -1120,6 +1120,103 @@ object TextQ {
        |FROM f ORDER BY rrf_fp DESC, id LIMIT 10""".stripMargin
   }
 
+  /** q94 — canonical-representative selection over MinHash near-dup
+    * clusters ([[graft.ext.Dedup.canonicalByQuality]]): the full
+    * near-dup pipeline (shingle MinHash → 4-band LSH → exact-Jaccard
+    * verify at the 0.8 default → connected components) resolved to
+    * one KEPT doc per cluster by quality (longest `n_chars`, ties to
+    * the smallest id) — the curation policy real pipelines want
+    * instead of keep-lowest-id. The oracle replays every stage in
+    * SQL, including the cluster labeling as a recursive transitive
+    * closure, so the Spark large-star/small-star CC is hash-checked
+    * against an independent formulation, not trusted. */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val res = graft.ext.Dedup.near(docs, "text", "doc_id")
+    graft.ext.Dedup.canonicalByQuality(res, docs, "doc_id", "n_chars")
+      .select(col("cluster_id"), col("kept_id"), col("n_members"),
+        col("total_quality").as("total_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q94Sql: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, $shinglesD AS shs
+       |  FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, t -> ${tokD("t")}) AS sids FROM d),
+       |m AS (SELECT doc_id, sids, len(sids) AS m FROM ids),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids
+       |  WHERE len(sids) > 0),
+       |bands AS (SELECT doc_id, concat_ws(':', band, sig[4*band+1],
+       |    sig[4*band+2], sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |v AS (SELECT a_id, b_id FROM cand
+       |  JOIN m ma ON ma.doc_id = a_id JOIN m mb ON mb.doc_id = b_id
+       |  WHERE CAST(len(list_intersect(ma.sids, mb.sids)) AS DOUBLE) /
+       |    (ma.m + mb.m - len(list_intersect(ma.sids, mb.sids)))
+       |    >= 0.8),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM v
+       |  UNION SELECT b_id, a_id FROM v),
+       |reach AS (SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       |  WHERE s.v <> r.u),
+       |lab AS (SELECT u AS id, least(u, min(v)) AS component
+       |  FROM reach GROUP BY u),
+       |ranked AS (SELECT l.component, l.id, dd.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY l.component
+       |      ORDER BY dd.n_chars DESC, l.id ASC) AS rn
+       |  FROM lab l JOIN documents dd ON dd.doc_id = l.id)
+       |SELECT component AS cluster_id,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS kept_id,
+       |  COUNT(*) AS n_members, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM ranked GROUP BY component ORDER BY cluster_id""".stripMargin
+
+  /** q95 — DSIR-style importance scoring
+    * ([[graft.ext.TextAnalysis.importanceScores]]): every document
+    * scored by the targetness of its hashed bigram features with
+    * target = the English subset — exact fixed-point integer
+    * arithmetic end to end, so the score (and the two-division
+    * normalized importance) hash-match across engines. */
+  def q95(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis
+      .importanceScores(spreadDocs(s, dir), "doc_id",
+        col("lang") === "en")
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        col("score_fp"), col("importance"))
+      .orderBy(col("doc_id"))
+
+  val q95Sql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, $toksD AS toks FROM documents),
+       |bgx AS (SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk),
+       |f AS (SELECT doc_id, lang, ${tokD("bg")} % 65536 AS fid
+       |  FROM bgx),
+       |st AS (SELECT fid,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tc,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS bc
+       |  FROM f GROUP BY fid),
+       |w AS (SELECT fid,
+       |    CAST((1000000 * (tc + 1)) // (tc + bc + 2) AS BIGINT) AS w
+       |  FROM st),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(w) AS BIGINT) AS score_fp
+       |  FROM f JOIN w USING (fid) GROUP BY doc_id)
+       |SELECT d.doc_id AS doc_id,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(score_fp, 0) AS score_fp,
+       |  CAST(COALESCE(score_fp, 0) AS DOUBLE) /
+       |    CAST(GREATEST(COALESCE(n_bigrams, 0), 1) AS DOUBLE) / 1e6
+       |    AS importance
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1150,5 +1247,7 @@ object TextQ {
     QueryDef("q82_incremental_neardup", q82, Some(q82Sql)),
     QueryDef("q89_bigram_coverage", q89, Some(q89Sql)),
     QueryDef("q92_bm25_retrieval", q92, Some(q92Sql)),
-    QueryDef("q93_hybrid_rrf", q93, Some(q93Sql)))
+    QueryDef("q93_hybrid_rrf", q93, Some(q93Sql)),
+    QueryDef("q94_canonical_neardup", q94, Some(q94Sql)),
+    QueryDef("q95_importance_weights", q95, Some(q95Sql)))
 }

@@ -42,6 +42,27 @@ class DedupSpec extends SparkSpec {
     assert(dec(14L) == ((14L, false)))
   }
 
+  test("canonicalByQuality keeps the highest-quality member per cluster") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest tonight while stars shine bright"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " extra"),                // near-dup of 10
+      (12L, base.replace("quick", "rapid")), // near-dup of 10
+      (13L, "completely different words describing graphs and engines " +
+        "spark catalyst tungsten shuffle partitions exchange operators")
+    ).toDF("id", "text")
+    val quality = Seq((10L, 100L), (11L, 120L), (12L, 120L), (13L, 999L))
+      .toDF("id", "nc")
+    val r = Dedup.near(docs, "text", "id", jaccardThreshold = 0.5)
+    val out = Dedup.canonicalByQuality(r, quality, "id", "nc")
+      .as[(Long, Long, Long, Long)].collect()
+    // one cluster rooted at 10; kept = min id among the max-quality
+    // members (11 and 12 tie at 120 → 11); the root counts exactly
+    // once; singleton 13 emits no row despite its 999 quality
+    assert(out.toSeq == Seq((10L, 11L, 3L, 340L)), out.mkString(","))
+  }
+
   test("embedding near-dup clusters survivors by cosine") {
     // planted chain along a rotation: 1 at 0°, 2 at 9°, 4 at 18° of a
     // direction with wide margin on every default LSH plane (all three

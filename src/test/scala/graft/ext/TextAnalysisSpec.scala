@@ -28,6 +28,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == "en" && r(2L) == "es" && r(3L) == "und")
   }
 
+  test("importanceScores: fixed-point DSIR surrogate, exact by hand") {
+    // bigram position counts: "a b" tc=2 bc=1, "b a" tc=1 bc=0,
+    // "b c" tc=0 bc=1 → weights (1e6·(tc+1)) div (tc+bc+2):
+    // 600000, 666666, 333333; doc 3 has no bigrams → scores 0
+    val docs = Seq(
+      (1L, "a b a b", true),
+      (2L, "a b c", false),
+      (3L, "x", false)).toDF("id", "text", "is_en")
+    val r = TextAnalysis.importanceScores(docs, "id", col("is_en"))
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r.size == 3, "every input row scored")
+    assert(r(1L) == ((1L, 3L, 1866666L, 1866666.0 / 3 / 1e6)))
+    assert(r(2L) == ((2L, 2L, 933333L, 933333.0 / 2 / 1e6)))
+    assert(r(3L) == ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("importanceScores: NULL target flag counts as background") {
+    val docs = Seq(
+      (1L, "p q", Some(true)),
+      (2L, "p q", None: Option[Boolean])).toDF("id", "text", "is_en")
+    // "p q": tc=1, bc=1 (the NULL row) → w = 2e6 div 4 = 500000
+    val r = TextAnalysis.importanceScores(docs, "id", col("is_en"))
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(r(1L) == 500000L && r(2L) == 500000L)
+  }
+
   test("fingerprints and rolling hash are deterministic and order-sensitive") {
     val a = Seq(("w1 w2 w3", "w3 w2 w1")).toDF("t1", "t2")
       .select(TextAnalysis.rollingHash(col("t1")).as("h1"),
