@@ -191,4 +191,14 @@ class PlanQualitySpec extends SparkSpec {
         "band/bucket index probe must be a semi-join: " + p.take(600))
     }
   }
+  test("q95 importance scoring broadcasts the bounded feature table") {
+    val p = plan(TextQ.q95(spark, dir))
+    // the 2^16-bounded weight table must broadcast into the scoring
+    // join: a SortMergeJoin on fid would shuffle every bigram position
+    // of the corpus by feature — the 100 TB failure mode
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj == 0, s"corpus must never shuffle by feature id: $smj SMJs")
+  }
 }
