@@ -53,6 +53,30 @@ object Sampling {
       .filter(col("bucket") < rate)
   }
 
+  /** Deterministic importance resampling — the SELECTION step of DSIR
+    * (the scoring step is [[TextAnalysis.importanceScores]]): keep
+    * each row with probability equal to its importance, decided by
+    * the same stable md5 bucket as [[hashSplit]] instead of an RNG,
+    * so a document's fate is a pure function of its key and score —
+    * stable across re-runs, engines, and corpus growth. Accept iff
+    * `bucket(key, 1e6) < floor(1e6 · min(1, boost · importance))`:
+    * `importanceCol` is expected in [0,1] and `boost` rescales
+    * acceptance so a thin target distribution doesn't decimate the
+    * corpus (boost 2 ≈ keep at twice the raw rate, capped at 1). The
+    * threshold arithmetic is one IEEE multiply + floor from the
+    * already-deterministic score, so Spark and SQL oracles agree
+    * bit-for-bit. Adds `bucket` and `accept_cut`; per-row projection
+    * + filter — scan-speed, no shuffle, no RNG, no driver state. */
+  def importanceResample(df: DataFrame, keyCol: String,
+      importanceCol: String, boost: Double = 1.0): DataFrame = {
+    require(boost > 0, s"boost must be positive: $boost")
+    df.withColumn("bucket", stableBucket(keyCol, 1000000))
+      .withColumn("accept_cut",
+        floor(lit(1000000.0) *
+          least(lit(1.0), lit(boost) * col(importanceCol))).cast("long"))
+      .filter(col("bucket") < col("accept_cut"))
+  }
+
   /** Concatenation-order sequence packing (the pretraining "pack
     * documents into fixed token windows" op): documents are laid out
     * per `groupCol` in `orderCol` order and chunked every `budget`

@@ -1189,7 +1189,9 @@ object TextQ {
         col("score_fp"), col("importance"))
       .orderBy(col("doc_id"))
 
-  val q95Sql: String =
+  /** Shared q95/q96 oracle body: the per-doc DSIR importance scores
+    * (no ORDER BY so it can nest as a CTE). */
+  private val importanceBodyD: String =
     s"""WITH tk AS (SELECT doc_id, lang, $toksD AS toks FROM documents),
        |bgx AS (SELECT doc_id, lang,
        |    unnest(list_transform(range(1, greatest(len(toks), 1)),
@@ -1214,7 +1216,38 @@ object TextQ {
        |  CAST(COALESCE(score_fp, 0) AS DOUBLE) /
        |    CAST(GREATEST(COALESCE(n_bigrams, 0), 1) AS DOUBLE) / 1e6
        |    AS importance
-       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  val q95Sql: String = s"$importanceBodyD\nORDER BY doc_id"
+
+  /** q96 — deterministic importance RESAMPLING
+    * ([[graft.ext.Sampling.importanceResample]]): the selection step
+    * of DSIR over q95's scores at boost 2 — accept iff the stable
+    * md5 bucket of the doc id lands under floor(1e6·min(1,
+    * 2·importance)). No RNG anywhere: the kept set is a pure
+    * function of the corpus, so the oracle reproduces it exactly. */
+  def q96(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling
+      .importanceResample(
+        graft.ext.TextAnalysis.importanceScores(
+          spreadDocs(s, dir), "doc_id", col("lang") === "en"),
+        "id", "importance", boost = 2.0)
+      .select(col("id").as("doc_id"), col("score_fp"), col("bucket"),
+        col("accept_cut"))
+      .orderBy(col("doc_id"))
+
+  val q96Sql: String =
+    s"""WITH scored AS ($importanceBodyD)
+       |SELECT doc_id, score_fp,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |    AS BIGINT) % 1000000 AS bucket,
+       |  CAST(FLOOR(1000000.0 * LEAST(1.0, 2.0 * importance))
+       |    AS BIGINT) AS accept_cut
+       |FROM scored
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |    AS BIGINT) % 1000000
+       |  < CAST(FLOOR(1000000.0 * LEAST(1.0, 2.0 * importance))
+       |    AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -1249,5 +1282,6 @@ object TextQ {
     QueryDef("q92_bm25_retrieval", q92, Some(q92Sql)),
     QueryDef("q93_hybrid_rrf", q93, Some(q93Sql)),
     QueryDef("q94_canonical_neardup", q94, Some(q94Sql)),
-    QueryDef("q95_importance_weights", q95, Some(q95Sql)))
+    QueryDef("q95_importance_weights", q95, Some(q95Sql)),
+    QueryDef("q96_importance_resample", q96, Some(q96Sql)))
 }

@@ -58,6 +58,34 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("importanceResample keeps ~importance fraction, deterministically") {
+    // importance 1.0 → always kept; 0.0 → never; 0.5 → ~half, and the
+    // kept set is a pure function of the key (stable across runs and
+    // partitionings)
+    val rows = (1L to 900L).map { i =>
+      (i, if (i <= 300) 1.0 else if (i <= 600) 0.5 else 0.0)
+    }.toDF("id", "imp")
+    val kept = Sampling.importanceResample(rows, "id", "imp")
+      .select("id").as[Long].collect().toSet
+    assert((1L to 300L).forall(kept), "importance 1.0 is always kept")
+    assert((601L to 900L).forall(i => !kept(i)), "importance 0 never")
+    val mid = kept.count(i => i > 300 && i <= 600)
+    assert(mid > 100 && mid < 200, s"~half of the 0.5 stratum: $mid")
+    val again = Sampling
+      .importanceResample(rows.repartition(7), "id", "imp")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept, "pure function of (key, score)")
+    // boost doubles the acceptance cut, capped at 1
+    val boosted = Sampling.importanceResample(rows, "id", "imp", 2.0)
+      .select("id").as[Long].collect().toSet
+    assert(kept.subsetOf(boosted), "boost only adds documents")
+    assert(boosted.count(i => i > 300 && i <= 600) == 300,
+      "0.5 at boost 2 caps at certainty")
+    intercept[IllegalArgumentException] {
+      Sampling.importanceResample(rows, "id", "imp", 0.0)
+    }
+  }
+
   test("mixOrder interleaves sources proportionally to weights") {
     val docs = (("A" -> 10) :: ("B" -> 10) :: Nil)
       .flatMap { case (s, n) => (1 to n).map(i => (s, i.toLong)) }
