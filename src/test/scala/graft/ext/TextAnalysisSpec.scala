@@ -44,6 +44,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) == ((3L, 0L, 0L, 0.0)))
   }
 
+  test("importanceScores matches a brute-force model on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocabulary forces genuine cross-doc bigram collisions
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.chooseNum(0, 10).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(25, Gen.zip(doc, Gen.oneOf(true, false)))
+    def fid(bg: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString.take(7), 16) % 65536
+    }
+    (1 to 4).foreach { seed =>
+      val rows = corpusGen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val df = rows.zipWithIndex
+        .map { case ((t, tgt), i) => (i.toLong, t, tgt) }
+        .toDF("id", "text", "is_t")
+      val got = TextAnalysis.importanceScores(df, "id", col("is_t"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      val feats = rows.zipWithIndex.map { case ((t, tgt), i) =>
+        val toks = t.trim.split("\\s+", -1).toSeq
+        val fs = if (toks.length >= 2)
+          toks.sliding(2).map(_.mkString(" ")).map(fid).toSeq
+        else Seq.empty[Long]
+        (i.toLong, tgt, fs)
+      }
+      val tc = feats.filter(_._2).flatMap(_._3)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bc = feats.filterNot(_._2).flatMap(_._3)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def w(f: Long): Long =
+        (1000000L * (tc.getOrElse(f, 0L) + 1)) /
+          (tc.getOrElse(f, 0L) + bc.getOrElse(f, 0L) + 2)
+      feats.foreach { case (id, _, fs) =>
+        val expect = (fs.size.toLong, fs.map(w).sum)
+        assert(got(id) == expect,
+          s"seed=$seed doc=$id got=${got(id)} expect=$expect fs=$fs")
+      }
+    }
+  }
+
   test("importanceScores: NULL target flag counts as background") {
     val docs = Seq(
       (1L, "p q", Some(true)),
