@@ -77,6 +77,48 @@ object Sampling {
       .filter(col("bucket") < col("accept_cut"))
   }
 
+  /** Temperature-flattened stratum sampling — the multilingual
+    * pretraining "alpha-sampling" op (mT5 / XLM-R style): strata
+    * (languages, sources, domains) are kept at rates that flatten the
+    * head and boost the tail, selected-share ∝ n^α. The keep rate is
+    * `r = headRate · (n_max/n)^(1−α)` (the LARGEST stratum keeps
+    * exactly `headRate`, smaller strata keep proportionally more,
+    * capped at 1). α is parameterized as `1 − 2^-halvings` so the
+    * exponent is computed by `halvings` nested `sqrt`s — IEEE requires
+    * sqrt correctly rounded, so the rate arithmetic is bit-portable
+    * across engines with NO libm pow and NO double summation anywhere
+    * (the only cross-stratum reduction is an integer max):
+    * halvings 1 → α = 0.5 (the common choice), 2 → 0.75, 3 → 0.875.
+    * Selection reuses the stable md5 bucket: accept iff
+    * `bucket(key, 1e6) < floor(1e6 · r)` — deterministic, re-run and
+    * growth stable per (key, rates).
+    *
+    * Scale shape: stratum counts are one map-side-combined
+    * aggregation (state = stratum count, tiny), the rate table
+    * BROADCASTS back onto the corpus, and acceptance is a scan-speed
+    * filter — no corpus shuffle at all. Adds `n_l`, `accept_cut`,
+    * `bucket`. */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+      halvings: Int = 1, headRate: Double = 1.0): DataFrame = {
+    require(halvings >= 1 && halvings <= 6,
+      s"halvings must be in [1,6]: $halvings")
+    require(headRate > 0 && headRate <= 1,
+      s"headRate must be in (0,1]: $headRate")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_l"))
+    val nmax = counts.agg(max(col("n_l")).as("n_max"))
+    val ratioK = (1 to halvings).foldLeft(
+      col("n_max").cast("double") / col("n_l").cast("double"))(
+      (c, _) => sqrt(c))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .withColumn("accept_cut",
+        least(lit(1000000L),
+          floor(lit(1000000.0) * lit(headRate) * ratioK).cast("long")))
+      .select(col(strataCol), col("n_l"), col("accept_cut"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .withColumn("bucket", stableBucket(keyCol, 1000000))
+      .filter(col("bucket") < col("accept_cut"))
+  }
+
   /** Concatenation-order sequence packing (the pretraining "pack
     * documents into fixed token windows" op): documents are laid out
     * per `groupCol` in `orderCol` order and chunked every `budget`

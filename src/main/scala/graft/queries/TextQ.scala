@@ -1250,6 +1250,38 @@ object TextQ {
        |    AS BIGINT)
        |ORDER BY doc_id""".stripMargin
 
+  /** q97 — temperature-flattened language sampling
+    * ([[graft.ext.Sampling.temperatureSample]]): α = 0.5 (one sqrt
+    * halving), the dominant language kept at rate 0.5 and the tail
+    * boosted by sqrt(n_max/n), capped at 1 — the mT5/XLM-R
+    * multilingual mixing op with bit-portable rate arithmetic (sqrt
+    * is IEEE-correctly-rounded in every engine; the only
+    * cross-stratum reduction is an integer max). */
+  def q97(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling
+      .temperatureSample(Tables(s, dir, "documents"), "lang", "doc_id",
+        halvings = 1, headRate = 0.5)
+      .select(col("doc_id"), col("lang"), col("n_l"), col("bucket"),
+        col("accept_cut"))
+      .orderBy(col("doc_id"))
+
+  val q97Sql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents
+       |  GROUP BY lang),
+       |mx AS (SELECT MAX(n_l) AS n_max FROM c),
+       |r AS (SELECT lang, n_l,
+       |    LEAST(1000000, CAST(FLOOR(1000000.0 * 0.5 *
+       |      SQRT(CAST(n_max AS DOUBLE) / CAST(n_l AS DOUBLE)))
+       |      AS BIGINT)) AS accept_cut
+       |  FROM c, mx),
+       |b AS (SELECT d.doc_id, d.lang, r.n_l, r.accept_cut,
+       |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 1000000 AS bucket
+       |  FROM documents d JOIN r USING (lang))
+       |SELECT doc_id, lang, n_l, bucket, accept_cut
+       |FROM b WHERE bucket < accept_cut
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1283,5 +1315,6 @@ object TextQ {
     QueryDef("q93_hybrid_rrf", q93, Some(q93Sql)),
     QueryDef("q94_canonical_neardup", q94, Some(q94Sql)),
     QueryDef("q95_importance_weights", q95, Some(q95Sql)),
-    QueryDef("q96_importance_resample", q96, Some(q96Sql)))
+    QueryDef("q96_importance_resample", q96, Some(q96Sql)),
+    QueryDef("q97_temperature_sample", q97, Some(q97Sql)))
 }

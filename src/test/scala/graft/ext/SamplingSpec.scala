@@ -86,6 +86,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample flattens the head, boosts the tail, caps at 1") {
+    // 1600 'big' vs 100 'small': at α=0.5, headRate=0.5 the keep
+    // rates are 0.5 and min(1, 0.5·sqrt(16)) = 1.0 — the tail stratum
+    // is kept whole while the head is halved
+    val rows = ((1L to 1600L).map(i => (i, "big")) ++
+      (2001L to 2100L).map(i => (i, "small"))).toDF("id", "src")
+    val out = Sampling.temperatureSample(rows, "src", "id",
+      halvings = 1, headRate = 0.5)
+      .select("id", "src", "accept_cut")
+      .as[(Long, String, Long)].collect()
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("small").length == 100, "tail kept whole (cut = 1e6)")
+    assert(bySrc("small").forall(_._3 == 1000000L))
+    val nBig = bySrc("big").length
+    assert(nBig > 640 && nBig < 960, s"head ~halved: $nBig")
+    assert(bySrc("big").forall(_._3 == 500000L))
+    // more halvings → milder flattening (α → 1): tail cut shrinks
+    val milder = Sampling.temperatureSample(rows, "src", "id",
+      halvings = 2, headRate = 0.5)
+      .filter(col("src") === "small").select("accept_cut")
+      .as[Long].head()
+    assert(milder == 1000000L, "0.5*16^0.5=2 vs 0.5*16^0.25=1 — both cap")
+    val milder3 = Sampling.temperatureSample(rows, "src", "id",
+      halvings = 3, headRate = 0.5)
+      .filter(col("src") === "small").select("accept_cut")
+      .as[Long].head()
+    assert(milder3 < 1000000L && milder3 > 700000L,
+      s"alpha=0.875: 0.5*16^0.125 = ${milder3}")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(rows, "src", "id", halvings = 0)
+    }
+  }
+
   test("mixOrder interleaves sources proportionally to weights") {
     val docs = (("A" -> 10) :: ("B" -> 10) :: Nil)
       .flatMap { case (s, n) => (1 to n).map(i => (s, i.toLong)) }
