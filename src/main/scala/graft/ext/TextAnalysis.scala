@@ -349,26 +349,46 @@ object TextAnalysis {
     * state beyond the bounded broadcast. */
   def importanceScores(df: org.apache.spark.sql.DataFrame, idCol: String,
       isTarget: Column, textCol: String = "text", buckets: Int = 65536)
+  : org.apache.spark.sql.DataFrame =
+    scoreWithWeights(df, idCol,
+      importanceWeightTable(df, isTarget, textCol, buckets),
+      textCol, buckets)
+
+  /** The TRAINABLE half of [[importanceScores]]: the (fid, w) hashed
+    * feature weight table fit on a labeled reference corpus — persist
+    * it (parquet / a graft table) and apply it to any other corpus or
+    * stream with [[scoreWithWeights]] /
+    * [[importanceFilterStreamToTable]]. At most `buckets` rows
+    * regardless of corpus size. `buckets` must match at apply time —
+    * the hash space is part of the model. */
+  def importanceWeightTable(df: org.apache.spark.sql.DataFrame,
+      isTarget: Column, textCol: String = "text", buckets: Int = 65536)
   : org.apache.spark.sql.DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    val bg = df
-      .select(col(idCol).as("id"), isTarget.as("is_target"),
-        split(trim(col(textCol)), "\\s+").as("toks"))
-      .select(col("id"), col("is_target"), explode(expr(
-        """CASE WHEN size(toks) >= 2 THEN
-          |  transform(sequence(0, size(toks) - 2),
-          |    i -> concat(toks[i], ' ', toks[i+1]))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-        .as("bg"))
-      .withColumn("fid", expr(
-        s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
-          s" % $buckets"))
-    val weights = bg.groupBy("fid")
+    hashedBigrams(df.select(isTarget.as("is_target"), col(textCol)),
+      textCol, buckets)
+      .groupBy("fid")
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
         sum(when(col("is_target"), 0L).otherwise(1L)).as("bc"))
       .select(col("fid"),
         expr("(1000000 * (tc + 1)) div (tc + bc + 2)").as("w"))
-    val scores = bg.join(broadcast(weights), Seq("fid"))
+  }
+
+  /** Score a corpus against a PRE-TRAINED (fid, w) weight table (see
+    * [[importanceWeightTable]]). Features absent from the table score
+    * the Laplace-neutral 500000 (= the formula at tc = bc = 0), so a
+    * foreign corpus with unseen vocabulary degrades toward 0.5, not
+    * toward a bias. The weight table broadcasts; the only corpus
+    * shuffle is the per-doc sum. */
+  def scoreWithWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weights: org.apache.spark.sql.DataFrame, textCol: String = "text",
+      buckets: Int = 65536): org.apache.spark.sql.DataFrame = {
+    val bg = hashedBigrams(
+      df.select(col(idCol).as("id"), col(textCol)), textCol, buckets)
+    val scores = bg
+      .join(broadcast(weights.select(col("fid"), col("w"))),
+        Seq("fid"), "left")
+      .withColumn("w", coalesce(col("w"), lit(500000L)))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score_fp"))
     df.select(col(idCol).as("id"))
@@ -380,4 +400,49 @@ object TextAnalysis {
           greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L))
             .cast("double") / lit(1e6)).as("importance"))
   }
+
+  /** One row per word-bigram POSITION with its hashed feature id;
+    * every non-text column of `df` is carried through. */
+  private def hashedBigrams(df: org.apache.spark.sql.DataFrame,
+      textCol: String, buckets: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("bg", explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> concat(toks[i], ' ', toks[i+1]))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .withColumn("fid", expr(
+        s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
+          s" % $buckets"))
+      .drop("toks", "bg", textCol)
+
+  /** Streaming DSIR curation: every micro-batch is scored against a
+    * pre-trained weight table ([[importanceWeightTable]] — a STATIC
+    * frame, re-read per batch so an offline re-fit is picked up live)
+    * and thinned by [[Sampling.importanceResample]]'s deterministic
+    * stable-bucket rule; kept rows append to a graft table
+    * exactly-once (batch-id-keyed txn markers, so crash/replay can
+    * neither lose nor double rows — and because acceptance is a pure
+    * function of (id, score), a replayed batch keeps the SAME rows).
+    * Per-trigger cost: score + filter on the batch only, weight table
+    * broadcast — no state store, no history re-read. */
+  def importanceFilterStreamToTable(stream: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, weights: () => org.apache.spark.sql.DataFrame,
+      outDir: String, checkpointDir: String, boost: Double = 1.0,
+      appId: String = "graft-dsir", buckets: Int = 65536)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val kept = Sampling.importanceResample(
+          scoreWithWeights(batch, idCol, weights(), textCol, buckets),
+          "id", "importance", boost)
+        graft.sink.CdcTable.append(
+          batch.join(kept.select(col("id").as(idCol)),
+            Seq(idCol), "left_semi"),
+          outDir, txn = Some((appId, id)))
+        ()
+      }
+      .start()
 }

@@ -98,6 +98,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == 500000L && r(2L) == 500000L)
   }
 
+  test("importanceFilterStreamToTable curates a stream with trained weights") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("dsirout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dsirck").toString
+    // offline fit: target prose vs junk
+    val ref = Seq((1L, "good clean text", true), (2L, "bad noisy junk", false))
+      .toDF("id", "text", "t")
+    val w = TextAnalysis.importanceWeightTable(ref, col("t"))
+    val arriving = Seq((10L, "good clean text"), (11L, "bad noisy junk"),
+      (12L, "wholly unseen vocabulary"), (13L, "good clean junk"))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.importanceFilterStreamToTable(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", () => w,
+      out, ckpt)
+    try {
+      mem.addData(arriving.take(2): _*); q.processAllAvailable()
+      mem.addData(arriving.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = graft.sink.CdcTable.read(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    // acceptance is a pure function of (id, trained weights): the
+    // batch-path mirror must select the identical set
+    val mirror = Sampling.importanceResample(
+      TextAnalysis.scoreWithWeights(
+        arriving.toDF("doc_id", "text"), "doc_id", w),
+      "id", "importance").select("id").as[Long].collect().toSet
+    assert(kept == mirror, s"stream $kept vs batch $mirror")
+    // spot the scores the cut was judged against: target-like 0.666…,
+    // junk-like 0.333…, unseen vocabulary neutral 0.5
+    val imp = TextAnalysis.scoreWithWeights(
+        arriving.toDF("doc_id", "text"), "doc_id", w)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(imp(10L) == 1333332L && imp(11L) == 666666L &&
+      imp(12L) == 1000000L, imp.toString)
+  }
+
   test("fingerprints and rolling hash are deterministic and order-sensitive") {
     val a = Seq(("w1 w2 w3", "w3 w2 w1")).toDF("t1", "t2")
       .select(TextAnalysis.rollingHash(col("t1")).as("h1"),
