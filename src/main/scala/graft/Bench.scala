@@ -135,7 +135,14 @@ object Bench {
         "q27_recon_bucket_digest", "q45_merge_upsert",
         "q85_session_window", "q86_stream_agg",
         "q88_knn_join_lsh", "q89_bigram_coverage",
-        "q90_knn_join_partitioned")
+        "q90_knn_join_partitioned",
+        // round-10 curation family: canonical selection (forces the
+        // full near-dup pipeline + CC), importance resample (forces
+        // the DSIR scoring pipeline — q95's count() would be
+        // column-pruned to a skeleton, q96's filter forces it),
+        // temperature sampling
+        "q94_canonical_neardup", "q96_importance_resample",
+        "q97_temperature_sample")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()
