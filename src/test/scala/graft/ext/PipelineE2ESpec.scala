@@ -89,6 +89,44 @@ class PipelineE2ESpec extends SparkSpec {
     assert(a.forall(id => !flaggedIds.contains(id)))
   }
 
+  test("curation composes: canonical dedup → DSIR resample → temp mix") {
+    val docs = graft.Tables(spark, dir, "documents")
+    def run() = {
+      // 1. near-dup clusters resolved to their best member; the other
+      //    members drop
+      val res = Dedup.near(docs, "text", "doc_id")
+      val keepBest = Dedup.canonicalByQuality(res, docs,
+        "doc_id", "n_chars")
+      val losers = res.components
+        .join(keepBest.select(col("kept_id").as("id")),
+          Seq("id"), "left_anti")
+        .select(col("id").as("doc_id"))
+      val canon = docs.join(losers, Seq("doc_id"), "left_anti")
+      // 2. DSIR: score targetness vs the English subset, resample
+      val kept = Sampling.importanceResample(
+        TextAnalysis.importanceScores(canon, "doc_id",
+          col("lang") === "en"),
+        "id", "importance", boost = 2.0)
+        .select(col("id").as("doc_id"))
+      val curated = canon.join(kept, Seq("doc_id"), "left_semi")
+      // 3. temperature-flatten the language mix
+      Sampling.temperatureSample(curated, "lang", "doc_id",
+        halvings = 1, headRate = 0.9)
+    }
+    val a = run().select("doc_id").as[Long].collect().sorted.toSeq
+    val b = run().select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "curation pipeline is run-deterministic")
+    assert(a.nonEmpty && a.size < docs.count(), s"kept ${a.size}")
+    // cluster losers really are gone from the final mix
+    val res = Dedup.near(docs, "text", "doc_id")
+    val keptIds = Dedup.canonicalByQuality(res, docs, "doc_id", "n_chars")
+      .select("kept_id").as[Long].collect().toSet
+    val loserIds = res.components.select("id").as[Long].collect().toSet
+      .diff(keptIds)
+    assert(a.forall(id => !loserIds.contains(id)),
+      "no near-dup cluster loser survives curation")
+  }
+
   test("the pipeline result lands in a graft table with stats") {
     val out = tmpDir("pipe_out")
     CdcTable.append(
