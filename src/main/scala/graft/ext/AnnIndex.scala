@@ -33,17 +33,22 @@ object AnnIndex {
     df.withColumn("bucket", Similarity.lshBucket(embCol, planes))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
-  /** Top-k cosine probe for `queryVec`: scans ONLY the query's bucket
-    * partition. The bucket id is computed driver-side so the filter is
-    * a literal — Spark prunes partitions at planning time, not run
-    * time. */
+  /** Top-k cosine probe for `queryVec`: scans ONLY the query's probe
+    * buckets. Bucket ids are computed driver-side so the filter is a
+    * literal (IN-list) — Spark prunes partitions at planning time,
+    * not run time. `probes > 1` turns on multi-probe LSH
+    * ([[Similarity.multiProbeBuckets]]): the base bucket plus the
+    * least-confident single-plane flips — the read-time recall knob
+    * (probe cost grows linearly, the index is untouched). */
   def probe(spark: SparkSession, dir: String, queryVec: Array[Float],
       k: Int, idCol: String = "vec_id", embCol: String = "embedding",
-      planes: Int = 4): DataFrame = {
-    val qb = Similarity.bucketOf(queryVec, planes)
+      planes: Int = 4, probes: Int = 1): DataFrame = {
+    val qbs = Similarity.multiProbeBuckets(queryVec, planes,
+      probes = probes)
     val qe = Similarity.litFloatArraySql(queryVec)
     spark.read.parquet(dir)
-      .filter(col("bucket") === lit(qb))
+      .filter(if (qbs.size == 1) col("bucket") === lit(qbs.head)
+              else col("bucket").isin(qbs: _*))
       .select(col(idCol), col("bucket"),
         (expr(Similarity.dotSql(spark, embCol, qe)) / lit(1e12))
           .as("cos_sim"))
@@ -66,11 +71,28 @@ object AnnIndex {
     * written at. */
   def knnJoinBucketed(index: DataFrame, queries: DataFrame,
       qIdCol: String, k: Int, idCol: String = "vec_id",
-      embCol: String = "embedding", planes: Int = 4): DataFrame = {
+      embCol: String = "embedding", planes: Int = 4,
+      probes: Int = 1): DataFrame = {
     val q0 = queries.select(col(qIdCol).cast("long").as("q_id"),
       col(embCol).as("qe"))
-    val q = broadcast(q0.withColumn("qb",
-      Similarity.lshBucket("qe", planes)))
+    // probes = 1 keeps the single-bucket fast path; > 1 explodes each
+    // query into its multi-probe bucket set (base + least-confident
+    // single-plane flips, [[Similarity.probeSetSql]]) — the query side
+    // stays bounded (× probes) and broadcast, and the equi-join still
+    // keys on the index's partition column, so dynamic partition
+    // pruning covers the UNION of probe buckets
+    val q = broadcast(
+      if (probes == 1)
+        q0.withColumn("qb", Similarity.lshBucket("qe", planes))
+      else {
+        require(probes >= 1 && probes <= planes + 1,
+          s"probes must be in [1, planes+1 = ${planes + 1}]: $probes")
+        q0.withColumn("ms",
+            expr(Similarity.marginsSql("qe", planes)))
+          .withColumn("qb",
+            explode(expr(Similarity.probeSetSql("ms", planes, probes))))
+          .drop("ms")
+      })
     val scored = index.join(q, col("bucket") === col("qb"))
       .select(col("q_id"), col(idCol).cast("long").as("c_id"),
         expr(Similarity.dotSql(index.sparkSession, embCol, "qe")).as("s"))

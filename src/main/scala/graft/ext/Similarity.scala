@@ -171,13 +171,16 @@ object Similarity {
     expr(lshBucketSql(embCol, planes, offset, native))
   }
 
-  /** Driver-side mirror of [[lshBucket]] for probe-time literal
-    * bucket ids (static partition pruning needs a literal, not a
-    * joined column). Bit-identical to the expression by construction. */
-  def bucketOf(vec: Array[Float], planes: Int = 4, offset: Int = 0): Long = {
+  /** Per-plane SIGNED margins of the bucket arithmetic — the raw
+    * fixed-point dot of `vec` with each hyperplane. The bucket is the
+    * sign pattern; the |margin| is the plane's confidence, which is
+    * what multi-probe perturbation orders by. Driver-side mirror of
+    * [[marginsSql]], bit-identical by construction. */
+  def planeMargins(vec: Array[Float], planes: Int = 4,
+      offset: Int = 0): Array[Long] = {
     val fixed = vec.map(x =>
       graft.functions.FixedDot.roundAway(x.toDouble * 1e7))
-    (0 until planes).foldLeft(0L) { (bucket, j) =>
+    Array.tabulate(planes) { j =>
       var s = 0L
       var i = 0
       while (i < fixed.length) {
@@ -186,8 +189,76 @@ object Similarity {
           graft.functions.LshBucket.PlaneMod / 2)
         i += 1
       }
-      if (s > 0) bucket | (1L << j) else bucket
+      s
     }
+  }
+
+  /** Driver-side mirror of [[lshBucket]] for probe-time literal
+    * bucket ids (static partition pruning needs a literal, not a
+    * joined column). Bit-identical to the expression by construction. */
+  def bucketOf(vec: Array[Float], planes: Int = 4, offset: Int = 0): Long =
+    planeMargins(vec, planes, offset).zipWithIndex.foldLeft(0L) {
+      case (bucket, (m, j)) =>
+        if (m > 0) bucket | (1L << j) else bucket
+    }
+
+  /** Multi-probe LSH probe set (Lv et al., "Multi-probe LSH",
+    * VLDB 2007 — the single-bit perturbation variant): the query's
+    * base bucket first, then `probes − 1` buckets obtained by
+    * flipping the LEAST-CONFIDENT planes one at a time, in increasing
+    * (|margin|, plane-index) order — a near neighbor that lands on
+    * the wrong side of a hyperplane almost always does so on one the
+    * query barely cleared, so these are exactly the buckets its
+    * misses hide in. Recall rises with `probes` at linear probe cost
+    * and ZERO index cost (the index is untouched — this is the
+    * read-time recall knob, complementing the write-time band
+    * families). Deterministic, so SQL oracles reproduce the set. */
+  def multiProbeBuckets(vec: Array[Float], planes: Int = 4,
+      offset: Int = 0, probes: Int = 2): Seq[Long] = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes+1 = ${planes + 1}]: $probes")
+    val ms = planeMargins(vec, planes, offset)
+    val base = ms.zipWithIndex.foldLeft(0L) { case (b, (m, j)) =>
+      if (m > 0) b | (1L << j) else b
+    }
+    val flips = ms.zipWithIndex
+      .map { case (m, j) => (math.abs(m), j) }
+      .sorted.take(probes - 1)
+      .map { case (_, j) => base ^ (1L << j) }
+    base +: flips.toSeq
+  }
+
+  /** The per-plane margin array as a Spark expression (0-based array
+    * of `planes` BIGINTs) — [[planeMargins]] for a DISTRIBUTED query
+    * side. HOF composition only; the values are bit-identical to the
+    * driver mirror (same fixed-point arithmetic). */
+  private[graft] def marginsSql(embCol: String, planes: Int,
+      offset: Int = 0): String = {
+    val m = graft.functions.LshBucket.PlaneMod
+    s"""transform(sequence(0, ${planes - 1}), j ->
+       |  aggregate(zip_with($embCol, sequence(0, size($embCol) - 1),
+       |    (x, i) -> CAST(ROUND(CAST(x AS DOUBLE) * 1e7) AS BIGINT)
+       |      * (pmod(i * 31 + (j + $offset) * 17, $m) - ${m / 2})),
+       |    0L, (a2, v) -> a2 + v))""".stripMargin
+  }
+
+  /** Multi-probe bucket ARRAY as a Spark expression over a staged
+    * margin-array column (`msCol`, from [[marginsSql]]): base bucket
+    * first, then single-bit flips in increasing (|margin|, plane)
+    * order — the distributed face of [[multiProbeBuckets]]. */
+  private[graft] def probeSetSql(msCol: String, planes: Int,
+      probes: Int): String = {
+    val base =
+      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) ->
+         |  acc + IF($msCol[j] > 0, shiftleft(1L, CAST(j AS INT)), 0L))"""
+        .stripMargin
+    if (probes == 1) s"array($base)"
+    else
+      s"""concat(array($base), transform(
+         |  slice(array_sort(transform(sequence(0, ${planes - 1}),
+         |    j -> struct(abs($msCol[j]) AS a, j AS j))), 1, ${probes - 1}),
+         |  f -> CAST($base AS BIGINT) ^ shiftleft(1L, CAST(f.j AS INT))))"""
+        .stripMargin
   }
 
   private[graft] def lshBucketSql(embCol: String, planes: Int,

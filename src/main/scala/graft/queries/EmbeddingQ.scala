@@ -242,6 +242,56 @@ object EmbeddingQ {
     * from the partitioned layout — one oracle serves both. */
   val q58Sql: String = q38Sql
 
+  /** q98 — MULTI-PROBE LSH search (Lv et al., "Multi-probe LSH",
+    * VLDB 2007, single-bit perturbations —
+    * [[graft.ext.Similarity.multiProbeBuckets]]): q58's partitioned
+    * probe widened to 3 buckets — the query's base bucket plus the
+    * two LEAST-CONFIDENT plane flips (smallest |margin|, ties to the
+    * lower plane index). All three ids are driver-side literals, so
+    * static partition pruning covers the whole probe set; re-rank is
+    * the exact fixed-point cosine. Recall rises at linear probe cost
+    * with ZERO index change — the read-time recall knob,
+    * complementing the write-time band families. The oracle
+    * reproduces the probe-set derivation (margins → (|margin|, plane)
+    * sort → flips) in SQL, so the knob itself is hash-checked. */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(s, dir)
+    val qvec = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val qbs = Similarity.multiProbeBuckets(qvec, planes = 4, probes = 3)
+    val qe = Similarity.litFloatArraySql(qvec)
+    s.read.parquet(idx)
+      .filter(col("bucket").isin(qbs: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bucket"),
+        (expr(dot(s, "embedding", qe)) / lit(1e12)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q98Sql: String = {
+    val m = graft.functions.LshBucket.PlaneMod
+    val marginJ =
+      s"""list_sum(list_transform(range(1, len(qe) + 1),
+         |  i -> CAST(ROUND(CAST(qe[i] AS DOUBLE) * 1e7) AS BIGINT)
+         |    * ((((i - 1) * 31 + j * 17) % $m) - ${m / 2})))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketD AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |mg AS (SELECT qe,
+       |    list_transform(range(0, 4), j -> $marginJ) AS ms FROM q),
+       |b AS (SELECT qe, ms, CAST(list_sum(list_transform(range(0, 4),
+       |    j -> CASE WHEN ms[j + 1] > 0 THEN 1 << j ELSE 0 END))
+       |    AS BIGINT) AS qb FROM mg),
+       |p AS (SELECT qe, unnest(list_prepend(qb, list_transform(
+       |    list_slice(list_sort(list_transform(range(0, 4),
+       |      j -> [abs(ms[j + 1]), CAST(j AS BIGINT)])), 1, 2),
+       |    f -> xor(qb, CAST(1 << f[2] AS BIGINT))))) AS pb FROM b)
+       |SELECT vec_id, bucket,
+       |  CAST(${dotD("embedding", "qe")} AS DOUBLE) / 1e12 AS cos_sim
+       |FROM e JOIN p ON e.bucket = p.pb WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** q87 — batched k-NN retrieval JOIN, exact baseline
     * ([[graft.ext.Similarity.knnJoinBrute]]): every 7th vector is a
     * query, the rest are the corpus, each query finds its top-5 by
@@ -699,6 +749,7 @@ object EmbeddingQ {
     QueryDef("q38_ann_lsh", q38, Some(q38Sql)),
     QueryDef("q39_ivf_search", q39, Some(q39Sql)),
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
+    QueryDef("q98_multiprobe_ann", q98, Some(q98Sql)),
     QueryDef("q87_knn_join", q87, Some(q87Sql)),
     QueryDef("q88_knn_join_lsh", q88, Some(q88Sql)),
     QueryDef("q90_knn_join_partitioned", q90, Some(q90Sql)),

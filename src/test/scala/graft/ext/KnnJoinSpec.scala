@@ -95,6 +95,68 @@ class KnnJoinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("multiProbeBuckets: base first, single-bit flips by margin") {
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val ms = Similarity.planeMargins(v)
+      val base = Similarity.bucketOf(v)
+      for (p <- 1 to 5) {
+        val bs = Similarity.multiProbeBuckets(v, probes = p)
+        assert(bs.head == base, "base bucket probes first")
+        assert(bs.size == p && bs.distinct.size == p)
+        // every extra probe differs from base in exactly one bit
+        bs.tail.foreach(b =>
+          assert(java.lang.Long.bitCount(b ^ base) == 1, s"$b vs $base"))
+        // flips follow increasing (|margin|, plane) order
+        val flipped = bs.tail.map(b =>
+          java.lang.Long.numberOfTrailingZeros(b ^ base))
+        val expected = ms.zipWithIndex
+          .map { case (m, j) => (math.abs(m), j) }
+          .sorted.take(p - 1).map(_._2)
+        assert(flipped == expected.toSeq, s"$flipped vs ${expected.toSeq}")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.multiProbeBuckets(Array(1f, 0f), planes = 4, probes = 6)
+    }
+  }
+
+  test("distributed probe set is bit-identical to the driver mirror") {
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val got = emb
+      .withColumn("ms", expr(Similarity.marginsSql("embedding", 4)))
+      .withColumn("pbs", expr(Similarity.probeSetSql("ms", 4, 3)))
+      .select($"vec_id", $"pbs").as[(Long, Seq[Long])]
+      .collect().toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == Similarity.multiProbeBuckets(v, probes = 3),
+        s"vec $id")
+    }
+  }
+
+  test("multi-probe widens the LSH join candidate set, never narrows") {
+    val idx = tmpDir("mp-idx")
+    AnnIndex.writeBucketed(emb.filter($"vec_id" % 5 =!= 0), idx)
+    val index = spark.read.parquet(idx)
+    val queries = emb.filter($"vec_id" % 5 === 0)
+    def ids(probes: Int) = AnnIndex
+      .knnJoinBucketed(index, queries, "vec_id", k = 60, probes = probes)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val single = ids(1)
+    val multi = ids(3)
+    assert(single.subsetOf(multi), "probes only add candidates")
+    assert(multi.size > single.size,
+      "on a 16-bucket index, 3 probes must surface extra candidates")
+    // each extra candidate really lives in a single-bit-flip bucket of
+    // its query's base bucket
+    val byId = emb.as[(Long, Array[Float])].collect().toMap
+    (multi -- single).foreach { case (q, c) =>
+      val flips = Similarity.multiProbeBuckets(byId(q), probes = 3).tail
+      assert(flips.contains(Similarity.bucketOf(byId(c))), s"($q,$c)")
+    }
+  }
+
   test("plan reduces via aggregate, not a full-shuffle window") {
     val plan = brute(3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
