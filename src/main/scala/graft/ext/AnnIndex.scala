@@ -111,7 +111,7 @@ object AnnIndex {
   def knnStreamToTable(stream: DataFrame, qIdCol: String,
       indexDir: String, outDir: String, checkpointDir: String,
       k: Int = 10, embCol: String = "embedding", planes: Int = 4,
-      appId: String = "graft-knn")
+      appId: String = "graft-knn", probes: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -119,7 +119,7 @@ object AnnIndex {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val res = knnJoinBucketed(
           batch.sparkSession.read.parquet(indexDir), batch, qIdCol, k,
-          embCol = embCol, planes = planes)
+          embCol = embCol, planes = planes, probes = probes)
         graft.sink.CdcTable.append(res, outDir, txn = Some((appId, id)))
         ()
       }
