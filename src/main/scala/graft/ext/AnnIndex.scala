@@ -164,11 +164,13 @@ object AnnIndex {
     * static partition pruning, exact rerank inside the cluster). */
   def probeIvf(spark: SparkSession, dir: String, queryVec: Array[Float],
       centroids: Seq[(Long, Array[Float])], k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val qcid = Similarity.assignOf(queryVec, centroids)
+      idCol: String = "vec_id", embCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
+    val qcids = Similarity.assignTopN(queryVec, centroids, nprobe)
     val qe = Similarity.litFloatArraySql(queryVec)
     spark.read.parquet(dir)
-      .filter(col("cid") === lit(qcid))
+      .filter(if (qcids.size == 1) col("cid") === lit(qcids.head)
+              else col("cid").isin(qcids: _*))
       .select(col(idCol), col("cid"),
         (expr(Similarity.dotSql(spark, embCol, qe)) / lit(1e12))
           .as("cos_sim"))

@@ -124,11 +124,19 @@ object Similarity {
   def knnJoinIvf(queries: DataFrame, corpus: DataFrame,
       qIdCol: String, cIdCol: String, k: Int,
       centroids: IndexedSeq[(Long, Array[Float])],
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", nprobe: Int = 1): DataFrame = {
     val s = corpus.sparkSession
     val q0 = queries.select(col(qIdCol).cast("long").as("q_id"),
       col(embCol).as("qe"))
-    val q = broadcast(q0.withColumn("qc", ivfAssignLit(s, "qe", centroids)))
+    // nprobe > 1: each query probes its n nearest clusters (FAISS's
+    // nprobe) — the bounded broadcast query side grows ×nprobe, the
+    // corpus side is untouched
+    val q = broadcast(
+      if (nprobe == 1)
+        q0.withColumn("qc", ivfAssignLit(s, "qe", centroids))
+      else
+        q0.withColumn("qc",
+          explode(ivfAssignTopNLit(s, "qe", centroids, nprobe))))
     val c0 = corpus.select(col(cIdCol).cast("long").as("c_id"),
       col(embCol).as("ce"))
     val c = c0.withColumn("cc", ivfAssignLit(s, "ce", centroids))
@@ -825,6 +833,42 @@ object Similarity {
     * cluster ids (static partition pruning needs a literal). */
   def assignOf(vec: Array[Float], cents: Seq[(Long, Array[Float])]): Long =
     cents.map { case (cid, c) => (dotFixedOf(vec, c), -cid) }.max._2 * -1
+
+  /** Top-`nprobe` centroid ids for a query vector (dot desc, ties to
+    * the smaller cid) — the IVF `nprobe` recall knob's driver-side
+    * face (FAISS's nprobe): a near neighbor whose cluster narrowly
+    * lost the argmax is recovered by probing the runner-up clusters.
+    * Linear probe cost, zero index change — the IVF analog of
+    * [[multiProbeBuckets]]. */
+  def assignTopN(vec: Array[Float], cents: Seq[(Long, Array[Float])],
+      nprobe: Int): Seq[Long] = {
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe must be in [1, ${cents.size}]: $nprobe")
+    cents.map { case (cid, c) => (dotFixedOf(vec, c), cid) }
+      .sortBy { case (d, cid) => (-d, cid) }
+      .take(nprobe).map(_._2).toSeq
+  }
+
+  /** Per-row ARRAY of the `nprobe` nearest centroid ids (dot desc,
+    * ties to the smaller cid) — [[ivfAssignLit]] generalized for a
+    * DISTRIBUTED query side: still one codegen'd projection with the
+    * centroids inlined as literals, no fan-out join, no shuffle. The
+    * ascending struct sort over (dot, −cid) reversed yields exactly
+    * the (dot desc, cid asc) order the driver mirror uses. */
+  def ivfAssignTopNLit(spark: org.apache.spark.sql.SparkSession,
+      embCol: String, cents: Seq[(Long, Array[Float])],
+      nprobe: Int): Column = {
+    require(cents.nonEmpty, "need at least one centroid")
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe must be in [1, ${cents.size}]: $nprobe")
+    val structs = cents.map { case (cid, vec) =>
+      struct(expr(dotSql(spark, embCol, litFloatArraySql(vec))).as("d"),
+        lit(-cid).as("nc"))
+    }.toIndexedSeq
+    transform(
+      slice(reverse(array_sort(array(structs: _*))), 1, nprobe),
+      x => -x.getField("nc"))
+  }
 
   /** Assign every row to its max-dot centroid (IVF coarse quantizer).
     * `centroids` must have (cid, ce) columns; it is broadcast. The

@@ -177,6 +177,51 @@ object EmbeddingQ {
        |FROM assigned, q WHERE cid = qcid AND vec_id <> 42
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  /** q99 — IVF search with NPROBE ([[graft.ext.Similarity.assignTopN]]
+    * — FAISS's nprobe knob): q39's search widened to the query's TWO
+    * nearest clusters. A near neighbor whose cluster narrowly lost
+    * the coarse argmax is recovered by probing the runner-up — recall
+    * rises at linear probe cost with zero index change, the IVF
+    * analog of q98's multi-probe. The probed cluster ids are
+    * driver-side literals (partition-prunable against
+    * [[graft.ext.AnnIndex.writeIvf]]'s layout); the oracle derives
+    * the same top-2 clusters with a rank over the centroid dots. */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    val qvec = emb.filter(col("vec_id") === 42)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val qcids = Similarity.assignTopN(qvec, cents, nprobe = 2)
+    val qe = Similarity.litFloatArraySql(qvec)
+    emb.withColumn("cid", Similarity.ivfAssignLit(s, "embedding", cents))
+      .filter(col("cid").isin(qcids: _*) && col("vec_id") =!= 42)
+      .select(col("vec_id"), col("cid"),
+        (expr(dot(s, "embedding", qe)) / lit(1e12)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val q99Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id, embedding, cid FROM scored
+       |  WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+       |qtop AS (SELECT c.cid FROM cent c, q
+       |  ORDER BY ${dotD("qe", "c.ce")} DESC, c.cid LIMIT 2)
+       |SELECT vec_id, cid,
+       |  CAST(${dotD("embedding", "qe")} AS DOUBLE) / 1e12 AS cos_sim
+       |FROM assigned, q
+       |WHERE cid IN (SELECT cid FROM qtop) AND vec_id <> 42
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
   // ------------------------------------------------------------------
   // q58 — write-time bucket partitioning (the real 100 TB ANN shape)
   // ------------------------------------------------------------------
@@ -750,6 +795,7 @@ object EmbeddingQ {
     QueryDef("q39_ivf_search", q39, Some(q39Sql)),
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
     QueryDef("q98_multiprobe_ann", q98, Some(q98Sql)),
+    QueryDef("q99_ivf_nprobe", q99, Some(q99Sql)),
     QueryDef("q87_knn_join", q87, Some(q87Sql)),
     QueryDef("q88_knn_join_lsh", q88, Some(q88Sql)),
     QueryDef("q90_knn_join_partitioned", q90, Some(q90Sql)),

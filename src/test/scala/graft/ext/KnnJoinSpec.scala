@@ -157,6 +157,35 @@ class KnnJoinSpec extends SparkSpec {
     }
   }
 
+  test("IVF nprobe: top-n assignment mirrors, candidates only widen") {
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val cents = rows.filter(_._1 < 4).sortBy(_._1).toIndexedSeq
+    // driver mirror vs the distributed literal-argmax expression
+    val got = emb
+      .withColumn("cs",
+        Similarity.ivfAssignTopNLit(spark, "embedding", cents, 3))
+      .select($"vec_id", $"cs").as[(Long, Seq[Long])].collect().toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == Similarity.assignTopN(v, cents, 3), s"vec $id")
+      assert(got(id).head == Similarity.assignOf(v, cents),
+        "first probe is the plain assignment")
+    }
+    // join candidates widen monotonically with nprobe; at nprobe = k
+    // (all clusters) the IVF join equals the brute ranking
+    def ids(np: Int) = Similarity.knnJoinIvf(
+      emb.filter($"vec_id" % 5 === 0), emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "vec_id", k = 60, cents, nprobe = np)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val n1 = ids(1); val n2 = ids(2); val n4 = ids(4)
+    assert(n1.subsetOf(n2) && n2.subsetOf(n4), "nprobe only adds")
+    assert(n4 == brute(60).select($"q_id", $"c_id")
+      .as[(Long, Long)].collect().toSet,
+      "probing every cluster is exhaustive search")
+    intercept[IllegalArgumentException] {
+      Similarity.assignTopN(rows.head._2, cents, 5)
+    }
+  }
+
   test("plan reduces via aggregate, not a full-shuffle window") {
     val plan = brute(3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
