@@ -42,6 +42,25 @@ class AnnIndexSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     val got = probe.select("vec_id").as[Long].collect().toSeq
     assert(got == expect)
+
+    // multi-probe: the IN-list of probe buckets must STILL land in
+    // PartitionFilters (an `In` over the partition column is
+    // planning-time prunable), and the result is the union of the
+    // probed buckets re-ranked
+    val mp = AnnIndex.probe(spark, dir, qvec, k = 5, probes = 3)
+    val mpScan = mp.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(mpScan.contains("bucket"),
+      s"multi-probe IN-list missing from PartitionFilters: $mpScan")
+    val qbs = Similarity.multiProbeBuckets(qvec, probes = 3)
+    val expectMp = Similarity
+      .withCosine(corpus
+        .withColumn("bucket", Similarity.lshBucket("embedding"))
+        .filter($"bucket".isin(qbs: _*)),
+        Seq(Tuple1(qvec)).toDF("qe"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(5).select("vec_id").as[Long].collect().toSeq
+    assert(mp.select("vec_id").as[Long].collect().toSeq == expectMp)
   }
 
   test("IVF index probes only the query's cluster partition") {
