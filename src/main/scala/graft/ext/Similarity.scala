@@ -870,6 +870,121 @@ object Similarity {
       x => -x.getField("nc"))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (ADC) — Jégou et al., "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011, in the inner-product
+  // metric this engine's fixed-point dot defines. A d-dim vector is
+  // split into m subvectors; each is replaced by the id of its
+  // max-dot codebook entry, so the corpus stores m small ints per
+  // vector (64 float dims → 4 bytes at m=4, k≤256 — the embedding
+  // column compresses ~64×). Query scoring is ADC: one (m × k)
+  // lookup table of exact fixed-point sub-dots, then a doc's score is
+  // the sum of m table lookups — integer arithmetic end to end, so
+  // Spark and SQL oracles agree bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** Sampled codebooks: code c of subvector s is row c's subvector s
+    * (the first `codes` ids serve as the sample). Deterministic and
+    * SQL-derivable — the oracle-checkable counterpart of
+    * [[pqTrainCodebooks]] (same trick as q39's first-8-rows
+    * centroids vs q75's trained ones). */
+  def pqCodebooksFromRows(df: DataFrame, idCol: String, embCol: String,
+      m: Int = 4, codes: Int = 16)
+  : IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val rows = df.filter(col(idCol) < codes)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    require(rows.length == codes,
+      s"need ids 0..${codes - 1} as codebook sample, found ${rows.length}")
+    pqSplit(rows.map(_._2), m)
+  }
+
+  /** TRAINED codebooks: per-subvector Lloyd's k-means
+    * ([[kmeansFit]] on each slice). The real quality path; spec-
+    * checked (an iterative fit cannot be replayed by a SQL oracle). */
+  def pqTrainCodebooks(df: DataFrame, idCol: String, embCol: String,
+      m: Int = 4, codes: Int = 16, iters: Int = 5)
+  : IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val d = df.select(size(col(embCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d must split into $m subvectors")
+    val w = d / m
+    (0 until m).map { s =>
+      kmeansFit(df.select(col(idCol),
+          expr(s"slice($embCol, ${s * w + 1}, $w)").as(embCol)),
+        idCol, embCol, codes, iters)
+        .sortBy(_._1).map(_._2).toIndexedSeq
+    }.toIndexedSeq
+  }
+
+  private def pqSplit(vecs: IndexedSeq[Array[Float]], m: Int)
+  : IndexedSeq[IndexedSeq[Array[Float]]] = {
+    val d = vecs.head.length
+    require(d % m == 0, s"dim $d must split into $m subvectors")
+    val w = d / m
+    IndexedSeq.tabulate(m)(s =>
+      vecs.map(v => v.slice(s * w, (s + 1) * w)))
+  }
+
+  /** Per-row PQ code ARRAY (m BIGINT codes, each the max-dot codebook
+    * entry of its subvector, ties to the smaller code): ONE codegen'd
+    * projection with the codebook entries inlined as literals — no
+    * join, no shuffle, the same literal-argmax shape as
+    * [[ivfAssignLit]]. */
+  def pqEncodeLit(spark: org.apache.spark.sql.SparkSession,
+      embCol: String, books: IndexedSeq[IndexedSeq[Array[Float]]])
+  : Column = {
+    val w = books.head.head.length
+    array(books.zipWithIndex.map { case (book, s) =>
+      val sub = s"slice($embCol, ${s * w + 1}, $w)"
+      -greatest(book.zipWithIndex.map { case (cv, c) =>
+        struct(expr(dotSql(spark, sub, litFloatArraySql(cv))).as("d"),
+          lit(-c.toLong).as("nc"))
+      }: _*).getField("nc")
+    }: _*)
+  }
+
+  /** The query's ADC lookup table: exact fixed-point dot of each
+    * codebook entry with the query's matching subvector. (m × k)
+    * longs — driver-side, bounded, feeds [[pqAdcLit]] as literals. */
+  def pqLut(queryVec: Array[Float],
+      books: IndexedSeq[IndexedSeq[Array[Float]]])
+  : IndexedSeq[IndexedSeq[Long]] = {
+    val w = books.head.head.length
+    books.zipWithIndex.map { case (book, s) =>
+      val qs = queryVec.slice(s * w, (s + 1) * w)
+      book.map(cv => dotFixedOf(qs, cv))
+    }
+  }
+
+  /** ADC score from a PQ code array column: Σ over subvectors of the
+    * query's lookup-table entry for the stored code — m literal-array
+    * `element_at`s summed, a scan-speed projection over the COMPRESSED
+    * column (the raw embedding is not read at all). */
+  def pqAdcLit(codesCol: String,
+      lut: IndexedSeq[IndexedSeq[Long]]): Column =
+    lut.zipWithIndex.map { case (row, s) =>
+      element_at(array(row.map(lit): _*),
+        (col(codesCol).getItem(s) + 1).cast("int"))
+    }.reduce(_ + _)
+
+  /** Driver mirrors of [[pqEncodeLit]] / [[pqAdcLit]] (bit-identical
+    * by construction; spec-asserted on random vectors). */
+  def pqEncodeOf(vec: Array[Float],
+      books: IndexedSeq[IndexedSeq[Array[Float]]]): IndexedSeq[Long] = {
+    val w = books.head.head.length
+    books.zipWithIndex.map { case (book, s) =>
+      val sub = vec.slice(s * w, (s + 1) * w)
+      book.zipWithIndex
+        .map { case (cv, c) => (dotFixedOf(sub, cv), -c.toLong) }
+        .max._2 * -1
+    }
+  }
+
+  def pqAdcOf(codes: IndexedSeq[Long],
+      lut: IndexedSeq[IndexedSeq[Long]]): Long =
+    codes.zipWithIndex.map { case (c, s) => lut(s)(c.toInt) }.sum
+
   /** Assign every row to its max-dot centroid (IVF coarse quantizer).
     * `centroids` must have (cid, ce) columns; it is broadcast. The
     * argmax is a map-side-combinable `max_by` aggregation (partial agg

@@ -222,6 +222,58 @@ object EmbeddingQ {
        |WHERE cid IN (SELECT cid FROM qtop) AND vec_id <> 42
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  /** q100 — PRODUCT-QUANTIZED search with ADC scoring (Jégou et al.
+    * TPAMI 2011 — [[graft.ext.Similarity.pqEncodeLit]] /
+    * [[graft.ext.Similarity.pqAdcLit]]): the 64-dim embeddings
+    * compress to 4 codebook ids (m = 4 subvectors × 16 sampled
+    * codes — rows 0..15 serve as the codebook, the SQL-derivable
+    * variant; the k-means-trained path is spec-checked), and the
+    * query ranks the corpus from the CODES ALONE — one (4 × 16)
+    * exact fixed-point lookup table, score = sum of 4 lookups,
+    * integer arithmetic end to end so the oracle hash-matches the
+    * approximate scores bit-for-bit. At 100 TB this is the memory
+    * story: the scan reads 4 small ints per vector, not 64 floats. */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val books = Similarity
+      .pqCodebooksFromRows(emb, "vec_id", "embedding", m = 4, codes = 16)
+    val qvec = emb.filter(col("vec_id") === 42)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val lut = Similarity.pqLut(qvec, books)
+    emb.filter(col("vec_id") >= 16 && col("vec_id") =!= 42)
+      .withColumn("codes", Similarity.pqEncodeLit(s, "embedding", books))
+      .withColumn("adc_fp", Similarity.pqAdcLit("codes", lut))
+      .select(col("vec_id"), col("adc_fp"),
+        (col("adc_fp").cast("double") / lit(1e12)).as("adc_sim"))
+      .orderBy(col("adc_fp").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q100Sql: String =
+    s"""WITH sub AS (SELECT unnest(range(0, 4)) AS s),
+       |cbe AS (SELECT vec_id AS code, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS cv
+       |  FROM embeddings, sub WHERE vec_id < 16),
+       |dsub AS (SELECT vec_id, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS dv
+       |  FROM embeddings, sub WHERE vec_id >= 16 AND vec_id <> 42),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT d.vec_id, d.s, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+       |        ORDER BY ${dotD("d.dv", "c.cv")} DESC, c.code) AS rn
+       |    FROM dsub d JOIN cbe c ON d.s = c.s) WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+       |qsub AS (SELECT s, qe[s * 16 + 1 : s * 16 + 16] AS qv
+       |  FROM q, sub),
+       |lut AS (SELECT c.s, c.code,
+       |    CAST(${dotD("qv", "c.cv")} AS BIGINT) AS pd
+       |  FROM cbe c JOIN qsub ON c.s = qsub.s),
+       |adc AS (SELECT vec_id, CAST(SUM(pd) AS BIGINT) AS adc_fp
+       |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+       |  GROUP BY vec_id)
+       |SELECT vec_id, adc_fp, CAST(adc_fp AS DOUBLE) / 1e12 AS adc_sim
+       |FROM adc ORDER BY adc_fp DESC, vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------------
   // q58 — write-time bucket partitioning (the real 100 TB ANN shape)
   // ------------------------------------------------------------------
@@ -796,6 +848,7 @@ object EmbeddingQ {
     QueryDef("q58_ann_lsh_partitioned", q58, Some(q58Sql)),
     QueryDef("q98_multiprobe_ann", q98, Some(q98Sql)),
     QueryDef("q99_ivf_nprobe", q99, Some(q99Sql)),
+    QueryDef("q100_pq_adc", q100, Some(q100Sql)),
     QueryDef("q87_knn_join", q87, Some(q87Sql)),
     QueryDef("q88_knn_join_lsh", q88, Some(q88Sql)),
     QueryDef("q90_knn_join_partitioned", q90, Some(q90Sql)),

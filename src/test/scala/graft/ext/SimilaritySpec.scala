@@ -93,6 +93,79 @@ class SimilaritySpec extends SparkSpec {
       "kept-only indexing: one index row per kept hashable vector")
   }
 
+  test("PQ: distributed encode/ADC are bit-identical to the mirrors") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Similarity
+      .pqCodebooksFromRows(df, "vec_id", "embedding", m = 4, codes = 8)
+    assert(books.length == 4 && books.forall(_.length == 8) &&
+      books.forall(_.forall(_.length == 4)))
+    val q = vecs(39)._2
+    val lut = Similarity.pqLut(q, books)
+    val got = df
+      .withColumn("codes", Similarity.pqEncodeLit(spark, "embedding", books))
+      .withColumn("adc", Similarity.pqAdcLit("codes", lut))
+      .select($"vec_id", $"codes", $"adc")
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    vecs.foreach { case (id, v) =>
+      val codes = Similarity.pqEncodeOf(v, books)
+      assert(got(id)._1 == codes, s"vec $id encode")
+      assert(got(id)._2 == Similarity.pqAdcOf(codes, lut), s"vec $id adc")
+    }
+    // ADC approximates the true dot: on this corpus the rank
+    // correlation must be strongly positive (exactness is impossible
+    // by construction — that is the compression tradeoff)
+    val pairs = vecs.dropRight(1).map { case (id, v) =>
+      (Similarity.dotFixedOf(v, q).toDouble, got(id)._2.toDouble)
+    }
+    val n = pairs.length
+    def ranks(xs: Seq[Double]) = {
+      val idx = xs.zipWithIndex.sortBy(_._1).map(_._2)
+      val r = new Array[Double](n)
+      idx.zipWithIndex.foreach { case (orig, rk) => r(orig) = rk }
+      r.toSeq
+    }
+    val (ra, rb) = (ranks(pairs.map(_._1)), ranks(pairs.map(_._2)))
+    val d2 = ra.zip(rb).map { case (a, b) => (a - b) * (a - b) }.sum
+    val spearman = 1.0 - 6 * d2 / (n * (n * n - 1.0))
+    info(f"ADC-vs-exact Spearman: $spearman%.3f")
+    assert(spearman > 0.5, f"ADC must track the exact ranking: $spearman%.3f")
+  }
+
+  test("PQ trained codebooks beat sampled ones on quantization dot") {
+    // the k-means path is not oracle-checkable (iterative); assert it
+    // helps where it should: average max-dot of each subvector to its
+    // codebook (the quantity k-means maximizes here) is at least the
+    // sampled codebooks'
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 60L).map { id =>
+      (id, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val sampled = Similarity
+      .pqCodebooksFromRows(df, "vec_id", "embedding", m = 4, codes = 4)
+    val trained = Similarity
+      .pqTrainCodebooks(df, "vec_id", "embedding", m = 4, codes = 4,
+        iters = 5)
+    assert(trained.length == 4 && trained.forall(_.length <= 4))
+    def fit(books: IndexedSeq[IndexedSeq[Array[Float]]]): Double =
+      vecs.map { case (_, v) =>
+        val codes = Similarity.pqEncodeOf(v, books)
+        val w = books.head.head.length
+        codes.zipWithIndex.map { case (c, s) =>
+          Similarity.dotFixedOf(v.slice(s * w, (s + 1) * w),
+            books(s)(c.toInt)).toDouble
+        }.sum
+      }.sum / vecs.length
+    val (fs, ft) = (fit(sampled), fit(trained))
+    info(f"quantization dot: sampled $fs%.0f trained $ft%.0f")
+    assert(ft >= fs * 0.99, "training must not be materially worse")
+  }
+
   test("probe widths interoperate on one index (stored bits are a prefix)") {
     val idx = java.nio.file.Files.createTempDirectory("pmidx").toString
     // bvals are stored at full width, so a later probe may use ANY
