@@ -274,6 +274,62 @@ object EmbeddingQ {
        |SELECT vec_id, adc_fp, CAST(adc_fp AS DOUBLE) / 1e12 AS adc_sim
        |FROM adc ORDER BY adc_fp DESC, vec_id LIMIT 10""".stripMargin
 
+  /** q101 — two-stage PQ retrieval: ADC SHORTLIST → EXACT RERANK (the
+    * standard production pattern over q100): the compressed codes
+    * rank the whole corpus cheaply, the top-40 shortlist alone pays
+    * the exact fixed-point cosine, and the final top-10 is ordered by
+    * the TRUE similarity. At 100 TB the float embeddings are touched
+    * for 40 rows, not the corpus. Deterministic end to end (both
+    * stages' ties break on vec_id), so the oracle replays shortlist
+    * and rerank exactly. */
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val books = Similarity
+      .pqCodebooksFromRows(emb, "vec_id", "embedding", m = 4, codes = 16)
+    val qvec = emb.filter(col("vec_id") === 42)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val lut = Similarity.pqLut(qvec, books)
+    val qe = Similarity.litFloatArraySql(qvec)
+    emb.filter(col("vec_id") >= 16 && col("vec_id") =!= 42)
+      .withColumn("codes", Similarity.pqEncodeLit(s, "embedding", books))
+      .withColumn("adc_fp", Similarity.pqAdcLit("codes", lut))
+      .orderBy(col("adc_fp").desc, col("vec_id"))
+      .limit(40)
+      .select(col("vec_id"), col("adc_fp"),
+        (expr(dot(s, "embedding", qe)) / lit(1e12)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q101Sql: String =
+    s"""WITH sub AS (SELECT unnest(range(0, 4)) AS s),
+       |cbe AS (SELECT vec_id AS code, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS cv
+       |  FROM embeddings, sub WHERE vec_id < 16),
+       |dsub AS (SELECT vec_id, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS dv
+       |  FROM embeddings, sub WHERE vec_id >= 16 AND vec_id <> 42),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT d.vec_id, d.s, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+       |        ORDER BY ${dotD("d.dv", "c.cv")} DESC, c.code) AS rn
+       |    FROM dsub d JOIN cbe c ON d.s = c.s) WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+       |qsub AS (SELECT s, qe[s * 16 + 1 : s * 16 + 16] AS qv
+       |  FROM q, sub),
+       |lut AS (SELECT c.s, c.code,
+       |    CAST(${dotD("qv", "c.cv")} AS BIGINT) AS pd
+       |  FROM cbe c JOIN qsub ON c.s = qsub.s),
+       |adc AS (SELECT vec_id, CAST(SUM(pd) AS BIGINT) AS adc_fp
+       |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+       |  GROUP BY vec_id),
+       |short AS (SELECT vec_id, adc_fp FROM adc
+       |  ORDER BY adc_fp DESC, vec_id LIMIT 40)
+       |SELECT sh.vec_id, sh.adc_fp,
+       |  CAST(${dotD("e.embedding", "qe")} AS DOUBLE) / 1e12 AS cos_sim
+       |FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id, q
+       |ORDER BY cos_sim DESC, sh.vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------------
   // q58 — write-time bucket partitioning (the real 100 TB ANN shape)
   // ------------------------------------------------------------------
@@ -849,6 +905,7 @@ object EmbeddingQ {
     QueryDef("q98_multiprobe_ann", q98, Some(q98Sql)),
     QueryDef("q99_ivf_nprobe", q99, Some(q99Sql)),
     QueryDef("q100_pq_adc", q100, Some(q100Sql)),
+    QueryDef("q101_pq_rerank", q101, Some(q101Sql)),
     QueryDef("q87_knn_join", q87, Some(q87Sql)),
     QueryDef("q88_knn_join_lsh", q88, Some(q88Sql)),
     QueryDef("q90_knn_join_partitioned", q90, Some(q90Sql)),
