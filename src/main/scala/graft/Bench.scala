@@ -142,7 +142,10 @@ object Bench {
         // column-pruned to a skeleton, q96's filter forces it),
         // temperature sampling
         "q94_canonical_neardup", "q96_importance_resample",
-        "q97_temperature_sample")
+        "q97_temperature_sample",
+        // PQ encode+ADC is a corpus-wide scan (the compression path's
+        // scaling row); the point probes q98/q99 are fixed-cost
+        "q100_pq_adc")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()
