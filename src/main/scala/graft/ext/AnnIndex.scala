@@ -162,6 +162,45 @@ object AnnIndex {
 
   /** Top-k probe of the query's own cluster only (literal cluster id →
     * static partition pruning, exact rerank inside the cluster). */
+  /** IVF+PQ index (the FAISS IVFPQ shape): rows partition by their
+    * nearest-centroid id AND store only (id, PQ codes) — the float
+    * embedding column is NOT written, so the index is ~64× smaller
+    * than the raw vectors and a probe reads a few small-int columns
+    * from nprobe partitions. This is the 100 TB shape where both
+    * levers compose: partition pruning bounds IO, code storage bounds
+    * bytes-per-row. */
+  def writeIvfPq(df: DataFrame, dir: String,
+      centroids: Seq[(Long, Array[Float])],
+      books: IndexedSeq[IndexedSeq[Array[Float]]],
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val s = df.sparkSession
+    df.withColumn("cid", Similarity.ivfAssignLit(s, embCol, centroids))
+      .withColumn("codes", Similarity.pqEncodeLit(s, embCol, books))
+      .select(col(idCol), col("codes"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+  }
+
+  /** ADC top-k against an [[writeIvfPq]] index: the query's `nprobe`
+    * nearest clusters (literal IN-list → static partition pruning)
+    * scored from the CODES alone via the (m × k) exact fixed-point
+    * lookup table. For the exact-rerank production pattern, join the
+    * returned shortlist back to the raw vectors (q101's shape). */
+  def probeIvfPq(spark: SparkSession, dir: String,
+      queryVec: Array[Float], centroids: Seq[(Long, Array[Float])],
+      books: IndexedSeq[IndexedSeq[Array[Float]]], k: Int,
+      nprobe: Int = 1, idCol: String = "vec_id"): DataFrame = {
+    val qcids = Similarity.assignTopN(queryVec, centroids, nprobe)
+    val lut = Similarity.pqLut(queryVec, books)
+    spark.read.parquet(dir)
+      .filter(if (qcids.size == 1) col("cid") === lit(qcids.head)
+              else col("cid").isin(qcids: _*))
+      .withColumn("adc_fp", Similarity.pqAdcLit("codes", lut))
+      .select(col(idCol), col("cid"), col("adc_fp"),
+        (col("adc_fp").cast("double") / lit(1e12)).as("adc_sim"))
+      .orderBy(col("adc_fp").desc, col(idCol))
+      .limit(k)
+  }
+
   def probeIvf(spark: SparkSession, dir: String, queryVec: Array[Float],
       centroids: Seq[(Long, Array[Float])], k: Int,
       idCol: String = "vec_id", embCol: String = "embedding",

@@ -330,6 +330,80 @@ object EmbeddingQ {
        |FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id, q
        |ORDER BY cos_sim DESC, sh.vec_id LIMIT 10""".stripMargin
 
+  /** q102 — IVF+PQ search (the FAISS-IVFPQ composition,
+    * [[graft.ext.AnnIndex.writeIvfPq]]'s read-time mirror): the
+    * corpus assigns to centroid clusters (vectors 0..7, q39's
+    * convention), the query probes its 2 nearest clusters (q99's
+    * nprobe), and candidates rank by ADC over the PQ codes (q100's
+    * codebooks — rows 0..15) WITHOUT touching their float vectors.
+    * Both levers compose: partition pruning bounds IO, code storage
+    * bounds bytes — the 100 TB retrieval shape. Exact integer
+    * arithmetic end to end; the oracle replays assignment, probe-set,
+    * encode, and ADC in SQL. */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    val books = Similarity
+      .pqCodebooksFromRows(emb, "vec_id", "embedding", m = 4, codes = 16)
+    val qvec = emb.filter(col("vec_id") === 42)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val qcids = Similarity.assignTopN(qvec, cents, nprobe = 2)
+    val lut = Similarity.pqLut(qvec, books)
+    emb.filter(col("vec_id") >= 16 && col("vec_id") =!= 42)
+      .withColumn("cid", Similarity.ivfAssignLit(s, "embedding", cents))
+      .filter(col("cid").isin(qcids: _*))
+      .withColumn("codes", Similarity.pqEncodeLit(s, "embedding", books))
+      .withColumn("adc_fp", Similarity.pqAdcLit("codes", lut))
+      .select(col("vec_id"), col("cid"), col("adc_fp"),
+        (col("adc_fp").cast("double") / lit(1e12)).as("adc_sim"))
+      .orderBy(col("adc_fp").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q102Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS ccid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 8),
+       |doc AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id >= 16 AND vec_id <> 42),
+       |assigned AS (SELECT vec_id, embedding, ccid AS cid FROM (
+       |    SELECT d.vec_id, d.embedding, c.ccid,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY ${dotD("d.embedding", "c.ce")} DESC, c.ccid)
+       |        AS rn
+       |    FROM doc d CROSS JOIN cent c) WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+       |qtop AS (SELECT c.ccid AS cid FROM cent c, q
+       |  ORDER BY ${dotD("qe", "c.ce")} DESC, c.ccid LIMIT 2),
+       |cand AS (SELECT vec_id, embedding, cid FROM assigned
+       |  WHERE cid IN (SELECT cid FROM qtop)),
+       |sub AS (SELECT unnest(range(0, 4)) AS s),
+       |cbe AS (SELECT vec_id AS code, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS cv
+       |  FROM embeddings, sub WHERE vec_id < 16),
+       |dsub AS (SELECT vec_id, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS dv
+       |  FROM cand, sub),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT d.vec_id, d.s, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+       |        ORDER BY ${dotD("d.dv", "c.cv")} DESC, c.code) AS rn
+       |    FROM dsub d JOIN cbe c ON d.s = c.s) WHERE rn = 1),
+       |qsub AS (SELECT s, qe[s * 16 + 1 : s * 16 + 16] AS qv
+       |  FROM q, sub),
+       |lut AS (SELECT c.s, c.code,
+       |    CAST(${dotD("qv", "c.cv")} AS BIGINT) AS pd
+       |  FROM cbe c JOIN qsub ON c.s = qsub.s),
+       |adc AS (SELECT vec_id, CAST(SUM(pd) AS BIGINT) AS adc_fp
+       |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+       |  GROUP BY vec_id)
+       |SELECT a.vec_id, ca.cid, a.adc_fp,
+       |  CAST(a.adc_fp AS DOUBLE) / 1e12 AS adc_sim
+       |FROM adc a JOIN cand ca ON ca.vec_id = a.vec_id
+       |ORDER BY a.adc_fp DESC, a.vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------------------------------------
   // q58 — write-time bucket partitioning (the real 100 TB ANN shape)
   // ------------------------------------------------------------------
@@ -906,6 +980,7 @@ object EmbeddingQ {
     QueryDef("q99_ivf_nprobe", q99, Some(q99Sql)),
     QueryDef("q100_pq_adc", q100, Some(q100Sql)),
     QueryDef("q101_pq_rerank", q101, Some(q101Sql)),
+    QueryDef("q102_ivfpq", q102, Some(q102Sql)),
     QueryDef("q87_knn_join", q87, Some(q87Sql)),
     QueryDef("q88_knn_join_lsh", q88, Some(q88Sql)),
     QueryDef("q90_knn_join_partitioned", q90, Some(q90Sql)),

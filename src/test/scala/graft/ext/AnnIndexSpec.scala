@@ -108,6 +108,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(probe.select("vec_id").as[Long].collect().toSeq == expect)
   }
 
+  test("IVFPQ index: no floats stored, pruned probe, mirror-exact ADC") {
+    val dir = tmpDir("ivfpq")
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    val cents = rows.filter(_._1 < 4).sortBy(_._1).toIndexedSeq
+    val books = Similarity
+      .pqCodebooksFromRows(corpus, "vec_id", "embedding", m = 4, codes = 8)
+    AnnIndex.writeIvfPq(corpus, dir, cents, books)
+    // the embedding column is genuinely gone — the index stores codes
+    val idx = spark.read.parquet(dir)
+    assert(!idx.columns.contains("embedding"),
+      s"IVFPQ index must not store floats: ${idx.columns.toSeq}")
+    val q = rows.find(_._1 == 7L).get._2
+    val probe = AnnIndex.probeIvfPq(spark, dir, q, cents, books,
+      k = 5, nprobe = 2)
+    val scanLine = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cid"),
+      s"nprobe IN-list missing from PartitionFilters: $scanLine")
+    // driver mirror: members of the 2 probed clusters ranked by ADC
+    val qcids = Similarity.assignTopN(q, cents, 2).toSet
+    val lut = Similarity.pqLut(q, books)
+    val expect = rows
+      .filter { case (_, v) => qcids(Similarity.assignOf(v, cents)) }
+      .map { case (id, v) =>
+        (id, Similarity.pqAdcOf(Similarity.pqEncodeOf(v, books), lut)) }
+      .sortBy { case (id, adc) => (-adc, id) }.take(5).toSeq
+    val got = probe.select($"vec_id", $"adc_fp")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("appendIvf grows the index in place; probes see old and new") {
     val dir = tmpDir("ivfappend")
     val all = corpus.select("vec_id", "embedding")
