@@ -445,4 +445,125 @@ object TextAnalysis {
         ()
       }
       .start()
+
+  // ---- CCNet-style perplexity filtering -------------------------------
+
+  /** The TRAINABLE half of [[perplexityBuckets]]: the hashed-bigram
+    * language model — two bounded count tables, (bfid → bc) bigram
+    * occurrences and (pfid → pc) prefix occurrences over the TARGET
+    * subset (CCNet trains its KenLM on Wikipedia; `isTarget` marks
+    * the model corpus here, NULL counting as background). Each table
+    * has at most `buckets` rows regardless of corpus size — persist
+    * them and score any other corpus with [[perplexityScore]].
+    * `buckets` is part of the model and must match at apply time. */
+  def bigramLmTables(df: org.apache.spark.sql.DataFrame, isTarget: Column,
+      textCol: String = "text", buckets: Int = 65536)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val pos = lmPositions(
+      df.select(isTarget.as("is_target"), col(textCol)), textCol, buckets)
+      .filter(coalesce(col("is_target"), lit(false)))
+    (pos.groupBy("bfid").agg(count(lit(1)).as("bc")),
+      pos.groupBy("pfid").agg(count(lit(1)).as("pc")))
+  }
+
+  /** Cross-entropy of every document under a [[bigramLmTables]] model
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", LREC 2020 — the perplexity
+    * scoring stage). A position's Laplace-smoothed conditional
+    * probability in fixed point is
+    *   `p_fp = clamp((2^30·(bc+1)) div (pc + buckets), 1, 2^30−1)`
+    * and its cost `30·2^16 − fixed_log2(p_fp)` fractional bits
+    * ([[graft.functions.FixedPointMath.flog2]] — exact integer
+    * recurrence, so scores are bit-identical across engines; the
+    * clamp also absorbs hash collisions that would push p past 1).
+    * Returns (id, n_bigrams, bits_fp, bpt_fp = bits_fp div n_bigrams)
+    * for every document with ≥ 1 bigram.
+    *
+    * Scale shape: both model tables BROADCAST into the scoring joins
+    * — the corpus is never shuffled by feature id; the per-doc sum is
+    * the only corpus-sized shuffle. */
+  def perplexityScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      bcTable: org.apache.spark.sql.DataFrame,
+      pcTable: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", buckets: Int = 65536)
+  : org.apache.spark.sql.DataFrame = {
+    val lg: Column =
+      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+        expr("fixed_log2(p_fp)")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(col("p_fp"))))
+    lmPositions(df.select(col(idCol).as("id"), col(textCol)),
+        textCol, buckets)
+      .join(broadcast(bcTable), Seq("bfid"), "left")
+      .join(broadcast(pcTable), Seq("pfid"), "left")
+      .withColumn("p_fp", expr(
+        s"greatest(1L, least(1073741823L, (1073741824L * " +
+          s"(coalesce(bc, 0L) + 1)) div (coalesce(pc, 0L) + $buckets)))"))
+      .withColumn("bits", lit(30L << 16) - lg)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("bits_fp"))
+      .withColumn("bpt_fp", expr("bits_fp div n_bigrams"))
+  }
+
+  /** CCNet's head/middle/tail split: [[perplexityScore]] against a
+    * self-trained [[bigramLmTables]] model, then the corpus cut into
+    * thirds by bits-per-token VALUE thresholds (every document with
+    * equal `bpt_fp` lands in the same bucket, so the rule is a pure
+    * function of the corpus — no ntile over a global row order).
+    * `t1` is the smallest bpt value covering ≥ 1/3 of scored docs,
+    * `t2` the smallest covering ≥ 2/3; head = bpt ≤ t1, middle =
+    * ≤ t2, tail = the rest.
+    *
+    * Scale shape: the thresholds come from a HISTOGRAM of bpt_fp —
+    * bounded by 30·2^16 ≈ 2M distinct values independent of corpus
+    * size — so the only global-order step (the cumulative-count
+    * window) runs on metadata-scale rows, never on documents; the
+    * one-row cuts frame broadcasts back. Scoring runs twice (once
+    * under the histogram, once for the output) — persist
+    * [[perplexityScore]]'s result first if the corpus scan is the
+    * dominant cost. */
+  def perplexityBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+      isTarget: Column, textCol: String = "text", buckets: Int = 65536)
+  : org.apache.spark.sql.DataFrame = {
+    val (bcT, pcT) = bigramLmTables(df, isTarget, textCol, buckets)
+    val scored = perplexityScore(df, idCol, bcT, pcT, textCol, buckets)
+    val hist = scored.groupBy("bpt_fp").agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("bpt_fp"), sum("c")
+      .over(org.apache.spark.sql.expressions.Window.orderBy("bpt_fp"))
+      .as("cum"))
+    val cuts = cum
+      .crossJoin(broadcast(cum.agg(max("cum").as("tot"))))
+      .agg(
+        min(when(col("cum") * 3 >= col("tot"), col("bpt_fp"))).as("t1"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("bpt_fp"))).as("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("id"), col("n_bigrams"), col("bits_fp"), col("bpt_fp"),
+        when(col("bpt_fp") <= col("t1"), "head")
+          .when(col("bpt_fp") <= col("t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  /** One row per word-bigram POSITION with the hashed ids of its
+    * PREFIX token (`pfid`) and of the bigram itself (`bfid`) — the
+    * conditional-probability lookup keys. Tokens contain no
+    * whitespace by construction, so the prefix is recoverable from
+    * the space-joined bigram string (the DuckDB oracle does the
+    * same). Non-text columns of `df` are carried through. */
+  private def lmPositions(df: org.apache.spark.sql.DataFrame,
+      textCol: String, buckets: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("bg", explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> concat(toks[i], ' ', toks[i+1]))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .withColumn("pfid", expr(
+        s"CAST(conv(substring(md5(split(bg, ' ')[0]), 1, 7), 16, 10)" +
+          s" AS BIGINT) % $buckets"))
+      .withColumn("bfid", expr(
+        s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
+          s" % $buckets"))
+      .drop("toks", "bg", textCol)
 }

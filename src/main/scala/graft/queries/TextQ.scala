@@ -1282,6 +1282,83 @@ object TextQ {
        |FROM b WHERE bucket < accept_cut
        |ORDER BY doc_id""".stripMargin
 
+  /** q103 — CCNet-style perplexity filtering
+    * ([[graft.ext.TextAnalysis.perplexityBuckets]], Wenzek et al.
+    * LREC 2020): every document's cross-entropy under a hashed-bigram
+    * LM trained on the English subset, and the corpus split into
+    * head/middle/tail thirds by bits-per-token value thresholds. The
+    * per-position cost uses the codegen'd `fixed_log2` truncated-
+    * squaring recurrence — exact integer arithmetic, so the oracle
+    * (which replays all 16 squaring rounds as nested subqueries)
+    * hash-matches the scores AND the bucket labels bit for bit. */
+  def q103(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis
+      .perplexityBuckets(spreadDocs(s, dir), "doc_id",
+        col("lang") === "en")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("bits_fp"),
+        col("bpt_fp"), col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Unrolled `fixed_log2` oracle over a CTE exposing (doc_id, p_fp):
+    * nested subqueries, NOT lateral aliases — DuckDB expands lateral
+    * aliases textually and the recurrence references each stage
+    * several times, which blows the binder up exponentially; each
+    * nesting level here binds the previous level's columns once, so
+    * the 16-round recurrence stays linear in plan size. */
+  private def flog2D(fromCte: String): String = {
+    var q =
+      s"""SELECT doc_id, e, CAST(0 AS BIGINT) AS f,
+         |  CASE WHEN e <= 30 THEN p_fp << (30 - e)
+         |       ELSE p_fp >> (e - 30) END AS m
+         |FROM (SELECT doc_id, p_fp, length(bin(p_fp)) - 1 AS e
+         |      FROM $fromCte)""".stripMargin
+    for (_ <- 0 until 16)
+      q = s"""SELECT doc_id, e,
+             |  f * 2 + (CASE WHEN t >= CAST(2147483648 AS BIGINT)
+             |    THEN 1 ELSE 0 END) AS f,
+             |  t >> (CASE WHEN t >= CAST(2147483648 AS BIGINT)
+             |    THEN 1 ELSE 0 END) AS m
+             |FROM (SELECT doc_id, e, f, (m*m) >> 30 AS t
+             |      FROM ($q))""".stripMargin
+    s"SELECT doc_id, e * CAST(65536 AS BIGINT) + f AS lg FROM ($q)"
+  }
+
+  val q103Sql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, $toksD AS toks FROM documents),
+       |bgx AS (SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk),
+       |fe AS (SELECT doc_id, lang,
+       |    ${tokD("string_split(bg, ' ')[1]")} % 65536 AS pfid,
+       |    ${tokD("bg")} % 65536 AS bfid FROM bgx),
+       |bcnt AS (SELECT bfid, COUNT(*) AS bc FROM fe
+       |  WHERE lang = 'en' GROUP BY bfid),
+       |pcnt AS (SELECT pfid, COUNT(*) AS pc FROM fe
+       |  WHERE lang = 'en' GROUP BY pfid),
+       |sp AS (SELECT doc_id,
+       |    GREATEST(CAST(1 AS BIGINT), LEAST(CAST(1073741823 AS BIGINT),
+       |      (CAST(1073741824 AS BIGINT) * (COALESCE(bc, 0) + 1))
+       |        // (COALESCE(pc, 0) + 65536))) AS p_fp
+       |  FROM fe LEFT JOIN bcnt USING (bfid) LEFT JOIN pcnt USING (pfid)),
+       |lgt AS (${flog2D("sp")}),
+       |dc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(CAST(1966080 AS BIGINT) - lg) AS BIGINT) AS bits_fp
+       |  FROM lgt GROUP BY doc_id),
+       |d2 AS (SELECT doc_id, n_bigrams, bits_fp,
+       |    bits_fp // n_bigrams AS bpt_fp FROM dc),
+       |hist AS (SELECT bpt_fp, COUNT(*) AS c FROM d2 GROUP BY bpt_fp),
+       |cum AS (SELECT bpt_fp,
+       |    CAST(SUM(c) OVER (ORDER BY bpt_fp) AS BIGINT) AS cum FROM hist),
+       |tot AS (SELECT MAX(cum) AS tot FROM cum),
+       |cuts AS (SELECT
+       |    MIN(CASE WHEN cum * 3 >= tot THEN bpt_fp END) AS t1,
+       |    MIN(CASE WHEN cum * 3 >= 2 * tot THEN bpt_fp END) AS t2
+       |  FROM cum, tot)
+       |SELECT doc_id, n_bigrams, bits_fp, bpt_fp,
+       |  CASE WHEN bpt_fp <= t1 THEN 'head'
+       |       WHEN bpt_fp <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM d2, cuts ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1316,5 +1393,6 @@ object TextQ {
     QueryDef("q94_canonical_neardup", q94, Some(q94Sql)),
     QueryDef("q95_importance_weights", q95, Some(q95Sql)),
     QueryDef("q96_importance_resample", q96, Some(q96Sql)),
-    QueryDef("q97_temperature_sample", q97, Some(q97Sql)))
+    QueryDef("q97_temperature_sample", q97, Some(q97Sql)),
+    QueryDef("q103_perplexity_buckets", q103, Some(q103Sql)))
 }

@@ -201,4 +201,16 @@ class PlanQualitySpec extends SparkSpec {
     val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
     assert(smj == 0, s"corpus must never shuffle by feature id: $smj SMJs")
   }
+
+  test("q103 perplexity scoring broadcasts both LM tables and the cuts") {
+    val p = plan(TextQ.q103(spark, dir))
+    // both bounded LM count tables broadcast into the per-position
+    // scoring joins, and the one-row threshold frame broadcasts back
+    // onto the scored docs — the corpus never shuffles by feature id,
+    // and nothing is a cartesian product
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj == 0, s"corpus must never shuffle by feature id: $smj SMJs")
+  }
 }
