@@ -711,6 +711,56 @@ object Similarity {
     }
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): partition the
+    * embedding space into k-means cells, find within-cell pairs with
+    * cosine ≥ threshold, and resolve each duplicate GROUP (connected
+    * component of the pair graph — components never span cells since
+    * pairs don't) to ONE kept exemplar: the member most central to
+    * its cell (highest fixed-point dot with the assigned centroid,
+    * ties to the smallest id) — SemDeDup's keep rule, the semantic
+    * analog of [[graft.ext.Dedup.canonicalByQuality]].
+    *
+    * Returns one row per multi-member duplicate group:
+    * (sem_cluster = min member id, kept_id, n_members, centroid_id).
+    *
+    * Scale shape: assignment is the literal-inlined codegen'd argmax
+    * ([[ivfAssignLit]] — no centroid fan-out join, no shuffle); the
+    * pair join is keyed on the cell id so candidate volume is
+    * Σ|cell|², never n² (centroid count is the blocking knob — train
+    * with [[kmeansFit]] at n/cell ≈ thousands); the CC iteration and
+    * the keep-rule window run on the DUPLICATE subset only. */
+  def semDedup(df: DataFrame, idCol: String, threshold: Double,
+      cents: Seq[(Long, Array[Float])], embCol: String = "embedding")
+  : DataFrame = {
+    val spark = df.sparkSession
+    val assigned = df.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+      .withColumn("cid", ivfAssignLit(spark, "e", cents))
+      .withColumn("cdot", ivfAssignDotLit(spark, "e", cents))
+    val a = assigned.select(col("id").as("a_id"), col("e").as("ea"),
+      col("cid"))
+    val b = assigned.select(col("id").as("b_id"), col("e").as("eb"),
+      col("cid").as("bcid"))
+    val pairs = a
+      .join(b, col("cid") === col("bcid") && col("a_id") < col("b_id"))
+      .filter(dotExpr(df, "ea", "eb") / lit(1e12) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val comps = Dedup.connectedComponents(spark, pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("cdot").desc, col("id").asc)
+    comps.join(assigned.select(col("id"), col("cid"), col("cdot")),
+        Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(max(when(col("rn") === 1, col("id"))).as("kept_id"),
+        count(lit(1)).as("n_members"),
+        max(col("cid")).as("centroid_id")) // cell-local ⇒ all equal
+      .select(col("component").as("sem_cluster"), col("kept_id"),
+        col("n_members"), col("centroid_id"))
+  }
+
   /** All pairs with cosine ≥ threshold — exact exhaustive O(n²) pair
     * join. Correctness baseline / small inputs only; the default
     * [[nearDupPairs]] band-blocks first. */

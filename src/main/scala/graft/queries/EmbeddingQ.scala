@@ -968,6 +968,59 @@ object EmbeddingQ {
        |    >= 0.45
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q104 — SemDeDup ([[graft.ext.Similarity.semDedup]], Abbas et
+    * al. 2023): k-means-cell-blocked semantic deduplication — q91's
+    * centroid scheme (vectors 0..7, literal-inlined codegen'd argmax
+    * assignment), within-cell pairs at cosine ≥ 0.40, duplicate
+    * groups resolved to the member most central to its cell (highest
+    * centroid dot, ties to smallest id). The oracle replays
+    * assignment → cell-blocked pairs → RECURSIVE transitive closure →
+    * keep rule, so Spark's large-star/small-star CC is hash-checked
+    * against an independent formulation (the q94 pattern, here over
+    * the embedding graph). */
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    Similarity.semDedup(emb, "vec_id", 0.40, cents)
+      .orderBy(col("sem_cluster"))
+  }
+
+  val q104Sql: String =
+    s"""WITH RECURSIVE cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${dotD("e.embedding", "c.ce")} AS cdot,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id AS id, embedding, cid, cdot
+       |  FROM scored WHERE rn = 1),
+       |pr AS (SELECT a.id AS a_id, b.id AS b_id
+       |  FROM assigned a JOIN assigned b
+       |  ON a.cid = b.cid AND a.id < b.id
+       |  WHERE CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE)
+       |    / 1e12 >= 0.40),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pr
+       |  UNION SELECT b_id, a_id FROM pr),
+       |reach AS (SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       |  WHERE s.v <> r.u),
+       |lab AS (SELECT u AS id, least(u, min(v)) AS component
+       |  FROM reach GROUP BY u),
+       |ranked AS (SELECT l.component, l.id, a.cid, a.cdot,
+       |    ROW_NUMBER() OVER (PARTITION BY l.component
+       |      ORDER BY a.cdot DESC, l.id ASC) AS rn
+       |  FROM lab l JOIN assigned a ON a.id = l.id)
+       |SELECT component AS sem_cluster,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS kept_id,
+       |  COUNT(*) AS n_members,
+       |  CAST(MAX(cid) AS BIGINT) AS centroid_id
+       |FROM ranked GROUP BY component ORDER BY sem_cluster""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -989,5 +1042,6 @@ object EmbeddingQ {
     QueryDef("q78_cluster_sample", q78, Some(q78Sql)),
     QueryDef("q79_embedding_outliers", q79, Some(q79Sql)),
     QueryDef("q69_vec_quantize", q69, Some(q69Sql)),
-    QueryDef("q72_semantic_decon", q72, Some(q72Sql)))
+    QueryDef("q72_semantic_decon", q72, Some(q72Sql)),
+    QueryDef("q104_semdedup", q104, Some(q104Sql)))
 }

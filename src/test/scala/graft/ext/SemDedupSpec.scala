@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** SemDeDup: cell-blocked pairing semantics, the most-central keep
+  * rule, and the blocking contract (near-identical vectors in
+  * DIFFERENT cells are never paired — the approximation SemDeDup
+  * accepts by design). */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated centroid directions
+  private val cents = Seq(
+    0L -> Array(1f, 0f, 0f, 0f),
+    1L -> Array(0f, 1f, 0f, 0f))
+
+  private def df(rows: (Long, Array[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("duplicate groups resolve to the most-central member") {
+    // cell 0: three near-duplicates, id 11 most aligned with the
+    // centroid; cell 1: a pair, id 21 most aligned; id 30 a singleton
+    val r = Similarity.semDedup(df(
+      10L -> Array(0.98f, 0.02f, 0.19f, 0f),
+      11L -> Array(1f, 0f, 0f, 0f),
+      12L -> Array(0.97f, 0.01f, 0.24f, 0f),
+      20L -> Array(0.05f, 0.9f, 0.43f, 0f),
+      21L -> Array(0f, 1f, 0f, 0f),
+      30L -> Array(0f, 0f, 1f, 0f)), "vec_id", 0.8, cents)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (10L, 11L, 3L, 0L), // min-id label, kept = most central
+      (20L, 21L, 2L, 1L)))
+  }
+
+  test("high-cosine pairs in different cells are NOT paired " +
+    "(cell blocking is the contract)") {
+    // both vectors near the 45° boundary, one on each side: cosine
+    // ~0.995 but different cells → no pair, no output row
+    val r = Similarity.semDedup(df(
+      1L -> Array(0.74f, 0.67f, 0f, 0f),
+      2L -> Array(0.67f, 0.74f, 0f, 0f)), "vec_id", 0.8, cents)
+      .count()
+    assert(r == 0L)
+  }
+
+  test("keep-rule ties break to the smallest id") {
+    // identical vectors: identical centroid dots → kept = min id
+    val v = Array(0.8f, 0f, 0.6f, 0f)
+    val r = Similarity.semDedup(
+      df(5L -> v, 3L -> v, 9L -> v), "vec_id", 0.99, cents)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((3L, 3L, 3L, 0L)))
+  }
+
+  test("transitive chains collapse into one group") {
+    // a~b and b~c above threshold, a~c below: one component of 3
+    val r = Similarity.semDedup(df(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.9f, 0f, 0.436f, 0f),
+      3L -> Array(0.62f, 0f, 0.785f, 0f)), "vec_id", 0.85, cents)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 1L, 3L, 0L)))
+  }
+}

@@ -202,6 +202,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(smj == 0, s"corpus must never shuffle by feature id: $smj SMJs")
   }
 
+  test("q104 semdedup pair join is cell-blocked, never all-pairs") {
+    val p = plan(EmbeddingQ.q104(spark, dir))
+    // the pair join must key on the k-means cell id — a nested-loop
+    // or cartesian here is the O(n²) all-pairs failure mode
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair join must be an equi-join on the cell id: " + p.take(600))
+  }
+
   test("q103 perplexity scoring broadcasts both LM tables and the cuts") {
     val p = plan(TextQ.q103(spark, dir))
     // both bounded LM count tables broadcast into the per-position
