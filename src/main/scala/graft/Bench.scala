@@ -145,7 +145,11 @@ object Bench {
         "q97_temperature_sample",
         // PQ encode+ADC is a corpus-wide scan (the compression path's
         // scaling row); the point probes q98/q99 are fixed-cost
-        "q100_pq_adc")
+        "q100_pq_adc",
+        // perplexity filtering (two corpus scans + bounded-histogram
+        // thresholds) and SemDeDup (cell-blocked pairs + CC over the
+        // duplicate subset) — both corpus-scaling curation paths
+        "q103_perplexity_buckets", "q104_semdedup")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("nfc_normalize", classOf[NfcNormalize],
       e => NfcNormalize(e.head))
     inject("fixed_log2", classOf[FixedLog2], e => FixedLog2(e.head))
+    inject("lm_feature_ids", classOf[LmFeatureIds], LmFeatureIds.fromArgs)
     inject("heavy_hitters", classOf[HeavyHitters],
       e => HeavyHitters(e(0), e(1)))
     inject("topk_by", classOf[TopKBy],

@@ -402,19 +402,28 @@ object TextAnalysis {
   }
 
   /** One row per word-bigram POSITION with its hashed feature id;
-    * every non-text column of `df` is carried through. */
+    * every non-text column of `df` is carried through. Native
+    * `lm_feature_ids` (bigram half) when available — one tokenize +
+    * hash pass per row instead of the re-inlined per-element regex
+    * splits of the staged composition. */
   private def hashedBigrams(df: org.apache.spark.sql.DataFrame,
       textCol: String, buckets: Int): org.apache.spark.sql.DataFrame =
-    df.withColumn("toks", split(trim(col(textCol)), "\\s+"))
-      .withColumn("bg", explode(expr(
-        """CASE WHEN size(toks) >= 2 THEN
-          |  transform(sequence(0, size(toks) - 2),
-          |    i -> concat(toks[i], ' ', toks[i+1]))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
-      .withColumn("fid", expr(
-        s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
-          s" % $buckets"))
-      .drop("toks", "bg", textCol)
+    if (df.sparkSession.catalog.functionExists("lm_feature_ids"))
+      df.withColumn("p",
+          explode(expr(s"lm_feature_ids($textCol, $buckets)")))
+        .withColumn("fid", col("p.bfid"))
+        .drop("p", textCol)
+    else
+      df.withColumn("toks", split(trim(col(textCol)), "\\s+"))
+        .withColumn("bg", explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2),
+            |    i -> concat(toks[i], ' ', toks[i+1]))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+        .withColumn("fid", expr(
+          s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
+            s" % $buckets"))
+        .drop("toks", "bg", textCol)
 
   /** Streaming DSIR curation: every micro-batch is scored against a
     * pre-trained weight table ([[importanceWeightTable]] — a STATIC
@@ -547,23 +556,35 @@ object TextAnalysis {
 
   /** One row per word-bigram POSITION with the hashed ids of its
     * PREFIX token (`pfid`) and of the bigram itself (`bfid`) — the
-    * conditional-probability lookup keys. Tokens contain no
-    * whitespace by construction, so the prefix is recoverable from
-    * the space-joined bigram string (the DuckDB oracle does the
-    * same). Non-text columns of `df` are carried through. */
+    * conditional-probability lookup keys. Native `lm_feature_ids`
+    * when GraftExtensions is active (ONE pass per row: each token
+    * hashes once — the staged composition re-evaluates the regex
+    * split per element reference after optimizer re-inlining,
+    * quadratic per document); else the equivalent built-in staging.
+    * Tokens contain no whitespace by construction, so the fallback
+    * recovers the prefix from the space-joined bigram string (the
+    * DuckDB oracle does the same). Non-text columns of `df` are
+    * carried through. */
   private def lmPositions(df: org.apache.spark.sql.DataFrame,
       textCol: String, buckets: Int): org.apache.spark.sql.DataFrame =
-    df.withColumn("toks", split(trim(col(textCol)), "\\s+"))
-      .withColumn("bg", explode(expr(
-        """CASE WHEN size(toks) >= 2 THEN
-          |  transform(sequence(0, size(toks) - 2),
-          |    i -> concat(toks[i], ' ', toks[i+1]))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
-      .withColumn("pfid", expr(
-        s"CAST(conv(substring(md5(split(bg, ' ')[0]), 1, 7), 16, 10)" +
-          s" AS BIGINT) % $buckets"))
-      .withColumn("bfid", expr(
-        s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
-          s" % $buckets"))
-      .drop("toks", "bg", textCol)
+    if (df.sparkSession.catalog.functionExists("lm_feature_ids"))
+      df.withColumn("p",
+          explode(expr(s"lm_feature_ids($textCol, $buckets)")))
+        .withColumn("pfid", col("p.pfid"))
+        .withColumn("bfid", col("p.bfid"))
+        .drop("p", textCol)
+    else
+      df.withColumn("toks", split(trim(col(textCol)), "\\s+"))
+        .withColumn("bg", explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2),
+            |    i -> concat(toks[i], ' ', toks[i+1]))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+        .withColumn("pfid", expr(
+          s"CAST(conv(substring(md5(split(bg, ' ')[0]), 1, 7), 16, 10)" +
+            s" AS BIGINT) % $buckets"))
+        .withColumn("bfid", expr(
+          s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
+            s" % $buckets"))
+        .drop("toks", "bg", textCol)
 }

@@ -143,6 +143,33 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** One row per word-bigram POSITION as (pfid, bfid) — the hashed
+    * prefix-token id and bigram id the LM/DSIR scoring pipelines key
+    * on, in ONE pass: tokens hash once each (the SQL composition
+    * re-evaluates the regex split per element reference after
+    * optimizer re-inlining — quadratic per document), bigram strings
+    * hash once per position. Ids match the staged formulation
+    * exactly: md5-prefix-7 of the UTF-8 string, mod `buckets`. */
+  def lmFeatureIdsOf(text: UTF8String, buckets: Int): ArrayData = {
+    val t = tokens(text)
+    if (t.length < 2)
+      return new GenericArrayData(Array.empty[Any])
+    val tokHash = new Array[Long](t.length)
+    var i = 0
+    while (i < t.length) {
+      tokHash(i) = md5Prefix7(t(i)) % buckets; i += 1
+    }
+    val out = new Array[Any](t.length - 1)
+    i = 1
+    while (i < t.length) {
+      out(i - 1) = org.apache.spark.sql.catalyst.InternalRow(
+        tokHash(i - 1),
+        md5Prefix7(s"${t(i - 1)} ${t(i)}") % buckets)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(ids: ArrayData): ArrayData =
     new GenericArrayData(minhash(ids.toLongArray()).asInstanceOf[Array[Any]])
 
@@ -272,4 +299,50 @@ case class SimHash16(child: Expression) extends UnaryExpression {
       c => s"graft.functions.TextHashes.simhashOf($c)")
   override protected def withNewChildInternal(c: Expression): SimHash16 =
     copy(child = c)
+}
+
+/** lm_feature_ids(text, buckets): one struct(pfid, bfid) per
+  * word-bigram position — [[TextHashes.lmFeatureIdsOf]] as a codegen'd
+  * native; `buckets` must be a foldable integer literal (it shapes the
+  * hash space, which is part of any model built on the ids). */
+case class LmFeatureIds(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  import TextHashes._
+  require(buckets >= 2, s"lm_feature_ids: buckets must be >= 2: $buckets")
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkString(child, prettyName)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pfid", LongType, nullable = false),
+      StructField("bfid", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "lm_feature_ids"
+  override def nullSafeEval(v: Any): Any =
+    lmFeatureIdsOf(v.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.lmFeatureIdsOf($c, $buckets)")
+  override protected def withNewChildInternal(c: Expression): LmFeatureIds =
+    copy(child = c)
+}
+
+object LmFeatureIds {
+  /** Registry builder: the second argument must fold to an int. */
+  def fromArgs(e: Seq[Expression]): LmFeatureIds = {
+    require(e.length == 2,
+      s"lm_feature_ids(text, buckets) takes 2 args, got ${e.length}")
+    val b = e(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other if other.foldable =>
+        other.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case v => throw new IllegalArgumentException(
+            s"lm_feature_ids: buckets must be an integer literal, got $v")
+        }
+      case _ => throw new IllegalArgumentException(
+        "lm_feature_ids: buckets must be a foldable integer literal")
+    }
+    LmFeatureIds(e.head, b)
+  }
 }

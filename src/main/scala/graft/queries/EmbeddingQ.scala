@@ -969,18 +969,24 @@ object EmbeddingQ {
        |ORDER BY a_id, b_id""".stripMargin
 
   /** q104 — SemDeDup ([[graft.ext.Similarity.semDedup]], Abbas et
-    * al. 2023): k-means-cell-blocked semantic deduplication — q91's
-    * centroid scheme (vectors 0..7, literal-inlined codegen'd argmax
-    * assignment), within-cell pairs at cosine ≥ 0.40, duplicate
-    * groups resolved to the member most central to its cell (highest
-    * centroid dot, ties to smallest id). The oracle replays
+    * al. 2023): k-means-cell-blocked semantic deduplication — the
+    * literal-inlined codegen'd argmax assignment over the first
+    * `clamp(ceil(n/500), 8, 64)` vectors as centroids (cell count
+    * GROWS with the corpus so per-cell pair volume stays ~bounded —
+    * the blocking knob the paper turns; fixed cells would make the
+    * within-cell pair join quadratic in corpus size), within-cell
+    * pairs at cosine ≥ 0.40, duplicate groups resolved to the member
+    * most central to its cell (highest centroid dot, ties to
+    * smallest id). The oracle replays the cell-count derivation →
     * assignment → cell-blocked pairs → RECURSIVE transitive closure →
     * keep rule, so Spark's large-star/small-star CC is hash-checked
     * against an independent formulation (the q94 pattern, here over
     * the embedding graph). */
   def q104(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 8)
+    val k = math.min(64L,
+      math.max(8L, math.ceil(emb.count() / 500.0).toLong))
+    val cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toIndexedSeq
@@ -990,7 +996,8 @@ object EmbeddingQ {
 
   val q104Sql: String =
     s"""WITH RECURSIVE cent AS (SELECT vec_id AS cid, embedding AS ce
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM embeddings WHERE vec_id < (SELECT LEAST(64, GREATEST(8,
+       |    CAST(CEIL(COUNT(*) / 500.0) AS BIGINT))) FROM embeddings)),
        |scored AS (SELECT e.vec_id, e.embedding, c.cid,
        |    ${dotD("e.embedding", "c.ce")} AS cdot,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id

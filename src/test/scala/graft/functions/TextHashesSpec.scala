@@ -100,4 +100,30 @@ class TextHashesSpec extends SparkSpec {
     assert(both.filter(not($"mh_native" <=> $"mh_composed")).count() == 0)
     assert(both.filter(not($"sh_native" <=> $"sh_composed")).count() == 0)
   }
+
+  test("lm_feature_ids equals the staged bigram composition") {
+    val rows = Seq("a b c d", "solo", "", "  padded   tokens here ",
+      "x y x y x", "ünï côdé tökens")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = df.select($"id", explode(
+        expr("lm_feature_ids(text, 65536)")).as("p"))
+      .select($"id", $"p.pfid", $"p.bfid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val composed = df
+      .withColumn("toks", split(trim($"text"), "\\s+"))
+      .withColumn("bg", explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2),
+          |    i -> concat(toks[i], ' ', toks[i+1]))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .select($"id",
+        expr("CAST(conv(substring(md5(split(bg, ' ')[0]), 1, 7), 16, 10)" +
+          " AS BIGINT) % 65536").as("pfid"),
+        expr("CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
+          " % 65536").as("bfid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(native.toSeq.sorted == composed.toSeq.sorted)
+    assert(native.nonEmpty)
+  }
 }
