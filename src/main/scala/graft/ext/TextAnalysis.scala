@@ -554,6 +554,42 @@ object TextAnalysis {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Streaming perplexity curation — the CCNet gate applied live:
+    * every micro-batch is scored against a PRE-TRAINED
+    * [[bigramLmTables]] model (a STATIC pair of frames, re-read per
+    * batch so an offline re-fit is picked up live) and thinned to
+    * documents at or under `maxBptFp` bits-per-token — the absolute
+    * cutoff a training run derives (e.g. q103's middle/tail boundary)
+    * and ships WITH the model: corpus-relative thirds don't exist on
+    * a stream. Kept rows append to a graft table exactly-once
+    * (batch-id-keyed txn markers); the score is a pure function of
+    * (text, model), so crash replays keep the SAME rows. Bigram-less
+    * documents are unscorable and dropped, as in CCNet. Per-trigger
+    * cost: score + filter on the batch only, both model tables
+    * broadcast — no state store, no history re-read. */
+  def perplexityFilterStreamToTable(
+      stream: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      model: () => (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame),
+      maxBptFp: Long, outDir: String, checkpointDir: String,
+      appId: String = "graft-ppl", buckets: Int = 65536)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val (bcT, pcT) = model()
+        val kept = perplexityScore(batch, idCol, bcT, pcT, textCol,
+          buckets).filter(col("bpt_fp") <= maxBptFp)
+        graft.sink.CdcTable.append(
+          batch.join(kept.select(col("id").as(idCol)),
+            Seq(idCol), "left_semi"),
+          outDir, txn = Some((appId, id)))
+        ()
+      }
+      .start()
+
   /** One row per word-bigram POSITION with the hashed ids of its
     * PREFIX token (`pfid`) and of the bigram itself (`bfid`) — the
     * conditional-probability lookup keys. Native `lm_feature_ids`

@@ -111,6 +111,43 @@ class PerplexitySpec extends SparkSpec {
     assert(r == ((10L, 2L, 2L * (16L << 16), 16L << 16)))
   }
 
+  test("perplexityFilterStreamToTable curates a stream with a " +
+    "trained model and an absolute cutoff") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("pplout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pplck").toString
+    // offline fit on target prose; cutoff between seen and unseen
+    val ref = Seq((1L, "good clean text flows well", true))
+      .toDF("id", "text", "t")
+    val model = TextAnalysis.bigramLmTables(ref, col("t"))
+    // with count-1 Laplace smoothing a seen bigram costs just over
+    // 15 bits (p = 2^31/(1+2^16) ≈ 2^15^-) and a fully unseen one
+    // exactly 16 (the smoothing floor) — cut at 15.5 bits/token
+    val cut = 31L << 15
+    val arriving = Seq((10L, "good clean text"), (11L, "zz qq ww"),
+      (12L, "solo"), (13L, "clean text flows"))
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.perplexityFilterStreamToTable(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", () => model,
+      cut, out, ckpt)
+    try {
+      mem.addData(arriving.take(2): _*); q.processAllAvailable()
+      mem.addData(arriving.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = graft.sink.CdcTable.read(spark, out)
+      .select("doc_id").as[Long].collect().toSet
+    // batch-path mirror selects the identical set; unscorable doc 12
+    // and over-cutoff doc 11 are gone
+    val mirror = TextAnalysis.perplexityScore(
+        arriving.toDF("doc_id", "text"), "doc_id",
+        model._1, model._2)
+      .filter(col("bpt_fp") <= cut)
+      .select("id").as[Long].collect().toSet
+    assert(kept == mirror && kept == Set(10L, 13L),
+      s"stream $kept vs batch $mirror")
+  }
+
   test("docs without bigrams are absent from the scored set") {
     val df = Seq((1L, "solo", false), (2L, "a b", true))
       .toDF("id", "text", "is_t")
