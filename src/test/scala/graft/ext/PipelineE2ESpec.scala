@@ -89,9 +89,10 @@ class PipelineE2ESpec extends SparkSpec {
     assert(a.forall(id => !flaggedIds.contains(id)))
   }
 
-  test("curation composes: canonical dedup → DSIR resample → temp mix") {
+  test("curation composes: canonical dedup → perplexity gate → " +
+    "DSIR resample → temp mix") {
     val docs = graft.Tables(spark, dir, "documents")
-    def run() = {
+    def canonOf() = {
       // 1. near-dup clusters resolved to their best member; the other
       //    members drop
       val res = Dedup.near(docs, "text", "doc_id")
@@ -101,15 +102,24 @@ class PipelineE2ESpec extends SparkSpec {
         .join(keepBest.select(col("kept_id").as("id")),
           Seq("id"), "left_anti")
         .select(col("id").as("doc_id"))
-      val canon = docs.join(losers, Seq("doc_id"), "left_anti")
-      // 2. DSIR: score targetness vs the English subset, resample
+      docs.join(losers, Seq("doc_id"), "left_anti")
+    }
+    def run() = {
+      val canon = canonOf()
+      // 2. CCNet gate: drop the perplexity tail third
+      val headMid = TextAnalysis.perplexityBuckets(canon, "doc_id",
+          col("lang") === "en")
+        .filter(col("ppl_bucket") =!= "tail")
+        .select(col("id").as("doc_id"))
+      val gated = canon.join(headMid, Seq("doc_id"), "left_semi")
+      // 3. DSIR: score targetness vs the English subset, resample
       val kept = Sampling.importanceResample(
-        TextAnalysis.importanceScores(canon, "doc_id",
+        TextAnalysis.importanceScores(gated, "doc_id",
           col("lang") === "en"),
         "id", "importance", boost = 2.0)
         .select(col("id").as("doc_id"))
-      val curated = canon.join(kept, Seq("doc_id"), "left_semi")
-      // 3. temperature-flatten the language mix
+      val curated = gated.join(kept, Seq("doc_id"), "left_semi")
+      // 4. temperature-flatten the language mix
       Sampling.temperatureSample(curated, "lang", "doc_id",
         halvings = 1, headRate = 0.9)
     }
@@ -125,6 +135,14 @@ class PipelineE2ESpec extends SparkSpec {
       .diff(keptIds)
     assert(a.forall(id => !loserIds.contains(id)),
       "no near-dup cluster loser survives curation")
+    // perplexity-tail docs (scored on the deduped corpus) are gone too
+    val tailIds = TextAnalysis.perplexityBuckets(canonOf(), "doc_id",
+        col("lang") === "en")
+      .filter(col("ppl_bucket") === "tail")
+      .select("id").as[Long].collect().toSet
+    assert(tailIds.nonEmpty, "gate must have something to drop")
+    assert(a.forall(id => !tailIds.contains(id)),
+      "no perplexity-tail doc survives curation")
   }
 
   test("the pipeline result lands in a graft table with stats") {
