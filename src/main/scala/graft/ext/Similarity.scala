@@ -738,13 +738,49 @@ object Similarity {
       .select(col(idCol).as("id"), col(embCol).as("e"))
       .withColumn("cid", ivfAssignLit(spark, "e", cents))
       .withColumn("cdot", ivfAssignDotLit(spark, "e", cents))
+    semResolve(assigned, threshold)
+  }
+
+  /** [[semDedup]] with a centroid DATAFRAME (`cid`, `ce`) instead of
+    * driver-side literals — the LARGE-k path. The literal argmax
+    * inlines k·d floats into one generated method, which stops
+    * scaling past ~64 centroids; here the centroid table BROADCASTS
+    * into a fan-out join and the per-vector argmax is a map-side-
+    * combinable max(struct(dot, −cid)) aggregation, so shuffle
+    * volume is ONE row per vector regardless of k (the fan-out
+    * collapses in the partial aggregate). Same assignment semantics
+    * (ties to the smallest cid), bit-identical output — spec-pinned
+    * against the literal path. Cell count is SemDeDup's blocking
+    * knob: at 100 TB train k ≈ n/1000 centroids with [[kmeansFit]]
+    * and pass them here. */
+  def semDedupJoin(df: DataFrame, idCol: String, threshold: Double,
+      centsDf: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val assigned = df.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+      .crossJoin(broadcast(centsDf.select(col("cid"), col("ce"))))
+      .withColumn("d", dotExpr(df, "e", "ce"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("d").as("d"), (-col("cid")).as("nc")))
+          .as("best"),
+        first(col("e")).as("e")) // identical across the fan-out rows
+      .select(col("id"), col("e"), (-col("best.nc")).as("cid"),
+        col("best.d").as("cdot"))
+    semResolve(assigned, threshold)
+  }
+
+  /** Shared back half of [[semDedup]]/[[semDedupJoin]]: cell-blocked
+    * pairs → connected components → most-central keep rule, over an
+    * `assigned(id, e, cid, cdot)` frame. */
+  private def semResolve(assigned: DataFrame, threshold: Double)
+  : DataFrame = {
+    val spark = assigned.sparkSession
     val a = assigned.select(col("id").as("a_id"), col("e").as("ea"),
       col("cid"))
     val b = assigned.select(col("id").as("b_id"), col("e").as("eb"),
       col("cid").as("bcid"))
     val pairs = a
       .join(b, col("cid") === col("bcid") && col("a_id") < col("b_id"))
-      .filter(dotExpr(df, "ea", "eb") / lit(1e12) >= threshold)
+      .filter(dotExpr(assigned, "ea", "eb") / lit(1e12) >= threshold)
       .select(col("a_id"), col("b_id"))
     val comps = Dedup.connectedComponents(spark, pairs)
     val w = org.apache.spark.sql.expressions.Window

@@ -1028,6 +1028,57 @@ object EmbeddingQ {
        |  CAST(MAX(cid) AS BIGINT) AS centroid_id
        |FROM ranked GROUP BY component ORDER BY sem_cluster""".stripMargin
 
+  /** q105 — SemDeDup, LARGE-k path
+    * ([[graft.ext.Similarity.semDedupJoin]]): same pipeline as q104
+    * but the centroid table BROADCASTS into a fan-out join and the
+    * per-vector argmax is a map-side-combinable max(struct) — cell
+    * count no longer limited by literal-argmax codegen, so the
+    * density knob keeps scaling (here `max(8, ceil(n/250))` cells,
+    * uncapped). Assignment semantics identical to the literal path
+    * (ties to smallest cid; spec-pinned bit-equal). */
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val k = math.max(8L, math.ceil(emb.count() / 250.0).toLong)
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    Similarity.semDedupJoin(emb, "vec_id", 0.40, cents)
+      .orderBy(col("sem_cluster"))
+  }
+
+  val q105Sql: String =
+    s"""WITH RECURSIVE cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < (SELECT GREATEST(8,
+       |    CAST(CEIL(COUNT(*) / 250.0) AS BIGINT)) FROM embeddings)),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    ${dotD("e.embedding", "c.ce")} AS cdot,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id AS id, embedding, cid, cdot
+       |  FROM scored WHERE rn = 1),
+       |pr AS (SELECT a.id AS a_id, b.id AS b_id
+       |  FROM assigned a JOIN assigned b
+       |  ON a.cid = b.cid AND a.id < b.id
+       |  WHERE CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE)
+       |    / 1e12 >= 0.40),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pr
+       |  UNION SELECT b_id, a_id FROM pr),
+       |reach AS (SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       |  WHERE s.v <> r.u),
+       |lab AS (SELECT u AS id, least(u, min(v)) AS component
+       |  FROM reach GROUP BY u),
+       |ranked AS (SELECT l.component, l.id, a.cid, a.cdot,
+       |    ROW_NUMBER() OVER (PARTITION BY l.component
+       |      ORDER BY a.cdot DESC, l.id ASC) AS rn
+       |  FROM lab l JOIN assigned a ON a.id = l.id)
+       |SELECT component AS sem_cluster,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS kept_id,
+       |  COUNT(*) AS n_members,
+       |  CAST(MAX(cid) AS BIGINT) AS centroid_id
+       |FROM ranked GROUP BY component ORDER BY sem_cluster""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1050,5 +1101,6 @@ object EmbeddingQ {
     QueryDef("q79_embedding_outliers", q79, Some(q79Sql)),
     QueryDef("q69_vec_quantize", q69, Some(q69Sql)),
     QueryDef("q72_semantic_decon", q72, Some(q72Sql)),
-    QueryDef("q104_semdedup", q104, Some(q104Sql)))
+    QueryDef("q104_semdedup", q104, Some(q104Sql)),
+    QueryDef("q105_semdedup_join", q105, Some(q105Sql)))
 }

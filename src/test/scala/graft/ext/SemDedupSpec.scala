@@ -53,6 +53,25 @@ class SemDedupSpec extends SparkSpec {
     assert(r.toSeq == Seq((3L, 3L, 3L, 0L)))
   }
 
+  test("join-path assignment is bit-identical to the literal argmax") {
+    // 20 centroids (past the comfortable literal range), random-ish
+    // vectors with planted duplicates; both paths must agree exactly
+    val rnd = new scala.util.Random(77)
+    def vec(): Array[Float] = Array.fill(6)(rnd.nextFloat() * 2 - 1)
+    val centVecs = (0L until 20L).map(i => i -> vec())
+    val base = (100L until 160L).map(i => i -> vec())
+    val planted = base.take(10).map { case (i, v) => (i + 1000L, v) }
+    val rows = base ++ planted
+    val data = df(rows: _*)
+    val lit = Similarity.semDedup(data, "vec_id", 0.9, centVecs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val cdf = centVecs.toDF("cid", "ce")
+    val join = Similarity.semDedupJoin(data, "vec_id", 0.9, cdf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(lit == join, s"literal=$lit join=$join")
+    assert(lit.nonEmpty, "planted duplicates must cluster")
+  }
+
   test("transitive chains collapse into one group") {
     // a~b and b~c above threshold, a~c below: one component of 3
     val r = Similarity.semDedup(df(
