@@ -149,7 +149,10 @@ object Bench {
         // perplexity filtering (two corpus scans + bounded-histogram
         // thresholds) and SemDeDup (cell-blocked pairs + CC over the
         // duplicate subset) — both corpus-scaling curation paths
-        "q103_perplexity_buckets", "q104_semdedup")
+        "q103_perplexity_buckets", "q104_semdedup",
+        // exact top-fraction cut: distinct-score histogram + literal
+        // threshold filter — the sortless selection's scaling row
+        "q106_top_fraction")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -172,4 +172,69 @@ object Sampling {
       .withColumn("pack_id",
         floor(col("cum_before").cast("double") / budget).cast("long"))
   }
+
+  /** Exact global top-fraction selection — the "keep the top f of the
+    * corpus by quality/classifier score" curation cut (the FineWeb-Edu
+    * shape: score everything, train on the best decile) — WITHOUT a
+    * global sort: keeps exactly `k = ⌈n · keepNum / keepDen⌉` rows,
+    * the k highest by (`scoreCol` desc, md5(key) asc, key asc). The
+    * fraction is a RATIONAL so k is exact integer arithmetic, and
+    * ties at the threshold score break by the same stable md5 order
+    * as [[hashSplit]] — the kept SET is a pure deterministic function
+    * of (corpus, fraction): re-runs, engines and cluster sizes agree
+    * row for row.
+    *
+    * Scale shape — the naive formulation is `row_number() OVER
+    * (ORDER BY score DESC) <= k`: one total sort of the corpus. This
+    * runs in bounded state instead:
+    *  1. one map-side-combined per-score count (`scoreCol` must be an
+    *     INTEGRAL fixed-point score — the DISTINCT-score count, not
+    *     the corpus, bounds all selection state; a 1e6-scale quality
+    *     score has ≤ 1e6+1 distinct values at any corpus size),
+    *  2. a cumulative sum over that distinct-score frame (the
+    *     single-partition window runs over ≤ |score domain| rows,
+    *     never the corpus) yielding the exact k-th-largest score,
+    *  3. a scan-speed `score > threshold` LITERAL filter (pushable
+    *     when the score is stored), plus a row_number over ONLY the
+    *     rows tied AT the threshold score (bounded by that one
+    *     score's multiplicity) to fill the remaining slots.
+    * Two metadata-scale driver actions against the persisted
+    * distinct-score frame (the k-means-sums precedent); the corpus is
+    * scanned, never globally sorted or shuffled. NULL scores are
+    * excluded up front (they cannot rank). */
+  def topFraction(df: DataFrame, scoreCol: String, keyCol: String,
+      keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepDen > 0 && keepNum >= 0 && keepNum <= keepDen,
+      s"fraction must be a rational in [0,1]: $keepNum/$keepDen")
+    val rows = df.filter(col(scoreCol).isNotNull)
+    val counts = rows.groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__c")).persist()
+    try {
+      val nRow = counts.agg(sum(col("__c")).as("n")).head()
+      val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      val k = if (n == 0) 0L else (n * keepNum + keepDen - 1) / keepDen
+      if (k == 0) rows.limit(0)
+      else {
+        // boundary row: the k-th-largest score with its own count and
+        // its descending cumulative count (rows at-or-above it)
+        val b = counts
+          .withColumn("__cum", sum(col("__c")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("__s").desc)))
+          .filter(col("__cum") >= k)
+          .orderBy(col("__s").desc).limit(1).head()
+        val thr = b.getLong(0)
+        val tieSlots = k - (b.getLong(2) - b.getLong(1))
+        val above = rows.filter(col(scoreCol).cast("long") > lit(thr))
+        if (tieSlots == 0) above
+        else above.unionByName(
+          rows.filter(col(scoreCol).cast("long") === lit(thr))
+            .withColumn("__rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(
+                expr(s"md5(CAST(`$keyCol` AS STRING))").asc,
+                col(keyCol).asc)))
+            .filter(col("__rn") <= tieSlots).drop("__rn"))
+      }
+    } finally counts.unpersist(blocking = true)
+  }
 }

@@ -1359,6 +1359,43 @@ object TextQ {
        |       WHEN bpt_fp <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
        |FROM d2, cuts ORDER BY doc_id""".stripMargin
 
+  /** q106 — exact global top-decile quality cut
+    * ([[graft.ext.Sampling.topFraction]], the FineWeb-Edu "train on
+    * the best fraction" selection): the q29 stopword-density score as
+    * a 1e6-scale fixed-point integer, keep exactly ⌈n/10⌉ documents —
+    * the k highest by (score desc, md5(doc_id), doc_id). The oracle
+    * IS the naive global sort (`row_number() OVER (ORDER BY ...)`);
+    * the Spark side computes the identical set from the bounded
+    * distinct-score histogram + threshold-tie rank, so the gate
+    * proves the no-global-sort plan selects the same rows the sort
+    * would. */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val stopHits =
+      s"${hits("the")} + ${hits("and")} + ${hits("of")} + ${hits("to")}"
+    val scored = withToks(s, dir)
+      .withColumn("score_fp",
+        expr(s"(($stopHits) * 1000000) DIV size(toks)"))
+      .select(col("doc_id"), col("lang"), col("score_fp"))
+    graft.ext.Sampling.topFraction(scored, "score_fp", "doc_id", 1, 10)
+      .orderBy(col("doc_id"))
+  }
+
+  val q106Sql: String = {
+    val stopHits =
+      s"${hits("the")} + ${hits("and")} + ${hits("of")} + ${hits("to")}"
+    s"""WITH s AS (SELECT doc_id, lang,
+       |    (($stopHits) * 1000000) // len($toksD) AS score_fp
+       |  FROM documents),
+       |r AS (SELECT doc_id, lang, score_fp,
+       |    row_number() OVER (ORDER BY score_fp DESC,
+       |      md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM s WHERE score_fp IS NOT NULL)
+       |SELECT doc_id, lang, score_fp FROM r
+       |WHERE rn <= (n + 9) // 10
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1394,5 +1431,6 @@ object TextQ {
     QueryDef("q95_importance_weights", q95, Some(q95Sql)),
     QueryDef("q96_importance_resample", q96, Some(q96Sql)),
     QueryDef("q97_temperature_sample", q97, Some(q97Sql)),
-    QueryDef("q103_perplexity_buckets", q103, Some(q103Sql)))
+    QueryDef("q103_perplexity_buckets", q103, Some(q103Sql)),
+    QueryDef("q106_top_fraction", q106, Some(q106Sql)))
 }

@@ -144,6 +144,42 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("topFraction selects exactly the global-sort set, sortlessly") {
+    // scores with heavy ties (mod 7) so the threshold score group is
+    // wide — the set must equal the naive row_number-over-global-sort
+    // formulation at every fraction, including ones that land
+    // mid-tie-group
+    val docs = (1L to 503L).map(i => (i, i % 7)).toDF("id", "s")
+    def brute(num: Long, den: Long): Set[Long] = {
+      val k = (503L * num + den - 1) / den
+      docs.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            col("s").desc, md5(col("id").cast("string")).asc,
+            col("id").asc)))
+        .filter(col("rn") <= k).select("id").as[Long].collect().toSet
+    }
+    for ((num, den) <- Seq((1L, 10L), (1L, 3L), (503L, 503L), (1L, 503L))) {
+      val got = Sampling.topFraction(docs, "s", "id", num, den)
+        .select("id").as[Long].collect().toSet
+      assert(got == brute(num, den), s"fraction $num/$den")
+    }
+    // fraction 0 keeps nothing; partitioning never changes the set
+    assert(Sampling.topFraction(docs, "s", "id", 0, 5).count() == 0)
+    val a = Sampling.topFraction(docs, "s", "id", 1, 4)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.topFraction(docs.repartition(7), "s", "id", 1, 4)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "kept set is partitioning-independent")
+    // NULL scores are excluded, k derives from the non-null count
+    val withNulls = docs.withColumn("s",
+      when(col("id") <= 3, lit(null)).otherwise(col("s")))
+    assert(Sampling.topFraction(withNulls, "s", "id", 500, 500)
+      .count() == 500)
+    intercept[IllegalArgumentException] {
+      Sampling.topFraction(docs, "s", "id", 6, 5)
+    }
+  }
+
   test("dedup pair helpers leave no cached plans behind") {
     // regression for the round-3 advisor finding: staged frames were
     // persisted and never released, accumulating CacheManager entries
