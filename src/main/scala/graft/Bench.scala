@@ -150,6 +150,9 @@ object Bench {
         // thresholds) and SemDeDup (cell-blocked pairs + CC over the
         // duplicate subset) — both corpus-scaling curation paths
         "q103_perplexity_buckets", "q104_semdedup",
+        // incremental SemDeDup: id-split batches against the
+        // kept-exemplar cell index — the streaming-dedup scaling row
+        "q107_semdedup_incremental",
         // exact top-fraction cut: distinct-score histogram + literal
         // threshold filter — the sortless selection's scaling row
         "q106_top_fraction")

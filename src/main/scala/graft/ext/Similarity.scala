@@ -797,6 +797,140 @@ object Similarity {
         col("n_members"), col("centroid_id"))
   }
 
+  /** INCREMENTAL SemDeDup — the cell-blocked semantic dedup applied
+    * batch-at-a-time against a persisted KEPT-ONLY index (the
+    * [[nearDupIncremental]] shape with the cell id as the blocking
+    * key): each batch vector is argmax-assigned to its centroid cell
+    * ([[ivfAssignLit]] — no join, no shuffle) and DROPPED when its
+    * exact fixed-point cosine against any earlier same-cell vector —
+    * a historical KEPT exemplar, or any lower-id member of the same
+    * batch — reaches `threshold`; survivors append to the index as
+    * (id, e, cid). The offline [[semDedup]] resolves whole duplicate
+    * groups to the most-CENTRAL member; online that rule is
+    * unavailable (an already-shipped exemplar cannot be revoked), so
+    * the incremental path keeps the FIRST arrival (lowest id) — the
+    * only online-consistent keep rule, same divergence every
+    * streaming dedup in this library makes.
+    *
+    * Returns the batch's duplicate evidence (a_id, b_id, cos_sim)
+    * with b_id the dropped side — a_id < b_id covers both cases
+    * because ids are assumed non-decreasing across batches (the
+    * incremental-family contract). Replay-safe with `txn`: the
+    * re-appended batch no-ops on the marker, and a replayed batch's
+    * own kept rows in the index cannot re-match it (strict id
+    * inequality), so the same rows drop again.
+    *
+    * Scale shape: CENTROIDS ARE THE MODEL and must stay FIXED for
+    * the life of the index (they define the blocking — re-fitting
+    * them would strand history in stale cells; train once with
+    * [[kmeansFit]], version the index to adopt a re-fit). The index
+    * never shuffles: the batch's distinct cell ids broadcast and the
+    * index streams through a semi-join probe, so per-batch cost is
+    * batch + touched-CELL volume — and because the index holds only
+    * kept exemplars, a cell's population is bounded by its semantic
+    * diversity at `threshold`, not by how many near-copies ever
+    * arrived. */
+  def semDedupIncremental(batch: DataFrame, idCol: String,
+      threshold: Double, cents: Seq[(Long, Array[Float])],
+      indexDir: String, embCol: String = "embedding",
+      txn: Option[(String, Long)] = None,
+      maxBatchRows: Long = MaxIncrementalBatchRows): DataFrame = {
+    val r = semDedupIncrementalCore(batch, idCol, threshold, cents,
+      indexDir, embCol, txn, maxBatchRows)
+    val dup = r.pairs.select(col("b_id")).distinct()
+    graft.sink.CdcTable.append(
+      r.assigned.join(dup, r.assigned("id") === dup("b_id"),
+        "left_anti"),
+      indexDir, txn = txn)
+    r.pairs
+  }
+
+  private final case class SemIncr(pairs: DataFrame, assigned: DataFrame)
+
+  /** Pair computation without the index append — `pairs` pins the
+    * pre-call index snapshot ([[graft.sink.CdcTable.read]] fixes the
+    * file list at construction). */
+  private def semDedupIncrementalCore(batch: DataFrame, idCol: String,
+      threshold: Double, cents: Seq[(Long, Array[Float])],
+      indexDir: String, embCol: String, txn: Option[(String, Long)],
+      maxBatchRows: Long): SemIncr = {
+    import graft.sink.CdcTable
+    val spark = batch.sparkSession
+    require(cents.nonEmpty, "need at least one centroid")
+    val assigned = batch.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(embCol).as("e"))
+      .withColumn("cid", ivfAssignLit(spark, "e", cents))
+      .localCheckpoint() // pin: feeds the join AND the index append
+    val nBatch = assigned.count()
+    require(nBatch <= maxBatchRows,
+      s"incremental batch has $nBatch rows (> maxBatchRows=" +
+        s"$maxBatchRows): this API broadcasts the batch's cell keys " +
+        "and assumes bounded micro-batches — use semDedup for a " +
+        "corpus-sized input, or raise maxBatchRows if the broadcast " +
+        "genuinely fits")
+    val earlier = assigned
+      .select(col("id").as("a_id"), col("e").as("ea"), col("cid"))
+    val hist =
+      if (CdcTable.log(indexDir).nonEmpty)
+        // THE INDEX NEVER SHUFFLES: the batch's distinct cell ids
+        // broadcast; only touched cells survive the scan
+        CdcTable.read(spark, indexDir)
+          .select(col("id").as("a_id"), col("e").as("ea"), col("cid"))
+          .join(broadcast(assigned.select(col("cid")).distinct()),
+            Seq("cid"), "left_semi")
+      else
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          earlier.schema)
+    val pairs = assigned
+      .select(col("id").as("b_id"), col("e").as("eb"), col("cid"))
+      .join(hist.unionByName(earlier), Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", dotExpr(batch, "ea", "eb") / lit(1e12))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+      .distinct() // a replayed batch's kept rows sit in BOTH legs
+    SemIncr(pairs, assigned)
+  }
+
+  /** Streaming SemDeDup-to-table — the semantic analog of
+    * [[vecDedupStreamToTable]]: every micro-batch runs
+    * [[semDedupIncremental]] against the kept-exemplar index; dropped
+    * rows vanish, survivors append (with ALL their original columns)
+    * to `outDir` and (as (id, e, cid)) to the index. Exactly-once
+    * across restarts via per-role txn markers; the centroid model is
+    * passed in and must stay fixed for the life of the index (see
+    * [[semDedupIncremental]]). NULL-embedding rows cannot assign or
+    * compare: they pass through to `outDir` unexamined and never
+    * enter the index. */
+  def semDedupStreamToTable(stream: DataFrame, idCol: String,
+      cents: Seq[(Long, Array[Float])], indexDir: String,
+      outDir: String, checkpointDir: String, threshold: Double = 0.40,
+      embCol: String = "embedding", appId: String = "graft-semdedup",
+      maxBatchRows: Long = MaxIncrementalBatchRows)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val r = semDedupIncrementalCore(batch, idCol, threshold, cents,
+          indexDir, embCol, txn = Some((s"$appId-idx", id)),
+          maxBatchRows = maxBatchRows)
+        // one evaluation feeds the index filter AND the out anti-join
+        val dupIds = r.pairs.select(col("b_id").as("__dup_id"))
+          .distinct().localCheckpoint()
+        graft.sink.CdcTable.append(
+          r.assigned.join(dupIds,
+            col("id") === col("__dup_id"), "left_anti"),
+          indexDir, txn = Some((s"$appId-idx", id)))
+        graft.sink.CdcTable.append(
+          batch.join(dupIds, batch(idCol) === col("__dup_id"),
+            "left_anti"),
+          outDir, txn = Some((s"$appId-out", id)))
+        ()
+      }
+      .start()
+
   /** All pairs with cosine ≥ threshold — exact exhaustive O(n²) pair
     * join. Correctness baseline / small inputs only; the default
     * [[nearDupPairs]] band-blocks first. */

@@ -1079,6 +1079,66 @@ object EmbeddingQ {
        |  CAST(MAX(cid) AS BIGINT) AS centroid_id
        |FROM ranked GROUP BY component ORDER BY sem_cluster""".stripMargin
 
+  /** q107 — INCREMENTAL SemDeDup
+    * ([[graft.ext.Similarity.semDedupIncremental]]): q104's cell
+    * model (same clamp(⌈n/500⌉, 8, 64) centroid derivation) applied
+    * batch-at-a-time over an id-split corpus with a persisted
+    * KEPT-ONLY exemplar index — batch 1 deduplicates internally and
+    * seeds the index, batch 2 probes the kept exemplars plus its own
+    * lower ids. Returns batch 2's duplicate evidence. The oracle
+    * replays the whole protocol in SQL: assignment → all within-cell
+    * pairs → batch-1 drop set → kept-1 → exactly the pairs whose
+    * dropped side is in batch 2 and whose earlier side is a kept-1
+    * exemplar or a lower-id batch-2 member — so the kept-only index
+    * CONTENT (not just the pair arithmetic) is oracle-pinned: an
+    * index that wrongly retained a dropped vector would emit extra
+    * pairs and hash-mismatch. */
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val k = math.min(64L,
+      math.max(8L, math.ceil(emb.count() / 500.0).toLong))
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = QueryDef.scratchDir("graft_q107_idx")
+    // index append is eager; batch 1's pair frame is lazy and unread
+    Similarity.semDedupIncremental(
+      emb.filter(col("vec_id") < cut), "vec_id", 0.40, cents, idx)
+    Similarity.semDedupIncremental(
+      emb.filter(col("vec_id") >= cut), "vec_id", 0.40, cents, idx)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q107Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < (SELECT LEAST(64, GREATEST(8,
+       |    CAST(CEIL(COUNT(*) / 500.0) AS BIGINT))) FROM embeddings)),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id AS id, embedding, cid
+       |  FROM scored WHERE rn = 1),
+       |cut AS (SELECT CAST(FLOOR(MAX(vec_id) / 2) AS BIGINT) AS c
+       |  FROM embeddings),
+       |pr AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
+       |      AS cos_sim
+       |  FROM assigned a JOIN assigned b
+       |  ON a.cid = b.cid AND a.id < b.id
+       |  WHERE CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE)
+       |    / 1e12 >= 0.40),
+       |d1 AS (SELECT DISTINCT p.b_id FROM pr p, cut
+       |  WHERE p.a_id < c AND p.b_id < c),
+       |k1 AS (SELECT id FROM assigned, cut WHERE id < c
+       |  AND id NOT IN (SELECT b_id FROM d1))
+       |SELECT p.a_id, p.b_id, p.cos_sim FROM pr p, cut
+       |WHERE p.b_id >= c
+       |  AND (p.a_id >= c OR p.a_id IN (SELECT id FROM k1))
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1102,5 +1162,6 @@ object EmbeddingQ {
     QueryDef("q69_vec_quantize", q69, Some(q69Sql)),
     QueryDef("q72_semantic_decon", q72, Some(q72Sql)),
     QueryDef("q104_semdedup", q104, Some(q104Sql)),
-    QueryDef("q105_semdedup_join", q105, Some(q105Sql)))
+    QueryDef("q105_semdedup_join", q105, Some(q105Sql)),
+    QueryDef("q107_semdedup_incremental", q107, Some(q107Sql)))
 }

@@ -81,4 +81,86 @@ class SemDedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(r.toSeq == Seq((1L, 1L, 3L, 0L)))
   }
+
+  test("semDedupIncremental: kept-only index, replay-stable with txn") {
+    import graft.sink.CdcTable
+    val idx = tmpDir("semincr")
+    val p1 = Similarity.semDedupIncremental(df(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0.95f, 0.05f, 0f, 0f), // ~copy of 0, same cell
+      2L -> Array(0f, 1f, 0f, 0f)),      // cell-1 exemplar
+      "vec_id", 0.85, cents, idx, txn = Some(("t", 1L)))
+    assert(p1.select("b_id").as[Long].collect().toSet == Set(1L))
+    assert(CdcTable.read(spark, idx).select("id").as[Long]
+      .collect().toSet == Set(0L, 2L), "index holds kept only")
+    val b2 = df(
+      10L -> Array(0.9f, 0.1f, 0f, 0f),  // ~copy of KEPT 0 → drop
+      11L -> Array(0.7f, 0f, 0.72f, 0f)) // cell 0 but cos 0.70 → keep
+    def run2() = Similarity.semDedupIncremental(
+      b2, "vec_id", 0.85, cents, idx, txn = Some(("t", 2L)))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(run2() == Set((0L, 10L)), "cross-batch probe hits the exemplar")
+    assert(CdcTable.read(spark, idx).select("id").as[Long]
+      .collect().toSet == Set(0L, 2L, 11L))
+    // replay of batch 2 (same txn): same evidence, no index growth
+    assert(run2() == Set((0L, 10L)))
+    assert(CdcTable.read(spark, idx).count() == 3L, "replay no-ops")
+  }
+
+  test("incremental keep rule is first-arrival: a dropped vector's " +
+    "copies are judged against the KEPT exemplar, not the dropped one") {
+    import graft.sink.CdcTable
+    // chain a~b, b~c, a!~c (the transitive-chain fixture, split)
+    val a = 0L -> Array(1f, 0f, 0f, 0f)
+    val b = 1L -> Array(0.9f, 0f, 0.436f, 0f)
+    val c = Array(0.62f, 0f, 0.785f, 0f)
+    // same batch: ANY lower-id member counts — c drops via dropped b
+    val idx1 = tmpDir("semchain1")
+    val p = Similarity.semDedupIncremental(df(a, b, 2L -> c),
+      "vec_id", 0.85, cents, idx1)
+    assert(p.select("b_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(CdcTable.read(spark, idx1).select("id").as[Long]
+      .collect().toSet == Set(0L))
+    // later batch: only KEPT exemplars are in the index — c survives
+    // (cos vs a is 0.62 < 0.85; the b it resembles was never kept)
+    val idx2 = tmpDir("semchain2")
+    Similarity.semDedupIncremental(df(a, b), "vec_id", 0.85, cents, idx2)
+    val p2 = Similarity.semDedupIncremental(df(10L -> c),
+      "vec_id", 0.85, cents, idx2)
+    assert(p2.count() == 0L, "no kept exemplar within threshold")
+    assert(CdcTable.read(spark, idx2).select("id").as[Long]
+      .collect().toSet == Set(0L, 10L))
+  }
+
+  test("semDedupStreamToTable: kept-only cell index across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sink.CdcTable
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmpDir("ssidx"); val out = tmpDir("ssout")
+    val ckpt = tmpDir("ssckpt")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.semDedupStreamToTable(
+      mem.toDF.toDF("vec_id", "embedding"), "vec_id", cents, idx, out,
+      ckpt, threshold = 0.85)
+    try {
+      mem.addData((0L, Array(1f, 0f, 0f, 0f)),
+        (1L, Array(0.95f, 0.05f, 0f, 0f)), // ~copy of 0 → drop
+        (2L, Array(0f, 1f, 0f, 0f)))       // cell-1 exemplar → keep
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart: the exemplar index still covers pre-restart history
+    val q2 = Similarity.semDedupStreamToTable(
+      mem.toDF.toDF("vec_id", "embedding"), "vec_id", cents, idx, out,
+      ckpt, threshold = 0.85)
+    try {
+      mem.addData((10L, Array(0.9f, 0.1f, 0f, 0f)),  // ~copy of 0 → drop
+        (11L, Array(0.7f, 0f, 0.72f, 0f)))           // diverse → keep
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(CdcTable.read(spark, out).select("vec_id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 2L, 11L),
+      "near-copies dropped across the restart")
+    assert(CdcTable.read(spark, idx).count() == 3L,
+      "kept-only indexing: one exemplar row per kept vector")
+  }
 }
