@@ -155,7 +155,10 @@ object Bench {
         "q107_semdedup_incremental",
         // exact top-fraction cut: distinct-score histogram + literal
         // threshold filter — the sortless selection's scaling row
-        "q106_top_fraction")
+        "q106_top_fraction",
+        // BPE training: 4 iterative corpus-scan rounds, state bounded
+        // by the live bigram vocabulary — the trainer's scaling row
+        "q108_bpe_train")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -623,4 +623,96 @@ object TextAnalysis {
           s"CAST(conv(substring(md5(bg), 1, 7), 16, 10) AS BIGINT)" +
             s" % $buckets"))
         .drop("toks", "bg", textCol)
+
+  // ----------------------------------------------------------------
+  // BPE tokenizer TRAINING (Sennrich et al. ACL 2016). q76 counts
+  // symbol pairs once; this is the full iterative trainer: repeatedly
+  // merge the corpus-wide most frequent adjacent symbol pair. The
+  // segmentation state is a STRING per document — every symbol
+  // wrapped as `|sym|`, words separated by spaces — so applying a
+  // merge is one `replace('|l||r|' → '|lr|')`: plain left-to-right
+  // non-overlapping string replacement IS greedy BPE pairing
+  // ("aaa" + merge(a,a) → (aa, a)), identical in Spark and DuckDB,
+  // and the wrapping makes a false boundary impossible (symbols
+  // never contain '|'). Words are lowercased and restricted to
+  // [a-z0-9] up front (the usual pre-normalization), which also
+  // makes symbols safe to inline into SQL literals.
+  // ----------------------------------------------------------------
+
+  /** One trained merge: 1-based rank, the merged symbols, and the
+    * pair's corpus count at selection time. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+      count: Long)
+
+  /** Initial segmentation state for `textCol`: normalized words with
+    * every character wrapped as `|c|`. */
+  private[graft] def bpeInitState(textCol: String): Column =
+    expr(s"""concat_ws(' ', transform(
+      |  split(trim(regexp_replace(lower($textCol), '[^a-z0-9 ]', ' ')),
+      |    '\\\\s+'),
+      |  w -> regexp_replace(w, '(.)', '|$$1|')))""".stripMargin)
+
+  /** Adjacent same-word symbol pairs of a state frame, counted. */
+  private def bpePairFreq(state: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    state.select(explode(split(col("state"), " ")).as("w"))
+      .select(expr(
+        "split(substring(w, 2, length(w) - 2), '\\\\|\\\\|')").as("s"))
+      .select(explode(expr(
+        """zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+          |  (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The replace expression applying one merge to a state column. */
+  private def bpeApplyOne(stateCol: String, m: BpeMerge): Column =
+    expr(s"replace($stateCol, '|${m.left}||${m.right}|', " +
+      s"'|${m.left}${m.right}|')")
+
+  /** Train `merges` BPE merges over `textCol`. Deterministic: the
+    * winning pair each round is (count desc, left asc, right asc) —
+    * no RNG, no hash order — so re-runs, engines and cluster sizes
+    * produce the same table. Stops early when no adjacent pair
+    * remains (returns fewer rows).
+    *
+    * Scale shape: each round is ONE corpus scan + one map-side-
+    * combined pair-count shuffle (state bounded by the live symbol
+    * vocabulary², in practice the corpus bigram set) and a 1-row
+    * driver argmax (metadata-scale); the accumulated merges stay
+    * chained NARROW projections on top of the scan — the corpus is
+    * never materialized per round and never shuffled. Plan depth
+    * grows linearly with `merges`; past a few hundred rounds,
+    * checkpoint the state between calls. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): Seq[BpeMerge] = {
+    require(merges >= 1 && merges <= 256,
+      s"merges must be in [1, 256]: $merges")
+    var state = df.select(bpeInitState(textCol).as("state"))
+    val out = scala.collection.mutable.ArrayBuffer[BpeMerge]()
+    var exhausted = false
+    for (k <- 1 to merges if !exhausted) {
+      val top = bpePairFreq(state)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val m = BpeMerge(k, top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += m
+        state = state.withColumn("state", bpeApplyOne("state", m))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Segmentation state of `textCol` after applying a trained merge
+    * table — [[bpeTrain]]'s companion encode step. The symbol count
+    * of a state is `(length(state) - length(replace(state, '|', '')))
+    * / 2` (each symbol contributes exactly two pipes). */
+  def bpeSegment(textCol: String, merges: Seq[BpeMerge]): Column =
+    merges.sortBy(_.rank).foldLeft(bpeInitState(textCol)) {
+      (c, m) => org.apache.spark.sql.functions.replace(c,
+        lit(s"|${m.left}||${m.right}|"),
+        lit(s"|${m.left}${m.right}|"))
+    }
 }

@@ -1396,6 +1396,97 @@ object TextQ {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q108 — BPE tokenizer TRAINING
+    * ([[graft.ext.TextAnalysis.bpeTrain]], Sennrich et al. ACL 2016):
+    * four iterative merge rounds over the documents corpus, each
+    * selecting the corpus-wide most frequent adjacent symbol pair
+    * (count desc, then lexicographic — deterministic, no RNG). The
+    * oracle unrolls the SAME four rounds as chained CTEs — state →
+    * pair counts → argmax → replace — so every round's winning pair
+    * AND its count are hash-pinned: a wrong greedy application order
+    * or a boundary leak in round k changes round k+1's counts and
+    * mismatches. */
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.TextAnalysis.bpeTrain(Tables(s, dir, "documents"),
+        "text", 4)
+      .map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("merge_rank", "lsym", "rsym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The oracle's iterative-merge CTE chain: st0 (normalized,
+    * char-wrapped state) then per round k: adjacent pair counts of
+    * st(k−1), the argmax merge m(k), and st(k) = the merge applied.
+    * Shared by q108 (emits the merge table) and q109 (emits per-doc
+    * symbol counts before/after). */
+  private def bpeCtes(n: Int): String = {
+    val sb = new StringBuilder(
+      """st0 AS (SELECT doc_id, array_to_string(list_transform(
+        |    string_split_regex(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g')), '\s+'),
+        |    w -> regexp_replace(w, '(.)', '|\1|', 'g')), ' ') AS state
+        |  FROM documents)""".stripMargin)
+    for (k <- 1 to n) {
+      val p = k - 1
+      sb.append(s""",
+        |w$k AS (SELECT unnest(string_split(state, ' ')) AS w FROM st$p),
+        |pc$k AS (SELECT s[i] AS l, s[i + 1] AS r, COUNT(*) AS cnt
+        |  FROM (SELECT s, unnest(generate_series(1, len(s) - 1)) AS i
+        |        FROM (SELECT string_split(trim(w, '|'), '||') AS s
+        |              FROM w$k))
+        |  GROUP BY 1, 2),
+        |m$k AS (SELECT $k AS merge_rank, l, r, cnt FROM pc$k
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |st$k AS (SELECT doc_id, replace(state,
+        |    '|' || (SELECT l FROM m$k) || '||' ||
+        |      (SELECT r FROM m$k) || '|',
+        |    '|' || (SELECT l FROM m$k) ||
+        |      (SELECT r FROM m$k) || '|') AS state
+        |  FROM st$p)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val q108Sql: String =
+    s"""WITH ${bpeCtes(4)}
+       |SELECT merge_rank, l AS lsym, r AS rsym, cnt AS pair_count
+       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+       |  UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4)
+       |ORDER BY merge_rank""".stripMargin
+
+  /** q109 — BPE encode ([[graft.ext.TextAnalysis.bpeSegment]]): the
+    * q108-trained merge table applied back to the corpus; per-doc
+    * symbol counts before and after (each symbol is one `|sym|`
+    * wrap, so the count is `(length − length-without-pipes) / 2`).
+    * Pins the train→apply round trip: a segmentation that applied
+    * merges in the wrong order or across word boundaries changes
+    * some document's count. */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val ms = graft.ext.TextAnalysis.bpeTrain(docs, "text", 4)
+    docs
+      .withColumn("st0", graft.ext.TextAnalysis.bpeInitState("text"))
+      .withColumn("stn",
+        graft.ext.TextAnalysis.bpeSegment("text", ms))
+      .select(col("doc_id"),
+        expr("(length(st0) - length(replace(st0, '|', ''))) DIV 2")
+          .as("syms_before"),
+        expr("(length(stn) - length(replace(stn, '|', ''))) DIV 2")
+          .as("syms_after"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q109Sql: String =
+    s"""WITH ${bpeCtes(4)}
+       |SELECT a.doc_id,
+       |  (length(a.state) - length(replace(a.state, '|', ''))) // 2
+       |    AS syms_before,
+       |  (length(b.state) - length(replace(b.state, '|', ''))) // 2
+       |    AS syms_after
+       |FROM st0 a JOIN st4 b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1432,5 +1523,7 @@ object TextQ {
     QueryDef("q96_importance_resample", q96, Some(q96Sql)),
     QueryDef("q97_temperature_sample", q97, Some(q97Sql)),
     QueryDef("q103_perplexity_buckets", q103, Some(q103Sql)),
-    QueryDef("q106_top_fraction", q106, Some(q106Sql)))
+    QueryDef("q106_top_fraction", q106, Some(q106Sql)),
+    QueryDef("q108_bpe_train", q108, Some(q108Sql)),
+    QueryDef("q109_bpe_encode", q109, Some(q109Sql)))
 }
