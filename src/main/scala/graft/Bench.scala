@@ -152,7 +152,8 @@ object Bench {
         "q103_perplexity_buckets", "q104_semdedup",
         // incremental SemDeDup: id-split batches against the
         // kept-exemplar cell index — the streaming-dedup scaling row
-        "q107_semdedup_incremental",
+        // (q110 = the large-k assignment that keeps it sub-quadratic)
+        "q107_semdedup_incremental", "q110_semdedup_incr_join",
         // exact top-fraction cut: distinct-score histogram + literal
         // threshold filter — the sortless selection's scaling row
         "q106_top_fraction",

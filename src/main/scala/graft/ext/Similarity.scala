@@ -835,14 +835,53 @@ object Similarity {
       indexDir: String, embCol: String = "embedding",
       txn: Option[(String, Long)] = None,
       maxBatchRows: Long = MaxIncrementalBatchRows): DataFrame = {
-    val r = semDedupIncrementalCore(batch, idCol, threshold, cents,
+    require(cents.nonEmpty, "need at least one centroid")
+    val r = semDedupIncrementalCore(batch, idCol, threshold,
+      df => df.withColumn("cid",
+        ivfAssignLit(batch.sparkSession, "e", cents)),
       indexDir, embCol, txn, maxBatchRows)
+    appendKept(r, indexDir, txn)
+    r.pairs
+  }
+
+  /** [[semDedupIncremental]] with a centroid DATAFRAME — the LARGE-k
+    * incremental path (the [[semDedupJoin]] move applied online):
+    * the literal argmax stops scaling past ~64 centroids, which caps
+    * the cell count and lets within-cell pair volume grow quadratic
+    * in corpus size; here the centroid table broadcasts into a
+    * fan-out join whose per-vector argmax is a map-side-combinable
+    * max(struct) — shuffle volume one row per batch vector regardless
+    * of k, so the cell count (SemDeDup's blocking knob) keeps pace
+    * with the corpus. Assignment semantics identical to the literal
+    * path (ties to the smallest cid; spec-pinned), and the index is
+    * interchangeable between the two. Same fixed-centroid contract:
+    * the model defines the blocking for the life of the index. */
+  def semDedupIncrementalJoin(batch: DataFrame, idCol: String,
+      threshold: Double, centsDf: DataFrame, indexDir: String,
+      embCol: String = "embedding",
+      txn: Option[(String, Long)] = None,
+      maxBatchRows: Long = MaxIncrementalBatchRows): DataFrame = {
+    val r = semDedupIncrementalCore(batch, idCol, threshold,
+      df => df
+        .crossJoin(broadcast(centsDf.select(col("cid"), col("ce"))))
+        .withColumn("d", dotExpr(df, "e", "ce"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("d").as("d"), (-col("cid")).as("nc")))
+            .as("best"),
+          first(col("e")).as("e"))
+        .select(col("id"), col("e"), (-col("best.nc")).as("cid")),
+      indexDir, embCol, txn, maxBatchRows)
+    appendKept(r, indexDir, txn)
+    r.pairs
+  }
+
+  private def appendKept(r: SemIncr, indexDir: String,
+      txn: Option[(String, Long)]): Unit = {
     val dup = r.pairs.select(col("b_id")).distinct()
     graft.sink.CdcTable.append(
       r.assigned.join(dup, r.assigned("id") === dup("b_id"),
         "left_anti"),
       indexDir, txn = txn)
-    r.pairs
   }
 
   private final case class SemIncr(pairs: DataFrame, assigned: DataFrame)
@@ -851,15 +890,14 @@ object Similarity {
     * pre-call index snapshot ([[graft.sink.CdcTable.read]] fixes the
     * file list at construction). */
   private def semDedupIncrementalCore(batch: DataFrame, idCol: String,
-      threshold: Double, cents: Seq[(Long, Array[Float])],
+      threshold: Double, assign: DataFrame => DataFrame,
       indexDir: String, embCol: String, txn: Option[(String, Long)],
       maxBatchRows: Long): SemIncr = {
     import graft.sink.CdcTable
     val spark = batch.sparkSession
-    require(cents.nonEmpty, "need at least one centroid")
-    val assigned = batch.filter(col(embCol).isNotNull)
-      .select(col(idCol).as("id"), col(embCol).as("e"))
-      .withColumn("cid", ivfAssignLit(spark, "e", cents))
+    val assigned = assign(batch.filter(col(embCol).isNotNull)
+        .select(col(idCol).as("id"), col(embCol).as("e")))
+      .select(col("id"), col("e"), col("cid"))
       .localCheckpoint() // pin: feeds the join AND the index append
     val nBatch = assigned.count()
     require(nBatch <= maxBatchRows,
@@ -913,7 +951,9 @@ object Similarity {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val r = semDedupIncrementalCore(batch, idCol, threshold, cents,
+        val r = semDedupIncrementalCore(batch, idCol, threshold,
+          df => df.withColumn("cid",
+            ivfAssignLit(batch.sparkSession, "e", cents)),
           indexDir, embCol, txn = Some((s"$appId-idx", id)),
           maxBatchRows = maxBatchRows)
         // one evaluation feeds the index filter AND the out anti-join

@@ -1139,6 +1139,58 @@ object EmbeddingQ {
        |  AND (p.a_id >= c OR p.a_id IN (SELECT id FROM k1))
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q110 — LARGE-k incremental SemDeDup
+    * ([[graft.ext.Similarity.semDedupIncrementalJoin]]): q107's
+    * protocol under q105's UNCAPPED cell model (max(8, ⌈n/250⌉)
+    * centroids, broadcast-join argmax assignment) — the pairing of
+    * moves that keeps the incremental path sub-quadratic at scale:
+    * the literal argmax caps cells at ~64, so at 100× the corpus
+    * within-cell pair volume grows quadratic; the join path lets the
+    * blocking knob keep pace with the corpus. Same oracle protocol
+    * as q107 with the q105 centroid derivation. */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val k = math.max(8L, math.ceil(emb.count() / 250.0).toLong)
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val idx = QueryDef.scratchDir("graft_q110_idx")
+    // index append is eager; batch 1's pair frame is lazy and unread
+    Similarity.semDedupIncrementalJoin(
+      emb.filter(col("vec_id") < cut), "vec_id", 0.40, cents, idx)
+    Similarity.semDedupIncrementalJoin(
+      emb.filter(col("vec_id") >= cut), "vec_id", 0.40, cents, idx)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q110Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce
+       |  FROM embeddings WHERE vec_id < (SELECT GREATEST(8,
+       |    CAST(CEIL(COUNT(*) / 250.0) AS BIGINT)) FROM embeddings)),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotD("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id AS id, embedding, cid
+       |  FROM scored WHERE rn = 1),
+       |cut AS (SELECT CAST(FLOOR(MAX(vec_id) / 2) AS BIGINT) AS c
+       |  FROM embeddings),
+       |pr AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE) / 1e12
+       |      AS cos_sim
+       |  FROM assigned a JOIN assigned b
+       |  ON a.cid = b.cid AND a.id < b.id
+       |  WHERE CAST(${dotD("a.embedding", "b.embedding")} AS DOUBLE)
+       |    / 1e12 >= 0.40),
+       |d1 AS (SELECT DISTINCT p.b_id FROM pr p, cut
+       |  WHERE p.a_id < c AND p.b_id < c),
+       |k1 AS (SELECT id FROM assigned, cut WHERE id < c
+       |  AND id NOT IN (SELECT b_id FROM d1))
+       |SELECT p.a_id, p.b_id, p.cos_sim FROM pr p, cut
+       |WHERE p.b_id >= c
+       |  AND (p.a_id >= c OR p.a_id IN (SELECT id FROM k1))
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1163,5 +1215,6 @@ object EmbeddingQ {
     QueryDef("q72_semantic_decon", q72, Some(q72Sql)),
     QueryDef("q104_semdedup", q104, Some(q104Sql)),
     QueryDef("q105_semdedup_join", q105, Some(q105Sql)),
-    QueryDef("q107_semdedup_incremental", q107, Some(q107Sql)))
+    QueryDef("q107_semdedup_incremental", q107, Some(q107Sql)),
+    QueryDef("q110_semdedup_incr_join", q110, Some(q110Sql)))
 }

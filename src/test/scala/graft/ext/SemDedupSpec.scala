@@ -132,6 +132,40 @@ class SemDedupSpec extends SparkSpec {
       .collect().toSet == Set(0L, 10L))
   }
 
+  test("incremental join-path equals the literal path, index included") {
+    import graft.sink.CdcTable
+    val rnd = new scala.util.Random(91)
+    def vec(): Array[Float] = Array.fill(4)(rnd.nextFloat() * 2 - 1)
+    val base = (0L until 40L).map(i => i -> vec())
+    val dup = base.take(6).map { case (i, v) =>
+      (100L + i) -> v.map(x => x * 0.99f + 0.005f) }
+    val all = (base ++ dup).sortBy(_._1)
+    val (b1, b2) = all.partition(_._1 < 50L)
+    val centsDf = base.take(8)
+      .map { case (i, v) => (i, v) }.toSeq
+      .toDF("cid", "ce")
+    val idxL = tmpDir("semeqL"); val idxJ = tmpDir("semeqJ")
+    def pairsOf(run: Seq[(Long, Array[Float])] => org.apache.spark.sql.DataFrame) = {
+      val p1 = run(b1); p1.count() // force batch 1 too, for the compare
+      val p2 = run(b2)
+      (p1.select("a_id", "b_id").as[(Long, Long)].collect().toSet,
+        p2.select("a_id", "b_id").as[(Long, Long)].collect().toSet)
+    }
+    val cents = base.take(8).map { case (i, v) => (i, v) }
+    val lit = pairsOf(rows => Similarity.semDedupIncremental(
+      df(rows: _*), "vec_id", 0.8, cents, idxL))
+    val jn = pairsOf(rows => Similarity.semDedupIncrementalJoin(
+      df(rows: _*), "vec_id", 0.8, centsDf, idxJ))
+    assert(lit == jn, s"lit=$lit join=$jn")
+    val iL = CdcTable.read(spark, idxL).select("id", "cid")
+      .as[(Long, Long)].collect().toSet
+    val iJ = CdcTable.read(spark, idxJ).select("id", "cid")
+      .as[(Long, Long)].collect().toSet
+    assert(iL == iJ, "interchangeable indexes: same kept set AND cells")
+    assert(lit._1.nonEmpty || lit._2.nonEmpty,
+      "planted near-dups must surface")
+  }
+
   test("semDedupStreamToTable: kept-only cell index across a restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sink.CdcTable

@@ -211,6 +211,33 @@ class PlanQualitySpec extends SparkSpec {
       "pair join must be an equi-join on the cell id: " + p.take(600))
   }
 
+  test("topFraction never range-shuffles the corpus; stored scores push down") {
+    // the whole point of the op: the naive formulation is a global
+    // sort (rangepartitioning exchange) — the sortless plan must have
+    // none, and with a STORED integer score the literal threshold
+    // must reach the parquet reader
+    val kept = graft.ext.Sampling.topFraction(
+      graft.Tables(spark, dir, "documents"), "n_chars", "doc_id", 1, 10)
+    val p = plan(kept)
+    assert(!p.contains("rangepartitioning"),
+      "top-fraction must not global-sort the corpus: " + p.take(600))
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(_.contains("GreaterThan(n_chars")),
+      s"stored-score threshold must reach the scan: $scans")
+  }
+
+  test("q107 incremental semdedup: cell-blocked pairs, broadcast cell probe") {
+    val p = plan(EmbeddingQ.q107(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair join must be an equi-join on the cell id: " + p.take(600))
+    // the index never shuffles: batch cell ids broadcast, the index
+    // streams through a semi-join probe
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("LeftSemi"),
+      "cell index probe must be a semi-join: " + p.take(600))
+  }
+
   test("q103 perplexity scoring broadcasts both LM tables and the cuts") {
     val p = plan(TextQ.q103(spark, dir))
     // both bounded LM count tables broadcast into the per-position
