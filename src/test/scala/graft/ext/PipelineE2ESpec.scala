@@ -145,6 +145,27 @@ class PipelineE2ESpec extends SparkSpec {
       "no perplexity-tail doc survives curation")
   }
 
+  test("curation composes: the top-fraction quality cut gates the mix") {
+    // the FineWeb-Edu stage in place: score everything, keep exactly
+    // the best half, then flatten the language mix — every survivor
+    // of the full composition must be inside the cut's kept set, and
+    // the cut itself is exact (⌈n/2⌉, not a rate that drifts)
+    val docs = graft.Tables(spark, dir, "documents")
+    val scored = docs.withColumn("score_fp",
+      floor(TextAnalysis.qualityScore(col("text")) * 1e6).cast("long"))
+    def cutOf() = Sampling.topFraction(scored, "score_fp", "doc_id", 1, 2)
+    val n = scored.count()
+    assert(cutOf().count() == (n + 1) / 2, "the cut is exact, not a rate")
+    def run() = Sampling.temperatureSample(cutOf(), "lang", "doc_id",
+        halvings = 1, headRate = 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val a = run()
+    assert(a == run(), "cut + mix is run-deterministic")
+    val cutIds = cutOf().select("doc_id").as[Long].collect().toSet
+    assert(a.nonEmpty && a.forall(cutIds.contains),
+      "nothing outside the quality cut survives to the mix")
+  }
+
   test("the pipeline result lands in a graft table with stats") {
     val out = tmpDir("pipe_out")
     CdcTable.append(
