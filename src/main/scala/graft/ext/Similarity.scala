@@ -946,15 +946,52 @@ object Similarity {
       outDir: String, checkpointDir: String, threshold: Double = 0.40,
       embCol: String = "embedding", appId: String = "graft-semdedup",
       maxBatchRows: Long = MaxIncrementalBatchRows)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cents.nonEmpty, "need at least one centroid")
+    semDedupStreamGlue(stream, idCol,
+      df => df.withColumn("cid",
+        ivfAssignLit(stream.sparkSession, "e", cents)),
+      indexDir, outDir, checkpointDir, threshold, embCol, appId,
+      maxBatchRows)
+  }
+
+  /** [[semDedupStreamToTable]] with a centroid DATAFRAME — the
+    * LARGE-k streaming configuration ([[semDedupIncrementalJoin]]'s
+    * assignment inside the glue): at stream scale the cell model
+    * wants thousands of cells, past the literal argmax's ~64-centroid
+    * ceiling. The centroid frame is re-resolved per micro-batch
+    * evaluation, but the fixed-centroid contract still holds — the
+    * model defines the blocking for the life of the index; point the
+    * frame at an immutable artifact. */
+  def semDedupStreamToTableJoin(stream: DataFrame, idCol: String,
+      centsDf: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String, threshold: Double = 0.40,
+      embCol: String = "embedding", appId: String = "graft-semdedup",
+      maxBatchRows: Long = MaxIncrementalBatchRows)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    semDedupStreamGlue(stream, idCol,
+      df => df
+        .crossJoin(broadcast(centsDf.select(col("cid"), col("ce"))))
+        .withColumn("d", dotExpr(df, "e", "ce"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("d").as("d"), (-col("cid")).as("nc")))
+            .as("best"),
+          first(col("e")).as("e"))
+        .select(col("id"), col("e"), (-col("best.nc")).as("cid")),
+      indexDir, outDir, checkpointDir, threshold, embCol, appId,
+      maxBatchRows)
+
+  private def semDedupStreamGlue(stream: DataFrame, idCol: String,
+      assign: DataFrame => DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String, threshold: Double,
+      embCol: String, appId: String, maxBatchRows: Long)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val r = semDedupIncrementalCore(batch, idCol, threshold,
-          df => df.withColumn("cid",
-            ivfAssignLit(batch.sparkSession, "e", cents)),
-          indexDir, embCol, txn = Some((s"$appId-idx", id)),
+          assign, indexDir, embCol, txn = Some((s"$appId-idx", id)),
           maxBatchRows = maxBatchRows)
         // one evaluation feeds the index filter AND the out anti-join
         val dupIds = r.pairs.select(col("b_id").as("__dup_id"))

@@ -166,6 +166,35 @@ class SemDedupSpec extends SparkSpec {
       "planted near-dups must surface")
   }
 
+  test("join-path streaming glue mirrors the literal glue exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sink.CdcTable
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.95f, 0.05f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0.7f, 0f, 0.72f, 0f)))
+    def land(run: (org.apache.spark.sql.DataFrame, String, String,
+        String) => org.apache.spark.sql.streaming.StreamingQuery) = {
+      val idx = tmpDir("sjidx"); val out = tmpDir("sjout")
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = run(mem.toDF.toDF("vec_id", "embedding"), idx, out,
+        tmpDir("sjckpt"))
+      try { mem.addData(feed: _*); q.processAllAvailable() }
+      finally q.stop()
+      (CdcTable.read(spark, out).select("vec_id").as[Long]
+          .collect().sorted.toSeq,
+        CdcTable.read(spark, idx).select("id", "cid")
+          .as[(Long, Long)].collect().toSet)
+    }
+    val lit = land((s, i, o, c) => Similarity.semDedupStreamToTable(
+      s, "vec_id", cents, i, o, c, threshold = 0.85))
+    val jn = land((s, i, o, c) => Similarity.semDedupStreamToTableJoin(
+      s, "vec_id",
+      cents.toDF("cid", "ce"), i, o, c, threshold = 0.85))
+    assert(lit == jn, s"lit=$lit join=$jn")
+    assert(lit._1 == Seq(0L, 2L, 3L), "the near-copy dropped")
+  }
+
   test("semDedupStreamToTable: kept-only cell index across a restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sink.CdcTable
