@@ -84,6 +84,37 @@ object Similarity {
       dotExpr(corpus, "ce", "qe").as("s")), k)
   }
 
+  /** PQ-COMPRESSED k-NN join — [[knnJoinBrute]]'s shape over the
+    * codes alone (many queries × a compressed corpus): the corpus
+    * side encodes to m small ints per row ([[pqEncodeLit]] — one
+    * codegen'd projection; the float column is never read past the
+    * encode), each broadcast query carries its (m × codes) exact
+    * fixed-point ADC lookup table as a LITERAL-built array column
+    * ([[pqLutLit]]), and the pair score is m `element_at` lookups
+    * summed ([[pqAdcCols]]) — integer arithmetic end to end, so the
+    * approximate ranking is bit-deterministic and oracle-replayable.
+    * Same k-bounded `topk_by` reduction as the rest of the family.
+    * At 100 TB this is the batched memory story: the scan reads
+    * ~m bytes per corpus row for ALL queries at once, not d floats
+    * per query. Compose with IVF blocking
+    * ([[graft.ext.AnnIndex.writeIvfPq]]) when a full compressed scan
+    * per batch is still too much. */
+  def knnJoinPq(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, k: Int,
+      books: IndexedSeq[IndexedSeq[Array[Float]]],
+      embCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val q0 = queries.select(col(qIdCol).cast("long").as("q_id"),
+      col(embCol).as("qe"))
+    val q = broadcast(q0
+      .withColumn("luts", pqLutLit(spark, "qe", books)).drop("qe"))
+    val c = corpus.select(col(cIdCol).cast("long").as("c_id"),
+      pqEncodeLit(spark, embCol, books).as("codes"))
+    topkReduce(c.crossJoin(q).select(col("q_id"), col("c_id"),
+      pqAdcCols("codes", "luts").as("s")), k)
+      .withColumnRenamed("cos_sim", "adc_sim")
+  }
+
   /** LSH-blocked k-NN join — the scale path: both sides bucket at
     * `planes` hyperplanes (auto-derived from |corpus| when 0, same
     * `clamp(ceil(log2(n/200)), 4, 20)` rule as [[nearDupPairs]]) and
@@ -1264,6 +1295,30 @@ object Similarity {
       element_at(array(row.map(lit): _*),
         (col(codesCol).getItem(s) + 1).cast("int"))
     }.reduce(_ + _)
+
+  /** Per-QUERY-ROW ADC lookup table as an array<array<bigint>>
+    * column: entry [s][c] is the exact fixed-point dot of the row's
+    * s-th subvector with codebook entry c (the codebook inlined as
+    * literals — the distributed form of [[pqLut]], bit-identical by
+    * construction). m·codes dot projections, codegen'd, no join. */
+  def pqLutLit(spark: org.apache.spark.sql.SparkSession,
+      embCol: String, books: IndexedSeq[IndexedSeq[Array[Float]]])
+  : Column = {
+    val w = books.head.head.length
+    array(books.zipWithIndex.map { case (book, s) =>
+      val sub = s"slice($embCol, ${s * w + 1}, $w)"
+      array(book.map(cv =>
+        expr(dotSql(spark, sub, litFloatArraySql(cv))).cast("long")): _*)
+    }: _*)
+  }
+
+  /** ADC score from a codes COLUMN and a luts COLUMN (both sides
+    * row-dependent — the batched-join form of [[pqAdcLit]]): m
+    * lookups summed via one codegen'd higher-order expression. */
+  def pqAdcCols(codesCol: String, lutsCol: String): Column =
+    expr(s"""aggregate(zip_with($codesCol, $lutsCol,
+      |  (c, l) -> element_at(l, CAST(c AS INT) + 1)),
+      |  0L, (a, x) -> a + x)""".stripMargin)
 
   /** Driver mirrors of [[pqEncodeLit]] / [[pqAdcLit]] (bit-identical
     * by construction; spec-asserted on random vectors). */

@@ -1191,6 +1191,56 @@ object EmbeddingQ {
        |  AND (p.a_id >= c OR p.a_id IN (SELECT id FROM k1))
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q111 — PQ-compressed k-NN JOIN
+    * ([[graft.ext.Similarity.knnJoinPq]]): the batched-retrieval
+    * shape over the CODES alone — q87's many-queries join where the
+    * corpus side is the 4-small-ints PQ encoding and each broadcast
+    * query carries its exact fixed-point ADC lookup table as an
+    * array column; pair score = 4 lookups summed, integer end to
+    * end, so the approximate ranking hash-matches the oracle (which
+    * replays codebooks → encode → per-query LUT → ADC → per-query
+    * rank in SQL). Completes the retrieval-join matrix: exact (q87) /
+    * LSH (q88) / LSH+DPP (q90) / IVF (q91) / PQ-compressed (q111). */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val books = Similarity
+      .pqCodebooksFromRows(emb, "vec_id", "embedding", m = 4, codes = 16)
+    Similarity.knnJoinPq(
+      emb.filter(col("vec_id") >= 16 && col("vec_id") % 7 === 0),
+      emb.filter(col("vec_id") >= 16 && col("vec_id") % 7 =!= 0),
+      "vec_id", "vec_id", k = 5, books)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q111Sql: String =
+    s"""WITH sub AS (SELECT unnest(range(0, 4)) AS s),
+       |cbe AS (SELECT vec_id AS code, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS cv
+       |  FROM embeddings, sub WHERE vec_id < 16),
+       |dsub AS (SELECT vec_id, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS dv
+       |  FROM embeddings, sub
+       |  WHERE vec_id >= 16 AND vec_id % 7 <> 0),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |    SELECT d.vec_id, d.s, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+       |        ORDER BY ${dotD("d.dv", "c.cv")} DESC, c.code) AS rn
+       |    FROM dsub d JOIN cbe c ON d.s = c.s) WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS q_id, s,
+       |    embedding[s * 16 + 1 : s * 16 + 16] AS qv
+       |  FROM embeddings, sub
+       |  WHERE vec_id >= 16 AND vec_id % 7 = 0),
+       |lut AS (SELECT q_id, c.s, c.code,
+       |    CAST(${dotD("qv", "c.cv")} AS BIGINT) AS pd
+       |  FROM cbe c JOIN qsub ON c.s = qsub.s),
+       |adc AS (SELECT q_id, vec_id AS c_id, CAST(SUM(pd) AS BIGINT) AS sc
+       |  FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+       |  GROUP BY q_id, vec_id),
+       |r AS (SELECT q_id, c_id, sc, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY sc DESC, c_id) AS rnk FROM adc)
+       |SELECT q_id, c_id, rnk, CAST(sc AS DOUBLE) / 1e12 AS adc_sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1216,5 +1266,6 @@ object EmbeddingQ {
     QueryDef("q104_semdedup", q104, Some(q104Sql)),
     QueryDef("q105_semdedup_join", q105, Some(q105Sql)),
     QueryDef("q107_semdedup_incremental", q107, Some(q107Sql)),
-    QueryDef("q110_semdedup_incr_join", q110, Some(q110Sql)))
+    QueryDef("q110_semdedup_incr_join", q110, Some(q110Sql)),
+    QueryDef("q111_knn_join_pq", q111, Some(q111Sql)))
 }

@@ -186,6 +186,34 @@ class KnnJoinSpec extends SparkSpec {
     }
   }
 
+  test("PQ join matches the driver-side encode + ADC ranking") {
+    // dim 8, m = 4 subvectors of width 2, 8 sampled codes — the
+    // compressed join must reproduce exactly the ranking the driver
+    // mirrors (pqEncodeOf / pqLut / pqAdcOf) compute
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val books = Similarity.pqCodebooksFromRows(
+      emb, "vec_id", "embedding", m = 4, codes = 8)
+    val qs = rows.filter { case (id, _) => id >= 8 && id % 5 == 0 }
+    val cs = rows.filter { case (id, _) => id >= 8 && id % 5 != 0 }
+    val expect = qs.flatMap { case (qid, qv) =>
+      val lut = Similarity.pqLut(qv, books)
+      cs.map { case (cid, cv) =>
+        (qid, cid,
+          Similarity.pqAdcOf(Similarity.pqEncodeOf(cv, books), lut))
+      }.sortBy { case (_, cid, s) => (-s, cid) }.take(3).zipWithIndex
+        .map { case ((q, c, s), i) => (q, c, i + 1L, s) }
+    }.toSet
+    val got = Similarity.knnJoinPq(
+      emb.filter($"vec_id" >= 8 && $"vec_id" % 5 === 0),
+      emb.filter($"vec_id" >= 8 && $"vec_id" % 5 =!= 0),
+      "vec_id", "vec_id", k = 3, books)
+      .select($"q_id", $"c_id", $"rnk",
+        (col("adc_sim") * 1e12).cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect, s"\n got=${got.toSeq.sorted.take(6)}\n " +
+      s"exp=${expect.toSeq.sorted.take(6)}")
+  }
+
   test("plan reduces via aggregate, not a full-shuffle window") {
     val plan = brute(3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
