@@ -108,10 +108,20 @@ object Similarity {
       col(embCol).as("qe"))
     val q = broadcast(q0
       .withColumn("luts", pqLutLit(spark, "qe", books)).drop("qe"))
+    // materialize the encoded corpus (m longs + id per row — this IS
+    // the PQ index; [[graft.ext.AnnIndex.writeIvfPq]] is its
+    // persistent form). Structural, not just a cache: the encode's
+    // generated code is huge (m·codes inlined dot projections), and
+    // fused into the same whole-stage-codegen method as the join's
+    // inner pair loop it pushes that method past the JIT size limit —
+    // the |Q|·|C| loop then runs bytecode-INTERPRETED (measured 49 s
+    // vs 1 s for a 481k-pair join at sf0.1). The stage cut keeps the
+    // hot loop in its own small, JIT-compiled method.
     val c = corpus.select(col(cIdCol).cast("long").as("c_id"),
       pqEncodeLit(spark, embCol, books).as("codes"))
+      .localCheckpoint()
     topkReduce(c.crossJoin(q).select(col("q_id"), col("c_id"),
-      pqAdcCols("codes", "luts").as("s")), k)
+      pqAdcCols("codes", "luts", books.length).as("s")), k)
       .withColumnRenamed("cos_sim", "adc_sim")
   }
 
@@ -1313,12 +1323,17 @@ object Similarity {
   }
 
   /** ADC score from a codes COLUMN and a luts COLUMN (both sides
-    * row-dependent — the batched-join form of [[pqAdcLit]]): m
-    * lookups summed via one codegen'd higher-order expression. */
-  def pqAdcCols(codesCol: String, lutsCol: String): Column =
-    expr(s"""aggregate(zip_with($codesCol, $lutsCol,
-      |  (c, l) -> element_at(l, CAST(c AS INT) + 1)),
-      |  0L, (a, x) -> a + x)""".stripMargin)
+    * row-dependent — the batched-join form of [[pqAdcLit]]): m is
+    * known statically, so the sum expands to m nested `element_at`
+    * lookups — plain codegen'd expressions that stay inside
+    * whole-stage codegen. (A HOF formulation — aggregate over
+    * zip_with — computes the same value but evaluates INTERPRETED:
+    * measured 49 s vs 1.2 s for q111's 3M-pair join at sf0.1.) */
+  def pqAdcCols(codesCol: String, lutsCol: String, m: Int): Column =
+    (0 until m).map { s =>
+      element_at(element_at(col(lutsCol), s + 1),
+        (element_at(col(codesCol), s + 1) + 1).cast("int"))
+    }.reduce(_ + _)
 
   /** Driver mirrors of [[pqEncodeLit]] / [[pqAdcLit]] (bit-identical
     * by construction; spec-asserted on random vectors). */
