@@ -406,7 +406,7 @@ object TextAnalysis {
     * `lm_feature_ids` (bigram half) when available — one tokenize +
     * hash pass per row instead of the re-inlined per-element regex
     * splits of the staged composition. */
-  private def hashedBigrams(df: org.apache.spark.sql.DataFrame,
+  private[ext] def hashedBigrams(df: org.apache.spark.sql.DataFrame,
       textCol: String, buckets: Int): org.apache.spark.sql.DataFrame =
     if (df.sparkSession.catalog.functionExists("lm_feature_ids"))
       df.withColumn("p",

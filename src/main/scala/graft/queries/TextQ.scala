@@ -1487,6 +1487,89 @@ object TextQ {
        |FROM st0 a JOIN st4 b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Shared q112/q113 oracle scaffolding: the trained linear-probe
+    * weight table ([[graft.ext.Classifier.train]]) replayed as chained
+    * CTEs — presence features (distinct hashed bigrams + a bias
+    * feature 65536 per doc), labels y = 1e6·[lang='en'], the
+    * data-derived safe step 1/(n·L), and each full-batch GD iteration
+    * unrolled (gradient → truncating division → weight update), the
+    * same oracle move as the BPE trainer (q108). `tdivD` pins
+    * truncate-toward-zero division, which Spark's BigInteger.divide
+    * and DuckDB's `//` must agree on for NEGATIVE gradients. */
+  private def tdivD(g: String, d: String): String =
+    s"CASE WHEN $g >= 0 THEN $g // $d ELSE -((-$g) // $d) END"
+
+  private val classifierBodyD: String = {
+    val setup =
+      s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents),
+         |bgx AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk),
+         |f AS (SELECT doc_id, ${tokD("bg")} % 65536 AS fid FROM bgx
+         |  UNION SELECT doc_id, CAST(65536 AS BIGINT) FROM documents),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+         |  FROM documents),
+         |den AS (SELECT n.n * l.L AS d
+         |  FROM (SELECT COUNT(*) AS n FROM documents) n,
+         |    (SELECT MAX(c) AS L FROM (SELECT doc_id, COUNT(*) AS c
+         |      FROM f GROUP BY doc_id)) l),
+         |g1 AS (SELECT fid, SUM(CAST(y AS HUGEINT)) AS g
+         |  FROM f JOIN lab USING (doc_id) GROUP BY fid),
+         |w1 AS (SELECT fid, CAST(${tdivD("g", "d")} AS BIGINT) AS w
+         |  FROM g1, den)""".stripMargin
+    val iters = (2 to 3).map { t =>
+      s"""m$t AS (SELECT doc_id, SUM(COALESCE(w, 0)) AS m
+         |  FROM f LEFT JOIN w${t - 1} USING (fid) GROUP BY doc_id),
+         |r$t AS (SELECT l.doc_id, CAST(y - COALESCE(m, 0) AS HUGEINT) AS r
+         |  FROM lab l LEFT JOIN m$t ON l.doc_id = m$t.doc_id),
+         |g$t AS (SELECT fid, SUM(r) AS g
+         |  FROM f JOIN r$t USING (doc_id) GROUP BY fid),
+         |w$t AS (SELECT w${t - 1}.fid,
+         |    w${t - 1}.w + CAST(${tdivD("g", "d")} AS BIGINT) AS w
+         |  FROM w${t - 1} JOIN g$t USING (fid), den)""".stripMargin
+    }
+    (setup +: iters).mkString(",\n")
+  }
+
+  /** q112 — quality-classifier TRAINING
+    * ([[graft.ext.Classifier.train]]): the fastText-style linear
+    * quality probe fit by 3 full-batch fixed-point GD steps, target =
+    * the English subset. The oracle unrolls all 3 iterations in SQL,
+    * so the MODEL — every surviving weight — is hash-pinned, not just
+    * downstream scores. */
+  def q112(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Classifier
+      .train(spreadDocs(s, dir), "doc_id", col("lang") === "en")
+      .orderBy(col("fid"))
+
+  val q112Sql: String =
+    s"""$classifierBodyD
+       |SELECT fid, w FROM w3 WHERE w <> 0 ORDER BY fid""".stripMargin
+
+  /** q113 — quality-classifier SCORING
+    * ([[graft.ext.Classifier.score]]): every document's fixed-point
+    * margin under the q112 model (train → apply round trip, like
+    * q109 for the BPE trainer). Unseen features contribute 0. */
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    graft.ext.Classifier
+      .score(docs, "doc_id",
+        graft.ext.Classifier.train(docs, "doc_id", col("lang") === "en"))
+      .select(col("id").as("doc_id"), col("n_feats"), col("score_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Sql: String =
+    s"""$classifierBodyD,
+       |sc AS (SELECT doc_id, COUNT(*) AS n_feats,
+       |    SUM(COALESCE(w, 0)) AS score_fp
+       |  FROM f LEFT JOIN w3 USING (fid) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+       |  CAST(COALESCE(score_fp, 0) AS BIGINT) AS score_fp
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1525,5 +1608,7 @@ object TextQ {
     QueryDef("q103_perplexity_buckets", q103, Some(q103Sql)),
     QueryDef("q106_top_fraction", q106, Some(q106Sql)),
     QueryDef("q108_bpe_train", q108, Some(q108Sql)),
-    QueryDef("q109_bpe_encode", q109, Some(q109Sql)))
+    QueryDef("q109_bpe_encode", q109, Some(q109Sql)),
+    QueryDef("q112_classifier_train", q112, Some(q112Sql)),
+    QueryDef("q113_classifier_score", q113, Some(q113Sql)))
 }
