@@ -237,4 +237,64 @@ object Sampling {
       }
     } finally counts.unpersist(blocking = true)
   }
+
+  /** Token-budget mixture fill — the "assemble a B-token training set
+    * at these mixture weights" op every pretraining run ends with:
+    * per-stratum integer token allocations by LARGEST-REMAINDER
+    * apportionment (Σ alloc = budget exactly, no floats), then within
+    * each stratum the greedy prefix of the deterministic md5-bucket
+    * order (a content-stable "shuffle" — re-runs and engine swaps
+    * pick the identical set) until the allocation is crossed: a doc
+    * is kept iff the tokens BEFORE it are under the allocation, so
+    * the crossing doc is included and per-stratum kept tokens land in
+    * [alloc, alloc + max_doc_tokens).
+    *
+    * Scale shape: NO per-stratum global sort or single-reducer
+    * cumsum over the corpus — the running totals come from a
+    * per-(stratum, md5-bucket) histogram (bounded by strata × 1e6
+    * rows regardless of corpus size) cumsum'd per stratum, and the
+    * only per-DOC window runs inside one (stratum, bucket) tie group
+    * (~corpus/1e6 rows each, well-distributed) — the same
+    * histogram-threshold move as [[topFraction]]. The weights frame
+    * is strata-bounded; its apportionment windows are driver-scale.
+    *
+    * `weights`: (stratum, wt) with positive integer weights; strata
+    * absent from it are dropped (allocation 0). Returns kept docs as
+    * (id, stratum, n_tokens, alloc, cum_before). */
+  def budgetMix(df: DataFrame, idCol: String, stratumCol: String,
+      tokens: Column, weights: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy() // strata-bounded frame, not corpus
+    val alloc = weights
+      .select(col("stratum"), col("wt").cast("long").as("wt"))
+      .withColumn("wsum", sum("wt").over(wAll))
+      .withColumn("base", expr(s"(${budget}L * wt) div wsum"))
+      .withColumn("rem", expr(s"(${budget}L * wt) % wsum"))
+      .withColumn("leftover", lit(budget) - sum("base").over(wAll))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum").asc)))
+      .select(col("stratum"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      col(stratumCol).as("stratum"), tokens.cast("long").as("tok"))
+      .withColumn("bucket", stableBucket("id", 1000000))
+    val bcum = docs.groupBy("stratum", "bucket")
+      .agg(sum("tok").as("btok"))
+      .withColumn("cumb", coalesce(
+        sum("btok").over(Window.partitionBy("stratum").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cut = bcum.join(broadcast(alloc), Seq("stratum"))
+      .filter(col("cumb") < col("alloc"))
+      .select("stratum", "bucket", "cumb", "alloc")
+    docs.join(cut, Seq("stratum", "bucket"))
+      .withColumn("cum_before", col("cumb") + coalesce(
+        sum("tok").over(Window.partitionBy("stratum", "bucket")
+          .orderBy("id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("cum_before") < col("alloc"))
+      .select(col("id"), col("stratum"), col("tok").as("n_tokens"),
+        col("alloc"), col("cum_before"))
+  }
 }

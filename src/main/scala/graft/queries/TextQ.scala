@@ -1570,6 +1570,69 @@ object TextQ {
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q114 — token-budget mixture fill
+    * ([[graft.ext.Sampling.budgetMix]]): assemble a (total/3)-token
+    * training set across the 20 sources at weights (src# % 4) + 1 —
+    * largest-remainder integer apportionment, then each stratum's
+    * greedy prefix in the deterministic md5-bucket order. The oracle
+    * replays apportionment AND the two-level (bucket histogram →
+    * within-bucket) running totals in SQL. */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val toks = graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+    val total = docs.select(sum(toks).as("t")).head.getLong(0)
+    val weights = docs.select(col("source").as("stratum")).distinct()
+      .withColumn("wt",
+        expr("CAST(substring(stratum, 4) AS BIGINT) % 4 + 1"))
+    graft.ext.Sampling
+      .budgetMix(docs, "doc_id", "source", toks, weights, total / 3)
+      .select(col("id").as("doc_id"), col("stratum").as("source"),
+        col("n_tokens"), col("alloc"), col("cum_before"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val q114Sql: String =
+    s"""WITH docs AS (SELECT doc_id AS id, source AS stratum,
+       |    CAST(len($toksD) AS BIGINT) AS tok,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 1000000 AS bucket
+       |  FROM documents),
+       |tot AS (SELECT CAST(SUM(tok) // 3 AS BIGINT) AS B FROM docs),
+       |wts AS (SELECT stratum,
+       |    CAST(substr(stratum, 4) AS BIGINT) % 4 + 1 AS wt
+       |  FROM (SELECT DISTINCT source AS stratum FROM documents)),
+       |ws AS (SELECT SUM(wt) AS wsum FROM wts),
+       |basea AS (SELECT stratum, (B * wt) // wsum AS base,
+       |    (B * wt) % wsum AS rem FROM wts, ws, tot),
+       |lo AS (SELECT (SELECT B FROM tot) -
+       |    (SELECT SUM(base) FROM basea) AS leftover),
+       |alloc AS (SELECT stratum, CAST(base + CASE WHEN
+       |      ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC)
+       |        <= leftover
+       |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |  FROM basea, lo),
+       |bagg AS (SELECT stratum, bucket, SUM(tok) AS btok
+       |  FROM docs GROUP BY 1, 2),
+       |bcum AS (SELECT stratum, bucket, CAST(COALESCE(
+       |    SUM(btok) OVER (PARTITION BY stratum ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cumb FROM bagg),
+       |sel AS (SELECT d.id, d.stratum, d.tok, a.alloc,
+       |    d.bucket, b.cumb
+       |  FROM docs d
+       |  JOIN bcum b ON d.stratum = b.stratum AND d.bucket = b.bucket
+       |  JOIN alloc a ON a.stratum = d.stratum
+       |  WHERE b.cumb < a.alloc),
+       |run AS (SELECT id, stratum, tok, alloc,
+       |    CAST(cumb + COALESCE(SUM(tok) OVER (
+       |      PARTITION BY stratum, bucket ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cum_before FROM sel)
+       |SELECT id AS doc_id, stratum AS source, tok AS n_tokens,
+       |  alloc, cum_before
+       |FROM run WHERE cum_before < alloc
+       |ORDER BY source, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1610,5 +1673,6 @@ object TextQ {
     QueryDef("q108_bpe_train", q108, Some(q108Sql)),
     QueryDef("q109_bpe_encode", q109, Some(q109Sql)),
     QueryDef("q112_classifier_train", q112, Some(q112Sql)),
-    QueryDef("q113_classifier_score", q113, Some(q113Sql)))
+    QueryDef("q113_classifier_score", q113, Some(q113Sql)),
+    QueryDef("q114_budget_mix", q114, Some(q114Sql)))
 }

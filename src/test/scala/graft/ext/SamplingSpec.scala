@@ -194,6 +194,57 @@ class SamplingSpec extends SparkSpec {
       "every staged persist must be released before returning")
   }
 
+  test("budgetMix matches a brute-force greedy reference exactly") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString.take(7), 16) % 1000000
+    }
+    // 3 strata, uneven sizes; weights 3/2/1; budget below total
+    val rows = (0 until 60).map { i =>
+      val st = Seq("a", "b", "c")(i % 3)
+      (i.toLong, st, (i % 7 + 1).toLong)
+    }
+    val wts = Seq(("a", 3L), ("b", 2L), ("c", 1L))
+    val budget = 60L
+    val df = rows.toDF("id", "st", "tok")
+    val got = Sampling.budgetMix(df, "id", "st",
+        col("tok"), wts.toDF("stratum", "wt"), budget)
+      .select("id", "alloc", "cum_before")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3))
+      .toMap
+    // reference: largest-remainder apportionment + greedy md5 prefix
+    val wsum = wts.map(_._2).sum
+    val base = wts.map { case (s, w) =>
+      (s, budget * w / wsum, budget * w % wsum)
+    }
+    val leftover = budget - base.map(_._2).sum
+    val ranked = base.sortBy { case (s, _, r) => (-r, s) }
+    val alloc = ranked.zipWithIndex.map { case ((s, b, _), i) =>
+      s -> (b + (if (i < leftover) 1L else 0L))
+    }.toMap
+    assert(alloc.values.sum == budget, "apportionment is exact")
+    val expect = rows.groupBy(_._2).flatMap { case (st, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (bucket(d._1), d._1)).flatMap { case (id, _, tok) =>
+        val before = cum; cum += tok
+        if (before < alloc(st)) Some(id -> ((alloc(st), before))) else None
+      }
+    }.toMap
+    assert(got == expect,
+      s"diff: got-only=${got.keySet -- expect.keySet} " +
+        s"expect-only=${expect.keySet -- got.keySet}")
+    // the greedy prefix property: kept tokens land in
+    // [alloc, alloc + max_tok) for every stratum with enough supply
+    val keptTok = rows.filter(r => got.contains(r._1))
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    wts.foreach { case (s, _) =>
+      assert(keptTok(s) >= alloc(s) && keptTok(s) < alloc(s) + 7,
+        s"stratum $s kept=${keptTok(s)} alloc=${alloc(s)}")
+    }
+  }
+
   test("sequencePack assigns each doc to the pack where it starts") {
     val docs = Seq(
       ("s1", 1L, 600L), ("s1", 2L, 600L), ("s1", 3L, 600L), // 0,600,1200
