@@ -238,6 +238,39 @@ object Sampling {
     } finally counts.unpersist(blocking = true)
   }
 
+  /** Deterministic training-shard assignment — the last step of every
+    * pretraining data pipeline: a content-stable global "shuffle" into
+    * `numShards` shards. shard = md5-bucket of the key (so a doc's
+    * shard never changes when the corpus grows or the job re-runs),
+    * `pos` = its rank within the shard under the (md5(key), key)
+    * order — a deterministic permutation with no RNG, so two engines
+    * (and two runs) produce byte-identical shard files.
+    *
+    * Scale shape: one hash projection plus a per-shard window;
+    * `numShards` is chosen so a shard is file-sized (thousands at
+    * 100 TB), so the window parallelism IS the shard count and no
+    * single reducer sees more than corpus/numShards rows. */
+  def shardAssign(df: DataFrame, keyCol: String, numShards: Int)
+  : DataFrame = {
+    require(numShards > 0, s"numShards must be > 0: $numShards")
+    df.withColumn("shard", stableBucket(keyCol, numShards))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy(expr(s"md5(CAST(`$keyCol` AS STRING))").asc,
+            col(keyCol).asc)))
+  }
+
+  /** Physical form of [[shardAssign]]: write shard-partitioned parquet
+    * with the in-shard order pinned (repartition by shard, sort within
+    * partitions by the same (md5, key) order the `pos` column ranks).
+    * Re-running over the same corpus rewrites identical shards. */
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int,
+      outDir: String): Unit =
+    shardAssign(df, keyCol, numShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Token-budget mixture fill — the "assemble a B-token training set
     * at these mixture weights" op every pretraining run ends with:
     * per-stratum integer token allocations by LARGEST-REMAINDER

@@ -1633,6 +1633,27 @@ object TextQ {
        |FROM run WHERE cum_before < alloc
        |ORDER BY source, doc_id""".stripMargin
 
+  /** q115 — deterministic shard assignment
+    * ([[graft.ext.Sampling.shardAssign]]): the content-stable global
+    * shuffle into training shards — shard = md5 bucket, pos = rank
+    * under the (md5, id) in-shard order. */
+  def q115(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling
+      .shardAssign(spreadDocs(s, dir), "doc_id", numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  val q115Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |    AS BIGINT) % 8 AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 8
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       |    AS INTEGER) AS pos
+       |FROM documents ORDER BY shard, pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1674,5 +1695,6 @@ object TextQ {
     QueryDef("q109_bpe_encode", q109, Some(q109Sql)),
     QueryDef("q112_classifier_train", q112, Some(q112Sql)),
     QueryDef("q113_classifier_score", q113, Some(q113Sql)),
-    QueryDef("q114_budget_mix", q114, Some(q114Sql)))
+    QueryDef("q114_budget_mix", q114, Some(q114Sql)),
+    QueryDef("q115_shard_assign", q115, Some(q115Sql)))
 }

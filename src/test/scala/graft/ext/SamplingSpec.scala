@@ -245,6 +245,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("writeShards: stable shard files with the pinned in-shard order") {
+    val out = tmpDir("shards")
+    val df = (0 until 200).map(i => (i.toLong, s"doc $i"))
+      .toDF("id", "text")
+    Sampling.writeShards(df, "id", numShards = 4, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200, "no row lost")
+    // every shard's parquet is written in pos order and pos is dense
+    val byShard = back.select("shard", "pos", "id")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq,
+        "pos is dense per shard")
+    }
+    // re-run is byte-stable: same assignment, same order
+    val again = Sampling.shardAssign(df, "id", 4)
+      .select("id", "shard", "pos").as[(Long, Long, Int)].collect().toSet
+    val first = back.select("id", "shard", "pos")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again == first)
+  }
+
   test("sequencePack assigns each doc to the pack where it starts") {
     val docs = Seq(
       ("s1", 1L, 600L), ("s1", 2L, 600L), ("s1", 3L, 600L), // 0,600,1200
