@@ -84,6 +84,28 @@ object Similarity {
       dotExpr(corpus, "ce", "qe").as("s")), k)
   }
 
+  /** Hard-negative mining — the contrastive-training companion of
+    * [[knnJoinBrute]] (DPR/Contriever pipelines): for every query,
+    * the k MOST similar corpus items with a DIFFERENT label — near
+    * the decision boundary by construction. Same broadcast-queries ×
+    * corpus-scan shape and k-bounded `topk_by` reduction as the rest
+    * of the retrieval-join family; the label predicate filters pairs
+    * BEFORE the top-k state, so per-query memory stays k rows. For
+    * corpora too big for a full scan per batch, compose the same
+    * predicate with [[knnJoinLsh]]/[[knnJoinIvf]] blocking. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, labelCol: String, k: Int,
+      embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("q_id"),
+      col(labelCol).as("q_lab"), col(embCol).as("qe")))
+    val c = corpus.select(col(cIdCol).cast("long").as("c_id"),
+      col(labelCol).as("c_lab"), col(embCol).as("ce"))
+    topkReduce(c.crossJoin(q)
+      .filter(col("c_lab") =!= col("q_lab"))
+      .select(col("q_id"), col("c_id"),
+        dotExpr(corpus, "ce", "qe").as("s")), k)
+  }
+
   /** PQ-COMPRESSED k-NN join — [[knnJoinBrute]]'s shape over the
     * codes alone (many queries × a compressed corpus): the corpus
     * side encodes to m small ints per row ([[pqEncodeLit]] — one

@@ -1201,6 +1201,33 @@ object EmbeddingQ {
     * replays codebooks → encode → per-query LUT → ADC → per-query
     * rank in SQL). Completes the retrieval-join matrix: exact (q87) /
     * LSH (q88) / LSH+DPP (q90) / IVF (q91) / PQ-compressed (q111). */
+  /** q116 — hard-negative mining
+    * ([[graft.ext.Similarity.hardNegatives]]): for every 19th vector,
+    * the 5 most-similar vectors with a DIFFERENT label — the
+    * contrastive-training negatives near the decision boundary. Exact
+    * fixed-point dot products, so ranks hash-match the oracle's
+    * label-filtered window formulation. */
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.ext.Similarity.hardNegatives(
+      emb.filter(col("vec_id") % 19 === 0),
+      emb.filter(col("vec_id") % 19 =!= 0),
+      "vec_id", "vec_id", "label", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q116Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, label AS q_lab, embedding AS qe
+       |    FROM embeddings WHERE vec_id % 19 = 0),
+       |c AS (SELECT vec_id AS c_id, label AS c_lab, embedding AS ce
+       |    FROM embeddings WHERE vec_id % 19 <> 0),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |  FROM c, q WHERE c_lab <> q_lab),
+       |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   def q111(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val books = Similarity
@@ -1267,5 +1294,6 @@ object EmbeddingQ {
     QueryDef("q105_semdedup_join", q105, Some(q105Sql)),
     QueryDef("q107_semdedup_incremental", q107, Some(q107Sql)),
     QueryDef("q110_semdedup_incr_join", q110, Some(q110Sql)),
-    QueryDef("q111_knn_join_pq", q111, Some(q111Sql)))
+    QueryDef("q111_knn_join_pq", q111, Some(q111Sql)),
+    QueryDef("q116_hard_negatives", q116, Some(q116Sql)))
 }

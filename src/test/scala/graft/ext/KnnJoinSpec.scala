@@ -39,6 +39,35 @@ class KnnJoinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("hardNegatives: the brute ranking with same-label rows removed") {
+    val labeled = emb.withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    val got = Similarity.hardNegatives(
+        labeled.filter($"vec_id" % 5 === 0),
+        labeled.filter($"vec_id" % 5 =!= 0),
+        "vec_id", "vec_id", "label", k = 4)
+      .select("q_id", "c_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: brute ranking over the label-filtered pair set
+    val rows = labeled.select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    val qs = rows.filter(_._1 % 5 == 0)
+    val cs = rows.filter(_._1 % 5 != 0)
+    val expect = qs.flatMap { case (qid, qe, qlab) =>
+      cs.filter(_._3 != qlab).map { case (cid, ce, _) =>
+        val s = ce.zip(qe).map { case (a, b) =>
+          Math.round(a.toDouble * b.toDouble * 1e12)
+        }.sum
+        (cid, s)
+      }.sortBy { case (cid, s) => (-s, cid) }.take(4).zipWithIndex
+        .map { case ((cid, _), i) => (qid, cid, (i + 1).toLong) }
+    }.toSet
+    assert(got == expect)
+    // no mined negative ever shares its query's label
+    val labs = rows.map(r => r._1 -> r._3).toMap
+    got.foreach { case (q, c, _) => assert(labs(q) != labs(c)) }
+  }
+
   test("every query returns exactly k rows with ranks 1..k") {
     val got = brute(4).groupBy("q_id")
       .agg(count(lit(1)).as("n"), collect_list("rnk").as("rs"))
