@@ -723,7 +723,30 @@ object Dedup {
     * recompute over cache pressure. */
   def ngramJaccardPairsFromSids(staged: DataFrame, threshold: Double,
       maxShingleDocFreq: Option[Long],
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true): DataFrame =
+    scoredShinglePairs(staged, maxShingleDocFreq, materialize)(
+      _.filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          col("union_size"), col("jaccard")))
+
+  /** CONTAINMENT variant of [[ngramJaccardPairsFromSids]] — the
+    * asymmetric near-dup relation Jaccard misses: |A∩B| / min(|A|,|B|)
+    * ≥ threshold catches a short document mostly CONTAINED in a long
+    * one (excerpts, quotes, article-plus-comments wrappers) whose
+    * Jaccard is diluted by the long side's extra content. Same
+    * df-capped candidate machinery and verification joins; only the
+    * score differs. */
+  def ngramContainmentPairsFromSids(staged: DataFrame, threshold: Double,
+      maxShingleDocFreq: Option[Long],
+      materialize: Boolean = true): DataFrame =
+    scoredShinglePairs(staged, maxShingleDocFreq, materialize)(
+      _.filter(col("containment") >= threshold)
+        .select(col("a_id"), col("b_id"), col("inter"),
+          col("ma"), col("mb"), col("containment")))
+
+  private def scoredShinglePairs(staged: DataFrame,
+      maxShingleDocFreq: Option[Long], materialize: Boolean)(
+      finish: DataFrame => DataFrame): DataFrame = {
     val plain = staged.select(col("id"), col("blk"), col("sids"))
       .withColumn("m", size(col("sids")))
       .filter(col("m") > 0)
@@ -759,7 +782,7 @@ object Dedup {
       localExpandMax = localMax,
       knownBounded = maxShingleDocFreq.exists(_ <= localMax))
     val sets = base.select(col("id"), col("sids"), col("m"))
-    val result = cand
+    val result = finish(cand
       .join(sets.select(col("id").as("a_id"), col("sids").as("sa"),
         col("m").as("ma")), Seq("a_id"))
       .join(sets.select(col("id").as("b_id"), col("sids").as("sb"),
@@ -769,9 +792,8 @@ object Dedup {
       .withColumn("union_size", col("ma") + col("mb") - col("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / col("union_size"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("inter"),
-        col("union_size"), col("jaccard"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("ma"), col("mb"))))
     // eager materialization so the staged cache is released before
     // returning (see Dedup.near) — repeated calls must not accumulate
     // CacheManager entries

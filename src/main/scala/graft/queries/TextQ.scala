@@ -1654,6 +1654,49 @@ object TextQ {
        |    AS INTEGER) AS pos
        |FROM documents ORDER BY shard, pos""".stripMargin
 
+  /** q117 — n-gram CONTAINMENT pairs
+    * ([[graft.ext.Dedup.ngramContainmentPairsFromSids]]): the
+    * asymmetric near-dup relation — |A∩B| / min(|A|,|B|) ≥ 0.25
+    * catches a short document mostly contained in a longer one
+    * (excerpt / quote / wrapper) whose Jaccard is diluted by the long
+    * side. Same df-capped source-blocked machinery as q59. */
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val staged = withShingleIds(s, dir).select(col("doc_id").as("id"),
+      col("source").as("blk"), col("sids"))
+    graft.ext.Dedup
+      .ngramContainmentPairsFromSids(staged, threshold = 0.25,
+        maxShingleDocFreq = Some(25L))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q117Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    list_transform($shinglesD, t -> ${tokD("t")}) AS sids
+       |  FROM documents),
+       |dm AS (SELECT doc_id, source, sids, len(sids) AS m FROM d
+       |  WHERE len(sids) > 0),
+       |e AS (SELECT doc_id, source, sh
+       |  FROM (SELECT doc_id, source, unnest(sids) AS sh FROM dm)),
+       |hot AS (SELECT source, sh FROM e
+       |  GROUP BY source, sh HAVING COUNT(*) > 25),
+       |kept AS (SELECT e.* FROM e
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot
+       |    WHERE hot.source = e.source AND hot.sh = e.sh)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept a JOIN kept b
+       |    ON a.sh = b.sh AND a.source = b.source
+       |      AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.a_id, c.b_id, da.m AS ma, db.m AS mb,
+       |    len(list_intersect(da.sids, db.sids)) AS inter
+       |  FROM cand c
+       |  JOIN dm da ON da.doc_id = c.a_id
+       |  JOIN dm db ON db.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       |  CAST(ma AS INTEGER) AS ma, CAST(mb AS INTEGER) AS mb,
+       |  CAST(inter AS DOUBLE) / least(ma, mb) AS containment
+       |FROM v WHERE CAST(inter AS DOUBLE) / least(ma, mb) >= 0.25
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1696,5 +1739,6 @@ object TextQ {
     QueryDef("q112_classifier_train", q112, Some(q112Sql)),
     QueryDef("q113_classifier_score", q113, Some(q113Sql)),
     QueryDef("q114_budget_mix", q114, Some(q114Sql)),
-    QueryDef("q115_shard_assign", q115, Some(q115Sql)))
+    QueryDef("q115_shard_assign", q115, Some(q115Sql)),
+    QueryDef("q117_containment", q117, Some(q117Sql)))
 }

@@ -125,6 +125,28 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.filter($"a_id" === 1L && $"b_id" === 2L).count() == 1)
   }
 
+  test("containment pairs catch an excerpt that jaccard misses") {
+    // doc 2 is doc 1's first third verbatim: containment 1.0, but
+    // jaccard ~1/3 — below any sane jaccard threshold
+    val long = (0 until 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (0 until 12).map(i => s"w$i").mkString(" ")
+    val other = (100 until 130).map(i => s"w$i").mkString(" ")
+    val staged = Seq((1L, long), (2L, excerpt), (3L, other))
+      .toDF("id", "text")
+      .select($"id", org.apache.spark.sql.functions.lit(0).as("blk"),
+        org.apache.spark.sql.functions.expr("shingle_ids(text)").as("sids"))
+    val got = Dedup.ngramContainmentPairsFromSids(staged,
+      threshold = 0.9, maxShingleDocFreq = Some(1000L))
+      .select("a_id", "b_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)), got.toSeq)
+    assert(math.abs(got.head._3 - 1.0) < 1e-9, "fully contained")
+    // the jaccard formulation rejects the same pair at 0.5
+    val jac = Dedup.ngramJaccardPairsFromSids(staged,
+      threshold = 0.5, maxShingleDocFreq = Some(1000L))
+    assert(jac.count() == 0, "jaccard is diluted by the long side")
+  }
+
   test("exactIncremental dedups new batches against the historical index") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("dedupidx").toString
