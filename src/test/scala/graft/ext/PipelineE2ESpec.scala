@@ -166,6 +166,51 @@ class PipelineE2ESpec extends SparkSpec {
       "nothing outside the quality cut survives to the mix")
   }
 
+  test("curation composes: classifier gate → budget mix → shards") {
+    // the discriminative-filter deployment shape: train the linear
+    // probe on the corpus's own labels, keep the best-scoring half,
+    // fill a token budget at mixture weights, shard the result
+    val docs = graft.Tables(spark, dir, "documents")
+    def run() = {
+      val w = Classifier.train(docs, "doc_id", col("lang") === "en")
+      val scored = docs.join(
+        Classifier.score(docs, "doc_id", w)
+          .select(col("id").as("doc_id"), col("score_fp")),
+        Seq("doc_id"))
+      val cut = Sampling.topFraction(scored, "score_fp", "doc_id", 1, 2)
+      val toks = TextAnalysis.tokenCount(col("text")).cast("long")
+      val total = cut.select(sum(toks).as("t")).head.getLong(0)
+      val weights = cut.select(col("source").as("stratum")).distinct()
+        .withColumn("wt",
+          expr("CAST(substring(stratum, 4) AS BIGINT) % 4 + 1"))
+      val mixed = Sampling.budgetMix(cut, "doc_id", "source", toks,
+        weights, total / 2)
+      Sampling.shardAssign(
+        cut.join(mixed.select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", numShards = 4)
+        .select("doc_id", "shard", "pos")
+    }
+    val a = run().as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a == run().as[(Long, Long, Int)].collect().sortBy(_._1).toSeq,
+      "classifier → mix → shards is run-deterministic")
+    assert(a.nonEmpty && a.size < docs.count(), s"kept ${a.size}")
+    // everything sharded survived the classifier cut
+    val w = Classifier.train(docs, "doc_id", col("lang") === "en")
+    val cutIds = Sampling.topFraction(
+        docs.join(Classifier.score(docs, "doc_id", w)
+          .select(col("id").as("doc_id"), col("score_fp")),
+          Seq("doc_id")),
+        "score_fp", "doc_id", 1, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.forall(r => cutIds.contains(r._1)),
+      "nothing outside the classifier cut reaches the shards")
+    // shard positions are dense per shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).toSeq)
+    }
+  }
+
   test("the pipeline result lands in a graft table with stats") {
     val out = tmpDir("pipe_out")
     CdcTable.append(
