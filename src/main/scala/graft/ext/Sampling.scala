@@ -238,6 +238,40 @@ object Sampling {
     } finally counts.unpersist(blocking = true)
   }
 
+  /** Per-stratum score CALIBRATION — rank-normalize an integral
+    * fixed-point score within each stratum so a single cut fraction
+    * is fair across sources with different score distributions (the
+    * FineWeb-style per-source threshold, as a reusable op): returns
+    * every row with `rank_norm` = PERCENT_RANK within its stratum
+    * (count of strictly-lower-scoring rows / (n−1); 0 for a 1-row
+    * stratum), computed WITHOUT a per-stratum corpus sort — the
+    * [[topFraction]] histogram move: per-(stratum, score) counts,
+    * a cumsum over the bounded distinct-score frame, and a join back
+    * keyed on (stratum, score). The corpus is scanned and
+    * hash-joined, never range-partitioned; ties share the rank of
+    * their group's first row exactly as PERCENT_RANK defines. */
+  def rankNormalize(df: DataFrame, stratumCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(stratumCol).as("__st"),
+        col(scoreCol).cast("long").as("__sc"))
+      .agg(count(lit(1)).as("__c"))
+    val below = hist
+      .withColumn("__below", coalesce(
+        sum("__c").over(Window.partitionBy("__st").orderBy("__sc")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__st")))
+      .select(col("__st"), col("__sc"), col("__below"), col("__n"))
+    df.join(below,
+        col(stratumCol) <=> col("__st") &&
+          col(scoreCol).cast("long") === col("__sc"))
+      .withColumn("rank_norm",
+        when(col("__n") > 1,
+          col("__below").cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__st", "__sc", "__below", "__n")
+  }
+
   /** Deterministic training-shard assignment — the last step of every
     * pretraining data pipeline: a content-stable global "shuffle" into
     * `numShards` shards. shard = md5-bucket of the key (so a doc's

@@ -173,6 +173,30 @@ object Similarity {
         dotExpr(corpus, "ce", "qe").as("s")), k)
   }
 
+  /** LSH-blocked [[hardNegatives]] — the 100 TB configuration: both
+    * sides bucket at the auto-derived width and only same-bucket
+    * different-label pairs are candidates (an equi-join keyed on the
+    * bucket — candidate volume /2^planes vs the brute scan, which
+    * measured 194 s at 100×/500k vectors). Recall trade-off is the
+    * [[knnJoinLsh]] one: mined negatives are the hardest IN the
+    * query's bucket; widen with multi-probe if the miner must not
+    * miss cross-bucket near-boundary items. */
+  def hardNegativesLsh(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, labelCol: String, k: Int,
+      planes: Int = 0, embCol: String = "embedding"): DataFrame = {
+    val p = if (planes > 0) planes else autoPlanes(corpus.count())
+    val q0 = queries.select(col(qIdCol).cast("long").as("q_id"),
+      col(labelCol).as("q_lab"), col(embCol).as("qe"))
+    val q = broadcast(q0.withColumn("qb", bucketFor(q0, "qe", p, 0)))
+    val c0 = corpus.select(col(cIdCol).cast("long").as("c_id"),
+      col(labelCol).as("c_lab"), col(embCol).as("ce"))
+    val c = c0.withColumn("cb", bucketFor(c0, "ce", p, 0))
+    topkReduce(c.join(q, col("cb") === col("qb") &&
+        col("c_lab") =!= col("q_lab"))
+      .select(col("q_id"), col("c_id"),
+        dotExpr(corpus, "ce", "qe").as("s")), k)
+  }
+
   /** IVF-blocked k-NN join — cluster-partitioned retrieval: both
     * sides assign to their nearest centroid with the codegen'd
     * literal-inlined argmax ([[ivfAssignLit]] — no centroid fan-out

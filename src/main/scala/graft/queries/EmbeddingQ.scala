@@ -1228,6 +1228,38 @@ object EmbeddingQ {
        |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** q119 — LSH-BLOCKED hard-negative mining
+    * ([[graft.ext.Similarity.hardNegativesLsh]]): q116's semantics at
+    * the q88 candidate volume — both sides bucket at the auto-derived
+    * width, only same-bucket different-label pairs are candidates.
+    * The oracle mirrors the width derivation, the bucketing, AND the
+    * label exclusion. */
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.ext.Similarity.hardNegativesLsh(
+      emb.filter(col("vec_id") % 19 === 0),
+      emb.filter(col("vec_id") % 19 =!= 0),
+      "vec_id", "vec_id", "label", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q119Sql: String =
+    s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
+       |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
+       |  FROM embeddings WHERE vec_id % 19 <> 0),
+       |e AS (SELECT vec_id, label, embedding, ${bucketDN("pl")} AS bucket
+       |  FROM embeddings, p),
+       |q AS (SELECT vec_id AS q_id, label AS q_lab, embedding AS qe,
+       |    bucket AS qb FROM e WHERE vec_id % 19 = 0),
+       |c AS (SELECT vec_id AS c_id, label AS c_lab, embedding AS ce,
+       |    bucket AS cb FROM e WHERE vec_id % 19 <> 0),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |    FROM c JOIN q ON cb = qb AND c_lab <> q_lab),
+       |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   def q111(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val books = Similarity
@@ -1295,5 +1327,6 @@ object EmbeddingQ {
     QueryDef("q107_semdedup_incremental", q107, Some(q107Sql)),
     QueryDef("q110_semdedup_incr_join", q110, Some(q110Sql)),
     QueryDef("q111_knn_join_pq", q111, Some(q111Sql)),
-    QueryDef("q116_hard_negatives", q116, Some(q116Sql)))
+    QueryDef("q116_hard_negatives", q116, Some(q116Sql)),
+    QueryDef("q119_hard_negatives_lsh", q119, Some(q119Sql)))
 }

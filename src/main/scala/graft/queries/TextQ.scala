@@ -1697,6 +1697,35 @@ object TextQ {
        |FROM v WHERE CAST(inter AS DOUBLE) / least(ma, mb) >= 0.25
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q118 — per-source score CALIBRATION
+    * ([[graft.ext.Sampling.rankNormalize]]): every doc's stopword-hit
+    * quality score rank-normalized WITHIN its source, so one cut
+    * fraction is fair across sources with different score
+    * distributions. The Spark side is the sortless histogram plan;
+    * the oracle IS the naive per-stratum PERCENT_RANK window, so the
+    * gate proves the histogram computes exactly the window's ranks
+    * (including tie groups). */
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val stopHits =
+      s"${hits("the")} + ${hits("and")} + ${hits("of")} + ${hits("to")}"
+    graft.ext.Sampling
+      .rankNormalize(
+        spreadDocs(s, dir).withColumn("score", expr(stopHits)),
+        "source", "score")
+      .select(col("doc_id"), col("source"), col("score"),
+        col("rank_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q118Sql: String = {
+    val stopHits =
+      s"${hits("the")} + ${hits("and")} + ${hits("of")} + ${hits("to")}"
+    s"""SELECT doc_id, source, $stopHits AS score,
+       |  percent_rank() OVER (PARTITION BY source ORDER BY $stopHits)
+       |    AS rank_norm
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1740,5 +1769,6 @@ object TextQ {
     QueryDef("q113_classifier_score", q113, Some(q113Sql)),
     QueryDef("q114_budget_mix", q114, Some(q114Sql)),
     QueryDef("q115_shard_assign", q115, Some(q115Sql)),
-    QueryDef("q117_containment", q117, Some(q117Sql)))
+    QueryDef("q117_containment", q117, Some(q117Sql)),
+    QueryDef("q118_rank_normalize", q118, Some(q118Sql)))
 }

@@ -194,6 +194,26 @@ class SamplingSpec extends SparkSpec {
       "every staged persist must be released before returning")
   }
 
+  test("rankNormalize equals the percent_rank window, sortlessly") {
+    // heavy ties (score = i % 5) so tie groups span strata boundaries
+    val rows = (0 until 97).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3), (i % 5).toLong))
+    val df = rows.toDF("id", "st", "sc")
+    val got = Sampling.rankNormalize(df, "st", "sc")
+      .select("id", "rank_norm").as[(Long, Double)].collect().toMap
+    val expect = df.withColumn("rn",
+        org.apache.spark.sql.functions.percent_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("st").orderBy("sc")))
+      .select("id", "rn").as[(Long, Double)].collect().toMap
+    assert(got == expect, "histogram ranks == window ranks, bit-exact")
+    // a single-row stratum ranks 0, not NaN
+    val solo = Sampling.rankNormalize(
+        Seq((1L, "only", 7L)).toDF("id", "st", "sc"), "st", "sc")
+      .select("rank_norm").as[Double].head()
+    assert(solo == 0.0)
+  }
+
   test("budgetMix matches a brute-force greedy reference exactly") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
