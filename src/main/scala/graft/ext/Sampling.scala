@@ -249,10 +249,13 @@ object Sampling {
     * a cumsum over the bounded distinct-score frame, and a join back
     * keyed on (stratum, score). The corpus is scanned and
     * hash-joined, never range-partitioned; ties share the rank of
-    * their group's first row exactly as PERCENT_RANK defines. */
-  def rankNormalize(df: DataFrame, stratumCol: String,
+    * their group's first row exactly as PERCENT_RANK defines.
+    * NULL scores are excluded up front (they cannot rank — the
+    * [[topFraction]] rule). */
+  def rankNormalize(df0: DataFrame, stratumCol: String,
       scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val df = df0.filter(col(scoreCol).isNotNull)
     val hist = df.groupBy(col(stratumCol).as("__st"),
         col(scoreCol).cast("long").as("__sc"))
       .agg(count(lit(1)).as("__c"))

@@ -249,4 +249,58 @@ class PlanQualitySpec extends SparkSpec {
     val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
     assert(smj == 0, s"corpus must never shuffle by feature id: $smj SMJs")
   }
+
+  // the three guards below assert on the OPERATOR frames (no final
+  // presentation orderBy — that sort is the oracle-determinism step
+  // of the query wrapper, not part of the op)
+
+  test("classifier scoring broadcasts the model; no feature SMJ") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir, "documents")
+    val w = graft.ext.Classifier.train(docs, "doc_id",
+      col("lang") === "en", iters = 1)
+    val p = plan(graft.ext.Classifier.score(docs, "doc_id", w))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    // the only allowed SMJ is the per-doc re-join of scores to the
+    // corpus (two corpus-sized sides keyed on id); the FEATURE join
+    // must broadcast, never shuffle the pair frame by fid
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+  }
+
+  test("budget mix: alloc broadcasts; corpus never range-shuffles") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables(spark, dir, "documents")
+    val toks = graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+    val weights = docs.select(col("source").as("stratum")).distinct()
+      .withColumn("wt", expr("CAST(substring(stratum, 4) AS BIGINT) % 4 + 1"))
+    val p = plan(graft.ext.Sampling.budgetMix(docs, "doc_id", "source",
+      toks, weights, budget = 1000L))
+    assert(!p.contains("rangepartitioning"),
+      "running totals come from the bucket histogram, not a sort")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"),
+      "the strata-bounded alloc frame must broadcast")
+  }
+
+  test("rank-normalize never range-shuffles the corpus") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables(spark, dir, "documents")
+      .withColumn("score", expr("n_chars % 100"))
+    val p = plan(graft.ext.Sampling.rankNormalize(docs, "source", "score"))
+    assert(!p.contains("rangepartitioning"),
+      "ranks come from the score histogram, not a per-stratum sort")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("q116/q119 hard negatives reduce via aggregate, not a window") {
+    for (q <- Seq(EmbeddingQ.q116(spark, dir),
+        EmbeddingQ.q119(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(400))
+      assert(p.contains("ObjectHashAggregate") ||
+        p.contains("HashAggregate"),
+        "top-k must reduce via the k-bounded aggregate")
+    }
+  }
 }
