@@ -159,7 +159,16 @@ object Bench {
         "q106_top_fraction",
         // BPE training: 4 iterative corpus-scan rounds, state bounded
         // by the live bigram vocabulary — the trainer's scaling row
-        "q108_bpe_train")
+        "q108_bpe_train",
+        // round-10 session additions: classifier training (3 GD
+        // iterations over the id-partitioned pair frame — the
+        // model-fit scaling row), budget mix (bucket-histogram
+        // apportionment fill), LSH-blocked hard negatives (the
+        // blocked miner; the brute baseline q116 is deliberately NOT
+        // here — 194 s at 100× is the wrong configuration at scale),
+        // rank normalization (score-histogram calibration)
+        "q112_classifier_train", "q114_budget_mix",
+        "q119_hard_negatives_lsh", "q118_rank_normalize")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()
