@@ -238,6 +238,39 @@ object Sampling {
     } finally counts.unpersist(blocking = true)
   }
 
+  /** EXACT-k deterministic stratified sample — "exactly k docs per
+    * language" eval/holdout construction ([[stratifiedSample]] is the
+    * RATE-based sibling; rates drift with corpus growth, eval sets
+    * must not): per stratum, the k rows with the HIGHEST stable
+    * md5-bucket (ties to smallest key) — a pure function of content,
+    * so re-runs and engine swaps pick the identical set, and a grown
+    * corpus only swaps members at the bucket boundary. Reduces
+    * through the k-bounded `topk_by` aggregate (≤ k rows of state per
+    * stratum per partition), NOT a per-stratum row_number window —
+    * at 100 TB a handful of strata would funnel the corpus through a
+    * handful of reducers. */
+  def sampleExactK(df: DataFrame, stratumCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    val spark = df.sparkSession
+    val keyed = df.select(col(stratumCol).as("stratum"),
+      col(keyCol).cast("long").as("id"),
+      stableBucket(keyCol, 1000000).as("bucket"))
+    if (spark.catalog.functionExists("topk_by"))
+      keyed.groupBy("stratum")
+        .agg(expr(s"topk_by(bucket, id, $k)").as("tk"))
+        .select(col("stratum"), explode(col("tk")).as("e"))
+        .select(col("stratum"), col("e.id").as("id"),
+          col("e.score").as("bucket"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("stratum").orderBy(col("bucket").desc, col("id").asc)
+      keyed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select(col("stratum"), col("id"), col("bucket"))
+    }
+  }
+
   /** Per-stratum score CALIBRATION — rank-normalize an integral
     * fixed-point score within each stratum so a single cut fraction
     * is fair across sources with different score distributions (the

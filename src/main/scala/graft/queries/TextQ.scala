@@ -1726,6 +1726,28 @@ object TextQ {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q120 — EXACT-k stratified sample
+    * ([[graft.ext.Sampling.sampleExactK]]): exactly 10 docs per
+    * source by the content-stable md5 order, reduced through the
+    * k-bounded `topk_by` aggregate; the oracle is the naive
+    * per-stratum ROW_NUMBER window. */
+  def q120(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling
+      .sampleExactK(spreadDocs(s, dir), "source", "doc_id", k = 10)
+      .select(col("stratum"), col("id"), col("bucket"))
+      .orderBy(col("stratum"), col("id"))
+
+  val q120Sql: String =
+    s"""WITH b AS (SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 1000000 AS bucket
+       |  FROM documents),
+       |r AS (SELECT source AS stratum, doc_id AS id, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY bucket DESC, doc_id ASC) AS rn FROM b)
+       |SELECT stratum, id, bucket FROM r WHERE rn <= 10
+       |ORDER BY stratum, id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1770,5 +1792,6 @@ object TextQ {
     QueryDef("q114_budget_mix", q114, Some(q114Sql)),
     QueryDef("q115_shard_assign", q115, Some(q115Sql)),
     QueryDef("q117_containment", q117, Some(q117Sql)),
-    QueryDef("q118_rank_normalize", q118, Some(q118Sql)))
+    QueryDef("q118_rank_normalize", q118, Some(q118Sql)),
+    QueryDef("q120_sample_exact_k", q120, Some(q120Sql)))
 }

@@ -194,6 +194,29 @@ class SamplingSpec extends SparkSpec {
       "every staged persist must be released before returning")
   }
 
+  test("sampleExactK: exactly k per stratum, stable under growth") {
+    val docs = (1L to 300L).map(i =>
+      (i, Seq("en", "zh", "de")(i.toInt % 3))).toDF("id", "lang")
+    val a = Sampling.sampleExactK(docs, "lang", "id", k = 7)
+      .select("stratum", "id").as[(String, Long)].collect()
+    assert(a.groupBy(_._1).forall(_._2.length == 7),
+      "exactly k per stratum")
+    // window formulation picks the identical set
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("bucket").desc, col("id").asc)
+    val expect = docs
+      .withColumn("bucket", Sampling.stableBucket("id", 1000000))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select(col("lang").as("stratum"), col("id"))
+      .as[(String, Long)].collect().toSet
+    assert(a.toSet == expect)
+    // a tiny stratum returns all of it, not an error
+    val tiny = Sampling.sampleExactK(
+        docs.filter(col("id") <= 5), "lang", "id", k = 7)
+      .select("id").as[Long].collect().toSet
+    assert(tiny == (1L to 5L).toSet)
+  }
+
   test("rankNormalize equals the percent_rank window, sortlessly") {
     // heavy ties (score = i % 5) so tie groups span strata boundaries
     val rows = (0 until 97).map(i =>
