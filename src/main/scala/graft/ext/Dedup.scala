@@ -863,6 +863,65 @@ object Dedup {
     finally { base.unpersist(); () }
   }
 
+  /** The DESTRUCTIVE half of [[spanStats]] — the CCNet/RefinedWeb
+    * boilerplate REMOVAL, not just its statistics: every
+    * `width`-token non-overlapping span occurring in ≥ `minDocs`
+    * distinct documents is cut, and the document is reassembled from
+    * its kept spans (in order) plus the trailing remainder tokens,
+    * single-space joined. Returns (id, n_spans, n_boiler, kept_text)
+    * for every input row.
+    *
+    * Scale shape: the only cross-doc state is the boilerplate-span
+    * set (one distinct+count aggregation keyed on the 56-bit span
+    * id); removal is a key-blocked anti-join of span POSITIONS, and
+    * reassembly is one per-doc aggregation (collect the kept spans,
+    * sort the ≤ len/width entries in-row). The corpus shuffles by
+    * doc id once for reassembly — nothing quadratic, no windows. */
+  def spanDedupRewrite(df: DataFrame, textCol: String, idCol: String,
+      width: Int = 3, minDocs: Int = 3): DataFrame = {
+    require(width >= 1 && minDocs >= 2,
+      s"need width >= 1 and minDocs >= 2, got $width/$minDocs")
+    val spansE =
+      s"""CASE WHEN size(toks) >= $width THEN transform(
+         |  sequence(0L, size(toks) div $width - 1),
+         |  i -> struct(i AS pos, concat_ws(' ',
+         |         slice(toks, CAST(i * $width + 1 AS INT), $width)) AS txt))
+         |ELSE CAST(array() AS ARRAY<STRUCT<pos: BIGINT, txt: STRING>>)
+         |END""".stripMargin
+    val base = df
+      .select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("nsp", expr(s"size(toks) div $width"))
+      .withColumn("rem", expr(
+        s"concat_ws(' ', slice(toks, CAST(nsp * $width + 1 AS INT), " +
+          s"size(toks) - CAST(nsp * $width AS INT)))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = base
+      .select(col("id"), explode(expr(spansE)).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.txt").as("txt"))
+      .withColumn("sid", expr(
+        "CAST(conv(substring(md5(txt), 1, 14), 16, 10) AS BIGINT)"))
+    val boiler = ex.select(col("id"), col("sid")).distinct()
+      .groupBy(col("sid")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("sid"))
+    val asm = ex.join(boiler, Seq("sid"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(pos, txt))), s -> s.txt), ' ')")
+          .as("spans_txt"))
+    val result = base
+      .join(asm, Seq("id"), "left")
+      .select(col("id"), col("nsp").as("n_spans"),
+        (col("nsp") - coalesce(col("n_kept"), lit(0L))).as("n_boiler"),
+        trim(concat_ws(" ",
+          coalesce(col("spans_txt"), lit("")), col("rem")))
+          .as("kept_text"))
+    try result.localCheckpoint()
+    finally { base.unpersist(); () }
+  }
+
   /** Embedding-space near-dup dedup: cosine pairs above threshold
     * (exact here; LSH-bucket first at scale), clustered to survivors
     * exactly like the text path. */

@@ -1748,6 +1748,45 @@ object TextQ {
        |SELECT stratum, id, bucket FROM r WHERE rn <= 10
        |ORDER BY stratum, id""".stripMargin
 
+  /** q121 — span-level boilerplate REMOVAL
+    * ([[graft.ext.Dedup.spanDedupRewrite]]): q73 reports the damage,
+    * this op repairs it — cross-doc 3-token spans cut from every
+    * document and the text reassembled from kept spans + remainder.
+    * The oracle replays span cutting, the 56-bit ids, the df filter,
+    * and the ORDERED string reassembly, so `kept_text` itself is
+    * hash-pinned. */
+  def q121(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup
+      .spanDedupRewrite(spreadDocs(s, dir), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_boiler"),
+        col("kept_text"))
+      .orderBy(col("doc_id"))
+
+  val q121Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, len(toks) // 3 AS nsp FROM tk),
+       |sp AS (SELECT doc_id, i AS pos,
+       |    array_to_string(toks[i*3+1 : i*3+3], ' ') AS txt
+       |  FROM (SELECT doc_id, toks, unnest(range(0, nsp)) AS i FROM b)),
+       |sd AS (SELECT doc_id, pos, txt,
+       |    CAST(('0x' || substr(md5(txt), 1, 14)) AS BIGINT) AS sid
+       |  FROM sp),
+       |boiler AS (SELECT sid FROM
+       |    (SELECT DISTINCT doc_id, sid FROM sd)
+       |  GROUP BY sid HAVING COUNT(*) >= 3),
+       |kept AS (SELECT doc_id, pos, txt FROM sd
+       |  WHERE sid NOT IN (SELECT sid FROM boiler)),
+       |asm AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(txt, ' ' ORDER BY pos) AS spans_txt
+       |  FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(nsp AS BIGINT) AS n_spans,
+       |  CAST(nsp - COALESCE(n_kept, 0) AS BIGINT) AS n_boiler,
+       |  trim(concat_ws(' ', COALESCE(spans_txt, ''),
+       |    array_to_string(toks[nsp*3+1 : len(toks)], ' ')))
+       |    AS kept_text
+       |FROM b LEFT JOIN asm ON b.doc_id = asm.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1793,5 +1832,6 @@ object TextQ {
     QueryDef("q115_shard_assign", q115, Some(q115Sql)),
     QueryDef("q117_containment", q117, Some(q117Sql)),
     QueryDef("q118_rank_normalize", q118, Some(q118Sql)),
-    QueryDef("q120_sample_exact_k", q120, Some(q120Sql)))
+    QueryDef("q120_sample_exact_k", q120, Some(q120Sql)),
+    QueryDef("q121_span_rewrite", q121, Some(q121Sql)))
 }

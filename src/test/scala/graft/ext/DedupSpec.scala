@@ -147,6 +147,37 @@ class DedupSpec extends SparkSpec {
     assert(jac.count() == 0, "jaccard is diluted by the long side")
   }
 
+  test("spanDedupRewrite cuts the shared footer, keeps unique prose") {
+    // 4 docs share a 6-token footer (2 spans at width 3); each has
+    // 7 unique tokens (2 spans + 1 remainder token)
+    val footer = "copyright acme corp all rights reserved"
+    val docs = (0 until 4).map { i =>
+      val unique = (0 until 7).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, s"$unique $footer")
+    }.toDF("id", "text")
+    val r = Dedup.spanDedupRewrite(docs, "text", "id")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    (0 until 4).foreach { i =>
+      val (_, nSpans, nBoiler, kept) = r(i.toLong)
+      // 13 tokens → 4 spans + 1 remainder; footer starts at token 7,
+      // so its spans are (u_6 copyright acme) and (corp all rights) —
+      // both shared verbatim across all 4 docs? No: the first footer
+      // span starts with the doc-unique u_6 token, so only
+      // (corp all rights) is cross-doc boilerplate.
+      assert(nSpans == 4, s"doc $i: $nSpans")
+      assert(nBoiler == 1, s"doc $i boiler: $nBoiler")
+      assert(!kept.contains("corp all rights"), kept)
+      assert(kept.contains(s"u${i}_0") && kept.endsWith("reserved"),
+        kept)
+    }
+    // a doc shorter than one span is returned whole
+    val short = Dedup.spanDedupRewrite(
+        Seq((9L, "ab cd")).toDF("id", "text"), "text", "id")
+      .as[(Long, Long, Long, String)].head()
+    assert(short == ((9L, 0L, 0L, "ab cd")))
+  }
+
   test("exactIncremental dedups new batches against the historical index") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("dedupidx").toString
