@@ -244,6 +244,39 @@ object EventsQ {
        |FROM sessions GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** q122 — binned point-in-interval join
+    * ([[graft.ext.RangeJoin.pointInInterval]]): every event landing
+    * inside any sampled user's first-half-hour window — an UNKEYED
+    * range join. The Spark side manufactures the equi-key by binning
+    * (hash join + exact filter, never BroadcastNestedLoopJoin —
+    * plan-asserted); the oracle is the naive theta join, so the gate
+    * proves the binned plan finds exactly the theta join's pairs. */
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"))
+    val halfHourUs = 1800000000L
+    val iv = ev.filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id").as("owner"))
+      .agg(min(col("ts_us")).as("lo"))
+      .withColumn("hi", col("lo") + lit(halfHourUs))
+    graft.ext.RangeJoin.pointInInterval(
+        ev.select(col("event_id"), col("ts_us")), iv,
+        "ts_us", "lo", "hi", binWidth = halfHourUs)
+      .select(col("owner"), col("event_id"), col("ts_us"))
+      .orderBy(col("owner"), col("event_id"))
+  }
+
+  val q122Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |iv AS (SELECT user_id AS owner, MIN(ts_us) AS lo,
+      |    MIN(ts_us) + 1800000000 AS hi
+      |  FROM ev WHERE user_id % 10 = 0 GROUP BY user_id)
+      |SELECT owner, event_id, ts_us FROM ev
+      |JOIN iv ON ts_us >= lo AND ts_us < hi
+      |ORDER BY owner, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_hourly_windows", q18, Some(q18Sql)),
     QueryDef("q19_latest_per_user", q19, Some(q19Sql)),
@@ -252,5 +285,6 @@ object EventsQ {
     QueryDef("q22_stale_events", q22, Some(q22Sql)),
     QueryDef("q23_json_extract", q23, Some(q23Sql)),
     QueryDef("q24_sessionize", q24, Some(q24Sql)),
-    QueryDef("q85_session_window", q85, Some(q85Sql)))
+    QueryDef("q85_session_window", q85, Some(q85Sql)),
+    QueryDef("q122_interval_join", q122, Some(q122Sql)))
 }
