@@ -44,4 +44,32 @@ object RangeJoin {
       .filter(col(pTsCol) >= col(loCol) && col(pTsCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP self-join, binned: unordered pairs (a, b) with
+    * a.id < b.id whose half-open spans intersect (lo_a < hi_b AND
+    * lo_b < hi_a). Both sides explode to their covered bins, so an
+    * overlapping pair CO-OCCURS in every bin their spans share — the
+    * classic dedup-free trick keeps exactly one copy: a pair is
+    * emitted only in the bin of max(lo_a, lo_b) (the later start,
+    * which every overlapping pair's shared span contains). Returns
+    * (a_id, a_lo, a_hi, b_id, b_lo, b_hi). Same binWidth guidance and
+    * nonneg-domain contract as [[pointInInterval]]. */
+  def intervalOverlap(intervals: DataFrame, idCol: String,
+      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0: $binWidth")
+    def side(p: String): DataFrame = intervals
+      .select(col(idCol).cast("long").as(s"${p}_id"),
+        col(loCol).as(s"${p}_lo"), col(hiCol).as(s"${p}_hi"))
+      .filter(col(s"${p}_hi") > col(s"${p}_lo"))
+      .withColumn("__bin", explode(expr(
+        s"sequence(${p}_lo div ${binWidth}L, " +
+          s"(${p}_hi - 1) div ${binWidth}L)")))
+    side("a").join(side("b"),
+        Seq("__bin"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi") &&
+        col("__bin") ===
+          expr(s"greatest(a_lo, b_lo) div ${binWidth}L"))
+      .drop("__bin")
+  }
 }

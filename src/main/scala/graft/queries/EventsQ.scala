@@ -277,6 +277,32 @@ object EventsQ {
       |JOIN iv ON ts_us >= lo AND ts_us < hi
       |ORDER BY owner, event_id""".stripMargin
 
+  /** q123 — binned interval-OVERLAP self-join
+    * ([[graft.ext.RangeJoin.intervalOverlap]]): which users' first
+    * half-hours overlap. Both sides explode to bins; the dedup-free
+    * max(lo)-bin rule keeps each pair once; the oracle is the naive
+    * theta self-join. */
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val halfHourUs = 1800000000L
+    val iv = Tables(s, dir, "events")
+      .groupBy(col("user_id").as("id"))
+      .agg(min(expr("unix_micros(CAST(ts AS TIMESTAMP))")).as("lo"))
+      .withColumn("hi", col("lo") + lit(halfHourUs))
+    graft.ext.RangeJoin
+      .intervalOverlap(iv, "id", "lo", "hi", binWidth = halfHourUs)
+      .select(col("a_id"), col("b_id"), col("a_lo"), col("b_lo"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q123Sql: String =
+    """WITH iv AS (SELECT user_id AS id, epoch_us(MIN(ts)) AS lo,
+      |    epoch_us(MIN(ts)) + 1800000000 AS hi
+      |  FROM events GROUP BY user_id)
+      |SELECT a.id AS a_id, b.id AS b_id, a.lo AS a_lo, b.lo AS b_lo
+      |FROM iv a JOIN iv b
+      |  ON a.id < b.id AND a.lo < b.hi AND b.lo < a.hi
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_hourly_windows", q18, Some(q18Sql)),
     QueryDef("q19_latest_per_user", q19, Some(q19Sql)),
@@ -286,5 +312,6 @@ object EventsQ {
     QueryDef("q23_json_extract", q23, Some(q23Sql)),
     QueryDef("q24_sessionize", q24, Some(q24Sql)),
     QueryDef("q85_session_window", q85, Some(q85Sql)),
-    QueryDef("q122_interval_join", q122, Some(q122Sql)))
+    QueryDef("q122_interval_join", q122, Some(q122Sql)),
+    QueryDef("q123_interval_overlap", q123, Some(q123Sql)))
 }

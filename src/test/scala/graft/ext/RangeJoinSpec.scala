@@ -34,6 +34,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(edge == Set(12L), "half-open semantics")
   }
 
+  test("intervalOverlap equals the naive theta self-join, no dup pairs") {
+    val rnd = new scala.util.Random(17)
+    val iv = (0 until 120).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, lo, lo + 1 + rnd.nextInt(900).toLong)
+    }.toDF("id", "lo", "hi")
+    val naive = iv.select(col("id").as("a_id"), col("lo").as("a_lo"),
+        col("hi").as("a_hi"))
+      .join(iv.select(col("id").as("b_id"), col("lo").as("b_lo"),
+        col("hi").as("b_hi")),
+        col("a_id") < col("b_id") && col("a_lo") < col("b_hi") &&
+          col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    for (bin <- Seq(64L, 500L, 1024L, 10000L)) {
+      val got = RangeJoin.intervalOverlap(iv, "id", "lo", "hi", bin)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      assert(got.size == got.toSet.size,
+        s"bin=$bin: the max(lo)-bin rule keeps each pair exactly once")
+      assert(got.toSet == naive, s"bin=$bin")
+    }
+    // touching-but-not-overlapping half-open intervals never pair
+    val touch = RangeJoin.intervalOverlap(
+        Seq((1L, 0L, 10L), (2L, 10L, 20L)).toDF("id", "lo", "hi"),
+        "id", "lo", "hi", 8L)
+      .count()
+    assert(touch == 0, "[0,10) and [10,20) do not overlap")
+  }
+
   test("the plan is a hash equi-join on the bin, never a nested loop") {
     val points = (0 until 50).map(i => (i.toLong, i.toLong * 3))
       .toDF("pid", "ts")
