@@ -67,7 +67,9 @@ object Classifier {
     * model and must match at apply time.
     *
     * y = 1e6 for `isTarget` rows, 0 otherwise; `iters` full-batch GD
-    * steps w ← w + (Xᵀ(y − Xw)) / (n·L), all integer. */
+    * steps w ← w + (Xᵀ(y − Xw)) / (n·L), all integer. `idCol` values
+    * must be unique — a duplicated id would double-count its bias
+    * feature in the margins. */
   def train(df: DataFrame, idCol: String, isTarget: Column,
       textCol: String = "text", buckets: Int = 65536,
       iters: Int = 3): DataFrame = {

@@ -248,7 +248,8 @@ object Sampling {
     * through the k-bounded `topk_by` aggregate (≤ k rows of state per
     * stratum per partition), NOT a per-stratum row_number window —
     * at 100 TB a handful of strata would funnel the corpus through a
-    * handful of reducers. */
+    * handful of reducers. `keyCol` must be integral (the id travels
+    * through the aggregate as a long, like the retrieval family). */
   def sampleExactK(df: DataFrame, stratumCol: String, keyCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be > 0: $k")
