@@ -84,10 +84,14 @@ object Classifier {
         when(isTarget, lit(Scale)).otherwise(lit(0L)).as("y_fp"))
       .repartition(col("id")).persist()
     try {
-      val n = labels.count()
+      // one job for both scalars: every doc has a bias feature and
+      // ids are unique (the documented contract), so the per-id
+      // count frame has exactly one row per input row
+      val nl = feats.groupBy("id").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n"), max("c").as("l")).head
+      val n = nl.getLong(0)
       require(n > 0, "classifier training corpus is empty")
-      val lMax = feats.groupBy("id").agg(count(lit(1)).as("c"))
-        .agg(max("c")).head.getLong(0)
+      val lMax = nl.getLong(1)
       val denom = Math.multiplyExact(n, lMax)
 
       // Driver-held model (≤ buckets+1 entries), like the BPE

@@ -1787,6 +1787,39 @@ object TextQ {
        |FROM b LEFT JOIN asm ON b.doc_id = asm.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** q124 — classifier-gated quality cut, END TO END under the
+    * oracle: train the linear probe (q112), score every doc (q113),
+    * keep exactly the best ⌈n/2⌉ via the sortless cut (q106's
+    * machinery) — the whole composition hash-pinned in one gate,
+    * not just its stages. The oracle chains the full GD unroll into
+    * the naive global-sort selection. */
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val scored = graft.ext.Classifier
+      .score(docs, "doc_id",
+        graft.ext.Classifier.train(docs, "doc_id", col("lang") === "en"))
+      .select(col("id").as("doc_id"), col("score_fp"))
+    graft.ext.Sampling
+      .topFraction(scored, "score_fp", "doc_id", keepNum = 1, keepDen = 2)
+      .select(col("doc_id"), col("score_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q124Sql: String =
+    s"""$classifierBodyD,
+       |sc AS (SELECT doc_id,
+       |    CAST(SUM(COALESCE(w, 0)) AS BIGINT) AS score_fp
+       |  FROM f LEFT JOIN w3 USING (fid) GROUP BY doc_id),
+       |allsc AS (SELECT d.doc_id, COALESCE(score_fp, 0) AS score_fp
+       |  FROM documents d LEFT JOIN sc USING (doc_id)),
+       |r AS (SELECT doc_id, score_fp, ROW_NUMBER() OVER (
+       |    ORDER BY score_fp DESC,
+       |      md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+       |  FROM allsc)
+       |SELECT doc_id, score_fp FROM r
+       |WHERE rn <= CEIL((SELECT COUNT(*) FROM documents) / 2.0)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1833,5 +1866,6 @@ object TextQ {
     QueryDef("q117_containment", q117, Some(q117Sql)),
     QueryDef("q118_rank_normalize", q118, Some(q118Sql)),
     QueryDef("q120_sample_exact_k", q120, Some(q120Sql)),
-    QueryDef("q121_span_rewrite", q121, Some(q121Sql)))
+    QueryDef("q121_span_rewrite", q121, Some(q121Sql)),
+    QueryDef("q124_classifier_cut", q124, Some(q124Sql)))
 }
