@@ -168,7 +168,15 @@ object Bench {
         // here — 194 s at 100× is the wrong configuration at scale),
         // rank normalization (score-histogram calibration)
         "q112_classifier_train", "q114_budget_mix",
-        "q119_hard_negatives_lsh", "q118_rank_normalize")
+        "q119_hard_negatives_lsh", "q118_rank_normalize",
+        // round-10 continuation: the as-of operator (union+window
+        // merge over events — one keyed shuffle), the salted join
+        // (lineitem×part at 10× shows the salt replication cost stays
+        // bounded), token entropy (scan + two key-local aggs). The
+        // label-propagation brute baseline q127 is deliberately NOT
+        // here — same O(|Q|·|C|) class as q116; its scale path is the
+        // LSH-blocked neighbor stage already measured by q119.
+        "q125_asof_operator", "q126_salted_join", "q128_token_entropy")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

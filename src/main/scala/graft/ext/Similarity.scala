@@ -106,6 +106,38 @@ object Similarity {
         dotExpr(corpus, "ce", "qe").as("s")), k)
   }
 
+  /** k-NN label propagation — the weak-labeling / label-transfer op
+    * (transfer a small hand-labeled set's labels onto an unlabeled
+    * corpus, e.g. quality tiers or topic tags before a curation cut):
+    * every query vector takes the MAJORITY label among its k nearest
+    * labeled neighbors by exact fixed-point cosine. Fully
+    * deterministic: neighbor ties resolve by id ([[knnJoinBrute]]'s
+    * contract), vote ties by (votes DESC, best neighbor rank ASC,
+    * label ASC). Neighbor search is the broadcast-queries ×
+    * corpus-scan shape with the k-bounded `topk_by` reduction; the
+    * label lookup re-joins only the |Q|·k winner rows (broadcast) —
+    * the corpus is scanned once and never shuffled. For 100 TB
+    * corpora swap the neighbor stage for [[knnJoinLsh]] blocking
+    * (same output contract). Output: (q_id, pred_label, votes,
+    * best_rnk). */
+  def labelPropagate(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, labelCol: String, k: Int,
+      embCol: String = "embedding"): DataFrame = {
+    val knn = knnJoinBrute(queries, corpus, qIdCol, cIdCol, k, embCol)
+    val lab = corpus.select(col(cIdCol).cast("long").as("c_id"),
+      col(labelCol).as("c_lab"))
+    val votes = lab.join(broadcast(knn), "c_id")
+      .groupBy(col("q_id"), col("c_lab"))
+      .agg(count(lit(1)).as("votes"), min(col("rnk")).as("best_rnk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("votes").desc, col("best_rnk").asc, col("c_lab").asc)
+    votes.withColumn("_pick", row_number().over(w))
+      .filter(col("_pick") === 1)
+      .select(col("q_id"), col("c_lab").as("pred_label"),
+        col("votes"), col("best_rnk"))
+  }
+
   /** PQ-COMPRESSED k-NN join — [[knnJoinBrute]]'s shape over the
     * codes alone (many queries × a compressed corpus): the corpus
     * side encodes to m small ints per row ([[pqEncodeLit]] — one

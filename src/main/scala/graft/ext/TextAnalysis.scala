@@ -465,6 +465,43 @@ object TextAnalysis {
     * has at most `buckets` rows regardless of corpus size — persist
     * them and score any other corpus with [[perplexityScore]].
     * `buckets` is part of the model and must match at apply time. */
+  /** Per-document unigram token ENTROPY in 16.16 fixed-point bits:
+    * `H = log2(n) − (Σ_t c_t·log2(c_t)) div n` over the document's
+    * OWN token distribution — the information-theoretic
+    * repetitiveness signal (a page that repeats one phrase scores
+    * near 0 bits/token; diverse prose near log2(vocab)). The Gopher
+    * repetition rules' cousin, but threshold-free and
+    * distribution-wide. Also returns the type-token ratio in the
+    * same fixed point. All arithmetic is exact integers
+    * ([[graft.functions.FixedPointMath.flog2]] + truncating
+    * division), so scores are bit-identical across engines and
+    * oracle-replayable.
+    *
+    * Scale shape: tokenize → two key-local aggregations (per
+    * (doc, token), then per doc) — no joins, no global order; at
+    * 100 TB this is scan-speed with map-side partial aggregation.
+    * Output: (id, n_tokens, n_types, ttr_fp, entropy_fp). */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    def lg(c: Column): Column =
+      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+        expr(s"fixed_log2(${c.toString})")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+    df.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("clg", col("c") * lg(col("c")))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("clg")).as("num"))
+      .select(col("id"), col("n_tokens"), col("n_types"),
+        expr("(65536L * n_types) div n_tokens").as("ttr_fp"),
+        (lg(col("n_tokens")) - expr("num div n_tokens"))
+          .as("entropy_fp"))
+  }
+
   def bigramLmTables(df: org.apache.spark.sql.DataFrame, isTarget: Column,
       textCol: String = "text", buckets: Int = 65536)
   : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {

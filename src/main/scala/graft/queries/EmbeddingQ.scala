@@ -1300,6 +1300,40 @@ object EmbeddingQ {
        |SELECT q_id, c_id, rnk, CAST(sc AS DOUBLE) / 1e12 AS adc_sim
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** q127 — k-NN label propagation
+    * ([[graft.ext.Similarity.labelPropagate]]): every 17th vector is
+    * treated as unlabeled and takes the majority label among its 5
+    * nearest labeled neighbors — the weak-labeling move that spreads
+    * a small hand-labeled set over a corpus before a curation cut.
+    * Exact fixed-point dots + pinned tie rules (neighbor ties by id,
+    * vote ties by votes/best-rank/label), so the oracle's
+    * window-formulated replay hash-matches the prediction itself. */
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.ext.Similarity.labelPropagate(
+      emb.filter(col("vec_id") % 17 === 0),
+      emb.filter(col("vec_id") % 17 =!= 0),
+      "vec_id", "vec_id", "label", k = 5)
+      .orderBy(col("q_id"))
+  }
+
+  val q127Sql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+       |    FROM embeddings WHERE vec_id % 17 = 0),
+       |c AS (SELECT vec_id AS c_id, label AS c_lab, embedding AS ce
+       |    FROM embeddings WHERE vec_id % 17 <> 0),
+       |sc AS (SELECT q_id, c_id, c_lab, ${dotD("ce", "qe")} AS s
+       |    FROM c, q),
+       |r AS (SELECT q_id, c_id, c_lab, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc),
+       |v AS (SELECT q_id, c_lab, COUNT(*) AS votes, MIN(rnk) AS best_rnk
+       |    FROM r WHERE rnk <= 5 GROUP BY q_id, c_lab),
+       |p AS (SELECT q_id, c_lab, votes, best_rnk, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY votes DESC, best_rnk, c_lab)
+       |    AS pick FROM v)
+       |SELECT q_id, c_lab AS pred_label, votes, best_rnk
+       |FROM p WHERE pick = 1 ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1328,5 +1362,6 @@ object EmbeddingQ {
     QueryDef("q110_semdedup_incr_join", q110, Some(q110Sql)),
     QueryDef("q111_knn_join_pq", q111, Some(q111Sql)),
     QueryDef("q116_hard_negatives", q116, Some(q116Sql)),
-    QueryDef("q119_hard_negatives_lsh", q119, Some(q119Sql)))
+    QueryDef("q119_hard_negatives_lsh", q119, Some(q119Sql)),
+    QueryDef("q127_label_propagate", q127, Some(q127Sql)))
 }

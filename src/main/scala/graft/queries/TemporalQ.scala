@@ -128,9 +128,70 @@ object TemporalQ {
       |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
       |ORDER BY a_key, b_key""".stripMargin
 
+  /** q125 — the reusable `ext.AsOfJoin` OPERATOR under the oracle
+    * gate (q47 proves the semantics via an inline window; this row
+    * proves the packaged operator — struct carry, tie rule, null
+    * handling — against DuckDB's NATIVE `ASOF LEFT JOIN`, an
+    * independent formulation, not a mirror of our plan). For every
+    * click, the most recent purchase by the same user at-or-before
+    * the click. (user_id, ts) is unique in the events table, so the
+    * matched row is well-defined. */
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+        col("user_id"), col("value").as("p_value"))
+    graft.ext.AsOfJoin(clicks, purchases, "user_id", "ts", "p_ts")
+      .select(col("event_id"), col("user_id"),
+        col("_asof.p_event_id").as("purchase_id"),
+        col("_asof.p_value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q125Sql: String =
+    """WITH c AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      |    FROM events WHERE event_type = 'click'),
+      |  p AS (SELECT event_id AS p_event_id,
+      |    CAST(ts AS TIMESTAMP) AS p_ts, user_id, value AS p_value
+      |    FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, p.p_event_id AS purchase_id,
+      |  p.p_value AS purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** q126 — the `ext.Skew.saltedJoin` OPERATOR under the oracle gate:
+    * lineitem ⋈ part on partkey with the big side salted across 8
+    * sub-partitions (the hot-key mitigation a 100 TB CDC join needs
+    * when AQE's skew split can't help a single pathological key).
+    * The oracle is the PLAIN join — the gate proves salting is
+    * result-invariant, which is the entire point of the rewrite. */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val small = Tables(s, dir, "part")
+      .select(col("p_partkey").as("partkey"),
+        substring(col("p_type"), 1, 6).as("type_prefix"))
+    graft.ext.Skew.saltedJoin(big, small, "partkey", salts = 8)
+      .groupBy(col("type_prefix"))
+      .agg(count(lit(1)).as("n_items"),
+        sumD("l_quantity").as("sum_qty"))
+      .orderBy(col("type_prefix"))
+  }
+
+  val q126Sql: String =
+    s"""SELECT substring(p_type, 1, 6) AS type_prefix,
+       |  COUNT(*) AS n_items, ${oSumD("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1 ORDER BY type_prefix""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q47_asof_join", q47, Some(q47Sql)),
     QueryDef("q48_range_band_join", q48, Some(q48Sql)),
     QueryDef("q49_percentiles", q49, Some(q49Sql)),
-    QueryDef("q50_edit_distance", q50, Some(q50Sql)))
+    QueryDef("q50_edit_distance", q50, Some(q50Sql)),
+    QueryDef("q125_asof_operator", q125, Some(q125Sql)),
+    QueryDef("q126_salted_join", q126, Some(q126Sql)))
 }

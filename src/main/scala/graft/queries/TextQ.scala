@@ -1305,22 +1305,23 @@ object TextQ {
     * several times, which blows the binder up exponentially; each
     * nesting level here binds the previous level's columns once, so
     * the 16-round recurrence stays linear in plan size. */
-  private def flog2D(fromCte: String): String = {
+  private def flog2D(fromCte: String, extra: Seq[String] = Nil): String = {
+    val ex = extra.map(c => s", $c").mkString
     var q =
-      s"""SELECT doc_id, e, CAST(0 AS BIGINT) AS f,
+      s"""SELECT doc_id$ex, e, CAST(0 AS BIGINT) AS f,
          |  CASE WHEN e <= 30 THEN p_fp << (30 - e)
          |       ELSE p_fp >> (e - 30) END AS m
-         |FROM (SELECT doc_id, p_fp, length(bin(p_fp)) - 1 AS e
+         |FROM (SELECT doc_id$ex, p_fp, length(bin(p_fp)) - 1 AS e
          |      FROM $fromCte)""".stripMargin
     for (_ <- 0 until 16)
-      q = s"""SELECT doc_id, e,
+      q = s"""SELECT doc_id$ex, e,
              |  f * 2 + (CASE WHEN t >= CAST(2147483648 AS BIGINT)
              |    THEN 1 ELSE 0 END) AS f,
              |  t >> (CASE WHEN t >= CAST(2147483648 AS BIGINT)
              |    THEN 1 ELSE 0 END) AS m
-             |FROM (SELECT doc_id, e, f, (m*m) >> 30 AS t
+             |FROM (SELECT doc_id$ex, e, f, (m*m) >> 30 AS t
              |      FROM ($q))""".stripMargin
-    s"SELECT doc_id, e * CAST(65536 AS BIGINT) + f AS lg FROM ($q)"
+    s"SELECT doc_id$ex, e * CAST(65536 AS BIGINT) + f AS lg FROM ($q)"
   }
 
   val q103Sql: String =
@@ -1820,6 +1821,37 @@ object TextQ {
        |WHERE rn <= CEIL((SELECT COUNT(*) FROM documents) / 2.0)
        |ORDER BY doc_id""".stripMargin
 
+  /** q128 — per-document token-entropy quality signal
+    * ([[graft.ext.TextAnalysis.tokenEntropy]]): unigram entropy +
+    * type-token ratio in 16.16 fixed point, exact integers end to
+    * end, so the oracle (which replays the `fixed_log2` squaring
+    * recurrence for every distinct (doc, count) pair AND for each
+    * doc's token total) hash-matches both scores bit for bit. */
+  def q128(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.tokenEntropy(spreadDocs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_types"),
+        col("ttr_fp"), col("entropy_fp"))
+      .orderBy(col("doc_id"))
+
+  val q128Sql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksD) AS tok FROM documents),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk
+       |  GROUP BY doc_id, tok),
+       |cg AS (SELECT doc_id, c, COUNT(*) AS k, c AS p_fp FROM tc
+       |  GROUP BY doc_id, c),
+       |clg AS (${flog2D("cg", Seq("c", "k"))}),
+       |agg AS (SELECT doc_id, CAST(SUM(c * k) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(k) AS BIGINT) AS n_types,
+       |    CAST(SUM(k * c * lg) AS BIGINT) AS num
+       |  FROM clg GROUP BY doc_id),
+       |nn AS (SELECT doc_id, n_tokens AS p_fp FROM agg),
+       |nlg AS (${flog2D("nn")})
+       |SELECT a.doc_id, a.n_tokens, a.n_types,
+       |  (65536 * a.n_types) // a.n_tokens AS ttr_fp,
+       |  nlg.lg - (a.num // a.n_tokens) AS entropy_fp
+       |FROM agg a JOIN nlg USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1867,5 +1899,6 @@ object TextQ {
     QueryDef("q118_rank_normalize", q118, Some(q118Sql)),
     QueryDef("q120_sample_exact_k", q120, Some(q120Sql)),
     QueryDef("q121_span_rewrite", q121, Some(q121Sql)),
-    QueryDef("q124_classifier_cut", q124, Some(q124Sql)))
+    QueryDef("q124_classifier_cut", q124, Some(q124Sql)),
+    QueryDef("q128_token_entropy", q128, Some(q128Sql)))
 }

@@ -243,6 +243,32 @@ class KnnJoinSpec extends SparkSpec {
       s"exp=${expect.toSeq.sorted.take(6)}")
   }
 
+  test("labelPropagate picks the majority label with pinned tie rules") {
+    val labeled = emb.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val got = Similarity.labelPropagate(
+        labeled.filter($"vec_id" % 5 === 0),
+        labeled.filter($"vec_id" % 5 =!= 0),
+        "vec_id", "vec_id", "label", k = 5)
+      .as[(Long, Int, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // driver reference: exact knn, then (votes DESC, best rank, label)
+    val rows = labeled.select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    val qs = rows.filter(_._1 % 5 == 0)
+    val cs = rows.filter(_._1 % 5 != 0)
+    val expect = qs.map { case (qid, qe, _) =>
+      val knn = cs.map { case (cid, ce, lab) =>
+        (cid, lab, Similarity.dotFixedOf(ce, qe)) }
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(5).zipWithIndex
+      val (lab, votes, bestRnk) = knn.groupBy(_._1._2).map {
+        case (lab, g) =>
+          (lab, g.size.toLong, g.map(_._2 + 1L).min)
+      }.toSeq.sortBy { case (l, v, r) => (-v, r, l) }.head
+      qid -> ((qid, lab, votes, bestRnk))
+    }.toMap
+    assert(got == expect)
+    assert(got.size == 12) // one prediction per query
+  }
+
   test("plan reduces via aggregate, not a full-shuffle window") {
     val plan = brute(3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),

@@ -259,6 +259,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
   }
 
+  test("tokenEntropy matches a driver-side fixed-point reference") {
+    val corpus = Seq(
+      (1L, "a a a a a a"), // one type: entropy exactly 0
+      (2L, "a b c d"), // uniform: entropy exactly flog2(4)
+      (3L, "the cat and the dog of the house"),
+      (4L, "x"), // single token
+      (5L, "a a b b b c d d d d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(corpus, "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    val expect = Seq(
+      (1L, "a a a a a a"), (2L, "a b c d"),
+      (3L, "the cat and the dog of the house"), (4L, "x"),
+      (5L, "a a b b b c d d d d")).map { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val cnt = toks.groupBy(identity).map(_._2.size.toLong)
+      val n = toks.size.toLong
+      import graft.functions.FixedPointMath.flog2
+      val num = cnt.map(c => c * flog2(c)).sum
+      id -> ((id, n, cnt.size.toLong, 65536L * cnt.size / n,
+        flog2(n) - num / n))
+    }.toMap
+    assert(got == expect)
+    assert(got(1L)._5 == 0L) // fully repetitive → 0 bits
+    assert(got(2L)._5 == graft.functions.FixedPointMath.flog2(4L)) // uniform
+    assert(got(4L)._5 == 0L)
+    // repetitive doc scores strictly below the diverse one
+    assert(got(1L)._5 < got(3L)._5)
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
