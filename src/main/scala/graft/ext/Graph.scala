@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph centrality over an edge list — the curation use
+  * is importance/diversity scoring over a SIMILARITY graph (PageRank
+  * over the k-NN graph ranks documents by how central they are to the
+  * corpus's semantic neighborhood structure; the reference corpus
+  * pipelines' "pick representative members" move, complementing the
+  * connected-components dedup in [[Dedup]] which only answers
+  * same/different).
+  *
+  * Everything is EXACT fixed-point integer arithmetic (truncating
+  * division, damping as a rational dampNum/dampDen), so ranks are
+  * bit-identical across engines and an unrolled-iteration SQL oracle
+  * can hash-match them — same policy as the rest of the library: no
+  * floating-point accumulation order dependence anywhere.
+  */
+object Graph {
+
+  /** Deterministic fixed-point PageRank over a DIRECTED edge list.
+    *
+    * Per iteration, with `r0 = scale div n` the uniform start and
+    * `tele = ((dampDen−dampNum)·r0) div dampDen` the teleport mass:
+    *
+    * {{{ r'(v) = tele + Σ_{(u,v) ∈ E} (dampNum·r(u)) div (dampDen·deg(u)) }}}
+    *
+    * All quantities are BIGINT; every division truncates toward zero
+    * (all values non-negative), so the result is a pure function of
+    * the edge list — no RNG, no convergence test, a FIXED number of
+    * iterations (`iters`), matching what an unrolled oracle can
+    * replay. Total mass drifts slightly below `scale` from
+    * truncation; rankings are what matter and they are exact.
+    *
+    * Contract: every node referenced as `dst` should also appear as a
+    * `src` (true for k-NN graphs, where out-degree is exactly k) —
+    * dangling nodes keep receiving teleport+in-mass but their own
+    * mass leaks, the standard simplification.
+    *
+    * Scale shape: per iteration one hash join of the edge list with
+    * the rank frame keyed on `src` and one aggregation keyed on `dst`
+    * — the two keyed shuffles of textbook distributed PageRank; the
+    * rank frame is one row per node and is never collected. The only
+    * driver-side value is n (one count over node ids). For many
+    * iterations persist `edges` first — the plan nests one join per
+    * iteration otherwise.
+    *
+    * Output: (id, rank_fp) — rank scaled by `scale`.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val n = nodes.count() // one metadata-scale scalar
+    require(n > 0, "empty graph")
+    val r0 = scale / n
+    val tele = ((dampDen - dampNum) * r0) / dampDen
+    val ed = e.join(
+      e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    var ranks = nodes.select(col("id"), lit(r0).as("r"))
+    for (_ <- 0 until iters) {
+      // fresh column names each stage: nodes/ranks share lineage, so
+      // df("col") references would be ambiguous after a few rounds
+      val contrib = ed
+        .join(ranks.select(col("id").as("_rid"), col("r")),
+          col("src") === col("_rid"))
+        .select(col("dst").as("_cid"),
+          expr(s"($dampNum * r) div ($dampDen * deg)").as("c"))
+        .groupBy("_cid").agg(sum(col("c")).as("cin"))
+      ranks = nodes
+        .join(contrib, col("id") === col("_cid"), "left")
+        .select(col("id"),
+          (lit(tele) + coalesce(col("cin"), lit(0L))).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+}

@@ -75,12 +75,18 @@ object Similarity {
     * c_id ASC). Falls back to a window rank without GraftExtensions. */
   def knnJoinBrute(queries: DataFrame, corpus: DataFrame,
       qIdCol: String, cIdCol: String, k: Int,
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", excludeSelf: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(qIdCol).cast("long").as("q_id"),
       col(embCol).as("qe")))
     val c = corpus.select(col(cIdCol).cast("long").as("c_id"),
       col(embCol).as("ce"))
-    topkReduce(c.crossJoin(q).select(col("q_id"), col("c_id"),
+    val pairs = c.crossJoin(q)
+    // self-pair exclusion (queries ⊆ corpus, e.g. a k-NN graph): the
+    // filter runs BEFORE the k-bounded state, so rank 1..k is over
+    // genuine neighbors, not the trivial self-match
+    val kept = if (excludeSelf) pairs.filter(col("c_id") =!= col("q_id"))
+      else pairs
+    topkReduce(kept.select(col("q_id"), col("c_id"),
       dotExpr(corpus, "ce", "qe").as("s")), k)
   }
 

@@ -1334,6 +1334,58 @@ object EmbeddingQ {
        |SELECT q_id, c_lab AS pred_label, votes, best_rnk
        |FROM p WHERE pick = 1 ORDER BY q_id""".stripMargin
 
+  /** q129 — PageRank over the k-NN similarity graph
+    * ([[graft.ext.Graph.pageRank]]): each vector links to its 3
+    * nearest neighbors (exact fixed-point dots, self excluded), then
+    * 3 iterations of deterministic integer PageRank rank vectors by
+    * semantic centrality — the graph-centrality data-selection
+    * signal (central docs = representative; peripheral = outliers).
+    * Every division truncates, so the oracle can UNROLL all 3
+    * iterations as chained CTEs and hash-match the ranks exactly. */
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val edges = graft.ext.Similarity
+      .knnJoinBrute(emb, emb, "vec_id", "vec_id", k = 3,
+        excludeSelf = true)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+    graft.ext.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("id").as("vec_id"), col("rank_fp"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q129Sql: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT nodes.id,
+         |    (SELECT (15 * r0) // 100 FROM p) + COALESCE(cin, 0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM((85 * $prev.r) // (100 * d.deg)) AS BIGINT)
+         |        AS cin
+         |    FROM e JOIN $prev ON e.src = $prev.id
+         |      JOIN d ON e.src = d.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+       |    FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |    FROM c, q WHERE c_id <> q_id),
+       |e AS (SELECT q_id AS src, c_id AS dst FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER
+       |      (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk
+       |    FROM sc) WHERE rnk <= 3),
+       |nodes AS (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |p AS (SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS r0
+       |    FROM nodes),
+       |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0t AS (SELECT id, (SELECT r0 FROM p) AS r FROM nodes),
+       |${iter("r0t", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT id AS vec_id, r AS rank_fp FROM r3
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1363,5 +1415,6 @@ object EmbeddingQ {
     QueryDef("q111_knn_join_pq", q111, Some(q111Sql)),
     QueryDef("q116_hard_negatives", q116, Some(q116Sql)),
     QueryDef("q119_hard_negatives_lsh", q119, Some(q119Sql)),
-    QueryDef("q127_label_propagate", q127, Some(q127Sql)))
+    QueryDef("q127_label_propagate", q127, Some(q127Sql)),
+    QueryDef("q129_pagerank_knn", q129, Some(q129Sql)))
 }
