@@ -42,9 +42,12 @@ object Graph {
     * the rank frame keyed on `src` and one aggregation keyed on `dst`
     * — the two keyed shuffles of textbook distributed PageRank; the
     * rank frame is one row per node and is never collected. The only
-    * driver-side value is n (one count over node ids). For many
-    * iterations persist `edges` first — the plan nests one join per
-    * iteration otherwise.
+    * driver-side value is n (one count over node ids). The edge list
+    * (with degrees) and each iteration's rank frame are
+    * `localCheckpoint`ed — without the truncation the rank lineage
+    * NESTS and the edge subtree is recomputed ~2^iters times (the
+    * same hazard [[Dedup]]'s connected-components loop pins per
+    * round).
     *
     * Output: (id, rank_fp) — rank scaled by `scale`.
     */
@@ -58,12 +61,14 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
     val n = nodes.count() // one metadata-scale scalar
     require(n > 0, "empty graph")
     val r0 = scale / n
     val tele = ((dampDen - dampNum) * r0) / dampDen
     val ed = e.join(
       e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
     var ranks = nodes.select(col("id"), lit(r0).as("r"))
     for (_ <- 0 until iters) {
       // fresh column names each stage: nodes/ranks share lineage, so
@@ -78,6 +83,7 @@ object Graph {
         .join(contrib, col("id") === col("_cid"), "left")
         .select(col("id"),
           (lit(tele) + coalesce(col("cin"), lit(0L))).as("r"))
+        .localCheckpoint()
     }
     ranks.select(col("id"), col("r").as("rank_fp"))
   }

@@ -303,4 +303,26 @@ class PlanQualitySpec extends SparkSpec {
         "top-k must reduce via the k-bounded aggregate")
     }
   }
+
+  test("tokenEntropy is joinless scan + key-local aggregation") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val p = plan(graft.ext.TextAnalysis.tokenEntropy(docs, "doc_id"))
+    assert(!p.contains("Join"),
+      "entropy is per-doc state only; a join means a regression")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("labelPropagate: knn reduces via aggregate; vote join broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val p = plan(graft.ext.Similarity.labelPropagate(
+      emb.filter(col("vec_id") % 17 === 0),
+      emb.filter(col("vec_id") % 17 =!= 0),
+      "vec_id", "vec_id", "label", k = 5))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("SortMergeJoin"),
+      "the |Q|·k winner rows broadcast back to the label lookup; " +
+        "an SMJ means the corpus is being shuffled")
+  }
+
 }
