@@ -35,6 +35,30 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Leakage-safe GROUP-aware split: documents are assigned
+    * train/val/test by their near-dup CLUSTER, not their own id, so
+    * near-duplicates can never straddle the cut — the train/test
+    * contamination a row-keyed split silently creates whenever the
+    * corpus contains duplicates (the effect Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 measure).
+    * `components` is a (id, component) labeling of the DUPLICATE
+    * subset (e.g. [[Dedup.NearDupResult.components]]); unlabeled rows
+    * group as themselves. Assignment is the same stable md5 bucket as
+    * [[hashSplit]] on the group key — a pure function of the
+    * labeling. Scale shape: one left join against the duplicate
+    * subset (broadcastable — the dup labeling is far smaller than the
+    * corpus), then the scan-speed split projection. Adds `group_id`,
+    * `bucket`, `split`. */
+  def clusterSplit(df: DataFrame, idCol: String, components: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val grp = df
+      .join(broadcast(components.select(col("id").as(idCol),
+        col("component"))), Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    hashSplit(grp, "group_id", trainPct, valPct)
+  }
+
   /** Deterministic stratified sampling: keep `pct(stratum)` percent of
     * each stratum (language, source, domain …), selected by the same
     * stable md5 bucket as [[hashSplit]] — re-runs, engine changes and

@@ -1139,7 +1139,11 @@ object TextQ {
       .orderBy(col("cluster_id"))
   }
 
-  val q94Sql: String =
+  /** Shared q94/q130 oracle body: the full MinHash → LSH → verify →
+    * RECURSIVE transitive closure replay, ending at `lab(id,
+    * component)` — every duplicate doc labeled with its cluster's
+    * min id (no ORDER BY so it nests as a CTE prefix). */
+  private val clusterBodyD: String =
     s"""WITH RECURSIVE d AS (SELECT doc_id, $shinglesD AS shs
        |  FROM documents),
        |ids AS (SELECT doc_id,
@@ -1165,7 +1169,10 @@ object TextQ {
        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
        |  WHERE s.v <> r.u),
        |lab AS (SELECT u AS id, least(u, min(v)) AS component
-       |  FROM reach GROUP BY u),
+       |  FROM reach GROUP BY u)""".stripMargin
+
+  val q94Sql: String =
+    s"""$clusterBodyD,
        |ranked AS (SELECT l.component, l.id, dd.n_chars,
        |    ROW_NUMBER() OVER (PARTITION BY l.component
        |      ORDER BY dd.n_chars DESC, l.id ASC) AS rn
@@ -1852,6 +1859,36 @@ object TextQ {
        |FROM agg a JOIN nlg USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
 
+  /** q130 — leakage-safe cluster-aware split
+    * ([[graft.ext.Sampling.clusterSplit]]): train/val/test assignment
+    * by near-dup CLUSTER (the q94 machinery's components) instead of
+    * doc id, so near-duplicates never straddle the cut. The oracle
+    * replays the whole MinHash → LSH → verify → RECURSIVE closure
+    * pipeline AND the md5 split rule, so group ids and split labels
+    * both hash-match. */
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val res = graft.ext.Dedup.near(docs, "text", "doc_id")
+    graft.ext.Sampling
+      .clusterSplit(docs.select(col("doc_id")), "doc_id",
+        res.components)
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q130Sql: String =
+    s"""$clusterBodyD,
+       |grp AS (SELECT dd.doc_id,
+       |    COALESCE(l.component, dd.doc_id) AS group_id
+       |  FROM documents dd LEFT JOIN lab l ON l.id = dd.doc_id),
+       |sp AS (SELECT doc_id, group_id,
+       |    CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 100 AS bucket FROM grp)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM sp ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1900,5 +1937,6 @@ object TextQ {
     QueryDef("q120_sample_exact_k", q120, Some(q120Sql)),
     QueryDef("q121_span_rewrite", q121, Some(q121Sql)),
     QueryDef("q124_classifier_cut", q124, Some(q124Sql)),
-    QueryDef("q128_token_entropy", q128, Some(q128Sql)))
+    QueryDef("q128_token_entropy", q128, Some(q128Sql)),
+    QueryDef("q130_cluster_split", q130, Some(q130Sql)))
 }

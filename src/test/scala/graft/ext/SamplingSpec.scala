@@ -31,6 +31,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("clusterSplit: no cluster straddles the cut; singletons = hashSplit") {
+    val docs = (1L to 300L).toDF("id")
+    // clusters: {1..5} -> component 1, {10,11} -> component 10
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("id", "component")
+    val got = Sampling.clusterSplit(docs, "id", comps)
+      .select("id", "group_id", "split")
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    // every member of a cluster gets the SAME split
+    assert((1L to 5L).map(got(_)._3).toSet.size == 1)
+    assert(Set(10L, 11L).map(got(_)._3).size == 1)
+    // cluster members split by the GROUP key, singletons by their own
+    val plain = Sampling.hashSplit(docs, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got(2L)._3 == plain(1L), "member follows the cluster rep")
+    val clustered = Set(1L, 2L, 3L, 4L, 5L, 10L, 11L)
+    (1L to 300L).filterNot(clustered).foreach { i =>
+      assert(got(i)._2 == i && got(i)._3 == plain(i))
+    }
+  }
+
   test("stratifiedSample keeps stable per-stratum fractions") {
     val docs = (1L to 1000L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh")).toDF("id", "lang")
