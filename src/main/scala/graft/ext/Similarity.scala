@@ -144,6 +144,38 @@ object Similarity {
         col("votes"), col("best_rnk"))
   }
 
+  /** Streaming label transfer — [[labelPropagate]] applied live
+    * (auto-tag arriving documents against a curated labeled set
+    * before they land): every micro-batch of unlabeled vectors takes
+    * the majority label among its k nearest neighbors in the labeled
+    * REFERENCE set — a static frame re-read per batch via the thunk,
+    * so an offline re-label is picked up live — and the tagged rows
+    * append to a graft table exactly-once (batch-id-keyed txn
+    * markers). Predictions are a pure function of (vector, reference
+    * set), so crash replays land the SAME labels. Per trigger: one
+    * reference scan + the k-bounded reduction against the batch
+    * only; swap the neighbor stage for [[knnJoinLsh]] via the same
+    * contract when the reference set outgrows a full scan per
+    * batch. */
+  def labelStreamToTable(stream: DataFrame, idCol: String,
+      labeled: () => DataFrame, cIdCol: String, labelCol: String,
+      k: Int, outDir: String, checkpointDir: String,
+      embCol: String = "embedding", appId: String = "graft-labelprop")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val preds = labelPropagate(batch, labeled(), idCol, cIdCol,
+          labelCol, k, embCol)
+        graft.sink.CdcTable.append(
+          batch.join(preds.select(col("q_id").as(idCol),
+            col("pred_label"), col("votes")), Seq(idCol)),
+          outDir, txn = Some((appId, id)))
+        ()
+      }
+      .start()
+
   /** PQ-COMPRESSED k-NN join — [[knnJoinBrute]]'s shape over the
     * codes alone (many queries × a compressed corpus): the corpus
     * side encodes to m small ints per row ([[pqEncodeLit]] — one

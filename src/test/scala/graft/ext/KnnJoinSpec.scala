@@ -269,6 +269,34 @@ class KnnJoinSpec extends SparkSpec {
     assert(got.size == 12) // one prediction per query
   }
 
+  test("labelStreamToTable lands the batch-path predictions exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmpDir("lblout"); val ckpt = tmpDir("lblck")
+    val labeled = emb.withColumn("label", (col("vec_id") % 3).cast("int"))
+      .filter($"vec_id" % 5 =!= 0)
+    val arriving = emb.filter($"vec_id" % 5 === 0)
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.labelStreamToTable(
+      mem.toDF.toDF("vec_id", "embedding"), "vec_id",
+      () => labeled, "vec_id", "label", k = 5, out, ckpt)
+    try {
+      mem.addData(arriving.take(5): _*); q.processAllAvailable()
+      mem.addData(arriving.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    val landed = graft.sink.CdcTable.read(spark, out)
+      .select("vec_id", "pred_label").as[(Long, Int)].collect().toMap
+    // batch-path mirror: predictions are a pure function of
+    // (vector, reference set) — the stream must land the same labels
+    val mirror = Similarity.labelPropagate(
+        emb.filter($"vec_id" % 5 === 0), labeled,
+        "vec_id", "vec_id", "label", k = 5)
+      .select("q_id", "pred_label").as[(Long, Int)].collect().toMap
+    assert(landed == mirror, s"stream $landed vs batch $mirror")
+    assert(landed.size == arriving.size, "every arrival labeled")
+  }
+
   test("plan reduces via aggregate, not a full-shuffle window") {
     val plan = brute(3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
