@@ -145,6 +145,34 @@ class PipelineE2ESpec extends SparkSpec {
       "no perplexity-tail doc survives curation")
   }
 
+  test("curation composes: leakage-safe split after dedup labeling") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val res = Dedup.near(docs, "text", "doc_id")
+    val split = Sampling.clusterSplit(docs, "doc_id", res.components)
+    // 1. no near-dup cluster straddles the cut
+    val straddling = split.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("nsp"))
+      .filter(col("nsp") > 1).count()
+    assert(straddling == 0, "a cluster crossed the train/test cut")
+    // 2. every doc is assigned, exactly once
+    assert(split.count() == docs.count())
+    // 3. run-deterministic
+    val a = split.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    val b = Sampling.clusterSplit(docs, "doc_id",
+        Dedup.near(docs, "text", "doc_id").components)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // 4. the token-entropy gate composes on the train side: the
+    //    most-repetitive docs it drops are gone from training
+    val train = split.filter(col("split") === "train")
+    val lowEntropy = TextAnalysis.tokenEntropy(train, "doc_id")
+      .filter(col("entropy_fp") < 65536L) // < 1 bit/token
+      .select(col("id").as("doc_id"))
+    val gated = train.join(lowEntropy, Seq("doc_id"), "left_anti")
+    assert(gated.count() + lowEntropy.count() == train.count())
+  }
+
   test("curation composes: the top-fraction quality cut gates the mix") {
     // the FineWeb-Edu stage in place: score everything, keep exactly
     // the best half, then flatten the language mix — every survivor
