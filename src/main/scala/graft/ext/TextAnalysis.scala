@@ -502,6 +502,66 @@ object TextAnalysis {
           .as("entropy_fp"))
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's
+    * distinct 3-token shingles that appear in NO other document —
+    * the uniqueness / memorization-risk signal (a doc of df=1
+    * shingles is one-of-a-kind prose; near 0 means everything it
+    * says appears elsewhere — boilerplate or a near-dup). Exact
+    * integers: novelty_fp = (10^6·n_novel) div n_shingles. Documents
+    * with fewer than 3 tokens have no shingles and drop (the q103
+    * convention for unscorable docs).
+    *
+    * Scale shape: explode distinct shingle ids → one count
+    * aggregation keyed on shingle → one key-local join back → per-doc
+    * aggregation. Two corpus scans (the shingle frame feeds the df
+    * count AND the join) — persist upstream if the scan dominates.
+    * Requires GraftExtensions (`shingle_ids` native).
+    * Output: (id, n_shingles, n_novel, novelty_fp). */
+  def ngramNovelty(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(df.sparkSession.catalog.functionExists("shingle_ids"),
+      "ngramNovelty requires GraftExtensions (shingle_ids native)")
+    val sh = df.select(col(idCol).as("id"),
+      explode(expr(s"shingle_ids(`$textCol`)")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_shingles"), col("n_novel"),
+        expr("(1000000L * n_novel) div n_shingles").as("novelty_fp"))
+  }
+
+  /** Skip-gram (center, context) pair counts — the word2vec/GloVe
+    * co-occurrence extraction: every ordered token pair at distance
+    * 1..`window` within a document, counted corpus-wide. Emission is
+    * ARRAY-LOCAL (pairs build inside the row with transform+flatten —
+    * no positional self-join), so the only shuffle is the final
+    * count, bounded by the co-occurring vocabulary² regardless of
+    * corpus size. Output: (center, context, cnt). */
+  def skipgramPairs(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", window: Int = 2)
+  : org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val pairExprs = (1 to window).map { d =>
+      s"""CASE WHEN size(_toks) > $d THEN
+         |  flatten(transform(sequence(1, size(_toks) - $d), i ->
+         |    array(
+         |      named_struct('center', element_at(_toks, i),
+         |        'context', element_at(_toks, i + $d)),
+         |      named_struct('center', element_at(_toks, i + $d),
+         |        'context', element_at(_toks, i)))))
+         |ELSE CAST(array() AS
+         |  array<struct<center:string,context:string>>) END""".stripMargin
+    }
+    df.select(split(trim(col(textCol)), "\\s+").as("_toks"))
+      .select(explode(
+        expr(pairExprs.mkString("concat(", ", ", ")"))).as("pr"))
+      .groupBy(col("pr.center").as("center"),
+        col("pr.context").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def bigramLmTables(df: org.apache.spark.sql.DataFrame, isTarget: Column,
       textCol: String = "text", buckets: Int = 65536)
   : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {

@@ -1889,6 +1889,52 @@ object TextQ {
        |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
        |FROM sp ORDER BY doc_id""".stripMargin
 
+  /** q131 — n-gram novelty ([[graft.ext.TextAnalysis.ngramNovelty]]):
+    * the fraction of each document's distinct 3-token shingles that
+    * appear in no other document — the uniqueness / memorization-risk
+    * signal. Exact integer novelty, so scores hash-match. */
+  def q131(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.ngramNovelty(spreadDocs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        col("n_novel"), col("novelty_fp"))
+      .orderBy(col("doc_id"))
+
+  val q131Sql: String =
+    s"""WITH e AS (SELECT doc_id,
+       |    unnest(list_transform($shinglesD, t -> ${tokD("t")})) AS sh
+       |  FROM documents),
+       |d2 AS (SELECT sh, COUNT(*) AS df FROM e GROUP BY sh)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  (1000000 * CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT)) // COUNT(*) AS novelty_fp
+       |FROM e JOIN d2 USING (sh) GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** q132 — skip-gram pair extraction
+    * ([[graft.ext.TextAnalysis.skipgramPairs]]): word2vec-style
+    * (center, context) co-occurrence counts at distance ≤ 2,
+    * emitted array-locally (no positional self-join) — the only
+    * shuffle is the vocabulary²-bounded count. */
+  def q132(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.skipgramPairs(spreadDocs(s, dir))
+      .orderBy(col("center"), col("context"))
+
+  val q132Sql: String = {
+    def pairsAt(d: Int) =
+      s"""flatten(list_transform(range(1, greatest(len(toks) - $d + 1, 1)),
+         |  i -> [toks[i] || '|' || toks[i+$d],
+         |        toks[i+$d] || '|' || toks[i]]))""".stripMargin
+    s"""WITH tk AS (SELECT $toksD AS toks FROM documents),
+       |pr AS (SELECT unnest(list_concat(
+       |    ${pairsAt(1)},
+       |    ${pairsAt(2)})) AS pr FROM tk)
+       |SELECT string_split(pr, '|')[1] AS center,
+       |  string_split(pr, '|')[2] AS context, COUNT(*) AS cnt
+       |FROM pr GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1938,5 +1984,7 @@ object TextQ {
     QueryDef("q121_span_rewrite", q121, Some(q121Sql)),
     QueryDef("q124_classifier_cut", q124, Some(q124Sql)),
     QueryDef("q128_token_entropy", q128, Some(q128Sql)),
-    QueryDef("q130_cluster_split", q130, Some(q130Sql)))
+    QueryDef("q130_cluster_split", q130, Some(q130Sql)),
+    QueryDef("q131_ngram_novelty", q131, Some(q131Sql)),
+    QueryDef("q132_skipgram_pairs", q132, Some(q132Sql)))
 }

@@ -289,6 +289,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._5 < got(3L)._5)
   }
 
+  test("ngramNovelty: unique shingles counted exactly; short docs drop") {
+    val corpus = Seq(
+      (1L, "a b c d"), // shingles: "a b c" (shared), "b c d" (unique)
+      (2L, "a b c e"), // shingles: "a b c" (shared), "b c e" (unique)
+      (3L, "x y")) // < 3 tokens: no shingles, unscorable
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(corpus, "doc_id")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((1L, 2L, 1L, 500000L)))
+    assert(got(2L) == ((2L, 2L, 1L, 500000L)))
+  }
+
+  test("skipgramPairs: distance-bounded ordered pairs, exact counts") {
+    val corpus = Seq((1L, "a b c"), (2L, "a b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramPairs(corpus, window = 2)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // "a b c": (a,b)(b,a)(b,c)(c,b) at d=1, (a,c)(c,a) at d=2
+    // "a b a": both adjacencies emit (a,b) AND (b,a) → 2 each;
+    //          (a,a) twice at d=2 — so (a,b)/(b,a) total 3
+    assert(got == Map(
+      ("a", "b") -> 3L, ("b", "a") -> 3L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("a", "c") -> 1L, ("c", "a") -> 1L,
+      ("a", "a") -> 2L))
+    // window=1 drops the distance-2 pairs
+    val w1 = TextAnalysis.skipgramPairs(corpus, window = 1)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(!w1.contains(("a", "c")) && !w1.contains(("a", "a")))
+    assert(w1(("a", "b")) == 3L)
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
