@@ -922,6 +922,46 @@ object Dedup {
     finally { base.unpersist(); () }
   }
 
+  /** INTRA-document span dedup — the self-repetition cleaner
+    * ([[spanDedupRewrite]]'s cross-doc rule turned inward): the
+    * document's consecutive `width`-token spans keep only their FIRST
+    * occurrence within the SAME document; repeats are cut and the doc
+    * reassembled (kept spans in order + the sub-width remainder). The
+    * classic "page that repeats one paragraph fifty times" cleanup —
+    * [[graft.ext.TextAnalysis.tokenEntropy]] scores that pathology,
+    * this removes it.
+    *
+    * Entirely ARRAY-LOCAL: spans, first-occurrence filter, and
+    * reassembly all build inside the row with transform/filter HOFs —
+    * no explode, no join, no shuffle; scan-speed at any corpus size,
+    * and every step replays in SQL so the cleaned TEXT hash-matches
+    * the oracle. Output: (id, n_spans, n_dupes, clean_text). */
+  def selfSpanDedup(df: DataFrame, idCol: String,
+      textCol: String = "text", width: Int = 3): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("nsp", expr(s"size(toks) div $width"))
+      .withColumn("spans", expr(
+        s"""CASE WHEN nsp >= 1 THEN transform(sequence(1, CAST(nsp AS INT)),
+           |  i -> concat_ws(' ',
+           |    slice(toks, (i - 1) * $width + 1, $width)))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("keep", expr(
+        """CASE WHEN size(spans) >= 1 THEN
+          |  filter(sequence(1, size(spans)),
+          |    i -> array_position(spans, element_at(spans, i)) = i)
+          |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .select(col("id"), col("nsp").as("n_spans"),
+        (col("nsp") - size(col("keep"))).as("n_dupes"),
+        expr(s"""trim(concat_ws(' ',
+          |  array_join(transform(keep,
+          |    i -> element_at(spans, i)), ' '),
+          |  concat_ws(' ', slice(toks, CAST(nsp * $width + 1 AS INT),
+          |    size(toks) - CAST(nsp * $width AS INT)))))""".stripMargin)
+          .as("clean_text"))
+  }
+
   /** Embedding-space near-dup dedup: cosine pairs above threshold
     * (exact here; LSH-bucket first at scale), clustered to survivors
     * exactly like the text path. */

@@ -1935,6 +1935,38 @@ object TextQ {
        |FROM pr GROUP BY 1, 2 ORDER BY center, context""".stripMargin
   }
 
+  /** q133 — intra-document span dedup
+    * ([[graft.ext.Dedup.selfSpanDedup]]): repeated 3-token spans
+    * WITHIN a document keep only their first occurrence and the doc
+    * is reassembled — the self-repetition cleanup. Array-local end to
+    * end, and the cleaned TEXT itself hash-matches the oracle's
+    * list-HOF replay. */
+  def q133(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.selfSpanDedup(spreadDocs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_dupes"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  val q133Sql: String =
+    s"""WITH b AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |s AS (SELECT doc_id, toks, len(toks) // 3 AS nsp FROM b),
+       |sp AS (SELECT doc_id, toks, nsp,
+       |    CASE WHEN nsp >= 1 THEN list_transform(range(1, nsp + 1),
+       |      i -> array_to_string(toks[(i-1)*3+1 : (i-1)*3+3], ' '))
+       |    ELSE [] END AS spans FROM s),
+       |k AS (SELECT doc_id, toks, nsp, spans,
+       |    CASE WHEN len(spans) >= 1 THEN
+       |      list_filter(range(1, len(spans) + 1),
+       |        i -> list_position(spans, spans[i]) = i)
+       |    ELSE [] END AS keep FROM sp)
+       |SELECT doc_id, CAST(nsp AS BIGINT) AS n_spans,
+       |  CAST(nsp - len(keep) AS BIGINT) AS n_dupes,
+       |  trim(concat_ws(' ',
+       |    array_to_string(list_transform(keep, i -> spans[i]), ' '),
+       |    array_to_string(toks[nsp*3+1 : len(toks)], ' ')))
+       |    AS clean_text
+       |FROM k ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -1986,5 +2018,6 @@ object TextQ {
     QueryDef("q128_token_entropy", q128, Some(q128Sql)),
     QueryDef("q130_cluster_split", q130, Some(q130Sql)),
     QueryDef("q131_ngram_novelty", q131, Some(q131Sql)),
-    QueryDef("q132_skipgram_pairs", q132, Some(q132Sql)))
+    QueryDef("q132_skipgram_pairs", q132, Some(q132Sql)),
+    QueryDef("q133_self_span_dedup", q133, Some(q133Sql)))
 }

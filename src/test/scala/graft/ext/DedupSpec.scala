@@ -758,6 +758,25 @@ class DedupSpec extends SparkSpec {
     assert(cc(7L) == 7L && cc(9L) == 7L)
   }
 
+  test("selfSpanDedup cuts repeated spans within a doc, keeps order") {
+    val docs = Seq(
+      (1L, "x y z x y z x y z a"), // span "x y z" ×3 + remainder "a"
+      (2L, "p q r s t u"), // no repeats: unchanged
+      (3L, "m n"), // sub-width: zero spans, text passes through
+      (4L, "a b c d e f a b c")) // repeat NON-adjacent: still cut
+      .toDF("doc_id", "text")
+    val got = Dedup.selfSpanDedup(docs, "doc_id")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 3L, 2L, "x y z a")))
+    assert(got(2L) == ((2L, 2L, 0L, "p q r s t u")))
+    assert(got(3L) == ((3L, 0L, 0L, "m n")))
+    assert(got(4L) == ((4L, 3L, 1L, "a b c d e f")))
+    // deterministic: a second run is identical
+    val again = Dedup.selfSpanDedup(docs, "doc_id")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(again == got)
+  }
+
   test("spanStats matches a brute-force oracle on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
