@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph centrality over an edge list — the curation use
@@ -53,23 +53,60 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L): DataFrame =
+    rank(edges, srcCol, dstCol, iters, dampNum, dampDen, scale, None)
+
+  /** PERSONALIZED PageRank — the seed-expansion curation op (given a
+    * small TRUSTED set — hand-vetted docs, a quality whitelist — rank
+    * the whole corpus by graph proximity to it; the OpenWebText /
+    * quality-seeding move): identical recurrence, but the start mass
+    * and the teleport both concentrate on the seed nodes
+    * (`r0(v) = scale div |S|` for seeds, else 0; teleport likewise),
+    * so rank flows outward from the trusted set with damping.
+    * `seeds` is a one-column frame of node ids (broadcast — seed sets
+    * are small by definition); seeds absent from the graph contribute
+    * nothing. Same exact-integer contract and scale shape as
+    * [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iters: Int = 3,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame =
+    rank(edges, srcCol, dstCol, iters, dampNum, dampDen, scale,
+      Some(seeds))
+
+  private def rank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampNum: Long, dampDen: Long, scale: Long,
+      seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("id"))
+    val allNodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
-    val n = nodes.count() // one metadata-scale scalar
-    require(n > 0, "empty graph")
+    // `is_seed` pinned on the node frame once (broadcast: seed sets
+    // are small); uniform mode marks every node
+    val nodes = (seeds match {
+      case Some(s) => allNodes.join(
+          broadcast(s.select(s.columns.head).toDF("id").distinct()
+            .select(col("id").cast("long").as("id"),
+              lit(true).as("is_seed"))),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("is_seed"), lit(false))
+          .as("is_seed"))
+      case None => allNodes.select(col("id"), lit(true).as("is_seed"))
+    }).localCheckpoint()
+    val n = nodes.filter(col("is_seed")).count() // mass denominator
+    require(n > 0, if (seeds.isDefined) "no seed appears in the graph"
+      else "empty graph")
     val r0 = scale / n
     val tele = ((dampDen - dampNum) * r0) / dampDen
     val ed = e.join(
       e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
-    var ranks = nodes.select(col("id"), lit(r0).as("r"))
+    def teleOf(c: Column): Column = when(c, lit(tele)).otherwise(lit(0L))
+    var ranks = nodes.select(col("id"),
+      when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("r"))
     for (_ <- 0 until iters) {
       // fresh column names each stage: nodes/ranks share lineage, so
       // df("col") references would be ambiguous after a few rounds
@@ -82,7 +119,8 @@ object Graph {
       ranks = nodes
         .join(contrib, col("id") === col("_cid"), "left")
         .select(col("id"),
-          (lit(tele) + coalesce(col("cin"), lit(0L))).as("r"))
+          (teleOf(col("is_seed")) + coalesce(col("cin"), lit(0L)))
+            .as("r"))
         .localCheckpoint()
     }
     ranks.select(col("id"), col("r").as("rank_fp"))

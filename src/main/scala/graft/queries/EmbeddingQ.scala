@@ -1386,6 +1386,65 @@ object EmbeddingQ {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q134 — PERSONALIZED PageRank from a trusted seed set
+    * ([[graft.ext.Graph.personalizedPageRank]]): rank every vector by
+    * k-NN-graph proximity to the label-0 subset — the seed-expansion
+    * curation move (grow a corpus outward from hand-vetted
+    * documents). Start mass and teleport concentrate on the seeds;
+    * same exact-integer recurrence, so the oracle unrolls all 3
+    * iterations and hash-matches. */
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val edges = graft.ext.Similarity
+      .knnJoinBrute(emb, emb, "vec_id", "vec_id", k = 3,
+        excludeSelf = true)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+    graft.ext.Graph.personalizedPageRank(edges, "src", "dst",
+        emb.filter(col("label") === 0).select(col("vec_id")),
+        iters = 3)
+      .select(col("id").as("vec_id"), col("rank_fp"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q134Sql: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT ns.id,
+         |    (CASE WHEN ns.is_seed THEN (SELECT (15 * r0) // 100 FROM p)
+         |      ELSE 0 END) + COALESCE(cin, 0) AS r
+         |  FROM ns LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM((85 * $prev.r) // (100 * d.deg)) AS BIGINT)
+         |        AS cin
+         |    FROM e JOIN $prev ON e.src = $prev.id
+         |      JOIN d ON e.src = d.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+       |    FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |    FROM c, q WHERE c_id <> q_id),
+       |e AS (SELECT q_id AS src, c_id AS dst FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER
+       |      (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk
+       |    FROM sc) WHERE rnk <= 3),
+       |nodes AS (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |sd AS (SELECT DISTINCT vec_id AS id FROM embeddings
+       |    WHERE label = 0),
+       |ns AS (SELECT nodes.id, (sd.id IS NOT NULL) AS is_seed
+       |    FROM nodes LEFT JOIN sd ON nodes.id = sd.id),
+       |p AS (SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS r0
+       |    FROM ns WHERE is_seed),
+       |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0t AS (SELECT id, CASE WHEN is_seed
+       |    THEN (SELECT r0 FROM p) ELSE 0 END AS r FROM ns),
+       |${iter("r0t", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT id AS vec_id, r AS rank_fp FROM r3
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1416,5 +1475,6 @@ object EmbeddingQ {
     QueryDef("q116_hard_negatives", q116, Some(q116Sql)),
     QueryDef("q119_hard_negatives_lsh", q119, Some(q119Sql)),
     QueryDef("q127_label_propagate", q127, Some(q127Sql)),
-    QueryDef("q129_pagerank_knn", q129, Some(q129Sql)))
+    QueryDef("q129_pagerank_knn", q129, Some(q129Sql)),
+    QueryDef("q134_personalized_pagerank", q134, Some(q134Sql)))
 }

@@ -39,6 +39,36 @@ class GraphSpec extends SparkSpec {
     assert(got == ref(edges, 3))
   }
 
+  test("personalizedPageRank matches a seeded driver reference exactly") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 120).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    val seedSet = Set(2L, 5L, 11L)
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", seedSet.toSeq.toDF("id"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // driver reference with seed-concentrated start + teleport
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nS = seedSet.count(nodes.contains)
+    val r0 = 1000000000000L / nS
+    val tele = (15L * r0) / 100L
+    val deg = edges.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    var r = nodes.map(v => v -> (if (seedSet(v)) r0 else 0L)).toMap
+    for (_ <- 0 until 3) {
+      val in = edges.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map { case (src, _) =>
+          (85L * r(src)) / (100L * deg(src)) }.sum
+      }
+      r = nodes.map(v => v ->
+        ((if (seedSet(v)) tele else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    assert(got == r)
+    // mass starts at the seeds: a node unreachable from any seed is 0
+    assert(got.values.exists(_ == 0L) ||
+      nodes.forall(v => got(v) > 0L)) // (random graph may reach all)
+  }
+
   test("star graph: the hub out-ranks every leaf") {
     // leaves 1..6 -> hub 0, hub -> every leaf (so no dangling nodes)
     val edges = (1L to 6L).flatMap(l => Seq((l, 0L), (0L, l)))
