@@ -233,6 +233,75 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Persisted inverted index for BM25 retrieval — the LEXICAL
+    * sibling of [[graft.ext.AnnIndex.writeIvfPq]]'s 100 TB story:
+    * postings (id, dl, tok, tf) land partitioned by a PORTABLE
+    * md5-prefix token bucket, plus a one-row totals table
+    * (n_docs, tot_len). A probe then reads only its query terms'
+    * bucket partitions instead of scanning the corpus — the IO bound
+    * becomes the posting lists touched, not the collection size.
+    * Index content is exactly what [[bm25TopK]] derives per query, so
+    * probes reproduce the full-scan ranking bit for bit. */
+  def writeLexicalIndex(df: org.apache.spark.sql.DataFrame, dir: String,
+      idCol: String, textCol: String = "text", buckets: Int = 64)
+  : Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", expr("pmod(CAST(conv(substring(" +
+        s"md5(tok), 1, 7), 16, 10) AS BIGINT), $buckets)"))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$dir/postings")
+    df.select(split(trim(col(textCol)), "\\s+").as("toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("tot_len"))
+      .write.mode("overwrite").parquet(s"$dir/totals")
+  }
+
+  /** Portable bucket of a token — the driver-side mirror of the
+    * index write's md5-prefix hash (28 bits, always non-negative). */
+  def tokenBucketOf(tok: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      md.take(4).map("%02x".format(_)).mkString.take(7), 16) % buckets
+  }
+
+  /** BM25 top-k against a [[writeLexicalIndex]] index: the query
+    * terms' buckets form a literal IN-list (static partition pruning
+    * — the plan's PartitionFilters, spec-asserted), df comes from the
+    * touched posting lists, and the ranking uses the SAME fixed-point
+    * term formula as [[bm25TopK]] — bit-identical to the full-corpus
+    * scan. `buckets` must match the index write. */
+  def probeLexical(spark: org.apache.spark.sql.SparkSession,
+      dir: String, query: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, buckets: Int = 64)
+  : org.apache.spark.sql.DataFrame = {
+    val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "probeLexical needs a non-empty query")
+    val tbs = terms.map(t => tokenBucketOf(t, buckets)).distinct
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'")
+      .mkString("(", ", ", ")")
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(if (tbs.size == 1) col("tbucket") === lit(tbs.head)
+              else col("tbucket").isin(tbs: _*))
+      .filter(expr(s"tok IN $inList"))
+    val totals = spark.read.parquet(s"$dir/totals")
+    tf.join(broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df"))),
+        "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_fp", expr(bm25TermFpSql(k1, b)))
+      .groupBy("id").agg(sum(col("term_fp")).as("score_fp"),
+        count(lit(1)).as("n_terms_hit"))
+      .select(col("id"), col("n_terms_hit"), col("score_fp"),
+        (col("score_fp") / lit(1e9)).as("score"))
+      .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+  }
+
   /** The per-term BM25 score in fixed point — ONE shared SQL string
     * (same column names both engines) so the IEEE op tree is identical
     * by construction. Expects columns tf, df, dl, n_docs, tot_len. */

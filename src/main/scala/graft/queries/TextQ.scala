@@ -1967,6 +1967,25 @@ object TextQ {
        |    AS clean_text
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** q135 — BM25 via the PERSISTED inverted index
+    * ([[graft.ext.TextAnalysis.writeLexicalIndex]]/`probeLexical`):
+    * q92's ranking produced from token-bucket-partitioned posting
+    * lists instead of a corpus scan — the probe reads only the query
+    * terms' partitions (static pruning). The oracle is the FULL-SCAN
+    * formulation, so the gate proves index + probe reproduce it bit
+    * for bit. */
+  def q135(s: SparkSession, dir: String): DataFrame = {
+    val idx = QueryDef.scratchDir("lexidx")
+    graft.ext.TextAnalysis
+      .writeLexicalIndex(Tables(s, dir, "documents"), idx, "doc_id")
+    graft.ext.TextAnalysis
+      .probeLexical(s, idx, "vector hash join merge", k = 10)
+      .select(col("id").as("doc_id"), col("n_terms_hit"),
+        col("score_fp"), col("score"))
+  }
+
+  val q135Sql: String = q92Sql // the gate: probe ≡ full-corpus scan
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2019,5 +2038,6 @@ object TextQ {
     QueryDef("q130_cluster_split", q130, Some(q130Sql)),
     QueryDef("q131_ngram_novelty", q131, Some(q131Sql)),
     QueryDef("q132_skipgram_pairs", q132, Some(q132Sql)),
-    QueryDef("q133_self_span_dedup", q133, Some(q133Sql)))
+    QueryDef("q133_self_span_dedup", q133, Some(q133Sql)),
+    QueryDef("q135_bm25_indexed", q135, Some(q135Sql)))
 }

@@ -322,6 +322,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w1(("a", "b")) == 3L)
   }
 
+  test("lexical index probe equals the full-scan BM25, partition-pruned") {
+    val corpus = Seq(
+      (1L, "spark joins hash tables fast"),
+      (2L, "hash join beats nested loops"),
+      (3L, "sort merge join for big tables"),
+      (4L, "unrelated prose about gardens"),
+      (5L, "hash hash hash join")).toDF("doc_id", "text")
+    val idx = tmpDir("lexidx")
+    TextAnalysis.writeLexicalIndex(corpus, idx, "doc_id", buckets = 8)
+    val probe = TextAnalysis.probeLexical(spark, idx, "hash join", k = 3)
+    val full = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      "hash join", k = 3)
+    assert(probe.collect().toSeq == full.collect().toSeq,
+      "index probe must reproduce the full scan bit for bit")
+    // the scan is partition-pruned to the query terms' buckets
+    val scan = probe.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("tbucket"),
+      s"probe must prune posting partitions, got: $scan")
+    // driver-side bucket mirror matches what the write produced
+    val buckets = spark.read.parquet(s"$idx/postings")
+      .select("tok", "tbucket").distinct()
+      .as[(String, Long)].collect()
+    buckets.foreach { case (tok, tb) =>
+      assert(TextAnalysis.tokenBucketOf(tok, 8) == tb, tok)
+    }
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
