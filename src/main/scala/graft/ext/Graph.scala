@@ -80,8 +80,12 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
+    // materialize the edge list ONCE: nodes, degrees, and every
+    // iteration all derive from it — without this pin the (possibly
+    // expensive) edge construction re-runs per derived job
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
     val allNodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     // `is_seed` pinned on the node frame once (broadcast: seed sets

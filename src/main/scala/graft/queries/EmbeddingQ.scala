@@ -1343,7 +1343,11 @@ object EmbeddingQ {
     * Every division truncates, so the oracle can UNROLL all 3
     * iterations as chained CTEs and hash-match the ranks exactly. */
   def q129(s: SparkSession, dir: String): DataFrame = {
+    // spread the single-row-group parquet before the O(n^2) dot scan
+    // (the spreadDocs move): one task would otherwise compute every
+    // candidate pair
     val emb = Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
     val edges = graft.ext.Similarity
       .knnJoinBrute(emb, emb, "vec_id", "vec_id", k = 3,
         excludeSelf = true)
@@ -1395,6 +1399,7 @@ object EmbeddingQ {
     * iterations and hash-matches. */
   def q134(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism) // see q129
     val edges = graft.ext.Similarity
       .knnJoinBrute(emb, emb, "vec_id", "vec_id", k = 3,
         excludeSelf = true)
