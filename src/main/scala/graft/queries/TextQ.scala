@@ -1807,6 +1807,10 @@ object TextQ {
       .score(docs, "doc_id",
         graft.ext.Classifier.train(docs, "doc_id", col("lang") === "en"))
       .select(col("id").as("doc_id"), col("score_fp"))
+      // pin: topFraction reads its input for the histogram, the
+      // above-threshold filter AND the tie branch — unpinned, each
+      // evaluation would re-run the whole GD training
+      .localCheckpoint()
     graft.ext.Sampling
       .topFraction(scored, "score_fp", "doc_id", keepNum = 1, keepDen = 2)
       .select(col("doc_id"), col("score_fp"))
