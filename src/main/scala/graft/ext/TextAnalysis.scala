@@ -302,6 +302,89 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** INCREMENTAL lexical index — [[writeLexicalIndex]] as a living
+    * graft table (the freshness story the text-signature and vector
+    * indexes already have): each batch's postings append EXACTLY-ONCE
+    * (batch-id-keyed txn markers), partitioned by the same portable
+    * token bucket, and the corpus totals accumulate as one row per
+    * batch. Because df and totals derive at probe time from the
+    * union of all batches, [[probeLexicalTable]] is bit-identical to
+    * a full-corpus [[bm25TopK]] no matter how arrival was sliced —
+    * and a crash-replayed batch changes nothing. */
+  def lexicalIndexAppend(batch: org.apache.spark.sql.DataFrame,
+      dir: String, idCol: String, textCol: String = "text",
+      buckets: Int = 64, txn: Option[(String, Long)] = None): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val staged = batch.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", expr("pmod(CAST(conv(substring(" +
+        s"md5(tok), 1, 7), 16, 10) AS BIGINT), $buckets)"))
+    graft.sink.CdcTable.append(staged, s"$dir/postings",
+      partitionBy = Seq("tbucket"),
+      txn = txn.map { case (a, v) => (s"$a-postings", v) })
+    graft.sink.CdcTable.append(
+      batch.select(split(trim(col(textCol)), "\\s+").as("toks"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("tot_len")),
+      s"$dir/totals",
+      txn = txn.map { case (a, v) => (s"$a-totals", v) })
+    ()
+  }
+
+  /** BM25 top-k against a [[lexicalIndexAppend]] table: MANIFEST-level
+    * partition pruning (the query terms' buckets judge each committed
+    * file's path — files outside them are never handed to Spark), df
+    * and totals summed across every landed batch, same fixed-point
+    * formula — bit-identical to the full-corpus scan. */
+  def probeLexicalTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, query: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, buckets: Int = 64)
+  : org.apache.spark.sql.DataFrame = {
+    val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "probeLexicalTable needs a non-empty query")
+    val tbs = terms.map(t => tokenBucketOf(t, buckets).toString).toSet
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'")
+      .mkString("(", ", ", ")")
+    val tf = graft.sink.CdcTable
+      .readPruned(spark, s"$dir/postings",
+        (c, v) => c != "tbucket" || tbs.contains(v))
+      .filter(expr(s"tok IN $inList"))
+    val totals = graft.sink.CdcTable.read(spark, s"$dir/totals")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("tot_len")).cast("long").as("tot_len"))
+    tf.join(broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df"))),
+        "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_fp", expr(bm25TermFpSql(k1, b)))
+      .groupBy("id").agg(sum(col("term_fp")).as("score_fp"),
+        count(lit(1)).as("n_terms_hit"))
+      .select(col("id"), col("n_terms_hit"), col("score_fp"),
+        (col("score_fp") / lit(1e9)).as("score"))
+      .orderBy(col("score_fp").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Streaming lexical indexing — [[lexicalIndexAppend]] per
+    * micro-batch with exactly-once txn markers: the arriving corpus
+    * becomes SEARCHABLE live ([[probeLexicalTable]] sees every landed
+    * batch), and crash replays change nothing. */
+  def lexicalIndexStreamToTable(stream: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, dir: String,
+      checkpointDir: String, buckets: Int = 64,
+      appId: String = "graft-lexidx")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        lexicalIndexAppend(batch, dir, idCol, textCol, buckets,
+          txn = Some((appId, id)))
+      }
+      .start()
+
   /** The per-term BM25 score in fixed point — ONE shared SQL string
     * (same column names both engines) so the IEEE op tree is identical
     * by construction. Expects columns tf, df, dl, n_docs, tot_len. */

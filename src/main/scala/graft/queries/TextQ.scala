@@ -1990,6 +1990,27 @@ object TextQ {
 
   val q135Sql: String = q92Sql // the gate: probe ≡ full-corpus scan
 
+  /** q136 — BM25 via the INCREMENTAL lexical index
+    * ([[graft.ext.TextAnalysis.lexicalIndexAppend]]): the corpus
+    * lands in THREE exactly-once batches (id-sliced), then a probe
+    * with manifest-level bucket pruning ranks across every batch.
+    * Oracle = the full-scan formulation, so the gate proves
+    * batch-sliced arrival is invisible to the ranking. */
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    val idx = QueryDef.scratchDir("lexinc")
+    val docs = Tables(s, dir, "documents")
+    for (b <- 0 until 3)
+      graft.ext.TextAnalysis.lexicalIndexAppend(
+        docs.filter(col("doc_id") % 3 === b), idx, "doc_id",
+        txn = Some(("q136", b.toLong)))
+    graft.ext.TextAnalysis
+      .probeLexicalTable(s, idx, "vector hash join merge", k = 10)
+      .select(col("id").as("doc_id"), col("n_terms_hit"),
+        col("score_fp"), col("score"))
+  }
+
+  val q136Sql: String = q92Sql // incremental arrival ≡ full scan
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2043,5 +2064,6 @@ object TextQ {
     QueryDef("q131_ngram_novelty", q131, Some(q131Sql)),
     QueryDef("q132_skipgram_pairs", q132, Some(q132Sql)),
     QueryDef("q133_self_span_dedup", q133, Some(q133Sql)),
-    QueryDef("q135_bm25_indexed", q135, Some(q135Sql)))
+    QueryDef("q135_bm25_indexed", q135, Some(q135Sql)),
+    QueryDef("q136_bm25_incremental", q136, Some(q136Sql)))
 }

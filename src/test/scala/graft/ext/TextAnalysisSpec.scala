@@ -350,6 +350,43 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("incremental lexical index: batched arrival ≡ full scan, " +
+      "replay-safe, bucket-pruned") {
+    val corpus = Seq(
+      (1L, "spark joins hash tables fast"),
+      (2L, "hash join beats nested loops"),
+      (3L, "sort merge join for big tables"),
+      (4L, "unrelated prose about gardens"),
+      (5L, "hash hash hash join")).toDF("doc_id", "text")
+    val idx = tmpDir("lexinc")
+    // three id-sliced exactly-once batches
+    for (b <- 0 until 3)
+      TextAnalysis.lexicalIndexAppend(
+        corpus.filter($"doc_id" % 3 === b.toLong), idx, "doc_id",
+        buckets = 8, txn = Some(("t", b.toLong)))
+    val probe = TextAnalysis
+      .probeLexicalTable(spark, idx, "hash join", k = 3, buckets = 8)
+    val full = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      "hash join", k = 3)
+    assert(probe.collect().toSeq == full.collect().toSeq,
+      "batch-sliced arrival must be invisible to the ranking")
+    // crash replay: re-appending a committed batch changes nothing
+    TextAnalysis.lexicalIndexAppend(
+      corpus.filter($"doc_id" % 3 === 1L), idx, "doc_id",
+      buckets = 8, txn = Some(("t", 1L)))
+    assert(TextAnalysis.probeLexicalTable(spark, idx, "hash join",
+        k = 3, buckets = 8).collect().toSeq ==
+      full.collect().toSeq, "replayed batch double-counted df/totals")
+    // manifest-level pruning: the probe plans fewer posting files
+    // than the whole table holds
+    val allFiles = graft.sink.CdcTable
+      .read(spark, s"$idx/postings").inputFiles.length
+    val probedFiles = TextAnalysis.probeLexicalTable(spark, idx,
+      "hash join", k = 3, buckets = 8).inputFiles.length
+    assert(probedFiles < allFiles,
+      s"bucket pruning must drop files: $probedFiles vs $allFiles")
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
