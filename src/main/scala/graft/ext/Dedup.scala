@@ -922,6 +922,25 @@ object Dedup {
     finally { base.unpersist(); () }
   }
 
+  /** Contrastive POSITIVE pairs from the near-dup clustering: every
+    * same-cluster ordered pair (a < b) with its cluster id — the
+    * training-pair artifact contrastive embedding pipelines (SimCSE /
+    * Contriever-style) consume as naturally-occurring positives,
+    * with [[graft.ext.Similarity.hardNegatives]] supplying the
+    * negatives. TRANSITIVE closure semantics deliberately: two docs
+    * in one cluster pair even when their own similarity edge was not
+    * verified (a↔b, b↔c ⇒ (a,c) too) — the cluster asserts same
+    * content. Pair volume is Σ|cluster|² — bounded by the duplicate
+    * subset, and the upstream near-dup caps keep cluster sizes sane.
+    * Output: (cluster_id, a_id, b_id). */
+  def positivePairs(res: NearDupResult): DataFrame = {
+    val m = res.components
+    m.select(col("component").as("cluster_id"), col("id").as("a_id"))
+      .join(m.select(col("component").as("cluster_id"),
+        col("id").as("b_id")), Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+  }
+
   /** INTRA-document span dedup — the self-repetition cleaner
     * ([[spanDedupRewrite]]'s cross-doc rule turned inward): the
     * document's consecutive `width`-token spans keep only their FIRST

@@ -302,6 +302,51 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI collocation mining over [[skipgramPairs]] — the phrase /
+    * multi-word-expression extractor (pointwise mutual information
+    * `log2(p(a,b) / (p(a)·p(b)))`, the classic collocation statistic):
+    * pairs scoring high co-occur far more than their token
+    * frequencies predict. Computed in exact 16.16 fixed point as
+    * `fixed_log2(cnt·N) − fixed_log2(m_a·m_b)` over the emission
+    * counts — pure integers, so the oracle replays both log
+    * recurrences and hash-matches scores. `minCount` is the standard
+    * support floor (PMI is unstable on rare pairs).
+    *
+    * Scale shape: the pair-count frame is vocabulary²-bounded and
+    * pinned once; marginals and the total broadcast back into it; the
+    * final top-k is a TakeOrdered. Corpus size only affects the one
+    * skip-gram scan. Output: (center, context, cnt, pmi_fp), top `k`
+    * by (pmi_fp DESC, center, context). */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", window: Int = 2, minCount: Long = 5,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    def lg(c: Column): Column =
+      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+        expr(s"fixed_log2(${c.toString})")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+    // vocabulary²-bounded — pin once: it feeds marginals, the total
+    // AND the scored frame
+    val pairs = skipgramPairs(df, textCol, window).localCheckpoint()
+    val marg = pairs.groupBy(col("center").as("tokm"))
+      .agg(sum(col("cnt")).as("m"))
+    val tot = pairs.agg(sum(col("cnt")).as("n"))
+    pairs.filter(col("cnt") >= minCount)
+      .join(broadcast(marg), col("center") === col("tokm"))
+      .drop("tokm").withColumnRenamed("m", "m_a")
+      .join(broadcast(marg.select(col("tokm").as("tokm2"),
+        col("m").as("m_b"))), col("context") === col("tokm2"))
+      .drop("tokm2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pa", expr("cnt * n"))
+      .withColumn("pb", expr("m_a * m_b"))
+      .select(col("center"), col("context"), col("cnt"),
+        (lg(col("pa")) - lg(col("pb"))).as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("center"), col("context"))
+      .limit(k)
+  }
+
   /** INCREMENTAL lexical index — [[writeLexicalIndex]] as a living
     * graft table (the freshness story the text-signature and vector
     * indexes already have): each batch's postings append EXACTLY-ONCE

@@ -2011,6 +2011,68 @@ object TextQ {
 
   val q136Sql: String = q92Sql // incremental arrival ≡ full scan
 
+  /** q137 — contrastive positive pairs
+    * ([[graft.ext.Dedup.positivePairs]]): every same-cluster ordered
+    * pair with its cluster id — the naturally-occurring positives a
+    * contrastive embedding pipeline trains on (hard negatives come
+    * from q116/q119). Transitive-closure semantics: the oracle labels
+    * clusters with the RECURSIVE closure and enumerates pairs from
+    * the labeling, not from the verified edge list. */
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    graft.ext.Dedup.positivePairs(
+        graft.ext.Dedup.near(docs, "text", "doc_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q137Sql: String =
+    s"""$clusterBodyD
+       |SELECT a.component AS cluster_id, a.id AS a_id, b.id AS b_id
+       |FROM lab a JOIN lab b
+       |  ON a.component = b.component AND a.id < b.id
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q138 — PMI collocations
+    * ([[graft.ext.TextAnalysis.pmiCollocations]]): the top-20 token
+    * pairs whose co-occurrence most exceeds what their frequencies
+    * predict — exact fixed-point PMI via two `fixed_log2`
+    * recurrences, both replayed by the oracle, so scores AND the
+    * ranking hash-match. */
+  def q138(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.pmiCollocations(spreadDocs(s, dir))
+      .orderBy(col("pmi_fp").desc, col("center"), col("context"))
+
+  val q138Sql: String = {
+    def pairsAt(d: Int) =
+      s"""flatten(list_transform(range(1, greatest(len(toks) - $d + 1, 1)),
+         |  i -> [toks[i] || '|' || toks[i+$d],
+         |        toks[i+$d] || '|' || toks[i]]))""".stripMargin
+    s"""WITH tk AS (SELECT $toksD AS toks FROM documents),
+       |pr AS (SELECT unnest(list_concat(
+       |    ${pairsAt(1)},
+       |    ${pairsAt(2)})) AS pr FROM tk),
+       |pc AS (SELECT string_split(pr, '|')[1] AS center,
+       |    string_split(pr, '|')[2] AS context, COUNT(*) AS cnt
+       |  FROM pr GROUP BY 1, 2),
+       |mg AS (SELECT center AS tokm, CAST(SUM(cnt) AS BIGINT) AS m
+       |  FROM pc GROUP BY center),
+       |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pc),
+       |pa AS (SELECT f.center, f.context, f.cnt,
+       |    ma.m AS m_a, mb.m AS m_b, (SELECT n FROM nt) AS n
+       |  FROM pc f JOIN mg ma ON f.center = ma.tokm
+       |    JOIN mg mb ON f.context = mb.tokm
+       |  WHERE f.cnt >= 5),
+       |lain AS (SELECT center || '|' || context AS doc_id, center,
+       |    context, cnt, CAST(cnt * n AS BIGINT) AS p_fp FROM pa),
+       |la AS (${flog2D("lain", Seq("center", "context", "cnt"))}),
+       |lbin AS (SELECT center || '|' || context AS doc_id,
+       |    CAST(m_a * m_b AS BIGINT) AS p_fp FROM pa),
+       |lb AS (${flog2D("lbin")})
+       |SELECT la.center, la.context, la.cnt, la.lg - lb.lg AS pmi_fp
+       |FROM la JOIN lb USING (doc_id)
+       |ORDER BY pmi_fp DESC, center, context LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2065,5 +2127,7 @@ object TextQ {
     QueryDef("q132_skipgram_pairs", q132, Some(q132Sql)),
     QueryDef("q133_self_span_dedup", q133, Some(q133Sql)),
     QueryDef("q135_bm25_indexed", q135, Some(q135Sql)),
-    QueryDef("q136_bm25_incremental", q136, Some(q136Sql)))
+    QueryDef("q136_bm25_incremental", q136, Some(q136Sql)),
+    QueryDef("q137_positive_pairs", q137, Some(q137Sql)),
+    QueryDef("q138_pmi_collocations", q138, Some(q138Sql)))
 }

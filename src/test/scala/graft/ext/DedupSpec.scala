@@ -777,6 +777,22 @@ class DedupSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("positivePairs enumerates transitive same-cluster pairs") {
+    import spark.implicits._
+    // components: {1,2,3} (via chain), {7,9}
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "component")
+    val res = Dedup.NearDupResult(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"), comps,
+      spark.emptyDataFrame)
+    val got = Dedup.positivePairs(res)
+      .as[(Long, Long, Long)].collect().toSet
+    // all 3 pairs of the triangle appear even if only 2 edges were
+    // verified upstream — the cluster asserts same-content
+    assert(got == Set((1L, 1L, 2L), (1L, 1L, 3L), (1L, 2L, 3L),
+      (7L, 7L, 9L)))
+  }
+
   test("spanStats matches a brute-force oracle on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -387,6 +387,28 @@ class TextAnalysisSpec extends SparkSpec {
       s"bucket pruning must drop files: $probedFiles vs $allFiles")
   }
 
+  test("pmiCollocations surfaces a planted collocation, exact score") {
+    // "zig zag" always co-occur; filler tokens are common everywhere
+    val docs = (1L to 30L).map { i =>
+      (i, s"zig zag the of and to the of and to w$i x$i")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis
+      .pmiCollocations(docs, window = 1, minCount = 5, k = 4)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val top = got.head
+    assert(Set(top._1, top._2) == Set("zig", "zag"),
+      s"planted collocation must rank first: ${got.toSeq}")
+    // exact fixed-point check against a driver computation
+    import graft.functions.FixedPointMath.flog2
+    val pairs = TextAnalysis.skipgramPairs(docs, window = 1)
+      .as[(String, String, Long)].collect()
+    val n = pairs.map(_._3).sum
+    val m = pairs.groupBy(_._1).map { case (t, g) => t -> g.map(_._3).sum }
+    val expect = flog2(top._3 * n) - flog2(m(top._1) * m(top._2))
+    assert(top._4 == expect)
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
