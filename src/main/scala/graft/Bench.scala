@@ -176,7 +176,13 @@ object Bench {
         // label-propagation brute baseline q127 is deliberately NOT
         // here — same O(|Q|·|C|) class as q116; its scale path is the
         // LSH-blocked neighbor stage already measured by q119.
-        "q125_asof_operator", "q126_salted_join", "q128_token_entropy")
+        "q125_asof_operator", "q126_salted_join", "q128_token_entropy",
+        // late continuation: novelty (shingle-df join), skip-gram
+        // extraction (array-local emission), self-span dedup (fully
+        // array-local — should stay flat), the lexical index
+        // (write-dominated — the maintenance cost scaling row)
+        "q131_ngram_novelty", "q132_skipgram_pairs",
+        "q133_self_span_dedup", "q135_bm25_indexed")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()
