@@ -182,7 +182,10 @@ object Bench {
         // array-local — should stay flat), the lexical index
         // (write-dominated — the maintenance cost scaling row)
         "q131_ngram_novelty", "q132_skipgram_pairs",
-        "q133_self_span_dedup", "q135_bm25_indexed")
+        "q133_self_span_dedup", "q135_bm25_indexed",
+        // graph centrality at scale: LSH-blocked edges (the brute
+        // q129/q134 edge build is the 1×-baseline configuration)
+        "q139_pagerank_lsh")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

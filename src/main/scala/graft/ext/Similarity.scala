@@ -230,7 +230,8 @@ object Similarity {
     * same k-bounded `topk_by` aggregate as [[knnJoinBrute]]. */
   def knnJoinLsh(queries: DataFrame, corpus: DataFrame,
       qIdCol: String, cIdCol: String, k: Int, planes: Int = 0,
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", excludeSelf: Boolean = false)
+  : DataFrame = {
     val p = if (planes > 0) planes else autoPlanes(corpus.count())
     val q0 = queries.select(col(qIdCol).cast("long").as("q_id"),
       col(embCol).as("qe"))
@@ -238,7 +239,10 @@ object Similarity {
     val c0 = corpus.select(col(cIdCol).cast("long").as("c_id"),
       col(embCol).as("ce"))
     val c = c0.withColumn("cb", bucketFor(c0, "ce", p, 0))
-    topkReduce(c.join(q, col("cb") === col("qb"))
+    val cond =
+      if (excludeSelf) col("cb") === col("qb") && col("c_id") =!= col("q_id")
+      else col("cb") === col("qb")
+    topkReduce(c.join(q, cond)
       .select(col("q_id"), col("c_id"),
         dotExpr(corpus, "ce", "qe").as("s")), k)
   }

@@ -1450,6 +1450,66 @@ object EmbeddingQ {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q139 — PageRank over LSH-BLOCKED k-NN edges: q129's centrality
+    * at the 100 TB candidate volume — neighbors come from
+    * [[graft.ext.Similarity.knnJoinLsh]]'s same-bucket equi-join
+    * (auto-derived width) instead of the brute all-pairs scan, so the
+    * edge construction divides by 2^planes exactly as the retrieval
+    * family does. The oracle mirrors the width derivation, the
+    * bucketing, the blocked ranking AND the 3 unrolled PageRank
+    * iterations. Nodes in singleton buckets have no neighbors and
+    * drop from the graph (both engines). */
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism) // see q129
+    val edges = graft.ext.Similarity
+      .knnJoinLsh(emb, emb, "vec_id", "vec_id", k = 3,
+        excludeSelf = true)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+    graft.ext.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("id").as("vec_id"), col("rank_fp"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q139Sql: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT nodes.id,
+         |    (SELECT (15 * r0) // 100 FROM pp) + COALESCE(cin, 0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM((85 * $prev.r) // (100 * d.deg)) AS BIGINT)
+         |        AS cin
+         |    FROM e JOIN $prev ON e.src = $prev.id
+         |      JOIN d ON e.src = d.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
+       |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
+       |  FROM embeddings),
+       |eb AS (SELECT vec_id, embedding, ${bucketDN("pl")} AS bucket
+       |  FROM embeddings, p),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+       |    FROM eb),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, bucket AS cb
+       |    FROM eb),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |    FROM c JOIN q ON cb = qb AND c_id <> q_id),
+       |e AS (SELECT q_id AS src, c_id AS dst FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER
+       |      (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk
+       |    FROM sc) WHERE rnk <= 3),
+       |nodes AS (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |pp AS (SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS r0
+       |    FROM nodes),
+       |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0t AS (SELECT id, (SELECT r0 FROM pp) AS r FROM nodes),
+       |${iter("r0t", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT id AS vec_id, r AS rank_fp FROM r3
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1481,5 +1541,6 @@ object EmbeddingQ {
     QueryDef("q119_hard_negatives_lsh", q119, Some(q119Sql)),
     QueryDef("q127_label_propagate", q127, Some(q127Sql)),
     QueryDef("q129_pagerank_knn", q129, Some(q129Sql)),
-    QueryDef("q134_personalized_pagerank", q134, Some(q134Sql)))
+    QueryDef("q134_personalized_pagerank", q134, Some(q134Sql)),
+    QueryDef("q139_pagerank_lsh", q139, Some(q139Sql)))
 }
