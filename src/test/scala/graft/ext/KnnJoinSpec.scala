@@ -297,6 +297,22 @@ class KnnJoinSpec extends SparkSpec {
     assert(landed.size == arriving.size, "every arrival labeled")
   }
 
+  test("excludeSelf drops the trivial self match on both knn paths") {
+    for (df <- Seq(
+        Similarity.knnJoinBrute(emb, emb, "vec_id", "vec_id", k = 3,
+          excludeSelf = true),
+        Similarity.knnJoinLsh(emb, emb, "vec_id", "vec_id", k = 3,
+          planes = 3, excludeSelf = true))) {
+      df.as[(Long, Long, Long, Double)].collect()
+        .foreach { case (q, c, _, _) => assert(q != c) }
+    }
+    // without the flag the self match ranks first (cosine ≈ 1)
+    Similarity.knnJoinLsh(emb, emb, "vec_id", "vec_id", k = 1,
+        planes = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .foreach { case (q, c, _, _) => assert(q == c) }
+  }
+
   test("plan reduces via aggregate, not a full-shuffle window") {
     val plan = brute(3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
