@@ -184,8 +184,9 @@ object Bench {
         "q131_ngram_novelty", "q132_skipgram_pairs",
         "q133_self_span_dedup", "q135_bm25_indexed",
         // graph centrality at scale: LSH-blocked edges (the brute
-        // q129/q134 edge build is the 1×-baseline configuration)
-        "q139_pagerank_lsh")
+        // q129/q134 edge build is the 1×-baseline configuration);
+        // same split for weak labeling (q127 brute is the baseline)
+        "q139_pagerank_lsh", "q140_label_propagate_lsh")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -128,8 +128,30 @@ object Similarity {
     * best_rnk). */
   def labelPropagate(queries: DataFrame, corpus: DataFrame,
       qIdCol: String, cIdCol: String, labelCol: String, k: Int,
-      embCol: String = "embedding"): DataFrame = {
-    val knn = knnJoinBrute(queries, corpus, qIdCol, cIdCol, k, embCol)
+      embCol: String = "embedding"): DataFrame =
+    voteResolve(
+      knnJoinBrute(queries, corpus, qIdCol, cIdCol, k, embCol),
+      corpus, cIdCol, labelCol)
+
+  /** LSH-BLOCKED label propagation — [[labelPropagate]]'s 100 TB
+    * configuration (the [[hardNegativesLsh]] move): neighbors come
+    * from the same-bucket equi-join at the auto-derived width, so
+    * candidate volume divides by 2^planes; the majority vote and its
+    * tie rules are identical. Neighbors are the nearest IN the
+    * query's bucket — the [[knnJoinLsh]] recall trade-off. */
+  def labelPropagateLsh(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, labelCol: String, k: Int,
+      planes: Int = 0, embCol: String = "embedding"): DataFrame =
+    voteResolve(
+      knnJoinLsh(queries, corpus, qIdCol, cIdCol, k, planes, embCol),
+      corpus, cIdCol, labelCol)
+
+  /** Majority-vote resolution shared by the label-propagation paths:
+    * the |Q|·k winner rows broadcast into the label lookup (the
+    * corpus is never shuffled), then (votes DESC, best rank ASC,
+    * label ASC) picks deterministically. */
+  private def voteResolve(knn: DataFrame, corpus: DataFrame,
+      cIdCol: String, labelCol: String): DataFrame = {
     val lab = corpus.select(col(cIdCol).cast("long").as("c_id"),
       col(labelCol).as("c_lab"))
     val votes = lab.join(broadcast(knn), "c_id")

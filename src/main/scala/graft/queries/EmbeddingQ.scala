@@ -1510,6 +1510,43 @@ object EmbeddingQ {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q140 — LSH-blocked label propagation
+    * ([[graft.ext.Similarity.labelPropagateLsh]]): q127's weak
+    * labeling at the q119 candidate volume — neighbors from the
+    * same-bucket equi-join at the auto-derived width, identical vote
+    * and tie rules. The oracle mirrors the width derivation, the
+    * bucketing, the blocked ranking AND the vote window. */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.ext.Similarity.labelPropagateLsh(
+      emb.filter(col("vec_id") % 17 === 0),
+      emb.filter(col("vec_id") % 17 =!= 0),
+      "vec_id", "vec_id", "label", k = 5)
+      .orderBy(col("q_id"))
+  }
+
+  val q140Sql: String =
+    s"""WITH p AS (SELECT LEAST(20, GREATEST(4, CAST(CEIL(LOG2(
+       |    GREATEST(COUNT(*), 1) / 200.0)) AS INT))) AS pl
+       |  FROM embeddings WHERE vec_id % 17 <> 0),
+       |e AS (SELECT vec_id, label, embedding, ${bucketDN("pl")} AS bucket
+       |  FROM embeddings, p),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb
+       |    FROM e WHERE vec_id % 17 = 0),
+       |c AS (SELECT vec_id AS c_id, label AS c_lab, embedding AS ce,
+       |    bucket AS cb FROM e WHERE vec_id % 17 <> 0),
+       |sc AS (SELECT q_id, c_id, c_lab, ${dotD("ce", "qe")} AS s
+       |    FROM c JOIN q ON cb = qb),
+       |r AS (SELECT q_id, c_id, c_lab, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc),
+       |v AS (SELECT q_id, c_lab, COUNT(*) AS votes, MIN(rnk) AS best_rnk
+       |    FROM r WHERE rnk <= 5 GROUP BY q_id, c_lab),
+       |pk AS (SELECT q_id, c_lab, votes, best_rnk, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY votes DESC, best_rnk, c_lab)
+       |    AS pick FROM v)
+       |SELECT q_id, c_lab AS pred_label, votes, best_rnk
+       |FROM pk WHERE pick = 1 ORDER BY q_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
@@ -1542,5 +1579,6 @@ object EmbeddingQ {
     QueryDef("q127_label_propagate", q127, Some(q127Sql)),
     QueryDef("q129_pagerank_knn", q129, Some(q129Sql)),
     QueryDef("q134_personalized_pagerank", q134, Some(q134Sql)),
-    QueryDef("q139_pagerank_lsh", q139, Some(q139Sql)))
+    QueryDef("q139_pagerank_lsh", q139, Some(q139Sql)),
+    QueryDef("q140_label_propagate_lsh", q140, Some(q140Sql)))
 }
