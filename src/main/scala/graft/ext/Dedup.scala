@@ -954,7 +954,14 @@ object Dedup {
     * reassembly all build inside the row with transform/filter HOFs —
     * no explode, no join, no shuffle; scan-speed at any corpus size,
     * and every step replays in SQL so the cleaned TEXT hash-matches
-    * the oracle. Output: (id, n_spans, n_dupes, clean_text). */
+    * the oracle. The first-occurrence filter scans positions
+    * pairwise, so per-document cost is O(n_spans²) — but over 56-bit
+    * md5-prefix span ids (the [[spanDedupRewrite]] id scheme), not
+    * strings, so each comparison is one long equality; a pathological
+    * 100k-token page costs ~5·10⁸ long compares, not ~10⁹
+    * arbitrary-length string compares. Collisions (≈n²/2^57 per doc)
+    * merge spans the way the cross-doc path already accepts.
+    * Output: (id, n_spans, n_dupes, clean_text). */
   def selfSpanDedup(df: DataFrame, idCol: String,
       textCol: String = "text", width: Int = 3): DataFrame = {
     require(width >= 1, s"width must be >= 1: $width")
@@ -966,10 +973,14 @@ object Dedup {
            |  i -> concat_ws(' ',
            |    slice(toks, (i - 1) * $width + 1, $width)))
            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("sids", expr(
+        """transform(spans,
+          |  s -> CAST(conv(substring(md5(s), 1, 14), 16, 10)
+          |       AS BIGINT))""".stripMargin))
       .withColumn("keep", expr(
-        """CASE WHEN size(spans) >= 1 THEN
-          |  filter(sequence(1, size(spans)),
-          |    i -> array_position(spans, element_at(spans, i)) = i)
+        """CASE WHEN size(sids) >= 1 THEN
+          |  filter(sequence(1, size(sids)),
+          |    i -> array_position(sids, element_at(sids, i)) = i)
           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
       .select(col("id"), col("nsp").as("n_spans"),
         (col("nsp") - size(col("keep"))).as("n_dupes"),

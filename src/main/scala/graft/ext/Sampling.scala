@@ -143,19 +143,6 @@ object Sampling {
       .filter(col("bucket") < col("accept_cut"))
   }
 
-  /** Concatenation-order sequence packing (the pretraining "pack
-    * documents into fixed token windows" op): documents are laid out
-    * per `groupCol` in `orderCol` order and chunked every `budget`
-    * tokens; a document belongs to the pack where it STARTS (GPT-style
-    * packing splits documents across boundaries — the pack id of the
-    * start is the deterministic assignment). Adds `cum_before` (tokens
-    * preceding the document in its group) and `pack_id`.
-    *
-    * One window aggregation per group — at scale the shuffle is keyed
-    * by `groupCol`, so group count bounds parallelism; pack corpora
-    * under a composite group key (e.g. source, shard) to keep groups
-    * bounded. The division goes through an exact double (token totals
-    * ≪ 2^53), identical in every engine. */
   /** Weighted dataset mixing (the pretraining "mixture weights" op):
     * a deterministic interleave position per document such that
     * reading the corpus in `mix_pos` order consumes sources
@@ -184,6 +171,19 @@ object Sampling {
       (row_number().over(w).cast("double") - 0.5) / weight)
   }
 
+  /** Concatenation-order sequence packing (the pretraining "pack
+    * documents into fixed token windows" op): documents are laid out
+    * per `groupCol` in `orderCol` order and chunked every `budget`
+    * tokens; a document belongs to the pack where it STARTS (GPT-style
+    * packing splits documents across boundaries — the pack id of the
+    * start is the deterministic assignment). Adds `cum_before` (tokens
+    * preceding the document in its group) and `pack_id`.
+    *
+    * One window aggregation per group — at scale the shuffle is keyed
+    * by `groupCol`, so group count bounds parallelism; pack corpora
+    * under a composite group key (e.g. source, shard) to keep groups
+    * bounded. The division goes through an exact double (token totals
+    * ≪ 2^53), identical in every engine. */
   def sequencePack(df: DataFrame, groupCol: String, orderCol: String,
       tokensCol: String, budget: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
@@ -396,6 +396,14 @@ object Sampling {
     val wAll = Window.partitionBy() // strata-bounded frame, not corpus
     val alloc = weights
       .select(col("stratum"), col("wt").cast("long").as("wt"))
+      // fail loudly on a null/zero/negative weight instead of silently
+      // producing negative allocations that break Σalloc = budget
+      .withColumn("wt", when(col("wt").isNull || col("wt") <= 0,
+        raise_error(concat(lit("budgetMix: weights must be positive; "
+          + "got wt="), coalesce(col("wt").cast("string"), lit("null")),
+          lit(" for stratum "), col("stratum").cast("string")))
+          .cast("long"))
+        .otherwise(col("wt")))
       .withColumn("wsum", sum("wt").over(wAll))
       .withColumn("base", expr(s"(${budget}L * wt) div wsum"))
       .withColumn("rem", expr(s"(${budget}L * wt) % wsum"))

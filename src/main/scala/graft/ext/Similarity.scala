@@ -178,7 +178,11 @@ object Similarity {
     * reference scan + the k-bounded reduction against the batch
     * only; swap the neighbor stage for [[knnJoinLsh]] via the same
     * contract when the reference set outgrows a full scan per
-    * batch. */
+    * batch. Rows that receive NO prediction (e.g. the reference set
+    * is empty that trigger) still land, with null
+    * `pred_label`/`votes` — a LEFT join, so no arriving vector is
+    * ever silently dropped; downstream filters on `pred_label IS
+    * NULL` see exactly what went untagged. */
   def labelStreamToTable(stream: DataFrame, idCol: String,
       labeled: () => DataFrame, cIdCol: String, labelCol: String,
       k: Int, outDir: String, checkpointDir: String,
@@ -192,7 +196,7 @@ object Similarity {
           labelCol, k, embCol)
         graft.sink.CdcTable.append(
           batch.join(preds.select(col("q_id").as(idCol),
-            col("pred_label"), col("votes")), Seq(idCol)),
+            col("pred_label"), col("votes")), Seq(idCol), "left"),
           outDir, txn = Some((appId, id)))
         ()
       }

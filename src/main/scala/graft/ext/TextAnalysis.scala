@@ -207,8 +207,6 @@ object TextAnalysis {
   : org.apache.spark.sql.DataFrame = {
     val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "bm25TopK needs a non-empty query")
-    val inList = terms.map(t => s"'${t.replace("'", "''")}'")
-      .mkString("(", ", ", ")")
     val staged = df.select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("toks"))
       .select(col("id"), col("toks"),
@@ -217,7 +215,7 @@ object TextAnalysis {
       sum(col("dl")).as("tot_len"))
     val tf = staged
       .select(col("id"), col("dl"), explode(col("toks")).as("tok"))
-      .filter(expr(s"tok IN $inList"))
+      .filter(col("tok").isin(terms: _*))
       .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
     val scored = tf
       .join(broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df"))),
@@ -283,12 +281,10 @@ object TextAnalysis {
     val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "probeLexical needs a non-empty query")
     val tbs = terms.map(t => tokenBucketOf(t, buckets)).distinct
-    val inList = terms.map(t => s"'${t.replace("'", "''")}'")
-      .mkString("(", ", ", ")")
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(if (tbs.size == 1) col("tbucket") === lit(tbs.head)
               else col("tbucket").isin(tbs: _*))
-      .filter(expr(s"tok IN $inList"))
+      .filter(col("tok").isin(terms: _*))
     val totals = spark.read.parquet(s"$dir/totals")
     tf.join(broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df"))),
         "tok")
@@ -391,12 +387,10 @@ object TextAnalysis {
     val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "probeLexicalTable needs a non-empty query")
     val tbs = terms.map(t => tokenBucketOf(t, buckets).toString).toSet
-    val inList = terms.map(t => s"'${t.replace("'", "''")}'")
-      .mkString("(", ", ", ")")
     val tf = graft.sink.CdcTable
       .readPruned(spark, s"$dir/postings",
         (c, v) => c != "tbucket" || tbs.contains(v))
-      .filter(expr(s"tok IN $inList"))
+      .filter(col("tok").isin(terms: _*))
     val totals = graft.sink.CdcTable.read(spark, s"$dir/totals")
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("tot_len")).cast("long").as("tot_len"))

@@ -1958,11 +1958,15 @@ object TextQ {
        |    CASE WHEN nsp >= 1 THEN list_transform(range(1, nsp + 1),
        |      i -> array_to_string(toks[(i-1)*3+1 : (i-1)*3+3], ' '))
        |    ELSE [] END AS spans FROM s),
+       |h AS (SELECT doc_id, toks, nsp, spans,
+       |    list_transform(spans,
+       |      s -> CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT))
+       |      AS sids FROM sp),
        |k AS (SELECT doc_id, toks, nsp, spans,
-       |    CASE WHEN len(spans) >= 1 THEN
-       |      list_filter(range(1, len(spans) + 1),
-       |        i -> list_position(spans, spans[i]) = i)
-       |    ELSE [] END AS keep FROM sp)
+       |    CASE WHEN len(sids) >= 1 THEN
+       |      list_filter(range(1, len(sids) + 1),
+       |        i -> list_position(sids, sids[i]) = i)
+       |    ELSE [] END AS keep FROM h)
        |SELECT doc_id, CAST(nsp AS BIGINT) AS n_spans,
        |  CAST(nsp - len(keep) AS BIGINT) AS n_dupes,
        |  trim(concat_ws(' ',

@@ -297,6 +297,31 @@ class KnnJoinSpec extends SparkSpec {
     assert(landed.size == arriving.size, "every arrival labeled")
   }
 
+  test("labelStreamToTable lands unpredicted rows with null pred_label") {
+    // advisor r10: an inner join silently dropped rows that received
+    // no prediction; the LEFT join must land them with a null label
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmpDir("lblout2"); val ckpt = tmpDir("lblck2")
+    val empty = emb.withColumn("label", lit(0))
+      .filter(lit(false)) // empty reference set → zero predictions
+    val arriving = emb.limit(4)
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.labelStreamToTable(
+      mem.toDF.toDF("vec_id", "embedding"), "vec_id",
+      () => empty, "vec_id", "label", k = 5, out, ckpt)
+    try { mem.addData(arriving: _*); q.processAllAvailable() }
+    finally q.stop()
+    val landed = graft.sink.CdcTable.read(spark, out)
+      .select("vec_id", "pred_label")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(landed.size == arriving.size,
+      "unpredicted rows must land, not vanish")
+    assert(landed.values.forall(_.isEmpty),
+      "no reference set → every pred_label null")
+  }
+
   test("excludeSelf drops the trivial self match on both knn paths") {
     for (df <- Seq(
         Similarity.knnJoinBrute(emb, emb, "vec_id", "vec_id", k = 3,

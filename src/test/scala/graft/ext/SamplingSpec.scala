@@ -258,6 +258,22 @@ class SamplingSpec extends SparkSpec {
     assert(solo == 0.0)
   }
 
+  test("budgetMix fails loudly on a nonpositive or null weight") {
+    // advisor r10: a zero/negative wt silently produced negative
+    // allocations; it must now raise with the offending stratum named
+    val df = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("id", "st", "tok")
+    for (badWt <- Seq(0L, -3L)) {
+      val wts = Seq(("a", 2L), ("b", badWt)).toDF("stratum", "wt")
+      val e = intercept[Exception] {
+        Sampling.budgetMix(df, "id", "st", col("tok"), wts, 8L).collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("budgetMix: weights must be positive"),
+        s"wt=$badWt raised the wrong error: $msg")
+    }
+  }
+
   test("budgetMix matches a brute-force greedy reference exactly") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

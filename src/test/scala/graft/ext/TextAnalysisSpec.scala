@@ -245,6 +245,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.toSeq == r3.toSeq)
   }
 
+  test("bm25 term filter is literal-safe: backslash and quote terms") {
+    // advisor r10: the old string-interpolated `tok IN ('...')` broke
+    // on backslashes (Spark SQL escape char); isin takes terms as data
+    val docs = Seq(
+      (1L, """c:\temp\x o'brien match"""),
+      (2L, "plain filler text")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        """c:\temp\x o'brien""", 10)
+      .select("id", "n_terms_hit").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L)), s"got ${r.toSeq}")
+  }
+
   test("rrfFuse: both-ranker ids beat single-ranker ids, exact scores") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rnk")
     val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rnk")
