@@ -702,10 +702,16 @@ object TextAnalysis {
     * with fewer than 3 tokens have no shingles and drop (the q103
     * convention for unscorable docs).
     *
-    * Scale shape: explode distinct shingle ids → one count
-    * aggregation keyed on shingle → one key-local join back → per-doc
-    * aggregation. Two corpus scans (the shingle frame feeds the df
-    * count AND the join) — persist upstream if the scan dominates.
+    * Scale shape: the exploded (id, shingle) frame — pair-distinct by
+    * construction (`shingle_ids` emits distinct ids) — is pinned ONCE
+    * and everything derives from it with map-side-combinable
+    * aggregations: per-doc totals (keyed id) and the df count (keyed
+    * shingle). A df=1 shingle has exactly one occurrence, so min(id)
+    * IS its owning document — novelty attributes through that instead
+    * of joining the full shingle frame back to itself (the r10 shape:
+    * two corpus scans + a shingle-keyed join of two corpus-sized
+    * frames; measured 23.5 s at 100×/500k docs, ~2× this plan's
+    * work). The only join left is per-DOC rows.
     * Requires GraftExtensions (`shingle_ids` native).
     * Output: (id, n_shingles, n_novel, novelty_fp). */
   def ngramNovelty(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -714,11 +720,14 @@ object TextAnalysis {
       "ngramNovelty requires GraftExtensions (shingle_ids native)")
     val sh = df.select(col(idCol).as("id"),
       explode(expr(s"shingle_ids(`$textCol`)")).as("sh"))
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, "sh")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .localCheckpoint() // both aggregations read it — hash once
+    val totals = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"), min(col("id")).as("one_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("one_id").as("id")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .select(col("id"), col("n_shingles"), col("n_novel"),
         expr("(1000000L * n_novel) div n_shingles").as("novelty_fp"))
   }
