@@ -165,6 +165,11 @@ object Dedup {
       retries: Int = 5): Unit = {
     import graft.sink.CdcTable
     val commits0 = CdcTable.log(indexDir)
+    // a lexical index is a DIRECTORY of tables (postings + totals),
+    // not a table itself — route by structure before requiring a log
+    if (commits0.isEmpty &&
+        CdcTable.log(s"$indexDir/postings").nonEmpty)
+      return TextAnalysis.compactLexicalIndex(spark, indexDir, retries)
     require(commits0.nonEmpty, s"no index at $indexDir")
     val cols = commits0.last.schema.fieldNames.toSet
     if (cols.contains("bval")) // vector index: embedding-side fold

@@ -424,6 +424,42 @@ object TextAnalysis {
       }
       .start()
 
+  /** Fold an incremental lexical index's per-batch commits into one
+    * compact file set ([[graft.ext.Dedup.compactIndex]]'s lexical
+    * sibling; `GRAFT COMPACT INDEX` routes here when the path holds a
+    * postings table): the postings — pure append-only facts — rewrite
+    * as ONE `replace` commit partitioned by the same token bucket, so
+    * a probe's manifest pruning hands Spark ~one file per touched
+    * bucket instead of one per (batch × bucket); the totals fold to a
+    * single summed row. Probe results are bit-identical before and
+    * after (df/totals derive from content, not arrival slicing).
+    * Optimistic concurrency: a batch landing mid-fold wins — the fold
+    * re-reads the new snapshot and retries; replayed streaming
+    * batches stay deduped because `replace` keeps superseded commits'
+    * txn high-water marks as stubs. */
+  def compactLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, retries: Int = 5): Unit = {
+    import graft.sink.CdcTable
+    val pdir = s"$dir/postings"; val tdir = s"$dir/totals"
+    require(CdcTable.log(pdir).nonEmpty,
+      s"no incremental lexical index at $dir")
+    IndexMeta.foldWithRetry(retries) { () =>
+      val snap = CdcTable.log(pdir).last.commit
+      CdcTable.replaceWith(spark, pdir, CdcTable.read(spark, pdir),
+        partitionBy = Seq("tbucket"), expectedLastCommit = Some(snap))
+      ()
+    }
+    IndexMeta.foldWithRetry(retries) { () =>
+      val snap = CdcTable.log(tdir).last.commit
+      CdcTable.replaceWith(spark, tdir,
+        CdcTable.read(spark, tdir)
+          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("tot_len")).cast("long").as("tot_len")),
+        partitionBy = Nil, expectedLastCommit = Some(snap))
+      ()
+    }
+  }
+
   /** The per-term BM25 score in fixed point — ONE shared SQL string
     * (same column names both engines) so the IEEE op tree is identical
     * by construction. Expects columns tf, df, dl, n_docs, tot_len. */

@@ -187,11 +187,44 @@ object TemporalQ {
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY 1 ORDER BY type_prefix""".stripMargin
 
+  /** q142 — `ext.Skew.saltedJoinSkewAware` under the oracle gate:
+    * q126's join with the big side's keys COLLAPSED onto a planted
+    * hot value (partkey % 50 = 0 → key 0 — ~2% of rows on one key,
+    * the pathological-default shape) so detection genuinely fires,
+    * while the other 49/50 of keys stay cold and take the plain-join
+    * path. Oracle = the plain join over the same collapsed keys —
+    * the gate proves hot-only salting is result-invariant across
+    * BOTH paths and their union. */
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    val hotKey = when(col("l_partkey") % 50 === 0, lit(0L))
+      .otherwise(col("l_partkey"))
+    val big = Tables(s, dir, "lineitem")
+      .select(hotKey.as("partkey"), col("l_quantity"))
+    val small = Tables(s, dir, "part")
+      .select(col("p_partkey").as("partkey"),
+        substring(col("p_type"), 1, 6).as("type_prefix"))
+    graft.ext.Skew.saltedJoinSkewAware(big, small, "partkey",
+        salts = 8, hotShare = 0.01)
+      .groupBy(col("type_prefix"))
+      .agg(count(lit(1)).as("n_items"),
+        sumD("l_quantity").as("sum_qty"))
+      .orderBy(col("type_prefix"))
+  }
+
+  val q142Sql: String =
+    s"""WITH b AS (SELECT CASE WHEN l_partkey % 50 = 0 THEN 0
+       |    ELSE l_partkey END AS partkey, l_quantity FROM lineitem)
+       |SELECT substring(p_type, 1, 6) AS type_prefix,
+       |  COUNT(*) AS n_items, ${oSumD("l_quantity")} AS sum_qty
+       |FROM b JOIN part ON partkey = p_partkey
+       |GROUP BY 1 ORDER BY type_prefix""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q47_asof_join", q47, Some(q47Sql)),
     QueryDef("q48_range_band_join", q48, Some(q48Sql)),
     QueryDef("q49_percentiles", q49, Some(q49Sql)),
     QueryDef("q50_edit_distance", q50, Some(q50Sql)),
     QueryDef("q125_asof_operator", q125, Some(q125Sql)),
-    QueryDef("q126_salted_join", q126, Some(q126Sql)))
+    QueryDef("q126_salted_join", q126, Some(q126Sql)),
+    QueryDef("q142_salted_join_skew_aware", q142, Some(q142Sql)))
 }

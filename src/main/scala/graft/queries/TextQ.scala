@@ -2015,6 +2015,31 @@ object TextQ {
 
   val q136Sql: String = q92Sql // incremental arrival ≡ full scan
 
+  /** q141 — BM25 probe after `GRAFT COMPACT INDEX`
+    * ([[graft.ext.TextAnalysis.compactLexicalIndex]] via the SQL
+    * surface): the q136 flow — three exactly-once posting batches —
+    * then the index FOLDS to one replace commit (bucket-partitioned
+    * postings, one-row totals) and the probe ranks against the
+    * compacted snapshot. Oracle = the full-scan formulation, so the
+    * gate proves compaction is ranking-invariant — the maintenance
+    * op every long-lived streaming index needs (one commit per
+    * micro-batch is thousands of files within days). */
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val idx = QueryDef.scratchDir("lexcmp")
+    val docs = Tables(s, dir, "documents")
+    for (b <- 0 until 3)
+      graft.ext.TextAnalysis.lexicalIndexAppend(
+        docs.filter(col("doc_id") % 3 === b), idx, "doc_id",
+        txn = Some(("q141", b.toLong)))
+    s.sql(s"GRAFT COMPACT INDEX '$idx'").collect()
+    graft.ext.TextAnalysis
+      .probeLexicalTable(s, idx, "vector hash join merge", k = 10)
+      .select(col("id").as("doc_id"), col("n_terms_hit"),
+        col("score_fp"), col("score"))
+  }
+
+  val q141Sql: String = q92Sql // compaction ≡ full scan
+
   /** q137 — contrastive positive pairs
     * ([[graft.ext.Dedup.positivePairs]]): every same-cluster ordered
     * pair with its cluster id — the naturally-occurring positives a
@@ -2133,5 +2158,6 @@ object TextQ {
     QueryDef("q135_bm25_indexed", q135, Some(q135Sql)),
     QueryDef("q136_bm25_incremental", q136, Some(q136Sql)),
     QueryDef("q137_positive_pairs", q137, Some(q137Sql)),
-    QueryDef("q138_pmi_collocations", q138, Some(q138Sql)))
+    QueryDef("q138_pmi_collocations", q138, Some(q138Sql)),
+    QueryDef("q141_bm25_compacted", q141, Some(q141Sql)))
 }

@@ -327,14 +327,16 @@ case class CompactGraftTable(dir: String, idCol: String,
   }
 }
 
-/** `GRAFT COMPACT INDEX '<path>'` — fold an incremental dedup index's
+/** `GRAFT COMPACT INDEX '<path>'` — fold an incremental index's
   * per-batch append commits into one compact file set
   * ([[graft.ext.Dedup.compactIndex]]; the index kind — exact
-  * fingerprint, MinHash band, vector bucket — is introspected from
-  * the stored schema). Probe semantics are preserved exactly: the
-  * exact index folds by the same min-keep_id rule reads resolve by,
-  * band/vector indexes fold by DISTINCT. Returns the commit count
-  * folded away and the index's manifest row count. */
+  * fingerprint, MinHash band, vector bucket, lexical postings — is
+  * introspected from the stored schema/structure). Probe semantics
+  * are preserved exactly: the exact index folds by the same
+  * min-keep_id rule reads resolve by, band/vector indexes fold by
+  * DISTINCT, lexical postings rewrite bucket-partitioned with totals
+  * summed to one row. Returns the commit count folded away and the
+  * index's manifest row count. */
 case class CompactGraftIndex(dir: String) extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
@@ -342,9 +344,13 @@ case class CompactGraftIndex(dir: String) extends LeafRunnableCommand {
     attr("commits_folded", LongType), attr("rows", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val before = CdcTable.log(dir).length
+    // a lexical index root is a directory of tables — report on its
+    // postings table (the one whose commit count probes pay for)
+    val tdir =
+      if (CdcTable.log(dir).nonEmpty) dir else s"$dir/postings"
+    val before = CdcTable.log(tdir).length
     graft.ext.Dedup.compactIndex(spark, dir)
-    Seq(Row(before.toLong, CdcTable.rowCountEstimate(dir)))
+    Seq(Row(before.toLong, CdcTable.rowCountEstimate(tdir)))
   }
 }
 

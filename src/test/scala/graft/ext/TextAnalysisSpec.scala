@@ -400,6 +400,55 @@ class TextAnalysisSpec extends SparkSpec {
       s"bucket pruning must drop files: $probedFiles vs $allFiles")
   }
 
+  test("compactLexicalIndex: probe invariant, fewer files, appends " +
+      "and replays still work after the fold") {
+    val corpus = Seq(
+      (1L, "spark joins hash tables fast"),
+      (2L, "hash join beats nested loops"),
+      (3L, "sort merge join for big tables"),
+      (4L, "unrelated prose about gardens"),
+      (5L, "hash hash hash join")).toDF("doc_id", "text")
+    val idx = tmpDir("lexcmp")
+    for (b <- 0 until 3)
+      TextAnalysis.lexicalIndexAppend(
+        corpus.filter($"doc_id" % 3 === b.toLong), idx, "doc_id",
+        buckets = 8, txn = Some(("t", b.toLong)))
+    val before = TextAnalysis
+      .probeLexicalTable(spark, idx, "hash join", k = 3, buckets = 8)
+      .collect().toSeq
+    val filesBefore = graft.sink.CdcTable
+      .read(spark, s"$idx/postings").inputFiles.length
+    // the SQL surface routes the lexical root to the lexical fold
+    val r = spark.sql(s"GRAFT COMPACT INDEX '$idx'")
+      .as[(Long, Long)].collect().head
+    assert(r._1 >= 3, s"3 batch commits to fold, saw ${r._1}")
+    val filesAfter = graft.sink.CdcTable
+      .read(spark, s"$idx/postings").inputFiles.length
+    assert(filesAfter < filesBefore,
+      s"fold must shrink the file set: $filesAfter vs $filesBefore")
+    assert(graft.sink.CdcTable.read(spark, s"$idx/totals").count() == 1,
+      "totals fold to one row")
+    assert(TextAnalysis.probeLexicalTable(spark, idx, "hash join",
+        k = 3, buckets = 8).collect().toSeq == before,
+      "compaction must be ranking-invariant")
+    // a replayed pre-fold batch is STILL deduped (txn marks survive
+    // the replace as stubs) and a genuinely new batch still lands
+    TextAnalysis.lexicalIndexAppend(
+      corpus.filter($"doc_id" % 3 === 1L), idx, "doc_id",
+      buckets = 8, txn = Some(("t", 1L)))
+    assert(TextAnalysis.probeLexicalTable(spark, idx, "hash join",
+        k = 3, buckets = 8).collect().toSeq == before,
+      "replayed batch double-counted after compaction")
+    val extra = Seq((6L, "another hash join document")).toDF("doc_id", "text")
+    TextAnalysis.lexicalIndexAppend(extra, idx, "doc_id",
+      buckets = 8, txn = Some(("t", 3L)))
+    val after = TextAnalysis.bm25TopK(
+      corpus.union(extra), "doc_id", "text", "hash join", k = 3)
+    assert(TextAnalysis.probeLexicalTable(spark, idx, "hash join",
+        k = 3, buckets = 8).collect().toSeq == after.collect().toSeq,
+      "post-fold append must rank identically to the full scan")
+  }
+
   test("pmiCollocations surfaces a planted collocation, exact score") {
     // "zig zag" always co-occur; filler tokens are common everywhere
     val docs = (1L to 30L).map { i =>
