@@ -54,7 +54,30 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000000L): DataFrame =
-    rank(edges, srcCol, dstCol, iters, dampNum, dampDen, scale, None)
+    rank(edges, srcCol, dstCol, iters, dampNum, dampDen, scale, None,
+      None)
+
+  /** WEIGHTED PageRank — contribution ∝ w(u,v)/Σw(u,·) instead of
+    * 1/deg(u): on a similarity graph, rank flows preferentially along
+    * STRONG edges (a node's mass splits by how similar each neighbor
+    * is, not uniformly across its k links) — the natural centrality
+    * for k-NN graphs whose edges carry the exact fixed-point cosine
+    * ([[Similarity.knnJoinBrute]]'s `score_fp`).
+    *
+    * `weightCol` must be a positive BIGINT (fails loudly otherwise —
+    * a zero total out-weight would divide by zero). The per-edge term
+    * `(dampNum·r(u)·w) div (dampDen·wsum(u))` runs in DECIMAL(38,0)
+    * (r·w alone reaches ~10²⁴ at the default scale with fixed-point
+    * similarity weights — past BIGINT) and truncates back to BIGINT;
+    * an oracle replays it with any exact 128-bit integer division
+    * (DuckDB: HUGEINT). Same contract, iteration count and scale
+    * shape as [[pageRank]]; uniform weights reproduce it exactly. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iters: Int = 3,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame =
+    rank(edges, srcCol, dstCol, iters, dampNum, dampDen, scale, None,
+      Some(weightCol))
 
   /** PERSONALIZED PageRank — the seed-expansion curation op (given a
     * small TRUSTED set — hand-vetted docs, a quality whitelist — rank
@@ -72,19 +95,27 @@ object Graph {
       dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000000L): DataFrame =
     rank(edges, srcCol, dstCol, iters, dampNum, dampDen, scale,
-      Some(seeds))
+      Some(seeds), None)
 
   private def rank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampNum: Long, dampDen: Long, scale: Long,
-      seeds: Option[DataFrame]): DataFrame = {
+      seeds: Option[DataFrame], weight: Option[String]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
     // materialize the edge list ONCE: nodes, degrees, and every
     // iteration all derive from it — without this pin the (possibly
     // expensive) edge construction re-runs per derived job
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    val wCol = weight.map { wc =>
+      val w = col(wc).cast("long")
+      when(w.isNull || w <= 0, raise_error(concat(
+          lit("pageRankWeighted: weights must be positive; got "),
+          coalesce(w.cast("string"), lit("null"))))
+        .cast("long")).otherwise(w).as("w")
+    }
+    val e = edges.select(Seq(
+        col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")) ++ wCol.toSeq: _*)
       .localCheckpoint()
     val allNodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -105,9 +136,23 @@ object Graph {
       else "empty graph")
     val r0 = scale / n
     val tele = ((dampDen - dampNum) * r0) / dampDen
-    val ed = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
+    val ed = (weight match {
+      // weighted: each edge carries its share denominator Σw(u,·);
+      // unweighted: the out-degree
+      case Some(_) => e.join(
+        e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
+      case None => e.join(
+        e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    }).localCheckpoint()
+    // the per-edge contribution: weighted runs in DECIMAL(38,0)
+    // (r·w ≈ 10²⁴ at default scale) and truncates back to BIGINT
+    val contribExpr = weight match {
+      case Some(_) =>
+        s"""CAST((CAST($dampNum AS DECIMAL(38,0)) * r * w)
+           | div (CAST($dampDen AS DECIMAL(38,0)) * wsum)
+           | AS BIGINT)""".stripMargin.replace("\n", "")
+      case None => s"($dampNum * r) div ($dampDen * deg)"
+    }
     def teleOf(c: Column): Column = when(c, lit(tele)).otherwise(lit(0L))
     var ranks = nodes.select(col("id"),
       when(col("is_seed"), lit(r0)).otherwise(lit(0L)).as("r"))
@@ -117,8 +162,7 @@ object Graph {
       val contrib = ed
         .join(ranks.select(col("id").as("_rid"), col("r")),
           col("src") === col("_rid"))
-        .select(col("dst").as("_cid"),
-          expr(s"($dampNum * r) div ($dampDen * deg)").as("c"))
+        .select(col("dst").as("_cid"), expr(contribExpr).as("c"))
         .groupBy("_cid").agg(sum(col("c")).as("cin"))
       ranks = nodes
         .join(contrib, col("id") === col("_cid"), "left")

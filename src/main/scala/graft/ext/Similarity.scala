@@ -332,9 +332,13 @@ object Similarity {
         dotExpr(corpus, "ce", "qe").as("s")), k)
   }
 
-  /** (q_id, c_id, s fixed-point) → (q_id, c_id, rnk, cos_sim): native
-    * k-bounded `topk_by` aggregate + posexplode when GraftExtensions
-    * is active, else the equivalent (but full-shuffle) window rank.
+  /** (q_id, c_id, s fixed-point) → (q_id, c_id, rnk, cos_sim,
+    * score_fp): native k-bounded `topk_by` aggregate + posexplode
+    * when GraftExtensions is active, else the equivalent (but
+    * full-shuffle) window rank. `score_fp` carries the EXACT
+    * fixed-point score (cos_sim is its /1e12 double view) — exact
+    * consumers (e.g. similarity-weighted PageRank) must use it, not
+    * a round-trip through the double.
     * (`private[graft]`: [[AnnIndex.knnJoinBucketed]] shares it.) */
   private[graft] def topkReduce(scored: DataFrame, k: Int): DataFrame =
     if (scored.sparkSession.catalog.functionExists("topk_by"))
@@ -343,14 +347,16 @@ object Similarity {
         .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "e")))
         .select(col("q_id"), col("e.id").as("c_id"),
           (col("p") + 1).cast("long").as("rnk"),
-          (col("e.score") / lit(1e12)).as("cos_sim"))
+          (col("e.score") / lit(1e12)).as("cos_sim"),
+          col("e.score").as("score_fp"))
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("s").desc, col("c_id"))
       scored.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= k)
         .select(col("q_id"), col("c_id"), col("rnk"),
-          (col("s") / lit(1e12)).as("cos_sim"))
+          (col("s") / lit(1e12)).as("cos_sim"),
+          col("s").as("score_fp"))
     }
 
   /** Deterministic hyperplane-LSH bucket id over `planes` integer

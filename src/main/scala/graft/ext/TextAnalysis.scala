@@ -445,7 +445,11 @@ object TextAnalysis {
       s"no incremental lexical index at $dir")
     IndexMeta.foldWithRetry(retries) { () =>
       val snap = CdcTable.log(pdir).last.commit
-      CdcTable.replaceWith(spark, pdir, CdcTable.read(spark, pdir),
+      // co-locate each bucket before the partitioned write: without
+      // this every task holding bucket rows emits its own file and
+      // the fold leaves tasks×buckets files, not ~one per bucket
+      CdcTable.replaceWith(spark, pdir,
+        CdcTable.read(spark, pdir).repartition(col("tbucket")),
         partitionBy = Seq("tbucket"), expectedLastCommit = Some(snap))
       ()
     }

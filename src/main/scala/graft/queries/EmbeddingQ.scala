@@ -544,7 +544,8 @@ object EmbeddingQ {
        |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s FROM c, q),
        |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
-       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim,
+       |  s AS score_fp
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** q88 — the same retrieval join LSH-BLOCKED
@@ -578,7 +579,8 @@ object EmbeddingQ {
        |    FROM c JOIN q ON cb = qb),
        |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
-       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim,
+       |  s AS score_fp
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** q90 — the batched retrieval join against the WRITE-TIME
@@ -614,7 +616,8 @@ object EmbeddingQ {
        |    FROM c JOIN q ON cb = qb),
        |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
-       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim,
+       |  s AS score_fp
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** q91 — the batched retrieval join IVF-BLOCKED
@@ -653,7 +656,8 @@ object EmbeddingQ {
        |    FROM c2 JOIN q ON cc = qc),
        |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
-       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim,
+       |  s AS score_fp
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** q69 — int8 embedding quantization quality
@@ -1225,7 +1229,8 @@ object EmbeddingQ {
        |  FROM c, q WHERE c_lab <> q_lab),
        |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
-       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim,
+       |  s AS score_fp
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** q119 — LSH-BLOCKED hard-negative mining
@@ -1257,7 +1262,8 @@ object EmbeddingQ {
        |    FROM c JOIN q ON cb = qb AND c_lab <> q_lab),
        |r AS (SELECT q_id, c_id, s, ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk FROM sc)
-       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim
+       |SELECT q_id, c_id, rnk, CAST(s AS DOUBLE) / 1e12 AS cos_sim,
+       |  s AS score_fp
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   def q111(s: SparkSession, dir: String): DataFrame = {
@@ -1297,7 +1303,8 @@ object EmbeddingQ {
        |  GROUP BY q_id, vec_id),
        |r AS (SELECT q_id, c_id, sc, ROW_NUMBER() OVER
        |    (PARTITION BY q_id ORDER BY sc DESC, c_id) AS rnk FROM adc)
-       |SELECT q_id, c_id, rnk, CAST(sc AS DOUBLE) / 1e12 AS adc_sim
+       |SELECT q_id, c_id, rnk, CAST(sc AS DOUBLE) / 1e12 AS adc_sim,
+       |  sc AS score_fp
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   /** q127 — k-NN label propagation
@@ -1382,6 +1389,63 @@ object EmbeddingQ {
        |p AS (SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS r0
        |    FROM nodes),
        |d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |r0t AS (SELECT id, (SELECT r0 FROM p) AS r FROM nodes),
+       |${iter("r0t", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT id AS vec_id, r AS rank_fp FROM r3
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** q143 — similarity-WEIGHTED PageRank over the k-NN graph
+    * ([[graft.ext.Graph.pageRankWeighted]]): q129's centrality with
+    * each node's mass split by edge STRENGTH — w = score_fp + 2·10¹²
+    * (the fixed-point cosine shifted positive), so rank flows
+    * preferentially toward genuinely-similar neighbors instead of
+    * uniformly across the k links. The per-edge term runs in
+    * DECIMAL(38,0) (r·w ≈ 10²⁴); the oracle replays it in HUGEINT —
+    * two independent 128-bit integer implementations hash-matching
+    * all 3 unrolled iterations. */
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism) // see q129
+    val edges = graft.ext.Similarity
+      .knnJoinBrute(emb, emb, "vec_id", "vec_id", k = 3,
+        excludeSelf = true)
+      .select(col("q_id").as("src"), col("c_id").as("dst"),
+        (col("score_fp") + lit(2000000000000L)).as("w"))
+    graft.ext.Graph.pageRankWeighted(edges, "src", "dst", "w",
+        iters = 3)
+      .select(col("id").as("vec_id"), col("rank_fp"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q143Sql: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT nodes.id,
+         |    (SELECT (15 * r0) // 100 FROM p) + COALESCE(cin, 0) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(SUM((CAST(85 AS HUGEINT) * $prev.r * e.w) //
+         |        (CAST(100 AS HUGEINT) * d.wsum)) AS BIGINT) AS cin
+         |    FROM e JOIN $prev ON e.src = $prev.id
+         |      JOIN d ON e.src = d.src
+         |    GROUP BY e.dst) s USING (id))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+       |    FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+       |sc AS (SELECT q_id, c_id, ${dotD("ce", "qe")} AS s
+       |    FROM c, q WHERE c_id <> q_id),
+       |e AS (SELECT q_id AS src, c_id AS dst,
+       |    s + 2000000000000 AS w FROM (
+       |    SELECT q_id, c_id, s, ROW_NUMBER() OVER
+       |      (PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk
+       |    FROM sc) WHERE rnk <= 3),
+       |nodes AS (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |p AS (SELECT CAST(1000000000000 AS BIGINT) // COUNT(*) AS r0
+       |    FROM nodes),
+       |d AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY src),
        |r0t AS (SELECT id, (SELECT r0 FROM p) AS r FROM nodes),
        |${iter("r0t", "r1")},
        |${iter("r1", "r2")},
@@ -1578,6 +1642,7 @@ object EmbeddingQ {
     QueryDef("q119_hard_negatives_lsh", q119, Some(q119Sql)),
     QueryDef("q127_label_propagate", q127, Some(q127Sql)),
     QueryDef("q129_pagerank_knn", q129, Some(q129Sql)),
+    QueryDef("q143_pagerank_weighted", q143, Some(q143Sql)),
     QueryDef("q134_personalized_pagerank", q134, Some(q134Sql)),
     QueryDef("q139_pagerank_lsh", q139, Some(q139Sql)),
     QueryDef("q140_label_propagate_lsh", q140, Some(q140Sql)))

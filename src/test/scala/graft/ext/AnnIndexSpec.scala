@@ -225,7 +225,8 @@ class AnnIndexSpec extends SparkSpec {
         .take(3).zipWithIndex
         .map { case ((c, s), i) => (qid, c, (i + 1).toLong, s / 1e12) }
     }.toSet
-    val got = join.as[(Long, Long, Long, Double)].collect().toSet
+    val got = join.select("q_id", "c_id", "rnk", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == expect)
   }
 

@@ -69,6 +69,53 @@ class GraphSpec extends SparkSpec {
       nodes.forall(v => got(v) > 0L)) // (random graph may reach all)
   }
 
+  test("pageRankWeighted matches a BigInt driver reference; uniform " +
+      "weights reproduce pageRank exactly") {
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 120).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong,
+        (rnd.nextInt(1000000) + 1).toLong * 1000000L) // fp-sim scale
+    }.filter { case (a, b, _) => a != b }
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // distinct pairs
+    val got = Graph.pageRankWeighted(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // BigInt reference (r·w overflows Long at this weight scale)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val r0 = 1000000000000L / nodes.size
+    val tele = (15L * r0) / 100L
+    val wsum = edges.groupBy(_._1).map { case (s, g) =>
+      s -> g.map(_._3).sum }
+    var r = nodes.map(_ -> r0).toMap
+    for (_ <- 0 until 3) {
+      val in = edges.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map { case (src, _, w) =>
+          ((BigInt(85) * r(src) * w) /
+            (BigInt(100) * wsum(src))).toLong
+        }.sum
+      }
+      r = nodes.map(v => v -> (tele + in.getOrElse(v, 0L))).toMap
+    }
+    assert(got == r)
+    // uniform weights ⇒ w/wsum = 1/deg ⇒ bit-identical to pageRank
+    val plain = edges.map(e => (e._1, e._2))
+    assert(Graph.pageRankWeighted(
+        plain.map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap ==
+      Graph.pageRank(plain.toDF("src", "dst"), "src", "dst", iters = 3)
+        .as[(Long, Long)].collect().toMap)
+    // nonpositive weight fails loudly
+    val e = intercept[Exception] {
+      Graph.pageRankWeighted(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w").collect()
+    }
+    assert((Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(c => String.valueOf(c.getMessage))
+          .getOrElse(""))
+      .contains("weights must be positive"))
+  }
+
   test("star graph: the hub out-ranks every leaf") {
     // leaves 1..6 -> hub 0, hub -> every leaf (so no dangling nodes)
     val edges = (1L to 6L).flatMap(l => Seq((l, 0L), (0L, l)))

@@ -35,7 +35,8 @@ class KnnJoinSpec extends SparkSpec {
         .take(3).zipWithIndex
         .map { case ((q, c, s), i) => (q, c, (i + 1).toLong, s / 1e12) }
     }.toSet
-    val got = brute(3).as[(Long, Long, Long, Double)].collect().toSet
+    val got = brute(3).select("q_id", "c_id", "rnk", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == expect)
   }
 
@@ -84,6 +85,7 @@ class KnnJoinSpec extends SparkSpec {
     val lsh = Similarity.knnJoinLsh(
       emb.filter($"vec_id" % 5 === 0), emb.filter($"vec_id" % 5 =!= 0),
       "vec_id", "vec_id", k = 3, planes = p)
+      .select("q_id", "c_id", "rnk", "cos_sim")
       .as[(Long, Long, Long, Double)].collect().toSet
     // driver-side mirror: bucket everything, rank within bucket matches
     val rows = emb.as[(Long, Array[Float])].collect()
@@ -110,6 +112,7 @@ class KnnJoinSpec extends SparkSpec {
     val got = Similarity.knnJoinIvf(
       emb.filter($"vec_id" % 5 === 0), emb.filter($"vec_id" % 5 =!= 0),
       "vec_id", "vec_id", k = 3, cents)
+      .select("q_id", "c_id", "rnk", "cos_sim")
       .as[(Long, Long, Long, Double)].collect().toSet
     val assigned = rows.map { case (id, v) =>
       (id, v, Similarity.assignOf(v, cents)) }
@@ -328,12 +331,14 @@ class KnnJoinSpec extends SparkSpec {
           excludeSelf = true),
         Similarity.knnJoinLsh(emb, emb, "vec_id", "vec_id", k = 3,
           planes = 3, excludeSelf = true))) {
-      df.as[(Long, Long, Long, Double)].collect()
+      df.select("q_id", "c_id", "rnk", "cos_sim")
+        .as[(Long, Long, Long, Double)].collect()
         .foreach { case (q, c, _, _) => assert(q != c) }
     }
     // without the flag the self match ranks first (cosine ≈ 1)
     Similarity.knnJoinLsh(emb, emb, "vec_id", "vec_id", k = 1,
         planes = 3)
+      .select("q_id", "c_id", "rnk", "cos_sim")
       .as[(Long, Long, Long, Double)].collect()
       .foreach { case (q, c, _, _) => assert(q == c) }
   }
