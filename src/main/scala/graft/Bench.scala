@@ -186,7 +186,14 @@ object Bench {
         // graph centrality at scale: LSH-blocked edges (the brute
         // q129/q134 edge build is the 1×-baseline configuration);
         // same split for weak labeling (q127 brute is the baseline)
-        "q139_pagerank_lsh", "q140_label_propagate_lsh")
+        "q139_pagerank_lsh", "q140_label_propagate_lsh",
+        // round 11: the compacted lexical index (fold + probe — the
+        // maintenance win row) and hot-only salting (replication cost
+        // should stay near the plain join, unlike q126's wholesale
+        // salts×). q143 weighted PageRank is deliberately NOT here —
+        // its brute 3-NN edge build is the same O(n²) 1×-baseline
+        // class as q129; the LSH-edge scale path is q139's row.
+        "q141_bm25_compacted", "q142_salted_join_skew_aware")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -997,6 +997,68 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS scheme): over the document's POSITIONAL
+    * k-gram hash sequence, every length-`w` window selects its
+    * RIGHTMOST minimum; the distinct selected positions are the
+    * document's fingerprint. The local guarantee: any shared token
+    * run of length ≥ w+k−1 yields at least one shared fingerprint,
+    * at expected density 2/(w+1) — the PRINCIPLED "index a fraction
+    * of the shingles" compression knob (contrast the df cap, which
+    * drops by global frequency; winnowing drops by local position
+    * and keeps the match guarantee).
+    *
+    * Entirely ARRAY-LOCAL: hashes, the per-window argmin and the
+    * selection all build inside the row with slice/array_min HOFs —
+    * no explode, no shuffle; O(ng·w) long comparisons per document
+    * over the portable 56-bit md5-prefix ids, and every step replays
+    * in SQL. Documents with fewer than `k` tokens have no k-grams
+    * and drop; documents with fewer than `w` k-grams winnow over one
+    * whole-document window. Output: (id, pos, fp) — one row per
+    * selected position, ideal for a fingerprint index or a MOSS
+    * overlap join ([[winnowSids]] + the pair core). */
+  def winnowFingerprints(df: DataFrame, idCol: String,
+      textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame =
+    winnowStage(df, idCol, textCol, k, w)
+      .select(col("id"), col("hs"), explode(col("sel")).as("pos"))
+      .select(col("id"), col("pos"),
+        expr("element_at(hs, pos)").as("fp"))
+
+  /** [[winnowFingerprints]] staged for the df-capped pair core —
+    * (id, blk, sids) with `sids` the distinct selected fingerprint
+    * hashes, directly consumable by [[ngramJaccardPairsFromSids]] /
+    * [[ngramContainmentPairsFromSids]]: MOSS-style overlap detection
+    * over ~2/(w+1) of the shingle volume. */
+  def winnowSids(df: DataFrame, idCol: String,
+      textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame =
+    winnowStage(df, idCol, textCol, k, w)
+      .select(col("id"), lit(0).as("blk"), expr(
+        "array_distinct(transform(sel, p -> element_at(hs, p)))")
+        .as("sids"))
+
+  private def winnowStage(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"k-gram width must be >= 1: $k")
+    require(w >= 1, s"window must be >= 1: $w")
+    df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("ng", expr(s"size(toks) - ${k - 1}"))
+      .filter(col("ng") >= 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, ng), i ->
+           |  CAST(conv(substring(md5(concat_ws(' ',
+           |    slice(toks, i, $k))), 1, 14), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("ww", least(lit(w), col("ng")))
+      // rightmost minimum per window: position from the right via
+      // array_position over the reversed window, then j + ww - r
+      .withColumn("sel", expr(
+        """array_distinct(transform(sequence(1, ng - ww + 1), j ->
+          |  CAST(j + ww - array_position(reverse(slice(hs, j, ww)),
+          |    array_min(slice(hs, j, ww))) AS INT)))""".stripMargin))
+  }
+
   /** Embedding-space near-dup dedup: cosine pairs above threshold
     * (exact here; LSH-bucket first at scale), clustered to survivors
     * exactly like the text path. */

@@ -1975,6 +1975,80 @@ object TextQ {
        |    AS clean_text
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** Shared winnow CTE prefix (k=3, w=4): positional 56-bit k-gram
+    * hashes, each window's rightmost minimum, distinct selected
+    * positions — the DuckDB replay of [[graft.ext.Dedup
+    * .winnowFingerprints]]'s array-local selection. */
+  private val winnowBodyD: String =
+    s"""WITH b AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |s AS (SELECT doc_id, toks, len(toks) - 2 AS ng FROM b
+       |  WHERE len(toks) - 2 >= 1),
+       |h AS (SELECT doc_id, ng, LEAST(4, ng) AS ww,
+       |    list_transform(range(1, ng + 1), i ->
+       |      CAST(('0x' || substr(md5(array_to_string(
+       |        toks[i:i+2], ' ')), 1, 14)) AS BIGINT)) AS hs FROM s),
+       |sel AS (SELECT doc_id, hs,
+       |    list_distinct(list_transform(range(1, ng - ww + 2), j ->
+       |      j + ww - list_position(list_reverse(hs[j:j+ww-1]),
+       |        list_min(hs[j:j+ww-1])))) AS ps FROM h)""".stripMargin
+
+  /** q144 — winnowing fingerprint selection
+    * ([[graft.ext.Dedup.winnowFingerprints]], Schleimer et al. SIGMOD
+    * 2003 / the MOSS scheme): each 4-window of the positional 3-gram
+    * hash sequence selects its rightmost minimum; any shared run of
+    * ≥ 6 tokens shares a fingerprint at ~2/(w+1) storage. The oracle
+    * replays the whole selection (hashes, window argmins, tie rule),
+    * so positions AND fingerprint values hash-match. */
+  def q144(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.winnowFingerprints(spreadDocs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("pos"), col("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val q144Sql: String =
+    s"""$winnowBodyD
+       |SELECT doc_id, CAST(p AS INT) AS pos, hs[p] AS fp
+       |FROM (SELECT doc_id, hs, unnest(ps) AS p FROM sel)
+       |ORDER BY doc_id, pos""".stripMargin
+
+  /** q145 — MOSS-style overlap pairs over the WINNOWED fingerprints
+    * ([[graft.ext.Dedup.winnowSids]] feeding the df-capped pair
+    * core): q33's Jaccard machinery on ~2/(w+1) of the shingle
+    * volume, with the winnowing guarantee that any ≥ 6-token shared
+    * run still meets in a bucket — the principled index-compression
+    * knob measured against the exact formulation's thresholds. */
+  def q145(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.ngramJaccardPairsFromSids(
+        graft.ext.Dedup.winnowSids(spreadDocs(s, dir), "doc_id"),
+        threshold = 0.3, maxShingleDocFreq = Some(25L))
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q145Sql: String =
+    s"""$winnowBodyD,
+       |d AS (SELECT doc_id,
+       |    list_distinct(list_transform(ps, p -> hs[p])) AS sids
+       |  FROM sel),
+       |dm AS (SELECT doc_id, sids, len(sids) AS m FROM d
+       |  WHERE len(sids) > 0),
+       |e AS (SELECT doc_id, sh
+       |  FROM (SELECT doc_id, unnest(sids) AS sh FROM dm)),
+       |hot AS (SELECT sh FROM e GROUP BY sh HAVING COUNT(*) > 25),
+       |kept AS (SELECT e.* FROM e
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.sh = e.sh)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept a JOIN kept b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.a_id, c.b_id, da.m AS ma, db.m AS mb,
+       |    len(list_intersect(da.sids, db.sids)) AS inter
+       |  FROM cand c
+       |  JOIN dm da ON da.doc_id = c.a_id
+       |  JOIN dm db ON db.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       |  CAST(ma + mb - inter AS BIGINT) AS union_size,
+       |  CAST(inter AS DOUBLE) / (ma + mb - inter) AS jaccard
+       |FROM v
+       |WHERE CAST(inter AS DOUBLE) / (ma + mb - inter) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** q135 — BM25 via the PERSISTED inverted index
     * ([[graft.ext.TextAnalysis.writeLexicalIndex]]/`probeLexical`):
     * q92's ranking produced from token-bucket-partitioned posting
@@ -2159,5 +2233,7 @@ object TextQ {
     QueryDef("q136_bm25_incremental", q136, Some(q136Sql)),
     QueryDef("q137_positive_pairs", q137, Some(q137Sql)),
     QueryDef("q138_pmi_collocations", q138, Some(q138Sql)),
-    QueryDef("q141_bm25_compacted", q141, Some(q141Sql)))
+    QueryDef("q141_bm25_compacted", q141, Some(q141Sql)),
+    QueryDef("q144_winnow_fingerprints", q144, Some(q144Sql)),
+    QueryDef("q145_winnow_overlap_pairs", q145, Some(q145Sql)))
 }

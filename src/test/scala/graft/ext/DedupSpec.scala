@@ -777,6 +777,69 @@ class DedupSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("winnowFingerprints: JVM reference match, local guarantee, " +
+      "density, short-doc paths") {
+    // JVM reference of the same selection (k=3, w=4, 56-bit md5 ids)
+    def hash56(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(7).map("%02x".format(_)).mkString.take(14), 16)
+    }
+    def refWinnow(text: String, k: Int = 3, w: Int = 4): Set[Int] = {
+      val toks = text.trim.split("\\s+")
+      val ng = toks.length - k + 1
+      if (ng < 1) return Set.empty
+      val hs = (0 until ng).map(i =>
+        hash56(toks.slice(i, i + k).mkString(" ")))
+      val ww = math.min(w, ng)
+      (0 to ng - ww).map { j =>
+        val win = hs.slice(j, j + ww)
+        val m = win.min
+        j + win.lastIndexOf(m) + 1 // 1-based, rightmost minimum
+      }.toSet
+    }
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val texts = (1L to 40L).map(i =>
+      (i, (0 until 30).map(_ => vocab(rnd.nextInt(8))).mkString(" ")))
+    val docs = texts.toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, g) => id -> g.map(_._2).toSet }
+    texts.foreach { case (id, t) =>
+      assert(got(id) == refWinnow(t), s"doc $id") }
+    // fingerprint VALUES are the hashes at the selected positions
+    val fps = Dedup.winnowFingerprints(docs, "doc_id")
+      .filter($"id" === 1L).as[(Long, Int, Long)].collect()
+    val toks1 = texts.head._2.split(" ")
+    fps.foreach { case (_, pos, fp) =>
+      assert(fp == hash56(toks1.slice(pos - 1, pos + 2).mkString(" ")))
+    }
+    // density: expected ~2/(w+1) = 0.4 of the 28 k-grams
+    val dens = got.values.map(_.size / 28.0)
+    assert(dens.sum / dens.size > 0.25 && dens.sum / dens.size < 0.55,
+      s"winnow density off: ${dens.sum / dens.size}")
+    // the LOCAL GUARANTEE: a shared run of >= w+k-1 = 6 tokens always
+    // yields a shared fingerprint, wherever it sits in either doc
+    val run = "r1 r2 r3 r4 r5 r6"
+    val pair = Seq(
+      (100L, s"x1 x2 x3 $run x4 x5"),
+      (200L, s"y1 $run y2 y3 y4 y5 y6")).toDF("doc_id", "text")
+    val sids = Dedup.winnowSids(pair, "doc_id")
+      .as[(Long, Int, Seq[Long])].collect()
+      .map(t => t._1 -> t._3.toSet).toMap
+    assert((sids(100L) & sids(200L)).nonEmpty,
+      "a 6-token shared run must share a fingerprint")
+    // short docs: ng in [1, w) winnows one whole-doc window (exactly
+    // one fingerprint); docs under k tokens drop
+    val short = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val shortGot = Dedup.winnowFingerprints(short, "doc_id")
+      .as[(Long, Int, Long)].collect()
+    assert(shortGot.map(_._1).toSet == Set(1L))
+    assert(shortGot.length == 1)
+  }
+
   test("positivePairs enumerates transitive same-cluster pairs") {
     import spark.implicits._
     // components: {1,2,3} (via chain), {7,9}

@@ -312,6 +312,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("winnowFingerprints is joinless and shuffle-free (array-local)") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val p = plan(graft.ext.Dedup.winnowFingerprints(docs, "doc_id"))
+    assert(!p.contains("Join"),
+      "winnow selection builds inside the row; a join is a regression")
+    assert(!p.contains("Exchange"),
+      "no shuffle: hashes, window argmins and selection are row-local")
+  }
+
+  test("skew-aware salted join: detection output broadcasts; " +
+      "small side joins by hash") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val part = graft.Tables(spark, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_type"))
+    val p = plan(graft.ext.Skew.saltedJoinSkewAware(
+      li, part, "partkey", salts = 4, knownHot = Some(Seq(1L))))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "the dimension side must not force a corpus-wide sort-merge")
+  }
+
+  test("weighted pagerank iteration: contribution join is key-local, " +
+      "no product") {
+    import org.apache.spark.sql.functions._
+    val e = spark.range(0, 200)
+      .select((col("id") % 50).as("src"), ((col("id") * 7) % 50).as("dst"),
+        (col("id") % 9 + 1).as("w"))
+      .filter(col("src") =!= col("dst"))
+    val p = plan(graft.ext.Graph.pageRankWeighted(e, "src", "dst", "w",
+      iters = 1))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
   test("labelPropagate: knn reduces via aggregate; vote join broadcasts") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables(spark, dir, "embeddings")
