@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => NfcNormalize(e.head))
     inject("fixed_log2", classOf[FixedLog2], e => FixedLog2(e.head))
     inject("lm_feature_ids", classOf[LmFeatureIds], LmFeatureIds.fromArgs)
+    inject("winnow_fps", classOf[WinnowFps], WinnowFps.fromArgs)
     inject("heavy_hitters", classOf[HeavyHitters],
       e => HeavyHitters(e(0), e(1)))
     inject("topk_by", classOf[TopKBy],

@@ -1021,9 +1021,8 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String,
       textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame =
     winnowStage(df, idCol, textCol, k, w)
-      .select(col("id"), col("hs"), explode(col("sel")).as("pos"))
-      .select(col("id"), col("pos"),
-        expr("element_at(hs, pos)").as("fp"))
+      .select(col("id"), explode(col("pfs")).as("pf"))
+      .select(col("id"), col("pf.pos").as("pos"), col("pf.fp").as("fp"))
 
   /** [[winnowFingerprints]] staged for the df-capped pair core —
     * (id, blk, sids) with `sids` the distinct selected fingerprint
@@ -1033,15 +1032,24 @@ object Dedup {
   def winnowSids(df: DataFrame, idCol: String,
       textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame =
     winnowStage(df, idCol, textCol, k, w)
-      .select(col("id"), lit(0).as("blk"), expr(
-        "array_distinct(transform(sel, p -> element_at(hs, p)))")
-        .as("sids"))
+      .select(col("id"), lit(0).as("blk"),
+        expr("array_distinct(transform(pfs, x -> x.fp))").as("sids"))
 
+  /** (id, pfs: array<struct<pos,fp>>) — the codegen'd `winnow_fps`
+    * native when GraftExtensions is active (hashing + the monotonic-
+    * deque window argmin in ONE JVM pass, O(ng) per doc), else the
+    * staged HOF composition (bit-identical selection; correctness
+    * fallback only — optimizer re-inlining re-evaluates the hash
+    * array per element reference, quadratic per document). */
   private def winnowStage(df: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 1, s"k-gram width must be >= 1: $k")
     require(w >= 1, s"window must be >= 1: $w")
-    df.select(col(idCol).as("id"),
+    if (df.sparkSession.catalog.functionExists("winnow_fps"))
+      df.select(col(idCol).as("id"),
+          expr(s"winnow_fps(`$textCol`, $k, $w)").as("pfs"))
+        .filter(size(col("pfs")) >= 1)
+    else df.select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("toks"))
       .withColumn("ng", expr(s"size(toks) - ${k - 1}"))
       .filter(col("ng") >= 1)
@@ -1057,6 +1065,10 @@ object Dedup {
         """array_distinct(transform(sequence(1, ng - ww + 1), j ->
           |  CAST(j + ww - array_position(reverse(slice(hs, j, ww)),
           |    array_min(slice(hs, j, ww))) AS INT)))""".stripMargin))
+      .withColumn("pfs", expr(
+        "transform(sel, p -> named_struct('pos', p, 'fp', " +
+          "element_at(hs, p)))"))
+      .select(col("id"), col("pfs"))
   }
 
   /** Embedding-space near-dup dedup: cosine pairs above threshold

@@ -170,6 +170,52 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection in ONE pass (Schleimer et al.
+    * SIGMOD 2003): positional k-gram 56-bit ids hashed once each,
+    * every w-window's RIGHTMOST minimum found with a monotonic deque
+    * (O(ng) total — popping on >= keeps the latest of equal minima,
+    * which IS the rightmost-min tie rule), distinct selected
+    * positions emitted in order as struct(pos 1-based, fp). The SQL
+    * HOF composition re-evaluates the whole k-gram hash array per
+    * element reference after optimizer re-inlining — quadratic per
+    * document (the [[lmFeatureIdsOf]] failure mode; observed
+    * unbounded at 100×). */
+  def winnowFpsOf(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val t = tokens(text)
+    val ng = t.length - k + 1
+    if (ng < 1) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      val sb = new java.lang.StringBuilder(t(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(t(i + j)); j += 1 }
+      hs(i) = md5Prefix14(sb.toString)
+      i += 1
+    }
+    val ww = math.min(w, ng)
+    val dq = new Array[Int](ng) // index deque, values rising front→back
+    var head = 0; var tail = 0
+    val sel = new scala.collection.mutable.ArrayBuffer[Int]()
+    var last = -1
+    i = 0
+    while (i < ng) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - ww) head += 1
+      if (i >= ww - 1 && dq(head) != last) { last = dq(head); sel += last }
+      i += 1
+    }
+    val out = new Array[Any](sel.length)
+    var p = 0
+    while (p < sel.length) {
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(
+        sel(p) + 1, hs(sel(p)))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(ids: ArrayData): ArrayData =
     new GenericArrayData(minhash(ids.toLongArray()).asInstanceOf[Array[Any]])
 
@@ -324,6 +370,52 @@ case class LmFeatureIds(child: Expression, buckets: Int)
       c => s"graft.functions.TextHashes.lmFeatureIdsOf($c, $buckets)")
   override protected def withNewChildInternal(c: Expression): LmFeatureIds =
     copy(child = c)
+}
+
+/** winnow_fps(text, k, w): one struct(pos, fp) per winnow-selected
+  * k-gram position — [[TextHashes.winnowFpsOf]] as a codegen'd
+  * native; `k` and `w` must be foldable integer literals (they shape
+  * the fingerprint scheme). */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  import TextHashes._
+  require(k >= 1 && w >= 1, s"winnow_fps: k and w must be >= 1: $k, $w")
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkString(child, prettyName)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def nullSafeEval(v: Any): Any =
+    winnowFpsOf(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.winnowFpsOf($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFps =
+    copy(child = c)
+}
+
+object WinnowFps {
+  /** Registry builder: k and w must fold to ints. */
+  def fromArgs(e: Seq[Expression]): WinnowFps = {
+    require(e.length == 3,
+      s"winnow_fps(text, k, w) takes 3 args, got ${e.length}")
+    def intOf(x: Expression, name: String): Int = x match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other if other.foldable =>
+        other.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case v => throw new IllegalArgumentException(
+            s"winnow_fps: $name must be an integer literal, got $v")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"winnow_fps: $name must be a foldable integer literal")
+    }
+    WinnowFps(e.head, intOf(e(1), "k"), intOf(e(2), "w"))
+  }
 }
 
 object LmFeatureIds {
