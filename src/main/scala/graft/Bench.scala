@@ -193,7 +193,11 @@ object Bench {
         // salts×). q143 weighted PageRank is deliberately NOT here —
         // its brute 3-NN edge build is the same O(n²) 1×-baseline
         // class as q129; the LSH-edge scale path is q139's row.
-        "q141_bm25_compacted", "q142_salted_join_skew_aware")
+        "q141_bm25_compacted", "q142_salted_join_skew_aware",
+        // winnowing: fingerprint selection is scan-bound (native
+        // one-pass), the overlap pairs run the df-capped pair core
+        // over ~2/(w+1) of the shingle volume
+        "q144_winnow_fingerprints", "q145_winnow_overlap_pairs")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -772,6 +772,29 @@ object TextAnalysis {
         expr("(1000000L * n_novel) div n_shingles").as("novelty_fp"))
   }
 
+  /** Blocklist (bad-word) filtering — the C4 cleanup rule (Raffel et
+    * al. JMLR 2020 drop any page containing a listed word): per-doc
+    * occurrence count of blocklisted tokens (case-insensitive, whole
+    * tokens — no substring surprises) and the keep flag `n_hits = 0`.
+    * The list is a constant-folded literal array, so matching is an
+    * ARRAY-LOCAL membership probe per token — scan-speed, no join, no
+    * shuffle at any corpus size (a list too big for a literal should
+    * become a broadcast semi-join instead; C4-class lists are a few
+    * hundred terms). Output: (id, n_hits, keep). */
+  def blocklistFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+      terms: Seq[String], textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "blocklistFilter needs at least one term")
+    val blk = array(terms.map(t => lit(t.toLowerCase)).distinct: _*)
+    df.select(col(idCol).as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .withColumn("_blk", blk)
+      .select(col("id"),
+        expr("CAST(size(filter(toks, t -> array_contains(_blk, t)))" +
+          " AS BIGINT)").as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0)
+  }
+
   /** Skip-gram (center, context) pair counts — the word2vec/GloVe
     * co-occurrence extraction: every ordered token pair at distance
     * 1..`window` within a document, counted corpus-wide. Emission is

@@ -1975,6 +1975,29 @@ object TextQ {
        |    AS clean_text
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** q146 — blocklist filtering
+    * ([[graft.ext.TextAnalysis.blocklistFilter]], the C4 bad-word
+    * rule): per-doc occurrence count of blocklisted tokens
+    * (case-insensitive whole-token matches against a constant-folded
+    * literal list) and the drop decision. Array-local membership
+    * probes — scan-speed at any corpus size. */
+  def q146(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.blocklistFilter(
+        Tables(s, dir, "documents"), "doc_id",
+        Seq("slow", "broken", "nonexistent_term"))
+      .select(col("id").as("doc_id"), col("n_hits"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  val q146Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split_regex(trim(lower(text)),
+       |    '\\s+'), t -> list_contains(['slow', 'broken',
+       |    'nonexistent_term'], t))) AS BIGINT) AS n_hits,
+       |  len(list_filter(string_split_regex(trim(lower(text)),
+       |    '\\s+'), t -> list_contains(['slow', 'broken',
+       |    'nonexistent_term'], t))) = 0 AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Shared winnow CTE prefix (k=3, w=4): positional 56-bit k-gram
     * hashes, each window's rightmost minimum, distinct selected
     * positions — the DuckDB replay of [[graft.ext.Dedup
@@ -2235,5 +2258,6 @@ object TextQ {
     QueryDef("q138_pmi_collocations", q138, Some(q138Sql)),
     QueryDef("q141_bm25_compacted", q141, Some(q141Sql)),
     QueryDef("q144_winnow_fingerprints", q144, Some(q144Sql)),
-    QueryDef("q145_winnow_overlap_pairs", q145, Some(q145Sql)))
+    QueryDef("q145_winnow_overlap_pairs", q145, Some(q145Sql)),
+    QueryDef("q146_blocklist_filter", q146, Some(q146Sql)))
 }

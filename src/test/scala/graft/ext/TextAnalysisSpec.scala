@@ -449,6 +449,28 @@ class TextAnalysisSpec extends SparkSpec {
       "post-fold append must rank identically to the full scan")
   }
 
+  test("blocklistFilter counts whole-token hits case-insensitively") {
+    val docs = Seq(
+      (1L, "clean prose about gardens"),
+      (2L, "the BAD word appears"),        // case-insensitive hit
+      (3L, "bad bad badly"),               // 2 hits; no substring match
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .blocklistFilter(docs, "doc_id", Seq("bad", "worse"))
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 0L, true)))
+    assert(got(2L) == ((2L, 1L, false)))
+    assert(got(3L) == ((3L, 2L, false)), "badly must NOT match 'bad'")
+    assert(got(4L) == ((4L, 0L, true)))
+    // scan-shape: no join, no shuffle
+    val p = TextAnalysis.blocklistFilter(docs, "doc_id", Seq("bad"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"), p.take(300))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(docs, "doc_id", Seq.empty)
+    }
+  }
+
   test("pmiCollocations surfaces a planted collocation, exact score") {
     // "zig zag" always co-occur; filler tokens are common everywhere
     val docs = (1L to 30L).map { i =>
