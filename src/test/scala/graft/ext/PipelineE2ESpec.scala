@@ -239,6 +239,37 @@ class PipelineE2ESpec extends SparkSpec {
     }
   }
 
+  test("curation composes: blocklist gate → winnowed overlap dedup") {
+    val docs = graft.Tables(spark, dir, "documents")
+    def run() = {
+      // 1. C4 blocklist gate
+      val clean = TextAnalysis
+        .blocklistFilter(docs, "doc_id", Seq("slow"))
+        .filter(col("keep")).select(col("id").as("doc_id"))
+        .join(docs, Seq("doc_id"))
+      // 2. MOSS overlap pairs over winnowed fingerprints; drop every
+      // pair's higher id — the surviving set is pair-free
+      val losers = Dedup.ngramJaccardPairsFromSids(
+          Dedup.winnowSids(clean, "doc_id"), threshold = 0.5,
+          maxShingleDocFreq = Some(25L))
+        .select(col("b_id").as("doc_id")).distinct()
+      clean.join(losers, Seq("doc_id"), "left_anti")
+    }
+    val a = run().select("doc_id").as[Long].collect().sorted.toSeq
+    val b = run().select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "chain must be run-deterministic")
+    assert(a.nonEmpty && a.length < docs.count().toInt)
+    // no survivor contains a blocklisted token
+    val survivors = docs.filter(col("doc_id").isin(a: _*))
+    assert(TextAnalysis.blocklistFilter(survivors, "doc_id", Seq("slow"))
+      .filter(!col("keep")).count() == 0)
+    // the surviving set really is overlap-free at the threshold
+    assert(Dedup.ngramJaccardPairsFromSids(
+        Dedup.winnowSids(survivors, "doc_id"), threshold = 0.5,
+        maxShingleDocFreq = Some(25L)).count() == 0,
+      "no >= 0.5 winnowed-overlap pair may survive the dedup")
+  }
+
   test("the pipeline result lands in a graft table with stats") {
     val out = tmpDir("pipe_out")
     CdcTable.append(
