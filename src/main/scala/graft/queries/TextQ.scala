@@ -1975,6 +1975,50 @@ object TextQ {
        |    AS clean_text
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** q147 — INCREMENTAL MOSS overlap via the winnowed-fingerprint
+    * index ([[graft.ext.Dedup.winnowIncremental]]): the corpus lands
+    * in THREE exactly-once batches (id-sliced); each batch probes the
+    * fingerprints of everything already ingested and appends its own.
+    * Every qualifying pair is reported exactly once across the
+    * arrival history, so the UNION of the three calls equals the
+    * batch-global winnowed containment result — which is exactly what
+    * the oracle computes, proving batch-sliced arrival invisible. */
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    val idx = QueryDef.scratchDir("winidx")
+    val docs = spreadDocs(s, dir)
+    (0 until 3).map { b =>
+      graft.ext.Dedup.winnowIncremental(
+        docs.filter(col("doc_id") % 3 === b), "text", "doc_id", idx,
+        threshold = 0.5, txn = Some(("q147", b.toLong)),
+        maxFpDocFreq = Some(Int.MaxValue))
+    }.reduce(_ unionByName _)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q147Sql: String =
+    s"""$winnowBodyD,
+       |d AS (SELECT doc_id,
+       |    list_distinct(list_transform(ps, p -> hs[p])) AS sids
+       |  FROM sel),
+       |dm AS (SELECT doc_id, sids, len(sids) AS m FROM d
+       |  WHERE len(sids) > 0),
+       |e AS (SELECT doc_id, sh
+       |  FROM (SELECT doc_id, unnest(sids) AS sh FROM dm)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM e a JOIN e b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.a_id, c.b_id, da.m AS ma, db.m AS mb,
+       |    len(list_intersect(da.sids, db.sids)) AS inter
+       |  FROM cand c
+       |  JOIN dm da ON da.doc_id = c.a_id
+       |  JOIN dm db ON db.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       |  CAST(ma AS INTEGER) AS ma, CAST(mb AS INTEGER) AS mb,
+       |  CAST(inter AS DOUBLE) / least(ma, mb) AS containment
+       |FROM v
+       |WHERE CAST(inter AS DOUBLE) / least(ma, mb) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** q146 — blocklist filtering
     * ([[graft.ext.TextAnalysis.blocklistFilter]], the C4 bad-word
     * rule): per-doc occurrence count of blocklisted tokens
@@ -2002,7 +2046,9 @@ object TextQ {
     * hashes, each window's rightmost minimum, distinct selected
     * positions — the DuckDB replay of [[graft.ext.Dedup
     * .winnowFingerprints]]'s array-local selection. */
-  private val winnowBodyD: String =
+  // lazy: referenced by q147Sql, which is declared earlier in the
+  // object — a strict val would render as null there
+  private lazy val winnowBodyD: String =
     s"""WITH b AS (SELECT doc_id, $toksD AS toks FROM documents),
        |s AS (SELECT doc_id, toks, len(toks) - 2 AS ng FROM b
        |  WHERE len(toks) - 2 >= 1),
@@ -2259,5 +2305,6 @@ object TextQ {
     QueryDef("q141_bm25_compacted", q141, Some(q141Sql)),
     QueryDef("q144_winnow_fingerprints", q144, Some(q144Sql)),
     QueryDef("q145_winnow_overlap_pairs", q145, Some(q145Sql)),
-    QueryDef("q146_blocklist_filter", q146, Some(q146Sql)))
+    QueryDef("q146_blocklist_filter", q146, Some(q146Sql)),
+    QueryDef("q147_winnow_incremental", q147, Some(q147Sql)))
 }

@@ -347,6 +347,51 @@ class DedupSpec extends SparkSpec {
       "kept-only indexing must bound the index")
   }
 
+  test("winnowDedupStreamToTable drops verbatim-run copies, keeps " +
+      "novel docs, survives restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("wsidx").toString
+    val out = java.nio.file.Files.createTempDirectory("wsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wsckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away into the deep green forest tonight"
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.winnowDedupStreamToTable(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", idx, out,
+      ckpt, threshold = 0.5)
+    try {
+      mem.addData((10L, base),
+        (13L, "completely different words describing graphs engines " +
+          "catalyst tungsten shuffle partitions exchange operators"))
+      q.processAllAvailable()
+      // 21 is the base doc with a prefix — high containment → dropped
+      mem.addData((21L, "intro words then " + base),
+        (25L, "yet another unrelated document about watermarks " +
+          "checkpoints state stores and session windows"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart: the index lookback still covers pre-restart kept docs
+    val q2 = Dedup.winnowDedupStreamToTable(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", idx, out,
+      ckpt, threshold = 0.5)
+    try {
+      mem.addData((30L, base + " trailing additions"), // ~kept 10
+        (31L, "a wholly novel final document mentioning parquet " +
+          "manifests commits snapshots and vacuum retention"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = graft.sink.CdcTable.read(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(10L, 13L, 25L, 31L),
+      s"run-copies dropped across the restart, novel docs kept: $ids")
+    // kept-only: dropped docs' fingerprints never entered the index
+    val idxDocs = graft.sink.CdcTable.read(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(idxDocs == Seq(10L, 13L, 25L, 31L),
+      s"index holds kept docs only: $idxDocs")
+  }
+
   test("nearDedupStreamToTable: one batch of mass boilerplate still dedups") {
     // r9 advisor (high): this path must NOT inherit nearIncremental's
     // auto √n hot-bucket cap. A single micro-batch with MORE copies of
@@ -838,6 +883,79 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(shortGot.map(_._1).toSet == Set(1L))
     assert(shortGot.length == 1)
+  }
+
+  test("winnowIncremental: batched ≡ batch-global, replay-safe, " +
+      "layout-pinned, fold-invariant, hot-cap bounds boilerplate") {
+    val texts = (1L to 30L).map { i =>
+      if (i % 10 == 0) // planted excerpt family: shared 8-token run
+        (i, s"p$i q$i the quick brown fox jumps over the lazy dog z$i")
+      else (i, (1 to 12).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val idx = tmpDir("winidx")
+    val got = (0 until 3).map { b =>
+      Dedup.winnowIncremental(docs.filter($"doc_id" % 3 === b),
+        "text", "doc_id", idx, threshold = 0.3,
+        txn = Some(("t", b.toLong)), maxFpDocFreq = Some(Int.MaxValue))
+    }.reduce(_ unionByName _)
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSet
+    // batch-global mirror over the same fingerprints
+    val sids = Dedup.winnowSids(docs, "doc_id")
+      .as[(Long, Int, Seq[Long])].collect()
+      .map(t => t._1 -> t._3.toSet).toMap
+    val expect = (for {
+      a <- sids.keys; b <- sids.keys if a < b
+      inter = (sids(a) & sids(b)).size
+      cont = inter.toDouble / math.min(sids(a).size, sids(b).size)
+      if cont >= 0.3
+    } yield (a, b, inter.toLong, sids(a).size, sids(b).size, cont)).toSet
+    assert(got == expect, s"got ${got.size} vs expect ${expect.size}")
+    assert(got.exists { case (a, b, _, _, _, _) =>
+      a % 10 == 0 && b % 10 == 0 }, "the planted excerpt family pairs")
+    // crash replay: re-running a committed batch returns the same
+    // pairs and appends nothing
+    val rows = graft.sink.CdcTable.read(spark, idx).count()
+    val replay = Dedup.winnowIncremental(docs.filter($"doc_id" % 3 === 1),
+      "text", "doc_id", idx, threshold = 0.3, txn = Some(("t", 1L)),
+      maxFpDocFreq = Some(Int.MaxValue))
+      .as[(Long, Long, Long, Int, Int, Double)].collect().toSet
+    assert(graft.sink.CdcTable.read(spark, idx).count() == rows,
+      "replayed batch must not grow the index")
+    assert(replay.subsetOf(got), "replay pairs are the originals")
+    // layout pinned: a different (k, w) refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.winnowIncremental(docs, "text", "doc_id", idx,
+        k = 2, w = 6, maxFpDocFreq = Some(Int.MaxValue))
+    }
+    assert(e.getMessage.contains("rebuild the index"))
+    // GRAFT COMPACT INDEX folds it without changing probe results
+    val commitsBefore = graft.sink.CdcTable.log(idx).length
+    spark.sql(s"GRAFT COMPACT INDEX '$idx'").collect()
+    assert(graft.sink.CdcTable.log(idx).length > commitsBefore,
+      "fold lands a replace commit")
+    val extra = Seq((100L, texts.head._2)).toDF("doc_id", "text")
+    val post = Dedup.winnowIncremental(extra, "text", "doc_id", idx,
+      threshold = 0.3, txn = Some(("t", 9L)),
+      maxFpDocFreq = Some(Int.MaxValue))
+      .as[(Long, Long, Long, Int, Int, Double)].collect()
+    assert(post.exists(p => p._1 == 1L && p._2 == 100L),
+      s"a verbatim copy of doc 1 must pair with it post-fold: " +
+        s"${post.toSeq}")
+    // hot-fp cap: a mass-boilerplate batch (60 copies of one page)
+    // self-limits — capped candidate volume collapses
+    val boiler = (200L until 260L)
+      .map(i => (i, "copy of the same boilerplate page body text here"))
+      .toDF("doc_id", "text")
+    val idx2 = tmpDir("winidx2")
+    Dedup.winnowIncremental(boiler.filter($"doc_id" < 230), "text",
+      "doc_id", idx2, maxFpDocFreq = Some(Int.MaxValue),
+      txn = Some(("b", 0L)))
+    val capped = Dedup.winnowIncremental(
+      boiler.filter($"doc_id" >= 230), "text", "doc_id", idx2,
+      maxFpDocFreq = Some(3), txn = Some(("b", 1L)))
+    assert(capped.count() == 0,
+      "over-cap fingerprints must be excluded from candidates")
   }
 
   test("positivePairs enumerates transitive same-cluster pairs") {
