@@ -197,7 +197,10 @@ object Bench {
         // winnowing: fingerprint selection is scan-bound (native
         // one-pass), the overlap pairs run the df-capped pair core
         // over ~2/(w+1) of the shingle volume
-        "q144_winnow_fingerprints", "q145_winnow_overlap_pairs")
+        "q144_winnow_fingerprints", "q145_winnow_overlap_pairs",
+        // incremental winnow index: three probes + appends per run —
+        // per-batch cost bounded by batch + touched-fp volume
+        "q147_winnow_incremental")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

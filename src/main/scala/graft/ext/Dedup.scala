@@ -1029,11 +1029,15 @@ object Dedup {
     * (id, blk, sids) with `sids` the distinct selected fingerprint
     * hashes, directly consumable by [[ngramJaccardPairsFromSids]] /
     * [[ngramContainmentPairsFromSids]]: MOSS-style overlap detection
-    * over ~2/(w+1) of the shingle volume. */
+    * over ~2/(w+1) of the shingle volume. `blockCol` names a column
+    * of `df` to block candidates by (the q33/q59 per-source split —
+    * only same-block pairs are candidates and the df cap counts
+    * within the block); None blocks globally. */
   def winnowSids(df: DataFrame, idCol: String,
-      textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame =
-    winnowStage(df, idCol, textCol, k, w)
-      .select(col("id"), lit(0).as("blk"),
+      textCol: String = "text", k: Int = 3, w: Int = 4,
+      blockCol: Option[String] = None): DataFrame =
+    winnowStage(df, idCol, textCol, k, w, blockCol)
+      .select(col("id"), col("blk"),
         expr("array_distinct(transform(pfs, x -> x.fp))").as("sids"))
 
   /** (id, pfs: array<struct<pos,fp>>) — the codegen'd `winnow_fps`
@@ -1226,14 +1230,16 @@ object Dedup {
       .start()
 
   private def winnowStage(df: DataFrame, idCol: String,
-      textCol: String, k: Int, w: Int): DataFrame = {
+      textCol: String, k: Int, w: Int,
+      blockCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"k-gram width must be >= 1: $k")
     require(w >= 1, s"window must be >= 1: $w")
+    val blk = blockCol.map(c => col(c)).getOrElse(lit(0)).as("blk")
     if (df.sparkSession.catalog.functionExists("winnow_fps"))
-      df.select(col(idCol).as("id"),
+      df.select(col(idCol).as("id"), blk,
           expr(s"winnow_fps(`$textCol`, $k, $w)").as("pfs"))
         .filter(size(col("pfs")) >= 1)
-    else df.select(col(idCol).as("id"),
+    else df.select(col(idCol).as("id"), blk,
         split(trim(col(textCol)), "\\s+").as("toks"))
       .withColumn("ng", expr(s"size(toks) - ${k - 1}"))
       .filter(col("ng") >= 1)
@@ -1252,7 +1258,7 @@ object Dedup {
       .withColumn("pfs", expr(
         "transform(sel, p -> named_struct('pos', p, 'fp', " +
           "element_at(hs, p)))"))
-      .select(col("id"), col("pfs"))
+      .select(col("id"), col("blk"), col("pfs"))
   }
 
   /** Embedding-space near-dup dedup: cosine pairs above threshold

@@ -883,6 +883,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
     assert(shortGot.map(_._1).toSet == Set(1L))
     assert(shortGot.length == 1)
+    // blockCol pass-through: identical docs in DIFFERENT blocks never
+    // pair when blocked, pair globally otherwise
+    val sameText = "one two three four five six seven eight"
+    val two = Seq((1L, "a", sameText), (2L, "b", sameText))
+      .toDF("doc_id", "src", "text")
+    assert(Dedup.ngramJaccardPairsFromSids(
+      Dedup.winnowSids(two, "doc_id", blockCol = Some("src")),
+      0.5, None).count() == 0)
+    assert(Dedup.ngramJaccardPairsFromSids(
+      Dedup.winnowSids(two, "doc_id"), 0.5, None).count() == 1)
   }
 
   test("winnowIncremental: batched ≡ batch-global, replay-safe, " +
