@@ -416,6 +416,20 @@ object Sampling {
     val docs = df.select(col(idCol).cast("long").as("id"),
       col(stratumCol).as("stratum"), tokens.cast("long").as("tok"))
       .withColumn("bucket", stableBucket("id", 1000000))
+    greedyTokenPrefix(docs, alloc)
+  }
+
+  /** Shared selection tail of [[budgetMix]] / [[uniMax]]: each
+    * stratum's greedy md5-bucket-order prefix up to its allocation —
+    * a doc is kept while the running token total BEFORE it is under
+    * `alloc`. Two-level running totals (bucket histogram first, then
+    * within surviving buckets only) keep the window sort off the
+    * corpus: the per-stratum ORDER BY runs over the 1M-bounded bucket
+    * histogram, and the within-bucket window touches only buckets
+    * whose cumulative start is inside the budget. */
+  private def greedyTokenPrefix(docs: DataFrame,
+      alloc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bcum = docs.groupBy("stratum", "bucket")
       .agg(sum("tok").as("btok"))
       .withColumn("cumb", coalesce(
@@ -432,5 +446,58 @@ object Sampling {
       .filter(col("cum_before") < col("alloc"))
       .select(col("id"), col("stratum"), col("tok").as("n_tokens"),
         col("alloc"), col("cum_before"))
+  }
+
+  /** UniMax language sampling (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): allocate a total token `budget` across
+    * strata by WATER-FILLING under a per-stratum epoch cap — visit
+    * strata by ascending corpus size; each receives
+    * `min(cap, remaining div strataLeft)` tokens where
+    * `cap = (epochsNum·n_l) div epochsDen` — so low-resource strata
+    * get as close to a uniform share as their size (× epochs) allows
+    * and the surplus waterfalls to larger ones. The temperature-free
+    * alternative to [[temperatureSample]]: no stratum is ever
+    * repeated past the epoch cap, and allocations are exact integers
+    * (a pure function of the stratum totals — replayable as a
+    * recursive SQL over the sorted stratum list).
+    *
+    * Selection within a stratum is the same deterministic greedy
+    * md5-bucket-order prefix as [[budgetMix]] (a doc is kept while
+    * the running total before it is under the allocation).
+    *
+    * Scale shape: stratum totals are strata-bounded metadata
+    * (driver-held, the BPE-argmax pattern); the corpus sees one
+    * map-side-combinable total aggregation + the two-level prefix
+    * windows (bucket histogram first — never a corpus sort); the
+    * allocation frame broadcasts. Ties in stratum size break by
+    * stratum name; strata are compared as strings (cast up front) so
+    * the visit order is engine-portable. */
+  def uniMax(df: DataFrame, idCol: String, stratumCol: String,
+      tokens: Column, budget: Long, epochsNum: Long = 1L,
+      epochsDen: Long = 1L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(epochsNum > 0 && epochsDen > 0,
+      s"epoch cap must be positive: $epochsNum/$epochsDen")
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      col(stratumCol).cast("string").as("stratum"),
+      tokens.cast("long").as("tok"))
+      .withColumn("bucket", stableBucket("id", 1000000))
+    val totals = docs.groupBy("stratum").agg(sum("tok").as("nl"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) }
+    var rem = budget
+    var m = totals.length
+    val allocRows = totals.map { case (s, n) =>
+      require(n >= 0, s"negative token total for stratum $s: $n")
+      val cap = epochsNum * n / epochsDen
+      val a = math.min(cap, rem / m)
+      rem -= a; m -= 1
+      (s, a)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    greedyTokenPrefix(docs,
+      allocRows.toSeq.toDF("stratum", "alloc"))
   }
 }

@@ -985,6 +985,136 @@ object TextAnalysis {
         .drop("toks", "bg", textCol)
 
   // ----------------------------------------------------------------
+  // Stupid Backoff trigram LM (Brants et al., "Large Language Models
+  // in Machine Translation", EMNLP 2007) — the count-based LM DESIGNED
+  // for distributed corpora: no discounting, no normalization pass,
+  // just sharded n-gram count tables and a fixed backoff multiplier
+  // α = 0.4, which is what makes training a pure map-side-combinable
+  // count and serving a handful of key-local joins (the paper's whole
+  // point: this scales to trillions of tokens where Kneser–Ney's
+  // continuation counts do not). Scores here are exact 16.16
+  // fixed-point BITS (−log2 S), so the DuckDB oracle hash-matches:
+  //   tri hit : bits = flog2(c(w2 w1)) − flog2(c(w2 w1 w0))
+  //   bi  hit : bits = pen + flog2(c(w1)) − flog2(c(w1 w0))
+  //   uni     : bits = 2·pen + flog2(N) − flog2(max(c(w0), 1))
+  // with pen = flog2(5) − 2^16 = −log2(0.4) exactly (α = 2/5).
+  // ----------------------------------------------------------------
+
+  /** Train the three count tables over a corpus: `(uni, bi, tri)` =
+    * `(w → c)`, `(w1⎵w2 → c)`, `(w1⎵w2⎵w3 → c)` — keys are
+    * space-joined token strings (tokens contain no whitespace by
+    * construction, so the joint key is unambiguous and portable).
+    * Each table is a map-side-combinable count; at 100 TB they are
+    * the paper's sharded count tables — big DataFrames joined
+    * key-locally at serving time, never collected or broadcast. */
+  def stupidBackoffTables(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text")
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val tk = df.select(split(trim(col(textCol)), "\\s+").as("toks"))
+    def grams(n: Int) = tk.select(explode(expr(
+        s"""CASE WHEN size(toks) >= $n THEN
+           |  transform(sequence(0, size(toks) - $n),
+           |    i -> ${(0 until n).map(j => s"toks[i+$j]")
+                  .mkString("concat_ws(' ', ", ", ", ")")})
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    (grams(1).withColumnRenamed("k", "w"), grams(2), grams(3))
+  }
+
+  /** Score every document's trigram positions (i ≥ 2; docs with < 3
+    * tokens score 0 over 0 positions) under a [[stupidBackoffTables]]
+    * model. Output: (id, n_pos, tri_hits, bi_hits, uni_hits, bits_fp,
+    * bpt_fp = bits_fp div n_pos).
+    *
+    * Scale shape: denominators attach at TABLE scale first (trigram
+    * rows join their prefix-bigram count, bigram rows their
+    * prefix-unigram count — model-sized joins), so the corpus-sized
+    * positions frame does exactly THREE key-local hash joins (tri,
+    * bi, uni), Brants' sharded-count-table serving shape. The total
+    * token count N is driver-held model metadata (one aggregate over
+    * the bounded unigram table — the BPE-argmax pattern). A token
+    * absent from the unigram table (foreign corpus) scores as a
+    * count-1 singleton. */
+  def stupidBackoffScore(df: org.apache.spark.sql.DataFrame,
+      idCol: String, uni: org.apache.spark.sql.DataFrame,
+      bi: org.apache.spark.sql.DataFrame,
+      tri: org.apache.spark.sql.DataFrame, textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    def lg(c: Column): Column =
+      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+        expr(s"fixed_log2(${c.toString})")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+    val n = uni.agg(sum(col("c"))).head.getLong(0)
+    require(n > 0, "stupidBackoffScore: empty model (N = 0)")
+    val pen = graft.functions.FixedPointMath.flog2(5L) - 65536L
+    // model-sized denominator attach: every trigram's 2-token prefix
+    // IS a seen bigram (same corpus), every bigram's first token a
+    // seen unigram — inner joins are exact
+    val triD = tri.select(col("k").as("k3"), col("c").as("tc"))
+      .join(bi.select(col("k").as("pk"), col("c").as("bdc")),
+        substring_index(col("k3"), " ", 2) === col("pk"))
+      .select(col("k3"), col("tc"), col("bdc"))
+    val biD = bi.select(col("k").as("k2"), col("c").as("bnc"))
+      .join(uni.select(col("w").as("pw"), col("c").as("udc")),
+        substring_index(col("k2"), " ", 1) === col("pw"))
+      .select(col("k2"), col("bnc"), col("udc"))
+    val uniW = uni.select(col("w").as("w0"), col("c").as("unc"))
+    val pos = df
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+")
+        .as("toks"))
+      .select(col("id"), explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(2, size(toks) - 1), i -> struct(
+          |    concat_ws(' ', toks[i-2], toks[i-1], toks[i]) AS k3,
+          |    concat_ws(' ', toks[i-1], toks[i]) AS k2,
+          |    toks[i] AS w0))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .select(col("id"), col("p.k3"), col("p.k2"), col("p.w0"))
+    val scored = pos
+      .join(triD, Seq("k3"), "left")
+      .join(biD, Seq("k2"), "left")
+      .join(uniW, Seq("w0"), "left")
+      .withColumn("lvl", when(col("tc").isNotNull, 0)
+        .when(col("bnc").isNotNull, 1).otherwise(2))
+      .withColumn("bits",
+        when(col("lvl") === 0, lg(col("bdc")) - lg(col("tc")))
+          .when(col("lvl") === 1,
+            lit(pen) + lg(col("udc")) - lg(col("bnc")))
+          .otherwise(lit(2 * pen) + lit(
+              graft.functions.FixedPointMath.flog2(n)) -
+            lg(greatest(coalesce(col("unc"), lit(1L)), lit(1L)))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("tri_hits"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("bi_hits"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("uni_hits"),
+        sum(col("bits")).as("bits_fp"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("tri_hits"), lit(0L)).as("tri_hits"),
+        coalesce(col("bi_hits"), lit(0L)).as("bi_hits"),
+        coalesce(col("uni_hits"), lit(0L)).as("uni_hits"),
+        coalesce(col("bits_fp"), lit(0L)).as("bits_fp"),
+        expr("CASE WHEN n_pos > 0 THEN bits_fp div n_pos " +
+          "ELSE 0L END").as("bpt_fp"))
+  }
+
+  /** Self-scored convenience: train on the corpus, score the corpus —
+    * the fluency signal over the data itself (high bits-per-token =
+    * text unlike the rest of the corpus). */
+  def stupidBackoff(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val (u, b, t) = stupidBackoffTables(df, textCol)
+    stupidBackoffScore(df, idCol, u, b, t, textCol)
+  }
+
+  // ----------------------------------------------------------------
   // BPE tokenizer TRAINING (Sennrich et al. ACL 2016). q76 counts
   // symbol pairs once; this is the full iterative trainer: repeatedly
   // merge the corpus-wide most frequent adjacent symbol pair. The

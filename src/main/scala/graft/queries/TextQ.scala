@@ -2245,6 +2245,163 @@ object TextQ {
        |ORDER BY pmi_fp DESC, center, context LIMIT 20""".stripMargin
   }
 
+  /** q148 — Stupid Backoff trigram LM scoring
+    * ([[graft.ext.TextAnalysis.stupidBackoff]], Brants et al.
+    * EMNLP 2007): every document's exact 16.16 fixed-point bits under
+    * a self-trained trigram model with α = 0.4 backoff — the
+    * count-based LM designed for distributed corpora (no
+    * discounting/normalization pass: training is a map-side count,
+    * serving three key-local joins against sharded count tables).
+    * The oracle rebuilds all three count tables in SQL and replays
+    * the `fixed_log2` recurrence over the DISTINCT numerator/
+    * denominator counts (a bounded value domain), so per-position
+    * backoff levels AND total bits hash-match bit for bit. */
+  def q148(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.stupidBackoff(spreadDocs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("n_pos"), col("tri_hits"),
+        col("bi_hits"), col("uni_hits"), col("bits_fp"), col("bpt_fp"))
+      .orderBy(col("doc_id"))
+
+  val q148Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |un AS (SELECT unnest(toks) AS w FROM tk),
+       |uc AS (SELECT w, COUNT(*) AS c FROM un GROUP BY w),
+       |bg AS (SELECT unnest(list_transform(
+       |    range(1, greatest(len(toks), 1)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS k FROM tk),
+       |bc_ AS (SELECT k, COUNT(*) AS c FROM bg GROUP BY k),
+       |tg AS (SELECT unnest(list_transform(
+       |    range(1, greatest(len(toks) - 1, 1)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    AS k FROM tk),
+       |tc_ AS (SELECT k, COUNT(*) AS c FROM tg GROUP BY k),
+       |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+       |pos AS (SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(toks) - 1, 1)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    AS k3 FROM tk),
+       |px AS (SELECT doc_id, k3,
+       |    pp[1] || ' ' || pp[2] AS pk2, pp[2] || ' ' || pp[3] AS k2,
+       |    pp[2] AS w1, pp[3] AS w0
+       |  FROM (SELECT doc_id, k3, string_split(k3, ' ') AS pp
+       |        FROM pos)),
+       |j AS (SELECT px.doc_id, t.c AS tc, bd.c AS bdc, bn.c AS bnc,
+       |    ud.c AS udc, un2.c AS unc
+       |  FROM px LEFT JOIN tc_ t ON px.k3 = t.k
+       |  LEFT JOIN bc_ bd ON px.pk2 = bd.k
+       |  LEFT JOIN bc_ bn ON px.k2 = bn.k
+       |  LEFT JOIN uc ud ON px.w1 = ud.w
+       |  LEFT JOIN uc un2 ON px.w0 = un2.w),
+       |sc AS (SELECT doc_id,
+       |    CASE WHEN tc IS NOT NULL THEN 0
+       |      WHEN bnc IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+       |    CASE WHEN tc IS NOT NULL THEN tc
+       |      WHEN bnc IS NOT NULL THEN bnc
+       |      ELSE COALESCE(unc, 1) END AS num,
+       |    CASE WHEN tc IS NOT NULL THEN bdc
+       |      WHEN bnc IS NOT NULL THEN udc
+       |      ELSE (SELECT n FROM nt) END AS den
+       |  FROM j),
+       |vals AS (SELECT DISTINCT v FROM (
+       |  SELECT num AS v FROM sc UNION ALL SELECT den FROM sc
+       |  UNION ALL SELECT 5)),
+       |lvin AS (SELECT v AS doc_id, CAST(v AS BIGINT) AS p_fp
+       |  FROM vals),
+       |lv AS (${flog2D("lvin")}),
+       |pen AS (SELECT lg - 65536 AS pen FROM lv WHERE doc_id = 5),
+       |bits AS (SELECT sc.doc_id, sc.lvl,
+       |    ld.lg - ln.lg + sc.lvl * (SELECT pen FROM pen) AS bits
+       |  FROM sc JOIN lv ln ON sc.num = ln.doc_id
+       |  JOIN lv ld ON sc.den = ld.doc_id),
+       |ag AS (SELECT doc_id, COUNT(*) AS n_pos,
+       |    CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tri_hits,
+       |    CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS bi_hits,
+       |    CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS uni_hits,
+       |    CAST(SUM(bits) AS BIGINT) AS bits_fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(ag.n_pos, 0) AS n_pos,
+       |  COALESCE(ag.tri_hits, 0) AS tri_hits,
+       |  COALESCE(ag.bi_hits, 0) AS bi_hits,
+       |  COALESCE(ag.uni_hits, 0) AS uni_hits,
+       |  COALESCE(ag.bits_fp, 0) AS bits_fp,
+       |  CASE WHEN COALESCE(ag.n_pos, 0) > 0
+       |    THEN ag.bits_fp // ag.n_pos ELSE 0 END AS bpt_fp
+       |FROM documents d LEFT JOIN ag USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q149 — UniMax language-budget sampling
+    * ([[graft.ext.Sampling.uniMax]], Chung et al. ICLR 2023):
+    * allocate a 2/3-of-corpus token budget across the five languages
+    * by water-filling under a 1-epoch cap — ascending-size visit
+    * order, each language takes `min(n_l, remaining div langsLeft)`,
+    * so small languages keep their full corpus and the surplus
+    * waterfalls to the large ones; then each language's deterministic
+    * greedy md5-bucket prefix. The oracle replays the sequential
+    * water-filling as a RECURSIVE CTE over the size-sorted language
+    * list plus the two-level running totals, so allocations AND the
+    * kept set hash-match. */
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val toks = graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+    val total = docs.select(sum(toks).as("t")).head.getLong(0)
+    graft.ext.Sampling
+      .uniMax(docs, "doc_id", "lang", toks, total * 2 / 3)
+      .select(col("id").as("doc_id"), col("stratum").as("lang"),
+        col("n_tokens"), col("alloc"), col("cum_before"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val q149Sql: String =
+    s"""WITH RECURSIVE docs AS (SELECT doc_id AS id, lang AS stratum,
+       |    CAST(len($toksD) AS BIGINT) AS tok,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 1000000 AS bucket
+       |  FROM documents),
+       |tot AS (SELECT CAST(SUM(tok) * 2 // 3 AS BIGINT) AS B
+       |  FROM docs),
+       |st AS (SELECT stratum, CAST(SUM(tok) AS BIGINT) AS nl
+       |  FROM docs GROUP BY stratum),
+       |orda AS (SELECT stratum, nl,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY nl, stratum) AS BIGINT)
+       |      AS rn FROM st),
+       |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM st),
+       |rec AS (
+       |  SELECT CAST(0 AS BIGINT) AS rn, (SELECT B FROM tot) AS rem,
+       |    CAST(0 AS BIGINT) AS alloc, CAST('' AS VARCHAR) AS stratum
+       |  UNION ALL
+       |  SELECT o.rn,
+       |    r.rem - LEAST((1 * o.nl) // 1,
+       |      r.rem // ((SELECT m FROM cnt) - r.rn)),
+       |    LEAST((1 * o.nl) // 1,
+       |      r.rem // ((SELECT m FROM cnt) - r.rn)),
+       |    o.stratum
+       |  FROM rec r JOIN orda o ON o.rn = r.rn + 1),
+       |alloc AS (SELECT stratum, alloc FROM rec WHERE rn > 0),
+       |bagg AS (SELECT stratum, bucket, SUM(tok) AS btok
+       |  FROM docs GROUP BY 1, 2),
+       |bcum AS (SELECT stratum, bucket, CAST(COALESCE(
+       |    SUM(btok) OVER (PARTITION BY stratum ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cumb FROM bagg),
+       |sel AS (SELECT d.id, d.stratum, d.tok, a.alloc,
+       |    d.bucket, b.cumb
+       |  FROM docs d
+       |  JOIN bcum b ON d.stratum = b.stratum AND d.bucket = b.bucket
+       |  JOIN alloc a ON a.stratum = d.stratum
+       |  WHERE b.cumb < a.alloc),
+       |run AS (SELECT id, stratum, tok, alloc,
+       |    CAST(cumb + COALESCE(SUM(tok) OVER (
+       |      PARTITION BY stratum, bucket ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS cum_before FROM sel)
+       |SELECT id AS doc_id, stratum AS lang, tok AS n_tokens,
+       |  alloc, cum_before
+       |FROM run WHERE cum_before < alloc
+       |ORDER BY lang, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2306,5 +2463,7 @@ object TextQ {
     QueryDef("q144_winnow_fingerprints", q144, Some(q144Sql)),
     QueryDef("q145_winnow_overlap_pairs", q145, Some(q145Sql)),
     QueryDef("q146_blocklist_filter", q146, Some(q146Sql)),
-    QueryDef("q147_winnow_incremental", q147, Some(q147Sql)))
+    QueryDef("q147_winnow_incremental", q147, Some(q147Sql)),
+    QueryDef("q148_stupid_backoff", q148, Some(q148Sql)),
+    QueryDef("q149_unimax_sample", q149, Some(q149Sql)))
 }

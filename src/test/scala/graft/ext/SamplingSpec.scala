@@ -325,6 +325,57 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("uniMax matches a brute-force water-filling reference exactly") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString.take(7), 16) % 1000000
+    }
+    // very uneven strata: a tiny (cap binds), b mid, c huge (uniform
+    // share binds); budget forces both branches of the min()
+    val rows = (0 until 80).map { i =>
+      val st = if (i < 4) "a" else if (i < 20) "b" else "c"
+      (i.toLong, st, (i % 5 + 1).toLong)
+    }
+    val df = rows.toDF("id", "st", "tok")
+    for ((en, ed) <- Seq((1L, 1L), (2L, 1L), (1L, 2L));
+         budget <- Seq(0L, 50L, 120L, 10000L)) {
+      val got = Sampling.uniMax(df, "id", "st", col("tok"), budget,
+          en, ed)
+        .select("id", "alloc", "cum_before")
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      // reference water-filling
+      val totals = rows.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy { case (s, n) => (n, s) }
+      var rem = budget; var m = totals.length
+      val alloc = totals.map { case (s, n) =>
+        val a = math.min(en * n / ed, rem / m)
+        rem -= a; m -= 1
+        s -> a
+      }.toMap
+      assert(alloc.values.sum <= budget)
+      val expect = rows.groupBy(_._2).flatMap { case (st, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (bucket(d._1), d._1)).flatMap { case (id, _, tok) =>
+          val before = cum; cum += tok
+          if (before < alloc(st)) Some(id -> ((alloc(st), before)))
+          else None
+        }
+      }.toMap
+      assert(got == expect, s"epochs=$en/$ed budget=$budget " +
+        s"got-only=${got.keySet -- expect.keySet} " +
+        s"expect-only=${expect.keySet -- got.keySet}")
+      // the epoch cap is never exceeded
+      totals.foreach { case (s, n) =>
+        assert(alloc(s) <= en * n / ed) }
+      // ample budget + 1 epoch = everything kept
+      if (budget == 10000L && en == 1L && ed == 1L)
+        assert(got.keySet == rows.map(_._1).toSet)
+    }
+  }
+
   test("writeShards: stable shard files with the pinned in-shard order") {
     val out = tmpDir("shards")
     val df = (0 until 200).map(i => (i.toLong, s"doc $i"))

@@ -493,6 +493,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top._4 == expect)
   }
 
+  test("stupidBackoff matches a brute-force JVM model on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.FixedPointMath.flog2
+    val pen = flog2(5L) - 65536L
+    // tiny vocabulary forces real trigram/bigram hits AND misses
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.chooseNum(0, 9).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    (1 to 4).foreach { seed =>
+      val rows = Gen.listOfN(20, doc)(Gen.Parameters.default,
+        Seed(seed.toLong)).get.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val toksOf = rows.map { case (i, t) =>
+        i -> t.trim.split("\\s+", -1).toSeq }.toMap
+      def grams(n: Int): Map[String, Long] = toksOf.values.toSeq
+        .flatMap(ts => if (ts.length >= n)
+          ts.sliding(n).map(_.mkString(" ")).toSeq else Nil)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (uc, bc, tc) = (grams(1), grams(2), grams(3))
+      val n = uc.values.sum
+      val got = TextAnalysis
+        .stupidBackoff(rows.toDF("id", "text"), "id")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      rows.foreach { case (id, _) =>
+        val ts = toksOf(id)
+        val bits = (2 until ts.length).map { i =>
+          val k3 = s"${ts(i - 2)} ${ts(i - 1)} ${ts(i)}"
+          val k2 = s"${ts(i - 1)} ${ts(i)}"
+          if (tc.contains(k3))
+            (0, flog2(bc(s"${ts(i - 2)} ${ts(i - 1)}")) - flog2(tc(k3)))
+          else if (bc.contains(k2))
+            (1, pen + flog2(uc(ts(i - 1))) - flog2(bc(k2)))
+          else
+            (2, 2 * pen + flog2(n) -
+              flog2(math.max(uc.getOrElse(ts(i), 0L), 1L)))
+        }
+        val np = bits.size.toLong
+        val expect = (id, np,
+          bits.count(_._1 == 0).toLong, bits.count(_._1 == 1).toLong,
+          bits.count(_._1 == 2).toLong, bits.map(_._2).sum,
+          if (np > 0) bits.map(_._2).sum / np else 0L)
+        assert(got(id) == expect,
+          s"seed=$seed doc=$id got=${got(id)} expect=$expect toks=$ts")
+      }
+    }
+  }
+
+  test("stupidBackoffScore: short docs score 0/0 and a foreign " +
+      "corpus backs off to count-1 singletons") {
+    val train = Seq((1L, "a b c a b c")).toDF("id", "text")
+    val (u, b, t) = TextAnalysis.stupidBackoffTables(train)
+    // "z z z": no trigram/bigram/unigram hit → per position
+    // 2·pen + flog2(N) − flog2(1); N = 6
+    import graft.functions.FixedPointMath.flog2
+    val pen = flog2(5L) - 65536L
+    val r = TextAnalysis.stupidBackoffScore(
+      Seq((1L, "a b"), (2L, "z z z")).toDF("id", "text"), "id",
+      u, b, t)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    val perPos = 2 * pen + flog2(6L)
+    assert(r(2L) == ((2L, 1L, 0L, 0L, 1L, perPos, perPos)))
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
