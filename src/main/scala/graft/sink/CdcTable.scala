@@ -61,7 +61,12 @@ object CdcTable {
       /** Per-file row counts (footer-derived at commit time) — lets
         * [[rowCountEstimate]] size the table without touching data.
         * Files committed before this field existed are simply absent. */
-      fileRows: Map[String, Long] = Map.empty)
+      fileRows: Map[String, Long] = Map.empty,
+      /** Per-file Bloom filters for equality skipping on
+        * high-cardinality unclustered columns ([[FileStats]] bloom
+        * section): rel path → column → packed base64 bits. Present
+        * only for columns the append requested via `bloomCols`. */
+      blooms: Map[String, Map[String, String]] = Map.empty)
 
   private def logDir(dir: String) = s"$dir/_graft_log"
   private def commitPath(dir: String, n: Long) =
@@ -81,7 +86,11 @@ object CdcTable {
           s"stat=${FileStats.render(rel, col, cs)}" }
       } ++
       c.fileRows.toSeq.sortBy(_._1).map { case (rel, n) =>
-        s"frows=${FileStats.renderRows(rel, n)}" }
+        s"frows=${FileStats.renderRows(rel, n)}" } ++
+      c.blooms.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
+        cols.toSeq.sortBy(_._1).map { case (col, bits) =>
+          s"bloom=${FileStats.renderBloom(rel, col, bits)}" }
+      }
     head.mkString("\n")
   }
 
@@ -108,7 +117,12 @@ object CdcTable {
         .map { case (rel, entries) =>
           rel -> entries.map(e => e._2 -> e._3).toMap },
       fileRows = kv.collect { case ("frows", payload) => payload }
-        .flatMap(FileStats.parseRows).toMap)
+        .flatMap(FileStats.parseRows).toMap,
+      blooms = kv.collect { case ("bloom", payload) => payload }
+        .flatMap(FileStats.parseBloom)
+        .groupBy(_._1)
+        .map { case (rel, entries) =>
+          rel -> entries.map(e => e._2 -> e._3).toMap })
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -128,7 +142,7 @@ object CdcTable {
     val condensed = commits.zipWithIndex.map { case (c, i) =>
       if (eIdx >= 0 && i < eIdx)
         c.copy(files = Nil, stub = true, stats = Map.empty,
-          fileRows = Map.empty)
+          fileRows = Map.empty, blooms = Map.empty)
       else c
     }
     Fs.writeString(
@@ -311,7 +325,8 @@ object CdcTable {
   def append(batch: DataFrame, dir: String, mode: MergeMode = SchemaMerge.Auto,
       partitionBy: Seq[String] = Seq("_ingestion_date"),
       txn: Option[(String, Long)] = None,
-      maxStructFields: Int = Int.MaxValue): Long = {
+      maxStructFields: Int = Int.MaxValue,
+      bloomCols: Seq[String] = Nil): Long = {
     val commits = log(dir)
     txn.foreach { case (app, v) =>
       val committed = commits.flatMap(_.txn)
@@ -340,10 +355,68 @@ object CdcTable {
       .parquet(batchDir)
     val files = stagedFiles(dir, batchDir)
     val (stats, frows) = FileStats.collectInfo(dir, files)
+    val blooms = collectBlooms(out.sparkSession, batchDir, files,
+      bloomCols, merged, partCols)
     commit(dir, n => Commit(n, sv, "append",
       System.currentTimeMillis(), txn, merged, files,
-      stats = stats, fileRows = frows))
+      stats = stats, fileRows = frows, blooms = blooms))
     sv
+  }
+
+  /** Build the per-file Bloom filters an append requested: one
+    * column-pruned read-back of the just-written staged batch per
+    * bloom column (page-cache-warm — the batch was written a moment
+    * ago), hashing each non-null value to its 4 bit positions in SQL
+    * (the portable md5-substring family [[FileStats.bloomPositions]]
+    * probes with) and collecting the DISTINCT (file, position) pairs —
+    * bounded by files × 8192 regardless of row count. Requested
+    * columns must exist, be string/integral (the only types whose
+    * string rendering is probe-portable), and not be partition
+    * columns (whose values never reach the data files — partition
+    * pruning already covers them). */
+  private def collectBlooms(spark: SparkSession, batchDir: String,
+      relFiles: Seq[String], bloomCols: Seq[String],
+      schema: StructType, partCols: Seq[String])
+  : Map[String, Map[String, String]] = {
+    if (bloomCols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val byName = relFiles
+      .map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    bloomCols.foreach { c =>
+      require(!partCols.contains(c),
+        s"bloomCols: $c is a partition column — partition pruning " +
+          "already covers it and its values are not in the data files")
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloomCols: no such column $c in ${schema.fieldNames.mkString(",")}"))
+      require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+        .contains(f.dataType),
+        s"bloomCols: $c has unsupported type ${f.dataType.simpleString} " +
+          "(string/integral only — other renderings are not " +
+          "probe-portable)")
+    }
+    bloomCols.map { c =>
+      c -> spark.read.parquet(batchDir)
+        .select(input_file_name().as("_f"),
+          col(c).cast("string").as("_v"))
+        .where(col("_v").isNotNull)
+        .select(col("_f"), explode(expr(
+          s"transform(sequence(0, ${FileStats.BloomHashes - 1}), " +
+            "j -> CAST(conv(substring(md5(_v), j*4+1, 4), 16, 10) " +
+            s"AS INT) % ${FileStats.BloomBits})")).as("_p"))
+        .distinct()
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+        .groupBy { case (f, _) =>
+          byName(f.substring(f.lastIndexOf('/') + 1)) }
+        .map { case (rel, ps) =>
+          rel -> FileStats.packBloom(ps.map(_._2)) }
+    }.foldLeft(Map.empty[String, Map[String, String]]) {
+      case (acc, (c, perFile)) =>
+        perFile.foldLeft(acc) { case (a, (rel, bits)) =>
+          a.updated(rel, a.getOrElse(rel, Map.empty).updated(c, bits)) }
+    }
   }
 
   /** Current row count from the manifest alone — zero data IO (the
@@ -394,6 +467,8 @@ object CdcTable {
       commitAsOf: Option[Long] = None,
       timestampAsOf: Option[Long] = None,
       statsPredicate: Map[String, FileStats.ColStats] => Boolean =
+        _ => true,
+      bloomPredicate: Map[String, String] => Boolean =
         _ => true): DataFrame = {
     def keep(rel: String): Boolean =
       rel.split('/').toIndexedSeq
@@ -403,7 +478,8 @@ object CdcTable {
     readCommits(spark, dir,
       commitsAsOf(dir, commitAsOf, timestampAsOf)
         .map(c => c.copy(files = c.files.filter(f =>
-          keep(f) && statsPredicate(c.stats.getOrElse(f, Map.empty))))))
+          keep(f) && statsPredicate(c.stats.getOrElse(f, Map.empty)) &&
+            bloomPredicate(c.blooms.getOrElse(f, Map.empty))))))
   }
 
   /** Time travel over the manifest log (the commit records its own

@@ -238,6 +238,97 @@ object FileStats {
     case _ => None
   }
 
+  // ----------------------------------------------------------------
+  // Per-file Bloom filters (equality skipping for high-cardinality,
+  // UNCLUSTERED columns — where min/max ranges prove nothing because
+  // every file spans most of the key domain). The Delta/Iceberg
+  // bloom-index pattern carried in the manifest: 8192 bits (1 KiB)
+  // per (file, column), 4 hash probes derived from the md5 hex of the
+  // value's STRING rendering — the same portable hash family as the
+  // dedup token ids, so build (Spark SQL) and probe (JVM) agree bit
+  // for bit. Sized for ~1k distinct values per file (FP ≈ 0.2%; at 4k
+  // distinct ≈ 5% — still sound, just less pruning). Conservative
+  // semantics throughout: a missing bloom, an unsupported type, or a
+  // non-equality predicate keeps the file.
+  // ----------------------------------------------------------------
+
+  /** Bloom geometry: bits per filter and probes per value. */
+  val BloomBits = 8192
+  val BloomHashes = 4
+
+  /** The 4 bit positions of a value's string rendering — matches the
+    * Spark-side build expression
+    * `conv(substring(md5(v), j*4+1, 4), 16, 10) % 8192`. */
+  def bloomPositions(value: String): Seq[Int] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (0 until BloomHashes).map(j =>
+      Integer.parseInt(hex.substring(j * 4, j * 4 + 4), 16) % BloomBits)
+  }
+
+  /** Pack set bit positions into the base64 bitset the manifest
+    * carries (bit i = byte i/8, mask 1 << (i%8)). */
+  def packBloom(positions: Iterable[Int]): String = {
+    val bits = new Array[Byte](BloomBits / 8)
+    positions.foreach { p =>
+      require(p >= 0 && p < BloomBits, s"bloom position out of range: $p")
+      bits(p / 8) = (bits(p / 8) | (1 << (p % 8))).toByte
+    }
+    Base64.getEncoder.encodeToString(bits)
+  }
+
+  /** Membership probe; true = maybe present (or unparseable bloom —
+    * conservative), false = PROVABLY absent from the file. */
+  def bloomMayContain(b64bits: String, value: String): Boolean =
+    scala.util.Try {
+      val bits = Base64.getDecoder.decode(b64bits)
+      bloomPositions(value).forall(p =>
+        (bits(p / 8) & (1 << (p % 8))) != 0)
+    }.getOrElse(true)
+
+  /** `bloom=` line payload: b64(rel) TAB b64(col) TAB b64(bits). */
+  def renderBloom(rel: String, col: String, bits: String): String =
+    Seq(b64(rel), b64(col), bits).mkString("\t")
+
+  def parseBloom(payload: String): Option[(String, String, String)] =
+    payload.split('\t') match {
+      case Array(rel, col, bits) =>
+        scala.util.Try((unb64(rel), unb64(col), bits)).toOption
+      case _ => None
+    }
+
+  /** A filter value in the bloom's string rendering (the build side
+    * is `CAST(col AS STRING)`), or None when the type can't be judged
+    * (→ keep the file). Only the types [[graft.sink.CdcTable.append]]
+    * accepts as `bloomCols` appear here. */
+  private def encodeBloomValue(v: Any): Option[String] = v match {
+    case null => None
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+         _: java.lang.Long => Some(v.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** Could a row of a file with `blooms` (col → packed bits) satisfy
+    * `filter`? False ONLY when an equality probe proves absence;
+    * every other shape keeps the file. */
+  def bloomAllows(blooms: Map[String, String], filter: Filter): Boolean =
+    filter match {
+      case EqualTo(a, v) => blooms.get(a) match {
+        case Some(b) =>
+          encodeBloomValue(v).forall(ev => bloomMayContain(b, ev))
+        case None => true
+      }
+      case EqualNullSafe(a, v) if v != null =>
+        bloomAllows(blooms, EqualTo(a, v))
+      case In(a, vs) =>
+        vs.isEmpty || vs.exists(v => bloomAllows(blooms, EqualTo(a, v)))
+      case And(l, r) => bloomAllows(blooms, l) && bloomAllows(blooms, r)
+      case Or(l, r) => bloomAllows(blooms, l) || bloomAllows(blooms, r)
+      case _ => true
+    }
+
   /** Could a row of a file with `stats` satisfy `filter`? False ONLY
     * when provably impossible. Columns without stats allow anything. */
   def allows(stats: Map[String, ColStats], filter: Filter): Boolean = {

@@ -242,15 +242,7 @@ final case class GraftRelation(sqlContext: SQLContext, dir: String,
         CdcTable.readAsOf(sqlContext.sparkSession, dir,
           commitAsOf, timestampAsOf), idCol)
     } else {
-      // two manifest-level pruning passes, both conservative (Spark
-      // re-applies every filter above): partition-path values, then
-      // per-file column min/max/hasNull stats (data skipping)
-      val pruned = CdcTable.readFiltered(sqlContext.sparkSession, dir,
-        (k, v) => filters.forall(keeps(_, k,
-          java.net.URLDecoder.decode(v, "UTF-8"))),
-        commitAsOf, timestampAsOf,
-        statsPredicate =
-          stats => filters.forall(graft.sink.FileStats.allows(stats, _)))
+      val pruned = prunedRead(filters)
       // hand the remaining predicates to the delegated plan too, so
       // they push into its parquet scan (PushedFilters) instead of
       // filtering post-conversion rows
@@ -263,6 +255,23 @@ final case class GraftRelation(sqlContext: SQLContext, dir: String,
         requiredColumns.map(c => col(s"`$c`")).toIndexedSeq: _*)
     projected.rdd
   }
+
+  /** The scan's manifest-pruned base frame — three pruning passes,
+    * all conservative (Spark re-applies every filter above the scan):
+    * partition-path values, per-file column min/max/hasNull stats
+    * (data skipping), and per-file Bloom filters (equality skipping on
+    * unclustered columns the appends indexed via `bloomCols`).
+    * Package-visible so the spec can assert the PLANNED file list of
+    * exactly the frame [[buildScan]] executes. */
+  private[graft] def prunedRead(filters: Array[Filter]): DataFrame =
+    CdcTable.readFiltered(sqlContext.sparkSession, dir,
+      (k, v) => filters.forall(keeps(_, k,
+        java.net.URLDecoder.decode(v, "UTF-8"))),
+      commitAsOf, timestampAsOf,
+      statsPredicate =
+        stats => filters.forall(graft.sink.FileStats.allows(stats, _)),
+      bloomPredicate =
+        bl => filters.forall(graft.sink.FileStats.bloomAllows(bl, _)))
 
   /** INSERT INTO (SQL) — append or overwrite through the same atomic
     * manifest commits as the programmatic API. */
