@@ -175,7 +175,8 @@ object Dedup {
     if (cols.contains("bval")) // vector index: embedding-side fold
       return Similarity.compactIndex(spark, indexDir, retries)
     require(cols.contains("fingerprint") || cols.contains("band_key") ||
-        cols.contains("nfp"), // winnowed-fp index folds by DISTINCT
+        cols.contains("nfp") || // winnowed-fp index folds by DISTINCT
+        cols.contains("n_order"), // LM count table folds by SUM
       s"$indexDir is not a dedup index (columns: ${cols.mkString(", ")})")
     IndexMeta.foldWithRetry(retries) { () =>
       val commits = CdcTable.log(indexDir)
@@ -184,6 +185,10 @@ object Dedup {
           CdcTable.read(spark, indexDir)
             .groupBy(col("fingerprint"))
             .agg(min(col("keep_id")).as("keep_id"))
+        else if (cols.contains("n_order")) // additive counts: one row
+          CdcTable.read(spark, indexDir)   // per gram after the fold
+            .groupBy(col("n_order"), col("gram"))
+            .agg(sum(col("cnt")).as("cnt"))
         else CdcTable.read(spark, indexDir).distinct()
       CdcTable.replaceWith(spark, indexDir, folded,
         expectedLastCommit = Some(commits.last.commit))

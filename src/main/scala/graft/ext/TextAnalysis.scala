@@ -1114,6 +1114,67 @@ object TextAnalysis {
     stupidBackoffScore(df, idCol, u, b, t, textCol)
   }
 
+  /** INCREMENTAL LM count maintenance — the actual Brants et al.
+    * deployment shape: the n-gram count tables grow batch-at-a-time
+    * as the corpus arrives. Counts are ADDITIVE, so landing each
+    * batch's own counts and summing at read time is EXACTLY the
+    * full-scan model no matter how arrival was sliced — no index
+    * rebuild, no history re-read (per batch: one count over the batch
+    * + one bounded append). Rows are (n_order ∈ 1|2|3, gram, cnt);
+    * `txn` makes replays idempotent (exactly-once counts — a doubled
+    * batch would silently bias every probability). */
+  def lmCountsAppend(batch: org.apache.spark.sql.DataFrame,
+      tableDir: String, textCol: String = "text",
+      txn: Option[(String, Long)] = None): Unit = {
+    val (u, b, t) = stupidBackoffTables(batch, textCol)
+    val all = u.select(lit(1).as("n_order"), col("w").as("gram"),
+        col("c").as("cnt"))
+      .unionByName(b.select(lit(2).as("n_order"), col("k").as("gram"),
+        col("c").as("cnt")))
+      .unionByName(t.select(lit(3).as("n_order"), col("k").as("gram"),
+        col("c").as("cnt")))
+    graft.sink.CdcTable.append(all, tableDir, partitionBy = Nil,
+      txn = txn)
+    ()
+  }
+
+  /** The effective model from a [[lmCountsAppend]] table: per-gram
+    * counts summed across every committed batch — `(uni, bi, tri)`
+    * frames interchangeable with [[stupidBackoffTables]]'s (and
+    * bit-identical to training on the concatenated corpus). One
+    * map-side-combinable aggregation over the count table; the corpus
+    * itself is never touched. */
+  def lmCountsRead(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val eff = graft.sink.CdcTable.read(spark, tableDir)
+      .groupBy(col("n_order"), col("gram"))
+      .agg(sum(col("cnt")).as("c"))
+    (eff.filter(col("n_order") === 1)
+        .select(col("gram").as("w"), col("c")),
+      eff.filter(col("n_order") === 2)
+        .select(col("gram").as("k"), col("c")),
+      eff.filter(col("n_order") === 3)
+        .select(col("gram").as("k"), col("c")))
+  }
+
+  /** Streaming LM maintenance: every micro-batch's counts land
+    * exactly-once (batch-id-keyed txn markers — crash/replay cannot
+    * double a count). The model any reader sees via [[lmCountsRead]]
+    * is always the exact full-scan model of everything ingested. */
+  def lmCountsStreamToTable(stream: org.apache.spark.sql.DataFrame,
+      textCol: String, tableDir: String, checkpointDir: String,
+      appId: String = "graft-lm")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        lmCountsAppend(batch, tableDir, textCol, Some((appId, id)))
+      }
+      .start()
+
   // ----------------------------------------------------------------
   // BPE tokenizer TRAINING (Sennrich et al. ACL 2016). q76 counts
   // symbol pairs once; this is the full iterative trainer: repeatedly

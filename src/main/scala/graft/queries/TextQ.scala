@@ -2402,6 +2402,37 @@ object TextQ {
        |FROM run WHERE cum_before < alloc
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** q151 — INCREMENTAL Stupid Backoff LM
+    * ([[graft.ext.TextAnalysis.lmCountsAppend]]/`lmCountsRead`): the
+    * corpus arrives as three batches, each landing its OWN n-gram
+    * counts exactly-once (batch 1 is also replayed with the same txn
+    * marker — a doubled count would bias every probability, so
+    * idempotence is part of what the gate grades); `GRAFT COMPACT
+    * INDEX` folds the per-batch commits to one row per gram; scoring
+    * against the summed counts must be bit-identical to training on
+    * the whole corpus at once (counts are additive), so the oracle IS
+    * q148's full-scan formulation. */
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val tbl = QueryDef.scratchDir("lmcounts")
+    for (b <- 0 until 3)
+      graft.ext.TextAnalysis.lmCountsAppend(
+        docs.filter(col("doc_id") % 3 === b), tbl,
+        txn = Some(("q151", b.toLong)))
+    // replay of batch 1: must be a no-op (exactly-once counts)
+    graft.ext.TextAnalysis.lmCountsAppend(
+      docs.filter(col("doc_id") % 3 === 1), tbl,
+      txn = Some(("q151", 1L)))
+    s.sql(s"GRAFT COMPACT INDEX '$tbl'").collect()
+    val (u, b, t) = graft.ext.TextAnalysis.lmCountsRead(s, tbl)
+    graft.ext.TextAnalysis.stupidBackoffScore(docs, "doc_id", u, b, t)
+      .select(col("id").as("doc_id"), col("n_pos"), col("tri_hits"),
+        col("bi_hits"), col("uni_hits"), col("bits_fp"), col("bpt_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q151Sql: String = q148Sql // batched+folded counts ≡ full scan
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2465,5 +2496,6 @@ object TextQ {
     QueryDef("q146_blocklist_filter", q146, Some(q146Sql)),
     QueryDef("q147_winnow_incremental", q147, Some(q147Sql)),
     QueryDef("q148_stupid_backoff", q148, Some(q148Sql)),
-    QueryDef("q149_unimax_sample", q149, Some(q149Sql)))
+    QueryDef("q149_unimax_sample", q149, Some(q149Sql)),
+    QueryDef("q151_lm_incremental", q151, Some(q151Sql)))
 }

@@ -560,6 +560,75 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == ((2L, 1L, 0L, 0L, 1L, perPos, perPos)))
   }
 
+  test("lmCounts: batched arrival ≡ full-scan model, replay-idempotent, " +
+      "compact folds to one row per gram") {
+    val corpus = Seq((1L, "a b c a b"), (2L, "b c a"), (3L, "c c c c"),
+      (4L, "a"), (5L, "")).toDF("id", "text")
+    val tbl = tmpDir("lmtbl")
+    (0 until 2).foreach { b =>
+      TextAnalysis.lmCountsAppend(
+        corpus.filter(col("id") % 2 === b), tbl,
+        txn = Some(("t", b.toLong)))
+    }
+    // replay: same txn, counts must not double
+    TextAnalysis.lmCountsAppend(
+      corpus.filter(col("id") % 2 === 0), tbl, txn = Some(("t", 0L)))
+    def model(u: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame,
+        t: org.apache.spark.sql.DataFrame) =
+      (u.as[(String, Long)].collect().toSet,
+        b.as[(String, Long)].collect().toSet,
+        t.as[(String, Long)].collect().toSet)
+    val (fu, fb, ft) = TextAnalysis.stupidBackoffTables(corpus)
+    val full = model(fu, fb, ft)
+    val pre = TextAnalysis.lmCountsRead(spark, tbl)
+    assert(model(pre._1, pre._2, pre._3) == full,
+      "summed batch counts must equal the full-scan tables")
+    // fold: one commit, one row per gram, model unchanged
+    graft.ext.Dedup.compactIndex(spark, tbl)
+    val post = TextAnalysis.lmCountsRead(spark, tbl)
+    assert(model(post._1, post._2, post._3) == full,
+      "the fold must not change the model")
+    val eff = graft.sink.CdcTable.read(spark, tbl)
+    assert(eff.count() ==
+      eff.select("n_order", "gram").distinct().count(),
+      "post-fold: one row per gram")
+    // scoring through the incremental model = scoring the full model
+    val (iu, ib, it) = TextAnalysis.lmCountsRead(spark, tbl)
+    val inc = TextAnalysis.stupidBackoffScore(corpus, "id", iu, ib, it)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val direct = TextAnalysis.stupidBackoff(corpus, "id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(inc == direct)
+  }
+
+  test("lmCountsStreamToTable: crash replay cannot double a count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = tmpDir("lmstream")
+    val ckpt = tmpDir("lmstreamck")
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.lmCountsStreamToTable(
+      mem.toDF.toDF("id", "text"), "text", tbl, ckpt)
+    try {
+      mem.addData((1L, "a b c"), (2L, "b c")); q.processAllAvailable()
+      mem.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    // manual replay of batch 0's content under its txn marker: no-op
+    TextAnalysis.lmCountsAppend(
+      Seq((1L, "a b c"), (2L, "b c")).toDF("id", "text"), tbl,
+      txn = Some(("graft-lm", 0L)))
+    val (u, b, t) = TextAnalysis.lmCountsRead(spark, tbl)
+    val (fu, fb, ft) = TextAnalysis.stupidBackoffTables(
+      Seq((1L, "a b c"), (2L, "b c"), (3L, "c")).toDF("id", "text"))
+    assert(u.as[(String, Long)].collect().toSet ==
+      fu.as[(String, Long)].collect().toSet)
+    assert(b.as[(String, Long)].collect().toSet ==
+      fb.as[(String, Long)].collect().toSet)
+    assert(t.as[(String, Long)].collect().toSet ==
+      ft.as[(String, Long)].collect().toSet)
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
