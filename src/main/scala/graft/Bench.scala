@@ -200,7 +200,20 @@ object Bench {
         "q144_winnow_fingerprints", "q145_winnow_overlap_pairs",
         // incremental winnow index: three probes + appends per run —
         // per-batch cost bounded by batch + touched-fp volume
-        "q147_winnow_incremental")
+        "q147_winnow_incremental",
+        // round 11 continuation: Stupid Backoff LM (three key-local
+        // joins over the positions frame — the sharded-count-table
+        // serving shape), UniMax (scan + bounded windows — should be
+        // flat), incremental LM counts (maintenance: per-batch count +
+        // append + SQL fold), bloom point lookup (maintenance: the
+        // per-append bloom read-back over orders at 10×; the probe
+        // itself is fixed-cost)
+        "q148_stupid_backoff", "q149_unimax_sample",
+        "q151_lm_incremental", "q150_bloom_point_lookup",
+        // PII scrub is pure per-row regex (should stay flat); trained
+        // langid explodes positions × |langs| against a broadcast
+        // model — the char-level scan shape
+        "q153_pii_scrub", "q154_langid_trained")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -984,6 +984,127 @@ object TextAnalysis {
             s" % $buckets"))
         .drop("toks", "bg", textCol)
 
+  /** Default PII patterns: (name, regex, replacement token). The
+    * regexes are deliberately restricted to the Java ∩ RE2 dialect
+    * (character classes, bounded repetition — no lookaround, no
+    * backrefs) so Spark and any RE2-based engine (DuckDB, Go, Rust)
+    * match identically. */
+  val DefaultPiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Rule-based PII scrubbing over TRAINING TEXT (the C4/CCNet
+    * pre-release hygiene pass — distinct from the structured-row
+    * masking of the CDC path): each pattern's matches are counted
+    * then replaced with its token, SEQUENTIALLY in `patterns` order —
+    * counts are taken on the text as already scrubbed by the
+    * preceding patterns, so a phone digit-run inside an email is
+    * attributed once, to the email (the count/replace pipeline is a
+    * pure per-row function, deterministic and oracle-replayable).
+    * Output: (id, n_<name> per pattern, clean).
+    *
+    * Scale shape: per-row regex work only — joinless, shuffle-free,
+    * scan-speed at any size. */
+  def piiScrub(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text",
+      patterns: Seq[(String, String, String)] = DefaultPiiPatterns)
+  : org.apache.spark.sql.DataFrame = {
+    require(patterns.nonEmpty, "piiScrub: no patterns")
+    val start = df.select(col(idCol).as("id"),
+      col(textCol).as("clean"))
+    val scrubbed = patterns.foldLeft(start) {
+      case (acc, (name, re, token)) =>
+        // patterns as DATA (lit), never interpolated into SQL text —
+        // the advisor-r10 BM25 lesson applies to regexes too
+        acc.withColumn(s"n_$name",
+            regexp_count(col("clean"), lit(re)).cast("long"))
+          .withColumn("clean", regexp_replace(col("clean"), re, token))
+    }
+    scrubbed.select(col("id") +:
+      patterns.map { case (n, _, _) => col(s"n_$n") } :+
+      col("clean"): _*)
+  }
+
+  // ----------------------------------------------------------------
+  // Trained character-trigram language ID (the fastText-langid /
+  // TextCat shape — Cavnar & Trenkle 1994 by way of naive Bayes):
+  // P(lang | text) ∝ Π P(tri | lang) with Laplace smoothing over the
+  // char-trigram vocabulary. The trainable counterpart of the marker
+  // heuristic `languageId`. Exact 16.16 fixed-point bits via
+  // `fixed_log2`, so predictions AND scores are oracle-replayable.
+  // ----------------------------------------------------------------
+
+  /** Train: per-(lang, char-trigram) counts over the labeled corpus —
+    * one map-side-combinable aggregation; the table is bounded by
+    * langs × charset³ regardless of corpus size (it BROADCASTS at
+    * serving time, unlike the unbounded word-n-gram tables of
+    * [[stupidBackoffTables]] which must stay sharded). */
+  def charTrigramLangModel(df: org.apache.spark.sql.DataFrame,
+      langCol: String = "lang", textCol: String = "text")
+  : org.apache.spark.sql.DataFrame =
+    df.select(col(langCol).as("lang"), col(textCol).as("t"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN length(t) >= 3 THEN
+          |  transform(sequence(1, length(t) - 2),
+          |    i -> substring(t, i, 3))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+
+  /** Classify every document against a [[charTrigramLangModel]]:
+    * per position and candidate language the Laplace-smoothed cost is
+    * `flog2(T_l + V) − flog2(c + 1)` bits (T_l = the language's total
+    * trigram count, V = distinct trigrams in the model); the winner is
+    * the minimum summed bits, ties to the smaller language name. Docs
+    * with no trigram predict 'und' at 0 bits. Output: (id, n_tris,
+    * pred_lang, bits_fp).
+    *
+    * Scale shape: the model and its per-language totals broadcast;
+    * the corpus explodes to (position × |langs|) rows feeding one
+    * key-local (id, lang) aggregation — scan-speed, no corpus
+    * shuffle by trigram. */
+  def langIdTrained(df: org.apache.spark.sql.DataFrame, idCol: String,
+      model: org.apache.spark.sql.DataFrame, textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    def lg(c: Column): Column =
+      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+        expr(s"fixed_log2(${c.toString})")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+    val v = model.select(col("tri")).distinct().count()
+    require(v > 0, "langIdTrained: empty model")
+    val totals = model.groupBy("lang").agg(sum(col("c")).as("tl"))
+    val pos = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"), explode(expr(
+        """CASE WHEN length(t) >= 3 THEN
+          |  transform(sequence(1, length(t) - 2),
+          |    i -> substring(t, i, 3))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("tri"))
+    val scored = pos
+      .crossJoin(broadcast(totals))
+      .join(broadcast(model), Seq("tri", "lang"), "left")
+      .withColumn("den0", col("tl") + lit(v))
+      .withColumn("num0", coalesce(col("c"), lit(0L)) + lit(1L))
+      .withColumn("bits", lg(col("den0")) - lg(col("num0")))
+      .groupBy("id", "lang")
+      .agg(count(lit(1)).as("n_tris"), sum(col("bits")).as("bits"))
+      .groupBy("id")
+      .agg(first(col("n_tris")).as("n_tris"),
+        min(struct(col("bits"), col("lang"))).as("w"))
+      .select(col("id"), col("n_tris"), col("w.lang").as("pred_lang"),
+        col("w.bits").as("bits_fp"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tris"), lit(0L)).as("n_tris"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("bits_fp"), lit(0L)).as("bits_fp"))
+  }
+
   // ----------------------------------------------------------------
   // Stupid Backoff trigram LM (Brants et al., "Large Language Models
   // in Machine Translation", EMNLP 2007) — the count-based LM DESIGNED

@@ -629,6 +629,68 @@ class TextAnalysisSpec extends SparkSpec {
       ft.as[(String, Long)].collect().toSet)
   }
 
+  test("piiScrub: counts + sequential replacement, attribution order") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org now"),
+      (2L, "call 555-123-4567 or 555-000-1111"),
+      (3L, "host 192.168.0.1 and 10.0.0.255"),
+      // the phone-shaped digit run sits INSIDE an email: the email
+      // pass scrubs it first, so n_phone must be 0
+      (4L, "reach user555-123-4567@corp.example.com today"),
+      (5L, "no pii here"),
+      (6L, "")).toDF("id", "text")
+    val r = TextAnalysis.piiScrub(docs, "id")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 2L, 0L, 0L, "mail <EMAIL> and <EMAIL> now")))
+    assert(r(2L) == ((2L, 0L, 2L, 0L, "call <PHONE> or <PHONE>")))
+    assert(r(3L) == ((3L, 0L, 0L, 2L, "host <IP> and <IP>")))
+    assert(r(4L) == ((4L, 1L, 0L, 0L, "reach <EMAIL> today")))
+    assert(r(5L) == ((5L, 0L, 0L, 0L, "no pii here")))
+    assert(r(6L) == ((6L, 0L, 0L, 0L, "")))
+  }
+
+  test("langIdTrained: separates languages from counts alone; short " +
+      "docs predict und; brute JVM reference agrees") {
+    import graft.functions.FixedPointMath.flog2
+    val corpus = Seq(
+      (1L, "en", "the cat sat on the mat with the hat"),
+      (2L, "en", "the dog and the cat ran to the house"),
+      (3L, "es", "el gato corre por la casa con el perro"),
+      (4L, "es", "la casa del perro es grande y bonita"),
+      (5L, "en", "xy"), // < 3 chars: no trigram
+      (6L, "en", "the cat ran to the mat"),
+      (7L, "es", "el perro corre a la casa")).toDF("id", "lang", "text")
+    val model = TextAnalysis.charTrigramLangModel(corpus)
+    val got = TextAnalysis.langIdTrained(corpus, "id", model)
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(5L)._3 == "und" && got(5L)._2 == 0L && got(5L)._4 == 0L)
+    // brute JVM reference: same Laplace-smoothed fixed-point bits
+    val rows = corpus.as[(Long, String, String)].collect()
+    def tris(t: String): Seq[String] =
+      if (t.length < 3) Nil
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val mdl = rows.flatMap { case (_, l, t) => tris(t).map(l -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tl = mdl.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val v = mdl.keySet.map(_._2).size.toLong
+    rows.filter(_._3.length >= 3).foreach { case (id, _, t) =>
+      val scoresByLang = tl.keys.toSeq.sorted.map { l =>
+        val bits = tris(t).map(tr =>
+          flog2(tl(l) + v) - flog2(mdl.getOrElse((l, tr), 0L) + 1)).sum
+        (bits, l)
+      }
+      val (bits, win) = scoresByLang.min
+      assert(got(id)._3 == win && got(id)._4 == bits,
+        s"doc $id got=${got(id)} expect=($win,$bits)")
+    }
+    // the separations hold: every training doc classifies to its lang
+    rows.filter(_._3.length >= 3).foreach { case (id, l, _) =>
+      assert(got(id)._3 == l, s"doc $id predicted ${got(id)._3}, is $l")
+    }
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,

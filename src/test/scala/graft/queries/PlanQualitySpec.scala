@@ -348,6 +348,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
 
+  test("stupid backoff scoring: key-local count joins, no product, " +
+      "partial-aggregated training") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir, "documents")
+    val p = plan(graft.ext.TextAnalysis.stupidBackoff(docs, "doc_id"))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(p.contains("HashAggregate"),
+      "count-table training must be hash-aggregated (map-side combine)")
+  }
+
+  test("uniMax: alloc broadcasts; corpus never range-shuffles") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir, "documents")
+    val toks = graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+    val p = plan(graft.ext.Sampling.uniMax(docs, "doc_id", "lang",
+      toks, budget = 1000L))
+    assert(!p.contains("rangepartitioning"),
+      "running totals come from the bucket histogram, not a sort")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"),
+      "the strata-bounded alloc frame must broadcast")
+  }
+
   test("labelPropagate: knn reduces via aggregate; vote join broadcasts") {
     import org.apache.spark.sql.functions.col
     val emb = graft.Tables(spark, dir, "embeddings")
