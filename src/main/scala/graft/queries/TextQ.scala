@@ -2551,6 +2551,50 @@ object TextQ {
        |  ON w.doc_id = d.doc_id AND w.rk = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q152 — per-source dataset card (the datasheet aggregate a
+    * curation run ships with its corpus): per source, document/token
+    * volume, language spread, exact-duplicate mass (md5-fingerprint
+    * groups within the source) and mean document length — all exact
+    * integers, one pass + one bounded fingerprint aggregation. */
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+      .withColumn("ntok",
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("fp", md5(col("text")))
+    val dups = docs.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("n") > 1, col("n"))
+        .otherwise(0L)).as("n_dup_docs"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(dups, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_langs"), col("n_dup_docs"),
+        expr("(1000000 * n_tokens) div n_docs").as("mean_len_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q152Sql: String =
+    s"""WITH d AS (SELECT source, lang,
+       |    CAST(len($toksD) AS BIGINT) AS ntok, md5(text) AS fp
+       |  FROM documents),
+       |dup AS (SELECT source,
+       |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_dup_docs
+       |  FROM (SELECT source, fp, COUNT(*) AS n FROM d
+       |        GROUP BY source, fp) GROUP BY source),
+       |agg AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM d GROUP BY source)
+       |SELECT a.source, a.n_docs, a.n_tokens, a.n_langs,
+       |  dup.n_dup_docs,
+       |  (1000000 * a.n_tokens) // a.n_docs AS mean_len_fp
+       |FROM agg a JOIN dup USING (source)
+       |ORDER BY a.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2617,5 +2661,6 @@ object TextQ {
     QueryDef("q149_unimax_sample", q149, Some(q149Sql)),
     QueryDef("q151_lm_incremental", q151, Some(q151Sql)),
     QueryDef("q153_pii_scrub", q153, Some(q153Sql)),
+    QueryDef("q152_dataset_card", q152, Some(q152Sql)),
     QueryDef("q154_langid_trained", q154, Some(q154Sql)))
 }
