@@ -2595,6 +2595,52 @@ object TextQ {
        |FROM agg a JOIN dup USING (source)
        |ORDER BY a.source""".stripMargin
 
+  /** q155 — per-source winnowed MOSS overlap
+    * ([[graft.ext.Dedup.winnowSids]] with `blockCol = source` feeding
+    * the df-capped pair core): candidate generation AND the hot-
+    * shingle cap run per source — q59's per-source candidate
+    * splitting applied to the winnowed (≈2/(w+1) volume) fingerprint
+    * stream, so cross-source pairs never form and a shingle hot in
+    * one source doesn't suppress another's. The oracle is q145's
+    * replay with (source, shingle) blocking everywhere the global
+    * formulation used the shingle alone. */
+  def q155(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.ngramJaccardPairsFromSids(
+        graft.ext.Dedup.winnowSids(spreadDocs(s, dir), "doc_id",
+          blockCol = Some("source")),
+        threshold = 0.3, maxShingleDocFreq = Some(25L))
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q155Sql: String =
+    s"""$winnowBodyD,
+       |d AS (SELECT sel.doc_id, doc.source AS src,
+       |    list_distinct(list_transform(ps, p -> hs[p])) AS sids
+       |  FROM sel JOIN documents doc ON doc.doc_id = sel.doc_id),
+       |dm AS (SELECT doc_id, src, sids, len(sids) AS m FROM d
+       |  WHERE len(sids) > 0),
+       |e AS (SELECT doc_id, src, sh
+       |  FROM (SELECT doc_id, src, unnest(sids) AS sh FROM dm)),
+       |hot AS (SELECT src, sh FROM e GROUP BY src, sh
+       |  HAVING COUNT(*) > 25),
+       |kept AS (SELECT e.* FROM e
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot
+       |    WHERE hot.sh = e.sh AND hot.src = e.src)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM kept a JOIN kept b
+       |    ON a.sh = b.sh AND a.src = b.src
+       |    AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.a_id, c.b_id, da.m AS ma, db.m AS mb,
+       |    len(list_intersect(da.sids, db.sids)) AS inter
+       |  FROM cand c
+       |  JOIN dm da ON da.doc_id = c.a_id
+       |  JOIN dm db ON db.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       |  CAST(ma + mb - inter AS BIGINT) AS union_size,
+       |  CAST(inter AS DOUBLE) / (ma + mb - inter) AS jaccard
+       |FROM v
+       |WHERE CAST(inter AS DOUBLE) / (ma + mb - inter) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2662,5 +2708,6 @@ object TextQ {
     QueryDef("q151_lm_incremental", q151, Some(q151Sql)),
     QueryDef("q153_pii_scrub", q153, Some(q153Sql)),
     QueryDef("q152_dataset_card", q152, Some(q152Sql)),
+    QueryDef("q155_winnow_per_source", q155, Some(q155Sql)),
     QueryDef("q154_langid_trained", q154, Some(q154Sql)))
 }
