@@ -261,9 +261,13 @@ object OpsQ {
     val orders = Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
     val src = QueryDef.scratchDir("graft_q150_src")
+    // no coalesce: custkeys are uniform across orderkeys, so every
+    // naturally-written file spans ~the whole custkey domain anyway
+    // (min/max proves nothing; only the bloom discriminates) and the
+    // appends keep full write parallelism
     (0L to 3L).foreach { r =>
       graft.sink.CdcTable.append(
-        orders.filter(col("o_orderkey") % 4 === r).coalesce(1), src,
+        orders.filter(col("o_orderkey") % 4 === r), src,
         partitionBy = Nil, bloomCols = Seq("o_custkey"))
     }
     val probe = orders.agg(min(col("o_custkey"))).head.getLong(0)

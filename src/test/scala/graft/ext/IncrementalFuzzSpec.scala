@@ -112,6 +112,50 @@ class IncrementalFuzzSpec extends SparkSpec {
     assert(r.count() == recap.size)
   }
 
+  test("lm-counts incremental fuzz: batches + replays + compactions " +
+      "track the full-scan model") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val tbl = tmpDir("fuzzlm")
+    val corpus = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var lastBatch: Option[(Seq[(Long, String)], Long)] = None
+    var nextId = 0L
+    var txnVer = 0L
+    for (step <- 0 until 12) {
+      val op = rnd.nextInt(10)
+      if (op < 6 || lastBatch.isEmpty) {
+        val docs = (0 until rnd.nextInt(8)).map { _ =>
+          nextId += 1
+          (nextId, Seq.fill(rnd.nextInt(6))(
+            vocab(rnd.nextInt(vocab.size))).mkString(" "))
+        }
+        txnVer += 1
+        TextAnalysis.lmCountsAppend(docs.toDF("id", "text"), tbl,
+          txn = Some(("fuzz", txnVer)))
+        corpus ++= docs
+        lastBatch = Some((docs, txnVer))
+      } else if (op < 8) {
+        // replay the last batch under its original txn: must be a no-op
+        val (docs, ver) = lastBatch.get
+        TextAnalysis.lmCountsAppend(docs.toDF("id", "text"), tbl,
+          txn = Some(("fuzz", ver)))
+      } else if (graft.sink.CdcTable.log(tbl).nonEmpty) {
+        Dedup.compactIndex(spark, tbl)
+      }
+      if (graft.sink.CdcTable.log(tbl).nonEmpty && corpus.nonEmpty) {
+        val (u, b, t) = TextAnalysis.lmCountsRead(spark, tbl)
+        val (fu, fb, ft) = TextAnalysis.stupidBackoffTables(
+          corpus.toSeq.toDF("id", "text"))
+        assert(u.as[(String, Long)].collect().toSet ==
+          fu.as[(String, Long)].collect().toSet, s"uni diverged at $step")
+        assert(b.as[(String, Long)].collect().toSet ==
+          fb.as[(String, Long)].collect().toSet, s"bi diverged at $step")
+        assert(t.as[(String, Long)].collect().toSet ==
+          ft.as[(String, Long)].collect().toSet, s"tri diverged at $step")
+      }
+    }
+  }
+
   test("vector probe lattice: width refines, bands widen, verify is exact") {
     val rnd = new scala.util.Random(7)
     val idx = tmpDir("fuzzvidx")
