@@ -1084,6 +1084,12 @@ object TextAnalysis {
           |    i -> substring(t, i, 3))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
         .as("tri"))
+    // measured at 100×/500k docs: pre-collapsing repeated trigrams
+    // per doc (groupBy(id, tri) before the ×|langs| expansion) was
+    // NOT faster (13.7 s vs 13.1 s) — it trades the map-local
+    // broadcast-join volume for an extra corpus shuffle, and the
+    // (id, lang) aggregation below is already map-side partial. The
+    // shuffle-free scan shape stays.
     val scored = pos
       .crossJoin(broadcast(totals))
       .join(broadcast(model), Seq("tri", "lang"), "left")
