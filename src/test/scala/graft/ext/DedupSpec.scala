@@ -764,10 +764,17 @@ class DedupSpec extends SparkSpec {
     // a 120-hop chain defeats one-hop label propagation (needs
     // `diameter` rounds); star contraction converges in O(log² n)
     val edges = (1L until 120L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val cc = Dedup.connectedComponents(spark, edges)
-      .as[(Long, Long)].collect().toMap
-    assert(cc.size == 120)
-    assert(cc.values.forall(_ == 1L), "every node labels to the chain min")
+    // driverEdgeLimit = 0 forces the DISTRIBUTED star iteration (the
+    // property under test); the default takes the driver union-find
+    // fast path — both must agree
+    for (limit <- Seq(0L, Dedup.DriverCcEdgeLimit)) {
+      val cc = Dedup.connectedComponents(spark, edges,
+          driverEdgeLimit = limit)
+        .as[(Long, Long)].collect().toMap
+      assert(cc.size == 120, s"limit=$limit")
+      assert(cc.values.forall(_ == 1L),
+        s"every node labels to the chain min (limit=$limit)")
+    }
   }
 
   test("connected components matches a union-find oracle on random graphs") {
@@ -788,10 +795,14 @@ class DedupSpec extends SparkSpec {
       }
       val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val expect = touched.map(v => v -> find(v.toInt).toLong).toMap
-      val got = Dedup.connectedComponents(spark,
-          edges.toDF("a_id", "b_id"))
-        .as[(Long, Long)].collect().toMap
-      assert(got == expect, s"seed $seed")
+      // both the driver union-find fast path (default limit) and the
+      // distributed star iteration (limit 0) must match the oracle
+      for (limit <- Seq(0L, Dedup.DriverCcEdgeLimit)) {
+        val got = Dedup.connectedComponents(spark,
+            edges.toDF("a_id", "b_id"), driverEdgeLimit = limit)
+          .as[(Long, Long)].collect().toMap
+        assert(got == expect, s"seed $seed limit=$limit")
+      }
     }
   }
 
