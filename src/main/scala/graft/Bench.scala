@@ -213,7 +213,10 @@ object Bench {
         // PII scrub is pure per-row regex (should stay flat); trained
         // langid explodes positions × |langs| against a broadcast
         // model — the char-level scan shape
-        "q153_pii_scrub", "q154_langid_trained")
+        "q153_pii_scrub", "q154_langid_trained",
+        // KMV distinct sketch: one scan with k-bounded per-group
+        // state + the k-min merge — should scale with the scan alone
+        "q156_kmv_distinct")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => HeavyHitters(e(0), e(1)))
     inject("topk_by", classOf[TopKBy],
       e => TopKBy(e(0), e(1), e(2)))
+    inject("kmv_hashes", classOf[KmvHashes],
+      e => KmvHashes(e(0), e(1)))
     // Spark's own runtime-filter probe expression (codegen'd), exposed
     // as a SQL function so scan-stage Bloom prefilters can be written
     // declaratively (ext/Decontaminate): might_contain(<serialized

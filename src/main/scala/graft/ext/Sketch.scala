@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable distinct-count sketching: the KMV / bottom-k estimator
+  * (Bar-Yossef et al. RANDOM 2002) over the repo's stable md5-prefix
+  * hash, so the sketch — and therefore the ESTIMATE — is a pure
+  * function of the input set, bit-identical across engines and runs.
+  * The reference ships DuckDB's `approx_count_distinct` for this job
+  * (research.md's analytics surface); q55 gates Spark's HLL pair the
+  * only way engine-private sketches can be gated (an error bound).
+  * This operator is the gateable-by-value alternative, and its merge
+  * law is the 100 TB story: the k smallest distinct hashes of a UNION
+  * are computable from the k smallest of each part, so per-partition /
+  * per-day / per-source sketches combine into corpus-level distinct
+  * counts without re-reading data.
+  *
+  * Estimator: with hashes uniform on [0, 2^60), after k distinct
+  * minima the k-th smallest h_k estimates k/n of the domain, so
+  * `est = (k−1)·2^60 div h_k` (the −1 makes it unbiased); with fewer
+  * than k distinct inputs the sketch IS the distinct set and the
+  * estimate is exact. Relative error ≈ 1/√(k−2) (≈6% at k = 256).
+  * All arithmetic is integral (DECIMAL(38,0) product, truncating
+  * div), so DuckDB replays it exactly in HUGEINT. The estimate
+  * overflows BIGINT only if h_k < (k−1)·2^60/2^63 — i.e. ~2^55
+  * distinct values, past any real corpus.
+  */
+object Sketch {
+
+  /** Hash domain: 60-bit md5 prefix (15 hex chars) — positive in
+    * BIGINT on both engines, same idiom as the dedup token ids. */
+  val HashDomain: Long = 1L << 60
+
+  /** Portable 60-bit hash of a column's canonical string form. */
+  def hash60(valueCol: String): Column =
+    expr("CAST(conv(substring(md5(CAST(`" + valueCol +
+      "` AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+
+  /** Per-group KMV sketch: `groupCols* , kmv array<bigint>` (the ≤k
+    * smallest distinct hashes, ascending). One map-side-combinable
+    * aggregation — ≤k longs per group per partition cross the wire. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"kmv k must be at least 2: $k")
+    df.select(groupCols.map(col) :+ hash60(valueCol).as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"kmv_hashes(_h, $k)").as("kmv"))
+  }
+
+  /** The estimate column for a sketch built with this k. */
+  def estimate(kmvCol: String, k: Int): Column =
+    when(size(col(kmvCol)) < k, size(col(kmvCol)).cast("long"))
+      .otherwise(expr(
+        s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * $HashDomain)" +
+          s" div element_at(`$kmvCol`, $k) AS BIGINT)"))
+
+  /** Per-group distinct estimate: `groupCols*, est_distinct`. */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int,
+      groupCols: Seq[String]): DataFrame =
+    kmvSketch(df, valueCol, k, groupCols)
+      .withColumn("est_distinct", estimate("kmv", k))
+      .drop("kmv")
+
+  /** Merge sketches to a coarser grain (or to one global row when
+    * `groupCols` is empty): exact by the k-min-of-union law — the
+    * merged sketch equals the sketch that a single pass over the
+    * union would have built. Input rows are sketches (≤k longs
+    * each), so this never touches the corpus. */
+  def kmvMerge(df: DataFrame, sketchCol: String, k: Int,
+      groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+
+        explode(col(sketchCol)).as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"kmv_hashes(_h, $k)").as(sketchCol))
+}

@@ -140,10 +140,81 @@ object WindowQ {
       |  TRUE AS acd_within_3sigma
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q156 — portable KMV distinct-count sketch
+    * ([[graft.ext.Sketch]]): per-returnflag estimates of distinct
+    * parts, PLUS an 'ALL' row whose sketch is the MERGE of the
+    * per-group sketches (the k-min-of-union law — the distributed /
+    * incremental composition a 100 TB corpus needs). Unlike q55's
+    * engine-private HLL (gateable only by an error bound), the KMV
+    * estimate is a pure function of the input set over the stable
+    * md5-prefix hash, so the oracle hash-matches the ESTIMATE itself:
+    * DuckDB re-derives the k smallest distinct hashes per group (and
+    * globally, which by the merge law equals the merged sketch) and
+    * replays `(k−1)·2^60 div h_k` in HUGEINT. Exact distinct counts
+    * ride along so the artifact also shows the estimator's accuracy. */
+  private val KmvK = 256
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketch
+    val li = Tables(s, dir, "lineitem")
+    val perFlag = Sketch.kmvSketch(li, "l_partkey", KmvK,
+        Seq("l_returnflag"))
+      .join(li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct")),
+        Seq("l_returnflag"))
+    val global = Sketch.kmvMerge(
+        perFlag.select(col("kmv")), "kmv", KmvK, Seq.empty)
+      .withColumn("l_returnflag", lit("ALL"))
+      .crossJoin(broadcast(li.agg(
+        countDistinct(col("l_partkey")).as("exact_distinct"))))
+    perFlag.unionByName(global.select(perFlag.columns.map(col): _*))
+      .select(col("l_returnflag"),
+        graft.ext.Sketch.estimate("kmv", KmvK).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q156Sql: String = {
+    val k = KmvK
+    val dom = graft.ext.Sketch.HashDomain
+    // grp = NULL is the global row ('ALL'): the k-min over ALL
+    // distinct hashes, which the merge law guarantees equals the
+    // Spark side's merged per-group sketches.
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag AS grp,
+       |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h, l_partkey
+       |  FROM lineitem),
+       |both_grains AS (
+       |  SELECT grp, h FROM (SELECT DISTINCT grp, h FROM h)
+       |  UNION ALL
+       |  SELECT NULL AS grp, h FROM (SELECT DISTINCT h FROM h)),
+       |ranked AS (
+       |  SELECT grp, h,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY grp) AS nd
+       |  FROM both_grains),
+       |est AS (
+       |  SELECT COALESCE(grp, 'ALL') AS l_returnflag,
+       |    CASE WHEN MAX(nd) < $k THEN MAX(nd)
+       |         ELSE CAST((${k - 1}::HUGEINT * $dom::HUGEINT)
+       |           // MAX(CASE WHEN rn = $k THEN h END)::HUGEINT AS BIGINT)
+       |    END AS est_distinct
+       |  FROM ranked GROUP BY grp),
+       |exact AS (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+       |  FROM lineitem GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', COUNT(DISTINCT l_partkey) FROM lineitem)
+       |SELECT est.l_returnflag, est.est_distinct, exact.exact_distinct
+       |FROM est JOIN exact USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_moving_window", q51, Some(q51Sql)),
     QueryDef("q52_string_agg", q52, Some(q52Sql)),
     QueryDef("q53_except_all", q53, Some(q53Sql)),
     QueryDef("q54_posexplode", q54, Some(q54Sql)),
-    QueryDef("q55_approx_distinct", q55, Some(q55Sql)))
+    QueryDef("q55_approx_distinct", q55, Some(q55Sql)),
+    QueryDef("q156_kmv_distinct", q156, Some(q156Sql)))
 }

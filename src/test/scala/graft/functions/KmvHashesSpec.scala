@@ -1,0 +1,101 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ext.Sketch
+import org.apache.spark.sql.functions._
+
+/** The KMV distinct sketch: the aggregate's k-min-of-distinct
+  * contract against a JVM reference (dedup internal to the buffer,
+  * determinism under repartitioning), the exact merge law, the
+  * fewer-than-k exact path, and the estimator's error bound on
+  * corpora far larger than k. */
+class KmvHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM reference of [[Sketch.hash60]]: first 15 hex chars of the
+    * md5 digest as a long. */
+  private def hash60(v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def jvmKmv(values: Seq[String], k: Int): Seq[Long] =
+    values.map(hash60).distinct.sorted.take(k)
+
+  test("sketch equals the JVM k-min-of-distinct reference") {
+    val rnd = new scala.util.Random(7)
+    // heavy duplication: dedup inside the buffer is the property
+    val values = (1 to 4000).map(_ => s"v${rnd.nextInt(300)}")
+    val df = values.toDF("v").repartition(16)
+    for (k <- Seq(2, 16, 256)) {
+      val got = Sketch.kmvSketch(df, "v", k, Seq.empty)
+        .as[Seq[Long]].head()
+      assert(got == jvmKmv(values, k), s"k=$k")
+    }
+  }
+
+  test("merge law: merged per-group sketches equal the global sketch") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map(i => (i % 7, s"x${rnd.nextInt(2000)}"))
+    val df = rows.toDF("g", "v").repartition(8)
+    val k = 64
+    val perGroup = Sketch.kmvSketch(df, "v", k, Seq("g"))
+    val merged = Sketch.kmvMerge(perGroup, "kmv", k, Seq.empty)
+      .as[Seq[Long]].head()
+    val global = Sketch.kmvSketch(df, "v", k, Seq.empty)
+      .as[Seq[Long]].head()
+    assert(merged == global)
+  }
+
+  test("fewer than k distinct values: sketch is the set, estimate exact") {
+    val df = (1 to 100).map(i => s"d${i % 10}").toDF("v").repartition(4)
+    val est = Sketch.kmvDistinct(df, "v", 256, Seq.empty)
+      .select(col("est_distinct")).as[Long].head()
+    assert(est == 10L)
+  }
+
+  test("estimator within 4 sigma of exact on a large random domain") {
+    val k = 256
+    // rsd ~ 1/sqrt(k-2) ~ 6.3%; 4 sigma ~ 25%
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20000 + rnd.nextInt(30000)
+      val values = (1 to n).map(_ => s"s${seed}_${rnd.nextInt(n * 3)}")
+      val exact = values.distinct.size.toLong
+      val est = Sketch.kmvDistinct(values.toDF("v").repartition(8),
+          "v", k, Seq.empty)
+        .select(col("est_distinct")).as[Long].head()
+      val err = math.abs(est - exact).toDouble / exact
+      assert(err < 0.25, s"seed=$seed exact=$exact est=$est err=$err")
+    }
+  }
+
+  test("estimate formula matches the driver-side replay") {
+    // pins the DECIMAL(38,0) div arithmetic the oracle mirrors in
+    // HUGEINT: (k-1)*2^60 / h_k truncating
+    val values = (1 to 3000).map(i => s"q$i")
+    val k = 64
+    val sketch = jvmKmv(values, k)
+    val expect = (BigInt(k - 1) * BigInt(Sketch.HashDomain) /
+      BigInt(sketch(k - 1))).toLong
+    val est = Sketch.kmvDistinct(values.toDF("v").repartition(4),
+        "v", k, Seq.empty)
+      .select(col("est_distinct")).as[Long].head()
+    assert(est == expect)
+  }
+
+  test("null values are skipped, k < 2 rejected") {
+    val df = Seq(Some("a"), None, Some("b"), None)
+      .toDF("v")
+    val got = Sketch.kmvSketch(df, "v", 8, Seq.empty)
+      .as[Seq[Long]].head()
+    // nulls hash to null (md5(CAST(NULL AS STRING)) is null) and the
+    // buffer skips them
+    assert(got == jvmKmv(Seq("a", "b"), 8))
+    intercept[IllegalArgumentException] {
+      Sketch.kmvSketch(df, "v", 1, Seq.empty)
+    }
+  }
+}

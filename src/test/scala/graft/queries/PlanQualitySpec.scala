@@ -385,4 +385,16 @@ class PlanQualitySpec extends SparkSpec {
         "an SMJ means the corpus is being shuffled")
   }
 
+  test("kmv sketch: one shuffle, map-side partial aggregation, no join") {
+    val li = graft.Tables(spark, dir, "lineitem")
+    val p = plan(graft.ext.Sketch.kmvSketch(li, "l_partkey", 256,
+      Seq("l_returnflag")))
+    assert(!p.contains("Join"), "the sketch is a pure aggregation")
+    assert(p.contains("ObjectHashAggregate"),
+      "kmv_hashes must partial-aggregate (k-bounded map-side state)")
+    assert(p.split("Exchange").length - 1 == 1,
+      "exactly one shuffle: the k-bounded partials on the group key\n" +
+        p.take(600))
+  }
+
 }
