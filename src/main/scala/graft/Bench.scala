@@ -215,8 +215,10 @@ object Bench {
         // model — the char-level scan shape
         "q153_pii_scrub", "q154_langid_trained",
         // KMV distinct sketch: one scan with k-bounded per-group
-        // state + the k-min merge — should scale with the scan alone
-        "q156_kmv_distinct")
+        // state + the k-min merge — should scale with the scan alone;
+        // the incremental row is maintenance-shaped (three appends +
+        // the SQL fold + read), ≤ k rows per group per batch stored
+        "q156_kmv_distinct", "q157_kmv_incremental")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -176,7 +176,8 @@ object Dedup {
       return Similarity.compactIndex(spark, indexDir, retries)
     require(cols.contains("fingerprint") || cols.contains("band_key") ||
         cols.contains("nfp") || // winnowed-fp index folds by DISTINCT
-        cols.contains("n_order"), // LM count table folds by SUM
+        cols.contains("n_order") || // LM count table folds by SUM
+        cols.contains("kmv_h"), // kmv sketch folds to k-min per group
       s"$indexDir is not a dedup index (columns: ${cols.mkString(", ")})")
     IndexMeta.foldWithRetry(retries) { () =>
       val commits = CdcTable.log(indexDir)
@@ -189,6 +190,8 @@ object Dedup {
           CdcTable.read(spark, indexDir)   // per gram after the fold
             .groupBy(col("n_order"), col("gram"))
             .agg(sum(col("cnt")).as("cnt"))
+        else if (cols.contains("kmv_h"))
+          Sketch.foldKmv(spark, indexDir)
         else CdcTable.read(spark, indexDir).distinct()
       CdcTable.replaceWith(spark, indexDir, folded,
         expectedLastCommit = Some(commits.last.commit))

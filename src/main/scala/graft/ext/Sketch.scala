@@ -73,4 +73,91 @@ object Sketch {
         explode(col(sketchCol)).as("_h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(expr(s"kmv_hashes(_h, $k)").as(sketchCol))
+
+  // ----------------------------------------------------------------
+  // INCREMENTAL distinct sketching — the index-freshness story
+  // applied to cardinality: per-batch sketches land in a graft table
+  // as (groupCols*, kmv_h) rows (≤ k per group per batch) and the
+  // k-min-of-union law makes the read-time re-aggregation EXACTLY the
+  // full-scan sketch no matter how arrival was sliced. Per batch: one
+  // k-bounded aggregation over the batch + one bounded exactly-once
+  // append; history is never re-read. The same shape as the LM count
+  // tables (counts are additive; k-mins are union-combinable) — this
+  // is the seventh index kind under `GRAFT COMPACT INDEX`, whose fold
+  // collapses the per-batch commits to ≤ k rows per group.
+  // ----------------------------------------------------------------
+
+  /** The sketch table's k, pinned at creation in the race-free
+    * sidecar ([[IndexMeta]]): stored rows are only meaningful under
+    * one k — a batch sketched at smaller k would be missing hashes a
+    * larger-k read needs. */
+  private[graft] def storedK(tableDir: String): Int =
+    graft.core.Fs.readString(s"$tableDir/_graft_index_meta")
+      .flatMap(_.linesIterator.collectFirst {
+        case l if l.startsWith("kmv_k=") => l.substring(6).trim.toInt
+      })
+      .getOrElse(sys.error(
+        s"no kmv_k sidecar at $tableDir — not a kmv sketch table"))
+
+  /** Sketch a batch and land it exactly-once: ≤ k rows per group.
+    * `txn` makes replays idempotent (a doubled batch would be
+    * harmless for the sketch — set semantics — but would still bloat
+    * the table; the marker keeps appends exactly-once like every
+    * other incremental index). */
+  def kmvAppend(batch: DataFrame, tableDir: String, valueCol: String,
+      groupCols: Seq[String], k: Int = 256,
+      txn: Option[(String, Long)] = None): Unit = {
+    require(k >= 2, s"kmv k must be at least 2: $k")
+    val won = IndexMeta.ensureInt(tableDir, "kmv_k", k, () => None)
+    require(won == k,
+      s"kmv sketch table at $tableDir was created with k=$won, got k=$k")
+    val rows = kmvSketch(batch, valueCol, k, groupCols)
+      .select(groupCols.map(col) :+ explode(col("kmv")).as("kmv_h"): _*)
+    graft.sink.CdcTable.append(rows, tableDir, partitionBy = Nil,
+      txn = txn)
+    ()
+  }
+
+  /** The effective sketch from a [[kmvAppend]] table: per-group
+    * `kmv` + `est_distinct`, bit-identical to a single-pass sketch of
+    * the concatenated batches. One k-bounded aggregation over ≤
+    * batches·k rows per group; the corpus is never touched. */
+  def kmvRead(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, groupCols: Seq[String]): DataFrame = {
+    val k = storedK(tableDir)
+    graft.sink.CdcTable.read(spark, tableDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"kmv_hashes(kmv_h, $k)").as("kmv"))
+      .withColumn("est_distinct", estimate("kmv", k))
+  }
+
+  /** `GRAFT COMPACT INDEX` fold for a sketch table: ≤ k rows per
+    * group after the fold (the per-group k smallest distinct stored
+    * hashes — exactly what any read would have computed, so probe
+    * results are invariant across the compaction). */
+  private[graft] def foldKmv(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame = {
+    val k = storedK(tableDir)
+    val all = graft.sink.CdcTable.read(spark, tableDir)
+    val groupCols = all.columns.filterNot(_ == "kmv_h").toSeq
+    all.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"kmv_hashes(kmv_h, $k)").as("_kmv"))
+      .select(groupCols.map(col) :+ explode(col("_kmv")).as("kmv_h"): _*)
+  }
+
+  /** Streaming sketch maintenance: every micro-batch lands
+    * exactly-once (batch-id-keyed txn markers); any reader sees the
+    * exact full-scan sketch of everything ingested. */
+  def kmvStreamToTable(stream: DataFrame, valueCol: String,
+      groupCols: Seq[String], tableDir: String, checkpointDir: String,
+      k: Int = 256, appId: String = "graft-kmv")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        kmvAppend(batch, tableDir, valueCol, groupCols, k,
+          Some((appId, id)))
+      }
+      .start()
 }

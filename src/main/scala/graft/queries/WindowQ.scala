@@ -210,11 +210,61 @@ object WindowQ {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** q157 — INCREMENTAL distinct sketching
+    * ([[graft.ext.Sketch.kmvAppend]]): per-source distinct-text
+    * estimates maintained batch-at-a-time — documents land as three
+    * id-sliced batches (one deliberately REPLAYED to prove the txn
+    * markers keep appends exactly-once), the per-batch commits fold
+    * to ≤ k rows per group under `GRAFT COMPACT INDEX`, and the
+    * read-time sketch is graded against the FULL-SCAN oracle: the
+    * k-min-of-union law (batched ≡ folded ≡ full) is the gated
+    * property, the same freshness story as the LM count tables
+    * (q151) applied to cardinality. */
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketch
+    val docs = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val tbl = QueryDef.scratchDir("kmvsketch")
+    for (b <- 0 until 3)
+      Sketch.kmvAppend(docs.filter(col("doc_id") % 3 === b), tbl,
+        "text", Seq("source"), KmvK, txn = Some(("q157", b.toLong)))
+    // replay of batch 1: must be a no-op (exactly-once appends)
+    Sketch.kmvAppend(docs.filter(col("doc_id") % 3 === 1), tbl,
+      "text", Seq("source"), KmvK, txn = Some(("q157", 1L)))
+    s.sql(s"GRAFT COMPACT INDEX '$tbl'").collect()
+    Sketch.kmvRead(s, tbl, Seq("source"))
+      .select(col("source"), col("est_distinct"),
+        size(col("kmv")).cast("long").as("n_mins"))
+      .orderBy(col("source"))
+  }
+
+  val q157Sql: String = {
+    val k = KmvK
+    val dom = graft.ext.Sketch.HashDomain
+    s"""WITH h AS (
+       |  SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS nd
+       |  FROM h)
+       |SELECT source,
+       |  CASE WHEN MAX(nd) < $k THEN MAX(nd)
+       |       ELSE CAST((${k - 1}::HUGEINT * $dom::HUGEINT)
+       |         // MAX(CASE WHEN rn = $k THEN h END)::HUGEINT AS BIGINT)
+       |  END AS est_distinct,
+       |  LEAST(MAX(nd), $k) AS n_mins
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_moving_window", q51, Some(q51Sql)),
     QueryDef("q52_string_agg", q52, Some(q52Sql)),
     QueryDef("q53_except_all", q53, Some(q53Sql)),
     QueryDef("q54_posexplode", q54, Some(q54Sql)),
     QueryDef("q55_approx_distinct", q55, Some(q55Sql)),
-    QueryDef("q156_kmv_distinct", q156, Some(q156Sql)))
+    QueryDef("q156_kmv_distinct", q156, Some(q156Sql)),
+    QueryDef("q157_kmv_incremental", q157, Some(q157Sql)))
 }

@@ -86,6 +86,61 @@ class KmvHashesSpec extends SparkSpec {
     assert(est == expect)
   }
 
+  test("incremental: batched ≡ full, replay-idempotent, fold bounds rows, " +
+      "k pinned at creation") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map(i =>
+      (i.toLong, s"src${i % 3}", s"t${rnd.nextInt(500)}"))
+    val df = rows.toDF("id", "src", "v").repartition(8)
+    val k = 32
+    val tbl = tmpDir("kmvtbl")
+    (0 until 3).foreach { b =>
+      Sketch.kmvAppend(df.filter($"id" % 3 === b), tbl, "v",
+        Seq("src"), k, txn = Some(("t", b.toLong)))
+    }
+    // replay of batch 0: the txn marker must make it a no-op
+    Sketch.kmvAppend(df.filter($"id" % 3 === 0), tbl, "v",
+      Seq("src"), k, txn = Some(("t", 0L)))
+    val full = Sketch.kmvSketch(df, "v", k, Seq("src"))
+      .as[(String, Seq[Long])].collect().toMap
+    def readAll() = Sketch.kmvRead(spark, tbl, Seq("src"))
+      .select($"src", $"kmv").as[(String, Seq[Long])].collect().toMap
+    assert(readAll() == full,
+      "batched sketch must equal the full-scan sketch")
+    graft.ext.Dedup.compactIndex(spark, tbl)
+    assert(readAll() == full, "the fold must not change the sketch")
+    val stored = graft.sink.CdcTable.read(spark, tbl)
+    assert(stored.count() ==
+      full.values.map(_.size.toLong).sum,
+      "post-fold: exactly the k-min rows per group remain")
+    // a different k must be rejected loudly (stored rows are only
+    // meaningful under the creation-time k)
+    val err = intercept[IllegalArgumentException] {
+      Sketch.kmvAppend(df, tbl, "v", Seq("src"), 64)
+    }
+    assert(err.getMessage.contains("created with k=32"))
+  }
+
+  test("kmvStreamToTable: crash replay cannot double-land a batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = tmpDir("kmvstream")
+    val ckpt = tmpDir("kmvstreamck")
+    val mem = MemoryStream[(Long, String)]
+    val q = Sketch.kmvStreamToTable(mem.toDF.toDF("id", "v"), "v",
+      Seq.empty, tbl, ckpt, k = 16)
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      mem.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    // manual replay of batch 0 under its txn marker: no-op
+    Sketch.kmvAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl,
+      "v", Seq.empty, 16, txn = Some(("graft-kmv", 0L)))
+    val got = Sketch.kmvRead(spark, tbl, Seq.empty)
+      .select($"kmv").as[Seq[Long]].head()
+    assert(got == jvmKmv(Seq("a", "b", "c"), 16))
+  }
+
   test("null values are skipped, k < 2 rejected") {
     val df = Seq(Some("a"), None, Some("b"), None)
       .toDF("v")
