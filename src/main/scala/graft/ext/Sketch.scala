@@ -145,6 +145,43 @@ object Sketch {
       .select(groupCols.map(col) :+ explode(col("_kmv")).as("kmv_h"): _*)
   }
 
+  /** Pairwise Jaccard similarity between groups' value SETS,
+    * estimated from the sketches alone (Broder's classic min-hash
+    * argument specialized to bottom-k): for each unordered group
+    * pair, take the k smallest hashes of the UNION of the two
+    * sketches — every member that belongs to a group is necessarily
+    * in that group's own sketch (h among the k smallest of A∪B and
+    * h ∈ A ⇒ h among the k smallest of A), so membership is decidable
+    * from sketch content with NO false negatives — and estimate
+    * J(A,B) ≈ |{h ∈ kmin_k(A∪B) : h ∈ both}| / |kmin_k(A∪B)|. Like
+    * the cardinality estimate, the result is a pure function of the
+    * input sets: the oracle replays it exactly from the full distinct
+    * sets. At 100 TB this is the point — an S×S source-overlap matrix
+    * from S·k longs, no corpus pass per pair (q80's exact dup matrix
+    * reads the corpus; this reads the sketches).
+    *
+    * Input: one row per group, `groupCol` + `kmv` (from [[kmvSketch]]
+    * or [[kmvRead]]). Output per pair (a < b): `shared`, `m` (union
+    * sketch size, = k unless the union is smaller — in which case the
+    * estimate is EXACT), `jaccard_fp` = (shared·10^6) div m. The pair
+    * frame is |groups|² — groups are sources/datasets/shards by
+    * construction (bounded metadata, broadcast). */
+  def kmvJaccard(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val a = sketches.select(col(groupCol).as("a"), col("kmv").as("ka"))
+    val b = sketches.select(col(groupCol).as("b"), col("kmv").as("kb"))
+    a.join(broadcast(b), col("a") < col("b"))
+      .withColumn("u",
+        expr(s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $k)"))
+      .withColumn("m", size(col("u")).cast("long"))
+      .withColumn("shared", expr(
+        """CAST(size(filter(u,
+          |  h -> array_contains(ka, h) AND array_contains(kb, h)))
+          |AS BIGINT)""".stripMargin))
+      .select(col("a"), col("b"), col("shared"), col("m"),
+        expr("(shared * 1000000L) div m").as("jaccard_fp"))
+  }
+
   /** Streaming sketch maintenance: every micro-batch lands
     * exactly-once (batch-id-keyed txn markers); any reader sees the
     * exact full-scan sketch of everything ingested. */

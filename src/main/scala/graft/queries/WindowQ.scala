@@ -259,6 +259,62 @@ object WindowQ {
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q158 — pairwise source-overlap matrix from sketches alone
+    * ([[graft.ext.Sketch.kmvJaccard]], Broder's bottom-k Jaccard):
+    * every unordered source pair's content overlap estimated from the
+    * two k-long sketches — no corpus pass per pair (q80's exact dup
+    * matrix is the corpus-reading formulation). The estimate is a
+    * pure function of the input sets, so the oracle replays it
+    * exactly: k smallest distinct hashes of each source's texts, the
+    * k smallest of each pair's union, shared-membership count, and
+    * the fixed-point ratio — every column hash-matched. */
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketch
+    val docs = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val sk = Sketch.kmvSketch(docs, "text", KmvK, Seq("source"))
+    Sketch.kmvJaccard(sk, "source", KmvK)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q158Sql: String = {
+    val k = KmvK
+    s"""WITH h AS (
+       |  SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM h) WHERE rn <= $k),
+       |pairs AS (
+       |  SELECT x.source AS a, y.source AS b
+       |  FROM (SELECT DISTINCT source FROM h) x,
+       |       (SELECT DISTINCT source FROM h) y
+       |  WHERE x.source < y.source),
+       |uni AS (
+       |  SELECT a, b, h,
+       |    ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT p.a, p.b, s.h
+       |        FROM pairs p JOIN sk s
+       |          ON s.source = p.a OR s.source = p.b)),
+       |ucut AS (SELECT a, b, h FROM uni WHERE rn <= $k),
+       |m AS (SELECT a, b, COUNT(*) AS m FROM ucut GROUP BY a, b),
+       |sh AS (
+       |  SELECT u.a, u.b, COUNT(*) AS shared
+       |  FROM ucut u
+       |  JOIN sk x ON x.source = u.a AND x.h = u.h
+       |  JOIN sk y ON y.source = u.b AND y.h = u.h
+       |  GROUP BY u.a, u.b)
+       |SELECT p.a, p.b, COALESCE(sh.shared, 0) AS shared, m.m AS m,
+       |  (COALESCE(sh.shared, 0) * 1000000) // m.m AS jaccard_fp
+       |FROM pairs p
+       |JOIN m ON m.a = p.a AND m.b = p.b
+       |LEFT JOIN sh ON sh.a = p.a AND sh.b = p.b
+       |ORDER BY p.a, p.b""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_moving_window", q51, Some(q51Sql)),
     QueryDef("q52_string_agg", q52, Some(q52Sql)),
@@ -266,5 +322,6 @@ object WindowQ {
     QueryDef("q54_posexplode", q54, Some(q54Sql)),
     QueryDef("q55_approx_distinct", q55, Some(q55Sql)),
     QueryDef("q156_kmv_distinct", q156, Some(q156Sql)),
-    QueryDef("q157_kmv_incremental", q157, Some(q157Sql)))
+    QueryDef("q157_kmv_incremental", q157, Some(q157Sql)),
+    QueryDef("q158_source_overlap_kmv", q158, Some(q158Sql)))
 }

@@ -141,6 +141,44 @@ class KmvHashesSpec extends SparkSpec {
     assert(got == jvmKmv(Seq("a", "b", "c"), 16))
   }
 
+  test("kmvJaccard matches the JVM replay and tracks true Jaccard") {
+    val k = 128
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // three sets with controlled overlap
+      val common = (1 to 800).map(i => s"c${seed}_$i")
+      val sets = Map(
+        "p" -> (common ++ (1 to 1200).map(i => s"p$i")),
+        "q" -> (common ++ (1 to 400).map(i => s"q$i")),
+        "r" -> (1 to 600).map(i => s"r$i").toSeq)
+      val rows = sets.toSeq.flatMap { case (g, vs) =>
+        // duplicates must not matter
+        (vs ++ vs.take(200)).map(v => (g, v))
+      }
+      val df = rnd.shuffle(rows).toDF("g", "v").repartition(8)
+      val sk = graft.ext.Sketch.kmvSketch(df, "v", k, Seq("g"))
+      val got = graft.ext.Sketch.kmvJaccard(sk, "g", k)
+        .as[(String, String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r).toMap
+      // JVM replay: identical arithmetic from the full distinct sets
+      val jsk = sets.map { case (g, vs) => g -> jvmKmv(vs, k) }
+      for (((a, b), (_, _, shared, m, jfp)) <- got) {
+        val u = (jsk(a) ++ jsk(b)).distinct.sorted.take(k)
+        val sa = jsk(a).toSet; val sb = jsk(b).toSet
+        val expShared = u.count(h => sa(h) && sb(h)).toLong
+        assert((shared, m) == ((expShared, u.size.toLong)),
+          s"pair $a-$b seed $seed")
+        assert(jfp == expShared * 1000000L / u.size)
+        // and the estimate tracks the true Jaccard (rsd ~ 1/sqrt(k))
+        val va = sets(a).toSet; val vb = sets(b).toSet
+        val truth = va.intersect(vb).size.toDouble / va.union(vb).size
+        assert(math.abs(jfp / 1e6 - truth) < 0.15,
+          s"pair $a-$b seed $seed est=${jfp / 1e6} true=$truth")
+      }
+      assert(got.keySet == Set(("p", "q"), ("p", "r"), ("q", "r")))
+    }
+  }
+
   test("null values are skipped, k < 2 rejected") {
     val df = Seq(Some("a"), None, Some("b"), None)
       .toDF("v")
