@@ -283,8 +283,46 @@ object OpsQ {
       |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q159 — one-pass table profiling ([[graft.ext.Profile]], the
+    * Deequ/dbt-docs front door): per-column row/null counts, KMV
+    * distinct estimates, and min/max over `documents`, all computed
+    * in a SINGLE aggregation over one scan — profiling never costs
+    * more than one pass regardless of column count. Every cell
+    * including the distinct ESTIMATES is a pure function of the
+    * table content (the k-bounded sketch over the stable md5-prefix
+    * hash), so the oracle replays the entire profile. */
+  private val ProfileCols = Seq("doc_id", "lang", "n_chars", "source",
+    "text")
+  def q159(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.profile(
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism),
+      ProfileCols)
+
+  val q159Sql: String = {
+    val k = 256
+    val dom = graft.ext.Sketch.HashDomain
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  (SELECT COUNT(*) FROM documents) AS n_rows,
+         |  (SELECT COUNT(*) - COUNT($c) FROM documents) AS n_null,
+         |  (WITH h AS (SELECT DISTINCT CAST(('0x' ||
+         |        substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |      FROM documents WHERE $c IS NOT NULL),
+         |    r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         |        COUNT(*) OVER () AS nd FROM h)
+         |    SELECT CASE WHEN MAX(nd) < $k THEN MAX(nd)
+         |      ELSE CAST((${k - 1}::HUGEINT * $dom::HUGEINT)
+         |        // MAX(CASE WHEN rn = $k THEN h END)::HUGEINT AS BIGINT)
+         |    END FROM r) AS est_distinct,
+         |  (SELECT CAST(MIN($c) AS VARCHAR) FROM documents) AS min_s,
+         |  (SELECT CAST(MAX($c) AS VARCHAR) FROM documents) AS max_s""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q150_bloom_point_lookup", q150, Some(q150Sql)),
+    QueryDef("q159_profile", q159, Some(q159Sql)),
     QueryDef("q56_base64_roundtrip", q56, Some(q56Sql)),
     QueryDef("q57_time_convert", q57, Some(q57Sql)),
     QueryDef("q40_multimodal_meta", q40, Some(q40Sql)),
