@@ -25,6 +25,7 @@ import org.apache.spark.sql.types._
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
   *   GRAFT DETAIL '<path>'
+  *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT DELETE FROM '<path>' WHERE <predicate>
   *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
   *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE]
@@ -96,6 +97,10 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val profileRe = Pattern.compile(
+    """\s*GRAFT\s+PROFILE\s+'([^']+)'""" +
+      """(?:\s+COLUMNS\s+([\w\s,`]+?))?(?:\s+K\s+(\d+))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   // the tail after ON <key> is parsed token-wise in code (see
   // parseReconcileTail): regex-level REPAIR detection cannot reliably
@@ -187,6 +192,14 @@ object GraftSqlParser {
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
+    val pm = profileRe.matcher(sqlText)
+    if (pm.matches()) {
+      val cols = Option(pm.group(2)).toSeq.flatMap(_.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty))
+      return Some(ProfileGraftTable(pm.group(1), cols,
+        Option(pm.group(3)).map(_.toInt).getOrElse(256)))
+    }
     val rm = reconcileRe.matcher(sqlText)
     if (rm.matches()) {
       parseReconcileTail(rm.group(4)).foreach { case (cols, repair) =>
@@ -531,6 +544,41 @@ case class DetailGraftTable(dir: String) extends LeafRunnableCommand {
     val d = CdcTable.detail(dir)
     Seq(Row(d.commits, d.schemaVersion, d.generations, d.liveFiles,
       d.liveBytes, d.rowsEstimate, d.lastCommitTs))
+  }
+}
+
+/** `GRAFT PROFILE '<path>' [COLUMNS c1, …] [K n]` — one-pass table
+  * profiling ([[graft.ext.Profile]]): per-column row/null counts, a
+  * KMV distinct estimate (k-bounded sketch state), and min/max, in a
+  * single scan of the table's current state. Default columns = every
+  * atomic-typed top-level column; complex/binary columns have no
+  * portable ordering or canonical string form and must be profiled
+  * through a derived column instead. Output is one bounded row per
+  * column (metadata-scale collect). */
+case class ProfileGraftTable(dir: String, cols: Seq[String], k: Int)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("column", StringType), attr("n_rows", LongType),
+    attr("n_null", LongType), attr("est_distinct", LongType),
+    AttributeReference("min_s", StringType, nullable = true)(),
+    AttributeReference("max_s", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = CdcTable.read(spark, dir)
+    val atomic = df.schema.fields.filter(_.dataType match {
+      case _: StructType | _: ArrayType | _: MapType | BinaryType =>
+        false
+      case _ => true
+    }).map(_.name).toSeq
+    val chosen = if (cols.isEmpty) atomic else cols
+    val missing = chosen.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"GRAFT PROFILE: no such column(s): ${missing.mkString(", ")}")
+    require(chosen.nonEmpty,
+      s"GRAFT PROFILE: $dir has no atomic-typed columns to profile")
+    graft.ext.Profile.profile(df, chosen, k).collect().toSeq
   }
 }
 

@@ -55,6 +55,29 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(CdcTable.read(spark, dir).count() == 2)
   }
 
+  test("GRAFT PROFILE: one-pass per-column stats from SQL") {
+    val dir = tmpDir("sqlprof")
+    CdcTable.append(Seq((1L, "a", Some(10L)), (2L, "b", None),
+      (3L, "a", Some(30L))).toDF("x", "s", "v"), dir)
+    val all = spark.sql(s"GRAFT PROFILE '$dir'")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(all.keySet == Set("x", "s", "v"),
+      "default = every atomic column")
+    assert(all("x") == (("x", 3L, 0L, 3L, Some("1"), Some("3"))))
+    assert(all("s") == (("s", 3L, 0L, 2L, Some("a"), Some("b"))))
+    assert(all("v") == (("v", 3L, 1L, 2L, Some("10"), Some("30"))))
+    // explicit column list + K; unknown columns rejected loudly
+    val one = spark.sql(s"GRAFT PROFILE '$dir' COLUMNS s K 16")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect()
+    assert(one.map(_._1).toSeq == Seq("s"))
+    val err = intercept[IllegalArgumentException] {
+      spark.sql(s"GRAFT PROFILE '$dir' COLUMNS nope").collect()
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("GRAFT COMPACT collapses the log to current state from SQL") {
     val dir = tmpDir("sqlcompact")
     // CDC-shaped events: same _id twice, the later ts wins
