@@ -1421,4 +1421,67 @@ object TextAnalysis {
         lit(s"|${m.left}||${m.right}|"),
         lit(s"|${m.left}${m.right}|"))
     }
+
+  /** Clipped n-gram precision components — the BLEU p_n numerators
+    * (Papineni et al. ACL 2002) for each (candidate = `a_id`,
+    * reference = `b_id`) pair: `clip_n = Σ_g min(c_cand(g),
+    * c_ref(g))` over candidate n-grams g — a MULTISET intersection,
+    * which the set-semantics overlap family (Jaccard q33/q59,
+    * containment q117) cannot express: a candidate repeating a
+    * reference phrase five times gets credit once per reference
+    * occurrence, not five. Emitted for n = 1, 2 with candidate gram
+    * totals and exact fixed-point precisions `(clip_n·10^6) div
+    * max(total_n, 1)`; the geometric mean / brevity penalty of full
+    * BLEU are one exp away and engine-specific — the gate pins the
+    * exact components instead.
+    *
+    * Scale shape: per-doc gram counting is scan-local; `pairs`
+    * (bounded — the candidate residue of a dedup/retrieval stage, the
+    * same class as the CC edge set) broadcasts into the gram frames,
+    * so only pair-restricted gram rows shuffle (keyed on the pair +
+    * gram), never the corpus. */
+  def clippedNgramOverlap(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toked = docs.select(col(idCol).as("id"),
+      expr(s"split(trim(`$textCol`), '\\\\s+')").as("toks"))
+    val p = broadcast(pairs.select(col("a_id"), col("b_id")))
+    def gramCounts(n: Int) = {
+      val gexpr =
+        if (n == 1) "toks"
+        else
+          s"""CASE WHEN size(toks) >= $n THEN
+             |  transform(sequence(0, size(toks) - $n),
+             |    i -> concat(toks[i], ' ', toks[i+1]))
+             |ELSE array() END""".stripMargin
+      toked.select(col("id"), explode(expr(gexpr)).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+    }
+    def side(n: Int) = {
+      val g = gramCounts(n)
+      val cand = p.join(g.withColumnRenamed("id", "a_id"), Seq("a_id"))
+        .select(col("a_id"), col("b_id"), col("g"), col("c").as("ca"))
+      val ref = g.select(col("id").as("b_id"), col("g"),
+        col("c").as("cb"))
+      cand.join(ref, Seq("b_id", "g"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum(least(col("ca"), col("cb"))).as(s"clip$n"))
+    }
+    val lens = p.join(toked.withColumnRenamed("id", "a_id"), Seq("a_id"))
+      .select(col("a_id"), col("b_id"),
+        size(col("toks")).cast("long").as("total1"),
+        greatest(size(col("toks")).cast("long") - 1, lit(0L))
+          .as("total2"))
+    lens
+      .join(side(1), Seq("a_id", "b_id"), "left")
+      .join(side(2), Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("total1"),
+        coalesce(col("clip1"), lit(0L)).as("clip1"),
+        col("total2"),
+        coalesce(col("clip2"), lit(0L)).as("clip2"))
+      .withColumn("p1_fp",
+        expr("(clip1 * 1000000L) div greatest(total1, 1L)"))
+      .withColumn("p2_fp",
+        expr("(clip2 * 1000000L) div greatest(total2, 1L)"))
+  }
 }

@@ -2641,6 +2641,70 @@ object TextQ {
        |WHERE CAST(inter AS DOUBLE) / (ma + mb - inter) >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q160 — clipped n-gram precision over near-dup candidates
+    * ([[graft.ext.TextAnalysis.clippedNgramOverlap]], the BLEU p_n
+    * numerators): for every MinHash-banded candidate pair (q34's
+    * generation, replayed in the oracle), the MULTISET intersection
+    * of candidate and reference n-gram counts for n = 1, 2 — the
+    * repetition-aware overlap the set-semantics family (Jaccard,
+    * containment) cannot express — plus exact fixed-point precisions.
+    * Pairs stay the bounded dedup residue; gram counting is
+    * scan-local; only pair-restricted gram rows shuffle. */
+  def q160(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.clippedNgramOverlap(
+        spreadDocs(s, dir),
+        q34(s, dir).select(col("a_id"), col("b_id")), "doc_id")
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q160Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, x -> ${tokD("x")}) AS sids FROM d),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids),
+       |bands AS (SELECT doc_id,
+       |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
+       |      sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |g1 AS (SELECT doc_id, g, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+       |t2 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+       |    list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS gs
+       |  FROM t),
+       |g2 AS (SELECT doc_id, g, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(gs) AS g FROM t2) GROUP BY 1, 2),
+       |lens AS (SELECT p.a_id, p.b_id,
+       |    CAST(len(t.toks) AS BIGINT) AS total1,
+       |    CAST(GREATEST(len(t.toks) - 1, 0) AS BIGINT) AS total2
+       |  FROM pairs p JOIN t ON t.doc_id = p.a_id),
+       |c1 AS (SELECT p.a_id, p.b_id,
+       |    CAST(SUM(LEAST(x.c, y.c)) AS BIGINT) AS clip1
+       |  FROM pairs p
+       |  JOIN g1 x ON x.doc_id = p.a_id
+       |  JOIN g1 y ON y.doc_id = p.b_id AND y.g = x.g
+       |  GROUP BY 1, 2),
+       |c2 AS (SELECT p.a_id, p.b_id,
+       |    CAST(SUM(LEAST(x.c, y.c)) AS BIGINT) AS clip2
+       |  FROM pairs p
+       |  JOIN g2 x ON x.doc_id = p.a_id
+       |  JOIN g2 y ON y.doc_id = p.b_id AND y.g = x.g
+       |  GROUP BY 1, 2)
+       |SELECT l.a_id, l.b_id, l.total1,
+       |  COALESCE(c1.clip1, 0) AS clip1, l.total2,
+       |  COALESCE(c2.clip2, 0) AS clip2,
+       |  (COALESCE(c1.clip1, 0) * 1000000) // GREATEST(l.total1, 1)
+       |    AS p1_fp,
+       |  (COALESCE(c2.clip2, 0) * 1000000) // GREATEST(l.total2, 1)
+       |    AS p2_fp
+       |FROM lens l
+       |LEFT JOIN c1 ON c1.a_id = l.a_id AND c1.b_id = l.b_id
+       |LEFT JOIN c2 ON c2.a_id = l.a_id AND c2.b_id = l.b_id
+       |ORDER BY l.a_id, l.b_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2709,5 +2773,6 @@ object TextQ {
     QueryDef("q153_pii_scrub", q153, Some(q153Sql)),
     QueryDef("q152_dataset_card", q152, Some(q152Sql)),
     QueryDef("q155_winnow_per_source", q155, Some(q155Sql)),
-    QueryDef("q154_langid_trained", q154, Some(q154Sql)))
+    QueryDef("q154_langid_trained", q154, Some(q154Sql)),
+    QueryDef("q160_clipped_ngram", q160, Some(q160Sql)))
 }

@@ -714,4 +714,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(graft.query.GraftSession.sql(spark, base,
       "SELECT COUNT(*) FROM g_t").collect()(0).getLong(0) == 3L)
   }
+
+  test("clippedNgramOverlap: multiset clipping, not set overlap") {
+    val docs = Seq(
+      // candidate repeats 'the cat' 3x; reference has it ONCE —
+      // clipping credits the bigram once, set-Jaccard would too but
+      // unigram 'the' must clip at min(3, 2) = 2
+      (1L, "the cat the cat the cat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "wholly different words here"),
+      (4L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("a_id", "b_id")
+    val got = TextAnalysis.clippedNgramOverlap(docs, pairs, "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // cand 1: toks [the,cat]*3 → total1=6; clip1: the→min(3,2)=2,
+    // cat→min(3,1)=1 → 3; bigrams: 'the cat'×3 clip min(3,1)=1,
+    // 'cat the'×2 clip 0 → clip2=1, total2=5
+    assert(got((1L, 2L)) ==
+      ((1L, 2L, 6L, 3L, 5L, 1L, 500000L, 200000L)))
+    // disjoint texts: zero clip, zero precision
+    assert(got((3L, 2L)) == ((3L, 2L, 4L, 0L, 3L, 0L, 0L, 0L)))
+    // identical texts: perfect precision
+    assert(got((2L, 4L)) ==
+      ((2L, 4L, 6L, 6L, 5L, 5L, 1000000L, 1000000L)))
+  }
 }
