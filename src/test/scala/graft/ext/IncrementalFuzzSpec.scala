@@ -156,6 +156,47 @@ class IncrementalFuzzSpec extends SparkSpec {
     }
   }
 
+  test("kmv incremental fuzz: batches + replays + compactions " +
+      "track the full-scan sketch") {
+    val rnd = new scala.util.Random(19)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val k = 16 // far below vocab size → the eviction path fuzzes too
+    val tbl = tmpDir("fuzzkmv")
+    val corpus = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var lastBatch: Option[(Seq[(String, String)], Long)] = None
+    var txnVer = 0L
+    for (step <- 0 until 12) {
+      val op = rnd.nextInt(10)
+      if (op < 6 || lastBatch.isEmpty) {
+        // empty batches and skewed groups included
+        val docs = (0 until rnd.nextInt(9)).map { _ =>
+          (s"g${rnd.nextInt(3)}", vocab(rnd.nextInt(vocab.size)))
+        }
+        txnVer += 1
+        Sketch.kmvAppend(docs.toDF("grp", "v"), tbl, "v", Seq("grp"),
+          k, txn = Some(("fuzz", txnVer)))
+        corpus ++= docs
+        lastBatch = Some((docs, txnVer))
+      } else if (op < 8) {
+        // replay the last batch under its original txn: must be a no-op
+        val (docs, ver) = lastBatch.get
+        Sketch.kmvAppend(docs.toDF("grp", "v"), tbl, "v", Seq("grp"),
+          k, txn = Some(("fuzz", ver)))
+      } else if (graft.sink.CdcTable.log(tbl).nonEmpty) {
+        Dedup.compactIndex(spark, tbl)
+      }
+      if (graft.sink.CdcTable.log(tbl).nonEmpty && corpus.nonEmpty) {
+        val got = Sketch.kmvRead(spark, tbl, Seq("grp"))
+          .select($"grp", $"kmv").as[(String, Seq[Long])]
+          .collect().toMap
+        val full = Sketch.kmvSketch(corpus.toSeq.toDF("grp", "v"),
+            "v", k, Seq("grp"))
+          .as[(String, Seq[Long])].collect().toMap
+        assert(got == full, s"sketch diverged at step $step")
+      }
+    }
+  }
+
   test("vector probe lattice: width refines, bands widen, verify is exact") {
     val rnd = new scala.util.Random(7)
     val idx = tmpDir("fuzzvidx")
