@@ -218,7 +218,16 @@ object Bench {
         // state + the k-min merge — should scale with the scan alone;
         // the incremental row is maintenance-shaped (three appends +
         // the SQL fold + read), ≤ k rows per group per batch stored
-        "q156_kmv_distinct", "q157_kmv_incremental")
+        "q156_kmv_distinct", "q157_kmv_incremental",
+        // per-source winnowed MOSS pairs (q155: q145's volume with
+        // q59's per-source candidate splitting) and the dataset card
+        // (scan + bounded fingerprint agg — should be near-flat)
+        "q155_winnow_per_source", "q152_dataset_card",
+        // sketch-only pairwise overlap reads S*k longs (flat by
+        // design); the one-pass profiler is scan-bound; the clipped
+        // n-gram metric is bounded by the candidate-pair volume
+        "q158_source_overlap_kmv", "q159_profile",
+        "q160_clipped_ngram")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()
