@@ -1429,11 +1429,15 @@ object TextAnalysis {
     * which the set-semantics overlap family (Jaccard q33/q59,
     * containment q117) cannot express: a candidate repeating a
     * reference phrase five times gets credit once per reference
-    * occurrence, not five. Emitted for n = 1, 2 with candidate gram
-    * totals and exact fixed-point precisions `(clip_n·10^6) div
-    * max(total_n, 1)`; the geometric mean / brevity penalty of full
-    * BLEU are one exp away and engine-specific — the gate pins the
-    * exact components instead.
+    * occurrence, not five. Emitted for n = 1, 2 with candidate AND
+    * reference gram totals, exact fixed-point precision
+    * `(clip_n·10^6) div max(tc_n, 1)`, recall (over the reference
+    * total — the clip is symmetric: Σ min is the multiset
+    * intersection size), and F1, which is exactly `2·clip/(tc+tr)`
+    * in integers (no fixed-point division of fixed-points needed:
+    * p = c/tc, r = c/tr ⇒ 2pr/(p+r) = 2c/(tc+tr)). The geometric
+    * mean / brevity penalty of full BLEU are one exp away and
+    * engine-specific — the gate pins the exact components instead.
     *
     * Scale shape: per-doc gram counting is scan-local; `pairs`
     * (bounded — the candidate residue of a dedup/retrieval stage, the
@@ -1467,21 +1471,32 @@ object TextAnalysis {
         .groupBy(col("a_id"), col("b_id"))
         .agg(sum(least(col("ca"), col("cb"))).as(s"clip$n"))
     }
-    val lens = p.join(toked.withColumnRenamed("id", "a_id"), Seq("a_id"))
-      .select(col("a_id"), col("b_id"),
-        size(col("toks")).cast("long").as("total1"),
-        greatest(size(col("toks")).cast("long") - 1, lit(0L))
-          .as("total2"))
-    lens
+    def lensOf(idAlias: String, prefix: String) =
+      p.join(toked.withColumnRenamed("id", idAlias), Seq(idAlias))
+        .select(col("a_id"), col("b_id"),
+          size(col("toks")).cast("long").as(s"${prefix}1"),
+          greatest(size(col("toks")).cast("long") - 1, lit(0L))
+            .as(s"${prefix}2"))
+    lensOf("a_id", "tc")
+      .join(lensOf("b_id", "tr"), Seq("a_id", "b_id"))
       .join(side(1), Seq("a_id", "b_id"), "left")
       .join(side(2), Seq("a_id", "b_id"), "left")
-      .select(col("a_id"), col("b_id"), col("total1"),
+      .select(col("a_id"), col("b_id"),
+        col("tc1"), col("tr1"),
         coalesce(col("clip1"), lit(0L)).as("clip1"),
-        col("total2"),
+        col("tc2"), col("tr2"),
         coalesce(col("clip2"), lit(0L)).as("clip2"))
       .withColumn("p1_fp",
-        expr("(clip1 * 1000000L) div greatest(total1, 1L)"))
+        expr("(clip1 * 1000000L) div greatest(tc1, 1L)"))
+      .withColumn("r1_fp",
+        expr("(clip1 * 1000000L) div greatest(tr1, 1L)"))
+      .withColumn("f1_fp",
+        expr("(2L * clip1 * 1000000L) div greatest(tc1 + tr1, 1L)"))
       .withColumn("p2_fp",
-        expr("(clip2 * 1000000L) div greatest(total2, 1L)"))
+        expr("(clip2 * 1000000L) div greatest(tc2, 1L)"))
+      .withColumn("r2_fp",
+        expr("(clip2 * 1000000L) div greatest(tr2, 1L)"))
+      .withColumn("f2_fp",
+        expr("(2L * clip2 * 1000000L) div greatest(tc2 + tr2, 1L)"))
   }
 }

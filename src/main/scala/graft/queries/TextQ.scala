@@ -2647,9 +2647,10 @@ object TextQ {
     * generation, replayed in the oracle), the MULTISET intersection
     * of candidate and reference n-gram counts for n = 1, 2 — the
     * repetition-aware overlap the set-semantics family (Jaccard,
-    * containment) cannot express — plus exact fixed-point precisions.
-    * Pairs stay the bounded dedup residue; gram counting is
-    * scan-local; only pair-restricted gram rows shuffle. */
+    * containment) cannot express — plus exact fixed-point precision,
+    * recall, and F1 (2·clip/(tc+tr), exactly in integers). Pairs stay
+    * the bounded dedup residue; gram counting is scan-local; only
+    * pair-restricted gram rows shuffle. */
   def q160(s: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.clippedNgramOverlap(
         spreadDocs(s, dir),
@@ -2678,9 +2679,13 @@ object TextQ {
        |g2 AS (SELECT doc_id, g, COUNT(*) AS c
        |  FROM (SELECT doc_id, unnest(gs) AS g FROM t2) GROUP BY 1, 2),
        |lens AS (SELECT p.a_id, p.b_id,
-       |    CAST(len(t.toks) AS BIGINT) AS total1,
-       |    CAST(GREATEST(len(t.toks) - 1, 0) AS BIGINT) AS total2
-       |  FROM pairs p JOIN t ON t.doc_id = p.a_id),
+       |    CAST(len(ta.toks) AS BIGINT) AS tc1,
+       |    CAST(GREATEST(len(ta.toks) - 1, 0) AS BIGINT) AS tc2,
+       |    CAST(len(tb.toks) AS BIGINT) AS tr1,
+       |    CAST(GREATEST(len(tb.toks) - 1, 0) AS BIGINT) AS tr2
+       |  FROM pairs p
+       |  JOIN t ta ON ta.doc_id = p.a_id
+       |  JOIN t tb ON tb.doc_id = p.b_id),
        |c1 AS (SELECT p.a_id, p.b_id,
        |    CAST(SUM(LEAST(x.c, y.c)) AS BIGINT) AS clip1
        |  FROM pairs p
@@ -2693,13 +2698,21 @@ object TextQ {
        |  JOIN g2 x ON x.doc_id = p.a_id
        |  JOIN g2 y ON y.doc_id = p.b_id AND y.g = x.g
        |  GROUP BY 1, 2)
-       |SELECT l.a_id, l.b_id, l.total1,
-       |  COALESCE(c1.clip1, 0) AS clip1, l.total2,
-       |  COALESCE(c2.clip2, 0) AS clip2,
-       |  (COALESCE(c1.clip1, 0) * 1000000) // GREATEST(l.total1, 1)
+       |SELECT l.a_id, l.b_id,
+       |  l.tc1, l.tr1, COALESCE(c1.clip1, 0) AS clip1,
+       |  l.tc2, l.tr2, COALESCE(c2.clip2, 0) AS clip2,
+       |  (COALESCE(c1.clip1, 0) * 1000000) // GREATEST(l.tc1, 1)
        |    AS p1_fp,
-       |  (COALESCE(c2.clip2, 0) * 1000000) // GREATEST(l.total2, 1)
-       |    AS p2_fp
+       |  (COALESCE(c1.clip1, 0) * 1000000) // GREATEST(l.tr1, 1)
+       |    AS r1_fp,
+       |  (2 * COALESCE(c1.clip1, 0) * 1000000)
+       |    // GREATEST(l.tc1 + l.tr1, 1) AS f1_fp,
+       |  (COALESCE(c2.clip2, 0) * 1000000) // GREATEST(l.tc2, 1)
+       |    AS p2_fp,
+       |  (COALESCE(c2.clip2, 0) * 1000000) // GREATEST(l.tr2, 1)
+       |    AS r2_fp,
+       |  (2 * COALESCE(c2.clip2, 0) * 1000000)
+       |    // GREATEST(l.tc2 + l.tr2, 1) AS f2_fp
        |FROM lens l
        |LEFT JOIN c1 ON c1.a_id = l.a_id AND c1.b_id = l.b_id
        |LEFT JOIN c2 ON c2.a_id = l.a_id AND c2.b_id = l.b_id

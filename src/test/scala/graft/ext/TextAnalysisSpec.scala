@@ -726,17 +726,22 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "the cat sat on the mat")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("a_id", "b_id")
     val got = TextAnalysis.clippedNgramOverlap(docs, pairs, "doc_id")
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .select($"a_id", $"b_id", $"tc1", $"tr1", $"clip1", $"tc2",
+        $"tr2", $"clip2", $"p1_fp", $"r1_fp", $"f1_fp", $"p2_fp")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r).toMap
-    // cand 1: toks [the,cat]*3 → total1=6; clip1: the→min(3,2)=2,
+    // cand 1: toks [the,cat]*3 → tc1=6; clip1: the→min(3,2)=2,
     // cat→min(3,1)=1 → 3; bigrams: 'the cat'×3 clip min(3,1)=1,
-    // 'cat the'×2 clip 0 → clip2=1, total2=5
-    assert(got((1L, 2L)) ==
-      ((1L, 2L, 6L, 3L, 5L, 1L, 500000L, 200000L)))
-    // disjoint texts: zero clip, zero precision
-    assert(got((3L, 2L)) == ((3L, 2L, 4L, 0L, 3L, 0L, 0L, 0L)))
-    // identical texts: perfect precision
-    assert(got((2L, 4L)) ==
-      ((2L, 4L, 6L, 6L, 5L, 5L, 1000000L, 1000000L)))
+    // 'cat the'×2 clip 0 → clip2=1, tc2=5; ref 2 has 6 toks / 5
+    // bigrams; F1(uni) = 2·3/(6+6) = 0.5 exactly
+    assert(got((1L, 2L)) == ((1L, 2L, 6L, 6L, 3L, 5L, 5L, 1L,
+      500000L, 500000L, 500000L, 200000L)))
+    // disjoint texts: zero clip everywhere
+    assert(got((3L, 2L)) ==
+      ((3L, 2L, 4L, 6L, 0L, 3L, 5L, 0L, 0L, 0L, 0L, 0L)))
+    // identical texts: perfect precision, recall, F1
+    assert(got((2L, 4L)) == ((2L, 4L, 6L, 6L, 6L, 5L, 5L, 5L,
+      1000000L, 1000000L, 1000000L, 1000000L)))
   }
 }
