@@ -227,7 +227,10 @@ object Bench {
         // design); the one-pass profiler is scan-bound; the clipped
         // n-gram metric is bounded by the candidate-pair volume
         "q158_source_overlap_kmv", "q159_profile",
-        "q160_clipped_ngram")
+        "q160_clipped_ngram",
+        // count-min: vocabulary-bounded build + d·w-long broadcast
+        // probe — should scale with the token-count aggregation alone
+        "q161_countmin_freq")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

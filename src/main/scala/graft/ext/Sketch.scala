@@ -182,6 +182,67 @@ object Sketch {
         expr("(shared * 1000000L) div m").as("jaccard_fp"))
   }
 
+  // ----------------------------------------------------------------
+  // Count-Min frequency sketch (Cormode & Muthukrishnan, J.Alg 2005)
+  // — the frequency sibling of the KMV cardinality sketch: d hash
+  // rows × w cells of ADDITIVE counts; a point estimate is the min
+  // over rows of the probed cells — always ≥ the true count, within
+  // εN (ε = e/w) with probability 1−e^-d. Like everything in this
+  // file the hashing is the stable md5 (four DISJOINT 7-hex-char
+  // slices of one digest), so the sketch and every estimate are pure
+  // functions of the input multiset — cross-engine replayable — and
+  // the cells are additive, so sketches of partitions/batches/days
+  // merge by cell-wise SUM (the same additive law the LM count
+  // tables ride). At 100 TB: token/feature frequency answers from
+  // d·w longs, no vocabulary-sized state anywhere.
+  // ----------------------------------------------------------------
+
+  /** Cell index of `tokCol` for hash row `r` (0-based, r < 4): a
+    * disjoint md5 slice per row. */
+  private def cmCell(tokCol: String, r: Int, width: Int): String =
+    s"CAST(conv(substring(md5(`$tokCol`), ${1 + r * 7}, 7), 16, 10)" +
+      s" AS BIGINT) % $width"
+
+  /** Build the sketch from a (token, count) frame — pre-aggregated
+    * counts keep the explode ×d on the VOCABULARY, not on every
+    * token position. Output: (r, cell, cnt), ≤ d·w rows. */
+  private def cmCellCase(tokCol: String, depth: Int,
+      width: Int): String =
+    "CASE " + (0 until depth).map(r =>
+      s"WHEN r = $r THEN ${cmCell(tokCol, r, width)}").mkString(" ") +
+      " END"
+
+  def cmSketch(tokenCounts: DataFrame, tokCol: String, cntCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 4,
+      s"cm depth must be 1..4 (disjoint md5 slices): $depth")
+    require(width >= 2, s"cm width must be at least 2: $width")
+    // NULL tokens have no hash (md5(NULL) is NULL) and are skipped;
+    // counts are assumed non-negative — deletions would void the
+    // ≥-true-count guarantee
+    tokenCounts.filter(col(tokCol).isNotNull)
+      .select(col(tokCol), col(cntCol).as("c"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("cell", expr(cmCellCase(tokCol, depth, width)))
+      .groupBy(col("r"), col("cell"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (a `t` column): min over the d
+    * probed cells. The sketch (≤ d·w rows) broadcasts; probes never
+    * shuffle. Unprobed-cell semantics: a cell no token hashed to
+    * holds 0. */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame,
+      tokCol: String = "t", depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    probes.filter(col(tokCol).isNotNull)
+      .select(col(tokCol).as("t"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("cell", expr(cmCellCase("t", depth, width)))
+      .join(broadcast(sketch), Seq("r", "cell"), "left")
+      .groupBy(col("t"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
   /** Streaming sketch maintenance: every micro-batch lands
     * exactly-once (batch-id-keyed txn markers); any reader sees the
     * exact full-scan sketch of everything ingested. */

@@ -2718,6 +2718,53 @@ object TextQ {
        |LEFT JOIN c2 ON c2.a_id = l.a_id AND c2.b_id = l.b_id
        |ORDER BY l.a_id, l.b_id""".stripMargin
 
+  /** q161 — Count-Min frequency sketch
+    * ([[graft.ext.Sketch.cmSketch]], Cormode & Muthukrishnan 2005):
+    * 4×1024 additive cells over the corpus token counts, probed with
+    * the top-20 tokens — estimates are min-over-rows and, like the
+    * KMV estimates, pure functions of the input multiset (disjoint
+    * md5 slices), so the oracle replays cells AND estimates exactly;
+    * exact counts ride along to show the ≥-true-count guarantee.
+    * Cells are additive (mergeable by SUM — the LM-count law), and
+    * the sketch answers frequency queries from d·w longs with no
+    * vocabulary-sized state. */
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sketch
+    val tc = spreadDocs(s, dir)
+      .select(explode(expr(toksE)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // sketch + probes + exacts share one scan
+    val sk = Sketch.cmSketch(tc, "t", "c")
+    val probes = tc.orderBy(col("c").desc, col("t")).limit(20)
+    Sketch.cmEstimate(sk, probes.select(col("t")))
+      .join(probes.select(col("t"), col("c").as("exact")), Seq("t"))
+      .select(col("t"), col("est"), col("exact"))
+      .orderBy(col("t"))
+  }
+
+  val q161Sql: String =
+    s"""WITH tc AS (
+       |  SELECT t, COUNT(*) AS c
+       |  FROM (SELECT unnest($toksD) AS t FROM documents) GROUP BY t),
+       |cells AS (
+       |  SELECT r,
+       |    CAST(('0x' || substr(md5(t), 1 + r * 7, 7)) AS BIGINT)
+       |      % 1024 AS cell, c
+       |  FROM tc, (SELECT unnest(range(0, 4)) AS r)),
+       |sk AS (SELECT r, cell, CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY 1, 2),
+       |probes AS (SELECT t, c AS exact FROM tc
+       |  ORDER BY c DESC, t LIMIT 20),
+       |pc AS (
+       |  SELECT p.t, p.exact, r.r,
+       |    CAST(('0x' || substr(md5(p.t), 1 + r.r * 7, 7)) AS BIGINT)
+       |      % 1024 AS cell
+       |  FROM probes p, (SELECT unnest(range(0, 4)) AS r) r)
+       |SELECT pc.t, MIN(COALESCE(sk.cnt, 0)) AS est,
+       |  MAX(pc.exact) AS exact
+       |FROM pc LEFT JOIN sk ON sk.r = pc.r AND sk.cell = pc.cell
+       |GROUP BY pc.t ORDER BY pc.t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2787,5 +2834,6 @@ object TextQ {
     QueryDef("q152_dataset_card", q152, Some(q152Sql)),
     QueryDef("q155_winnow_per_source", q155, Some(q155Sql)),
     QueryDef("q154_langid_trained", q154, Some(q154Sql)),
-    QueryDef("q160_clipped_ngram", q160, Some(q160Sql)))
+    QueryDef("q160_clipped_ngram", q160, Some(q160Sql)),
+    QueryDef("q161_countmin_freq", q161, Some(q161Sql)))
 }

@@ -179,6 +179,57 @@ class KmvHashesSpec extends SparkSpec {
     }
   }
 
+  test("count-min: JVM replay, >=-true-count invariant, additive merge") {
+    val d = 4; val w = 64 // small width → forced collisions
+    def cell(t: String, r: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(md.substring(r * 7, r * 7 + 7), 16) % w
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val tokens = (1 to 4000).map(_ => s"tok${rnd.nextInt(300)}")
+      val exact = tokens.groupBy(identity).map { case (t, v) =>
+        t -> v.size.toLong }
+      val tc = exact.toSeq.toDF("t", "c").repartition(8)
+      val sk = graft.ext.Sketch.cmSketch(tc, "t", "c", d, w)
+      // JVM replay of every cell
+      val cells = Array.fill(d, w)(0L)
+      exact.foreach { case (t, c) =>
+        (0 until d).foreach(r => cells(r)(cell(t, r).toInt) += c) }
+      val gotCells = sk.as[(Int, Long, Long)].collect()
+        .map(x => (x._1, x._2) -> x._3).toMap
+      assert(gotCells == (for {
+        r <- 0 until d; c <- 0 until w if cells(r)(c) > 0
+      } yield (r, c.toLong) -> cells(r)(c)).toMap, s"seed $seed")
+      // estimates: >= exact always, == the min-over-rows replay
+      val est = graft.ext.Sketch.cmEstimate(sk,
+          exact.keys.toSeq.toDF("t"), "t", d, w)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (t, c) =>
+        val replay = (0 until d).map(r => cells(r)(cell(t, r).toInt)).min
+        assert(est(t) == replay && est(t) >= c, s"$t seed $seed")
+      }
+      // unseen probe: hits only cells other tokens filled (or 0) —
+      // still the replayed min
+      val unseen = graft.ext.Sketch.cmEstimate(sk,
+          Seq("never-seen-token").toDF("t"), "t", d, w)
+        .as[(String, Long)].head()._2
+      assert(unseen ==
+        (0 until d).map(r => cells(r)(cell("never-seen-token", r).toInt)).min)
+      // additive merge: summing two halves' sketches = whole sketch
+      val (h1, h2) = exact.toSeq.splitAt(exact.size / 2)
+      val merged = graft.ext.Sketch
+        .cmSketch(h1.toDF("t", "c"), "t", "c", d, w)
+        .unionByName(graft.ext.Sketch
+          .cmSketch(h2.toDF("t", "c"), "t", "c", d, w))
+        .groupBy($"r", $"cell").agg(sum($"cnt").as("cnt"))
+        .as[(Int, Long, Long)].collect()
+        .map(x => (x._1, x._2) -> x._3).toMap
+      assert(merged == gotCells, s"merge law seed $seed")
+    }
+  }
+
   test("null values are skipped, k < 2 rejected") {
     val df = Seq(Some("a"), None, Some("b"), None)
       .toDF("v")
