@@ -43,6 +43,8 @@ object Sketch {
   def kmvSketch(df: DataFrame, valueCol: String, k: Int,
       groupCols: Seq[String]): DataFrame = {
     require(k >= 2, s"kmv k must be at least 2: $k")
+    require(!groupCols.exists(Set("_h", "kmv")),
+      s"group columns collide with sketch internals: $groupCols")
     df.select(groupCols.map(col) :+ hash60(valueCol).as("_h"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(expr(s"kmv_hashes(_h, $k)").as("kmv"))
@@ -108,6 +110,8 @@ object Sketch {
       groupCols: Seq[String], k: Int = 256,
       txn: Option[(String, Long)] = None): Unit = {
     require(k >= 2, s"kmv k must be at least 2: $k")
+    require(!groupCols.contains("kmv_h"),
+      "group columns collide with the stored hash column kmv_h")
     val won = IndexMeta.ensureInt(tableDir, "kmv_k", k, () => None)
     require(won == k,
       s"kmv sketch table at $tableDir was created with k=$won, got k=$k")
@@ -168,6 +172,8 @@ object Sketch {
     * construction (bounded metadata, broadcast). */
   def kmvJaccard(sketches: DataFrame, groupCol: String,
       k: Int): DataFrame = {
+    require(groupCol != "kmv",
+      "groupCol must name the group column, not the sketch")
     val a = sketches.select(col(groupCol).as("a"), col("kmv").as("ka"))
     val b = sketches.select(col(groupCol).as("b"), col("kmv").as("kb"))
     a.join(broadcast(b), col("a") < col("b"))
@@ -217,6 +223,10 @@ object Sketch {
     require(depth >= 1 && depth <= 4,
       s"cm depth must be 1..4 (disjoint md5 slices): $depth")
     require(width >= 2, s"cm width must be at least 2: $width")
+    require(!Set("r", "cell", "c", "cnt")(tokCol) && cntCol != "r" &&
+        cntCol != "cell",
+      s"token/count columns collide with sketch internals: " +
+        s"$tokCol, $cntCol")
     // NULL tokens have no hash (md5(NULL) is NULL) and are skipped;
     // counts are assumed non-negative — deletions would void the
     // ≥-true-count guarantee
