@@ -230,6 +230,34 @@ class KmvHashesSpec extends SparkSpec {
     }
   }
 
+  test("incremental sketches feed kmvJaccard identically to batch ones") {
+    // the deployment composition: maintain per-source sketches
+    // batch-at-a-time, answer the pairwise-overlap matrix from the
+    // table — the k-min-of-union law makes it equal the single-pass
+    // batch path bit for bit
+    val rnd = new scala.util.Random(31)
+    val common = (1 to 300).map(i => s"shared$i")
+    val rows = (common.map(v => ("s1", v)) ++
+      common.take(150).map(v => ("s2", v)) ++
+      (1 to 400).map(i => ("s1", s"a${rnd.nextInt(500)}")) ++
+      (1 to 400).map(i => ("s2", s"b${rnd.nextInt(500)}")))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = rows.toDF("id", "src", "v").repartition(8)
+    val k = 64
+    val tbl = tmpDir("kmvjac")
+    (0 until 3).foreach { b =>
+      graft.ext.Sketch.kmvAppend(df.filter($"id" % 3 === b), tbl, "v",
+        Seq("src"), k, txn = Some(("t", b.toLong)))
+    }
+    val viaTable = graft.ext.Sketch.kmvJaccard(
+        graft.ext.Sketch.kmvRead(spark, tbl, Seq("src")), "src", k)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val viaBatch = graft.ext.Sketch.kmvJaccard(
+        graft.ext.Sketch.kmvSketch(df, "v", k, Seq("src")), "src", k)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(viaTable == viaBatch && viaTable.nonEmpty)
+  }
+
   test("null values are skipped, k < 2 rejected") {
     val df = Seq(Some("a"), None, Some("b"), None)
       .toDF("v")
