@@ -1348,7 +1348,19 @@ object Dedup {
     // var, and the (join-shaped) set-equality confirm only when the
     // cheap count check already agrees
     var eCount = e.count()
-    if (eCount <= driverEdgeLimit) {
+    // The fast path collects ids as Long; a non-integral id column
+    // (string/UUID ids are supported by the dedup API and handled by
+    // the star fixpoint via generic ordering) would cast to NULL and
+    // silently read as 0, collapsing every edge onto one node. Gate
+    // on the id type so those graphs take the distributed path.
+    val integralIds = e.schema.fields.forall(_.dataType match {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (eCount <= driverEdgeLimit && integralIds) {
       // metadata-scale edge set: union–find with path compression on
       // the driver — identical output contract to the star fixpoint
       // (one row per node appearing in an edge, component = min id

@@ -174,8 +174,21 @@ object Sketch {
       k: Int): DataFrame = {
     require(groupCol != "kmv",
       "groupCol must name the group column, not the sketch")
-    val a = sketches.select(col(groupCol).as("a"), col("kmv").as("ka"))
-    val b = sketches.select(col(groupCol).as("b"), col("kmv").as("kb"))
+    // k must be the sketches' build-time k: a smaller k silently
+    // truncates the union slice and biases shared/m/jaccard_fp. A
+    // sketch LARGER than k proves that mismatch — fail in-plan. (The
+    // other direction — k larger than a build-time k that truncated —
+    // is indistinguishable from genuinely small sets on data alone;
+    // [[kmvJaccardTable]] derives k from the sidecar and closes it.)
+    val guarded = sketches.withColumn("kmv",
+      when(size(col("kmv")) > k, expr(
+        s"raise_error(concat('kmvJaccard: sketch for group ', " +
+          s"CAST(`$groupCol` AS STRING), ' has ', " +
+          s"CAST(size(kmv) AS STRING), ' hashes > k=$k — pass the " +
+          s"build-time k'))"))
+        .otherwise(col("kmv")))
+    val a = guarded.select(col(groupCol).as("a"), col("kmv").as("ka"))
+    val b = guarded.select(col(groupCol).as("b"), col("kmv").as("kb"))
     a.join(broadcast(b), col("a") < col("b"))
       .withColumn("u",
         expr(s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $k)"))
@@ -187,6 +200,15 @@ object Sketch {
       .select(col("a"), col("b"), col("shared"), col("m"),
         expr("(shared * 1000000L) div m").as("jaccard_fp"))
   }
+
+  /** [[kmvJaccard]] over an incremental sketch table with k DERIVED
+    * from the table's creation-time sidecar — the k-mismatch bias is
+    * impossible by construction. `groupCol` names the single group
+    * column the table was sketched by. */
+  def kmvJaccardTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, groupCol: String): DataFrame =
+    kmvJaccard(kmvRead(spark, tableDir, Seq(groupCol))
+      .select(col(groupCol), col("kmv")), groupCol, storedK(tableDir))
 
   // ----------------------------------------------------------------
   // Count-Min frequency sketch (Cormode & Muthukrishnan, J.Alg 2005)

@@ -43,11 +43,19 @@ case class KmvHashes(
     ArrayType(LongType, containsNull = false)
   override def prettyName: String = "kmv_hashes"
 
-  private lazy val k: Int = {
+  /** Folded as Long first so an out-of-Int-range literal (e.g.
+    * 4294967298L, which Number.intValue would silently wrap to 2) is
+    * rejected instead of truncated. */
+  private lazy val kLong: Long = {
     val v = kExpr.eval(null)
     require(v != null, "kmv_hashes k must be a literal int")
-    v.asInstanceOf[Number].intValue()
+    v.asInstanceOf[Number].longValue()
   }
+  private lazy val k: Int = kLong.toInt
+
+  /** Sketches live one-per-group in memory and merge via TreeSet
+    * copies; a k past this is a config typo, not a sketch. */
+  private val MaxK = 1 << 24
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (hashExpr.dataType != LongType)
@@ -57,9 +65,9 @@ case class KmvHashes(
         !Seq[DataType](ByteType, ShortType, IntegerType, LongType)
           .contains(kExpr.dataType))
       TypeCheckResult.TypeCheckFailure("kmv_hashes k must be an integer literal")
-    else if (k < 2)
+    else if (kLong < 2 || kLong > MaxK)
       TypeCheckResult.TypeCheckFailure(
-        s"kmv_hashes k must be at least 2: $k")
+        s"kmv_hashes k must be in [2, $MaxK]: $kLong")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =

@@ -301,7 +301,10 @@ object NgramSids {
       case other if other.foldable =>
         other.eval() match {
           case i: Int => i
-          case l: Long => l.toInt
+          case l: Long =>
+            require(l >= Int.MinValue && l <= Int.MaxValue,
+              s"ngram_sids: n out of Int range: $l")
+            l.toInt
           case v => throw new IllegalArgumentException(
             s"ngram_sids: n must be an integer literal, got $v")
         }
@@ -407,7 +410,10 @@ object WinnowFps {
       case other if other.foldable =>
         other.eval() match {
           case i: Int => i
-          case l: Long => l.toInt
+          case l: Long =>
+            require(l >= Int.MinValue && l <= Int.MaxValue,
+              s"winnow_fps: $name out of Int range: $l")
+            l.toInt
           case v => throw new IllegalArgumentException(
             s"winnow_fps: $name must be an integer literal, got $v")
         }
@@ -428,7 +434,10 @@ object LmFeatureIds {
       case other if other.foldable =>
         other.eval() match {
           case i: Int => i
-          case l: Long => l.toInt
+          case l: Long =>
+            require(l >= Int.MinValue && l <= Int.MaxValue,
+              s"lm_feature_ids: buckets out of Int range: $l")
+            l.toInt
           case v => throw new IllegalArgumentException(
             s"lm_feature_ids: buckets must be an integer literal, got $v")
         }

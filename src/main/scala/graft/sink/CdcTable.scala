@@ -381,8 +381,20 @@ object CdcTable {
     if (bloomCols.isEmpty) return Map.empty
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val byName = relFiles
-      .map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    // Key by the FULL relative path (`data/batch-…/…/part-….parquet`),
+    // not the basename: with a non-empty partitionBy one task writes
+    // the same part-NNNNN basename into several partition directories,
+    // and basename keying would merge those files' positions into one
+    // superset bloom while the others silently got none.
+    val byRel = relFiles.toSet
+    def relOf(abs: String): String = {
+      val marker = abs.indexOf("/data/batch-")
+      require(marker >= 0, s"bloom read-back file outside data dir: $abs")
+      val rel = abs.substring(marker + 1)
+      require(byRel.contains(rel),
+        s"bloom read-back file not in the staged list: $rel")
+      rel
+    }
     bloomCols.foreach { c =>
       require(!partCols.contains(c),
         s"bloomCols: $c is a partition column — partition pruning " +
@@ -408,8 +420,7 @@ object CdcTable {
         .distinct()
         .collect()
         .map(r => (r.getString(0), r.getInt(1)))
-        .groupBy { case (f, _) =>
-          byName(f.substring(f.lastIndexOf('/') + 1)) }
+        .groupBy { case (f, _) => relOf(f) }
         .map { case (rel, ps) =>
           rel -> FileStats.packBloom(ps.map(_._2)) }
     }.foldLeft(Map.empty[String, Map[String, String]]) {

@@ -806,6 +806,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: string/UUID ids bypass the driver fast " +
+      "path and still label correctly") {
+    // the driver union-find collects ids as Long; a string id casts
+    // to NULL and getLong would read 0, collapsing every edge onto
+    // one node — the fast path must be gated on integral id types
+    val edges = Seq(("uuid-b", "uuid-a"), ("uuid-c", "uuid-b"),
+      ("uuid-z", "uuid-y")).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(spark, edges)
+      .as[(String, String)].collect().toMap
+    assert(cc.size == 5, s"five nodes labeled: $cc")
+    assert(cc("uuid-a") == "uuid-a" && cc("uuid-b") == "uuid-a" &&
+      cc("uuid-c") == "uuid-a")
+    assert(cc("uuid-y") == "uuid-y" && cc("uuid-z") == "uuid-y")
+    // numeric-LOOKING strings must also avoid the Long collect (the
+    // cast would succeed but silently change the output id type)
+    val numStr = Seq(("20", "10"), ("30", "20")).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(spark, numStr)
+    assert(got.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val m = got.as[(String, String)].collect().toMap
+    assert(m == Map("10" -> "10", "20" -> "10", "30" -> "10"))
+  }
+
   test("connected components merges transitive chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(spark, edges)

@@ -270,4 +270,44 @@ class KmvHashesSpec extends SparkSpec {
       Sketch.kmvSketch(df, "v", 1, Seq.empty)
     }
   }
+
+  test("out-of-Int-range k literal is rejected, not silently wrapped") {
+    // 4294967298L wraps to 2 under Number.intValue — the aggregate
+    // must reject it at analysis instead of building a k=2 sketch
+    val df = Seq("a", "b", "c").toDF("v")
+      .select(Sketch.hash60("v").as("_h"))
+    val e = intercept[Exception] {
+      df.selectExpr("kmv_hashes(_h, 4294967298)").collect()
+    }
+    assert(e.getMessage.contains("kmv_hashes"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("kmvJaccard with a k smaller than build-time k fails loudly") {
+    val df = (1 to 500).map(i => ("g" + (i % 2), s"v$i")).toDF("g", "v")
+    val sk = Sketch.kmvSketch(df, "v", 64, Seq("g"))
+    // k=16 < build k=64: sketches carry 64 hashes — the in-plan guard
+    // must fire rather than silently truncate the union slice
+    val e = intercept[Exception] {
+      Sketch.kmvJaccard(sk, "g", 16).collect()
+    }
+    assert(e.getMessage.contains("kmvJaccard") ||
+      Option(e.getCause).exists(_.getMessage.contains("kmvJaccard")),
+      s"unexpected error: ${e.getMessage}")
+    // the correct k still works
+    assert(Sketch.kmvJaccard(sk, "g", 64).count() == 1L)
+  }
+
+  test("kmvJaccardTable derives k from the sidecar — no mismatch " +
+      "possible") {
+    val df = (1 to 500).map(i => ("g" + (i % 2), s"v$i")).toDF("g", "v")
+    val tbl = tmpDir("kmvjactbl")
+    Sketch.kmvAppend(df, tbl, "v", Seq("g"), k = 64)
+    val viaTable = Sketch.kmvJaccardTable(spark, tbl, "g")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val viaExplicit = Sketch.kmvJaccard(
+        Sketch.kmvRead(spark, tbl, Seq("g")), "g", 64)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(viaTable == viaExplicit && viaTable.nonEmpty)
+  }
 }

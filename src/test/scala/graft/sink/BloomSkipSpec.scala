@@ -126,6 +126,45 @@ class BloomSkipSpec extends SparkSpec {
     }
   }
 
+  test("partitioned append: every data file gets its OWN bloom " +
+      "(basename collisions across partition dirs must not merge)") {
+    val dir = tmpDir("bloompart")
+    // one task writes the same part-00000 basename into each of the
+    // three partition directories — full-relative-path keying is what
+    // keeps the three files' blooms separate
+    CdcTable.append(
+      (0 until 90).map(i => (i.toLong, s"id-$i", s"p${i % 3}"))
+        .toDF("k", "s", "p").coalesce(1),
+      dir, partitionBy = Seq("p"), bloomCols = Seq("s"))
+    val c = CdcTable.log(dir).last
+    assert(c.files.length == 3, s"three partition files: ${c.files}")
+    assert(c.files.map(f => f.substring(f.lastIndexOf('/') + 1))
+      .distinct.length == 1,
+      "precondition: the three files share one part-NNNNN basename " +
+        "(one writing task) — the collision under test")
+    c.files.foreach { f =>
+      assert(c.blooms.contains(f), s"file $f has no bloom entry")
+      assert(c.blooms(f).contains("s"), s"file $f missing column bloom")
+    }
+    // the blooms genuinely differ per partition: a value living only
+    // in p0 must be rejected by p1's and p2's blooms
+    val byPart = c.files.map(f =>
+      f.split("/").find(_.startsWith("p=")).get -> c.blooms(f)("s")).toMap
+    assert(byPart.keySet == Set("p=p0", "p=p1", "p=p2"))
+    assert(FileStats.bloomMayContain(byPart("p=p0"), "id-0"))
+    assert(!FileStats.bloomMayContain(byPart("p=p1"), "id-0") ||
+      !FileStats.bloomMayContain(byPart("p=p2"), "id-0"),
+      "a merged superset bloom would accept id-0 everywhere")
+    // end to end: probing a p0-only value prunes the other partitions
+    val pruned = CdcTable.readFiltered(spark, dir, (_, _) => true,
+      bloomPredicate =
+        bl => FileStats.bloomAllows(bl, EqualTo("s", "id-3")))
+    assert(pruned.inputFiles.length == 1,
+      s"id-3 lives in one file: ${pruned.inputFiles.length}")
+    assert(pruned.filter(col("s") === "id-3").select("k").as[Long]
+      .collect().toSeq == Seq(3L))
+  }
+
   test("bloomCols validation: partition cols and bad types fail loudly") {
     val dir = tmpDir("bloomval")
     val df = Seq((1L, "a", 0.5)).toDF("k", "p", "d")
