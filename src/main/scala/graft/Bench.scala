@@ -3,14 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line
+  * SPARK_GRAFT_SF_DIR and prints the full JSON record
   * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…,
-  * "loadavg":[…],…}; the same line is also written to
-  * SPARK_GRAFT_BENCH_OUT (default ./BENCH_LOCAL.json) so a truncated
-  * stdout capture never loses the artifact. Timing forces full
-  * execution via count() on the query result; per-query values are
-  * min-of-3 interleaved passes with per-pass 1-min load averages
-  * recorded alongside.
+  * "loadavg":[…],…} followed by a compact one-line summary (the
+  * driver captures only a stdout tail — the short LAST line always
+  * parses even when the big line's head is cut). The full record is
+  * also written to SPARK_GRAFT_BENCH_OUT (default ./BENCH_LOCAL.json)
+  * so a truncated stdout capture never loses the artifact. Timing
+  * forces full execution via count() on the query result; per-query
+  * values are min-of-3 interleaved passes (both sections) with
+  * per-pass 1-min load averages recorded alongside.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -85,6 +87,13 @@ object Bench {
       val w = new java.io.PrintWriter(outFile)
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () }
+    // LAST line is a compact, self-contained summary: the driver keeps
+    // only a ~2 KB stdout TAIL, so the big line above always loses its
+    // opening brace there (BENCH_r07–r11 all recorded parsed:null).
+    // Whatever tail window the capture uses, this short final line
+    // survives whole and parses; the full per-query record stays in
+    // the big line / BENCH_LOCAL.json.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"sf":"$sfDir","loadavg":$loadsJson,"full_record":"$outFile"}""")
     spark.stop()
   }
 
@@ -238,11 +247,19 @@ object Bench {
           try { d.fn(spark, out).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 })
       }.toMap
-      val passes = Seq(pass(), pass(), pass())
+      // min-of-3 interleaved passes, same as the main section — and
+      // per-pass loadavg recorded HERE too (r11 showed 18–47% phantom
+      // regressions on untouched sf1 rows under loadavg 3.4–9.1; with
+      // the samples in the section, noise is self-evident per-row)
+      val loads = scala.collection.mutable.ArrayBuffer[Double]()
+      def sampledPass(): Map[String, Double] = { loads += loadavg(); pass() }
+      val passes = Seq(sampledPass(), sampledPass(), sampledPass())
+      loads += loadavg()
       val qs = defs.map { d =>
         "\"" + d.name + f"""\":${minOf(passes.map(_(d.name)))}%.3f"""
       }.mkString("{", ",", "}")
-      f""""sf1":{"factor":$factor,"gen_sec":$genSec%.1f,"queries":$qs}"""
+      val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+      f""""sf1":{"factor":$factor,"gen_sec":$genSec%.1f,"loadavg":$loadsJson,"queries":$qs}"""
     } catch {
       case t: Throwable =>
         s""""sf1":{"error":"${t.getClass.getSimpleName}"}"""
