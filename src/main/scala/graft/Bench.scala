@@ -239,7 +239,12 @@ object Bench {
         "q160_clipped_ngram",
         // count-min: vocabulary-bounded build + d·w-long broadcast
         // probe — should scale with the token-count aggregation alone
-        "q161_countmin_freq")
+        "q161_countmin_freq",
+        // round 12: ONE near-dup pipeline + materialize + all three
+        // curation consumers — compare against q94+q130+q137, which
+        // each re-run the pipeline; this row should cost ~one
+        // pipeline, not three
+        "q162_curation_materialized")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -955,6 +955,52 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
   }
 
+  /** Materialize a [[NearDupResult]] ONCE per corpus snapshot:
+    * `pairs` and `components` land as graft tables under `dir/pairs`
+    * and `dir/components` (ACID, time-travelable, vacuumable like any
+    * other table). At 100 TB the MinHash → LSH → verify → CC pipeline
+    * is the expensive corpus pass; canonical selection
+    * ([[canonicalByQuality]]), leakage-safe splits
+    * ([[graft.ext.Sampling.clusterSplit]]) and contrastive positives
+    * ([[positivePairs]]) are each CHEAP consumers of the same two
+    * frames — persisting them makes a curation run pay the pair
+    * pipeline once per snapshot instead of once per downstream op
+    * (the reference persists its reconciliation reports for the same
+    * reason, specs/001-mongodb-cdc-delta/research.md:732-768). A
+    * write over an existing result REPLACES it atomically: readers
+    * see the old snapshot or the new one, never a mix. */
+  def writeNearDupResult(res: NearDupResult, dir: String): Unit = {
+    def land(df: DataFrame, tbl: String): Unit =
+      if (graft.sink.CdcTable.log(tbl).nonEmpty) {
+        graft.sink.CdcTable.replaceWith(df.sparkSession, tbl, df,
+          partitionBy = Nil)
+        ()
+      } else {
+        graft.sink.CdcTable.append(df, tbl, partitionBy = Nil)
+        ()
+      }
+    land(res.pairs, s"$dir/pairs")
+    land(res.components, s"$dir/components")
+  }
+
+  /** Read a [[writeNearDupResult]] artifact back as a
+    * [[NearDupResult]]. `corpus`/`idCol` rebuild the whole-corpus
+    * `decisions` frame exactly as [[near]] would have (`components`
+    * labels only the DUPLICATE subset — far smaller than the corpus,
+    * which is why decisions are derived at read time rather than
+    * stored corpus-sized). */
+  def readNearDupResult(spark: SparkSession, dir: String,
+      corpus: DataFrame, idCol: String): NearDupResult = {
+    val pairs = graft.sink.CdcTable.read(spark, s"$dir/pairs")
+    val components = graft.sink.CdcTable.read(spark, s"$dir/components")
+    val decisions = corpus.select(col(idCol).as("id"))
+      .join(components, Seq("id"), "left")
+      .withColumn("keep_id", coalesce(col("component"), col("id")))
+      .withColumn("is_duplicate", col("id") =!= col("keep_id"))
+      .select(col("id"), col("keep_id"), col("is_duplicate"))
+    NearDupResult(pairs, components, decisions)
+  }
+
   /** INTRA-document span dedup — the self-repetition cleaner
     * ([[spanDedupRewrite]]'s cross-doc rule turned inward): the
     * document's consecutive `width`-token spans keep only their FIRST

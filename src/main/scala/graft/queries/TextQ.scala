@@ -2765,6 +2765,78 @@ object TextQ {
        |FROM pc LEFT JOIN sk ON sk.r = pc.r AND sk.cell = pc.cell
        |GROUP BY pc.t ORDER BY pc.t""".stripMargin
 
+  /** q162 — curation from ONE materialized near-dup result
+    * ([[graft.ext.Dedup.writeNearDupResult]] /
+    * [[graft.ext.Dedup.readNearDupResult]]): the MinHash → LSH →
+    * verify → CC pipeline runs ONCE and its (pairs, components)
+    * frames land as graft tables; canonical selection (q94's op),
+    * the leakage-safe cluster split (q130's) and contrastive positive
+    * pairs (q137's) then all consume the SAME stored result — the
+    * shape a 100 TB curation run wants, paying the expensive pair
+    * pipeline once per corpus snapshot instead of once per consumer.
+    * The three consumers' rows are tagged and unioned; the oracle is
+    * the three existing oracles over one shared cluster labeling, so
+    * a hash match proves the materialized round trip changes NOTHING
+    * in any consumer. */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    val out = QueryDef.scratchDir("neardup_result")
+    val docs = spreadDocs(s, dir)
+    graft.ext.Dedup.writeNearDupResult(
+      graft.ext.Dedup.near(docs, "text", "doc_id"), out)
+    val res = graft.ext.Dedup.readNearDupResult(s, out, docs, "doc_id")
+    val canonical = graft.ext.Dedup
+      .canonicalByQuality(res, docs, "doc_id", "n_chars")
+      .select(lit("canonical").as("op"), col("cluster_id").as("k1"),
+        col("kept_id").as("k2"), col("n_members").as("v1"),
+        col("total_quality").as("v2"),
+        lit(null).cast("string").as("tag"))
+    val split = graft.ext.Sampling
+      .clusterSplit(docs.select(col("doc_id")), "doc_id",
+        res.components)
+      .select(lit("split").as("op"), col("doc_id").as("k1"),
+        col("group_id").as("k2"), lit(null).cast("long").as("v1"),
+        lit(null).cast("long").as("v2"), col("split").as("tag"))
+    val pos = graft.ext.Dedup.positivePairs(res)
+      .select(lit("pairs").as("op"), col("cluster_id").as("k1"),
+        col("a_id").as("k2"), col("b_id").as("v1"),
+        lit(null).cast("long").as("v2"),
+        lit(null).cast("string").as("tag"))
+    canonical.unionByName(split).unionByName(pos)
+      .orderBy(col("op"), col("k1"), col("k2"), col("v1"))
+  }
+
+  val q162Sql: String =
+    s"""$clusterBodyD,
+       |ranked AS (SELECT l.component, l.id, dd.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY l.component
+       |      ORDER BY dd.n_chars DESC, l.id ASC) AS rn
+       |  FROM lab l JOIN documents dd ON dd.doc_id = l.id),
+       |canon AS (SELECT 'canonical' AS op, component AS k1,
+       |    CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS k2,
+       |    COUNT(*) AS v1, CAST(SUM(n_chars) AS BIGINT) AS v2,
+       |    CAST(NULL AS VARCHAR) AS tag
+       |  FROM ranked GROUP BY component),
+       |grp AS (SELECT dd.doc_id,
+       |    COALESCE(l.component, dd.doc_id) AS group_id
+       |  FROM documents dd LEFT JOIN lab l ON l.id = dd.doc_id),
+       |sp AS (SELECT doc_id, group_id,
+       |    CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 100 AS bucket FROM grp),
+       |spl AS (SELECT 'split' AS op, doc_id AS k1, group_id AS k2,
+       |    CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS tag
+       |  FROM sp),
+       |pos AS (SELECT 'pairs' AS op, a.component AS k1, a.id AS k2,
+       |    b.id AS v1, CAST(NULL AS BIGINT) AS v2,
+       |    CAST(NULL AS VARCHAR) AS tag
+       |  FROM lab a JOIN lab b
+       |    ON a.component = b.component AND a.id < b.id)
+       |SELECT * FROM canon
+       |UNION ALL SELECT * FROM spl
+       |UNION ALL SELECT * FROM pos
+       |ORDER BY op, k1, k2, v1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q28_token_stats", q28, Some(q28Sql)),
     QueryDef("q29_quality_score", q29, Some(q29Sql)),
@@ -2835,5 +2907,6 @@ object TextQ {
     QueryDef("q155_winnow_per_source", q155, Some(q155Sql)),
     QueryDef("q154_langid_trained", q154, Some(q154Sql)),
     QueryDef("q160_clipped_ngram", q160, Some(q160Sql)),
-    QueryDef("q161_countmin_freq", q161, Some(q161Sql)))
+    QueryDef("q161_countmin_freq", q161, Some(q161Sql)),
+    QueryDef("q162_curation_materialized", q162, Some(q162Sql)))
 }

@@ -806,6 +806,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("writeNearDupResult/readNearDupResult: consumers of the stored " +
+      "result equal consumers of the live pipeline; re-write replaces") {
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away into the deep green forest tonight while stars shine"
+    val docs = Seq(
+      (10L, base, 60L), (11L, base + " extra", 66L),
+      (12L, base.replace("quick", "rapid"), 60L),
+      (13L, "completely different words describing graphs and engines " +
+        "spark catalyst tungsten shuffle partitions exchange", 50L),
+      (14L, "yet another unrelated document about streaming watermarks " +
+        "checkpoints state stores and session windows", 48L)
+    ).toDF("doc_id", "text", "n_chars")
+    val live = Dedup.near(docs, "text", "doc_id", jaccardThreshold = 0.5)
+    val dir = tmpDir("neardup_mat")
+    Dedup.writeNearDupResult(live, dir)
+    val stored = Dedup.readNearDupResult(spark, dir, docs, "doc_id")
+    // every consumer reads the ONE stored result and equals the live run
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(stored.pairs) == rows(live.pairs))
+    assert(rows(stored.components) == rows(live.components))
+    assert(rows(stored.decisions) == rows(live.decisions))
+    assert(rows(Dedup.canonicalByQuality(stored, docs, "doc_id",
+        "n_chars")) ==
+      rows(Dedup.canonicalByQuality(live, docs, "doc_id", "n_chars")))
+    assert(rows(Dedup.positivePairs(stored)) ==
+      rows(Dedup.positivePairs(live)))
+    assert(rows(Sampling.clusterSplit(docs.select($"doc_id"), "doc_id",
+        stored.components)) ==
+      rows(Sampling.clusterSplit(docs.select($"doc_id"), "doc_id",
+        live.components)))
+    // a second write over a NEW snapshot atomically replaces: readers
+    // see only the new labeling
+    val docs2 = docs.filter($"doc_id" =!= 12L)
+    val live2 = Dedup.near(docs2, "text", "doc_id",
+      jaccardThreshold = 0.5)
+    Dedup.writeNearDupResult(live2, dir)
+    val stored2 = Dedup.readNearDupResult(spark, dir, docs2, "doc_id")
+    assert(rows(stored2.components) == rows(live2.components))
+    assert(!stored2.pairs.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSet.exists(p => p._1 == 12L || p._2 == 12L),
+      "the replaced snapshot must not leak old pairs")
+  }
+
   test("connected components: string/UUID ids bypass the driver fast " +
       "path and still label correctly") {
     // the driver union-find collects ids as Long; a string id casts
