@@ -177,7 +177,8 @@ object Dedup {
     require(cols.contains("fingerprint") || cols.contains("band_key") ||
         cols.contains("nfp") || // winnowed-fp index folds by DISTINCT
         cols.contains("n_order") || // LM count table folds by SUM
-        cols.contains("kmv_h"), // kmv sketch folds to k-min per group
+        cols.contains("kmv_h") || // kmv sketch folds to k-min per group
+        cols.contains("dtype"), // profile partials fold by merge
       s"$indexDir is not a dedup index (columns: ${cols.mkString(", ")})")
     IndexMeta.foldWithRetry(retries) { () =>
       val commits = CdcTable.log(indexDir)
@@ -192,6 +193,8 @@ object Dedup {
             .agg(sum(col("cnt")).as("cnt"))
         else if (cols.contains("kmv_h"))
           Sketch.foldKmv(spark, indexDir)
+        else if (cols.contains("dtype")) // profile partials: merge to
+          Profile.foldProfile(spark, indexDir) // one row per column
         else CdcTable.read(spark, indexDir).distinct()
       CdcTable.replaceWith(spark, indexDir, folded,
         expectedLastCommit = Some(commits.last.commit))

@@ -48,4 +48,167 @@ object Profile {
       .select(col("p.*"))
       .orderBy(col("column"))
   }
+
+  // ----------------------------------------------------------------
+  // INCREMENTAL profiling — the index-freshness story applied to the
+  // profile itself: per-batch PARTIALS (counts, k-min sketch, typed
+  // min/max) land in a graft table as C rows per batch, and because
+  // every metric is mergeable (counts additive, k-mins
+  // union-combinable, min/max associative), the read-time merge is
+  // EXACTLY the single-pass profile of the concatenated batches — so
+  // profiling a live 100 TB table costs O(changed commits), not a
+  // corpus scan per refresh. The eighth index kind under
+  // `GRAFT COMPACT INDEX` (fold = the same merge, ≤ C rows after).
+  // Mirrors Delta's auto-computed table stats (the reference reads
+  // them through delta_scan metadata, research.md:545-615).
+  // ----------------------------------------------------------------
+
+  /** Partial-row column set (the stored schema): typed min/max slots
+    * keep the NATIVE ordering per type family — a string-cast min is
+    * only order-preserving for strings/dates/timestamps/booleans, so
+    * integrals merge in `_l` and doubles in `_d`. */
+  private def typedSlots(dt: org.apache.spark.sql.types.DataType,
+      c: String): (Column, Column, Column, Column, Column, Column) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (min(col(c)).cast("long"), max(col(c)).cast("long"),
+          lit(null).cast("double"), lit(null).cast("double"),
+          lit(null).cast("string"), lit(null).cast("string"))
+      case DoubleType =>
+        (lit(null).cast("long"), lit(null).cast("long"),
+          min(col(c)), max(col(c)),
+          lit(null).cast("string"), lit(null).cast("string"))
+      case StringType | DateType | BooleanType |
+           TimestampType | TimestampNTZType =>
+        // ISO date/timestamp strings and 'false' < 'true' order
+        // exactly like the native values, so the string slot is safe
+        (lit(null).cast("long"), lit(null).cast("long"),
+          lit(null).cast("double"), lit(null).cast("double"),
+          min(col(c)).cast("string"), max(col(c)).cast("string"))
+      case other => throw new IllegalArgumentException(
+        s"profileAppend: column $c has type ${other.simpleString} — " +
+          "only integral, double, string, date, timestamp and boolean " +
+          "columns have mergeable order-preserving partials (floats " +
+          "and decimals would change min/max strings vs a full scan)")
+    }
+  }
+
+  /** Profile a batch and land its PARTIALS exactly-once: one
+    * aggregation over the batch, C rows appended (`txn` replays are
+    * no-ops, like every incremental index). The column set and k are
+    * pinned at creation; later appends must match. */
+  def profileAppend(batch: DataFrame, tableDir: String,
+      cols: Seq[String], k: Int = 256,
+      txn: Option[(String, Long)] = None): Unit = {
+    require(cols.nonEmpty, "profileAppend needs at least one column")
+    require(k >= 2, s"profile k must be at least 2: $k")
+    val won = IndexMeta.ensureInt(tableDir, "profile_k", k, () => None)
+    require(won == k,
+      s"profile index at $tableDir was created with k=$won, got k=$k")
+    val perCol: Seq[Column] = cols.flatMap { c =>
+      val (minL, maxL, minD, maxD, minS, maxS) =
+        typedSlots(batch.schema(c).dataType, c)
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        expr("kmv_hashes(CAST(conv(substring(md5(CAST(`" + c +
+          s"` AS STRING)), 1, 15), 16, 10) AS BIGINT), $k)")
+          .as(s"_kmv_$c"),
+        minL.as(s"_minl_$c"), maxL.as(s"_maxl_$c"),
+        minD.as(s"_mind_$c"), maxD.as(s"_maxd_$c"),
+        minS.as(s"_mins_$c"), maxS.as(s"_maxs_$c"))
+    }
+    val one = batch.agg(count(lit(1)).as("_n"), perCol: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        lit(batch.schema(c).dataType.simpleString).as("dtype"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_kmv_$c").as("kmv"),
+        col(s"_minl_$c").as("min_l"), col(s"_maxl_$c").as("max_l"),
+        col(s"_mind_$c").as("min_d"), col(s"_maxd_$c").as("max_d"),
+        col(s"_mins_$c").as("min_s"), col(s"_maxs_$c").as("max_s"))
+    }
+    val partials = one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+    graft.sink.CdcTable.append(partials, tableDir, partitionBy = Nil,
+      txn = txn)
+    ()
+  }
+
+  /** The table's k, pinned at creation in the sidecar. */
+  private[graft] def storedProfileK(tableDir: String): Int =
+    graft.core.Fs.readString(s"$tableDir/_graft_index_meta")
+      .flatMap(_.linesIterator.collectFirst {
+        case l if l.startsWith("profile_k=") =>
+          l.substring(10).trim.toInt
+      })
+      .getOrElse(sys.error(
+        s"no profile_k sidecar at $tableDir — not a profile index"))
+
+  /** Merge stored partials to ONE row per (column, dtype): the exact
+    * aggregation [[profileRead]] serves from and the COMPACT INDEX
+    * fold stores back — associative/commutative merges, so
+    * batched ≡ folded ≡ full-scan holds by construction. */
+  private def mergedPartials(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame = {
+    val k = storedProfileK(tableDir)
+    val all = graft.sink.CdcTable.read(spark, tableDir)
+    val counts = all.groupBy(col("column"))
+      .agg(countDistinct(col("dtype")).as("_ndt"),
+        first(col("dtype")).as("dtype"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_null")).as("n_null"),
+        min(col("min_l")).as("min_l"), max(col("max_l")).as("max_l"),
+        min(col("min_d")).as("min_d"), max(col("max_d")).as("max_d"),
+        min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"))
+      // one dtype per column or the merge semantics are undefined —
+      // fail in-plan rather than serve a silently wrong min/max. The
+      // guard rides n_rows (present in EVERY consumer's projection);
+      // hanging it on dtype would let profileRead's column pruning
+      // silently drop the check
+      .withColumn("n_rows", when(col("_ndt") > 1, expr(
+        "raise_error(concat('profile index: column ', column, " +
+          "' was appended under multiple types'))"))
+        .otherwise(col("n_rows")))
+      .drop("_ndt")
+    val sketches = all.select(col("column"),
+        explode(col("kmv")).as("_h"))
+      .groupBy(col("column"))
+      .agg(expr(s"kmv_hashes(_h, $k)").as("kmv"))
+    // LEFT join: an all-null column has only EMPTY stored sketches —
+    // explode drops its rows entirely, so it merges to the empty
+    // sketch here instead of vanishing from the profile
+    counts.join(sketches, Seq("column"), "left")
+      .withColumn("kmv",
+        coalesce(col("kmv"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+  }
+
+  /** The effective profile from a [[profileAppend]] table —
+    * bit-identical to [[profile]] over the concatenated batches, read
+    * from O(batches·C) stored partial rows with ZERO corpus IO. */
+  def profileRead(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame = {
+    val k = storedProfileK(tableDir)
+    mergedPartials(spark, tableDir)
+      .select(col("column"), col("n_rows"), col("n_null"),
+        Sketch.estimate("kmv", k).as("est_distinct"),
+        coalesce(col("min_l").cast("string"),
+          col("min_d").cast("string"), col("min_s")).as("min_s"),
+        coalesce(col("max_l").cast("string"),
+          col("max_d").cast("string"), col("max_s")).as("max_s"))
+      .orderBy(col("column"))
+  }
+
+  /** `GRAFT COMPACT INDEX` fold: ≤ one partial row per column after
+    * the fold, in the STORED schema — reads before and after are
+    * identical because the fold is the read-time merge itself. */
+  private[graft] def foldProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame =
+    mergedPartials(spark, tableDir)
+      .select(col("column"), col("dtype"), col("n_rows"),
+        col("n_null"), col("kmv"), col("min_l"), col("max_l"),
+        col("min_d"), col("max_d"), col("min_s"), col("max_s"))
 }

@@ -320,9 +320,39 @@ object OpsQ {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** q163 — INCREMENTAL table profiling
+    * ([[graft.ext.Profile.profileAppend]] / `GRAFT PROFILE INDEX`):
+    * q159's profile maintained per-commit instead of per-scan —
+    * documents land as three id-sliced batches of per-column PARTIALS
+    * (counts additive, KMV k-mins union-combinable, min/max
+    * associative; one batch deliberately REPLAYED to prove the txn
+    * markers hold), the partials fold to one row per column under
+    * `GRAFT COMPACT INDEX`, and the served profile is graded against
+    * q159's FULL-SCAN oracle: batched ≡ folded ≡ full is the gated
+    * property — on a live 100 TB table a profile refresh costs
+    * O(changed commits), never a corpus pass. */
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+    val tbl = QueryDef.scratchDir("profidx")
+    for (b <- 0 until 3)
+      graft.ext.Profile.profileAppend(
+        docs.filter(col("doc_id") % 3 === b), tbl, ProfileCols,
+        txn = Some(("q163", b.toLong)))
+    // replay of batch 1: must be a no-op (exactly-once appends)
+    graft.ext.Profile.profileAppend(
+      docs.filter(col("doc_id") % 3 === 1), tbl, ProfileCols,
+      txn = Some(("q163", 1L)))
+    s.sql(s"GRAFT COMPACT INDEX '$tbl'").collect()
+    s.sql(s"GRAFT PROFILE INDEX '$tbl'")
+  }
+
+  val q163Sql: String = q159Sql // batched+folded partials ≡ full scan
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q150_bloom_point_lookup", q150, Some(q150Sql)),
     QueryDef("q159_profile", q159, Some(q159Sql)),
+    QueryDef("q163_profile_incremental", q163, Some(q163Sql)),
     QueryDef("q56_base64_roundtrip", q56, Some(q56Sql)),
     QueryDef("q57_time_convert", q57, Some(q57Sql)),
     QueryDef("q40_multimodal_meta", q40, Some(q40Sql)),

@@ -26,6 +26,7 @@ import org.apache.spark.sql.types._
   *   GRAFT HISTORY '<path>'
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
+  *   GRAFT PROFILE INDEX '<path>'
   *   GRAFT DELETE FROM '<path>' WHERE <predicate>
   *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
   *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE]
@@ -101,6 +102,9 @@ object GraftSqlParser {
   private val profileRe = Pattern.compile(
     """\s*GRAFT\s+PROFILE\s+'([^']+)'""" +
       """(?:\s+COLUMNS\s+([\w\s,`]+?))?(?:\s+K\s+(\d+))?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val profileIdxRe = Pattern.compile(
+    """\s*GRAFT\s+PROFILE\s+INDEX\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   // the tail after ON <key> is parsed token-wise in code (see
   // parseReconcileTail): regex-level REPAIR detection cannot reliably
@@ -192,6 +196,8 @@ object GraftSqlParser {
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
+    val pim = profileIdxRe.matcher(sqlText)
+    if (pim.matches()) return Some(ProfileGraftIndex(pim.group(1)))
     val pm = profileRe.matcher(sqlText)
     if (pm.matches()) {
       val cols = Option(pm.group(2)).toSeq.flatMap(_.split(",").toSeq
@@ -580,6 +586,27 @@ case class ProfileGraftTable(dir: String, cols: Seq[String], k: Int)
       s"GRAFT PROFILE: $dir has no atomic-typed columns to profile")
     graft.ext.Profile.profile(df, chosen, k).collect().toSeq
   }
+}
+
+/** `GRAFT PROFILE INDEX '<path>'` — serve the profile from an
+  * INCREMENTAL profile index ([[graft.ext.Profile.profileAppend]]):
+  * the same six-column result as `GRAFT PROFILE`, merged from the
+  * stored per-batch partials in O(batches·columns) rows with ZERO
+  * corpus IO — counts are additive, the KMV k-mins union-combine and
+  * min/max are associative, so the served profile is bit-identical
+  * to a full scan of the concatenated batches. `GRAFT COMPACT INDEX`
+  * folds the partials to one row per column. */
+case class ProfileGraftIndex(dir: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("column", StringType), attr("n_rows", LongType),
+    attr("n_null", LongType), attr("est_distinct", LongType),
+    AttributeReference("min_s", StringType, nullable = true)(),
+    AttributeReference("max_s", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.ext.Profile.profileRead(spark, dir).collect().toSeq
 }
 
 /** `GRAFT HISTORY '<path>'` — the commit log as rows. */

@@ -19,6 +19,73 @@ class ProfileSpec extends SparkSpec {
     assert(got("s") == (("s", 5L, 2L, 2L, "a", "b")))
   }
 
+  test("incremental profile: batched ≡ full over mixed types, replay " +
+      "is a no-op, fold leaves the served profile unchanged") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 900).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) None else Some(s"s${rnd.nextInt(200)}"),
+        rnd.nextInt(1000) / 8.0, // double slot
+        Option.empty[String]) // all-null column
+    }
+    val df = rows.toDF("id", "s", "d", "z").repartition(8)
+    val full = Profile.profile(df, Seq("id", "s", "d", "z"))
+      .collect().map(_.toSeq).toSet
+    val tbl = tmpDir("profinc")
+    for (b <- 0 until 3)
+      Profile.profileAppend(df.filter($"id" % 3 === b), tbl,
+        Seq("id", "s", "d", "z"), txn = Some(("t", b.toLong)))
+    // replayed batch: exactly-once markers make it a no-op
+    Profile.profileAppend(df.filter($"id" % 3 === 1), tbl,
+      Seq("id", "s", "d", "z"), txn = Some(("t", 1L)))
+    def served() = Profile.profileRead(spark, tbl)
+      .collect().map(_.toSeq).toSet
+    assert(served() == full, "batched partials must merge to the " +
+      "single-pass profile exactly")
+    // SQL surface serves the same rows
+    assert(spark.sql(s"GRAFT PROFILE INDEX '$tbl'")
+      .collect().map(_.toSeq).toSet == full)
+    // fold to one row per column; the served profile is invariant
+    spark.sql(s"GRAFT COMPACT INDEX '$tbl'").collect()
+    assert(graft.sink.CdcTable.read(spark, tbl).count() == 4L,
+      "fold leaves one partial row per column")
+    assert(served() == full, "fold must not change the profile")
+    // post-fold appends keep merging
+    val extra = Seq((1000L, Some("zzz"), 999.5, Some("only")))
+      .toDF("id", "s", "d", "z")
+    Profile.profileAppend(extra, tbl, Seq("id", "s", "d", "z"),
+      txn = Some(("t", 9L)))
+    val fullPlus = Profile.profile(df.unionByName(extra),
+      Seq("id", "s", "d", "z")).collect().map(_.toSeq).toSet
+    assert(served() == fullPlus, "appends after the fold must merge")
+  }
+
+  test("incremental profile guards: k mismatch, unsupported types, " +
+      "dtype drift") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val tbl = tmpDir("profguard")
+    Profile.profileAppend(df, tbl, Seq("id", "s"), k = 64)
+    intercept[IllegalArgumentException] {
+      Profile.profileAppend(df, tbl, Seq("id", "s"), k = 256)
+    }
+    // float columns have no mergeable string-stable min/max
+    intercept[IllegalArgumentException] {
+      Profile.profileAppend(Seq((1L, 1.5f)).toDF("id", "f"),
+        tmpDir("proffloat"), Seq("f"))
+    }
+    // a column appended under a different type fails at read, loudly
+    Profile.profileAppend(Seq(("x", 5L)).toDF("s", "extra")
+      .select($"s", $"extra".as("id")), tbl, Seq("id", "s"), k = 64)
+    Profile.profileAppend(Seq(("x", "now-a-string"))
+      .toDF("s", "id"), tbl, Seq("id", "s"), k = 64)
+    val e = intercept[Exception] {
+      Profile.profileRead(spark, tbl).collect()
+    }
+    assert(e.getMessage.contains("multiple types") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple types")),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("profile is one aggregation: no join, no per-column scans") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val p = Profile.profile(docs,
