@@ -2505,7 +2505,7 @@ object TextQ {
     * scores hash-match. */
   def q154(s: SparkSession, dir: String): DataFrame = {
     val docs = spreadDocs(s, dir)
-    graft.ext.TextAnalysis.langIdTrained(docs, "doc_id",
+    graft.ext.TextAnalysis.langIdTrainedNative(docs, "doc_id",
         graft.ext.TextAnalysis.charTrigramLangModel(docs))
       .select(col("id").as("doc_id"), col("n_tris"), col("pred_lang"),
         col("bits_fp"))

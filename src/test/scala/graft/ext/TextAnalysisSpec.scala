@@ -691,6 +691,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("langIdTrainedNative is bit-identical to the composed form, " +
+      "including ties, misses, unicode and null text") {
+    val train = Seq(
+      (1L, "en", "the cat sat on the mat with the hat"),
+      (2L, "en", "the dog and the cat ran to the house"),
+      (3L, "es", "el gato corre por la casa con el perro"),
+      (4L, "es", "la casa del perro es grande y bonita"),
+      (6L, "de", "der hund läuft schnell durch größe straßen heute"),
+      (7L, "el", "το σπίτι είναι μεγάλο και όμορφο σήμερα εδώ")
+    ).toDF("id", "lang", "text")
+    // scored frame ≠ training corpus: misses, ties, unicode, nulls
+    val probe = Seq(
+      (20L, "the cat ran to the house with the dog"),
+      (21L, "el perro corre por la casa grande"),
+      (22L, "xy"), // < 3 code points: und
+      (23L, null), // null text: und
+      (24L, "zzz qqq unseen trigrams only 😀😀😀 🎉🎉"),
+      (25L, "aaa"), // every lang scores pure miss: tie → min name
+      (26L, "the el der το mixed soup of all four languages"),
+      (27L, "größe straßen σπίτι über ñandú 🎉 mixed planes")
+    ).toDF("id", "text")
+    val model = TextAnalysis.charTrigramLangModel(train)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    val composed = rows(
+      TextAnalysis.langIdTrained(probe, "id", model))
+    val native = rows(
+      TextAnalysis.langIdTrainedNative(probe, "id", model))
+    assert(native == composed,
+      s"native:\n${native.mkString("\n")}\nvs composed:\n" +
+        composed.mkString("\n"))
+    // the all-miss doc ties across every language only if the
+    // per-lang miss costs coincide; either way both forms agree and
+    // the composed form's min(struct(bits, lang)) rule is the law
+    val allMiss = native.find(_.head == 25L).get
+    val composedMiss = composed.find(_.head == 25L).get
+    assert(allMiss == composedMiss)
+  }
+
   test("GraftSession registers tables + current views and answers SQL") {
     val base = tmpDir("gsess")
     val cfg = graft.streaming.CdcIngest.Config(base,
