@@ -1572,4 +1572,77 @@ object TextAnalysis {
       .withColumn("f2_fp",
         expr("(2L * clip2 * 1000000L) div greatest(tc2 + tr2, 1L)"))
   }
+
+  /** chrF (Popović, WMT 2015) for each (candidate `a_id`, reference
+    * `b_id`) pair — the character-level sibling of
+    * [[clippedNgramOverlap]], robust to tokenization/morphology
+    * differences word n-grams miss: clipped character-n-gram
+    * precision and recall over the WHITESPACE-STRIPPED texts for
+    * n = 1..`maxN` (the paper's 6), arithmetic-averaged across orders
+    * and fused with β = `beta` (2 — recall weighted double). All
+    * arithmetic is exact fixed point so the oracle replays every
+    * cell: `p_n = (clip_n·10^6) div max(tc_n, 1)`,
+    * `chrP = (Σ_n p_n) div maxN` (same for recall over reference
+    * totals), `chrF = ((1+β²)·chrP·chrR) div max(β²·chrP + chrR, 1)`.
+    *
+    * Scale shape: texts are restricted to the pair-touched docs (one
+    * broadcast semi-join) BEFORE gram counting, all orders explode in
+    * ONE pass tagged by n, and only pair-restricted gram rows shuffle
+    * — `pairs` stays the bounded candidate residue, same class as
+    * [[clippedNgramOverlap]]. Output: (a_id, b_id, clip_total,
+    * cp_fp, cr_fp, chrf_fp). */
+  def chrF(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text", maxN: Int = 6, beta: Int = 2)
+  : org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 16, s"maxN must be in [1,16]: $maxN")
+    require(beta >= 1, s"beta must be positive: $beta")
+    val p = broadcast(pairs.select(col("a_id"), col("b_id")))
+    val touched = pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id"))).distinct()
+    val chars = docs
+      .select(col(idCol).as("id"),
+        regexp_replace(col(textCol), "\\s+", "").as("s"))
+      .join(broadcast(touched), Seq("id"), "left_semi")
+    val grams = chars.select(col("id"), explode(expr(
+      s"""flatten(transform(sequence(1, $maxN), nn ->
+         |  CASE WHEN length(s) >= nn THEN
+         |    transform(sequence(1, length(s) - nn + 1),
+         |      i -> named_struct('n', nn, 'g', substring(s, i, nn)))
+         |  ELSE CAST(array()
+         |    AS ARRAY<STRUCT<n: INT, g: STRING>>) END))""".stripMargin))
+        .as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val lens = chars.select(col("id"), explode(expr(
+      s"""transform(sequence(1, $maxN), nn -> named_struct('n', nn,
+         |  'tot', CAST(greatest(length(s) - nn + 1, 0)
+         |    AS BIGINT)))""".stripMargin)).as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.tot").as("tot"))
+    val clip = p
+      .join(grams.withColumnRenamed("id", "a_id"), Seq("a_id"))
+      .select(col("a_id"), col("b_id"), col("n"), col("g"),
+        col("c").as("ca"))
+      .join(grams.select(col("id").as("b_id"), col("n"), col("g"),
+        col("c").as("cb")), Seq("b_id", "n", "g"))
+      .groupBy(col("a_id"), col("b_id"), col("n"))
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    val b2 = beta * beta
+    p.join(lens.withColumnRenamed("id", "a_id"), Seq("a_id"))
+      .select(col("a_id"), col("b_id"), col("n"), col("tot").as("tc"))
+      .join(lens.select(col("id").as("b_id"), col("n"),
+        col("tot").as("tr")), Seq("b_id", "n"))
+      .join(clip, Seq("a_id", "b_id", "n"), "left")
+      .withColumn("clip", coalesce(col("clip"), lit(0L)))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("clip")).as("clip_total"),
+        expr(s"sum((clip * 1000000L) div greatest(tc, 1L)) div $maxN")
+          .as("cp_fp"),
+        expr(s"sum((clip * 1000000L) div greatest(tr, 1L)) div $maxN")
+          .as("cr_fp"))
+      .withColumn("chrf_fp", expr(
+        s"((${1 + b2}L * cp_fp * cr_fp) div " +
+          s"greatest(${b2}L * cp_fp + cr_fp, 1L))"))
+  }
 }

@@ -2718,6 +2718,73 @@ object TextQ {
        |LEFT JOIN c2 ON c2.a_id = l.a_id AND c2.b_id = l.b_id
        |ORDER BY l.a_id, l.b_id""".stripMargin
 
+  /** q164 — chrF over near-dup candidates
+    * ([[graft.ext.TextAnalysis.chrF]], Popović WMT 2015): for every
+    * MinHash-banded candidate pair (q34's generation, replayed in the
+    * oracle), clipped CHARACTER-n-gram precision/recall for n = 1..6
+    * over the whitespace-stripped texts, arithmetic-averaged across
+    * orders and fused at β = 2 — the tokenization-robust sibling of
+    * q160's word-level components, completing the eval-metrics
+    * family. Exact fixed point end to end (truncating integer
+    * divisions), so chrP, chrR AND chrF hash-match the oracle. */
+  def q164(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.chrF(
+        spreadDocs(s, dir),
+        q34(s, dir).select(col("a_id"), col("b_id")), "doc_id")
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q164Sql: String =
+    s"""WITH d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, x -> ${tokD("x")}) AS sids FROM d),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids),
+       |bands AS (SELECT doc_id,
+       |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
+       |      sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |tdoc AS (SELECT a_id AS doc_id FROM pairs
+       |  UNION SELECT b_id FROM pairs),
+       |ch AS (SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS s
+       |  FROM documents JOIN tdoc USING (doc_id)),
+       |nn AS (SELECT unnest(range(1, 7)) AS n),
+       |gx AS (SELECT doc_id, n,
+       |    unnest(list_transform(
+       |      range(1, greatest(length(s) - n + 2, 1)),
+       |      i -> substr(s, i, n))) AS g
+       |  FROM ch CROSS JOIN nn),
+       |gcnt AS (SELECT doc_id, n, g, COUNT(*) AS c
+       |  FROM gx GROUP BY 1, 2, 3),
+       |lens AS (SELECT doc_id, n,
+       |    CAST(GREATEST(length(s) - n + 1, 0) AS BIGINT) AS tot
+       |  FROM ch CROSS JOIN nn),
+       |cl AS (SELECT p.a_id, p.b_id, x.n,
+       |    CAST(SUM(LEAST(x.c, y.c)) AS BIGINT) AS clip
+       |  FROM pairs p
+       |  JOIN gcnt x ON x.doc_id = p.a_id
+       |  JOIN gcnt y ON y.doc_id = p.b_id AND y.n = x.n AND y.g = x.g
+       |  GROUP BY 1, 2, 3),
+       |po AS (SELECT p.a_id, p.b_id, la.n,
+       |    COALESCE(c.clip, 0) AS clip, la.tot AS tc, lb.tot AS tr
+       |  FROM pairs p
+       |  JOIN lens la ON la.doc_id = p.a_id
+       |  JOIN lens lb ON lb.doc_id = p.b_id AND lb.n = la.n
+       |  LEFT JOIN cl c
+       |    ON c.a_id = p.a_id AND c.b_id = p.b_id AND c.n = la.n),
+       |fo AS (SELECT a_id, b_id,
+       |    CAST(SUM(clip) AS BIGINT) AS clip_total,
+       |    CAST(SUM((clip * 1000000) // GREATEST(tc, 1)) // 6
+       |      AS BIGINT) AS cp_fp,
+       |    CAST(SUM((clip * 1000000) // GREATEST(tr, 1)) // 6
+       |      AS BIGINT) AS cr_fp
+       |  FROM po GROUP BY 1, 2)
+       |SELECT a_id, b_id, clip_total, cp_fp, cr_fp,
+       |  CAST((5 * cp_fp * cr_fp) // GREATEST(4 * cp_fp + cr_fp, 1)
+       |    AS BIGINT) AS chrf_fp
+       |FROM fo ORDER BY a_id, b_id""".stripMargin
+
   /** q161 — Count-Min frequency sketch
     * ([[graft.ext.Sketch.cmSketch]], Cormode & Muthukrishnan 2005):
     * 4×1024 additive cells over the corpus token counts, probed with
@@ -2908,5 +2975,6 @@ object TextQ {
     QueryDef("q154_langid_trained", q154, Some(q154Sql)),
     QueryDef("q160_clipped_ngram", q160, Some(q160Sql)),
     QueryDef("q161_countmin_freq", q161, Some(q161Sql)),
-    QueryDef("q162_curation_materialized", q162, Some(q162Sql)))
+    QueryDef("q162_curation_materialized", q162, Some(q162Sql)),
+    QueryDef("q164_chrf", q164, Some(q164Sql)))
 }

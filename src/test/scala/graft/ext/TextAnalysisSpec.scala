@@ -691,6 +691,52 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chrF matches a brute JVM reference; repetition clips; " +
+      "identical texts score 10^6; empty/short texts score 0") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"),       // identical
+      (3L, "the cat cat cat sat"),                    // repetition
+      (4L, "completely different words here"),
+      (5L, ""), (6L, "ab")                            // degenerate
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 1L), (1L, 4L), (5L, 6L), (1L, 6L))
+      .toDF("a_id", "b_id")
+    val got = TextAnalysis.chrF(docs, pairs, "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // brute reference
+    val txt = Map(1L -> "the cat sat", 2L -> "the cat sat",
+      3L -> "the cat cat cat sat",
+      4L -> "completely different words here", 5L -> "", 6L -> "ab")
+      .view.mapValues(_.replaceAll("\\s+", "")).toMap
+    def gramsOf(s: String, n: Int): Map[String, Long] =
+      (0 to s.length - n).map(i => s.substring(i, i + n))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def ref(a: Long, b: Long): (Long, Long, Long, Long) = {
+      var clipT = 0L; var sp = 0L; var sr = 0L
+      for (n <- 1 to 6) {
+        val (ga, gb) = (gramsOf(txt(a), n), gramsOf(txt(b), n))
+        val clip = ga.map { case (g, c) =>
+          math.min(c, gb.getOrElse(g, 0L)) }.sum
+        clipT += clip
+        sp += clip * 1000000L / math.max(txt(a).length - n + 1, 1)
+        sr += clip * 1000000L / math.max(txt(b).length - n + 1, 1)
+      }
+      val (cp, cr) = (sp / 6, sr / 6)
+      (clipT, cp, cr, 5 * cp * cr / math.max(4 * cp + cr, 1))
+    }
+    got.keys.foreach { case (a, b) =>
+      val (ct, cp, cr, f) = ref(a, b)
+      assert(got((a, b)) == ((a, b, ct, cp, cr, f)),
+        s"pair ($a,$b): got ${got((a, b))}, expect ($ct,$cp,$cr,$f)")
+    }
+    assert(got((1L, 2L))._6 == 1000000L, "identical texts score 1.0")
+    assert(got((5L, 6L))._6 == 0L, "empty candidate scores 0")
+    // repetition clips: doc 3 repeats 'cat' 3x but doc 1 has it once
+    assert(got((3L, 1L))._4 < got((1L, 2L))._4,
+      "repeated grams must clip against the reference count")
+  }
+
   test("langIdTrainedNative is bit-identical to the composed form, " +
       "including ties, misses, unicode and null text") {
     val train = Seq(
