@@ -137,6 +137,52 @@ object Profile {
     ()
   }
 
+  /** Maintain a profile index FROM a live graft table's commit log —
+    * the O(changed commits) refresh: reads ONLY the table commits the
+    * index has not yet folded in ([[graft.sink.CdcTable.readChanges]]
+    * above the index's high-water mark, tracked by a txn marker keyed
+    * to the table) and lands ONE partial append for the whole range,
+    * so a `GRAFT PROFILE INDEX` of a 100 TB table stays exact while a
+    * refresh touches only new data. APPEND-ONLY contract: partials
+    * are not subtractable (min/max, k-mins), so a non-append commit
+    * (delete/update/replace/merge) in the unseen range is rejected
+    * loudly — recreate the index from the table's current state
+    * instead (the same contract Delta's incremental stats have).
+    * Returns the number of table commits synced (0 = already fresh). */
+  def profileSync(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, indexDir: String, cols: Seq[String],
+      k: Int = 256): Int = {
+    import graft.sink.CdcTable
+    val commits = CdcTable.log(tableDir)
+    require(commits.nonEmpty, s"no CdcTable at $tableDir")
+    val appId = s"profile@$tableDir"
+    val idxLog = CdcTable.log(indexDir)
+    val hw = idxLog.flatMap(_.txn)
+      .filter(_._1 == appId).map(_._2).maxOption.getOrElse(0L)
+    if (idxLog.nonEmpty) {
+      val stored = CdcTable.read(spark, indexDir)
+        .select(col("column")).distinct()
+        .collect().map(_.getString(0)).toSet
+      require(stored == cols.toSet,
+        s"profile index at $indexDir covers ${stored.mkString(",")} " +
+          s"but sync asked for ${cols.mkString(",")} — partial-column " +
+          "history would undercount; recreate the index")
+    }
+    val range = commits.filter(_.commit > hw)
+    if (range.isEmpty) return 0
+    val nonAppend = range.filter(_.action != "append")
+    require(nonAppend.isEmpty,
+      s"profileSync: non-append commit(s) " +
+        s"${nonAppend.map(c => s"${c.commit}:${c.action}").mkString(",")} " +
+        s"at $tableDir — partials cannot subtract; recreate the index " +
+        "from the table's current state")
+    val batch = CdcTable.readChanges(spark, tableDir, afterCommit = hw)
+      .drop("_commit", "_commit_ts", "_change_type")
+    profileAppend(batch, indexDir, cols, k,
+      txn = Some((appId, range.last.commit)))
+    range.length
+  }
+
   /** The table's k, pinned at creation in the sidecar. */
   private[graft] def storedProfileK(tableDir: String): Int =
     graft.core.Fs.readString(s"$tableDir/_graft_index_meta")

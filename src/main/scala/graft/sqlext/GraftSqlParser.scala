@@ -27,6 +27,7 @@ import org.apache.spark.sql.types._
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>'
+  *   GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n]
   *   GRAFT DELETE FROM '<path>' WHERE <predicate>
   *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
   *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE]
@@ -105,6 +106,10 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val profileIdxRe = Pattern.compile(
     """\s*GRAFT\s+PROFILE\s+INDEX\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val profileSyncRe = Pattern.compile(
+    """\s*GRAFT\s+SYNC\s+PROFILE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+COLUMNS\s+([\w\s,`]+?)(?:\s+K\s+(\d+))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   // the tail after ON <key> is parsed token-wise in code (see
   // parseReconcileTail): regex-level REPAIR detection cannot reliably
@@ -198,6 +203,14 @@ object GraftSqlParser {
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
     if (pim.matches()) return Some(ProfileGraftIndex(pim.group(1)))
+    val psm = profileSyncRe.matcher(sqlText)
+    if (psm.matches()) {
+      val cols = psm.group(3).split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)
+      return Some(SyncGraftProfile(psm.group(1), psm.group(2), cols,
+        Option(psm.group(4)).map(_.toInt).getOrElse(256)))
+    }
     val pm = profileRe.matcher(sqlText)
     if (pm.matches()) {
       val cols = Option(pm.group(2)).toSeq.flatMap(_.split(",").toSeq
@@ -607,6 +620,24 @@ case class ProfileGraftIndex(dir: String) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] =
     graft.ext.Profile.profileRead(spark, dir).collect().toSeq
+}
+
+/** `GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n]` —
+  * maintain a profile index from a live table's commit log
+  * ([[graft.ext.Profile.profileSync]]): folds in exactly the table
+  * commits the index has not seen (O(changed commits), zero IO when
+  * fresh); append-only tables only — partials cannot subtract.
+  * Returns the number of commits synced. */
+case class SyncGraftProfile(indexDir: String, tableDir: String,
+    cols: Seq[String], k: Int) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] =
+    Seq(attr("commits_synced", IntegerType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ext.Profile.profileSync(spark, tableDir, indexDir,
+      cols, k)))
 }
 
 /** `GRAFT HISTORY '<path>'` — the commit log as rows. */

@@ -60,6 +60,43 @@ class ProfileSpec extends SparkSpec {
     assert(served() == fullPlus, "appends after the fold must merge")
   }
 
+  test("profileSync: live-table sync ≡ full profile, fresh sync is a " +
+      "no-op, folds keep the high-water mark, non-append rejects") {
+    import graft.sink.CdcTable
+    val tbl = tmpDir("proftbl")
+    val idx = tmpDir("profidx2")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"v${i % 37}"))
+        .toDF("id", "s")
+    CdcTable.append(batch(0, 300), tbl, partitionBy = Nil)
+    CdcTable.append(batch(300, 500), tbl, partitionBy = Nil)
+    def synced() = spark.sql(
+      s"GRAFT SYNC PROFILE '$idx' FROM '$tbl' COLUMNS id, s")
+      .as[Int].head()
+    assert(synced() == 2, "first sync folds both commits")
+    def served() = spark.sql(s"GRAFT PROFILE INDEX '$idx'")
+      .collect().map(_.toSeq).toSet
+    def full() = Profile.profile(CdcTable.read(spark, tbl),
+      Seq("id", "s")).collect().map(_.toSeq).toSet
+    assert(served() == full())
+    assert(synced() == 0, "fresh index syncs nothing")
+    // new appends fold in incrementally; COMPACT keeps the mark
+    CdcTable.append(batch(500, 650), tbl, partitionBy = Nil)
+    assert(synced() == 1)
+    spark.sql(s"GRAFT COMPACT INDEX '$idx'").collect()
+    assert(served() == full())
+    assert(synced() == 0, "the fold must not lose the high-water mark")
+    // a delete on the table invalidates subtractless partials: loud
+    CdcTable.delete(spark, tbl, "id = 7")
+    val e = intercept[IllegalArgumentException] { synced() }
+    assert(e.getMessage.contains("cannot subtract"))
+    // mismatched column set rejects rather than undercounting
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.profileSync(spark, tbl, idx, Seq("id"))
+    }
+    assert(e2.getMessage.contains("recreate"))
+  }
+
   test("incremental profile guards: k mismatch, unsupported types, " +
       "dtype drift") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
