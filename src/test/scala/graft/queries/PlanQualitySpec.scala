@@ -385,6 +385,54 @@ class PlanQualitySpec extends SparkSpec {
         "an SMJ means the corpus is being shuffled")
   }
 
+  test("materialized near-dup consumers read stored tables, never " +
+      "re-run MinHash/LSH/verify") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val out = QueryDef.scratchDir("plan_neardup")
+    graft.ext.Dedup.writeNearDupResult(
+      graft.ext.Dedup.near(docs, "text", "doc_id"), out)
+    val res = graft.ext.Dedup.readNearDupResult(spark, out, docs,
+      "doc_id")
+    for ((label, df) <- Seq(
+      "canonical" -> graft.ext.Dedup.canonicalByQuality(res, docs,
+        "doc_id", "n_chars"),
+      "positives" -> graft.ext.Dedup.positivePairs(res),
+      "split" -> graft.ext.Sampling.clusterSplit(
+        docs.select(col("doc_id")), "doc_id", res.components))) {
+      val p = plan(df)
+      assert(!p.contains("minhash_sig") && !p.contains("shingle_ids"),
+        s"$label must consume the STORED result, not re-run the " +
+          s"pipeline:\n${p.take(500)}")
+    }
+  }
+
+  test("chrF: pair-touched docs only, no cartesian, broadcast joins " +
+      "for the pair frame") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val p = plan(graft.ext.TextAnalysis.chrF(docs, pairs, "doc_id"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded pair frame must broadcast")
+  }
+
+  test("incremental profile read: the corpus is never scanned") {
+    import org.apache.spark.sql.functions._
+    val tbl = tmpDir("plan_profidx")
+    graft.ext.Profile.profileAppend(
+      graft.Tables(spark, dir, "documents"), tbl,
+      Seq("doc_id", "lang"))
+    val p = plan(graft.ext.Profile.profileRead(spark, tbl))
+    assert(!p.contains("documents"),
+      s"profileRead must serve from stored partials only:\n" +
+        p.take(500))
+  }
+
   test("kmv sketch: one shuffle, map-side partial aggregation, no join") {
     val li = graft.Tables(spark, dir, "lineitem")
     val p = plan(graft.ext.Sketch.kmvSketch(li, "l_partkey", 256,
