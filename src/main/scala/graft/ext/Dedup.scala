@@ -986,6 +986,49 @@ object Dedup {
     land(res.components, s"$dir/components")
   }
 
+  /** Maintain a MATERIALIZED near-dup result batch-at-a-time — the
+    * freshness story for [[writeNearDupResult]]: each batch runs
+    * through [[nearIncremental]] against `dir/index` (the ~0.5 KB/doc
+    * signature index; history never shuffles), pairs at or above
+    * `estThreshold` land in `dir/pairs` exactly-once, and
+    * `dir/components` is refreshed as one atomic replace (connected
+    * components over the stored pairs — the duplicate residue, so the
+    * relabel is metadata-scale, usually the driver union-find path).
+    * [[readNearDupResult]] and every consumer (canonical selection,
+    * cluster splits, positive pairs) then serve from the SAME layout
+    * whether the result was batch-written or incrementally grown.
+    *
+    * Pair semantics are the incremental family's (q82): the
+    * SIGNATURE-estimate Jaccard, not [[near]]'s exact verify — exact
+    * verification needs full shingle sets, which the index
+    * deliberately does not store. Union over disjoint arrival ≡ the
+    * batch-global banded pair set (a pair materializes exactly once,
+    * when its later side arrives; replays no-op on the txn marker).
+    * Single-writer maintenance, like every incremental index. */
+  def appendNearDupResult(batch: DataFrame, textCol: String,
+      idCol: String, dir: String, estThreshold: Double = 0.5,
+      txn: Option[(String, Long)] = None,
+      maxBandDocFreq: Option[Int] = None): Unit = {
+    val spark = batch.sparkSession
+    val pairs = nearIncremental(batch, textCol, idCol, s"$dir/index",
+      txn = txn, maxBandDocFreq = maxBandDocFreq)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+    graft.sink.CdcTable.append(pairs, s"$dir/pairs",
+      partitionBy = Nil, txn = txn)
+    val components = connectedComponents(spark,
+      graft.sink.CdcTable.read(spark, s"$dir/pairs"))
+    if (graft.sink.CdcTable.log(s"$dir/components").nonEmpty) {
+      graft.sink.CdcTable.replaceWith(spark, s"$dir/components",
+        components, partitionBy = Nil)
+      ()
+    } else {
+      graft.sink.CdcTable.append(components, s"$dir/components",
+        partitionBy = Nil)
+      ()
+    }
+  }
+
   /** Read a [[writeNearDupResult]] artifact back as a
     * [[NearDupResult]]. `corpus`/`idCol` rebuild the whole-corpus
     * `decisions` frame exactly as [[near]] would have (`components`

@@ -2785,6 +2785,114 @@ object TextQ {
        |    AS BIGINT) AS chrf_fp
        |FROM fo ORDER BY a_id, b_id""".stripMargin
 
+  /** q165 — INCREMENTALLY-GROWN materialized curation result
+    * ([[graft.ext.Dedup.appendNearDupResult]]): the q162 consumers
+    * (canonical selection, cluster split, positive pairs) served from
+    * a near-dup result maintained BATCH-AT-A-TIME — three id-sliced
+    * batches feed the signature index, each batch's at-threshold
+    * pairs land exactly-once (one batch deliberately REPLAYED to
+    * prove the txn markers hold), and components refresh as an atomic
+    * replace per batch. Pair semantics are the incremental family's
+    * signature-estimate Jaccard (q82's gated contract; hot-cap pinned
+    * off so union-over-arrival ≡ batch-global is exact), and the
+    * oracle replays banded pairs → estimate threshold → RECURSIVE
+    * closure → all three consumers from scratch — proving the grown
+    * result equals the from-scratch computation no matter how arrival
+    * was sliced. */
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val out = QueryDef.scratchDir("neardup_incr")
+    val docs = spreadDocs(s, dir)
+    for (b <- 0 until 3)
+      graft.ext.Dedup.appendNearDupResult(
+        docs.filter(col("doc_id") % 3 === b), "text", "doc_id", out,
+        estThreshold = 0.5, txn = Some(("q165", b.toLong)),
+        maxBandDocFreq = Some(Int.MaxValue))
+    // replay of batch 1 AFTER batch 2's arrival: the pair append must
+    // no-op on the txn marker even though the recompute now sees more
+    // index rows
+    graft.ext.Dedup.appendNearDupResult(
+      docs.filter(col("doc_id") % 3 === 1), "text", "doc_id", out,
+      estThreshold = 0.5, txn = Some(("q165", 1L)),
+      maxBandDocFreq = Some(Int.MaxValue))
+    val res = graft.ext.Dedup.readNearDupResult(s, out, docs, "doc_id")
+    val canonical = graft.ext.Dedup
+      .canonicalByQuality(res, docs, "doc_id", "n_chars")
+      .select(lit("canonical").as("op"), col("cluster_id").as("k1"),
+        col("kept_id").as("k2"), col("n_members").as("v1"),
+        col("total_quality").as("v2"),
+        lit(null).cast("string").as("tag"))
+    val split = graft.ext.Sampling
+      .clusterSplit(docs.select(col("doc_id")), "doc_id",
+        res.components)
+      .select(lit("split").as("op"), col("doc_id").as("k1"),
+        col("group_id").as("k2"), lit(null).cast("long").as("v1"),
+        lit(null).cast("long").as("v2"), col("split").as("tag"))
+    val pos = graft.ext.Dedup.positivePairs(res)
+      .select(lit("pairs").as("op"), col("cluster_id").as("k1"),
+        col("a_id").as("k2"), col("b_id").as("v1"),
+        lit(null).cast("long").as("v2"),
+        lit(null).cast("string").as("tag"))
+    canonical.unionByName(split).unionByName(pos)
+      .orderBy(col("op"), col("k1"), col("k2"), col("v1"))
+  }
+
+  val q165Sql: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, $shinglesD AS shs
+       |  FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, t -> ${tokD("t")}) AS sids
+       |  FROM d WHERE len(shs) > 0),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids),
+       |bands AS (SELECT doc_id,
+       |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
+       |      sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.a_id, c.b_id FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.a_id
+       |  JOIN sigs sb ON sb.doc_id = c.b_id
+       |  WHERE len(list_filter(list_transform(range(0, 16),
+       |    k -> sa.sig[k+1] = sb.sig[k+1]), x -> x)) >= 8),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM v
+       |  UNION SELECT b_id, a_id FROM v),
+       |reach AS (SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+       |  WHERE s.v <> r.u),
+       |lab AS (SELECT u AS id, least(u, min(v)) AS component
+       |  FROM reach GROUP BY u),
+       |ranked AS (SELECT l.component, l.id, dd.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY l.component
+       |      ORDER BY dd.n_chars DESC, l.id ASC) AS rn
+       |  FROM lab l JOIN documents dd ON dd.doc_id = l.id),
+       |canon AS (SELECT 'canonical' AS op, component AS k1,
+       |    CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS k2,
+       |    COUNT(*) AS v1, CAST(SUM(n_chars) AS BIGINT) AS v2,
+       |    CAST(NULL AS VARCHAR) AS tag
+       |  FROM ranked GROUP BY component),
+       |grp AS (SELECT dd.doc_id,
+       |    COALESCE(l.component, dd.doc_id) AS group_id
+       |  FROM documents dd LEFT JOIN lab l ON l.id = dd.doc_id),
+       |sp AS (SELECT doc_id, group_id,
+       |    CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) % 100 AS bucket FROM grp),
+       |spl AS (SELECT 'split' AS op, doc_id AS k1, group_id AS k2,
+       |    CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS tag
+       |  FROM sp),
+       |pos AS (SELECT 'pairs' AS op, a.component AS k1, a.id AS k2,
+       |    b.id AS v1, CAST(NULL AS BIGINT) AS v2,
+       |    CAST(NULL AS VARCHAR) AS tag
+       |  FROM lab a JOIN lab b
+       |    ON a.component = b.component AND a.id < b.id)
+       |SELECT * FROM canon
+       |UNION ALL SELECT * FROM spl
+       |UNION ALL SELECT * FROM pos
+       |ORDER BY op, k1, k2, v1""".stripMargin
+
   /** q161 — Count-Min frequency sketch
     * ([[graft.ext.Sketch.cmSketch]], Cormode & Muthukrishnan 2005):
     * 4×1024 additive cells over the corpus token counts, probed with
@@ -2976,5 +3084,6 @@ object TextQ {
     QueryDef("q160_clipped_ngram", q160, Some(q160Sql)),
     QueryDef("q161_countmin_freq", q161, Some(q161Sql)),
     QueryDef("q162_curation_materialized", q162, Some(q162Sql)),
-    QueryDef("q164_chrf", q164, Some(q164Sql)))
+    QueryDef("q164_chrf", q164, Some(q164Sql)),
+    QueryDef("q165_curation_incremental", q165, Some(q165Sql)))
 }

@@ -850,6 +850,55 @@ class DedupSpec extends SparkSpec {
       "the replaced snapshot must not leak old pairs")
   }
 
+  test("appendNearDupResult: grown result ≡ from-scratch banded pairs, " +
+      "replay no-ops, consumers serve from the same layout") {
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away into the deep green forest tonight while stars shine"
+    val docs = Seq(
+      (10L, base, 60L), (11L, base + " extra", 66L),
+      (12L, base.replace("quick", "rapid"), 60L),
+      (13L, "completely different words describing graphs and engines " +
+        "spark catalyst tungsten shuffle partitions exchange", 50L),
+      (14L, "yet another unrelated document about streaming watermarks " +
+        "checkpoints state stores and session windows", 48L),
+      (15L, base + " coda", 65L)
+    ).toDF("doc_id", "text", "n_chars")
+    val dir = tmpDir("neardup_grow")
+    for (b <- 0 until 3)
+      Dedup.appendNearDupResult(docs.filter($"doc_id" % 3 === b),
+        "text", "doc_id", dir, estThreshold = 0.5,
+        txn = Some(("t", b.toLong)),
+        maxBandDocFreq = Some(Int.MaxValue))
+    // replay batch 0 after everything arrived: must change nothing
+    val pairsBefore = graft.sink.CdcTable
+      .read(spark, s"$dir/pairs").count()
+    Dedup.appendNearDupResult(docs.filter($"doc_id" % 3 === 0),
+      "text", "doc_id", dir, estThreshold = 0.5,
+      txn = Some(("t", 0L)), maxBandDocFreq = Some(Int.MaxValue))
+    assert(graft.sink.CdcTable.read(spark, s"$dir/pairs").count()
+      == pairsBefore, "replayed batch must not re-land pairs")
+    val grown = Dedup.readNearDupResult(spark, dir, docs, "doc_id")
+    // from-scratch reference with the SAME estimate semantics: the
+    // whole corpus as ONE batch — all banded pairs, sig-match >= 8/16
+    val scratch = Dedup.nearIncremental(docs, "text", "doc_id",
+        tmpDir("neardup_grow_ref"),
+        maxBandDocFreq = Some(Int.MaxValue))
+      .filter($"est_jaccard" >= 0.5)
+    assert(grown.pairs.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSet ==
+      scratch.select("a_id", "b_id").as[(Long, Long)]
+        .collect().toSet,
+      "grown pair set must equal the single-batch computation")
+    // components cover the duplicate cluster with min-id labels
+    val comp = grown.components.as[(Long, Long)].collect().toMap
+    assert(comp(10L) == 10L && comp(11L) == 10L && comp(12L) == 10L &&
+      comp(15L) == 10L, s"cluster labels wrong: $comp")
+    // consumers serve from the grown layout
+    val kept = Dedup.canonicalByQuality(grown, docs, "doc_id",
+      "n_chars").select("kept_id").as[Long].collect().toSeq
+    assert(kept == Seq(11L), s"highest-quality member wins: $kept")
+  }
+
   test("connected components: string/UUID ids bypass the driver fast " +
       "path and still label correctly") {
     // the driver union-find collects ids as Long; a string id casts
