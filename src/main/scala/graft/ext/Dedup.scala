@@ -1209,19 +1209,24 @@ object Dedup {
         s"but this call uses (k=$k, w=$w) — stored fingerprints " +
         "would never match; rebuild the index or pass the original " +
         "scheme")
-    // pin the winnowed batch: it feeds the probe, the pair scoring
-    // AND the index append — and counts the batch for free
-    val batchFps = winnowSids(batch, idCol, textCol, k, w)
-      .select(col("id").as("doc_id"), size(col("sids")).as("nfp"),
-        explode(col("sids")).as("fp"))
+    // pin the winnowed batch ONE ROW PER DOC (pre-explode): the
+    // cheap row count of the pinned frame IS the document count, so
+    // the batch-size guard costs no extra distinct-shuffle job (r11
+    // nit); the exploded fp view below is a map-only projection of
+    // the checkpoint, shared by the probe, the pair scoring and the
+    // index append
+    val staged = winnowSids(batch, idCol, textCol, k, w)
       .localCheckpoint()
-    val nDocs = batchFps.select(col("doc_id")).distinct().count()
+    val nDocs = staged.count()
     require(nDocs <= maxBatchRows,
-      s"incremental batch has $nDocs fingerprintable documents (> " +
+      s"incremental batch has $nDocs documents (> " +
         s"maxBatchRows=$maxBatchRows): this API broadcasts the " +
         "batch's fingerprint set and assumes bounded micro-batches — " +
         "use winnowSids + the batch pair core for a corpus-sized " +
         "input, or raise maxBatchRows if the broadcast genuinely fits")
+    val batchFps = staged
+      .select(col("id").as("doc_id"), size(col("sids")).as("nfp"),
+        explode(col("sids")).as("fp"))
     val cap = maxFpDocFreq.getOrElse(autoBandDocFreq(
       CdcTable.rowCountEstimate(indexDir, excludeTxn = txn)))
     // snapshot NOW: the append below cannot leak this batch into its

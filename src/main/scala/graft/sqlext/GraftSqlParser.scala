@@ -597,6 +597,8 @@ case class ProfileGraftTable(dir: String, cols: Seq[String], k: Int)
       s"GRAFT PROFILE: no such column(s): ${missing.mkString(", ")}")
     require(chosen.nonEmpty,
       s"GRAFT PROFILE: $dir has no atomic-typed columns to profile")
+    // driver-side collect is bounded by COLUMN count (one row per
+    // profiled column), never by table size
     graft.ext.Profile.profile(df, chosen, k).collect().toSeq
   }
 }
