@@ -291,8 +291,9 @@ object Bench {
         spark.sqlContext
       import spark.implicits._
       val mem = MemoryStream[String]
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_lag_bench").toString
+      // scratchDir registers a delete-on-exit hook: repeated bench
+      // runs must not accumulate 40k-event parquet trees in /tmp
+      val base = graft.queries.QueryDef.scratchDir("graft_lag_bench")
       val cfg = graft.streaming.CdcIngest.Config(base,
         checkpointDir = s"$base/_ckpt", triggerMillis = 5000L)
       val q = graft.streaming.CdcIngest.start(

@@ -972,18 +972,21 @@ object Dedup {
     * reason, specs/001-mongodb-cdc-delta/research.md:732-768). A
     * write over an existing result REPLACES it atomically: readers
     * see the old snapshot or the new one, never a mix. */
+  /** Land `df` as the table's whole content: atomic replace when the
+    * table exists, create-by-append otherwise. */
+  private def landReplaceOrAppend(df: DataFrame, tbl: String): Unit =
+    if (graft.sink.CdcTable.log(tbl).nonEmpty) {
+      graft.sink.CdcTable.replaceWith(df.sparkSession, tbl, df,
+        partitionBy = Nil)
+      ()
+    } else {
+      graft.sink.CdcTable.append(df, tbl, partitionBy = Nil)
+      ()
+    }
+
   def writeNearDupResult(res: NearDupResult, dir: String): Unit = {
-    def land(df: DataFrame, tbl: String): Unit =
-      if (graft.sink.CdcTable.log(tbl).nonEmpty) {
-        graft.sink.CdcTable.replaceWith(df.sparkSession, tbl, df,
-          partitionBy = Nil)
-        ()
-      } else {
-        graft.sink.CdcTable.append(df, tbl, partitionBy = Nil)
-        ()
-      }
-    land(res.pairs, s"$dir/pairs")
-    land(res.components, s"$dir/components")
+    landReplaceOrAppend(res.pairs, s"$dir/pairs")
+    landReplaceOrAppend(res.components, s"$dir/components")
   }
 
   /** Maintain a MATERIALIZED near-dup result batch-at-a-time — the
@@ -1010,23 +1013,33 @@ object Dedup {
       txn: Option[(String, Long)] = None,
       maxBandDocFreq: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
+    // a replayed batch must be a TRUE no-op: without this check the
+    // txn marker only suppresses the pair append, while the
+    // banding/probe job, the CC relabel and a spurious components
+    // replace commit would all still run on every retry. One repair
+    // case survives the short-circuit: a crash BETWEEN the pair
+    // append and the components refresh leaves components older than
+    // pairs — detectable from the two logs' commit timestamps — and
+    // the replay then redoes only the (cheap) relabel.
+    if (txn.exists(t => graft.sink.CdcTable.log(s"$dir/pairs")
+        .exists(_.txn.contains(t)))) {
+      val pairsTs = graft.sink.CdcTable.log(s"$dir/pairs").last.ts
+      val compLog = graft.sink.CdcTable.log(s"$dir/components")
+      if (compLog.isEmpty || compLog.last.ts < pairsTs)
+        landReplaceOrAppend(connectedComponents(spark,
+          graft.sink.CdcTable.read(spark, s"$dir/pairs")),
+          s"$dir/components")
+      return
+    }
     val pairs = nearIncremental(batch, textCol, idCol, s"$dir/index",
       txn = txn, maxBandDocFreq = maxBandDocFreq)
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
     graft.sink.CdcTable.append(pairs, s"$dir/pairs",
       partitionBy = Nil, txn = txn)
-    val components = connectedComponents(spark,
-      graft.sink.CdcTable.read(spark, s"$dir/pairs"))
-    if (graft.sink.CdcTable.log(s"$dir/components").nonEmpty) {
-      graft.sink.CdcTable.replaceWith(spark, s"$dir/components",
-        components, partitionBy = Nil)
-      ()
-    } else {
-      graft.sink.CdcTable.append(components, s"$dir/components",
-        partitionBy = Nil)
-      ()
-    }
+    landReplaceOrAppend(connectedComponents(spark,
+      graft.sink.CdcTable.read(spark, s"$dir/pairs")),
+      s"$dir/components")
   }
 
   /** Read a [[writeNearDupResult]] artifact back as a
@@ -1483,7 +1496,14 @@ object Dedup {
       val nodes = arr.iterator.flatMap(p => Iterator(p._1, p._2))
         .toSet.toSeq
       import spark.implicits._
+      // cast back to the INPUT id type: the collect widened to Long,
+      // and the distributed path preserves the input type — the
+      // output schema must not depend on which path the edge count
+      // happened to pick
+      val idType = e.schema("u").dataType
       return nodes.map(n => (n, find(n))).toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
     }
     var iter = 0
     var converged = eCount == 0

@@ -157,6 +157,11 @@ object Profile {
     require(commits.nonEmpty, s"no CdcTable at $tableDir")
     val appId = s"profile@$tableDir"
     val idxLog = CdcTable.log(indexDir)
+    // an EXISTING index serves its creation-time k from the sidecar —
+    // the caller's k is only the creation parameter, so syncing an
+    // index built with a non-default K never needs K repeated (the
+    // kmvJaccardTable principle: derive, don't trust a default)
+    val useK = if (idxLog.nonEmpty) storedProfileK(indexDir) else k
     val hw = idxLog.flatMap(_.txn)
       .filter(_._1 == appId).map(_._2).maxOption.getOrElse(0L)
     if (idxLog.nonEmpty) {
@@ -178,7 +183,7 @@ object Profile {
         "from the table's current state")
     val batch = CdcTable.readChanges(spark, tableDir, afterCommit = hw)
       .drop("_commit", "_commit_ts", "_change_type")
-    profileAppend(batch, indexDir, cols, k,
+    profileAppend(batch, indexDir, cols, useK,
       txn = Some((appId, range.last.commit)))
     range.length
   }

@@ -1131,12 +1131,26 @@ object TextAnalysis {
         graft.functions.FixedLog2(
           org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
     // the model frame may be an unmaterialized aggregation over the
-    // whole corpus (q154 trains in-query); the v-count, totals and
+    // whole corpus (q154 trains in-query); the size check, totals and
     // cost grid below would each recompute it — pin it once (measured
-    // at 100×: 39.6 s unpinned vs 16.4 s pinned)
-    val m = model.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // at 100×: 39.6 s unpinned vs 16.4 s pinned). ONLY pin when the
+    // caller hasn't: persist() on an already-cached frame shares the
+    // caller's cache entry, and unpersisting it here would silently
+    // evict the model the caller deliberately pinned.
+    val callerPinned = model.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val m = if (callerPinned) model
+      else model.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (langs, miss, present) = try {
+      // size guard BEFORE any collect: a corpus-sized model (word
+      // n-grams — the mis-use the message names) must fail here, not
+      // OOM the driver mid-collect; this count also materializes the
+      // pin for the passes below
+      val rows = m.count()
+      require(rows <= (1 << 22),
+        s"langIdTrainedNative: model has $rows (tri, lang) rows — " +
+          "too large to hold per-executor; use langIdTrained")
       val v = m.select(col("tri")).distinct().count()
       require(v > 0, "langIdTrainedNative: empty model")
       val totals = m.groupBy("lang").agg(sum(col("c")).as("tl"))
@@ -1154,14 +1168,8 @@ object TextAnalysis {
         .select(col("tri"), col("lang"),
           (lg(col("tl") + lit(v)) - lg(col("c") + lit(1L))).as("bits"))
         .collect()
-      // the grid is charset³-bounded by construction; a corpus-sized
-      // frame here is a mis-use (pass word n-grams to the composed
-      // form instead, which keeps the model distributed)
-      require(grid.length <= (1 << 22),
-        s"langIdTrainedNative: model has ${grid.length} (tri, lang) " +
-          "rows — too large to hold per-executor; use langIdTrained")
       (langs, langs.map(missByLang), grid)
-    } finally { m.unpersist(); () }
+    } finally { if (!callerPinned) { m.unpersist(); () } }
     val langIdx = langs.zipWithIndex.toMap
     val byTri = new scala.collection.mutable.HashMap[String, Array[Long]]
     present.foreach { r =>
@@ -1597,12 +1605,21 @@ object TextAnalysis {
   : org.apache.spark.sql.DataFrame = {
     require(maxN >= 1 && maxN <= 16, s"maxN must be in [1,16]: $maxN")
     require(beta >= 1, s"beta must be positive: $beta")
-    val p = broadcast(pairs.select(col("a_id"), col("b_id")))
-    val touched = pairs.select(col("a_id").as("id"))
-      .unionByName(pairs.select(col("b_id").as("id"))).distinct()
+    // pin the (bounded) pair frame ONCE: it feeds the broadcast join
+    // AND both union legs of the touched-doc set — an unpinned plan
+    // (e.g. a full LSH candidate pipeline) would re-run ~3×
+    val pinned = pairs.select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val p = broadcast(pinned)
+    val touched = pinned.select(col("a_id").as("id"))
+      .unionByName(pinned.select(col("b_id").as("id"))).distinct()
     val chars = docs
       .select(col(idCol).as("id"),
-        regexp_replace(col(textCol), "\\s+", "").as("s"))
+        // explicit class = Java's \s exactly; RE2's \s (the oracle
+        // engine) EXCLUDES \x0B, so a bare \s would silently diverge
+        // on vertical tabs in scraped text
+        regexp_replace(col(textCol), "[ \\t\\n\\x0B\\f\\r]+", "")
+          .as("s"))
       .join(broadcast(touched), Seq("id"), "left_semi")
     val grams = chars.select(col("id"), explode(expr(
       s"""flatten(transform(sequence(1, $maxN), nn ->

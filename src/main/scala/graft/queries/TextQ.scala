@@ -2747,7 +2747,8 @@ object TextQ {
        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |tdoc AS (SELECT a_id AS doc_id FROM pairs
        |  UNION SELECT b_id FROM pairs),
-       |ch AS (SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS s
+       |ch AS (SELECT doc_id,
+       |    regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g') AS s
        |  FROM documents JOIN tdoc USING (doc_id)),
        |nn AS (SELECT unnest(range(1, 7)) AS n),
        |gx AS (SELECT doc_id, n,

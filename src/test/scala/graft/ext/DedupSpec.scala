@@ -920,6 +920,16 @@ class DedupSpec extends SparkSpec {
       org.apache.spark.sql.types.StringType)
     val m = got.as[(String, String)].collect().toMap
     assert(m == Map("10" -> "10", "20" -> "10", "30" -> "10"))
+    // narrower INTEGRAL ids take the fast path but must come back in
+    // the INPUT type — the output schema cannot depend on which path
+    // the edge count picked
+    val intIds = Seq((2, 1), (3, 2)).toDF("a_id", "b_id")
+    val gotInt = Dedup.connectedComponents(spark, intIds)
+    assert(gotInt.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"got ${gotInt.schema("id").dataType}")
+    assert(gotInt.as[(Int, Int)].collect().toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 1))
   }
 
   test("connected components merges transitive chains") {

@@ -97,6 +97,25 @@ class ProfileSpec extends SparkSpec {
     assert(e2.getMessage.contains("recreate"))
   }
 
+  test("profileSync derives k from an existing index's sidecar — " +
+      "non-default K never needs repeating") {
+    import graft.sink.CdcTable
+    val tbl = tmpDir("profktbl")
+    val idx = tmpDir("profkidx")
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), tbl,
+      partitionBy = Nil)
+    assert(Profile.profileSync(spark, tbl, idx, Seq("id", "s"),
+      k = 64) == 1)
+    CdcTable.append(Seq((3L, "c")).toDF("id", "s"), tbl,
+      partitionBy = Nil)
+    // default k=256 on the call — the stored k=64 wins
+    assert(Profile.profileSync(spark, tbl, idx, Seq("id", "s")) == 1)
+    assert(Profile.profileRead(spark, idx)
+      .collect().map(_.toSeq).toSet ==
+      Profile.profile(CdcTable.read(spark, tbl), Seq("id", "s"),
+        k = 64).collect().map(_.toSeq).toSet)
+  }
+
   test("incremental profile guards: k mismatch, unsupported types, " +
       "dtype drift") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
