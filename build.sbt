@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors defeat that: the logger prefixes forked
+// program output with [info], and sbt prints "[success] Total time: …"
+// AFTER the program's summary line (BENCH_r07–r12 all recorded
+// parsed:null because of it). StdoutOutput passes the forked JVM's
+// stdout through untouched, and showSuccess drops the trailer — so the
+// bench summary line is physically last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
