@@ -326,8 +326,10 @@ object Bench {
         val fmap = spark.createDataFrame(f2ts).toDF("rel", "commit_ts")
         graft.sink.CdcTable.read(spark, dir)
           .select(expr("unix_millis(_cdc_timestamp)").as("ets"),
-            expr("substring(input_file_name(), " +
-              "instr(input_file_name(), '/data/batch-') + 1)").as("rel"))
+            // last-occurrence rel-path extraction, matching the
+            // manifest's stagedFiles keying
+            regexp_extract(input_file_name(),
+              graft.sink.CdcTable.RelPathRe, 1).as("rel"))
           .join(broadcast(fmap), Seq("rel"))
           .select((col("commit_ts") - col("ets")).as("lag_ms"))
       }

@@ -463,10 +463,16 @@ object Dedup {
         "Dedup.near for a corpus-sized input, or raise maxBatchRows " +
         "if the broadcast genuinely fits")
     // CdcTable.read snapshots the log NOW — a later append cannot
-    // leak this batch into its own "historical" side
+    // leak this batch into its own "historical" side. On a CRASH
+    // REPLAY (index append committed, caller's downstream append not)
+    // the batch's own rows ARE in the log — excluding this txn's
+    // commit keeps the snapshot identical to the fresh run's, so the
+    // exact bucket-occupancy counts (and thus a finite/auto
+    // maxBandDocFreq cap) replay bit-identically instead of
+    // double-counting the batch on the historical side.
     val hist =
       if (CdcTable.log(indexDir).nonEmpty) {
-        val h = CdcTable.read(spark, indexDir)
+        val h = CdcTable.readExcludingTxn(spark, indexDir, txn)
           .select(col("doc_id"), col("band_key"), col("sig"),
             col("bands"))
         // THE INDEX NEVER SHUFFLES: only rows in buckets the batch
@@ -1245,10 +1251,13 @@ object Dedup {
     // snapshot NOW: the append below cannot leak this batch into its
     // own "historical" side. Only rows whose fingerprint the batch
     // carries survive the probe (broadcast semi-probe — the index is
-    // never exchanged).
+    // never exchanged). Own-txn exclusion mirrors the band index: a
+    // crash replay whose index append already committed must probe
+    // the same pre-batch snapshot (hot-fp df counts included) its
+    // original run saw.
     val hist =
       if (CdcTable.log(indexDir).nonEmpty)
-        CdcTable.read(spark, indexDir)
+        CdcTable.readExcludingTxn(spark, indexDir, txn)
           .select(col("doc_id"), col("nfp"), col("fp"))
           .join(broadcast(batchFps.select(col("fp")).distinct()),
             Seq("fp"))

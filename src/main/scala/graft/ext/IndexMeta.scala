@@ -35,14 +35,29 @@ private[graft] object IndexMeta {
     * map; callers supply their backward-compatible default via
     * `getOrElse`. */
   def ensure(indexDir: String, proposed: Map[String, Int],
-      legacy: () => Option[Map[String, Int]]): Map[String, Int] = {
-    def read(): Option[Map[String, Int]] =
+      legacy: () => Option[Map[String, Int]]): Map[String, Int] =
+    ensureRaw(indexDir,
+      proposed.map { case (k, v) => k -> v.toString },
+      () => legacy().map(_.map { case (k, v) => k -> v.toString }))
+      // non-integer entries (e.g. a pinned column list) are simply
+      // not part of the Int view
+      .flatMap { case (k, v) =>
+        scala.util.Try(v.trim.toInt).toOption.map(k -> _) }
+
+  /** String-valued [[ensure]] — for configs that are not integers
+    * (e.g. the profile index's pinned column list). Values must not
+    * contain newlines (one `k=v` line per entry). */
+  def ensureRaw(indexDir: String, proposed: Map[String, String],
+      legacy: () => Option[Map[String, String]]): Map[String, String] = {
+    proposed.foreach { case (k, v) =>
+      require(!v.contains("\n") && !k.contains("=") && !k.contains("\n"),
+        s"index meta entry $k is not line-safe") }
+    def read(): Option[Map[String, String]] =
       Fs.readString(path(indexDir)).map { s =>
         s.linesIterator.flatMap { line =>
           val i = line.indexOf('=')
           if (i < 0) None
-          else Some(line.substring(0, i) ->
-            line.substring(i + 1).trim.toInt)
+          else Some(line.substring(0, i) -> line.substring(i + 1))
         }.toMap
       }
     read().getOrElse {

@@ -103,9 +103,29 @@ object Profile {
       txn: Option[(String, Long)] = None): Unit = {
     require(cols.nonEmpty, "profileAppend needs at least one column")
     require(k >= 2, s"profile k must be at least 2: $k")
-    val won = IndexMeta.ensureInt(tableDir, "profile_k", k, () => None)
+    require(cols.forall(c => !c.contains(",")),
+      s"profile column names must be comma-free: ${cols.mkString("|")}")
+    // BOTH layout parameters pin at creation in one sidecar write: k
+    // (merge width) AND the column set — an append with a different
+    // cols list would silently skew per-column n_rows/n_null in the
+    // merged profile (each column's counts must cover every batch).
+    // Sidecars created before profile_cols existed lack the key and
+    // adopt this call's set implicitly (profileSync's stored-column
+    // check still guards those).
+    val meta = IndexMeta.ensureRaw(tableDir,
+      Map("profile_k" -> k.toString,
+        "profile_cols" -> cols.sorted.mkString(",")), () => None)
+    val won = meta.get("profile_k").map(_.trim.toInt).getOrElse(
+      sys.error(s"index meta at $tableDir has no key 'profile_k'"))
     require(won == k,
       s"profile index at $tableDir was created with k=$won, got k=$k")
+    meta.get("profile_cols").foreach { stored =>
+      require(stored == cols.sorted.mkString(","),
+        s"profile index at $tableDir pins columns [$stored] but this " +
+          s"append carries [${cols.sorted.mkString(",")}] — a " +
+          "partial-column append would undercount the merged profile; " +
+          "recreate the index to change its column set")
+    }
     val perCol: Seq[Column] = cols.flatMap { c =>
       val (minL, maxL, minD, maxD, minS, maxS) =
         typedSlots(batch.schema(c).dataType, c)
@@ -155,7 +175,11 @@ object Profile {
     import graft.sink.CdcTable
     val commits = CdcTable.log(tableDir)
     require(commits.nonEmpty, s"no CdcTable at $tableDir")
-    val appId = s"profile@$tableDir"
+    // canonicalize the path: the high-water marker is keyed on the
+    // table's identity, and the same table synced via a different
+    // SPELLING (trailing slash, relative path) must not reset the
+    // mark and double-fold every commit
+    val appId = s"profile@${canonicalDir(tableDir)}"
     val idxLog = CdcTable.log(indexDir)
     // an EXISTING index serves its creation-time k from the sidecar —
     // the caller's k is only the creation parameter, so syncing an
@@ -165,9 +189,16 @@ object Profile {
     val hw = idxLog.flatMap(_.txn)
       .filter(_._1 == appId).map(_._2).maxOption.getOrElse(0L)
     if (idxLog.nonEmpty) {
-      val stored = CdcTable.read(spark, indexDir)
-        .select(col("column")).distinct()
-        .collect().map(_.getString(0)).toSet
+      // the creation-time pinned set lives in the sidecar (zero IO);
+      // only pre-pin indexes fall back to scanning stored rows
+      val stored = graft.core.Fs.readString(s"$indexDir/_graft_index_meta")
+        .flatMap(_.linesIterator.collectFirst {
+          case l if l.startsWith("profile_cols=") =>
+            l.substring(13).split(',').toSet
+        })
+        .getOrElse(CdcTable.read(spark, indexDir)
+          .select(col("column")).distinct()
+          .collect().map(_.getString(0)).toSet)
       require(stored == cols.toSet,
         s"profile index at $indexDir covers ${stored.mkString(",")} " +
           s"but sync asked for ${cols.mkString(",")} — partial-column " +
@@ -187,6 +218,15 @@ object Profile {
       txn = Some((appId, range.last.commit)))
     range.length
   }
+
+  /** One canonical spelling per table path, for identity-keyed txn
+    * markers: URI-style paths normalize through Hadoop Path (strips
+    * trailing slashes, collapses //); bare local paths additionally
+    * absolutize so `./t`, `t` and `/cwd/t` all key the same mark. */
+  private[graft] def canonicalDir(dir: String): String =
+    if (dir.contains("://"))
+      new org.apache.hadoop.fs.Path(dir).toString
+    else java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
 
   /** The table's k, pinned at creation in the sidecar. */
   private[graft] def storedProfileK(tableDir: String): Int =

@@ -298,16 +298,30 @@ object CdcTable {
       s"could not commit to $dir after 50 attempts — concurrent writers?")
   }
 
-  /** Enumerate the parquet files of a staged batch, dir-relative. */
+  /** Enumerate the parquet files of a staged batch, dir-relative.
+    * LAST occurrence of the batch marker: a table legitimately rooted
+    * under a path that itself contains `/data/batch-` (e.g. a curation
+    * artifact nested inside another table's data dir) must still key
+    * its rel paths at ITS OWN staging level, or `$dir/$rel` reads and
+    * the bloom/keyed-rewrite rel joins all silently miss. Partition
+    * segments cannot contain '/', so the last occurrence is always the
+    * staging dir this commit just wrote. The regexp sites extracting
+    * rel paths from input_file_name use the same last-occurrence rule
+    * (greedy `.*` prefix) — keep them in sync. */
   private def stagedFiles(dir: String, batchDir: String): Seq[String] =
     Fs.walkFiles(batchDir)
       .map(_._1.toString)
       .filter(_.endsWith(".parquet"))
       .map { abs =>
-        val marker = abs.indexOf("/data/batch-")
+        val marker = abs.lastIndexOf("/data/batch-")
         require(marker >= 0, s"staged file outside data dir: $abs")
         abs.substring(marker + 1)
       }
+
+  /** input_file_name → manifest rel path, as a regex: the greedy `.*`
+    * prefix pins the capture to the LAST `data/batch-` occurrence,
+    * matching [[stagedFiles]]' keying. */
+  private[graft] val RelPathRe = ".*(data/batch-.*)$"
 
   /** Append a batch, merging schemas under `mode`. A schema change
     * opens a new generation. Returns the schema version after the
@@ -388,7 +402,7 @@ object CdcTable {
     // superset bloom while the others silently got none.
     val byRel = relFiles.toSet
     def relOf(abs: String): String = {
-      val marker = abs.indexOf("/data/batch-")
+      val marker = abs.lastIndexOf("/data/batch-")
       require(marker >= 0, s"bloom read-back file outside data dir: $abs")
       val rel = abs.substring(marker + 1)
       require(byRel.contains(rel),
@@ -453,6 +467,26 @@ object CdcTable {
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
     readCommits(spark, dir, effective(commits))
+  }
+
+  /** [[read]] minus the commits carrying exactly `excludeTxn` —
+    * [[rowCountEstimate]]'s exclusion applied to the DATA: a replayed
+    * incremental-index batch (whose own index append already
+    * committed before the crash) probes the same pre-batch snapshot
+    * its original run saw, so occupancy counts / hot-bucket caps /
+    * pair sets replay bit-identically instead of double-counting the
+    * batch's own rows on the historical side. */
+  def readExcludingTxn(spark: SparkSession, dir: String,
+      excludeTxn: Option[(String, Long)]): DataFrame = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val eff = effective(commits)
+      .filterNot(c => excludeTxn.exists(c.txn.contains))
+    if (eff.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        commits.last.schema)
+    else readCommits(spark, dir, eff)
   }
 
   /** Read with MANIFEST-level partition pruning: the predicate runs
@@ -601,8 +635,7 @@ object CdcTable {
         .toDF("_graft_file", "_commit", "_commit_ts")
       SchemaMerge.castTo(readCommits(spark, dir, appends), target)
         .withColumn("_graft_file",
-          pctDecode(regexp_extract(input_file_name(),
-            "(data/batch-.*)$", 1)))
+          pctDecode(regexp_extract(input_file_name(), RelPathRe, 1)))
         .join(broadcast(fileMeta), Seq("_graft_file"))
         .drop("_graft_file")
         .withColumn("_change_type", lit("insert"))
@@ -882,7 +915,7 @@ object CdcTable {
 
     val touchedRows = readCommits(spark, dir, live)
       .withColumn("__graft_file", pctDecode(
-        regexp_extract(input_file_name(), "(data/batch-.*)$", 1)))
+        regexp_extract(input_file_name(), RelPathRe, 1)))
       .join(srcKeys, keys)
       .groupBy(col("__graft_file")).agg(count(lit(1)).as("n"))
       .collect()
@@ -963,7 +996,7 @@ object CdcTable {
 
     val touchedRows = readCommits(spark, dir, live)
       .withColumn("__graft_file", pctDecode(
-        regexp_extract(input_file_name(), "(data/batch-.*)$", 1)))
+        regexp_extract(input_file_name(), RelPathRe, 1)))
       .filter(pred)
       .groupBy(col("__graft_file")).agg(count(lit(1)).as("n"))
       .collect()

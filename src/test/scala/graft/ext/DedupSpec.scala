@@ -1231,4 +1231,39 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) == 80 * 79 / 2)
     assert(auto.subsetOf(uncapped))
   }
+
+  test("crash-replay probes the pre-batch snapshot: a finite hot-bucket " +
+      "cap must not flip from the batch's own committed index rows") {
+    // r12 advisor: on crash-replay (index append committed, caller's
+    // downstream append not), the hist read used to include the
+    // batch's own rows — exact bucket occupancy double-counted them,
+    // so a finite cap could exclude buckets the fresh run kept and
+    // the replayed pair set silently diverged.
+    val copy = "many identical boilerplate words repeated across every " +
+      "copy of one web page with enough tokens to shingle and band here"
+    val b = (1L to 4L).map(i => (i, copy)).toDF("doc_id", "text")
+    // BAND index: 4 copies in one batch → every band bucket holds
+    // exactly 4 rows; cap 4 keeps them on the fresh run, and a
+    // double-counted replay would read 8 > 4 and drop every pair
+    val idx = tmpDir("capreplay")
+    def bandRun() = Dedup.nearIncremental(b, "text", "doc_id", idx,
+        txn = Some(("cap-replay", 1L)), maxBandDocFreq = Some(4))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val fresh = bandRun()
+    assert(fresh.size == 6, s"occupancy 4 <= cap 4 keeps all pairs: $fresh")
+    assert(bandRun() == fresh,
+      "replayed band batch must pair identically to its original run")
+    // WINNOW index: same shape — hist-side df of the batch's own
+    // committed fingerprints would exceed cap 3 and suppress every
+    // pair the fresh run (empty hist) reported
+    val widx = tmpDir("wcapreplay")
+    def winnowRun() = Dedup.winnowIncremental(b, "text", "doc_id", widx,
+        threshold = 0.5, txn = Some(("wcap-replay", 1L)),
+        maxFpDocFreq = Some(3))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val wfresh = winnowRun()
+    assert(wfresh.size == 6, s"fresh winnow run pairs all copies: $wfresh")
+    assert(winnowRun() == wfresh,
+      "replayed winnow batch must pair identically to its original run")
+  }
 }

@@ -142,6 +142,44 @@ class ProfileSpec extends SparkSpec {
       s"unexpected: ${e.getMessage}")
   }
 
+  test("profileAppend pins the column set at creation — a mismatched " +
+      "append rejects loudly instead of skewing the merged profile") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val tbl = tmpDir("profcols")
+    Profile.profileAppend(df, tbl, Seq("id", "s"))
+    // fewer columns: each skipped column's n_rows would undercount
+    val e = intercept[IllegalArgumentException] {
+      Profile.profileAppend(df, tbl, Seq("id"))
+    }
+    assert(e.getMessage.contains("pins columns"), e.getMessage)
+    // different columns entirely
+    intercept[IllegalArgumentException] {
+      Profile.profileAppend(df.withColumnRenamed("s", "t"), tbl,
+        Seq("id", "t"))
+    }
+    // same set, different order: fine (the profile is set-semantics)
+    Profile.profileAppend(df, tbl, Seq("s", "id"))
+  }
+
+  test("profileSync high-water mark survives path re-spellings — no " +
+      "double-fold via a trailing slash or relative spelling") {
+    import graft.sink.CdcTable
+    val tbl = tmpDir("profspell")
+    val idx = tmpDir("profspellidx")
+    CdcTable.append((1 to 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "s"), tbl, partitionBy = Nil)
+    assert(Profile.profileSync(spark, tbl, idx, Seq("id", "s")) == 1)
+    // same table through different spellings: the canonical appId
+    // keeps the mark, so nothing re-folds and n_rows stays exact
+    assert(Profile.profileSync(spark, s"$tbl/", idx,
+      Seq("id", "s")) == 0)
+    assert(Profile.profileSync(spark, s"$tbl/.", idx,
+      Seq("id", "s")) == 0)
+    val n = Profile.profileRead(spark, idx)
+      .filter($"column" === "id").select($"n_rows").as[Long].head()
+    assert(n == 100L, s"double-folded: n_rows = $n")
+  }
+
   test("profile is one aggregation: no join, no per-column scans") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val p = Profile.profile(docs,
