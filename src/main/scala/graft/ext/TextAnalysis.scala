@@ -1662,4 +1662,23 @@ object TextAnalysis {
         s"((${1 + b2}L * cp_fp * cr_fp) div " +
           s"greatest(${b2}L * cp_fp + cr_fp, 1L))"))
   }
+
+  /** Corpus-level chrF — the dataset-eval deployment shape: the
+    * MACRO-average (mean of per-pair fixed-point scores, the way
+    * Popović'15 reports document/corpus chrF over segments) of
+    * [[chrF]] across the whole pair frame, in ONE row. Exact
+    * integers throughout (`Σ score div n`), so corpus scores
+    * hash-match the oracle like the per-pair rows do. All the scale
+    * work happens inside [[chrF]] (pair-restricted gram counting);
+    * this adds one global aggregation over the bounded pair residue.
+    * Output: (n_pairs, macro_chrp_fp, macro_chrr_fp, macro_chrf_fp). */
+  def chrFCorpus(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text", maxN: Int = 6, beta: Int = 2)
+  : org.apache.spark.sql.DataFrame =
+    chrF(docs, pairs, idCol, textCol, maxN, beta)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(cp_fp) div count(1)").as("macro_chrp_fp"),
+        expr("sum(cr_fp) div count(1)").as("macro_chrr_fp"),
+        expr("sum(chrf_fp) div count(1)").as("macro_chrf_fp"))
 }

@@ -2733,7 +2733,11 @@ object TextQ {
         q34(s, dir).select(col("a_id"), col("b_id")), "doc_id")
       .orderBy(col("a_id"), col("b_id"))
 
-  val q164Sql: String =
+  /** Shared oracle body for the chrF family (q164 per-pair, q166
+    * corpus): banded candidate pairs → pair-restricted char-gram
+    * counting for n=1..6 → clipped precision/recall in exact fixed
+    * point, through the `fo` CTE. */
+  private val chrfBodyD: String =
     s"""WITH d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
        |ids AS (SELECT doc_id,
        |    list_transform(shs, x -> ${tokD("x")}) AS sids FROM d),
@@ -2780,11 +2784,35 @@ object TextQ {
        |      AS BIGINT) AS cp_fp,
        |    CAST(SUM((clip * 1000000) // GREATEST(tr, 1)) // 6
        |      AS BIGINT) AS cr_fp
-       |  FROM po GROUP BY 1, 2)
+       |  FROM po GROUP BY 1, 2)""".stripMargin
+
+  val q164Sql: String =
+    s"""$chrfBodyD
        |SELECT a_id, b_id, clip_total, cp_fp, cr_fp,
        |  CAST((5 * cp_fp * cr_fp) // GREATEST(4 * cp_fp + cr_fp, 1)
        |    AS BIGINT) AS chrf_fp
        |FROM fo ORDER BY a_id, b_id""".stripMargin
+
+  /** q166 — corpus-level chrF ([[graft.ext.TextAnalysis.chrFCorpus]]):
+    * the macro-average (mean of per-pair fixed-point scores) of q164's
+    * rows in one dataset-eval row — `Σ score // n` exactly, so the
+    * corpus score hash-matches like the per-pair cells. */
+  def q166(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.chrFCorpus(
+      spreadDocs(s, dir),
+      q34(s, dir).select(col("a_id"), col("b_id")), "doc_id")
+
+  val q166Sql: String =
+    s"""$chrfBodyD,
+       |sc AS (SELECT cp_fp, cr_fp,
+       |    CAST((5 * cp_fp * cr_fp) // GREATEST(4 * cp_fp + cr_fp, 1)
+       |      AS BIGINT) AS chrf_fp
+       |  FROM fo)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(cp_fp) // COUNT(*) AS BIGINT) AS macro_chrp_fp,
+       |  CAST(SUM(cr_fp) // COUNT(*) AS BIGINT) AS macro_chrr_fp,
+       |  CAST(SUM(chrf_fp) // COUNT(*) AS BIGINT) AS macro_chrf_fp
+       |FROM sc""".stripMargin
 
   /** q165 — INCREMENTALLY-GROWN materialized curation result
     * ([[graft.ext.Dedup.appendNearDupResult]]): the q162 consumers
@@ -3086,5 +3114,6 @@ object TextQ {
     QueryDef("q161_countmin_freq", q161, Some(q161Sql)),
     QueryDef("q162_curation_materialized", q162, Some(q162Sql)),
     QueryDef("q164_chrf", q164, Some(q164Sql)),
-    QueryDef("q165_curation_incremental", q165, Some(q165Sql)))
+    QueryDef("q165_curation_incremental", q165, Some(q165Sql)),
+    QueryDef("q166_chrf_corpus", q166, Some(q166Sql)))
 }
