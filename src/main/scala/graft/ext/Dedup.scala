@@ -1021,20 +1021,13 @@ object Dedup {
     val spark = batch.sparkSession
     // a replayed batch must be a TRUE no-op: without this check the
     // txn marker only suppresses the pair append, while the
-    // banding/probe job, the CC relabel and a spurious components
-    // replace commit would all still run on every retry. One repair
-    // case survives the short-circuit: a crash BETWEEN the pair
-    // append and the components refresh leaves components older than
-    // pairs — detectable from the two logs' commit timestamps — and
-    // the replay then redoes only the (cheap) relabel.
+    // banding/probe job would still run on every retry. A crash
+    // BETWEEN the pair append and the components refresh leaves the
+    // components high-water mark below the pairs log — the replay
+    // (and any later batch) redoes only the missed incremental fold.
     if (txn.exists(t => graft.sink.CdcTable.log(s"$dir/pairs")
         .exists(_.txn.contains(t)))) {
-      val pairsTs = graft.sink.CdcTable.log(s"$dir/pairs").last.ts
-      val compLog = graft.sink.CdcTable.log(s"$dir/components")
-      if (compLog.isEmpty || compLog.last.ts < pairsTs)
-        landReplaceOrAppend(connectedComponents(spark,
-          graft.sink.CdcTable.read(spark, s"$dir/pairs")),
-          s"$dir/components")
+      syncComponents(spark, dir)
       return
     }
     val pairs = nearIncremental(batch, textCol, idCol, s"$dir/index",
@@ -1043,9 +1036,167 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
     graft.sink.CdcTable.append(pairs, s"$dir/pairs",
       partitionBy = Nil, txn = txn)
-    landReplaceOrAppend(connectedComponents(spark,
-      graft.sink.CdcTable.read(spark, s"$dir/pairs")),
-      s"$dir/components")
+    syncComponents(spark, dir)
+  }
+
+  /** High-water appId for the incremental components fold: the
+    * components table's commits record which pairs commit they have
+    * folded in, so maintenance is O(unseen pairs commits) — the
+    * profileSync pattern applied to the curation artifact. */
+  private[graft] val CcAppId = "graft-cc"
+
+  /** Refresh `dir/components` from `dir/pairs` INCREMENTALLY:
+    * connected components are maintained under edge ADDITION by a
+    * union–find over (the unseen pairs commits' edges) ∪ (the stored
+    * labels of the nodes those edges touch) — the only rows that can
+    * change are members of components an edge touches, so the rewrite
+    * is a keyed MERGE of exactly (relabeled members of merged
+    * components + newly-labeled nodes), never a corpus- or
+    * stored-pair-sized relabel. Per-batch cost: the new-edge residue
+    * (driver union–find, the [[connectedComponents]] fast path's
+    * contract) + two key-bounded probes of the components table +
+    * a touched-file-only rewrite.
+    *
+    * Falls back to ONE full relabel (CC over the whole pairs table,
+    * atomic replace) when the incremental contract cannot hold:
+    * a non-append pairs commit in the unseen range (batch
+    * [[writeNearDupResult]] replace, compaction), a components table
+    * predating the high-water mark (legacy artifact), non-integral
+    * ids, or a new-edge set past the driver bound. Components are a
+    * pure function of pairs, so the rebuild is always available —
+    * unlike profile partials, nothing here is unsubtractable.
+    *
+    * Exactly-once via the [[CcAppId]] txn marker (= the folded pairs
+    * commit id); a replay re-derives the same source rows and the
+    * marked commit short-circuits. Returns the number of pairs
+    * commits folded (0 = already fresh). */
+  def syncComponents(spark: SparkSession, dir: String,
+      driverEdgeLimit: Long = DriverCcEdgeLimit): Int = {
+    import graft.sink.CdcTable
+    val pairsDir = s"$dir/pairs"
+    val compDir = s"$dir/components"
+    val pLog = CdcTable.log(pairsDir)
+    require(pLog.nonEmpty, s"no pairs table at $pairsDir")
+    val last = pLog.last.commit
+    val cLog = CdcTable.log(compDir)
+    val hw = cLog.flatMap(_.txn).filter(_._1 == CcAppId).map(_._2)
+      .maxOption.getOrElse(0L)
+    if (hw >= last) return 0
+    val range = pLog.filter(_.commit > hw)
+
+    def fullRebuild(): Unit = {
+      val labels = connectedComponents(spark,
+        CdcTable.read(spark, pairsDir))
+      if (cLog.isEmpty)
+        CdcTable.append(labels, compDir, partitionBy = Nil,
+          txn = Some((CcAppId, last)))
+      else
+        CdcTable.replaceWith(spark, compDir, labels, partitionBy = Nil,
+          txn = Some((CcAppId, last)))
+      ()
+    }
+
+    // legacy batch-written components (no mark yet) or a replace in
+    // the unseen range: the stored labels' provenance is unknown /
+    // the feed cannot replay — pay one full relabel, then mark
+    if (range.exists(_.action != "append") ||
+        (cLog.nonEmpty && hw == 0L)) {
+      fullRebuild(); return range.length
+    }
+    val newEdges = CdcTable
+      .readChanges(spark, pairsDir, afterCommit = hw)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val nNew = newEdges.count()
+    if (nNew == 0) {
+      // still stamp the mark (one empty-source merge commit), or every
+      // later sync re-reads these commits forever
+      if (cLog.isEmpty) fullRebuild()
+      else CdcTable.merge(spark, compDir, newEdges
+        .select(col("u").as("id"), col("v").as("component")).limit(0),
+        keys = Seq("id"), partitionBy = Nil,
+        txn = Some((CcAppId, last)))
+      return range.length
+    }
+    val integralIds = newEdges.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.ByteType => true
+      case org.apache.spark.sql.types.ShortType => true
+      case org.apache.spark.sql.types.IntegerType => true
+      case org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (nNew > driverEdgeLimit || !integralIds) {
+      fullRebuild(); return range.length
+    }
+    val idType = newEdges.schema("u").dataType
+    val touched = newEdges.select(col("u").cast("long").as("id"))
+      .unionByName(newEdges.select(col("v").cast("long").as("id")))
+      .distinct()
+    // stored labels of touched nodes: ONE key-bounded probe — the
+    // touched set broadcasts, the components table streams through
+    val storedTouched =
+      if (cLog.isEmpty) Array.empty[(Long, Long)]
+      else CdcTable.read(spark, compDir)
+        .select(col("id").cast("long").as("id"),
+          col("component").cast("long").as("component"))
+        .join(broadcast(touched), Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeArr = newEdges
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union–find over new edges + (node → stored label) arcs: a
+    // stored label IS a member of its component (the min id), so the
+    // arc is a true edge and find() yields min-reachable labels over
+    // the merged graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    def union(u: Long, v: Long): Unit = {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    edgeArr.foreach { case (u, v) => union(u, v) }
+    storedTouched.foreach { case (id, comp) => union(id, comp) }
+    // components whose stored label moved: every stored member row of
+    // those labels relabels (second key-bounded probe — the remap is
+    // tiny and broadcasts; untouched components never read)
+    val remap = storedTouched.map(_._2).distinct
+      .flatMap(l => { val n = find(l); if (n != l) Some((l, n)) else None })
+    val storedIds = storedTouched.map(_._1).toSet
+    val newNodes = edgeArr.iterator
+      .flatMap(p => Iterator(p._1, p._2)).toSet
+      .diff(storedIds).toSeq.map(n => (n, find(n)))
+    import spark.implicits._
+    val changedMembers =
+      if (remap.isEmpty || cLog.isEmpty)
+        spark.emptyDataset[(Long, Long)].toDF("id", "component")
+      else CdcTable.read(spark, compDir)
+        .select(col("id").cast("long").as("id"),
+          col("component").cast("long").as("component"))
+        .join(broadcast(remap.toSeq.toDF("component", "__new")),
+          Seq("component"))
+        .select(col("id"), col("__new").as("component"))
+    val source = changedMembers
+      .unionByName(newNodes.toDF("id", "component"))
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
+    if (cLog.isEmpty)
+      CdcTable.append(source, compDir, partitionBy = Nil,
+        txn = Some((CcAppId, last)))
+    else
+      CdcTable.merge(spark, compDir, source, keys = Seq("id"),
+        partitionBy = Nil, txn = Some((CcAppId, last)))
+    range.length
   }
 
   /** Read a [[writeNearDupResult]] artifact back as a

@@ -851,9 +851,10 @@ object CdcTable {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String],
       partitionBy: Seq[String] = Seq("_ingestion_date"),
-      evolveSchema: Boolean = false): DeleteResult =
+      evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): DeleteResult =
     keyedRewrite(spark, dir, source, keys, partitionBy, evolveSchema,
-      insert = true, op = "merge")
+      insert = true, op = "merge", txn = txn)
 
   /** Keyed DELETE: drop every target row whose key tuple appears in
     * `keys` — the repair-plan / right-to-be-forgotten path where the
@@ -870,14 +871,27 @@ object CdcTable {
       keyCols, partitionBy, evolveSchema = false,
       insert = false, op = "deleteKeys")
 
+  /** `txn`: recorded in the replace commit as an idempotency /
+    * HIGH-WATER marker (a committed (appId, ver ≥ v) short-circuits
+    * the rewrite, like [[append]]) — the hook incremental maintainers
+    * (e.g. [[graft.ext.Dedup.syncComponents]]) use to remember which
+    * upstream commit a keyed upsert has folded in. */
   private def keyedRewrite(spark: SparkSession, dir: String,
       source: DataFrame, keys: Seq[String], partitionBy: Seq[String],
-      evolveSchema: Boolean, insert: Boolean, op: String): DeleteResult = {
+      evolveSchema: Boolean, insert: Boolean, op: String,
+      txn: Option[(String, Long)] = None): DeleteResult = {
     import org.apache.spark.sql.functions.{col, count, input_file_name,
       lit, regexp_extract}
     require(keys.nonEmpty, s"$op needs at least one key column")
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
+    txn.foreach { case (app, v) =>
+      val committed = commits.flatMap(_.txn)
+        .filter(_._1 == app).map(_._2)
+      if (committed.nonEmpty && committed.max >= v)
+        return DeleteResult(0L, 0L,
+          effective(commits).flatMap(_.files).size, commits.last.commit)
+    }
     val snap = commits.last.commit
     val tableSchema = commits.last.schema
     // schema evolution (Delta withSchemaEvolution parity): widen the
@@ -964,7 +978,7 @@ object CdcTable {
     val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
 
     val c = commit(dir, n => Commit(n, currentSv, "replace",
-      System.currentTimeMillis(), None, schema, carried ++ fresh,
+      System.currentTimeMillis(), txn, schema, carried ++ fresh,
       stats = carriedStats ++ freshStats,
       fileRows = carriedRows ++ freshRows),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
@@ -1051,9 +1065,16 @@ object CdcTable {
 
   def replaceWith(spark: SparkSession, dir: String, df: DataFrame,
       partitionBy: Seq[String] = Seq("_ingestion_date"),
-      expectedLastCommit: Option[Long] = None): Long = {
+      expectedLastCommit: Option[Long] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
+    txn.foreach { case (app, v) =>
+      val committed = commits.flatMap(_.txn)
+        .filter(_._1 == app).map(_._2)
+      if (committed.nonEmpty && committed.max >= v)
+        return commits.last.schemaVersion // replayed rewrite — skip
+    }
     val base = expectedLastCommit.getOrElse(commits.last.commit)
     val schema = commits.last.schema
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
@@ -1065,7 +1086,7 @@ object CdcTable {
     val files = stagedFiles(dir, batchDir)
     val (stats, frows) = FileStats.collectInfo(dir, files)
     commit(dir, n => Commit(n, nv, "replace",
-      System.currentTimeMillis(), None, schema, files,
+      System.currentTimeMillis(), txn, schema, files,
       stats = stats, fileRows = frows),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(base))
         throw new java.util.ConcurrentModificationException(

@@ -899,6 +899,78 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(11L), s"highest-quality member wins: $kept")
   }
 
+  test("syncComponents: incremental folds equal full CC across " +
+      "component merges, out-of-order ids, empty batches, and " +
+      "replace commits") {
+    import graft.sink.CdcTable
+    val dir = tmpDir("ccsync")
+    val pairsDir = s"$dir/pairs"
+    var v = 0L
+    def appendPairs(ps: (Long, Long)*): Unit = {
+      v += 1
+      CdcTable.append(
+        ps.map(p => (p._1, p._2, 0.9)).toDF("a_id", "b_id",
+          "est_jaccard"),
+        pairsDir, partitionBy = Nil, txn = Some(("t", v)))
+      ()
+    }
+    def comps(): Map[Long, Long] = CdcTable
+      .read(spark, s"$dir/components")
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    def full(): Map[Long, Long] = Dedup.connectedComponents(spark,
+        CdcTable.read(spark, pairsDir))
+      .as[(Long, Long)].collect().toMap
+    appendPairs((1L, 2L), (5L, 6L))
+    assert(Dedup.syncComponents(spark, dir) == 1)
+    assert(comps() == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(Dedup.syncComponents(spark, dir) == 0, "already fresh")
+    // one new edge MERGES two existing components: the loser's
+    // members (6) relabel even though no new edge touches them
+    appendPairs((2L, 5L))
+    assert(Dedup.syncComponents(spark, dir) == 1)
+    assert(comps() == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    // out-of-order arrival: a SMALLER new id relabels the cluster
+    appendPairs((6L, 0L))
+    Dedup.syncComponents(spark, dir)
+    assert(comps() ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L))
+    // an empty batch still advances the high-water mark
+    appendPairs()
+    assert(Dedup.syncComponents(spark, dir) == 1)
+    assert(Dedup.syncComponents(spark, dir) == 0,
+      "empty batch must stamp the mark, not re-scan forever")
+    // disjoint new cluster inserts without touching stored rows
+    appendPairs((100L, 101L))
+    Dedup.syncComponents(spark, dir)
+    assert(comps() == full())
+    // a REPLACE in the unseen range (compaction / batch rewrite)
+    // cannot fold incrementally: one full rebuild, then fresh again
+    CdcTable.replaceWith(spark, pairsDir,
+      CdcTable.read(spark, pairsDir).filter($"a_id" =!= 100L),
+      partitionBy = Nil)
+    assert(Dedup.syncComponents(spark, dir) == 1)
+    assert(comps() == full(),
+      "rebuild after a pairs replace must match full CC")
+    assert(!comps().contains(100L),
+      "labels of pairs dropped by the replace must not survive")
+    assert(Dedup.syncComponents(spark, dir) == 0)
+  }
+
+  test("syncComponents: non-integral ids fall back to the " +
+      "distributed relabel and stay correct") {
+    import graft.sink.CdcTable
+    val dir = tmpDir("ccsyncstr")
+    CdcTable.append(
+      Seq(("b", "a", 0.9), ("y", "z", 0.8)).toDF("a_id", "b_id",
+        "est_jaccard"),
+      s"$dir/pairs", partitionBy = Nil, txn = Some(("t", 1L)))
+    assert(Dedup.syncComponents(spark, dir) == 1)
+    val got = CdcTable.read(spark, s"$dir/components")
+      .select("id", "component").as[(String, String)].collect().toMap
+    assert(got ==
+      Map("a" -> "a", "b" -> "a", "y" -> "y", "z" -> "y"), s"$got")
+  }
+
   test("connected components: string/UUID ids bypass the driver fast " +
       "path and still label correctly") {
     // the driver union-find collects ids as Long; a string id casts
