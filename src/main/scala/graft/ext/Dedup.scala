@@ -202,6 +202,90 @@ object Dedup {
     }
   }
 
+  /** Remove every index entry OWNED by the given document ids — the
+    * right-to-be-forgotten composition for the incremental similarity
+    * indexes: `GRAFT DELETE`/`MERGE` remove rows from the CORPUS
+    * table, but a kept-only index retains the deleted docs' entries,
+    * so future copies of removed content are silently dropped as
+    * duplicates of ABSENT docs (and [[readNearDupResult]] can emit a
+    * deleted doc as `keep_id`). Retraction is a keyed rewrite
+    * ([[graft.sink.CdcTable.deleteKeys]] — only files holding matched
+    * keys rewrite, everything else carries by reference), with the
+    * owning key introspected from the stored schema exactly like
+    * [[compactIndex]]'s routing:
+    *
+    *   - band signature index (`band_key`):    doc_id ∈ ids
+    *   - winnow fingerprint index (`nfp`):     doc_id ∈ ids
+    *   - vector index (`bval`):                id ∈ ids
+    *   - SemDeDup exemplar index (`cid`):      id ∈ ids
+    *   - exact fingerprint index (`keep_id`):  keep_id ∈ ids
+    *
+    * Unsubtractable kinds (profile partials, LM count tables, KMV
+    * sketches, lexical postings) reject loudly — recreate those from
+    * the table's current state (the profileSync contract).
+    *
+    * CONTRACT: pass ids that are REMOVED FROM THE CORPUS. For the
+    * exact index the row is owned by its KEEPER: retracting a keeper
+    * whose duplicate copies survive in the corpus re-opens that
+    * content's dedup (the index deliberately stores no other copy) —
+    * re-ingest a surviving copy or rebuild via [[exact]] if a
+    * survivor must take over the slot. Single-writer maintenance,
+    * like every index rewrite. Returns the number of index rows
+    * removed. */
+  def retractIndex(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Long = {
+    import graft.sink.CdcTable
+    val commits = CdcTable.log(indexDir)
+    require(commits.nonEmpty, s"no index at $indexDir")
+    require(ids.columns.length == 1,
+      s"retractIndex takes a single-column id frame, got " +
+        s"(${ids.columns.mkString(", ")})")
+    val cols = commits.last.schema.fieldNames.toSet
+    val keyCol =
+      if (cols.contains("band_key") || cols.contains("nfp")) "doc_id"
+      else if (cols.contains("bval") || cols.contains("cid")) "id"
+      else if (cols.contains("fingerprint")) "keep_id"
+      else throw new IllegalArgumentException(
+        s"index at $indexDir (columns: ${cols.mkString(", ")}) has no " +
+          "per-document entries to retract — profile partials, LM " +
+          "counts, KMV sketches and lexical postings are not " +
+          "subtractable; recreate that index from the table's " +
+          "current state")
+    // cast to the stored key type so SQL-sourced string literals
+    // match integral doc ids
+    val dt = commits.last.schema(keyCol).dataType
+    CdcTable.deleteKeys(spark, indexDir,
+      ids.select(col(s"`${ids.columns(0)}`").cast(dt).as(keyCol)),
+      Seq(keyCol), partitionBy = Nil).rowsDeleted
+  }
+
+  /** Retract documents from a MATERIALIZED near-dup result
+    * ([[writeNearDupResult]]/[[appendNearDupResult]] artifact): the
+    * signature index drops their band rows ([[retractIndex]] — future
+    * copies of the removed content are novel again), stored pairs
+    * touching them drop (two keyed rewrites), and the components
+    * labeling rebuilds from the REMAINING pairs — edge removal can
+    * SPLIT a component, so affected labels cannot be patched in
+    * place; the pair-table replace commits make the next
+    * [[syncComponents]] take its full-rebuild path by construction.
+    * Idempotent: re-running after a crash heals any partial step.
+    * After retraction no consumer (decisions, canonical selection,
+    * positive pairs) can reference a retracted id. */
+  def retractNearDupResult(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    import graft.sink.CdcTable
+    retractIndex(spark, s"$dir/index", ids)
+    val one = ids.select(col(s"`${ids.columns(0)}`"))
+    CdcTable.deleteKeys(spark, s"$dir/pairs",
+      one.select(col(one.columns(0)).as("a_id")), Seq("a_id"),
+      partitionBy = Nil)
+    CdcTable.deleteKeys(spark, s"$dir/pairs",
+      one.select(col(one.columns(0)).as("b_id")), Seq("b_id"),
+      partitionBy = Nil)
+    syncComponents(spark, dir)
+    ()
+  }
+
   /** OFFLINE re-band migration for the near-dup signature index: the
     * band layout (`band_key` strings) is frozen at creation, but the
     * full 16-row MinHash signature is stored per row — so an index

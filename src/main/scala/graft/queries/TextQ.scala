@@ -2814,6 +2814,98 @@ object TextQ {
        |  CAST(SUM(chrf_fp) // COUNT(*) AS BIGINT) AS macro_chrf_fp
        |FROM sc""".stripMargin
 
+  /** q167 — index RETRACTION under corpus deletes, exact index
+    * ([[graft.ext.Dedup.retractIndex]] / `GRAFT RETRACT INDEX`): the
+    * right-to-be-forgotten composition. Batch 1 (doc_id < cut) builds
+    * the exact-dedup fingerprint index; its docs with
+    * doc_id % 10 == 3 are then deleted from the corpus and RETRACTED
+    * from the index (keyed rewrite — only files holding their
+    * keep_id rows rewrite, everything else carries by reference).
+    * Batch 2 then ingests: copies of RETRACTED content are KEPT
+    * (their keeper is gone, the content is novel again) while copies
+    * of surviving content still dedup against history. The oracle is
+    * q81's replay with the retracted keepers' index rows removed. */
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = QueryDef.scratchDir("graft_q167_idx")
+    graft.ext.Dedup.exactIncremental(
+      docs.filter(col("doc_id") < cut), "text", "doc_id", idx)
+    graft.ext.Dedup.retractIndex(s, idx,
+      docs.filter(col("doc_id") < cut && col("doc_id") % 10 === 3)
+        .select(col("doc_id")))
+    graft.ext.Dedup.exactIncremental(
+      docs.filter(col("doc_id") >= cut), "text", "doc_id", idx)
+      .select(col("doc_id"), col("keep_id"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q167Sql: String =
+    """WITH d AS (SELECT doc_id, md5(COALESCE(lower(trim(text)), '')) AS fp
+      |  FROM documents),
+      |cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS c
+      |  FROM documents),
+      |b1 AS (SELECT fp, MIN(doc_id) AS k FROM d, cut
+      |  WHERE doc_id < c GROUP BY fp),
+      |idx AS (SELECT fp, k FROM b1 WHERE k % 10 <> 3),
+      |b2 AS (SELECT fp, MIN(doc_id) AS k FROM d, cut
+      |  WHERE doc_id >= c GROUP BY fp)
+      |SELECT d.doc_id, COALESCE(idx.k, b2.k) AS keep_id,
+      |  d.doc_id <> COALESCE(idx.k, b2.k) AS is_duplicate
+      |FROM d LEFT JOIN idx USING (fp) LEFT JOIN b2 USING (fp), cut
+      |WHERE d.doc_id >= c ORDER BY d.doc_id""".stripMargin
+
+  /** q168 — retraction on the near-dup SIGNATURE index: batch 1's
+    * band rows for doc_id % 7 == 0 are retracted before batch 2
+    * probes, so retracted docs pair with NOTHING (future copies of
+    * their content are novel again) while surviving history still
+    * matches. Uncapped banding (the retraction contract is the thing
+    * under test); oracle = q82's banded replay minus pairs whose
+    * batch-1 side was retracted. */
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = QueryDef.scratchDir("graft_q168_idx")
+    graft.ext.Dedup.nearIncremental(
+      docs.filter(col("doc_id") < cut), "text", "doc_id", idx,
+      maxBandDocFreq = Some(Int.MaxValue))
+    graft.ext.Dedup.retractIndex(s, idx,
+      docs.filter(col("doc_id") < cut && col("doc_id") % 7 === 0)
+        .select(col("doc_id")))
+    graft.ext.Dedup.nearIncremental(
+      docs.filter(col("doc_id") >= cut), "text", "doc_id", idx,
+      maxBandDocFreq = Some(Int.MaxValue))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q168Sql: String =
+    s"""WITH d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, t -> ${tokD("t")}) AS sids
+       |  FROM d WHERE len(shs) > 0),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids),
+       |cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS c
+       |  FROM documents),
+       |bands AS (SELECT doc_id,
+       |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
+       |      sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    COUNT(*) AS n_shared_bands
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id, cut
+       |  WHERE b.doc_id >= c
+       |    AND NOT (a.doc_id < c AND a.doc_id % 7 = 0)
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_shared_bands,
+       |  CAST(len(list_filter(list_transform(range(0, 16),
+       |    k -> sa.sig[k+1] = sb.sig[k+1]), v -> v)) AS DOUBLE) / 16
+       |    AS est_jaccard
+       |FROM p JOIN sigs sa ON sa.doc_id = p.a_id
+       |  JOIN sigs sb ON sb.doc_id = p.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** q165 — INCREMENTALLY-GROWN materialized curation result
     * ([[graft.ext.Dedup.appendNearDupResult]]): the q162 consumers
     * (canonical selection, cluster split, positive pairs) served from
@@ -3115,5 +3207,7 @@ object TextQ {
     QueryDef("q162_curation_materialized", q162, Some(q162Sql)),
     QueryDef("q164_chrf", q164, Some(q164Sql)),
     QueryDef("q165_curation_incremental", q165, Some(q165Sql)),
-    QueryDef("q166_chrf_corpus", q166, Some(q166Sql)))
+    QueryDef("q166_chrf_corpus", q166, Some(q166Sql)),
+    QueryDef("q167_index_retract", q167, Some(q167Sql)),
+    QueryDef("q168_neardup_retract", q168, Some(q168Sql)))
 }

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
   *   GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2, …)] [FILES n]
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
   *   GRAFT COMPACT INDEX '<path>'
+  *   GRAFT RETRACT INDEX '<path>' IDS (v1, v2, …)
   *   GRAFT REBAND INDEX '<path>' BANDS n
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
@@ -80,6 +81,9 @@ object GraftSqlParser {
   private val rebandIndexRe = Pattern.compile(
     """\s*GRAFT\s+REBAND\s+INDEX\s+'([^']+)'\s+BANDS\s+(\d+)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  private val retractIndexRe = Pattern.compile(
+    """\s*GRAFT\s+RETRACT\s+INDEX\s+'([^']+)'\s+IDS\s*\((.+)\)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val vacuumRe = Pattern.compile(
     """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
       """(?:\s+(FORCE))?\s*;?\s*""",
@@ -160,6 +164,19 @@ object GraftSqlParser {
     val rbm = rebandIndexRe.matcher(sqlText)
     if (rbm.matches())
       return Some(RebandGraftIndex(rbm.group(1), rbm.group(2).toInt))
+    val rim = retractIndexRe.matcher(sqlText)
+    if (rim.matches()) {
+      // literal list, quote-aware: numbers stay bare, string ids come
+      // single-quoted with '' escaping (like every other literal here)
+      val vals = splitTopLevel(rim.group(2), ',')
+        .map(_.trim).filter(_.nonEmpty).map { s =>
+          if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+            s.substring(1, s.length - 1).replace("''", "'")
+          else s
+        }
+      require(vals.nonEmpty, "GRAFT RETRACT INDEX needs at least one id")
+      return Some(RetractGraftIndex(rim.group(1), vals))
+    }
     val cm = compactRe.matcher(sqlText)
     if (cm.matches()) {
       val cols = Option(cm.group(3)).toSeq.flatMap(
@@ -383,6 +400,29 @@ case class CompactGraftIndex(dir: String) extends LeafRunnableCommand {
     val before = CdcTable.log(tdir).length
     graft.ext.Dedup.compactIndex(spark, dir)
     Seq(Row(before.toLong, CdcTable.rowCountEstimate(tdir)))
+  }
+}
+
+/** `GRAFT RETRACT INDEX '<path>' IDS (v1, v2, …)` — remove the index
+  * entries owned by documents deleted from the corpus
+  * ([[graft.ext.Dedup.retractIndex]]: keyed rewrite, owning key
+  * introspected per index kind — doc_id for band/winnow, id for
+  * vector/SemDeDup, keep_id for the exact fingerprint index;
+  * unsubtractable kinds reject loudly). Composes with
+  * `GRAFT DELETE FROM '<table>' …`: delete the corpus rows, then
+  * retract the same ids here so re-ingested copies of the removed
+  * content are KEPT instead of deduped against absent docs. Literals
+  * cast to the index's key type. Returns the index rows removed. */
+case class RetractGraftIndex(dir: String, ids: Seq[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("rows_retracted", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import spark.implicits._
+    Seq(Row(graft.ext.Dedup.retractIndex(spark, dir, ids.toDF("id"))))
   }
 }
 
