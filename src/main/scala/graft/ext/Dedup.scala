@@ -193,7 +193,13 @@ object Dedup {
             .agg(sum(col("cnt")).as("cnt"))
         else if (cols.contains("kmv_h"))
           Sketch.foldKmv(spark, indexDir)
-        else if (cols.contains("dtype")) // profile partials: merge to
+        // FILE-keyed profile partials must keep per-file granularity
+        // (the manifest join is the read): fold = dedupe only —
+        // partials are deterministic per (file, column), so DISTINCT
+        // is exact over idempotent-sync duplicates
+        else if (cols.contains("dtype") && cols.contains("file"))
+          CdcTable.read(spark, indexDir).distinct()
+        else if (cols.contains("dtype")) // batch profile partials:
           Profile.foldProfile(spark, indexDir) // one row per column
         else CdcTable.read(spark, indexDir).distinct()
       CdcTable.replaceWith(spark, indexDir, folded,

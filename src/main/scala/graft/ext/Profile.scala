@@ -119,6 +119,10 @@ object Profile {
       sys.error(s"index meta at $tableDir has no key 'profile_k'"))
     require(won == k,
       s"profile index at $tableDir was created with k=$won, got k=$k")
+    require(!meta.get("profile_by").contains("file"),
+      s"index at $tableDir is FILE-keyed (profileSyncFiles) — a " +
+        "batch-keyed append would corrupt its manifest join; sync it " +
+        "with profileSyncFiles instead")
     meta.get("profile_cols").foreach { stored =>
       require(stored == cols.sorted.mkString(","),
         s"profile index at $tableDir pins columns [$stored] but this " +
@@ -238,14 +242,171 @@ object Profile {
       .getOrElse(sys.error(
         s"no profile_k sidecar at $tableDir — not a profile index"))
 
+  // ----------------------------------------------------------------
+  // PER-FILE partials — the manifest-native profile index: one
+  // partial row per (data file, column). Files are IMMUTABLE, so a
+  // partial never changes once written; DML (DELETE/UPDATE/MERGE),
+  // OPTIMIZE and replace commits just swap FILES in the manifest,
+  // and the read-time merge joins partials against the manifest of
+  // the requested snapshot — dropped files stop contributing, new
+  // files sync in, and `GRAFT PROFILE` of ANY time-travel snapshot
+  // becomes a manifest join. This closes the batch-keyed index's
+  // append-only contract (profileSync rejects non-append commits;
+  // this form handles them structurally). Delta keeps its file
+  // stats in the log for the same reason.
+  // ----------------------------------------------------------------
+
+  /** Sync a FILE-KEYED profile index from a graft table: profile
+    * every current-manifest file the index has not yet seen (one
+    * scan over exactly those files, grouped by file) and append the
+    * partial rows. Idempotent — the missing-file set re-derives from
+    * (manifest − stored) each run, so replays and crash re-runs
+    * self-heal; duplicate rows are deterministic per (file, column)
+    * and dedupe at read. Zero-row files get explicit zero partials
+    * so the read-side completeness check stays exact. The column
+    * set, k, and the TABLE PATH pin at creation in the sidecar
+    * (reads resolve the manifest through it). Returns the number of
+    * files newly profiled (0 = index fresh for the current state). */
+  def profileSyncFiles(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, indexDir: String, cols: Seq[String],
+      k: Int = 256): Int = {
+    import graft.sink.CdcTable
+    require(cols.nonEmpty, "profileSyncFiles needs at least one column")
+    require(k >= 2, s"profile k must be at least 2: $k")
+    require(cols.forall(c => !c.contains(",")),
+      s"profile column names must be comma-free: ${cols.mkString("|")}")
+    val commits = CdcTable.commitsAsOf(tableDir)
+    val canon = canonicalDir(tableDir)
+    val meta = IndexMeta.ensureRaw(indexDir,
+      Map("profile_k" -> k.toString,
+        "profile_cols" -> cols.sorted.mkString(","),
+        "profile_by" -> "file",
+        "profile_table" -> canon), () => None)
+    require(meta.get("profile_by").contains("file"),
+      s"index at $indexDir is a batch-keyed profile index — use " +
+        "profileAppend/profileSync with it, or recreate it BY FILE")
+    require(meta.get("profile_table").contains(canon),
+      s"file profile index at $indexDir tracks table " +
+        s"${meta.getOrElse("profile_table", "?")}, not $canon")
+    val useK = meta("profile_k").trim.toInt
+    require(useK == k || k == 256,
+      s"profile index at $indexDir was created with k=$useK, got k=$k")
+    meta.get("profile_cols").foreach { stored =>
+      require(stored == cols.sorted.mkString(","),
+        s"profile index at $indexDir pins columns [$stored] but this " +
+          s"sync carries [${cols.sorted.mkString(",")}] — recreate " +
+          "the index to change its column set")
+    }
+    val live = commits.flatMap(_.files).distinct
+    val stored: Set[String] =
+      if (CdcTable.log(indexDir).isEmpty) Set.empty
+      else CdcTable.read(spark, indexDir).select(col("file"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val toAdd = live.filterNot(stored)
+    if (toAdd.isEmpty) return 0
+    val src = CdcTable.readFilesOf(spark, tableDir, toAdd.toSet)
+      .withColumn("__file", CdcTable.relPathCol())
+    val perCol: Seq[Column] = cols.flatMap { c =>
+      val (minL, maxL, minD, maxD, minS, maxS) =
+        typedSlots(src.schema(c).dataType, c)
+      Seq(
+        count(col(c)).as(s"_nn_$c"),
+        expr("kmv_hashes(CAST(conv(substring(md5(CAST(`" + c +
+          s"` AS STRING)), 1, 15), 16, 10) AS BIGINT), $useK)")
+          .as(s"_kmv_$c"),
+        minL.as(s"_minl_$c"), maxL.as(s"_maxl_$c"),
+        minD.as(s"_mind_$c"), maxD.as(s"_maxd_$c"),
+        minS.as(s"_mins_$c"), maxS.as(s"_maxs_$c"))
+    }
+    val one = src.groupBy(col("__file"))
+      .agg(count(lit(1)).as("_n"), perCol: _*)
+    val rows = cols.map { c =>
+      struct(
+        col("__file").as("file"),
+        lit(c).as("column"),
+        lit(src.schema(c).dataType.simpleString).as("dtype"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_kmv_$c").as("kmv"),
+        col(s"_minl_$c").as("min_l"), col(s"_maxl_$c").as("max_l"),
+        col(s"_mind_$c").as("min_d"), col(s"_maxd_$c").as("max_d"),
+        col(s"_mins_$c").as("min_s"), col(s"_maxs_$c").as("max_s"))
+    }
+    val partials = one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*")).localCheckpoint()
+    // a ZERO-ROW file produces no groups above — synthesize explicit
+    // zero partials so the manifest join never mistakes it for an
+    // unsynced file
+    val got = partials.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = toAdd.filterNot(got)
+    val zeros: org.apache.spark.sql.DataFrame =
+      if (missing.isEmpty) partials
+      else {
+        val zrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        missing.foreach { f =>
+          cols.foreach { c =>
+            zrows.add(org.apache.spark.sql.Row(f, c,
+              src.schema(c).dataType.simpleString, 0L, 0L,
+              Seq.empty[Long], null, null, null, null, null, null))
+          }
+        }
+        partials.unionByName(
+          spark.createDataFrame(zrows, partials.schema))
+      }
+    graft.sink.CdcTable.append(zeros, indexDir, partitionBy = Nil)
+    toAdd.size
+  }
+
+  /** The profile of a graft table AT a manifest snapshot, served from
+    * a [[profileSyncFiles]] index with ZERO table IO: partials of
+    * exactly the snapshot's files (resolved through the pinned table
+    * path; `commitAsOf` time-travels like [[graft.sink.CdcTable
+    * .readAsOf]]) merge to the same six-column result [[profile]]
+    * computes from a full scan. Fails loudly when the snapshot holds
+    * files the index has not profiled — run [[profileSyncFiles]]. */
+  def profileReadFiles(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, commitAsOf: Option[Long] = None)
+      : DataFrame = {
+    import graft.sink.CdcTable
+    val meta = graft.core.Fs.readString(s"$indexDir/_graft_index_meta")
+      .map(_.linesIterator.flatMap { l =>
+        val i = l.indexOf('=')
+        if (i < 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
+      }.toMap)
+      .getOrElse(sys.error(s"no profile sidecar at $indexDir"))
+    require(meta.get("profile_by").contains("file"),
+      s"index at $indexDir is not a file-keyed profile index")
+    val tableDir = meta.getOrElse("profile_table", sys.error(
+      s"file profile index at $indexDir pins no table path"))
+    val k = meta.getOrElse("profile_k", sys.error(
+      s"no profile_k at $indexDir")).trim.toInt
+    val rels = CdcTable.commitsAsOf(tableDir, commitAsOf)
+      .flatMap(_.files).distinct
+    import spark.implicits._
+    val relsDf = rels.toDF("file")
+    val p = CdcTable.read(spark, indexDir)
+      .dropDuplicates("file", "column") // idempotent-sync duplicates
+      .join(broadcast(relsDf), Seq("file"), "left_semi")
+    val covered = p.select(col("file")).distinct().count()
+    require(covered == rels.size,
+      s"file profile index at $indexDir covers $covered of " +
+        s"${rels.size} files in the requested snapshot of $tableDir " +
+        "— run profileSyncFiles (a snapshot older than the index's " +
+        "first sync cannot be served)")
+    serveProfile(mergePartialRows(p.drop("file"), k), k)
+  }
+
   /** Merge stored partials to ONE row per (column, dtype): the exact
     * aggregation [[profileRead]] serves from and the COMPACT INDEX
     * fold stores back — associative/commutative merges, so
     * batched ≡ folded ≡ full-scan holds by construction. */
   private def mergedPartials(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String): DataFrame = {
-    val k = storedProfileK(tableDir)
-    val all = graft.sink.CdcTable.read(spark, tableDir)
+      tableDir: String): DataFrame =
+    mergePartialRows(graft.sink.CdcTable.read(spark, tableDir),
+      storedProfileK(tableDir))
+
+  private def mergePartialRows(all: DataFrame, k: Int): DataFrame = {
     val counts = all.groupBy(col("column"))
       .agg(countDistinct(col("dtype")).as("_ndt"),
         first(col("dtype")).as("dtype"),
@@ -280,9 +441,13 @@ object Profile {
     * bit-identical to [[profile]] over the concatenated batches, read
     * from O(batches·C) stored partial rows with ZERO corpus IO. */
   def profileRead(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String): DataFrame = {
-    val k = storedProfileK(tableDir)
-    mergedPartials(spark, tableDir)
+      tableDir: String): DataFrame =
+    serveProfile(mergedPartials(spark, tableDir),
+      storedProfileK(tableDir))
+
+  /** Merged partials → the six-column served profile. */
+  private def serveProfile(merged: DataFrame, k: Int): DataFrame =
+    merged
       .select(col("column"), col("n_rows"), col("n_null"),
         Sketch.estimate("kmv", k).as("est_distinct"),
         coalesce(col("min_l").cast("string"),
@@ -290,7 +455,6 @@ object Profile {
         coalesce(col("max_l").cast("string"),
           col("max_d").cast("string"), col("max_s")).as("max_s"))
       .orderBy(col("column"))
-  }
 
   /** `GRAFT COMPACT INDEX` fold: ≤ one partial row per column after
     * the fold, in the STORED schema — reads before and after are

@@ -299,26 +299,32 @@ object OpsQ {
         .repartition(s.sparkContext.defaultParallelism),
       ProfileCols)
 
-  val q159Sql: String = {
+  /** DuckDB replay of the whole profile (counts, KMV estimate,
+    * min/max) for each column of `rel` — shared by q159 (full table),
+    * q163 (batch-keyed incremental ≡ full), and q169 (file-keyed
+    * incremental over a DML'd table ≡ full over its current state). */
+  private def profileOracle(rel: String, cols: Seq[String]): String = {
     val k = 256
     val dom = graft.ext.Sketch.HashDomain
-    ProfileCols.map { c =>
+    cols.map { c =>
       s"""SELECT '$c' AS "column",
-         |  (SELECT COUNT(*) FROM documents) AS n_rows,
-         |  (SELECT COUNT(*) - COUNT($c) FROM documents) AS n_null,
+         |  (SELECT COUNT(*) FROM $rel) AS n_rows,
+         |  (SELECT COUNT(*) - COUNT($c) FROM $rel) AS n_null,
          |  (WITH h AS (SELECT DISTINCT CAST(('0x' ||
          |        substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-         |      FROM documents WHERE $c IS NOT NULL),
+         |      FROM $rel WHERE $c IS NOT NULL),
          |    r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn,
          |        COUNT(*) OVER () AS nd FROM h)
          |    SELECT CASE WHEN MAX(nd) < $k THEN MAX(nd)
          |      ELSE CAST((${k - 1}::HUGEINT * $dom::HUGEINT)
          |        // MAX(CASE WHEN rn = $k THEN h END)::HUGEINT AS BIGINT)
          |    END FROM r) AS est_distinct,
-         |  (SELECT CAST(MIN($c) AS VARCHAR) FROM documents) AS min_s,
-         |  (SELECT CAST(MAX($c) AS VARCHAR) FROM documents) AS max_s""".stripMargin
+         |  (SELECT CAST(MIN($c) AS VARCHAR) FROM $rel) AS min_s,
+         |  (SELECT CAST(MAX($c) AS VARCHAR) FROM $rel) AS max_s""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
+
+  val q159Sql: String = profileOracle("documents", ProfileCols)
 
   /** q163 — INCREMENTAL table profiling
     * ([[graft.ext.Profile.profileAppend]] / `GRAFT PROFILE INDEX`):
@@ -349,7 +355,41 @@ object OpsQ {
 
   val q163Sql: String = q159Sql // batched+folded partials ≡ full scan
 
+  /** q169 — FILE-KEYED profile partials surviving DML
+    * ([[graft.ext.Profile.profileSyncFiles]] /
+    * [[graft.ext.Profile.profileReadFiles]]): the profile index the
+    * batch-keyed q163 form cannot be — documents land as two commits,
+    * the index syncs one partial row per (data file, column), a
+    * `GRAFT DELETE` then REWRITES the touched files (the non-append
+    * commit profileSync rejects loudly), and a re-sync profiles only
+    * the fresh files. The served profile is graded against the
+    * FULL-SCAN oracle of the table's post-delete state: files are
+    * immutable, so DML/OPTIMIZE/replace all reduce to manifest file
+    * swaps and the read is a manifest join — DELETE + sync ≡
+    * recreate-from-current-state is the gated property. */
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val cols = Seq("doc_id", "lang", "source")
+    val docs = Tables(s, dir, "documents")
+      .select(cols.map(c => col(c)): _*)
+    val tbl = QueryDef.scratchDir("graft_q169_tbl")
+    val idx = QueryDef.scratchDir("graft_q169_idx")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), tbl,
+      partitionBy = Nil)
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1), tbl,
+      partitionBy = Nil)
+    graft.ext.Profile.profileSyncFiles(s, tbl, idx, cols)
+    CdcTable.delete(s, tbl, "doc_id % 10 < 3", partitionBy = Nil)
+    graft.ext.Profile.profileSyncFiles(s, tbl, idx, cols)
+    graft.ext.Profile.profileReadFiles(s, idx)
+  }
+
+  val q169Sql: String = profileOracle(
+    "(SELECT * FROM documents WHERE NOT (doc_id % 10 < 3)) AS t",
+    Seq("doc_id", "lang", "source"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q169_profile_files", q169, Some(q169Sql)),
     QueryDef("q150_bloom_point_lookup", q150, Some(q150Sql)),
     QueryDef("q159_profile", q159, Some(q159Sql)),
     QueryDef("q163_profile_incremental", q163, Some(q163Sql)),

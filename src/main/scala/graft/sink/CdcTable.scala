@@ -469,6 +469,32 @@ object CdcTable {
     readCommits(spark, dir, effective(commits))
   }
 
+  /** Read ONLY the given manifest-relative files of the table's
+    * current state (schema/partition handling identical to [[read]]
+    * — the file subset scans under its commit's generation and casts
+    * to the current schema). The scan primitive for file-keyed
+    * maintenance (e.g. [[graft.ext.Profile.profileSyncFiles]]):
+    * profiling the files a sync has not yet seen must not re-read
+    * the table. Unknown rels are simply absent from the result. */
+  private[graft] def readFilesOf(spark: SparkSession, dir: String,
+      rels: Set[String]): DataFrame = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    // keep EVERY commit (file lists filtered) so the target schema
+    // stays the table's current one even when the newest commit
+    // contributes no requested file
+    readCommits(spark, dir,
+      effective(commits).map(c => c.copy(files = c.files.filter(rels))))
+  }
+
+  /** The manifest-relative path of each row's source file, as a
+    * column — percent-decoded `input_file_name()` keyed by the same
+    * last-occurrence rule as [[stagedFiles]]. */
+  private[graft] def relPathCol(): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    pctDecode(regexp_extract(input_file_name(), RelPathRe, 1))
+  }
+
   /** [[read]] minus the commits carrying exactly `excludeTxn` —
     * [[rowCountEstimate]]'s exclusion applied to the DATA: a replayed
     * incremental-index batch (whose own index append already

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>'
-  *   GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n]
+  *   GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n] [BY FILE]
   *   GRAFT DELETE FROM '<path>' WHERE <predicate>
   *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
   *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE]
@@ -113,7 +113,8 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val profileSyncRe = Pattern.compile(
     """\s*GRAFT\s+SYNC\s+PROFILE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
-      """\s+COLUMNS\s+([\w\s,`]+?)(?:\s+K\s+(\d+))?\s*;?\s*""",
+      """\s+COLUMNS\s+([\w\s,`]+?)(?:\s+K\s+(\d+))?""" +
+      """(?:\s+(BY\s+FILE))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   // the tail after ON <key> is parsed token-wise in code (see
   // parseReconcileTail): regex-level REPAIR detection cannot reliably
@@ -226,7 +227,8 @@ object GraftSqlParser {
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)
       return Some(SyncGraftProfile(psm.group(1), psm.group(2), cols,
-        Option(psm.group(4)).map(_.toInt).getOrElse(256)))
+        Option(psm.group(4)).map(_.toInt).getOrElse(256),
+        byFile = psm.group(5) != null))
     }
     val pm = profileRe.matcher(sqlText)
     if (pm.matches()) {
@@ -661,25 +663,41 @@ case class ProfileGraftIndex(dir: String) extends LeafRunnableCommand {
     AttributeReference("max_s", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] =
-    graft.ext.Profile.profileRead(spark, dir).collect().toSeq
+    // file-keyed indexes (profileSyncFiles) carry a `file` column and
+    // serve through the manifest join; batch-keyed ones merge all
+    // stored partials — one SQL entry point either way
+    (if (CdcTable.currentSchema(dir)
+        .exists(_.fieldNames.contains("file")))
+      graft.ext.Profile.profileReadFiles(spark, dir)
+    else graft.ext.Profile.profileRead(spark, dir)).collect().toSeq
 }
 
-/** `GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n]` —
-  * maintain a profile index from a live table's commit log
+/** `GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n]
+  * [BY FILE]` — maintain a profile index from a live table
   * ([[graft.ext.Profile.profileSync]]): folds in exactly the table
   * commits the index has not seen (O(changed commits), zero IO when
-  * fresh); append-only tables only — partials cannot subtract.
-  * Returns the number of commits synced. */
+  * fresh); append-only tables only — partials cannot subtract. With
+  * `BY FILE` the index keys partials by DATA FILE instead
+  * ([[graft.ext.Profile.profileSyncFiles]]): DML/OPTIMIZE/replace
+  * reduce to manifest file swaps, and `GRAFT PROFILE INDEX` serves
+  * any snapshot as a manifest join. Returns the number of commits
+  * (BY FILE: files) synced. */
 case class SyncGraftProfile(indexDir: String, tableDir: String,
-    cols: Seq[String], k: Int) extends LeafRunnableCommand {
+    cols: Seq[String], k: Int, byFile: Boolean = false)
+    extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
   override val output: Seq[Attribute] =
-    Seq(attr("commits_synced", IntegerType))
+    Seq(attr("n_synced", IntegerType))
 
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.ext.Profile.profileSync(spark, tableDir, indexDir,
-      cols, k)))
+    Seq(Row(
+      if (byFile)
+        graft.ext.Profile.profileSyncFiles(spark, tableDir, indexDir,
+          cols, k)
+      else
+        graft.ext.Profile.profileSync(spark, tableDir, indexDir,
+          cols, k)))
 }
 
 /** `GRAFT HISTORY '<path>'` — the commit log as rows. */

@@ -180,6 +180,77 @@ class ProfileSpec extends SparkSpec {
     assert(n == 100L, s"double-folded: n_rows = $n")
   }
 
+  test("file-keyed profile: DML delete + sync ≡ recreate from current " +
+      "state, time travel serves past snapshots, stale reads are loud") {
+    import graft.sink.CdcTable
+    val tbl = tmpDir("proffile")
+    val idx = tmpDir("proffileidx")
+    val cols = Seq("id", "s")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"v${i % 37}")).toDF("id", "s")
+    CdcTable.append(batch(0, 300), tbl, partitionBy = Nil)
+    CdcTable.append(batch(300, 500), tbl, partitionBy = Nil)
+    def full() = Profile.profile(CdcTable.read(spark, tbl), cols)
+      .collect().map(_.toSeq).toSet
+    def served(asOf: Option[Long] = None) =
+      Profile.profileReadFiles(spark, idx, asOf)
+        .collect().map(_.toSeq).toSet
+    assert(Profile.profileSyncFiles(spark, tbl, idx, cols) > 0)
+    assert(Profile.profileSyncFiles(spark, tbl, idx, cols) == 0,
+      "fresh index re-syncs nothing")
+    val preDelete = CdcTable.log(tbl).last.commit
+    val fullPre = full()
+    assert(served() == fullPre)
+    // DML rewrites the touched files — the batch-keyed form rejects
+    // this; the file-keyed form just re-syncs the fresh files
+    CdcTable.delete(spark, tbl, "id % 10 < 3", partitionBy = Nil)
+    val e = intercept[IllegalArgumentException] { served() }
+    assert(e.getMessage.contains("profileSyncFiles"), e.getMessage)
+    assert(Profile.profileSyncFiles(spark, tbl, idx, cols) > 0)
+    assert(served() == full(),
+      "post-DML profile must equal a full scan of the current state")
+    // TIME TRAVEL: the pre-delete snapshot still serves (partials of
+    // superseded files are retained; the manifest join selects them)
+    assert(served(Some(preDelete)) == fullPre,
+      "pre-delete snapshot must profile from retained partials")
+    // SQL surface: BY FILE sync + the shared PROFILE INDEX entry point
+    assert(spark.sql(s"GRAFT SYNC PROFILE '$idx' FROM '$tbl' " +
+      "COLUMNS id, s BY FILE").as[Int].head() == 0)
+    assert(spark.sql(s"GRAFT PROFILE INDEX '$idx'")
+      .collect().map(_.toSeq).toSet == full())
+    // COMPACT keeps per-file granularity: reads (current AND time
+    // travel) are invariant under the fold
+    spark.sql(s"GRAFT COMPACT INDEX '$idx'").collect()
+    assert(served() == full())
+    assert(served(Some(preDelete)) == fullPre)
+    // cross-form guards: batch-keyed sync refuses a file-keyed index
+    val e2 = intercept[Exception] {
+      Profile.profileSyncFiles(spark, tbl,
+        { val b = tmpDir("proffilebk")
+          Profile.profileAppend(batch(0, 10), b, cols); b }, cols)
+    }
+    assert(e2.getMessage.contains("batch-keyed"), e2.getMessage)
+  }
+
+  test("file-keyed profile: a rewrite emptying a file yields explicit " +
+      "zero partials, not a coverage hole") {
+    import graft.sink.CdcTable
+    val tbl = tmpDir("proffilez")
+    val idx = tmpDir("proffilezidx")
+    // one file per append; the delete below empties batch 1 entirely
+    CdcTable.append((0 until 50).map(i => (i.toLong, "a"))
+      .toDF("id", "s").coalesce(1), tbl, partitionBy = Nil)
+    CdcTable.append((50 until 100).map(i => (i.toLong, "b"))
+      .toDF("id", "s").coalesce(1), tbl, partitionBy = Nil)
+    Profile.profileSyncFiles(spark, tbl, idx, Seq("id", "s"))
+    CdcTable.delete(spark, tbl, "id < 50", partitionBy = Nil)
+    Profile.profileSyncFiles(spark, tbl, idx, Seq("id", "s"))
+    val got = Profile.profileReadFiles(spark, idx)
+      .collect().map(_.toSeq).toSet
+    assert(got == Profile.profile(CdcTable.read(spark, tbl),
+      Seq("id", "s")).collect().map(_.toSeq).toSet, s"$got")
+  }
+
   test("profile is one aggregation: no join, no per-column scans") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val p = Profile.profile(docs,
