@@ -1145,29 +1145,32 @@ object TextAnalysis {
     val (langs, miss, present) = try {
       // size guard BEFORE any collect: a corpus-sized model (word
       // n-grams — the mis-use the message names) must fail here, not
-      // OOM the driver mid-collect; this count also materializes the
-      // pin for the passes below
-      val rows = m.count()
+      // OOM the driver mid-collect; this agg also materializes the
+      // pin for the grid pass. TWO driver actions total (size/V agg +
+      // the grid collect, miss riding along per row) — the r12 shape
+      // ran four, and at small scale the extra fixed-cost jobs
+      // dominated the query (q154 sf1 regression, r13 verdict #6).
+      val agg0 = m.agg(count(lit(1)).as("n"),
+        countDistinct(col("tri")).as("v")).head()
+      val rows = agg0.getLong(0)
       require(rows <= (1 << 22),
         s"langIdTrainedNative: model has $rows (tri, lang) rows — " +
           "too large to hold per-executor; use langIdTrained")
-      val v = m.select(col("tri")).distinct().count()
+      val v = agg0.getLong(1)
       require(v > 0, "langIdTrainedNative: empty model")
       val totals = m.groupBy("lang").agg(sum(col("c")).as("tl"))
       // miss = lg(T_l + V) − lg(0 + 1); present = lg(T_l + V) −
       // lg(c+1) — both computed BY the fixed_log2 expression, never
-      // re-derived
-      val missRows = totals
-        .select(col("lang"), (lg(col("tl") + lit(v)) - lg(lit(1L)))
-          .as("miss"))
-        .collect()
-      val langs = missRows.map(_.getString(0)).sorted
-      val missByLang = missRows.map(r => r.getString(0) -> r.getLong(1))
-        .toMap
+      // re-derived. Every lang in `totals` has ≥1 grid row (it came
+      // from grouping m), so the per-row miss column covers all langs.
       val grid = m.join(totals, Seq("lang"))
         .select(col("tri"), col("lang"),
-          (lg(col("tl") + lit(v)) - lg(col("c") + lit(1L))).as("bits"))
+          (lg(col("tl") + lit(v)) - lg(col("c") + lit(1L))).as("bits"),
+          (lg(col("tl") + lit(v)) - lg(lit(1L))).as("miss"))
         .collect()
+      val langs = grid.map(_.getString(1)).distinct.sorted
+      val missByLang = grid.iterator
+        .map(r => r.getString(1) -> r.getLong(3)).toMap
       (langs, langs.map(missByLang), grid)
     } finally { if (!callerPinned) { m.unpersist(); () } }
     val langIdx = langs.zipWithIndex.toMap
