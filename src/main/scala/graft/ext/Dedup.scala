@@ -976,6 +976,74 @@ object Dedup {
     finally { base.unpersist(); () }
   }
 
+  /** EXACT duplicated-substring coverage (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the
+    * exact-substring criterion their suffix-array pipeline applies,
+    * here in its distributed hashed-window form): a token POSITION is
+    * duplicated when it lies inside a run of ≥ `l` tokens that also
+    * appears VERBATIM in another document. Every length-`l` sliding
+    * window (overlapping — unlike [[spanStats]]' fixed non-overlapping
+    * spans, shared runs are caught at every offset, so any shared run
+    * of length ≥ l marks exactly its positions) hashes to a 56-bit
+    * md5-prefix id; ids occurring in ≥ 2 DISTINCT documents mark
+    * their l positions covered, and per-document coverage is the
+    * measure of the union of intervals [s, s+l−1] over matched
+    * starts — computed with ONE LEAD window over the sorted starts
+    * (Σ min(l, next_s − s), last term l), never an explode of
+    * positions. Within-document repeats alone do not count
+    * ([[selfSpanDedup]] owns that pathology).
+    *
+    * Scale shape: strictly LINEAR — no candidate pairs exist anywhere
+    * (contrast every similarity op): one narrow (id, start, wid)
+    * exchange, a map-side-combinable distinct-doc count per wid, a
+    * wid-keyed semi-join back, and one id-keyed window+aggregate. A
+    * window shared by k documents costs k rows, not k². Output:
+    * (id, n_tokens, n_dup_starts, n_dup_positions, dup_ratio). */
+  def dupSubstringStats(df: DataFrame, textCol: String, idCol: String,
+      l: Int = 8): DataFrame = {
+    require(l >= 2, s"minimum run length must be >= 2 tokens: $l")
+    val base = df
+      .select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = base
+      .select(col("id"), col("toks"), explode(expr(
+        s"""CASE WHEN size(toks) >= $l
+           |THEN sequence(1, size(toks) - ${l - 1})
+           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+        .as("s"))
+      .withColumn("wid", expr(
+        s"CAST(conv(substring(md5(concat_ws(' ', slice(toks, s, $l)))" +
+          ", 1, 14), 16, 10) AS BIGINT)"))
+      .select(col("id"), col("s"), col("wid"))
+    val dup = ex.select(col("id"), col("wid")).distinct()
+      .groupBy(col("wid")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("wid"))
+    val matched = ex.join(dup, Seq("wid"), "left_semi")
+      .select(col("id"), col("s")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"))
+    val perDoc = matched
+      .withColumn("covered", least(lit(l.toLong),
+        coalesce((lead(col("s"), 1).over(w) - col("s")).cast("long"),
+          lit(l.toLong))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_starts"),
+        sum(col("covered")).as("n_dup_positions"))
+    val result = base.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .withColumn("n_dup_starts",
+        coalesce(col("n_dup_starts"), lit(0L)))
+      .withColumn("n_dup_positions",
+        coalesce(col("n_dup_positions"), lit(0L)))
+      .withColumn("dup_ratio",
+        when(col("n_tokens") > 0,
+          col("n_dup_positions").cast("double") / col("n_tokens")))
+    try result.localCheckpoint()
+    finally { base.unpersist(); () }
+  }
+
   /** The DESTRUCTIVE half of [[spanStats]] — the CCNet/RefinedWeb
     * boilerplate REMOVAL, not just its statistics: every
     * `width`-token non-overlapping span occurring in ≥ `minDocs`

@@ -1666,6 +1666,71 @@ object TextAnalysis {
           s"greatest(${b2}L * cp_fp + cr_fp, 1L))"))
   }
 
+  /** ROUGE-L (Lin, "ROUGE: A Package for Automatic Evaluation of
+    * Summaries", ACL 2004 WS) for each (candidate `a_id`, reference
+    * `b_id`) pair: token-level LONGEST COMMON SUBSEQUENCE — the
+    * order-aware overlap the n-gram family (clipped counts, chrF)
+    * cannot express, completing the eval-metric set. Tokens hash to
+    * the portable 28-bit md5-prefix ids (both engines compute the
+    * same ids, so collisions — ≈m·n/2²⁸ per pair — affect Spark and
+    * the oracle identically), and the DP runs ARRAY-LOCALLY inside
+    * the row via nested HOFs: fold over candidate tokens carrying the
+    * dp row, each step building max(dp[j], dp[j-1]+eq) then a
+    * prefix-max — no UDF, whole plan replays in SQL. Per-pair cost
+    * O(|a|·|b|²) array ops (the prefix-max is a fold of appends);
+    * pairs are the bounded candidate residue, texts restrict to
+    * pair-touched docs before tokenizing (the chrF scale shape).
+    * Exact fixed point: `rl_p = (lcs·10⁶) div |a|`, recall over |b|,
+    * `F = (2·p·r) div max(p+r, 1)` (β = 1).
+    * Output: (a_id, b_id, len_a, len_b, lcs, rl_p_fp, rl_r_fp,
+    * rl_f_fp). */
+  def rougeL(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    val pinned = pairs.select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val p = broadcast(pinned)
+    val touched = pinned.select(col("a_id").as("id"))
+      .unionByName(pinned.select(col("b_id").as("id"))).distinct()
+    val tk = docs
+      .select(col(idCol).as("id"), expr(
+        s"""transform(split(trim(`$textCol`), '\\\\s+'),
+           |  x -> CAST(conv(substring(md5(x), 1, 7), 16, 10)
+           |       AS BIGINT))""".stripMargin).as("tk"))
+      .join(broadcast(touched), Seq("id"), "left_semi")
+    val lcsE =
+      """aggregate(
+        |  ta,
+        |  transform(tb, y -> 0L),
+        |  (dp, x) -> aggregate(
+        |    transform(sequence(1, size(tb)), j ->
+        |      greatest(element_at(dp, j),
+        |        IF(j > 1, element_at(dp, j - 1), 0L) +
+        |        IF(element_at(tb, j) = x, 1L, 0L))),
+        |    CAST(array() AS ARRAY<BIGINT>),
+        |    (acc, v) -> concat(acc, array(greatest(v,
+        |      IF(size(acc) = 0, 0L, element_at(acc, size(acc))))))),
+        |  dp -> coalesce(array_max(dp), 0L))""".stripMargin
+    p.join(tk.select(col("id").as("a_id"), col("tk").as("ta")),
+        Seq("a_id"))
+      .join(tk.select(col("id").as("b_id"), col("tk").as("tb")),
+        Seq("b_id"))
+      .withColumn("len_a", size(col("ta")).cast("long"))
+      .withColumn("len_b", size(col("tb")).cast("long"))
+      .withColumn("lcs",
+        when(col("len_a") === 0 || col("len_b") === 0, lit(0L))
+          .otherwise(expr(lcsE)))
+      .withColumn("rl_p_fp",
+        expr("(lcs * 1000000L) div greatest(len_a, 1L)"))
+      .withColumn("rl_r_fp",
+        expr("(lcs * 1000000L) div greatest(len_b, 1L)"))
+      .withColumn("rl_f_fp", expr(
+        "(2L * rl_p_fp * rl_r_fp) div greatest(rl_p_fp + rl_r_fp, 1L)"))
+      .select(col("a_id"), col("b_id"), col("len_a"), col("len_b"),
+        col("lcs"), col("rl_p_fp"), col("rl_r_fp"), col("rl_f_fp"))
+  }
+
   /** Corpus-level chrF — the dataset-eval deployment shape: the
     * MACRO-average (mean of per-pair fixed-point scores, the way
     * Popović'15 reports document/corpus chrF over segments) of

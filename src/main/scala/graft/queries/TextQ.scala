@@ -2906,6 +2906,104 @@ object TextQ {
        |  JOIN sigs sb ON sb.doc_id = p.b_id
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q170 — ROUGE-L over near-dup candidates
+    * ([[graft.ext.TextAnalysis.rougeL]]): token-level longest common
+    * subsequence for every MinHash-banded candidate pair — the
+    * order-aware eval metric the clipped-n-gram (q160) and chrF
+    * (q164) family cannot express. The DP folds array-locally over
+    * portable md5-prefix token ids (both engines run the identical
+    * recurrence: max(dp[j], dp[j-1]+eq) then prefix-max), and
+    * precision/recall/F are exact fixed point, so every cell
+    * hash-matches. */
+  def q170(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.rougeL(
+        spreadDocs(s, dir),
+        q34(s, dir).select(col("a_id"), col("b_id")), "doc_id")
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q170Sql: String =
+    s"""WITH d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, x -> ${tokD("x")}) AS sids FROM d),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids),
+       |bands AS (SELECT doc_id,
+       |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
+       |      sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |tdoc AS (SELECT a_id AS doc_id FROM pairs
+       |  UNION SELECT b_id FROM pairs),
+       |tk AS (SELECT doc_id, list_transform($toksD,
+       |    x -> ${tokD("x")}) AS tk
+       |  FROM documents JOIN tdoc USING (doc_id)),
+       |lc AS (SELECT p.a_id, p.b_id,
+       |    CAST(len(ta.tk) AS BIGINT) AS len_a,
+       |    CAST(len(tb.tk) AS BIGINT) AS len_b,
+       |    CASE WHEN len(ta.tk) = 0 OR len(tb.tk) = 0
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE list_max(list_reduce(
+       |      list_prepend(list_transform(tb.tk, y -> CAST(0 AS BIGINT)),
+       |                   list_transform(ta.tk, x -> [x])),
+       |      (dp, xs) -> list_transform(range(1, len(tb.tk) + 1), j ->
+       |        list_max(list_transform(range(1, j + 1), i ->
+       |          GREATEST(dp[i],
+       |            (CASE WHEN i > 1 THEN dp[i-1]
+       |             ELSE CAST(0 AS BIGINT) END) +
+       |            (CASE WHEN tb.tk[i] = xs[1] THEN 1 ELSE 0 END)))))
+       |    )) END AS lcs
+       |  FROM pairs p
+       |  JOIN tk ta ON ta.doc_id = p.a_id
+       |  JOIN tk tb ON tb.doc_id = p.b_id)
+       |SELECT a_id, b_id, len_a, len_b, lcs,
+       |  (lcs * 1000000) // GREATEST(len_a, 1) AS rl_p_fp,
+       |  (lcs * 1000000) // GREATEST(len_b, 1) AS rl_r_fp,
+       |  (2 * ((lcs * 1000000) // GREATEST(len_a, 1))
+       |     * ((lcs * 1000000) // GREATEST(len_b, 1)))
+       |    // GREATEST(((lcs * 1000000) // GREATEST(len_a, 1))
+       |     + ((lcs * 1000000) // GREATEST(len_b, 1)), 1) AS rl_f_fp
+       |FROM lc ORDER BY a_id, b_id""".stripMargin
+
+  /** q171 — exact duplicated-substring coverage
+    * ([[graft.ext.Dedup.dupSubstringStats]], the Lee et al. 2022
+    * exact-substring dedup criterion): per document, how many token
+    * positions lie inside a ≥ 8-token run appearing verbatim in
+    * ANOTHER document — sliding hashed windows, cross-doc df ≥ 2,
+    * interval-union coverage via one LEAD window. Strictly linear
+    * (no candidate pairs anywhere); one double division at the end,
+    * bit-identical across engines. */
+  def q171(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.dupSubstringStats(
+        spreadDocs(s, dir), "text", "doc_id", l = 8)
+      .orderBy(col("id"))
+
+  val q171Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |w AS (SELECT doc_id, s,
+       |    CAST(('0x' || substr(md5(array_to_string(toks[s:s+7], ' ')),
+       |      1, 14)) AS BIGINT) AS wid
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(range(1, greatest(len(toks) - 6, 1))) AS s
+       |    FROM t)),
+       |dup AS (SELECT wid FROM (SELECT wid,
+       |    COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY wid)
+       |  WHERE nd >= 2),
+       |m AS (SELECT DISTINCT doc_id, s FROM w JOIN dup USING (wid)),
+       |cov AS (SELECT doc_id, COUNT(*) AS n_dup_starts,
+       |    CAST(SUM(LEAST(8, COALESCE(ns - s, 8))) AS BIGINT)
+       |      AS n_dup_positions
+       |  FROM (SELECT doc_id, s,
+       |      LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS ns
+       |    FROM m) GROUP BY doc_id)
+       |SELECT t.doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  COALESCE(n_dup_starts, 0) AS n_dup_starts,
+       |  COALESCE(n_dup_positions, 0) AS n_dup_positions,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    CAST(COALESCE(n_dup_positions, 0) AS DOUBLE) / len(toks)
+       |  END AS dup_ratio
+       |FROM t LEFT JOIN cov USING (doc_id) ORDER BY id""".stripMargin
+
   /** q165 — INCREMENTALLY-GROWN materialized curation result
     * ([[graft.ext.Dedup.appendNearDupResult]]): the q162 consumers
     * (canonical selection, cluster split, positive pairs) served from
@@ -3209,5 +3307,7 @@ object TextQ {
     QueryDef("q165_curation_incremental", q165, Some(q165Sql)),
     QueryDef("q166_chrf_corpus", q166, Some(q166Sql)),
     QueryDef("q167_index_retract", q167, Some(q167Sql)),
-    QueryDef("q168_neardup_retract", q168, Some(q168Sql)))
+    QueryDef("q168_neardup_retract", q168, Some(q168Sql)),
+    QueryDef("q170_rouge_l", q170, Some(q170Sql)),
+    QueryDef("q171_dup_substrings", q171, Some(q171Sql)))
 }

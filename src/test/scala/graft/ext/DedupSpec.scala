@@ -899,6 +899,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(11L), s"highest-quality member wins: $kept")
   }
 
+  test("dupSubstringStats: cross-doc runs cover their interval union; " +
+      "within-doc repeats alone do not count") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val seam = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3"),     // run at token positions 3..12
+      (2L, s"b1 $run"),           // run at token positions 2..11
+      (3L, s"$seam $seam")        // 8-token block repeated IN-doc only
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSubstringStats(docs, "text", "doc_id", l = 8)
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    // 10-token shared run → three 8-windows (starts 3,4,5 in doc 1);
+    // interval union [3,12] = 10 covered positions
+    assert(got(1L) == ((1L, 13L, 3L, 10L, Some(10.0 / 13))), s"${got(1L)}")
+    assert(got(2L) == ((2L, 11L, 3L, 10L, Some(10.0 / 11))), s"${got(2L)}")
+    assert(got(3L) == ((3L, 16L, 0L, 0L, Some(0.0))), s"${got(3L)}")
+  }
+
   test("syncComponents: incremental folds equal full CC across " +
       "component merges, out-of-order ids, empty batches, and " +
       "replace commits") {

@@ -829,4 +829,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((2L, 4L)) == ((2L, 4L, 6L, 6L, 6L, 5L, 5L, 5L,
       1000000L, 1000000L, 1000000L, 1000000L)))
   }
+
+  test("rougeL: token-level LCS with exact fixed-point P/R/F") {
+    // LCS([w1 w2 w3 w4 w2 w1], [w2 w1 w3 w1 w4]) = 3 (w1 w3 w4)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w2 w1"),
+      (2L, "w2 w1 w3 w1 w4"),
+      (3L, "w1 w2 w3 w4 w2 w1"), // identical to 1
+      (4L, "zz yy")              // disjoint from 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val got = TextAnalysis.rougeL(docs, pairs, "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    assert(got((1L, 2L)) == ((1L, 2L, 6L, 5L, 3L,
+      500000L, 600000L, 545454L)), s"${got((1L, 2L))}")
+    assert(got((1L, 3L)) == ((1L, 3L, 6L, 6L, 6L,
+      1000000L, 1000000L, 1000000L)))
+    assert(got((1L, 4L)) == ((1L, 4L, 6L, 2L, 0L, 0L, 0L, 0L)))
+  }
 }
