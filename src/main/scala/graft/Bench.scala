@@ -244,7 +244,14 @@ object Bench {
         // curation consumers — compare against q94+q130+q137, which
         // each re-run the pipeline; this row should cost ~one
         // pipeline, not three
-        "q162_curation_materialized")
+        "q162_curation_materialized",
+        // round 13: file-keyed profile maintenance (two syncs + a DML
+        // rewrite + the manifest-join read), exact duplicated-
+        // substring stats (strictly linear — the no-pairs scaling
+        // row) and its destructive rewrite (adds the per-doc
+        // reassembly aggregation)
+        "q169_profile_files", "q171_dup_substrings",
+        "q172_dup_substring_rewrite")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

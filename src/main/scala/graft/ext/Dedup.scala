@@ -1044,6 +1044,56 @@ object Dedup {
     finally { base.unpersist(); () }
   }
 
+  /** The DESTRUCTIVE half of [[dupSubstringStats]] — Lee et al.'s
+    * actual dedup action: every token position covered by a ≥ `l`
+    * cross-document verbatim run is CUT and the document reassembled
+    * from its surviving positions in order (single-space joined).
+    * Same linear machinery as the stats (hashed sliding windows,
+    * cross-doc df ≥ 2, one matched-starts aggregation); the removal
+    * itself is array-local — each doc's sorted matched starts come
+    * back as ONE array and positions filter in-row via an exists
+    * probe (O(n·m) long comparisons per doc, no explode of
+    * positions). Output: (id, n_tokens, n_removed, kept_text). */
+  def dupSubstringRewrite(df: DataFrame, textCol: String,
+      idCol: String, l: Int = 8): DataFrame = {
+    require(l >= 2, s"minimum run length must be >= 2 tokens: $l")
+    val base = df
+      .select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = base
+      .select(col("id"), col("toks"), explode(expr(
+        s"""CASE WHEN size(toks) >= $l
+           |THEN sequence(1, size(toks) - ${l - 1})
+           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+        .as("s"))
+      .withColumn("wid", expr(
+        s"CAST(conv(substring(md5(concat_ws(' ', slice(toks, s, $l)))" +
+          ", 1, 14), 16, 10) AS BIGINT)"))
+      .select(col("id"), col("s"), col("wid"))
+    val dup = ex.select(col("id"), col("wid")).distinct()
+      .groupBy(col("wid")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("wid"))
+    val starts = ex.join(dup, Seq("wid"), "left_semi")
+      .select(col("id"), col("s")).distinct()
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("s"))).as("starts"))
+    val result = base.join(starts, Seq("id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("keep", expr(
+        s"""filter(sequence(1, size(toks)),
+           |  p -> NOT exists(starts, s -> s <= p AND p < s + $l))"""
+          .stripMargin))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - size(col("keep"))).as("n_removed"),
+        expr("array_join(transform(keep, p -> element_at(toks, p)), ' ')")
+          .as("kept_text"))
+    try result.localCheckpoint()
+    finally { base.unpersist(); () }
+  }
+
   /** The DESTRUCTIVE half of [[spanStats]] — the CCNet/RefinedWeb
     * boilerplate REMOVAL, not just its statistics: every
     * `width`-token non-overlapping span occurring in ≥ `minDocs`

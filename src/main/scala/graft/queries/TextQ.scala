@@ -3004,6 +3004,44 @@ object TextQ {
        |  END AS dup_ratio
        |FROM t LEFT JOIN cov USING (doc_id) ORDER BY id""".stripMargin
 
+  /** q172 — exact duplicated-substring REMOVAL
+    * ([[graft.ext.Dedup.dupSubstringRewrite]], q171's destructive
+    * half — the action Lee et al.'s pipeline takes): positions
+    * covered by a ≥ 8-token cross-document verbatim run are cut and
+    * each document reassembles from its surviving positions. The
+    * matched starts come back as one sorted array per doc and the
+    * cut is an in-row exists probe, so the cleaned TEXT itself
+    * hash-matches the oracle. */
+  def q172(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.dupSubstringRewrite(
+        spreadDocs(s, dir), "text", "doc_id", l = 8)
+      .orderBy(col("id"))
+
+  val q172Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |w AS (SELECT doc_id, s,
+       |    CAST(('0x' || substr(md5(array_to_string(toks[s:s+7], ' ')),
+       |      1, 14)) AS BIGINT) AS wid
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(range(1, greatest(len(toks) - 6, 1))) AS s
+       |    FROM t)),
+       |dup AS (SELECT wid FROM (SELECT wid,
+       |    COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY wid)
+       |  WHERE nd >= 2),
+       |st AS (SELECT doc_id, list(s ORDER BY s) AS starts
+       |  FROM (SELECT DISTINCT doc_id, s FROM w JOIN dup USING (wid))
+       |  GROUP BY doc_id),
+       |cut AS (SELECT t.doc_id, toks,
+       |    list_filter(range(1, len(toks) + 1), p ->
+       |      len(list_filter(COALESCE(starts, []),
+       |        s -> s <= p AND p < s + 8)) = 0) AS keep
+       |  FROM t LEFT JOIN st USING (doc_id))
+       |SELECT doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) - len(keep) AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(list_transform(keep, p -> toks[p]),
+       |    ' '), '') AS kept_text
+       |FROM cut ORDER BY id""".stripMargin
+
   /** q165 — INCREMENTALLY-GROWN materialized curation result
     * ([[graft.ext.Dedup.appendNearDupResult]]): the q162 consumers
     * (canonical selection, cluster split, positive pairs) served from
@@ -3309,5 +3347,6 @@ object TextQ {
     QueryDef("q167_index_retract", q167, Some(q167Sql)),
     QueryDef("q168_neardup_retract", q168, Some(q168Sql)),
     QueryDef("q170_rouge_l", q170, Some(q170Sql)),
-    QueryDef("q171_dup_substrings", q171, Some(q171Sql)))
+    QueryDef("q171_dup_substrings", q171, Some(q171Sql)),
+    QueryDef("q172_dup_substring_rewrite", q172, Some(q172Sql)))
 }
