@@ -176,6 +176,7 @@ object Dedup {
       return Similarity.compactIndex(spark, indexDir, retries)
     require(cols.contains("fingerprint") || cols.contains("band_key") ||
         cols.contains("nfp") || // winnowed-fp index folds by DISTINCT
+        cols.contains("wid") || // dup-substring index folds by DISTINCT
         cols.contains("n_order") || // LM count table folds by SUM
         cols.contains("kmv_h") || // kmv sketch folds to k-min per group
         cols.contains("dtype"), // profile partials fold by merge
@@ -222,6 +223,7 @@ object Dedup {
     *
     *   - band signature index (`band_key`):    doc_id ∈ ids
     *   - winnow fingerprint index (`nfp`):     doc_id ∈ ids
+    *   - dup-substring window index (`wid`):   doc_id ∈ ids
     *   - vector index (`bval`):                id ∈ ids
     *   - SemDeDup exemplar index (`cid`):      id ∈ ids
     *   - exact fingerprint index (`keep_id`):  keep_id ∈ ids
@@ -248,7 +250,8 @@ object Dedup {
         s"(${ids.columns.mkString(", ")})")
     val cols = commits.last.schema.fieldNames.toSet
     val keyCol =
-      if (cols.contains("band_key") || cols.contains("nfp")) "doc_id"
+      if (cols.contains("band_key") || cols.contains("nfp") ||
+          cols.contains("wid")) "doc_id"
       else if (cols.contains("bval") || cols.contains("cid")) "id"
       else if (cols.contains("fingerprint")) "keep_id"
       else throw new IllegalArgumentException(
@@ -1042,6 +1045,111 @@ object Dedup {
           col("n_dup_positions").cast("double") / col("n_tokens")))
     try result.localCheckpoint()
     finally { base.unpersist(); () }
+  }
+
+  /** INCREMENTAL [[dupSubstringStats]] — the freshness form every
+    * index family here has: each batch's sliding window ids probe a
+    * (doc_id, wid) index of everything already ingested, the batch's
+    * per-document duplicated-position coverage is computed against
+    * (history ∪ batch) AT ARRIVAL TIME, and the batch's distinct
+    * (doc, window) rows append exactly-once. A batch doc's position
+    * is duplicated when its window id occurs in ≥ 2 distinct docs
+    * seen so far — so over an id-ordered arrival, the union of
+    * per-batch outputs equals the batch-global [[dupSubstringStats]]
+    * restricted to each doc's arrival-time view (the q82-family
+    * contract: the LATER side of a shared run reports it).
+    *
+    * Scale shape: THE INDEX NEVER SHUFFLES — the batch's bounded
+    * distinct window-id set broadcasts and the index streams through
+    * a semi-probe; everything downstream is linear (distinct-doc
+    * counts per wid, a LEAD window per batch doc) — no candidate
+    * pairs exist, so no hot cap is needed (a wid shared by k docs
+    * costs k probed rows, never k²). The window length `l` pins at
+    * creation in the sidecar. Output = [[dupSubstringStats]]' five
+    * columns for the batch's docs. */
+  def dupSubstringIncremental(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, l: Int = 8,
+      txn: Option[(String, Long)] = None,
+      maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
+      : DataFrame = {
+    import graft.sink.CdcTable
+    require(l >= 2, s"minimum run length must be >= 2 tokens: $l")
+    val storedL = IndexMeta.ensureInt(indexDir, "dup_l", l, () => None)
+    require(storedL == l,
+      s"index at $indexDir was built with l=$storedL but this call " +
+        s"uses l=$l — stored window ids would never match; rebuild " +
+        "the index or pass the original length")
+    val base = batch
+      .select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .localCheckpoint() // pin: feeds windows AND the final join; its
+                         // row count is the batch-size guard for free
+    val nDocs = base.count()
+    require(nDocs <= maxBatchRows,
+      s"incremental batch has $nDocs documents (> maxBatchRows=" +
+        s"$maxBatchRows): this API broadcasts the batch's window-id " +
+        "set and assumes bounded micro-batches — use " +
+        "dupSubstringStats for a corpus-sized input, or raise " +
+        "maxBatchRows if the broadcast genuinely fits")
+    val ex = base
+      .select(col("id"), col("toks"), explode(expr(
+        s"""CASE WHEN size(toks) >= $l
+           |THEN sequence(1, size(toks) - ${l - 1})
+           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+        .as("s"))
+      .withColumn("wid", expr(
+        s"CAST(conv(substring(md5(concat_ws(' ', slice(toks, s, $l)))" +
+          ", 1, 14), 16, 10) AS BIGINT)"))
+      .select(col("id"), col("s"), col("wid"))
+      .localCheckpoint() // shared by the probe, coverage, and append
+    // snapshot NOW; own-txn exclusion keeps crash replays on the
+    // pre-batch view (the r12-advisor contract)
+    val hist =
+      if (CdcTable.log(indexDir).nonEmpty)
+        CdcTable.readExcludingTxn(spark = batch.sparkSession,
+            dir = indexDir, excludeTxn = txn)
+          .select(col("doc_id"), col("wid"))
+          .join(broadcast(ex.select(col("wid")).distinct()), Seq("wid"),
+            "left_semi")
+      else batch.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            batch.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("wid",
+            org.apache.spark.sql.types.LongType))))
+    val batchDocWids = ex.select(col("id").as("doc_id"), col("wid"))
+      .distinct()
+    // rows are distinct (doc, wid), so count(1) = distinct docs
+    val dup = hist.unionByName(batchDocWids).distinct()
+      .groupBy(col("wid")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("wid"))
+    val matched = ex.join(broadcast(dup), Seq("wid"), "left_semi")
+      .select(col("id"), col("s")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("s"))
+    val perDoc = matched
+      .withColumn("covered", least(lit(l.toLong),
+        coalesce((lead(col("s"), 1).over(w) - col("s")).cast("long"),
+          lit(l.toLong))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_starts"),
+        sum(col("covered")).as("n_dup_positions"))
+    val result = base.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .withColumn("n_dup_starts",
+        coalesce(col("n_dup_starts"), lit(0L)))
+      .withColumn("n_dup_positions",
+        coalesce(col("n_dup_positions"), lit(0L)))
+      .withColumn("dup_ratio",
+        when(col("n_tokens") > 0,
+          col("n_dup_positions").cast("double") / col("n_tokens")))
+      .localCheckpoint() // pin: the index append below must not shift
+                         // what the returned frame reads
+    CdcTable.append(batchDocWids, indexDir, partitionBy = Nil,
+      txn = txn)
+    result
   }
 
   /** The DESTRUCTIVE half of [[dupSubstringStats]] — Lee et al.'s

@@ -3042,6 +3042,57 @@ object TextQ {
        |    ' '), '') AS kept_text
        |FROM cut ORDER BY id""".stripMargin
 
+  /** q173 — INCREMENTAL duplicated-substring stats
+    * ([[graft.ext.Dedup.dupSubstringIncremental]]): batch 2
+    * (doc_id ≥ cut) probes the (doc, window-id) index built from
+    * batch 1 — historical text gone, only 56-bit window ids remain —
+    * and reports its docs' coverage against everything seen. With the
+    * full corpus arrived, a batch-2 doc's arrival-time view IS the
+    * batch-global one, so the oracle is q171's replay restricted to
+    * batch-2 docs. */
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = QueryDef.scratchDir("graft_q173_idx")
+    graft.ext.Dedup.dupSubstringIncremental(
+      docs.filter(col("doc_id") < cut), "text", "doc_id", idx, l = 8,
+      txn = Some(("q173", 1L)))
+    graft.ext.Dedup.dupSubstringIncremental(
+      docs.filter(col("doc_id") >= cut), "text", "doc_id", idx, l = 8,
+      txn = Some(("q173", 2L)))
+      .orderBy(col("id"))
+  }
+
+  val q173Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS c
+       |  FROM documents),
+       |w AS (SELECT doc_id, s,
+       |    CAST(('0x' || substr(md5(array_to_string(toks[s:s+7], ' ')),
+       |      1, 14)) AS BIGINT) AS wid
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(range(1, greatest(len(toks) - 6, 1))) AS s
+       |    FROM t)),
+       |dup AS (SELECT wid FROM (SELECT wid,
+       |    COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY wid)
+       |  WHERE nd >= 2),
+       |m AS (SELECT DISTINCT doc_id, s FROM w JOIN dup USING (wid)),
+       |cov AS (SELECT doc_id, COUNT(*) AS n_dup_starts,
+       |    CAST(SUM(LEAST(8, COALESCE(ns - s, 8))) AS BIGINT)
+       |      AS n_dup_positions
+       |  FROM (SELECT doc_id, s,
+       |      LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS ns
+       |    FROM m) GROUP BY doc_id)
+       |SELECT t.doc_id AS id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  COALESCE(n_dup_starts, 0) AS n_dup_starts,
+       |  COALESCE(n_dup_positions, 0) AS n_dup_positions,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    CAST(COALESCE(n_dup_positions, 0) AS DOUBLE) / len(toks)
+       |  END AS dup_ratio
+       |FROM t LEFT JOIN cov USING (doc_id), cut
+       |WHERE t.doc_id >= c ORDER BY id""".stripMargin
+
   /** q165 — INCREMENTALLY-GROWN materialized curation result
     * ([[graft.ext.Dedup.appendNearDupResult]]): the q162 consumers
     * (canonical selection, cluster split, positive pairs) served from
@@ -3348,5 +3399,6 @@ object TextQ {
     QueryDef("q168_neardup_retract", q168, Some(q168Sql)),
     QueryDef("q170_rouge_l", q170, Some(q170Sql)),
     QueryDef("q171_dup_substrings", q171, Some(q171Sql)),
-    QueryDef("q172_dup_substring_rewrite", q172, Some(q172Sql)))
+    QueryDef("q172_dup_substring_rewrite", q172, Some(q172Sql)),
+    QueryDef("q173_dup_substrings_incr", q173, Some(q173Sql)))
 }

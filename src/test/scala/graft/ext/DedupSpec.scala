@@ -918,6 +918,39 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 16L, 0L, 0L, Some(0.0))), s"${got(3L)}")
   }
 
+  test("dupSubstringIncremental: cross-batch runs detected from the " +
+      "window index, replay no-ops, layout pinned") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val idx = tmpDir("dupincr")
+    val b1 = Seq(
+      (1L, s"a1 a2 $run a3"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("doc_id", "text")
+    val r1 = Dedup.dupSubstringIncremental(b1, "text", "doc_id", idx,
+        l = 8, txn = Some(("t", 1L)))
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r1(1L)._4 == 0L && r1(2L)._4 == 0L,
+      s"nothing shared within batch 1: $r1")
+    // batch 2 carries the run — doc 1's TEXT is gone, only window ids
+    val b2 = Seq((10L, s"b1 $run")).toDF("doc_id", "text")
+    def run2() = Dedup.dupSubstringIncremental(b2, "text", "doc_id",
+        idx, l = 8, txn = Some(("t", 2L)))
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    val r2 = run2()
+    assert(r2(10L) == ((10L, 11L, 3L, 10L, Some(10.0 / 11))),
+      s"${r2(10L)}")
+    // replay: identical output (own-txn exclusion), index un-grown
+    val n = graft.sink.CdcTable.read(spark, idx).count()
+    assert(run2() == r2, "replayed batch must report identically")
+    assert(graft.sink.CdcTable.read(spark, idx).count() == n)
+    // window length is pinned at creation
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupSubstringIncremental(b2, "text", "doc_id", idx, l = 5)
+    }
+    assert(e.getMessage.contains("l=8"), e.getMessage)
+  }
+
   test("syncComponents: incremental folds equal full CC across " +
       "component merges, out-of-order ids, empty batches, and " +
       "replace commits") {

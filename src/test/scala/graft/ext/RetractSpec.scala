@@ -72,6 +72,23 @@ class RetractSpec extends SparkSpec {
     assert(pairs.contains((2L, 11L)), s"survivor must still match: $pairs")
   }
 
+  test("dup-substring window index: retraction removes the doc's " +
+      "windows so its runs stop flagging new arrivals") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val idx = tmpDir("ret_wid")
+    Dedup.dupSubstringIncremental(
+      Seq((1L, s"a1 a2 $run a3")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, l = 8)
+    // 13 tokens → 6 sliding windows, all distinct
+    assert(Dedup.retractIndex(spark, idx, Seq(1L).toDF("doc_id")) == 6L)
+    val got = Dedup.dupSubstringIncremental(
+      Seq((10L, s"b1 $run")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, l = 8)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.head._4 == 0L,
+      s"retracted doc's runs must not flag new copies: ${got.head}")
+  }
+
   test("vector index: retraction removes the embedding's bucket rows") {
     val idx = tmpDir("ret_vec")
     Similarity.nearDupIncremental(
