@@ -1072,6 +1072,30 @@ object Dedup {
       txn: Option[(String, Long)] = None,
       maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
       : DataFrame = {
+    val r = dupSubstringIncrementalCore(batch, textCol, idCol,
+      indexDir, l, txn, maxBatchRows, firstSeenWins = false)
+    graft.sink.CdcTable.append(r.batchDocWids, indexDir,
+      partitionBy = Nil, txn = txn)
+    r.stats
+  }
+
+  private[graft] final case class DupSubIncr(stats: DataFrame,
+      batchDocWids: DataFrame)
+
+  /** Stats computation WITHOUT the index append — the caller decides
+    * what enters the index (everything for
+    * [[dupSubstringIncremental]], kept docs only for
+    * [[dupSubstringDedupStreamToTable]]). `firstSeenWins` switches
+    * the within-batch rule: symmetric (both copies of a shared run
+    * count — the batch-global [[dupSubstringStats]] semantics q173
+    * grades) vs first-seen-wins (a batch doc's windows count as
+    * duplicated only against HISTORY or LOWER-id batch docs — the
+    * online-consistent rule every dedup stream here uses). `stats`
+    * is pinned to the pre-call index snapshot. */
+  private[graft] def dupSubstringIncrementalCore(batch: DataFrame,
+      textCol: String, idCol: String, indexDir: String, l: Int,
+      txn: Option[(String, Long)], maxBatchRows: Long,
+      firstSeenWins: Boolean): DupSubIncr = {
     import graft.sink.CdcTable
     require(l >= 2, s"minimum run length must be >= 2 tokens: $l")
     val storedL = IndexMeta.ensureInt(indexDir, "dup_l", l, () => None)
@@ -1121,12 +1145,32 @@ object Dedup {
             org.apache.spark.sql.types.LongType))))
     val batchDocWids = ex.select(col("id").as("doc_id"), col("wid"))
       .distinct()
-    // rows are distinct (doc, wid), so count(1) = distinct docs
-    val dup = hist.unionByName(batchDocWids).distinct()
-      .groupBy(col("wid")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("wid"))
-    val matched = ex.join(broadcast(dup), Seq("wid"), "left_semi")
-      .select(col("id"), col("s")).distinct()
+      .localCheckpoint() // shared by the dup count and the caller's
+                         // (possibly filtered) index append
+    val matched =
+      if (!firstSeenWins) {
+        // symmetric: rows are distinct (doc, wid), so count(1) over
+        // hist ∪ batch = distinct docs carrying the window
+        val dup = hist.unionByName(batchDocWids).distinct()
+          .groupBy(col("wid")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select(col("wid"))
+        ex.join(broadcast(dup), Seq("wid"), "left_semi")
+          .select(col("id"), col("s")).distinct()
+      } else {
+        // first-seen-wins: a window counts against HISTORY, or a
+        // LOWER-id doc in the same batch (kept or not — the same
+        // one-hop transitivity tradeoff nearDedupStreamToTable makes)
+        val histWids = hist.select(col("wid")).distinct()
+        val fromHist = ex.join(broadcast(histWids), Seq("wid"),
+          "left_semi").select(col("id"), col("s"))
+        val widMin = batchDocWids.groupBy(col("wid"))
+          .agg(min(col("doc_id")).as("__min_id"))
+        val fromBatch = ex
+          .join(broadcast(widMin), Seq("wid"))
+          .filter(col("__min_id") < col("id"))
+          .select(col("id"), col("s"))
+        fromHist.unionByName(fromBatch).distinct()
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("s"))
     val perDoc = matched
@@ -1145,11 +1189,57 @@ object Dedup {
       .withColumn("dup_ratio",
         when(col("n_tokens") > 0,
           col("n_dup_positions").cast("double") / col("n_tokens")))
-      .localCheckpoint() // pin: the index append below must not shift
-                         // what the returned frame reads
-    CdcTable.append(batchDocWids, indexDir, partitionBy = Nil,
-      txn = txn)
-    result
+      .localCheckpoint() // pin: the caller's index append must not
+                         // shift what the returned frame reads
+    DupSubIncr(result, batchDocWids)
+  }
+
+  /** Streaming exact-substring dedup-to-table — the Lee et al.
+    * criterion as an ingest gate, completing the dedup-stream family
+    * (exact / near / winnow / dup-substring): every micro-batch
+    * computes its docs' duplicated-position coverage against the
+    * KEPT-ONLY window index under the first-seen-wins rule (history,
+    * or a lower-id doc in the same batch); docs at or above
+    * `maxDupRatio` drop, the rest append to `outDir` and their
+    * window rows to the index. Exactly-once across restarts via
+    * per-role txn markers; assumes non-decreasing ids.
+    *
+    * Kept-only indexing bounds the index by the DEDUPED corpus's
+    * window volume, and because no candidate pairs exist anywhere in
+    * this family, there is no mass-duplicate blowup to cap — a page
+    * duplicated millions of times costs one set of index rows and
+    * each new copy one probe. */
+  def dupSubstringDedupStreamToTable(stream: DataFrame,
+      textCol: String, idCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, maxDupRatio: Double = 0.5, l: Int = 8,
+      appId: String = "graft-dupsubdedup",
+      maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxDupRatio > 0 && maxDupRatio <= 1,
+      s"maxDupRatio must be in (0,1]: $maxDupRatio")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val r = dupSubstringIncrementalCore(batch, textCol, idCol,
+          indexDir, l, txn = Some((s"$appId-idx", id)),
+          maxBatchRows = maxBatchRows, firstSeenWins = true)
+        // one evaluation feeds the index filter AND the out anti-join
+        val dupIds = r.stats
+          .filter(col("dup_ratio") >= maxDupRatio)
+          .select(col("id").as("__dup_id")).distinct()
+          .localCheckpoint()
+        graft.sink.CdcTable.append(
+          r.batchDocWids.join(dupIds,
+            col("doc_id") === col("__dup_id"), "left_anti"),
+          indexDir, partitionBy = Nil, txn = Some((s"$appId-idx", id)))
+        graft.sink.CdcTable.append(
+          batch.join(dupIds, batch(idCol) === col("__dup_id"),
+            "left_anti"),
+          outDir, txn = Some((s"$appId-out", id)))
+        ()
+      }
+      .start()
   }
 
   /** The DESTRUCTIVE half of [[dupSubstringStats]] — Lee et al.'s

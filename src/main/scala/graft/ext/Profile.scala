@@ -366,8 +366,8 @@ object Profile {
     * computes from a full scan. Fails loudly when the snapshot holds
     * files the index has not profiled — run [[profileSyncFiles]]. */
   def profileReadFiles(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, commitAsOf: Option[Long] = None)
-      : DataFrame = {
+      indexDir: String, commitAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
     import graft.sink.CdcTable
     val meta = graft.core.Fs.readString(s"$indexDir/_graft_index_meta")
       .map(_.linesIterator.flatMap { l =>
@@ -381,7 +381,7 @@ object Profile {
       s"file profile index at $indexDir pins no table path"))
     val k = meta.getOrElse("profile_k", sys.error(
       s"no profile_k at $indexDir")).trim.toInt
-    val rels = CdcTable.commitsAsOf(tableDir, commitAsOf)
+    val rels = CdcTable.commitsAsOf(tableDir, commitAsOf, timestampAsOf)
       .flatMap(_.files).distinct
     import spark.implicits._
     val relsDf = rels.toDF("file")

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types._
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
   *   GRAFT COMPACT INDEX '<path>'
   *   GRAFT RETRACT INDEX '<path>' IDS (v1, v2, …)
+  *   GRAFT RETRACT INDEX '<path>' FROM '<table>' [ID col]
   *   GRAFT REBAND INDEX '<path>' BANDS n
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
@@ -84,6 +85,10 @@ object GraftSqlParser {
   private val retractIndexRe = Pattern.compile(
     """\s*GRAFT\s+RETRACT\s+INDEX\s+'([^']+)'\s+IDS\s*\((.+)\)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val retractFromRe = Pattern.compile(
+    """\s*GRAFT\s+RETRACT\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """(?:\s+ID\s+(\w+))?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
   private val vacuumRe = Pattern.compile(
     """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
       """(?:\s+(FORCE))?\s*;?\s*""",
@@ -165,6 +170,10 @@ object GraftSqlParser {
     val rbm = rebandIndexRe.matcher(sqlText)
     if (rbm.matches())
       return Some(RebandGraftIndex(rbm.group(1), rbm.group(2).toInt))
+    val rfm = retractFromRe.matcher(sqlText)
+    if (rfm.matches())
+      return Some(RetractGraftIndexFrom(rfm.group(1), rfm.group(2),
+        Option(rfm.group(3)).getOrElse("_id")))
     val rim = retractIndexRe.matcher(sqlText)
     if (rim.matches()) {
       // literal list, quote-aware: numbers stay bare, string ids come
@@ -425,6 +434,26 @@ case class RetractGraftIndex(dir: String, ids: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     import spark.implicits._
     Seq(Row(graft.ext.Dedup.retractIndex(spark, dir, ids.toDF("id"))))
+  }
+}
+
+/** `GRAFT RETRACT INDEX '<path>' FROM '<table>' [ID col]` — the
+  * at-scale retraction form: the id set comes from a graft TABLE
+  * (e.g. the tombstone/repair table a delete pipeline maintains)
+  * instead of round-tripping literals through SQL text — a
+  * right-to-be-forgotten batch of millions of ids never touches the
+  * driver. Same per-kind keyed rewrite as the IDS form. */
+case class RetractGraftIndexFrom(dir: String, srcTable: String,
+    idCol: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("rows_retracted", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    Seq(Row(graft.ext.Dedup.retractIndex(spark, dir,
+      CdcTable.read(spark, srcTable).select(col(s"`$idCol`")))))
   }
 }
 

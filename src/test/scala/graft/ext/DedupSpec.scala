@@ -951,6 +951,46 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("l=8"), e.getMessage)
   }
 
+  test("dupSubstringDedupStreamToTable drops verbatim-run copies of " +
+      "historical docs, first-seen wins within a batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val idx = tmpDir("dsidx")
+    val out = tmpDir("dsout")
+    val ckpt = tmpDir("dsckpt")
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.dupSubstringDedupStreamToTable(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", idx, out,
+      ckpt, maxDupRatio = 0.5)
+    try {
+      mem.addData((1L, s"a1 a2 $run a3"),
+        (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      q.processAllAvailable() // nothing shared: both kept
+      // 10 mostly-copies historical 1 → dropped; 11 novel → kept;
+      // 12 copies 11 WITHIN the batch → first-seen wins, 12 drops
+      val novel = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11"
+      mem.addData((10L, s"b1 $run"), (11L, novel), (12L, s"x $novel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart: lookback still covers pre-restart history
+    val q2 = Dedup.dupSubstringDedupStreamToTable(
+      mem.toDF.toDF("doc_id", "text"), "text", "doc_id", idx, out,
+      ckpt, maxDupRatio = 0.5)
+    try {
+      mem.addData((20L, s"$run c9")) // run again → drop
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = graft.sink.CdcTable.read(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 11L),
+      s"run copies dropped across batches and the restart: $ids")
+    val idxDocs = graft.sink.CdcTable.read(spark, idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(idxDocs == Set(1L, 2L, 11L),
+      s"kept-only indexing: $idxDocs")
+  }
+
   test("syncComponents: incremental folds equal full CC across " +
       "component merges, out-of-order ids, empty batches, and " +
       "replace commits") {

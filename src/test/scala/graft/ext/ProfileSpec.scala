@@ -210,9 +210,15 @@ class ProfileSpec extends SparkSpec {
     assert(served() == full(),
       "post-DML profile must equal a full scan of the current state")
     // TIME TRAVEL: the pre-delete snapshot still serves (partials of
-    // superseded files are retained; the manifest join selects them)
+    // superseded files are retained; the manifest join selects them),
+    // by commit id and by timestamp
     assert(served(Some(preDelete)) == fullPre,
       "pre-delete snapshot must profile from retained partials")
+    val preTs = CdcTable.log(tbl)
+      .find(_.commit == preDelete).map(_.ts)
+    assert(Profile.profileReadFiles(spark, idx,
+        timestampAsOf = preTs).collect().map(_.toSeq).toSet == fullPre,
+      "timestampAsOf must serve the same snapshot")
     // SQL surface: BY FILE sync + the shared PROFILE INDEX entry point
     assert(spark.sql(s"GRAFT SYNC PROFILE '$idx' FROM '$tbl' " +
       "COLUMNS id, s BY FILE").as[Int].head() == 0)

@@ -157,6 +157,18 @@ class RetractSpec extends SparkSpec {
       "text", "doc_id", sidx)
     assert(spark.sql(s"GRAFT RETRACT INDEX '$sidx' IDS ('a')")
       .as[Long].head() == 1L)
+    // FROM-table form: ids come from a graft table (the tombstone
+    // shape) — millions of ids never round-trip through SQL text
+    val fidx = tmpDir("ret_sql_from")
+    Dedup.exactIncremental(
+      Seq((1L, base), (2L, other), (3L, base + " y"))
+        .toDF("doc_id", "text"), "text", "doc_id", fidx)
+    val tomb = tmpDir("ret_tomb")
+    CdcTable.append(Seq(1L, 3L).toDF("_id"), tomb, partitionBy = Nil)
+    assert(spark.sql(s"GRAFT RETRACT INDEX '$fidx' FROM '$tomb'")
+      .as[Long].head() == 2L)
+    assert(CdcTable.read(spark, fidx).select("keep_id").as[Long]
+      .collect().toSeq == Seq(2L))
   }
 
   test("retractNearDupResult: no consumer can reference a retracted " +
