@@ -1731,6 +1731,21 @@ object TextAnalysis {
         col("lcs"), col("rl_p_fp"), col("rl_r_fp"), col("rl_f_fp"))
   }
 
+  /** Corpus-level ROUGE-L — [[chrFCorpus]]'s shape for the
+    * subsequence metric: the macro-average (mean of per-pair
+    * fixed-point scores) of [[rougeL]] across the pair frame, exact
+    * integers. Output: (n_pairs, macro_rl_p_fp, macro_rl_r_fp,
+    * macro_rl_f_fp). */
+  def rougeLCorpus(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text")
+  : org.apache.spark.sql.DataFrame =
+    rougeL(docs, pairs, idCol, textCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(rl_p_fp) div count(1)").as("macro_rl_p_fp"),
+        expr("sum(rl_r_fp) div count(1)").as("macro_rl_r_fp"),
+        expr("sum(rl_f_fp) div count(1)").as("macro_rl_f_fp"))
+
   /** Corpus-level chrF — the dataset-eval deployment shape: the
     * MACRO-average (mean of per-pair fixed-point scores, the way
     * Popović'15 reports document/corpus chrF over segments) of

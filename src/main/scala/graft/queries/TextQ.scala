@@ -2921,7 +2921,10 @@ object TextQ {
         q34(s, dir).select(col("a_id"), col("b_id")), "doc_id")
       .orderBy(col("a_id"), col("b_id"))
 
-  val q170Sql: String =
+  /** Shared oracle body for the ROUGE-L family (q170 per-pair, q174
+    * corpus): banded pairs → token-id lists for pair-touched docs →
+    * the LCS DP via list_reduce, through the `lc` CTE. */
+  private val rougeBodyD: String =
     s"""WITH d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
        |ids AS (SELECT doc_id,
        |    list_transform(shs, x -> ${tokD("x")}) AS sids FROM d),
@@ -2955,7 +2958,10 @@ object TextQ {
        |    )) END AS lcs
        |  FROM pairs p
        |  JOIN tk ta ON ta.doc_id = p.a_id
-       |  JOIN tk tb ON tb.doc_id = p.b_id)
+       |  JOIN tk tb ON tb.doc_id = p.b_id)""".stripMargin
+
+  val q170Sql: String =
+    s"""$rougeBodyD
        |SELECT a_id, b_id, len_a, len_b, lcs,
        |  (lcs * 1000000) // GREATEST(len_a, 1) AS rl_p_fp,
        |  (lcs * 1000000) // GREATEST(len_b, 1) AS rl_r_fp,
@@ -2964,6 +2970,31 @@ object TextQ {
        |    // GREATEST(((lcs * 1000000) // GREATEST(len_a, 1))
        |     + ((lcs * 1000000) // GREATEST(len_b, 1)), 1) AS rl_f_fp
        |FROM lc ORDER BY a_id, b_id""".stripMargin
+
+  /** q174 — corpus-level ROUGE-L
+    * ([[graft.ext.TextAnalysis.rougeLCorpus]]): q166's macro-average
+    * shape for the subsequence metric — one dataset-eval row,
+    * `Σ score // n` exact. */
+  def q174(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.rougeLCorpus(
+      spreadDocs(s, dir),
+      q34(s, dir).select(col("a_id"), col("b_id")), "doc_id")
+
+  val q174Sql: String =
+    s"""$rougeBodyD,
+       |sc AS (SELECT
+       |    (lcs * 1000000) // GREATEST(len_a, 1) AS p_fp,
+       |    (lcs * 1000000) // GREATEST(len_b, 1) AS r_fp,
+       |    (2 * ((lcs * 1000000) // GREATEST(len_a, 1))
+       |       * ((lcs * 1000000) // GREATEST(len_b, 1)))
+       |      // GREATEST(((lcs * 1000000) // GREATEST(len_a, 1))
+       |       + ((lcs * 1000000) // GREATEST(len_b, 1)), 1) AS f_fp
+       |  FROM lc)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(p_fp) // COUNT(*) AS BIGINT) AS macro_rl_p_fp,
+       |  CAST(SUM(r_fp) // COUNT(*) AS BIGINT) AS macro_rl_r_fp,
+       |  CAST(SUM(f_fp) // COUNT(*) AS BIGINT) AS macro_rl_f_fp
+       |FROM sc""".stripMargin
 
   /** q171 — exact duplicated-substring coverage
     * ([[graft.ext.Dedup.dupSubstringStats]], the Lee et al. 2022
@@ -3400,5 +3431,6 @@ object TextQ {
     QueryDef("q170_rouge_l", q170, Some(q170Sql)),
     QueryDef("q171_dup_substrings", q171, Some(q171Sql)),
     QueryDef("q172_dup_substring_rewrite", q172, Some(q172Sql)),
-    QueryDef("q173_dup_substrings_incr", q173, Some(q173Sql)))
+    QueryDef("q173_dup_substrings_incr", q173, Some(q173Sql)),
+    QueryDef("q174_rouge_l_corpus", q174, Some(q174Sql)))
 }

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   *   GRAFT HISTORY '<path>'
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
-  *   GRAFT PROFILE INDEX '<path>'
+  *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
   *   GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n] [BY FILE]
   *   GRAFT DELETE FROM '<path>' WHERE <predicate>
   *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
@@ -114,7 +114,8 @@ object GraftSqlParser {
       """(?:\s+COLUMNS\s+([\w\s,`]+?))?(?:\s+K\s+(\d+))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val profileIdxRe = Pattern.compile(
-    """\s*GRAFT\s+PROFILE\s+INDEX\s+'([^']+)'\s*;?\s*""",
+    """\s*GRAFT\s+PROFILE\s+INDEX\s+'([^']+)'""" +
+      """(?:\s+AT\s+COMMIT\s+(\d+))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val profileSyncRe = Pattern.compile(
     """\s*GRAFT\s+SYNC\s+PROFILE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
@@ -229,7 +230,9 @@ object GraftSqlParser {
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
-    if (pim.matches()) return Some(ProfileGraftIndex(pim.group(1)))
+    if (pim.matches())
+      return Some(ProfileGraftIndex(pim.group(1),
+        Option(pim.group(2)).map(_.toLong)))
     val psm = profileSyncRe.matcher(sqlText)
     if (psm.matches()) {
       val cols = psm.group(3).split(",").toSeq
@@ -674,15 +677,18 @@ case class ProfileGraftTable(dir: String, cols: Seq[String], k: Int)
   }
 }
 
-/** `GRAFT PROFILE INDEX '<path>'` — serve the profile from an
-  * INCREMENTAL profile index ([[graft.ext.Profile.profileAppend]]):
-  * the same six-column result as `GRAFT PROFILE`, merged from the
-  * stored per-batch partials in O(batches·columns) rows with ZERO
+/** `GRAFT PROFILE INDEX '<path>' [AT COMMIT n]` — serve the profile
+  * from an INCREMENTAL profile index
+  * ([[graft.ext.Profile.profileAppend]]): the same six-column result
+  * as `GRAFT PROFILE`, merged from the stored partials with ZERO
   * corpus IO — counts are additive, the KMV k-mins union-combine and
   * min/max are associative, so the served profile is bit-identical
-  * to a full scan of the concatenated batches. `GRAFT COMPACT INDEX`
-  * folds the partials to one row per column. */
-case class ProfileGraftIndex(dir: String) extends LeafRunnableCommand {
+  * to a full scan. `AT COMMIT n` time-travels (file-keyed indexes
+  * only — the manifest join selects the snapshot's files; batch
+  * partials have no per-snapshot identity and reject loudly).
+  * `GRAFT COMPACT INDEX` folds the partials. */
+case class ProfileGraftIndex(dir: String,
+    commitAsOf: Option[Long] = None) extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
   override val output: Seq[Attribute] = Seq(
@@ -691,14 +697,20 @@ case class ProfileGraftIndex(dir: String) extends LeafRunnableCommand {
     AttributeReference("min_s", StringType, nullable = true)(),
     AttributeReference("max_s", StringType, nullable = true)())
 
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
     // file-keyed indexes (profileSyncFiles) carry a `file` column and
     // serve through the manifest join; batch-keyed ones merge all
     // stored partials — one SQL entry point either way
-    (if (CdcTable.currentSchema(dir)
-        .exists(_.fieldNames.contains("file")))
-      graft.ext.Profile.profileReadFiles(spark, dir)
+    val byFile = CdcTable.currentSchema(dir)
+      .exists(_.fieldNames.contains("file"))
+    require(byFile || commitAsOf.isEmpty,
+      s"GRAFT PROFILE INDEX … AT COMMIT: $dir is a batch-keyed " +
+        "profile index — per-batch partials have no per-snapshot " +
+        "identity; recreate it BY FILE for time-travel profiles")
+    (if (byFile)
+      graft.ext.Profile.profileReadFiles(spark, dir, commitAsOf)
     else graft.ext.Profile.profileRead(spark, dir)).collect().toSeq
+  }
 }
 
 /** `GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n]

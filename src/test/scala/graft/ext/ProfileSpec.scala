@@ -224,6 +224,9 @@ class ProfileSpec extends SparkSpec {
       "COLUMNS id, s BY FILE").as[Int].head() == 0)
     assert(spark.sql(s"GRAFT PROFILE INDEX '$idx'")
       .collect().map(_.toSeq).toSet == full())
+    assert(spark.sql(s"GRAFT PROFILE INDEX '$idx' AT COMMIT $preDelete")
+      .collect().map(_.toSeq).toSet == fullPre,
+      "SQL time-travel profile must serve the snapshot")
     // COMPACT keeps per-file granularity: reads (current AND time
     // travel) are invariant under the fold
     spark.sql(s"GRAFT COMPACT INDEX '$idx'").collect()
