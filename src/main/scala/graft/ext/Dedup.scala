@@ -261,10 +261,23 @@ object Dedup {
           "subtractable; recreate that index from the table's " +
           "current state")
     // cast to the stored key type so SQL-sourced string literals
-    // match integral doc ids
+    // match integral doc ids — and FAIL LOUDLY when a non-null input
+    // id refuses the cast (e.g. a UUID string against a long-keyed
+    // index): a silently-null key matches nothing, and a compliance
+    // delete that no-ops for some ids is worse than an error
     val dt = commits.last.schema(keyCol).dataType
+    val keyed = ids.select(col(s"`${ids.columns(0)}`").as("_raw"))
+      .withColumn(keyCol, expr(s"try_cast(_raw AS ${dt.sql})"))
+      .localCheckpoint()
+    val bad = keyed
+      .filter(col("_raw").isNotNull && col(keyCol).isNull)
+      .limit(3).collect()
+    require(bad.isEmpty,
+      s"retractIndex: id(s) ${bad.map(_.get(0)).mkString(", ")} do " +
+        s"not cast to the index key type ${dt.sql} — refusing a " +
+        "retraction that would silently skip them")
     CdcTable.deleteKeys(spark, indexDir,
-      ids.select(col(s"`${ids.columns(0)}`").cast(dt).as(keyCol)),
+      keyed.select(col(s"`$keyCol`")),
       Seq(keyCol), partitionBy = Nil).rowsDeleted
   }
 
@@ -954,7 +967,8 @@ object Dedup {
     // cache releases before returning (the Dedup.near pattern)
     val base = df
       .select(col(idCol).as("id"),
-        split(trim(col(textCol)), "\\s+").as("toks"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+          .as("toks"))
       .select(col("id"), expr(segsE).as("sids"))
       .withColumn("n_segments", size(col("sids")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1007,7 +1021,8 @@ object Dedup {
     require(l >= 2, s"minimum run length must be >= 2 tokens: $l")
     val base = df
       .select(col(idCol).as("id"),
-        split(trim(col(textCol)), "\\s+").as("toks"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+          .as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base
@@ -1105,7 +1120,8 @@ object Dedup {
         "the index or pass the original length")
     val base = batch
       .select(col(idCol).as("id"),
-        split(trim(col(textCol)), "\\s+").as("toks"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+          .as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .localCheckpoint() // pin: feeds windows AND the final join; its
                          // row count is the batch-size guard for free
@@ -1257,7 +1273,8 @@ object Dedup {
     require(l >= 2, s"minimum run length must be >= 2 tokens: $l")
     val base = df
       .select(col(idCol).as("id"),
-        split(trim(col(textCol)), "\\s+").as("toks"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+          .as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = base
@@ -1319,7 +1336,8 @@ object Dedup {
          |END""".stripMargin
     val base = df
       .select(col(idCol).as("id"),
-        split(trim(col(textCol)), "\\s+").as("toks"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+          .as("toks"))
       .withColumn("nsp", expr(s"size(toks) div $width"))
       .withColumn("rem", expr(
         s"concat_ws(' ', slice(toks, CAST(nsp * $width + 1 AS INT), " +
@@ -1648,7 +1666,8 @@ object Dedup {
       textCol: String = "text", width: Int = 3): DataFrame = {
     require(width >= 1, s"width must be >= 1: $width")
     df.select(col(idCol).as("id"),
-        split(trim(col(textCol)), "\\s+").as("toks"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+          .as("toks"))
       .withColumn("nsp", expr(s"size(toks) div $width"))
       .withColumn("spans", expr(
         s"""CASE WHEN nsp >= 1 THEN transform(sequence(1, CAST(nsp AS INT)),
@@ -1924,7 +1943,8 @@ object Dedup {
           expr(s"winnow_fps(`$textCol`, $k, $w)").as("pfs"))
         .filter(size(col("pfs")) >= 1)
     else df.select(col(idCol).as("id"), blk,
-        split(trim(col(textCol)), "\\s+").as("toks"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+          .as("toks"))
       .withColumn("ng", expr(s"size(toks) - ${k - 1}"))
       .filter(col("ng") >= 1)
       .withColumn("hs", expr(

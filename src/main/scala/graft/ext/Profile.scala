@@ -175,7 +175,7 @@ object Profile {
     * Returns the number of table commits synced (0 = already fresh). */
   def profileSync(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, indexDir: String, cols: Seq[String],
-      k: Int = 256): Int = {
+      k: Option[Int] = None): Int = {
     import graft.sink.CdcTable
     val commits = CdcTable.log(tableDir)
     require(commits.nonEmpty, s"no CdcTable at $tableDir")
@@ -186,10 +186,15 @@ object Profile {
     val appId = s"profile@${canonicalDir(tableDir)}"
     val idxLog = CdcTable.log(indexDir)
     // an EXISTING index serves its creation-time k from the sidecar —
-    // the caller's k is only the creation parameter, so syncing an
-    // index built with a non-default K never needs K repeated (the
-    // kmvJaccardTable principle: derive, don't trust a default)
-    val useK = if (idxLog.nonEmpty) storedProfileK(indexDir) else k
+    // k = None adopts it (the kmvJaccardTable principle: derive,
+    // don't trust a default), and an EXPLICIT k that contradicts the
+    // stored one rejects loudly instead of silently serving stored
+    val useK = if (idxLog.nonEmpty) storedProfileK(indexDir)
+               else k.getOrElse(256)
+    if (idxLog.nonEmpty) k.foreach(req => require(req == useK,
+      s"profile index at $indexDir was created with k=$useK but " +
+        s"this sync explicitly asked k=$req — recreate the index to " +
+        "change its sketch width"))
     val hw = idxLog.flatMap(_.txn)
       .filter(_._1 == appId).map(_._2).maxOption.getOrElse(0L)
     if (idxLog.nonEmpty) {
@@ -269,16 +274,16 @@ object Profile {
     * files newly profiled (0 = index fresh for the current state). */
   def profileSyncFiles(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, indexDir: String, cols: Seq[String],
-      k: Int = 256): Int = {
+      k: Option[Int] = None): Int = {
     import graft.sink.CdcTable
     require(cols.nonEmpty, "profileSyncFiles needs at least one column")
-    require(k >= 2, s"profile k must be at least 2: $k")
+    k.foreach(v => require(v >= 2, s"profile k must be at least 2: $v"))
     require(cols.forall(c => !c.contains(",")),
       s"profile column names must be comma-free: ${cols.mkString("|")}")
     val commits = CdcTable.commitsAsOf(tableDir)
     val canon = canonicalDir(tableDir)
     val meta = IndexMeta.ensureRaw(indexDir,
-      Map("profile_k" -> k.toString,
+      Map("profile_k" -> k.getOrElse(256).toString,
         "profile_cols" -> cols.sorted.mkString(","),
         "profile_by" -> "file",
         "profile_table" -> canon), () => None)
@@ -288,9 +293,14 @@ object Profile {
     require(meta.get("profile_table").contains(canon),
       s"file profile index at $indexDir tracks table " +
         s"${meta.getOrElse("profile_table", "?")}, not $canon")
+    // k = None adopts the stored width; an EXPLICIT k that
+    // contradicts it rejects loudly (an explicit request silently
+    // served at a different sketch width is a wrong answer)
     val useK = meta("profile_k").trim.toInt
-    require(useK == k || k == 256,
-      s"profile index at $indexDir was created with k=$useK, got k=$k")
+    k.foreach(req => require(req == useK,
+      s"profile index at $indexDir was created with k=$useK but this " +
+        s"sync explicitly asked k=$req — recreate the index to " +
+        "change its sketch width"))
     meta.get("profile_cols").foreach { stored =>
       require(stored == cols.sorted.mkString(","),
         s"profile index at $indexDir pins columns [$stored] but this " +

@@ -320,8 +320,12 @@ object CdcTable {
 
   /** input_file_name → manifest rel path, as a regex: the greedy `.*`
     * prefix pins the capture to the LAST `data/batch-` occurrence,
-    * matching [[stagedFiles]]' keying. */
-  private[graft] val RelPathRe = ".*(data/batch-.*)$"
+    * matching [[stagedFiles]]' keying — INCLUDING the anchoring `/`
+    * before it (input_file_name is always an absolute URI, so the
+    * separator exists). Without the `/` a partition-value suffix
+    * spelling `…data` followed by a partition dir starting `batch-`
+    * would key rel paths differently here than stagedFiles does. */
+  private[graft] val RelPathRe = ".*/(data/batch-.*)$"
 
   /** Append a batch, merging schemas under `mode`. A schema change
     * opens a new generation. Returns the schema version after the

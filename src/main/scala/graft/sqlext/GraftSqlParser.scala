@@ -239,7 +239,7 @@ object GraftSqlParser {
         .map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)
       return Some(SyncGraftProfile(psm.group(1), psm.group(2), cols,
-        Option(psm.group(4)).map(_.toInt).getOrElse(256),
+        Option(psm.group(4)).map(_.toInt),
         byFile = psm.group(5) != null))
     }
     val pm = profileRe.matcher(sqlText)
@@ -724,7 +724,7 @@ case class ProfileGraftIndex(dir: String,
   * any snapshot as a manifest join. Returns the number of commits
   * (BY FILE: files) synced. */
 case class SyncGraftProfile(indexDir: String, tableDir: String,
-    cols: Seq[String], k: Int, byFile: Boolean = false)
+    cols: Seq[String], k: Option[Int], byFile: Boolean = false)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
 

@@ -918,6 +918,25 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 16L, 0L, 0L, Some(0.0))), s"${got(3L)}")
   }
 
+  test("dupSubstring family: NULL text coalesces to '' (one empty " +
+      "token) instead of producing negative-size garbage rows") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3"), (2L, s"b1 $run"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val st = Dedup.dupSubstringStats(docs, "text", "doc_id", l = 8)
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(st(3L) == ((3L, 1L, 0L, 0L, Some(0.0))),
+      s"null text must behave like empty text: ${st(3L)}")
+    assert(st(1L)._4 == 10L && st(2L)._4 == 10L,
+      s"non-null rows unaffected: $st")
+    val rw = Dedup.dupSubstringRewrite(docs, "text", "doc_id", l = 8)
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(rw(3L) == ((3L, 1L, 0L, "")),
+      s"null text must rewrite to the empty doc: ${rw(3L)}")
+  }
+
   test("dupSubstringIncremental: cross-batch runs detected from the " +
       "window index, replay no-ops, layout pinned") {
     val run = (1 to 10).map(i => s"r$i").mkString(" ")

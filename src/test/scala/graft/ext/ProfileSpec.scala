@@ -105,11 +105,19 @@ class ProfileSpec extends SparkSpec {
     CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), tbl,
       partitionBy = Nil)
     assert(Profile.profileSync(spark, tbl, idx, Seq("id", "s"),
-      k = 64) == 1)
+      k = Some(64)) == 1)
     CdcTable.append(Seq((3L, "c")).toDF("id", "s"), tbl,
       partitionBy = Nil)
-    // default k=256 on the call — the stored k=64 wins
+    // no k on the call — the stored k=64 is adopted
     assert(Profile.profileSync(spark, tbl, idx, Seq("id", "s")) == 1)
+    // an EXPLICIT k contradicting the stored one rejects loudly
+    // (even the creation default, 256 — explicit means explicit)
+    val eK = intercept[IllegalArgumentException] {
+      Profile.profileSync(spark, tbl, idx, Seq("id", "s"),
+        k = Some(256))
+    }
+    assert(eK.getMessage.contains("explicitly asked k=256"),
+      eK.getMessage)
     assert(Profile.profileRead(spark, idx)
       .collect().map(_.toSeq).toSet ==
       Profile.profile(CdcTable.read(spark, tbl), Seq("id", "s"),
@@ -198,6 +206,13 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.profileSyncFiles(spark, tbl, idx, cols) > 0)
     assert(Profile.profileSyncFiles(spark, tbl, idx, cols) == 0,
       "fresh index re-syncs nothing")
+    // an explicit k contradicting the stored width rejects loudly
+    // instead of silently serving the stored one
+    val eK = intercept[IllegalArgumentException] {
+      Profile.profileSyncFiles(spark, tbl, idx, cols, k = Some(64))
+    }
+    assert(eK.getMessage.contains("explicitly asked k=64"),
+      eK.getMessage)
     val preDelete = CdcTable.log(tbl).last.commit
     val fullPre = full()
     assert(served() == fullPre)

@@ -128,6 +128,21 @@ class RetractSpec extends SparkSpec {
       "the re-ingested copy takes the retracted exemplar's slot")
   }
 
+  test("a non-castable id rejects loudly instead of silently " +
+      "no-oping the compliance delete") {
+    val idx = tmpDir("ret_cast")
+    Dedup.exactIncremental(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.retractIndex(spark, idx,
+        Seq("not-a-long").toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("do not cast"), e.getMessage)
+    // nothing was deleted by the failed call
+    assert(CdcTable.read(spark, idx).count() == 2L)
+  }
+
   test("unsubtractable kinds reject loudly") {
     val idx = tmpDir("ret_prof")
     Profile.profileAppend(Seq((1L, "a")).toDF("id", "s"), idx,

@@ -295,4 +295,20 @@ class CdcTableLogSpec extends SparkSpec {
     assert(t.count() == 9)
     assert(t.filter(col("_id") === "r5").count() == 1)
   }
+
+  test("RelPathRe keys at the LAST '/data/batch-' — a partition " +
+      "segment spelling '…data' + 'batch-…' cannot shift the key") {
+    // write-side keying is lastIndexOf("/data/batch-"); the read-side
+    // regex must anchor on the same separator or the two sites key
+    // adversarial paths differently (silently missing keyed rewrites)
+    val re = CdcTable.RelPathRe.r
+    val adversarial = "file:/tbl/data/batch-7/a=vdata/batch-b=1/f.parquet"
+    assert(re.findFirstMatchIn(adversarial).map(_.group(1)).contains(
+      "data/batch-7/a=vdata/batch-b=1/f.parquet"))
+    // nested tables: the LAST real data/batch- wins, matching
+    // lastIndexOf on the write side
+    val nested = "file:/a/data/batch-1/x/data/batch-2/f.parquet"
+    assert(re.findFirstMatchIn(nested).map(_.group(1)).contains(
+      "data/batch-2/f.parquet"))
+  }
 }
