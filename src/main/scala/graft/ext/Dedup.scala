@@ -227,10 +227,14 @@ object Dedup {
     *   - vector index (`bval`):                id ∈ ids
     *   - SemDeDup exemplar index (`cid`):      id ∈ ids
     *   - exact fingerprint index (`keep_id`):  keep_id ∈ ids
+    *   - lexical index (postings/ + totals/ directory): routes to
+    *     [[TextAnalysis.retractLexicalIndex]] — posting delete on
+    *     `id` plus an additive totals delta, so BM25 probes stop
+    *     serving the deleted ids AND their stale df/avgdl
     *
     * Unsubtractable kinds (profile partials, LM count tables, KMV
-    * sketches, lexical postings) reject loudly — recreate those from
-    * the table's current state (the profileSync contract).
+    * sketches) reject loudly — recreate those from the table's
+    * current state (the profileSync contract).
     *
     * CONTRACT: pass ids that are REMOVED FROM THE CORPUS. For the
     * exact index the row is owned by its KEEPER: retracting a keeper
@@ -244,11 +248,21 @@ object Dedup {
       ids: DataFrame): Long = {
     import graft.sink.CdcTable
     val commits = CdcTable.log(indexDir)
+    // a lexical index is a DIRECTORY of tables (postings + totals),
+    // not a table itself — route by structure, like compactIndex
+    if (commits.isEmpty &&
+        CdcTable.log(s"$indexDir/postings").nonEmpty)
+      return TextAnalysis.retractLexicalIndex(spark, indexDir, ids)
     require(commits.nonEmpty, s"no index at $indexDir")
     require(ids.columns.length == 1,
       s"retractIndex takes a single-column id frame, got " +
         s"(${ids.columns.mkString(", ")})")
     val cols = commits.last.schema.fieldNames.toSet
+    if (cols.contains("tok") && cols.contains("tf"))
+      throw new IllegalArgumentException(
+        s"$indexDir is a lexical POSTINGS table — pass the lexical " +
+          "index ROOT (the directory holding postings/ and totals/) " +
+          "so the corpus totals adjust with the posting delete")
     val keyCol =
       if (cols.contains("band_key") || cols.contains("nfp") ||
           cols.contains("wid")) "doc_id"
@@ -257,9 +271,8 @@ object Dedup {
       else throw new IllegalArgumentException(
         s"index at $indexDir (columns: ${cols.mkString(", ")}) has no " +
           "per-document entries to retract — profile partials, LM " +
-          "counts, KMV sketches and lexical postings are not " +
-          "subtractable; recreate that index from the table's " +
-          "current state")
+          "counts and KMV sketches are not subtractable; recreate " +
+          "that index from the table's current state")
     // cast to the stored key type so SQL-sourced string literals
     // match integral doc ids — and FAIL LOUDLY when a non-null input
     // id refuses the cast (e.g. a UUID string against a long-keyed

@@ -464,6 +464,87 @@ object TextAnalysis {
     }
   }
 
+  /** Retract documents from an INCREMENTAL lexical index — the
+    * right-to-be-forgotten path for the RETRIEVAL surface (the last
+    * index kind that served deleted content): postings are
+    * per-document facts (`id, dl, tok, tf`), so the delete is the
+    * same keyed rewrite every subtractable index uses
+    * ([[graft.sink.CdcTable.deleteKeys]] on `id` — only files
+    * holding victim rows rewrite, bucket partitioning preserved),
+    * and the corpus totals adjust by ONE additive delta row
+    * (−n_docs, −Σdl), derived from the victims' own posting rows
+    * before deletion. After retraction [[probeLexicalTable]] never
+    * returns a retracted id, df drops to the surviving corpus, and
+    * ranks are bit-identical to an index recreated from the
+    * surviving documents (df and totals both derive from content).
+    *
+    * Single-writer maintenance like every index rewrite. A crash
+    * between the posting delete and the totals delta leaves totals
+    * over-counted; [[rebuildLexicalTotals]] heals exactly (totals
+    * are fully derivable from postings — every document, even an
+    * empty one, carries at least one posting row). Returns the
+    * number of posting rows removed. */
+  def retractLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: org.apache.spark.sql.DataFrame): Long = {
+    import graft.sink.CdcTable
+    val pdir = s"$dir/postings"; val tdir = s"$dir/totals"
+    val commits = CdcTable.log(pdir)
+    require(commits.nonEmpty, s"no incremental lexical index at $dir")
+    require(ids.columns.length == 1,
+      s"retractLexicalIndex takes a single-column id frame, got " +
+        s"(${ids.columns.mkString(", ")})")
+    val dt = commits.last.schema("id").dataType
+    val keyed = ids.select(col(s"`${ids.columns(0)}`").as("_raw"))
+      .withColumn("id", expr(s"try_cast(_raw AS ${dt.sql})"))
+      .localCheckpoint()
+    val bad = keyed
+      .filter(col("_raw").isNotNull && col("id").isNull)
+      .limit(3).collect()
+    require(bad.isEmpty,
+      s"retractLexicalIndex: id(s) ${bad.map(_.get(0)).mkString(", ")} " +
+        s"do not cast to the index key type ${dt.sql} — refusing a " +
+        "retraction that would silently skip them")
+    val keys = keyed.select(col("id"))
+    // the totals delta comes from the victims' OWN posting rows,
+    // read before the delete: dl repeats per (id, tok) row, so one
+    // row per victim doc via max (dl is constant per id)
+    val victim = CdcTable.read(spark, pdir)
+      .join(keys, Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("nd"),
+        coalesce(sum(col("dl")), lit(0L)).as("tl"))
+      .head()
+    val nd = victim.getLong(0); val tl = victim.getLong(1)
+    if (nd == 0L) return 0L
+    val deleted = CdcTable.deleteKeys(spark, pdir, keys, Seq("id"),
+      partitionBy = Seq("tbucket")).rowsDeleted
+    CdcTable.append(
+      spark.range(1).select(lit(-nd).as("n_docs"),
+        lit(-tl).as("tot_len")),
+      tdir, partitionBy = Nil)
+    deleted
+  }
+
+  /** Replace the lexical totals table with the exact recompute from
+    * the postings (one metadata-bounded index scan): the crash-heal
+    * for [[retractLexicalIndex]]'s two-step sequence, and a general
+    * invariant restorer — totals are a performance cache, postings
+    * are the facts. */
+  def rebuildLexicalTotals(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import graft.sink.CdcTable
+    val pdir = s"$dir/postings"; val tdir = s"$dir/totals"
+    require(CdcTable.log(pdir).nonEmpty,
+      s"no incremental lexical index at $dir")
+    CdcTable.replaceWith(spark, tdir,
+      CdcTable.read(spark, pdir)
+        .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).cast("long").as("tot_len")),
+      partitionBy = Nil)
+    ()
+  }
+
   /** The per-term BM25 score in fixed point — ONE shared SQL string
     * (same column names both engines) so the IEEE op tree is identical
     * by construction. Expects columns tf, df, dl, n_docs, tot_len. */

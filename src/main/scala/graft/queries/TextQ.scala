@@ -1038,9 +1038,16 @@ object TextQ {
       .select(col("id").as("doc_id"), col("n_terms_hit"),
         col("score_fp"), col("score"))
 
-  val q92Sql: String = {
+  val q92Sql: String = bm25FullScanSql("")
+
+  /** The full-corpus BM25 oracle, optionally restricted to a
+    * surviving-document predicate — the recreate-from-current-state
+    * formulation every lexical-index gate compares against (probe ≡
+    * full scan of whatever documents remain). */
+  private def bm25FullScanSql(where: String): String = {
     val termFp = graft.ext.TextAnalysis.bm25TermFpSql(1.2, 0.75)
-    s"""WITH st AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+    s"""WITH st AS (SELECT doc_id AS id, $toksD AS toks FROM documents
+       |  $where),
        |sl AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS dl FROM st),
        |tot AS (SELECT COUNT(*) AS n_docs,
        |    CAST(SUM(dl) AS BIGINT) AS tot_len FROM sl),
@@ -2996,6 +3003,41 @@ object TextQ {
        |  CAST(SUM(f_fp) // COUNT(*) AS BIGINT) AS macro_rl_f_fp
        |FROM sc""".stripMargin
 
+  /** q175 — lexical-index RETRACTION
+    * ([[graft.ext.TextAnalysis.retractLexicalIndex]] via
+    * `GRAFT RETRACT INDEX … FROM '<tombstone>'`): the
+    * right-to-be-forgotten gate for the RETRIEVAL surface. The
+    * incremental lexical index ingests the corpus in two batches;
+    * docs with doc_id % 10 == 3 are then retracted through the SQL
+    * tombstone-table form (posting rows keyed-delete on id, corpus
+    * totals adjust by one additive delta row), and the BM25 probe
+    * afterwards must (a) never return a retracted id and (b)
+    * hash-match a full-corpus scan over exactly the SURVIVING
+    * documents — i.e. an index recreated from current state: df,
+    * avgdl and every rank reflect the post-delete corpus, not just
+    * the id filter. */
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    val idx = QueryDef.scratchDir("lexret")
+    val docs = Tables(s, dir, "documents")
+    for (b <- 0 until 2)
+      graft.ext.TextAnalysis.lexicalIndexAppend(
+        docs.filter(col("doc_id") % 2 === b), idx, "doc_id",
+        txn = Some(("q175", b.toLong)))
+    val tomb = QueryDef.scratchDir("lexret_tomb")
+    graft.sink.CdcTable.append(
+      docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+      tomb, partitionBy = Nil)
+    s.sql(s"GRAFT RETRACT INDEX '$idx' FROM '$tomb' ID doc_id")
+      .collect()
+    graft.ext.TextAnalysis
+      .probeLexicalTable(s, idx, "vector hash join merge", k = 10)
+      .select(col("id").as("doc_id"), col("n_terms_hit"),
+        col("score_fp"), col("score"))
+  }
+
+  // probe after retraction ≡ recreate from the surviving corpus
+  val q175Sql: String = bm25FullScanSql("WHERE doc_id % 10 <> 3")
+
   /** q171 — exact duplicated-substring coverage
     * ([[graft.ext.Dedup.dupSubstringStats]], the Lee et al. 2022
     * exact-substring dedup criterion): per document, how many token
@@ -3432,5 +3474,6 @@ object TextQ {
     QueryDef("q171_dup_substrings", q171, Some(q171Sql)),
     QueryDef("q172_dup_substring_rewrite", q172, Some(q172Sql)),
     QueryDef("q173_dup_substrings_incr", q173, Some(q173Sql)),
-    QueryDef("q174_rouge_l_corpus", q174, Some(q174Sql)))
+    QueryDef("q174_rouge_l_corpus", q174, Some(q174Sql)),
+    QueryDef("q175_lexical_retract", q175, Some(q175Sql)))
 }

@@ -128,6 +128,49 @@ class RetractSpec extends SparkSpec {
       "the re-ingested copy takes the retracted exemplar's slot")
   }
 
+  test("lexical index: retraction removes the doc from BM25 probes " +
+      "AND fixes df/totals — ranks equal a recreate from survivors") {
+    val idx = tmpDir("ret_lex")
+    val docs = Seq(
+      (1L, "spark shuffle exchange " + base),
+      (2L, "spark catalyst " + other),
+      (3L, "spark shuffle partitions wide and narrow transforms"))
+      .toDF("doc_id", "text")
+    TextAnalysis.lexicalIndexAppend(docs, idx, "doc_id",
+      txn = Some(("t", 1L)))
+    val n = Dedup.retractIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(n > 0L, "posting rows must be removed")
+    val got = TextAnalysis
+      .probeLexicalTable(spark, idx, "spark shuffle", k = 10)
+      .select("id", "n_terms_hit", "score_fp")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(!got.exists(_._1 == 1L),
+      s"retracted doc must never surface in retrieval: $got")
+    // bit-identical to an index recreated from the SURVIVING corpus:
+    // df and avgdl reflect the post-delete state, not just a filter
+    val fresh = tmpDir("ret_lex_fresh")
+    TextAnalysis.lexicalIndexAppend(
+      docs.filter($"doc_id" =!= 1L), fresh, "doc_id",
+      txn = Some(("t", 1L)))
+    val want = TextAnalysis
+      .probeLexicalTable(spark, fresh, "spark shuffle", k = 10)
+      .select("id", "n_terms_hit", "score_fp")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"$got vs recreate $want")
+    // retracting ids with no postings is a no-op, not an error
+    assert(Dedup.retractIndex(spark, idx, Seq(99L).toDF("doc_id")) == 0L)
+    // crash-heal: a clobbered totals table rebuilds exactly from
+    // the postings facts
+    CdcTable.append(Seq((5L, 5L)).toDF("n_docs", "tot_len"),
+      s"$idx/totals", partitionBy = Nil)
+    TextAnalysis.rebuildLexicalTotals(spark, idx)
+    val healed = TextAnalysis
+      .probeLexicalTable(spark, idx, "spark shuffle", k = 10)
+      .select("id", "n_terms_hit", "score_fp")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(healed == want, s"healed $healed vs $want")
+  }
+
   test("a non-castable id rejects loudly instead of silently " +
       "no-oping the compliance delete") {
     val idx = tmpDir("ret_cast")
