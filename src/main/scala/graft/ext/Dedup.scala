@@ -238,14 +238,23 @@ object Dedup {
     *
     * CONTRACT: pass ids that are REMOVED FROM THE CORPUS. For the
     * exact index the row is owned by its KEEPER: retracting a keeper
-    * whose duplicate copies survive in the corpus re-opens that
+    * whose duplicate copies survive in the corpus would re-open that
     * content's dedup (the index deliberately stores no other copy) —
-    * re-ingest a surviving copy or rebuild via [[exact]] if a
-    * survivor must take over the slot. Single-writer maintenance,
-    * like every index rewrite. Returns the number of index rows
-    * removed. */
+    * pass `reelectFrom = Some((corpus, idCol, textCol))` with the
+    * table's CURRENT (post-delete) state and every such fingerprint
+    * re-elects its MIN surviving corpus id as keeper in the same
+    * maintenance pass: future copies of still-present content keep
+    * deduping, against a keeper that actually exists. The re-election
+    * scan is one corpus pass restricted (broadcast semi) to the
+    * retracted keepers' fingerprints — bounded by retraction size,
+    * never all-pairs. Only the exact kind takes the parameter (the
+    * per-doc kinds store every doc's own rows; nothing re-elects).
+    *
+    * Single-writer maintenance, like every index rewrite. Returns
+    * the number of index rows removed. */
   def retractIndex(spark: SparkSession, indexDir: String,
-      ids: DataFrame): Long = {
+      ids: DataFrame,
+      reelectFrom: Option[(DataFrame, String, String)] = None): Long = {
     import graft.sink.CdcTable
     val commits = CdcTable.log(indexDir)
     // a lexical index is a DIRECTORY of tables (postings + totals),
@@ -289,9 +298,37 @@ object Dedup {
       s"retractIndex: id(s) ${bad.map(_.get(0)).mkString(", ")} do " +
         s"not cast to the index key type ${dt.sql} — refusing a " +
         "retraction that would silently skip them")
-    CdcTable.deleteKeys(spark, indexDir,
+    require(reelectFrom.isEmpty || keyCol == "keep_id",
+      s"reelectFrom only applies to the exact fingerprint index — " +
+        s"the index at $indexDir stores every document's own rows, " +
+        "so retraction needs no re-election")
+    // keeper re-election (exact kind): fingerprints whose keeper is
+    // retracted but whose CONTENT survives in the corpus re-elect the
+    // min surviving id — computed and PINNED before the delete
+    // commits, appended after it. One corpus scan, semi-restricted to
+    // the retracted keepers' fingerprints (bounded by retraction
+    // size); retracted ids are excluded defensively in case the
+    // caller's corpus handle still carries them.
+    val reelect = reelectFrom.map { case (corpus, cid, ctext) =>
+      val gone = CdcTable.read(spark, indexDir)
+        .join(keyed.select(col(s"`$keyCol`")), Seq(keyCol), "left_semi")
+        .select(col("fingerprint")).distinct()
+      corpus.select(col(s"`$cid`").cast(dt).as("keep_id"),
+          fingerprintOf(ctext).as("fingerprint"))
+        .join(broadcast(gone), Seq("fingerprint"))
+        .join(keyed.select(col(s"`$keyCol`")), Seq(keyCol), "left_anti")
+        .groupBy(col("fingerprint"))
+        .agg(min(col("keep_id")).as("keep_id"))
+        .select(col("fingerprint"), col("keep_id"))
+        .localCheckpoint()
+    }
+    val removed = CdcTable.deleteKeys(spark, indexDir,
       keyed.select(col(s"`$keyCol`")),
       Seq(keyCol), partitionBy = Nil).rowsDeleted
+    reelect.foreach { r =>
+      if (!r.isEmpty) { CdcTable.append(r, indexDir, partitionBy = Nil); () }
+    }
+    removed
   }
 
   /** Retract documents from a MATERIALIZED near-dup result

@@ -3038,6 +3038,50 @@ object TextQ {
   // probe after retraction ≡ recreate from the surviving corpus
   val q175Sql: String = bm25FullScanSql("WHERE doc_id % 10 <> 3")
 
+  /** q176 — keeper RE-ELECTION on exact-index retraction
+    * ([[graft.ext.Dedup.retractIndex]] `reelectFrom`): retracting a
+    * KEEPER whose duplicate copies survive in the corpus must not
+    * reopen that content's dedup — the fingerprint re-elects the min
+    * SURVIVING corpus id in the same maintenance pass. The corpus
+    * indexes whole, docs with doc_id % 10 == 3 are deleted and
+    * retracted with re-election against the survivors, then every
+    * deleted doc's CONTENT re-ingests under a fresh id: copies of
+    * content that survives elsewhere are DROPPED against the
+    * re-elected keeper; content that left the corpus entirely is
+    * KEPT. The post-retraction index is exactly the
+    * recreate-from-current-state index, which is what the oracle
+    * replays. */
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val idx = QueryDef.scratchDir("graft_q176_idx")
+    graft.ext.Dedup.exactIncremental(docs, "text", "doc_id", idx)
+    graft.ext.Dedup.retractIndex(s, idx,
+      docs.filter(col("doc_id") % 10 === 3).select(col("doc_id")),
+      reelectFrom =
+        Some((docs.filter(col("doc_id") % 10 =!= 3), "doc_id", "text")))
+    graft.ext.Dedup.exactIncremental(
+      docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          col("text")),
+      "text", "doc_id", idx)
+      .select(col("doc_id"), col("keep_id"), col("is_duplicate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q176Sql: String =
+    """WITH d AS (SELECT doc_id, md5(COALESCE(lower(trim(text)), '')) AS fp
+      |  FROM documents),
+      |idx AS (SELECT fp, MIN(doc_id) AS k FROM d
+      |  WHERE doc_id % 10 <> 3 GROUP BY fp),
+      |b2 AS (SELECT doc_id + 1000000000 AS nid, fp FROM d
+      |  WHERE doc_id % 10 = 3),
+      |bw AS (SELECT fp, MIN(nid) AS bk FROM b2 GROUP BY fp)
+      |SELECT b2.nid AS doc_id,
+      |  COALESCE(idx.k, bw.bk) AS keep_id,
+      |  b2.nid <> COALESCE(idx.k, bw.bk) AS is_duplicate
+      |FROM b2 LEFT JOIN idx USING (fp) JOIN bw USING (fp)
+      |ORDER BY doc_id""".stripMargin
+
   /** q171 — exact duplicated-substring coverage
     * ([[graft.ext.Dedup.dupSubstringStats]], the Lee et al. 2022
     * exact-substring dedup criterion): per document, how many token
@@ -3475,5 +3519,6 @@ object TextQ {
     QueryDef("q172_dup_substring_rewrite", q172, Some(q172Sql)),
     QueryDef("q173_dup_substrings_incr", q173, Some(q173Sql)),
     QueryDef("q174_rouge_l_corpus", q174, Some(q174Sql)),
-    QueryDef("q175_lexical_retract", q175, Some(q175Sql)))
+    QueryDef("q175_lexical_retract", q175, Some(q175Sql)),
+    QueryDef("q176_keeper_reelection", q176, Some(q176Sql)))
 }

@@ -21,8 +21,8 @@ import org.apache.spark.sql.types._
   *   GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2, …)] [FILES n]
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
   *   GRAFT COMPACT INDEX '<path>'
-  *   GRAFT RETRACT INDEX '<path>' IDS (v1, v2, …)
-  *   GRAFT RETRACT INDEX '<path>' FROM '<table>' [ID col]
+  *   GRAFT RETRACT INDEX '<path>' IDS (v1, v2, …) [REELECT FROM '<t>' ID c TEXT c]
+  *   GRAFT RETRACT INDEX '<path>' FROM '<table>' [ID col] [REELECT FROM '<t>' ID c TEXT c]
   *   GRAFT REBAND INDEX '<path>' BANDS n
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
@@ -82,12 +82,17 @@ object GraftSqlParser {
   private val rebandIndexRe = Pattern.compile(
     """\s*GRAFT\s+REBAND\s+INDEX\s+'([^']+)'\s+BANDS\s+(\d+)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  // the optional keeper-re-election clause (exact index only): the
+  // ids list/tombstone stays lazy so REELECT is never swallowed
+  private val reelectTail =
+    """(?:\s+REELECT\s+FROM\s+'([^']+)'\s+ID\s+(\w+)\s+TEXT\s+(\w+))?"""
   private val retractIndexRe = Pattern.compile(
-    """\s*GRAFT\s+RETRACT\s+INDEX\s+'([^']+)'\s+IDS\s*\((.+)\)\s*;?\s*""",
+    """\s*GRAFT\s+RETRACT\s+INDEX\s+'([^']+)'\s+IDS\s*\((.+?)\)""" +
+      reelectTail + """\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val retractFromRe = Pattern.compile(
     """\s*GRAFT\s+RETRACT\s+INDEX\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
-      """(?:\s+ID\s+(\w+))?\s*;?\s*""",
+      """(?:\s+ID\s+(\w+))?""" + reelectTail + """\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val vacuumRe = Pattern.compile(
     """\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
@@ -174,7 +179,9 @@ object GraftSqlParser {
     val rfm = retractFromRe.matcher(sqlText)
     if (rfm.matches())
       return Some(RetractGraftIndexFrom(rfm.group(1), rfm.group(2),
-        Option(rfm.group(3)).getOrElse("_id")))
+        Option(rfm.group(3)).getOrElse("_id"),
+        reelect = Option(rfm.group(4)).map(t =>
+          (t, rfm.group(5), rfm.group(6)))))
     val rim = retractIndexRe.matcher(sqlText)
     if (rim.matches()) {
       // literal list, quote-aware: numbers stay bare, string ids come
@@ -186,7 +193,9 @@ object GraftSqlParser {
           else s
         }
       require(vals.nonEmpty, "GRAFT RETRACT INDEX needs at least one id")
-      return Some(RetractGraftIndex(rim.group(1), vals))
+      return Some(RetractGraftIndex(rim.group(1), vals,
+        reelect = Option(rim.group(3)).map(t =>
+          (t, rim.group(4), rim.group(5)))))
     }
     val cm = compactRe.matcher(sqlText)
     if (cm.matches()) {
@@ -426,8 +435,15 @@ case class CompactGraftIndex(dir: String) extends LeafRunnableCommand {
   * `GRAFT DELETE FROM '<table>' …`: delete the corpus rows, then
   * retract the same ids here so re-ingested copies of the removed
   * content are KEPT instead of deduped against absent docs. Literals
-  * cast to the index's key type. Returns the index rows removed. */
-case class RetractGraftIndex(dir: String, ids: Seq[String])
+  * cast to the index's key type. With
+  * `REELECT FROM '<table>' ID <col> TEXT <col>` (exact index only)
+  * a retracted KEEPER whose duplicate copies survive in the corpus
+  * hands its fingerprint to the min surviving id in the same pass
+  * ([[graft.ext.Dedup.retractIndex]]'s `reelectFrom`), so
+  * still-present content keeps deduping. Returns the index rows
+  * removed. */
+case class RetractGraftIndex(dir: String, ids: Seq[String],
+    reelect: Option[(String, String, String)] = None)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
@@ -436,7 +452,9 @@ case class RetractGraftIndex(dir: String, ids: Seq[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     import spark.implicits._
-    Seq(Row(graft.ext.Dedup.retractIndex(spark, dir, ids.toDF("id"))))
+    Seq(Row(graft.ext.Dedup.retractIndex(spark, dir, ids.toDF("id"),
+      reelect.map { case (t, idc, txc) =>
+        (CdcTable.read(spark, t), idc, txc) })))
   }
 }
 
@@ -447,7 +465,8 @@ case class RetractGraftIndex(dir: String, ids: Seq[String])
   * right-to-be-forgotten batch of millions of ids never touches the
   * driver. Same per-kind keyed rewrite as the IDS form. */
 case class RetractGraftIndexFrom(dir: String, srcTable: String,
-    idCol: String) extends LeafRunnableCommand {
+    idCol: String, reelect: Option[(String, String, String)] = None)
+    extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
   override val output: Seq[Attribute] = Seq(
@@ -456,7 +475,9 @@ case class RetractGraftIndexFrom(dir: String, srcTable: String,
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
     Seq(Row(graft.ext.Dedup.retractIndex(spark, dir,
-      CdcTable.read(spark, srcTable).select(col(s"`$idCol`")))))
+      CdcTable.read(spark, srcTable).select(col(s"`$idCol`")),
+      reelect.map { case (t, idc, txc) =>
+        (CdcTable.read(spark, t), idc, txc) })))
   }
 }
 

@@ -128,6 +128,73 @@ class RetractSpec extends SparkSpec {
       "the re-ingested copy takes the retracted exemplar's slot")
   }
 
+  test("exact index keeper re-election: a retracted keeper with " +
+      "surviving duplicates hands its slot to the min survivor") {
+    val idx = tmpDir("ret_reelect")
+    // 1 and 2 and 5 share content; 3 is unique; 1 (the keeper) and
+    // 3 get deleted — content of 1 survives via 2/5, content of 3
+    // leaves the corpus entirely
+    val docs = Seq((1L, base), (2L, base), (3L, other), (5L, base))
+      .toDF("doc_id", "text")
+    Dedup.exactIncremental(docs, "text", "doc_id", idx)
+    val survivors = docs.filter($"doc_id" =!= 1L && $"doc_id" =!= 3L)
+    assert(Dedup.retractIndex(spark, idx, Seq(1L, 3L).toDF("doc_id"),
+      reelectFrom = Some((survivors, "doc_id", "text"))) == 2L)
+    // the index is exactly the recreate-from-current-state index
+    assert(CdcTable.read(spark, idx).select("keep_id").as[Long]
+      .collect().toSet == Set(2L),
+      "fingerprint of surviving content re-elects min survivor (2); " +
+        "fully-deleted content leaves the index")
+    // re-ingest: surviving content DROPS against the re-elected
+    // keeper, fully-deleted content is novel again
+    val r = Dedup.exactIncremental(
+      Seq((10L, base), (11L, other)).toDF("doc_id", "text"),
+      "text", "doc_id", idx)
+      .select("doc_id", "keep_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r(10L) == ((10L, 2L, true)),
+      s"still-duplicated content must DROP against the re-elected " +
+        s"keeper: ${r(10L)}")
+    assert(r(11L) == ((11L, 11L, false)),
+      s"fully-deleted content must be KEPT: ${r(11L)}")
+    // per-doc index kinds reject the parameter loudly
+    val bidx = tmpDir("ret_reelect_band")
+    Dedup.nearIncremental(docs, "text", "doc_id", bidx,
+      maxBandDocFreq = Some(Int.MaxValue))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.retractIndex(spark, bidx, Seq(1L).toDF("doc_id"),
+        reelectFrom = Some((survivors, "doc_id", "text")))
+    }
+    assert(e.getMessage.contains("exact fingerprint index"),
+      e.getMessage)
+  }
+
+  test("GRAFT RETRACT INDEX … REELECT FROM: the SQL surface of " +
+      "keeper re-election, both literal and tombstone forms") {
+    val docs = Seq((1L, base), (2L, base), (3L, other))
+      .toDF("doc_id", "text")
+    val corpus = tmpDir("ret_sql_corpus")
+    CdcTable.append(docs.filter($"doc_id" =!= 1L), corpus,
+      partitionBy = Nil)
+    val idx = tmpDir("ret_sql_reelect")
+    Dedup.exactIncremental(docs, "text", "doc_id", idx)
+    assert(spark.sql(s"GRAFT RETRACT INDEX '$idx' IDS (1) " +
+        s"REELECT FROM '$corpus' ID doc_id TEXT text")
+      .as[Long].head() == 1L)
+    assert(CdcTable.read(spark, idx).select("keep_id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+    // tombstone form with re-election
+    val idx2 = tmpDir("ret_sql_reelect2")
+    Dedup.exactIncremental(docs, "text", "doc_id", idx2)
+    val tomb = tmpDir("ret_sql_reelect_tomb")
+    CdcTable.append(Seq(1L).toDF("doc_id"), tomb, partitionBy = Nil)
+    assert(spark.sql(s"GRAFT RETRACT INDEX '$idx2' FROM '$tomb' " +
+        s"ID doc_id REELECT FROM '$corpus' ID doc_id TEXT text")
+      .as[Long].head() == 1L)
+    assert(CdcTable.read(spark, idx2).select("keep_id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+  }
+
   test("lexical index: retraction removes the doc from BM25 probes " +
       "AND fixes df/totals — ranks equal a recreate from survivors") {
     val idx = tmpDir("ret_lex")
