@@ -1845,4 +1845,133 @@ object TextAnalysis {
         expr("sum(cp_fp) div count(1)").as("macro_chrp_fp"),
         expr("sum(cr_fp) div count(1)").as("macro_chrr_fp"),
         expr("sum(chrf_fp) div count(1)").as("macro_chrf_fp"))
+
+  /** floor(2¹⁶·log2 e) — the fixed-point change-of-base constant the
+    * BLEU brevity penalty uses (ln BP = 1 − r/c, reported in the
+    * log2 domain everything else lives in). Same literal on both
+    * engines, so the penalty is exact integer arithmetic. */
+  private[graft] val Log2eFp = 94548L
+
+  /** Corpus BLEU (Papineni et al., "BLEU: a Method for Automatic
+    * Evaluation of Machine Translation", ACL 2002) over a (candidate
+    * `a_id`, reference `b_id`) pair frame — THE quoted MT/dataset
+    * eval number, completing the family whose pieces already ship:
+    * clipped counts (q160), chrF, ROUGE-L. Corpus-level means the
+    * clipped matches and candidate totals SUM over all pairs per
+    * gram order n = 1..`maxN` before any ratio forms (the paper's
+    * formulation — never an average of per-pair scores), then one
+    * bounded reduction builds:
+    *
+    *   - `p{n}_fp = (Σclip_n · 10⁶) div max(Σtot_n, 1)` — modified
+    *     n-gram precision, exact fixed point;
+    *   - `bp_neglog2_fp = ((r − c) · floor(2¹⁶·log2 e)) div c` when
+    *     r > c else 0 — the brevity penalty as −log2 BP ≥ 0;
+    *   - `bleu_log2_fp = −(bp_neglog2_fp + (Σ_n [flog2(Σtot_n) −
+    *     flog2(Σclip_n)]) div maxN)` — log2 BLEU in 16.16 fixed
+    *     point via the deterministic [[graft.functions.FixedLog2]]
+    *     truncated-squaring recurrence (BLEU = 2^(x/65536); NULL
+    *     when some Σclip_n = 0, where log BLEU is −∞ undefined).
+    *
+    * Every operand is a non-negative integer and every division
+    * truncates on non-negative operands, so DuckDB replays the whole
+    * computation — 16-round log recurrence included — bit for bit.
+    *
+    * Scale shape: texts restrict to pair-touched docs before any
+    * gram work (broadcast semi), all `maxN` orders explode in ONE
+    * tagged pass, only pair-restricted gram rows shuffle, and the
+    * corpus reduction collapses to maxN rows then one. Output (one
+    * row): n_pairs, c_len, r_len, clip{n}, tot{n}, p{n}_fp per n,
+    * bp_neglog2_fp, bleu_log2_fp. */
+  def corpusBleu(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String = "text", maxN: Int = 4)
+  : org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8]: $maxN")
+    def lg(c: Column): Column =
+      if (docs.sparkSession.catalog.functionExists("fixed_log2"))
+        expr(s"fixed_log2(${c.toString})")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+    val pinned = pairs.select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val p = broadcast(pinned)
+    val touched = pinned.select(col("a_id").as("id"))
+      .unionByName(pinned.select(col("b_id").as("id"))).distinct()
+    val toked = docs
+      .select(col(idCol).as("id"),
+        expr(s"split(trim(`$textCol`), '\\\\s+')").as("toks"))
+      .join(broadcast(touched), Seq("id"), "left_semi")
+      .localCheckpoint() // feeds grams AND lengths
+    // (id, n, g, c) for every order in ONE tagged explode
+    val grams = toked.select(col("id"), explode(expr(
+        s"""flatten(transform(sequence(1, $maxN), nn ->
+           |  transform(
+           |    CASE WHEN size(toks) >= nn
+           |    THEN sequence(1, size(toks) - nn + 1)
+           |    ELSE CAST(array() AS ARRAY<INT>) END,
+           |    i -> struct(nn AS n,
+           |      concat_ws(' ', slice(toks, i, nn)) AS g))))"""
+          .stripMargin)).as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val clip = p
+      .join(grams.withColumnRenamed("id", "a_id"), Seq("a_id"))
+      .select(col("a_id"), col("b_id"), col("n"), col("g"),
+        col("c").as("ca"))
+      .join(grams.select(col("id").as("b_id"), col("n"), col("g"),
+        col("c").as("cb")), Seq("b_id", "n", "g"))
+      .groupBy(col("a_id"), col("b_id"), col("n"))
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    val lens = toked.select(col("id"),
+      size(col("toks")).cast("long").as("len"))
+    val pairLens = p
+      .join(lens.select(col("id").as("a_id"), col("len").as("len_a")),
+        Seq("a_id"))
+      .join(lens.select(col("id").as("b_id"), col("len").as("len_b")),
+        Seq("b_id"))
+      .localCheckpoint() // feeds the corpus row AND per-n totals
+    val corpus = pairLens.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("len_a")), lit(0L)).as("c_len"),
+      coalesce(sum(col("len_b")), lit(0L)).as("r_len"))
+    val byN = pairLens
+      .select(col("a_id"), col("b_id"), col("len_a"),
+        explode(expr(s"sequence(1, $maxN)")).as("n"))
+      .withColumn("tot", greatest(col("len_a") - col("n") + 1,
+        lit(0L)))
+      .join(clip, Seq("a_id", "b_id", "n"), "left")
+      .withColumn("clip", coalesce(col("clip"), lit(0L)))
+      .groupBy(col("n"))
+      .agg(sum(col("clip")).as("clipn"), sum(col("tot")).as("totn"))
+    val pivots = (1 to maxN).flatMap { n =>
+      Seq(coalesce(sum(when(col("n") === n, col("clipn"))), lit(0L))
+          .cast("long").as(s"clip$n"),
+        coalesce(sum(when(col("n") === n, col("totn"))), lit(0L))
+          .cast("long").as(s"tot$n"))
+    }
+    val one = byN.agg(pivots.head, pivots.tail: _*)
+    // Σ_n [flog2(tot_n) − flog2(clip_n)] — each term ≥ 0 (flog2 is
+    // monotone non-strict and tot ≥ clip); a zero clip makes its
+    // flog2 NULL, which propagates through + to a NULL log-BLEU
+    val negSum = (1 to maxN)
+      .map(n => lg(greatest(col(s"tot$n"), lit(1L))) -
+        lg(col(s"clip$n")))
+      .reduce(_ + _)
+    val perN = (1 to maxN).flatMap { n =>
+      Seq(col(s"clip$n"), col(s"tot$n"),
+        expr(s"(clip$n * 1000000L) div greatest(tot$n, 1L)")
+          .as(s"p${n}_fp"))
+    }
+    corpus.crossJoin(one)
+      .withColumn("bp_neglog2_fp", expr(
+        s"CASE WHEN c_len >= r_len THEN 0L ELSE " +
+          s"((r_len - c_len) * ${Log2eFp}L) div greatest(c_len, 1L) " +
+          "END"))
+      .withColumn("_neg", negSum)
+      .select(Seq(col("n_pairs"), col("c_len"), col("r_len")) ++
+        perN ++ Seq(col("bp_neglog2_fp"),
+          expr(s"-(bp_neglog2_fp + (_neg div $maxN))")
+            .as("bleu_log2_fp")): _*)
+  }
 }

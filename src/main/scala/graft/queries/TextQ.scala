@@ -3082,6 +3082,107 @@ object TextQ {
       |FROM b2 LEFT JOIN idx USING (fp) JOIN bw USING (fp)
       |ORDER BY doc_id""".stripMargin
 
+  /** q177 — corpus BLEU over near-dup candidates
+    * ([[graft.ext.TextAnalysis.corpusBleu]], Papineni et al. ACL
+    * 2002): clipped n-gram matches and candidate totals for
+    * n = 1..4 SUMMED over all q34 candidate pairs before any ratio
+    * forms (the paper's corpus formulation), then modified
+    * precisions p1..p4, the brevity penalty as −log2 BP, and
+    * log2 BLEU via the `fixed_log2` truncated-squaring recurrence —
+    * exact integers end to end, so the oracle replays the 16-round
+    * log recurrence AND the geometric mean bit for bit. */
+  def q177(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.corpusBleu(
+      spreadDocs(s, dir),
+      q34(s, dir).select(col("a_id"), col("b_id")), "doc_id")
+
+  val q177Sql: String = {
+    val lgPivot = (1 to 4).flatMap { n =>
+      Seq(s"MAX(CASE WHEN doc_id = $n AND kind = 'c' THEN lg END) " +
+          s"AS lc$n",
+        s"MAX(CASE WHEN doc_id = $n AND kind = 't' THEN lg END) " +
+          s"AS lt$n")
+    }.mkString(",\n|    ")
+    val clipPivot = (1 to 4).flatMap { n =>
+      Seq(s"MAX(CASE WHEN n = $n THEN clipn END) AS clip$n",
+        s"MAX(CASE WHEN n = $n THEN totn END) AS tot$n")
+    }.mkString(",\n|    ")
+    val perN = (1 to 4).map { n =>
+      s"clip$n, tot$n,\n|  (clip$n * 1000000) // GREATEST(tot$n, 1) " +
+        s"AS p${n}_fp"
+    }.mkString(",\n|  ")
+    s"""WITH t AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |d AS (SELECT doc_id, $shinglesD AS shs FROM documents),
+       |ids AS (SELECT doc_id,
+       |    list_transform(shs, x -> ${tokD("x")}) AS sids FROM d),
+       |sigs AS (SELECT doc_id, $minhashSigD AS sig FROM ids),
+       |bands AS (SELECT doc_id,
+       |    concat_ws(':', band, sig[4*band+1], sig[4*band+2],
+       |      sig[4*band+3], sig[4*band+4]) AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band)),
+       |tp AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |tch AS (SELECT a_id AS doc_id FROM tp
+       |  UNION SELECT b_id FROM tp),
+       |tt AS (SELECT t.doc_id, t.toks FROM t JOIN tch USING (doc_id)),
+       |lens AS (SELECT p.a_id, p.b_id,
+       |    CAST(len(ta.toks) AS BIGINT) AS len_a,
+       |    CAST(len(tb.toks) AS BIGINT) AS len_b
+       |  FROM tp p JOIN tt ta ON ta.doc_id = p.a_id
+       |  JOIN tt tb ON tb.doc_id = p.b_id),
+       |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(len_a) AS BIGINT) AS c_len,
+       |    CAST(SUM(len_b) AS BIGINT) AS r_len FROM lens),
+       |g AS (SELECT doc_id, n, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, nn.n AS n, unnest(
+       |      CASE WHEN len(toks) >= nn.n THEN
+       |        list_transform(range(1, len(toks) - nn.n + 2),
+       |          i -> array_to_string(toks[i:i+nn.n-1], ' '))
+       |      ELSE [] END) AS g
+       |    FROM tt, (SELECT unnest(range(1, 5)) AS n) nn)
+       |  GROUP BY 1, 2, 3),
+       |clip AS (SELECT p.a_id, p.b_id, x.n,
+       |    CAST(SUM(LEAST(x.c, y.c)) AS BIGINT) AS clip
+       |  FROM tp p JOIN g x ON x.doc_id = p.a_id
+       |  JOIN g y ON y.doc_id = p.b_id AND y.n = x.n AND y.g = x.g
+       |  GROUP BY 1, 2, 3),
+       |ln2 AS (SELECT l.a_id, l.b_id, l.len_a, nn.n
+       |  FROM lens l, (SELECT unnest(range(1, 5)) AS n) nn),
+       |byn AS (SELECT ln2.n,
+       |    CAST(COALESCE(SUM(c.clip), 0) AS BIGINT) AS clipn,
+       |    CAST(SUM(GREATEST(ln2.len_a - ln2.n + 1, 0)) AS BIGINT)
+       |      AS totn
+       |  FROM ln2 LEFT JOIN clip c ON c.a_id = ln2.a_id
+       |    AND c.b_id = ln2.b_id AND c.n = ln2.n
+       |  GROUP BY ln2.n),
+       |lv AS (SELECT n AS doc_id, 'c' AS kind, clipn AS p_fp
+       |    FROM byn WHERE clipn > 0
+       |  UNION ALL
+       |  SELECT n AS doc_id, 't' AS kind, GREATEST(totn, 1) AS p_fp
+       |    FROM byn),
+       |lgt AS (${flog2D("lv", Seq("kind"))}),
+       |lgp AS (SELECT
+       |    $lgPivot
+       |  FROM lgt),
+       |agg AS (SELECT
+       |    $clipPivot
+       |  FROM byn),
+       |fin AS (SELECT corpus.*, agg.*,
+       |    CASE WHEN c_len >= r_len THEN 0
+       |         ELSE ((r_len - c_len) * 94548)
+       |           // GREATEST(c_len, 1) END AS bp_neglog2_fp,
+       |    ((lt1 - lc1) + (lt2 - lc2) + (lt3 - lc3) + (lt4 - lc4))
+       |      AS negsum
+       |  FROM corpus, agg, lgp)
+       |SELECT n_pairs, c_len, r_len,
+       |  $perN,
+       |  CAST(bp_neglog2_fp AS BIGINT) AS bp_neglog2_fp,
+       |  CAST(-(bp_neglog2_fp + (negsum // 4)) AS BIGINT)
+       |    AS bleu_log2_fp
+       |FROM fin""".stripMargin
+  }
+
   /** q171 — exact duplicated-substring coverage
     * ([[graft.ext.Dedup.dupSubstringStats]], the Lee et al. 2022
     * exact-substring dedup criterion): per document, how many token
@@ -3520,5 +3621,6 @@ object TextQ {
     QueryDef("q173_dup_substrings_incr", q173, Some(q173Sql)),
     QueryDef("q174_rouge_l_corpus", q174, Some(q174Sql)),
     QueryDef("q175_lexical_retract", q175, Some(q175Sql)),
-    QueryDef("q176_keeper_reelection", q176, Some(q176Sql)))
+    QueryDef("q176_keeper_reelection", q176, Some(q176Sql)),
+    QueryDef("q177_corpus_bleu", q177, Some(q177Sql)))
 }

@@ -848,4 +848,37 @@ class TextAnalysisSpec extends SparkSpec {
       1000000L, 1000000L, 1000000L)))
     assert(got((1L, 4L)) == ((1L, 4L, 6L, 2L, 0L, 0L, 0L, 0L)))
   }
+
+  test("corpusBleu: perfect match scores log2 BLEU = 0; a zero " +
+      "clipped count makes log BLEU NULL; brevity penalty kicks in " +
+      "only when candidates run short") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    // identical candidate/reference: every p_n = 1e6, c = r → BP = 0
+    val perfect = TextAnalysis.corpusBleu(docs,
+      Seq((1L, 2L)).toDF("a_id", "b_id"), "doc_id")
+      .collect().head
+    assert(perfect.getAs[Long]("p1_fp") == 1000000L)
+    assert(perfect.getAs[Long]("p4_fp") == 1000000L)
+    assert(perfect.getAs[Long]("bp_neglog2_fp") == 0L)
+    assert(perfect.getAs[Long]("bleu_log2_fp") == 0L)
+    // disjoint texts: clip1 = 0 → log BLEU undefined (NULL), p = 0
+    val nul = TextAnalysis.corpusBleu(docs,
+      Seq((1L, 3L)).toDF("a_id", "b_id"), "doc_id")
+      .collect().head
+    assert(nul.getAs[Long]("p1_fp") == 0L)
+    assert(nul.isNullAt(nul.fieldIndex("bleu_log2_fp")))
+    // short candidate vs long reference: positive brevity penalty
+    val short = Seq((10L, "w1 w2 w3"), (11L, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val bp = TextAnalysis.corpusBleu(short,
+      Seq((10L, 11L)).toDF("a_id", "b_id"), "doc_id")
+      .collect().head
+    // −log2 BP = ((6−3)·94548) div 3 = 94548 (one full factor of e)
+    assert(bp.getAs[Long]("bp_neglog2_fp") == 94548L)
+    assert(bp.getAs[Long]("c_len") == 3L &&
+      bp.getAs[Long]("r_len") == 6L)
+  }
 }
