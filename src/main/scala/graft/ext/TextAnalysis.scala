@@ -1763,22 +1763,35 @@ object TextAnalysis {
     * pair-touched docs before tokenizing (the chrF scale shape).
     * Exact fixed point: `rl_p = (lcs·10⁶) div |a|`, recall over |b|,
     * `F = (2·p·r) div max(p+r, 1)` (β = 1).
-    * Output: (a_id, b_id, len_a, len_b, lcs, rl_p_fp, rl_r_fp,
-    * rl_f_fp). */
+    *
+    * `maxTokens` (0 = unbounded) truncates every text to its first
+    * `maxTokens` tokens BEFORE the DP — the standard ROUGE-tooling
+    * guard for the O(|a|·|b|) per-pair cost: without it one
+    * pathological pair (two 100k-token docs) costs 10¹⁰ lambda
+    * evaluations inside a single task and straggles the whole stage
+    * even though total pair volume is bounded. Lengths, LCS and all
+    * scores are computed over the truncated streams (exactly what
+    * `rouge-score`'s tokenizer-limit does), so the oracle replays
+    * the same truncation. Output: (a_id, b_id, len_a, len_b, lcs,
+    * rl_p_fp, rl_r_fp, rl_f_fp). */
   def rougeL(docs: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String = "text")
+      textCol: String = "text", maxTokens: Int = 0)
   : org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 0, s"maxTokens must be >= 0: $maxTokens")
     val pinned = pairs.select(col("a_id"), col("b_id"))
       .localCheckpoint()
     val p = broadcast(pinned)
     val touched = pinned.select(col("a_id").as("id"))
       .unionByName(pinned.select(col("b_id").as("id"))).distinct()
+    val tkExpr =
+      s"""transform(split(trim(`$textCol`), '\\\\s+'),
+         |  x -> CAST(conv(substring(md5(x), 1, 7), 16, 10)
+         |       AS BIGINT))""".stripMargin
     val tk = docs
       .select(col(idCol).as("id"), expr(
-        s"""transform(split(trim(`$textCol`), '\\\\s+'),
-           |  x -> CAST(conv(substring(md5(x), 1, 7), 16, 10)
-           |       AS BIGINT))""".stripMargin).as("tk"))
+        if (maxTokens > 0) s"slice($tkExpr, 1, $maxTokens)"
+        else tkExpr).as("tk"))
       .join(broadcast(touched), Seq("id"), "left_semi")
     val lcsE =
       """aggregate(
@@ -1819,9 +1832,9 @@ object TextAnalysis {
     * macro_rl_f_fp). */
   def rougeLCorpus(docs: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String = "text")
+      textCol: String = "text", maxTokens: Int = 0)
   : org.apache.spark.sql.DataFrame =
-    rougeL(docs, pairs, idCol, textCol)
+    rougeL(docs, pairs, idCol, textCol, maxTokens)
       .agg(count(lit(1)).as("n_pairs"),
         expr("sum(rl_p_fp) div count(1)").as("macro_rl_p_fp"),
         expr("sum(rl_r_fp) div count(1)").as("macro_rl_r_fp"),

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -847,6 +847,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((1L, 3L)) == ((1L, 3L, 6L, 6L, 6L,
       1000000L, 1000000L, 1000000L)))
     assert(got((1L, 4L)) == ((1L, 4L, 6L, 2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("rougeL maxTokens: truncation ≡ pre-truncated texts; a bound " +
+      "at or above every length is a no-op") {
+    val long1 = (1 to 60).map(i => s"a$i").mkString(" ")
+    val long2 = ((1 to 30).map(i => s"a$i") ++
+      (1 to 30).map(i => s"b$i")).mkString(" ")
+    val docs = Seq((1L, long1), (2L, long2)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val cut = TextAnalysis.rougeL(docs, pairs, "doc_id",
+        maxTokens = 40)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    val pre = TextAnalysis.rougeL(
+        docs.select($"doc_id", expr(
+          "array_join(slice(split(text, ' '), 1, 40), ' ')")
+          .as("text")),
+        pairs, "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(cut == pre, s"$cut vs pre-truncated $pre")
+    assert(cut._3 == 40L && cut._4 == 40L && cut._5 == 30L,
+      s"40-token truncation, LCS = the 30 shared leading tokens: $cut")
+    val noop = TextAnalysis.rougeL(docs, pairs, "doc_id",
+        maxTokens = 1000)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    val full = TextAnalysis.rougeL(docs, pairs, "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(noop == full)
   }
 
   test("corpusBleu: perfect match scores log2 BLEU = 0; a zero " +
