@@ -63,34 +63,59 @@ object Profile {
   // them through delta_scan metadata, research.md:545-615).
   // ----------------------------------------------------------------
 
+  /** The shared wide-decimal slot every decimal column's per-file
+    * min/max stores into EXACTLY (scale ≤ 18, integral digits ≤ 20
+    * fit without rounding); the read renders back at the column's
+    * own scale. */
+  private val DecSlot = "decimal(38,18)"
+
   /** Partial-row column set (the stored schema): typed min/max slots
     * keep the NATIVE ordering per type family — a string-cast min is
     * only order-preserving for strings/dates/timestamps/booleans, so
-    * integrals merge in `_l` and doubles in `_d`. */
+    * integrals merge in `_l`, doubles (and, BY FILE, floats — every
+    * float is exactly a double) in `_d`, and decimals in a shared
+    * `_dec` DECIMAL(38,18) slot. Floats and decimals are FILE-KEYED
+    * only: per-file min/max of immutable files are exact, while the
+    * batch-keyed form keeps its r12 reject (its partials would feed
+    * a cross-batch merge whose rendering drifted from a full scan
+    * before the per-file form existed — the contract stands). */
   private def typedSlots(dt: org.apache.spark.sql.types.DataType,
-      c: String): (Column, Column, Column, Column, Column, Column) = {
+      c: String, byFile: Boolean = false)
+  : (Column, Column, Column, Column, Column, Column, Column, Column) = {
     import org.apache.spark.sql.types._
+    val nl = lit(null).cast("long"); val nd = lit(null).cast("double")
+    val ns = lit(null).cast("string")
+    val ndec = lit(null).cast(DecSlot)
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         (min(col(c)).cast("long"), max(col(c)).cast("long"),
-          lit(null).cast("double"), lit(null).cast("double"),
-          lit(null).cast("string"), lit(null).cast("string"))
+          nd, nd, ndec, ndec, ns, ns)
       case DoubleType =>
-        (lit(null).cast("long"), lit(null).cast("long"),
-          min(col(c)), max(col(c)),
-          lit(null).cast("string"), lit(null).cast("string"))
+        (nl, nl, min(col(c)), max(col(c)), ndec, ndec, ns, ns)
+      case FloatType if byFile =>
+        // float → double is exact, min/max order unchanged; the read
+        // casts back to float before rendering
+        (nl, nl, min(col(c)).cast("double"),
+          max(col(c)).cast("double"), ndec, ndec, ns, ns)
+      case d: DecimalType if byFile =>
+        require(d.scale <= 18 && d.precision - d.scale <= 20,
+          s"profile: decimal column $c (${d.simpleString}) does not " +
+            s"fit the shared $DecSlot min/max slot exactly — " +
+            "scale <= 18 and precision - scale <= 20 required")
+        (nl, nl, nd, nd, min(col(c)).cast(DecSlot),
+          max(col(c)).cast(DecSlot), ns, ns)
       case StringType | DateType | BooleanType |
            TimestampType | TimestampNTZType =>
         // ISO date/timestamp strings and 'false' < 'true' order
         // exactly like the native values, so the string slot is safe
-        (lit(null).cast("long"), lit(null).cast("long"),
-          lit(null).cast("double"), lit(null).cast("double"),
+        (nl, nl, nd, nd, ndec, ndec,
           min(col(c)).cast("string"), max(col(c)).cast("string"))
       case other => throw new IllegalArgumentException(
-        s"profileAppend: column $c has type ${other.simpleString} — " +
-          "only integral, double, string, date, timestamp and boolean " +
-          "columns have mergeable order-preserving partials (floats " +
-          "and decimals would change min/max strings vs a full scan)")
+        s"profile: column $c has type ${other.simpleString} — " +
+          "integral, double, string, date, timestamp and boolean " +
+          "columns profile in both forms; float and decimal columns " +
+          "profile BY FILE only (per-file min/max of immutable files " +
+          "are exact; batch-keyed partials keep their reject)")
     }
   }
 
@@ -131,7 +156,7 @@ object Profile {
           "recreate the index to change its column set")
     }
     val perCol: Seq[Column] = cols.flatMap { c =>
-      val (minL, maxL, minD, maxD, minS, maxS) =
+      val (minL, maxL, minD, maxD, _, _, minS, maxS) =
         typedSlots(batch.schema(c).dataType, c)
       Seq(
         count(col(c)).as(s"_nn_$c"),
@@ -141,6 +166,9 @@ object Profile {
         minL.as(s"_minl_$c"), maxL.as(s"_maxl_$c"),
         minD.as(s"_mind_$c"), maxD.as(s"_maxd_$c"),
         minS.as(s"_mins_$c"), maxS.as(s"_maxs_$c"))
+      // the decimal slots are BY FILE-only (typedSlots rejects
+      // float/decimal here), so the batch-keyed schema keeps its
+      // original 11 columns
     }
     val one = batch.agg(count(lit(1)).as("_n"), perCol: _*)
     val rows = cols.map { c =>
@@ -264,9 +292,14 @@ object Profile {
   /** Sync a FILE-KEYED profile index from a graft table: profile
     * every current-manifest file the index has not yet seen (one
     * scan over exactly those files, grouped by file) and append the
-    * partial rows. Idempotent — the missing-file set re-derives from
-    * (manifest − stored) each run, so replays and crash re-runs
-    * self-heal; duplicate rows are deterministic per (file, column)
+    * partial rows. Freshness derives from a manifest HIGH-WATER
+    * txn marker — a fresh index answers 0 with zero index IO, and
+    * the unseen-file set never collects driver-side (commits above
+    * the mark propose candidates; a distributed anti-join strips
+    * carried-by-reference files a replace commit re-lists).
+    * Idempotent — replays and crash re-runs re-derive the same
+    * missing set and the committed marker short-circuits them;
+    * duplicate rows are deterministic per (file, column)
     * and dedupe at read. Zero-row files get explicit zero partials
     * so the read-side completeness check stays exact. The column
     * set, k, and the TABLE PATH pin at creation in the sidecar
@@ -307,18 +340,37 @@ object Profile {
           s"sync carries [${cols.sorted.mkString(",")}] — recreate " +
           "the index to change its column set")
     }
-    val live = commits.flatMap(_.files).distinct
-    val stored: Set[String] =
-      if (CdcTable.log(indexDir).isEmpty) Set.empty
-      else CdcTable.read(spark, indexDir).select(col("file"))
-        .distinct().collect().map(_.getString(0)).toSet
-    val toAdd = live.filterNot(stored)
+    // freshness via the manifest high-water mark (the profileSync
+    // pattern): candidate files are those introduced by TABLE commits
+    // above the last synced commit — a fresh index returns 0 with
+    // ZERO index IO. A replace/DML commit can CARRY already-profiled
+    // files by reference; a DISTRIBUTED anti-join strips those, so
+    // nothing ever collects the full profiled-file set to the driver
+    // (a 100 TB table is ~10⁶ live files — only the NEW files land
+    // driver-side, bounded by the sync delta)
+    val appId = s"profilefiles@$canon"
+    val idxLog = CdcTable.log(indexDir)
+    val hw = idxLog.flatMap(_.txn).filter(_._1 == appId).map(_._2)
+      .maxOption.getOrElse(0L)
+    val live = commits.flatMap(_.files).toSet
+    val candidates = commits.filter(_.commit > hw)
+      .flatMap(_.files).distinct.filter(live)
+    if (candidates.isEmpty) return 0
+    val toAdd: Seq[String] =
+      if (idxLog.isEmpty) candidates
+      else {
+        import spark.implicits._
+        candidates.toDF("file")
+          .join(CdcTable.read(spark, indexDir).select(col("file")),
+            Seq("file"), "left_anti")
+          .collect().map(_.getString(0)).toSeq
+      }
     if (toAdd.isEmpty) return 0
     val src = CdcTable.readFilesOf(spark, tableDir, toAdd.toSet)
       .withColumn("__file", CdcTable.relPathCol())
     val perCol: Seq[Column] = cols.flatMap { c =>
-      val (minL, maxL, minD, maxD, minS, maxS) =
-        typedSlots(src.schema(c).dataType, c)
+      val (minL, maxL, minD, maxD, minDec, maxDec, minS, maxS) =
+        typedSlots(src.schema(c).dataType, c, byFile = true)
       Seq(
         count(col(c)).as(s"_nn_$c"),
         expr("kmv_hashes(CAST(conv(substring(md5(CAST(`" + c +
@@ -326,6 +378,7 @@ object Profile {
           .as(s"_kmv_$c"),
         minL.as(s"_minl_$c"), maxL.as(s"_maxl_$c"),
         minD.as(s"_mind_$c"), maxD.as(s"_maxd_$c"),
+        minDec.as(s"_mindec_$c"), maxDec.as(s"_maxdec_$c"),
         minS.as(s"_mins_$c"), maxS.as(s"_maxs_$c"))
     }
     val one = src.groupBy(col("__file"))
@@ -340,6 +393,8 @@ object Profile {
         col(s"_kmv_$c").as("kmv"),
         col(s"_minl_$c").as("min_l"), col(s"_maxl_$c").as("max_l"),
         col(s"_mind_$c").as("min_d"), col(s"_maxd_$c").as("max_d"),
+        col(s"_mindec_$c").as("min_dec"),
+        col(s"_maxdec_$c").as("max_dec"),
         col(s"_mins_$c").as("min_s"), col(s"_maxs_$c").as("max_s"))
     }
     val partials = one.select(explode(array(rows: _*)).as("p"))
@@ -358,13 +413,18 @@ object Profile {
           cols.foreach { c =>
             zrows.add(org.apache.spark.sql.Row(f, c,
               src.schema(c).dataType.simpleString, 0L, 0L,
-              Seq.empty[Long], null, null, null, null, null, null))
+              Seq.empty[Long], null, null, null, null, null, null,
+              null, null))
           }
         }
         partials.unionByName(
           spark.createDataFrame(zrows, partials.schema))
       }
-    graft.sink.CdcTable.append(zeros, indexDir, partitionBy = Nil)
+    // the txn marker advances the high-water mark atomically with
+    // the partial append — a replayed/crashed sync re-derives the
+    // same missing set and the committed marker short-circuits it
+    graft.sink.CdcTable.append(zeros, indexDir, partitionBy = Nil,
+      txn = Some((appId, commits.last.commit)))
     toAdd.size
   }
 
@@ -416,7 +476,14 @@ object Profile {
     mergePartialRows(graft.sink.CdcTable.read(spark, tableDir),
       storedProfileK(tableDir))
 
-  private def mergePartialRows(all: DataFrame, k: Int): DataFrame = {
+  private def mergePartialRows(all0: DataFrame, k: Int): DataFrame = {
+    // batch-keyed partials (and pre-upgrade file-keyed indexes)
+    // carry no decimal slots — inject nulls so one merge serves both
+    val all =
+      if (all0.columns.contains("min_dec")) all0
+      else all0
+        .withColumn("min_dec", lit(null).cast(DecSlot))
+        .withColumn("max_dec", lit(null).cast(DecSlot))
     val counts = all.groupBy(col("column"))
       .agg(countDistinct(col("dtype")).as("_ndt"),
         first(col("dtype")).as("dtype"),
@@ -424,6 +491,8 @@ object Profile {
         sum(col("n_null")).as("n_null"),
         min(col("min_l")).as("min_l"), max(col("max_l")).as("max_l"),
         min(col("min_d")).as("min_d"), max(col("max_d")).as("max_d"),
+        min(col("min_dec")).as("min_dec"),
+        max(col("max_dec")).as("max_dec"),
         min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"))
       // one dtype per column or the merge semantics are undefined —
       // fail in-plan rather than serve a silently wrong min/max. The
@@ -455,16 +524,37 @@ object Profile {
     serveProfile(mergedPartials(spark, tableDir),
       storedProfileK(tableDir))
 
-  /** Merged partials → the six-column served profile. */
-  private def serveProfile(merged: DataFrame, k: Int): DataFrame =
+  /** Merged partials → the six-column served profile. Rendering is
+    * dtype-aware where the storage slot widened the native type:
+    * floats render back AT float width (the double slot holds them
+    * exactly), decimals render at the COLUMN's own scale (the
+    * DECIMAL(38,18) slot string is cut after `scale` fractional
+    * digits) — both bit-match a full scan's CAST(min AS STRING). */
+  private def serveProfile(merged: DataFrame, k: Int): DataFrame = {
+    def render(p: String): Column = expr(
+      s"""CASE
+         |  WHEN dtype LIKE 'decimal%' AND ${p}_dec IS NOT NULL THEN
+         |    CASE WHEN CAST(regexp_extract(dtype,
+         |        'decimal\\\\(\\\\d+,(\\\\d+)\\\\)', 1) AS INT) = 0
+         |      THEN substring(CAST(${p}_dec AS STRING), 1,
+         |        instr(CAST(${p}_dec AS STRING), '.') - 1)
+         |      ELSE substring(CAST(${p}_dec AS STRING), 1,
+         |        instr(CAST(${p}_dec AS STRING), '.') +
+         |        CAST(regexp_extract(dtype,
+         |          'decimal\\\\(\\\\d+,(\\\\d+)\\\\)', 1) AS INT))
+         |    END
+         |  WHEN dtype = 'float' THEN
+         |    CAST(CAST(${p}_d AS FLOAT) AS STRING)
+         |  ELSE coalesce(CAST(${p}_l AS STRING),
+         |    CAST(${p}_d AS STRING), ${p}_s)
+         |END""".stripMargin)
     merged
       .select(col("column"), col("n_rows"), col("n_null"),
         Sketch.estimate("kmv", k).as("est_distinct"),
-        coalesce(col("min_l").cast("string"),
-          col("min_d").cast("string"), col("min_s")).as("min_s"),
-        coalesce(col("max_l").cast("string"),
-          col("max_d").cast("string"), col("max_s")).as("max_s"))
+        render("min").as("min_s"),
+        render("max").as("max_s"))
       .orderBy(col("column"))
+  }
 
   /** `GRAFT COMPACT INDEX` fold: ≤ one partial row per column after
     * the fold, in the STORED schema — reads before and after are

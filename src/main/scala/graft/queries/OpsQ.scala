@@ -388,8 +388,43 @@ object OpsQ {
     "(SELECT * FROM documents WHERE NOT (doc_id % 10 < 3)) AS t",
     Seq("doc_id", "lang", "source"))
 
+  /** q178 — DOUBLE and DECIMAL columns in the FILE-KEYED profile
+    * (the r13 ask: the per-file form removed the original
+    * drift argument — min/max of immutable files never merge across
+    * appends, so a native double slot and a widened DECIMAL(38,18)
+    * slot are exact). q169's DML flow over derived `d` (n_chars/16,
+    * exact in binary) and `dec` (n_chars as DECIMAL(12,2)) columns;
+    * the served profile — including the decimal re-rendered at its
+    * OWN scale from the wide slot — grades against the full-scan
+    * oracle of the post-delete state. */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val cols = Seq("doc_id", "d", "dec")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("n_chars").cast("double") / lit(16.0)).as("d"),
+        col("n_chars").cast("decimal(12,2)").as("dec"))
+    val tbl = QueryDef.scratchDir("graft_q178_tbl")
+    val idx = QueryDef.scratchDir("graft_q178_idx")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), tbl,
+      partitionBy = Nil)
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1), tbl,
+      partitionBy = Nil)
+    graft.ext.Profile.profileSyncFiles(s, tbl, idx, cols)
+    CdcTable.delete(s, tbl, "doc_id % 10 < 3", partitionBy = Nil)
+    graft.ext.Profile.profileSyncFiles(s, tbl, idx, cols)
+    graft.ext.Profile.profileReadFiles(s, idx)
+  }
+
+  val q178Sql: String = profileOracle(
+    "(SELECT doc_id, CAST(n_chars AS DOUBLE) / 16 AS d, " +
+      "CAST(n_chars AS DECIMAL(12,2)) AS dec FROM documents " +
+      "WHERE NOT (doc_id % 10 < 3)) AS t",
+    Seq("doc_id", "d", "dec"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q169_profile_files", q169, Some(q169Sql)),
+    QueryDef("q178_profile_typed_files", q178, Some(q178Sql)),
     QueryDef("q150_bloom_point_lookup", q150, Some(q150Sql)),
     QueryDef("q159_profile", q159, Some(q159Sql)),
     QueryDef("q163_profile_incremental", q163, Some(q163Sql)),

@@ -256,6 +256,100 @@ class ProfileSpec extends SparkSpec {
     assert(e2.getMessage.contains("batch-keyed"), e2.getMessage)
   }
 
+  test("file-keyed profile: float and decimal columns profile " +
+      "exactly (native slot widths, rendered at the column's own " +
+      "type); the batch-keyed form still rejects them") {
+    import graft.sink.CdcTable
+    val tbl = tmpDir("proftyped")
+    val idx = tmpDir("proftypedidx")
+    val df = Seq(
+      (1L, 0.25f, BigDecimal("12.50")),
+      (2L, -3.5f, BigDecimal("-0.75")),
+      (3L, 10.125f, BigDecimal("999.00")))
+      .toDF("id", "f", "dec")
+      .select($"id", $"f", $"dec".cast("decimal(10,2)").as("dec"))
+    CdcTable.append(df.filter($"id" < 3), tbl, partitionBy = Nil)
+    CdcTable.append(df.filter($"id" === 3), tbl, partitionBy = Nil)
+    val cols = Seq("id", "f", "dec")
+    Profile.profileSyncFiles(spark, tbl, idx, cols)
+    val got = Profile.profileReadFiles(spark, idx)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(4), r.getString(5))).toMap
+    assert(got("f") == (("-3.5", "10.125")), s"${got("f")}")
+    assert(got("dec") == (("-0.75", "999.00")), s"${got("dec")}")
+    // identical to the one-shot full-scan profile
+    assert(Profile.profileReadFiles(spark, idx)
+      .collect().map(_.toSeq).toSet ==
+      Profile.profile(CdcTable.read(spark, tbl), cols)
+        .collect().map(_.toSeq).toSet)
+    // scale-0 decimals render with no fractional part
+    val tbl0 = tmpDir("proftyped0")
+    val idx0 = tmpDir("proftyped0idx")
+    CdcTable.append(Seq((1L, BigDecimal(15)), (2L, BigDecimal(-4)))
+      .toDF("id", "d0")
+      .select($"id", $"d0".cast("decimal(6,0)").as("d0")),
+      tbl0, partitionBy = Nil)
+    Profile.profileSyncFiles(spark, tbl0, idx0, Seq("d0"))
+    val g0 = Profile.profileReadFiles(spark, idx0).collect().head
+    assert(g0.getString(4) == "-4" && g0.getString(5) == "15",
+      s"${g0.toSeq}")
+    // batch-keyed: float/decimal keep the loud reject
+    val e = intercept[IllegalArgumentException] {
+      Profile.profileAppend(df, tmpDir("proftypedbk"), Seq("f"))
+    }
+    assert(e.getMessage.contains("BY FILE"), e.getMessage)
+    // a decimal too wide for the shared slot rejects loudly
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.profileSyncFiles(spark,
+        { val t = tmpDir("proftypedwide")
+          CdcTable.append(Seq((1L, BigDecimal(1)))
+            .toDF("id", "w")
+            .select($"id", $"w".cast("decimal(38,0)").as("w")),
+            t, partitionBy = Nil); t },
+        tmpDir("proftypedwideidx"), Seq("w"))
+    }
+    assert(e2.getMessage.contains("does not fit"), e2.getMessage)
+  }
+
+  test("file-keyed profile sync cost: freshness is a manifest " +
+      "high-water check (no index scan), and only NEW files land " +
+      "driver-side on append") {
+    import graft.sink.CdcTable
+    val tbl = tmpDir("proffilehw")
+    val idx = tmpDir("proffilehwidx")
+    CdcTable.append((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "s").repartition(4), tbl, partitionBy = Nil)
+    assert(Profile.profileSyncFiles(spark, tbl, idx,
+      Seq("id", "s")) == 4)
+    // the high-water marker landed with the partial append
+    val appId = CdcTable.log(idx).flatMap(_.txn).map(_._1).distinct
+    assert(appId.size == 1 && appId.head.startsWith("profilefiles@"),
+      s"$appId")
+    assert(CdcTable.log(idx).flatMap(_.txn).map(_._2).max ==
+      CdcTable.log(tbl).last.commit)
+    // fresh: zero work, zero marker movement
+    assert(Profile.profileSyncFiles(spark, tbl, idx,
+      Seq("id", "s")) == 0)
+    // an append syncs exactly its own files, never the history
+    CdcTable.append((100 until 110).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "s").coalesce(1), tbl, partitionBy = Nil)
+    assert(Profile.profileSyncFiles(spark, tbl, idx,
+      Seq("id", "s")) == 1)
+    assert(Profile.profileReadFiles(spark, idx)
+      .collect().map(_.toSeq).toSet ==
+      Profile.profile(CdcTable.read(spark, tbl), Seq("id", "s"))
+        .collect().map(_.toSeq).toSet)
+    // a replace commit carries old files by reference: the anti-join
+    // strips them, so the sync profiles ONLY the rewritten file(s)
+    CdcTable.delete(spark, tbl, "id = 5", partitionBy = Nil)
+    val n = Profile.profileSyncFiles(spark, tbl, idx, Seq("id", "s"))
+    assert(n >= 1 && n <= 2, s"only the rewritten files re-profile: $n")
+    assert(Profile.profileReadFiles(spark, idx)
+      .collect().map(_.toSeq).toSet ==
+      Profile.profile(CdcTable.read(spark, tbl), Seq("id", "s"))
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("file-keyed profile: a rewrite emptying a file yields explicit " +
       "zero partials, not a coverage hole") {
     import graft.sink.CdcTable
