@@ -18,6 +18,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Self-defending against co-tenant noise (r12/r13 artifacts both
+    // absorbed ~10% uniform host noise from loadavg-4–7 windows): poll
+    // the 1-min loadavg BEFORE Spark comes up — the only moment it
+    // reflects co-tenant load, not this bench's own 32 threads — and
+    // delay the run until it drops under SPARK_GRAFT_LOAD_MAX
+    // (default 2.0) or SPARK_GRAFT_LOAD_WAIT_S (default 900 s)
+    // elapses. Both the wait and the load the run started under are
+    // stamped in the JSON, so a still-noisy artifact is explicitly
+    // flagged ("quiet":false) instead of silently read as a
+    // regression.
+    val (quietWaitSec, loadAtStart, quiet) = waitForQuietHost()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,8 +87,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val quietJson = f""""quiet":$quiet,"load_at_start":$loadAtStart%.2f,"quiet_wait_sec":$quietWaitSec%.0f"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadsJson,${lagSection(spark)},${sustainedSection(spark)},${sf1Section(spark, sfDir)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadsJson,$quietJson,${lagSection(spark)},${sustainedSection(spark)},${sf1Section(spark, sfDir)}}"""
     println(json)
     // the full artifact also lands in a file: the driver's stdout-tail
     // capture truncated BENCH_r07 (q01-q21 lost); the file never does
@@ -93,8 +105,33 @@ object Bench {
     // Whatever tail window the capture uses, this short final line
     // survives whole and parses; the full per-query record stays in
     // the big line / BENCH_LOCAL.json.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"sf":"$sfDir","loadavg":$loadsJson,"full_record":"$outFile"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"sf":"$sfDir","loadavg":$loadsJson,$quietJson,"full_record":"$outFile"}""")
     spark.stop()
+  }
+
+  /** Verdict r13 #8 — block until the host is quiet (or the wait cap
+    * elapses). Returns (seconds waited, the 1-min loadavg the run
+    * proceeded under, whether that met the threshold). Runs before
+    * SparkSession creation so the sampled load is co-tenant noise,
+    * not this process's own executor threads. */
+  private def waitForQuietHost(): (Double, Double, Boolean) = {
+    val maxLoad = sys.env.get("SPARK_GRAFT_LOAD_MAX")
+      .map(_.toDouble).getOrElse(2.0)
+    val maxWaitS = sys.env.get("SPARK_GRAFT_LOAD_WAIT_S")
+      .map(_.toLong).getOrElse(900L)
+    val t0 = System.currentTimeMillis()
+    var l = loadavg()
+    while (l > maxLoad &&
+        (System.currentTimeMillis() - t0) / 1000L < maxWaitS) {
+      System.err.println(
+        f"[bench] host loadavg $l%.2f > $maxLoad%.2f — waiting for a quiet window")
+      Thread.sleep(15000L)
+      l = loadavg()
+    }
+    val waited = (System.currentTimeMillis() - t0) / 1000.0
+    // loadavg() returns -1 when /proc is unreadable — treat as quiet
+    // (nothing to defend against) rather than flagging every artifact
+    (waited, l, l <= maxLoad)
   }
 
   /** 1-minute load average (first /proc/loadavg field); -1 when

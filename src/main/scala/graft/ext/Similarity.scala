@@ -1576,4 +1576,121 @@ object Similarity {
           |      AS BIGINT)) AS DOUBLE) / 1e7 / size(qv)
           |END""".stripMargin))
       .drop("qv")
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * SIGIR 1998): greedily select `k` of the candidate rows
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the
+    * standard diversification pass a retrieval stack runs AFTER
+    * top-N recall, so near-duplicate hits don't crowd the result
+    * list. λ is held as tenths (`lambdaTenths`/10), keeping the
+    * objective in exact BIGINT fixed point:
+    * `mmr_fp = λt·rel_fp − (10−λt)·max_sim_fp`, ties by id asc.
+    *
+    * Input: `(id BIGINT, embedding, rel_fp BIGINT)` — the ALREADY
+    * k-bounded candidate list of an ANN/brute top-N stage.
+    *
+    * Scale shape: MMR is inherently sequential in k, so the right
+    * 100 TB design is to keep recall distributed (the existing
+    * brute/LSH/IVF/PQ stages) and re-rank the k-BOUNDED residue at
+    * the driver: pairwise sims are one bounded crossJoin (N² rows,
+    * N ≤ `maxCandidates` — loud reject above, the driverEdgeLimit
+    * pattern), then the greedy loop is metadata-scale. Output rows
+    * `(step, id, rel_fp, max_sim_fp, mmr_fp)`; step 1 is pure
+    * relevance (max_sim_fp = 0). */
+  def mmrRerank(cand: DataFrame, k: Int, lambdaTenths: Int = 7,
+      embCol: String = "embedding", maxCandidates: Int = 512)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0, 10]: $lambdaTenths")
+    val spark = cand.sparkSession
+    val rels = cand.select(col("id"), col("rel_fp"))
+      .limit(maxCandidates + 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    require(rels.length <= maxCandidates,
+      s"mmrRerank: candidate list exceeds maxCandidates=" +
+        s"$maxCandidates — re-rank the TOP-N residue of a recall " +
+        s"stage, not a corpus")
+    val c2 = cand.select(col("id"), col(embCol).as("e"))
+    val simRows = c2.as("a").crossJoin(c2.as("b"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ai"), col("b.id").as("bi"),
+        expr(dotSql(spark, "a.e", "b.e")).as("s"))
+      .collect()
+    val sim = new java.util.HashMap[(Long, Long), Long]()
+    simRows.foreach(r => sim.put((r.getLong(0), r.getLong(1)),
+      r.getLong(2)))
+    val lt = lambdaTenths.toLong
+    val remaining = scala.collection.mutable.SortedMap[Long, Long]() ++=
+      rels
+    val chosen = scala.collection.mutable.ArrayBuffer[Long]()
+    val out =
+      scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      var bestId = -1L; var bestRel = 0L; var bestMs = 0L
+      var bestMmr = Long.MinValue
+      for ((id, rel) <- remaining) {
+        val ms =
+          if (chosen.isEmpty) 0L
+          else chosen.map(s => sim.get((id, s)).longValue).max
+        val mmr = lt * rel - (10L - lt) * ms
+        if (mmr > bestMmr || (mmr == bestMmr && id < bestId)) {
+          bestId = id; bestRel = rel; bestMs = ms; bestMmr = mmr
+        }
+      }
+      out += ((step, bestId, bestRel, bestMs, bestMmr))
+      chosen += bestId
+      remaining.remove(bestId)
+      step += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "id", "rel_fp", "max_sim_fp", "mmr_fp")
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk ACL 2019 — the
+    * LASER/CCMatrix parallel-corpus miner): candidate pairs are the
+    * union of both directions' k-NN lists, scored by the RATIO margin
+    *   margin(x, y) = cos(x, y) / ((Σ NN_k(x) + Σ NN_k(y)) / 2k)
+    * — a hit only counts if it beats what x and y score against their
+    * ordinary neighborhoods, which kills hub vectors that are "close
+    * to everything". Every x keeps its best-margin y above
+    * `thresholdFp` (the "max" strategy). Fixed point:
+    * `margin_fp = (s·2k·10^6) div (Σx + Σy)` in 38-digit integers
+    * (s ≈ 10^12 · 2k · 10^6 overflows BIGINT), emitted only where the
+    * neighborhood mass is positive.
+    *
+    * Scale shape: two k-NN joins (brute here — the correctness
+    * baseline; compose [[knnJoinLsh]]/[[knnJoinIvf]] for the 100 TB
+    * recall stage), two k-bounded per-id sums, one union-dedup of
+    * k-bounded pair lists, a broadcast-sized join back of the two
+    * mass tables, and a per-x top-1 window over ≤ 2k rows per x.
+    * Nothing touches |src|·|tgt|. Output:
+    * (src_id, tgt_id, score_fp, margin_fp). */
+  def bitextMine(src: DataFrame, tgt: DataFrame, srcIdCol: String,
+      tgtIdCol: String, k: Int, thresholdFp: Long,
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val fwd = knnJoinBrute(src, tgt, srcIdCol, tgtIdCol, k, embCol)
+      .select(col("q_id").as("x"), col("c_id").as("y"),
+        col("score_fp").as("s"))
+    val bwd = knnJoinBrute(tgt, src, tgtIdCol, srcIdCol, k, embCol)
+      .select(col("c_id").as("x"), col("q_id").as("y"),
+        col("score_fp").as("s"))
+    val sx = fwd.groupBy(col("x")).agg(sum(col("s")).as("sx"))
+    val sy = bwd.groupBy(col("y")).agg(sum(col("s")).as("sy"))
+    val cand = fwd.unionByName(bwd)
+      .groupBy(col("x"), col("y")).agg(max(col("s")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("x").orderBy(col("margin_fp").desc, col("y"))
+    cand.join(sx, Seq("x")).join(sy, Seq("y"))
+      .filter(col("sx") + col("sy") > 0)
+      .withColumn("margin_fp", expr(
+        s"""CAST((CAST(s AS DECIMAL(38,0)) * ${2L * k} * 1000000)
+           | div (sx + sy) AS BIGINT)""".stripMargin))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("margin_fp") >= thresholdFp)
+      .select(col("x").as("src_id"), col("y").as("tgt_id"),
+        col("s").as("score_fp"), col("margin_fp"))
+  }
 }

@@ -1451,6 +1451,106 @@ object TextAnalysis {
         .select(col("gram").as("k"), col("c")))
   }
 
+  // ----------------------------------------------------------------
+  // Interpolated Kneser–Ney bigram LM (Kneser & Ney ICASSP 1995;
+  // Chen & Goodman 1998 §2.7) — the smoothing KenLM serves, and the
+  // scorer CCNet-style perplexity filtering quotes. Absolute
+  // discount D = 0.75 held in exact rational form (75/100):
+  //   P(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+  //   Pcont(w2) = N1+(·w2) / N1+(··)
+  // All statistics are integer counts, so the probability lands in
+  // ONE truncating division at 2^20 fixed point:
+  //   p_fp = (S·((100·c12 − 75)⁺·T + 75·fwd·bwd)) div (100·c1·T)
+  // with T = N1+(··) and S = 2^20. The numerator reaches ~10³¹ at
+  // 100 TB count magnitudes, so both engines run it in 38-digit
+  // integers (DECIMAL(38,0) / HUGEINT — the q143 weighted-PageRank
+  // move). Unseen context w1 degrades to pure continuation
+  // probability; an unseen w2 floors at p_fp = 1 (the one
+  // non-normalized escape, shared bit-for-bit by the oracle).
+  // ----------------------------------------------------------------
+
+  /** The bigram count table `(w1, w2, c)` KN statistics derive from —
+    * one map-side-combinable count over the training corpus. */
+  def kneserNeyTable(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    df.select(split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> struct(toks[i-1] AS w1, toks[i] AS w2))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Score every document's bigram positions under an interpolated
+    * Kneser–Ney model given as a [[kneserNeyTable]] frame. Output:
+    * `(id, n_pos, seen_bi, bits_fp, bpt_fp)` — exact 16.16
+    * fixed-point bits via the shared `fixed_log2` recurrence.
+    *
+    * Scale shape: the three KN statistics (context totals c(w1·),
+    * forward type counts N1+(w1·), backward type counts N1+(·w2))
+    * are MODEL-sized aggregations of the bigram table; the
+    * corpus-sized positions frame then does exactly three key-local
+    * hash joins — the same sharded-count-table serving shape as
+    * [[stupidBackoffScore]]. T = N1+(··) is driver-held model
+    * metadata (one bounded aggregate — the BPE-argmax pattern). The
+    * model composes with [[lmCountsRead]]'s n_order = 2 frame via
+    * `(w1, w2) = split(k, ' ')`, so incrementally-maintained counts
+    * serve KN with no extra machinery. */
+  def kneserNeyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      bi: org.apache.spark.sql.DataFrame, textCol: String = "text")
+  : org.apache.spark.sql.DataFrame = {
+    def lg(c: Column): Column =
+      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+        expr(s"fixed_log2(${c.toString})")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+    val t = bi.count()
+    require(t > 0, "kneserNeyScore: empty model (no bigrams)")
+    val ctx = bi.groupBy("w1")
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("fwd"))
+    val bwd = bi.groupBy("w2").agg(count(lit(1)).as("bwd"))
+    val pos = df
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+")
+        .as("toks"))
+      .select(col("id"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> struct(toks[i-1] AS w1, toks[i] AS w2))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .select(col("id"), col("p.w1"), col("p.w2"))
+    val scored = pos
+      .join(bi.withColumnRenamed("c", "c12"), Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left")
+      .withColumn("p_fp", expr(
+        s"""GREATEST(CASE WHEN c1 IS NOT NULL THEN CAST((
+           |  CAST(1048576 AS DECIMAL(38,0)) * (
+           |    CAST(GREATEST(100 * COALESCE(c12, CAST(0 AS BIGINT))
+           |        - 75, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * $t +
+           |    CAST(75 AS DECIMAL(38,0)) * fwd *
+           |      COALESCE(bwd, CAST(0 AS BIGINT)))
+           |) div (CAST(100 AS DECIMAL(38,0)) * c1 * $t) AS BIGINT)
+           |ELSE CAST((CAST(1048576 AS DECIMAL(38,0)) *
+           |    COALESCE(bwd, CAST(0 AS BIGINT)))
+           |  div CAST($t AS DECIMAL(38,0)) AS BIGINT)
+           |END, CAST(1 AS BIGINT))""".stripMargin))
+      .withColumn("bits", lit(20L * 65536L) - lg(col("p_fp")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("c12").isNotNull, 1L).otherwise(0L)).as("seen_bi"),
+        sum(col("bits")).as("bits_fp"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("seen_bi"), lit(0L)).as("seen_bi"),
+        coalesce(col("bits_fp"), lit(0L)).as("bits_fp"),
+        expr("CASE WHEN n_pos > 0 THEN bits_fp div n_pos " +
+          "ELSE 0L END").as("bpt_fp"))
+  }
+
   /** Streaming LM maintenance: every micro-batch's counts land
     * exactly-once (batch-id-keyed txn markers — crash/replay cannot
     * double a count). The model any reader sees via [[lmCountsRead]]
@@ -1574,6 +1674,232 @@ object TextAnalysis {
       if (parent != null) parent.unpersist()
     }
     out.toSeq
+  }
+
+  /** Driver-local BPE trainer over the collected word-frequency
+    * dictionary — the learn_bpe shape real tokenizers use for the
+    * 30k-round regime. [[bpeTrain]] runs one Spark job PER merge
+    * round, the right shape while rounds are few (each round is a
+    * full, auditable corpus-scan plan) — but a production vocabulary
+    * is 30k+ SEQUENTIAL rounds, and 30k scheduled jobs is the wrong
+    * cost model no matter how cheap each is. Here ONE distributed
+    * corpus scan builds the (word, freq) dictionary — identical
+    * normalization expressions to [[bpeTrain]], so the gate can pin
+    * local ≡ distributed — and the merge loop runs on the driver
+    * with incremental pair maintenance: a pair→count map, a
+    * pair→words inverted index (only words CONTAINING the winning
+    * pair are touched in a round), and a TreeSet argmax under the
+    * same (count desc, left asc, right asc) order. A round costs
+    * O(touched words · log |pairs|), independent of dictionary size.
+    *
+    * Scale shape: the collected state is the DICTIONARY, not the
+    * corpus — bounded by distinct normalized words, and cut further
+    * by `minFreq` (the standard learn_bpe frequency floor: the hapax
+    * tail of a web corpus cannot win a merge round against pairs
+    * counted in the millions). `maxDictRows` guards the driver the
+    * way syncComponents' driverEdgeLimit does — above it the call
+    * rejects loudly with the minFreq hint instead of silently
+    * OOMing. Symbols are interned to Int ids (words live as
+    * Array[Int], pair keys pack into one Long), so a multi-million-
+    * word dictionary costs tens of bytes per word.
+    *
+    * With minFreq = 1 the merge table is EXACTLY [[bpeTrain]]'s
+    * (spec-pinned): same multiplicity pair counts, same greedy
+    * left-to-right application, same tie order. */
+  def bpeTrainLocal(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int, minFreq: Long = 1L,
+      maxDictRows: Int = 2000000): Seq[BpeMerge] = {
+    require(merges >= 1, s"merges must be >= 1: $merges")
+    require(minFreq >= 1L, s"minFreq must be >= 1: $minFreq")
+    // the one distributed step: the word dictionary (bpeTrain's own
+    // normalization — lower, strip non-[a-z0-9 ], whitespace split)
+    val dictRows = df
+      .select(explode(split(trim(regexp_replace(
+          lower(col(textCol)), "[^a-z0-9 ]", " ")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq && length(col("w")) > 0)
+      .limit(maxDictRows + 1)
+      .collect()
+    require(dictRows.length <= maxDictRows,
+      s"BPE dictionary exceeds maxDictRows=$maxDictRows distinct " +
+        s"words; raise minFreq (frequency floor — the standard " +
+        s"learn_bpe cut) or maxDictRows")
+    bpeTrainDict(dictRows.map(r => (r.getString(0), r.getLong(1))),
+      merges)
+  }
+
+  /** The driver-resident merge loop of [[bpeTrainLocal]] over an
+    * explicit (word, freq) dictionary — exposed for probes and for
+    * callers that already hold a dictionary. */
+  private[graft] def bpeTrainDict(dict: Array[(String, Long)],
+      merges: Int): Seq[BpeMerge] = {
+    // symbol interning: chars (and later merged symbols) -> Int ids
+    val symIds = new java.util.HashMap[String, Integer]()
+    val syms = scala.collection.mutable.ArrayBuffer[String]()
+    def symId(sym: String): Int = {
+      val got = symIds.get(sym)
+      if (got != null) got.intValue
+      else { syms += sym; symIds.put(sym, syms.length - 1); syms.length - 1 }
+    }
+    val nW = dict.length
+    val words = new Array[Array[Int]](nW)
+    val freqs = new Array[Long](nW)
+    var i = 0
+    while (i < nW) {
+      val w = dict(i)._1
+      freqs(i) = dict(i)._2
+      val a = new Array[Int](w.length)
+      var j = 0
+      while (j < w.length) {
+        a(j) = symId(String.valueOf(w.charAt(j))); j += 1
+      }
+      words(i) = a
+      i += 1
+    }
+    def pk(l: Int, r: Int): Long =
+      (l.toLong << 32) | (r.toLong & 0xffffffffL)
+    val cnt = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val idx =
+      new java.util.HashMap[java.lang.Long, java.util.HashSet[Integer]]()
+    def addCnt(k: Long, d: Long): Unit = {
+      val cur = cnt.get(k)
+      val nv = (if (cur == null) 0L else cur.longValue) + d
+      if (nv == 0L) cnt.remove(k) else cnt.put(k, nv)
+    }
+    i = 0
+    while (i < nW) {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = pk(s(j), s(j + 1))
+        addCnt(p, freqs(i))
+        var set = idx.get(p)
+        if (set == null) {
+          set = new java.util.HashSet[Integer](); idx.put(p, set)
+        }
+        set.add(i)
+        j += 1
+      }
+      i += 1
+    }
+    // argmax structure: (count, l, r) under count desc then symbol
+    // text asc — bpeTrain's exact ORDER BY (ASCII symbols, so Java
+    // string compare ≡ Spark/DuckDB string order)
+    val ord = new Ordering[(Long, Int, Int)] {
+      def compare(a: (Long, Int, Int), b: (Long, Int, Int)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c
+        else {
+          val cl = syms(a._2).compareTo(syms(b._2))
+          if (cl != 0) cl else syms(a._3).compareTo(syms(b._3))
+        }
+      }
+    }
+    val order = scala.collection.mutable.TreeSet.empty[(Long, Int, Int)](ord)
+    val cit0 = cnt.entrySet.iterator
+    while (cit0.hasNext) {
+      val e = cit0.next()
+      val p = e.getKey.longValue
+      order.add((e.getValue.longValue, (p >>> 32).toInt,
+        (p & 0xffffffffL).toInt))
+    }
+    val out = scala.collection.mutable.ArrayBuffer[BpeMerge]()
+    var k = 1
+    while (k <= merges && order.nonEmpty) {
+      val (c, l, r) = order.head
+      out += BpeMerge(k, syms(l), syms(r), c)
+      val key = pk(l, r)
+      val mergedId = symId(syms(l) + syms(r))
+      val touchedSet = idx.get(key)
+      val touched: Array[Int] =
+        if (touchedSet == null) Array.emptyIntArray
+        else {
+          val a = new Array[Int](touchedSet.size)
+          val it = touchedSet.iterator; var t = 0
+          while (it.hasNext) { a(t) = it.next().intValue; t += 1 }
+          a
+        }
+      // pre-round count snapshot of every pair we touch, for the
+      // TreeSet remove-then-re-add sync after the word loop
+      val changed = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      def snap(p: Long): Unit =
+        if (!changed.containsKey(p)) {
+          val cur = cnt.get(p)
+          changed.put(p, if (cur == null) 0L else cur.longValue)
+        }
+      var t = 0
+      while (t < touched.length) {
+        val wid = touched(t)
+        val s = words(wid); val f = freqs(wid)
+        val oldPairs = new java.util.HashSet[java.lang.Long]()
+        var j = 0
+        while (j < s.length - 1) {
+          val p = pk(s(j), s(j + 1))
+          snap(p); addCnt(p, -f); oldPairs.add(p)
+          j += 1
+        }
+        val ns = applyMergeLocal(s, l, r, mergedId)
+        words(wid) = ns
+        val newPairs = new java.util.HashSet[java.lang.Long]()
+        j = 0
+        while (j < ns.length - 1) {
+          val p = pk(ns(j), ns(j + 1))
+          snap(p); addCnt(p, f); newPairs.add(p)
+          j += 1
+        }
+        val oit = oldPairs.iterator
+        while (oit.hasNext) {
+          val p = oit.next()
+          if (!newPairs.contains(p)) {
+            val set = idx.get(p)
+            if (set != null) {
+              set.remove(wid)
+              if (set.isEmpty) idx.remove(p)
+            }
+          }
+        }
+        val nit = newPairs.iterator
+        while (nit.hasNext) {
+          val p = nit.next()
+          if (!oldPairs.contains(p)) {
+            var set = idx.get(p)
+            if (set == null) {
+              set = new java.util.HashSet[Integer](); idx.put(p, set)
+            }
+            set.add(wid)
+          }
+        }
+        t += 1
+      }
+      val cit = changed.entrySet.iterator
+      while (cit.hasNext) {
+        val e = cit.next()
+        val p = e.getKey.longValue; val oldC = e.getValue.longValue
+        val pl = (p >>> 32).toInt; val pr = (p & 0xffffffffL).toInt
+        if (oldC > 0L) order.remove((oldC, pl, pr))
+        val nc = cnt.get(e.getKey)
+        if (nc != null && nc.longValue > 0L)
+          order.add((nc.longValue, pl, pr))
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** Greedy left-to-right non-overlapping application of one merge to
+    * an int-encoded word — the driver-local twin of [[bpeApplyOne]]'s
+    * string replace ("aaa" + merge(a,a) → (aa, a)). */
+  private def applyMergeLocal(s: Array[Int], l: Int, r: Int,
+      merged: Int): Array[Int] = {
+    val out = new Array[Int](s.length)
+    var i = 0; var o = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+        out(o) = merged; i += 2
+      } else { out(o) = s(i); i += 1 }
+      o += 1
+    }
+    java.util.Arrays.copyOf(out, o)
   }
 
   /** Segmentation state of `textCol` after applying a trained merge

@@ -1611,7 +1611,111 @@ object EmbeddingQ {
        |SELECT q_id, c_lab AS pred_label, votes, best_rnk
        |FROM pk WHERE pick = 1 ORDER BY q_id""".stripMargin
 
+  /** q181 — MMR diversified re-ranking
+    * ([[graft.ext.Similarity.mmrRerank]], Carbonell & Goldstein SIGIR
+    * 1998): brute top-20 cosine recall for the query vector, then the
+    * greedy λ = 0.7 marginal-relevance pass selects 10 — each step
+    * maximizing `7·rel_fp − 3·max_sim_fp` over the unchosen residue
+    * in exact BIGINT fixed point. The oracle replays the greedy loop
+    * as a RECURSIVE CTE with a LATERAL per-step argmax carrying the
+    * chosen set as a list, so the selection ORDER, every winner's
+    * similarity ceiling, and the objective values all hash-match. */
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"), col("embedding"),
+        expr(dot(s, "embedding", "qe")).as("rel_fp"))
+      .orderBy(col("rel_fp").desc, col("id")).limit(20)
+    Similarity.mmrRerank(cand, k = 10, lambdaTenths = 7)
+      .orderBy(col("step"))
+  }
+
+  val q181Sql: String =
+    s"""WITH RECURSIVE
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id AS id, embedding,
+       |    ${dotD("embedding", "qe")} AS rel_fp
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY rel_fp DESC, vec_id LIMIT 20),
+       |sim AS (SELECT a.id AS ai, b.id AS bi,
+       |    ${dotD("a.embedding", "b.embedding")} AS s
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |base AS (SELECT id, rel_fp FROM cand
+       |  ORDER BY rel_fp DESC, id LIMIT 1),
+       |sel AS (
+       |  SELECT 1 AS step, id, rel_fp, CAST(0 AS BIGINT) AS max_sim_fp,
+       |      7 * rel_fp AS mmr_fp, [id] AS chosen FROM base
+       |  UNION ALL
+       |  SELECT s.step + 1, nxt.id, nxt.rel_fp, nxt.ms,
+       |      7 * nxt.rel_fp - 3 * nxt.ms, list_append(s.chosen, nxt.id)
+       |  FROM sel s, LATERAL (
+       |    SELECT c.id, c.rel_fp,
+       |      (SELECT MAX(sim.s) FROM sim
+       |       WHERE sim.ai = c.id AND list_contains(s.chosen, sim.bi))
+       |      AS ms
+       |    FROM cand c WHERE NOT list_contains(s.chosen, c.id)
+       |    ORDER BY 7 * c.rel_fp - 3 * (SELECT MAX(sim.s) FROM sim
+       |      WHERE sim.ai = c.id AND list_contains(s.chosen, sim.bi))
+       |      DESC, c.id
+       |    LIMIT 1) nxt
+       |  WHERE s.step < 10)
+       |SELECT step, id, rel_fp, max_sim_fp, mmr_fp FROM sel
+       |ORDER BY step""".stripMargin
+
+  /** q182 — margin-based bitext mining
+    * ([[graft.ext.Similarity.bitextMine]], Artetxe & Schwenk ACL
+    * 2019 — the LASER/CCMatrix parallel-corpus miner): label-0
+    * vectors mine their best label-1 counterpart by the RATIO margin
+    * (cosine over the mean of both directions' k-NN neighborhood
+    * mass, k = 8), keeping pairs with margin ≥ 1.2 in 10^6 fixed
+    * point. The oracle replays both k-NN directions as windows, the
+    * union-dedup of candidates, the 38-digit-integer margin, and the
+    * per-source argmax — selection AND scores hash-match. */
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.bitextMine(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+        "vec_id", "vec_id", k = 8, thresholdFp = 1200000L)
+      .orderBy(col("src_id"))
+  }
+
+  val q182Sql: String =
+    s"""WITH s0 AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE label = 0),
+       |s1 AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE label = 1),
+       |sc AS (SELECT a.id AS x, b.id AS y,
+       |    ${dotD("a.embedding", "b.embedding")} AS s FROM s0 a, s1 b),
+       |fwd AS (SELECT x, y, s FROM (SELECT x, y, s, ROW_NUMBER() OVER
+       |    (PARTITION BY x ORDER BY s DESC, y) AS r FROM sc)
+       |  WHERE r <= 8),
+       |bwd AS (SELECT x, y, s FROM (SELECT x, y, s, ROW_NUMBER() OVER
+       |    (PARTITION BY y ORDER BY s DESC, x) AS r FROM sc)
+       |  WHERE r <= 8),
+       |sx AS (SELECT x, CAST(SUM(s) AS BIGINT) AS sx FROM fwd
+       |  GROUP BY x),
+       |sy AS (SELECT y, CAST(SUM(s) AS BIGINT) AS sy FROM bwd
+       |  GROUP BY y),
+       |cand AS (SELECT x, y, MAX(s) AS s FROM
+       |  (SELECT * FROM fwd UNION ALL SELECT * FROM bwd) GROUP BY x, y),
+       |m AS (SELECT cand.x, cand.y, cand.s,
+       |    CAST((CAST(cand.s AS HUGEINT) * 16 * 1000000)
+       |      // (sx.sx + sy.sy) AS BIGINT) AS margin_fp
+       |  FROM cand JOIN sx ON cand.x = sx.x JOIN sy ON cand.y = sy.y
+       |  WHERE sx.sx + sy.sy > 0),
+       |pick AS (SELECT x, y, s, margin_fp, ROW_NUMBER() OVER
+       |    (PARTITION BY x ORDER BY margin_fp DESC, y) AS rn FROM m)
+       |SELECT x AS src_id, y AS tgt_id, CAST(s AS BIGINT) AS score_fp,
+       |  margin_fp
+       |FROM pick WHERE rn = 1 AND margin_fp >= 1200000
+       |ORDER BY src_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_mmr_rerank", q181, Some(q181Sql)),
+    QueryDef("q182_bitext_margin", q182, Some(q182Sql)),
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),

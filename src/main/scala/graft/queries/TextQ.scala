@@ -1436,8 +1436,13 @@ object TextQ {
     * Shared by q108 (emits the merge table) and q109 (emits per-doc
     * symbol counts before/after). */
   private def bpeCtes(n: Int): String = {
+    // AS MATERIALIZED throughout: each round's state references the
+    // previous round's CTE more than once, and DuckDB's inlining
+    // heuristic can otherwise expand the chain into exponentially
+    // many re-reads of the base parquet (q179's 16 rounds exhausted
+    // the process's file handles before the hint).
     val sb = new StringBuilder(
-      """st0 AS (SELECT doc_id, array_to_string(list_transform(
+      """st0 AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(
         |    string_split_regex(trim(regexp_replace(lower(text),
         |      '[^a-z0-9 ]', ' ', 'g')), '\s+'),
         |    w -> regexp_replace(w, '(.)', '|\1|', 'g')), ' ') AS state
@@ -1445,15 +1450,15 @@ object TextQ {
     for (k <- 1 to n) {
       val p = k - 1
       sb.append(s""",
-        |w$k AS (SELECT unnest(string_split(state, ' ')) AS w FROM st$p),
-        |pc$k AS (SELECT s[i] AS l, s[i + 1] AS r, COUNT(*) AS cnt
+        |w$k AS MATERIALIZED (SELECT unnest(string_split(state, ' ')) AS w FROM st$p),
+        |pc$k AS MATERIALIZED (SELECT s[i] AS l, s[i + 1] AS r, COUNT(*) AS cnt
         |  FROM (SELECT s, unnest(generate_series(1, len(s) - 1)) AS i
         |        FROM (SELECT string_split(trim(w, '|'), '||') AS s
         |              FROM w$k))
         |  GROUP BY 1, 2),
-        |m$k AS (SELECT $k AS merge_rank, l, r, cnt FROM pc$k
+        |m$k AS MATERIALIZED (SELECT $k AS merge_rank, l, r, cnt FROM pc$k
         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        |st$k AS (SELECT doc_id, replace(state,
+        |st$k AS MATERIALIZED (SELECT doc_id, replace(state,
         |    '|' || (SELECT l FROM m$k) || '||' ||
         |      (SELECT r FROM m$k) || '|',
         |    '|' || (SELECT l FROM m$k) ||
@@ -1501,6 +1506,102 @@ object TextQ {
        |    AS syms_after
        |FROM st0 a JOIN st4 b USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** q179 — driver-local BPE training
+    * ([[graft.ext.TextAnalysis.bpeTrainLocal]]): the 30k-round-regime
+    * trainer (one Spark job for the word dictionary, then an
+    * incrementally-maintained driver merge loop) producing the SAME
+    * merge table as the per-round-Spark-job [[q108]] shape. 16 rounds
+    * here — 4× q108's depth — and the oracle unrolls the same 16
+    * rounds as chained corpus-wide CTEs, so every round's winning
+    * pair AND count are hash-pinned: a drifted incremental pair
+    * count, a wrong tie-break, or a greedy-application mismatch in
+    * round k flips round k+1. */
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.TextAnalysis.bpeTrainLocal(Tables(s, dir, "documents"),
+        "text", 16)
+      .map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("merge_rank", "lsym", "rsym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  val q179Sql: String =
+    s"""WITH ${bpeCtes(16)}
+       |SELECT merge_rank, l AS lsym, r AS rsym, cnt AS pair_count
+       |FROM (${(1 to 16).map(k => s"SELECT * FROM m$k")
+          .mkString(" UNION ALL ")})
+       |ORDER BY merge_rank""".stripMargin
+
+  /** q180 — interpolated Kneser–Ney bigram scoring
+    * ([[graft.ext.TextAnalysis.kneserNeyScore]], Kneser & Ney 1995 /
+    * Chen & Goodman 1998 — the KenLM smoothing CCNet-style perplexity
+    * filters quote): the model trains on the ENGLISH documents only
+    * and scores ALL documents, so every backoff branch really fires —
+    * unseen bigrams take the pure-continuation discount mass, unseen
+    * contexts degrade to Pcont, unseen tokens floor at p_fp = 1 —
+    * and the oracle replays the exact 38-digit-integer probability
+    * and the `fixed_log2` recurrence over the distinct p_fp domain,
+    * so per-doc bits hash-match bit for bit. */
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val bi = graft.ext.TextAnalysis.kneserNeyTable(
+      docs.filter(col("lang") === "en"))
+    graft.ext.TextAnalysis.kneserNeyScore(docs, "doc_id", bi)
+      .select(col("id").as("doc_id"), col("n_pos"), col("seen_bi"),
+        col("bits_fp"), col("bpt_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q180Sql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, $toksD AS toks FROM documents),
+       |bg AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12 FROM (
+       |  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |    i -> [toks[i], toks[i+1]])) AS p FROM tk WHERE lang = 'en')
+       |  GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |    COUNT(*) AS fwd FROM bg GROUP BY w1),
+       |bwd_ AS (SELECT w2, COUNT(*) AS bwd FROM bg GROUP BY w2),
+       |nt AS (SELECT COUNT(*) AS t FROM bg),
+       |pos AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(toks), 1)),
+       |    i -> [toks[i], toks[i+1]])) AS p FROM tk)),
+       |j AS (SELECT pos.doc_id, bg.c12, ctx.c1, ctx.fwd, bwd_.bwd
+       |  FROM pos
+       |  LEFT JOIN bg ON pos.w1 = bg.w1 AND pos.w2 = bg.w2
+       |  LEFT JOIN ctx ON pos.w1 = ctx.w1
+       |  LEFT JOIN bwd_ ON pos.w2 = bwd_.w2),
+       |pv AS (SELECT doc_id, c12, GREATEST(
+       |    CASE WHEN c1 IS NOT NULL THEN CAST((
+       |      CAST(1048576 AS HUGEINT) * (
+       |        CAST(GREATEST(100 * COALESCE(c12, 0) - 75, 0) AS HUGEINT)
+       |          * (SELECT t FROM nt) +
+       |        CAST(75 AS HUGEINT) * fwd * COALESCE(bwd, 0))
+       |      ) // (CAST(100 AS HUGEINT) * c1 * (SELECT t FROM nt))
+       |      AS BIGINT)
+       |    ELSE CAST((CAST(1048576 AS HUGEINT) * COALESCE(bwd, 0))
+       |      // (SELECT t FROM nt) AS BIGINT) END,
+       |    CAST(1 AS BIGINT)) AS p_fp FROM j),
+       |vals AS (SELECT DISTINCT p_fp FROM pv),
+       |lvin AS (SELECT p_fp AS doc_id, CAST(p_fp AS BIGINT) AS p_fp
+       |  FROM vals),
+       |lv AS (${flog2D("lvin")}),
+       |bits AS (SELECT pv.doc_id, pv.c12,
+       |    CAST(20 * 65536 AS BIGINT) - lv.lg AS bits
+       |  FROM pv JOIN lv ON pv.p_fp = lv.doc_id),
+       |ag AS (SELECT doc_id, COUNT(*) AS n_pos,
+       |    CAST(SUM(CASE WHEN c12 IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS seen_bi,
+       |    CAST(SUM(bits) AS BIGINT) AS bits_fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(ag.n_pos, 0) AS n_pos,
+       |  COALESCE(ag.seen_bi, 0) AS seen_bi,
+       |  COALESCE(ag.bits_fp, 0) AS bits_fp,
+       |  CASE WHEN COALESCE(ag.n_pos, 0) > 0
+       |    THEN ag.bits_fp // ag.n_pos ELSE 0 END AS bpt_fp
+       |FROM documents d LEFT JOIN ag USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Shared q112/q113 oracle scaffolding: the trained linear-probe
     * weight table ([[graft.ext.Classifier.train]]) replayed as chained
@@ -3622,5 +3723,7 @@ object TextQ {
     QueryDef("q174_rouge_l_corpus", q174, Some(q174Sql)),
     QueryDef("q175_lexical_retract", q175, Some(q175Sql)),
     QueryDef("q176_keeper_reelection", q176, Some(q176Sql)),
-    QueryDef("q177_corpus_bleu", q177, Some(q177Sql)))
+    QueryDef("q177_corpus_bleu", q177, Some(q177Sql)),
+    QueryDef("q179_bpe_train_local", q179, Some(q179Sql)),
+    QueryDef("q180_kneser_ney", q180, Some(q180Sql)))
 }

@@ -27,7 +27,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // in sequence)
     val singleRow = Set("q02_point_lookup", "q03_range_revenue",
       "q13_subquery_avg", "q75_kmeans_train", "q166_chrf_corpus",
-      "q174_rouge_l_corpus")
+      "q174_rouge_l_corpus", "q177_corpus_bleu")
     for (d <- SparkEntry.allDefs; sql <- d.oracle) {
       assert(sql.trim.nonEmpty, s"${d.name}: empty oracle")
       assert(sql.toUpperCase.contains("ORDER BY") || singleRow(d.name),

@@ -106,4 +106,49 @@ class BpeSpec extends SparkSpec {
     val b = TextAnalysis.bpeTrain(df(docs: _*).repartition(7), "text", 5)
     assert(a == b)
   }
+
+  // ---- driver-local dictionary trainer (bpeTrainLocal) ----
+
+  test("local trainer ≡ distributed trainer on a randomized corpus") {
+    val rnd = new scala.util.Random(97)
+    val alphabet = "aabbcd  "
+    val docs = Seq.fill(40)(
+      Seq.fill(rnd.nextInt(50) + 5)(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val (expect, _) = bruteTrain(docs, 12)
+    val got = TextAnalysis.bpeTrainLocal(df(docs: _*), "text", 12)
+    assert(got == expect, s"\n got=$got\n exp=$expect")
+    // and it matches the per-round Spark trainer exactly
+    val dist = TextAnalysis.bpeTrain(df(docs: _*), "text", 12)
+    assert(got == dist, s"\n local=$got\n dist=$dist")
+  }
+
+  test("local trainer: overlapping runs pair greedily left-to-right") {
+    val got = TextAnalysis.bpeTrainLocal(df("aaa"), "text", 2)
+    assert(got == Seq(BpeMerge(1, "a", "a", 2),
+      BpeMerge(2, "aa", "a", 1)), got.toString)
+  }
+
+  test("local trainer exhausts early when no pairs remain") {
+    val got = TextAnalysis.bpeTrainLocal(df("ab ab"), "text", 5)
+    assert(got == Seq(BpeMerge(1, "a", "b", 2)), got.toString)
+  }
+
+  test("local trainer: maxDictRows rejects loudly with the minFreq hint") {
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainLocal(df("one two three four"), "text", 2,
+        maxDictRows = 3)
+    }
+    assert(e.getMessage.contains("minFreq"), e.getMessage)
+  }
+
+  test("local trainer: minFreq floors hapax words out of the dictionary") {
+    // 'zz' appears once; with the floor at 2 the (z,z) pair can never
+    // be selected, while 'ab'×3 still trains normally
+    val d = df("ab ab ab zz")
+    val all = TextAnalysis.bpeTrainLocal(d, "text", 3, minFreq = 1)
+    assert(all.exists(m => m.left == "z" && m.right == "z"), all.toString)
+    val floored = TextAnalysis.bpeTrainLocal(d, "text", 3, minFreq = 2)
+    assert(floored == Seq(BpeMerge(1, "a", "b", 3)), floored.toString)
+  }
 }
