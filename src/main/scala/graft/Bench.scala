@@ -288,7 +288,13 @@ object Bench {
         // row) and its destructive rewrite (adds the per-doc
         // reassembly aggregation)
         "q169_profile_files", "q171_dup_substrings",
-        "q172_dup_substring_rewrite")
+        "q172_dup_substring_rewrite",
+        // round 14: Kneser–Ney scoring (model-sized stat joins + the
+        // corpus positions frame — the smoothing-LM serving shape)
+        // and BPE fertility (trainer dict build + 16 chained
+        // replace projections over the corpus — segmentation is
+        // scan-bound and should scale with the scan)
+        "q180_kneser_ney", "q183_bpe_fertility")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -1667,6 +1667,55 @@ object Similarity {
     * mass tables, and a per-x top-1 window over ≤ 2k rows per x.
     * Nothing touches |src|·|tgt|. Output:
     * (src_id, tgt_id, score_fp, margin_fp). */
+  /** k-center greedy coreset selection (farthest-point sampling —
+    * Sener & Savarese ICLR 2018's active-learning coreset rule, and
+    * the classic 2-approximation to the k-center cover): starting
+    * from `seedId`, repeatedly pick the point whose MOST-similar
+    * already-chosen exemplar is smallest — the point worst covered by
+    * the current set. For unit vectors max-cosine order is min-
+    * distance order, so coverage stays in the exact fixed-point dot
+    * domain; ties by id asc. Output `(step, id, cov_fp)` — `cov_fp` =
+    * the winner's max dot to the prior set (0 for the seed).
+    *
+    * Scale shape: the dual of [[mmrRerank]] — selection runs over the
+    * WHOLE frame, so nothing collects but the k winners: each round
+    * broadcasts the ≤ k chosen vectors, computes per-row max-dot in
+    * one narrow scan (k dots/row), and takes the argmin via a
+    * 1-row TakeOrdered (the BPE-argmax pattern). k sequential jobs,
+    * k²·n dots total — the standard price of the greedy rule; for
+    * 100 TB corpora run it per IVF/LSH cell and union the coresets. */
+  def kCenterGreedy(df: DataFrame, idCol: String, k: Int, seedId: Long,
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("e"))
+    require(base.filter(col("id") === seedId).count() == 1,
+      s"kCenterGreedy: seed id $seedId absent (or duplicated)")
+    var chosenIds = Set(seedId)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+      (1, seedId, 0L))
+    var step = 2
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val chosenDf = base.filter(col("id").isInCollection(chosenIds))
+        .select(col("id").as("cid"), col("e").as("ce"))
+      val pick = base.filter(!col("id").isInCollection(chosenIds))
+        .crossJoin(broadcast(chosenDf))
+        .select(col("id"), expr(dotSql(spark, "e", "ce")).as("s"))
+        .groupBy("id").agg(max(col("s")).as("cov"))
+        .orderBy(col("cov").asc, col("id").asc).limit(1).collect()
+      if (pick.isEmpty) exhausted = true
+      else {
+        out += ((step, pick(0).getLong(0), pick(0).getLong(1)))
+        chosenIds += pick(0).getLong(0)
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "id", "cov_fp")
+  }
+
   def bitextMine(src: DataFrame, tgt: DataFrame, srcIdCol: String,
       tgtIdCol: String, k: Int, thresholdFp: Long,
       embCol: String = "embedding"): DataFrame = {

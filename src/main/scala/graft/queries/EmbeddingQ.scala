@@ -1633,37 +1633,58 @@ object EmbeddingQ {
       .orderBy(col("step"))
   }
 
-  val q181Sql: String =
-    s"""WITH RECURSIVE
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |cand AS (SELECT vec_id AS id, embedding,
-       |    ${dotD("embedding", "qe")} AS rel_fp
-       |  FROM embeddings, q WHERE vec_id <> 0
-       |  ORDER BY rel_fp DESC, vec_id LIMIT 20),
-       |sim AS (SELECT a.id AS ai, b.id AS bi,
-       |    ${dotD("a.embedding", "b.embedding")} AS s
-       |  FROM cand a JOIN cand b ON a.id <> b.id),
-       |base AS (SELECT id, rel_fp FROM cand
-       |  ORDER BY rel_fp DESC, id LIMIT 1),
-       |sel AS (
-       |  SELECT 1 AS step, id, rel_fp, CAST(0 AS BIGINT) AS max_sim_fp,
-       |      7 * rel_fp AS mmr_fp, [id] AS chosen FROM base
-       |  UNION ALL
-       |  SELECT s.step + 1, nxt.id, nxt.rel_fp, nxt.ms,
-       |      7 * nxt.rel_fp - 3 * nxt.ms, list_append(s.chosen, nxt.id)
-       |  FROM sel s, LATERAL (
-       |    SELECT c.id, c.rel_fp,
-       |      (SELECT MAX(sim.s) FROM sim
-       |       WHERE sim.ai = c.id AND list_contains(s.chosen, sim.bi))
-       |      AS ms
-       |    FROM cand c WHERE NOT list_contains(s.chosen, c.id)
-       |    ORDER BY 7 * c.rel_fp - 3 * (SELECT MAX(sim.s) FROM sim
-       |      WHERE sim.ai = c.id AND list_contains(s.chosen, sim.bi))
-       |      DESC, c.id
-       |    LIMIT 1) nxt
-       |  WHERE s.step < 10)
-       |SELECT step, id, rel_fp, max_sim_fp, mmr_fp FROM sel
-       |ORDER BY step""".stripMargin
+  /** Unrolled greedy-selection oracle chain (MMR): DuckDB's
+    * correlated-subquery-inside-LATERAL-inside-RECURSIVE path proved
+    * NON-DETERMINISTIC (q184 returned different rows across runs of
+    * the identical query in one process), so both greedy oracles use
+    * the repo's proven unrolled-CTE-argmax pattern (the BPE chain):
+    * one MATERIALIZED step per pick, the argmax as `MIN(struct(...))`
+    * — struct comparison is lexicographic, so (neg-objective, id)
+    * encodes "objective DESC, id ASC" exactly. */
+  val q181Sql: String = {
+    val sb = new StringBuilder(
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+         |  WHERE vec_id = 0),
+         |cand AS MATERIALIZED (SELECT vec_id AS id, embedding,
+         |    ${dotD("embedding", "qe")} AS rel_fp
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY rel_fp DESC, vec_id LIMIT 20),
+         |sim AS MATERIALIZED (SELECT a.id AS ai, b.id AS bi,
+         |    ${dotD("a.embedding", "b.embedding")} AS s
+         |  FROM cand a JOIN cand b ON a.id <> b.id),
+         |p1 AS MATERIALIZED (SELECT MIN(struct_pack(
+         |    negrel := -rel_fp, id := id)) AS w FROM cand),
+         |st1 AS MATERIALIZED (SELECT [(SELECT w.id FROM p1)]
+         |  AS chosen)""".stripMargin)
+    for (k <- 2 to 10) {
+      val p = k - 1
+      sb.append(s""",
+        |p$k AS MATERIALIZED (
+        |  SELECT MIN(struct_pack(
+        |      negmmr := -(7 * c.rel_fp - 3 * m.ms), id := c.id,
+        |      rel_fp := c.rel_fp, ms := m.ms)) AS w
+        |  FROM cand c JOIN (
+        |    SELECT sim.ai AS id, MAX(sim.s) AS ms FROM sim, st$p
+        |    WHERE list_contains(st$p.chosen, sim.bi)
+        |      AND NOT list_contains(st$p.chosen, sim.ai)
+        |    GROUP BY sim.ai) m ON c.id = m.id),
+        |st$k AS MATERIALIZED (SELECT list_append(st$p.chosen,
+        |  (SELECT w.id FROM p$k)) AS chosen FROM st$p)""".stripMargin)
+    }
+    val picks = Seq(
+      """SELECT 1 AS step, (SELECT w.id FROM p1) AS id,
+        |  (SELECT -w.negrel FROM p1) AS rel_fp,
+        |  CAST(0 AS BIGINT) AS max_sim_fp,
+        |  (SELECT -7 * w.negrel FROM p1) AS mmr_fp""".stripMargin) ++
+      (2 to 10).map(k =>
+        s"""SELECT $k AS step, (SELECT w.id FROM p$k) AS id,
+           |  (SELECT w.rel_fp FROM p$k) AS rel_fp,
+           |  (SELECT w.ms FROM p$k) AS max_sim_fp,
+           |  (SELECT -w.negmmr FROM p$k) AS mmr_fp""".stripMargin)
+    sb.append("\nSELECT step, id, rel_fp, max_sim_fp, mmr_fp FROM (" +
+      picks.mkString(" UNION ALL ") + ") ORDER BY step")
+    sb.toString
+  }
 
   /** q182 — margin-based bitext mining
     * ([[graft.ext.Similarity.bitextMine]], Artetxe & Schwenk ACL
@@ -1713,9 +1734,60 @@ object EmbeddingQ {
        |FROM pick WHERE rn = 1 AND margin_fp >= 1200000
        |ORDER BY src_id""".stripMargin
 
+  /** q184 — k-center greedy coreset
+    * ([[graft.ext.Similarity.kCenterGreedy]], Sener & Savarese ICLR
+    * 2018 / the classic k-center 2-approximation): 16 farthest-point
+    * picks over the label-0 vectors, seeded at the subset's min id —
+    * each step takes the point least covered (smallest max-cosine) by
+    * the chosen set, ties by id. The oracle replays the greedy loop
+    * as a recursive CTE with a LATERAL per-step argmin over a
+    * materialized pairwise-sim table, so the selection order AND
+    * every winner's coverage value hash-match. */
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings").filter(col("label") === 0)
+    val seed = emb.agg(min(col("vec_id"))).head.getLong(0)
+    Similarity.kCenterGreedy(emb, "vec_id", k = 16, seedId = seed)
+      .orderBy(col("step"))
+  }
+
+  /** Unrolled chain, same pattern as [[q181Sql]] — `MIN(struct(cov,
+    * id))` IS "cov ASC, id ASC". */
+  val q184Sql: String = {
+    val sb = new StringBuilder(
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id AS id, embedding
+         |  FROM embeddings WHERE label = 0),
+         |sim AS MATERIALIZED (SELECT a.id AS ai, b.id AS bi,
+         |    ${dotD("a.embedding", "b.embedding")} AS s
+         |  FROM pts a JOIN pts b ON a.id <> b.id),
+         |st1 AS MATERIALIZED (SELECT [(SELECT MIN(id) FROM pts)]
+         |  AS chosen)""".stripMargin)
+    for (k <- 2 to 16) {
+      val p = k - 1
+      sb.append(s""",
+        |p$k AS MATERIALIZED (
+        |  SELECT MIN(struct_pack(cov := cov, id := id)) AS w FROM (
+        |    SELECT sim.ai AS id, MAX(sim.s) AS cov FROM sim, st$p
+        |    WHERE list_contains(st$p.chosen, sim.bi)
+        |      AND NOT list_contains(st$p.chosen, sim.ai)
+        |    GROUP BY sim.ai)),
+        |st$k AS MATERIALIZED (SELECT list_append(st$p.chosen,
+        |  (SELECT w.id FROM p$k)) AS chosen FROM st$p)""".stripMargin)
+    }
+    val picks = Seq(
+      """SELECT 1 AS step, (SELECT MIN(id) FROM pts) AS id,
+        |  CAST(0 AS BIGINT) AS cov_fp""".stripMargin) ++
+      (2 to 16).map(k =>
+        s"""SELECT $k AS step, (SELECT w.id FROM p$k) AS id,
+           |  (SELECT w.cov FROM p$k) AS cov_fp""".stripMargin)
+    sb.append("\nSELECT step, id, cov_fp FROM (" +
+      picks.mkString(" UNION ALL ") + ") ORDER BY step")
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_mmr_rerank", q181, Some(q181Sql)),
     QueryDef("q182_bitext_margin", q182, Some(q182Sql)),
+    QueryDef("q184_kcenter_coreset", q184, Some(q184Sql)),
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),

@@ -1533,6 +1533,60 @@ object TextQ {
           .mkString(" UNION ALL ")})
        |ORDER BY merge_rank""".stripMargin
 
+  /** q183 — per-language tokenizer FERTILITY under the trained BPE
+    * (the standard tokenizer-eval report: subword units per word, and
+    * the char→subword compression ratio — how a tokenizer trained on
+    * a mixed corpus over- or under-segments each language): the
+    * 16-merge [[graft.ext.TextAnalysis.bpeTrainLocal]] table applied
+    * corpus-wide, symbol counts aggregated per language, ratios in
+    * exact 10^6 fixed point. The oracle replays training AND
+    * segmentation through the same unrolled CTE chain, then the
+    * per-language aggregation — a drifted merge table or a
+    * segmentation leak in any language flips its row. */
+  def q183(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val ms = graft.ext.TextAnalysis.bpeTrainLocal(docs, "text", 16)
+    docs
+      .withColumn("st0", graft.ext.TextAnalysis.bpeInitState("text"))
+      .withColumn("stn", graft.ext.TextAnalysis.bpeSegment("text", ms))
+      .select(col("lang"),
+        expr("CAST(size(split(st0, ' ')) AS BIGINT)").as("nw"),
+        expr("(length(st0) - length(replace(st0, '|', ''))) DIV 2")
+          .as("sb"),
+        expr("(length(stn) - length(replace(stn, '|', ''))) DIV 2")
+          .as("sa"))
+      .groupBy("lang")
+      .agg(sum(col("nw")).as("n_words"),
+        sum(col("sb")).as("syms_before"),
+        sum(col("sa")).as("syms_after"))
+      .select(col("lang"), col("n_words"), col("syms_before"),
+        col("syms_after"),
+        expr("syms_after * 1000000 div greatest(n_words, 1L)")
+          .as("fertility_fp"),
+        expr("syms_before * 1000000 div greatest(syms_after, 1L)")
+          .as("compression_fp"))
+      .orderBy(col("lang"))
+  }
+
+  val q183Sql: String =
+    s"""WITH ${bpeCtes(16)},
+       |per AS (SELECT a.doc_id,
+       |    CAST(len(string_split(a.state, ' ')) AS BIGINT) AS nw,
+       |    (length(a.state) - length(replace(a.state, '|', ''))) // 2
+       |      AS sb,
+       |    (length(b.state) - length(replace(b.state, '|', ''))) // 2
+       |      AS sa
+       |  FROM st0 a JOIN st16 b USING (doc_id)),
+       |g AS (SELECT d.lang, CAST(SUM(nw) AS BIGINT) AS n_words,
+       |    CAST(SUM(sb) AS BIGINT) AS syms_before,
+       |    CAST(SUM(sa) AS BIGINT) AS syms_after
+       |  FROM per JOIN documents d USING (doc_id) GROUP BY d.lang)
+       |SELECT lang, n_words, syms_before, syms_after,
+       |  (syms_after * 1000000) // GREATEST(n_words, 1) AS fertility_fp,
+       |  (syms_before * 1000000) // GREATEST(syms_after, 1)
+       |    AS compression_fp
+       |FROM g ORDER BY lang""".stripMargin
+
   /** q180 — interpolated Kneser–Ney bigram scoring
     * ([[graft.ext.TextAnalysis.kneserNeyScore]], Kneser & Ney 1995 /
     * Chen & Goodman 1998 — the KenLM smoothing CCNet-style perplexity
@@ -3725,5 +3779,6 @@ object TextQ {
     QueryDef("q176_keeper_reelection", q176, Some(q176Sql)),
     QueryDef("q177_corpus_bleu", q177, Some(q177Sql)),
     QueryDef("q179_bpe_train_local", q179, Some(q179Sql)),
-    QueryDef("q180_kneser_ney", q180, Some(q180Sql)))
+    QueryDef("q180_kneser_ney", q180, Some(q180Sql)),
+    QueryDef("q183_bpe_fertility", q183, Some(q183Sql)))
 }
