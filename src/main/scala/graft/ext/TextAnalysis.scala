@@ -1551,6 +1551,108 @@ object TextAnalysis {
           "ELSE 0L END").as("bpt_fp"))
   }
 
+  /** The trigram count table `(w1, w2, w3, c)` the trigram-KN
+    * statistics derive from — one map-side-combinable count. */
+  def kneserNeyTrigramTable(df: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    df.select(split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(2, size(toks) - 1), i -> struct(
+          |    toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Trigram interpolated Kneser–Ney — the full KenLM recursion shape
+    * (Chen & Goodman 1998 §2.7, two levels + continuation unigram):
+    *
+    *   P(w3|w1w2) = (max(c123−D,0) + D·N1+(w1w2·)·P(w3|w2)) / c(w1w2·)
+    *   P(w3|w2)   = (max(N1+(·w2w3)−D,0) + D·N1+(w2·)·Pc(w3)) / N1+(·w2·)
+    *   Pc(w3)     = N1+(·w3) / N1+(··)
+    *
+    * — the MIDDLE order uses CONTINUATION counts (how many distinct
+    * left contexts a bigram completes), the property that makes KN
+    * KN. Every statistic reduces from the trigram table alone;
+    * probabilities land in exactly TWO truncating fixed-point
+    * divisions (p2 then p3 — both replayed verbatim by the oracle) in
+    * 38-digit integers. Unseen (w1,w2) context degrades to P(w3|w2),
+    * unseen middle w2 to Pc(w3), unseen w3 floors at p_fp = 1.
+    *
+    * Scale shape: identical to [[kneserNeyScore]] — model-sized
+    * aggregations of the trigram table, then key-local hash joins
+    * against the corpus positions frame; N1+(··) is driver-held
+    * model metadata. */
+  def kneserNeyTrigramScore(df: org.apache.spark.sql.DataFrame,
+      idCol: String, tri: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    def lg(c: Column): Column =
+      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+        expr(s"fixed_log2(${c.toString})")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+    // model-sized statistic frames, all from the trigram table
+    val c3ctx = tri.groupBy("w1", "w2")
+      .agg(sum(col("c")).as("c3"), count(lit(1)).as("fwd3"))
+    val cc23 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("cc23"))
+    val mid2 = cc23.groupBy("w2")
+      .agg(sum(col("cc23")).as("mid2"), count(lit(1)).as("fwd2"))
+    val bwd3 = cc23.groupBy("w3").agg(count(lit(1)).as("bwd3"))
+    val t = cc23.count()
+    require(t > 0, "kneserNeyTrigramScore: empty model (no trigrams)")
+    val pos = df
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+")
+        .as("toks"))
+      .select(col("id"), explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(2, size(toks) - 1), i -> struct(
+          |    toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .select(col("id"), col("p.w1"), col("p.w2"), col("p.w3"))
+    val scored = pos
+      .join(tri.withColumnRenamed("c", "c123"), Seq("w1", "w2", "w3"),
+        "left")
+      .join(c3ctx, Seq("w1", "w2"), "left")
+      .join(cc23, Seq("w2", "w3"), "left")
+      .join(mid2, Seq("w2"), "left")
+      .join(bwd3, Seq("w3"), "left")
+      .withColumn("p2_fp", expr(
+        s"""CASE WHEN mid2 IS NOT NULL THEN CAST((
+           |  CAST(1048576 AS DECIMAL(38,0)) * (
+           |    CAST(GREATEST(100 * COALESCE(cc23, CAST(0 AS BIGINT))
+           |        - 75, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * $t +
+           |    CAST(75 AS DECIMAL(38,0)) * fwd2 *
+           |      COALESCE(bwd3, CAST(0 AS BIGINT)))
+           |) div (CAST(100 AS DECIMAL(38,0)) * mid2 * $t) AS BIGINT)
+           |ELSE CAST((CAST(1048576 AS DECIMAL(38,0)) *
+           |    COALESCE(bwd3, CAST(0 AS BIGINT)))
+           |  div CAST($t AS DECIMAL(38,0)) AS BIGINT)
+           |END""".stripMargin))
+      .withColumn("p_fp", expr(
+        """GREATEST(CASE WHEN c3 IS NOT NULL THEN CAST((
+          |  CAST(GREATEST(100 * COALESCE(c123, CAST(0 AS BIGINT))
+          |      - 75, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * 1048576 +
+          |  CAST(75 AS DECIMAL(38,0)) * fwd3 * p2_fp
+          |) div (CAST(100 AS DECIMAL(38,0)) * c3) AS BIGINT)
+          |ELSE p2_fp END, CAST(1 AS BIGINT))""".stripMargin))
+      .withColumn("bits", lit(20L * 65536L) - lg(col("p_fp")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("c123").isNotNull, 1L).otherwise(0L))
+          .as("seen_tri"),
+        sum(col("bits")).as("bits_fp"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("seen_tri"), lit(0L)).as("seen_tri"),
+        coalesce(col("bits_fp"), lit(0L)).as("bits_fp"),
+        expr("CASE WHEN n_pos > 0 THEN bits_fp div n_pos " +
+          "ELSE 0L END").as("bpt_fp"))
+  }
+
   /** Streaming LM maintenance: every micro-batch's counts land
     * exactly-once (batch-id-keyed txn markers — crash/replay cannot
     * double a count). The model any reader sees via [[lmCountsRead]]

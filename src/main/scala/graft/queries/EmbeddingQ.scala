@@ -1784,10 +1784,104 @@ object EmbeddingQ {
     sb.toString
   }
 
+  /** q185 — Matryoshka prefix-dimension recall (Kusupati et al.
+    * NeurIPS 2022's MRL serving trade, as a measurable diagnostic):
+    * the top-10 neighbors of the query under the FIRST-16-DIM dot
+    * vs the full-64-dim top-10 — per prefix-rank row: both scores
+    * and whether the full list contains the hit. The 100 TB
+    * relevance: prefix-dim scan + full-dim rerank is the standard
+    * memory-bandwidth trade, and this row measures exactly what that
+    * first stage loses. Same broadcast-query scan shape as q36. */
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        expr(dot(s, "embedding", "qe")).as("s_full"),
+        expr(dot(s, "slice(embedding, 1, 16)", "slice(qe, 1, 16)"))
+          .as("s_pre"))
+    val full10 = scored
+      .orderBy(col("s_full").desc, col("vec_id")).limit(10)
+      .select(col("vec_id").as("fid"))
+    val pre10 = scored
+      .orderBy(col("s_pre").desc, col("vec_id")).limit(10)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("s_pre").desc, col("vec_id"))))
+    pre10.join(full10, pre10("vec_id") === full10("fid"), "left")
+      .select(col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("s_pre").as("cos_prefix_fp"),
+        col("s_full").as("cos_full_fp"),
+        when(col("fid").isNotNull, 1L).otherwise(0L).as("in_full_top10"))
+      .orderBy(col("rnk"))
+  }
+
+  val q185Sql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+       |  WHERE vec_id = 0),
+       |sc AS (SELECT vec_id,
+       |    ${dotD("embedding", "qe")} AS s_full,
+       |    ${dotD("embedding[1:16]", "qe[1:16]")} AS s_pre
+       |  FROM embeddings, q WHERE vec_id <> 0),
+       |f AS (SELECT vec_id FROM sc
+       |  ORDER BY s_full DESC, vec_id LIMIT 10),
+       |p AS (SELECT vec_id, s_pre, s_full, ROW_NUMBER() OVER
+       |    (ORDER BY s_pre DESC, vec_id) AS rnk
+       |  FROM sc ORDER BY s_pre DESC, vec_id LIMIT 10)
+       |SELECT p.rnk, p.vec_id, p.s_pre AS cos_prefix_fp,
+       |  p.s_full AS cos_full_fp,
+       |  CASE WHEN f.vec_id IS NOT NULL THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS in_full_top10
+       |FROM p LEFT JOIN f ON p.vec_id = f.vec_id
+       |ORDER BY p.rnk""".stripMargin
+
+  /** q186 — k-occurrence HUBNESS diagnostic (Radovanović et al. JMLR
+    * 2010): how often each vector appears in other vectors' 5-NN
+    * lists, reported as the occurrence histogram. High-dimensional
+    * corpora grow "hub" vectors that dominate every neighbor list —
+    * the pathology the bitext margin (q182) normalizes away; this
+    * measures it directly. Shape: one brute 5-NN join over the
+    * label-0/1 subset (the LSH/IVF joins replace it at 100 TB), a
+    * per-neighbor count, and a bounded histogram. */
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+      .filter(col("label") <= 1)
+    val nn = Similarity.knnJoinBrute(emb, emb, "vec_id", "vec_id",
+      k = 5, excludeSelf = true)
+    val occ = nn.groupBy(col("c_id")).agg(count(lit(1)).as("occ"))
+    // vectors never appearing in any 5-NN list are occ = 0
+    emb.select(col("vec_id").as("c_id"))
+      .join(occ, Seq("c_id"), "left")
+      .select(coalesce(col("occ"), lit(0L)).as("occ"))
+      .groupBy("occ").agg(count(lit(1)).as("n_points"))
+      .orderBy(col("occ"))
+  }
+
+  val q186Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE label <= 1),
+       |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    ${dotD("b.embedding", "a.embedding")} AS s
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |nn AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY s DESC, c_id) AS rnk FROM sc)
+       |  WHERE rnk <= 5),
+       |occ AS (SELECT e.vec_id,
+       |    CAST(COALESCE(o.c, 0) AS BIGINT) AS occ
+       |  FROM e LEFT JOIN (SELECT c_id, COUNT(*) AS c FROM nn
+       |    GROUP BY c_id) o ON e.vec_id = o.c_id)
+       |SELECT occ, COUNT(*) AS n_points FROM occ GROUP BY occ
+       |ORDER BY occ""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_mmr_rerank", q181, Some(q181Sql)),
     QueryDef("q182_bitext_margin", q182, Some(q182Sql)),
     QueryDef("q184_kcenter_coreset", q184, Some(q184Sql)),
+    QueryDef("q185_matryoshka_recall", q185, Some(q185Sql)),
+    QueryDef("q186_hubness", q186, Some(q186Sql)),
     QueryDef("q83_incremental_vec_neardup", q83, Some(q83Sql)),
     QueryDef("q84_banded_vec_neardup", q84, Some(q84Sql)),
     QueryDef("q36_knn_brute", q36, Some(q36Sql)),

@@ -1533,6 +1533,91 @@ object TextQ {
           .mkString(" UNION ALL ")})
        |ORDER BY merge_rank""".stripMargin
 
+  /** q187 — TRIGRAM interpolated Kneser–Ney
+    * ([[graft.ext.TextAnalysis.kneserNeyTrigramScore]] — the full
+    * KenLM recursion: trigram level over raw counts, bigram level
+    * over CONTINUATION counts, continuation-unigram base): trains on
+    * the English documents, scores all documents, every backoff
+    * level exercised and the two truncating fixed-point divisions
+    * replayed verbatim by the oracle. With q180 (bigram KN), q148
+    * (Stupid Backoff) and q151 (incremental counts) this completes
+    * the smoothing-LM serving surface. */
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val tri = graft.ext.TextAnalysis.kneserNeyTrigramTable(
+      docs.filter(col("lang") === "en"))
+    graft.ext.TextAnalysis.kneserNeyTrigramScore(docs, "doc_id", tri)
+      .select(col("id").as("doc_id"), col("n_pos"), col("seen_tri"),
+        col("bits_fp"), col("bpt_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q187Sql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, $toksD AS toks FROM documents),
+       |tg AS (SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3,
+       |    COUNT(*) AS c123 FROM (
+       |  SELECT unnest(list_transform(
+       |      range(1, greatest(len(toks) - 1, 1)),
+       |    i -> [toks[i], toks[i+1], toks[i+2]])) AS p
+       |  FROM tk WHERE lang = 'en') GROUP BY 1, 2, 3),
+       |c3x AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c3,
+       |    COUNT(*) AS fwd3 FROM tg GROUP BY w1, w2),
+       |cc AS (SELECT w2, w3, COUNT(*) AS cc23 FROM tg GROUP BY w2, w3),
+       |md AS (SELECT w2, CAST(SUM(cc23) AS BIGINT) AS mid2,
+       |    COUNT(*) AS fwd2 FROM cc GROUP BY w2),
+       |bw AS (SELECT w3, COUNT(*) AS bwd3 FROM cc GROUP BY w3),
+       |nt AS (SELECT COUNT(*) AS t FROM cc),
+       |pos AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(toks) - 1, 1)),
+       |    i -> [toks[i], toks[i+1], toks[i+2]])) AS p FROM tk)),
+       |j AS (SELECT pos.doc_id, tg.c123, c3x.c3, c3x.fwd3, cc.cc23,
+       |    md.mid2, md.fwd2, bw.bwd3
+       |  FROM pos
+       |  LEFT JOIN tg ON pos.w1 = tg.w1 AND pos.w2 = tg.w2
+       |    AND pos.w3 = tg.w3
+       |  LEFT JOIN c3x ON pos.w1 = c3x.w1 AND pos.w2 = c3x.w2
+       |  LEFT JOIN cc ON pos.w2 = cc.w2 AND pos.w3 = cc.w3
+       |  LEFT JOIN md ON pos.w2 = md.w2
+       |  LEFT JOIN bw ON pos.w3 = bw.w3),
+       |p2 AS (SELECT doc_id, c123, c3, fwd3,
+       |    CASE WHEN mid2 IS NOT NULL THEN CAST((
+       |      CAST(1048576 AS HUGEINT) * (
+       |        CAST(GREATEST(100 * COALESCE(cc23, 0) - 75, 0)
+       |          AS HUGEINT) * (SELECT t FROM nt) +
+       |        CAST(75 AS HUGEINT) * fwd2 * COALESCE(bwd3, 0))
+       |      ) // (CAST(100 AS HUGEINT) * mid2 * (SELECT t FROM nt))
+       |      AS BIGINT)
+       |    ELSE CAST((CAST(1048576 AS HUGEINT) * COALESCE(bwd3, 0))
+       |      // (SELECT t FROM nt) AS BIGINT) END AS p2_fp
+       |  FROM j),
+       |pv AS (SELECT doc_id, c123, GREATEST(
+       |    CASE WHEN c3 IS NOT NULL THEN CAST((
+       |      CAST(GREATEST(100 * COALESCE(c123, 0) - 75, 0) AS HUGEINT)
+       |        * 1048576 +
+       |      CAST(75 AS HUGEINT) * fwd3 * p2_fp
+       |    ) // (CAST(100 AS HUGEINT) * c3) AS BIGINT)
+       |    ELSE p2_fp END, CAST(1 AS BIGINT)) AS p_fp FROM p2),
+       |vals AS (SELECT DISTINCT p_fp FROM pv),
+       |lvin AS (SELECT p_fp AS doc_id, CAST(p_fp AS BIGINT) AS p_fp
+       |  FROM vals),
+       |lv AS (${flog2D("lvin")}),
+       |bits AS (SELECT pv.doc_id, pv.c123,
+       |    CAST(20 * 65536 AS BIGINT) - lv.lg AS bits
+       |  FROM pv JOIN lv ON pv.p_fp = lv.doc_id),
+       |ag AS (SELECT doc_id, COUNT(*) AS n_pos,
+       |    CAST(SUM(CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS seen_tri,
+       |    CAST(SUM(bits) AS BIGINT) AS bits_fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(ag.n_pos, 0) AS n_pos,
+       |  COALESCE(ag.seen_tri, 0) AS seen_tri,
+       |  COALESCE(ag.bits_fp, 0) AS bits_fp,
+       |  CASE WHEN COALESCE(ag.n_pos, 0) > 0
+       |    THEN ag.bits_fp // ag.n_pos ELSE 0 END AS bpt_fp
+       |FROM documents d LEFT JOIN ag USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** q183 — per-language tokenizer FERTILITY under the trained BPE
     * (the standard tokenizer-eval report: subword units per word, and
     * the char→subword compression ratio — how a tokenizer trained on
@@ -3780,5 +3865,6 @@ object TextQ {
     QueryDef("q177_corpus_bleu", q177, Some(q177Sql)),
     QueryDef("q179_bpe_train_local", q179, Some(q179Sql)),
     QueryDef("q180_kneser_ney", q180, Some(q180Sql)),
-    QueryDef("q183_bpe_fertility", q183, Some(q183Sql)))
+    QueryDef("q183_bpe_fertility", q183, Some(q183Sql)),
+    QueryDef("q187_kneser_ney_trigram", q187, Some(q187Sql)))
 }

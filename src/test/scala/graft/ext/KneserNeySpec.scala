@@ -88,6 +88,86 @@ class KneserNeySpec extends SparkSpec {
       got.toString)
   }
 
+  /** Independent trigram-KN reference (continuation-count middle
+    * order, two BigInt truncating divisions). */
+  private def bruteTri(train: Seq[String], score: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    val tris = train.flatMap { t =>
+      val w = toks(t); if (w.length < 3) Nil
+      else (2 until w.length).map(i => (w(i - 2), w(i - 1), w(i)))
+    }
+    val c123 = tris.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val c3 = c123.groupBy(k => (k._1._1, k._1._2))
+      .map { case (k, m) => k -> m.values.sum }
+    val fwd3 = c123.groupBy(k => (k._1._1, k._1._2))
+      .map { case (k, m) => k -> m.size.toLong }
+    val cc23 = c123.keySet.groupBy(k => (k._2, k._3))
+      .map { case (k, s) => k -> s.size.toLong }
+    val mid2 = cc23.groupBy(_._1._1)
+      .map { case (w2, m) => w2 -> m.values.sum }
+    val fwd2 = cc23.groupBy(_._1._1)
+      .map { case (w2, m) => w2 -> m.size.toLong }
+    val bwd3 = cc23.groupBy(_._1._2)
+      .map { case (w3, m) => w3 -> m.size.toLong }
+    val t = cc23.size.toLong
+    def flog2(x: Long): Long = graft.functions.FixedPointMath.flog2(x)
+    score.map { case (id, txt) =>
+      val w = toks(txt)
+      val ps = if (w.length < 3) Nil
+        else (2 until w.length).map(i => (w(i - 2), w(i - 1), w(i)))
+      var bits = 0L; var seen = 0L
+      for (p <- ps) {
+        val k2 = (p._2, p._3)
+        val p2: Long =
+          if (mid2.contains(p._2)) {
+            val num = BigInt(1048576) * (
+              BigInt(math.max(100L * cc23.getOrElse(k2, 0L) - 75L, 0L))
+                * t + BigInt(75) * fwd2(p._2) *
+                BigInt(bwd3.getOrElse(p._3, 0L)))
+            (num / (BigInt(100) * mid2(p._2) * t)).toLong
+          } else
+            (BigInt(1048576) * BigInt(bwd3.getOrElse(p._3, 0L)) / t)
+              .toLong
+        val ctx = (p._1, p._2)
+        val pf: Long =
+          if (c3.contains(ctx)) {
+            val num =
+              BigInt(math.max(100L * c123.getOrElse(p, 0L) - 75L, 0L)) *
+                1048576 + BigInt(75) * fwd3(ctx) * p2
+            (num / (BigInt(100) * c3(ctx))).toLong
+          } else p2
+        if (c123.contains(p)) seen += 1
+        bits += 20L * 65536L - flog2(math.max(pf, 1L))
+      }
+      val n = ps.size.toLong
+      id -> ((n, seen, bits, if (n > 0) bits / n else 0L))
+    }.toMap
+  }
+
+  test("trigram KN: randomized cross-check against the BigInt reference") {
+    val rnd = new scala.util.Random(71)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def doc() = Seq.fill(rnd.nextInt(25) + 3)(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val train = Seq.fill(20)(doc())
+    val scored = train.take(8).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) } ++
+      Seq((100L, "zz a b c zz"), (101L, "a zz b"), (102L, "zz"))
+    val trainDf = df(train.zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }: _*)
+    val tri = TextAnalysis.kneserNeyTrigramTable(trainDf)
+    val got = TextAnalysis
+      .kneserNeyTrigramScore(df(scored: _*), "doc_id", tri)
+      .select("id", "n_pos", "seen_tri", "bits_fp", "bpt_fp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val expect = bruteTri(train, scored)
+    assert(got == expect,
+      s"\n got=${got.toSeq.sortBy(_._1)}\n exp=${expect.toSeq.sortBy(_._1)}")
+  }
+
   test("incrementally-maintained counts serve KN identically") {
     val a = df((1L, "a b a c a b"), (2L, "b c b a"))
     val b = df((3L, "c a c b a b a"))
