@@ -294,7 +294,13 @@ object Bench {
         // and BPE fertility (trainer dict build + 16 chained
         // replace projections over the corpus — segmentation is
         // scan-bound and should scale with the scan)
-        "q180_kneser_ney", "q183_bpe_fertility")
+        "q180_kneser_ney", "q183_bpe_fertility",
+        // round 14 (session 2): the funnel is ONE user_id shuffle +
+        // three stacked window passes (the event-analytics scan
+        // shape — should scale with the shuffle alone); Moore–Lewis
+        // is exactly twice q180's serving cost (two model builds +
+        // six key-local joins over one shared positions frame)
+        "q188_funnel", "q193_moore_lewis")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

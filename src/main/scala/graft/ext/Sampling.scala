@@ -500,4 +500,52 @@ object Sampling {
     greedyTokenPrefix(docs,
       allocRows.toSeq.toDF("stratum", "alloc"))
   }
+
+  /** Weighted sampling WITHOUT replacement, k items — Efraimidis &
+    * Spirakis 2006 algorithm A-Res, the standard one-pass reservoir
+    * form (each item i gets key uᵢ^(1/wᵢ), u uniform; the k largest
+    * keys are a weighted sample without replacement). Like every
+    * sampler in this module the "random" draw is RNG-FREE: uᵢ derives
+    * from the md5-prefix of the key column (the [[stableBucket]]
+    * trick), so the sample is a pure function of content — re-runs,
+    * engine changes and cluster sizes cannot re-draw it.
+    *
+    * Exactness: ranking by uᵢ^(1/wᵢ) descending is equivalent to
+    * ranking by log2(uᵢ)/wᵢ descending (log2 is monotone), and with
+    * uᵢ = u28ᵢ/2²⁸ that is `(28·2¹⁶ − fixed_log2(u28ᵢ))·10⁶ div wᵢ`
+    * ASCENDING — pure non-negative integer arithmetic (truncating
+    * division agrees between engines on non-negative operands), so a
+    * DuckDB oracle replays the `fixed_log2` recurrence and
+    * hash-matches the selected set bit for bit. Ties break by
+    * (md5(key), key).
+    *
+    * Rows with NULL or non-positive weight are excluded (their
+    * inclusion probability is zero/undefined). At scale: one narrow
+    * projection + a TakeOrdered(k) — no shuffle of the data, no
+    * per-partition reservoir state; k is driver-bounded by contract.
+    * Output: (keyCol, weightCol, ares_fp), the k smallest ares_fp. */
+  def weightedSampleK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    def lg(c: Column): Column =
+      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+        expr(s"fixed_log2(${c.toString})")
+      else org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.FixedLog2(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
+    val maxLg = 28L << 16 // fixed_log2(2^28), the u28 domain top
+    df.filter(col(s"`$weightCol`").isNotNull &&
+        col(s"`$weightCol`") > 0)
+      .withColumn("__u28", expr(
+        "CAST(conv(substring(md5(CAST(`" + keyCol +
+          "` AS STRING)), 1, 7), 16, 10) AS BIGINT) + 1"))
+      .withColumn("__lg", lg(col("__u28")))
+      .withColumn("ares_fp", expr(
+        s"($maxLg - __lg) * 1000000 div CAST(`$weightCol` AS BIGINT)"))
+      .orderBy(col("ares_fp").asc,
+        expr(s"md5(CAST(`$keyCol` AS STRING))").asc,
+        col(s"`$keyCol`").asc)
+      .limit(k)
+      .select(col(s"`$keyCol`"), col(s"`$weightCol`"), col("ares_fp"))
+  }
 }

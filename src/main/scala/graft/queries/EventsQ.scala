@@ -303,6 +303,136 @@ object EventsQ {
       |  ON a.id < b.id AND a.lo < b.hi AND b.lo < a.hi
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q188 — ordered funnel conversion (the product-analytics staple
+    * the reference's event log exists to answer; MATCH_RECOGNIZE-class
+    * semantics expressed as stacked cumulative windows): a user
+    * reaches step k when an event of the step-k type occurs AT OR
+    * AFTER the user's earliest step-(k−1) time and within `horizon`
+    * of their step-1 time. Each step column is a running
+    * `min(when(...)) over (partition user order ts, event_id rows
+    * unbounded preceding)` whose condition reads the PREVIOUS step's
+    * running column on the same inner row — so qualification uses the
+    * true earliest prior-step times, never a future event.
+    *
+    * Scale shape: ONE shuffle on user_id; the three window passes and
+    * the per-user fold all reuse that partitioning (Spark plans one
+    * Exchange, then Window×3 + partial agg). The final three-row
+    * conversion table is a broadcastable scalar frame. Conversion
+    * percentages in exact 10⁶ fixed point (truncating BIGINT div) so
+    * the oracle hash-matches. */
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    val horizonUs = 3L * 24 * 3600 * 1000000L // 3 days from step 1
+    val ev = Tables(s, dir, "events").select(
+      col("user_id"), col("event_type"), col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tu"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val funnel = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("tu"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" &&
+          col("tu") >= col("t1") &&
+          col("tu") <= col("t1") + lit(horizonUs), col("tu"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("tu") >= col("t2") &&
+          col("tu") <= col("t1") + lit(horizonUs), col("tu"))).over(w))
+      .groupBy("user_id")
+      .agg(min(col("t1")).as("f1"), min(col("t2")).as("f2"),
+        min(col("t3")).as("f3"))
+      .agg(count(col("f1")).as("n1"), count(col("f2")).as("n2"),
+        count(col("f3")).as("n3"))
+    funnel.selectExpr(
+      """stack(3,
+        |  CAST(1 AS BIGINT), 'signup',   n1, CAST(1000000 AS BIGINT),
+        |  CAST(2 AS BIGINT), 'view',     n2, n2 * 1000000L div nullif(n1, 0),
+        |  CAST(3 AS BIGINT), 'purchase', n3, n3 * 1000000L div nullif(n2, 0))
+        |  AS (step, step_type, n_users, conv_fp)""".stripMargin)
+      .orderBy(col("step"))
+  }
+
+  val q188Sql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+      |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN tu END)
+      |    OVER w AS t1 FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+      |    ROWS UNBOUNDED PRECEDING)),
+      |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'view'
+      |      AND tu >= t1 AND tu <= t1 + 259200000000 THEN tu END)
+      |    OVER w AS t2 FROM s1
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+      |    ROWS UNBOUNDED PRECEDING)),
+      |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+      |      AND tu >= t2 AND tu <= t1 + 259200000000 THEN tu END)
+      |    OVER w AS t3 FROM s2
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+      |    ROWS UNBOUNDED PRECEDING)),
+      |u AS (SELECT user_id, MIN(t1) AS f1, MIN(t2) AS f2, MIN(t3) AS f3
+      |  FROM s3 GROUP BY user_id),
+      |c AS (SELECT COUNT(f1) AS n1, COUNT(f2) AS n2, COUNT(f3) AS n3
+      |  FROM u)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_type,
+      |    n1 AS n_users, CAST(1000000 AS BIGINT) AS conv_fp FROM c
+      |  UNION ALL SELECT 2, 'view', n2, n2 * 1000000 // NULLIF(n1, 0)
+      |    FROM c
+      |  UNION ALL SELECT 3, 'purchase', n3, n3 * 1000000 // NULLIF(n2, 0)
+      |    FROM c)
+      |ORDER BY step""".stripMargin
+
+  /** q189 — weekly retention cohorts (the second product-analytics
+    * staple): users cohorted by the ISO week of their FIRST event;
+    * for each (cohort_week, week_offset) the distinct users active
+    * that week and the retention share of the cohort, in exact 10⁶
+    * fixed point. Both engines truncate weeks to ISO Monday, so
+    * offsets are exact multiples of 7 days and the `div 7` is exact.
+    *
+    * Scale shape: the (user, week) frame and the first-week fold
+    * share one user_id shuffle; the cohort-size side is
+    * cohort-count-bounded and broadcast into the final join. No
+    * row-level state survives the two folds. */
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("wk"))
+    val weeks = ev.distinct()
+    val first = weeks.groupBy("user_id")
+      .agg(min(col("wk")).as("cohort_week"))
+    val sizes = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    weeks.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(wk, cohort_week) div 7 AS BIGINT)")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention_fp",
+        expr("active_users * 1000000L div cohort_users"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("active_users"), col("retention_fp"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q189Sql: String =
+    """WITH ev AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev
+      |  GROUP BY user_id),
+      |sz AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM f
+      |  GROUP BY 1),
+      |j AS (SELECT f.cohort_week,
+      |    CAST(datediff('day', f.cohort_week, ev.wk) // 7 AS BIGINT)
+      |      AS week_offset,
+      |    COUNT(DISTINCT ev.user_id) AS active_users
+      |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT j.cohort_week, j.week_offset, j.active_users,
+      |  j.active_users * 1000000 // sz.cohort_users AS retention_fp
+      |FROM j JOIN sz USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_hourly_windows", q18, Some(q18Sql)),
     QueryDef("q19_latest_per_user", q19, Some(q19Sql)),
@@ -313,5 +443,7 @@ object EventsQ {
     QueryDef("q24_sessionize", q24, Some(q24Sql)),
     QueryDef("q85_session_window", q85, Some(q85Sql)),
     QueryDef("q122_interval_join", q122, Some(q122Sql)),
-    QueryDef("q123_interval_overlap", q123, Some(q123Sql)))
+    QueryDef("q123_interval_overlap", q123, Some(q123Sql)),
+    QueryDef("q188_funnel", q188, Some(q188Sql)),
+    QueryDef("q189_retention_cohorts", q189, Some(q189Sql)))
 }

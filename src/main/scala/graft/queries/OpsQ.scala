@@ -422,6 +422,72 @@ object OpsQ {
       "WHERE NOT (doc_id % 10 < 3)) AS t",
     Seq("doc_id", "d", "dec"))
 
+  /** q190 — GRAFT RESTORE ([[graft.sink.CdcTable.restore]], Delta
+    * RESTORE parity, METADATA-ONLY): two appends build the snapshot,
+    * a destructive DELETE supersedes 50% of it, then `GRAFT RESTORE …
+    * TO COMMIT n` re-commits the pre-delete file lists BY REFERENCE —
+    * no data rewrite; the read after must hash-match the full corpus
+    * aggregate (the oracle sees no delete at all), proving the
+    * rollback reinstated every deleted row. */
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q190_tbl")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), tbl,
+      partitionBy = Nil)
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1), tbl,
+      partitionBy = Nil)
+    val snap = CdcTable.log(tbl).last.commit
+    CdcTable.delete(s, tbl, "doc_id % 10 < 5", partitionBy = Nil)
+    s.sql(s"GRAFT RESTORE '$tbl' TO COMMIT $snap").collect()
+    CdcTable.read(s, tbl)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q190Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  /** q191 — GRAFT CLONE ([[graft.sink.CdcTable.cloneShallow]], Delta
+    * SHALLOW CLONE parity): the clone borrows the source's files by
+    * reference (zero data copies), then a keyed DELETE in the CLONE
+    * rewrites only the borrowed files it touches — into the clone's
+    * own directory. The gate reads BOTH tables after: the source must
+    * still be the full corpus (clone DML cannot leak back) and the
+    * clone the post-delete residue. */
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = QueryDef.scratchDir("graft_q191_src")
+    val dst = QueryDef.scratchDir("graft_q191_dst")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), src,
+      partitionBy = Nil)
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1), src,
+      partitionBy = Nil)
+    s.sql(s"GRAFT CLONE '$src' TO '$dst'").collect()
+    CdcTable.delete(s, dst, "doc_id % 3 = 0", partitionBy = Nil)
+    def agg(dir0: String, tag: String) =
+      CdcTable.read(s, dir0).agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+        .select(lit(tag).as("tag"), col("n_docs"), col("sum_chars"))
+    agg(src, "src").unionByName(agg(dst, "clone")).orderBy(col("tag"))
+  }
+
+  val q191Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'src' AS tag, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents
+      |  UNION ALL
+      |  SELECT 'clone', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+      |  FROM documents WHERE NOT (doc_id % 3 = 0))
+      |ORDER BY tag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q169_profile_files", q169, Some(q169Sql)),
     QueryDef("q178_profile_typed_files", q178, Some(q178Sql)),
@@ -436,5 +502,7 @@ object OpsQ {
     QueryDef("q43_validation", q43, Some(q43Sql)),
     QueryDef("q44_cube", q44, Some(q44Sql)),
     QueryDef("q45_merge_upsert", q45, Some(q45Sql)),
-    QueryDef("q46_sliding_windows", q46, Some(q46Sql)))
+    QueryDef("q46_sliding_windows", q46, Some(q46Sql)),
+    QueryDef("q190_restore", q190, Some(q190Sql)),
+    QueryDef("q191_clone", q191, Some(q191Sql)))
 }

@@ -1542,6 +1542,101 @@ object TextQ {
     * replayed verbatim by the oracle. With q180 (bigram KN), q148
     * (Stupid Backoff) and q151 (incremental counts) this completes
     * the smoothing-LM serving surface. */
+  /** Parametrized replay of the q180 KN-bigram scoring chain — one
+    * block per model (`p` prefixes every CTE; `modelWhere` restricts
+    * the TRAINING corpus). Shares the outer `tk`/`pos` CTEs; produces
+    * `${p}ag(doc_id, n_pos, bits_fp)`. The q193 Moore–Lewis oracle
+    * instantiates it twice (in-domain and general models). */
+  private def knBptBlock(p: String, modelWhere: String): String =
+    s"""${p}bg AS (SELECT q[1] AS w1, q[2] AS w2, COUNT(*) AS c12 FROM (
+       |  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |    i -> [toks[i], toks[i+1]])) AS q FROM tk WHERE $modelWhere)
+       |  GROUP BY 1, 2),
+       |${p}ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |    COUNT(*) AS fwd FROM ${p}bg GROUP BY w1),
+       |${p}bwd AS (SELECT w2, COUNT(*) AS bwd FROM ${p}bg GROUP BY w2),
+       |${p}nt AS (SELECT COUNT(*) AS t FROM ${p}bg),
+       |${p}j AS (SELECT pos.doc_id, ${p}bg.c12, ${p}ctx.c1,
+       |    ${p}ctx.fwd, ${p}bwd.bwd
+       |  FROM pos
+       |  LEFT JOIN ${p}bg ON pos.w1 = ${p}bg.w1 AND pos.w2 = ${p}bg.w2
+       |  LEFT JOIN ${p}ctx ON pos.w1 = ${p}ctx.w1
+       |  LEFT JOIN ${p}bwd ON pos.w2 = ${p}bwd.w2),
+       |${p}pv AS (SELECT doc_id, c12, GREATEST(
+       |    CASE WHEN c1 IS NOT NULL THEN CAST((
+       |      CAST(1048576 AS HUGEINT) * (
+       |        CAST(GREATEST(100 * COALESCE(c12, 0) - 75, 0) AS HUGEINT)
+       |          * (SELECT t FROM ${p}nt) +
+       |        CAST(75 AS HUGEINT) * fwd * COALESCE(bwd, 0))
+       |      ) // (CAST(100 AS HUGEINT) * c1 * (SELECT t FROM ${p}nt))
+       |      AS BIGINT)
+       |    ELSE CAST((CAST(1048576 AS HUGEINT) * COALESCE(bwd, 0))
+       |      // (SELECT t FROM ${p}nt) AS BIGINT) END,
+       |    CAST(1 AS BIGINT)) AS p_fp FROM ${p}j),
+       |${p}vals AS (SELECT DISTINCT p_fp FROM ${p}pv),
+       |${p}lvin AS (SELECT p_fp AS doc_id, CAST(p_fp AS BIGINT) AS p_fp
+       |  FROM ${p}vals),
+       |${p}lv AS (${flog2D(s"${p}lvin")}),
+       |${p}bits AS (SELECT ${p}pv.doc_id,
+       |    CAST(20 * 65536 AS BIGINT) - ${p}lv.lg AS bits
+       |  FROM ${p}pv JOIN ${p}lv ON ${p}pv.p_fp = ${p}lv.doc_id),
+       |${p}ag AS (SELECT doc_id, COUNT(*) AS n_pos,
+       |    CAST(SUM(bits) AS BIGINT) AS bits_fp
+       |  FROM ${p}bits GROUP BY doc_id)""".stripMargin
+
+  /** q193 — Moore–Lewis cross-entropy difference selection (Moore &
+    * Lewis ACL 2010, the standard LM-corpus data-selection method;
+    * what CCNet/CC-100 style pipelines rank web text with): score
+    * every document under an IN-DOMAIN Kneser–Ney bigram model
+    * (trained on the `src0` slice) and a GENERAL model (trained on
+    * the whole corpus), rank by the per-token bits difference
+    * `H_in(d) − H_gen(d)` ascending — most in-domain-like first —
+    * and keep the top 50. Both scores ride [[q180]]'s exact
+    * fixed-point machinery, so the selected SET (not just its size)
+    * hash-matches the oracle's twin replay.
+    *
+    * Scale shape: two model-sized aggregation sets + six key-local
+    * joins against ONE shared corpus positions frame, then a
+    * TakeOrdered(50) — corpus size enters only through the one
+    * positions scan, exactly twice q180's serving cost. */
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    val docs = spreadDocs(s, dir)
+    val biIn = graft.ext.TextAnalysis.kneserNeyTable(
+      docs.filter(col("source") === "src0"))
+    val biGen = graft.ext.TextAnalysis.kneserNeyTable(docs)
+    val sIn = graft.ext.TextAnalysis
+      .kneserNeyScore(docs, "doc_id", biIn)
+      .select(col("id").as("doc_id"), col("bpt_fp").as("bpt_in_fp"))
+    val sGen = graft.ext.TextAnalysis
+      .kneserNeyScore(docs, "doc_id", biGen)
+      .select(col("id").as("doc_id"), col("bpt_fp").as("bpt_gen_fp"))
+    sIn.join(sGen, "doc_id")
+      .withColumn("ml_diff_fp", col("bpt_in_fp") - col("bpt_gen_fp"))
+      .orderBy(col("ml_diff_fp"), col("doc_id"))
+      .limit(50)
+  }
+
+  val q193Sql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, source, $toksD AS toks
+       |  FROM documents),
+       |pos AS (SELECT doc_id, q[1] AS w1, q[2] AS w2 FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |      range(1, greatest(len(toks), 1)),
+       |    i -> [toks[i], toks[i+1]])) AS q FROM tk)),
+       |${knBptBlock("i_", "source = 'src0'")},
+       |${knBptBlock("g_", "TRUE")},
+       |sc AS (SELECT d.doc_id,
+       |    COALESCE(CASE WHEN ia.n_pos > 0
+       |      THEN ia.bits_fp // ia.n_pos END, 0) AS bpt_in_fp,
+       |    COALESCE(CASE WHEN ga.n_pos > 0
+       |      THEN ga.bits_fp // ga.n_pos END, 0) AS bpt_gen_fp
+       |  FROM documents d
+       |  LEFT JOIN i_ag ia USING (doc_id)
+       |  LEFT JOIN g_ag ga USING (doc_id))
+       |SELECT doc_id, bpt_in_fp, bpt_gen_fp,
+       |  bpt_in_fp - bpt_gen_fp AS ml_diff_fp
+       |FROM sc ORDER BY ml_diff_fp, doc_id LIMIT 50""".stripMargin
+
   def q187(s: SparkSession, dir: String): DataFrame = {
     val docs = spreadDocs(s, dir)
     val tri = graft.ext.TextAnalysis.kneserNeyTrigramTable(
@@ -2002,6 +2097,33 @@ object TextQ {
        |      ORDER BY bucket DESC, doc_id ASC) AS rn FROM b)
        |SELECT stratum, id, bucket FROM r WHERE rn <= 10
        |ORDER BY stratum, id""".stripMargin
+
+  /** q192 — weighted sampling without replacement
+    * ([[graft.ext.Sampling.weightedSampleK]], Efraimidis & Spirakis
+    * 2006 A-Res): 25 documents drawn with probability proportional to
+    * `n_chars`, RNG-free (u from the md5-prefix of doc_id), ranked by
+    * the exact fixed-point A-Res key — the oracle replays the
+    * `fixed_log2` recurrence and hash-matches the selected set. */
+  def q192(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling
+      .weightedSampleK(Tables(s, dir, "documents"), "doc_id",
+        "n_chars", 25)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        col("ares_fp"))
+      .orderBy(col("ares_fp"), col("doc_id"))
+
+  val q192Sql: String =
+    s"""WITH uu AS (SELECT doc_id, n_chars,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+       |      AS BIGINT) + 1 AS p_fp
+       |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+       |lgt AS (${flog2D("uu", Seq("n_chars", "h"))}),
+       |sel AS (SELECT doc_id, n_chars,
+       |    (1835008 - lg) * 1000000 // n_chars AS ares_fp, h
+       |  FROM lgt)
+       |SELECT doc_id, n_chars AS weight, ares_fp FROM sel
+       |ORDER BY ares_fp, h, doc_id LIMIT 25""".stripMargin
 
   /** q121 — span-level boilerplate REMOVAL
     * ([[graft.ext.Dedup.spanDedupRewrite]]): q73 reports the damage,
@@ -3824,6 +3946,7 @@ object TextQ {
     QueryDef("q117_containment", q117, Some(q117Sql)),
     QueryDef("q118_rank_normalize", q118, Some(q118Sql)),
     QueryDef("q120_sample_exact_k", q120, Some(q120Sql)),
+    QueryDef("q192_weighted_sample", q192, Some(q192Sql)),
     QueryDef("q121_span_rewrite", q121, Some(q121Sql)),
     QueryDef("q124_classifier_cut", q124, Some(q124Sql)),
     QueryDef("q128_token_entropy", q128, Some(q128Sql)),
@@ -3866,5 +3989,6 @@ object TextQ {
     QueryDef("q179_bpe_train_local", q179, Some(q179Sql)),
     QueryDef("q180_kneser_ney", q180, Some(q180Sql)),
     QueryDef("q183_bpe_fertility", q183, Some(q183Sql)),
-    QueryDef("q187_kneser_ney_trigram", q187, Some(q187Sql)))
+    QueryDef("q187_kneser_ney_trigram", q187, Some(q187Sql)),
+    QueryDef("q193_moore_lewis", q193, Some(q193Sql)))
 }

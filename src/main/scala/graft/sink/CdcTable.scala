@@ -68,6 +68,23 @@ object CdcTable {
         * only for columns the append requested via `bloomCols`. */
       blooms: Map[String, Map[String, String]] = Map.empty)
 
+  /** Resolve a manifest file entry to a readable path. Entries are
+    * normally dir-RELATIVE (`data/batch-…`) so tables relocate freely;
+    * a SHALLOW CLONE ([[cloneShallow]]) borrows the source's files by
+    * absolute path / URI instead — those pass through unchanged. */
+  private def resolve(dir: String, f: String): String =
+    if (f.startsWith("/") || f.contains("://")) f else s"$dir/$f"
+
+  /** The identity a manifest entry shares with [[relPathCol]]'s
+    * row-level extraction: the last `data/batch-…` suffix. Relative
+    * entries ARE that suffix already; absolute borrowed entries
+    * (shallow clones) reduce to it, so file-keyed rewrites key the
+    * same rows to the same manifest entries either way. */
+  private def fileKey(f: String): String = {
+    val i = f.lastIndexOf("/data/batch-")
+    if (i >= 0) f.substring(i + 1) else f
+  }
+
   private def logDir(dir: String) = s"$dir/_graft_log"
   private def commitPath(dir: String, n: Long) =
     f"${logDir(dir)}/$n%020d.commit"
@@ -488,7 +505,8 @@ object CdcTable {
     // stays the table's current one even when the newest commit
     // contributes no requested file
     readCommits(spark, dir,
-      effective(commits).map(c => c.copy(files = c.files.filter(rels))))
+      effective(commits).map(c =>
+        c.copy(files = c.files.filter(f => rels(fileKey(f))))))
   }
 
   /** The manifest-relative path of each row's source file, as a
@@ -718,7 +736,7 @@ object CdcTable {
           val dataSchema = StructType(
             schema.fields.filterNot(f => partCols.contains(f.name)))
           var df = spark.read.schema(dataSchema)
-            .parquet(files.map(f => s"$dir/$f"): _*)
+            .parquet(files.map(f => resolve(dir, f)): _*)
           partCols.filter(schema.fieldNames.contains).foreach { p =>
             val raw = regexp_extract(input_file_name(),
               java.util.regex.Pattern.quote(p) + "=([^/]+)", 1)
@@ -968,7 +986,7 @@ object CdcTable {
 
     val targetLayout = partitionBy.filter(schema.fieldNames.contains)
     def mustRewrite(c: Commit, f: String): Boolean =
-      widened || touched(f) || c.schemaVersion != currentSv ||
+      widened || touched(fileKey(f)) || c.schemaVersion != currentSv ||
         partColsFromPath(f) != targetLayout
     val rewriteCommits = live
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
@@ -976,9 +994,9 @@ object CdcTable {
     val carried = live.flatMap(c =>
       c.files.filterNot(f => mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
-      .filterKeys(f => !touched(f) && carried.contains(f))).toMap
+      .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
     val carriedRows = live.flatMap(_.fileRows.view
-      .filterKeys(f => !touched(f) && carried.contains(f))).toMap
+      .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
 
     // a keyed delete matching nothing (and needing no generation or
     // layout compaction) must be a no-op commit-wise, like delete()
@@ -1051,7 +1069,7 @@ object CdcTable {
 
     val targetLayout = partitionBy.filter(schema.fieldNames.contains)
     def mustRewrite(c: Commit, f: String): Boolean =
-      touched(f) || c.schemaVersion != currentSv ||
+      touched(fileKey(f)) || c.schemaVersion != currentSv ||
         partColsFromPath(f) != targetLayout
     val rewriteCommits = live
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
@@ -1059,9 +1077,9 @@ object CdcTable {
     val carried = live.flatMap(c =>
       c.files.filterNot(f => mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
-      .filterKeys(f => !touched(f) && carried.contains(f))).toMap
+      .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
     val carriedRows = live.flatMap(_.fileRows.view
-      .filterKeys(f => !touched(f) && carried.contains(f))).toMap
+      .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
 
     // cast the rewrite set to the CURRENT table schema before the
     // predicate/transform runs: readCommits targets the subset's own
@@ -1127,6 +1145,116 @@ object CdcTable {
     nv
   }
 
+  /** RESTORE the table to an earlier snapshot — Delta `RESTORE TABLE …
+    * TO VERSION AS OF` parity, METADATA-ONLY: the snapshot's effective
+    * file lists are re-committed BY REFERENCE (no data is copied or
+    * rewritten — at 100 TB a restore is a handful of manifest writes),
+    * with the snapshot's schema, so schema evolution rolls back too.
+    * History is preserved: the pre-restore commits stay in the log and
+    * remain time-travelable.
+    *
+    * The snapshot may span several schema/layout generations; each
+    * re-commits separately (the first as `replace`, superseding the
+    * current state; the rest as `append`) under fresh monotonic schema
+    * versions that preserve the generation grouping. The commit chain
+    * is optimistically validated: a concurrent write mid-restore fails
+    * the restore with ConcurrentModificationException (rerun it) —
+    * never silently interleaves. Restore reaches only as far as VACUUM
+    * left the files: any reinstated file already pruned fails loudly
+    * up front (the vacuum retention is the restore horizon, exactly as
+    * for [[readAsOf]]). Txn markers are NOT replayed — the original
+    * commits still carry them, so exactly-once high-water marks
+    * survive the restore unchanged.
+    *
+    * Returns the new current schema version. Restoring to the current
+    * snapshot is a no-op. */
+  def restore(spark: SparkSession, dir: String,
+      commitAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): Long = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val snap = commitsAsOf(dir, commitAsOf, timestampAsOf)
+    if (snap.last.commit == commits.last.commit)
+      return commits.last.schemaVersion // already at the snapshot
+    val missing = snap.flatMap(_.files)
+      .filterNot(f => Fs.exists(resolve(dir, f)))
+    require(missing.isEmpty,
+      s"restore at $dir: ${missing.size} file(s) of the requested " +
+        s"snapshot no longer exist (vacuumOrphans pruned superseded " +
+        s"data past the retention — the vacuum window is the restore " +
+        s"horizon): ${missing.take(3).mkString(", ")}")
+    // fresh monotonic schema versions that PRESERVE the snapshot's
+    // generation grouping (equal old sv → equal new sv)
+    val base = commits.last.schemaVersion
+    val svMap = snap.map(_.schemaVersion).distinct.sorted
+      .zipWithIndex.map { case (sv, i) => sv -> (base + 1 + i) }.toMap
+    var expectTail = commits.last.commit
+    var newSv = base
+    snap.zipWithIndex.foreach { case (c, i) =>
+      val action = if (i == 0) "replace" else "append"
+      newSv = svMap(c.schemaVersion)
+      val tailBefore = expectTail
+      val committed = commit(dir, n => Commit(n, svMap(c.schemaVersion),
+        action, System.currentTimeMillis(), None, c.schema, c.files,
+        stats = c.stats, fileRows = c.fileRows, blooms = c.blooms),
+        validate = cur =>
+          if (cur.lastOption.map(_.commit) != Some(tailBefore))
+            throw new java.util.ConcurrentModificationException(
+              s"restore at $dir: a write landed mid-restore (expected " +
+                s"log tail $tailBefore, found " +
+                s"${cur.lastOption.map(_.commit).getOrElse(0L)}); " +
+                "rerun the restore"))
+      expectTail = committed.commit
+    }
+    newSv
+  }
+
+  /** SHALLOW CLONE — Delta `CREATE TABLE … SHALLOW CLONE` parity: a
+    * new table at `dstDir` whose manifest references the SOURCE's
+    * current data files by absolute path; no data is copied (cloning
+    * a 100 TB table is a few manifest writes). The clone then evolves
+    * independently: its own appends/DML land under `dstDir` as usual,
+    * and keyed/predicate rewrites of borrowed files write the
+    * surviving rows into the clone (never touching the source).
+    *
+    * The standard shallow-clone hazard applies (as documented for
+    * Delta): VACUUM on the SOURCE may delete borrowed files once a
+    * source rewrite supersedes them there — the source is unaware of
+    * the clone's references. Materialize the clone first (`GRAFT
+    * OPTIMIZE`/`COMPACT` rewrite everything into the clone's own
+    * directory) if the source's retention cannot be trusted.
+    *
+    * Returns the number of borrowed files. Fails if `dstDir` already
+    * holds a table. */
+  def cloneShallow(spark: SparkSession, srcDir: String,
+      dstDir: String): Long = {
+    val src = log(srcDir)
+    require(src.nonEmpty, s"no CdcTable at $srcDir")
+    require(log(dstDir).isEmpty,
+      s"clone target $dstDir already holds a graft table")
+    val eff = effective(src).map(hydrate(srcDir, _))
+    var borrowed = 0L
+    var expectTail = 0L
+    eff.foreach { c =>
+      val abs = c.files.map(f => resolve(srcDir, f))
+      borrowed += abs.size
+      def rekey[V](m: Map[String, V]): Map[String, V] =
+        m.map { case (k, v) => resolve(srcDir, k) -> v }
+      val tailBefore = expectTail
+      val committed = commit(dstDir, n => Commit(n, c.schemaVersion,
+        c.action, System.currentTimeMillis(), None, c.schema, abs,
+        stats = rekey(c.stats), fileRows = rekey(c.fileRows),
+        blooms = rekey(c.blooms)),
+        validate = cur =>
+          if (cur.lastOption.map(_.commit).getOrElse(0L) != tailBefore)
+            throw new java.util.ConcurrentModificationException(
+              s"clone at $dstDir: a concurrent write landed in the " +
+                "target mid-clone"))
+      expectTail = committed.commit
+    }
+    borrowed
+  }
+
   /** Table detail (Delta `DESCRIBE DETAIL` / reference storage stats
     * surface): counts and structure come from the manifest log alone;
     * live bytes are one file-status call per LIVE file (no recursive
@@ -1150,7 +1278,7 @@ object CdcTable {
     val eff = effective(commits)
     val files = eff.flatMap(_.files)
     val bytes = files.map { f =>
-      val (fs, p) = Fs(s"$dir/$f")
+      val (fs, p) = Fs(resolve(dir, f))
       if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
     }.sum
     TableDetail(
@@ -1174,7 +1302,7 @@ object CdcTable {
     val commits = log(dir)
     if (commits.isEmpty) return Nil
     val referenced = effective(commits).flatMap(_.files)
-      .map(f => s"$dir/$f").toSet
+      .map(f => resolve(dir, f)).toSet
     val cutoff = System.currentTimeMillis() - retainMillis
     val (fs, dataP) = Fs(s"$dir/data")
     if (!fs.exists(dataP)) return Nil

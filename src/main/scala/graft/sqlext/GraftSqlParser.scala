@@ -26,6 +26,8 @@ import org.apache.spark.sql.types._
   *   GRAFT REBAND INDEX '<path>' BANDS n
   *   GRAFT VACUUM '<path>' [RETAIN <n> HOURS] [FORCE]
   *   GRAFT HISTORY '<path>'
+  *   GRAFT RESTORE '<path>' TO COMMIT n | TO TIMESTAMP ms
+  *   GRAFT CLONE '<src>' TO '<dst>'
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
@@ -110,6 +112,13 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val restoreRe = Pattern.compile(
+    """\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(COMMIT|TIMESTAMP)""" +
+      """\s+(\d+)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val cloneRe = Pattern.compile(
+    """\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
@@ -236,6 +245,17 @@ object GraftSqlParser {
     }
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
+    val rsm = restoreRe.matcher(sqlText)
+    if (rsm.matches()) {
+      val n = rsm.group(3).toLong
+      val byCommit = rsm.group(2).toUpperCase(Locale.ROOT) == "COMMIT"
+      return Some(RestoreGraftTable(rsm.group(1),
+        commitAsOf = if (byCommit) Some(n) else None,
+        timestampAsOf = if (byCommit) None else Some(n)))
+    }
+    val clm = cloneRe.matcher(sqlText)
+    if (clm.matches())
+      return Some(CloneGraftTable(clm.group(1), clm.group(2)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
@@ -763,6 +783,40 @@ case class SyncGraftProfile(indexDir: String, tableDir: String,
 }
 
 /** `GRAFT HISTORY '<path>'` — the commit log as rows. */
+/** GRAFT RESTORE '<path>' TO COMMIT n | TO TIMESTAMP ms — Delta
+  * RESTORE parity, metadata-only (see [[CdcTable.restore]]): the
+  * snapshot's files are re-committed by reference, schema evolution
+  * rolls back, history is preserved. The vacuum retention bounds how
+  * far back a restore can reach. */
+case class RestoreGraftTable(dir: String, commitAsOf: Option[Long],
+    timestampAsOf: Option[Long]) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("schema_version", LongType), attr("current_commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val sv = CdcTable.restore(spark, dir, commitAsOf, timestampAsOf)
+    Seq(Row(sv, CdcTable.currentVersion(dir)))
+  }
+}
+
+/** GRAFT CLONE '<src>' TO '<dst>' — shallow clone (see
+  * [[CdcTable.cloneShallow]]): a new independent table whose manifest
+  * borrows the source's current data files by absolute path; no data
+  * copies. Source-side VACUUM after a source rewrite is the documented
+  * hazard — materialize with GRAFT OPTIMIZE on the clone to detach. */
+case class CloneGraftTable(srcDir: String, dstDir: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("borrowed_files", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CdcTable.cloneShallow(spark, srcDir, dstDir)))
+}
+
 case class HistoryGraftTable(dir: String) extends LeafRunnableCommand {
   import GraftSqlParser.attr
 

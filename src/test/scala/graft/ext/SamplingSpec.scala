@@ -419,4 +419,51 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "pack_id").as[(Long, Long)].collect().toSet
     assert(tight == Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
   }
+
+  test("weightedSampleK matches the driver-side A-Res reference") {
+    val docs = (1L to 200L).map(i => (i, 1L + (i % 13) * 7L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSampleK(docs, "id", "w", 20)
+      .select("id").as[Long].collect().toSet
+    // independent reference: same md5-u, same fixed_log2 recurrence,
+    // same truncating integer key, ranked on the driver
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (1L to 200L).map { i =>
+      val h = md5hex(i.toString)
+      val u28 = java.lang.Long.parseLong(h.take(7), 16) + 1
+      val w = 1L + (i % 13) * 7L
+      val key = ((28L << 16) - graft.functions.FixedPointMath
+        .flog2(u28)) * 1000000L / w
+      (key, h, i)
+    }.sorted.take(20).map(_._3).toSet
+    assert(got == want)
+  }
+
+  test("weightedSampleK is stable, weight-monotone, and guards edges") {
+    val docs = (1L to 300L)
+      .map(i => (i, if (i % 50 == 0) 0L else i)).toDF("id", "w")
+    val a = Sampling.weightedSampleK(docs, "id", "w", 30)
+      .select("id").as[Long].collect().toSeq
+    val b = Sampling.weightedSampleK(docs.repartition(7), "id", "w", 30)
+      .select("id").as[Long].collect().toSeq
+    assert(a == b, "the sample is a pure function of content")
+    assert(!a.exists(_ % 50 == 0), "zero-weight rows never selected")
+    // same u (same key string under a shifted id column) + larger
+    // weight → smaller A-Res key: a heavier twin always outranks its
+    // lighter self, so doubling every weight keeps the selection
+    val doubled = Sampling.weightedSampleK(
+      docs.withColumn("w", col("w") * 2), "id", "w", 30)
+      .select("id").as[Long].collect().toSeq
+    assert(doubled == a,
+      "A-Res selection is invariant under uniform weight scaling " +
+        "only in rank terms — identical u's keep the same order")
+    // k larger than the population returns every positive-weight row
+    val all = Sampling.weightedSampleK(docs, "id", "w", 1000)
+    assert(all.count() == 294)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSampleK(docs, "id", "w", 0)
+    }
+  }
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ordering / horizon edge semantics of q188's funnel and q189's
+  * cohorts that the sf-data oracle exercises only statistically:
+  * out-of-order steps must not convert, the horizon cutoff is
+  * inclusive, and a repeat event cannot resurrect a dead funnel.
+  * Black-box through the real query over a synthetic events table. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val us = 1000000L
+  private val day = 24L * 3600 * us
+
+  /** Write a synthetic events.parquet and run q188 over it. */
+  private def funnel(rows: Seq[(Long, Long, String)])
+      : Map[Long, (Long, Long)] = {
+    val dir = tmpDir("funnel")
+    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    rows.zipWithIndex.map { case ((uid, tu, ty), i) =>
+      // LocalDateTime → TIMESTAMP_NTZ, the canonical events.ts type
+      (i.toLong, epoch.plusNanos(tu * 1000), uid, ty, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    EventsQ.q188(spark, dir)
+      .select("step", "n_users", "conv_fp")
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, c) => s -> (n, c) }.toMap
+  }
+
+  test("steps out of order never convert; in order they do") {
+    // u1: signup → view → purchase (converts fully)
+    // u2: view BEFORE signup, purchase after — view must not count,
+    //     so neither can the purchase (its gate is the view time)
+    val r = funnel(Seq(
+      (1L, 1 * us, "signup"), (1L, 2 * us, "view"),
+      (1L, 3 * us, "purchase"),
+      (2L, 1 * us, "view"), (2L, 2 * us, "signup"),
+      (2L, 3 * us, "purchase")))
+    assert(r(1L) == (2L, 1000000L)) // both signed up
+    assert(r(2L) == (1L, 500000L))  // only u1 viewed post-signup
+    assert(r(3L) == (1L, 1000000L)) // of viewers, all purchased
+  }
+
+  test("a view AT the signup instant counts (inclusive bound)") {
+    val r = funnel(Seq(
+      (1L, 5 * us, "signup"), (1L, 5 * us, "view"),
+      (1L, 6 * us, "purchase")))
+    assert(r(2L)._1 == 1L && r(3L)._1 == 1L)
+  }
+
+  test("the 3-day horizon from step 1 cuts late steps") {
+    // u1 views 1µs past the horizon; u2 views exactly at it
+    val r = funnel(Seq(
+      (1L, 0L, "signup"), (1L, 3 * day + 1, "view"),
+      (2L, 0L, "signup"), (2L, 3 * day, "view")))
+    assert(r(2L) == (1L, 500000L),
+      "horizon is inclusive; one tick past it is out")
+  }
+
+  test("a purchase gates on the EARLIEST qualifying view") {
+    // view at t=2, purchase at t=3, second view at t=4: the purchase
+    // must count (its gate is the first view), and a user whose only
+    // purchase precedes every view must not
+    val r = funnel(Seq(
+      (1L, 1 * us, "signup"), (1L, 2 * us, "view"),
+      (1L, 3 * us, "purchase"), (1L, 4 * us, "view"),
+      (2L, 1 * us, "signup"), (2L, 2 * us, "purchase"),
+      (2L, 3 * us, "view")))
+    assert(r(3L)._1 == 1L)
+  }
+
+  test("retention cohorts: a user is active in their own week 0") {
+    val dir = tmpDir("cohort")
+    // two users first seen in week A, one returns two weeks later;
+    // one user first seen in week B
+    val base = java.time.LocalDate.of(2024, 1, 1) // a Monday
+    def ts(d: Int) = base.plusDays(d.toLong).atStartOfDay()
+    Seq((1L, ts(0), 10L, "view", 0.0, "{}"),
+      (2L, ts(1), 11L, "view", 0.0, "{}"),
+      (3L, ts(15), 10L, "click", 0.0, "{}"),
+      (4L, ts(8), 12L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventsQ.q189(spark, dir)
+      .select("cohort_week", "week_offset", "active_users",
+        "retention_fp")
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSet
+    val wkA = java.sql.Date.valueOf(base)
+    val wkB = java.sql.Date.valueOf(base.plusDays(7))
+    assert(got == Set(
+      (wkA, 0L, 2L, 1000000L), // both week-A users active week 0
+      (wkA, 2L, 1L, 500000L),  // one of two returned in week 2
+      (wkB, 0L, 1L, 1000000L)))
+  }
+}

@@ -138,6 +138,21 @@ class GraftSqlParserSpec extends SparkSpec {
     }
   }
 
+  test("GRAFT RESTORE TO TIMESTAMP resolves by commit ts") {
+    import graft.sink.CdcTable
+    val dir = tmpDir("sqlrestts")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    val ts = CdcTable.log(dir).last.ts
+    Thread.sleep(5)
+    CdcTable.delete(spark, dir, "x = 1")
+    spark.sql(s"GRAFT RESTORE '$dir' TO TIMESTAMP $ts").collect()
+    assert(CdcTable.read(spark, dir).count() == 1)
+    // malformed target keyword is rejected, not silently delegated
+    intercept[Exception] {
+      spark.sql(s"GRAFT RESTORE '$dir' TO VERSION 1").collect()
+    }
+  }
+
   test("non-graft SQL still parses through Spark") {
     assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
     // a query merely MENTIONING graft is not intercepted
