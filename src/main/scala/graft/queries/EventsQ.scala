@@ -433,6 +433,89 @@ object EventsQ {
       |FROM j JOIN sz USING (cohort_week)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q194 — top user journeys (the path / Sankey analysis next to
+    * q188's funnel): each user's first 5 event types in time order,
+    * concatenated into a path string, ranked by how many users share
+    * the path. One shuffle on user_id (row_number + the grouped
+    * ordered fold reuse it), then a path-cardinality-bounded count
+    * and a TakeOrdered(10) — corpus size enters only through the
+    * first shuffle. Path assembly sorts the collected (rn, type)
+    * structs so the string is order-exact, never collection-order. */
+  def q194(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tu"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tu"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr(
+        """concat_ws('>', transform(
+          |  array_sort(collect_list(struct(rn, event_type))),
+          |  s -> s.event_type))""".stripMargin).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
+  val q194Sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM e WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 10""".stripMargin
+
+  /** q195 — event-rate anomaly detection (the ops-monitoring check a
+    * CDC pipeline runs on its own throughput): hourly counts per
+    * event type, flagged when the count sits more than 3 population
+    * standard deviations from the type's mean — but computed WITHOUT
+    * sqrt or floats: (n·x − S)² > 9·(n·Q − S²) with S = Σx, Q = Σx²
+    * over the type's n hours is the same 3σ test cleared of
+    * denominators, pure BIGINT, so the oracle hash-matches exactly.
+    * Two aggregations (hourly counts, then per-type moments via one
+    * window over the hour frame — type-cardinality-bounded state);
+    * at 100 TB the hour×type frame is already tiny. */
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    val wt = Window.partitionBy("event_type")
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum(col("cnt")).over(wt))
+      .withColumn("q", sum(col("cnt") * col("cnt")).over(wt))
+      .withColumn("anom", (col("n") * col("cnt") - col("s")) *
+        (col("n") * col("cnt") - col("s")) >
+        lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_hours"), max(col("s")).as("n_events"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"),
+        min(col("cnt")).as("min_hourly"), max(col("cnt")).as("max_hourly"))
+      .orderBy(col("event_type"))
+  }
+
+  val q195Sql: String =
+    """WITH h AS (SELECT event_type,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, cnt,
+      |    COUNT(*) OVER w AS n, SUM(cnt) OVER w AS s,
+      |    SUM(cnt * cnt) OVER w AS q
+      |  FROM h WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_type, MAX(n) AS n_hours,
+      |  CAST(MAX(s) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN (n * cnt - s) * (n * cnt - s) >
+      |    9 * (n * q - s * s) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anomalies,
+      |  MIN(cnt) AS min_hourly, MAX(cnt) AS max_hourly
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_hourly_windows", q18, Some(q18Sql)),
     QueryDef("q19_latest_per_user", q19, Some(q19Sql)),
@@ -445,5 +528,7 @@ object EventsQ {
     QueryDef("q122_interval_join", q122, Some(q122Sql)),
     QueryDef("q123_interval_overlap", q123, Some(q123Sql)),
     QueryDef("q188_funnel", q188, Some(q188Sql)),
-    QueryDef("q189_retention_cohorts", q189, Some(q189Sql)))
+    QueryDef("q189_retention_cohorts", q189, Some(q189Sql)),
+    QueryDef("q194_event_paths", q194, Some(q194Sql)),
+    QueryDef("q195_rate_anomaly", q195, Some(q195Sql)))
 }

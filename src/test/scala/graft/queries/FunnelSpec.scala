@@ -72,6 +72,49 @@ class FunnelSpec extends SparkSpec {
     assert(r(3L)._1 == 1L)
   }
 
+  test("event paths: first-5 journey strings in exact time order") {
+    val dir = tmpDir("paths")
+    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    // u1 and u2 share a 3-step journey; u3 diverges; u1 has a 6th
+    // event that must fall outside the first-5 window
+    val rows = Seq(
+      (10L, Seq("signup", "view", "click", "view", "purchase", "error")),
+      (11L, Seq("signup", "view", "click", "view", "purchase")),
+      (12L, Seq("view", "signup")))
+    rows.flatMap { case (uid, types) =>
+      types.zipWithIndex.map { case (ty, i) =>
+        (uid * 100 + i, epoch.plusSeconds(i.toLong), uid, ty, 0.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventsQ.q194(spark, dir)
+      .select("path", "n_users").as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("signup>view>click>view>purchase", 2L),
+      ("view>signup", 1L)))
+  }
+
+  test("rate anomaly: the integer test flags exactly the >3sigma hour") {
+    val dir = tmpDir("anom")
+    val epoch = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+    // 15 hours of 10 events + one 300-event hour: only the spike is
+    // past 3 population sigmas (hand-check: (16*300-450)^2 = 18922500
+    // > 9*(16*91500-450^2) = 11353500; a 10-count hour scores 84100)
+    val rows = (0 until 16).flatMap { h =>
+      val n = if (h == 7) 300 else 10
+      (0 until n).map(i =>
+        ((h * 1000 + i).toLong, epoch.plusHours(h.toLong).plusSeconds(
+          i.toLong), 1L, "click", 0.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.parquet(s"$dir/events.parquet")
+    val got = EventsQ.q195(spark, dir)
+      .select("event_type", "n_hours", "n_events", "n_anomalies",
+        "min_hourly", "max_hourly")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(got == (("click", 16L, 450L, 1L, 10L, 300L)))
+  }
+
   test("retention cohorts: a user is active in their own week 0") {
     val dir = tmpDir("cohort")
     // two users first seen in week A, one returns two weeks later;
