@@ -445,4 +445,39 @@ class PlanQualitySpec extends SparkSpec {
         p.take(600))
   }
 
+  test("funnel: one user_id shuffle feeds all three window passes") {
+    val p = plan(EventsQ.q188(spark, dir))
+    assert(!p.contains("Join"), "the funnel is windows + folds, joinless")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      "the three stacked windows and the per-user fold must all ride " +
+        "ONE user_id exchange (the singleton/range exchanges on the " +
+        "3-row tail are free)\n" + p.take(800))
+  }
+
+  test("event paths: user shuffle + path-bounded count, TakeOrdered") {
+    val p = plan(EventsQ.q194(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 paths must be a TakeOrdered, not a global sort")
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2,
+      "user_id shuffle + the path-cardinality-bounded count only\n" +
+        p.take(800))
+  }
+
+  test("rate anomaly: joinless; moments ride the tiny hour frame") {
+    val p = plan(EventsQ.q195(spark, dir))
+    assert(!p.contains("Join"), "moments come from windows, not joins")
+  }
+
+  test("weighted sample: no shuffle at all, just TakeOrdered(k)") {
+    val docs = graft.Tables(spark, dir, "documents")
+    val p = plan(graft.ext.Sampling
+      .weightedSampleK(docs, "doc_id", "n_chars", 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-Res top-k must reduce via TakeOrdered")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the sampler is a narrow projection — nothing repartitions\n" +
+        p.take(600))
+  }
+
 }
