@@ -1153,18 +1153,22 @@ object CdcTable {
     * History is preserved: the pre-restore commits stay in the log and
     * remain time-travelable.
     *
-    * The snapshot may span several schema/layout generations; each
-    * re-commits separately (the first as `replace`, superseding the
-    * current state; the rest as `append`) under fresh monotonic schema
-    * versions that preserve the generation grouping. The commit chain
-    * is optimistically validated: a concurrent write mid-restore fails
-    * the restore with ConcurrentModificationException (rerun it) —
-    * never silently interleaves. Restore reaches only as far as VACUUM
-    * left the files: any reinstated file already pruned fails loudly
-    * up front (the vacuum retention is the restore horizon, exactly as
-    * for [[readAsOf]]). Txn markers are NOT replayed — the original
-    * commits still carry them, so exactly-once high-water marks
-    * survive the restore unchanged.
+    * The snapshot's commits merge into ONE manifest per schema/layout
+    * GENERATION (the unit [[readCommits]] scans by), so the common
+    * single-generation snapshot restores ATOMICALLY in one `replace`
+    * commit; a multi-generation snapshot adds one `append` per later
+    * generation, under fresh monotonic schema versions that preserve
+    * the grouping. The commit chain is optimistically validated: a
+    * concurrent write mid-restore fails the restore with
+    * ConcurrentModificationException (rerun it) — never silently
+    * interleaves (a crash between the commits of a multi-generation
+    * restore leaves the first generations restored; rerunning the
+    * same restore completes it). Restore reaches only as far as
+    * VACUUM left the files: any reinstated file already pruned fails
+    * loudly up front (the vacuum retention is the restore horizon,
+    * exactly as for [[readAsOf]]). Txn markers are NOT replayed — the
+    * original commits still carry them, so exactly-once high-water
+    * marks survive the restore unchanged.
     *
     * Returns the new current schema version. Restoring to the current
     * snapshot is a no-op. */
@@ -1183,20 +1187,35 @@ object CdcTable {
         s"snapshot no longer exist (vacuumOrphans pruned superseded " +
         s"data past the retention — the vacuum window is the restore " +
         s"horizon): ${missing.take(3).mkString(", ")}")
-    // fresh monotonic schema versions that PRESERVE the snapshot's
-    // generation grouping (equal old sv → equal new sv)
+    // merge the snapshot's commits into one manifest per GENERATION
+    // (the (schemaVersion, partition-layout) unit readCommits scans
+    // by), preserving order; fresh monotonic schema versions keep the
+    // grouping (equal old sv → equal new sv)
+    val gens: Seq[Seq[Commit]] = snap.foldLeft(Vector.empty[Vector[Commit]]) {
+      (acc, c) =>
+        def key(x: Commit) = (x.schemaVersion,
+          x.files.headOption.map(partColsFromPath).getOrElse(Nil))
+        acc.lastOption match {
+          case Some(g) if key(g.head) == key(c) =>
+            acc.init :+ (g :+ c)
+          case _ => acc :+ Vector(c)
+        }
+    }
     val base = commits.last.schemaVersion
     val svMap = snap.map(_.schemaVersion).distinct.sorted
       .zipWithIndex.map { case (sv, i) => sv -> (base + 1 + i) }.toMap
     var expectTail = commits.last.commit
     var newSv = base
-    snap.zipWithIndex.foreach { case (c, i) =>
+    gens.zipWithIndex.foreach { case (g, i) =>
       val action = if (i == 0) "replace" else "append"
-      newSv = svMap(c.schemaVersion)
+      newSv = svMap(g.last.schemaVersion)
       val tailBefore = expectTail
-      val committed = commit(dir, n => Commit(n, svMap(c.schemaVersion),
-        action, System.currentTimeMillis(), None, c.schema, c.files,
-        stats = c.stats, fileRows = c.fileRows, blooms = c.blooms),
+      val committed = commit(dir, n => Commit(n, newSv,
+        action, System.currentTimeMillis(), None, g.last.schema,
+        g.flatMap(_.files),
+        stats = g.flatMap(_.stats).toMap,
+        fileRows = g.flatMap(_.fileRows).toMap,
+        blooms = g.flatMap(_.blooms).toMap),
         validate = cur =>
           if (cur.lastOption.map(_.commit) != Some(tailBefore))
             throw new java.util.ConcurrentModificationException(

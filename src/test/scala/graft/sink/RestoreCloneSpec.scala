@@ -23,9 +23,13 @@ class RestoreCloneSpec extends SparkSpec {
     def dataFiles() = graft.core.Fs.walkFiles(s"$dir/data")
       .map(_._1.toString).filter(_.endsWith(".parquet")).toSet
     val before = dataFiles()
+    val tailBefore = CdcTable.log(dir).last.commit
     CdcTable.restore(spark, dir, commitAsOf = Some(snap))
     assert(dataFiles() == before,
       "restore must be metadata-only: no data file written or removed")
+    assert(CdcTable.log(dir).last.commit == tailBefore + 1,
+      "a single-generation snapshot must restore ATOMICALLY: exactly " +
+        "one replace commit, however many commits the snapshot spans")
     assert(CdcTable.read(spark, dir).select("x").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
