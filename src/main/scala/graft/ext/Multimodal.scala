@@ -329,6 +329,106 @@ object Multimodal {
     res
   }
 
+  /** 9×8 integer grayscale grid for [[dHash64]]: EXACT block-mean
+    * downsample (integer box boundaries `gx·w/9 … (gx+1)·w/9`, luma
+    * `(299r + 587g + 114b) / 1000` truncating) — no Graphics2D
+    * rescale, whose interpolation is JVM/driver-dependent; two
+    * engines (or two JVMs) computing this grid from the same pixels
+    * agree bit for bit, which is what makes the hash an INDEX key. */
+  def grayGrid9x8(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Long](72)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9
+        val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+        val y0 = gy * h / 8
+        val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        var s = 0L
+        var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val p = px(y * w + x)
+            val r = (p >>> 16) & 0xFF
+            val g = (p >>> 8) & 0xFF
+            val b = p & 0xFF
+            s += (299L * r + 587L * g + 114L * b) / 1000L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * 9 + gx) = if (n == 0) 0L else s / n
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Difference hash (dHash — the img2dataset/perceptual-dedup
+    * staple): bit `r·8 + c` set iff `grid(r·9 + c) > grid(r·9 + c+1)`
+    * over the 9×8 [[grayGrid9x8]] — 63 comparison bits (the last
+    * adjacent pair is dropped so the hash stays a signed-POSITIVE
+    * BIGINT: both engines then shift/band/popcount it exactly, where
+    * a 64th bit would overflow DuckDB's checked `<<`). Near-duplicate
+    * images differ in few bits; pairs come from 16-bit banded
+    * blocking + a `bit_count(xor)` filter (the q35 SimHash shape). */
+  def dHash64(g: Seq[Long]): Long = {
+    require(g.length == 72, s"dHash grid must be 9x8 = 72: ${g.length}")
+    var hsh = 0L
+    var k = 0
+    while (k < 63) {
+      val r = k / 8
+      val c = k % 8
+      if (g(r * 9 + c) > g(r * 9 + c + 1)) hsh |= (1L << k)
+      k += 1
+    }
+    hsh
+  }
+
+  /** Add a `dhash: bigint` column over a binary content column:
+    * decodable images take the REAL pixel path ([[grayGrid9x8]]);
+    * other payloads fold their bytes into the same 72-cell grid
+    * (deterministic stand-in, the [[decodeStub]] contract) so the
+    * pipeline stays end-to-end testable. Partition-parallel, zero
+    * driver involvement. */
+  def dHashOf(df: DataFrame, contentCol: String = "content")
+      : DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("dhash", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val grid = decodeImage(bytes).map(grayGrid9x8).getOrElse {
+          val g = new Array[Long](72)
+          val n = new Array[Long](72)
+          if (bytes != null) {
+            var i = 0
+            while (i < bytes.length) {
+              g(i % 72) += (bytes(i) & 0xFF)
+              n(i % 72) += 1
+              i += 1
+            }
+          }
+          var j = 0
+          while (j < 72) { if (n(j) > 0) g(j) /= n(j); j += 1 }
+          g
+        }
+        Row.fromSeq(r.toSeq :+ dHash64(grid.toSeq))
+      }
+    }(enc)
+  }
+
   /** REAL image resize: decode via ImageIO, bilinear-rescale through
     * Graphics2D, re-encode as PNG (lossless, format-stable output).
     * None when the payload is not a decodable image. */

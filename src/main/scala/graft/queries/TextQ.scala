@@ -2098,6 +2098,80 @@ object TextQ {
        |SELECT stratum, id, bucket FROM r WHERE rn <= 10
        |ORDER BY stratum, id""".stripMargin
 
+  /** q196 — perceptual dHash near-dup pairs
+    * ([[graft.ext.Multimodal.dHash64]] — the img2dataset-style image
+    * dedup staple, gated here over a DETERMINISTIC synthetic 9×8 grid
+    * so the DuckDB oracle can replay the pixels: cell i = one md5
+    * byte of the document's (i mod n)-th token, which makes documents
+    * sharing most tokens differ in few grid cells, i.e. genuine SMALL
+    * Hamming distances, not just exact copies). 63-bit dHash (bit k =
+    * grid[r·9+c] > grid[r·9+c+1], the exact in-plan form of
+    * `Multimodal.dHash64` — MultimodalSpec pins the two equal), then
+    * the q35 SimHash serving shape: 4 × 16-bit banded blocking (a
+    * pair within Hamming 3 shares ≥ 1 band by pigeonhole — exact
+    * recall at the gate's radius) + a `bit_count(xor)` ≤ 3 filter.
+    * Never all-pairs; candidates are band-key-blocked. The real-image
+    * path ([[graft.ext.Multimodal.dHashOf]]: decode → exact
+    * block-mean grayscale grid → the same hash) is spec-gated with
+    * in-JVM PNGs, since pixel decode is not SQL-expressible. */
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    val grid =
+      """transform(sequence(0, 71), i -> CAST(conv(substring(md5(
+        |  element_at(toks, CAST(i % size(toks) AS INT) + 1)),
+        |  1, 2), 16, 10) AS BIGINT))""".stripMargin
+    val dhash =
+      """aggregate(sequence(0, 62), 0L, (acc, k) -> acc +
+        |  IF(element_at(g, CAST(k div 8 AS INT) * 9
+        |       + CAST(k % 8 AS INT) + 1) >
+        |     element_at(g, CAST(k div 8 AS INT) * 9
+        |       + CAST(k % 8 AS INT) + 2),
+        |     shiftleft(1L, CAST(k AS INT)), 0L))""".stripMargin
+    val dh = spreadDocs(s, dir)
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("g", expr(grid))
+      .withColumn("dhash", expr(dhash))
+      .select(col("doc_id"), col("dhash"))
+    val banded = dh
+      .select(col("doc_id"), col("dhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bits", expr(
+        "shiftright(dhash, band * 16) & IF(band = 3, 32767, 65535)"))
+    val a = banded.select(col("doc_id").as("a_id"),
+      col("dhash").as("dh_a"), col("band"), col("bits"))
+    val b = banded.select(col("doc_id").as("b_id"),
+      col("dhash").as("dh_b"), col("band").as("bband"),
+      col("bits").as("bbits"))
+    a.join(b, col("band") === col("bband") &&
+        col("bits") === col("bbits") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("dh_a"), col("dh_b"))
+      .distinct() // a pair may agree in several bands
+      .withColumn("hamming",
+        expr("bit_count(dh_a ^ dh_b)").cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q196Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents
+       |  WHERE len($toksD) > 0),
+       |gr AS (SELECT doc_id, list_transform(range(0, 72),
+       |    i -> CAST(('0x' || substr(md5(toks[(i % len(toks)) + 1]),
+       |      1, 2)) AS BIGINT)) AS g
+       |  FROM tk),
+       |dh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 63),
+       |    k -> CASE WHEN g[(k // 8) * 9 + (k % 8) + 1] >
+       |                   g[(k // 8) * 9 + (k % 8) + 2]
+       |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END))
+       |    AS BIGINT) AS dhash
+       |  FROM gr)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+       |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** q192 — weighted sampling without replacement
     * ([[graft.ext.Sampling.weightedSampleK]], Efraimidis & Spirakis
     * 2006 A-Res): 25 documents drawn with probability proportional to
@@ -3947,6 +4021,7 @@ object TextQ {
     QueryDef("q118_rank_normalize", q118, Some(q118Sql)),
     QueryDef("q120_sample_exact_k", q120, Some(q120Sql)),
     QueryDef("q192_weighted_sample", q192, Some(q192Sql)),
+    QueryDef("q196_image_dhash", q196, Some(q196Sql)),
     QueryDef("q121_span_rewrite", q121, Some(q121Sql)),
     QueryDef("q124_classifier_cut", q124, Some(q124Sql)),
     QueryDef("q128_token_entropy", q128, Some(q128Sql)),

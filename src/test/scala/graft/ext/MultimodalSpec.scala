@@ -331,4 +331,77 @@ class MultimodalSpec extends SparkSpec {
     assert(bytes.length == "hello world".length,
       s"upscale keeps the full payload, got ${bytes.length}")
   }
+
+  private def gradientImage(w: Int, h: Int,
+      tweak: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = math.min(255,
+          (x * 255 / math.max(1, w - 1) + tweak(x, y)).max(0))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out), "no png writer")
+    out.toByteArray
+  }
+
+  test("dHash: real PNG decode -> exact block-mean grid -> stable hash") {
+    val base = gradientImage(90, 64)
+    val grid = Multimodal.grayGrid9x8(
+      Multimodal.decodeImage(base).get)
+    assert(grid.length == 72 && grid.forall(v => v >= 0 && v <= 255))
+    // a left-to-right gradient compares every adjacent pair upward:
+    // dHash is all-zero bits (g[c] > g[c+1] never holds)
+    val h0 = Multimodal.dHash64(grid.toSeq)
+    assert(h0 == 0L, s"monotone gradient must hash to 0, got $h0")
+    // re-encoding the identical pixels hashes identically
+    val h1 = Multimodal.dHash64(Multimodal.grayGrid9x8(
+      Multimodal.decodeImage(gradientImage(90, 64)).get).toSeq)
+    assert(h1 == h0)
+    // a local bright patch flips only the comparison bits its grid
+    // cells participate in: small positive Hamming distance
+    val patched = gradientImage(90, 64,
+      (x, y) => if (x >= 20 && x < 30 && y >= 8 && y < 16) 200 else 0)
+    val h2 = Multimodal.dHash64(Multimodal.grayGrid9x8(
+      Multimodal.decodeImage(patched).get).toSeq)
+    val dist = java.lang.Long.bitCount(h0 ^ h2)
+    assert(dist >= 1 && dist <= 8,
+      s"a 10x8-pixel patch must flip a few bits, not $dist")
+  }
+
+  test("dHash64 equals q196's in-plan aggregate form on the same grid") {
+    val grid = (0 until 72).map(i =>
+      ((i * 37 + 11) % 256).toLong)
+    val want = Multimodal.dHash64(grid)
+    val got = spark.sql(
+      s"""SELECT aggregate(sequence(0, 62), 0L, (acc, k) -> acc +
+         |  IF(element_at(g, CAST(k div 8 AS INT) * 9
+         |       + CAST(k % 8 AS INT) + 1) >
+         |     element_at(g, CAST(k div 8 AS INT) * 9
+         |       + CAST(k % 8 AS INT) + 2),
+         |     shiftleft(1L, CAST(k AS INT)), 0L)) AS h
+         |FROM (SELECT array(${grid.mkString("L,")}L) AS g)""".stripMargin)
+      .head().getLong(0)
+    assert(got == want,
+      "the SQL-expression dHash and the driver dHash64 must agree")
+  }
+
+  test("dHashOf: images hash via pixels, other payloads via byte fold") {
+    val img = gradientImage(45, 32)
+    val df = mediaDf(Seq((1L, img), (2L, img),
+      (3L, "not an image at all".getBytes("UTF-8"))))
+    val got = Multimodal.dHashOf(df)
+      .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L), "identical images must collide")
+    assert(got(1L) == 0L, "gradient hashes 0 through the pixel path")
+    assert(got(3L) != got(1L) || got(3L) == 0L)
+    assert(got.values.forall(_ >= 0L), "63-bit hash stays positive")
+  }
 }
