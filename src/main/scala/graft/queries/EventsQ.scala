@@ -320,7 +320,9 @@ object EventsQ {
     * conversion table is a broadcastable scalar frame. Conversion
     * percentages in exact 10⁶ fixed point (truncating BIGINT div) so
     * the oracle hash-matches. */
-  def q188(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q188/q197 core: per-user funnel step times (f1, f2, f3),
+    * nulls where the step was never reached in order / horizon. */
+  private def funnelUsers(s: SparkSession, dir: String): DataFrame = {
     val horizonUs = 3L * 24 * 3600 * 1000000L // 3 days from step 1
     val ev = Tables(s, dir, "events").select(
       col("user_id"), col("event_type"), col("event_id"),
@@ -328,8 +330,7 @@ object EventsQ {
     val w = Window.partitionBy("user_id")
       .orderBy(col("tu"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val funnel = ev
-      .withColumn("t1",
+    ev.withColumn("t1",
         min(when(col("event_type") === "signup", col("tu"))).over(w))
       .withColumn("t2",
         min(when(col("event_type") === "view" &&
@@ -342,6 +343,10 @@ object EventsQ {
       .groupBy("user_id")
       .agg(min(col("t1")).as("f1"), min(col("t2")).as("f2"),
         min(col("t3")).as("f3"))
+  }
+
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    val funnel = funnelUsers(s, dir)
       .agg(count(col("f1")).as("n1"), count(col("f2")).as("n2"),
         count(col("f3")).as("n3"))
     funnel.selectExpr(
@@ -353,8 +358,10 @@ object EventsQ {
       .orderBy(col("step"))
   }
 
-  val q188Sql: String =
-    """WITH e AS (SELECT user_id, event_type, event_id,
+  /** The q188 window chain up to the per-user (f1, f2, f3) fold —
+    * shared by the q188 and q197 oracles. */
+  private val funnelCtesD: String =
+    """e AS (SELECT user_id, event_type, event_id,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
       |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN tu END)
       |    OVER w AS t1 FROM e
@@ -371,17 +378,43 @@ object EventsQ {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
       |    ROWS UNBOUNDED PRECEDING)),
       |u AS (SELECT user_id, MIN(t1) AS f1, MIN(t2) AS f2, MIN(t3) AS f3
-      |  FROM s3 GROUP BY user_id),
-      |c AS (SELECT COUNT(f1) AS n1, COUNT(f2) AS n2, COUNT(f3) AS n3
-      |  FROM u)
-      |SELECT * FROM (
-      |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_type,
-      |    n1 AS n_users, CAST(1000000 AS BIGINT) AS conv_fp FROM c
-      |  UNION ALL SELECT 2, 'view', n2, n2 * 1000000 // NULLIF(n1, 0)
-      |    FROM c
-      |  UNION ALL SELECT 3, 'purchase', n3, n3 * 1000000 // NULLIF(n2, 0)
-      |    FROM c)
-      |ORDER BY step""".stripMargin
+      |  FROM s3 GROUP BY user_id)""".stripMargin
+
+  val q188Sql: String =
+    s"""WITH $funnelCtesD,
+       |c AS (SELECT COUNT(f1) AS n1, COUNT(f2) AS n2, COUNT(f3) AS n3
+       |  FROM u)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_type,
+       |    n1 AS n_users, CAST(1000000 AS BIGINT) AS conv_fp FROM c
+       |  UNION ALL SELECT 2, 'view', n2, n2 * 1000000 // NULLIF(n1, 0)
+       |    FROM c
+       |  UNION ALL SELECT 3, 'purchase', n3, n3 * 1000000 // NULLIF(n2, 0)
+       |    FROM c)
+       |ORDER BY step""".stripMargin
+
+  /** q197 — funnel conversion LATENCY (completes q188: not just how
+    * many convert, but how fast): over converted users, exact-input
+    * percentiles of signup→purchase and signup→view microsecond
+    * deltas (Spark `percentile` and DuckDB `quantile_cont` run the
+    * same linear interpolation on the same sorted BIGINTs — the q49
+    * convention). One scalar row off q188's per-user frame; the
+    * percentile state is converter-count-bounded. */
+  def q197(s: SparkSession, dir: String): DataFrame =
+    funnelUsers(s, dir)
+      .filter(col("f3").isNotNull)
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(f3 - f1, 0.5)").as("p50_us"),
+        expr("percentile(f3 - f1, 0.9)").as("p90_us"),
+        expr("percentile(f2 - f1, 0.5)").as("p50_step2_us"))
+
+  val q197Sql: String =
+    s"""WITH $funnelCtesD
+       |SELECT COUNT(*) AS n_converted,
+       |  quantile_cont(f3 - f1, 0.5) AS p50_us,
+       |  quantile_cont(f3 - f1, 0.9) AS p90_us,
+       |  quantile_cont(f2 - f1, 0.5) AS p50_step2_us
+       |FROM u WHERE f3 IS NOT NULL""".stripMargin
 
   /** q189 — weekly retention cohorts (the second product-analytics
     * staple): users cohorted by the ISO week of their FIRST event;
@@ -530,5 +563,6 @@ object EventsQ {
     QueryDef("q188_funnel", q188, Some(q188Sql)),
     QueryDef("q189_retention_cohorts", q189, Some(q189Sql)),
     QueryDef("q194_event_paths", q194, Some(q194Sql)),
-    QueryDef("q195_rate_anomaly", q195, Some(q195Sql)))
+    QueryDef("q195_rate_anomaly", q195, Some(q195Sql)),
+    QueryDef("q197_funnel_latency", q197, Some(q197Sql)))
 }
