@@ -16,6 +16,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Total-wall deadline (r14 lesson: the driver killed the bench at
+    // its budget mid-streaming-section and the WHOLE artifact was lost
+    // because nothing parseable had printed yet). Two defenses now:
+    // (1) the compact parseable summary prints IMMEDIATELY after the
+    //     main query section and is re-printed (updated, last-line-
+    //     wins) after every extra section — a mid-section kill keeps
+    //     everything completed so far;
+    // (2) each extra section is skipped outright (stamped
+    //     "skipped":"deadline") when the remaining wall budget is
+    //     below its estimated cost. SPARK_GRAFT_BENCH_DEADLINE_S
+    //     overrides the default 3000 s.
+    val benchT0 = System.currentTimeMillis()
+    val deadlineS = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S")
+      .map(_.toLong).getOrElse(3000L)
+    def remainingS: Long =
+      deadlineS - (System.currentTimeMillis() - benchT0) / 1000L
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Self-defending against co-tenant noise (r12/r13 artifacts both
@@ -23,12 +39,13 @@ object Bench {
     // the 1-min loadavg BEFORE Spark comes up — the only moment it
     // reflects co-tenant load, not this bench's own 32 threads — and
     // delay the run until it drops under SPARK_GRAFT_LOAD_MAX
-    // (default 2.0) or SPARK_GRAFT_LOAD_WAIT_S (default 900 s)
-    // elapses. Both the wait and the load the run started under are
-    // stamped in the JSON, so a still-noisy artifact is explicitly
-    // flagged ("quiet":false) instead of silently read as a
+    // (default 2.0) or the wait cap (default 900 s, now ALSO capped at
+    // deadline/6 so a noisy host can never eat the budget the query
+    // passes need) elapses. Both the wait and the load the run started
+    // under are stamped in the JSON, so a still-noisy artifact is
+    // explicitly flagged ("quiet":false) instead of silently read as a
     // regression.
-    val (quietWaitSec, loadAtStart, quiet) = waitForQuietHost()
+    val (quietWaitSec, loadAtStart, quiet) = waitForQuietHost(deadlineS / 6)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,24 +105,65 @@ object Bench {
     val total = results.map(_._2).sum
     val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val quietJson = f""""quiet":$quiet,"load_at_start":$loadAtStart%.2f,"quiet_wait_sec":$quietWaitSec%.0f"""
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadsJson,$quietJson,${lagSection(spark)},${sustainedSection(spark)},${sf1Section(spark, sfDir)}}"""
-    println(json)
-    // the full artifact also lands in a file: the driver's stdout-tail
-    // capture truncated BENCH_r07 (q01-q21 lost); the file never does
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_LOCAL.json")
-    try {
-      val w = new java.io.PrintWriter(outFile)
-      try w.println(json) finally w.close()
-    } catch { case _: Throwable => () }
-    // LAST line is a compact, self-contained summary: the driver keeps
-    // only a ~2 KB stdout TAIL, so the big line above always loses its
-    // opening brace there (BENCH_r07–r11 all recorded parsed:null).
-    // Whatever tail window the capture uses, this short final line
-    // survives whole and parses; the full per-query record stays in
-    // the big line / BENCH_LOCAL.json.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"sf":"$sfDir","loadavg":$loadsJson,$quietJson,"full_record":"$outFile"}""")
+
+    // Sections accumulate here; after EACH one completes the full
+    // record is rewritten to the file and an updated compact summary
+    // line is printed. The driver parses the LAST stdout line
+    // (last-line-wins), and keeps only a ~2 KB tail — so the compact
+    // line must stay short (no per-query maps; those live in the big
+    // line + the file) and must be re-printed after every section so
+    // a deadline kill mid-section still leaves everything completed
+    // so far parseable.
+    val sections = scala.collection.mutable.LinkedHashMap[String, String]()
+    def fullRecord(): String = {
+      val tail =
+        if (sections.isEmpty) "" else "," + sections.values.mkString(",")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":$loadsJson,$quietJson,"deadline_s":$deadlineS$tail}"""
+    }
+    def compactLine(): String = {
+      // lag/sustained are small objects — inline whole; sf1's
+      // per-query map would blow the 2 KB tail, so only its file/big-
+      // line record carries it and the compact line notes its status
+      val sf1Note = sections.get("sf1").map { s =>
+        if (s.length <= 200) s else """"sf1":"in_full_record""""
+      }.getOrElse(""""sf1":"pending"""")
+      val rest = (sections.filter(_._1 != "sf1").values.toSeq :+ sf1Note)
+        .mkString(",")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"sf":"$sfDir","loadavg":$loadsJson,$quietJson,$rest,"full_record":"$outFile"}"""
+    }
+    def emit(): Unit = {
+      try {
+        val w = new java.io.PrintWriter(outFile)
+        try w.println(fullRecord()) finally w.close()
+      } catch { case _: Throwable => () }
+      println(compactLine())
+      System.out.flush()
+    }
+    // run an extra section only if the remaining wall budget covers
+    // its estimated cost; otherwise stamp it skipped — a partial
+    // artifact beats a killed one
+    def section(name: String, estS: Long)(f: => String): Unit = {
+      sections(name) =
+        if (remainingS < estS) s""""$name":{"skipped":"deadline"}"""
+        else try f catch {
+          case t: Throwable =>
+            s""""$name":{"error":"${t.getClass.getSimpleName}"}"""
+        }
+      emit()
+    }
+
+    // the main result is safe from this point on: big line (forensic,
+    // head may be cut in the tail capture), file, compact line
+    println(fullRecord())
+    emit()
+    section("lag", 60L) { lagSection(spark) }
+    section("sustained", 120L) { sustainedSection(spark) }
+    section("sf1", 600L) { sf1Section(spark, sfDir) }
+    // final full line so the file and the stdout big line agree
+    println(fullRecord())
+    println(compactLine())
     spark.stop()
   }
 
@@ -114,11 +172,14 @@ object Bench {
     * proceeded under, whether that met the threshold). Runs before
     * SparkSession creation so the sampled load is co-tenant noise,
     * not this process's own executor threads. */
-  private def waitForQuietHost(): (Double, Double, Boolean) = {
+  private def waitForQuietHost(capS: Long): (Double, Double, Boolean) = {
     val maxLoad = sys.env.get("SPARK_GRAFT_LOAD_MAX")
       .map(_.toDouble).getOrElse(2.0)
-    val maxWaitS = sys.env.get("SPARK_GRAFT_LOAD_WAIT_S")
-      .map(_.toLong).getOrElse(900L)
+    // flat default 900 s, but never more than the caller's cap (a
+    // fraction of the total-wall deadline): a noisy host must degrade
+    // to a "quiet":false artifact, not eat the query passes' budget
+    val maxWaitS = math.min(capS, sys.env.get("SPARK_GRAFT_LOAD_WAIT_S")
+      .map(_.toLong).getOrElse(900L))
     val t0 = System.currentTimeMillis()
     var l = loadavg()
     while (l > maxLoad &&

@@ -130,6 +130,25 @@ object Fs {
     ()
   }
 
+  /** Existence + size for MANY files with ONE `listStatus` per
+    * distinct parent directory instead of one RPC per file: a 100 TB
+    * table is ~10⁶ manifest entries, and serial per-file HEAD calls
+    * on an object store would dominate an otherwise metadata-only
+    * operation (restore validation, detail). Returns a map keyed by
+    * the INPUT path strings; absent files (and files under absent
+    * parents) are simply missing from the map. */
+  def statBatch(paths: Seq[String]): Map[String, Long] =
+    paths.groupBy(s => new Path(s).getParent).iterator.flatMap {
+      case (parent, children) =>
+        val fs = parent.getFileSystem(conf())
+        val present: Map[String, Long] =
+          if (!fs.exists(parent)) Map.empty
+          else fs.listStatus(parent).iterator
+            .map(st => st.getPath.getName -> st.getLen).toMap
+        children.iterator.flatMap(c =>
+          present.get(new Path(c).getName).map(c -> _))
+    }.toMap
+
   /** Names of the direct children of `dir` (empty if absent). */
   def list(dir: String): Seq[String] = {
     val (fs, p) = apply(dir)

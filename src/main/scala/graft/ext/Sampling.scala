@@ -534,8 +534,12 @@ object Sampling {
         graft.functions.FixedLog2(
           org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
     val maxLg = 28L << 16 // fixed_log2(2^28), the u28 domain top
+    // filter on the POST-CAST BIGINT weight (the value the div below
+    // actually uses): a fractional weight in (0,1) passes a plain
+    // `> 0` filter but truncates to 0 in the cast, yielding NULL
+    // ares_fp rows that sort FIRST under asc and steal the top-k
     df.filter(col(s"`$weightCol`").isNotNull &&
-        col(s"`$weightCol`") > 0)
+        expr(s"CAST(`$weightCol` AS BIGINT)") > 0)
       .withColumn("__u28", expr(
         "CAST(conv(substring(md5(CAST(`" + keyCol +
           "` AS STRING)), 1, 7), 16, 10) AS BIGINT) + 1"))

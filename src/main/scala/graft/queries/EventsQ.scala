@@ -509,7 +509,13 @@ object EventsQ {
     * standard deviations from the type's mean — but computed WITHOUT
     * sqrt or floats: (n·x − S)² > 9·(n·Q − S²) with S = Σx, Q = Σx²
     * over the type's n hours is the same 3σ test cleared of
-    * denominators, pure BIGINT, so the oracle hash-matches exactly.
+    * denominators. The moments are BIGINT but the TEST runs in
+    * DECIMAL(38,0)/HUGEINT (the q143 fixed-point convention): S² and
+    * (n·x)² pass 2⁶³ at ~3e9 events per type — plausible at the
+    * 100 TB design point — where BIGINT would wrap silently in Spark
+    * while DuckDB raises on checked overflow. 128-bit integer
+    * arithmetic on both sides keeps the hash gate exact to ~10¹⁹
+    * events per type.
     * Two aggregations (hourly counts, then per-type moments via one
     * window over the hour frame — type-cardinality-bounded state);
     * at 100 TB the hour×type frame is already tiny. */
@@ -522,9 +528,13 @@ object EventsQ {
       .withColumn("n", count(lit(1)).over(wt))
       .withColumn("s", sum(col("cnt")).over(wt))
       .withColumn("q", sum(col("cnt") * col("cnt")).over(wt))
-      .withColumn("anom", (col("n") * col("cnt") - col("s")) *
-        (col("n") * col("cnt") - col("s")) >
-        lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .withColumn("anom", {
+        def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          c.cast("decimal(38,0)")
+        val dev = d(col("n")) * d(col("cnt")) - d(col("s"))
+        dev * dev >
+          d(lit(9L)) * (d(col("n")) * d(col("q")) - d(col("s")) * d(col("s")))
+      })
       .groupBy("event_type")
       .agg(max(col("n")).as("n_hours"), max(col("s")).as("n_events"),
         sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"),
@@ -543,9 +553,10 @@ object EventsQ {
       |  FROM h WINDOW w AS (PARTITION BY event_type))
       |SELECT event_type, MAX(n) AS n_hours,
       |  CAST(MAX(s) AS BIGINT) AS n_events,
-      |  CAST(SUM(CASE WHEN (n * cnt - s) * (n * cnt - s) >
-      |    9 * (n * q - s * s) THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_anomalies,
+      |  CAST(SUM(CASE WHEN
+      |    (CAST(n AS HUGEINT) * cnt - s) * (CAST(n AS HUGEINT) * cnt - s)
+      |    > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
       |  MIN(cnt) AS min_hourly, MAX(cnt) AS max_hourly
       |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -2114,24 +2114,31 @@ object TextQ {
     * path ([[graft.ext.Multimodal.dHashOf]]: decode → exact
     * block-mean grayscale grid → the same hash) is spec-gated with
     * in-JVM PNGs, since pixel decode is not SQL-expressible. */
-  def q196(s: SparkSession, dir: String): DataFrame = {
-    val grid =
-      """transform(sequence(0, 71), i -> CAST(conv(substring(md5(
-        |  element_at(toks, CAST(i % size(toks) AS INT) + 1)),
-        |  1, 2), 16, 10) AS BIGINT))""".stripMargin
-    val dhash =
-      """aggregate(sequence(0, 62), 0L, (acc, k) -> acc +
-        |  IF(element_at(g, CAST(k div 8 AS INT) * 9
-        |       + CAST(k % 8 AS INT) + 1) >
-        |     element_at(g, CAST(k div 8 AS INT) * 9
-        |       + CAST(k % 8 AS INT) + 2),
-        |     shiftleft(1L, CAST(k AS INT)), 0L))""".stripMargin
-    val dh = spreadDocs(s, dir)
+  /** Synthetic deterministic 9×8 grid + 63-bit dHash (shared by q196
+    * and q198 — and mirrored cell for cell by both DuckDB oracles):
+    * cell i = one md5 byte of the document's (i mod n)-th token, so
+    * documents sharing most tokens land at SMALL Hamming distances. */
+  private val dHashGridE =
+    """transform(sequence(0, 71), i -> CAST(conv(substring(md5(
+      |  element_at(toks, CAST(i % size(toks) AS INT) + 1)),
+      |  1, 2), 16, 10) AS BIGINT))""".stripMargin
+  private val dHashE =
+    """aggregate(sequence(0, 62), 0L, (acc, k) -> acc +
+      |  IF(element_at(g, CAST(k div 8 AS INT) * 9
+      |       + CAST(k % 8 AS INT) + 1) >
+      |     element_at(g, CAST(k div 8 AS INT) * 9
+      |       + CAST(k % 8 AS INT) + 2),
+      |     shiftleft(1L, CAST(k AS INT)), 0L))""".stripMargin
+  private def docDHashes(s: SparkSession, dir: String): DataFrame =
+    spreadDocs(s, dir)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("g", expr(grid))
-      .withColumn("dhash", expr(dhash))
+      .withColumn("g", expr(dHashGridE))
+      .withColumn("dhash", expr(dHashE))
       .select(col("doc_id"), col("dhash"))
+
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    val dh = docDHashes(s, dir)
     val banded = dh
       .select(col("doc_id"), col("dhash"),
         explode(expr("sequence(0, 3)")).as("band"))
@@ -2153,8 +2160,11 @@ object TextQ {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val q196Sql: String =
-    s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents
+  /** Shared DuckDB CTE prefix for the dHash oracles: tokens → 9×8
+    * md5-byte grid → 63-bit dHash — mirrors [[dHashGridE]]/[[dHashE]]
+    * cell for cell. */
+  private val dHashCtesD: String =
+    s"""tk AS (SELECT doc_id, $toksD AS toks FROM documents
        |  WHERE len($toksD) > 0),
        |gr AS (SELECT doc_id, list_transform(range(0, 72),
        |    i -> CAST(('0x' || substr(md5(toks[(i % len(toks)) + 1]),
@@ -2165,11 +2175,98 @@ object TextQ {
        |                   g[(k // 8) * 9 + (k % 8) + 2]
        |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END))
        |    AS BIGINT) AS dhash
-       |  FROM gr)
+       |  FROM gr)""".stripMargin
+
+  /** DuckDB mirror of the 4×16-bit band rows ([[graft.ext.Multimodal
+    * .dHashBandRows]] layout — band 3 masks to 15 bits). */
+  private val dHashBandsD: String =
+    """bands AS (SELECT doc_id, dhash, CAST(band AS VARCHAR) || ':' ||
+      |    CAST((dhash >> (band * 16)) &
+      |      CASE WHEN band = 3 THEN 32767 ELSE 65535 END AS VARCHAR)
+      |    AS band_key
+      |  FROM dh, (SELECT unnest(range(0, 4)) AS band))""".stripMargin
+
+  /** The strong independent form: O(n²) all-pairs — right at sf0.01
+    * (sub-second) where it independently PROVES banding recall. */
+  private val q196SqlAllPairs: String =
+    s"""WITH $dHashCtesD
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** The banded form: pigeonhole-EQUAL to all-pairs at Hamming ≤ 3
+    * (a ≤3-bit difference cannot touch all four bands), but near-
+    * linear — the sf0.1 selfcheck variant (~8 min all-pairs → secs).
+    * Equality of the two SQLs is proven at sf0.01 per round. */
+  private val q196SqlBanded: String =
+    s"""WITH $dHashCtesD,
+       |$dHashBandsD,
+       |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id)
+       |SELECT p.a_id, p.b_id,
+       |  CAST(bit_count(xor(da.dhash, db.dhash)) AS INT) AS hamming
+       |FROM p JOIN dh da ON da.doc_id = p.a_id
+       |  JOIN dh db ON db.doc_id = p.b_id
+       |WHERE bit_count(xor(da.dhash, db.dhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** All-pairs by default (the driver gates at sf0.01, where the
+    * strong form is right); SPARK_GRAFT_BANDED_ORACLE=1 swaps in the
+    * proven-equal banded form for builder-side sf0.1 selfchecks,
+    * whose all-pairs cost (~8 min) stalls the loop. */
+  val q196Sql: String =
+    if (sys.env.get("SPARK_GRAFT_BANDED_ORACLE").contains("1"))
+      q196SqlBanded
+    else q196SqlAllPairs
+
+  /** q198 — INCREMENTAL image dHash near-dup
+    * ([[graft.ext.Multimodal.dHashIncremental]]): batch 2 (doc_id ≥
+    * cut) blocks against the dHash INDEX built from batch 1 — the
+    * historical grids/pixels are gone; only (doc_id, band_key,
+    * dhash) rows remain on disk, and verification is the EXACT
+    * `bit_count(xor)` since the full hash rides in the index. NO
+    * explicit hot-bucket cap: the probe derives `max(64, ceil(sqrt(
+    * n_docs)))` from the index manifest and the oracle mirrors the
+    * formula + exclusion in SQL (the q82 convention). Oracle:
+    * batch-global banding restricted to pairs whose higher id is in
+    * batch 2 — incremental banding over an id-split corpus discovers
+    * exactly those pairs. */
+  def q198(s: SparkSession, dir: String): DataFrame = {
+    val cut = Tables(s, dir, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0) / 2
+    val idx = QueryDef.scratchDir("graft_q198_idx")
+    val dh = docDHashes(s, dir)
+    // index append is eager inside dHashIncremental; batch 1's pair
+    // frame is lazy and unread — don't force it
+    graft.ext.Multimodal.dHashIncremental(
+      dh.filter(col("doc_id") < cut), "doc_id", "dhash", idx)
+    graft.ext.Multimodal.dHashIncremental(
+      dh.filter(col("doc_id") >= cut), "doc_id", "dhash", idx)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q198Sql: String =
+    s"""WITH $dHashCtesD,
+       |cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS c
+       |  FROM documents),
+       |$dHashBandsD,
+       |cap AS (SELECT GREATEST(64, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+       |    AS v FROM dh),
+       |hot AS (SELECT band_key FROM bands GROUP BY band_key
+       |  HAVING COUNT(*) > (SELECT v FROM cap)),
+       |p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id, cut
+       |  WHERE b.doc_id >= c
+       |    AND a.band_key NOT IN (SELECT band_key FROM hot))
+       |SELECT p.a_id, p.b_id,
+       |  CAST(bit_count(xor(da.dhash, db.dhash)) AS INT) AS hamming
+       |FROM p JOIN dh da ON da.doc_id = p.a_id
+       |  JOIN dh db ON db.doc_id = p.b_id
+       |WHERE bit_count(xor(da.dhash, db.dhash)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
   /** q192 — weighted sampling without replacement
@@ -2184,7 +2281,14 @@ object TextQ {
         "n_chars", 25)
       .select(col("doc_id"), col("n_chars").as("weight"),
         col("ares_fp"))
-      .orderBy(col("ares_fp"), col("doc_id"))
+      // presentation order mirrors weightedSampleK's internal
+      // tiebreak AND the oracle's ORDER BY (ares_fp, md5(doc_id),
+      // doc_id): on an ares_fp tie among the selected 25 — likely at
+      // larger scales since u28 is a 28-bit md5 prefix — a plain
+      // (ares_fp, doc_id) order would emit tied rows differently
+      // from the oracle and fail the hash gate on an identical set
+      .orderBy(col("ares_fp"), md5(col("doc_id").cast("string")),
+        col("doc_id"))
 
   val q192Sql: String =
     s"""WITH uu AS (SELECT doc_id, n_chars,
@@ -4022,6 +4126,7 @@ object TextQ {
     QueryDef("q120_sample_exact_k", q120, Some(q120Sql)),
     QueryDef("q192_weighted_sample", q192, Some(q192Sql)),
     QueryDef("q196_image_dhash", q196, Some(q196Sql)),
+    QueryDef("q198_dhash_incremental", q198, Some(q198Sql)),
     QueryDef("q121_span_rewrite", q121, Some(q121Sql)),
     QueryDef("q124_classifier_cut", q124, Some(q124Sql)),
     QueryDef("q128_token_entropy", q128, Some(q128Sql)),

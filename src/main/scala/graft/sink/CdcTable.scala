@@ -705,9 +705,15 @@ object CdcTable {
   }
 
   /** Hive `key=value` partition segments of a staged file path, in
-    * path order — derived from the MANIFEST alone, no FS listing. */
+    * path order — derived from the MANIFEST alone, no FS listing.
+    * Normalized through [[fileKey]] first: borrowed ABSOLUTE entries
+    * (shallow clones) must contribute only their `data/batch-…`
+    * suffix — a `key=value` segment in the SOURCE table's own
+    * directory path (e.g. `/warehouse/region=eu/tbl`) is not a
+    * partition column of the borrowed file and would otherwise
+    * corrupt clone reads and rewrite layout checks. */
   private def partColsFromPath(rel: String): Seq[String] =
-    rel.split('/').toIndexedSeq
+    fileKey(rel).split('/').toIndexedSeq
       .filter(seg => seg.contains('=') && !seg.startsWith("."))
       .map(_.split("=", 2)(0)).distinct
 
@@ -738,7 +744,12 @@ object CdcTable {
           var df = spark.read.schema(dataSchema)
             .parquet(files.map(f => resolve(dir, f)): _*)
           partCols.filter(schema.fieldNames.contains).foreach { p =>
-            val raw = regexp_extract(input_file_name(),
+            // match inside the data/batch-… suffix only: for borrowed
+            // absolute files (shallow clones) a same-named key=value
+            // segment in the SOURCE table's directory path would win
+            // a first-match regex over the full URI
+            val raw = regexp_extract(
+              regexp_extract(input_file_name(), RelPathRe, 1),
               java.util.regex.Pattern.quote(p) + "=([^/]+)", 1)
             df = df.withColumn(p,
               when(raw === "__HIVE_DEFAULT_PARTITION__",
@@ -1180,8 +1191,12 @@ object CdcTable {
     val snap = commitsAsOf(dir, commitAsOf, timestampAsOf)
     if (snap.last.commit == commits.last.commit)
       return commits.last.schemaVersion // already at the snapshot
-    val missing = snap.flatMap(_.files)
-      .filterNot(f => Fs.exists(resolve(dir, f)))
+    // ONE listStatus per distinct data directory (Fs.statBatch), not
+    // one exists() RPC per file — a million-file snapshot must not
+    // pay a million serial HEAD calls before a metadata-only restore
+    val snapFiles = snap.flatMap(_.files).distinct
+    val present = Fs.statBatch(snapFiles.map(f => resolve(dir, f))).keySet
+    val missing = snapFiles.filterNot(f => present(resolve(dir, f)))
     require(missing.isEmpty,
       s"restore at $dir: ${missing.size} file(s) of the requested " +
         s"snapshot no longer exist (vacuumOrphans pruned superseded " +
@@ -1296,10 +1311,9 @@ object CdcTable {
     require(commits.nonEmpty, s"no CdcTable at $dir")
     val eff = effective(commits)
     val files = eff.flatMap(_.files)
-    val bytes = files.map { f =>
-      val (fs, p) = Fs(resolve(dir, f))
-      if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
-    }.sum
+    // batched: one listStatus per data directory, not per-file RPCs
+    val sizes = Fs.statBatch(files.distinct.map(f => resolve(dir, f)))
+    val bytes = files.map(f => sizes.getOrElse(resolve(dir, f), 0L)).sum
     TableDetail(
       commits = commits.last.commit,
       schemaVersion = commits.last.schemaVersion,

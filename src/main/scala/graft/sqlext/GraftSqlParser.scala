@@ -797,7 +797,10 @@ case class RestoreGraftTable(dir: String, commitAsOf: Option[Long],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val sv = CdcTable.restore(spark, dir, commitAsOf, timestampAsOf)
-    Seq(Row(sv, CdcTable.currentVersion(dir)))
+    // current_commit is the new log TAIL's commit id — NOT
+    // currentVersion (which is the tail's schemaVersion and reads a
+    // rolled-back number after a restore)
+    Seq(Row(sv, CdcTable.log(dir).last.commit))
   }
 }
 

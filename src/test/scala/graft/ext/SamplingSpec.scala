@@ -466,4 +466,20 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSampleK(docs, "id", "w", 0)
     }
   }
+
+  test("weightedSampleK excludes fractional weights that truncate to 0") {
+    // a double weight in (0,1) passes a naive `> 0` filter but
+    // truncates to 0 in the BIGINT cast, yielding NULL ares_fp rows
+    // that sort first and steal the top-k — the filter must run on
+    // the post-cast value
+    val docs = (1L to 100L)
+      .map(i => (i, if (i <= 90) 0.5 else i.toDouble)).toDF("id", "w")
+    val got = Sampling.weightedSampleK(docs, "id", "w", 5)
+    val rows = got.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("ares_fp"))),
+      "no NULL A-Res keys may reach the selection")
+    assert(got.select("id").as[Long].collect().forall(_ > 90),
+      "sub-1 weights are excluded, not promoted to the top")
+  }
 }

@@ -102,6 +102,31 @@ class RestoreCloneSpec extends SparkSpec {
     val out = spark.sql(s"GRAFT RESTORE '$dir' TO COMMIT $snap").collect()
     assert(out.length == 1)
     assert(CdcTable.read(spark, dir).count() == 2)
+    // current_commit reports the new log TAIL's commit id, not the
+    // (rolled-back) schema version the tail carries
+    assert(out.head.getLong(1) == CdcTable.log(dir).last.commit)
+  }
+
+  test("clone of a source whose OWN path contains key=value segments") {
+    // a key=value segment in the source table's directory path (e.g.
+    // /warehouse/region=eu/tbl) must NOT be misread as a Hive
+    // partition column of the borrowed absolute-path files
+    val src = tmpDir("cloneseg") + "/region=eu/tbl"
+    val dst = tmpDir("cloneseg_d")
+    CdcTable.append((1L to 6L).map(i => (i, s"k$i")).toDF("x", "_id"), src)
+    CdcTable.cloneShallow(spark, src, dst)
+    val got = CdcTable.read(spark, dst)
+    assert(got.columns.toSet.filter(!_.startsWith("_cdc")) ==
+      Set("x", "_id"), "no phantom 'region' partition column")
+    assert(got.select("x").as[Long].collect().sorted.toSeq ==
+      (1L to 6L).toSeq)
+    // keyed DML over the borrowed files still rewrites correctly
+    val res = CdcTable.deleteKeys(spark, dst,
+      Seq("k2", "k5").toDF("_id"), Seq("_id"))
+    assert(res.rowsDeleted == 2L)
+    assert(CdcTable.read(spark, dst).select("x").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L, 6L))
+    assert(CdcTable.read(spark, src).count() == 6)
   }
 
   test("shallow clone copies no data and reads the source's content") {
