@@ -566,4 +566,200 @@ object Multimodal {
       (total / (targetPartitionMB.toLong * 1024 * 1024)).toInt)
     df.repartition(n)
   }
+
+  // ---------------------------------------------------------------
+  // Incremental perceptual-hash index (the image analog of
+  // Dedup.nearIncremental): new batches block against the dHash
+  // index of everything already ingested — the historical PIXELS are
+  // never stored or re-read. Unlike the MinHash index, verification
+  // is EXACT, not estimated: the full 63-bit hash rides in the index
+  // (~40 B/row incl. the band key), so `bit_count(xor) ≤ r` is the
+  // true Hamming distance, and 4×16-bit banding is pigeonhole-exact
+  // recall at r ≤ 3. The index is a graft table (doc_id, band_key,
+  // dhash): atomic commits, txn replay safety, GRAFT COMPACT INDEX
+  // (the band_key DISTINCT fold) and GRAFT RETRACT INDEX (the
+  // band_key → doc_id keyed-delete route) all work unchanged.
+  // ---------------------------------------------------------------
+
+  private[graft] final case class DHashIncr(pairs: DataFrame,
+      batchBands: DataFrame)
+
+  /** ONE row per (doc, band): `band_key = band ':' bits` with bits =
+    * the band'th 16-bit slice of the 63-bit hash (band 3 carries 15
+    * bits). The single source of truth for the banding layout —
+    * shared by the batch-global q196 form and the incremental path,
+    * and mirrored by the DuckDB oracle. */
+  private def dHashBandRows(df: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    df.select(col(s"`$idCol`").as("doc_id"),
+        col(s"`$hashCol`").cast("long").as("dhash"))
+      .filter(col("dhash").isNotNull)
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), col("dhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .select(col("doc_id"),
+        concat_ws(":", col("band"), expr(
+          "shiftright(dhash, band * 16) & IF(band = 3, 32767, 65535)"))
+          .as("band_key"),
+        col("dhash"))
+
+  /** Pair computation WITHOUT the index append — the caller decides
+    * what enters the index (everything for [[dHashIncremental]],
+    * kept docs only for [[dHashDedupStreamToTable]]). `pairs` is
+    * pinned to the pre-call index snapshot. */
+  private[graft] def dHashIncrementalCore(batch: DataFrame,
+      idCol: String, hashCol: String, indexDir: String, radius: Int,
+      maxBandDocFreq: Option[Int], maxBatchRows: Long,
+      txn: Option[(String, Long)] = None): DHashIncr = {
+    import graft.sink.CdcTable
+    val spark = batch.sparkSession
+    // 4 bands over 63 bits: a pair within Hamming `radius` shares at
+    // least one untouched band only while radius < bands — past 3 the
+    // pigeonhole guarantee (and the "exact recall" contract) is gone
+    require(radius >= 0 && radius <= 3,
+      s"dHash banding is pigeonhole-exact only for radius 0..3, " +
+        s"got $radius")
+    val batchBands = dHashBandRows(batch, idCol, hashCol)
+      .localCheckpoint() // pin: feeds the candidate join AND the
+                         // index append; must not recompute after it
+    // each doc emits exactly 4 band rows, so the pinned frame counts
+    // the batch for free; a corpus-sized "batch" must fail loudly
+    // BEFORE its band keys broadcast
+    val nDocs = batchBands.count() / 4
+    require(nDocs <= maxBatchRows,
+      s"incremental batch has $nDocs hashed documents (> " +
+        s"maxBatchRows=$maxBatchRows): this API broadcasts the " +
+        "batch's band keys and assumes bounded micro-batches — use " +
+        "the batch-global banded join for a corpus-sized input, or " +
+        "raise maxBatchRows if the broadcast genuinely fits")
+    val hist =
+      if (CdcTable.log(indexDir).nonEmpty) {
+        val stored = CdcTable.log(indexDir).last.schema.fieldNames.toSet
+        require(stored == Set("doc_id", "band_key", "dhash"),
+          s"index at $indexDir is not a dHash index (columns: " +
+            s"${stored.mkString(", ")})")
+        // THE INDEX NEVER SHUFFLES: the batch's bounded band-key set
+        // broadcasts; the index streams through a scan + semi-join
+        // probe (crash replays excluded via the txn marker, so the
+        // snapshot — and the occupancy counts below — replay
+        // bit-identically)
+        CdcTable.readExcludingTxn(spark, indexDir, txn)
+          .join(broadcast(batchBands.select(col("band_key")).distinct()),
+            Seq("band_key"), "left_semi")
+      } else spark.createDataFrame(
+        new java.util.ArrayList[Row](), batchBands.schema)
+    val all = hist.unionByName(batchBands)
+    // hot-bucket exclusion, the Dedup.nearIncremental shape: cap
+    // explicit or manifest-derived (√n over indexed docs + batch —
+    // frows metadata, zero data IO); occupancy itself is EXACT over
+    // the touched buckets the probe already holds
+    val cap = maxBandDocFreq.getOrElse(Dedup.autoBandDocFreq(
+      CdcTable.rowCountEstimate(indexDir, txn) / 4 + nDocs))
+    val (lSide, rSide) =
+      if (cap == Int.MaxValue) (batchBands, all)
+      else {
+        val hot = all.groupBy(col("band_key"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select(col("band_key"))
+        (batchBands.join(broadcast(hot), Seq("band_key"), "left_anti"),
+          all.join(broadcast(hot), Seq("band_key"), "left_anti"))
+      }
+    val cand = lSide.select(col("doc_id").as("l_id"), col("band_key"))
+      .join(rSide.select(col("doc_id").as("r_id"), col("band_key")),
+        Seq("band_key"))
+      .filter(col("l_id") =!= col("r_id"))
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"))
+      .distinct() // collapses multi-band agreement, both orientations
+                  // of batch-batch pairs, and replayed index rows
+    // EXACT verification — the full hash is in the index, so this is
+    // the true Hamming distance, not an estimate
+    val hashes = all.select(col("doc_id"), col("dhash"))
+      .dropDuplicates("doc_id") // band copies carry identical hashes
+    val pairs = cand
+      .join(hashes.select(col("doc_id").as("a_id"),
+        col("dhash").as("dh_a")), Seq("a_id"))
+      .join(hashes.select(col("doc_id").as("b_id"),
+        col("dhash").as("dh_b")), Seq("b_id"))
+      .withColumn("hamming",
+        expr("bit_count(dh_a ^ dh_b)").cast("int"))
+      .filter(col("hamming") <= radius)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    DHashIncr(pairs, batchBands)
+  }
+
+  /** INCREMENTAL image near-dup — the dHash analog of
+    * [[graft.ext.Dedup.nearIncremental]] (reference: the perceptual
+    * dedup step of an image-curation pipeline, run per ingest batch):
+    * the batch's hashes block against the index by band equality and
+    * verify by exact `bit_count(xor) ≤ radius`; the batch's band rows
+    * then append to the index (txn-replay-safe). Returns pairs
+    * (a_id < b_id, hamming) where at least one side is in the batch.
+    *
+    * Per batch: one pass over the BATCH, one broadcast-semi probe of
+    * the index (never shuffled), one append — the per-batch cost is
+    * bounded by batch + touched-bucket volume, not corpus size.
+    * `maxBandDocFreq None` derives the √n hot-bucket cap from the
+    * index manifest ([[graft.ext.Dedup.autoBandDocFreq]]);
+    * `Some(Int.MaxValue)` uncaps. Maintenance:
+    * [[graft.ext.Dedup.compactIndex]] folds the per-batch append
+    * generations (band rows collapse by DISTINCT — exact), and
+    * [[graft.ext.Dedup.retractIndex]] removes a deleted image's rows
+    * (per-doc ownership; no re-election needed). */
+  def dHashIncremental(batch: DataFrame, idCol: String,
+      hashCol: String, indexDir: String, radius: Int = 3,
+      txn: Option[(String, Long)] = None,
+      maxBandDocFreq: Option[Int] = None,
+      maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
+      : DataFrame = {
+    val r = dHashIncrementalCore(batch, idCol, hashCol, indexDir,
+      radius, maxBandDocFreq, maxBatchRows, txn)
+    graft.sink.CdcTable.append(r.batchBands, indexDir, txn = txn)
+    r.pairs
+  }
+
+  /** Streaming image-dedup-to-table: every micro-batch hashes its
+    * binary payloads ([[dHashOf]] — real pixels for decodable images,
+    * the deterministic byte-fold stub otherwise), blocks against the
+    * dHash index of everything KEPT so far, drops batch docs within
+    * `radius` Hamming of ANY earlier doc (historical, or a lower-id
+    * doc in the same batch), and appends the rest to `outDir`.
+    * Exactly-once across restarts via per-role txn markers (the
+    * [[graft.ext.Dedup.nearDedupStreamToTable]] contract, including
+    * the non-decreasing-id assumption: a pair's higher id loses).
+    *
+    * Kept-only indexing bounds bucket occupancy structurally (one
+    * entry per distinct image), so this path runs UNCAPPED — the √n
+    * cap would suppress the very pairs that keep a mass-duplicated
+    * image from re-entering (see the nearDedupStreamToTable
+    * analysis, which applies verbatim). */
+  def dHashDedupStreamToTable(stream: DataFrame, contentCol: String,
+      idCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, radius: Int = 3,
+      appId: String = "graft-dhashdedup",
+      maxBatchRows: Long = Similarity.MaxIncrementalBatchRows)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val r = dHashIncrementalCore(dHashOf(batch, contentCol),
+          idCol, "dhash", indexDir, radius,
+          maxBandDocFreq = Some(Int.MaxValue),
+          maxBatchRows = maxBatchRows, txn = Some((s"$appId-idx", id)))
+        // pairs are already Hamming-verified: every b_id is a dup.
+        // one evaluation feeds the index filter AND the out anti-join
+        val dupIds = r.pairs.select(col("b_id").as("__dup_id"))
+          .distinct().localCheckpoint()
+        graft.sink.CdcTable.append(
+          r.batchBands.join(dupIds,
+            col("doc_id") === col("__dup_id"), "left_anti"),
+          indexDir, txn = Some((s"$appId-idx", id)))
+        graft.sink.CdcTable.append(
+          batch.join(dupIds, batch(idCol) === col("__dup_id"),
+            "left_anti"),
+          outDir, txn = Some((s"$appId-out", id)))
+        ()
+      }
+      .start()
 }

@@ -404,4 +404,140 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) != got(1L) || got(3L) == 0L)
     assert(got.values.forall(_ >= 0L), "63-bit hash stays positive")
   }
+
+  // ------------------------------------------------------------------
+  // incremental dHash index
+  // ------------------------------------------------------------------
+
+  // hand-built hashes with controlled band structure:
+  //   h0 = all-zero; h1 = h0 with bits 0,1 flipped (band 0 differs,
+  //   bands 1-3 shared, Hamming 2); h2 = one bit flipped in EVERY
+  //   band (no shared band with h0 — banding must never pair it,
+  //   and Hamming 4 > 3 confirms the miss is correct); h3 = copy of
+  //   h1; h4 = far from everything
+  private val h0 = 0L
+  private val h1 = 3L
+  private val h2 = (1L << 1) | (1L << 17) | (1L << 33) | (1L << 49)
+  private val h3 = 3L
+  private val h4 = 0x5555555555555555L
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Int)] =
+    df.select("a_id", "b_id", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+
+  test("dHashIncremental: banded blocking + exact Hamming verification") {
+    val idx = tmpDir("dhidx")
+    val b1 = Seq((1L, h0), (2L, h2)).toDF("doc_id", "dhash")
+    val b2 = Seq((10L, h1), (11L, h3), (12L, h4)).toDF("doc_id", "dhash")
+    Multimodal.dHashIncremental(b1, "doc_id", "dhash", idx)
+    val got = pairsOf(
+      Multimodal.dHashIncremental(b2, "doc_id", "dhash", idx))
+    // (1,10)/(1,11): historical h0 vs batch h1 twins, Hamming 2 via
+    // three shared bands; (10,11): in-batch exact copies; h2 shares
+    // no band with anything; h4 is far from everything
+    assert(got == Set((1L, 10L, 2), (1L, 11L, 2), (10L, 11L, 0)))
+    // the index stores 4 band rows per doc, full hash riding along
+    val rows = graft.sink.CdcTable.read(spark, idx)
+    assert(rows.count() == 5L * 4)
+    assert(rows.columns.toSet == Set("doc_id", "band_key", "dhash"))
+  }
+
+  test("dHashIncremental radius narrows the verified pairs") {
+    val idx = tmpDir("dhidx_r1")
+    Multimodal.dHashIncremental(
+      Seq((1L, h0)).toDF("doc_id", "dhash"), "doc_id", "dhash", idx,
+      radius = 1)
+    val got = pairsOf(Multimodal.dHashIncremental(
+      Seq((10L, h1), (11L, h3)).toDF("doc_id", "dhash"),
+      "doc_id", "dhash", idx, radius = 1))
+    assert(got == Set((10L, 11L, 0)),
+      "Hamming-2 candidates are blocked but fail radius-1 verification")
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashIncremental(
+        Seq((20L, h0)).toDF("doc_id", "dhash"), "doc_id", "dhash", idx,
+        radius = 4)
+    }
+  }
+
+  test("dHash index: compactIndex fold + retractIndex, probes unchanged") {
+    val idx = tmpDir("dhidx_maint")
+    Multimodal.dHashIncremental(
+      Seq((1L, h0), (2L, h2)).toDF("doc_id", "dhash"),
+      "doc_id", "dhash", idx)
+    Multimodal.dHashIncremental(
+      Seq((10L, h1), (11L, h3)).toDF("doc_id", "dhash"),
+      "doc_id", "dhash", idx)
+    val commitsBefore = graft.sink.CdcTable.log(idx).size
+    Dedup.compactIndex(spark, idx)
+    assert(graft.sink.CdcTable.log(idx).size == commitsBefore + 1)
+    assert(graft.sink.CdcTable.read(spark, idx).count() == 4L * 4,
+      "fold collapses to one DISTINCT row set")
+    // probe after the fold sees exactly the pre-fold candidates
+    val p1 = pairsOf(Multimodal.dHashIncremental(
+      Seq((20L, h1)).toDF("doc_id", "dhash"), "doc_id", "dhash", idx))
+    assert(p1 == Set((1L, 20L, 2), (10L, 20L, 0), (11L, 20L, 0)))
+    // right-to-be-forgotten: doc 10's band rows retract (per-doc
+    // ownership — the band_key → doc_id route)
+    val removed = Dedup.retractIndex(spark, idx, Seq(10L).toDF("id"))
+    assert(removed == 4L)
+    val p2 = pairsOf(Multimodal.dHashIncremental(
+      Seq((30L, h1)).toDF("doc_id", "dhash"), "doc_id", "dhash", idx))
+    assert(p2 == Set((1L, 30L, 2), (11L, 30L, 0), (20L, 30L, 0)),
+      "retracted doc no longer serves as a match; survivors still do")
+  }
+
+  test("dHashDedupStreamToTable: kept-only index, exactly-once restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir("dhsidx")
+    val out = tmpDir("dhsout")
+    val ckpt = tmpDir("dhsckpt")
+    // content flows as BINARY payloads; hashes come from dHashOf's
+    // deterministic byte-fold stub — validate the fixture's distance
+    // structure first so the assertions below test the STREAM, not
+    // luck (exact copies hash equal; the novel docs must be > 3 bits
+    // from everything else)
+    val cA = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 8
+    val cB = "0123456789!@#$%^&*()_+{}[]<>?,./;:ZYXWVU" * 11
+    val cC = "the quick brown fox jumps over lazy dogs" * 5
+    def payload(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "body")
+        .withColumn("content", encode(col("body"), "UTF-8"))
+        .drop("body")
+    val fixture = Multimodal.dHashOf(
+      payload(Seq((0L, cA), (1L, cB), (2L, cC))), "content")
+      .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+    for (Seq(x, y) <- fixture.keys.toSeq.sorted.combinations(2))
+      assert(java.lang.Long.bitCount(fixture(x) ^ fixture(y)) > 3,
+        s"fixture docs $x/$y must be mutually novel")
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "body")
+      .withColumn("content", encode(col("body"), "UTF-8"))
+      .drop("body")
+    val q = Multimodal.dHashDedupStreamToTable(stream, "content",
+      "doc_id", idx, out, ckpt)
+    try {
+      mem.addData((10L, cA), (11L, cB))
+      q.processAllAvailable()
+      // 20 is an exact copy of historical 10 → dropped; 21 novel
+      mem.addData((20L, cA), (21L, cC))
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart from the checkpoint: the index lookback still covers
+    // everything kept before the restart
+    val q2 = Multimodal.dHashDedupStreamToTable(stream, "content",
+      "doc_id", idx, out, ckpt)
+    try {
+      mem.addData((30L, cB), (31L, cA)) // both copies of kept docs
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = graft.sink.CdcTable.read(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(10L, 11L, 21L),
+      s"copies dropped across the restart, novel docs kept: $ids")
+    // kept-only index: 3 kept docs × 4 bands
+    assert(graft.sink.CdcTable.read(spark, idx).count() == 3L * 4)
+  }
 }
