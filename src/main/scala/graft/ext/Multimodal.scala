@@ -567,6 +567,93 @@ object Multimodal {
     df.repartition(n)
   }
 
+  /** 9×8 integer feature grid over PCM samples — the audio analog of
+    * [[grayGrid9x8]], feeding the SAME 63-bit [[dHash64]]: 9 equal
+    * integer-boundary time frames × 8 exact-integer frame features
+    * (Σ|x|, lag-1/2/3 absolute differences, lag-1 absolute sums,
+    * peak, zero crossings, Σx²). Layout `g(feat·9 + frame)`, so
+    * dHash64's row-major adjacent comparisons become PER-FEATURE
+    * TEMPORAL GRADIENTS — the chromaprint-class shape (energy-band
+    * deltas across time) without a float FFT: two engines (or two
+    * JVMs) computing this grid from the same samples agree bit for
+    * bit, which is what makes the hash an INDEX key. */
+  def audioFrameGrid(samples: Array[Int]): Array[Long] = {
+    val n = samples.length
+    val out = new Array[Long](72)
+    var f = 0
+    while (f < 9) {
+      val i0 = f * n / 9
+      val i1 = (f + 1) * n / 9
+      var sAbs = 0L; var d1 = 0L; var d2 = 0L; var d3 = 0L
+      var s1 = 0L; var peak = 0L; var zc = 0L; var e = 0L
+      var i = i0
+      while (i < i1) {
+        val x = samples(i).toLong
+        val ax = math.abs(x)
+        sAbs += ax
+        if (ax > peak) peak = ax
+        e += x * x
+        if (i > i0) {
+          val p = samples(i - 1).toLong
+          d1 += math.abs(x - p)
+          s1 += math.abs(x + p)
+          if (x * p < 0) zc += 1
+        }
+        if (i >= i0 + 2) d2 += math.abs(x - samples(i - 2))
+        if (i >= i0 + 3) d3 += math.abs(x - samples(i - 3))
+        i += 1
+      }
+      out(0 * 9 + f) = sAbs
+      out(1 * 9 + f) = d1
+      out(2 * 9 + f) = d2
+      out(3 * 9 + f) = d3
+      out(4 * 9 + f) = s1
+      out(5 * 9 + f) = peak
+      out(6 * 9 + f) = zc
+      out(7 * 9 + f) = e
+      f += 1
+    }
+    out
+  }
+
+  /** Audio near-dup fingerprint: [[audioFrameGrid]] → [[dHash64]].
+    * Serving shape is identical to the image hash — the same 4×16-bit
+    * banded blocking, the same `bit_count(xor) ≤ r` exact
+    * verification, and the same incremental index
+    * ([[dHashIncremental]] with `hashCol = "afp"`). */
+  def audioFingerprint(samples: Array[Int]): Long =
+    dHash64(audioFrameGrid(samples).toSeq)
+
+  /** Add an `afp: bigint` column over a binary content column:
+    * decodable audio takes the REAL sample path ([[decodeAudio]] →
+    * exact 16-bit ints → [[audioFingerprint]]); other payloads fold
+    * their bytes into the same centered sample domain (deterministic
+    * stand-in, the [[decodeStub]] contract) so the pipeline stays
+    * end-to-end testable. Partition-parallel, zero driver
+    * involvement. */
+  def audioFingerprintOf(df: DataFrame, contentCol: String = "content")
+      : DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("afp", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val samples = decodeAudio(bytes).map { case (_, fs) =>
+          // decodeAudio normalized exact 16-bit PCM ints by 32768;
+          // the round-trip recovers them exactly
+          fs.map(x => math.round(x * 32768f))
+        }.getOrElse {
+          if (bytes == null) Array.empty[Int]
+          else bytes.map(b => (b & 0xFF) - 128)
+        }
+        Row.fromSeq(r.toSeq :+ audioFingerprint(samples))
+      }
+    }(enc)
+  }
+
   // ---------------------------------------------------------------
   // Incremental perceptual-hash index (the image analog of
   // Dedup.nearIncremental): new batches block against the dHash

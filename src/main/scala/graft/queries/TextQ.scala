@@ -2137,8 +2137,12 @@ object TextQ {
       .withColumn("dhash", expr(dHashE))
       .select(col("doc_id"), col("dhash"))
 
-  def q196(s: SparkSession, dir: String): DataFrame = {
-    val dh = docDHashes(s, dir)
+  /** 4×16-bit banded blocking + exact `bit_count(xor) ≤ 3` over a
+    * (doc_id, dhash) frame — the q35 SimHash serving shape, shared by
+    * the image (q196) and audio (q199) perceptual hashes. Never
+    * all-pairs; candidates are band-key-blocked (pigeonhole-exact
+    * recall at Hamming ≤ 3). */
+  private def bandedHashPairs(dh: DataFrame): DataFrame = {
     val banded = dh
       .select(col("doc_id"), col("dhash"),
         explode(expr("sequence(0, 3)")).as("band"))
@@ -2159,6 +2163,9 @@ object TextQ {
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  def q196(s: SparkSession, dir: String): DataFrame =
+    bandedHashPairs(docDHashes(s, dir))
 
   /** Shared DuckDB CTE prefix for the dHash oracles: tokens → 9×8
     * md5-byte grid → 63-bit dHash — mirrors [[dHashGridE]]/[[dHashE]]
@@ -2267,6 +2274,125 @@ object TextQ {
        |FROM p JOIN dh da ON da.doc_id = p.a_id
        |  JOIN dh db ON db.doc_id = p.b_id
        |WHERE bit_count(xor(da.dhash, db.dhash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Synthetic deterministic PCM for q199 (so the DuckDB oracle can
+    * replay the samples): 216 centered samples, 16 md5 bytes per
+    * token cyclically — documents sharing most tokens produce mostly-
+    * identical waveforms, i.e. genuine SMALL fingerprint distances. */
+  private val audioSamplesE =
+    """transform(sequence(0, 215), j -> CAST(conv(substring(md5(
+      |  element_at(toks, CAST((j div 16) % size(toks) AS INT) + 1)),
+      |  CAST((j % 16) * 2 + 1 AS INT), 2), 16, 10) AS BIGINT) - 128)""".stripMargin
+
+  /** In-plan mirror of [[graft.ext.Multimodal.audioFrameGrid]] over
+    * the 216-sample frame (9 frames × 24): 8 exact-integer features
+    * per frame, laid out `g(feat·9 + frame)` so the shared [[dHashE]]
+    * aggregate turns adjacent-frame comparisons into per-feature
+    * temporal gradients. MultimodalSpec pins this expression equal to
+    * the JVM function on the same samples. */
+  private val audioGridE =
+    """concat(
+      |  transform(frs, fr -> aggregate(fr, 0L, (a, x) -> a + abs(x))),
+      |  transform(frs, fr -> aggregate(sequence(1, 23), 0L, (a, i) ->
+      |    a + abs(element_at(fr, CAST(i AS INT) + 1)
+      |          - element_at(fr, CAST(i AS INT))))),
+      |  transform(frs, fr -> aggregate(sequence(2, 23), 0L, (a, i) ->
+      |    a + abs(element_at(fr, CAST(i AS INT) + 1)
+      |          - element_at(fr, CAST(i AS INT) - 1)))),
+      |  transform(frs, fr -> aggregate(sequence(3, 23), 0L, (a, i) ->
+      |    a + abs(element_at(fr, CAST(i AS INT) + 1)
+      |          - element_at(fr, CAST(i AS INT) - 2)))),
+      |  transform(frs, fr -> aggregate(sequence(1, 23), 0L, (a, i) ->
+      |    a + abs(element_at(fr, CAST(i AS INT) + 1)
+      |          + element_at(fr, CAST(i AS INT))))),
+      |  transform(frs, fr -> aggregate(fr, 0L, (a, x) ->
+      |    greatest(a, abs(x)))),
+      |  transform(frs, fr -> aggregate(sequence(1, 23), 0L, (a, i) ->
+      |    a + IF(element_at(fr, CAST(i AS INT) + 1)
+      |         * element_at(fr, CAST(i AS INT)) < 0, 1L, 0L))),
+      |  transform(frs, fr -> aggregate(fr, 0L, (a, x) -> a + x * x)))""".stripMargin
+
+  /** samples → fingerprint in ONE expression, each stage BOUND ONCE
+    * via the single-element-array lambda trick (`transform(array(e),
+    * v -> body)` makes `e` a runtime binding instead of a
+    * substitutable alias). A plain withColumn chain lets the
+    * optimizer inline `g` into all 126 references inside the bit
+    * aggregate and the frames into each of those — a MULTIPLICATIVE
+    * expression-tree explosion (~10⁷ nodes) that hangs optimization;
+    * binding keeps the plan a DAG. Expects a `sm` array column;
+    * exposed package-private so MultimodalSpec pins it equal to the
+    * JVM [[graft.ext.Multimodal.audioFingerprint]] on raw samples. */
+  private[graft] val audioFpFromSmE: String =
+    s"""element_at(transform(array(transform(sequence(0, 8),
+       |    f -> slice(sm, f * 24 + 1, 24))), frs ->
+       |  element_at(transform(array($audioGridE), g ->
+       |    $dHashE), 1)), 1)""".stripMargin
+
+  private def docAudioFps(s: SparkSession, dir: String): DataFrame =
+    spreadDocs(s, dir)
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sm", expr(audioSamplesE))
+      .withColumn("dhash", expr(audioFpFromSmE))
+      .select(col("doc_id"), col("dhash"))
+
+  /** q199 — audio near-dup fingerprint
+    * ([[graft.ext.Multimodal.audioFingerprint]] — the chromaprint-
+    * class dedup step of an audio-curation pipeline, in exact integer
+    * arithmetic: 9 time frames × 8 frame features → per-feature
+    * temporal-gradient bits → the shared 63-bit hash), gated over
+    * DETERMINISTIC synthetic PCM so the DuckDB oracle replays the
+    * samples, the frame features, and the hash bit for bit. Serving
+    * is the SAME 4×16-bit banded blocking as the image hash (never
+    * all-pairs); the oracle is all-pairs — the strong independent
+    * form that proves banding recall. The real-audio path
+    * ([[graft.ext.Multimodal.audioFingerprintOf]]: WAV decode → exact
+    * 16-bit ints → the same grid/hash) is spec-gated with in-JVM
+    * synthetic WAVs, since PCM decode is not SQL-expressible. */
+  def q199(s: SparkSession, dir: String): DataFrame =
+    bandedHashPairs(docAudioFps(s, dir))
+
+  val q199Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksD AS toks FROM documents
+       |  WHERE len($toksD) > 0),
+       |smp AS (SELECT doc_id, list_transform(range(0, 216),
+       |    j -> CAST(('0x' || substr(md5(toks[((j // 16) % len(toks)) + 1]),
+       |      (j % 16) * 2 + 1, 2)) AS BIGINT) - 128) AS sm
+       |  FROM tk),
+       |frm AS (SELECT doc_id, list_transform(range(0, 9),
+       |    f -> list_transform(range(0, 24), i -> sm[f * 24 + i + 1]))
+       |    AS frs
+       |  FROM smp),
+       |grd AS (SELECT doc_id,
+       |    list_transform(frs, fr -> CAST(list_sum(list_transform(fr,
+       |      x -> abs(x))) AS BIGINT))
+       |    || list_transform(frs, fr -> CAST(list_sum(list_transform(
+       |      range(1, 24), i -> abs(fr[i + 1] - fr[i]))) AS BIGINT))
+       |    || list_transform(frs, fr -> CAST(list_sum(list_transform(
+       |      range(2, 24), i -> abs(fr[i + 1] - fr[i - 1]))) AS BIGINT))
+       |    || list_transform(frs, fr -> CAST(list_sum(list_transform(
+       |      range(3, 24), i -> abs(fr[i + 1] - fr[i - 2]))) AS BIGINT))
+       |    || list_transform(frs, fr -> CAST(list_sum(list_transform(
+       |      range(1, 24), i -> abs(fr[i + 1] + fr[i]))) AS BIGINT))
+       |    || list_transform(frs, fr -> CAST(list_max(list_transform(fr,
+       |      x -> abs(x))) AS BIGINT))
+       |    || list_transform(frs, fr -> CAST(list_sum(list_transform(
+       |      range(1, 24), i -> CASE WHEN fr[i + 1] * fr[i] < 0
+       |        THEN 1 ELSE 0 END)) AS BIGINT))
+       |    || list_transform(frs, fr -> CAST(list_sum(list_transform(fr,
+       |      x -> x * x)) AS BIGINT)) AS g
+       |  FROM frm),
+       |dh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 63),
+       |    k -> CASE WHEN g[(k // 8) * 9 + (k % 8) + 1] >
+       |                   g[(k // 8) * 9 + (k % 8) + 2]
+       |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END))
+       |    AS BIGINT) AS dhash
+       |  FROM grd)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+       |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
   /** q192 — weighted sampling without replacement
@@ -4127,6 +4253,7 @@ object TextQ {
     QueryDef("q192_weighted_sample", q192, Some(q192Sql)),
     QueryDef("q196_image_dhash", q196, Some(q196Sql)),
     QueryDef("q198_dhash_incremental", q198, Some(q198Sql)),
+    QueryDef("q199_audio_fingerprint", q199, Some(q199Sql)),
     QueryDef("q121_span_rewrite", q121, Some(q121Sql)),
     QueryDef("q124_classifier_cut", q124, Some(q124Sql)),
     QueryDef("q128_token_entropy", q128, Some(q128Sql)),

@@ -406,6 +406,89 @@ class MultimodalSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // audio near-dup fingerprint
+  // ------------------------------------------------------------------
+
+  private def sineWav(freq: Double, n: Int = 4000, amp: Double = 0.5,
+      rate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = math.round(amp * math.sin(2 * math.Pi * freq * i / rate)
+        * 32767).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioFingerprint equals q199's in-plan expression form") {
+    // deterministic pseudo-samples in the synthetic domain (the q199
+    // fixture shape: 216 centered values), plus a sign-rich ramp —
+    // the JVM function and the SQL expression must agree bit for bit
+    // on the SAME samples, which is what lets the oracle replay the
+    // fingerprint
+    val cases = Seq(
+      (0 until 216).map(j => ((j * 37 + 11) % 256) - 128).toArray,
+      (0 until 216).map(j =>
+        (if (j % 3 == 0) -1 else 1) * ((j * 97) % 127)).toArray)
+    val inPlan = cases.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.map(_.toLong).toSeq) }
+      .toDF("id", "sm")
+      .withColumn("fp", expr(graft.queries.TextQ.audioFpFromSmE))
+      .select("id", "fp").as[(Long, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(Multimodal.audioFingerprint(s) == inPlan(i.toLong),
+        s"JVM and in-plan fingerprints diverge on case $i")
+    }
+  }
+
+  test("audioFingerprintOf: real WAV decode path, stable + discriminating") {
+    val wavA = sineWav(400.0)
+    val wavB = sineWav(1900.0) // very different spectral shape
+    val m = Seq((0L, wavA), (1L, wavA.clone()), (2L, wavB),
+      (3L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val fps = Multimodal.audioFingerprintOf(m)
+      .select("doc_id", "afp").as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(1L), "identical audio → identical fingerprint")
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(2L)) > 3,
+      "different waveforms land far apart")
+    assert(fps.values.forall(_ >= 0L), "63-bit hash stays positive")
+    // the real path went through ACTUAL samples: the same PCM through
+    // the public decode + fingerprint agrees
+    val (_, samples) = Multimodal.decodeAudio(wavA).get
+    assert(fps(0L) == Multimodal.audioFingerprint(
+      samples.map(x => math.round(x * 32768f))))
+    // non-audio payloads fold bytes deterministically — stable too
+    val fps2 = Multimodal.audioFingerprintOf(m)
+      .select("doc_id", "afp").as[(Long, Long)].collect().toMap
+    assert(fps2 == fps)
+  }
+
+  test("audio fingerprints serve through the shared dHash index") {
+    val idx = tmpDir("afpidx")
+    val b1 = Multimodal.audioFingerprintOf(
+      Seq((1L, sineWav(400.0))).toDF("doc_id", "content"))
+      .select("doc_id", "afp")
+    Multimodal.dHashIncremental(b1, "doc_id", "afp", idx)
+    val b2 = Multimodal.audioFingerprintOf(
+      Seq((10L, sineWav(400.0)), (11L, sineWav(1900.0)))
+        .toDF("doc_id", "content"))
+      .select("doc_id", "afp")
+    val got = pairsOf(
+      Multimodal.dHashIncremental(b2, "doc_id", "afp", idx))
+    assert(got == Set((1L, 10L, 0)),
+      s"the exact copy matches its historical twin, the novel " +
+        s"waveform stays: $got")
+  }
+
+  // ------------------------------------------------------------------
   // incremental dHash index
   // ------------------------------------------------------------------
 
