@@ -322,40 +322,159 @@ object EventsQ {
     * the oracle hash-matches. */
   /** Shared q188/q197 core: per-user funnel step times (f1, f2, f3),
     * nulls where the step was never reached in order / horizon. */
-  private def funnelUsers(s: SparkSession, dir: String): DataFrame = {
-    val horizonUs = 3L * 24 * 3600 * 1000000L // 3 days from step 1
-    val ev = Tables(s, dir, "events").select(
-      col("user_id"), col("event_type"), col("event_id"),
-      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tu"))
+  /** signup→view→purchase conversion horizon: 3 days from step 1. */
+  val FunnelHorizonUs: Long = 3L * 24 * 3600 * 1000000L
+
+  /** The q188 funnel window chain over (user_id, event_type,
+    * event_id, tu) rows, with optional per-user SEED columns
+    * (f1, f2, f3) from a prior incremental fold (null seeds = the
+    * batch-global semantics). One user_id exchange; per-user state
+    * folds to one row. */
+  private def funnelChain(ev: DataFrame, horizonUs: Long): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("tu"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("t1",
-        min(when(col("event_type") === "signup", col("tu"))).over(w))
-      .withColumn("t2",
+    ev.withColumn("t1", coalesce(col("f1"),
+        min(when(col("event_type") === "signup", col("tu"))).over(w)))
+      .withColumn("t2", coalesce(col("f2"),
         min(when(col("event_type") === "view" &&
           col("tu") >= col("t1") &&
-          col("tu") <= col("t1") + lit(horizonUs), col("tu"))).over(w))
-      .withColumn("t3",
+          col("tu") <= col("t1") + lit(horizonUs), col("tu"))).over(w)))
+      .withColumn("t3", coalesce(col("f3"),
         min(when(col("event_type") === "purchase" &&
           col("tu") >= col("t2") &&
-          col("tu") <= col("t1") + lit(horizonUs), col("tu"))).over(w))
+          col("tu") <= col("t1") + lit(horizonUs), col("tu"))).over(w)))
       .groupBy("user_id")
       .agg(min(col("t1")).as("f1"), min(col("t2")).as("f2"),
         min(col("t3")).as("f3"))
   }
 
-  def q188(s: SparkSession, dir: String): DataFrame = {
-    val funnel = funnelUsers(s, dir)
-      .agg(count(col("f1")).as("n1"), count(col("f2")).as("n2"),
-        count(col("f3")).as("n3"))
-    funnel.selectExpr(
+  private def nullSeeds(df: DataFrame): DataFrame =
+    df.withColumn("f1", lit(null).cast("long"))
+      .withColumn("f2", lit(null).cast("long"))
+      .withColumn("f3", lit(null).cast("long"))
+
+  private def funnelUsers(s: SparkSession, dir: String): DataFrame =
+    funnelChain(nullSeeds(Tables(s, dir, "events").select(
+      col("user_id"), col("event_type"), col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tu"))),
+      FunnelHorizonUs)
+
+  /** (n1, n2, n3) step counts → the q188 report shape. */
+  private def funnelStack(counts: DataFrame): DataFrame =
+    counts.selectExpr(
       """stack(3,
         |  CAST(1 AS BIGINT), 'signup',   n1, CAST(1000000 AS BIGINT),
         |  CAST(2 AS BIGINT), 'view',     n2, n2 * 1000000L div nullif(n1, 0),
         |  CAST(3 AS BIGINT), 'purchase', n3, n3 * 1000000L div nullif(n2, 0))
         |  AS (step, step_type, n_users, conv_fp)""".stripMargin)
       .orderBy(col("step"))
+
+  def q188(s: SparkSession, dir: String): DataFrame =
+    funnelStack(funnelUsers(s, dir)
+      .agg(count(col("f1")).as("n1"), count(col("f2")).as("n2"),
+        count(col("f3")).as("n3")))
+
+  // -----------------------------------------------------------------
+  // Incremental funnel materialization (the streaming surface of
+  // q188 — the reference's event log is a stream, so the funnel must
+  // fold per micro-batch instead of rescanning history)
+  // -----------------------------------------------------------------
+
+  /** One micro-batch fold of the funnel STATE table (one row per
+    * user: user_id, f1, f2, f3 — the earliest step times): seed the
+    * q188 window chain with each user's stored state, run it over the
+    * batch alone, and keyed-MERGE the result back. The fold is EXACT
+    * under per-user time-ordered arrival across batches — the ingest
+    * contract the pipeline already enforces (T4: stale events route
+    * to the DLQ, q22) — because a seeded chain only ever needs the
+    * scalar (f1, f2, f3), never historical events: f2 = min view in
+    * [f1, f1+H] and all earlier candidates are already folded.
+    *
+    * At 100 TB: per batch, ONE user_id window over the batch, a
+    * broadcast-semi restriction of the state table to the batch's
+    * users (the state never shuffles), and a keyed MERGE that
+    * rewrites only touched files. Replay-safe via the merge txn
+    * high-water mark. */
+  def funnelFold(batch: DataFrame, stateDir: String,
+      horizonUs: Long = FunnelHorizonUs,
+      txn: Option[(String, Long)] = None): Unit = {
+    import graft.sink.CdcTable
+    val spark = batch.sparkSession
+    val ev = batch.select(col("user_id"), col("event_type"),
+      col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tu"))
+      .localCheckpoint() // pin: feeds the user-set restriction AND
+                         // the chain; a streaming batch must not
+                         // re-evaluate across the two
+    val seeded =
+      if (CdcTable.log(stateDir).nonEmpty) {
+        // THE STATE NEVER SHUFFLES: restrict to the batch's users
+        // via a broadcast semi-join, then left-join the (bounded)
+        // survivors onto the batch
+        val seeds = CdcTable.read(spark, stateDir)
+          .select(col("user_id"), col("f1"), col("f2"), col("f3"))
+          .join(broadcast(ev.select(col("user_id")).distinct()),
+            Seq("user_id"), "left_semi")
+        ev.join(broadcast(seeds), Seq("user_id"), "left")
+      } else nullSeeds(ev)
+    val folded = funnelChain(seeded, horizonUs)
+    // first fold CREATES the state table; later folds keyed-MERGE
+    // (both paths honor the txn high-water mark for replays)
+    if (CdcTable.log(stateDir).isEmpty)
+      CdcTable.append(folded, stateDir, partitionBy = Nil, txn = txn)
+    else
+      CdcTable.merge(spark, stateDir, folded, Seq("user_id"),
+        partitionBy = Nil, txn = txn)
+    ()
+  }
+
+  /** The funnel report over the state table — identical shape (and,
+    * given the same events, identical values: q201's gate) to the
+    * batch q188. Reading the report is O(users), no event rescan. */
+  def funnelReport(spark: SparkSession, stateDir: String): DataFrame =
+    funnelStack(graft.sink.CdcTable.read(spark, stateDir)
+      .agg(count(col("f1")).as("n1"), count(col("f2")).as("n2"),
+        count(col("f3")).as("n3")))
+
+  /** Streaming glue: events stream → per-micro-batch [[funnelFold]]
+    * into the state table, exactly-once across checkpoint restarts
+    * via the merge txn marker (the lmCounts/profileSync additive
+    * maintenance pattern). Compose with the change-feed source
+    * ([[graft.sources.GraftStreamSource]]) to materialize the funnel
+    * of a live graft events table. */
+  def funnelStreamToTable(stream: DataFrame, stateDir: String,
+      checkpointDir: String, horizonUs: Long = FunnelHorizonUs,
+      appId: String = "graft-funnel")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        funnelFold(batch, stateDir, horizonUs, txn = Some((appId, id)))
+        ()
+      }
+      .start()
+
+  /** q201 — STREAMED funnel ≡ batch funnel (the q163 convention):
+    * the events table folds through [[funnelFold]] in three
+    * time-ordered micro-batches (a global time split is per-user
+    * ordered by construction), and the state-table report must equal
+    * the batch q188 — same oracle. */
+  def q201(s: SparkSession, dir: String): DataFrame = {
+    val state = QueryDef.scratchDir("graft_q201_funnel")
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"))
+      .withColumn("tu", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    val cuts = ev
+      .agg(expr("percentile(tu, array(0.33, 0.66))").as("p")).head()
+      .getSeq[Double](0)
+    val (c1, c2) = (cuts(0), cuts(1))
+    funnelFold(ev.filter(col("tu") <= c1), state)
+    funnelFold(ev.filter(col("tu") > c1 && col("tu") <= c2), state)
+    funnelFold(ev.filter(col("tu") > c2), state)
+    funnelReport(s, state)
   }
 
   /** The q188 window chain up to the per-user (f1, f2, f3) fold —
@@ -575,5 +694,6 @@ object EventsQ {
     QueryDef("q189_retention_cohorts", q189, Some(q189Sql)),
     QueryDef("q194_event_paths", q194, Some(q194Sql)),
     QueryDef("q195_rate_anomaly", q195, Some(q195Sql)),
-    QueryDef("q197_funnel_latency", q197, Some(q197Sql)))
+    QueryDef("q197_funnel_latency", q197, Some(q197Sql)),
+    QueryDef("q201_funnel_streamed", q201, Some(q188Sql)))
 }

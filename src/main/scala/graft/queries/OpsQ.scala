@@ -488,6 +488,49 @@ object OpsQ {
       |  FROM documents WHERE NOT (doc_id % 3 = 0))
       |ORDER BY tag""".stripMargin
 
+  /** q200 — GRAFT RENAME COLUMN ([[graft.sink.CdcTable.renameColumn]],
+    * Delta column-mapping parity; reference spec.md:264 FR-059 field
+    * rename): metadata-only rename between two append generations,
+    * then a predicate DML REFERENCING THE NEW NAME that must reach
+    * rows in PRE-rename files (old physical name on disk), read back
+    * under the new name — plus a time-travel read proving the
+    * pre-rename snapshot still serves the OLD name. The oracle
+    * replays both states from the documents table. */
+  def q200(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q200_tbl")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), tbl,
+      partitionBy = Nil)
+    val preRename = CdcTable.log(tbl).last.commit
+    s.sql(s"GRAFT RENAME COLUMN '$tbl' FROM n_chars TO chars").collect()
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1)
+      .withColumnRenamed("n_chars", "chars"), tbl, partitionBy = Nil)
+    CdcTable.delete(s, tbl, "chars % 7 = 0", partitionBy = Nil)
+    val current = CdcTable.read(s, tbl)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("sum_chars"))
+      .select(lit("current").as("tag"), col("n_docs"), col("sum_chars"))
+    val preSnap = CdcTable
+      .readAsOf(s, tbl, commitAsOf = Some(preRename))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars")) // OLD name still serves
+      .select(lit("pre_rename").as("tag"), col("n_docs"),
+        col("sum_chars"))
+    current.unionByName(preSnap).orderBy(col("tag"))
+  }
+
+  val q200Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'current' AS tag, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents
+      |  WHERE NOT (n_chars % 7 = 0)
+      |  UNION ALL
+      |  SELECT 'pre_rename', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+      |  FROM documents WHERE doc_id % 2 = 0)
+      |ORDER BY tag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q169_profile_files", q169, Some(q169Sql)),
     QueryDef("q178_profile_typed_files", q178, Some(q178Sql)),
@@ -504,5 +547,6 @@ object OpsQ {
     QueryDef("q45_merge_upsert", q45, Some(q45Sql)),
     QueryDef("q46_sliding_windows", q46, Some(q46Sql)),
     QueryDef("q190_restore", q190, Some(q190Sql)),
-    QueryDef("q191_clone", q191, Some(q191Sql)))
+    QueryDef("q191_clone", q191, Some(q191Sql)),
+    QueryDef("q200_rename_column", q200, Some(q200Sql)))
 }

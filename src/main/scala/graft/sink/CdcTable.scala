@@ -49,12 +49,19 @@ object CdcTable {
   final case class Commit(
       commit: Long,
       schemaVersion: Long,
-      action: String, // "append" | "replace"
+      action: String, // "append" | "replace" | "rename"
       ts: Long,
       txn: Option[(String, Long)],
       schema: StructType,
       files: Seq[String],
       stub: Boolean = false,
+      /** Column-mapping marker (`GRAFT RENAME COLUMN` — Delta
+        * column-mapping parity, metadata-only): files committed
+        * BEFORE this commit store the column under the old physical
+        * name; [[readCommits]] applies the ordered rename chain after
+        * each earlier generation's scan, so no data rewrites. The
+        * commit carries the RENAMED schema and no files. */
+      rename: Option[(String, String)] = None,
       /** Per-file column min/max/hasNull for manifest-level data
         * skipping ([[FileStats]]); keys are the rel paths in `files`. */
       stats: Map[String, Map[String, FileStats.ColStats]] = Map.empty,
@@ -96,6 +103,8 @@ object CdcTable {
       (if (c.stub) Seq("stub=1") else Nil) ++
       c.txn.toSeq.flatMap { case (a, v) =>
         Seq(s"txnApp=$a", s"txnVer=$v") } ++
+      c.rename.toSeq.flatMap { case (f, t) =>
+        Seq(s"renameFrom=$f", s"renameTo=$t") } ++
       Seq(s"schema=${c.schema.json}") ++
       c.files.map(f => s"file=$f") ++
       c.stats.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
@@ -128,6 +137,8 @@ object CdcTable {
         .asInstanceOf[StructType],
       files = kv.collect { case ("file", f) => f },
       stub = one("stub").contains("1"),
+      rename = for (f <- one("renameFrom"); t <- one("renameTo"))
+        yield (f, t),
       stats = kv.collect { case ("stat", payload) => payload }
         .flatMap(FileStats.parse)
         .groupBy(_._1)
@@ -198,6 +209,71 @@ object CdcTable {
   private def effective(commits: Seq[Commit]): Seq[Commit] = {
     val i = commits.lastIndexWhere(_.action == "replace")
     if (i < 0) commits else commits.drop(i)
+  }
+
+  /** `GRAFT RENAME COLUMN` — Delta column-mapping parity,
+    * METADATA-ONLY: one commit records the (from → to) mapping with
+    * the renamed schema and no files; nothing rewrites (at 100 TB a
+    * rename is one manifest write, not a petabyte of IO). Files
+    * committed before the rename keep the old PHYSICAL name on disk;
+    * every read path ([[readCommits]]) applies the ordered rename
+    * chain after each earlier generation's scan, so old and new files
+    * read seamlessly under the new logical name, and time travel to a
+    * pre-rename snapshot still shows the old name (the chain is
+    * range-bounded). Renames compose (a→b then b→c, swaps via a
+    * temporary) in commit order.
+    *
+    * Costs and contracts, stated honestly:
+    *   - the rename bumps the schema version, so the NEXT keyed /
+    *     predicate DML modernizes pre-rename files (the pre-existing
+    *     evolution rule: a replace commit carries one schema, so
+    *     carried-by-reference files must already match it);
+    *   - a stale writer appending under the OLD name afterwards
+    *     widens the schema with a fresh column of that name (exactly
+    *     as any unknown column would) — it does NOT silently feed the
+    *     renamed column;
+    *   - manifest column stats/blooms of pre-rename files stay keyed
+    *     by the old name, so data skipping on the renamed column is
+    *     conservative (no pruning, never wrong) until files rewrite;
+    *   - PARTITION columns live in file paths — rejected loudly;
+    *   - `_cdc_`/`_graft` metadata columns are engine-owned —
+    *     rejected.
+    *
+    * Returns the new schema version. Single-writer maintenance, like
+    * every schema operation; optimistic validation fails a racing
+    * write loudly. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Long = {
+    val commits0 = log(dir)
+    require(commits0.nonEmpty, s"no CdcTable at $dir")
+    val schema = commits0.last.schema
+    require(from != to, s"rename source and target are both '$from'")
+    require(schema.fieldNames.contains(from),
+      s"rename: no column '$from' in ${dir} " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"rename: column '$to' already exists in $dir")
+    Seq(from, to).foreach(c => require(
+      !c.startsWith("_cdc") && !c.startsWith("_graft"),
+      s"rename: '$c' is an engine-owned metadata column"))
+    val partCols = effective(commits0).flatMap(_.files)
+      .flatMap(partColsFromPath).toSet
+    require(!partCols.contains(from),
+      s"rename: '$from' is a PARTITION column — partition values " +
+        "live in file paths, which a metadata-only rename cannot " +
+        "reach; rewrite the table under the new layout instead " +
+        "(GRAFT OPTIMIZE ... ZORDER / compactToCurrentState)")
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val snap = commits0.last.commit
+    commit(dir, n => Commit(n, commits0.last.schemaVersion + 1,
+      "rename", System.currentTimeMillis(), None, renamed, Nil,
+      rename = Some((from, to))),
+      validate = cur =>
+        if (cur.lastOption.map(_.commit) != Some(snap))
+          throw new java.util.ConcurrentModificationException(
+            s"rename at $dir: a write landed mid-rename (expected " +
+              s"log tail $snap); rerun")).schemaVersion
   }
 
   /** Current schema-generation version (0 = no table yet). */
@@ -681,7 +757,12 @@ object CdcTable {
       val fileMeta = appends
         .flatMap(c => c.files.map(f => (f, c.commit, c.ts)))
         .toDF("_graft_file", "_commit", "_commit_ts")
-      SchemaMerge.castTo(readCommits(spark, dir, appends), target)
+      // rename markers inside the range ride along (no files, no
+      // change rows) so earlier in-range appends read under the
+      // range-final column names
+      SchemaMerge.castTo(readCommits(spark, dir,
+        (appends ++ range.filter(_.rename.nonEmpty))
+          .sortBy(_.commit)), target)
         .withColumn("_graft_file",
           pctDecode(regexp_extract(input_file_name(), RelPathRe, 1)))
         .join(broadcast(fileMeta), Seq("_graft_file"))
@@ -730,11 +811,21 @@ object CdcTable {
       commits: Seq[Commit]): DataFrame = {
     import org.apache.spark.sql.functions._
     val target = commits.last.schema
+    // ordered column-mapping chain (GRAFT RENAME COLUMN): a
+    // generation scanned under its own schema then applies every
+    // rename committed AFTER it (sv order = commit order — each
+    // rename bumps the schema version), which re-expresses old
+    // physical names as the target's logical names with ZERO data
+    // IO. The chain comes from the PASSED commits, so time travel
+    // (a truncated range) never applies post-snapshot renames.
+    val renames = commits
+      .flatMap(c => c.rename.map(r => (c.schemaVersion, r._1, r._2)))
+      .sortBy(_._1)
     val gens = commits
       .groupBy(c => (c.schemaVersion,
         c.files.headOption.map(partColsFromPath).getOrElse(Nil)))
       .toSeq.sortBy(_._1._1)
-      .flatMap { case ((_, partCols), cs) =>
+      .flatMap { case ((sv, partCols), cs) =>
         val files = cs.flatMap(_.files)
         if (files.isEmpty) None
         else {
@@ -755,6 +846,10 @@ object CdcTable {
               when(raw === "__HIVE_DEFAULT_PARTITION__",
                 lit(null).cast("string"))
                 .otherwise(pctDecode(raw)))
+          }
+          // after partition injection, so the chain sees every column
+          renames.filter(_._1 > sv).foreach { case (_, from, to) =>
+            df = df.withColumnRenamed(from, to)
           }
           Some(SchemaMerge.castTo(df, target))
         }
@@ -1001,7 +1096,9 @@ object CdcTable {
         partColsFromPath(f) != targetLayout
     val rewriteCommits = live
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
-      .filter(_.files.nonEmpty)
+      // rename markers ride along (no files): the rewrite subset's
+      // older generations must still read under the renamed schema
+      .filter(c => c.files.nonEmpty || c.rename.nonEmpty)
     val carried = live.flatMap(c =>
       c.files.filterNot(f => mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
@@ -1011,14 +1108,14 @@ object CdcTable {
 
     // a keyed delete matching nothing (and needing no generation or
     // layout compaction) must be a no-op commit-wise, like delete()
-    if (!insert && rewriteCommits.isEmpty)
+    if (!insert && rewriteCommits.forall(_.files.isEmpty))
       return DeleteResult(0L, 0L, carried.size, snap)
 
     // an insert-only merge (no keys matched, single generation,
     // matching layout) rewrites nothing — readCommits cannot take an
     // empty commit list, so survivors degenerate to an empty frame
     val survivors =
-      if (rewriteCommits.isEmpty)
+      if (rewriteCommits.forall(_.files.isEmpty))
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       // cast BEFORE the key join: the rewrite subset's own last commit
@@ -1084,7 +1181,9 @@ object CdcTable {
         partColsFromPath(f) != targetLayout
     val rewriteCommits = live
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
-      .filter(_.files.nonEmpty)
+      // rename markers ride along (no files): the rewrite subset's
+      // older generations must still read under the renamed schema
+      .filter(c => c.files.nonEmpty || c.rename.nonEmpty)
     val carried = live.flatMap(c =>
       c.files.filterNot(f => mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
@@ -1228,6 +1327,12 @@ object CdcTable {
       val committed = commit(dir, n => Commit(n, newSv,
         action, System.currentTimeMillis(), None, g.last.schema,
         g.flatMap(_.files),
+        // a rename marker travels through the restore: its sv is
+        // unique, but the group may also hold the SAME-sv appends
+        // that followed it (fileless marker + files share the group
+        // key), so take the group's one marker — pre-rename files
+        // re-committed earlier in this loop keep reading correctly
+        rename = g.flatMap(_.rename).headOption,
         stats = g.flatMap(_.stats).toMap,
         fileRows = g.flatMap(_.fileRows).toMap,
         blooms = g.flatMap(_.blooms).toMap),
@@ -1277,6 +1382,7 @@ object CdcTable {
       val tailBefore = expectTail
       val committed = commit(dstDir, n => Commit(n, c.schemaVersion,
         c.action, System.currentTimeMillis(), None, c.schema, abs,
+        rename = c.rename,
         stats = rekey(c.stats), fileRows = rekey(c.fileRows),
         blooms = rekey(c.blooms)),
         validate = cur =>

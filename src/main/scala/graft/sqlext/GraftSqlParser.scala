@@ -28,6 +28,7 @@ import org.apache.spark.sql.types._
   *   GRAFT HISTORY '<path>'
   *   GRAFT RESTORE '<path>' TO COMMIT n | TO TIMESTAMP ms
   *   GRAFT CLONE '<src>' TO '<dst>'
+  *   GRAFT RENAME COLUMN '<path>' FROM a TO b
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
@@ -119,6 +120,10 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val cloneRe = Pattern.compile(
     """\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val renameColRe = Pattern.compile(
+    """\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+FROM\s+`?([\w]+)`?""" +
+      """\s+TO\s+`?([\w]+)`?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
@@ -256,6 +261,10 @@ object GraftSqlParser {
     val clm = cloneRe.matcher(sqlText)
     if (clm.matches())
       return Some(CloneGraftTable(clm.group(1), clm.group(2)))
+    val rcm = renameColRe.matcher(sqlText)
+    if (rcm.matches())
+      return Some(RenameGraftColumn(rcm.group(1), rcm.group(2),
+        rcm.group(3)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
@@ -802,6 +811,21 @@ case class RestoreGraftTable(dir: String, commitAsOf: Option[Long],
     // rolled-back number after a restore)
     Seq(Row(sv, CdcTable.log(dir).last.commit))
   }
+}
+
+/** GRAFT RENAME COLUMN '<path>' FROM a TO b — metadata-only column
+  * mapping (see [[CdcTable.renameColumn]]): one commit records the
+  * mapping; pre-rename files keep their physical name and every read
+  * applies the rename chain. */
+case class RenameGraftColumn(dir: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("schema_version", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CdcTable.renameColumn(spark, dir, from, to)))
 }
 
 /** GRAFT CLONE '<src>' TO '<dst>' — shallow clone (see

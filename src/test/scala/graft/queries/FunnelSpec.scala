@@ -138,4 +138,80 @@ class FunnelSpec extends SparkSpec {
       (wkA, 2L, 1L, 500000L),  // one of two returned in week 2
       (wkB, 0L, 1L, 1000000L)))
   }
+
+  private val epoch0 = java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+  private def evDf(rows: Seq[(Long, Long, String)]) =
+    rows.zipWithIndex.map { case ((uid, tu, ty), i) =>
+      (i.toLong, epoch0.plusNanos(tu * 1000), uid, ty)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+
+  test("funnelFold: seeded chain equals the batch chain across splits") {
+    // a funnel spanning three micro-batches: signup in b1, view in
+    // b2, purchase in b3 — plus a user whose view lands outside the
+    // horizon, and a user fully inside one batch
+    val rows = Seq(
+      (1L, 0L, "signup"), (1L, day, "view"), (1L, 2 * day, "purchase"),
+      (2L, 0L, "signup"), (2L, 4 * day, "view"), // past the horizon
+      (3L, day, "signup"), (3L, day + us, "view"),
+      (3L, day + 2 * us, "purchase"))
+    val state = tmpDir("ffold_state")
+    val ev = evDf(rows)
+    // time-ordered split (per-user order preserved)
+    EventsQ.funnelFold(ev.filter(expr(
+      s"unix_micros(CAST(ts AS TIMESTAMP)) < $day")), state)
+    EventsQ.funnelFold(ev.filter(expr(
+      s"unix_micros(CAST(ts AS TIMESTAMP)) >= $day AND " +
+        s"unix_micros(CAST(ts AS TIMESTAMP)) < ${2 * day}")), state)
+    EventsQ.funnelFold(ev.filter(expr(
+      s"unix_micros(CAST(ts AS TIMESTAMP)) >= ${2 * day}")), state)
+    val got = EventsQ.funnelReport(spark, state)
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    // batch-global on the same events must agree
+    val dir = tmpDir("ffold_batch")
+    rows.zipWithIndex.map { case ((uid, tu, ty), i) =>
+      (i.toLong, epoch0.plusNanos(tu * 1000), uid, ty, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val want = EventsQ.q188(spark, dir)
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(got == want, s"streamed $got vs batch $want")
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("funnelStreamToTable: exactly-once across a checkpoint restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val state = tmpDir("fstream_state")
+    val ckpt = tmpDir("fstream_ckpt")
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF
+      .toDF("event_id", "tu", "user_id", "event_type")
+      .select(col("event_id"),
+        expr("timestamp_micros(tu)").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"))
+    val q = EventsQ.funnelStreamToTable(stream, state, ckpt)
+    try {
+      mem.addData((1L, 0L, 7L, "signup"))
+      q.processAllAvailable()
+      mem.addData((2L, us, 7L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart from the checkpoint, complete the funnel
+    val q2 = EventsQ.funnelStreamToTable(stream, state, ckpt)
+    try {
+      mem.addData((3L, 2 * us, 7L, "purchase"),
+        (4L, 3 * us, 8L, "signup"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val st = graft.sink.CdcTable.read(spark, state)
+      .select("user_id", "f1", "f2", "f3")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(st(7L) == ((Some(0L), Some(us), Some(2 * us))),
+      s"funnel completed across the restart: $st")
+    assert(st(8L) == ((Some(3 * us), None, None)))
+    val rep = EventsQ.funnelReport(spark, state)
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(rep == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
 }
