@@ -1683,7 +1683,13 @@ object Similarity {
     * one narrow scan (k dots/row), and takes the argmin via a
     * 1-row TakeOrdered (the BPE-argmax pattern). k sequential jobs,
     * k²·n dots total — the standard price of the greedy rule; for
-    * 100 TB corpora run it per IVF/LSH cell and union the coresets. */
+    * 100 TB corpora run it per IVF/LSH cell and union the coresets.
+    *
+    * INTENDED k REGIME (measured, `tools/KcProbe`): each round is a
+    * full job wave, so this shape is right for k up to the hundreds;
+    * past that the scheduler dominates the arithmetic — switch to
+    * [[kCenterGreedyLocal]] (exact-equal, spec-pinned) over a
+    * bounded per-cell / sampled residue. */
   def kCenterGreedy(df: DataFrame, idCol: String, k: Int, seedId: Long,
       embCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -1714,6 +1720,88 @@ object Similarity {
     }
     import spark.implicits._
     out.toSeq.toDF("step", "id", "cov_fp")
+  }
+
+  /** Driver-local farthest-point sampling for the LARGE-k regime —
+    * the q179 (BPE driver-trainer) template applied to k-center:
+    * [[kCenterGreedy]]'s per-round distributed scan is the right
+    * shape while k is small (each round = one ≤k-vector broadcast +
+    * one narrow max-dot scan + a 1-row TakeOrdered), but every round
+    * is a full job wave, so at k = 10⁴ centers the scheduler — not
+    * the arithmetic — dominates (measured: `tools/KcProbe`, ~3
+    * rounds/s distributed vs ~10³+ rounds/s here). This variant
+    * collects the candidate frame ONCE (`maxRows` loud guard — the
+    * driverEdgeLimit pattern; at 100 TB run it per IVF cell or over a
+    * pre-sampled residue, exactly like MMR's bounded rerank) and runs
+    * classic incremental FPS: each round updates every point's
+    * running max-coverage against only the NEWLY chosen center, so k
+    * rounds cost O(n·k·d) arithmetic and zero job scheduling.
+    *
+    * EXACT-equal to [[kCenterGreedy]], spec-pinned: the same
+    * fixed-point dot ([[graft.functions.FixedDot.roundAway]], the
+    * native expression's own rounding) and the same (cov asc, id asc)
+    * argmin — running-max over incremental updates equals the
+    * distributed groupBy-max over all chosen centers. */
+  def kCenterGreedyLocal(df: DataFrame, idCol: String, k: Int,
+      seedId: Long, embCol: String = "embedding",
+      maxRows: Long = 2000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      col(embCol).cast("array<float>").as("e"))
+    val n = rows.count()
+    require(n <= maxRows,
+      s"kCenterGreedyLocal collects the candidate frame ($n rows > " +
+        s"maxRows=$maxRows): pre-restrict the corpus (per-cell / " +
+        "sampled residue) or use the distributed kCenterGreedy")
+    val all = rows.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val idx = all.indexWhere(_._1 == seedId)
+    require(idx >= 0 && all.count(_._1 == seedId) == 1,
+      s"kCenterGreedyLocal: seed id $seedId absent (or duplicated)")
+    def dot(a: Array[Float], b: Array[Float]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) {
+        acc += graft.functions.FixedDot.roundAway(
+          a(i).toDouble * b(i).toDouble * 1e12)
+        i += 1
+      }
+      acc
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+      (1, seedId, 0L))
+    val taken = new Array[Boolean](all.length)
+    taken(idx) = true
+    val cov = new Array[Long](all.length)
+    var j = 0
+    while (j < all.length) {
+      cov(j) = dot(all(j)._2, all(idx)._2); j += 1
+    }
+    var step = 2
+    while (step <= k && step <= all.length) {
+      // argmin (cov asc, id asc) over unchosen — `all` is id-sorted,
+      // so the first strict improvement wins ties exactly like the
+      // distributed orderBy
+      var best = -1
+      var i = 0
+      while (i < all.length) {
+        if (!taken(i) && (best < 0 || cov(i) < cov(best))) best = i
+        i += 1
+      }
+      chosen += ((step, all(best)._1, cov(best)))
+      taken(best) = true
+      var m = 0
+      while (m < all.length) {
+        if (!taken(m)) {
+          val d = dot(all(m)._2, all(best)._2)
+          if (d > cov(m)) cov(m) = d
+        }
+        m += 1
+      }
+      step += 1
+    }
+    import spark.implicits._
+    chosen.toSeq.toDF("step", "id", "cov_fp")
   }
 
   def bitextMine(src: DataFrame, tgt: DataFrame, srcIdCol: String,
