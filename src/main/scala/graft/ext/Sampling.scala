@@ -552,4 +552,41 @@ object Sampling {
       .limit(k)
       .select(col(s"`$keyCol`"), col(s"`$weightCol`"), col("ares_fp"))
   }
+
+  /** INCREMENTAL weighted sampling without replacement — the
+    * streaming-ingest form of [[weightedSampleK]]: the state table (a
+    * graft table, atomic commits + replay markers) holds the CURRENT
+    * top-k rows (k rows total, ~nothing); each batch contributes its
+    * own top-k and the union re-ranks. EXACT, not approximate: A-Res
+    * keys are pure content functions (RNG-free md5-derived u), and
+    * bounded top-k is a MERGEABLE monoid — top-k(A ∪ B) =
+    * top-k(top-k(A) ∪ top-k(B)) — so after any batch split the state
+    * equals the batch-global sample bit for bit (q202's gate, the
+    * q82/q163 convention). Per batch: one TakeOrdered(k) over the
+    * batch (zero shuffles), a 2k-row merge, one replace commit.
+    * Batches must be key-disjoint (replays are handled by the txn
+    * high-water; feeding the SAME key in two different batches would
+    * rank it twice). */
+  def weightedSampleIncremental(batch: DataFrame, keyCol: String,
+      weightCol: String, k: Int, stateDir: String,
+      txn: Option[(String, Long)] = None): Unit = {
+    import graft.sink.CdcTable
+    val spark = batch.sparkSession
+    val top = weightedSampleK(batch, keyCol, weightCol, k)
+    if (CdcTable.log(stateDir).isEmpty) {
+      CdcTable.append(top, stateDir, partitionBy = Nil, txn = txn)
+      ()
+    } else {
+      val merged = CdcTable.read(spark, stateDir)
+        .select(col(s"`$keyCol`"), col(s"`$weightCol`"), col("ares_fp"))
+        .unionByName(top)
+        .orderBy(col("ares_fp").asc,
+          expr(s"md5(CAST(`$keyCol` AS STRING))").asc,
+          col(s"`$keyCol`").asc)
+        .limit(k)
+      CdcTable.replaceWith(spark, stateDir, merged,
+        partitionBy = Nil, txn = txn)
+      ()
+    }
+  }
 }

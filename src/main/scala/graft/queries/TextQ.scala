@@ -2429,6 +2429,33 @@ object TextQ {
        |SELECT doc_id, n_chars AS weight, ares_fp FROM sel
        |ORDER BY ares_fp, h, doc_id LIMIT 25""".stripMargin
 
+  /** q202 — INCREMENTAL weighted sampling
+    * ([[graft.ext.Sampling.weightedSampleIncremental]]): the corpus
+    * folds through the k-row A-Res state table in three id-split
+    * batches; because A-Res keys are RNG-free content functions and
+    * bounded top-k is a mergeable monoid, the state after the last
+    * batch equals the batch-global q192 selection bit for bit — same
+    * oracle. */
+  def q202(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val hi = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val state = QueryDef.scratchDir("graft_q202_sample")
+    graft.ext.Sampling.weightedSampleIncremental(
+      docs.filter(col("doc_id") <= c1), "doc_id", "n_chars", 25, state)
+    graft.ext.Sampling.weightedSampleIncremental(
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      "doc_id", "n_chars", 25, state)
+    graft.ext.Sampling.weightedSampleIncremental(
+      docs.filter(col("doc_id") > c2), "doc_id", "n_chars", 25, state)
+    graft.sink.CdcTable.read(s, state)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        col("ares_fp"))
+      .orderBy(col("ares_fp"), md5(col("doc_id").cast("string")),
+        col("doc_id"))
+  }
+
   /** q121 — span-level boilerplate REMOVAL
     * ([[graft.ext.Dedup.spanDedupRewrite]]): q73 reports the damage,
     * this op repairs it — cross-doc 3-token spans cut from every
@@ -4251,6 +4278,7 @@ object TextQ {
     QueryDef("q118_rank_normalize", q118, Some(q118Sql)),
     QueryDef("q120_sample_exact_k", q120, Some(q120Sql)),
     QueryDef("q192_weighted_sample", q192, Some(q192Sql)),
+    QueryDef("q202_weighted_sample_incr", q202, Some(q192Sql)),
     QueryDef("q196_image_dhash", q196, Some(q196Sql)),
     QueryDef("q198_dhash_incremental", q198, Some(q198Sql)),
     QueryDef("q199_audio_fingerprint", q199, Some(q199Sql)),

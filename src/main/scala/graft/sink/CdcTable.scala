@@ -55,12 +55,15 @@ object CdcTable {
       schema: StructType,
       files: Seq[String],
       stub: Boolean = false,
-      /** Column-mapping marker (`GRAFT RENAME COLUMN` — Delta
-        * column-mapping parity, metadata-only): files committed
-        * BEFORE this commit store the column under the old physical
-        * name; [[readCommits]] applies the ordered rename chain after
-        * each earlier generation's scan, so no data rewrites. The
-        * commit carries the RENAMED schema and no files. */
+      /** Column-mapping marker (`GRAFT RENAME COLUMN` / `GRAFT DROP
+        * COLUMN` — Delta column-mapping parity, metadata-only): files
+        * committed BEFORE this commit store the column under the old
+        * physical name; [[readCommits]] applies the ordered chain
+        * after each earlier generation's scan, so no data rewrites.
+        * `(from, to)` renames; `(from, "")` DROPS `from` — encoded in
+        * the same field so every marker-carrying path (restore,
+        * clone, checkpoint stubs, CDF, rewrite subsets) handles both.
+        * The commit carries the post-op schema and no files. */
       rename: Option[(String, String)] = None,
       /** Per-file column min/max/hasNull for manifest-level data
         * skipping ([[FileStats]]); keys are the rel paths in `files`. */
@@ -247,6 +250,8 @@ object CdcTable {
     val commits0 = log(dir)
     require(commits0.nonEmpty, s"no CdcTable at $dir")
     val schema = commits0.last.schema
+    require(from.nonEmpty && to.nonEmpty,
+      "rename: empty column name") // "" is the DROP marker encoding
     require(from != to, s"rename source and target are both '$from'")
     require(schema.fieldNames.contains(from),
       s"rename: no column '$from' in ${dir} " +
@@ -274,6 +279,50 @@ object CdcTable {
           throw new java.util.ConcurrentModificationException(
             s"rename at $dir: a write landed mid-rename (expected " +
               s"log tail $snap); rerun")).schemaVersion
+  }
+
+  /** `GRAFT DROP COLUMN` — the metadata-only sibling of
+    * [[renameColumn]] (Delta drop-column-with-column-mapping parity):
+    * one commit records the narrowed schema; no files rewrite. The
+    * physical data stays in pre-drop files (time travel to a pre-drop
+    * snapshot still reads it — the range-bounded schema, exactly like
+    * rename); current reads simply cast to the narrowed target, which
+    * prunes the column at the scan. Re-adding a column of the same
+    * name later is ordinary schema widening and does NOT resurrect
+    * old values: pre-drop generations cast their ORIGINAL column away
+    * because the drop bumped the generation (spec-gated).
+    *
+    * Same contracts as rename: partition and `_cdc_`/`_graft`
+    * metadata columns reject loudly; the next keyed/predicate DML
+    * modernizes old files (physically shedding the dropped bytes —
+    * until then VACUUM cannot reclaim them, the documented
+    * column-mapping tradeoff). Returns the new schema version. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val commits0 = log(dir)
+    require(commits0.nonEmpty, s"no CdcTable at $dir")
+    val schema = commits0.last.schema
+    require(schema.fieldNames.contains(name),
+      s"drop: no column '$name' in $dir " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1,
+      s"drop: '$name' is the table's only column")
+    require(!name.startsWith("_cdc") && !name.startsWith("_graft"),
+      s"drop: '$name' is an engine-owned metadata column")
+    val partCols = effective(commits0).flatMap(_.files)
+      .flatMap(partColsFromPath).toSet
+    require(!partCols.contains(name),
+      s"drop: '$name' is a PARTITION column — partition values live " +
+        "in file paths; rewrite the table under a new layout instead")
+    val narrowed = StructType(schema.fields.filterNot(_.name == name))
+    val snap = commits0.last.commit
+    commit(dir, n => Commit(n, commits0.last.schemaVersion + 1,
+      "drop", System.currentTimeMillis(), None, narrowed, Nil,
+      rename = Some((name, ""))), // empty target = drop marker
+      validate = cur =>
+        if (cur.lastOption.map(_.commit) != Some(snap))
+          throw new java.util.ConcurrentModificationException(
+            s"drop at $dir: a write landed mid-drop (expected log " +
+              s"tail $snap); rerun")).schemaVersion
   }
 
   /** Current schema-generation version (0 = no table yet). */
@@ -849,7 +898,11 @@ object CdcTable {
           }
           // after partition injection, so the chain sees every column
           renames.filter(_._1 > sv).foreach { case (_, from, to) =>
-            df = df.withColumnRenamed(from, to)
+            // empty target = DROP: pre-drop generations must shed the
+            // column here, or a later re-added column of the same
+            // name would resurrect the old values through castTo
+            df = if (to.isEmpty) df.drop(from)
+                 else df.withColumnRenamed(from, to)
           }
           Some(SchemaMerge.castTo(df, target))
         }

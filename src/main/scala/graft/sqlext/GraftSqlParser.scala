@@ -29,6 +29,7 @@ import org.apache.spark.sql.types._
   *   GRAFT RESTORE '<path>' TO COMMIT n | TO TIMESTAMP ms
   *   GRAFT CLONE '<src>' TO '<dst>'
   *   GRAFT RENAME COLUMN '<path>' FROM a TO b
+  *   GRAFT DROP COLUMN '<path>' a
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
@@ -124,6 +125,9 @@ object GraftSqlParser {
   private val renameColRe = Pattern.compile(
     """\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+FROM\s+`?([\w]+)`?""" +
       """\s+TO\s+`?([\w]+)`?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val dropColRe = Pattern.compile(
+    """\s*GRAFT\s+DROP\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
@@ -265,6 +269,9 @@ object GraftSqlParser {
     if (rcm.matches())
       return Some(RenameGraftColumn(rcm.group(1), rcm.group(2),
         rcm.group(3)))
+    val dcm = dropColRe.matcher(sqlText)
+    if (dcm.matches())
+      return Some(DropGraftColumn(dcm.group(1), dcm.group(2)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
@@ -826,6 +833,20 @@ case class RenameGraftColumn(dir: String, from: String, to: String)
 
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(CdcTable.renameColumn(spark, dir, from, to)))
+}
+
+/** GRAFT DROP COLUMN '<path>' <name> — metadata-only column drop
+  * (see [[CdcTable.dropColumn]]): one commit narrows the schema; the
+  * physical bytes stay until the next DML modernizes old files. */
+case class DropGraftColumn(dir: String, name: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("schema_version", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CdcTable.dropColumn(spark, dir, name)))
 }
 
 /** GRAFT CLONE '<src>' TO '<dst>' — shallow clone (see

@@ -467,6 +467,42 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSampleIncremental: any batch split equals batch-global") {
+    val docs = (1L to 200L).map(i => (i, 1L + (i % 13) * 7L))
+      .toDF("id", "w")
+    val want = Sampling.weightedSampleK(docs, "id", "w", 20)
+      .select("id").as[Long].collect().toSeq
+    // three different split shapes, same final state
+    for ((name, parts) <- Seq(
+        ("thirds", Seq(docs.filter($"id" <= 66),
+          docs.filter($"id" > 66 && $"id" <= 133),
+          docs.filter($"id" > 133))),
+        ("mod", Seq(docs.filter($"id" % 2 === 0),
+          docs.filter($"id" % 2 === 1))))) {
+      val state = tmpDir(s"wsi_$name")
+      parts.foreach(b =>
+        Sampling.weightedSampleIncremental(b, "id", "w", 20, state))
+      val got = graft.sink.CdcTable.read(spark, state)
+        .orderBy($"ares_fp",
+          md5($"id".cast("string")), $"id")
+        .select("id").as[Long].collect().toSeq
+      assert(got == want, s"split '$name' diverged")
+    }
+    // replay safety: re-folding a batch under its committed txn no-ops
+    val state = tmpDir("wsi_txn")
+    Sampling.weightedSampleIncremental(docs.filter($"id" <= 100),
+      "id", "w", 20, state, txn = Some(("wsi", 1L)))
+    Sampling.weightedSampleIncremental(docs.filter($"id" > 100),
+      "id", "w", 20, state, txn = Some(("wsi", 2L)))
+    val afterTwo = graft.sink.CdcTable.read(spark, state)
+      .select("id").as[Long].collect().toSet
+    Sampling.weightedSampleIncremental(docs.filter($"id" > 100),
+      "id", "w", 20, state, txn = Some(("wsi", 2L))) // replay
+    assert(graft.sink.CdcTable.read(spark, state)
+      .select("id").as[Long].collect().toSet == afterTwo)
+    assert(afterTwo == want.toSet)
+  }
+
   test("weightedSampleK excludes fractional weights that truncate to 0") {
     // a double weight in (0,1) passes a naive `> 0` filter but
     // truncates to 0 in the BIGINT cast, yielding NULL ares_fp rows

@@ -137,6 +137,66 @@ class RenameColumnSpec extends SparkSpec {
     assert(CdcTable.log(dir).size == 1)
   }
 
+  test("drop is metadata-only; time travel still reads the column") {
+    val dir = tmpDir("drop1")
+    CdcTable.append(Seq((1L, 7L, "a"), (2L, 8L, "b"))
+      .toDF("x", "extra", "_id"), dir)
+    val snap = CdcTable.log(dir).last.commit
+    val before = dataFiles(dir)
+    CdcTable.dropColumn(spark, dir, "extra")
+    assert(dataFiles(dir) == before, "drop must write no data files")
+    val now = CdcTable.read(spark, dir)
+    assert(!now.columns.contains("extra"))
+    assert(now.select("x").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // the bytes are still there for time travel
+    val old = CdcTable.readAsOf(spark, dir, commitAsOf = Some(snap))
+    assert(old.select("extra").as[Long].collect().sorted.toSeq ==
+      Seq(7L, 8L))
+  }
+
+  test("a re-added same-name column never resurrects dropped values") {
+    val dir = tmpDir("drop_readd")
+    CdcTable.append(Seq((1L, 7L, "a")).toDF("x", "extra", "_id"), dir)
+    CdcTable.dropColumn(spark, dir, "extra")
+    // widening append re-introduces the name as a FRESH column
+    CdcTable.append(Seq((2L, 99L, "b")).toDF("x", "extra", "_id"), dir)
+    val got = CdcTable.read(spark, dir)
+      .select("x", "extra").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(99L)),
+      s"pre-drop generations must read NULL under the re-added name: $got")
+  }
+
+  test("drop composes with rename in the chain; DML modernizes after") {
+    val dir = tmpDir("drop_chain")
+    CdcTable.append(Seq((1L, 7L, "a"), (2L, 8L, "b"))
+      .toDF("x", "extra", "_id"), dir)
+    CdcTable.renameColumn(spark, dir, "x", "qty")
+    CdcTable.dropColumn(spark, dir, "extra")
+    assert(CdcTable.read(spark, dir).columns.toSet
+      .filterNot(_.startsWith("_")) == Set("qty"))
+    val res = CdcTable.delete(spark, dir, "qty = 1", partitionBy = Nil)
+    assert(res.rowsDeleted == 1L)
+    assert(CdcTable.read(spark, dir).select("qty").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+
+  test("drop rejections + SQL form") {
+    val dir = tmpDir("drop_rej")
+    CdcTable.append(Seq((1L, "eu", "a")).toDF("x", "region", "_id"),
+      dir, partitionBy = Seq("region"))
+    intercept[IllegalArgumentException] {
+      CdcTable.dropColumn(spark, dir, "region") // partition column
+    }
+    intercept[IllegalArgumentException] {
+      CdcTable.dropColumn(spark, dir, "missing")
+    }
+    val out = spark.sql(s"GRAFT DROP COLUMN '$dir' x").collect()
+    assert(out.length == 1 &&
+      out.head.getLong(0) == CdcTable.currentVersion(dir))
+    assert(!CdcTable.read(spark, dir).columns.contains("x"))
+  }
+
   test("GRAFT RENAME COLUMN SQL form returns the new schema version") {
     val dir = tmpDir("ren_sql")
     CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
