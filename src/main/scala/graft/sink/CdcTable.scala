@@ -5,7 +5,7 @@ import java.util.UUID
 import graft.core.{CommitArbiter, Fs, SchemaMerge}
 import graft.core.SchemaMerge.MergeMode
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A parquet-backed CDC table with schema evolution and ATOMIC commits:
   * the engine's stand-in for the reference's Delta sink
@@ -322,6 +322,37 @@ object CdcTable {
         if (cur.lastOption.map(_.commit) != Some(snap))
           throw new java.util.ConcurrentModificationException(
             s"drop at $dir: a write landed mid-drop (expected log " +
+              s"tail $snap); rerun")).schemaVersion
+  }
+
+  /** `GRAFT ADD COLUMN` — metadata-only schema widening, completing
+    * the ALTER family (ADD / RENAME / DROP, Delta parity): one commit
+    * records the widened schema (the new column is nullable by
+    * construction — existing rows have no value for it); no files
+    * rewrite, and every existing generation null-fills through the
+    * ordinary castTo path. Appends could already widen implicitly via
+    * schema merge — this is the EXPLICIT declaration form (reserve
+    * the column before any writer sends it, with the type YOU chose
+    * rather than the first batch's inference). Returns the new schema
+    * version. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      dataType: DataType): Long = {
+    val commits0 = log(dir)
+    require(commits0.nonEmpty, s"no CdcTable at $dir")
+    val schema = commits0.last.schema
+    require(!schema.fieldNames.contains(name),
+      s"add: column '$name' already exists in $dir")
+    require(!name.startsWith("_cdc") && !name.startsWith("_graft"),
+      s"add: '$name' is an engine-owned metadata prefix")
+    val widened = StructType(schema.fields :+
+      StructField(name, dataType, nullable = true))
+    val snap = commits0.last.commit
+    commit(dir, n => Commit(n, commits0.last.schemaVersion + 1,
+      "add", System.currentTimeMillis(), None, widened, Nil),
+      validate = cur =>
+        if (cur.lastOption.map(_.commit) != Some(snap))
+          throw new java.util.ConcurrentModificationException(
+            s"add at $dir: a write landed mid-add (expected log " +
               s"tail $snap); rerun")).schemaVersion
   }
 

@@ -30,6 +30,7 @@ import org.apache.spark.sql.types._
   *   GRAFT CLONE '<src>' TO '<dst>'
   *   GRAFT RENAME COLUMN '<path>' FROM a TO b
   *   GRAFT DROP COLUMN '<path>' a
+  *   GRAFT ADD COLUMN '<path>' a <type>
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
@@ -128,6 +129,10 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val dropColRe = Pattern.compile(
     """\s*GRAFT\s+DROP\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val addColRe = Pattern.compile(
+    """\s*GRAFT\s+ADD\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?""" +
+      """\s+([\w()\s,<>]+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
@@ -272,6 +277,10 @@ object GraftSqlParser {
     val dcm = dropColRe.matcher(sqlText)
     if (dcm.matches())
       return Some(DropGraftColumn(dcm.group(1), dcm.group(2)))
+    val acm = addColRe.matcher(sqlText)
+    if (acm.matches())
+      return Some(AddGraftColumn(acm.group(1), acm.group(2),
+        acm.group(3)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
@@ -833,6 +842,23 @@ case class RenameGraftColumn(dir: String, from: String, to: String)
 
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(CdcTable.renameColumn(spark, dir, from, to)))
+}
+
+/** GRAFT ADD COLUMN '<path>' <name> <type> — metadata-only schema
+  * widening (see [[CdcTable.addColumn]]): declares a nullable column
+  * of the GIVEN type before any writer sends it. */
+case class AddGraftColumn(dir: String, name: String, typeSql: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("schema_version", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dt = org.apache.spark.sql.types.DataType
+      .fromDDL(typeSql) // "bigint", "array<float>", "decimal(10,2)"…
+    Seq(Row(CdcTable.addColumn(spark, dir, name, dt)))
+  }
 }
 
 /** GRAFT DROP COLUMN '<path>' <name> — metadata-only column drop

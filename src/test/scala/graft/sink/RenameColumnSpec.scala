@@ -197,6 +197,29 @@ class RenameColumnSpec extends SparkSpec {
     assert(!CdcTable.read(spark, dir).columns.contains("x"))
   }
 
+  test("add column: metadata-only widening, typed, null-filled") {
+    val dir = tmpDir("addcol")
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
+    val before = dataFiles(dir)
+    val out = spark
+      .sql(s"GRAFT ADD COLUMN '$dir' score decimal(10,2)").collect()
+    assert(out.head.getLong(0) == CdcTable.currentVersion(dir))
+    assert(dataFiles(dir) == before, "add must write no data files")
+    val got = CdcTable.read(spark, dir)
+    assert(got.schema("score").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(got.select("score").collect().forall(_.isNullAt(0)),
+      "existing rows null-fill")
+    // the declared type wins over a later append's inference
+    CdcTable.append(Seq((2L, java.math.BigDecimal.valueOf(1.50), "b"))
+      .toDF("x", "score", "_id"), dir)
+    assert(CdcTable.read(spark, dir).count() == 2)
+    intercept[IllegalArgumentException] {
+      CdcTable.addColumn(spark, dir, "x",
+        org.apache.spark.sql.types.LongType) // exists
+    }
+  }
+
   test("GRAFT RENAME COLUMN SQL form returns the new schema version") {
     val dir = tmpDir("ren_sql")
     CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)
