@@ -2129,12 +2129,22 @@ object TextQ {
       |     element_at(g, CAST(k div 8 AS INT) * 9
       |       + CAST(k % 8 AS INT) + 2),
       |     shiftleft(1L, CAST(k AS INT)), 0L))""".stripMargin
+  /** tokens → grid → hash in ONE expression with `toks` and `g` each
+    * BOUND ONCE (the single-element-array lambda trick): a withColumn
+    * chain lets the optimizer inline the toks SPLIT into all 72 grid
+    * references and the grid into all 126 bit references — measured
+    * as the q199 optimizer hang and, at execution time, one regex
+    * split per grid cell per evaluation. */
+  private val dHashFromTextE: String =
+    s"""element_at(transform(array(toks), toks ->
+       |  element_at(transform(array($dHashGridE), g ->
+       |    $dHashE), 1)), 1)""".stripMargin
+
   private def docDHashes(s: SparkSession, dir: String): DataFrame =
     spreadDocs(s, dir)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("g", expr(dHashGridE))
-      .withColumn("dhash", expr(dHashE))
+      .withColumn("dhash", expr(dHashFromTextE))
       .select(col("doc_id"), col("dhash"))
 
   /** 4×16-bit banded blocking + exact `bit_count(xor) ≤ 3` over a
@@ -2142,7 +2152,14 @@ object TextQ {
     * the image (q196) and audio (q199) perceptual hashes. Never
     * all-pairs; candidates are band-key-blocked (pigeonhole-exact
     * recall at Hamming ≤ 3). */
-  private def bandedHashPairs(dh: DataFrame): DataFrame = {
+  private def bandedHashPairs(dh0: DataFrame): DataFrame = {
+    // pin the hash frame: without it Catalyst pushes the WHOLE
+    // text→samples→grid→hash expression through the self-join and
+    // re-evaluates it per band row on BOTH sides and again in the
+    // final Hamming filter — per-PAIR recompute of a per-DOC value
+    // (measured: q199 at sf0.1 went from stuck-for-40-min to
+    // sub-second with the checkpoint)
+    val dh = dh0.localCheckpoint()
     val banded = dh
       .select(col("doc_id"), col("dhash"),
         explode(expr("sequence(0, 3)")).as("band"))
@@ -2329,12 +2346,19 @@ object TextQ {
        |  element_at(transform(array($audioGridE), g ->
        |    $dHashE), 1)), 1)""".stripMargin
 
+  /** text → samples → fingerprint with `toks` AND `sm` each bound
+    * once (see [[dHashFromTextE]] — same inlining hazard, one more
+    * stage). */
+  private val audioFpFromTextE: String =
+    s"""element_at(transform(array(toks), toks ->
+       |  element_at(transform(array($audioSamplesE), sm ->
+       |    $audioFpFromSmE), 1)), 1)""".stripMargin
+
   private def docAudioFps(s: SparkSession, dir: String): DataFrame =
     spreadDocs(s, dir)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("sm", expr(audioSamplesE))
-      .withColumn("dhash", expr(audioFpFromSmE))
+      .withColumn("dhash", expr(audioFpFromTextE))
       .select(col("doc_id"), col("dhash"))
 
   /** q199 — audio near-dup fingerprint
