@@ -512,17 +512,26 @@ object Sampling {
     *
     * Exactness: ranking by uᵢ^(1/wᵢ) descending is equivalent to
     * ranking by log2(uᵢ)/wᵢ descending (log2 is monotone), and with
-    * uᵢ = u28ᵢ/2²⁸ that is `(28·2¹⁶ − fixed_log2(u28ᵢ))·10⁶ div wᵢ`
-    * ASCENDING — pure non-negative integer arithmetic (truncating
-    * division agrees between engines on non-negative operands), so a
+    * uᵢ = u28ᵢ/2²⁸ that is `(28·2¹⁶ − fixed_log2(u28ᵢ))·10¹² div
+    * wµᵢ` ASCENDING, with wµᵢ = ROUND(wᵢ·10⁶) the µ-scaled
+    * fixed-point weight — pure non-negative integer arithmetic
+    * (truncating division agrees between engines on non-negative
+    * operands, and ROUND half-away agrees on positive doubles), so a
     * DuckDB oracle replays the `fixed_log2` recurrence and
     * hash-matches the selected set bit for bit. Ties break by
-    * (md5(key), key).
+    * (md5(key), key). The numerator peaks at 28·2¹⁶·10¹² ≈ 1.8e18 —
+    * inside BIGINT on both engines.
     *
-    * Rows with NULL or non-positive weight are excluded (their
-    * inclusion probability is zero/undefined). At scale: one narrow
-    * projection + a TakeOrdered(k) — no shuffle of the data, no
-    * per-partition reservoir state; k is driver-bounded by contract.
+    * Weight domain: FRACTIONAL weights participate at micro
+    * precision (w = 0.5 ranks exactly half of w = 1, not zero — the
+    * r15 truncation semantics are gone); rows with NULL weight or
+    * wµ ≤ 0 (w < 5e-7, sub-representable inclusion probability) are
+    * excluded; weights above ~9e9 lose double µ-exactness — rescale
+    * such domains yourself (A-Res ranks are invariant under uniform
+    * positive scaling of the u-to-weight ratio ordering).
+    * At scale: one narrow projection + a TakeOrdered(k) — no shuffle
+    * of the data, no per-partition reservoir state; k is
+    * driver-bounded by contract.
     * Output: (keyCol, weightCol, ares_fp), the k smallest ares_fp. */
   def weightedSampleK(df: DataFrame, keyCol: String, weightCol: String,
       k: Int): DataFrame = {
@@ -534,18 +543,18 @@ object Sampling {
         graft.functions.FixedLog2(
           org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
     val maxLg = 28L << 16 // fixed_log2(2^28), the u28 domain top
-    // filter on the POST-CAST BIGINT weight (the value the div below
-    // actually uses): a fractional weight in (0,1) passes a plain
-    // `> 0` filter but truncates to 0 in the cast, yielding NULL
-    // ares_fp rows that sort FIRST under asc and steal the top-k
-    df.filter(col(s"`$weightCol`").isNotNull &&
-        expr(s"CAST(`$weightCol` AS BIGINT)") > 0)
+    // µ-scaled fixed-point weight: filter on the POST-ROUND value the
+    // div below actually uses — a weight that rounds to 0 must be
+    // excluded, or its NULL/absurd ares_fp would steal the top-k
+    val wFp =
+      s"CAST(ROUND(CAST(`$weightCol` AS DOUBLE) * 1e6) AS BIGINT)"
+    df.filter(col(s"`$weightCol`").isNotNull && expr(wFp) > 0)
       .withColumn("__u28", expr(
         "CAST(conv(substring(md5(CAST(`" + keyCol +
           "` AS STRING)), 1, 7), 16, 10) AS BIGINT) + 1"))
       .withColumn("__lg", lg(col("__u28")))
       .withColumn("ares_fp", expr(
-        s"($maxLg - __lg) * 1000000 div CAST(`$weightCol` AS BIGINT)"))
+        s"($maxLg - __lg) * 1000000 * 1000000 div ($wFp)"))
       .orderBy(col("ares_fp").asc,
         expr(s"md5(CAST(`$keyCol` AS STRING))").asc,
         col(s"`$keyCol`").asc)

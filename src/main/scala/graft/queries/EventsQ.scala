@@ -651,8 +651,24 @@ object EventsQ {
         def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           c.cast("decimal(38,0)")
         val dev = d(col("n")) * d(col("cnt")) - d(col("s"))
-        dev * dev >
-          d(lit(9L)) * (d(col("n")) * d(col("q")) - d(col("s")) * d(col("s")))
+        val spread =
+          d(col("n")) * d(col("q")) - d(col("s")) * d(col("s"))
+        // loud domain guard (r15 advisor): past these magnitudes the
+        // DECIMAL(38,0) squares below would overflow — which DuckDB's
+        // HUGEINT raises on but non-ANSI Spark silently NULLs (the
+        // anomaly would be counted false). |dev| < 1e19 keeps dev²
+        // under 1e38; spread < 1.1e37 keeps 9·spread under 1e38. Both
+        // hold through the documented ~1e19-events-per-type domain.
+        val devLim = lit(new java.math.BigDecimal("10000000000000000000"))
+          .cast("decimal(38,0)") // 1e19
+        val spreadLim = lit(new java.math.BigDecimal(
+          "11000000000000000000000000000000000000"))
+          .cast("decimal(38,0)") // 1.1e37
+        when(abs(dev) >= devLim || spread >= spreadLim,
+          raise_error(lit("q195: 3σ moments exceed the exact " +
+            "DECIMAL(38,0) domain (~1e19 events per type) — rescale " +
+            "the window or shard the type")))
+          .otherwise(dev * dev > d(lit(9L)) * spread)
       })
       .groupBy("event_type")
       .agg(max(col("n")).as("n_hours"), max(col("s")).as("n_events"),

@@ -531,7 +531,89 @@ object OpsQ {
       |  FROM documents WHERE doc_id % 2 = 0)
       |ORDER BY tag""".stripMargin
 
+  /** q203 — DML-AWARE CHANGE FEED (Delta Change Data Feed parity;
+    * the r15 verdict's #1 gap): DELETE, UPDATE and keyed MERGE
+    * persist their exact logical changes as per-commit change files
+    * (`delete` / `update_preimage` / `update_postimage` / `insert`),
+    * [[graft.sink.CdcTable.readChanges]] serves them alongside the
+    * manifest-derived append inserts, and a DOWNSTREAM INCREMENTAL
+    * CONSUMER ([[graft.ext.ChangeAgg]], syncing between each DML)
+    * stays ≡ recreate-from-current-state. The oracle replays the
+    * whole DML sequence: both the feed's per-change-type tallies and
+    * the CDF-maintained per-lang state must hash-match. */
+  def q203(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q203_tbl")
+    val st = QueryDef.scratchDir("graft_q203_state")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), tbl,
+      partitionBy = Nil)
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1), tbl,
+      partitionBy = Nil)
+    graft.ext.ChangeAgg.changeAggSync(s, tbl, st,
+      Seq("lang"), Seq("n_chars"))
+    CdcTable.delete(s, tbl, "n_chars % 7 = 0", partitionBy = Nil)
+    graft.ext.ChangeAgg.changeAggSync(s, tbl, st,
+      Seq("lang"), Seq("n_chars"))
+    CdcTable.update(s, tbl, "n_chars % 5 = 0",
+      Seq("n_chars" -> "n_chars + 1000"), partitionBy = Nil)
+    CdcTable.merge(s, tbl,
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") * 2),
+      Seq("doc_id"), partitionBy = Nil)
+    graft.ext.ChangeAgg.changeAggSync(s, tbl, st,
+      Seq("lang"), Seq("n_chars"))
+    val feed = CdcTable.readChanges(s, tbl, afterCommit = 0L)
+      .groupBy(col("_change_type").as("tag"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    val state = graft.ext.ChangeAgg.changeAggRead(s, st)
+      .select(concat(lit("state:"), col("lang")).as("tag"),
+        col("n_rows").as("n_docs"),
+        col("sum_n_chars").cast("long").as("sum_chars"))
+    feed.unionByName(state).orderBy(col("tag"))
+  }
+
+  val q203Sql: String =
+    """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+      |d_del AS (SELECT * FROM base WHERE n_chars % 7 = 0),
+      |d1 AS (SELECT * FROM base WHERE NOT (n_chars % 7 = 0)),
+      |u_pre AS (SELECT * FROM d1 WHERE n_chars % 5 = 0),
+      |u_post AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+      |  FROM u_pre),
+      |u1 AS (SELECT doc_id, lang, CASE WHEN n_chars % 5 = 0
+      |    THEN n_chars + 1000 ELSE n_chars END AS n_chars FROM d1),
+      |msrc AS (SELECT doc_id, lang, n_chars * 2 AS n_chars
+      |  FROM base WHERE doc_id % 3 = 0),
+      |m_pre AS (SELECT * FROM u1
+      |  WHERE doc_id IN (SELECT doc_id FROM msrc)),
+      |m_post AS (SELECT * FROM msrc
+      |  WHERE doc_id IN (SELECT doc_id FROM u1)),
+      |m_ins AS (SELECT * FROM msrc
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM u1)),
+      |final AS (SELECT * FROM u1
+      |    WHERE doc_id NOT IN (SELECT doc_id FROM msrc)
+      |  UNION ALL SELECT * FROM msrc),
+      |feed AS (
+      |  SELECT 'insert' AS tag, n_chars FROM base
+      |  UNION ALL SELECT 'insert', n_chars FROM m_ins
+      |  UNION ALL SELECT 'delete', n_chars FROM d_del
+      |  UNION ALL SELECT 'update_preimage', n_chars FROM u_pre
+      |  UNION ALL SELECT 'update_preimage', n_chars FROM m_pre
+      |  UNION ALL SELECT 'update_postimage', n_chars FROM u_post
+      |  UNION ALL SELECT 'update_postimage', n_chars FROM m_post)
+      |SELECT tag, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |  FROM feed GROUP BY tag
+      |UNION ALL
+      |SELECT 'state:' || lang, COUNT(*),
+      |    CAST(SUM(n_chars) AS BIGINT)
+      |  FROM final GROUP BY lang
+      |ORDER BY tag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q203_change_feed_dml", q203, Some(q203Sql)),
     QueryDef("q169_profile_files", q169, Some(q169Sql)),
     QueryDef("q178_profile_typed_files", q178, Some(q178Sql)),
     QueryDef("q150_bloom_point_lookup", q150, Some(q150Sql)),

@@ -2445,10 +2445,12 @@ object TextQ {
        |    md5(CAST(doc_id AS VARCHAR)) AS h,
        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
        |      AS BIGINT) + 1 AS p_fp
-       |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+       |  FROM documents WHERE n_chars IS NOT NULL
+       |    AND CAST(ROUND(n_chars * 1e6) AS BIGINT) > 0),
        |lgt AS (${flog2D("uu", Seq("n_chars", "h"))}),
        |sel AS (SELECT doc_id, n_chars,
-       |    (1835008 - lg) * 1000000 // n_chars AS ares_fp, h
+       |    (1835008 - lg) * 1000000 * 1000000
+       |      // CAST(ROUND(n_chars * 1e6) AS BIGINT) AS ares_fp, h
        |  FROM lgt)
        |SELECT doc_id, n_chars AS weight, ares_fp FROM sel
        |ORDER BY ares_fp, h, doc_id LIMIT 25""".stripMargin

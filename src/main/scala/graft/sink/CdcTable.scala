@@ -76,7 +76,23 @@ object CdcTable {
         * high-cardinality unclustered columns ([[FileStats]] bloom
         * section): rel path → column → packed base64 bits. Present
         * only for columns the append requested via `bloomCols`. */
-      blooms: Map[String, Map[String, String]] = Map.empty)
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      /** DML change files (Delta Change Data Feed `_change_data`
+        * parity): dir-relative parquet files under `_changes/batch-…`
+        * holding the logical row changes this commit made — the
+        * commit's table schema plus a `_change_type` column
+        * (`delete` / `update_preimage` / `update_postimage` /
+        * `insert`). Written by the keyed/predicate DML paths only;
+        * physical rewrites (compaction, OPTIMIZE, restore) change no
+        * logical rows and carry none. [[readChanges]] serves them. */
+      changeFiles: Seq[String] = Nil,
+      /** Deletion-vector sidecars (merge-on-read DELETE): dir-relative
+        * parquet files under `_dv/batch-…` of (_graft_file,
+        * _graft_pos) rows — positions deleted from still-live data
+        * files. Applied at read by [[readCommits]]; folded away by any
+        * full rewrite (compaction). A `replace` commit carries the
+        * union of prior live sidecars forward. */
+      dvFiles: Seq[String] = Nil)
 
   /** Resolve a manifest file entry to a readable path. Entries are
     * normally dir-RELATIVE (`data/batch-…`) so tables relocate freely;
@@ -119,7 +135,9 @@ object CdcTable {
       c.blooms.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
         cols.toSeq.sortBy(_._1).map { case (col, bits) =>
           s"bloom=${FileStats.renderBloom(rel, col, bits)}" }
-      }
+      } ++
+      c.changeFiles.map(f => s"cfile=$f") ++
+      c.dvFiles.map(f => s"dvfile=$f")
     head.mkString("\n")
   }
 
@@ -153,7 +171,9 @@ object CdcTable {
         .flatMap(FileStats.parseBloom)
         .groupBy(_._1)
         .map { case (rel, entries) =>
-          rel -> entries.map(e => e._2 -> e._3).toMap })
+          rel -> entries.map(e => e._2 -> e._3).toMap },
+      changeFiles = kv.collect { case ("cfile", f) => f },
+      dvFiles = kv.collect { case ("dvfile", f) => f })
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -173,7 +193,8 @@ object CdcTable {
     val condensed = commits.zipWithIndex.map { case (c, i) =>
       if (eIdx >= 0 && i < eIdx)
         c.copy(files = Nil, stub = true, stats = Map.empty,
-          fileRows = Map.empty, blooms = Map.empty)
+          fileRows = Map.empty, blooms = Map.empty,
+          changeFiles = Nil, dvFiles = Nil) // hydrate from raw
       else c
     }
     Fs.writeString(
@@ -500,6 +521,37 @@ object CdcTable {
     * would key rel paths differently here than stagedFiles does. */
   private[graft] val RelPathRe = ".*/(data/batch-.*)$"
 
+  /** input_file_name → rel path for CDF change files (same
+    * last-occurrence rule as [[RelPathRe]]). */
+  private[graft] val ChangeRelPathRe = ".*/(_changes/batch-.*)$"
+
+  /** The `_change_type` values [[readChanges]] can emit — Delta CDF
+    * parity. Appends derive `insert` from the manifest (zero write
+    * cost); DML commits persist their exact logical changes. */
+  val ChangeTypes: Seq[String] =
+    Seq("insert", "delete", "update_preimage", "update_postimage")
+
+  /** A commit's change-file / DV-sidecar row schemas. */
+  private def changeSchemaOf(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("_change_type",
+      org.apache.spark.sql.types.StringType))
+
+  /** Stage auxiliary (non-data) parquet under `<dir>/<sub>/batch-…`
+    * and return the dir-relative file list — the CDF change-file and
+    * DV-sidecar writer ([[stagedFiles]]' keying rules apply). */
+  private def stageAux(dir: String, sub: String, rows: DataFrame)
+      : Seq[String] = {
+    val batchDir = s"$dir/$sub/batch-${UUID.randomUUID()}"
+    rows.write.mode("overwrite").parquet(batchDir)
+    Fs.walkFiles(batchDir).map(_._1.toString)
+      .filter(_.endsWith(".parquet"))
+      .map { abs =>
+        val marker = abs.lastIndexOf(s"/$sub/batch-")
+        require(marker >= 0, s"staged file outside $sub: $abs")
+        abs.substring(marker + 1)
+      }
+  }
+
   /** Append a batch, merging schemas under `mode`. A schema change
     * opens a new generation. Returns the schema version after the
     * write. Single-writer semantics (the streaming sink is the only
@@ -719,16 +771,38 @@ object CdcTable {
         _ => true,
       bloomPredicate: Map[String, String] => Boolean =
         _ => true): DataFrame = {
+    // normalize through fileKey first, mirroring partColsFromPath: a
+    // shallow clone borrows ABSOLUTE paths, and a key=value segment in
+    // the SOURCE table's own directory (e.g. /warehouse/region=eu/tbl)
+    // is not a partition column of the borrowed file — judging it
+    // would silently prune live rows under a same-named predicate
     def keep(rel: String): Boolean =
-      rel.split('/').toIndexedSeq
+      fileKey(rel).split('/').toIndexedSeq
         .filter(seg => seg.contains('=') && !seg.startsWith("."))
         .map(_.split("=", 2))
         .forall(kv => partitionPredicate(kv(0), kv(1)))
+    val commits = commitsAsOf(dir, commitAsOf, timestampAsOf)
+    // stats/blooms of a file are keyed by the column names AT ITS
+    // COMMIT; re-express them under the CURRENT logical names through
+    // the rename/drop chain before judging — a dropped-then-re-added
+    // same-name column would otherwise consult the stale pre-drop
+    // stats (hasNull=false) and wrongly prune all-NULL files
+    val renames = commits
+      .flatMap(c => c.rename.map(r => (c.schemaVersion, r._1, r._2)))
+      .sortBy(_._1)
+    def rekey[V](m: Map[String, V], sv: Long): Map[String, V] =
+      renames.filter(_._1 > sv).foldLeft(m) {
+        case (acc, (_, from, "")) => acc - from // DROP: stale key out
+        case (acc, (_, from, to)) =>
+          acc.get(from).fold(acc)(v => (acc - from).updated(to, v))
+      }
     readCommits(spark, dir,
-      commitsAsOf(dir, commitAsOf, timestampAsOf)
-        .map(c => c.copy(files = c.files.filter(f =>
-          keep(f) && statsPredicate(c.stats.getOrElse(f, Map.empty)) &&
-            bloomPredicate(c.blooms.getOrElse(f, Map.empty))))))
+      commits.map(c => c.copy(files = c.files.filter(f =>
+        keep(f) &&
+          statsPredicate(rekey(c.stats.getOrElse(f, Map.empty),
+            c.schemaVersion)) &&
+          bloomPredicate(rekey(c.blooms.getOrElse(f, Map.empty),
+            c.schemaVersion))))))
   }
 
   /** Time travel over the manifest log (the commit records its own
@@ -820,13 +894,15 @@ object CdcTable {
       .map(hydrate(dir, _))
     val appends = range.filter(c => c.action == "append" &&
       c.files.nonEmpty)
+    val dml = range.filter(_.changeFiles.nonEmpty)
     val target = range.lastOption.map(_.schema)
       .getOrElse(commits.last.schema)
     val withMeta = StructType(target.fields ++ changeMetaSchema.fields)
-    if (appends.isEmpty)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), withMeta)
-    else {
+    // rename markers inside the range ride along (no files, no change
+    // rows) so earlier in-range content reads under the range-final
+    // column names
+    val renameMarkers = range.filter(_.rename.nonEmpty)
+    val insertLeg = if (appends.isEmpty) None else {
       // ONE scan per schema generation over the whole range (a feed
       // spanning thousands of commits must not become thousands of
       // union legs); each row finds its commit through a BROADCAST
@@ -837,18 +913,55 @@ object CdcTable {
       val fileMeta = appends
         .flatMap(c => c.files.map(f => (f, c.commit, c.ts)))
         .toDF("_graft_file", "_commit", "_commit_ts")
-      // rename markers inside the range ride along (no files, no
-      // change rows) so earlier in-range appends read under the
-      // range-final column names
-      SchemaMerge.castTo(readCommits(spark, dir,
-        (appends ++ range.filter(_.rename.nonEmpty))
-          .sortBy(_.commit)), target)
+      Some(SchemaMerge.castTo(readCommits(spark, dir,
+        (appends ++ renameMarkers).sortBy(_.commit)), target)
         .withColumn("_graft_file",
           pctDecode(regexp_extract(input_file_name(), RelPathRe, 1)))
         .join(broadcast(fileMeta), Seq("_graft_file"))
         .drop("_graft_file")
         .withColumn("_change_type", lit("insert"))
-        .select(withMeta.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+        .select(withMeta.fieldNames.map(n =>
+          col(s"`$n`")).toIndexedSeq: _*))
+    }
+    // DML leg (Delta CDF parity): the delete/update_preimage/
+    // update_postimage/insert rows the keyed/predicate DML commits
+    // persisted as change files — same generation-grouped scan and
+    // broadcast (file → commit) tagging as the insert leg. Physical
+    // rewrites (compaction/OPTIMIZE/restore) carry no change files
+    // and correctly emit nothing.
+    val dmlLeg = if (dml.isEmpty) None else {
+      val renames = (dml ++ renameMarkers)
+        .flatMap(c => c.rename.map(r => (c.schemaVersion, r._1, r._2)))
+        .distinct.sortBy(_._1)
+      val targetCt = changeSchemaOf(target)
+      val cfileMeta = dml
+        .flatMap(c => c.changeFiles.map(f => (f, c.commit, c.ts)))
+        .toDF("_graft_cfile", "_commit", "_commit_ts")
+      val legs = dml.groupBy(_.schemaVersion).toSeq.sortBy(_._1)
+        .map { case (sv, cs) =>
+          var df = spark.read.schema(changeSchemaOf(cs.last.schema))
+            .parquet(cs.flatMap(_.changeFiles)
+              .map(f => resolve(dir, f)): _*)
+          renames.filter(_._1 > sv).foreach { case (_, from, to) =>
+            df = if (to.isEmpty) df.drop(from)
+                 else df.withColumnRenamed(from, to)
+          }
+          SchemaMerge.castTo(df, targetCt)
+        }
+      Some(legs.reduce(_ unionByName _)
+        .withColumn("_graft_cfile", pctDecode(
+          regexp_extract(input_file_name(), ChangeRelPathRe, 1)))
+        .join(broadcast(cfileMeta), Seq("_graft_cfile"))
+        .drop("_graft_cfile")
+        .select(withMeta.fieldNames.map(n =>
+          col(s"`$n`")).toIndexedSeq: _*))
+    }
+    (insertLeg, dmlLeg) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), withMeta)
     }
   }
 
@@ -878,6 +991,20 @@ object CdcTable {
       .filter(seg => seg.contains('=') && !seg.startsWith("."))
       .map(_.split("=", 2)(0)).distinct
 
+  /** Past this many live tombstone positions the DV filter switches
+    * from a broadcast map probe (zero shuffle, O(1)/row) to a
+    * distributed anti-join (shuffles the DV side only — the scan side
+    * stays where it is via broadcast… no: a plain anti-join; the
+    * degenerate huge-DV mode a compaction should have folded long
+    * ago). Tunable via -Dgraft.dv.broadcastLimit. */
+  private def dvBroadcastLimit: Long =
+    sys.props.get("graft.dv.broadcastLimit").map(_.toLong)
+      .getOrElse(20000000L)
+
+  private val dvSchema = StructType(Seq(
+    StructField("_graft_file", org.apache.spark.sql.types.StringType),
+    StructField("_graft_pos", org.apache.spark.sql.types.LongType)))
+
   /** One scan per (generation, partition-layout): data columns are
     * read flat from the exact committed file list and the partition
     * columns are re-derived from the file PATH (the manifests know the
@@ -886,11 +1013,50 @@ object CdcTable {
     * directory-based partition discovery cannot, because the
     * `batch-<uuid>` level between data/ and the partition dirs is not
     * key=value). Scan legs stay bounded: generations are few and each
-    * has at most a couple of layouts. */
+    * has at most a couple of layouts.
+    *
+    * DELETION VECTORS: when the passed commits carry DV sidecars,
+    * each leg is tagged with (rel file, `_metadata.row_index`) at the
+    * scan and tombstoned positions are filtered out — merge-on-read.
+    * The common path broadcasts the (file → sorted positions) map and
+    * probes it with a binary search per row (no shuffle, no plan
+    * break beyond the filter); a DV set past [[dvBroadcastLimit]]
+    * falls back to a distributed anti-join. Legs whose files carry no
+    * tombstones skip the filter entirely, so pre-DV history scans at
+    * full codegen speed.
+    *
+    * `tagPos` additionally KEEPS the (`_graft_file`, `_graft_pos`)
+    * columns in the output — the scan primitive [[deleteKeysDV]]
+    * builds sidecars from. */
   private def readCommits(spark: SparkSession, dir: String,
-      commits: Seq[Commit]): DataFrame = {
+      commits: Seq[Commit], tagPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    val target = commits.last.schema
+    val target0 = commits.last.schema
+    val dvSidecars = commits.flatMap(_.dvFiles).distinct
+    // (file → sorted positions) for the broadcast probe; None = use
+    // the anti-join fallback (DV set too large to hold on the driver)
+    val dvMap: Option[Map[String, Array[Long]]] =
+      if (dvSidecars.isEmpty) Some(Map.empty)
+      else {
+        val dv = spark.read.schema(dvSchema)
+          .parquet(dvSidecars.map(f => resolve(dir, f)): _*)
+        if (dv.count() > dvBroadcastLimit) None
+        else Some(dv.collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rows) =>
+            f -> rows.map(_.getLong(1)).distinct.sorted })
+      }
+    val dvBc = dvMap.filter(_.nonEmpty).map(m =>
+      spark.sparkContext.broadcast(m))
+    val dvProbe = dvBc.map { bc =>
+      udf((f: String, p: Long) => {
+        val arr = bc.value.getOrElse(f, null)
+        arr != null && java.util.Arrays.binarySearch(arr, p) >= 0
+      })
+    }
+    val target =
+      if (!tagPos) target0
+      else StructType(target0.fields ++ dvSchema.fields)
     // ordered column-mapping chain (GRAFT RENAME COLUMN): a
     // generation scanned under its own schema then applies every
     // rename committed AFTER it (sv order = commit order — each
@@ -914,6 +1080,30 @@ object CdcTable {
             schema.fields.filterNot(f => partCols.contains(f.name)))
           var df = spark.read.schema(dataSchema)
             .parquet(files.map(f => resolve(dir, f)): _*)
+          // DV / position tagging rides the SCAN (``_metadata`` is a
+          // scan-time column — it must be materialized before any
+          // projection drops access to it). Legs none of whose files
+          // carry tombstones skip the probe: pre-DV history scans
+          // unfiltered at full codegen speed.
+          val legHasDv = dvMap match {
+            case Some(m) => files.exists(f => m.contains(fileKey(f)))
+            case None => true // huge-DV fallback: cannot judge cheaply
+          }
+          if (tagPos || legHasDv) {
+            df = df
+              .withColumn("_graft_file", relPathCol())
+              .withColumn("_graft_pos", col("_metadata.row_index"))
+            if (legHasDv) dvProbe match {
+              case Some(probe) => df = df.filter(
+                !probe(col("_graft_file"), col("_graft_pos")))
+              case None =>
+                val dv = spark.read.schema(dvSchema)
+                  .parquet(dvSidecars.map(f => resolve(dir, f)): _*)
+                df = df.join(dv, Seq("_graft_file", "_graft_pos"),
+                  "left_anti")
+            }
+            if (!tagPos) df = df.drop("_graft_file", "_graft_pos")
+          }
           partCols.filter(schema.fieldNames.contains).foreach { p =>
             // match inside the data/batch-… suffix only: for borrowed
             // absolute files (shallow clones) a same-named key=value
@@ -1018,7 +1208,12 @@ object CdcTable {
     *       event log (soft-delete events) instead of DML'd tables. */
   def delete(spark: SparkSession, dir: String, predicate: String,
       partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult =
-    rewriteMatching(spark, dir, predicate, "delete", partitionBy) {
+    rewriteMatching(spark, dir, predicate, "delete", partitionBy,
+      changes = { (rows, pred) =>
+        import org.apache.spark.sql.functions.{coalesce, lit}
+        rows.filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete"))
+      }) {
       (rows, pred) =>
         // SQL delete semantics: a NULL predicate means "not matched" —
         // the row must SURVIVE (bare !pred is NULL for it and the
@@ -1062,7 +1257,18 @@ object CdcTable {
       case (k, as) if as.size > 1 => k }
     require(dupCols.isEmpty,
       s"duplicate UPDATE SET assignments for: ${dupCols.mkString(", ")}")
-    rewriteMatching(spark, dir, predicate, "update", partitionBy) {
+    rewriteMatching(spark, dir, predicate, "update", partitionBy,
+      changes = { (rows, pred) =>
+        import org.apache.spark.sql.functions.{coalesce, expr, lit}
+        val matched = rows.filter(coalesce(pred, lit(false)))
+        // postimage applies every RHS against the PRE-update row in
+        // ONE projection, exactly like the rewrite below
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(matched
+            .withColumns(canonical.map { case (k, v) =>
+              k -> expr(v) }.toMap)
+            .withColumn("_change_type", lit("update_postimage")))
+      }) {
       (rows, pred) =>
         import org.apache.spark.sql.functions.{col, expr, when}
         // ONE projection: every predicate and RHS evaluates against
@@ -1108,6 +1314,64 @@ object CdcTable {
         org.apache.spark.sql.functions.col(s"`$k`")).toIndexedSeq: _*),
       keyCols, partitionBy, evolveSchema = false,
       insert = false, op = "deleteKeys")
+
+  /** Merge-on-read keyed DELETE — DELETION VECTORS (Delta DV
+    * parity): instead of rewriting every touched file, one scan finds
+    * the matching rows' (file, `_metadata.row_index`) pairs, writes
+    * them as a sidecar parquet under `_dv/batch-…`, and commits ONE
+    * manifest that re-publishes every live file by reference plus the
+    * sidecar. [[readCommits]] filters tombstoned positions at scan
+    * time, so the read is ≡ a rewrite-based [[deleteKeys]] while the
+    * COMMIT cost is O(tombstones) — at 100 TB, a million scattered
+    * right-to-be-forgotten ids cost one small sidecar write instead
+    * of rewriting every touched file's full bytes. The scan itself is
+    * DV-applied, so re-deleting an already-deleted key records
+    * nothing twice. CDF: the matched rows land as `delete` change
+    * rows, exactly like the rewrite path.
+    *
+    * Housekeeping contracts: OPTIMIZE / compaction (any full rewrite)
+    * folds DVs physically and drops the sidecars; manifest stats,
+    * blooms and `fileRows` of DV'd files stay conservative
+    * (over-inclusive — skipping never prunes wrongly, row estimates
+    * upper-bound) until then; time travel before the DV commit still
+    * shows the rows; RESTORE treats sidecars as snapshot state. */
+  def deleteKeysDV(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCols: Seq[String]): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "deleteKeysDV needs at least one key column")
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val snap = commits.last.commit
+    val schema = commits.last.schema
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"deleteKeysDV key $k not in the table schema"))
+    val live = effective(commits)
+    val srcKeys = keys
+      .select(keyCols.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
+    // one DV-applied scan, tagged with (file, pos); pin it — the
+    // sidecar, the change rows and the count all read it
+    val matched = readCommits(spark, dir, live, tagPos = true)
+      .join(srcKeys, keyCols.toSeq, "left_semi")
+      .localCheckpoint()
+    val n = matched.count()
+    if (n == 0)
+      return DeleteResult(0L, 0L, live.flatMap(_.files).size, snap)
+    val sidecar = stageAux(dir, "_dv",
+      matched.select(col("_graft_file"), col("_graft_pos")))
+    val cfiles = stageAux(dir, "_changes", SchemaMerge.castTo(
+      matched.drop("_graft_file", "_graft_pos")
+        .withColumn("_change_type", lit("delete")),
+      changeSchemaOf(schema)))
+    val c = commit(dir, nn => Commit(nn, commits.last.schemaVersion,
+      "dv", System.currentTimeMillis(), None, schema, Nil,
+      changeFiles = cfiles, dvFiles = sidecar),
+      validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
+        throw new java.util.ConcurrentModificationException(
+          s"deleteKeysDV at $dir built from commit $snap but the log " +
+            s"is now at ${cur.lastOption.map(_.commit).getOrElse(0L)} " +
+            "— a write landed mid-delete; rerun (nothing was lost)"))
+    DeleteResult(n, 0L, live.flatMap(_.files).size, c.commit)
+  }
 
   /** `txn`: recorded in the replace commit as an idempotency /
     * HIGH-WATER marker (a committed (appId, ver ≥ v) short-circuits
@@ -1182,7 +1446,8 @@ object CdcTable {
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
       // rename markers ride along (no files): the rewrite subset's
       // older generations must still read under the renamed schema
-      .filter(c => c.files.nonEmpty || c.rename.nonEmpty)
+      .filter(c => c.files.nonEmpty || c.rename.nonEmpty ||
+        c.dvFiles.nonEmpty) // DV sidecars must gate the rewrite scan
     val carried = live.flatMap(c =>
       c.files.filterNot(f => mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
@@ -1198,17 +1463,19 @@ object CdcTable {
     // an insert-only merge (no keys matched, single generation,
     // matching layout) rewrites nothing — readCommits cannot take an
     // empty commit list, so survivors degenerate to an empty frame
-    val survivors =
+    // (cast BEFORE the key join: the rewrite subset's own last commit
+    // may predate a key column added by evolution, and the anti-join
+    // must resolve keys against the current table schema)
+    val rewriteRows =
       if (rewriteCommits.forall(_.files.isEmpty))
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      // cast BEFORE the key join: the rewrite subset's own last commit
-      // may predate a key column added by evolution, and the anti-join
-      // must resolve keys against the current table schema
       else SchemaMerge.castTo(readCommits(spark, dir, rewriteCommits),
-        schema).join(srcKeys, keys.toSeq, "left_anti")
+        schema)
+    val survivors = rewriteRows.join(srcKeys, keys.toSeq, "left_anti")
+    val srcCast = SchemaMerge.castTo(src, schema)
     val outRows =
-      if (insert) survivors.unionByName(SchemaMerge.castTo(src, schema))
+      if (insert) survivors.unionByName(srcCast)
       else survivors
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = outRows.write.mode("overwrite")
@@ -1217,10 +1484,36 @@ object CdcTable {
     val fresh = stagedFiles(dir, batchDir)
     val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
 
+    // CDF change rows (Delta CDF parity): matched target rows are the
+    // preimages; for MERGE the source splits into update_postimage
+    // (matched keys) and insert (new keys) — all O(matched + source),
+    // never O(table). The matched-key set is pinned (it gates three
+    // branches and is bounded by the source size).
+    val ct = "_change_type"
+    val matchedOld = rewriteRows.join(srcKeys, keys.toSeq, "left_semi")
+    val changeRows =
+      if (!insert)
+        matchedOld.withColumn(ct, lit("delete"))
+      else {
+        val matchedKeys = matchedOld
+          .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*)
+          .distinct().localCheckpoint()
+        matchedOld.withColumn(ct, lit("update_preimage"))
+          .unionByName(srcCast.join(matchedKeys, keys.toSeq, "left_semi")
+            .withColumn(ct, lit("update_postimage")))
+          .unionByName(srcCast.join(matchedKeys, keys.toSeq, "left_anti")
+            .withColumn(ct, lit("insert")))
+      }
+    val cfiles = stageAux(dir, "_changes",
+      SchemaMerge.castTo(changeRows, changeSchemaOf(schema)))
+
     val c = commit(dir, n => Commit(n, currentSv, "replace",
       System.currentTimeMillis(), txn, schema, carried ++ fresh,
       stats = carriedStats ++ freshStats,
-      fileRows = carriedRows ++ freshRows),
+      fileRows = carriedRows ++ freshRows,
+      changeFiles = cfiles,
+      dvFiles = if (carried.isEmpty) Nil
+        else live.flatMap(_.dvFiles).distinct),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
           s"$op at $dir built from commit $snap but the log is now " +
@@ -1233,9 +1526,13 @@ object CdcTable {
   /** Shared DML engine: find the exact touched-file set with one
     * pushed-down scan, rewrite ONLY those files through
     * `transform(rows, pred)`, republish the rest by reference in one
-    * optimistic-concurrency replace commit (stats carried). */
+    * optimistic-concurrency replace commit (stats carried).
+    * `changes(rows, pred)` produces the commit's CDF rows (the
+    * commit's schema + `_change_type`), persisted as change files —
+    * O(matched rows), never O(table). */
   private def rewriteMatching(spark: SparkSession, dir: String,
-      predicate: String, op: String, partitionBy: Seq[String])(
+      predicate: String, op: String, partitionBy: Seq[String],
+      changes: (DataFrame, org.apache.spark.sql.Column) => DataFrame)(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
       : DeleteResult = {
     import org.apache.spark.sql.functions.{col, count, expr,
@@ -1267,7 +1564,8 @@ object CdcTable {
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
       // rename markers ride along (no files): the rewrite subset's
       // older generations must still read under the renamed schema
-      .filter(c => c.files.nonEmpty || c.rename.nonEmpty)
+      .filter(c => c.files.nonEmpty || c.rename.nonEmpty ||
+        c.dvFiles.nonEmpty) // DV sidecars must gate the rewrite scan
     val carried = live.flatMap(c =>
       c.files.filterNot(f => mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
@@ -1281,9 +1579,9 @@ object CdcTable {
     // (e.g. DELETE WHERE newcol IS NULL matching only pre-evolution
     // files) a predicate referencing a newer-generation column would
     // otherwise fail to resolve on a legitimate operation
-    val outRows = transform(
-      SchemaMerge.castTo(readCommits(spark, dir, rewriteCommits), schema),
-      pred)
+    val rewriteRows = SchemaMerge.castTo(
+      readCommits(spark, dir, rewriteCommits), schema)
+    val outRows = transform(rewriteRows, pred)
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = SchemaMerge.castTo(outRows, schema)
       .write.mode("overwrite")
@@ -1291,11 +1589,18 @@ object CdcTable {
      else writer).parquet(batchDir)
     val fresh = stagedFiles(dir, batchDir)
     val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
+    // CDF change rows (one extra matched-rows-only scan of the
+    // touched files — never the carried bulk)
+    val cfiles = stageAux(dir, "_changes", SchemaMerge.castTo(
+      changes(rewriteRows, pred), changeSchemaOf(schema)))
 
     val c = commit(dir, n => Commit(n, currentSv, "replace",
       System.currentTimeMillis(), None, schema, carried ++ fresh,
       stats = carriedStats ++ freshStats,
-      fileRows = carriedRows ++ freshRows),
+      fileRows = carriedRows ++ freshRows,
+      changeFiles = cfiles,
+      dvFiles = if (carried.isEmpty) Nil
+        else live.flatMap(_.dvFiles).distinct),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
           s"$op at $dir built from commit $snap but the log is now " +
@@ -1377,7 +1682,10 @@ object CdcTable {
     // ONE listStatus per distinct data directory (Fs.statBatch), not
     // one exists() RPC per file — a million-file snapshot must not
     // pay a million serial HEAD calls before a metadata-only restore
-    val snapFiles = snap.flatMap(_.files).distinct
+    // DV sidecars are load-bearing snapshot state: restoring without
+    // a pruned sidecar would silently resurrect its deleted rows
+    val snapFiles = (snap.flatMap(_.files) ++ snap.flatMap(_.dvFiles))
+      .distinct
     val present = Fs.statBatch(snapFiles.map(f => resolve(dir, f))).keySet
     val missing = snapFiles.filterNot(f => present(resolve(dir, f)))
     require(missing.isEmpty,
@@ -1419,7 +1727,12 @@ object CdcTable {
         rename = g.flatMap(_.rename).headOption,
         stats = g.flatMap(_.stats).toMap,
         fileRows = g.flatMap(_.fileRows).toMap,
-        blooms = g.flatMap(_.blooms).toMap),
+        blooms = g.flatMap(_.blooms).toMap,
+        // DV sidecars are part of the snapshot's logical state and
+        // must reinstate with it; CDF change files are the HISTORY
+        // and stay on their original commits (a restore emits no
+        // change rows, like compaction — consumers diff snapshots)
+        dvFiles = g.flatMap(_.dvFiles).distinct),
         validate = cur =>
           if (cur.lastOption.map(_.commit) != Some(tailBefore))
             throw new java.util.ConcurrentModificationException(
@@ -1468,7 +1781,11 @@ object CdcTable {
         c.action, System.currentTimeMillis(), None, c.schema, abs,
         rename = c.rename,
         stats = rekey(c.stats), fileRows = rekey(c.fileRows),
-        blooms = rekey(c.blooms)),
+        blooms = rekey(c.blooms),
+        // DV sidecars borrow like data files (their content keys rows
+        // by the data/batch-… suffix, identical under the clone);
+        // CDF change files are source history and do not clone
+        dvFiles = c.dvFiles.map(f => resolve(srcDir, f))),
         validate = cur =>
           if (cur.lastOption.map(_.commit).getOrElse(0L) != tailBefore)
             throw new java.util.ConcurrentModificationException(
@@ -1546,6 +1863,38 @@ object CdcTable {
     fs.listStatus(dataP).foreach { d =>
       if (d.isDirectory && fs.listStatus(d.getPath).isEmpty)
         fs.delete(d.getPath, false)
+    }
+    // CDF change files and DV sidecars: referenced by their commit for
+    // as long as the RAW commit file exists (checkpoint stubs hydrate
+    // from it); once vacuum has pruned the raw history past retention,
+    // the aux files are unreadable-by-design and prune with it
+    val auxReferenced = commits
+      .map(c => if (!c.stub) c
+        else Fs.readString(commitPath(dir, c.commit)).map(parse)
+          .getOrElse(c))
+      .flatMap(c => c.changeFiles ++ c.dvFiles)
+      .map(f => resolve(dir, f)).toSet
+    Seq("_changes", "_dv").foreach { sub =>
+      val (afs, auxP) = Fs(s"$dir/$sub")
+      if (afs.exists(auxP)) {
+        val ait = afs.listFiles(auxP, true)
+        while (ait.hasNext) {
+          val st = ait.next()
+          val p = st.getPath.toUri.getPath
+          val matches = auxReferenced.contains(p) ||
+            auxReferenced.contains(st.getPath.toString)
+          if (!matches && st.getModificationTime < cutoff &&
+              (p.endsWith(".parquet") ||
+                st.getPath.getName.startsWith("_"))) {
+            afs.delete(st.getPath, false)
+            deleted += p
+          }
+        }
+        afs.listStatus(auxP).foreach { d =>
+          if (d.isDirectory && afs.listStatus(d.getPath).isEmpty)
+            afs.delete(d.getPath, false)
+        }
+      }
     }
     // prune log files a checkpoint supersedes (same retention grace:
     // a reader that listed the log before the checkpoint may still be

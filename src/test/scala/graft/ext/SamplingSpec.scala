@@ -435,7 +435,8 @@ class SamplingSpec extends SparkSpec {
       val u28 = java.lang.Long.parseLong(h.take(7), 16) + 1
       val w = 1L + (i % 13) * 7L
       val key = ((28L << 16) - graft.functions.FixedPointMath
-        .flog2(u28)) * 1000000L / w
+        .flog2(u28)) * 1000000L * 1000000L /
+        math.round(w.toDouble * 1e6)
       (key, h, i)
     }.sorted.take(20).map(_._3).toSet
     assert(got == want)
@@ -503,11 +504,10 @@ class SamplingSpec extends SparkSpec {
     assert(afterTwo == want.toSet)
   }
 
-  test("weightedSampleK excludes fractional weights that truncate to 0") {
-    // a double weight in (0,1) passes a naive `> 0` filter but
-    // truncates to 0 in the BIGINT cast, yielding NULL ares_fp rows
-    // that sort first and steal the top-k — the filter must run on
-    // the post-cast value
+  test("weightedSampleK: fractional weights participate at µ precision") {
+    // r15 advisor: weights in (0,1) used to truncate to 0 (excluded)
+    // and 1.9 ranked as 1 — the µ-scaled fixed point keeps their real
+    // proportions. The driver-side A-Res reference replays them.
     val docs = (1L to 100L)
       .map(i => (i, if (i <= 90) 0.5 else i.toDouble)).toDF("id", "w")
     val got = Sampling.weightedSampleK(docs, "id", "w", 5)
@@ -515,7 +515,43 @@ class SamplingSpec extends SparkSpec {
     assert(rows.length == 5)
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("ares_fp"))),
       "no NULL A-Res keys may reach the selection")
-    assert(got.select("id").as[Long].collect().forall(_ > 90),
-      "sub-1 weights are excluded, not promoted to the top")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (1L to 100L).map { i =>
+      val h = md5hex(i.toString)
+      val u28 = java.lang.Long.parseLong(h.take(7), 16) + 1
+      val w = if (i <= 90) 0.5 else i.toDouble
+      val key = ((28L << 16) - graft.functions.FixedPointMath
+        .flog2(u28)) * 1000000L * 1000000L / math.round(w * 1e6)
+      (key, h, i)
+    }.sorted.take(5).map(_._3).toSet
+    assert(got.select("id").as[Long].collect().toSet == want,
+      "fractional weights must rank by their true µ-scaled value")
+    // half of w = 1.0: the same u gives exactly double the key
+    val one = Sampling.weightedSampleK(
+      Seq((7L, 1.0)).toDF("id", "w"), "id", "w", 1)
+      .select("ares_fp").as[Long].head()
+    val half = Sampling.weightedSampleK(
+      Seq((7L, 0.5)).toDF("id", "w"), "id", "w", 1)
+      .select("ares_fp").as[Long].head()
+    assert(half == one * 2, s"w=0.5 must rank at exactly 2× w=1 ($half vs $one)")
+  }
+
+  test("weightedSampleK excludes sub-representable weights (wµ = 0)") {
+    // below 5e-7 the µ-scaled weight rounds to 0: inclusion
+    // probability is sub-representable — excluded, never promoted
+    val docs = (1L to 100L)
+      .map(i => (i, if (i <= 90) 2.5e-7 else 1.0)).toDF("id", "w")
+    val got = Sampling.weightedSampleK(docs, "id", "w", 20)
+    val ids = got.select("id").as[Long].collect()
+    assert(ids.length == 10 && ids.forall(_ > 90),
+      "weights rounding to 0µ are excluded")
+    // NULL and negative weights stay excluded too
+    val mixed = Seq((1L, null.asInstanceOf[java.lang.Double]),
+      (2L, java.lang.Double.valueOf(-3.0)),
+      (3L, java.lang.Double.valueOf(2.0))).toDF("id", "w")
+    assert(Sampling.weightedSampleK(mixed, "id", "w", 5)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
   }
 }

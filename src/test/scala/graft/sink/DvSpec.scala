@@ -1,0 +1,132 @@
+package graft.sink
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors (merge-on-read DELETE, Delta DV parity, round
+  * 16): [[CdcTable.deleteKeysDV]] records (file, row-position)
+  * tombstones in a sidecar and rewrites NOTHING; every read path
+  * filters them at scan time; compaction folds them physically. */
+class DvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(dir: String): Seq[Long] =
+    CdcTable.read(spark, dir).select("x").as[Long].collect().sorted.toSeq
+
+  private def dataFiles(dir: String): Set[String] =
+    graft.core.Fs.walkFiles(s"$dir/data")
+      .map(_._1.toString).filter(_.endsWith(".parquet")).toSet
+
+  test("DV delete reads ≡ rewrite delete, with zero data-file IO") {
+    def mk(prefix: String): String = {
+      val d = tmpDir(prefix)
+      CdcTable.append((1L to 20L).map(i => (i, s"k$i"))
+        .toDF("x", "_id"), d)
+      CdcTable.append((21L to 40L).map(i => (i, s"k$i"))
+        .toDF("x", "_id"), d)
+      d
+    }
+    val keys = (1L to 40L).filter(_ % 7 == 0).map(i => s"k$i").toDF("_id")
+    val dvDir = mk("dv_a")
+    val rwDir = mk("dv_b")
+    val before = dataFiles(dvDir)
+    val r = CdcTable.deleteKeysDV(spark, dvDir, keys, Seq("_id"))
+    assert(r.rowsDeleted == 5 && r.filesRewritten == 0)
+    assert(dataFiles(dvDir) == before,
+      "a DV delete must write no data files")
+    val rw = CdcTable.deleteKeys(spark, rwDir, keys, Seq("_id"))
+    assert(rw.rowsDeleted == 5)
+    assert(rows(dvDir) == rows(rwDir),
+      "merge-on-read must equal the rewrite answer")
+    // re-deleting the same keys is a no-op (the scan is DV-applied)
+    val again = CdcTable.deleteKeysDV(spark, dvDir, keys, Seq("_id"))
+    assert(again.rowsDeleted == 0)
+  }
+
+  test("DVs accumulate across commits and time travel sees through") {
+    val dir = tmpDir("dv_acc")
+    CdcTable.append((1L to 10L).map(i => (i, s"k$i")).toDF("x", "_id"),
+      dir)
+    val preDv = CdcTable.log(dir).last.commit
+    CdcTable.deleteKeysDV(spark, dir, Seq("k2").toDF("_id"), Seq("_id"))
+    CdcTable.deleteKeysDV(spark, dir, Seq("k5", "k9").toDF("_id"),
+      Seq("_id"))
+    assert(rows(dir) == Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L))
+    assert(CdcTable.readAsOf(spark, dir, commitAsOf = Some(preDv))
+      .count() == 10, "pre-DV snapshots still show the rows")
+    // the DV commits also feed the change feed as deletes
+    val dels = CdcTable.readChanges(spark, dir, afterCommit = preDv)
+      .filter($"_change_type" === "delete")
+      .select("x").as[Long].collect().toSet
+    assert(dels == Set(2L, 5L, 9L))
+  }
+
+  test("predicate DML after a DV keeps the tombstones applied") {
+    val dir = tmpDir("dv_dml")
+    CdcTable.append((1L to 10L).map(i => (i, s"k$i")).toDF("x", "_id"),
+      dir)
+    CdcTable.deleteKeysDV(spark, dir, Seq("k3").toDF("_id"), Seq("_id"))
+    // a predicate delete (replace commit) must carry the DV forward
+    // for untouched files AND not resurrect x=3 in rewritten ones
+    CdcTable.delete(spark, dir, "x = 7")
+    assert(rows(dir) == Seq(1L, 2L, 4L, 5L, 6L, 8L, 9L, 10L))
+    // keyed merge over the DV'd table behaves too
+    CdcTable.merge(spark, dir, Seq((30L, "k3")).toDF("x", "_id"),
+      keys = Seq("_id"))
+    assert(rows(dir) == Seq(1L, 2L, 4L, 5L, 6L, 8L, 9L, 10L, 30L),
+      "k3 re-inserts as a fresh row, not a resurrected one")
+  }
+
+  test("compaction folds DVs physically; restore reinstates them") {
+    val dir = tmpDir("dv_fold")
+    CdcTable.append((1L to 10L).map(i => (i, s"k$i")).toDF("x", "_id"),
+      dir)
+    CdcTable.deleteKeysDV(spark, dir,
+      Seq("k1", "k4").toDF("_id"), Seq("_id"))
+    val dvSnap = CdcTable.log(dir).last.commit
+    val want = rows(dir)
+    CdcTable.replaceWith(spark, dir,
+      CdcTable.read(spark, dir).coalesce(1))
+    assert(CdcTable.log(dir).last.dvFiles.isEmpty,
+      "a full rewrite folds the tombstones into fresh files")
+    assert(rows(dir) == want)
+    // restore to the DV snapshot: sidecars are snapshot state
+    CdcTable.restore(spark, dir, commitAsOf = Some(dvSnap))
+    assert(CdcTable.log(dir).last.dvFiles.nonEmpty,
+      "restore must reinstate the snapshot's sidecars")
+    assert(rows(dir) == want)
+  }
+
+  test("shallow clone borrows DVs; huge-DV fallback path agrees") {
+    val src = tmpDir("dv_clone_s")
+    val dst = tmpDir("dv_clone_d")
+    CdcTable.append((1L to 12L).map(i => (i, s"k$i")).toDF("x", "_id"),
+      src)
+    CdcTable.deleteKeysDV(spark, src,
+      Seq("k2", "k11").toDF("_id"), Seq("_id"))
+    CdcTable.cloneShallow(spark, src, dst)
+    val want = (1L to 12L).filterNot(i => i == 2 || i == 11).toSeq
+    assert(rows(dst) == want, "borrowed DVs filter borrowed files")
+    // force the distributed anti-join fallback and compare
+    val prev = sys.props.put("graft.dv.broadcastLimit", "0")
+    try assert(rows(dst) == want, "anti-join fallback must agree")
+    finally prev match {
+      case Some(v) => sys.props.put("graft.dv.broadcastLimit", v)
+      case None => sys.props.remove("graft.dv.broadcastLimit")
+    }
+  }
+
+  test("DV commit is O(tombstones): manifest stays file-list-free") {
+    val dir = tmpDir("dv_cost")
+    CdcTable.append((1L to 100L).map(i => (i, s"k$i")).toDF("x", "_id"),
+      dir)
+    val liveFiles = CdcTable.log(dir).flatMap(_.files).size
+    CdcTable.deleteKeysDV(spark, dir, Seq("k50").toDF("_id"), Seq("_id"))
+    val dvCommit = CdcTable.log(dir).last
+    assert(dvCommit.action == "dv" && dvCommit.files.isEmpty,
+      "a DV commit references no data files — it rides the log " +
+        "like a rename marker; the live set is untouched")
+    assert(CdcTable.log(dir).flatMap(_.files).size == liveFiles)
+    assert(CdcTable.detail(dir).liveFiles == liveFiles.toLong)
+  }
+}

@@ -220,6 +220,41 @@ class RenameColumnSpec extends SparkSpec {
     }
   }
 
+  test("stats skipping is drop/re-add aware: stale stats must not prune") {
+    val dir = tmpDir("ren_stats_drop")
+    CdcTable.append(Seq((1L, 10L, "a"), (2L, 20L, "b"))
+      .toDF("_id", "a", "k"), dir, partitionBy = Nil)
+    CdcTable.dropColumn(spark, dir, "a")
+    CdcTable.addColumn(spark, dir, "a",
+      org.apache.spark.sql.types.LongType)
+    // pre-drop file rows now read a = NULL; the pre-drop stats
+    // (hasNull = false, keyed by the OLD physical 'a') must not serve
+    // the re-added column — an IS NULL probe has to keep the file
+    val got = CdcTable.readFiltered(spark, dir, (_, _) => true,
+      statsPredicate = m =>
+        FileStats.allows(m, org.apache.spark.sql.sources.IsNull("a")))
+    assert(got.count() == 2,
+      "stale pre-drop stats wrongly pruned an all-NULL file")
+    assert(got.collect().forall(_.getAs[Any]("a") == null))
+  }
+
+  test("stats keys follow the rename chain (pruning stays active)") {
+    val dir = tmpDir("ren_stats_key")
+    CdcTable.append(Seq((1L, 10L, "a"), (2L, 20L, "b"))
+      .toDF("_id", "a", "k"), dir, partitionBy = Nil)
+    CdcTable.renameColumn(spark, dir, "a", "b")
+    var seen = Set.empty[String]
+    CdcTable.readFiltered(spark, dir, (_, _) => true,
+      statsPredicate = m => { seen ++= m.keySet; true }).count()
+    assert(seen.contains("b") && !seen.contains("a"),
+      s"stats of pre-rename files must serve the NEW name, got $seen")
+    // and the rekeyed stats actually prune on the new name
+    val pruned = CdcTable.readFiltered(spark, dir, (_, _) => true,
+      statsPredicate = m => FileStats.allows(m,
+        org.apache.spark.sql.sources.EqualTo("b", 999L)))
+    assert(pruned.count() == 0, "range stats should prune b = 999")
+  }
+
   test("GRAFT RENAME COLUMN SQL form returns the new schema version") {
     val dir = tmpDir("ren_sql")
     CdcTable.append(Seq((1L, "a")).toDF("x", "_id"), dir)

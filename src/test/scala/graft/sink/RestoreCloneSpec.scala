@@ -120,6 +120,14 @@ class RestoreCloneSpec extends SparkSpec {
       Set("x", "_id"), "no phantom 'region' partition column")
     assert(got.select("x").as[Long].collect().sorted.toSeq ==
       (1L to 6L).toSeq)
+    // partition pruning must judge only the data/batch-… suffix of a
+    // borrowed absolute path: a predicate on 'region' must NOT be
+    // applied to the source-path segment (which would silently prune
+    // every live borrowed file here)
+    assert(CdcTable.readPruned(spark, dst,
+      (k, v) => k != "region" || v == "us").count() == 6,
+      "key=value segments of the source's own directory path are not " +
+        "partition columns of borrowed files")
     // keyed DML over the borrowed files still rewrites correctly
     val res = CdcTable.deleteKeys(spark, dst,
       Seq("k2", "k5").toDF("_id"), Seq("_id"))

@@ -44,12 +44,14 @@ class GraftStreamSpec extends SparkSpec {
         CdcTable.read(spark, dir).coalesce(1))
       q.processAllAvailable()
       assert(received.size == 3)
-      // DML lands as a replace too: no delete event is emitted
-      // (Delta-without-CDF semantics) and the cursor advances past it
+      // DML is CDF-visible (Delta CDF parity, round 16): the DELETE
+      // emits its victim as a `delete` change row — downstream
+      // incremental consumers stay consistent under
+      // right-to-be-forgotten deletes instead of silently missing them
       CdcTable.delete(spark, dir, "x = 2")
       q.processAllAvailable()
-      assert(received.size == 3,
-        "a DML replace must not emit rows into the change feed")
+      assert(received.size == 4 && received.contains(("b", 5L)),
+        s"the DELETE must emit a delete change row, got $received")
     } finally q.stop()
 
     // restart from the checkpoint: resumes at the cursor, no replays
@@ -58,7 +60,7 @@ class GraftStreamSpec extends SparkSpec {
     try {
       q2.processAllAvailable()
       assert(received.sorted.toSeq == Seq(
-        ("a", 1L), ("b", 2L), ("c", 3L), ("d", 6L)))
+        ("a", 1L), ("b", 2L), ("b", 5L), ("c", 3L), ("d", 6L)))
     } finally q2.stop()
   }
 
