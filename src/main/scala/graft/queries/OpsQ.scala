@@ -612,8 +612,98 @@ object OpsQ {
       |  FROM final GROUP BY lang
       |ORDER BY tag""".stripMargin
 
+  /** q204 — DELETION VECTORS ([[graft.sink.CdcTable.deleteKeysDV]],
+    * Delta DV parity): a keyed right-to-be-forgotten delete lands as
+    * ONE (file, row-position) tombstone sidecar — zero data files
+    * rewritten (the `zz_files_rewritten` row pins that to 0 in the
+    * oracle) — and the merge-on-read result must hash-match the
+    * rewrite-delete answer the oracle replays. The sidecar also
+    * feeds the change feed (q203's machinery) as `delete` rows. */
+  def q204(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q204_tbl")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), tbl,
+      partitionBy = Nil)
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1), tbl,
+      partitionBy = Nil)
+    val r = CdcTable.deleteKeysDV(s, tbl,
+      docs.filter(col("n_chars") % 9 === 0).select(col("doc_id")),
+      Seq("doc_id"))
+    val state = CdcTable.read(s, tbl)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(concat(lit("lang:"), col("lang")).as("tag"),
+        col("n_docs"), col("sum_chars"))
+    val meta = s.range(1).select(
+      lit("zz_files_rewritten").as("tag"),
+      lit(r.filesRewritten).as("n_docs"),
+      lit(r.rowsDeleted).as("sum_chars"))
+    state.unionByName(meta).orderBy(col("tag"))
+  }
+
+  val q204Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'lang:' || lang AS tag, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents WHERE NOT (n_chars % 9 = 0) GROUP BY lang
+      |  UNION ALL
+      |  SELECT 'zz_files_rewritten', CAST(0 AS BIGINT),
+      |    (SELECT COUNT(*) FROM documents WHERE n_chars % 9 = 0))
+      |ORDER BY tag""".stripMargin
+
+  /** q205 — GRAFT ALTER COLUMN TYPE
+    * ([[graft.sink.CdcTable.widenColumn]], Delta type-widening
+    * parity): explicit metadata-only int→bigint widening between two
+    * append generations; the post-widening generation stores values
+    * ABOVE Int.MaxValue (impossible under the old type), pre-widening
+    * files cast up at read with zero rewrites, and time travel to the
+    * pre-widening snapshot still serves the narrow type's values. */
+  def q205(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q205_tbl")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars").cast("int")), tbl,
+      partitionBy = Nil)
+    val preWiden = CdcTable.log(tbl).last.commit
+    s.sql(s"GRAFT ALTER COLUMN '$tbl' n_chars TYPE BIGINT").collect()
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("n_chars",
+        col("n_chars").cast("long") + lit(3000000000L)), tbl,
+      partitionBy = Nil)
+    val current = CdcTable.read(s, tbl)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(lit("current").as("tag"), col("n_docs"),
+        col("sum_chars"))
+    val preSnap = CdcTable
+      .readAsOf(s, tbl, commitAsOf = Some(preWiden))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(lit("pre_widen").as("tag"), col("n_docs"),
+        col("sum_chars"))
+    current.unionByName(preSnap).orderBy(col("tag"))
+  }
+
+  val q205Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'current' AS tag, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars
+      |      ELSE n_chars + 3000000000 END) AS BIGINT) AS sum_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'pre_widen', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+      |  FROM documents WHERE doc_id % 2 = 0)
+      |ORDER BY tag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q203_change_feed_dml", q203, Some(q203Sql)),
+    QueryDef("q204_deletion_vectors", q204, Some(q204Sql)),
+    QueryDef("q205_alter_column_type", q205, Some(q205Sql)),
     QueryDef("q169_profile_files", q169, Some(q169Sql)),
     QueryDef("q178_profile_typed_files", q178, Some(q178Sql)),
     QueryDef("q150_bloom_point_lookup", q150, Some(q150Sql)),

@@ -377,6 +377,67 @@ object CdcTable {
               s"tail $snap); rerun")).schemaVersion
   }
 
+  /** `GRAFT ALTER COLUMN … TYPE` — explicit metadata-only TYPE
+    * WIDENING, completing the ALTER family (ADD / RENAME / DROP /
+    * ALTER TYPE, Delta type-widening parity): one commit records the
+    * widened schema; no files rewrite. Pre-widening generations scan
+    * under their own (narrower) physical type and cast up through the
+    * ordinary castTo path — lossless by construction, because the new
+    * type must sit ABOVE the old one in the [[SchemaMerge]] widening
+    * lattice (int→long→double, decimal growth, element-level widening
+    * inside arrays/structs). Narrowing or cross-family changes reject
+    * loudly. Time travel to a pre-widening snapshot still serves the
+    * old type (the range-bounded schema, exactly like rename/drop).
+    *
+    * Appends could already widen implicitly via schema merge — this
+    * is the EXPLICIT declaration form (reserve the wide type before
+    * any writer sends a wide value, rather than letting the first
+    * overflowing batch pick the moment). Partition columns reject
+    * (their values live in file paths as strings; re-typing them is a
+    * rewrite concern); `_cdc_`/`_graft` metadata columns reject.
+    * Returns the new schema version. */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      newType: DataType): Long = {
+    val commits0 = log(dir)
+    require(commits0.nonEmpty, s"no CdcTable at $dir")
+    val schema = commits0.last.schema
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"alter type: no column '$name' in $dir " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})"))
+    require(!name.startsWith("_cdc") && !name.startsWith("_graft"),
+      s"alter type: '$name' is an engine-owned metadata column")
+    require(field.dataType != newType,
+      s"alter type: '$name' already has type " +
+        field.dataType.simpleString)
+    val widened = scala.util.Try(SchemaMerge.mergeTypes(
+      field.dataType, newType)).getOrElse(
+      throw new IllegalArgumentException(
+        s"alter type: ${field.dataType.simpleString} and " +
+          s"${newType.simpleString} do not share a widening path"))
+    require(widened == newType,
+      s"alter type: ${newType.simpleString} does not WIDEN '$name' " +
+        s"(${field.dataType.simpleString} ⊔ ${newType.simpleString} " +
+        s"= ${widened.simpleString}) — narrowing would corrupt " +
+        "existing values; rewrite the table instead")
+    val partCols = effective(commits0).flatMap(_.files)
+      .flatMap(partColsFromPath).toSet
+    require(!partCols.contains(name),
+      s"alter type: '$name' is a PARTITION column — partition values " +
+        "live in file paths; rewrite the table under a new layout")
+    val out = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType, nullable = true)
+      else f))
+    val snap = commits0.last.commit
+    commit(dir, n => Commit(n, commits0.last.schemaVersion + 1,
+      "widen", System.currentTimeMillis(), None, out, Nil),
+      validate = cur =>
+        if (cur.lastOption.map(_.commit) != Some(snap))
+          throw new java.util.ConcurrentModificationException(
+            s"alter type at $dir: a write landed mid-alter (expected " +
+              s"log tail $snap); rerun")).schemaVersion
+  }
+
   /** Current schema-generation version (0 = no table yet). */
   def currentVersion(dir: String): Long =
     log(dir).lastOption.map(_.schemaVersion).getOrElse(0L)

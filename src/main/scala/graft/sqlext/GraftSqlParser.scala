@@ -31,6 +31,7 @@ import org.apache.spark.sql.types._
   *   GRAFT RENAME COLUMN '<path>' FROM a TO b
   *   GRAFT DROP COLUMN '<path>' a
   *   GRAFT ADD COLUMN '<path>' a <type>
+  *   GRAFT ALTER COLUMN '<path>' a TYPE <type>
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
@@ -129,6 +130,10 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val dropColRe = Pattern.compile(
     """\s*GRAFT\s+DROP\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val alterColRe = Pattern.compile(
+    """\s*GRAFT\s+ALTER\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?""" +
+      """\s+TYPE\s+([\w()\s,<>]+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val addColRe = Pattern.compile(
     """\s*GRAFT\s+ADD\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?""" +
@@ -281,6 +286,10 @@ object GraftSqlParser {
     if (acm.matches())
       return Some(AddGraftColumn(acm.group(1), acm.group(2),
         acm.group(3)))
+    val alm = alterColRe.matcher(sqlText)
+    if (alm.matches())
+      return Some(AlterGraftColumnType(alm.group(1), alm.group(2),
+        alm.group(3)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
@@ -858,6 +867,23 @@ case class AddGraftColumn(dir: String, name: String, typeSql: String)
     val dt = org.apache.spark.sql.types.DataType
       .fromDDL(typeSql) // "bigint", "array<float>", "decimal(10,2)"…
     Seq(Row(CdcTable.addColumn(spark, dir, name, dt)))
+  }
+}
+
+/** GRAFT ALTER COLUMN '<path>' <name> TYPE <type> — metadata-only
+  * TYPE WIDENING along the schema-merge lattice (see
+  * [[CdcTable.widenColumn]]): one commit, zero data IO; pre-widening
+  * files cast up at read. Narrowing rejects loudly. */
+case class AlterGraftColumnType(dir: String, name: String,
+    typeSql: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("schema_version", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeSql)
+    Seq(Row(CdcTable.widenColumn(spark, dir, name, dt)))
   }
 }
 

@@ -220,6 +220,76 @@ class RenameColumnSpec extends SparkSpec {
     }
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only; old files cast up") {
+    val dir = tmpDir("widen1")
+    CdcTable.append(Seq((1, "a"), (2, "b")).toDF("x", "_id"), dir)
+    assert(CdcTable.currentSchema(dir).get("x").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val snap = CdcTable.log(dir).last.commit
+    val before = dataFiles(dir)
+    val out = spark
+      .sql(s"GRAFT ALTER COLUMN '$dir' x TYPE bigint").collect()
+    assert(out.head.getLong(0) == CdcTable.currentVersion(dir))
+    assert(dataFiles(dir) == before, "widening must write no data files")
+    assert(CdcTable.currentSchema(dir).get("x").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a post-widening append stores values ABOVE Int.MaxValue while
+    // the pre-widening files cast up at read
+    CdcTable.append(Seq((3000000000L, "c")).toDF("x", "_id"), dir)
+    assert(CdcTable.read(spark, dir).select("x").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3000000000L))
+    // time travel: the pre-widening snapshot serves the NARROW type
+    val old = CdcTable.readAsOf(spark, dir, commitAsOf = Some(snap))
+    assert(old.schema("x").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(old.select("x").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // predicate DML after the widening modernizes old files
+    CdcTable.delete(spark, dir, "x = 2")
+    assert(CdcTable.read(spark, dir).select("x").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3000000000L))
+  }
+
+  test("ALTER COLUMN TYPE rejects narrowing and non-lattice moves") {
+    val dir = tmpDir("widen_rej")
+    CdcTable.append(Seq((1L, 1.5, "a")).toDF("x", "d", "_id"), dir)
+    intercept[IllegalArgumentException] { // narrowing
+      CdcTable.widenColumn(spark, dir, "x",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    intercept[IllegalArgumentException] { // double → long narrows
+      CdcTable.widenColumn(spark, dir, "d",
+        org.apache.spark.sql.types.LongType)
+    }
+    intercept[IllegalArgumentException] { // same type: no-op rejects
+      CdcTable.widenColumn(spark, dir, "x",
+        org.apache.spark.sql.types.LongType)
+    }
+    intercept[IllegalArgumentException] { // unknown column
+      CdcTable.widenColumn(spark, dir, "nope",
+        org.apache.spark.sql.types.LongType)
+    }
+    // long → double IS a lattice-up move
+    CdcTable.widenColumn(spark, dir, "x",
+      org.apache.spark.sql.types.DoubleType)
+    assert(CdcTable.read(spark, dir).select("x").as[Double]
+      .collect().toSeq == Seq(1.0))
+  }
+
+  test("ALTER COLUMN TYPE rejects partition and metadata columns") {
+    val dir = tmpDir("widen_part")
+    CdcTable.append(Seq((1L, 1, "i", "a"), (2L, 2, "u", "b"))
+      .toDF("x", "part", "_cdc_op", "_id"), dir,
+      partitionBy = Seq("part"))
+    intercept[IllegalArgumentException] { // int part col: lattice OK,
+      CdcTable.widenColumn(spark, dir, "part", // partition check fires
+        org.apache.spark.sql.types.LongType)
+    }
+    intercept[IllegalArgumentException] {
+      CdcTable.widenColumn(spark, dir, "_cdc_op",
+        org.apache.spark.sql.types.BinaryType)
+    }
+  }
+
   test("stats skipping is drop/re-add aware: stale stats must not prune") {
     val dir = tmpDir("ren_stats_drop")
     CdcTable.append(Seq((1L, 10L, "a"), (2L, 20L, "b"))
