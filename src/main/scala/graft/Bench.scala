@@ -361,7 +361,25 @@ object Bench {
         // shape — should scale with the shuffle alone); Moore–Lewis
         // is exactly twice q180's serving cost (two model builds +
         // six key-local joins over one shared positions frame)
-        "q188_funnel", "q193_moore_lewis")
+        "q188_funnel", "q193_moore_lewis",
+        // round 16 (r15 verdict #4 — the newest families had no
+        // committed scale evidence): perceptual hashes are scan +
+        // banded self-join (q196 image, q199 audio — the hash is
+        // computed once per doc behind the checkpoint pin, so both
+        // should scale with the scan + pair volume); q198 adds the
+        // incremental index lifecycle (broadcast-semi probes, never
+        // an index shuffle); q201 is three funnelFold batches + the
+        // report (state restricted to batch users — per-batch cost,
+        // not per-history); weighted sampling is a narrow projection
+        // + TakeOrdered(k) and should be the flattest row here (q192
+        // batch, q202 the 3-fold incremental form); q203/q204 are
+        // the DML table ops at 10× — CDF change-file cost scales
+        // with matched rows, the DV sidecar with tombstones, both
+        // far below the touched-file bytes they replace
+        "q196_image_dhash", "q198_dhash_incremental",
+        "q199_audio_fingerprint", "q201_funnel_streamed",
+        "q192_weighted_sample", "q202_weighted_sample_incr",
+        "q203_change_feed_dml", "q204_deletion_vectors")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

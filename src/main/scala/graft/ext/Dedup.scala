@@ -189,9 +189,10 @@ object Dedup {
             .groupBy(col("fingerprint"))
             .agg(min(col("keep_id")).as("keep_id"))
         else if (cols.contains("n_order")) // additive counts: one row
-          CdcTable.read(spark, indexDir)   // per gram after the fold
-            .groupBy(col("n_order"), col("gram"))
-            .agg(sum(col("cnt")).as("cnt"))
+          CdcTable.read(spark, indexDir)   // per gram after the fold;
+            .groupBy(col("n_order"), col("gram")) // grams fully
+            .agg(sum(col("cnt")).as("cnt"))       // retracted by CDF
+            .filter(col("cnt") =!= 0L)            // partials drop out
         else if (cols.contains("kmv_h"))
           Sketch.foldKmv(spark, indexDir)
         // FILE-keyed profile partials must keep per-file granularity

@@ -182,7 +182,21 @@ object Multimodal {
   /** Full sample decode via the JDK's sound stack: any container
     * `AudioSystem` reads (WAV/AIFF/AU) converts to signed 16-bit PCM
     * and normalizes to [-1, 1) floats (interleaved channels). None
-    * for unsupported payloads. */
+    * for unsupported payloads.
+    *
+    * COMPRESSED CONTAINERS (MP3/OGG/FLAC): adjudicated environmental,
+    * same protocol as video decode (ROUND8_NOTES) — probe committed
+    * in ROUND16_NOTES §audio: this JDK's `AudioFileReader` SPI set is
+    * exactly {Wave, WaveFloat, WaveExtensible, Aiff, Au, SoftMidi},
+    * all four compressed-magic probes raise
+    * UnsupportedAudioFileException, no codec SPI exists on the Spark
+    * classpath, and zero egress forbids adding one. The None fallback
+    * IS the documented behavior for such payloads: callers route them
+    * to the header-metadata path ([[probeAudio]] on what it can; the
+    * fingerprint pipeline skips undecodable rows loudly countable via
+    * `decoded IS NULL`). On a real cluster, register a codec
+    * `javax.sound.sampled.spi.AudioFileReader` on the executor
+    * classpath and this code path lights up unchanged. */
   def decodeAudio(bytes: Array[Byte])
       : Option[(javax.sound.sampled.AudioFormat, Array[Float])] = {
     if (bytes == null || bytes.isEmpty) return None

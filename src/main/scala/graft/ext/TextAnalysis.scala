@@ -1443,12 +1443,62 @@ object TextAnalysis {
     val eff = graft.sink.CdcTable.read(spark, tableDir)
       .groupBy(col("n_order"), col("gram"))
       .agg(sum(col("cnt")).as("c"))
+      // grams whose counts net to zero (every occurrence retracted by
+      // lmCountsCdfSync's negative partials) leave the model entirely
+      .filter(col("c") > 0)
     (eff.filter(col("n_order") === 1)
         .select(col("gram").as("w"), col("c")),
       eff.filter(col("n_order") === 2)
         .select(col("gram").as("k"), col("c")),
       eff.filter(col("n_order") === 3)
         .select(col("gram").as("k"), col("c")))
+  }
+
+  /** Maintain the LM count table FROM a curated graft table's CHANGE
+    * FEED — the DELETE-AWARE form of [[lmCountsAppend]], and the
+    * consumer the round-16 change feed exists for: before it, an LM
+    * maintained from an append-only tail silently kept the n-grams of
+    * every right-to-be-forgotten document. Each sync reads only the
+    * unseen commits' change rows ([[graft.sink.CdcTable.readChanges]]
+    * above the high-water txn marker, O(changed rows) never
+    * O(corpus)): inserted/post-update text ADDS its n-gram counts,
+    * deleted/pre-update text appends NEGATED counts — counts are
+    * abelian sums, so [[lmCountsRead]] stays bit-identical to
+    * training on the table's CURRENT content after ANY DML sequence,
+    * at any sync cadence (q206's gate). Net-zero grams drop out of
+    * the served model. `GRAFT COMPACT INDEX` folds the positive and
+    * negative partials physically. Returns the number of table
+    * commits folded (0 = fresh); replays no-op via the txn marker. */
+  def lmCountsCdfSync(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, lmDir: String, textCol: String = "text"): Int = {
+    import graft.sink.CdcTable
+    val commits = CdcTable.log(tableDir)
+    require(commits.nonEmpty, s"no CdcTable at $tableDir")
+    val appId = s"lmcdf@${graft.ext.Profile.canonicalDir(tableDir)}"
+    val lmLog = CdcTable.log(lmDir)
+    val hw = lmLog.flatMap(_.txn)
+      .filter(_._1 == appId).map(_._2).maxOption.getOrElse(0L)
+    val range = commits.filter(_.commit > hw)
+    if (range.isEmpty) return 0
+    val feed = CdcTable.readChanges(spark, tableDir, afterCommit = hw,
+      upToCommit = Some(range.last.commit))
+    def signedCounts(side: org.apache.spark.sql.DataFrame, sign: Long)
+    : org.apache.spark.sql.DataFrame = {
+      val (u, b, t) = stupidBackoffTables(side, textCol)
+      u.select(lit(1).as("n_order"), col("w").as("gram"),
+          (col("c") * sign).as("cnt"))
+        .unionByName(b.select(lit(2).as("n_order"), col("k").as("gram"),
+          (col("c") * sign).as("cnt")))
+        .unionByName(t.select(lit(3).as("n_order"), col("k").as("gram"),
+          (col("c") * sign).as("cnt")))
+    }
+    val all = signedCounts(feed.filter(col("_change_type")
+        .isin("insert", "update_postimage")), 1L)
+      .unionByName(signedCounts(feed.filter(col("_change_type")
+        .isin("delete", "update_preimage")), -1L))
+    graft.sink.CdcTable.append(all, lmDir, partitionBy = Nil,
+      txn = Some((appId, range.last.commit)))
+    range.length
   }
 
   // ----------------------------------------------------------------

@@ -629,6 +629,56 @@ class TextAnalysisSpec extends SparkSpec {
       ft.as[(String, Long)].collect().toSet)
   }
 
+  test("lmCountsCdfSync: the model tracks the table's CURRENT content " +
+      "through DELETE/UPDATE/MERGE, any sync cadence, replay-safe") {
+    import graft.sink.CdcTable
+    def model(t3: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      (t3._1.as[(String, Long)].collect().toSet,
+        t3._2.as[(String, Long)].collect().toSet,
+        t3._3.as[(String, Long)].collect().toSet)
+    val corpus = Seq((1L, "a b c a b"), (2L, "b c a"), (3L, "c c c c"),
+      (4L, "a"), (5L, "zz top zz")).toDF("id", "text")
+    def run(syncEvery: Boolean) = {
+      val tbl = tmpDir(s"lmcdf_$syncEvery")
+      val lm = tmpDir(s"lmcdf_lm_$syncEvery")
+      def sync() = TextAnalysis.lmCountsCdfSync(spark, tbl, lm)
+      CdcTable.append(corpus.filter(col("id") <= 3), tbl,
+        partitionBy = Nil)
+      if (syncEvery) sync()
+      CdcTable.append(corpus.filter(col("id") > 3), tbl,
+        partitionBy = Nil)
+      if (syncEvery) sync()
+      CdcTable.delete(spark, tbl, "id = 3", partitionBy = Nil)
+      if (syncEvery) sync()
+      CdcTable.update(spark, tbl, "id = 4",
+        Seq("text" -> "'a d'"), partitionBy = Nil)
+      if (syncEvery) sync()
+      CdcTable.merge(spark, tbl,
+        Seq((2L, "b c a q"), (9L, "q q")).toDF("id", "text"),
+        Seq("id"), partitionBy = Nil)
+      sync()
+      assert(sync() == 0, "nothing unseen → no work")
+      (tbl, lm)
+    }
+    val (tbl, lm) = run(syncEvery = true)
+    val (_, lmOnce) = run(syncEvery = false)
+    val truth = model(TextAnalysis.stupidBackoffTables(
+      CdcTable.read(spark, tbl).select(col("id"), col("text"))))
+    assert(model(TextAnalysis.lmCountsRead(spark, lm)) == truth,
+      "CDF-synced model must equal training on the current content")
+    assert(model(TextAnalysis.lmCountsRead(spark, lmOnce)) == truth,
+      "sync cadence must not matter (abelian folds)")
+    // 'c c c c' was deleted: its grams net to zero and leave the
+    // model; the physical fold sheds the zero rows too
+    assert(!model(TextAnalysis.lmCountsRead(spark, lm))._3
+      .exists(_._1 == "c c c"), "retracted trigram must be gone")
+    graft.ext.Dedup.compactIndex(spark, lm)
+    assert(model(TextAnalysis.lmCountsRead(spark, lm)) == truth)
+    assert(CdcTable.read(spark, lm).filter(col("cnt") === 0L).count()
+      == 0L, "the fold sheds net-zero partials physically")
+  }
+
   test("piiScrub: counts + sequential replacement, attribution order") {
     val docs = Seq(
       (1L, "mail a@b.co and c.d+x@e-f.org now"),

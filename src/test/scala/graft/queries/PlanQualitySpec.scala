@@ -480,4 +480,36 @@ class PlanQualitySpec extends SparkSpec {
         p.take(600))
   }
 
+  test("perceptual-hash pairs: optimizer-blowup budget + pinned hash " +
+      "(the q199 multiplicative-inlining guard, ROUND15_NOTES §3)") {
+    // total expression-tree size of the OPTIMIZED plan: the staged
+    // single-binding lambda form keeps it linear (~10³); a chained
+    // withColumn rewrite lets CollapseProject inline the token split
+    // into all 72 grid cells and the grid into all 126 bit
+    // references — measured at ~10⁷ nodes (a 40-minute optimizer
+    // hang at sf0.1). The budget is ~20× the current size, far
+    // below one inlining level.
+    def exprNodes(e: org.apache.spark.sql.catalyst.expressions
+        .Expression): Long = 1L + e.children.map(exprNodes).sum
+    def planBudget(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions.map(exprNodes).sum }.sum
+    for (name <- Seq("q196_image_dhash", "q199_audio_fingerprint")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val n = planBudget(df)
+      assert(n < 20000,
+        s"$name optimized plan carries $n expression nodes — the " +
+          "single-binding staging or the localCheckpoint pin " +
+          "regressed (multiplicative inlining class)")
+      // the pin: the banded self-join must consume a MATERIALIZED
+      // hash (LogicalRDD from localCheckpoint) — no md5/hash
+      // recompute may survive into the pair path, or every PAIR
+      // re-evaluates a per-DOC value on both sides
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("md5("),
+        s"$name pair path recomputes the hash per pair:\n" +
+          p.take(800))
+    }
+  }
+
 }
