@@ -37,6 +37,7 @@ import org.apache.spark.sql.types._
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
   *   GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n] [BY FILE]
   *   GRAFT DELETE FROM '<path>' WHERE <predicate>
+  *   GRAFT DELETE KEYS '<path>' FROM '<source>' ON k1, … [USING DV]
   *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
   *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE]
   *   GRAFT RECONCILE '<target>' FROM '<source>' ON k [COMPARE c, …] [REPAIR]
@@ -107,6 +108,10 @@ object GraftSqlParser {
   private val deleteRe = Pattern.compile(
     """\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val deleteKeysRe = Pattern.compile(
+    """\s*GRAFT\s+DELETE\s+KEYS\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
+      """\s+ON\s+([\w\s,`]+?)(?:\s+USING\s+(DV))?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
   private val updateRe = Pattern.compile(
     """\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
@@ -236,6 +241,13 @@ object GraftSqlParser {
     if (vm.matches())
       return Some(VacuumGraftTable(vm.group(1),
         Option(vm.group(2)).map(_.toLong), force = vm.group(3) != null))
+    val dkm = deleteKeysRe.matcher(sqlText)
+    if (dkm.matches()) {
+      val ks = dkm.group(3).split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      return Some(DeleteKeysGraftTable(dkm.group(1), dkm.group(2), ks,
+        useDv = dkm.group(4) != null))
+    }
     val delm = deleteRe.matcher(sqlText)
     if (delm.matches())
       return Some(DeleteFromGraftTable(delm.group(1), delm.group(2)))
@@ -867,6 +879,37 @@ case class AddGraftColumn(dir: String, name: String, typeSql: String)
     val dt = org.apache.spark.sql.types.DataType
       .fromDDL(typeSql) // "bigint", "array<float>", "decimal(10,2)"…
     Seq(Row(CdcTable.addColumn(spark, dir, name, dt)))
+  }
+}
+
+/** `GRAFT DELETE KEYS '<target>' FROM '<source>' ON k1[, …]
+  * [USING DV]` — keyed right-to-be-forgotten deletion from pure SQL:
+  * every target row whose key tuple appears in the source is removed.
+  * Default route is the carry-by-reference rewrite
+  * ([[CdcTable.deleteKeys]]); `USING DV` takes the merge-on-read
+  * deletion-vector route ([[CdcTable.deleteKeysDV]]) — one
+  * O(tombstones) sidecar commit, zero data rewrite, folded by the
+  * next OPTIMIZE/COMPACT. Both emit `delete` change rows into the
+  * feed. `<source>` is a graft table when it has a commit log, else a
+  * parquet directory. Composes with `GRAFT RETRACT INDEX … FROM` so
+  * the corpus delete and the index retraction share one key list. */
+case class DeleteKeysGraftTable(dir: String, sourceDir: String,
+    keys: Seq[String], useDv: Boolean) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("rows_deleted", LongType), attr("files_rewritten", LongType),
+    attr("files_carried", LongType), attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val source =
+      if (CdcTable.log(sourceDir).nonEmpty)
+        CdcTable.read(spark, sourceDir)
+      else spark.read.parquet(sourceDir)
+    val r =
+      if (useDv) CdcTable.deleteKeysDV(spark, dir, source, keys)
+      else CdcTable.deleteKeys(spark, dir, source, keys)
+    Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
   }
 }
 

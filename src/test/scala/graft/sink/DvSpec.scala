@@ -116,6 +116,26 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("GRAFT DELETE KEYS SQL form: DV and rewrite routes") {
+    val dir = tmpDir("dv_sql")
+    CdcTable.append((1L to 10L).map(i => (i, s"k$i")).toDF("x", "_id"),
+      dir, partitionBy = Nil)
+    val k1 = tmpDir("dv_sql_k1")
+    Seq("k2", "k4").toDF("_id").write.mode("overwrite").parquet(k1)
+    val out = spark.sql(
+      s"GRAFT DELETE KEYS '$dir' FROM '$k1' ON _id USING DV").collect()
+    assert(out.head.getLong(0) == 2L, "rows_deleted")
+    assert(out.head.getLong(1) == 0L, "DV route rewrites nothing")
+    assert(rows(dir) == Seq(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L))
+    // rewrite route (no USING DV) from a graft-table source
+    val k2 = tmpDir("dv_sql_k2")
+    CdcTable.append(Seq("k7").toDF("_id"), k2, partitionBy = Nil)
+    val out2 = spark.sql(
+      s"GRAFT DELETE KEYS '$dir' FROM '$k2' ON _id").collect()
+    assert(out2.head.getLong(0) == 1L)
+    assert(rows(dir) == Seq(1L, 3L, 5L, 6L, 8L, 9L, 10L))
+  }
+
   test("DV commit is O(tombstones): manifest stays file-list-free") {
     val dir = tmpDir("dv_cost")
     CdcTable.append((1L to 100L).map(i => (i, s"k$i")).toDF("x", "_id"),
