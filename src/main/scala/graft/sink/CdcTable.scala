@@ -1398,21 +1398,48 @@ object CdcTable {
     * shows the rows; RESTORE treats sidecars as snapshot state. */
   def deleteKeysDV(spark: SparkSession, dir: String, keys: DataFrame,
       keyCols: Seq[String]): DeleteResult = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "deleteKeysDV needs at least one key column")
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
-    val snap = commits.last.commit
     val schema = commits.last.schema
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"deleteKeysDV key $k not in the table schema"))
-    val live = effective(commits)
     val srcKeys = keys
       .select(keyCols.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
-    // one DV-applied scan, tagged with (file, pos); pin it — the
-    // sidecar, the change rows and the count all read it
-    val matched = readCommits(spark, dir, live, tagPos = true)
-      .join(srcKeys, keyCols.toSeq, "left_semi")
+    commitDv(spark, dir, commits, "deleteKeysDV",
+      scan => scan.join(srcKeys, keyCols.toSeq, "left_semi"))
+  }
+
+  /** Merge-on-read PREDICATE delete — [[delete]]'s deletion-vector
+    * sibling (the [[deleteKeysDV]] machinery with a predicate instead
+    * of a key frame; SQL: `GRAFT DELETE FROM … WHERE … USING DV`).
+    * Same contracts: O(tombstones) commit, zero data rewrite, exact
+    * SQL NULL semantics (a NULL predicate row is not matched), CDF
+    * delete rows, folded by the next compaction. */
+  def deleteDV(spark: SparkSession, dir: String, predicate: String)
+      : DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    commitDv(spark, dir, commits, "deleteDV",
+      scan => scan.filter(coalesce(expr(predicate), lit(false))))
+  }
+
+  /** Shared DV-delete tail: one DV-applied position-tagged scan
+    * (re-deleting already-deleted rows records nothing twice),
+    * `matchOf` selects the victims, then ONE sidecar + change-file
+    * write and ONE fileless `"dv"` commit. */
+  private def commitDv(spark: SparkSession, dir: String,
+      commits: Seq[Commit], op: String,
+      matchOf: DataFrame => DataFrame): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = commits.last.commit
+    val schema = commits.last.schema
+    val live = effective(commits)
+    // pin the matched frame — the sidecar, the change rows and the
+    // count all read it
+    val matched = matchOf(readCommits(spark, dir, live, tagPos = true))
       .localCheckpoint()
     val n = matched.count()
     if (n == 0)
@@ -1428,7 +1455,7 @@ object CdcTable {
       changeFiles = cfiles, dvFiles = sidecar),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
-          s"deleteKeysDV at $dir built from commit $snap but the log " +
+          s"$op at $dir built from commit $snap but the log " +
             s"is now at ${cur.lastOption.map(_.commit).getOrElse(0L)} " +
             "— a write landed mid-delete; rerun (nothing was lost)"))
     DeleteResult(n, 0L, live.flatMap(_.files).size, c.commit)

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types._
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
   *   GRAFT SYNC PROFILE '<idx>' FROM '<table>' COLUMNS c1, … [K n] [BY FILE]
-  *   GRAFT DELETE FROM '<path>' WHERE <predicate>
+  *   GRAFT DELETE FROM '<path>' WHERE <predicate> [USING DV]
   *   GRAFT DELETE KEYS '<path>' FROM '<source>' ON k1, … [USING DV]
   *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
   *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE]
@@ -106,7 +106,8 @@ object GraftSqlParser {
       """(?:\s+(FORCE))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val deleteRe = Pattern.compile(
-    """\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""",
+    """\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)""" +
+      """(?:\s+USING\s+(DV))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val deleteKeysRe = Pattern.compile(
     """\s*GRAFT\s+DELETE\s+KEYS\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
@@ -250,7 +251,8 @@ object GraftSqlParser {
     }
     val delm = deleteRe.matcher(sqlText)
     if (delm.matches())
-      return Some(DeleteFromGraftTable(delm.group(1), delm.group(2)))
+      return Some(DeleteFromGraftTable(delm.group(1), delm.group(2),
+        useDv = delm.group(3) != null))
     val um = updateRe.matcher(sqlText)
     if (um.matches()) {
       // SET/WHERE and assignment splitting must respect quoted string
@@ -604,8 +606,8 @@ case class VacuumGraftTable(dir: String, retainHours: Option[Long],
   * targeted row deletion ([[CdcTable.delete]]): only files actually
   * containing matching rows rewrite; everything else republishes by
   * reference in one atomic optimistic-concurrency commit. */
-case class DeleteFromGraftTable(dir: String, predicate: String)
-    extends LeafRunnableCommand {
+case class DeleteFromGraftTable(dir: String, predicate: String,
+    useDv: Boolean = false) extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
   override val output: Seq[Attribute] = Seq(
@@ -613,7 +615,12 @@ case class DeleteFromGraftTable(dir: String, predicate: String)
     attr("files_carried", LongType), attr("commit", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val r = CdcTable.delete(spark, dir, predicate)
+    // USING DV: the merge-on-read deletion-vector route
+    // ([[CdcTable.deleteDV]]) — O(tombstones) sidecar commit, zero
+    // data rewrite, folded by the next OPTIMIZE/COMPACT
+    val r =
+      if (useDv) CdcTable.deleteDV(spark, dir, predicate)
+      else CdcTable.delete(spark, dir, predicate)
     Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
   }
 }

@@ -116,6 +116,40 @@ class DvSpec extends SparkSpec {
     }
   }
 
+  test("predicate deleteDV ≡ predicate delete; SQL USING DV route") {
+    def mk(prefix: String): String = {
+      val d = tmpDir(prefix)
+      CdcTable.append((1L to 30L).map(i => (i, s"k$i"))
+        .toDF("x", "_id"), d, partitionBy = Nil)
+      d
+    }
+    val dvDir = mk("dvp_a")
+    val rwDir = mk("dvp_b")
+    val r = spark.sql(
+      s"GRAFT DELETE FROM '$dvDir' WHERE x % 4 = 0 USING DV").collect()
+    assert(r.head.getLong(0) == 7L && r.head.getLong(1) == 0L,
+      "7 victims, zero files rewritten")
+    CdcTable.delete(spark, rwDir, "x % 4 = 0", partitionBy = Nil)
+    assert(rows(dvDir) == rows(rwDir))
+    // NULL predicate rows are not matched (SQL semantics), and the
+    // already-deleted rows never re-record
+    val again = CdcTable.deleteDV(spark, dvDir, "x % 4 = 0")
+    assert(again.rowsDeleted == 0L)
+  }
+
+  test("DV read path is scan-local: no shuffle, no join added") {
+    val dir = tmpDir("dv_plan")
+    CdcTable.append((1L to 20L).map(i => (i, s"k$i")).toDF("x", "_id"),
+      dir, partitionBy = Nil)
+    CdcTable.deleteKeysDV(spark, dir, Seq("k5").toDF("_id"), Seq("_id"))
+    val p = CdcTable.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the broadcast DV probe must not shuffle the scan:\n${p.take(600)}")
+    assert(!p.contains("Join"),
+      s"the broadcast DV probe is a filter, not a join:\n${p.take(600)}")
+  }
+
   test("GRAFT DELETE KEYS SQL form: DV and rewrite routes") {
     val dir = tmpDir("dv_sql")
     CdcTable.append((1L to 10L).map(i => (i, s"k$i")).toDF("x", "_id"),
