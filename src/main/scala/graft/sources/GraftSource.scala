@@ -68,6 +68,16 @@ class GraftSource extends RelationProvider
     parameters.get("metaTable") match {
       case Some(which) =>
         GraftMetaRelation(sqlContext, pathOf(parameters), which)
+      case None if parameters.get("readChangeFeed")
+          .exists(_.toBoolean) =>
+        // batch CDF read (Delta `readChangeFeed`/`table_changes`
+        // parity): inserts from append commits + the DML change rows
+        // (delete / update_preimage / update_postimage / insert),
+        // each tagged _change_type/_commit/_commit_ts. Commit bounds
+        // are INCLUSIVE, like Delta's startingVersion/endingVersion.
+        GraftChangesRelation(sqlContext, pathOf(parameters),
+          parameters.get("startingCommit").map(_.toLong).getOrElse(1L),
+          parameters.get("endingCommit").map(_.toLong))
       case None =>
         GraftRelation(sqlContext, pathOf(parameters),
           parameters.get("commitAsOf").map(_.toLong),
@@ -151,6 +161,27 @@ class GraftSource extends RelationProvider
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       parameters.getOrElse("startingCommit", "0"),
       parameters.get("maxCommitsPerTrigger").map(_.toLong))
+}
+
+/** Batch change-feed relation —
+  * `spark.read.format("graft").option("readChangeFeed", "true")
+  * .option("startingCommit", n)[.option("endingCommit", m)].load(dir)`
+  * (both bounds inclusive, Delta CDF parity). Declares the CURRENT
+  * table schema + change metadata; a range ending before a later
+  * rename/drop coerces through castTo (null-filling columns that did
+  * not exist then) — bound the range after schema changes, or use the
+  * programmatic [[CdcTable.readChanges]] for the range-exact schema. */
+final case class GraftChangesRelation(sqlContext: SQLContext,
+    dir: String, startingCommit: Long, endingCommit: Option[Long])
+    extends BaseRelation with TableScan {
+
+  override val schema: StructType = CdcTable.changesSchema(dir)
+
+  override def buildScan(): RDD[Row] =
+    graft.core.SchemaMerge.castTo(
+      CdcTable.readChanges(sqlContext.sparkSession, dir,
+        afterCommit = startingCommit - 1, upToCommit = endingCommit),
+      schema).rdd
 }
 
 /** Metadata tables (the Iceberg `.history` / `.files` pattern,

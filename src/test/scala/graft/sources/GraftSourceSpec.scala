@@ -37,6 +37,28 @@ class GraftSourceSpec extends SparkSpec {
       .count() == expected)
   }
 
+  test("readChangeFeed: batch CDF read through the format") {
+    val dir = tmpDir("gsrc_cdf")
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
+    CdcTable.delete(spark, dir, "x = 1")
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingCommit", "1")
+      .load(dir)
+      .select($"_id", $"x", $"_change_type", $"_commit")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(feed == Set(
+      ("a", 1L, "insert", 1L), ("b", 2L, "insert", 1L),
+      ("a", 1L, "delete", 2L)))
+    // inclusive bounds: only the DML commit
+    val dml = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingCommit", "2").option("endingCommit", "2")
+      .load(dir)
+      .select($"_change_type").as[String].collect().toSeq
+    assert(dml == Seq("delete"))
+  }
+
   test("pushed partition filters prune files at the manifest") {
     val dir = tmpDir("gsrcprune")
     seed(dir)
