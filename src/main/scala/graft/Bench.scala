@@ -380,7 +380,7 @@ object Bench {
         "q199_audio_fingerprint", "q201_funnel_streamed",
         "q192_weighted_sample", "q202_weighted_sample_incr",
         "q203_change_feed_dml", "q204_deletion_vectors",
-        "q206_lm_cdf_sync")
+        "q206_lm_cdf_sync", "q207_merge_on_read")
       val defs = SparkEntry.allDefs.filter(d => headline(d.name))
       def pass(): Map[String, Double] = defs.map { d =>
         val t0 = System.nanoTime()

@@ -654,6 +654,51 @@ object OpsQ {
       |    (SELECT COUNT(*) FROM documents WHERE n_chars % 9 = 0))
       |ORDER BY tag""".stripMargin
 
+  /** q207 — MERGE-ON-READ upsert ([[graft.sink.CdcTable.mergeDV]],
+    * Delta deletion-vector update-path parity): a keyed MERGE whose
+    * matched target positions die via a DV sidecar while the whole
+    * source appends as fresh files — ZERO existing files rewritten
+    * (the `zz_files_rewritten` row pins it) — and the merge-on-read
+    * result must hash-match the oracle's rewrite-merge answer. The
+    * change feed carries the same update_preimage/postimage/insert
+    * rows as the rewrite route (q203's shapes). */
+  def q207(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q207_tbl")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), tbl,
+      partitionBy = Nil)
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1), tbl,
+      partitionBy = Nil)
+    val r = CdcTable.mergeDV(s, tbl,
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") * 2),
+      Seq("doc_id"), partitionBy = Nil)
+    val state = CdcTable.read(s, tbl)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(concat(lit("lang:"), col("lang")).as("tag"),
+        col("n_docs"), col("sum_chars"))
+    val meta = s.range(1).select(
+      lit("zz_files_rewritten").as("tag"),
+      lit(r.filesRewritten).as("n_docs"),
+      lit(r.rowsDeleted).as("sum_chars")) // matched = replaced rows
+    state.unionByName(meta).orderBy(col("tag"))
+  }
+
+  val q207Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'lang:' || lang AS tag, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN n_chars * 2
+      |      ELSE n_chars END) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY lang
+      |  UNION ALL
+      |  SELECT 'zz_files_rewritten', CAST(0 AS BIGINT),
+      |    (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0))
+      |ORDER BY tag""".stripMargin
+
   /** q205 — GRAFT ALTER COLUMN TYPE
     * ([[graft.sink.CdcTable.widenColumn]], Delta type-widening
     * parity): explicit metadata-only int→bigint widening between two
@@ -704,6 +749,7 @@ object OpsQ {
     QueryDef("q203_change_feed_dml", q203, Some(q203Sql)),
     QueryDef("q204_deletion_vectors", q204, Some(q204Sql)),
     QueryDef("q205_alter_column_type", q205, Some(q205Sql)),
+    QueryDef("q207_merge_on_read", q207, Some(q207Sql)),
     QueryDef("q169_profile_files", q169, Some(q169Sql)),
     QueryDef("q178_profile_typed_files", q178, Some(q178Sql)),
     QueryDef("q150_bloom_point_lookup", q150, Some(q150Sql)),

@@ -1426,6 +1426,89 @@ object CdcTable {
       scan => scan.filter(coalesce(expr(predicate), lit(false))))
   }
 
+  /** Merge-on-read keyed MERGE — [[merge]]'s deletion-vector sibling
+    * (how Delta's own MoR update path works: matched positions die
+    * via a DV sidecar, the WHOLE source appends as fresh files,
+    * nothing rewrites). At 100 TB, a scattered upsert of a million
+    * keys costs the source write + one sidecar instead of rewriting
+    * every touched file's full bytes. One commit (action `"dv"`,
+    * which also keeps the append-derived insert leg of the change
+    * feed from double-emitting the fresh files — the commit's change
+    * files enumerate the logical changes exactly: update_preimage /
+    * update_postimage / insert). No schema evolution in MoR mode
+    * (widening forces a full rewrite by construction — use [[merge]]
+    * with `evolveSchema`). Same source contract as [[merge]]: keys
+    * unique per tuple. DVs accumulate until OPTIMIZE/compaction folds
+    * them; `txn` gives exactly-once replays. */
+  def mergeDV(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String],
+      partitionBy: Seq[String] = Seq("_ingestion_date"),
+      txn: Option[(String, Long)] = None): DeleteResult = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keys.nonEmpty, "mergeDV needs at least one key column")
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    txn.foreach { case (app, v) =>
+      val committed = commits.flatMap(_.txn)
+        .filter(_._1 == app).map(_._2)
+      if (committed.nonEmpty && committed.max >= v)
+        return DeleteResult(0L, 0L,
+          effective(commits).flatMap(_.files).size, commits.last.commit)
+    }
+    val snap = commits.last.commit
+    val schema = commits.last.schema
+    val extra = source.schema.fieldNames
+      .filterNot(schema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"mergeDV source has columns absent from the table " +
+        s"(${extra.mkString(", ")}); schema evolution needs the " +
+        "rewrite route (merge with evolveSchema = true)")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"mergeDV key $k not in the table schema"))
+    val live = effective(commits)
+    val src = source.localCheckpoint() // pin: feeds 4 branches
+    val srcKeys = src
+      .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
+    val matched = readCommits(spark, dir, live, tagPos = true)
+      .join(srcKeys, keys.toSeq, "left_semi")
+      .localCheckpoint()
+    val n = matched.count()
+    val matchedKeys = matched
+      .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
+    val srcCast = SchemaMerge.castTo(src, schema)
+    val ct = "_change_type"
+    val changeRows = matched.drop("_graft_file", "_graft_pos")
+      .withColumn(ct, lit("update_preimage"))
+      .unionByName(srcCast.join(matchedKeys, keys.toSeq, "left_semi")
+        .withColumn(ct, lit("update_postimage")))
+      .unionByName(srcCast.join(matchedKeys, keys.toSeq, "left_anti")
+        .withColumn(ct, lit("insert")))
+    // the WHOLE source lands as fresh files under the table's layout
+    val targetLayout = partitionBy.filter(schema.fieldNames.contains)
+    val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
+    val writer = srcCast.write.mode("overwrite")
+    (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
+     else writer).parquet(batchDir)
+    val fresh = stagedFiles(dir, batchDir)
+    val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
+    val sidecar =
+      if (n == 0) Nil
+      else stageAux(dir, "_dv",
+        matched.select(col("_graft_file"), col("_graft_pos")))
+    val cfiles = stageAux(dir, "_changes",
+      SchemaMerge.castTo(changeRows, changeSchemaOf(schema)))
+    val c = commit(dir, nn => Commit(nn, commits.last.schemaVersion,
+      "dv", System.currentTimeMillis(), txn, schema, fresh,
+      stats = freshStats, fileRows = freshRows,
+      changeFiles = cfiles, dvFiles = sidecar),
+      validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
+        throw new java.util.ConcurrentModificationException(
+          s"mergeDV at $dir built from commit $snap but the log is " +
+            s"now at ${cur.lastOption.map(_.commit).getOrElse(0L)} — " +
+            "a write landed mid-merge; rerun (nothing was lost)"))
+    DeleteResult(n, 0L, live.flatMap(_.files).size, c.commit)
+  }
+
   /** Shared DV-delete tail: one DV-applied position-tagged scan
     * (re-deleting already-deleted rows records nothing twice),
     * `matchOf` selects the victims, then ONE sidecar + change-file

@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
   *   GRAFT DELETE FROM '<path>' WHERE <predicate> [USING DV]
   *   GRAFT DELETE KEYS '<path>' FROM '<source>' ON k1, … [USING DV]
   *   GRAFT UPDATE '<path>' SET c = e[, …] WHERE <predicate>
-  *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE]
+  *   GRAFT MERGE '<target>' FROM '<source>' ON k1[, …] [EVOLVE] [USING DV]
   *   GRAFT RECONCILE '<target>' FROM '<source>' ON k [COMPARE c, …] [REPAIR]
   *
   * OPTIMIZE rewrites the current state as ONE atomic `replace` commit
@@ -118,7 +118,8 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val mergeRe = Pattern.compile(
     """\s*GRAFT\s+MERGE\s+'([^']+)'\s+FROM\s+'([^']+)'""" +
-      """\s+ON\s+([\w\s,`]+?)(?:\s+(EVOLVE))?\s*;?\s*""",
+      """\s+ON\s+([\w\s,`]+?)(?:\s+(EVOLVE))?""" +
+      """(?:\s+USING\s+(DV))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val historyRe = Pattern.compile(
     """\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""",
@@ -274,7 +275,7 @@ object GraftSqlParser {
       val ks = mm.group(3).split(",").toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
       return Some(MergeGraftTable(mm.group(1), mm.group(2), ks,
-        evolve = mm.group(4) != null))
+        evolve = mm.group(4) != null, useDv = mm.group(5) != null))
     }
     val hm = historyRe.matcher(sqlText)
     if (hm.matches()) return Some(HistoryGraftTable(hm.group(1)))
@@ -648,7 +649,8 @@ case class UpdateGraftTable(dir: String,
   * `<source>` has a commit log, else a parquet directory; `EVOLVE`
   * widens the table schema by new source columns (full rewrite). */
 case class MergeGraftTable(dir: String, sourceDir: String,
-    keys: Seq[String], evolve: Boolean = false)
+    keys: Seq[String], evolve: Boolean = false,
+    useDv: Boolean = false)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
@@ -657,12 +659,19 @@ case class MergeGraftTable(dir: String, sourceDir: String,
     attr("files_carried", LongType), attr("commit", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
+    require(!(evolve && useDv),
+      "EVOLVE needs the rewrite route (a widened schema forces a " +
+        "full rewrite by construction) — drop USING DV")
     val source =
       if (CdcTable.log(sourceDir).nonEmpty)
         CdcTable.read(spark, sourceDir)
       else spark.read.parquet(sourceDir)
-    val r = CdcTable.merge(spark, dir, source, keys,
-      evolveSchema = evolve)
+    // USING DV: merge-on-read (matched positions die via a DV
+    // sidecar, the source appends as fresh files, nothing rewrites)
+    val r =
+      if (useDv) CdcTable.mergeDV(spark, dir, source, keys)
+      else CdcTable.merge(spark, dir, source, keys,
+        evolveSchema = evolve)
     Seq(Row(r.rowsDeleted, r.filesRewritten, r.filesCarried, r.commit))
   }
 }

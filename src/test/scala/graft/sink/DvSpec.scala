@@ -170,6 +170,66 @@ class DvSpec extends SparkSpec {
     assert(rows(dir) == Seq(1L, 3L, 5L, 6L, 8L, 9L, 10L))
   }
 
+  test("mergeDV ≡ rewrite merge; no double-counted feed inserts") {
+    def mk(prefix: String): String = {
+      val d = tmpDir(prefix)
+      CdcTable.append((1L to 12L).map(i => (i * 10L, s"k$i"))
+        .toDF("x", "_id"), d, partitionBy = Nil)
+      d
+    }
+    val src = Seq((999L, "k3"), (888L, "k7"), (777L, "knew"))
+      .toDF("x", "_id")
+    val dvDir = mk("dvm_a")
+    val rwDir = mk("dvm_b")
+    val before = dataFiles(dvDir)
+    val r = CdcTable.mergeDV(spark, dvDir, src, Seq("_id"),
+      partitionBy = Nil)
+    assert(r.rowsDeleted == 2L && r.filesRewritten == 0L)
+    assert(before.subsetOf(dataFiles(dvDir)),
+      "MoR merge must not rewrite or remove any existing file")
+    CdcTable.merge(spark, rwDir, src, Seq("_id"), partitionBy = Nil)
+    assert(rows(dvDir) == rows(rwDir),
+      "merge-on-read must equal the rewrite-merge answer")
+    // feed: exactly the logical changes, inserts NOT double-counted
+    // through the fresh source files (the commit is not an append)
+    val feed = CdcTable.readChanges(spark, dvDir, afterCommit = 1L)
+      .select($"_id", $"x", $"_change_type")
+      .as[(String, Long, String)].collect().toSet
+    assert(feed == Set(
+      ("k3", 30L, "update_preimage"), ("k3", 999L, "update_postimage"),
+      ("k7", 70L, "update_preimage"), ("k7", 888L, "update_postimage"),
+      ("knew", 777L, "insert")))
+    // a later compaction folds the DVs physically, same answer
+    CdcTable.replaceWith(spark, dvDir,
+      CdcTable.read(spark, dvDir).coalesce(1), partitionBy = Nil)
+    assert(rows(dvDir) == rows(rwDir))
+    // txn replay no-ops
+    val t = CdcTable.mergeDV(spark, rwDir, src, Seq("_id"),
+      partitionBy = Nil, txn = Some(("mdv", 1L)))
+    assert(t.rowsDeleted == 3L) // k3, k7 and the now-present knew
+    val t2 = CdcTable.mergeDV(spark, rwDir, src, Seq("_id"),
+      partitionBy = Nil, txn = Some(("mdv", 1L)))
+    assert(t2.rowsDeleted == 0L && t2.commit == t.commit)
+  }
+
+  test("GRAFT MERGE USING DV SQL form; EVOLVE + DV rejects") {
+    val dir = tmpDir("dvm_sql")
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir,
+      partitionBy = Nil)
+    val srcDir = tmpDir("dvm_sql_src")
+    Seq((20L, "b"), (30L, "c")).toDF("x", "_id")
+      .write.mode("overwrite").parquet(srcDir)
+    val out = spark.sql(
+      s"GRAFT MERGE '$dir' FROM '$srcDir' ON _id USING DV").collect()
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 0L)
+    assert(rows(dir) == Seq(1L, 20L, 30L))
+    intercept[IllegalArgumentException] {
+      spark.sql(
+        s"GRAFT MERGE '$dir' FROM '$srcDir' ON _id EVOLVE USING DV")
+        .collect()
+    }
+  }
+
   test("DV commit is O(tombstones): manifest stays file-list-free") {
     val dir = tmpDir("dv_cost")
     CdcTable.append((1L to 100L).map(i => (i, s"k$i")).toDF("x", "_id"),
