@@ -84,4 +84,60 @@ object ChangeAgg {
   /** Serve the maintained aggregate. */
   def changeAggRead(spark: SparkSession, stateDir: String): DataFrame =
     CdcTable.read(spark, stateDir)
+
+  /** Streaming form: tail the table's change feed
+    * (`readStream.format("graft")` — commit-id offsets, exactly-once
+    * across restarts via the streaming checkpoint) and fold each
+    * micro-batch's signed delta into the state table, keyed by the
+    * batch id (a replayed batch no-ops). The per-batch work is
+    * O(batch change rows) aggregated map-side to group cardinality —
+    * the state never rescans history. Same exactness as
+    * [[changeAggSync]]: additive folds commute, so the state equals
+    * recreate-from-current-state after every processed batch. */
+  def changeAggStreamToTable(spark: SparkSession, tableDir: String,
+      stateDir: String, groupCols: Seq[String], sumCols: Seq[String],
+      checkpointDir: String, appId: String = "graft-changeagg")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft").load(tableDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        foldBatch(batch, stateDir, groupCols, sumCols, (appId, id))
+      }
+      .start()
+
+  /** Fold ONE micro-batch of change rows into the state (the shared
+    * tail of the streaming glue; exactly-once via `txn`). */
+  private def foldBatch(batch: DataFrame, stateDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      txn: (String, Long)): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch
+      .withColumn("__sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(sum(col("__sign")).as("n_rows"),
+        sumCols.map(c =>
+          sum(col(s"`$c`") * col("__sign")).as(s"sum_$c")): _*)
+    val stLog = CdcTable.log(stateDir)
+    val merged =
+      if (stLog.isEmpty) delta
+      else CdcTable.read(spark, stateDir)
+        .select(delta.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        .unionByName(delta)
+        .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sumCols.map(c =>
+            sum(col(s"`sum_$c`")).as(s"sum_$c")): _*)
+    val state = merged.filter(col("n_rows") =!= 0L)
+    if (stLog.isEmpty)
+      CdcTable.append(state, stateDir, partitionBy = Nil,
+        txn = Some(txn))
+    else
+      CdcTable.replaceWith(spark, stateDir, state, partitionBy = Nil,
+        txn = Some(txn))
+    ()
+  }
 }

@@ -157,6 +157,48 @@ class CdfSpec extends SparkSpec {
     assert(before != after)
   }
 
+  test("changeAggStreamToTable: streamed CDF folds survive restart " +
+      "and track DML exactly") {
+    import graft.ext.ChangeAgg
+    val dir = tmpDir("cdf_stream_tbl")
+    val st = tmpDir("cdf_stream_st")
+    val ckpt = tmpDir("cdf_stream_ck")
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", i)).toDF("_id", "g", "v")
+    CdcTable.append(docs.filter($"_id" <= 20), dir, partitionBy = Nil)
+    def start() = ChangeAgg.changeAggStreamToTable(spark, dir, st,
+      Seq("g"), Seq("v"), ckpt)
+    def state(): Map[String, (Long, Long)] =
+      ChangeAgg.changeAggRead(spark, st)
+        .select($"g", $"n_rows", $"sum_v")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    def truth(): Map[String, (Long, Long)] =
+      CdcTable.read(spark, dir).groupBy($"g")
+        .agg(count(lit(1)), sum($"v"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(state() == truth())
+      CdcTable.delete(spark, dir, "v % 5 = 0", partitionBy = Nil)
+      q.processAllAvailable()
+      assert(state() == truth(), "deletes fold negatively")
+    } finally q.stop()
+    // DML while the stream is DOWN, then restart from the checkpoint
+    CdcTable.append(docs.filter($"_id" > 20), dir, partitionBy = Nil)
+    CdcTable.merge(spark, dir,
+      Seq((7L, "odd", 700L)).toDF("_id", "g", "v"), Seq("_id"),
+      partitionBy = Nil)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(state() == truth(),
+        "restart resumes at the cursor: no replays, no gaps")
+    } finally q2.stop()
+  }
+
   test("checkpoint-stubbed DML commits hydrate their change files") {
     val dir = tmpDir("cdf_stub")
     CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
