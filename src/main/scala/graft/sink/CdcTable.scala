@@ -92,7 +92,15 @@ object CdcTable {
         * files. Applied at read by [[readCommits]]; folded away by any
         * full rewrite (compaction). A `replace` commit carries the
         * union of prior live sidecars forward. */
-      dvFiles: Seq[String] = Nil)
+      dvFiles: Seq[String] = Nil,
+      /** FULL-FILE delete shortcut (Delta CDF's remove-file
+        * optimization): data files EVERY live row of which this DML
+        * commit deleted. They drop from the manifest without any
+        * change-file write — a mass `DELETE WHERE lang = 'xx'` must
+        * not re-write preimages of whole partitions — and
+        * [[readChanges]] derives their `delete` rows from the files
+        * themselves (on disk until vacuum; the usual feed horizon). */
+      removedFiles: Seq[String] = Nil)
 
   /** Resolve a manifest file entry to a readable path. Entries are
     * normally dir-RELATIVE (`data/batch-…`) so tables relocate freely;
@@ -137,7 +145,8 @@ object CdcTable {
           s"bloom=${FileStats.renderBloom(rel, col, bits)}" }
       } ++
       c.changeFiles.map(f => s"cfile=$f") ++
-      c.dvFiles.map(f => s"dvfile=$f")
+      c.dvFiles.map(f => s"dvfile=$f") ++
+      c.removedFiles.map(f => s"rfile=$f")
     head.mkString("\n")
   }
 
@@ -173,7 +182,8 @@ object CdcTable {
         .map { case (rel, entries) =>
           rel -> entries.map(e => e._2 -> e._3).toMap },
       changeFiles = kv.collect { case ("cfile", f) => f },
-      dvFiles = kv.collect { case ("dvfile", f) => f })
+      dvFiles = kv.collect { case ("dvfile", f) => f },
+      removedFiles = kv.collect { case ("rfile", f) => f })
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -194,7 +204,8 @@ object CdcTable {
       if (eIdx >= 0 && i < eIdx)
         c.copy(files = Nil, stub = true, stats = Map.empty,
           fileRows = Map.empty, blooms = Map.empty,
-          changeFiles = Nil, dvFiles = Nil) // hydrate from raw
+          changeFiles = Nil, dvFiles = Nil,
+          removedFiles = Nil) // hydrate from raw
       else c
     }
     Fs.writeString(
@@ -1017,13 +1028,49 @@ object CdcTable {
         .select(withMeta.fieldNames.map(n =>
           col(s"`$n`")).toIndexedSeq: _*))
     }
-    (insertLeg, dmlLeg) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), withMeta)
+    // REMOVED-FILE leg (the full-file delete shortcut's read side):
+    // a mass delete records fully-dead files as `removedFiles`
+    // instead of copying their rows into change files — their
+    // `delete` rows derive from the files THEMSELVES (on disk until
+    // vacuum; past that the feed fails loudly, the usual horizon),
+    // read under their original generations via the owners' manifest
+    // entries, with the rename chain and pre-delete DVs applied.
+    val withRf = range.filter(_.removedFiles.nonEmpty)
+    val rfLeg = if (withRf.isEmpty) None else {
+      // soft-hydrate the whole log once (stubs recover their file
+      // lists from the raw commit files where those still exist)
+      val hydrated = commits.map(c =>
+        if (!c.stub) c
+        else Fs.readString(commitPath(dir, c.commit)).map(parse)
+          .getOrElse(c))
+      val legs = withRf.map { c =>
+        val rfSet = c.removedFiles.map(fileKey).toSet
+        val owners = hydrated
+          .map(o => o.copy(files =
+            if (o.commit < c.commit) o.files.filter(f => rfSet(fileKey(f)))
+            else Nil))
+          .filter(o => o.files.nonEmpty ||
+            o.rename.nonEmpty || // chain markers (any position) ride
+            (o.dvFiles.nonEmpty && o.commit < c.commit)) // pre-delete
+        val found = owners.flatMap(_.files).map(fileKey).toSet
+        require(rfSet.subsetOf(found),
+          s"change feed at $dir: commit ${c.commit} removed " +
+            s"${(rfSet -- found).size} file(s) whose owning manifest " +
+            "history has been vacuumed — the retention window is the " +
+            "feed horizon; tail within it")
+        SchemaMerge.castTo(readCommits(spark, dir, owners), target)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit", lit(c.commit))
+          .withColumn("_commit_ts", lit(c.ts))
+          .select(withMeta.fieldNames.map(n =>
+            col(s"`$n`")).toIndexedSeq: _*)
+      }
+      Some(legs.reduce(_ unionByName _))
     }
+    Seq(insertLeg, dmlLeg, rfLeg).flatten
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), withMeta))
   }
 
   /** Percent-decode ONLY `%XX` escapes of a URI path component.
@@ -1260,13 +1307,13 @@ object CdcTable {
     * carrying them by reference would misread them — the delete
     * doubles as generation/layout compaction on such tables.
     *
-    * @note CHANGE FEED: DML lands as a `replace` commit, and the
-    *       commit-tail change feed ([[readChanges]], the streaming
-    *       source) intentionally emits no rows for replaces — so
-    *       downstream consumers do NOT see delete/update events
-    *       (Delta behaves the same without Change Data Feed).
-    *       Pipelines needing DML visibility should consume the CDC
-    *       event log (soft-delete events) instead of DML'd tables. */
+    * @note CHANGE FEED (round 16, Delta CDF parity): the commit
+    *       persists its victims as `delete` change rows — partial
+    *       files' rows into change files (O(matched)), FULLY-dead
+    *       files by reference (`removedFiles`, the full-file
+    *       shortcut: a mass delete of whole partitions costs
+    *       manifest writes, not a corpus-scale preimage copy) — and
+    *       [[readChanges]] / the streaming source serve both. */
   def delete(spark: SparkSession, dir: String, predicate: String,
       partitionBy: Seq[String] = Seq("_ingestion_date")): DeleteResult =
     rewriteMatching(spark, dir, predicate, "delete", partitionBy,
@@ -1274,7 +1321,8 @@ object CdcTable {
         import org.apache.spark.sql.functions.{coalesce, lit}
         rows.filter(coalesce(pred, lit(false)))
           .withColumn("_change_type", lit("delete"))
-      }) {
+      },
+      fullFileShortcut = true) { // pure removal: dead files drop
       (rows, pred) =>
         // SQL delete semantics: a NULL predicate means "not matched" —
         // the row must SURVIVE (bare !pred is NULL for it and the
@@ -1609,18 +1657,34 @@ object CdcTable {
     val touched = touchedRows.map(_.getString(0)).toSet
     val rowsMatched = touchedRows.map(_.getLong(1)).sum
 
+    // FULL-FILE shortcut for pure removals (keyed DELETE, not MERGE —
+    // see rewriteMatching): fully-matched files drop from the
+    // manifest with no rewrite and no preimage change-file write; the
+    // feed derives their delete rows from the files themselves
+    val matchedByFile = touchedRows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frowsByFile = live.flatMap(_.fileRows)
+      .map { case (k, v) => fileKey(k) -> v }.toMap
+    val fullyDead: Set[String] =
+      if (insert || widened) Set.empty
+      else matchedByFile.collect {
+        case (f, n) if frowsByFile.get(f).contains(n) => f }.toSet
+
     val targetLayout = partitionBy.filter(schema.fieldNames.contains)
+    def dropped(f: String): Boolean = fullyDead(fileKey(f))
     def mustRewrite(c: Commit, f: String): Boolean =
-      widened || touched(fileKey(f)) || c.schemaVersion != currentSv ||
-        partColsFromPath(f) != targetLayout
+      !dropped(f) && (widened || touched(fileKey(f)) ||
+        c.schemaVersion != currentSv ||
+        partColsFromPath(f) != targetLayout)
     val rewriteCommits = live
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
       // rename markers ride along (no files): the rewrite subset's
       // older generations must still read under the renamed schema
       .filter(c => c.files.nonEmpty || c.rename.nonEmpty ||
         c.dvFiles.nonEmpty) // DV sidecars must gate the rewrite scan
+    val removed = live.flatMap(c => c.files.filter(dropped)).distinct
     val carried = live.flatMap(c =>
-      c.files.filterNot(f => mustRewrite(c, f)))
+      c.files.filterNot(f => dropped(f) || mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
     val carriedRows = live.flatMap(_.fileRows.view
@@ -1628,7 +1692,8 @@ object CdcTable {
 
     // a keyed delete matching nothing (and needing no generation or
     // layout compaction) must be a no-op commit-wise, like delete()
-    if (!insert && rewriteCommits.forall(_.files.isEmpty))
+    if (!insert && rewriteCommits.forall(_.files.isEmpty) &&
+        removed.isEmpty)
       return DeleteResult(0L, 0L, carried.size, snap)
 
     // an insert-only merge (no keys matched, single generation,
@@ -1648,11 +1713,18 @@ object CdcTable {
     val outRows =
       if (insert) survivors.unionByName(srcCast)
       else survivors
-    val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
-    val writer = outRows.write.mode("overwrite")
-    (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
-     else writer).parquet(batchDir)
-    val fresh = stagedFiles(dir, batchDir)
+    // a purely full-file keyed delete leaves nothing to rewrite:
+    // skip the (empty) staging write entirely
+    val fresh =
+      if (!insert && rewriteCommits.forall(_.files.isEmpty))
+        Seq.empty[String]
+      else {
+        val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
+        val writer = outRows.write.mode("overwrite")
+        (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
+         else writer).parquet(batchDir)
+        stagedFiles(dir, batchDir)
+      }
     val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
 
     // CDF change rows (Delta CDF parity): matched target rows are the
@@ -1684,7 +1756,8 @@ object CdcTable {
       fileRows = carriedRows ++ freshRows,
       changeFiles = cfiles,
       dvFiles = if (carried.isEmpty) Nil
-        else live.flatMap(_.dvFiles).distinct),
+        else live.flatMap(_.dvFiles).distinct,
+      removedFiles = removed),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
           s"$op at $dir built from commit $snap but the log is now " +
@@ -1703,7 +1776,8 @@ object CdcTable {
     * O(matched rows), never O(table). */
   private def rewriteMatching(spark: SparkSession, dir: String,
       predicate: String, op: String, partitionBy: Seq[String],
-      changes: (DataFrame, org.apache.spark.sql.Column) => DataFrame)(
+      changes: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
+      fullFileShortcut: Boolean = false)(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
       : DeleteResult = {
     import org.apache.spark.sql.functions.{col, count, expr,
@@ -1727,18 +1801,41 @@ object CdcTable {
     if (touched.isEmpty)
       return DeleteResult(0L, 0L, live.flatMap(_.files).size, snap)
 
+    // FULL-FILE shortcut (pure-removal ops only — Delta CDF's
+    // remove-file optimization): a touched file whose matched-row
+    // count equals its manifest row count has NO survivors — it
+    // neither rewrites nor carries nor writes preimage change rows;
+    // it drops from the manifest as a `removedFiles` entry and the
+    // feed derives its delete rows from the file itself. Files
+    // without `frows` metadata (or holding DV'd positions — their
+    // matched count is below the raw frows) stay on the partial
+    // path: conservative, never wrong. A mass DELETE of whole
+    // partitions thereby costs manifest writes, not a corpus-scale
+    // preimage copy.
+    val matchedByFile = touchedRows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frowsByFile = live.flatMap(_.fileRows)
+      .map { case (k, v) => fileKey(k) -> v }.toMap
+    val fullyDead: Set[String] =
+      if (!fullFileShortcut) Set.empty
+      else matchedByFile.collect {
+        case (f, n) if frowsByFile.get(f).contains(n) => f }.toSet
+
     val targetLayout = partitionBy.filter(schema.fieldNames.contains)
+    def dropped(f: String): Boolean = fullyDead(fileKey(f))
     def mustRewrite(c: Commit, f: String): Boolean =
-      touched(fileKey(f)) || c.schemaVersion != currentSv ||
-        partColsFromPath(f) != targetLayout
+      !dropped(f) && (touched(fileKey(f)) ||
+        c.schemaVersion != currentSv ||
+        partColsFromPath(f) != targetLayout)
     val rewriteCommits = live
       .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
       // rename markers ride along (no files): the rewrite subset's
       // older generations must still read under the renamed schema
       .filter(c => c.files.nonEmpty || c.rename.nonEmpty ||
         c.dvFiles.nonEmpty) // DV sidecars must gate the rewrite scan
+    val removed = live.flatMap(c => c.files.filter(dropped)).distinct
     val carried = live.flatMap(c =>
-      c.files.filterNot(f => mustRewrite(c, f)))
+      c.files.filterNot(f => dropped(f) || mustRewrite(c, f)))
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
     val carriedRows = live.flatMap(_.fileRows.view
@@ -1749,19 +1846,29 @@ object CdcTable {
     // last commit, and when only older-generation files need rewriting
     // (e.g. DELETE WHERE newcol IS NULL matching only pre-evolution
     // files) a predicate referencing a newer-generation column would
-    // otherwise fail to resolve on a legitimate operation
-    val rewriteRows = SchemaMerge.castTo(
-      readCommits(spark, dir, rewriteCommits), schema)
-    val outRows = transform(rewriteRows, pred)
-    val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
-    val writer = SchemaMerge.castTo(outRows, schema)
-      .write.mode("overwrite")
-    (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
-     else writer).parquet(batchDir)
-    val fresh = stagedFiles(dir, batchDir)
+    // otherwise fail to resolve on a legitimate operation. A purely
+    // full-file delete leaves nothing to rewrite at all.
+    val rewriteRows =
+      if (rewriteCommits.forall(_.files.isEmpty))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else SchemaMerge.castTo(
+        readCommits(spark, dir, rewriteCommits), schema)
+    val fresh =
+      if (rewriteCommits.forall(_.files.isEmpty)) Seq.empty[String]
+      else {
+        val outRows = transform(rewriteRows, pred)
+        val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
+        val writer = SchemaMerge.castTo(outRows, schema)
+          .write.mode("overwrite")
+        (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
+         else writer).parquet(batchDir)
+        stagedFiles(dir, batchDir)
+      }
     val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
     // CDF change rows (one extra matched-rows-only scan of the
-    // touched files — never the carried bulk)
+    // PARTIALLY-touched files — never the carried bulk, and never
+    // the fully-dead files the shortcut routed to removedFiles)
     val cfiles = stageAux(dir, "_changes", SchemaMerge.castTo(
       changes(rewriteRows, pred), changeSchemaOf(schema)))
 
@@ -1771,7 +1878,8 @@ object CdcTable {
       fileRows = carriedRows ++ freshRows,
       changeFiles = cfiles,
       dvFiles = if (carried.isEmpty) Nil
-        else live.flatMap(_.dvFiles).distinct),
+        else live.flatMap(_.dvFiles).distinct,
+      removedFiles = removed),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
           s"$op at $dir built from commit $snap but the log is now " +

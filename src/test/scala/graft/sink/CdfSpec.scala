@@ -199,6 +199,75 @@ class CdfSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("full-file delete shortcut: dead files drop by reference, " +
+      "no preimage copy, the feed stays exact") {
+    val dir = tmpDir("cdf_ff")
+    // file 1: every row matches the delete (fully dead)
+    CdcTable.append((1L to 8L).map(i => (i, "dead", s"k$i"))
+      .toDF("x", "g", "_id").coalesce(1), dir, partitionBy = Nil)
+    // file 2: half matches (partial)
+    CdcTable.append((9L to 16L).map(i =>
+      (i, if (i % 2 == 0) "dead" else "live", s"k$i"))
+      .toDF("x", "g", "_id").coalesce(1), dir, partitionBy = Nil)
+    val r = CdcTable.delete(spark, dir, "g = 'dead'", partitionBy = Nil)
+    assert(r.rowsDeleted == 12L)
+    val last = CdcTable.log(dir).last
+    assert(last.removedFiles.size == 1,
+      s"the fully-dead file drops by reference: ${last.removedFiles}")
+    // the change FILES carry only the partial file's victims
+    val copied = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        CdcTable.log(dir).last.schema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)))
+      .parquet(last.changeFiles.map(f => s"$dir/$f"): _*)
+    assert(copied.count() == 4L,
+      "preimages are copied for PARTIAL files only")
+    // …but the feed serves ALL 12 delete rows (8 via the removed
+    // file itself + 4 via change files)
+    val dels = CdcTable.readChanges(spark, dir, afterCommit = 2L)
+      .filter($"_change_type" === "delete")
+      .select("x").as[Long].collect().sorted.toSeq
+    assert(dels == ((1L to 8L) ++ (10L to 16L by 2)).sorted)
+    assert(CdcTable.read(spark, dir).select("x").as[Long]
+      .collect().sorted.toSeq == Seq(9L, 11L, 13L, 15L))
+    // and a CDF consumer folding the feed stays ≡ current state
+    val st = tmpDir("cdf_ff_st")
+    graft.ext.ChangeAgg.changeAggSync(spark, dir, st, Seq("g"),
+      Seq("x"))
+    assert(graft.ext.ChangeAgg.changeAggRead(spark, st)
+      .select($"g", $"n_rows").as[(String, Long)].collect().toSet ==
+      Set(("live", 4L)))
+  }
+
+  test("keyed full-file shortcut; DV'd files stay on the partial path") {
+    val dir = tmpDir("cdf_ffk")
+    CdcTable.append((1L to 6L).map(i => (i, s"k$i"))
+      .toDF("x", "_id").coalesce(1), dir, partitionBy = Nil)
+    // a DV tombstone in the file: its matched count can never equal
+    // the raw frows, so the shortcut must NOT claim it
+    CdcTable.deleteKeysDV(spark, dir, Seq("k2").toDF("_id"), Seq("_id"))
+    val r = CdcTable.deleteKeys(spark, dir,
+      (1L to 6L).map(i => s"k$i").toDF("_id"), Seq("_id"))
+    assert(r.rowsDeleted == 5L)
+    assert(CdcTable.log(dir).last.removedFiles.isEmpty,
+      "a DV-holding file is conservatively partial")
+    assert(CdcTable.read(spark, dir).count() == 0L)
+    // pure full-file keyed delete on a clean table
+    val dir2 = tmpDir("cdf_ffk2")
+    CdcTable.append((1L to 6L).map(i => (i, s"k$i"))
+      .toDF("x", "_id").coalesce(1), dir2, partitionBy = Nil)
+    val r2 = CdcTable.deleteKeys(spark, dir2,
+      (1L to 6L).map(i => s"k$i").toDF("_id"), Seq("_id"))
+    assert(r2.rowsDeleted == 6L && r2.filesRewritten == 0L,
+      "a purely full-file keyed delete writes no data files")
+    assert(CdcTable.log(dir2).last.removedFiles.nonEmpty)
+    assert(CdcTable.read(spark, dir2).count() == 0L)
+    val dels = CdcTable.readChanges(spark, dir2, afterCommit = 1L)
+      .filter($"_change_type" === "delete").count()
+    assert(dels == 6L, "removed-file rows serve as delete rows")
+  }
+
   test("checkpoint-stubbed DML commits hydrate their change files") {
     val dir = tmpDir("cdf_stub")
     CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
@@ -218,7 +287,11 @@ class CdfSpec extends SparkSpec {
 
   test("vacuum prunes orphaned change files, keeps referenced ones") {
     val dir = tmpDir("cdf_vac")
-    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id"), dir)
+    // ONE file so the delete is partial (change files written; the
+    // full-file shortcut would route a lone-row file to removedFiles,
+    // whose feed rows legitimately die with a retain-0 vacuum)
+    CdcTable.append(Seq((1L, "a"), (2L, "b")).toDF("x", "_id")
+      .coalesce(1), dir)
     CdcTable.delete(spark, dir, "x = 1")
     val referenced = graft.core.Fs.walkFiles(s"$dir/_changes")
       .map(_._1.toString).filter(_.endsWith(".parquet")).toSet

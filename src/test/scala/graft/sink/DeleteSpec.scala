@@ -16,7 +16,11 @@ class DeleteSpec extends SparkSpec {
 
     val r = CdcTable.delete(spark, dir, "x = 10")
     assert(r.rowsDeleted == 1L)
-    assert(r.filesRewritten >= 1L)
+    // x = 10 may live alone in its part file, in which case the
+    // round-16 full-file shortcut DROPS it by reference (zero
+    // rewrites — strictly better); a shared file rewrites as before
+    assert(r.filesRewritten >= 1L ||
+      CdcTable.log(dir).last.removedFiles.nonEmpty)
     // files from the two untouched appends are carried BY REFERENCE
     val after = CdcTable.log(dir).last.files.toSet
     val carriedOver = before.intersect(after)
