@@ -745,7 +745,92 @@ object OpsQ {
       |  FROM documents WHERE doc_id % 2 = 0)
       |ORDER BY tag""".stripMargin
 
+  /** q208 — CHECK CONSTRAINTS ([[graft.sink.CdcTable.addConstraint]],
+    * Delta `ALTER TABLE … ADD CONSTRAINT` parity; the reference's DQ
+    * rules spec.md:261-295 as WRITER-side invariants): a constraint
+    * added over existing rows (NULLs pass — violation iff FALSE, SQL
+    * CHECK semantics, matching the DuckDB oracle's own CHECK), a
+    * violating ADD / append / UPDATE all rejected loudly with zero
+    * table mutation, a valid MERGE passing under enforcement, and
+    * DROP lifting it. Enforcement is SINGLE-PASS in-write (a
+    * conditional raise_error folded into the write projection — a
+    * 100 TB append pays no second scan). The oracle replays the
+    * accepted operations only; the `*_rejected = 1` gate rows fail
+    * the hash if any rejected operation mutated the table or any
+    * rejection failed to fire. */
+  def q208(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+          .when(col("doc_id") % 5 === 0, (-col("n_chars") - 1).cast("long"))
+          .otherwise(col("n_chars").cast("long")).as("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q208_tbl")
+    val valid = docs.filter(col("n_chars").isNull || col("n_chars") >= 0)
+    val invalid = docs.filter(col("n_chars") < 0)
+    CdcTable.append(valid, tbl, partitionBy = Nil)
+    s.sql(s"GRAFT ADD CONSTRAINT '$tbl' chars_ok CHECK (n_chars >= 0)")
+      .collect()
+    // NULL rows make `n_chars IS NOT NULL` FALSE → this ADD rejects
+    val addRejected = scala.util.Try(s.sql(
+      s"GRAFT ADD CONSTRAINT '$tbl' no_nulls CHECK (n_chars IS NOT NULL)")
+      .collect()).isFailure
+    val appendRejected = scala.util.Try(
+      CdcTable.append(invalid, tbl, partitionBy = Nil)).isFailure
+    val updateRejected = scala.util.Try(s.sql(
+      s"GRAFT UPDATE '$tbl' SET n_chars = -1 WHERE doc_id % 2 = 0")
+      .collect()).isFailure
+    CdcTable.merge(s, tbl,
+      valid.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000L)),
+      Seq("doc_id"), partitionBy = Nil)
+    s.sql(s"GRAFT DROP CONSTRAINT '$tbl' chars_ok").collect()
+    CdcTable.append(invalid, tbl, partitionBy = Nil)
+    val gates = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("add_rejected",
+        if (addRejected) 1L else 0L),
+      org.apache.spark.sql.Row("append_rejected",
+        if (appendRejected) 1L else 0L),
+      org.apache.spark.sql.Row("update_rejected",
+        if (updateRejected) 1L else 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+      .withColumn("sum_chars", lit(null).cast("long"))
+    CdcTable.read(s, tbl)
+      .groupBy(concat(lit("lang_"), col("lang")).as("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .unionByName(gates)
+      .orderBy(col("tag"))
+  }
+
+  val q208Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL
+      |         WHEN doc_id % 5 = 0 THEN -n_chars - 1
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents),
+      |final AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN (n_chars IS NULL OR n_chars >= 0)
+      |              AND doc_id % 3 = 0 AND n_chars IS NOT NULL
+      |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM base)
+      |SELECT 'lang_' || lang AS tag, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM final GROUP BY lang
+      |UNION ALL
+      |SELECT t.tag, 1, NULL
+      |FROM (VALUES ('add_rejected'), ('append_rejected'),
+      |  ('update_rejected')) AS t(tag)
+      |ORDER BY tag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q208_check_constraints", q208, Some(q208Sql)),
     QueryDef("q203_change_feed_dml", q203, Some(q203Sql)),
     QueryDef("q204_deletion_vectors", q204, Some(q204Sql)),
     QueryDef("q205_alter_column_type", q205, Some(q205Sql)),

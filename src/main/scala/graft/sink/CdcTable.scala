@@ -100,7 +100,25 @@ object CdcTable {
         * not re-write preimages of whole partitions — and
         * [[readChanges]] derives their `delete` rows from the files
         * themselves (on disk until vacuum; the usual feed horizon). */
-      removedFiles: Seq[String] = Nil)
+      removedFiles: Seq[String] = Nil,
+      /** CHECK-constraint ops this commit applies (Delta
+        * `ALTER TABLE … ADD CONSTRAINT` parity). The current
+        * constraint set is the ordered fold of these ops over the
+        * FULL log ([[constraintsOf]]) — replace commits do not
+        * re-state constraints, exactly like the rename chain. Normal
+        * ops ride on dedicated fileless `action="constraint"`
+        * commits; clone/restore re-state or diff the set on their
+        * first commit so derived tables inherit it. */
+      constraintOps: Seq[ConsOp] = Nil)
+
+  /** One CHECK-constraint op: `add` introduces `name` with the SQL
+    * boolean `expr` (violation iff the expression is FALSE — NULL
+    * passes, standard SQL CHECK semantics); `add=false` drops `name`.
+    * `cols` are the table columns the expression references, captured
+    * at ADD time so RENAME/DROP COLUMN can reject exactly (no
+    * re-parsing of the expression on the metadata-only paths). */
+  final case class ConsOp(add: Boolean, name: String, expr: String,
+      cols: Seq[String])
 
   /** Resolve a manifest file entry to a readable path. Entries are
     * normally dir-RELATIVE (`data/batch-…`) so tables relocate freely;
@@ -146,9 +164,33 @@ object CdcTable {
       } ++
       c.changeFiles.map(f => s"cfile=$f") ++
       c.dvFiles.map(f => s"dvfile=$f") ++
-      c.removedFiles.map(f => s"rfile=$f")
+      c.removedFiles.map(f => s"rfile=$f") ++
+      c.constraintOps.map(renderCons)
     head.mkString("\n")
   }
+
+  // Constraint-op wire form. Names, expressions and column names are
+  // base64ed individually: a CHECK expression legitimately contains
+  // '=', ':' and newlines, any of which would tear the line format.
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+  private def renderCons(op: ConsOp): String =
+    if (op.add)
+      s"cons=add:${b64(op.name)}:${b64(op.expr)}:" +
+        op.cols.map(b64).mkString(",")
+    else s"cons=drop:${b64(op.name)}"
+  private def parseCons(payload: String): ConsOp =
+    payload.split(":", -1) match {
+      case Array("drop", n) => ConsOp(add = false, unb64(n), "", Nil)
+      case Array("add", n, e, cs) => ConsOp(add = true, unb64(n),
+        unb64(e), cs.split(",").toIndexedSeq.filter(_.nonEmpty).map(unb64))
+      case _ => throw new IllegalArgumentException(
+        s"unparseable constraint op: $payload")
+    }
 
   private def parse(content: String): Commit = {
     val kv = content.linesIterator.toSeq.flatMap { line =>
@@ -183,7 +225,8 @@ object CdcTable {
           rel -> entries.map(e => e._2 -> e._3).toMap },
       changeFiles = kv.collect { case ("cfile", f) => f },
       dvFiles = kv.collect { case ("dvfile", f) => f },
-      removedFiles = kv.collect { case ("rfile", f) => f })
+      removedFiles = kv.collect { case ("rfile", f) => f },
+      constraintOps = kv.collect { case ("cons", p) => parseCons(p) })
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -300,6 +343,11 @@ object CdcTable {
         "live in file paths, which a metadata-only rename cannot " +
         "reach; rewrite the table under the new layout instead " +
         "(GRAFT OPTIMIZE ... ZORDER / compactToCurrentState)")
+    constraintsOf(commits0).find(_.cols.contains(from)).foreach(cn =>
+      throw new IllegalArgumentException(
+        s"rename: column '$from' is referenced by CHECK constraint " +
+          s"${cn.name} [${cn.expr}] — drop the constraint first " +
+          "(its expression would silently stop resolving)"))
     val renamed = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     val snap = commits0.last.commit
@@ -345,6 +393,10 @@ object CdcTable {
     require(!partCols.contains(name),
       s"drop: '$name' is a PARTITION column — partition values live " +
         "in file paths; rewrite the table under a new layout instead")
+    constraintsOf(commits0).find(_.cols.contains(name)).foreach(cn =>
+      throw new IllegalArgumentException(
+        s"drop: column '$name' is referenced by CHECK constraint " +
+          s"${cn.name} [${cn.expr}] — drop the constraint first"))
     val narrowed = StructType(schema.fields.filterNot(_.name == name))
     val snap = commits0.last.commit
     commit(dir, n => Commit(n, commits0.last.schemaVersion + 1,
@@ -447,6 +499,127 @@ object CdcTable {
           throw new java.util.ConcurrentModificationException(
             s"alter type at $dir: a write landed mid-alter (expected " +
               s"log tail $snap); rerun")).schemaVersion
+  }
+
+  // ───────────────────────────────────────────────────────────────
+  // CHECK constraints — Delta `ALTER TABLE … ADD CONSTRAINT` parity
+  // (reference DQ rules are reader-side filters, `spec.md` P8; this
+  // is the WRITER-side invariant form: bad rows can never land).
+
+  /** The table's current CHECK constraints: the ordered fold of
+    * [[ConsOp]]s over the FULL log (replace commits do not re-state
+    * constraints, like the rename chain). Entries are `add=true`. */
+  def constraintsOf(commits: Seq[Commit]): Seq[ConsOp] =
+    commits.flatMap(_.constraintOps).foldLeft(Vector.empty[ConsOp]) {
+      (acc, op) =>
+        val rest = acc.filterNot(_.name == op.name)
+        if (op.add) rest :+ op else rest
+    }
+
+  def constraints(dir: String): Seq[ConsOp] = constraintsOf(log(dir))
+
+  /** Fold the table's CHECK constraints into a write projection as a
+    * conditional `raise_error` on the first column — SINGLE-PASS
+    * enforcement inside the write job itself (Delta's CheckInvariant
+    * approach): a 100 TB append pays zero extra scans, and the first
+    * violating row fails the job before the commit (the staged batch
+    * is an invisible orphan, vacuumable — exactly the crash story).
+    * Violation iff the expression is FALSE: NULL passes (SQL CHECK
+    * semantics, matching DuckDB/Delta). */
+  private def constraintGuard(rows: DataFrame, cons: Seq[ConsOp],
+      op: String): DataFrame = {
+    if (cons.isEmpty) return rows
+    import org.apache.spark.sql.functions.{coalesce, col, concat,
+      expr, lit, raise_error, struct, to_json}
+    val first = rows.columns.head
+    val guarded = cons.foldLeft(col(s"`$first`")) { (acc, cn) =>
+      // diagnostics render only the REFERENCED columns (a full-row
+      // to_json chokes on non-string-keyed maps and bloats errors)
+      val diag =
+        if (cn.cols.isEmpty) lit("")
+        else to_json(struct(cn.cols.map(c => col(s"`$c`")): _*))
+      org.apache.spark.sql.functions
+        .when(coalesce(expr(cn.expr), lit(true)), acc)
+        .otherwise(raise_error(concat(
+          lit(s"$op rejected by CHECK constraint ${cn.name} " +
+            s"[${cn.expr}] on row "), diag)))
+    }
+    rows.withColumn(first, guarded)
+  }
+
+  /** ADD CONSTRAINT: validates the expression against the current
+    * schema (boolean, known columns — the referenced set is recorded
+    * so RENAME/DROP COLUMN reject exactly), scans EXISTING rows once
+    * (Delta parity: a constraint the current data violates is
+    * rejected with a sample), then commits one fileless
+    * `action="constraint"` manifest. From that commit on, every
+    * append / UPDATE / MERGE enforces it in-write via
+    * [[constraintGuard]]. Returns the commit id. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      exprSql: String): Long = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    require(name.nonEmpty, "constraint name must be non-empty")
+    val existing = constraintsOf(commits)
+    require(!existing.exists(_.name == name),
+      s"constraint $name already exists on $dir (drop it first)")
+    val schema = commits.last.schema
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    val resolver = spark.sessionState.analyzer.resolver
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.distinct
+    val cols = refs.map { r =>
+      schema.fieldNames.filter(resolver(_, r)) match {
+        case Array(one) => one
+        case Array() => throw new IllegalArgumentException(
+          s"ADD CONSTRAINT $name references unknown column $r " +
+            s"(columns: ${schema.fieldNames.mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"ADD CONSTRAINT $name: column $r is ambiguous under the " +
+            s"session resolver (matches ${many.mkString(", ")})")
+      }
+    }
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val typed = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .select(expr(exprSql).as("c")).schema.fields(0).dataType
+    require(typed == org.apache.spark.sql.types.BooleanType,
+      s"ADD CONSTRAINT $name: CHECK expression must be BOOLEAN, " +
+        s"got ${typed.simpleString}")
+    if (effective(commits).exists(_.files.nonEmpty)) {
+      val bad = read(spark, dir)
+        .filter(not(coalesce(expr(exprSql), lit(true)))).take(3)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"ADD CONSTRAINT $name rejected: existing rows violate " +
+          s"CHECK ($exprSql) — e.g. ${bad.mkString("; ")}")
+    }
+    val snap = commits.last.commit
+    commit(dir, n => Commit(n, commits.last.schemaVersion,
+      "constraint", System.currentTimeMillis(), None, schema, Nil,
+      constraintOps = Seq(ConsOp(add = true, name, exprSql, cols))),
+      validate = cur =>
+        if (cur.lastOption.map(_.commit) != Some(snap))
+          throw new java.util.ConcurrentModificationException(
+            s"ADD CONSTRAINT at $dir: a write landed after the " +
+              s"validation scan (expected log tail $snap); rerun"))
+      .commit
+  }
+
+  /** DROP CONSTRAINT: one fileless commit; later writes stop
+    * enforcing. Dropping an unknown name rejects loudly. */
+  def dropConstraint(dir: String, name: String): Long = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val have = constraintsOf(commits)
+    require(have.exists(_.name == name),
+      s"no constraint $name on $dir " +
+        s"(have: ${have.map(_.name).mkString(", ")})")
+    commit(dir, n => Commit(n, commits.last.schemaVersion,
+      "constraint", System.currentTimeMillis(), None,
+      commits.last.schema, Nil,
+      constraintOps = Seq(ConsOp(add = false, name, "", Nil)))).commit
   }
 
   /** Current schema-generation version (0 = no table yet). */
@@ -662,7 +835,8 @@ object CdcTable {
     val sv =
       if (existing.contains(merged)) commits.last.schemaVersion
       else commits.lastOption.map(_.schemaVersion + 1).getOrElse(1L)
-    val out = SchemaMerge.castTo(batch, merged)
+    val out = constraintGuard(SchemaMerge.castTo(batch, merged),
+      constraintsOf(commits), "append")
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = out.write.mode("overwrite")
     val partCols = partitionBy.filter(merged.fieldNames.contains)
@@ -1532,9 +1706,11 @@ object CdcTable {
       .unionByName(srcCast.join(matchedKeys, keys.toSeq, "left_anti")
         .withColumn(ct, lit("insert")))
     // the WHOLE source lands as fresh files under the table's layout
+    // (CHECK constraints gate them in-write, like the rewrite route)
     val targetLayout = partitionBy.filter(schema.fieldNames.contains)
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
-    val writer = srcCast.write.mode("overwrite")
+    val writer = constraintGuard(srcCast, constraintsOf(commits),
+      "mergeDV").write.mode("overwrite")
     (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
      else writer).parquet(batchDir)
     val fresh = stagedFiles(dir, batchDir)
@@ -1710,8 +1886,12 @@ object CdcTable {
         schema)
     val survivors = rewriteRows.join(srcKeys, keys.toSeq, "left_anti")
     val srcCast = SchemaMerge.castTo(src, schema)
+    // CHECK constraints gate only the NEW rows (survivors passed at
+    // their own write time — induction holds); in-write enforcement,
+    // no extra scan
     val outRows =
-      if (insert) survivors.unionByName(srcCast)
+      if (insert) survivors.unionByName(
+        constraintGuard(srcCast, constraintsOf(commits), op))
       else survivors
     // a purely full-file keyed delete leaves nothing to rewrite:
     // skip the (empty) staging write entirely
@@ -1857,7 +2037,10 @@ object CdcTable {
     val fresh =
       if (rewriteCommits.forall(_.files.isEmpty)) Seq.empty[String]
       else {
-        val outRows = transform(rewriteRows, pred)
+        // the guard re-checks untouched survivor rows of touched
+        // files too (they pass by induction) — in-write, O(touched)
+        val outRows = constraintGuard(transform(rewriteRows, pred),
+          constraintsOf(commits), op)
         val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
         val writer = SchemaMerge.castTo(outRows, schema)
           .write.mode("overwrite")
@@ -1989,6 +2172,18 @@ object CdcTable {
     val base = commits.last.schemaVersion
     val svMap = snap.map(_.schemaVersion).distinct.sorted
       .zipWithIndex.map { case (sv, i) => sv -> (base + 1 + i) }.toMap
+    // constraints are table METADATA and restore with the snapshot
+    // (Delta RESTORE parity): diff current set → snapshot set and
+    // carry the ops on the first restored commit. The snapshot fold
+    // runs over the full log PREFIX (constraint commits may predate
+    // the snapshot's last replace).
+    val targetCons = constraintsOf(
+      commits.takeWhile(_.commit <= snap.last.commit))
+    val curCons = constraintsOf(commits)
+    val consDiff =
+      curCons.filterNot(c => targetCons.exists(_.name == c.name))
+        .map(c => ConsOp(add = false, c.name, "", Nil)) ++
+        targetCons.filterNot(curCons.contains)
     var expectTail = commits.last.commit
     var newSv = base
     gens.zipWithIndex.foreach { case (g, i) =>
@@ -1998,6 +2193,7 @@ object CdcTable {
       val committed = commit(dir, n => Commit(n, newSv,
         action, System.currentTimeMillis(), None, g.last.schema,
         g.flatMap(_.files),
+        constraintOps = if (i == 0) consDiff else Nil,
         // a rename marker travels through the restore: its sv is
         // unique, but the group may also hold the SAME-sv appends
         // that followed it (fileless marker + files share the group
@@ -2048,9 +2244,13 @@ object CdcTable {
     require(log(dstDir).isEmpty,
       s"clone target $dstDir already holds a graft table")
     val eff = effective(src).map(hydrate(srcDir, _))
+    // the source's CURRENT constraint set (full-log fold — constraint
+    // commits may predate the last replace) re-states on the clone's
+    // FIRST commit, so the clone enforces what the source enforces
+    val srcCons = constraintsOf(src)
     var borrowed = 0L
     var expectTail = 0L
-    eff.foreach { c =>
+    eff.zipWithIndex.foreach { case (c, ci) =>
       val abs = c.files.map(f => resolve(srcDir, f))
       borrowed += abs.size
       def rekey[V](m: Map[String, V]): Map[String, V] =
@@ -2064,7 +2264,8 @@ object CdcTable {
         // DV sidecars borrow like data files (their content keys rows
         // by the data/batch-… suffix, identical under the clone);
         // CDF change files are source history and do not clone
-        dvFiles = c.dvFiles.map(f => resolve(srcDir, f))),
+        dvFiles = c.dvFiles.map(f => resolve(srcDir, f)),
+        constraintOps = if (ci == 0) srcCons else Nil),
         validate = cur =>
           if (cur.lastOption.map(_.commit).getOrElse(0L) != tailBefore)
             throw new java.util.ConcurrentModificationException(

@@ -32,6 +32,9 @@ import org.apache.spark.sql.types._
   *   GRAFT DROP COLUMN '<path>' a
   *   GRAFT ADD COLUMN '<path>' a <type>
   *   GRAFT ALTER COLUMN '<path>' a TYPE <type>
+  *   GRAFT ADD CONSTRAINT '<path>' name CHECK (<expr>)
+  *   GRAFT DROP CONSTRAINT '<path>' name
+  *   GRAFT CONSTRAINTS '<path>'
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
@@ -145,6 +148,16 @@ object GraftSqlParser {
   private val addColRe = Pattern.compile(
     """\s*GRAFT\s+ADD\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?""" +
       """\s+([\w()\s,<>]+?)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val addConsRe = Pattern.compile(
+    """\s*GRAFT\s+ADD\s+CONSTRAINT\s+'([^']+)'\s+`?([\w]+)`?""" +
+      """\s+CHECK\s*\((.+)\)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val dropConsRe = Pattern.compile(
+    """\s*GRAFT\s+DROP\s+CONSTRAINT\s+'([^']+)'\s+`?([\w]+)`?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val showConsRe = Pattern.compile(
+    """\s*GRAFT\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
@@ -305,6 +318,16 @@ object GraftSqlParser {
     if (alm.matches())
       return Some(AlterGraftColumnType(alm.group(1), alm.group(2),
         alm.group(3)))
+    val akm = addConsRe.matcher(sqlText)
+    if (akm.matches())
+      return Some(AddGraftConstraint(akm.group(1), akm.group(2),
+        akm.group(3).trim))
+    val dcon = dropConsRe.matcher(sqlText)
+    if (dcon.matches())
+      return Some(DropGraftConstraint(dcon.group(1), dcon.group(2)))
+    val skm = showConsRe.matcher(sqlText)
+    if (skm.matches())
+      return Some(ShowGraftConstraints(skm.group(1)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
@@ -944,6 +967,48 @@ case class AlterGraftColumnType(dir: String, name: String,
     val dt = org.apache.spark.sql.types.DataType.fromDDL(typeSql)
     Seq(Row(CdcTable.widenColumn(spark, dir, name, dt)))
   }
+}
+
+/** GRAFT ADD CONSTRAINT '<path>' <name> CHECK (<expr>) — Delta
+  * `ALTER TABLE … ADD CONSTRAINT` parity ([[CdcTable.addConstraint]]):
+  * validates existing rows with one scan, then one fileless commit;
+  * every later append / UPDATE / MERGE enforces the invariant inside
+  * the write job itself (violation iff FALSE — NULL passes). */
+case class AddGraftConstraint(dir: String, name: String,
+    exprSql: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CdcTable.addConstraint(spark, dir, name, exprSql)))
+}
+
+/** GRAFT DROP CONSTRAINT '<path>' <name> — one fileless commit;
+  * later writes stop enforcing ([[CdcTable.dropConstraint]]). */
+case class DropGraftConstraint(dir: String, name: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CdcTable.dropConstraint(dir, name)))
+}
+
+/** GRAFT CONSTRAINTS '<path>' — list the table's current CHECK
+  * constraints (name, expression, referenced columns). */
+case class ShowGraftConstraints(dir: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("name", StringType), attr("check_expr", StringType),
+    attr("columns", StringType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    CdcTable.constraints(dir).map(c =>
+      Row(c.name, c.expr, c.cols.mkString(",")))
 }
 
 /** GRAFT DROP COLUMN '<path>' <name> — metadata-only column drop
