@@ -109,7 +109,48 @@ object CdcTable {
         * ops ride on dedicated fileless `action="constraint"`
         * commits; clone/restore re-state or diff the set on their
         * first commit so derived tables inherit it. */
-      constraintOps: Seq[ConsOp] = Nil)
+      constraintOps: Seq[ConsOp] = Nil,
+      /** Reader-required format features (Delta reader protocol
+        * parity): stamped automatically by [[commit]] from what the
+        * commit actually uses ([[stampFeatures]]). [[log]] refuses a
+        * table requiring a feature this build doesn't know
+        * ([[SupportedReaderFeatures]]) — a reader that silently
+        * ignored e.g. an unknown DV-like sidecar would resurrect
+        * deleted rows. Absent on pre-feature commits (`Nil`). */
+      requires: Seq[String] = Nil,
+      /** Writer-required features (Delta writer protocol parity):
+        * reading needs nothing, but a WRITER that doesn't implement
+        * them would corrupt the contract (e.g. append without CHECK
+        * enforcement, DML without change files). [[commit]] refuses
+        * to write to a table carrying an unknown one. */
+      writerRequires: Seq[String] = Nil)
+
+  /** Format features this build reads correctly. A table whose log
+    * requires anything outside this set fails LOUDLY at open. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletion-vectors", "column-mapping")
+
+  /** Features this build writes correctly (superset of reader —
+    * every writer is also a reader). */
+  val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++ Set("check-constraints", "change-data-feed")
+
+  /** Derive the feature stamps from what a commit actually carries —
+    * centralized in [[commit]] so no write path can forget one. The
+    * stamps protect FUTURE cross-version fleets: every reader/writer
+    * from this build on validates them, so the next format feature
+    * degrades old binaries loudly instead of silently mis-reading. */
+  private def stampFeatures(c: Commit): Commit = {
+    val r = (if (c.dvFiles.nonEmpty) Seq("deletion-vectors") else Nil) ++
+      (if (c.rename.isDefined) Seq("column-mapping") else Nil)
+    val w = (if (c.constraintOps.exists(_.add))
+        Seq("check-constraints") else Nil) ++
+      (if (c.changeFiles.nonEmpty || c.removedFiles.nonEmpty)
+        Seq("change-data-feed") else Nil)
+    if (r.isEmpty && w.isEmpty) c
+    else c.copy(requires = (c.requires ++ r).distinct,
+      writerRequires = (c.writerRequires ++ w).distinct)
+  }
 
   /** One CHECK-constraint op: `add` introduces `name` with the SQL
     * boolean `expr` (violation iff the expression is FALSE — NULL
@@ -165,7 +206,9 @@ object CdcTable {
       c.changeFiles.map(f => s"cfile=$f") ++
       c.dvFiles.map(f => s"dvfile=$f") ++
       c.removedFiles.map(f => s"rfile=$f") ++
-      c.constraintOps.map(renderCons)
+      c.constraintOps.map(renderCons) ++
+      c.requires.map(f => s"requires=$f") ++
+      c.writerRequires.map(f => s"wrequires=$f")
     head.mkString("\n")
   }
 
@@ -226,7 +269,9 @@ object CdcTable {
       changeFiles = kv.collect { case ("cfile", f) => f },
       dvFiles = kv.collect { case ("dvfile", f) => f },
       removedFiles = kv.collect { case ("rfile", f) => f },
-      constraintOps = kv.collect { case ("cons", p) => parseCons(p) })
+      constraintOps = kv.collect { case ("cons", p) => parseCons(p) },
+      requires = kv.collect { case ("requires", f) => f },
+      writerRequires = kv.collect { case ("wrequires", f) => f })
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -275,11 +320,23 @@ object CdcTable {
     // reader may catch it empty/torn. Taking the longest PARSEABLE
     // prefix keeps every reader on a consistent snapshot: an in-flight
     // trailing commit is simply not visible yet.
-    base ++ names.filter(_.endsWith(".commit")).sorted
-      .filter(_.stripSuffix(".commit").toLong > after)
-      .map(n => scala.util.Try(
-        Fs.readString(s"${logDir(dir)}/$n").map(parse)).toOption.flatten)
-      .takeWhile(_.isDefined).flatten
+    val commits =
+      base ++ names.filter(_.endsWith(".commit")).sorted
+        .filter(_.stripSuffix(".commit").toLong > after)
+        .map(n => scala.util.Try(
+          Fs.readString(s"${logDir(dir)}/$n").map(parse)).toOption.flatten)
+        .takeWhile(_.isDefined).flatten
+    // reader protocol gate — OUTSIDE the torn-prefix Try above: a
+    // feature this build can't read must fail the table open loudly,
+    // never be silently truncated away as an "in-flight" commit
+    val unknown = commits.flatMap(_.requires).distinct
+      .filterNot(SupportedReaderFeatures)
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"table at $dir requires reader feature(s) this build does " +
+        s"not support: ${unknown.mkString(", ")} (supported: " +
+        s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}) — " +
+        "upgrade the library to read this table")
+    commits
   }
 
   /** Commits contributing to the current state: everything from the
@@ -708,9 +765,20 @@ object CdcTable {
     var attempts = 0
     while (attempts < 50) {
       val current = log(dir)
+      // writer protocol gate (log() already gated the reader side):
+      // appending without implementing e.g. constraint enforcement
+      // would corrupt the table's contract
+      val unknownW = current
+        .flatMap(c => c.requires ++ c.writerRequires).distinct
+        .filterNot(SupportedWriterFeatures)
+      if (unknownW.nonEmpty) throw new IllegalStateException(
+        s"table at $dir requires writer feature(s) this build does " +
+          s"not support: ${unknownW.mkString(", ")} (supported: " +
+          s"${SupportedWriterFeatures.toSeq.sorted.mkString(", ")}) — " +
+          "the table stays readable; upgrade the library to write")
       validate(current)
       val next = current.lastOption.map(_.commit + 1).getOrElse(1L)
-      val c = mk(next)
+      val c = stampFeatures(mk(next))
       if (CommitArbiter.current.tryExclusive(commitPath(dir, next),
           render(c))) {
         // derived + idempotent, so a plain overwrite write is fine
@@ -2291,7 +2359,9 @@ object CdcTable {
       /** Manifest-derived live row count ([[rowCountEstimate]]) — a
         * lower bound (files committed before `frows` existed
         * contribute 0), answered with zero data IO. */
-      rowsEstimate: Long = 0L)
+      rowsEstimate: Long = 0L,
+      /** Active CHECK constraints ([[constraintsOf]]). */
+      constraints: Long = 0L)
 
   def detail(dir: String): TableDetail = {
     val commits = log(dir)
@@ -2309,7 +2379,8 @@ object CdcTable {
       liveBytes = bytes,
       lastCommitTs = commits.last.ts,
       lastTxn = commits.flatMap(_.txn).lastOption,
-      rowsEstimate = eff.flatMap(_.fileRows.values).sum)
+      rowsEstimate = eff.flatMap(_.fileRows.values).sum,
+      constraints = constraintsOf(commits).size.toLong)
   }
 
   /** Delete data files no manifest references — crash leftovers and

@@ -757,12 +757,12 @@ case class DetailGraftTable(dir: String) extends LeafRunnableCommand {
     attr("commits", LongType), attr("schema_version", LongType),
     attr("generations", LongType), attr("live_files", LongType),
     attr("live_bytes", LongType), attr("live_rows_est", LongType),
-    attr("last_commit_ts", LongType))
+    attr("last_commit_ts", LongType), attr("n_constraints", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
     val d = CdcTable.detail(dir)
     Seq(Row(d.commits, d.schemaVersion, d.generations, d.liveFiles,
-      d.liveBytes, d.rowsEstimate, d.lastCommitTs))
+      d.liveBytes, d.rowsEstimate, d.lastCommitTs, d.constraints))
   }
 }
 
@@ -1047,9 +1047,15 @@ case class HistoryGraftTable(dir: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     attr("commit", LongType), attr("commit_ts", LongType),
     attr("action", StringType), attr("schema_version", LongType),
-    attr("n_files", IntegerType))
+    attr("n_files", IntegerType), attr("n_rows", LongType),
+    attr("n_changes", IntegerType), attr("n_dvs", IntegerType),
+    attr("n_removed", IntegerType), attr("features", StringType))
 
   override def run(spark: SparkSession): Seq[Row] =
     CdcTable.log(dir).map(c =>
-      Row(c.commit, c.ts, c.action, c.schemaVersion, c.files.size))
+      Row(c.commit, c.ts, c.action, c.schemaVersion, c.files.size,
+        c.fileRows.values.sum, c.changeFiles.size, c.dvFiles.size,
+        c.removedFiles.size,
+        (c.requires ++ c.writerRequires.map("writer:" + _))
+          .mkString(",")))
 }

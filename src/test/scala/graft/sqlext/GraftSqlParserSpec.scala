@@ -34,14 +34,18 @@ class GraftSqlParserSpec extends SparkSpec {
     CdcTable.append(Seq((2L, "b")).toDF("x", "_id"), dir)
     val hist = spark.sql(s"GRAFT HISTORY '$dir'")
     assert(hist.columns.toSeq == Seq("commit", "commit_ts", "action",
-      "schema_version", "n_files"))
+      "schema_version", "n_files", "n_rows", "n_changes", "n_dvs",
+      "n_removed", "features"))
     assert(hist.count() == 2)
+    // operation metrics ride the manifest: one row per append
+    assert(hist.select("n_rows").as[Long].collect().toSeq ==
+      Seq(1L, 1L))
     // nothing is old enough to vacuum with the default retention
     assert(spark.sql(s"GRAFT VACUUM '$dir'")
       .as[Int].head() == 0)
     // DESCRIBE DETAIL parity: structure + live footprint in one row
     val det = spark.sql(s"GRAFT DETAIL '$dir'")
-      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(det._1 == 2 && det._4 >= 1 && det._5 > 0 && det._6 >= 1,
       s"commits/live_files/live_bytes/live_rows_est: $det")
     // a replace orphans the old files; sub-floor retention needs FORCE
