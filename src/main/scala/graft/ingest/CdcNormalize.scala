@@ -28,6 +28,13 @@ object CdcNormalize {
     val SchemaValidation = "schema_validation_error"
     val DeltaWrite = "delta_write_error"
     val MaxRetries = "max_retries_exceeded"
+    /** A table CHECK constraint rejected the row ([[graft.sink
+      * .CdcTable.addConstraint]]): the streaming ingest routes it
+      * here instead of failing the stream — the reference's
+      * dirty-data policy (spec.md:261-295) applied to the engine's
+      * writer-side invariants. `error_detail` names the violated
+      * constraints. */
+    val ConstraintViolation = "constraint_violation"
   }
 
   /** `all` is the single flagged stream (with `_dlq_reason`); valid and

@@ -829,8 +829,66 @@ object OpsQ {
       |  ('update_rejected')) AS t(tag)
       |ORDER BY tag""".stripMargin
 
+  /** q209 — PARTITION-SCOPED OPTIMIZE
+    * ([[graft.sink.CdcTable.optimizeWhere]], Delta `OPTIMIZE … WHERE`
+    * parity — the 100 TB compaction form): four appends build many
+    * small files per lang partition, a DV delete scatters tombstones,
+    * then `OPTIMIZE WHERE lang = 'en'` consolidates ONLY that
+    * partition — the untouched partitions' manifest entries carry
+    * byte-identical (gate rows pin it), the selected partition's
+    * tombstones fold physically, carried sidecars keep applying, and
+    * the content hash-matches a DuckDB replay of appends − deletes. */
+  def q209(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q209_tbl")
+    (0 until 4).foreach(b => CdcTable.append(
+      docs.filter(col("doc_id") % 4 === b), tbl,
+      partitionBy = Seq("lang")))
+    CdcTable.deleteKeysDV(s, tbl,
+      docs.filter(col("doc_id") % 11 === 0).select("doc_id"),
+      Seq("doc_id"))
+    val before = CdcTable.log(tbl).flatMap(_.files)
+    val beforeEn = before.filter(_.contains("lang=en")).toSet
+    val beforeRest = before.filterNot(_.contains("lang=en")).toSet
+    s.sql(s"GRAFT OPTIMIZE '$tbl' WHERE lang = 'en' FILES 2").collect()
+    val after = CdcTable.log(tbl).last.files
+    val afterEn = after.filter(_.contains("lang=en")).toSet
+    val afterRest = after.filterNot(_.contains("lang=en")).toSet
+    val gates = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("gate_untouched_carry",
+        if (afterRest == beforeRest) 1L else 0L),
+      org.apache.spark.sql.Row("gate_selected_rewrote",
+        if (afterEn.nonEmpty && afterEn.intersect(beforeEn).isEmpty &&
+          afterEn.size < beforeEn.size) 1L else 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+      .withColumn("sum_chars", lit(null).cast("long"))
+    CdcTable.read(s, tbl)
+      .groupBy(concat(lit("lang_"), col("lang")).as("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .unionByName(gates)
+      .orderBy(col("tag"))
+  }
+
+  val q209Sql: String =
+    """SELECT 'lang_' || lang AS tag, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 11 <> 0 GROUP BY lang
+      |UNION ALL
+      |SELECT t.tag, 1, NULL
+      |FROM (VALUES ('gate_untouched_carry'),
+      |  ('gate_selected_rewrote')) AS t(tag)
+      |ORDER BY tag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q208_check_constraints", q208, Some(q208Sql)),
+    QueryDef("q209_optimize_where", q209, Some(q209Sql)),
     QueryDef("q203_change_feed_dml", q203, Some(q203Sql)),
     QueryDef("q204_deletion_vectors", q204, Some(q204Sql)),
     QueryDef("q205_alter_column_type", q205, Some(q205Sql)),

@@ -2140,6 +2140,132 @@ object CdcTable {
     DeleteResult(rowsMatched, fresh.size, carried.size, c.commit)
   }
 
+  /** PARTITION-SCOPED OPTIMIZE (Delta `OPTIMIZE … WHERE` parity) —
+    * the 100 TB form of compaction: rewrite ONLY the files whose
+    * partition-path values satisfy `predicate`, republish everything
+    * else by reference in one optimistic replace commit. At scale a
+    * table is optimized partition-by-partition as partitions close
+    * (yesterday's ingest date, one language…); a full-table OPTIMIZE
+    * is a corpus-scale rewrite nobody runs.
+    *
+    * The predicate may reference PARTITION columns only — selection
+    * is decided from the manifest alone (zero data IO; the file list
+    * with path-derived partition values is evaluated as a local
+    * frame, so types and percent-decoding match the read path
+    * exactly). Files of superseded schema generations or stale
+    * layouts join the rewrite (the single-generation replace-commit
+    * invariant, same rule as keyed/predicate DML) — with a stable
+    * schema that set is empty and the rewrite touches exactly the
+    * selected partitions. Rewritten files fold their deletion-vector
+    * tombstones physically (the rewrite read is DV-applied); carried
+    * files keep their sidecars. A physical rewrite changes no logical
+    * rows, so the change feed stays silent (compaction semantics).
+    * Returns (filesBefore, filesAfter, commit id). */
+  def optimizeWhere(spark: SparkSession, dir: String,
+      predicate: String, zorderCols: Seq[String] = Nil,
+      nFiles: Option[Int] = None): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    val snap = commits.last.commit
+    val schema = commits.last.schema
+    val currentSv = commits.last.schemaVersion
+    val live = effective(commits)
+    val files = live.flatMap(_.files)
+    val before = files.size
+    // partition columns, in path order of the newest data
+    val targetLayout = live.reverse.iterator.flatMap(_.files.headOption)
+      .map(partColsFromPath).nextOption().getOrElse(Nil)
+    val partCols = files.flatMap(partColsFromPath).distinct
+    require(partCols.nonEmpty,
+      s"OPTIMIZE WHERE on $dir: the table has no partition columns — " +
+        "the predicate cannot prune files; run a full OPTIMIZE")
+    // partition-only predicate: selection must be manifest-decidable
+    val resolver = spark.sessionState.analyzer.resolver
+    val refs = spark.sessionState.sqlParser.parseExpression(predicate)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.distinct
+    val bad = refs.filterNot(r => partCols.exists(resolver(_, r)))
+    require(bad.isEmpty,
+      s"OPTIMIZE WHERE may reference partition columns only " +
+        s"(${partCols.mkString(", ")}); not: ${bad.mkString(", ")} — " +
+        "a non-partition predicate cannot scope a physical rewrite")
+    // evaluate the predicate on the manifest's file list as a local
+    // frame: same percent-decoding + typing as the read path injects
+    def rawSeg(f: String, p: String): String =
+      fileKey(f).split('/')
+        .find(s => s.startsWith(p + "=")).map(_.split("=", 2)(1))
+        .orNull
+    import scala.jdk.CollectionConverters._
+    val fileFrame = spark.createDataFrame(
+      files.distinct.map(f => org.apache.spark.sql.Row.fromSeq(
+        f +: partCols.map(p => rawSeg(f, p)))).asJava,
+      StructType(StructField("_file",
+        org.apache.spark.sql.types.StringType) +:
+        partCols.map(p => StructField(p,
+          org.apache.spark.sql.types.StringType))))
+    val typed = partCols.foldLeft(fileFrame) { (df, p) =>
+      val t = schema.fields.find(f => resolver(f.name, p))
+        .map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.StringType)
+      df.withColumn(p,
+        when(col(s"`$p`") === "__HIVE_DEFAULT_PARTITION__",
+          lit(null).cast("string"))
+          .otherwise(pctDecode(col(s"`$p`"))).cast(t))
+    }
+    val selected = typed
+      .filter(coalesce(expr(predicate), lit(false)))
+      .select(col("_file")).collect().map(_.getString(0)).toSet
+    if (selected.isEmpty) return (before, before, snap)
+    def mustRewrite(c: Commit, f: String): Boolean =
+      selected(f) || c.schemaVersion != currentSv ||
+        partColsFromPath(f) != targetLayout
+    val rewriteCommits = live
+      .map(c => c.copy(files = c.files.filter(f => mustRewrite(c, f))))
+      .filter(c => c.files.nonEmpty || c.rename.nonEmpty ||
+        c.dvFiles.nonEmpty)
+    val carried = live.flatMap(c =>
+      c.files.filterNot(f => mustRewrite(c, f)))
+    val carriedSet = carried.toSet
+    val carriedStats = live.flatMap(_.stats.view
+      .filterKeys(carriedSet)).toMap
+    val carriedRows = live.flatMap(_.fileRows.view
+      .filterKeys(carriedSet)).toMap
+    val carriedBlooms = live.flatMap(_.blooms.view
+      .filterKeys(carriedSet)).toMap
+    val rewriteRows = SchemaMerge.castTo(
+      readCommits(spark, dir, rewriteCommits), schema)
+    val target = nFiles.getOrElse(
+      math.max(1, spark.sparkContext.defaultParallelism / 4))
+    val out =
+      if (zorderCols.nonEmpty)
+        graft.maintain.Maintenance.zorderFrame(rewriteRows, zorderCols,
+          target)
+      else rewriteRows.coalesce(target)
+    val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
+    val writer = out.write.mode("overwrite")
+    (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
+     else writer).parquet(batchDir)
+    val fresh = stagedFiles(dir, batchDir)
+    val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
+    val c = commit(dir, n => Commit(n, currentSv, "replace",
+      System.currentTimeMillis(), None, schema, carried ++ fresh,
+      stats = carriedStats ++ freshStats,
+      fileRows = carriedRows ++ freshRows,
+      blooms = carriedBlooms,
+      dvFiles = if (carried.isEmpty) Nil
+        else live.flatMap(_.dvFiles).distinct),
+      validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
+        throw new java.util.ConcurrentModificationException(
+          s"OPTIMIZE WHERE at $dir built from commit $snap but the " +
+            s"log is now at " +
+            s"${cur.lastOption.map(_.commit).getOrElse(0L)} — a " +
+            "write landed mid-optimize; rerun (nothing was lost)"))
+    ((before, c.files.size, c.commit))
+  }
+
   def replaceWith(spark: SparkSession, dir: String, df: DataFrame,
       partitionBy: Seq[String] = Seq("_ingestion_date"),
       expectedLastCommit: Option[Long] = None,

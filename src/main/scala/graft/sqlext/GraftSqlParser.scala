@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * recognizer intercepts the three graft statements and every other
   * string delegates untouched to Spark's parser.
   *
-  *   GRAFT OPTIMIZE '<path>' [ZORDER BY (c1, c2, …)] [FILES n]
+  *   GRAFT OPTIMIZE '<path>' [WHERE <partition predicate>] [ZORDER BY (c1, c2, …)] [FILES n]
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
   *   GRAFT COMPACT INDEX '<path>'
   *   GRAFT RETRACT INDEX '<path>' IDS (v1, v2, …) [REELECT FROM '<t>' ID c TEXT c]
@@ -80,8 +80,9 @@ object GraftSqlParser {
 
   private val optimizeRe = Pattern.compile(
     """\s*GRAFT\s+OPTIMIZE\s+'([^']+)'""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+FILES\s+(\d+))?\s*;?\s*""",
-    Pattern.CASE_INSENSITIVE)
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val compactRe = Pattern.compile(
     """\s*GRAFT\s+COMPACT\s+'([^']+)'(?:\s+ID\s+(\w+))?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""",
@@ -213,10 +214,11 @@ object GraftSqlParser {
     if (!sqlText.toUpperCase(Locale.ROOT).contains("GRAFT")) return None
     val om = optimizeRe.matcher(sqlText)
     if (om.matches()) {
-      val cols = Option(om.group(2)).toSeq.flatMap(
+      val cols = Option(om.group(3)).toSeq.flatMap(
         _.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       return Some(OptimizeGraftTable(om.group(1), cols,
-        Option(om.group(3)).map(_.toInt)))
+        Option(om.group(4)).map(_.toInt),
+        where = Option(om.group(2)).map(_.trim)))
     }
     val cim = compactIndexRe.matcher(sqlText)
     if (cim.matches())
@@ -435,7 +437,8 @@ object GraftSqlParser {
 /** `GRAFT OPTIMIZE '<path>' [ZORDER BY (…)] [FILES n]` — rewrite the
   * current state as one atomic replace commit, optionally clustered. */
 case class OptimizeGraftTable(dir: String, zorderCols: Seq[String],
-    nFiles: Option[Int]) extends LeafRunnableCommand {
+    nFiles: Option[Int], where: Option[String] = None)
+    extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
   override val output: Seq[Attribute] = Seq(
@@ -443,6 +446,14 @@ case class OptimizeGraftTable(dir: String, zorderCols: Seq[String],
     attr("commit", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // partition-scoped form: rewrite only the selected partitions'
+    // files, carry everything else by reference (the 100 TB form —
+    // see CdcTable.optimizeWhere)
+    where.foreach { pred =>
+      val (b, a, c) = CdcTable.optimizeWhere(spark, dir, pred,
+        zorderCols, nFiles)
+      return Seq(Row(b, a, c))
+    }
     // ONE log snapshot drives the whole rewrite: the frame is read AS
     // OF its last commit and the replace validates against that same
     // commit, so an append landing mid-rewrite fails the commit

@@ -113,6 +113,9 @@ object CdcIngest {
           octet_length(col("_doc")).cast("string"))
         .when(col("_dlq_reason") === DlqReason.Stale,
           col("_cdc_timestamp").cast("string"))
+        .when(col("_dlq_reason") === DlqReason.ConstraintViolation,
+          if (flagged.columns.contains("_cons_detail"))
+            col("_cons_detail") else lit(null).cast("string"))
         .as("error_detail"),
       coalesce(col("retry_count"), lit(0)).as("retry_count"),
       coalesce(col("dlq_id"), md5(concat_ws("|",
@@ -151,7 +154,10 @@ object CdcIngest {
     writeCollections(valid, cfg, keys,
       tableTxn = _ => batchId.flatMap(txnOf),
       coerceTxn = key => batchId.map(v =>
-        (s"${cfg.checkpointDir}#coerce:$key", v)))
+        (s"${cfg.checkpointDir}#coerce:$key", v)),
+      consTxn = key => batchId.map(v =>
+        (s"${cfg.checkpointDir}#cons:$key", v)),
+      dlqConstraints = true)
   }
 
   /** `keys` is the batch's distinct collection list — bounded by the
@@ -163,7 +169,9 @@ object CdcIngest {
   private def writeCollections(valid: DataFrame, cfg: Config,
       keys: Seq[String],
       tableTxn: String => Option[(String, Long)],
-      coerceTxn: String => Option[(String, Long)]): Unit = {
+      coerceTxn: String => Option[(String, Long)],
+      consTxn: String => Option[(String, Long)] = _ => None,
+      dlqConstraints: Boolean = false): Unit = {
     val spark = valid.sparkSession
     implicit val ec: scala.concurrent.ExecutionContext = writeEc
     val futures = keys.toSeq.map { key => scala.concurrent.Future {
@@ -196,21 +204,48 @@ object CdcIngest {
             case None => (out, out.limit(0))
           }
         else (out, out.limit(0))
+      // CHECK constraints (the table's writer invariants): in the
+      // unattended streaming path, violating rows route to the DLQ
+      // (constraint_violation) instead of failing the stream — the
+      // reference's dirty-data policy (spec.md:261-295) applied to
+      // the engine's own invariant surface. Violation iff FALSE (NULL
+      // passes); a constraint whose columns this batch doesn't carry
+      // passes vacuously (the append null-fills → NULL → passes).
+      // Replay keeps the loud in-write guard instead (dlqConstraints
+      // = false): it is operator-driven, and silently re-queueing a
+      // row the operator just tried to resolve would mask the fix.
+      val resolver = spark.sessionState.analyzer.resolver
+      val cons =
+        if (!dlqConstraints) Nil
+        else CdcTable.constraints(tableDir).filter(c =>
+          c.cols.forall(n =>
+            toWrite.columns.exists(resolver(_, n))))
+      val (clean, consRejects) =
+        if (cons.isEmpty) (toWrite, toWrite.limit(0))
+        else {
+          val passAll = cons.map(c =>
+            coalesce(expr(c.expr), lit(true))).reduce(_ && _)
+          (toWrite.filter(passAll),
+            toWrite.filter(!passAll).withColumn("_cons_detail",
+              concat_ws(",", cons.map(c =>
+                when(!coalesce(expr(c.expr), lit(true)),
+                  lit(c.name))): _*)))
+        }
       // transient IO failures retry with backoff (T9); schema
       // conflicts are deterministic and fail fast
       Retry.withBackoff() {
-        CdcTable.append(toWrite, tableDir, cfg.mergeMode,
+        CdcTable.append(clean, tableDir, cfg.mergeMode,
           txn = tableTxn(key), maxStructFields = cfg.maxStructFields)
       }
-      if (!rejects.isEmpty) {
-        // coercion rejects lost the raw envelope in the demux select;
-        // serialize the typed row back to JSON as the original_value
-        // and fill the envelope/doc passengers dlqProjection expects
-        var dlqRows = rejects
-          .withColumn("value",
-            to_json(struct(rejects.columns.map(col).toIndexedSeq: _*)))
-          .withColumn("_dlq_reason",
-            lit(CdcNormalize.DlqReason.SchemaValidation))
+      // typed rejects lost the raw envelope in the demux select;
+      // serialize the typed row back to JSON as the original_value
+      // and fill the envelope/doc passengers dlqProjection expects
+      def toDlq(rows: DataFrame, reason: String,
+          txn: Option[(String, Long)]): Unit = if (!rows.isEmpty) {
+        var dlqRows = rows
+          .withColumn("value", to_json(struct(rows.columns
+            .filterNot(_ == "_cons_detail").map(col).toIndexedSeq: _*)))
+          .withColumn("_dlq_reason", lit(reason))
         if (!dlqRows.columns.contains("_envelope"))
           dlqRows = dlqRows.withColumn("_envelope", lit(null).cast(
             org.apache.spark.sql.types.StructType(Seq(
@@ -219,12 +254,17 @@ object CdcIngest {
         if (!dlqRows.columns.contains("_doc"))
           dlqRows = dlqRows.withColumn("_doc", lit(null).cast("string"))
         Retry.withBackoff() {
-          // distinct txn appId per table: the batch-level DLQ append
-          // already committed this batchId under the checkpoint appId
+          // distinct txn appId per table+reason: the batch-level DLQ
+          // append already committed this batchId under the
+          // checkpoint appId
           CdcTable.append(dlqProjection(withReplayCols(dlqRows)),
-            s"${cfg.baseDir}/_dlq", cfg.mergeMode, txn = coerceTxn(key))
+            s"${cfg.baseDir}/_dlq", cfg.mergeMode, txn = txn)
         }
       }
+      toDlq(rejects, CdcNormalize.DlqReason.SchemaValidation,
+        coerceTxn(key))
+      toDlq(consRejects, CdcNormalize.DlqReason.ConstraintViolation,
+        consTxn(key))
     }}
     // Await EVERY write's outcome before returning (a fail-fast
     // Future.sequence would rethrow while sibling writes were still

@@ -221,6 +221,66 @@ class CdcPipelineSpec extends SparkSpec {
       .head.contains("oops"))
   }
 
+  test("CHECK constraint violations route to the DLQ; replay keeps the loud guard") {
+    val base = tmpDir("cdccons")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptcons"))
+    // batch 0 establishes the table, then its writer invariant
+    CdcIngest.processBatch(Seq(env("c", "k1",
+      "\"{\\\"_id\\\":\\\"k1\\\",\\\"v\\\":1}\"", null, t0))
+      .toDF("value"), cfg, batchId = Some(0L))
+    CdcTable.addConstraint(spark, s"$base/testdb_users", "v_pos", "v >= 0")
+    // batch 1: one valid, one violating, one NULL-v (passes — SQL
+    // CHECK semantics). The stream must survive; only k3 dead-letters.
+    CdcIngest.processBatch(Seq(
+      env("c", "k2", "\"{\\\"_id\\\":\\\"k2\\\",\\\"v\\\":2}\"",
+        null, t0 + 1),
+      env("c", "k3", "\"{\\\"_id\\\":\\\"k3\\\",\\\"v\\\":-3}\"",
+        null, t0 + 2),
+      env("c", "k4", "\"{\\\"_id\\\":\\\"k4\\\"}\"", null, t0 + 3))
+      .toDF("value"), cfg, batchId = Some(1L))
+    val t = CdcTable.read(spark, s"$base/testdb_users")
+    assert(t.select("_id").as[String].collect().toSet ==
+      Set("k1", "k2", "k4"))
+    val dlq = CdcTable.read(spark, s"$base/_dlq")
+      .filter($"reason" === CdcNormalize.DlqReason.ConstraintViolation)
+    assert(dlq.count() == 1)
+    assert(dlq.select("error_detail").as[String].head() == "v_pos",
+      "error_detail must name the violated constraint")
+    assert(dlq.select("original_value").as[String].head()
+      .contains("k3"))
+    val id = dlq.select("dlq_id").as[String].head()
+    // replay without a fix: the typed-row JSON is not an envelope, so
+    // the row stays queued (retry + 1) — same contract as coercion
+    // rejects
+    val (res0, dead0) = CdcIngest.replayDlq(spark, cfg)
+    assert(res0 == 0 && dead0 == 1)
+    def chain(x: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = x
+      while (c != null) { sb.append(c.getMessage).append(" | ")
+        c = c.getCause }
+      sb.toString
+    }
+    // replay is operator-driven: a FIXED row that still violates
+    // fails the replay LOUDLY (in-write guard, dlqConstraints=false)
+    // instead of silently re-queueing the operator's fix
+    val stillBad = Seq((id, env("c", "k3",
+      "\"{\\\"_id\\\":\\\"k3\\\",\\\"v\\\":-4}\"", null, t0 + 9)))
+      .toDF("dlq_id", "original_value")
+    val e = intercept[Exception](
+      CdcIngest.replayDlq(spark, cfg, fixes = Some(stillBad)))
+    assert(chain(e).contains("v_pos"), s"got: ${chain(e)}")
+    // a fix that satisfies the constraint resolves the dead letter
+    val good = Seq((id, env("c", "k3",
+      "\"{\\\"_id\\\":\\\"k3\\\",\\\"v\\\":3}\"", null, t0 + 9)))
+      .toDF("dlq_id", "original_value")
+    val (res1, dead1) =
+      CdcIngest.replayDlq(spark, cfg, fixes = Some(good))
+    assert(res1 == 1 && dead1 == 0)
+    assert(CdcTable.read(spark, s"$base/testdb_users")
+      .filter($"_id" === "k3").select("v").as[Long].head() == 3L)
+  }
+
   test("crash between data write and manifest commit cannot duplicate") {
     val base = tmpDir("cdccrash")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptcrash"))
