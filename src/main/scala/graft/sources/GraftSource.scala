@@ -160,7 +160,8 @@ class GraftSource extends RelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       parameters.getOrElse("startingCommit", "0"),
-      parameters.get("maxCommitsPerTrigger").map(_.toLong))
+      parameters.get("maxCommitsPerTrigger").map(_.toLong),
+      parameters.get("maxFilesPerTrigger").map(_.toLong))
 }
 
 /** Batch change-feed relation —

@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.StructType
   *   spark.readStream.format("graft")
   *     .option("startingCommit", "0" | "latest")   // default: 0 (all)
   *     .option("maxCommitsPerTrigger", "10")       // backpressure (T7)
+  *     .option("maxFilesPerTrigger", "100")        // Delta-parity cap
   *     .load(dir) … .writeStream…
   *
   * Offsets are COMMIT IDS — exactly-once across restarts for free:
@@ -35,11 +36,14 @@ import org.apache.spark.sql.types.StructType
   * true)` is for (the same construction Spark's own file source uses).
   */
 class GraftStreamSource(spark: SparkSession, dir: String,
-    startingCommit: String, maxCommitsPerTrigger: Option[Long] = None)
+    startingCommit: String, maxCommitsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
     extends Source {
 
   require(maxCommitsPerTrigger.forall(_ > 0),
     s"maxCommitsPerTrigger must be positive: $maxCommitsPerTrigger")
+  require(maxFilesPerTrigger.forall(_ > 0),
+    s"maxFilesPerTrigger must be positive: $maxFilesPerTrigger")
 
   override val schema: StructType = CdcTable.changesSchema(dir)
 
@@ -67,12 +71,39 @@ class GraftStreamSource(spark: SparkSession, dir: String,
   }
 
   override def getOffset: Option[Offset] = {
-    val latest = CdcTable.log(dir).lastOption.map(_.commit)
-      .getOrElse(0L)
+    val log = CdcTable.log(dir)
+    val latest = log.lastOption.map(_.commit).getOrElse(0L)
     // one capped step past the cursor, never backward (re-reporting
     // the furthest offset already handed out is a no-op trigger)
-    val target = math.max(cursor, maxCommitsPerTrigger
-      .map(m => math.min(latest, cursor + m)).getOrElse(latest))
+    val commitCapped = maxCommitsPerTrigger
+      .map(m => math.min(latest, cursor + m)).getOrElse(latest)
+    // maxFilesPerTrigger (Delta parity): advance whole commits while
+    // the cumulative served-file budget holds — commits vary wildly
+    // in size (a 10-row micro-batch vs a backfill append), so a FILE
+    // budget adapts where a commit count cannot. Granularity is the
+    // COMMIT (offsets are commit ids): the first commit past the
+    // cursor is always taken whole, so one oversized commit slows the
+    // stream to one-commit triggers rather than stalling it.
+    val target = maxFilesPerTrigger match {
+      case None => math.max(cursor, commitCapped)
+      case Some(cap) =>
+        var t = cursor
+        var budget = cap
+        val it = log.iterator
+          .filter(c => c.commit > cursor && c.commit <= commitCapped)
+        var go = true
+        while (go && it.hasNext) {
+          val c = it.next()
+          // what readChanges will actually serve for this commit
+          val n = c.action match {
+            case "append" => c.files.size.toLong
+            case _ => (c.changeFiles.size + c.removedFiles.size).toLong
+          }
+          if (t == cursor || n <= budget) { t = c.commit; budget -= n }
+          else go = false
+        }
+        math.max(cursor, t)
+    }
     if (target > initialAfter) Some(LongOffset(target)) else None
   }
 

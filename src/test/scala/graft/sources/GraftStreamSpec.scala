@@ -104,6 +104,44 @@ class GraftStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger adapts pacing to commit SIZE, not count") {
+    val dir = tmpDir("gfpaced")
+    val ckpt = tmpDir("gfpacedck")
+    // small, small, BIG (8 files), small — a commit cap of 2 would
+    // serve the big commit bundled with a sibling; a FILE budget of 8
+    // must give it a trigger of its own
+    CdcTable.append(Seq((1L, "a")).toDF("x", "_id").coalesce(1), dir)
+    CdcTable.append(Seq((2L, "b")).toDF("x", "_id").coalesce(1), dir)
+    CdcTable.append((10L to 17L).map(i => (i, s"k$i"))
+      .toDF("x", "_id").repartition(8), dir)
+    CdcTable.append(Seq((3L, "c")).toDF("x", "_id").coalesce(1), dir)
+    // budget = the big commit's own file count: the two 1-file
+    // commits leave budget n3-2 < n3, so the big commit cannot bundle
+    val n3 = CdcTable.log(dir)(2).files.size
+    assert(n3 >= 3, s"big commit needs >= 3 files, got $n3")
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", n3.toString).load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val cs = b.select("_commit").as[Long].collect().distinct.toSeq
+        batches.synchronized { batches += cs; () }
+      }.start()
+    try {
+      q.processAllAvailable()
+      val seen = batches.flatten.sorted
+      assert(seen == Seq(1L, 2L, 3L, 4L), s"exactly once: $seen")
+      // the two 1-file commits fit one 8-file budget; the 8-file
+      // commit exceeds the remainder and lands alone; commit 4 follows
+      val nonEmpty = batches.filter(_.nonEmpty).map(_.sorted)
+      assert(nonEmpty.exists(b => b == Seq(3L)),
+        s"the big commit must get its own trigger: $nonEmpty")
+      assert(!nonEmpty.exists(b => b.contains(3L) && b.size > 1),
+        s"the big commit must not bundle: $nonEmpty")
+    } finally q.stop()
+  }
+
   test("graft sink refuses to start without a query-unique txn id") {
     val dir = tmpDir("gsinknockpt")
     // a per-table fallback id would let two queries dedup against
