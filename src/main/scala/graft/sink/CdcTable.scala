@@ -72,6 +72,13 @@ object CdcTable {
         * [[rowCountEstimate]] size the table without touching data.
         * Files committed before this field existed are simply absent. */
       fileRows: Map[String, Long] = Map.empty,
+      /** Per-file byte sizes (free at commit time — the footer read's
+        * own FileStatus): [[detail]] answers live bytes and the
+        * small-file OPTIMIZE selects its rewrite set from the
+        * manifest alone, instead of a listStatus storm over a
+        * million-file table. Legacy files are absent (detail falls
+        * back to batched stats for exactly those). */
+      fileBytes: Map[String, Long] = Map.empty,
       /** Per-file Bloom filters for equality skipping on
         * high-cardinality unclustered columns ([[FileStats]] bloom
         * section): rel path → column → packed base64 bits. Present
@@ -199,6 +206,8 @@ object CdcTable {
       } ++
       c.fileRows.toSeq.sortBy(_._1).map { case (rel, n) =>
         s"frows=${FileStats.renderRows(rel, n)}" } ++
+      c.fileBytes.toSeq.sortBy(_._1).map { case (rel, n) =>
+        s"fbytes=${FileStats.renderRows(rel, n)}" } ++
       c.blooms.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
         cols.toSeq.sortBy(_._1).map { case (col, bits) =>
           s"bloom=${FileStats.renderBloom(rel, col, bits)}" }
@@ -261,6 +270,8 @@ object CdcTable {
           rel -> entries.map(e => e._2 -> e._3).toMap },
       fileRows = kv.collect { case ("frows", payload) => payload }
         .flatMap(FileStats.parseRows).toMap,
+      fileBytes = kv.collect { case ("fbytes", payload) => payload }
+        .flatMap(FileStats.parseRows).toMap,
       blooms = kv.collect { case ("bloom", payload) => payload }
         .flatMap(FileStats.parseBloom)
         .groupBy(_._1)
@@ -291,7 +302,8 @@ object CdcTable {
     val condensed = commits.zipWithIndex.map { case (c, i) =>
       if (eIdx >= 0 && i < eIdx)
         c.copy(files = Nil, stub = true, stats = Map.empty,
-          fileRows = Map.empty, blooms = Map.empty,
+          fileRows = Map.empty, fileBytes = Map.empty,
+          blooms = Map.empty,
           changeFiles = Nil, dvFiles = Nil,
           removedFiles = Nil) // hydrate from raw
       else c
@@ -911,12 +923,13 @@ object CdcTable {
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(batchDir)
     val files = stagedFiles(dir, batchDir)
-    val (stats, frows) = FileStats.collectInfo(dir, files)
+    val (stats, frows, fbytes) = FileStats.collectInfo(dir, files)
     val blooms = collectBlooms(out.sparkSession, batchDir, files,
       bloomCols, merged, partCols)
     commit(dir, n => Commit(n, sv, "append",
       System.currentTimeMillis(), txn, merged, files,
-      stats = stats, fileRows = frows, blooms = blooms))
+      stats = stats, fileRows = frows, fileBytes = fbytes,
+      blooms = blooms))
     sv
   }
 
@@ -1782,7 +1795,8 @@ object CdcTable {
     (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
      else writer).parquet(batchDir)
     val fresh = stagedFiles(dir, batchDir)
-    val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
+    val (freshStats, freshRows, freshBytes) =
+      FileStats.collectInfo(dir, fresh)
     val sidecar =
       if (n == 0) Nil
       else stageAux(dir, "_dv",
@@ -1792,6 +1806,7 @@ object CdcTable {
     val c = commit(dir, nn => Commit(nn, commits.last.schemaVersion,
       "dv", System.currentTimeMillis(), txn, schema, fresh,
       stats = freshStats, fileRows = freshRows,
+      fileBytes = freshBytes,
       changeFiles = cfiles, dvFiles = sidecar),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(snap))
         throw new java.util.ConcurrentModificationException(
@@ -1933,6 +1948,8 @@ object CdcTable {
       .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
     val carriedRows = live.flatMap(_.fileRows.view
       .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
+    val carriedBytes = live.flatMap(_.fileBytes.view
+      .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
 
     // a keyed delete matching nothing (and needing no generation or
     // layout compaction) must be a no-op commit-wise, like delete()
@@ -1973,7 +1990,8 @@ object CdcTable {
          else writer).parquet(batchDir)
         stagedFiles(dir, batchDir)
       }
-    val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
+    val (freshStats, freshRows, freshBytes) =
+      FileStats.collectInfo(dir, fresh)
 
     // CDF change rows (Delta CDF parity): matched target rows are the
     // preimages; for MERGE the source splits into update_postimage
@@ -2002,6 +2020,7 @@ object CdcTable {
       System.currentTimeMillis(), txn, schema, carried ++ fresh,
       stats = carriedStats ++ freshStats,
       fileRows = carriedRows ++ freshRows,
+      fileBytes = carriedBytes ++ freshBytes,
       changeFiles = cfiles,
       dvFiles = if (carried.isEmpty) Nil
         else live.flatMap(_.dvFiles).distinct,
@@ -2088,6 +2107,8 @@ object CdcTable {
       .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
     val carriedRows = live.flatMap(_.fileRows.view
       .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
+    val carriedBytes = live.flatMap(_.fileBytes.view
+      .filterKeys(f => !touched(fileKey(f)) && carried.contains(f))).toMap
 
     // cast the rewrite set to the CURRENT table schema before the
     // predicate/transform runs: readCommits targets the subset's own
@@ -2116,7 +2137,8 @@ object CdcTable {
          else writer).parquet(batchDir)
         stagedFiles(dir, batchDir)
       }
-    val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
+    val (freshStats, freshRows, freshBytes) =
+      FileStats.collectInfo(dir, fresh)
     // CDF change rows (one extra matched-rows-only scan of the
     // PARTIALLY-touched files — never the carried bulk, and never
     // the fully-dead files the shortcut routed to removedFiles)
@@ -2127,6 +2149,7 @@ object CdcTable {
       System.currentTimeMillis(), None, schema, carried ++ fresh,
       stats = carriedStats ++ freshStats,
       fileRows = carriedRows ++ freshRows,
+      fileBytes = carriedBytes ++ freshBytes,
       changeFiles = cfiles,
       dvFiles = if (carried.isEmpty) Nil
         else live.flatMap(_.dvFiles).distinct,
@@ -2162,9 +2185,13 @@ object CdcTable {
     * rows, so the change feed stays silent (compaction semantics).
     * Returns (filesBefore, filesAfter, commit id). */
   def optimizeWhere(spark: SparkSession, dir: String,
-      predicate: String, zorderCols: Seq[String] = Nil,
-      nFiles: Option[Int] = None): (Int, Int, Long) = {
+      predicate: Option[String], zorderCols: Seq[String] = Nil,
+      nFiles: Option[Int] = None,
+      smallerThan: Option[Long] = None): (Int, Int, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    require(predicate.isDefined || smallerThan.isDefined,
+      "scoped OPTIMIZE needs WHERE and/or SMALLER THAN; use the " +
+        "full OPTIMIZE otherwise")
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
     val snap = commits.last.commit
@@ -2177,47 +2204,64 @@ object CdcTable {
     val targetLayout = live.reverse.iterator.flatMap(_.files.headOption)
       .map(partColsFromPath).nextOption().getOrElse(Nil)
     val partCols = files.flatMap(partColsFromPath).distinct
-    require(partCols.nonEmpty,
-      s"OPTIMIZE WHERE on $dir: the table has no partition columns — " +
-        "the predicate cannot prune files; run a full OPTIMIZE")
-    // partition-only predicate: selection must be manifest-decidable
     val resolver = spark.sessionState.analyzer.resolver
-    val refs = spark.sessionState.sqlParser.parseExpression(predicate)
-      .collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.head
-      }.distinct
-    val bad = refs.filterNot(r => partCols.exists(resolver(_, r)))
-    require(bad.isEmpty,
-      s"OPTIMIZE WHERE may reference partition columns only " +
-        s"(${partCols.mkString(", ")}); not: ${bad.mkString(", ")} — " +
-        "a non-partition predicate cannot scope a physical rewrite")
-    // evaluate the predicate on the manifest's file list as a local
-    // frame: same percent-decoding + typing as the read path injects
-    def rawSeg(f: String, p: String): String =
-      fileKey(f).split('/')
-        .find(s => s.startsWith(p + "=")).map(_.split("=", 2)(1))
-        .orNull
-    import scala.jdk.CollectionConverters._
-    val fileFrame = spark.createDataFrame(
-      files.distinct.map(f => org.apache.spark.sql.Row.fromSeq(
-        f +: partCols.map(p => rawSeg(f, p)))).asJava,
-      StructType(StructField("_file",
-        org.apache.spark.sql.types.StringType) +:
-        partCols.map(p => StructField(p,
-          org.apache.spark.sql.types.StringType))))
-    val typed = partCols.foldLeft(fileFrame) { (df, p) =>
-      val t = schema.fields.find(f => resolver(f.name, p))
-        .map(_.dataType)
-        .getOrElse(org.apache.spark.sql.types.StringType)
-      df.withColumn(p,
-        when(col(s"`$p`") === "__HIVE_DEFAULT_PARTITION__",
-          lit(null).cast("string"))
-          .otherwise(pctDecode(col(s"`$p`"))).cast(t))
+    val predMatched: Set[String] = predicate match {
+      case None => files.toSet
+      case Some(pred) =>
+        require(partCols.nonEmpty,
+          s"OPTIMIZE WHERE on $dir: the table has no partition " +
+            "columns — the predicate cannot prune files; run a full " +
+            "OPTIMIZE")
+        // partition-only predicate: selection must be
+        // manifest-decidable
+        val refs = spark.sessionState.sqlParser.parseExpression(pred)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.head
+          }.distinct
+        val bad = refs.filterNot(r => partCols.exists(resolver(_, r)))
+        require(bad.isEmpty,
+          s"OPTIMIZE WHERE may reference partition columns only " +
+            s"(${partCols.mkString(", ")}); not: ${bad.mkString(", ")} " +
+            "— a non-partition predicate cannot scope a physical " +
+            "rewrite")
+        // evaluate the predicate on the manifest's file list as a
+        // local frame: same percent-decoding + typing as the read
+        // path injects
+        def rawSeg(f: String, p: String): String =
+          fileKey(f).split('/')
+            .find(s => s.startsWith(p + "=")).map(_.split("=", 2)(1))
+            .orNull
+        import scala.jdk.CollectionConverters._
+        val fileFrame = spark.createDataFrame(
+          files.distinct.map(f => org.apache.spark.sql.Row.fromSeq(
+            f +: partCols.map(p => rawSeg(f, p)))).asJava,
+          StructType(StructField("_file",
+            org.apache.spark.sql.types.StringType) +:
+            partCols.map(p => StructField(p,
+              org.apache.spark.sql.types.StringType))))
+        val typed = partCols.foldLeft(fileFrame) { (df, p) =>
+          val t = schema.fields.find(f => resolver(f.name, p))
+            .map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          df.withColumn(p,
+            when(col(s"`$p`") === "__HIVE_DEFAULT_PARTITION__",
+              lit(null).cast("string"))
+              .otherwise(pctDecode(col(s"`$p`"))).cast(t))
+        }
+        typed.filter(coalesce(expr(pred), lit(false)))
+          .select(col("_file")).collect().map(_.getString(0)).toSet
     }
-    val selected = typed
-      .filter(coalesce(expr(predicate), lit(false)))
-      .select(col("_file")).collect().map(_.getString(0)).toSet
+    // SMALLER THAN: bin-pack only the small files (Delta's OPTIMIZE
+    // semantics) from manifest-recorded sizes — zero IO; legacy files
+    // without a recorded size conservatively count as small (they get
+    // rewritten once and gain one)
+    val selected = smallerThan match {
+      case None => predMatched
+      case Some(t) =>
+        val bytes = live.flatMap(_.fileBytes).toMap
+        predMatched.filter(f => bytes.get(f).forall(_ < t))
+    }
     if (selected.isEmpty) return (before, before, snap)
     def mustRewrite(c: Commit, f: String): Boolean =
       selected(f) || c.schemaVersion != currentSv ||
@@ -2232,6 +2276,8 @@ object CdcTable {
     val carriedStats = live.flatMap(_.stats.view
       .filterKeys(carriedSet)).toMap
     val carriedRows = live.flatMap(_.fileRows.view
+      .filterKeys(carriedSet)).toMap
+    val carriedBytes = live.flatMap(_.fileBytes.view
       .filterKeys(carriedSet)).toMap
     val carriedBlooms = live.flatMap(_.blooms.view
       .filterKeys(carriedSet)).toMap
@@ -2249,11 +2295,13 @@ object CdcTable {
     (if (targetLayout.nonEmpty) writer.partitionBy(targetLayout: _*)
      else writer).parquet(batchDir)
     val fresh = stagedFiles(dir, batchDir)
-    val (freshStats, freshRows) = FileStats.collectInfo(dir, fresh)
+    val (freshStats, freshRows, freshBytes) =
+      FileStats.collectInfo(dir, fresh)
     val c = commit(dir, n => Commit(n, currentSv, "replace",
       System.currentTimeMillis(), None, schema, carried ++ fresh,
       stats = carriedStats ++ freshStats,
       fileRows = carriedRows ++ freshRows,
+      fileBytes = carriedBytes ++ freshBytes,
       blooms = carriedBlooms,
       dvFiles = if (carried.isEmpty) Nil
         else live.flatMap(_.dvFiles).distinct),
@@ -2287,10 +2335,10 @@ object CdcTable {
       .parquet(batchDir)
     val nv = commits.last.schemaVersion + 1
     val files = stagedFiles(dir, batchDir)
-    val (stats, frows) = FileStats.collectInfo(dir, files)
+    val (stats, frows, fbytes) = FileStats.collectInfo(dir, files)
     commit(dir, n => Commit(n, nv, "replace",
       System.currentTimeMillis(), txn, schema, files,
-      stats = stats, fileRows = frows),
+      stats = stats, fileRows = frows, fileBytes = fbytes),
       validate = cur => if (cur.lastOption.map(_.commit) != Some(base))
         throw new java.util.ConcurrentModificationException(
           s"replace at $dir built from commit $base but the log is " +
@@ -2396,6 +2444,7 @@ object CdcTable {
         rename = g.flatMap(_.rename).headOption,
         stats = g.flatMap(_.stats).toMap,
         fileRows = g.flatMap(_.fileRows).toMap,
+        fileBytes = g.flatMap(_.fileBytes).toMap,
         blooms = g.flatMap(_.blooms).toMap,
         // DV sidecars are part of the snapshot's logical state and
         // must reinstate with it; CDF change files are the HISTORY
@@ -2454,6 +2503,7 @@ object CdcTable {
         c.action, System.currentTimeMillis(), None, c.schema, abs,
         rename = c.rename,
         stats = rekey(c.stats), fileRows = rekey(c.fileRows),
+        fileBytes = rekey(c.fileBytes),
         blooms = rekey(c.blooms),
         // DV sidecars borrow like data files (their content keys rows
         // by the data/batch-… suffix, identical under the clone);
@@ -2494,9 +2544,13 @@ object CdcTable {
     require(commits.nonEmpty, s"no CdcTable at $dir")
     val eff = effective(commits)
     val files = eff.flatMap(_.files)
-    // batched: one listStatus per data directory, not per-file RPCs
-    val sizes = Fs.statBatch(files.distinct.map(f => resolve(dir, f)))
-    val bytes = files.map(f => sizes.getOrElse(resolve(dir, f), 0L)).sum
+    // manifest-recorded sizes first (zero IO); batched listStatus only
+    // for legacy files committed before `fbytes` existed
+    val known = eff.flatMap(_.fileBytes).toMap
+    val unknown = files.distinct.filterNot(known.contains)
+    val sizes = Fs.statBatch(unknown.map(f => resolve(dir, f)))
+    val bytes = files.map(f => known.getOrElse(f,
+      sizes.getOrElse(resolve(dir, f), 0L))).sum
     TableDetail(
       commits = commits.last.commit,
       schemaVersion = commits.last.schemaVersion,

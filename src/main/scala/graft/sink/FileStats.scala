@@ -52,27 +52,29 @@ object FileStats {
     * table-size estimate [[CdcTable.rowCountEstimate]] reads). A file
     * whose footer fails to read is absent from both maps. */
   def collectInfo(dir: String, relFiles: Seq[String])
-      : (Map[String, Map[String, ColStats]], Map[String, Long]) = {
+      : (Map[String, Map[String, ColStats]], Map[String, Long],
+        Map[String, Long]) = {
     val conf = Fs.conf()
     // footer reads are independent metadata IO (one open per file) —
     // read them concurrently instead of serially on the driver; a
     // 32-file batch costs one round-trip latency, not 32
     import scala.jdk.CollectionConverters._
     val infos = relFiles.asJava.parallelStream()
-      .map[Option[(String, (Map[String, ColStats], Long))]] { rel =>
+      .map[Option[(String, (Map[String, ColStats], Long, Long))]] { rel =>
         scala.util.Try(ofFile(s"$dir/$rel", conf)).toOption
           .map(rel -> _)
       }
       .collect(java.util.stream.Collectors.toList[
-        Option[(String, (Map[String, ColStats], Long))]])
+        Option[(String, (Map[String, ColStats], Long, Long))]])
       .asScala.flatten.toMap
-    (infos.collect { case (rel, (st, _)) if st.nonEmpty => rel -> st },
-      infos.map { case (rel, (_, n)) => rel -> n })
+    (infos.collect { case (rel, (st, _, _)) if st.nonEmpty => rel -> st },
+      infos.map { case (rel, (_, n, _)) => rel -> n },
+      infos.map { case (rel, (_, _, b)) => rel -> b })
   }
 
   private def ofFile(path: String,
       conf: org.apache.hadoop.conf.Configuration)
-      : (Map[String, ColStats], Long) = {
+      : (Map[String, ColStats], Long, Long) = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path), conf)
     val reader = ParquetFileReader.open(in)
@@ -98,7 +100,11 @@ object FileStats {
           }
         }
       }
-      (perCol.toMap, rows)
+      // in.getLength comes from the FileStatus the open already made —
+      // manifest-recorded sizes cost zero extra IO at commit time and
+      // save a listStatus storm at read time (detail, small-file
+      // OPTIMIZE selection)
+      (perCol.toMap, rows, in.getLength)
     } finally reader.close()
   }
 

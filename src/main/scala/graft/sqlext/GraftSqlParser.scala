@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * recognizer intercepts the three graft statements and every other
   * string delegates untouched to Spark's parser.
   *
-  *   GRAFT OPTIMIZE '<path>' [WHERE <partition predicate>] [ZORDER BY (c1, c2, …)] [FILES n]
+  *   GRAFT OPTIMIZE '<path>' [WHERE <partition predicate>] [SMALLER THAN n MB] [ZORDER BY (c1, c2, …)] [FILES n]
   *   GRAFT COMPACT '<path>' [ID col] [ZORDER BY (c1, …)]
   *   GRAFT COMPACT INDEX '<path>'
   *   GRAFT RETRACT INDEX '<path>' IDS (v1, v2, …) [REELECT FROM '<t>' ID c TEXT c]
@@ -81,6 +81,7 @@ object GraftSqlParser {
   private val optimizeRe = Pattern.compile(
     """\s*GRAFT\s+OPTIMIZE\s+'([^']+)'""" +
       """(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+SMALLER\s+THAN\s+(\d+)\s*MB)?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+FILES\s+(\d+))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val compactRe = Pattern.compile(
@@ -214,11 +215,12 @@ object GraftSqlParser {
     if (!sqlText.toUpperCase(Locale.ROOT).contains("GRAFT")) return None
     val om = optimizeRe.matcher(sqlText)
     if (om.matches()) {
-      val cols = Option(om.group(3)).toSeq.flatMap(
+      val cols = Option(om.group(4)).toSeq.flatMap(
         _.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       return Some(OptimizeGraftTable(om.group(1), cols,
-        Option(om.group(4)).map(_.toInt),
-        where = Option(om.group(2)).map(_.trim)))
+        Option(om.group(5)).map(_.toInt),
+        where = Option(om.group(2)).map(_.trim),
+        smallerThanMb = Option(om.group(3)).map(_.toLong)))
     }
     val cim = compactIndexRe.matcher(sqlText)
     if (cim.matches())
@@ -437,7 +439,8 @@ object GraftSqlParser {
 /** `GRAFT OPTIMIZE '<path>' [ZORDER BY (…)] [FILES n]` — rewrite the
   * current state as one atomic replace commit, optionally clustered. */
 case class OptimizeGraftTable(dir: String, zorderCols: Seq[String],
-    nFiles: Option[Int], where: Option[String] = None)
+    nFiles: Option[Int], where: Option[String] = None,
+    smallerThanMb: Option[Long] = None)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
 
@@ -446,12 +449,13 @@ case class OptimizeGraftTable(dir: String, zorderCols: Seq[String],
     attr("commit", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    // partition-scoped form: rewrite only the selected partitions'
-    // files, carry everything else by reference (the 100 TB form —
-    // see CdcTable.optimizeWhere)
-    where.foreach { pred =>
-      val (b, a, c) = CdcTable.optimizeWhere(spark, dir, pred,
-        zorderCols, nFiles)
+    // scoped forms: rewrite only the selected partitions' files
+    // (WHERE) and/or only the small files (SMALLER THAN — Delta's
+    // OPTIMIZE semantics), carry everything else by reference (the
+    // 100 TB form — see CdcTable.optimizeWhere)
+    if (where.isDefined || smallerThanMb.isDefined) {
+      val (b, a, c) = CdcTable.optimizeWhere(spark, dir, where,
+        zorderCols, nFiles, smallerThanMb.map(_ * 1024L * 1024L))
       return Seq(Row(b, a, c))
     }
     // ONE log snapshot drives the whole rewrite: the frame is read AS

@@ -56,7 +56,7 @@ class OptimizeWhereSpec extends SparkSpec {
     val before = CdcTable.log(dir).flatMap(_.files)
     // lexicographically "10" < "2" — typed evaluation must pick ONLY
     // bucket=2's file for `bucket > 5`
-    CdcTable.optimizeWhere(spark, dir, "bucket > 5", nFiles = Some(1))
+    CdcTable.optimizeWhere(spark, dir, Some("bucket > 5"), nFiles = Some(1))
     val after = CdcTable.log(dir).last.files
     assert(after.filter(_.contains("bucket=2")).toSet ==
       before.filter(_.contains("bucket=2")).toSet,
@@ -73,7 +73,7 @@ class OptimizeWhereSpec extends SparkSpec {
     CdcTable.deleteKeysDV(spark, dir, Seq("e1", "d1").toDF("_id"),
       Seq("_id"))
     assert(CdcTable.read(spark, dir).count() == 6)
-    CdcTable.optimizeWhere(spark, dir, "lang = 'en'", nFiles = Some(1))
+    CdcTable.optimizeWhere(spark, dir, Some("lang = 'en'"), nFiles = Some(1))
     val after = CdcTable.log(dir).last
     assert(after.dvFiles.nonEmpty,
       "carried de files still need their tombstones")
@@ -87,17 +87,55 @@ class OptimizeWhereSpec extends SparkSpec {
     val dir = tmpDir("ow_rej")
     mk(dir)
     val tail = CdcTable.log(dir).last.commit
-    val (b, a, c) = CdcTable.optimizeWhere(spark, dir, "lang = 'xx'")
+    val (b, a, c) = CdcTable.optimizeWhere(spark, dir, Some("lang = 'xx'"))
     assert(b == a && c == tail, "no match must not commit")
     val e = intercept[IllegalArgumentException](
-      CdcTable.optimizeWhere(spark, dir, "v > 0"))
+      CdcTable.optimizeWhere(spark, dir, Some("v > 0")))
     assert(e.getMessage.contains("partition columns only"))
     val flat = tmpDir("ow_flat")
     CdcTable.append(Seq((1L, "a")).toDF("v", "_id"), flat,
       partitionBy = Nil)
     val e2 = intercept[IllegalArgumentException](
-      CdcTable.optimizeWhere(spark, flat, "v > 0"))
+      CdcTable.optimizeWhere(spark, flat, Some("v > 0")))
     assert(e2.getMessage.contains("no partition columns"))
+  }
+
+  test("SMALLER THAN bin-packs only the small files, from manifest sizes alone") {
+    val dir = tmpDir("ow_small")
+    // one BIG file (500 padded rows) + four 1-row files
+    CdcTable.append((1 to 500).map(i =>
+      (s"big$i", "x" * 200)).toDF("_id", "pad").coalesce(1), dir,
+      partitionBy = Nil)
+    (1 to 4).foreach(i => CdcTable.append(
+      Seq((s"s$i", "y")).toDF("_id", "pad").coalesce(1), dir,
+      partitionBy = Nil))
+    val log0 = CdcTable.log(dir)
+    val big = log0.head.files.head
+    assert(log0.head.fileBytes(big) >
+      log0.last.fileBytes(log0.last.files.head),
+      "manifest must record sizes")
+    // exact byte threshold = the big file's size: it carries by
+    // reference, the four small files bin-pack into one
+    val (b, a, _) = CdcTable.optimizeWhere(spark, dir, None,
+      nFiles = Some(1), smallerThan = Some(log0.head.fileBytes(big)))
+    assert(CdcTable.log(dir).last.files.contains(big),
+      "the big file must carry by reference")
+    assert(b == 5 && a == 2,
+      s"four small files bin-pack into one: $b -> $a")
+    assert(CdcTable.read(spark, dir).count() == 504)
+    // SQL form parses and runs (MB-granular threshold)
+    spark.sql(s"GRAFT OPTIMIZE '$dir' SMALLER THAN 1 MB FILES 1")
+      .collect()
+    assert(CdcTable.read(spark, dir).count() == 504)
+  }
+
+  test("detail answers live bytes from the manifest (no stat storm)") {
+    val dir = tmpDir("ow_detail")
+    mk(dir)
+    val d = CdcTable.detail(dir)
+    val manifestBytes = CdcTable.log(dir).flatMap(_.fileBytes.values).sum
+    assert(d.liveBytes == manifestBytes && manifestBytes > 0,
+      s"detail must use recorded sizes: ${d.liveBytes} vs $manifestBytes")
   }
 
   test("WHERE composes with ZORDER on the scoped subset") {
