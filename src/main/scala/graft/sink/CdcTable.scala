@@ -130,7 +130,16 @@ object CdcTable {
         * them would corrupt the contract (e.g. append without CHECK
         * enforcement, DML without change files). [[commit]] refuses
         * to write to a table carrying an unknown one. */
-      writerRequires: Seq[String] = Nil)
+      writerRequires: Seq[String] = Nil,
+      /** Table-property ops (Delta TBLPROPERTIES parity): `(key,
+        * Some(value))` sets, `(key, None)` unsets; the current map is
+        * the ordered fold over the FULL log ([[propertiesOf]], the
+        * constraint/rename pattern). Properties are writer-honored
+        * metadata — `graft.vacuum.retainHours` overrides the VACUUM
+        * default, so property commits stamp the `table-properties`
+        * writer feature (an old writer vacuuming at the 7-day default
+        * under a 30-day property would break long time travel). */
+      propOps: Seq[(String, Option[String])] = Nil)
 
   /** Format features this build reads correctly. A table whose log
     * requires anything outside this set fails LOUDLY at open. */
@@ -140,7 +149,8 @@ object CdcTable {
   /** Features this build writes correctly (superset of reader —
     * every writer is also a reader). */
   val SupportedWriterFeatures: Set[String] =
-    SupportedReaderFeatures ++ Set("check-constraints", "change-data-feed")
+    SupportedReaderFeatures ++
+      Set("check-constraints", "change-data-feed", "table-properties")
 
   /** Derive the feature stamps from what a commit actually carries —
     * centralized in [[commit]] so no write path can forget one. The
@@ -153,7 +163,9 @@ object CdcTable {
     val w = (if (c.constraintOps.exists(_.add))
         Seq("check-constraints") else Nil) ++
       (if (c.changeFiles.nonEmpty || c.removedFiles.nonEmpty)
-        Seq("change-data-feed") else Nil)
+        Seq("change-data-feed") else Nil) ++
+      (if (c.propOps.exists(_._2.isDefined))
+        Seq("table-properties") else Nil)
     if (r.isEmpty && w.isEmpty) c
     else c.copy(requires = (c.requires ++ r).distinct,
       writerRequires = (c.writerRequires ++ w).distinct)
@@ -216,10 +228,22 @@ object CdcTable {
       c.dvFiles.map(f => s"dvfile=$f") ++
       c.removedFiles.map(f => s"rfile=$f") ++
       c.constraintOps.map(renderCons) ++
+      c.propOps.map {
+        case (k, Some(v)) => s"prop=set:${b64(k)}:${b64(v)}"
+        case (k, None) => s"prop=unset:${b64(k)}"
+      } ++
       c.requires.map(f => s"requires=$f") ++
       c.writerRequires.map(f => s"wrequires=$f")
     head.mkString("\n")
   }
+
+  private def parseProp(payload: String): (String, Option[String]) =
+    payload.split(":", -1) match {
+      case Array("set", k, v) => (unb64(k), Some(unb64(v)))
+      case Array("unset", k) => (unb64(k), None)
+      case _ => throw new IllegalArgumentException(
+        s"unparseable property op: $payload")
+    }
 
   // Constraint-op wire form. Names, expressions and column names are
   // base64ed individually: a CHECK expression legitimately contains
@@ -282,7 +306,8 @@ object CdcTable {
       removedFiles = kv.collect { case ("rfile", f) => f },
       constraintOps = kv.collect { case ("cons", p) => parseCons(p) },
       requires = kv.collect { case ("requires", f) => f },
-      writerRequires = kv.collect { case ("wrequires", f) => f })
+      writerRequires = kv.collect { case ("wrequires", f) => f },
+      propOps = kv.collect { case ("prop", p) => parseProp(p) })
   }
 
   /** Write a consolidated checkpoint every this many commits so log
@@ -689,6 +714,48 @@ object CdcTable {
       "constraint", System.currentTimeMillis(), None,
       commits.last.schema, Nil,
       constraintOps = Seq(ConsOp(add = false, name, "", Nil)))).commit
+  }
+
+  // ───────────────────────────────────────────────────────────────
+  // Table properties — Delta TBLPROPERTIES parity. Writer-honored
+  // metadata (e.g. `graft.vacuum.retainHours` — Delta's
+  // deletedFileRetentionDuration); folded over the full log like
+  // constraints; clones inherit, RESTORE rolls back.
+
+  /** The table's current properties: ordered fold of set/unset ops
+    * over the FULL log (later wins). */
+  def propertiesOf(commits: Seq[Commit]): Map[String, String] =
+    commits.flatMap(_.propOps)
+      .foldLeft(scala.collection.immutable.ListMap.empty[String, String]) {
+        case (acc, (k, Some(v))) => acc.updated(k, v)
+        case (acc, (k, None)) => acc - k
+      }
+
+  def properties(dir: String): Map[String, String] =
+    propertiesOf(log(dir))
+
+  /** SET a property — one fileless `action="property"` commit. */
+  def setProperty(dir: String, key: String, value: String): Long = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    require(key.nonEmpty, "property key must be non-empty")
+    commit(dir, n => Commit(n, commits.last.schemaVersion,
+      "property", System.currentTimeMillis(), None,
+      commits.last.schema, Nil,
+      propOps = Seq((key, Some(value))))).commit
+  }
+
+  /** UNSET a property. Unsetting an absent key rejects loudly. */
+  def unsetProperty(dir: String, key: String): Long = {
+    val commits = log(dir)
+    require(commits.nonEmpty, s"no CdcTable at $dir")
+    require(propertiesOf(commits).contains(key),
+      s"no property $key on $dir " +
+        s"(have: ${propertiesOf(commits).keys.mkString(", ")})")
+    commit(dir, n => Commit(n, commits.last.schemaVersion,
+      "property", System.currentTimeMillis(), None,
+      commits.last.schema, Nil,
+      propOps = Seq((key, None)))).commit
   }
 
   /** Current schema-generation version (0 = no table yet). */
@@ -2426,6 +2493,16 @@ object CdcTable {
       curCons.filterNot(c => targetCons.exists(_.name == c.name))
         .map(c => ConsOp(add = false, c.name, "", Nil)) ++
         targetCons.filterNot(curCons.contains)
+    // properties restore with the snapshot too (Delta RESTORE parity)
+    val targetProps = propertiesOf(
+      commits.takeWhile(_.commit <= snap.last.commit))
+    val curProps = propertiesOf(commits)
+    val propDiff: Seq[(String, Option[String])] =
+      curProps.keys.filterNot(targetProps.contains)
+        .map(k => (k, None: Option[String])).toSeq ++
+        targetProps.filter { case (k, v) =>
+          curProps.get(k) != Some(v) }
+          .map { case (k, v) => (k, Some(v)) }.toSeq
     var expectTail = commits.last.commit
     var newSv = base
     gens.zipWithIndex.foreach { case (g, i) =>
@@ -2436,6 +2513,7 @@ object CdcTable {
         action, System.currentTimeMillis(), None, g.last.schema,
         g.flatMap(_.files),
         constraintOps = if (i == 0) consDiff else Nil,
+        propOps = if (i == 0) propDiff else Nil,
         // a rename marker travels through the restore: its sv is
         // unique, but the group may also hold the SAME-sv appends
         // that followed it (fileless marker + files share the group
@@ -2487,10 +2565,13 @@ object CdcTable {
     require(log(dstDir).isEmpty,
       s"clone target $dstDir already holds a graft table")
     val eff = effective(src).map(hydrate(srcDir, _))
-    // the source's CURRENT constraint set (full-log fold — constraint
-    // commits may predate the last replace) re-states on the clone's
-    // FIRST commit, so the clone enforces what the source enforces
+    // the source's CURRENT constraint set and properties (full-log
+    // folds — their commits may predate the last replace) re-state on
+    // the clone's FIRST commit, so the clone enforces/honors what the
+    // source does
     val srcCons = constraintsOf(src)
+    val srcProps = propertiesOf(src).toSeq
+      .map { case (k, v) => (k, Some(v)) }
     var borrowed = 0L
     var expectTail = 0L
     eff.zipWithIndex.foreach { case (c, ci) =>
@@ -2509,7 +2590,8 @@ object CdcTable {
         // by the data/batch-… suffix, identical under the clone);
         // CDF change files are source history and do not clone
         dvFiles = c.dvFiles.map(f => resolve(srcDir, f)),
-        constraintOps = if (ci == 0) srcCons else Nil),
+        constraintOps = if (ci == 0) srcCons else Nil,
+        propOps = if (ci == 0) srcProps else Nil),
         validate = cur =>
           if (cur.lastOption.map(_.commit).getOrElse(0L) != tailBefore)
             throw new java.util.ConcurrentModificationException(

@@ -35,6 +35,9 @@ import org.apache.spark.sql.types._
   *   GRAFT ADD CONSTRAINT '<path>' name CHECK (<expr>)
   *   GRAFT DROP CONSTRAINT '<path>' name
   *   GRAFT CONSTRAINTS '<path>'
+  *   GRAFT SET PROPERTY '<path>' 'key' = 'value'
+  *   GRAFT UNSET PROPERTY '<path>' 'key'
+  *   GRAFT PROPERTIES '<path>'
   *   GRAFT DETAIL '<path>'
   *   GRAFT PROFILE '<path>' [COLUMNS c1, c2, …] [K n]
   *   GRAFT PROFILE INDEX '<path>' [AT COMMIT n]
@@ -160,6 +163,16 @@ object GraftSqlParser {
     Pattern.CASE_INSENSITIVE)
   private val showConsRe = Pattern.compile(
     """\s*GRAFT\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val setPropRe = Pattern.compile(
+    """\s*GRAFT\s+SET\s+PROPERTY\s+'([^']+)'\s+'([^']+)'""" +
+      """\s*=\s*'([^']*)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val unsetPropRe = Pattern.compile(
+    """\s*GRAFT\s+UNSET\s+PROPERTY\s+'([^']+)'\s+'([^']+)'\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val showPropsRe = Pattern.compile(
+    """\s*GRAFT\s+PROPERTIES\s+'([^']+)'\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
   private val detailRe = Pattern.compile(
     """\s*GRAFT\s+DETAIL\s+'([^']+)'\s*;?\s*""",
@@ -332,6 +345,16 @@ object GraftSqlParser {
     val skm = showConsRe.matcher(sqlText)
     if (skm.matches())
       return Some(ShowGraftConstraints(skm.group(1)))
+    val spm = setPropRe.matcher(sqlText)
+    if (spm.matches())
+      return Some(SetGraftProperty(spm.group(1), spm.group(2),
+        spm.group(3)))
+    val upm = unsetPropRe.matcher(sqlText)
+    if (upm.matches())
+      return Some(UnsetGraftProperty(upm.group(1), upm.group(2)))
+    val shp = showPropsRe.matcher(sqlText)
+    if (shp.matches())
+      return Some(ShowGraftProperties(shp.group(1)))
     val dm = detailRe.matcher(sqlText)
     if (dm.matches()) return Some(DetailGraftTable(dm.group(1)))
     val pim = profileIdxRe.matcher(sqlText)
@@ -626,7 +649,14 @@ case class VacuumGraftTable(dir: String, retainHours: Option[Long],
     attr("files_deleted", IntegerType))
 
   override def run(spark: SparkSession): Seq[Row] = {
-    retainHours.filter(h => h < floorHours && !force).foreach { h =>
+    // explicit RETAIN wins; else the table's retention property
+    // (graft.vacuum.retainHours — Delta deletedFileRetentionDuration
+    // parity); else the 7-day default. The safety floor applies to
+    // whichever source supplied the value.
+    val effective = retainHours.orElse(
+      CdcTable.properties(dir).get("graft.vacuum.retainHours")
+        .map(_.toLong))
+    effective.filter(h => h < floorHours && !force).foreach { h =>
       throw new IllegalArgumentException(
         s"GRAFT VACUUM RETAIN $h HOURS is below the $floorHours-hour " +
           "safety floor: files older than the retention but still " +
@@ -635,7 +665,7 @@ case class VacuumGraftTable(dir: String, retainHours: Option[Long],
           "re-execution would be deleted. Append FORCE to override " +
           "(e.g. after quiescing all readers).")
     }
-    val retain = retainHours.map(_ * 3600 * 1000L)
+    val retain = effective.map(_ * 3600 * 1000L)
       .getOrElse(7L * 24 * 3600 * 1000)
     Seq(Row(CdcTable.vacuumOrphans(dir, retain).size))
   }
@@ -1024,6 +1054,43 @@ case class ShowGraftConstraints(dir: String)
   override def run(spark: SparkSession): Seq[Row] =
     CdcTable.constraints(dir).map(c =>
       Row(c.name, c.expr, c.cols.mkString(",")))
+}
+
+/** GRAFT SET PROPERTY '<path>' 'key' = 'value' — Delta TBLPROPERTIES
+  * parity ([[CdcTable.setProperty]]): one fileless commit; the
+  * current map is the ordered fold over the log. Writer-honored:
+  * `graft.vacuum.retainHours` overrides the VACUUM default. */
+case class SetGraftProperty(dir: String, key: String, value: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CdcTable.setProperty(dir, key, value)))
+}
+
+/** GRAFT UNSET PROPERTY '<path>' 'key'. */
+case class UnsetGraftProperty(dir: String, key: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(attr("commit", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(CdcTable.unsetProperty(dir, key)))
+}
+
+/** GRAFT PROPERTIES '<path>' — list the current property map. */
+case class ShowGraftProperties(dir: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("key", StringType), attr("value", StringType))
+
+  override def run(spark: SparkSession): Seq[Row] =
+    CdcTable.properties(dir).toSeq.map(p => Row(p._1, p._2))
 }
 
 /** GRAFT DROP COLUMN '<path>' <name> — metadata-only column drop
