@@ -203,11 +203,14 @@ object SchemaMerge {
     val merged = a.fields.map { fa =>
       bByName.get(fa.name) match {
         case Some(fb) =>
+          // the EXISTING side's field metadata is authoritative (it
+          // carries engine markers like generated-column expressions);
+          // a batch-side field never contributes metadata
           StructField(fa.name,
             mergeTypes(fa.dataType, fb.dataType, mode,
               if (path.isEmpty) fa.name else s"$path.${fa.name}",
               maxStructFields),
-            nullable = true)
+            nullable = true, metadata = fa.metadata)
         case None => fa.copy(nullable = true)
       }
     }

@@ -886,9 +886,70 @@ object OpsQ {
       |  ('gate_selected_rewrote')) AS t(tag)
       |ORDER BY tag""".stripMargin
 
+  /** q210 — GENERATED COLUMNS ([[graft.sink.CdcTable
+    * .addGeneratedColumn]], Delta `GENERATED ALWAYS AS` parity): the
+    * expression lives in the manifest schema's field metadata; a
+    * batch lacking the column gets it COMPUTED in-write, one
+    * providing a wrong value is REJECTED (gate row), a keyed MERGE
+    * recomputes it for the replaced rows, and rows appended before
+    * the DDL null-fill (the added-column rule, stated honestly). The
+    * oracle recomputes the derivation per row from the DML history. */
+  def q210(s: SparkSession, dir: String): DataFrame = {
+    import graft.sink.CdcTable
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tbl = QueryDef.scratchDir("graft_q210_tbl")
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 0), tbl,
+      partitionBy = Nil)
+    s.sql(s"GRAFT ADD COLUMN '$tbl' bucket BIGINT " +
+      "GENERATED AS (n_chars % 7)").collect()
+    CdcTable.append(docs.filter(col("doc_id") % 2 === 1), tbl,
+      partitionBy = Nil)
+    val appendRejected = scala.util.Try(CdcTable.append(
+      docs.filter(col("doc_id") % 2 === 1).limit(10)
+        .withColumn("bucket", lit(999L)), tbl,
+      partitionBy = Nil)).isFailure
+    CdcTable.merge(s, tbl,
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000L)),
+      Seq("doc_id"), partitionBy = Nil)
+    val gates = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("append_rejected",
+        if (appendRejected) 1L else 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+      .withColumn("sum_chars", lit(null).cast("long"))
+    CdcTable.read(s, tbl)
+      .groupBy(coalesce(col("bucket").cast("string"), lit("null"))
+        .as("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .unionByName(gates)
+      .orderBy(col("tag"))
+  }
+
+  val q210Sql: String =
+    """WITH final AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+      |         ELSE n_chars END AS n_chars,
+      |    CASE WHEN doc_id % 3 = 0 THEN (n_chars + 1000) % 7
+      |         WHEN doc_id % 2 = 0 THEN NULL
+      |         ELSE n_chars % 7 END AS bucket
+      |  FROM documents)
+      |SELECT COALESCE(CAST(bucket AS VARCHAR), 'null') AS tag,
+      |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM final GROUP BY bucket
+      |UNION ALL SELECT 'append_rejected', 1, NULL
+      |ORDER BY tag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q208_check_constraints", q208, Some(q208Sql)),
     QueryDef("q209_optimize_where", q209, Some(q209Sql)),
+    QueryDef("q210_generated_columns", q210, Some(q210Sql)),
     QueryDef("q203_change_feed_dml", q203, Some(q203Sql)),
     QueryDef("q204_deletion_vectors", q204, Some(q204Sql)),
     QueryDef("q205_alter_column_type", q205, Some(q205Sql)),

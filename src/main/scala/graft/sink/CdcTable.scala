@@ -442,6 +442,11 @@ object CdcTable {
         s"rename: column '$from' is referenced by CHECK constraint " +
           s"${cn.name} [${cn.expr}] — drop the constraint first " +
           "(its expression would silently stop resolving)"))
+    generatedOf(schema).find(g => g._3.contains(from) &&
+        g._1.name != from).foreach(g =>
+      throw new IllegalArgumentException(
+        s"rename: column '$from' is a source of generated column " +
+          s"${g._1.name} [${g._2}] — drop that column first"))
     val renamed = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     val snap = commits0.last.commit
@@ -491,6 +496,11 @@ object CdcTable {
       throw new IllegalArgumentException(
         s"drop: column '$name' is referenced by CHECK constraint " +
           s"${cn.name} [${cn.expr}] — drop the constraint first"))
+    generatedOf(schema).find(g => g._3.contains(name) &&
+        g._1.name != name).foreach(g =>
+      throw new IllegalArgumentException(
+        s"drop: column '$name' is a source of generated column " +
+          s"${g._1.name} [${g._2}] — drop that column first"))
     val narrowed = StructType(schema.fields.filterNot(_.name == name))
     val snap = commits0.last.commit
     commit(dir, n => Commit(n, commits0.last.schemaVersion + 1,
@@ -714,6 +724,118 @@ object CdcTable {
       "constraint", System.currentTimeMillis(), None,
       commits.last.schema, Nil,
       constraintOps = Seq(ConsOp(add = false, name, "", Nil)))).commit
+  }
+
+  // ───────────────────────────────────────────────────────────────
+  // Generated columns — Delta GENERATED ALWAYS AS parity. The
+  // generation expression lives in the MANIFEST schema's field
+  // metadata (StructField.metadata survives the schema-JSON round
+  // trip and the merge lattice); writers compute the column when a
+  // batch does not provide it and VERIFY it when one does.
+
+  private[sink] val GenExprKey = "graft.generated"
+  private[sink] val GenColsKey = "graft.generatedFrom"
+
+  /** Generated columns of a schema: (field, exprSql, source cols). */
+  private def generatedOf(schema: StructType)
+      : Seq[(StructField, String, Seq[String])] =
+    schema.fields.toSeq.filter(_.metadata.contains(GenExprKey)).map {
+      f => (f, f.metadata.getString(GenExprKey),
+        if (f.metadata.contains(GenColsKey))
+          f.metadata.getStringArray(GenColsKey).toSeq else Nil)
+    }
+
+  /** Verify-only pseudo-constraints for generated columns — every
+    * written row must satisfy `col <=> CAST(expr AS type)` (null-safe
+    * equality: never NULL, violation iff unequal — so an UPDATE that
+    * changes a source column without recomputing the generated one
+    * fails LOUDLY instead of silently serving a stale derivation;
+    * stricter than Delta's silent recompute, and never wrong). */
+  private def generatedVerify(schema: StructType): Seq[ConsOp] =
+    generatedOf(schema).map { case (f, e, cols) =>
+      ConsOp(add = true, s"generated_${f.name}",
+        s"`${f.name}` <=> CAST(($e) AS ${f.dataType.sql})",
+        cols :+ f.name)
+    }
+
+  /** Apply generation to rows being written: compute each generated
+    * column the ORIGINAL batch did not provide (`providedCols` is the
+    * pre-cast input schema); in-write-verify the ones it did. */
+  private def applyGenerated(rows: DataFrame, schema: StructType,
+      providedCols: Set[String], op: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val gens = generatedOf(schema)
+    if (gens.isEmpty) return rows
+    val computed = gens.foldLeft(rows) { case (df, (f, e, _)) =>
+      if (providedCols.contains(f.name)) df
+      else df.withColumn(f.name, expr(e).cast(f.dataType))
+    }
+    val provided = gens.map(_._1.name).filter(providedCols).toSet
+    val verify = generatedVerify(schema)
+      .zip(gens)
+      .collect { case (v, g) if provided(g._1.name) => v }
+    constraintGuard(computed, verify, op)
+  }
+
+  /** ADD a GENERATED column (Delta `GENERATED ALWAYS AS` parity),
+    * metadata-only like [[addColumn]]: one commit records the widened
+    * schema with the generation expression in the field's metadata.
+    * From then on every append/MERGE computes the column when the
+    * batch lacks it (so `partitionBy` can target it — the
+    * derived-date partitioning pattern) and verifies it in-write when
+    * the batch provides it. Rows committed BEFORE the DDL null-fill
+    * (the ordinary added-column rule — this engine adds the column
+    * late rather than forcing it at creation; documented honestly).
+    * The expression may reference existing non-generated columns
+    * only; RENAME/DROP of a referenced column rejects. */
+  def addGeneratedColumn(spark: SparkSession, dir: String,
+      name: String, dataType: DataType, exprSql: String): Long = {
+    val commits0 = log(dir)
+    require(commits0.nonEmpty, s"no CdcTable at $dir")
+    val schema = commits0.last.schema
+    require(!schema.fieldNames.contains(name),
+      s"add generated: column '$name' already exists in $dir")
+    require(!name.startsWith("_cdc") && !name.startsWith("_graft"),
+      s"add generated: '$name' is an engine-owned metadata prefix")
+    val resolver = spark.sessionState.analyzer.resolver
+    val refs = spark.sessionState.sqlParser.parseExpression(exprSql)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.distinct
+    val cols = refs.map { r =>
+      schema.fieldNames.filter(resolver(_, r)) match {
+        case Array(one) => one
+        case Array() => throw new IllegalArgumentException(
+          s"ADD GENERATED $name references unknown column $r " +
+            s"(columns: ${schema.fieldNames.mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"ADD GENERATED $name: column $r is ambiguous " +
+            s"(matches ${many.mkString(", ")})")
+      }
+    }
+    cols.foreach(c => require(
+      !generatedOf(schema).exists(_._1.name == c),
+      s"ADD GENERATED $name: '$c' is itself generated — chained " +
+        "generation is not supported (inline the expression)"))
+    // type-check: the expression must cast to the declared type
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .select(org.apache.spark.sql.functions.expr(exprSql)
+        .cast(dataType).as("c")).schema // analysis throws on nonsense
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(GenExprKey, exprSql)
+      .putStringArray(GenColsKey, cols.toArray).build()
+    val widened = StructType(schema.fields :+
+      StructField(name, dataType, nullable = true, metadata = meta))
+    val snap = commits0.last.commit
+    commit(dir, n => Commit(n, commits0.last.schemaVersion + 1,
+      "add", System.currentTimeMillis(), None, widened, Nil),
+      validate = cur =>
+        if (cur.lastOption.map(_.commit) != Some(snap))
+          throw new java.util.ConcurrentModificationException(
+            s"add generated at $dir: a write landed mid-add " +
+              s"(expected log tail $snap); rerun")).schemaVersion
   }
 
   // ───────────────────────────────────────────────────────────────
@@ -982,7 +1104,9 @@ object CdcTable {
     val sv =
       if (existing.contains(merged)) commits.last.schemaVersion
       else commits.lastOption.map(_.schemaVersion + 1).getOrElse(1L)
-    val out = constraintGuard(SchemaMerge.castTo(batch, merged),
+    val out = constraintGuard(
+      applyGenerated(SchemaMerge.castTo(batch, merged), merged,
+        batch.schema.fieldNames.toSet, "append"),
       constraintsOf(commits), "append")
     val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
     val writer = out.write.mode("overwrite")
@@ -1845,7 +1969,8 @@ object CdcTable {
     val n = matched.count()
     val matchedKeys = matched
       .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*).distinct()
-    val srcCast = SchemaMerge.castTo(src, schema)
+    val srcCast = applyGenerated(SchemaMerge.castTo(src, schema),
+      schema, src.schema.fieldNames.toSet, "mergeDV")
     val ct = "_change_type"
     val changeRows = matched.drop("_graft_file", "_graft_pos")
       .withColumn(ct, lit("update_preimage"))
@@ -2037,7 +2162,11 @@ object CdcTable {
       else SchemaMerge.castTo(readCommits(spark, dir, rewriteCommits),
         schema)
     val survivors = rewriteRows.join(srcKeys, keys.toSeq, "left_anti")
-    val srcCast = SchemaMerge.castTo(src, schema)
+    // generated columns: computed when the source lacks them,
+    // in-write-verified when it provides them (change rows carry the
+    // computed values too — srcCast feeds both)
+    val srcCast = applyGenerated(SchemaMerge.castTo(src, schema),
+      schema, src.schema.fieldNames.toSet, op)
     // CHECK constraints gate only the NEW rows (survivors passed at
     // their own write time — induction holds); in-write enforcement,
     // no extra scan
@@ -2194,9 +2323,12 @@ object CdcTable {
       if (rewriteCommits.forall(_.files.isEmpty)) Seq.empty[String]
       else {
         // the guard re-checks untouched survivor rows of touched
-        // files too (they pass by induction) — in-write, O(touched)
+        // files too (they pass by induction) — in-write, O(touched).
+        // Generated columns verify here too: an UPDATE that changes a
+        // source column without recomputing its derivation fails
+        // loudly instead of committing a stale generated value.
         val outRows = constraintGuard(transform(rewriteRows, pred),
-          constraintsOf(commits), op)
+          constraintsOf(commits) ++ generatedVerify(schema), op)
         val batchDir = s"$dir/data/batch-${UUID.randomUUID()}"
         val writer = SchemaMerge.castTo(outRows, schema)
           .write.mode("overwrite")

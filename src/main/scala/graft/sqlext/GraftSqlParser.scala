@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   *   GRAFT CLONE '<src>' TO '<dst>'
   *   GRAFT RENAME COLUMN '<path>' FROM a TO b
   *   GRAFT DROP COLUMN '<path>' a
-  *   GRAFT ADD COLUMN '<path>' a <type>
+  *   GRAFT ADD COLUMN '<path>' a <type> [GENERATED AS (<expr>)]
   *   GRAFT ALTER COLUMN '<path>' a TYPE <type>
   *   GRAFT ADD CONSTRAINT '<path>' name CHECK (<expr>)
   *   GRAFT DROP CONSTRAINT '<path>' name
@@ -150,6 +150,10 @@ object GraftSqlParser {
     """\s*GRAFT\s+ALTER\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?""" +
       """\s+TYPE\s+([\w()\s,<>]+?)\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  private val addGenColRe = Pattern.compile(
+    """\s*GRAFT\s+ADD\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?""" +
+      """\s+([\w()\s,<>]+?)\s+GENERATED\s+AS\s*\((.+)\)\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val addColRe = Pattern.compile(
     """\s*GRAFT\s+ADD\s+COLUMN\s+'([^']+)'\s+`?([\w]+)`?""" +
       """\s+([\w()\s,<>]+?)\s*;?\s*""",
@@ -327,6 +331,10 @@ object GraftSqlParser {
     val dcm = dropColRe.matcher(sqlText)
     if (dcm.matches())
       return Some(DropGraftColumn(dcm.group(1), dcm.group(2)))
+    val agm = addGenColRe.matcher(sqlText)
+    if (agm.matches())
+      return Some(AddGraftGeneratedColumn(agm.group(1), agm.group(2),
+        agm.group(3).trim, agm.group(4).trim))
     val acm = addColRe.matcher(sqlText)
     if (acm.matches())
       return Some(AddGraftColumn(acm.group(1), acm.group(2),
@@ -1054,6 +1062,24 @@ case class ShowGraftConstraints(dir: String)
   override def run(spark: SparkSession): Seq[Row] =
     CdcTable.constraints(dir).map(c =>
       Row(c.name, c.expr, c.cols.mkString(",")))
+}
+
+/** GRAFT ADD COLUMN '<path>' <name> <type> GENERATED AS (<expr>) —
+  * Delta `GENERATED ALWAYS AS` parity ([[CdcTable
+  * .addGeneratedColumn]]): metadata-only; writers compute the column
+  * when a batch lacks it (derived-date partitioning) and verify it
+  * in-write when one provides it. */
+case class AddGraftGeneratedColumn(dir: String, name: String,
+    typeSql: String, exprSql: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+
+  override val output: Seq[Attribute] = Seq(
+    attr("schema_version", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeSql)
+    Seq(Row(CdcTable.addGeneratedColumn(spark, dir, name, dt, exprSql)))
+  }
 }
 
 /** GRAFT SET PROPERTY '<path>' 'key' = 'value' — Delta TBLPROPERTIES
