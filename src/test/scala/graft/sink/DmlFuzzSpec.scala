@@ -25,6 +25,15 @@ class DmlFuzzSpec extends SparkSpec {
   private case class DeleteKeys(ks: Seq[Long]) extends Op
   private case object Optimize extends Op // content-preserving rewrite
   private case object Vacuum extends Op   // reclaim superseded files
+  // second-session surfaces: merge-on-read routes, constraint
+  // toggling (an always-true invariant — enforcement paths run on
+  // every later write without aborting the sequence), properties
+  // (metadata-only), and the scoped small-file optimize
+  private case class MergeDV(rows: Seq[(Long, Option[Long])]) extends Op
+  private case class DeleteKeysDV(ks: Seq[Long]) extends Op
+  private case object ToggleConstraint extends Op
+  private case object SetProp extends Op
+  private case object OptimizeSmall extends Op
 
   private val genRow: Gen[(Long, Option[Long])] = for {
     k <- Gen.chooseNum(0L, 40L)
@@ -42,7 +51,14 @@ class DmlFuzzSpec extends SparkSpec {
     2 -> Gen.chooseNum(1, 4).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 45L)).map(DeleteKeys)),
     1 -> Gen.const(Optimize),
-    1 -> Gen.const(Vacuum))
+    1 -> Gen.const(Vacuum),
+    2 -> Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, genRow).map(rs => MergeDV(dedupeKeys(rs)))),
+    2 -> Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 45L)).map(DeleteKeysDV)),
+    1 -> Gen.const(ToggleConstraint),
+    1 -> Gen.const(SetProp),
+    1 -> Gen.const(OptimizeSmall))
 
   /** appends/merges use key-unique batches so the model stays a map */
   private def dedupeKeys(rs: Seq[(Long, Option[Long])])
@@ -60,7 +76,8 @@ class DmlFuzzSpec extends SparkSpec {
       CdcTable.append(toDf(Seq((999L, Some(0L)))), dir)
       model += (999L -> Some(0L))
 
-      val ops = Gen.listOfN(12, genOp)(
+      var consOn = false
+      val ops = Gen.listOfN(16, genOp)(
         Gen.Parameters.default, Seed(seed.toLong)).get
       ops.zipWithIndex.foreach { case (op, i) =>
         op match {
@@ -99,6 +116,26 @@ class DmlFuzzSpec extends SparkSpec {
           case Vacuum =>
             // reclaiming superseded files must never touch live data
             CdcTable.vacuumOrphans(dir, retainMillis = 0L)
+          case MergeDV(rows) =>
+            CdcTable.mergeDV(spark, dir, toDf(rows), keys = Seq("k"))
+            model ++= rows.toMap
+          case DeleteKeysDV(ks) =>
+            CdcTable.deleteKeysDV(spark, dir, ks.toDF("k"), Seq("k"))
+            model --= ks
+          case ToggleConstraint =>
+            // always-true on the fuzz domain: every later write runs
+            // the enforcement path without aborting the sequence
+            if (!consOn) CdcTable.addConstraint(spark, dir,
+              "fuzz_floor", "x IS NULL OR x > -1000")
+            else CdcTable.dropConstraint(dir, "fuzz_floor")
+            consOn = !consOn
+          case SetProp =>
+            CdcTable.setProperty(dir, "fuzz.touch", i.toString)
+          case OptimizeSmall =>
+            // scoped rewrite selecting everything (huge threshold):
+            // content-preserving, folds any DVs on rewritten files
+            CdcTable.optimizeWhere(spark, dir, None,
+              nFiles = Some(2), smallerThan = Some(Long.MaxValue))
         }
         val got = CdcTable.read(spark, dir)
           .select("k", "x").as[(Long, Option[Long])]
