@@ -668,23 +668,8 @@ object CdcTable {
     require(!existing.exists(_.name == name),
       s"constraint $name already exists on $dir (drop it first)")
     val schema = commits.last.schema
-    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
-    val resolver = spark.sessionState.analyzer.resolver
-    val refs = parsed.collect {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        a.nameParts.head
-    }.distinct
-    val cols = refs.map { r =>
-      schema.fieldNames.filter(resolver(_, r)) match {
-        case Array(one) => one
-        case Array() => throw new IllegalArgumentException(
-          s"ADD CONSTRAINT $name references unknown column $r " +
-            s"(columns: ${schema.fieldNames.mkString(", ")})")
-        case many => throw new IllegalArgumentException(
-          s"ADD CONSTRAINT $name: column $r is ambiguous under the " +
-            s"session resolver (matches ${many.mkString(", ")})")
-      }
-    }
+    val cols = resolveRefs(spark, schema.fieldNames.toSeq, exprSql,
+      s"ADD CONSTRAINT $name")
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val typed = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
@@ -736,6 +721,42 @@ object CdcTable {
   private[sink] val GenExprKey = "graft.generated"
   private[sink] val GenColsKey = "graft.generatedFrom"
 
+  /** Strip top-level field metadata from an INCOMING batch schema
+    * before the merge lattice: a frame built from `read(tableA)`
+    * carries tableA's engine markers (generated-column expressions)
+    * in its schema, and appending it to tableB must not silently
+    * install tableA's generated columns there. Only
+    * [[addGeneratedColumn]] may introduce engine metadata; the
+    * EXISTING manifest side of a merge keeps its own. */
+  private def stripFieldMeta(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  /** Resolve the top-level columns a SQL expression references
+    * against a schema, under the session resolver — the shared
+    * DDL-validation step of ADD CONSTRAINT / ADD GENERATED /
+    * OPTIMIZE WHERE. Unknown or ambiguous references throw with
+    * `context` in the message. */
+  private def resolveRefs(spark: SparkSession, schema: Seq[String],
+      exprSql: String, context: String): Seq[String] = {
+    val resolver = spark.sessionState.analyzer.resolver
+    spark.sessionState.sqlParser.parseExpression(exprSql)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.distinct.map { r =>
+      schema.filter(resolver(_, r)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"$context references unknown column $r " +
+            s"(columns: ${schema.mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"$context: column $r is ambiguous under the session " +
+            s"resolver (matches ${many.mkString(", ")})")
+      }
+    }
+  }
+
   /** Generated columns of a schema: (field, exprSql, source cols). */
   private def generatedOf(schema: StructType)
       : Seq[(StructField, String, Seq[String])] =
@@ -746,15 +767,20 @@ object CdcTable {
     }
 
   /** Verify-only pseudo-constraints for generated columns — every
-    * written row must satisfy `col <=> CAST(expr AS type)` (null-safe
-    * equality: never NULL, violation iff unequal — so an UPDATE that
-    * changes a source column without recomputing the generated one
-    * fails LOUDLY instead of silently serving a stale derivation;
-    * stricter than Delta's silent recompute, and never wrong). */
+    * written NON-NULL value must satisfy `col <=> CAST(expr AS
+    * type)`, so an UPDATE that changes a source column without
+    * recomputing the generated one fails LOUDLY instead of silently
+    * serving a stale derivation (stricter than Delta's silent
+    * recompute, and never wrong). A NULL generated value always
+    * passes: rows committed BEFORE the DDL null-fill by documented
+    * design, and a metadata-only DDL bumps the schema version, so
+    * the NEXT predicate DML rewrites exactly those files — the
+    * verify must not reject that legitimate state. */
   private def generatedVerify(schema: StructType): Seq[ConsOp] =
     generatedOf(schema).map { case (f, e, cols) =>
       ConsOp(add = true, s"generated_${f.name}",
-        s"`${f.name}` <=> CAST(($e) AS ${f.dataType.sql})",
+        s"(`${f.name}` IS NULL) OR " +
+          s"(`${f.name}` <=> CAST(($e) AS ${f.dataType.sql}))",
         cols :+ f.name)
     }
 
@@ -797,23 +823,8 @@ object CdcTable {
       s"add generated: column '$name' already exists in $dir")
     require(!name.startsWith("_cdc") && !name.startsWith("_graft"),
       s"add generated: '$name' is an engine-owned metadata prefix")
-    val resolver = spark.sessionState.analyzer.resolver
-    val refs = spark.sessionState.sqlParser.parseExpression(exprSql)
-      .collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.head
-      }.distinct
-    val cols = refs.map { r =>
-      schema.fieldNames.filter(resolver(_, r)) match {
-        case Array(one) => one
-        case Array() => throw new IllegalArgumentException(
-          s"ADD GENERATED $name references unknown column $r " +
-            s"(columns: ${schema.fieldNames.mkString(", ")})")
-        case many => throw new IllegalArgumentException(
-          s"ADD GENERATED $name: column $r is ambiguous " +
-            s"(matches ${many.mkString(", ")})")
-      }
-    }
+    val cols = resolveRefs(spark, schema.fieldNames.toSeq, exprSql,
+      s"ADD GENERATED $name")
     cols.foreach(c => require(
       !generatedOf(schema).exists(_._1.name == c),
       s"ADD GENERATED $name: '$c' is itself generated — chained " +
@@ -856,11 +867,17 @@ object CdcTable {
   def properties(dir: String): Map[String, String] =
     propertiesOf(log(dir))
 
-  /** SET a property — one fileless `action="property"` commit. */
+  /** SET a property — one fileless `action="property"` commit.
+    * Engine-honored keys validate their value HERE (a malformed
+    * retention must fail the SET, not wedge every later VACUUM). */
   def setProperty(dir: String, key: String, value: String): Long = {
     val commits = log(dir)
     require(commits.nonEmpty, s"no CdcTable at $dir")
     require(key.nonEmpty, "property key must be non-empty")
+    if (key == "graft.vacuum.retainHours")
+      require(scala.util.Try(value.toLong).toOption.exists(_ >= 0),
+        s"property $key must be a non-negative integer hour count, " +
+          s"got '$value'")
     commit(dir, n => Commit(n, commits.last.schemaVersion,
       "property", System.currentTimeMillis(), None,
       commits.last.schema, Nil,
@@ -1092,13 +1109,16 @@ object CdcTable {
         return commits.last.schemaVersion // replayed batch — skip
     }
     val existing = commits.lastOption.map(_.schema)
+    // incoming metadata never reaches the manifest (stripFieldMeta):
+    // only the ADD GENERATED DDL may install engine markers
+    val bSchema = stripFieldMeta(batch.schema)
     val merged = existing match {
-      case Some(e) => SchemaMerge.merge(e, batch.schema, mode,
+      case Some(e) => SchemaMerge.merge(e, bSchema, mode,
         maxStructFields)
       // self-merge normalizes the first schema (all-nullable, like
       // every later merge) so a second identical append doesn't open
       // a spurious generation over a nullability-only difference
-      case None => SchemaMerge.merge(batch.schema, batch.schema, mode,
+      case None => SchemaMerge.merge(bSchema, bSchema, mode,
         maxStructFields)
     }
     val sv =
@@ -1371,6 +1391,22 @@ object CdcTable {
           "commit only as a fileless stub and vacuumOrphans has " +
           "pruned its raw commit file (vacuum retention is the " +
           "travel horizon)"))
+
+  /** Files [[readChanges]] will serve for a commit — the stream
+    * source's `maxFilesPerTrigger` budget unit. Checkpoint STUBS must
+    * hydrate from the raw log first (condensation emptied their file
+    * lists — counting them as 0 would admit an entire stubbed backfill
+    * history in one trigger); a stub whose raw commit was vacuumed
+    * counts as unbounded, so the capped source gives it its own
+    * trigger and readChanges raises its own loud horizon error there. */
+  def servedFileCount(dir: String, c: Commit): Long =
+    scala.util.Try(hydrate(dir, c)).toOption match {
+      case None => Long.MaxValue / 4
+      case Some(h) => h.action match {
+        case "append" => h.files.size.toLong
+        case _ => (h.changeFiles.size + h.removedFiles.size).toLong
+      }
+    }
 
   /** Change feed (the Delta CDF read shape; the reference's CDC event
     * log IS its change stream): the rows APPENDED in commits
@@ -2074,7 +2110,8 @@ object CdcTable {
     // replace-based DML; same-schema merges keep the cheap path.
     val schema =
       if (evolveSchema)
-        SchemaMerge.merge(tableSchema, source.schema, SchemaMerge.Auto)
+        SchemaMerge.merge(tableSchema, stripFieldMeta(source.schema),
+          SchemaMerge.Auto)
       else tableSchema
     val widened = schema != tableSchema
     if (!evolveSchema) {
@@ -2412,18 +2449,17 @@ object CdcTable {
             "columns — the predicate cannot prune files; run a full " +
             "OPTIMIZE")
         // partition-only predicate: selection must be
-        // manifest-decidable
-        val refs = spark.sessionState.sqlParser.parseExpression(pred)
-          .collect {
-            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              a.nameParts.head
-          }.distinct
-        val bad = refs.filterNot(r => partCols.exists(resolver(_, r)))
-        require(bad.isEmpty,
-          s"OPTIMIZE WHERE may reference partition columns only " +
-            s"(${partCols.mkString(", ")}); not: ${bad.mkString(", ")} " +
-            "— a non-partition predicate cannot scope a physical " +
-            "rewrite")
+        // manifest-decidable. resolveRefs rejects unknowns; a known
+        // NON-partition column needs its own message.
+        scala.util.Try(resolveRefs(spark, partCols, pred,
+          "OPTIMIZE WHERE")).recover { case e: IllegalArgumentException
+            if e.getMessage.contains("unknown column") =>
+          throw new IllegalArgumentException(
+            s"OPTIMIZE WHERE may reference partition columns only " +
+              s"(${partCols.mkString(", ")}) — a non-partition " +
+              "predicate cannot scope a physical rewrite: " +
+              e.getMessage)
+        }.get
         // evaluate the predicate on the manifest's file list as a
         // local frame: same percent-decoding + typing as the read
         // path injects

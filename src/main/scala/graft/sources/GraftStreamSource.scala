@@ -94,11 +94,11 @@ class GraftStreamSource(spark: SparkSession, dir: String,
         var go = true
         while (go && it.hasNext) {
           val c = it.next()
-          // what readChanges will actually serve for this commit
-          val n = c.action match {
-            case "append" => c.files.size.toLong
-            case _ => (c.changeFiles.size + c.removedFiles.size).toLong
-          }
+          // what readChanges will actually serve for this commit —
+          // checkpoint stubs hydrate (their file lists were condensed
+          // away; counting 0 would admit a whole backfill history in
+          // one trigger)
+          val n = CdcTable.servedFileCount(dir, c)
           if (t == cursor || n <= budget) { t = c.commit; budget -= n }
           else go = false
         }

@@ -662,8 +662,13 @@ case class VacuumGraftTable(dir: String, retainHours: Option[Long],
     // parity); else the 7-day default. The safety floor applies to
     // whichever source supplied the value.
     val effective = retainHours.orElse(
-      CdcTable.properties(dir).get("graft.vacuum.retainHours")
-        .map(_.toLong))
+      CdcTable.properties(dir).get("graft.vacuum.retainHours").map {
+        v => scala.util.Try(v.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"table property graft.vacuum.retainHours on $dir holds " +
+              s"'$v' (not an hour count) — unset or correct it, or " +
+              "pass an explicit RETAIN"))
+      })
     effective.filter(h => h < floorHours && !force).foreach { h =>
       throw new IllegalArgumentException(
         s"GRAFT VACUUM RETAIN $h HOURS is below the $floorHours-hour " +

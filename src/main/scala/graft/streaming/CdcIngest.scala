@@ -209,27 +209,37 @@ object CdcIngest {
       // (constraint_violation) instead of failing the stream — the
       // reference's dirty-data policy (spec.md:261-295) applied to
       // the engine's own invariant surface. Violation iff FALSE (NULL
-      // passes); a constraint whose columns this batch doesn't carry
-      // passes vacuously (the append null-fills → NULL → passes).
-      // Replay keeps the loud in-write guard instead (dlqConstraints
-      // = false): it is operator-driven, and silently re-queueing a
-      // row the operator just tried to resolve would mask the fix.
+      // passes). Referenced columns the batch doesn't carry are
+      // null-filled in a PROBE frame so the split judges EXACTLY what
+      // append's in-write guard will see — an expression that is
+      // FALSE on a null-filled column (e.g. `v IS NOT NULL` under
+      // schema drift) must dead-letter its rows here, never crash
+      // the stream downstream. Replay keeps the loud in-write guard
+      // instead (dlqConstraints = false): it is operator-driven, and
+      // silently re-queueing a row the operator just tried to resolve
+      // would mask the fix.
       val resolver = spark.sessionState.analyzer.resolver
       val cons =
         if (!dlqConstraints) Nil
-        else CdcTable.constraints(tableDir).filter(c =>
-          c.cols.forall(n =>
-            toWrite.columns.exists(resolver(_, n))))
+        else CdcTable.constraints(tableDir)
       val (clean, consRejects) =
         if (cons.isEmpty) (toWrite, toWrite.limit(0))
         else {
+          val tblSchema = CdcTable.currentSchema(tableDir)
+          val missing = cons.flatMap(_.cols).distinct
+            .filterNot(n => toWrite.columns.exists(resolver(_, n)))
+          val probe = missing.foldLeft(toWrite)((df, c) =>
+            df.withColumn(c, lit(null).cast(
+              tblSchema.flatMap(_.fields.find(f => resolver(f.name, c)))
+                .map(_.dataType)
+                .getOrElse(org.apache.spark.sql.types.StringType))))
           val passAll = cons.map(c =>
             coalesce(expr(c.expr), lit(true))).reduce(_ && _)
-          (toWrite.filter(passAll),
-            toWrite.filter(!passAll).withColumn("_cons_detail",
+          (probe.filter(passAll).drop(missing: _*),
+            probe.filter(!passAll).withColumn("_cons_detail",
               concat_ws(",", cons.map(c =>
                 when(!coalesce(expr(c.expr), lit(true)),
-                  lit(c.name))): _*)))
+                  lit(c.name))): _*)).drop(missing: _*))
         }
       // transient IO failures retry with backoff (T9); schema
       // conflicts are deterministic and fail fast

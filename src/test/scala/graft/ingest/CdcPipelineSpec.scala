@@ -281,6 +281,38 @@ class CdcPipelineSpec extends SparkSpec {
       .filter($"_id" === "k3").select("v").as[Long].head() == 3L)
   }
 
+  test("constraints on columns a drifted batch lacks dead-letter instead of crashing the stream") {
+    val base = tmpDir("cdcconsdrift")
+    val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptconsdrift"))
+    CdcIngest.processBatch(Seq(env("c", "k1",
+      "\"{\\\"_id\\\":\\\"k1\\\",\\\"v\\\":1}\"", null, t0))
+      .toDF("value"), cfg, batchId = Some(0L))
+    // IS-NOT-NULL-shaped: FALSE (not NULL) on a null-filled column —
+    // the split must judge it on the null-filled probe, exactly as
+    // append's in-write guard will, or the stream dies downstream
+    CdcTable.addConstraint(spark, s"$base/testdb_users", "v_set",
+      "v IS NOT NULL")
+    // this batch's docs carry NO v at all: the column is fully absent
+    // from the demuxed frame (the schema-drift shape)
+    CdcIngest.processBatch(Seq(
+      env("c", "k2", "\"{\\\"_id\\\":\\\"k2\\\",\\\"w\\\":5}\"",
+        null, t0 + 1),
+      env("c", "k3", "\"{\\\"_id\\\":\\\"k3\\\",\\\"w\\\":6}\"",
+        null, t0 + 2)).toDF("value"), cfg, batchId = Some(1L))
+    // the stream survived; both rows dead-lettered; a later batch
+    // WITH v lands normally
+    CdcIngest.processBatch(Seq(env("c", "k4",
+      "\"{\\\"_id\\\":\\\"k4\\\",\\\"v\\\":4}\"", null, t0 + 3))
+      .toDF("value"), cfg, batchId = Some(2L))
+    assert(CdcTable.read(spark, s"$base/testdb_users")
+      .select("_id").as[String].collect().toSet == Set("k1", "k4"))
+    val dlq = CdcTable.read(spark, s"$base/_dlq")
+      .filter($"reason" === CdcNormalize.DlqReason.ConstraintViolation)
+    assert(dlq.count() == 2)
+    assert(dlq.select("error_detail").as[String].collect().toSet ==
+      Set("v_set"))
+  }
+
   test("crash between data write and manifest commit cannot duplicate") {
     val base = tmpDir("cdccrash")
     val cfg = CdcIngest.Config(base, checkpointDir = tmpDir("ckptcrash"))

@@ -89,6 +89,53 @@ class GeneratedColumnSpec extends SparkSpec {
       .as[(Long, Long)].head() == ((31L, 3L)))
   }
 
+  test("pre-DDL null rows in the SAME file as DML targets pass the verify") {
+    val dir = tmpDir("gen_prefile")
+    // one file holds BOTH rows — the DDL bumps the schema version, so
+    // the next predicate DML rewrites this whole file and the verify
+    // must accept a's legitimate null-filled generated value
+    CdcTable.append(Seq((10L, "a"), (20L, "b")).toDF("v", "_id")
+      .coalesce(1), dir, partitionBy = Nil)
+    CdcTable.addGeneratedColumn(spark, dir, "bucket",
+      org.apache.spark.sql.types.LongType, "v % 7")
+    CdcTable.update(spark, dir, "_id = 'b'",
+      Seq("v" -> "v + 1", "bucket" -> "(v + 1) % 7"),
+      partitionBy = Nil)
+    val got = CdcTable.read(spark, dir)
+      .select("_id", "v", "bucket")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("a" -> ((10L, None)),
+      "b" -> ((21L, Some(0L)))), s"got: $got")
+    // a predicate DELETE over the mixed file also passes
+    CdcTable.delete(spark, dir, "v = 21", partitionBy = Nil)
+    assert(CdcTable.read(spark, dir).count() == 1)
+  }
+
+  test("appending a frame read from a generated table does NOT install generation elsewhere") {
+    val a = tmpDir("gen_leak_a")
+    val b = tmpDir("gen_leak_b")
+    CdcTable.append(Seq((10L, "a")).toDF("v", "_id"), a,
+      partitionBy = Nil)
+    CdcTable.addGeneratedColumn(spark, a, "bucket",
+      org.apache.spark.sql.types.LongType, "v % 7")
+    CdcTable.append(Seq((15L, "b")).toDF("v", "_id"), a,
+      partitionBy = Nil)
+    // read(a)'s schema carries a's engine metadata — appending it to
+    // b must strip it: b gets a plain nullable bucket column
+    CdcTable.append(CdcTable.read(spark, a), b, partitionBy = Nil)
+    // no compute on b: a batch lacking bucket leaves it null
+    CdcTable.append(Seq((22L, "c")).toDF("v", "_id"), b,
+      partitionBy = Nil)
+    assert(CdcTable.read(spark, b).filter(col("_id") === "c")
+      .select("bucket").as[Option[Long]].head().isEmpty,
+      "b must not have inherited a's generation expression")
+    // and no verify on b: an arbitrary bucket value is accepted
+    CdcTable.append(Seq((23L, "d", 999L)).toDF("v", "_id", "bucket"),
+      b, partitionBy = Nil)
+    assert(CdcTable.read(spark, b).count() == 4)
+  }
+
   test("metadata survives schema merges; source RENAME/DROP reject; chained generation rejects") {
     val dir = tmpDir("gen_meta")
     CdcTable.append(Seq((10L, "a")).toDF("v", "_id"), dir,

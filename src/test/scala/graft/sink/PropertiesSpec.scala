@@ -44,6 +44,10 @@ class PropertiesSpec extends SparkSpec {
     // a replace orphans the old file
     CdcTable.replaceWith(spark, dir,
       CdcTable.read(spark, dir).coalesce(1))
+    // malformed retention rejects at SET time (never wedges VACUUM)
+    val badp = intercept[IllegalArgumentException](
+      CdcTable.setProperty(dir, "graft.vacuum.retainHours", "30d"))
+    assert(badp.getMessage.contains("non-negative integer"))
     // sub-floor property without FORCE → the same loud floor error
     CdcTable.setProperty(dir, "graft.vacuum.retainHours", "0")
     val e = intercept[IllegalArgumentException](

@@ -142,6 +142,41 @@ class GraftStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger hydrates checkpoint stubs: backfill stays capped") {
+    val dir = tmpDir("gfstub")
+    val ckpt = tmpDir("gfstubck")
+    // 9 appends + a replace + one more append crosses the checkpoint
+    // interval: the pre-replace history condenses to file-less stubs,
+    // which the budget must HYDRATE (counting them 0 would admit the
+    // whole backfill in one trigger)
+    (1 to 9).foreach(i => CdcTable.append(
+      Seq((i.toLong, s"r$i")).toDF("x", "_id").coalesce(1), dir))
+    CdcTable.replaceWith(spark, dir,
+      CdcTable.read(spark, dir).coalesce(1))
+    CdcTable.append(Seq((10L, "r10")).toDF("x", "_id").coalesce(1), dir)
+    assert(CdcTable.log(dir).exists(_.stub),
+      "precondition: the log must serve condensed stubs")
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val cs = b.select("_commit").as[Long].collect().distinct.toSeq
+        batches.synchronized { batches += cs; () }
+      }.start()
+    try {
+      q.processAllAvailable()
+      val nonEmpty = batches.filter(_.nonEmpty)
+      assert(nonEmpty.forall(_.size == 1),
+        s"cap 1 must admit one data-bearing commit per trigger: " +
+          s"$nonEmpty")
+      assert(nonEmpty.flatten.sorted == ((1L to 9L) :+ 11L),
+        s"every append exactly once, compaction silent: " +
+          s"${nonEmpty.flatten.sorted}")
+    } finally q.stop()
+  }
+
   test("graft sink refuses to start without a query-unique txn id") {
     val dir = tmpDir("gsinknockpt")
     // a per-table fallback id would let two queries dedup against
