@@ -1418,13 +1418,11 @@ object TextAnalysis {
   def lmCountsAppend(batch: org.apache.spark.sql.DataFrame,
       tableDir: String, textCol: String = "text",
       txn: Option[(String, Long)] = None): Unit = {
-    val (u, b, t) = stupidBackoffTables(batch, textCol)
-    val all = u.select(lit(1).as("n_order"), col("w").as("gram"),
-        col("c").as("cnt"))
-      .unionByName(b.select(lit(2).as("n_order"), col("k").as("gram"),
-        col("c").as("cnt")))
-      .unionByName(t.select(lit(3).as("n_order"), col("k").as("gram"),
-        col("c").as("cnt")))
+    // r16 optimization: all three orders counted in one scan + one
+    // shuffle (formerly a union of three stupidBackoffTables
+    // aggregates — three tokenize+explode passes over the batch).
+    val all = gramCounts(batch.select(
+      split(trim(col(textCol)), "\\s+").as("toks"), lit(1L).as("sgn")))
     graft.sink.CdcTable.append(all, tableDir, partitionBy = Nil,
       txn = txn)
     ()
@@ -1482,24 +1480,57 @@ object TextAnalysis {
     if (range.isEmpty) return 0
     val feed = CdcTable.readChanges(spark, tableDir, afterCommit = hw,
       upToCommit = Some(range.last.commit))
-    def signedCounts(side: org.apache.spark.sql.DataFrame, sign: Long)
-    : org.apache.spark.sql.DataFrame = {
-      val (u, b, t) = stupidBackoffTables(side, textCol)
-      u.select(lit(1).as("n_order"), col("w").as("gram"),
-          (col("c") * sign).as("cnt"))
-        .unionByName(b.select(lit(2).as("n_order"), col("k").as("gram"),
-          (col("c") * sign).as("cnt")))
-        .unionByName(t.select(lit(3).as("n_order"), col("k").as("gram"),
-          (col("c") * sign).as("cnt")))
-    }
-    val all = signedCounts(feed.filter(col("_change_type")
-        .isin("insert", "update_postimage")), 1L)
-      .unionByName(signedCounts(feed.filter(col("_change_type")
-        .isin("delete", "update_preimage")), -1L))
-    graft.sink.CdcTable.append(all, lmDir, partitionBy = Nil,
-      txn = Some((appId, range.last.commit)))
+    graft.sink.CdcTable.append(lmSignedCounts(feed, textCol), lmDir,
+      partitionBy = Nil, txn = Some((appId, range.last.commit)))
     range.length
   }
+
+  /** One change-feed batch's signed LM count partials: every change
+    * row's 1/2/3-grams counted with sign +1 (insert/update_postimage)
+    * or −1 (delete/update_preimage) and summed per (n_order, gram).
+    * Counts are abelian sums, so emitting the NET per-gram partial is
+    * interchangeable with the former separate +/− rows under
+    * [[lmCountsRead]]'s fold. */
+  private[graft] def lmSignedCounts(feed: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val signed = feed.select(
+      split(trim(col(textCol)), "\\s+").as("toks"),
+      when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L).as("sgn"))
+    gramCounts(signed).filter(col("cnt") =!= 0L)
+  }
+
+  /** All three n-gram orders counted in ONE scan + ONE shuffle over a
+    * staged `(toks, sgn)` frame (r16 optimization: the former shape —
+    * a union of three [[stupidBackoffTables]] aggregates per sign —
+    * re-tokenized and re-shuffled the batch six times per sync; at a
+    * 100 TB feed that is five avoidable corpus passes). Gram layout is
+    * identical to the former per-order transforms, so counts are
+    * bit-identical. */
+  private def gramCounts(staged: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame =
+    staged.select(explode(expr(
+        """concat(
+          |  CASE WHEN size(toks) >= 1 THEN
+          |    transform(toks, t -> struct(1 AS n_order, t AS gram))
+          |  ELSE array() END,
+          |  CASE WHEN size(toks) >= 2 THEN
+          |    transform(sequence(0, size(toks) - 2), i ->
+          |      struct(2 AS n_order,
+          |        concat_ws(' ', toks[i], toks[i+1]) AS gram))
+          |  ELSE array() END,
+          |  CASE WHEN size(toks) >= 3 THEN
+          |    transform(sequence(0, size(toks) - 3), i ->
+          |      struct(3 AS n_order,
+          |        concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram))
+          |  ELSE array() END)""".stripMargin)).as("g"), col("sgn"))
+      .groupBy(col("g.n_order").as("n_order"), col("g.gram").as("gram"))
+      .agg(sum(col("sgn")).as("cnt"))
+
+  /** Plan-dump hook for tools/OptPlans (not a query surface). */
+  private[graft] def lmBatchCountsForPlan(
+      feed: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = lmSignedCounts(feed, "text")
 
   // ----------------------------------------------------------------
   // Interpolated Kneser–Ney bigram LM (Kneser & Ney ICASSP 1995;
