@@ -1580,29 +1580,58 @@ object TextAnalysis {
     * serve KN with no extra machinery. */
   def kneserNeyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       bi: org.apache.spark.sql.DataFrame, textCol: String = "text")
+  : org.apache.spark.sql.DataFrame =
+    kneserNeyScorePositions(df.select(col(idCol).as("id")),
+      kneserNeyPositions(df, idCol, textCol), bi)
+
+  /** The corpus bigram-positions frame `(id, w1, w2)` KN scoring
+    * consumes — exposed so callers scoring the SAME corpus under
+    * several models (Moore–Lewis) can tokenize once, pin the frame,
+    * and reuse it. */
+  private[graft] def kneserNeyPositions(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, carry: Seq[String] = Nil)
+  : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id") +: split(trim(col(textCol)), "\\s+")
+        .as("toks") +: carry.map(col): _*)
+      .select(col("id") +: explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> struct(toks[i-1] AS w1, toks[i] AS w2))
+          |ELSE array() END""".stripMargin)).as("p") +:
+        carry.map(col): _*)
+      .select(col("id") +: col("p.w1") +: col("p.w2") +:
+        carry.map(col): _*)
+
+  /** [[kneserNeyScore]] body over a pre-built positions frame.
+    *
+    * r16 optimization: the model table is PINNED (localCheckpoint)
+    * before its statistics derive — `bi` is referenced four times (T,
+    * context totals, backward type counts, the c12 join) and an
+    * unpinned corpus-scale aggregation would recompute the whole
+    * count once per reference (4 corpus passes where 1 suffices; the
+    * model is vocabulary-bounded, so the pin is small). */
+  private[graft] def kneserNeyScorePositions(
+      ids: org.apache.spark.sql.DataFrame,
+      pos: org.apache.spark.sql.DataFrame,
+      bi: org.apache.spark.sql.DataFrame)
   : org.apache.spark.sql.DataFrame = {
+    val spark = bi.sparkSession
     def lg(c: Column): Column =
-      if (df.sparkSession.catalog.functionExists("fixed_log2"))
+      if (spark.catalog.functionExists("fixed_log2"))
         expr(s"fixed_log2(${c.toString})")
       else org.apache.spark.sql.graftshim.ColumnShim.column(
         graft.functions.FixedLog2(
           org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
-    val t = bi.count()
+    val biP = bi.localCheckpoint()
+    val t = biP.count()
     require(t > 0, "kneserNeyScore: empty model (no bigrams)")
-    val ctx = bi.groupBy("w1")
+    val ctx = biP.groupBy("w1")
       .agg(sum(col("c")).as("c1"), count(lit(1)).as("fwd"))
-    val bwd = bi.groupBy("w2").agg(count(lit(1)).as("bwd"))
-    val pos = df
-      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+")
-        .as("toks"))
-      .select(col("id"), explode(expr(
-        """CASE WHEN size(toks) >= 2 THEN
-          |  transform(sequence(1, size(toks) - 1),
-          |    i -> struct(toks[i-1] AS w1, toks[i] AS w2))
-          |ELSE array() END""".stripMargin)).as("p"))
-      .select(col("id"), col("p.w1"), col("p.w2"))
+    val bwd = biP.groupBy("w2").agg(count(lit(1)).as("bwd"))
+    val df = ids
     val scored = pos
-      .join(bi.withColumnRenamed("c", "c12"), Seq("w1", "w2"), "left")
+      .join(biP.withColumnRenamed("c", "c12"), Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .join(bwd, Seq("w2"), "left")
       .withColumn("p_fp", expr(
@@ -1622,8 +1651,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pos"),
         sum(when(col("c12").isNotNull, 1L).otherwise(0L)).as("seen_bi"),
         sum(col("bits")).as("bits_fp"))
-    df.select(col(idCol).as("id"))
-      .join(scored, Seq("id"), "left")
+    df.join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_pos"), lit(0L)).as("n_pos"),
         coalesce(col("seen_bi"), lit(0L)).as("seen_bi"),
@@ -1674,10 +1702,16 @@ object TextAnalysis {
       else org.apache.spark.sql.graftshim.ColumnShim.column(
         graft.functions.FixedLog2(
           org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
-    // model-sized statistic frames, all from the trigram table
-    val c3ctx = tri.groupBy("w1", "w2")
+    // model-sized statistic frames, all from the trigram table —
+    // PINNED (r16): `tri` is referenced three times and `cc23` four
+    // times; unpinned, each reference would recompute the full
+    // corpus-scale trigram count (7 corpus passes where 1 suffices;
+    // both frames are vocabulary-bounded)
+    val triP = tri.localCheckpoint()
+    val c3ctx = triP.groupBy("w1", "w2")
       .agg(sum(col("c")).as("c3"), count(lit(1)).as("fwd3"))
-    val cc23 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("cc23"))
+    val cc23 = triP.groupBy("w2", "w3").agg(count(lit(1)).as("cc23"))
+      .localCheckpoint()
     val mid2 = cc23.groupBy("w2")
       .agg(sum(col("cc23")).as("mid2"), count(lit(1)).as("fwd2"))
     val bwd3 = cc23.groupBy("w3").agg(count(lit(1)).as("bwd3"))
@@ -1693,7 +1727,7 @@ object TextAnalysis {
           |ELSE array() END""".stripMargin)).as("p"))
       .select(col("id"), col("p.w1"), col("p.w2"), col("p.w3"))
     val scored = pos
-      .join(tri.withColumnRenamed("c", "c123"), Seq("w1", "w2", "w3"),
+      .join(triP.withColumnRenamed("c", "c123"), Seq("w1", "w2", "w3"),
         "left")
       .join(c3ctx, Seq("w1", "w2"), "left")
       .join(cc23, Seq("w2", "w3"), "left")

@@ -1600,15 +1600,34 @@ object TextQ {
     * TakeOrdered(50) — corpus size enters only through the one
     * positions scan, exactly twice q180's serving cost. */
   def q193(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
     val docs = spreadDocs(s, dir)
-    val biIn = graft.ext.TextAnalysis.kneserNeyTable(
-      docs.filter(col("source") === "src0"))
-    val biGen = graft.ext.TextAnalysis.kneserNeyTable(docs)
-    val sIn = graft.ext.TextAnalysis
-      .kneserNeyScore(docs, "doc_id", biIn)
+    // r16 optimization: ONE tokenize+explode pass builds a pinned
+    // positions frame tagged with the in-domain flag; both models
+    // derive from ONE aggregation of it (biGen = all positions, biIn
+    // = the src0 subset — identical to two kneserNeyTable builds by
+    // additivity of counts), and both scorings join the same pinned
+    // frame. Formerly the corpus was re-scanned and re-tokenized ~10×
+    // across the two model builds and two scoring positions frames.
+    val pos = TextAnalysis
+      .kneserNeyPositions(
+        docs.withColumn("is_in", col("source") === "src0"),
+        "doc_id", "text", carry = Seq("is_in"))
+      .localCheckpoint()
+    val biBoth = pos.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("is_in"), 1L).otherwise(0L)).as("c_in"))
+      .localCheckpoint()
+    val biGen = biBoth.select(col("w1"), col("w2"), col("c"))
+    val biIn = biBoth.filter(col("c_in") > 0)
+      .select(col("w1"), col("w2"), col("c_in").as("c"))
+    val ids = docs.select(col("doc_id").as("id"))
+    val posPlain = pos.select(col("id"), col("w1"), col("w2"))
+    val sIn = TextAnalysis
+      .kneserNeyScorePositions(ids, posPlain, biIn)
       .select(col("id").as("doc_id"), col("bpt_fp").as("bpt_in_fp"))
-    val sGen = graft.ext.TextAnalysis
-      .kneserNeyScore(docs, "doc_id", biGen)
+    val sGen = TextAnalysis
+      .kneserNeyScorePositions(ids, posPlain, biGen)
       .select(col("id").as("doc_id"), col("bpt_fp").as("bpt_gen_fp"))
     sIn.join(sGen, "doc_id")
       .withColumn("ml_diff_fp", col("bpt_in_fp") - col("bpt_gen_fp"))

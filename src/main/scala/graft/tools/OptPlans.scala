@@ -67,6 +67,41 @@ object OptPlans {
             .isin("delete", "update_preimage")), -1L)))
     }
 
+    // min-of-2 wall-time A/B of the two LM count shapes (noop-style
+    // full materialization via count() over the aggregate — both
+    // sides aggregate, so nothing is pruned away).
+    if (want("lm_time")) {
+      def time(label: String, mk: () => DataFrame): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = mk().count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"$label%-12s min=${ts.map(_._1).min}%6.2f s " +
+          f"rows=${ts.head._2}")
+      }
+      val feed = docs.withColumn("_change_type", lit("insert"))
+      time("new", () =>
+        graft.ext.TextAnalysis.lmBatchCountsForPlan(feed))
+      def signedCounts(side: DataFrame, sign: Long): DataFrame = {
+        val (u, b, t) =
+          graft.ext.TextAnalysis.stupidBackoffTables(side, "text")
+        u.select(lit(1).as("n_order"), col("w").as("gram"),
+            (col("c") * sign).as("cnt"))
+          .unionByName(b.select(lit(2).as("n_order"),
+            col("k").as("gram"), (col("c") * sign).as("cnt")))
+          .unionByName(t.select(lit(3).as("n_order"),
+            col("k").as("gram"), (col("c") * sign).as("cnt")))
+      }
+      time("legacy", () =>
+        signedCounts(feed.filter(col("_change_type")
+            .isin("insert", "update_postimage")), 1L)
+          .unionByName(signedCounts(feed.filter(col("_change_type")
+            .isin("delete", "update_preimage")), -1L)))
+      time("new2", () =>
+        graft.ext.TextAnalysis.lmBatchCountsForPlan(feed))
+    }
+
     spark.stop()
   }
 }
