@@ -55,9 +55,29 @@ object Classifier {
       textCol: String, buckets: Int): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__text"))
-    TextAnalysis.hashedBigrams(base, "__text", buckets)
-      .select(col("id"), col("fid")).distinct()
-      .union(base.select(col("id"), lit(buckets.toLong).as("fid")))
+    // Per-doc presence is ARRAY-LOCAL dedup: array_distinct over the
+    // doc's own bigram ids replaces the former corpus-wide
+    // `.distinct()` (a full (id, fid) shuffle), and appending the
+    // bias feature to the same array replaces the former
+    // `.union(base)` second scan — one scan, zero shuffles, the same
+    // (id, fid) set.
+    val fids =
+      if (df.sparkSession.catalog.functionExists("lm_feature_ids"))
+        expr(s"array_distinct(transform(" +
+          s"lm_feature_ids(__text, $buckets), p -> p.bfid))")
+      else expr(
+        s"""array_distinct(transform(
+           |  CASE WHEN size(split(trim(__text), '\\\\s+')) >= 2 THEN
+           |    sequence(0, size(split(trim(__text), '\\\\s+')) - 2)
+           |  ELSE CAST(array() AS ARRAY<INT>) END,
+           |  i -> CAST(conv(substring(md5(concat(
+           |      split(trim(__text), '\\\\s+')[i], ' ',
+           |      split(trim(__text), '\\\\s+')[i+1])), 1, 7), 16, 10)
+           |    AS BIGINT) % $buckets))""".stripMargin)
+    base.select(col("id"),
+      explode(concat(
+        coalesce(fids, expr("CAST(array() AS ARRAY<BIGINT>)")),
+        array(lit(buckets.toLong)))).as("fid"))
   }
 
   /** Fit the linear probe: returns the (fid, w) weight table (w at

@@ -643,6 +643,13 @@ object Dedup {
         // instead of index size.
         h.join(broadcast(batchBands.select(col("band_key")).distinct()),
           Seq("band_key"), "left_semi")
+          // pin the probed subset: it feeds the hot-bucket occupancy
+          // count, the candidate join AND the sig lookup — unpinned,
+          // the index scan + semi-probe (and its generation-grouped
+          // read plan) would run up to three times per batch. The pin
+          // is bounded by touched-bucket volume, the same working set
+          // the probe already holds.
+          .localCheckpoint()
       } else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         batchBands.schema)
@@ -1889,6 +1896,10 @@ object Dedup {
           .join(broadcast(batchFps.select(col("fp")).distinct()),
             Seq("fp"))
           .select(col("doc_id"), col("nfp"), col("fp"))
+          // pin the probed subset: it feeds the hot-fp df count, the
+          // size lookup AND the pair join — unpinned, the index scan
+          // + semi-probe would run up to three times per batch
+          .localCheckpoint()
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
@@ -1901,12 +1912,18 @@ object Dedup {
     // hot-fingerprint exclusion: df counted over the PROBED subset
     // (probe is keyed on fp, so the subset holds a hot fp's full
     // history); the hot list is tiny by construction → broadcast
-    // anti-join on both legs
-    val hot = hist.groupBy(col("fp"))
-      .agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") > cap).select(col("fp"))
-    val histKept = hist.join(broadcast(hot), Seq("fp"), "left_anti")
-    val batchKept = batchFps.join(broadcast(hot), Seq("fp"), "left_anti")
+    // anti-join on both legs. An uncapped call (cap = MaxValue) skips
+    // the occupancy pass outright — the anti-join against a provably
+    // empty hot set was a full extra evaluation of the probe.
+    val (histKept, batchKept) =
+      if (cap == Int.MaxValue) (hist, batchFps)
+      else {
+        val hot = hist.groupBy(col("fp"))
+          .agg(count(lit(1)).as("dfc"))
+          .filter(col("dfc") > cap).select(col("fp"))
+        (hist.join(broadcast(hot), Seq("fp"), "left_anti"),
+          batchFps.join(broadcast(hot), Seq("fp"), "left_anti"))
+      }
     val all = histKept.unionByName(
       batchKept.select(col("doc_id"), col("nfp"), col("fp")))
     val sizes = all.select(col("doc_id"), col("nfp"))

@@ -747,6 +747,11 @@ object Multimodal {
         CdcTable.readExcludingTxn(spark, indexDir, txn)
           .join(broadcast(batchBands.select(col("band_key")).distinct()),
             Seq("band_key"), "left_semi")
+          // pin the probed subset: it feeds the hot-bucket occupancy
+          // count, the candidate join AND the hash lookup — unpinned,
+          // the index scan + semi-probe would run up to three times
+          // per batch (bounded by touched-bucket volume)
+          .localCheckpoint()
       } else spark.createDataFrame(
         new java.util.ArrayList[Row](), batchBands.schema)
     val all = hist.unionByName(batchBands)

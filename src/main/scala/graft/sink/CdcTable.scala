@@ -2237,10 +2237,17 @@ object CdcTable {
       if (!insert)
         matchedOld.withColumn(ct, lit("delete"))
       else {
-        val matchedKeys = matchedOld
+        // pin the matched preimages ONCE (the mergeDV shape): they
+        // feed the matched-key split of the source AND the preimage
+        // change rows — unpinned, the touched-file subset was scanned
+        // twice more (the matched-key distinct and the change-file
+        // write each re-ran the semi-join). Volume = the commit's own
+        // preimage change rows, which are written out anyway.
+        val matchedPre = matchedOld.localCheckpoint()
+        val matchedKeys = matchedPre
           .select(keys.map(k => col(s"`$k`")).toIndexedSeq: _*)
-          .distinct().localCheckpoint()
-        matchedOld.withColumn(ct, lit("update_preimage"))
+          .distinct()
+        matchedPre.withColumn(ct, lit("update_preimage"))
           .unionByName(srcCast.join(matchedKeys, keys.toSeq, "left_semi")
             .withColumn(ct, lit("update_postimage")))
           .unionByName(srcCast.join(matchedKeys, keys.toSeq, "left_anti")
