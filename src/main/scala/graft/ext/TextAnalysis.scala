@@ -356,10 +356,16 @@ object TextAnalysis {
       dir: String, idCol: String, textCol: String = "text",
       buckets: Int = 64, txn: Option[(String, Long)] = None): Unit = {
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    val staged = batch.select(col(idCol).as("id"),
+    // one tokenize pass shared by the postings AND the totals (each
+    // formerly re-split the whole batch); the pin is (id, dl, toks) —
+    // batch-sized, the same volume the postings write re-reads
+    val tok = batch.select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("toks"))
       .select(col("id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("tok"))
+        col("toks"))
+      .localCheckpoint()
+    val staged = tok
+      .select(col("id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy("id", "dl", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("tbucket", expr("pmod(CAST(conv(substring(" +
         s"md5(tok), 1, 7), 16, 10) AS BIGINT), $buckets)"))
@@ -367,9 +373,8 @@ object TextAnalysis {
       partitionBy = Seq("tbucket"),
       txn = txn.map { case (a, v) => (s"$a-postings", v) })
     graft.sink.CdcTable.append(
-      batch.select(split(trim(col(textCol)), "\\s+").as("toks"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(col("toks")).cast("long")).as("tot_len")),
+      tok.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot_len")),
       s"$dir/totals",
       txn = txn.map { case (a, v) => (s"$a-totals", v) })
     ()
@@ -391,6 +396,11 @@ object TextAnalysis {
       .readPruned(spark, s"$dir/postings",
         (c, v) => c != "tbucket" || tbs.contains(v))
       .filter(col("tok").isin(terms: _*))
+      // pin the term postings: they feed the df aggregate AND the
+      // scoring join — unpinned, the pruned bucket files were scanned
+      // twice per probe; the pin is bounded by the query terms'
+      // posting volume
+      .localCheckpoint()
     val totals = graft.sink.CdcTable.read(spark, s"$dir/totals")
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("tot_len")).cast("long").as("tot_len"))
@@ -505,24 +515,29 @@ object TextAnalysis {
         s"do not cast to the index key type ${dt.sql} — refusing a " +
         "retraction that would silently skip them")
     val keys = keyed.select(col("id"))
-    // the totals delta comes from the victims' OWN posting rows,
-    // read before the delete: dl repeats per (id, tok) row, so one
-    // row per victim doc via max (dl is constant per id)
-    val victim = CdcTable.read(spark, pdir)
-      .join(keys, Seq("id"), "left_semi")
+    val r = CdcTable.deleteKeys(spark, pdir, keys, Seq("id"),
+      partitionBy = Seq("tbucket"))
+    if (r.rowsDeleted == 0L) return 0L
+    // the totals delta comes from the victims' OWN posting rows —
+    // read back from the delete commit's CHANGE FEED (its preimage
+    // change files / removed files hold exactly the deleted rows),
+    // bounded by victim volume, instead of the former full-index
+    // semi-join pre-scan. dl repeats per (id, tok) row, so one row
+    // per victim doc via max (dl is constant per id).
+    val victim = CdcTable
+      .readChanges(spark, pdir, afterCommit = r.commit - 1,
+        upToCommit = Some(r.commit))
+      .filter(col("_change_type") === "delete")
       .groupBy(col("id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("nd"),
         coalesce(sum(col("dl")), lit(0L)).as("tl"))
       .head()
     val nd = victim.getLong(0); val tl = victim.getLong(1)
-    if (nd == 0L) return 0L
-    val deleted = CdcTable.deleteKeys(spark, pdir, keys, Seq("id"),
-      partitionBy = Seq("tbucket")).rowsDeleted
     CdcTable.append(
       spark.range(1).select(lit(-nd).as("n_docs"),
         lit(-tl).as("tot_len")),
       tdir, partitionBy = Nil)
-    deleted
+    r.rowsDeleted
   }
 
   /** Replace the lexical totals table with the exact recompute from
@@ -1303,16 +1318,22 @@ object TextAnalysis {
       textCol: String = "text")
   : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
-    val tk = df.select(split(trim(col(textCol)), "\\s+").as("toks"))
-    def grams(n: Int) = tk.select(explode(expr(
-        s"""CASE WHEN size(toks) >= $n THEN
-           |  transform(sequence(0, size(toks) - $n),
-           |    i -> ${(0 until n).map(j => s"toks[i+$j]")
-                  .mkString("concat_ws(' ', ", ", ", ")")})
-           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-        .as("k"))
-      .groupBy("k").agg(count(lit(1)).as("c"))
-    (grams(1).withColumnRenamed("k", "w"), grams(2), grams(3))
+    // all three orders in ONE corpus scan + ONE shuffle (the
+    // lmCountsAppend gramCounts shape — gram layout is identical to
+    // the former per-order transforms, so counts are bit-identical),
+    // pinned once: serving (stupidBackoffScore) materializes the
+    // model tables six times, and unpinned each materialization was
+    // a full corpus tokenize + count pass
+    val counts = gramCounts(df.select(
+        split(trim(col(textCol)), "\\s+").as("toks"),
+        lit(1L).as("sgn")))
+      .localCheckpoint()
+    (counts.filter(col("n_order") === 1)
+        .select(col("gram").as("w"), col("cnt").as("c")),
+      counts.filter(col("n_order") === 2)
+        .select(col("gram").as("k"), col("cnt").as("c")),
+      counts.filter(col("n_order") === 3)
+        .select(col("gram").as("k"), col("cnt").as("c")))
   }
 
   /** Score every document's trigram positions (i ≥ 2; docs with < 3
@@ -1444,6 +1465,11 @@ object TextAnalysis {
       // grams whose counts net to zero (every occurrence retracted by
       // lmCountsCdfSync's negative partials) leave the model entirely
       .filter(col("c") > 0)
+      // pin the folded model ONCE (model-sized): the three per-order
+      // views below are each materialized separately by consumers
+      // (stupidBackoffScore alone touches them six times), and
+      // unpinned each view re-ran the whole count-table scan + fold
+      .localCheckpoint()
     (eff.filter(col("n_order") === 1)
         .select(col("gram").as("w"), col("c")),
       eff.filter(col("n_order") === 2)

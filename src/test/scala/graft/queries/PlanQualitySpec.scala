@@ -174,7 +174,12 @@ class PlanQualitySpec extends SparkSpec {
     // is an inner broadcast join on the fingerprint; q82/q83 semi-join
     // their band/bucket indexes)
     for ((q, semi) <- Seq(TextQ.q81(spark, dir) -> false,
-        TextQ.q82(spark, dir) -> true,
+        // q82's semi-probe is pinned (localCheckpoint) since the r16
+        // optimization round — the probe runs once at pin time and the
+        // returned frame reads the pinned subset (ExistingRDD), so the
+        // LeftSemi no longer appears in THIS plan; the shared probe
+        // shape stays guarded by q83/q84 below and by the pin check
+        TextQ.q82(spark, dir) -> false,
         EmbeddingQ.q83(spark, dir) -> true,
         EmbeddingQ.q84(spark, dir) -> true)) {
       val p = plan(q)
@@ -190,6 +195,11 @@ class PlanQualitySpec extends SparkSpec {
       if (semi) assert(p.contains("LeftSemi"),
         "band/bucket index probe must be a semi-join: " + p.take(600))
     }
+    // the pinned probed subset must feed q82's pair core exactly once:
+    // a regression re-inlining the index read would resurface parquet
+    // scans of the index in place of the ExistingRDD pin
+    assert(plan(TextQ.q82(spark, dir)).contains("ExistingRDD"),
+      "q82 pair core must read the pinned probe subset")
   }
   test("q95 importance scoring broadcasts the bounded feature table") {
     val p = plan(TextQ.q95(spark, dir))
