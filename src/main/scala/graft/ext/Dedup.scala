@@ -1589,9 +1589,27 @@ object Dedup {
       .readChanges(spark, pairsDir, afterCommit = hw)
       .select(col("a_id").as("u"), col("b_id").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
-    val nNew = newEdges.count()
-    if (nNew == 0) {
+    val integralIds = newEdges.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.ByteType => true
+      case org.apache.spark.sql.types.ShortType => true
+      case org.apache.spark.sql.types.IntegerType => true
+      case org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    // ONE bounded collect carries the batch's edge residue to the
+    // driver AND answers the zero / over-limit checks: the former
+    // pin+count+collect sequence ran three driver actions
+    // (localCheckpoint job, count job, collect job) over the same
+    // ≤ driverEdgeLimit working set every sync. limit+1 detects
+    // overflow; non-integral ids probe only for emptiness (their
+    // labeling always takes the full rebuild).
+    val probe =
+      if (integralIds)
+        newEdges.select(col("u").cast("long"), col("v").cast("long"))
+          .limit((driverEdgeLimit + 1).min(Int.MaxValue.toLong).toInt)
+          .collect()
+      else newEdges.limit(1).collect()
+    if (probe.isEmpty) {
       // still stamp the mark (one empty-source merge commit), or every
       // later sync re-reads these commits forever
       if (cLog.isEmpty) fullRebuild()
@@ -1601,20 +1619,17 @@ object Dedup {
         txn = Some((CcAppId, last)))
       return range.length
     }
-    val integralIds = newEdges.schema.fields.forall(_.dataType match {
-      case org.apache.spark.sql.types.ByteType => true
-      case org.apache.spark.sql.types.ShortType => true
-      case org.apache.spark.sql.types.IntegerType => true
-      case org.apache.spark.sql.types.LongType => true
-      case _ => false
-    })
-    if (nNew > driverEdgeLimit || !integralIds) {
+    if (probe.length > driverEdgeLimit || !integralIds) {
       fullRebuild(); return range.length
     }
     val idType = newEdges.schema("u").dataType
-    val touched = newEdges.select(col("u").cast("long").as("id"))
-      .unionByName(newEdges.select(col("v").cast("long").as("id")))
-      .distinct()
+    val edgeArr = probe.map(r => (r.getLong(0), r.getLong(1)))
+    // touched nodes derive on the driver from the collected residue;
+    // only the (tiny) id list goes back out, as the broadcast side of
+    // the stored-label probe
+    val touched = spark.createDataset(
+      edgeArr.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("id")
     // stored labels of touched nodes: ONE key-bounded probe — the
     // touched set broadcasts, the components table streams through
     val storedTouched =
@@ -1624,9 +1639,6 @@ object Dedup {
           col("component").cast("long").as("component"))
         .join(broadcast(touched), Seq("id"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val edgeArr = newEdges
-      .select(col("u").cast("long"), col("v").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
     // union–find over new edges + (node → stored label) arcs: a
     // stored label IS a member of its component (the min id), so the
     // arc is a true edge and find() yields min-reachable labels over
@@ -2099,38 +2111,43 @@ object Dedup {
         .distinct()
     }
 
-    var e = edges
+    val e0 = edges
       .select(col("a_id").as("x"), col("b_id").as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint()
-    // the iteration is latency-bound (tiny checkpointed edge sets,
-    // many sequential jobs), so each pass runs the MINIMUM of driver
-    // actions: one materialize+count, the previous count carried in a
-    // var, and the (join-shaped) set-equality confirm only when the
-    // cheap count check already agrees
-    var eCount = e.count()
     // The fast path collects ids as Long; a non-integral id column
     // (string/UUID ids are supported by the dedup API and handled by
     // the star fixpoint via generic ordering) would cast to NULL and
     // silently read as 0, collapsing every edge onto one node. Gate
     // on the id type so those graphs take the distributed path.
-    val integralIds = e.schema.fields.forall(_.dataType match {
+    val integralIds = e0.schema.fields.forall(_.dataType match {
       case _: org.apache.spark.sql.types.ByteType => true
       case _: org.apache.spark.sql.types.ShortType => true
       case _: org.apache.spark.sql.types.IntegerType => true
       case _: org.apache.spark.sql.types.LongType => true
       case _ => false
     })
-    if (eCount <= driverEdgeLimit && integralIds) {
+    // ONE bounded collect decides the path AND carries the edges: the
+    // previous pin+count+collect sequence ran three driver actions
+    // (localCheckpoint job, count job, collect job) over the same
+    // metadata-scale residue before any labeling work started. The
+    // limit+1 probe detects overflow; only past the driver bound (or
+    // for non-integral ids) does the distributed path pay its own
+    // checkpoint+count, and there the star rounds dominate anyway.
+    val probe =
+      if (integralIds)
+        e0.select(col("u").cast("long"), col("v").cast("long"))
+          .limit((driverEdgeLimit + 1).min(Int.MaxValue.toLong).toInt)
+          .collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (integralIds && probe.length <= driverEdgeLimit) {
       // metadata-scale edge set: union–find with path compression on
       // the driver — identical output contract to the star fixpoint
       // (one row per node appearing in an edge, component = min id
       // reachable)
-      val arr = e.select(col("u").cast("long"), col("v").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val arr = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -2154,11 +2171,19 @@ object Dedup {
       // and the distributed path preserves the input type — the
       // output schema must not depend on which path the edge count
       // happened to pick
-      val idType = e.schema("u").dataType
+      val idType = e0.schema("u").dataType
       return nodes.map(n => (n, find(n))).toDF("id", "component")
         .select(col("id").cast(idType).as("id"),
           col("component").cast(idType).as("component"))
     }
+    // distributed path (non-integral ids or past the driver bound):
+    // the iteration is latency-bound (tiny checkpointed edge sets,
+    // many sequential jobs), so each pass runs the MINIMUM of driver
+    // actions: one materialize+count, the previous count carried in a
+    // var, and the (join-shaped) set-equality confirm only when the
+    // cheap count check already agrees
+    var e = e0.localCheckpoint()
+    var eCount = e.count()
     var iter = 0
     var converged = eCount == 0
     while (iter < maxIter && !converged) {
