@@ -1190,6 +1190,11 @@ object CdcTable {
           "probe-portable)")
     }
     bloomCols.map { c =>
+      // aggregate positions per FILE with collect_set (map-side
+      // partial aggregation, bounded by BloomBits per file) instead of
+      // a corpus-wide distinct on the exploded (file, position) rows:
+      // the shuffle carries one bounded set per file per map task, not
+      // hashes×rows rows, and the collect returns one row per file
       c -> spark.read.parquet(batchDir)
         .select(input_file_name().as("_f"),
           col(c).cast("string").as("_v"))
@@ -1198,12 +1203,13 @@ object CdcTable {
           s"transform(sequence(0, ${FileStats.BloomHashes - 1}), " +
             "j -> CAST(conv(substring(md5(_v), j*4+1, 4), 16, 10) " +
             s"AS INT) % ${FileStats.BloomBits})")).as("_p"))
-        .distinct()
+        .groupBy(col("_f"))
+        .agg(collect_set(col("_p")).as("_ps"))
         .collect()
-        .map(r => (r.getString(0), r.getInt(1)))
-        .groupBy { case (f, _) => relOf(f) }
-        .map { case (rel, ps) =>
-          rel -> FileStats.packBloom(ps.map(_._2)) }
+        .map { r =>
+          relOf(r.getString(0)) -> FileStats.packBloom(
+            r.getSeq[Int](1))
+        }.toMap
     }.foldLeft(Map.empty[String, Map[String, String]]) {
       case (acc, (c, perFile)) =>
         perFile.foldLeft(acc) { case (a, (rel, bits)) =>
