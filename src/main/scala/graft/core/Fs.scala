@@ -156,6 +156,16 @@ object Fs {
     else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
   }
 
+  /** Direct children of `dir` with (name, length, mtime) — the one
+    * listStatus the plain [[list]] already pays carries both fields
+    * for free; callers that cache parsed file content key on them. */
+  def listWithInfo(dir: String): Seq[(String, Long, Long)] = {
+    val (fs, p) = apply(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toIndexedSeq
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+  }
+
   /** All file paths under `dir`, recursively, with their sizes. */
   def walkFiles(dir: String): Seq[(Path, Long)] = {
     val (fs, p) = apply(dir)

@@ -338,18 +338,48 @@ object CdcTable {
       condensed.map(render).mkString(CheckpointSep))
   }
 
+  /** Parsed-manifest cache, keyed by absolute log-file path →
+    * (length, mtime, parsed commits). Commit files are immutable once
+    * fully written (create-exclusive, then content) and checkpoints
+    * are rewritten only under a new condensation — either way the
+    * (length, mtime) pair changes with the bytes, so a stale entry
+    * cannot serve: the listStatus every `log()` already pays
+    * revalidates each hit for free. Only SUCCESSFUL parses enter the
+    * cache (a torn in-flight file stays uncached and is re-read).
+    * Cross-process writers create NEW files, which are cache misses
+    * by construction. Bounded: cleared wholesale past `LogCacheMax`
+    * entries (the working set is the live tables of one JVM). */
+  private val logParseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, IndexedSeq[Commit])]()
+  private val LogCacheMax = 65536
+
+  private def cachedParse(path: String, len: Long, mtime: Long)(
+      parseAll: String => IndexedSeq[Commit])
+      : Option[IndexedSeq[Commit]] = {
+    val hit = logParseCache.get(path)
+    if (hit != null && hit._1 == len && hit._2 == mtime)
+      return Some(hit._3)
+    val parsed = scala.util.Try(
+      Fs.readString(path).map(parseAll)).toOption.flatten
+    parsed.foreach { cs =>
+      if (logParseCache.size() >= LogCacheMax) logParseCache.clear()
+      logParseCache.put(path, (len, mtime, cs))
+    }
+    parsed
+  }
+
   /** The committed log, in commit order: latest readable checkpoint +
     * only the commit files after it. */
   def log(dir: String): Seq[Commit] = {
-    val names = Fs.list(logDir(dir))
-    val base = names.filter(_.endsWith(".checkpoint")).sorted.reverse
-      .iterator
-      .map(n => scala.util.Try {
-        Fs.readString(s"${logDir(dir)}/$n").get
-          .split(java.util.regex.Pattern.quote(CheckpointSep))
-          .toIndexedSeq.map(parse)
-      })
-      .collectFirst { case scala.util.Success(cs) => cs } // torn → older
+    val infos = Fs.listWithInfo(logDir(dir))
+    val base = infos.filter(_._1.endsWith(".checkpoint"))
+      .sortBy(_._1).reverse.iterator
+      .map { case (n, len, mt) =>
+        cachedParse(s"${logDir(dir)}/$n", len, mt)(s =>
+          s.split(java.util.regex.Pattern.quote(CheckpointSep))
+            .toIndexedSeq.map(parse))
+      }
+      .collectFirst { case Some(cs) => cs } // torn → older
       .getOrElse(Vector.empty)
     val after = base.lastOption.map(_.commit).getOrElse(0L)
     // A commit file becomes visible at create time but its content
@@ -358,11 +388,14 @@ object CdcTable {
     // prefix keeps every reader on a consistent snapshot: an in-flight
     // trailing commit is simply not visible yet.
     val commits =
-      base ++ names.filter(_.endsWith(".commit")).sorted
-        .filter(_.stripSuffix(".commit").toLong > after)
-        .map(n => scala.util.Try(
-          Fs.readString(s"${logDir(dir)}/$n").map(parse)).toOption.flatten)
-        .takeWhile(_.isDefined).flatten
+      base ++ infos.filter(_._1.endsWith(".commit"))
+        .sortBy(_._1)
+        .filter(_._1.stripSuffix(".commit").toLong > after)
+        .map { case (n, len, mt) =>
+          cachedParse(s"${logDir(dir)}/$n", len, mt)(s =>
+            IndexedSeq(parse(s)))
+        }
+        .takeWhile(_.isDefined).flatMap(_.get)
     // reader protocol gate — OUTSIDE the torn-prefix Try above: a
     // feature this build can't read must fail the table open loudly,
     // never be silently truncated away as an "in-flight" commit
